@@ -12,11 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    RelationalQueries.defs ++ ArtefactQueries.defs
+    RelationalQueries.defs ++ ArtefactQueries.defs ++ CarveQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full scan→overlap-dedup→carve DAG over synthesized evidence.
+    */
   def entry(spark: SparkSession): DataFrame =
-    allDefs("q02_agg_flag_status").fn(spark, "/root/testdata/sf0.001")
+    allDefs("q40_carve_pipeline").fn(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -48,7 +48,7 @@ final case class CarvedFile(
     validated: Boolean,
     truncated: Boolean,
     errors: Seq[String],
-    patternId: Int)
+    patternId: String)
 
 /** URL / email / phone / generic string artefact. */
 final case class StringArtefact(

@@ -1,0 +1,172 @@
+package graft.pipeline
+
+import graft.artefacts.Artefacts
+import graft.carve._
+import graft.core._
+import graft.evidence.EvidenceRef
+import graft.functions.Entropy
+import graft.scan.{SignatureScan, StringScan}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end carving DAG (reference pipeline: src/pipeline/mod.rs +
+  * workers.rs, re-expressed as a Spark job — SURVEY §3.1):
+  *
+  * {{{
+  * chunks (driver-planned, one row per chunk)
+  *   .mapPartitions(read + scan signatures/strings/entropy)   // stage 1, narrow, fused
+  *   hits.filter(localOffset < validLength)                   // exactly-once under overlap
+  *   hits.mapPartitions(carve)                                // stage 2, narrow, ranged evidence reads
+  *   artefact/entropy/summary aggregations                    // only shuffles in the job
+  * }}}
+  *
+  * Scale design: the scan stage's output (hits/spans/regions) is tiny
+  * relative to the evidence, so it is persisted (MEMORY_AND_DISK) and the
+  * evidence is read exactly once; the carve stage re-opens the evidence
+  * per task for random access (carved files cross chunk boundaries, so
+  * carving CANNOT be served from the chunk's own bytes — SURVEY §7.4).
+  * Every stage is narrow; parallelism == chunk count. The reference's
+  * worker threads + bounded channels map to task scheduling; its
+  * single-writer metadata thread maps to DataFrameWriter.
+  */
+object CarvePipeline {
+
+  /** Per-chunk scan result — hits already overlap-deduped + rebased. */
+  final case class ChunkScan(
+      chunkId: Long,
+      chunkStart: Long,
+      validLength: Long,
+      bytesRead: Long,
+      hits: Seq[NormalizedHit],
+      artefacts: Seq[StringArtefact],
+      regions: Seq[EntropyRegion])
+
+  final case class Result(
+      chunks: Dataset[ScanChunk],
+      scanned: Dataset[ChunkScan],
+      carvedFiles: Dataset[CarvedFile],
+      artefacts: Dataset[StringArtefact],
+      entropyRegions: Dataset[EntropyRegion])
+
+  def run(
+      spark: SparkSession,
+      evidenceRef: EvidenceRef,
+      cfg: EngineConfig,
+      runId: String,
+      enableStrings: Boolean = true,
+      enableEntropy: Boolean = true,
+      resumeOffset: Long = 0L): Result = {
+    import spark.implicits._
+
+    val evidenceLen = {
+      val r = evidenceRef.open()
+      try r.length finally r.close()
+    }
+
+    var chunks = ChunkPlanner.plan(spark, evidenceLen, cfg.chunkSize, cfg.overlap)
+    if (resumeOffset > 0) chunks = chunks.filter(_.start >= resumeOffset)
+    cfg.maxChunks.foreach(n => chunks = chunks.limit(n.toInt))
+
+    val scan = SignatureScan(cfg)
+    val stringScan = new StringScan(cfg.stringMinLen, cfg.stringMaxLen, cfg.stringScanUtf16)
+    val entropyWindow = cfg.entropyWindowSize
+    val entropyThreshold = cfg.entropyThreshold
+    val doStrings = enableStrings
+    val doEntropy = enableEntropy
+
+    // Stage 1: one evidence pass per chunk; signature + string + entropy
+    // scans share the buffer (the reference's Arc<Vec<u8>> sharing).
+    val scanned = chunks.mapPartitions { iter =>
+      val reader = evidenceRef.open()
+      iter.map { chunk =>
+        val data = new Array[Byte](chunk.length.toInt)
+        var got = 0
+        var n = 1
+        while (got < data.length && n > 0) {
+          n = reader.readAt(chunk.start + got, data, got, data.length - got)
+          got += n
+        }
+        val hits = scan.normalize(chunk, scan.scanChunk(chunk, data, got))
+        val artefacts =
+          if (doStrings) {
+            stringScan.scanChunk(chunk.id, java.util.Arrays.copyOf(data, got))
+              .filter(sp => sp.localStart < chunk.validLength) // overlap ownership for spans
+              .flatMap { sp =>
+                val spanBytes = java.util.Arrays.copyOfRange(data, sp.localStart.toInt, sp.localStart.toInt + sp.length)
+                decodeAndExtract(runId, chunk.start, sp, spanBytes)
+              }
+          } else Seq.empty[StringArtefact]
+        val regions =
+          if (doEntropy)
+            Entropy.detectRegions(chunk.start, java.util.Arrays.copyOf(data, math.min(got, chunk.validLength.toInt)), entropyWindow, entropyThreshold)
+              .map { case (s, e, m) => EntropyRegion(runId, s, e, m, entropyWindow.toLong) }
+          else Seq.empty[EntropyRegion]
+        ChunkScan(chunk.id, chunk.start, chunk.validLength, got.toLong, hits, artefacts, regions)
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val registry = EngineConfig.buildRegistry(cfg)
+    val patternToType: Map[String, String] =
+      cfg.fileTypes.flatMap(ft => ft.headerPatterns.map(_.id -> ft.id)).toMap
+    val patternIdOf: Map[Int, (String, String)] =
+      scan.patterns.zipWithIndex.map { case (p, i) => i -> (p.patternId, p.fileTypeId) }.toMap
+
+    // Stage 2: carve — ranged evidence reads per hit, independent of the
+    // chunk partitioning (files larger than a chunk carve correctly).
+    val hitRows = scanned.flatMap(_.hits)
+    var carved = hitRows.mapPartitions { iter =>
+      val reader = evidenceRef.open()
+      val ctx = ExtractionContext(runId, reader, None)
+      iter.flatMap { h =>
+        val (patId, ftId) = patternIdOf(h.fileTypeId)
+        registry.get(ftId).flatMap { handler =>
+          try handler.processHit(CarveHit(h.globalOffset, ftId, patId), ctx)
+          catch { case _: Exception => None }
+        }
+      }
+    }
+    cfg.maxFiles.foreach(n => carved = carved.limit(n.toInt))
+
+    val artefactRows = scanned.flatMap(_.artefacts)
+    val regionRows = scanned.flatMap(_.regions)
+
+    Result(chunks, scanned, carved, artefactRows, regionRows)
+  }
+
+  /** Span decode + artefact regex pass (reference strings/mod.rs:124-180,
+    * decode :232-259): hints gate which extractors run.
+    */
+  private[pipeline] def decodeAndExtract(
+      runId: String,
+      chunkStart: Long,
+      sp: StringSpan,
+      spanBytes: Array[Byte]): Seq[StringArtefact] = {
+    val (text, encoding) =
+      if ((sp.flags & StringFlags.Utf16Le) != 0) (StringScan.decodeUtf16Naive(spanBytes, littleEndian = true), "utf-16le")
+      else if ((sp.flags & StringFlags.Utf16Be) != 0) (StringScan.decodeUtf16Naive(spanBytes, littleEndian = false), "utf-16be")
+      else if ((sp.flags & StringFlags.Utf8) != 0) (new String(spanBytes, "UTF-8"), "utf-8")
+      else (new String(spanBytes, "ISO-8859-1"), "ascii")
+    val hintMask = StringFlags.UrlLike | StringFlags.EmailLike | StringFlags.PhoneLike
+    val useHints = (sp.flags & hintMask) != 0
+    def wanted(flag: Int): Boolean = !useHints || (sp.flags & flag) != 0
+
+    Artefacts.extractAll(text).collect {
+      case f if (f.kind == "Url" && wanted(StringFlags.UrlLike)) ||
+        (f.kind == "Email" && wanted(StringFlags.EmailLike)) ||
+        (f.kind == "Phone" && wanted(StringFlags.PhoneLike)) =>
+        val start = chunkStart + sp.localStart + f.start
+        val len = f.content.getBytes("UTF-8").length
+        StringArtefact(runId, f.kind, f.content, encoding,
+          start, if (len == 0) start else start + len - 1)
+    }
+  }
+
+  /** Run counters (reference RunSummary, src/metadata/mod.rs:13-22). */
+  def summarize(spark: SparkSession, runId: String, r: Result): RunSummary = {
+    import spark.implicits._
+    val agg = r.scanned.map(c => (c.bytesRead, 1L, c.hits.size.toLong, c.artefacts.size.toLong))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    RunSummary(runId, agg._1, agg._2, agg._3, r.carvedFiles.count(),
+      stringSpans = agg._4, artefactsExtracted = agg._4, errorCount = 0L)
+  }
+}

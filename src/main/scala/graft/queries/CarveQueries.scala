@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.carve.EngineConfig
+import graft.evidence.InMemoryRef
+import graft.fixtures.FixtureBytes
+import graft.pipeline.CarvePipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The carving engine exposed as oracle-checkable queries: evidence is
+  * synthesized DETERMINISTICALLY from the documents table (one format
+  * sample per doc_id, planted at doc_id*8192), so DuckDB can predict the
+  * full carve result arithmetically while Spark actually runs the
+  * distributed scan→dedup→carve DAG over the byte space.
+  *
+  * Sample sizes are fixed by the generators in graft.fixtures:
+  * jpeg=34, png=57, gif=14, pdf=43, sqlite=1024 bytes.
+  */
+object CarveQueries {
+  import Registry.table
+
+  private val SampleStride = 8192L
+
+  private def carveResult(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nDocs = table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
+    val evidence = new Array[Byte]((nDocs * SampleStride).toInt)
+    var d = 0L
+    while (d < nDocs) {
+      val sample = (d % 5) match {
+        case 0 => FixtureBytes.jpeg()
+        case 1 => FixtureBytes.png()
+        case 2 => FixtureBytes.gif()
+        case 3 => FixtureBytes.pdf()
+        case _ => FixtureBytes.sqlite()
+      }
+      System.arraycopy(sample, 0, evidence, (d * SampleStride).toInt, sample.length)
+      d += 1
+    }
+    // pattern-set pruning to the five planted types (filter_file_types)
+    val (cfg0, _) = EngineConfig.filterFileTypes(
+      EngineConfig(chunkSize = 64 * 1024, overlap = 4096),
+      Some(Seq("jpeg", "png", "gif", "pdf", "sqlite")), disableZip = false)
+    val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
+    CarvePipeline.run(s, InMemoryRef(evidence), cfg, "oracle-run",
+      enableStrings = false, enableEntropy = false)
+      .carvedFiles.toDF()
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- Full scan→overlap-dedup→carve DAG (SURVEY §2.1-2.3, §3.1)
+    "q40_carve_pipeline" -> QueryDef(
+      (s, dir) => {
+        carveResult(s, dir).select(
+          col("globalStart").as("global_start"),
+          col("fileType").as("file_type"),
+          col("size"),
+          col("validated"),
+          col("truncated"))
+          .orderBy("global_start")
+      },
+      Some("""SELECT doc_id*8192 AS global_start,
+             |CASE CAST(doc_id%5 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+             |  WHEN 2 THEN 'gif' WHEN 3 THEN 'pdf' ELSE 'sqlite' END AS file_type,
+             |CAST(CASE CAST(doc_id%5 AS INT) WHEN 0 THEN 34 WHEN 1 THEN 57
+             |  WHEN 2 THEN 14 WHEN 3 THEN 43 ELSE 1024 END AS BIGINT) AS size,
+             |true AS validated, false AS truncated
+             |FROM documents ORDER BY global_start""".stripMargin)),
+
+    // ---- Carved-output naming + hashing columns (metadata sink schema)
+    "q41_carve_metadata" -> QueryDef(
+      (s, dir) => {
+        carveResult(s, dir)
+          .filter(col("fileType") === "jpeg")
+          .select(
+            col("globalStart").as("global_start"),
+            col("path"),
+            col("extension"),
+            col("md5"),
+            col("sha256"))
+          .orderBy("global_start")
+      },
+      // jpeg sample bytes are constant, so every jpeg carve hashes alike;
+      // the hex literals below are md5/sha256 of the 34-byte jpeg sample.
+      Some(s"""SELECT doc_id*8192 AS global_start,
+              |'jpeg/jpeg_' || upper(printf('%012x', doc_id*8192)) || '.jpg' AS path,
+              |'jpg' AS extension,
+              |'${FixtureBytes.md5Hex(FixtureBytes.jpeg())}' AS md5,
+              |'${FixtureBytes.sha256Hex(FixtureBytes.jpeg())}' AS sha256
+              |FROM documents WHERE doc_id % 5 = 0 ORDER BY global_start""".stripMargin)))
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.carve.EngineConfig
+import graft.fixtures.FixtureBytes
+import graft.evidence.InMemoryRef
+import graft.pipeline.CarvePipeline
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end Spark pipeline tests: a golden-image-style evidence buffer
+  * with samples planted at known offsets, run through the full
+  * scan→dedup→carve DAG (mirrors the reference's integration_basic.rs and
+  * boundary_conditions.rs).
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import FixtureBytes._
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Evidence with samples at 4096-aligned offsets (golden-image layout). */
+  private def buildEvidence(samples: Seq[Array[Byte]]): (Array[Byte], Seq[(Long, Array[Byte])]) = {
+    val align = 4096
+    val total = samples.map(s => (s.length + align - 1) / align * align).sum + align
+    val evidence = new Array[Byte](total)
+    var off = align / 2 // start unaligned to prove offsets are tracked
+    val planted = samples.map { s =>
+      val at = (off + align - 1) / align * align
+      System.arraycopy(s, 0, evidence, at, s.length)
+      off = at + s.length
+      (at.toLong, s)
+    }
+    (evidence, planted)
+  }
+
+  private val testCfg = EngineConfig(
+    fileTypes = EngineConfig.defaultFileTypes.map(_.copy(minSize = 0)),
+    chunkSize = 8192,
+    overlap = 1024,
+    stringMinLen = 6,
+    stringMaxLen = 1024,
+    entropyWindowSize = 256,
+    entropyThreshold = 7.5)
+
+  test("plants carve back with exact offsets, sizes and hashes") {
+    val samples = Seq(jpeg(), png(), gif(), sqlite(), pdf(), webp(), bmp(), sevenZ(),
+      zipWithEntry("word/document.xml"), ole("WordDocument"), tar(), mp3(), mp4())
+    val (evidence, planted) = buildEvidence(samples)
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), testCfg, "testrun")
+    val carved = result.carvedFiles.collect().map(c => c.globalStart -> c).toMap
+    planted.foreach { case (at, sample) =>
+      val c = carved.get(at)
+      assert(c.isDefined, s"no carve at offset $at")
+      assert(c.get.size == sample.length, s"size mismatch at $at: ${c.get.fileType}")
+      assert(c.get.sha256 == sha256Hex(sample), s"sha mismatch at $at: ${c.get.fileType}")
+    }
+    // classification flowed through the distributed path
+    assert(carved.values.exists(_.fileType == "docx"))
+    assert(carved.values.exists(_.fileType == "doc"))
+  }
+
+  test("file spanning a chunk boundary is carved once (overlap dedup)") {
+    // chunkSize 8192: plant a jpeg straddling the first boundary
+    val evidence = new Array[Byte](3 * 8192)
+    val sample = jpeg()
+    val at = 8192 - sample.length / 2
+    System.arraycopy(sample, 0, evidence, at, sample.length)
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), testCfg, "t")
+    val carved = result.carvedFiles.collect()
+    assert(carved.count(_.fileType == "jpeg") == 1)
+    assert(carved.head.globalStart == at && carved.head.size == sample.length)
+  }
+
+  test("file ending exactly at chunk size") {
+    val sample = jpeg()
+    val evidence = new Array[Byte](2 * 8192)
+    System.arraycopy(sample, 0, evidence, 8192 - sample.length, sample.length)
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), testCfg, "t")
+    val carved = result.carvedFiles.collect()
+    assert(carved.length == 1 && carved.head.globalStart == 8192L - sample.length)
+  }
+
+  test("empty evidence") {
+    val result = CarvePipeline.run(spark, InMemoryRef(Array.emptyByteArray), testCfg, "t")
+    assert(result.carvedFiles.count() == 0)
+  }
+
+  test("string artefacts extracted with global offsets") {
+    val msgText = "junk visit https://spark.example.com/docs now mail a.user@example.org junk"
+    val msg = msgText.getBytes("ISO-8859-1")
+    val (evidence, planted) = buildEvidence(Seq(msg))
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), testCfg, "t")
+    val artefacts = result.artefacts.collect()
+    val url = artefacts.find(_.artefactKind == "Url").get
+    assert(url.content == "https://spark.example.com/docs")
+    assert(url.globalStart == planted.head._1 + msgText.indexOf("https://"))
+    assert(artefacts.exists(a => a.artefactKind == "Email" && a.content == "a.user@example.org"))
+  }
+
+  test("entropy regions found and merged") {
+    val rnd = Array.tabulate[Byte](1024)(i => ((i * 131 + 17) % 256).toByte)
+    val evidence = new Array[Byte](8192)
+    System.arraycopy(rnd, 0, evidence, 512, 1024)
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), testCfg, "t")
+    val regions = result.entropyRegions.collect()
+    assert(regions.nonEmpty)
+    assert(regions.head.globalStart == 512L)
+    assert(regions.head.entropy >= 7.5)
+  }
+
+  test("run summary counts") {
+    val (evidence, _) = buildEvidence(Seq(jpeg(), png()))
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), testCfg, "t")
+    val summary = CarvePipeline.summarize(spark, "t", result)
+    assert(summary.filesCarved == 2)
+    assert(summary.bytesScanned >= evidence.length) // overlap re-read counts
+    assert(summary.chunksProcessed == (evidence.length + 8191) / 8192)
+  }
+
+  test("resume skips chunks before the offset") {
+    val samples = Seq(jpeg(), jpeg())
+    val (evidence, planted) = buildEvidence(samples)
+    val second = planted(1)._1
+    val resumeAt = (second / 8192) * 8192
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), testCfg, "t", resumeOffset = resumeAt)
+    val carved = result.carvedFiles.collect()
+    assert(carved.map(_.globalStart).toSet == Set(second))
+  }
+}
