@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - `cosineTopK`: brute-force exact top-k — the baseline. The query set
+  *    is broadcast (small); the corpus side streams, so the plan is one
+  *    broadcast join + per-query top-k window. Dot products use
+  *    `aggregate(zip_with(...))` in double precision — codegen'd, no UDF.
+  *  - `lshTopK`: the scale path — md5-seeded random hyperplanes bucket
+  *    the corpus; candidates share a bucket, so per-query work drops from
+  *    O(N) to O(bucket). Planes are deterministic (seeded hashes), making
+  *    results reproducible across engines and runs.
+  */
+object Similarity {
+
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: org.apache.spark.sql.Column) = sqrt(dot(a, a))
+
+  /** Exact top-k cosine neighbors for each query id. Output:
+    * (query_id, neighbor_id, rank, score).
+    */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv")))).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane j, dim i): the low
+    * bit of md5(j || ':' || i).
+    */
+  private def planeComponent(j: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+    when(conv(substring(md5(concat(j.cast("string"), lit(":"), i.cast("string"))), 1, 1), 16, 10)
+      .cast("int") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-random-projection bucket key over `nPlanes` hyperplanes. */
+  def lshBucket(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
+    val spark = df.sparkSession
+    val planes = broadcast(
+      spark.range(nPlanes).toDF("j")
+        .crossJoin(spark.range(64).toDF("i"))
+        .select(col("j"), col("i"), planeComponent(col("j"), col("i")).as("p")))
+    df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .join(planes, Seq("i"))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("v").cast("double") * col("p")).as("proj"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("proj") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  /** Bucketed ANN: exact cosine top-k but only within the query's LSH
+    * bucket. Output: (query_id, neighbor_id, rank, score).
+    */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame, k: Int, nPlanes: Int): DataFrame = {
+    val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
+    val withBucket = corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id")
+    val q = broadcast(withBucket
+      .join(queries.select(col(idCol).as("qid")), col(idCol) === col("qid"))
+      .select(col("qid").as("query_id"), col(vecCol).as("qv"), col("bucket")))
+    val c = withBucket.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv")))).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword n-gram heuristic), quality metrics (length/punct/stopword
+  * ratios), token counting (whitespace + BPE-ish regex pieces), and
+  * document fingerprinting (min-hash over word 5-grams). Everything is a
+  * built-in expression — codegen'd, shuffle-free except the fingerprint's
+  * groupBy.
+  */
+object TextAnalysis {
+
+  /** Tiny deterministic stopword table per language. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "une"))
+
+  /** Language ID: argmax of stopword hits, ties broken by language code
+    * ascending; zero hits ⇒ "und" (undetermined).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+    val counts = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(col("toks"), t => t.isin(words: _*))).cast("long").as("hits"),
+        lit(lang).as("lang"))
+    }
+    val maxHits = array_max(transform(array(counts: _*), c => c.getField("hits")))
+    toks.select(
+      col("id"),
+      when(maxHits === 0, lit("und"))
+        .otherwise(array_min(transform(
+          filter(array(counts: _*), c => c.getField("hits") === maxHits),
+          c => c.getField("lang")))).as("lang_pred"))
+  }
+
+  /** Quality metrics as exact integers: character/token/punct/digit/
+    * stopword counts + a coarse quality bucket.
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val allStop = stopwords.values.flatten.toSeq
+    val nChars = length(t).cast("long")
+    val nTokens = size(toks).cast("long")
+    val nPunct = (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("long")
+    val nDigits = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long")
+    val nStop = size(filter(toks, x => x.isin(allStop: _*))).cast("long")
+    df.select(
+      col(idCol).as("id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
+      nPunct.as("n_punct"), nDigits.as("n_digits"), nStop.as("n_stopwords"),
+      when(nTokens < 5, "too_short")
+        .when(nStop * 10 < nTokens, "low_stopword")
+        .otherwise("ok").as("quality_bucket"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish pieces (letter runs,
+    * single digits, single non-alphanumerics).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_pieces"))
+
+  /** Document fingerprint: minimum md5 over word 5-grams (one-permutation
+    * min-hash — a deterministic, order-independent content signature),
+    * plus the distinct-gram count.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.shingles(df, idCol, textCol, 5)
+      .groupBy(col("id"))
+      .agg(
+        min(md5(col("shingle"))).as("fingerprint"),
+        countDistinct(col("shingle")).as("n_grams"))
+}

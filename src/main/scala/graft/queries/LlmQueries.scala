@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Large-scale training-data pipeline operators over the documents and
+  * embeddings tables — dedup (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis, and multimodal binary-column plumbing. Hash families are
+  * md5-seeded so every operator is engine-independent and each query has
+  * an exact DuckDB oracle.
+  */
+object LlmQueries {
+  import Registry.table
+
+  /** Deterministic near-duplicate corpus: 30 distinct templates across
+    * 500 docs (same group ⇒ identical; same group, different tail ⇒
+    * near-duplicate). Must match `tplSql` textually.
+    */
+  private def tplCol: Column = concat(
+    lit("the quick brown fox jumps over the lazy dog number "),
+    expr("CAST(doc_id div 50 AS STRING)"),
+    lit(" tail "), (col("doc_id") % 3).cast("string"))
+
+  private val tplSql =
+    """'the quick brown fox jumps over the lazy dog number ' ||
+      |CAST(doc_id // 50 AS VARCHAR) || ' tail ' || CAST(doc_id % 3 AS VARCHAR)"""
+      .stripMargin.replace("\n", " ")
+
+  private def docsTpl(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"), tplCol.as("t"))
+
+  /** Word-trigram shingle oracle fragment over the template corpus. */
+  private val shingleSql =
+    s"""m AS (SELECT doc_id AS id, $tplSql AS t FROM documents),
+       |w AS (SELECT id, string_split(t, ' ') AS ws FROM m),
+       |tri AS (SELECT id, unnest(range(1, len(ws)-1)) AS i, ws FROM w),
+       |sh AS (SELECT id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] AS shingle FROM tri)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- Exact dedup: hash-groupBy, canonical survivor = min id
+    "q30_dedup_exact" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 < 3, lit("common document body")).otherwise(col("text")).as("content"))
+        Dedup.exactGroups(docs, "doc_id", "content")
+          .orderBy("content_hash")
+      },
+      Some("""SELECT md5(content) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+             |FROM (SELECT doc_id, CASE WHEN doc_id % 10 < 3 THEN 'common document body' ELSE text END AS content
+             |      FROM documents)
+             |GROUP BY md5(content) ORDER BY content_hash""".stripMargin)),
+
+    // ---- MinHash + LSH near-dup candidates (shingle→minhash→band→join)
+    "q31_dedup_minhash_lsh" -> QueryDef(
+      (s, dir) => {
+        val sh = Dedup.shingles(docsTpl(s, dir), "doc_id", "t", 3)
+        val sig = Dedup.minHashSignatures(sh, 8)
+        val bands = Dedup.bandKeys(sig, 2)
+        Dedup.lshCandidatePairs(bands)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $shingleSql,
+              |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+              |        FROM sh, (SELECT unnest(range(0, 8)) AS k) ks GROUP BY id, k),
+              |bands AS (SELECT id, k // 2 AS band, md5(string_agg(mh, ',' ORDER BY k)) AS bk
+              |          FROM sig GROUP BY id, k // 2)
+              |SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+              |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- SimHash signatures (60-bit, token-vote)
+    "q32_dedup_simhash" -> QueryDef(
+      (s, dir) => {
+        Dedup.simHash(table(s, dir, "documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("simhash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
+             |bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |         FROM h, (SELECT unnest(range(0, 60)) AS j) js GROUP BY doc_id, j)
+             |SELECT doc_id,
+             |CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Exact n-gram Jaccard near-dup pairs (integer inter/union)
+    "q33_dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val sh = Dedup.shingles(docsTpl(s, dir), "doc_id", "t", 3)
+        Dedup.ngramJaccardPairs(sh)
+          .filter(col("inter_count") * 2 >= col("union_count"))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("inter_count"), col("union_count"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $shingleSql,
+              |ds AS (SELECT DISTINCT id, shingle FROM sh),
+              |sizes AS (SELECT id, count(*) AS n FROM ds GROUP BY id),
+              |inter AS (SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter_count
+              |          FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.id < b.id
+              |          GROUP BY a.id, b.id)
+              |SELECT doc_a, doc_b, inter_count, (na.n + nb.n - inter_count) AS union_count
+              |FROM inter JOIN sizes na ON na.id = doc_a JOIN sizes nb ON nb.id = doc_b
+              |WHERE inter_count * 2 >= (na.n + nb.n - inter_count)
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Brute-force cosine top-k (exact ANN baseline)
+    "q34_embed_cosine_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.cosineTopK(emb, "vec_id", "embedding", queries, 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+            round(col("score"), 4).as("score"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+             |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+             |      GROUP BY a.vec_id, b.vec_id),
+             |sc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
+             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk, score
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(score, 4) AS score
+             |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- LSH-bucketed ANN (sign random projections, md5-seeded planes)
+    "q35_ann_lsh_bucketed" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10).select(col("vec_id"))
+        Similarity.lshTopK(emb, "vec_id", "embedding", queries, 5, 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+            round(col("score"), 4).as("score"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |p AS (SELECT j, i, CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+             |                        THEN 1.0 ELSE -1.0 END AS pv
+             |      FROM (SELECT unnest(range(0, 8)) AS j) js, (SELECT unnest(range(0, 64)) AS i) xs),
+             |proj AS (SELECT vec_id, j, sum(CAST(v AS DOUBLE) * pv) AS pr
+             |         FROM e JOIN p ON p.i = e.i - 1 GROUP BY vec_id, j),
+             |b AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |      FROM proj GROUP BY vec_id),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |d AS (SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+             |             sum(CAST(a.v AS DOUBLE) * CAST(b2.v AS DOUBLE)) AS dp
+             |      FROM e a JOIN b ba ON ba.vec_id = a.vec_id AND a.vec_id < 10
+             |      JOIN b bb ON bb.bucket = ba.bucket
+             |      JOIN e b2 ON b2.vec_id = bb.vec_id AND b2.i = a.i AND b2.vec_id <> a.vec_id
+             |      GROUP BY a.vec_id, b2.vec_id),
+             |sc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
+             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk, score
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(score, 4) AS score
+             |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- Language ID (stopword heuristic)
+    "q36_lang_id" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.langId(table(s, dir, "documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("lang_pred"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |hits AS (SELECT doc_id, l.lang, count(*) AS c FROM toks
+             |         JOIN (VALUES ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+             |                      ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+             |                      ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+             |                      ('fr','le'),('fr','les'),('fr','des'),('fr','et'),('fr','une')) l(lang, sw)
+             |         ON tok = sw GROUP BY doc_id, l.lang),
+             |best AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM hits)
+             |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+             |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- Quality metrics (exact integer counters + bucket)
+    "q37_quality_score" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.qualityMetrics(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(length(text) AS BIGINT) AS n_chars,
+             |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+             |CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             |CAST(len(list_filter(string_split(text, ' '), x -> x IN
+             |  ('the','and','of','to','in','el','la','de','que','y','der','die','und','das','ist','le','les','des','et','une'))) AS BIGINT) AS n_stopwords,
+             |CASE WHEN len(string_split(text, ' ')) < 5 THEN 'too_short'
+             |     WHEN len(list_filter(string_split(text, ' '), x -> x IN
+             |       ('the','and','of','to','in','el','la','de','que','y','der','die','und','das','ist','le','les','des','et','une'))) * 10 < len(string_split(text, ' '))
+             |     THEN 'low_stopword' ELSE 'ok' END AS quality_bucket
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Token counting (whitespace + BPE-ish regex pieces)
+    "q38_token_counts" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.tokenCounts(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_pieces
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Document fingerprinting (min-md5 over word 5-grams)
+    "q39_fingerprint" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.fingerprint(table(s, dir, "documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("fingerprint"), col("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, unnest(range(1, len(ws)-3)) AS i, ws FROM w),
+             |sh AS (SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)]
+             |              || ' ' || ws[CAST(i+3 AS INT)] || ' ' || ws[CAST(i+4 AS INT)] AS shingle FROM g)
+             |SELECT doc_id, min(md5(shingle)) AS fingerprint, count(DISTINCT shingle) AS n_grams
+             |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Multimodal: binary payload column + stubbed batch decode
+    "q42_multimodal_decode" -> QueryDef(
+      (s, dir) => {
+        val media = table(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("payload"))
+        Multimodal.decode(s, media, "doc_id", "payload").toDF()
+          .select(col("id").as("doc_id"), col("byteLen").as("byte_len"),
+            col("contentMd5").as("content_md5"), col("width"), col("height"),
+            col("nFrames").as("n_frames"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(length(substr(text, 1, 64)) AS BIGINT) AS byte_len,
+             |md5(substr(text, 1, 64)) AS content_md5,
+             |CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INT) AS width,
+             |CAST((ascii(substr(substr(text, 1, 64), length(substr(text, 1, 64)), 1)) % 64) + 1 AS INT) AS height,
+             |CAST((length(substr(text, 1, 64)) % 16) + 1 AS INT) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Multimodal: deterministic frame-sampling plan
+    "q43_frame_sampling" -> QueryDef(
+      (s, dir) => {
+        val media = table(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("payload"))
+        val meta = Multimodal.decode(s, media, "doc_id", "payload")
+        Multimodal.sampleFrames(meta, 2)
+          .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id, (length(substr(text, 1, 64)) % 16) + 1 AS n_frames FROM documents)
+             |SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx
+             |FROM m ORDER BY doc_id, frame_idx""".stripMargin)))
+}
