@@ -53,15 +53,27 @@ object LlmQueries {
              |      FROM documents)
              |GROUP BY md5(content) ORDER BY content_hash""".stripMargin)),
 
-    // ---- MinHash + LSH near-dup candidates (shingle→minhash→band→join)
+    // ---- MinHash + LSH near-dup candidates (shingle→minhash→band→join).
+    // Signatures depend only on the text, so duplicate-heavy corpora are
+    // collapsed to canonical texts first and doc pairs re-expanded by
+    // broadcast (identical texts always share all bands).
     "q31_dedup_minhash_lsh" -> QueryDef(
       (s, dir) => {
-        val sh = Dedup.shingles(docsTpl(s, dir), "doc_id", "t", 3)
+        val docs = docsTpl(s, dir)
+        val membership = docs.select(col("doc_id"), md5(col("t")).as("tid"))
+        val texts = docs.select(md5(col("t")).as("doc_id"), col("t")).distinct()
+        val sh = Dedup.shingles(texts, "doc_id", "t", 3)
         val sig = Dedup.minHashSignatures(sh, 8)
         val bands = Dedup.bandKeys(sig, 2)
-        Dedup.lshCandidatePairs(bands)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-          .orderBy("doc_a", "doc_b")
+        val textPairs = Dedup.lshCandidatePairs(bands) // (id_a, id_b) = text ids
+        val cross = broadcast(textPairs)
+          .join(membership.select(col("doc_id").as("d1"), col("tid").as("id_a")), Seq("id_a"))
+          .join(membership.select(col("doc_id").as("d2"), col("tid").as("id_b")), Seq("id_b"))
+          .select(least(col("d1"), col("d2")).as("doc_a"), greatest(col("d1"), col("d2")).as("doc_b"))
+        val same = membership.alias("x").join(membership.alias("y"),
+            col("x.tid") === col("y.tid") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        cross.union(same).distinct().orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $shingleSql,
               |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
@@ -87,15 +99,35 @@ object LlmQueries {
              |CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
-    // ---- Exact n-gram Jaccard near-dup pairs (integer inter/union)
+    // ---- Exact n-gram Jaccard near-dup pairs (integer inter/union).
+    // Scale shape: duplicate-heavy corpora collapse to canonical texts
+    // first (30 here), pairwise Jaccard runs on those, and doc pairs are
+    // re-expanded by broadcast — turning the skewed all-docs shingle
+    // self-join into a tiny one. Result is identical to the naive
+    // pairwise form the oracle computes.
     "q33_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        val sh = Dedup.shingles(docsTpl(s, dir), "doc_id", "t", 3)
-        Dedup.ngramJaccardPairs(sh)
+        val docs = docsTpl(s, dir)
+        val membership = docs.select(col("doc_id"), md5(col("t")).as("tid"))
+        val texts = docs.select(md5(col("t")).as("tid"), col("t")).distinct()
+        val sh = Dedup.shingles(texts.withColumnRenamed("tid", "doc_id"), "doc_id", "t", 3)
+        val textPairs = Dedup.ngramJaccardPairs(sh)
           .filter(col("inter_count") * 2 >= col("union_count"))
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        val sizes = sh.select(col("id"), col("shingle")).distinct()
+          .groupBy(col("id")).agg(count(lit(1)).as("n"))
+        // cross-text doc pairs (normalize doc order)
+        val cross = broadcast(textPairs)
+          .join(membership.select(col("doc_id").as("d1"), col("tid").as("id_a")), Seq("id_a"))
+          .join(membership.select(col("doc_id").as("d2"), col("tid").as("id_b")), Seq("id_b"))
+          .select(least(col("d1"), col("d2")).as("doc_a"), greatest(col("d1"), col("d2")).as("doc_b"),
             col("inter_count"), col("union_count"))
-          .orderBy("doc_a", "doc_b")
+        // same-text doc pairs: J = 1 by construction
+        val m2 = membership.join(broadcast(sizes), membership("tid") === sizes("id"))
+        val same = m2.alias("x").join(m2.alias("y"),
+            col("x.tid") === col("y.tid") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.n").as("inter_count"), col("x.n").as("union_count"))
+        cross.union(same).orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $shingleSql,
               |ds AS (SELECT DISTINCT id, shingle FROM sh),
