@@ -1,5 +1,16 @@
 package graft
+
+import graft.carve.EngineConfig
+import graft.evidence.{BroadcastRef, InMemoryRef}
+import graft.pipeline.CarvePipeline
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query on the configured
+  * sf directory, plus the reference's two carving benchmark shapes
+  * (benches/throughput.rs): `scan_only` — signature scan over a
+  * zero-filled image, reported as MiB/s — and `jpeg_dense` — many small
+  * JPEGs with a max_files stop.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +21,50 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    // scan_only: 512 MiB zero-filled evidence, full 43-pattern set, one
+    // warm-up pass then a timed pass (reference shape: zero image scan)
+    val scanBytes = 512L * 1024 * 1024
+    val zeroRef = BroadcastRef(spark, new Array[Byte](scanBytes.toInt))
+    // 8 MiB chunks: enough tasks to engage every local core (at cluster
+    // scale the default 512 MiB chunk gives ~200k tasks at 100 TB)
+    val scanCfg = EngineConfig(chunkSize = 8L * 1024 * 1024, overlap = 65536)
+    def scanOnce(): Double = {
+      val t0 = System.nanoTime()
+      val r = CarvePipeline.run(spark, zeroRef, scanCfg, "bench-scan",
+        enableStrings = false, enableEntropy = false)
+      r.carvedFiles.count()
+      r.scanned.unpersist()
+      (System.nanoTime() - t0) / 1e9
+    }
+    scanOnce(); scanOnce() // warm-up (JIT + codegen)
+    val scanSec = Seq(scanOnce(), scanOnce(), scanOnce()).min
+    val scanMibps = scanBytes / (1024.0 * 1024.0) / scanSec
+
+    // jpeg_dense: 500 × 34-byte JPEGs at 4 KiB stride, max_files 200
+    val jpeg = graft.fixtures.FixtureBytes.jpeg()
+    val dense = new Array[Byte](500 * 4096)
+    (0 until 500).foreach(i => System.arraycopy(jpeg, 0, dense, i * 4096, jpeg.length))
+    val denseCfg = EngineConfig(
+      fileTypes = EngineConfig.defaultFileTypes.filter(_.id == "jpeg").map(_.copy(minSize = 0)),
+      chunkSize = 256 * 1024, overlap = 65536, maxFiles = Some(200))
+    val t0 = System.nanoTime()
+    val denseRun = CarvePipeline.run(spark, BroadcastRef(spark, dense), denseCfg, "bench-dense",
+      enableStrings = false, enableEntropy = false)
+    val denseCarved = denseRun.carvedFiles.count()
+    val denseSec = (System.nanoTime() - t0) / 1e9
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""scan_only_mibps":$scanMibps,"scan_only_sec":$scanSec,""" +
+      s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -90,3 +90,16 @@ final case class RawFileRef(path: String) extends EvidenceRef {
 final case class InMemoryRef(data: Array[Byte]) extends EvidenceRef {
   override def open(): EvidenceReader = new InMemoryEvidence(data)
 }
+
+/** Large in-memory evidence via a Spark broadcast — serialized once to
+  * the block manager instead of once per task closure. Use for anything
+  * beyond a few MiB (benchmarks, tests with big synthetic images).
+  */
+final case class BroadcastRef(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]) extends EvidenceRef {
+  override def open(): EvidenceReader = new InMemoryEvidence(bc.value)
+}
+
+object BroadcastRef {
+  def apply(spark: org.apache.spark.sql.SparkSession, data: Array[Byte]): BroadcastRef =
+    BroadcastRef(spark.sparkContext.broadcast(data))
+}

@@ -197,11 +197,13 @@ object RelationalQueries {
              |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
 
     // ---- Shannon entropy (SURVEY §2.5; reference src/entropy.rs:76-91)
+    // via the native codegen'd Catalyst expression (no UDF in the plan)
     "q10_doc_entropy" -> QueryDef(
       (s, dir) => {
-        val entropyUdf = udf((text: String) => Entropy.shannon(text.getBytes("UTF-8")))
+        graft.functions.GraftFunctions.register(s)
         table(s, dir, "documents")
-          .select(col("doc_id"), round(entropyUdf(col("text")), 4).as("entropy"))
+          .select(col("doc_id"),
+            round(call_function("shannon_entropy", col("text").cast("binary")), 4).as("entropy"))
           .orderBy("doc_id")
       },
       Some("""WITH pos AS (SELECT doc_id, length(text) AS len, text, unnest(range(1, length(text)+1)) AS i FROM documents),

@@ -11,16 +11,17 @@ import scala.collection.mutable
   * the automaton is immutable and thread-safe after `build`.
   */
 final class AhoCorasick private (
-    goto_ : Array[Array[Int]], // state -> byte -> state (dense, 256-wide)
+    flatGoto: Array[Int], // state*256 + byte -> state (flat for cache/codegen)
     outputs: Array[Array[Int]], // state -> pattern indices ending here
     val patterns: Array[Array[Byte]]) extends Serializable {
 
   /** Find all matches; f(startOffset, patternIndex) per match. */
   def scan(data: Array[Byte], from: Int, until: Int)(f: (Int, Int) => Unit): Unit = {
+    val g = flatGoto
     var s = 0
     var i = from
     while (i < until) {
-      s = goto_(s)(data(i) & 0xff)
+      s = g((s << 8) | (data(i) & 0xff))
       val out = outputs(s)
       if (out.length > 0) {
         var j = 0
@@ -83,7 +84,13 @@ object AhoCorasick {
         }
       }
     }
-    new AhoCorasick(goto_, out.map(_.toArray.sorted).toArray, patterns.map(_.clone).toArray)
+    val flat = new Array[Int](n * 256)
+    var s = 0
+    while (s < n) {
+      System.arraycopy(goto_(s), 0, flat, s << 8, 256)
+      s += 1
+    }
+    new AhoCorasick(flat, out.map(_.toArray.sorted).toArray, patterns.map(_.clone).toArray)
   }
 
   def buildFromStrings(patterns: Seq[String]): AhoCorasick =

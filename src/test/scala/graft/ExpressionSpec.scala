@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{Entropy, GraftFunctions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expressions: codegen'd shannon_entropy and the
+  * scan_signatures Generator, from both the Column API and SQL.
+  */
+class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("shannon_entropy matches the pure function and stays codegen'd") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq("aaaa", "abcd", "aabb").toDF("s")
+      .select(col("s"), call_function("shannon_entropy", col("s").cast("binary")).as("e"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("aaaa") == 0.0)
+    assert(math.abs(rows("abcd") - 2.0) < 1e-12)
+    assert(math.abs(rows("aabb") - 1.0) < 1e-12)
+    assert(rows("abcd") == Entropy.shannon("abcd".getBytes))
+    // the plan should not contain a BatchEvalPython/ScalaUDF node
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"))
+  }
+
+  test("scan_signatures generator works from SQL") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((1L, "xxJPGyy"), (2L, "JPG and JPG")).toDF("id", "s")
+      .withColumn("data", col("s").cast("binary"))
+      .createOrReplaceTempView("blobs")
+    // pattern "JPG" = 4A5047
+    val rows = spark.sql(
+      """SELECT id, byte_offset, pattern_idx
+        |FROM blobs LATERAL VIEW scan_signatures(data, '4A5047') t
+        |ORDER BY id, byte_offset""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 0L), (2L, 8L)))
+    assert(rows.forall(_.getInt(2) == 0))
+  }
+
+  test("scan_signatures with multiple patterns") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "ABxCD")).toDF("id", "s").withColumn("data", col("s").cast("binary"))
+      .createOrReplaceTempView("b2")
+    val rows = spark.sql(
+      "SELECT byte_offset, pattern_idx FROM b2 LATERAL VIEW scan_signatures(data, '4142,4344') t ORDER BY byte_offset")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows == Seq((0L, 0), (3L, 1)))
+  }
+}
