@@ -46,7 +46,8 @@ object CarvePipeline {
       scanned: Dataset[ChunkScan],
       carvedFiles: Dataset[CarvedFile],
       artefacts: Dataset[StringArtefact],
-      entropyRegions: Dataset[EntropyRegion])
+      entropyRegions: Dataset[EntropyRegion],
+      observation: org.apache.spark.sql.Observation)
 
   def run(
       spark: SparkSession,
@@ -130,7 +131,17 @@ object CarvePipeline {
     val artefactRows = scanned.flatMap(_.artefacts)
     val regionRows = scanned.flatMap(_.regions)
 
-    Result(chunks, scanned, carved, artefactRows, regionRows)
+    // Run counters as streaming-safe observed metrics (reference
+    // AtomicU64 counters, pipeline/mod.rs:256-264): available via
+    // `result.observation.get` after any action over the scan output.
+    val obs = org.apache.spark.sql.Observation(s"graft_scan_$runId")
+    val observed = scanned.observe(obs,
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("bytesRead")).as("bytes_scanned"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("chunks_processed"),
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("hits"))).as("hits_found"),
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("artefacts"))).as("artefacts_extracted"))
+
+    Result(chunks, observed.as[ChunkScan], carved, artefactRows, regionRows, obs)
   }
 
   /** Span decode + artefact regex pass (reference strings/mod.rs:124-180,

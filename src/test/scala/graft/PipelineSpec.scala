@@ -123,6 +123,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(summary.filesCarved == 2)
     assert(summary.bytesScanned >= evidence.length) // overlap re-read counts
     assert(summary.chunksProcessed == (evidence.length + 8191) / 8192)
+    // observe() metrics fired by the summarize action
+    val metrics = result.observation.get
+    assert(metrics("chunks_processed") == summary.chunksProcessed)
+    assert(metrics("hits_found").asInstanceOf[Long] >= 2L)
   }
 
   test("resume skips chunks before the offset") {
