@@ -56,7 +56,8 @@ object CarvePipeline {
       runId: String,
       enableStrings: Boolean = true,
       enableEntropy: Boolean = true,
-      resumeOffset: Long = 0L): Result = {
+      resumeOffset: Long = 0L,
+      payloadDir: Option[String] = None): Result = {
     import spark.implicits._
 
     val evidenceLen = {
@@ -117,12 +118,34 @@ object CarvePipeline {
     val hitRows = scanned.flatMap(_.hits)
     var carved = hitRows.mapPartitions { iter =>
       val reader = evidenceRef.open()
-      val ctx = ExtractionContext(runId, reader, None)
+      // Optional payload store: carved bytes land at payloadDir/relPath.
+      // Deterministic {type}_{offset:012X} names make task retries and
+      // speculative attempts idempotent (same bytes, same path).
+      val writer = payloadDir.map(new PayloadWriter(_))
+      val ctx = ExtractionContext(runId, reader, writer.map(w => w.sink _))
       iter.flatMap { h =>
         val (patId, ftId) = patternIdOf(h.fileTypeId)
         registry.get(ftId).flatMap { handler =>
-          try handler.processHit(CarveHit(h.globalOffset, ftId, patId), ctx)
-          catch { case _: Exception => None }
+          try {
+            val result = handler.processHit(CarveHit(h.globalOffset, ftId, patId), ctx)
+            // classifying containers (zip→docx, ole→doc, ...) report a
+            // different type than they streamed under — mirror the
+            // reference's post-carve rename (zip.rs:128-141)
+            for (dir <- payloadDir; c <- result) {
+              val streamedPath = Naming.relPath(handler.fileType, handler.extension, c.globalStart)
+              if (c.path != streamedPath) {
+                writer.foreach(_.close())
+                val from = java.nio.file.Paths.get(dir, streamedPath)
+                val to = java.nio.file.Paths.get(dir, c.path)
+                if (java.nio.file.Files.exists(from)) {
+                  java.nio.file.Files.createDirectories(to.getParent)
+                  java.nio.file.Files.move(from, to,
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                }
+              }
+            }
+            result
+          } catch { case _: Exception => None }
         }
       }
     }
@@ -169,6 +192,32 @@ object CarvePipeline {
         val len = f.content.getBytes("UTF-8").length
         StringArtefact(runId, f.kind, f.content, encoding,
           start, if (len == 0) start else start + len - 1)
+    }
+  }
+
+  /** Ops parity: re-hash each carved byte range against the evidence
+    * (the reference's --validate-carved). Returns (path, stillValid).
+    */
+  def validateCarved(
+      spark: SparkSession,
+      evidenceRef: EvidenceRef,
+      carved: Dataset[CarvedFile]): Dataset[(String, Boolean)] = {
+    import spark.implicits._
+    carved.mapPartitions { iter =>
+      val reader = evidenceRef.open()
+      iter.map { c =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val buf = new Array[Byte](64 * 1024)
+        var off = c.globalStart
+        var remaining = c.size
+        var short = false
+        while (remaining > 0 && !short) {
+          val n = reader.readAt(off, buf, 0, math.min(remaining, buf.length.toLong).toInt)
+          if (n == 0) short = true
+          else { md.update(buf, 0, n); off += n; remaining -= n }
+        }
+        (c.path, !short && Hex.lower(md.digest()) == c.sha256)
+      }
     }
   }
 

@@ -87,4 +87,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(carved.count() == 2)
     assert(carved.select("globalStart").collect().map(_.getLong(0)).toSet == Set(100L, 16500L))
   }
+
+  test("payload writing produces byte-exact carved files with classified paths") {
+    val jpeg = FixtureBytes.jpeg()
+    val docx = FixtureBytes.zipWithEntry("word/document.xml")
+    val evidence = new Array[Byte](3 * 8192)
+    System.arraycopy(jpeg, 0, evidence, 256, jpeg.length)
+    System.arraycopy(docx, 0, evidence, 8192, docx.length)
+    val outDir = tmp()
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), cfg, "payrun",
+      enableStrings = false, enableEntropy = false, payloadDir = Some(outDir))
+    val carved = result.carvedFiles.collect()
+    assert(carved.length == 2)
+    carved.foreach { c =>
+      val bytes = Files.readAllBytes(java.nio.file.Paths.get(outDir, c.path))
+      assert(bytes.length == c.size)
+      assert(FixtureBytes.sha256Hex(bytes) == c.sha256)
+    }
+    assert(carved.exists(_.path.startsWith("docx/")))
+    assert(Files.exists(java.nio.file.Paths.get(outDir, "docx")))
+  }
+
+  test("carve re-validation detects payload tampering") {
+    val jpeg = FixtureBytes.jpeg()
+    val evidence = new Array[Byte](8192)
+    System.arraycopy(jpeg, 0, evidence, 64, jpeg.length)
+    val ref = InMemoryRef(evidence)
+    val result = CarvePipeline.run(spark, ref, cfg, "v", enableStrings = false, enableEntropy = false)
+    val ok = CarvePipeline.validateCarved(spark, ref, result.carvedFiles)
+    assert(ok.collect().forall(_._2))
+    // tampered evidence: same records, different bytes
+    val tampered = evidence.clone(); tampered(70) = 0x55
+    val bad = CarvePipeline.validateCarved(spark, InMemoryRef(tampered), result.carvedFiles)
+    assert(bad.collect().exists(!_._2))
+  }
 }
