@@ -74,4 +74,27 @@ object Entropy {
 
   def toEntropyRegions(runId: String, windowSize: Int, rs: Seq[(Long, Long, Double)]): Seq[EntropyRegion] =
     rs.map { case (s, e, m) => EntropyRegion(runId, s, e, m, windowSize.toLong) }
+
+  /** Distributed cross-chunk merge: per-chunk regions that touch at chunk
+    * boundaries coalesce via gaps-and-islands (lag + running island id
+    * over a window ordered by start) — the SURVEY §2.5 mapping. One
+    * shuffle over the (tiny) region set.
+    */
+  def mergeRegions(ds: org.apache.spark.sql.Dataset[EntropyRegion]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("runId"), col("windowSize")).orderBy(col("globalStart"))
+    ds.toDF()
+      .withColumn("prev_end", lag(col("globalEnd"), 1).over(w))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("globalStart") > col("prev_end") + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("runId"), col("windowSize"), col("island"))
+      .agg(
+        min(col("globalStart")).as("globalStart"),
+        max(col("globalEnd")).as("globalEnd"),
+        max(col("entropy")).as("entropy"))
+      .select(col("runId"), col("globalStart"), col("globalEnd"), col("entropy"), col("windowSize"))
+  }
 }

@@ -195,6 +195,56 @@ object CarvePipeline {
     }
   }
 
+  /** "DataFrame scans + pattern matching over Parquet": stage 1 over an
+    * ingested evidence-chunk table (graft.Ingest / the DSv2 source)
+    * instead of raw reads — the scan becomes a plain narrow map over a
+    * columnar table with pruning and data locality, while the carve stage
+    * keeps using `evidenceRef` for cross-chunk random access
+    * (SURVEY §7.4 two-level evidence access).
+    *
+    * `chunkTable` needs columns (chunk_id, start, valid_length, data).
+    */
+  def scanChunkTable(
+      spark: SparkSession,
+      chunkTable: org.apache.spark.sql.DataFrame,
+      cfg: EngineConfig,
+      runId: String,
+      enableStrings: Boolean = true,
+      enableEntropy: Boolean = true): Dataset[ChunkScan] = {
+    import spark.implicits._
+    val scan = SignatureScan(cfg)
+    val stringScan = new StringScan(cfg.stringMinLen, cfg.stringMaxLen, cfg.stringScanUtf16)
+    val entropyWindow = cfg.entropyWindowSize
+    val entropyThreshold = cfg.entropyThreshold
+    val doStrings = enableStrings
+    val doEntropy = enableEntropy
+    chunkTable
+      .select(org.apache.spark.sql.functions.col("chunk_id"),
+        org.apache.spark.sql.functions.col("start"),
+        org.apache.spark.sql.functions.col("valid_length"),
+        org.apache.spark.sql.functions.col("data"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .map { case (chunkId, start, validLength, data) =>
+        val chunk = ScanChunk(chunkId, start, data.length.toLong, validLength)
+        val hits = scan.normalize(chunk, scan.scanChunk(chunk, data, data.length))
+        val artefacts =
+          if (doStrings)
+            stringScan.scanChunk(chunkId, data)
+              .filter(sp => sp.localStart < validLength)
+              .flatMap { sp =>
+                val spanBytes = java.util.Arrays.copyOfRange(data, sp.localStart.toInt, sp.localStart.toInt + sp.length)
+                decodeAndExtract(runId, start, sp, spanBytes)
+              }
+          else Seq.empty[StringArtefact]
+        val regions =
+          if (doEntropy)
+            Entropy.detectRegions(start, java.util.Arrays.copyOf(data, math.min(data.length.toLong, validLength).toInt), entropyWindow, entropyThreshold)
+              .map { case (s0, e0, m) => EntropyRegion(runId, s0, e0, m, entropyWindow.toLong) }
+          else Seq.empty[EntropyRegion]
+        ChunkScan(chunkId, start, validLength, data.length.toLong, hits, artefacts, regions)
+      }
+  }
+
   /** Ops parity: re-hash each carved byte range against the evidence
     * (the reference's --validate-carved). Returns (path, stillValid).
     */

@@ -62,4 +62,29 @@ class EvidenceSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |ORDER BY global_offset""".stripMargin).as[Long].collect()
     assert(hits.toSeq == Seq(5000L))
   }
+
+  test("parquet chunk-table scan matches the raw pipeline") {
+    val img = Files.createTempFile("ev3", ".dd")
+    val bytes = new Array[Byte](3 * 4096)
+    val jpeg = graft.fixtures.FixtureBytes.jpeg()
+    System.arraycopy(jpeg, 0, bytes, 4090, jpeg.length) // straddles a chunk boundary
+    Files.write(img, bytes)
+    val cfg = graft.carve.EngineConfig(
+      fileTypes = graft.carve.EngineConfig.defaultFileTypes.map(_.copy(minSize = 0)),
+      chunkSize = 4096, overlap = 128)
+    // ingest: DSv2 -> parquet chunk table
+    val ingestDir = Files.createTempDirectory("ingest").toString
+    spark.read.format("graft.sources.EvidenceSource")
+      .option("path", img.toString).option("chunkSize", "4096").option("overlap", "128")
+      .load().write.mode("overwrite").parquet(ingestDir)
+    // stage 1 over the parquet table; stage 2 carve against the raw image
+    val scanned = graft.pipeline.CarvePipeline.scanChunkTable(
+      spark, spark.read.parquet(ingestDir), cfg, "pq", enableStrings = false, enableEntropy = false)
+    val hits = scanned.collect().flatMap(_.hits)
+    assert(hits.map(_.globalOffset).toSeq == Seq(4090L))
+    // equivalent to the raw pipeline
+    val raw = graft.pipeline.CarvePipeline.run(
+      spark, graft.evidence.RawFileRef(img.toString), cfg, "raw", false, false)
+    assert(raw.carvedFiles.collect().map(_.globalStart).toSeq == Seq(4090L))
+  }
 }

@@ -121,4 +121,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = CarvePipeline.validateCarved(spark, InMemoryRef(tampered), result.carvedFiles)
     assert(bad.collect().exists(!_._2))
   }
+
+  test("config hash is stable and sensitive") {
+    val a = EngineConfig()
+    val b = EngineConfig()
+    assert(a.configHash == b.configHash)
+    assert(a.configHash.length == 64)
+    assert(a.copy(overlap = 1234).configHash != a.configHash)
+    assert(a.copy(fileTypes = a.fileTypes.filterNot(_.id == "zip")).configHash != a.configHash)
+  }
 }

@@ -138,4 +138,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val carved = result.carvedFiles.collect()
     assert(carved.map(_.globalStart).toSet == Set(second))
   }
+
+  test("entropy regions merge across chunk boundaries") {
+    import spark.implicits._
+    val regions = Seq(
+      graft.core.EntropyRegion("r", 0, 255, 7.8, 256),
+      graft.core.EntropyRegion("r", 256, 511, 7.9, 256),   // touches previous
+      graft.core.EntropyRegion("r", 1024, 1279, 7.6, 256)) // gap
+      .toDS()
+    val merged = graft.functions.Entropy.mergeRegions(regions)
+      .orderBy("globalStart").collect()
+    assert(merged.length == 2)
+    assert(merged(0).getAs[Long]("globalStart") == 0 && merged(0).getAs[Long]("globalEnd") == 511)
+    assert(merged(0).getAs[Double]("entropy") == 7.9)
+    assert(merged(1).getAs[Long]("globalStart") == 1024)
+  }
+
+  test("golden image: every default format carves back exactly") {
+    import FixtureBytes._
+    val samples: Seq[Array[Byte]] = Seq(
+      jpeg(), png(), gif(), sqlite(), pdf(), webp(), bmp(), sevenZ(),
+      zipWithEntry("word/document.xml"), ole("WordDocument"), tar(), mp3(),
+      mp4(), mov(), webm(), wmv(), lrf(), fb2(), rar4(), ico(), ogg(), xz(),
+      bzip2(), rtf(), elf64(), wav(), mobi())
+    // (eml and gzip carve to the next boundary/EOF by design — exact-size
+    // behavior is covered with explicit boundaries in CarverSpec)
+    val (evidence, planted) = buildEvidence(samples)
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), testCfg, "golden")
+    val carved = result.carvedFiles.collect().map(c => c.globalStart -> c).toMap
+    planted.foreach { case (at, sample) =>
+      val c = carved.get(at)
+      assert(c.isDefined, s"no carve at $at")
+      assert(c.get.size == sample.length, s"${c.get.fileType} at $at: ${c.get.size} != ${sample.length}")
+      assert(c.get.sha256 == sha256Hex(sample), s"${c.get.fileType} at $at hash")
+    }
+    // classified types surfaced
+    val types = carved.values.map(_.fileType).toSet
+    assert(Set("docx", "doc", "mov", "webm", "wmv", "mobi", "rar").subsetOf(types))
+  }
 }
