@@ -378,6 +378,34 @@ object FixtureBytes {
     out.toByteArray
   }
 
+
+  def avi(payload: Int = 200): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    out.write(ascii("RIFF")); out.write(leU32(4 + payload)); out.write(ascii("AVI "))
+    out.write(new Array[Byte](payload))
+    out.toByteArray
+  }
+
+  /** Little-endian TIFF: header + one IFD with one strip. */
+  def tiff(): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    out.write(bytes(0x49, 0x49, 0x2a, 0x00)) // II*\0
+    out.write(leU32(8)) // first IFD at offset 8
+    // IFD: 3 entries
+    out.write(leU16(3))
+    // entry: ImageWidth (256), SHORT, count 1, value 4
+    out.write(leU16(256)); out.write(leU16(3)); out.write(leU32(1)); out.write(leU16(4)); out.write(leU16(0))
+    // entry: StripOffsets (273), LONG, count 1, value = 50
+    out.write(leU16(273)); out.write(leU16(4)); out.write(leU32(1)); out.write(leU32(50))
+    // entry: StripByteCounts (279), LONG, count 1, value = 30
+    out.write(leU16(279)); out.write(leU16(4)); out.write(leU32(1)); out.write(leU32(30))
+    out.write(leU32(0)) // next IFD = none
+    // pad to strip offset 50, then 30 bytes of pixel data
+    while (out.size() < 50) out.write(0)
+    out.write(new Array[Byte](30))
+    out.toByteArray // 80 bytes; max extent = 50 + 30
+  }
+
   /** Surround `sample` with junk and return (evidence, offset). */
   def planted(sample: Array[Byte], before: Int = 64, after: Int = 64): (Array[Byte], Long) = {
     val out = new ByteArrayOutputStream

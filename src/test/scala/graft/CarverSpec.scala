@@ -68,6 +68,12 @@ class CarverSpec extends AnyFunSuite {
     assert(c.size == sample.length)
   }
   test("webp declared size") { assertExact(new WebpCarver(0, 0), webp()) }
+  test("avi declared size") { assertExact(new AviCarver(0, 0), avi()) }
+  test("tiff ifd max extent") { assertExact(new TiffCarver(0, 0), tiff()) }
+  test("tiff rejects bad signature") {
+    val bad = tiff(); bad(2) = 0x2b
+    assert(carve(new TiffCarver(0, 0), bad).isEmpty)
+  }
   test("wav declared size") { assertExact(new WavCarver(0, 0), wav()) }
   test("bmp declared size + plausibility") { assertExact(new BmpCarver(0, 0), bmp()) }
   test("bmp rejects bad dib") {
