@@ -60,4 +60,32 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(rows == Seq((0L, 0), (3L, 1)))
   }
+
+  test("salted join spreads a hot key and matches the plain join") {
+    import spark.implicits._
+    // one hot key: 10k rows of key "hot", a few of others
+    val big = (Seq.fill(10000)("hot") ++ Seq("a", "b", "c")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("key", "v")
+    val small = Seq(("hot", "H"), ("a", "A"), ("b", "B")).toDF("key", "label")
+    val salted = graft.llm.Skew.saltedJoin(big, small, "key", 8)
+    val plain = big.join(small, Seq("key"))
+    assert(salted.count() == plain.count())
+    assert(salted.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ==
+      plain.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0))
+  }
+
+  test("salted aggregate equals direct aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (Seq.fill(5000)("hot") ++ Seq.fill(7)("cold")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("key", "v")
+    val salted = graft.llm.Skew.saltedAggregate(df, "key", 8,
+      partials = Seq(sum("v").as("s"), count(lit(1)).as("c")),
+      finals = Seq(sum("s").as("total"), sum("c").as("n")))
+      .orderBy("key").collect()
+    val direct = df.groupBy("key").agg(sum("v").as("total"), count(lit(1)).as("n"))
+      .orderBy("key").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
 }
