@@ -68,6 +68,31 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+
+  /** Scale-path variant on Spark ML's MinHashLSH: shingle sets →
+    * HashingTF sparse vectors → approxSimilarityJoin. Trades the
+    * engine-independent md5 hash family for the ML library's optimized
+    * implementation — use when oracle reproducibility is not required.
+    * Returns (id_a, id_b, jaccard_distance).
+    */
+  def minHashLshMl(shingleDf: DataFrame, numHashTables: Int, maxDistance: Double): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val sets = shingleDf.groupBy(col("id"))
+      .agg(collect_set(col("shingle")).as("shingles"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val featured = tf.transform(sets)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, maxDistance, "dist")
+      .select(
+        col("datasetA.id").as("id_a"),
+        col("datasetB.id").as("id_b"),
+        col("dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
   /** 60-bit SimHash from whitespace tokens (multiplicity preserved):
     * token hash = first 15 hex chars of md5 as a long; bit j of the
     * signature is set when the +1/−1 votes of token bit j sum positive.

@@ -88,4 +88,22 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
+
+  test("spark-ml MinHashLSH variant finds duplicate groups") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val tail = if (i % 2 == 0) "alpha beta gamma delta epsilon zeta" else "one two three four five six"
+      (i.toLong, s"$tail shared suffix tokens here")
+    }.toDF("doc_id", "t")
+    val sh = graft.llm.Dedup.shingles(docs, "doc_id", "t", 3)
+    val pairs = graft.llm.Dedup.minHashLshMl(sh, numHashTables = 4, maxDistance = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // same-parity docs are identical texts -> must appear as candidates
+    assert(pairs.forall { case (a, b) => (a % 2) == (b % 2) || true })
+    assert(pairs.exists { case (a, b) => a % 2 == 0 && b % 2 == 0 })
+    assert(pairs.exists { case (a, b) => a % 2 == 1 && b % 2 == 1 })
+    // cross-parity pairs are far (distance > 0.4) and must be absent
+    assert(!pairs.exists { case (a, b) => (a % 2) != (b % 2) })
+  }
 }
