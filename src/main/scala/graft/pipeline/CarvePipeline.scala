@@ -67,6 +67,15 @@ object CarvePipeline {
 
     var chunks = ChunkPlanner.plan(spark, evidenceLen, cfg.chunkSize, cfg.overlap)
     if (resumeOffset > 0) chunks = chunks.filter(_.start >= resumeOffset)
+    // --max-bytes (reference read_chunk_limited, pipeline/mod.rs:586-607):
+    // drop chunks past the budget and clamp the one straddling it
+    cfg.maxBytes.foreach { mb =>
+      val limit = resumeOffset + mb
+      chunks = chunks.filter(_.start < limit).map { c =>
+        val room = limit - c.start
+        c.copy(length = math.min(c.length, room), validLength = math.min(c.validLength, room))
+      }
+    }
     cfg.maxChunks.foreach(n => chunks = chunks.limit(n.toInt))
 
     val scan = SignatureScan(cfg)

@@ -176,4 +176,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val types = carved.values.map(_.fileType).toSet
     assert(Set("docx", "doc", "mov", "webm", "wmv", "mobi", "rar").subsetOf(types))
   }
+
+  test("max_bytes stops the scan at the budget") {
+    val sample = jpeg()
+    val evidence = new Array[Byte](4 * 8192)
+    System.arraycopy(sample, 0, evidence, 100, sample.length)
+    System.arraycopy(sample, 0, evidence, 3 * 8192 + 100, sample.length)
+    val capped = testCfg.copy(maxBytes = Some(2 * 8192L))
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence), capped, "t")
+    // only the first jpeg is inside the byte budget
+    assert(result.carvedFiles.collect().map(_.globalStart).toSeq == Seq(100L))
+  }
 }
