@@ -117,8 +117,6 @@ object CarvePipeline {
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
     val registry = EngineConfig.buildRegistry(cfg)
-    val patternToType: Map[String, String] =
-      cfg.fileTypes.flatMap(ft => ft.headerPatterns.map(_.id -> ft.id)).toMap
     val patternIdOf: Map[Int, (String, String)] =
       scan.patterns.zipWithIndex.map { case (p, i) => i -> (p.patternId, p.fileTypeId) }.toMap
 

@@ -230,4 +230,18 @@ class CarverSpec extends AnyFunSuite {
     val (_, unknown) = EngineConfig.filterFileTypes(EngineConfig(), Some(Seq("nope", "jpeg")), disableZip = false)
     assert(unknown == Seq("nope"))
   }
+
+  test("custom footer-validator type flows through the registry") {
+    val custom = FileTypeConfig("dat", Seq("dat"),
+      Seq(HeaderPattern("dat_hdr", "44415448")), // "DATH"
+      Seq(HeaderPattern("dat_end", "454E4444")), // "ENDD"
+      maxSize = 1 << 20, minSize = 0, validator = "footer")
+    val reg = EngineConfig.buildRegistry(EngineConfig(fileTypes = Seq(custom)))
+    val handler = reg("dat")
+    val sample = "DATHsome payload hereENDD".getBytes("ISO-8859-1")
+    val (ev, off) = planted(sample)
+    val ctx = ExtractionContext("t", new InMemoryEvidence(ev))
+    val c = handler.processHit(CarveHit(off, "dat", "dat_hdr"), ctx).get
+    assert(c.size == sample.length && c.validated && c.fileType == "dat")
+  }
 }
