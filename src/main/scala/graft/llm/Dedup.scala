@@ -69,6 +69,38 @@ object Dedup {
   }
 
 
+  /** Duplicate-heavy-corpus LSH dedup, end to end. Signatures depend only
+    * on the text, so the corpus collapses to canonical texts first
+    * (identical texts always share all bands), LSH runs on those, and doc
+    * pairs re-expand via broadcast — turning the skewed all-docs shingle
+    * self-join into a tiny one. Same-text pairs are emitted only for
+    * texts that actually shingle: a text shorter than the shingle width
+    * has no signature/bands, so the naive per-doc form emits no pair for
+    * it. Returns (doc_a, doc_b), doc_a < doc_b, distinct.
+    */
+  def collapsedLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val membership = docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("tid"))
+    val texts = docs.select(md5(col(textCol)).as("doc_id"), col(textCol).as("t")).distinct()
+    val sh = shingles(texts, "doc_id", "t", shingleN)
+    val textPairs = lshCandidatePairs(bandKeys(minHashSignatures(sh, numHashes), rowsPerBand))
+    val cross = broadcast(textPairs)
+      .join(membership.select(col("doc_id").as("d1"), col("tid").as("id_a")), Seq("id_a"))
+      .join(membership.select(col("doc_id").as("d2"), col("tid").as("id_b")), Seq("id_b"))
+      .select(least(col("d1"), col("d2")).as("doc_a"), greatest(col("d1"), col("d2")).as("doc_b"))
+    val shingled = sh.select(col("id").as("tid")).distinct()
+    val m2 = membership.join(broadcast(shingled), Seq("tid"))
+    val same = m2.alias("x").join(m2.alias("y"),
+        col("x.tid") === col("y.tid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    cross.union(same).distinct()
+  }
+
   /** Scale-path variant on Spark ML's MinHashLSH: shingle sets →
     * HashingTF sparse vectors → approxSimilarityJoin. Trades the
     * engine-independent md5 hash family for the ML library's optimized

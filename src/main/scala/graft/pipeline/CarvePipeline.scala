@@ -47,7 +47,8 @@ object CarvePipeline {
       carvedFiles: Dataset[CarvedFile],
       artefacts: Dataset[StringArtefact],
       entropyRegions: Dataset[EntropyRegion],
-      observation: org.apache.spark.sql.Observation)
+      observation: org.apache.spark.sql.Observation,
+      carveErrors: org.apache.spark.util.LongAccumulator)
 
   def run(
       spark: SparkSession,
@@ -57,6 +58,7 @@ object CarvePipeline {
       enableStrings: Boolean = true,
       enableEntropy: Boolean = true,
       resumeOffset: Long = 0L,
+      endOffset: Option[Long] = None,
       payloadDir: Option[String] = None): Result = {
     import spark.implicits._
 
@@ -67,14 +69,36 @@ object CarvePipeline {
 
     var chunks = ChunkPlanner.plan(spark, evidenceLen, cfg.chunkSize, cfg.overlap)
     if (resumeOffset > 0) chunks = chunks.filter(_.start >= resumeOffset)
-    // --max-bytes (reference read_chunk_limited, pipeline/mod.rs:586-607):
-    // drop chunks past the budget and clamp the one straddling it
-    cfg.maxBytes.foreach { mb =>
-      val limit = resumeOffset + mb
-      chunks = chunks.filter(_.start < limit).map { c =>
-        val room = limit - c.start
+    // Region bound: scan only [resumeOffset, endOffset) — an exact window,
+    // unlike maxBytes which is a read-byte budget.
+    endOffset.foreach { end =>
+      chunks = chunks.filter(_.start < end).map { c =>
+        val room = end - c.start
         c.copy(length = math.min(c.length, room), validLength = math.min(c.validLength, room))
       }
+    }
+    // --max-bytes (reference pipeline/mod.rs:331,363-371): an ABSOLUTE cap.
+    // resume_offset counts as already spent (hit_max_bytes = resume_offset
+    // >= max_bytes) and every processed chunk charges its full read length
+    // — overlap included — against the budget. The chunk layout is regular
+    // (chunk i starts at i*chunkSize, reads chunkSize+overlap except the
+    // tail), so the reference's sequential accounting has a closed form:
+    // the j-th processed chunk starts with rs + j*(chunkSize+overlap)
+    // already spent. Chunks past the budget drop; the straddler is clamped
+    // to the remaining room, exactly like read_chunk_limited.
+    cfg.maxBytes.foreach { mb =>
+      val rs = resumeOffset
+      val cs = cfg.chunkSize
+      val ov = cfg.overlap
+      val i0 = if (rs <= 0) 0L else (rs + cs - 1) / cs
+      chunks =
+        if (rs >= mb) spark.emptyDataset[ScanChunk]
+        else chunks.flatMap { c =>
+          val spentBefore = rs + (c.id - i0) * (cs + ov)
+          val room = mb - spentBefore
+          if (room <= 0L) None
+          else Some(c.copy(length = math.min(c.length, room), validLength = math.min(c.validLength, room)))
+        }
     }
     cfg.maxChunks.foreach(n => chunks = chunks.limit(n.toInt))
 
@@ -122,6 +146,10 @@ object CarvePipeline {
 
     // Stage 2: carve — ranged evidence reads per hit, independent of the
     // chunk partitioning (files larger than a chunk carve correctly).
+    // Handler failures are counted (reference carve_errors AtomicU64,
+    // pipeline/mod.rs:256-264) rather than silently dropped; an
+    // accumulator is Spark's counterpart of that shared counter.
+    val carveErrors = spark.sparkContext.longAccumulator(s"graft_carve_errors_$runId")
     val hitRows = scanned.flatMap(_.hits)
     var carved = hitRows.mapPartitions { iter =>
       val reader = evidenceRef.open()
@@ -152,7 +180,7 @@ object CarvePipeline {
               }
             }
             result
-          } catch { case _: Exception => None }
+          } catch { case _: Exception => carveErrors.add(1L); None }
         }
       }
     }
@@ -171,7 +199,7 @@ object CarvePipeline {
       org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("hits"))).as("hits_found"),
       org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("artefacts"))).as("artefacts_extracted"))
 
-    Result(chunks, observed.as[ChunkScan], carved, artefactRows, regionRows, obs)
+    Result(chunks, observed.as[ChunkScan], carved, artefactRows, regionRows, obs, carveErrors)
   }
 
   /** Span decode + artefact regex pass (reference strings/mod.rs:124-180,
@@ -284,6 +312,9 @@ object CarvePipeline {
     val agg = r.scanned.map(c => (c.bytesRead, 1L, c.hits.size.toLong, c.artefacts.size.toLong))
       .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
     RunSummary(runId, agg._1, agg._2, agg._3, r.carvedFiles.count(),
-      stringSpans = agg._4, artefactsExtracted = agg._4, errorCount = 0L)
+      stringSpans = agg._4, artefactsExtracted = agg._4,
+      // populated by the carvedFiles.count() action above (reference
+      // reads its counters the same way — after the run drains)
+      errorCount = r.carveErrors.value)
   }
 }

@@ -59,21 +59,9 @@ object LlmQueries {
     // broadcast (identical texts always share all bands).
     "q31_dedup_minhash_lsh" -> QueryDef(
       (s, dir) => {
-        val docs = docsTpl(s, dir)
-        val membership = docs.select(col("doc_id"), md5(col("t")).as("tid"))
-        val texts = docs.select(md5(col("t")).as("doc_id"), col("t")).distinct()
-        val sh = Dedup.shingles(texts, "doc_id", "t", 3)
-        val sig = Dedup.minHashSignatures(sh, 8)
-        val bands = Dedup.bandKeys(sig, 2)
-        val textPairs = Dedup.lshCandidatePairs(bands) // (id_a, id_b) = text ids
-        val cross = broadcast(textPairs)
-          .join(membership.select(col("doc_id").as("d1"), col("tid").as("id_a")), Seq("id_a"))
-          .join(membership.select(col("doc_id").as("d2"), col("tid").as("id_b")), Seq("id_b"))
-          .select(least(col("d1"), col("d2")).as("doc_a"), greatest(col("d1"), col("d2")).as("doc_b"))
-        val same = membership.alias("x").join(membership.alias("y"),
-            col("x.tid") === col("y.tid") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        cross.union(same).distinct().orderBy("doc_a", "doc_b")
+        Dedup.collapsedLshPairs(docsTpl(s, dir), "doc_id", "t",
+            shingleN = 3, numHashes = 8, rowsPerBand = 2)
+          .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $shingleSql,
               |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh

@@ -49,9 +49,9 @@ object StreamingPipeline {
           val maxEnd = ranges.map(r => r.getLong(0) + r.getLong(1)).max
           // carve just the announced region; deterministic naming makes
           // re-delivered batches idempotent
-          val result = CarvePipeline.run(spark, evidenceRef,
-            cfg.copy(maxBytes = Some(maxEnd - minStart)), runId,
-            enableStrings = false, enableEntropy = false, resumeOffset = minStart)
+          val result = CarvePipeline.run(spark, evidenceRef, cfg, runId,
+            enableStrings = false, enableEntropy = false,
+            resumeOffset = minStart, endOffset = Some(maxEnd))
           result.carvedFiles
             .filter(c => c.globalStart >= minStart && c.globalStart < maxEnd)
             .write.mode("append").parquet(s"$outDir/batch_$batchId")

@@ -89,6 +89,20 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("collapsed LSH dedup skips duplicate texts too short to shingle") {
+    import spark.implicits._
+    // docs 0-3 share a long text (shingles exist -> pairs); docs 10-12
+    // share a 2-word text (no trigram shingles -> the naive per-doc LSH
+    // produces no signature, hence NO pairs; the collapsed form must agree)
+    val docs = (
+      (0L to 3L).map(i => (i, "the quick brown fox jumps over the lazy dog")) ++
+      (10L to 12L).map(i => (i, "hi there"))
+    ).toDF("doc_id", "t")
+    val pairs = graft.llm.Dedup.collapsedLshPairs(docs, "doc_id", "t", 3, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("spark-ml MinHashLSH variant finds duplicate groups") {
     import spark.implicits._
     val docs = (0 until 40).map { i =>

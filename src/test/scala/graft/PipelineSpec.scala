@@ -187,4 +187,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // only the first jpeg is inside the byte budget
     assert(result.carvedFiles.collect().map(_.globalStart).toSeq == Seq(100L))
   }
+
+  test("max_bytes is an absolute cap: resume_offset counts as spent") {
+    val sample = jpeg()
+    val evidence = new Array[Byte](4 * 8192)
+    System.arraycopy(sample, 0, evidence, 2 * 8192 + 100, sample.length)
+    // resume at 16 KiB with a 16 KiB absolute cap: budget already spent
+    // (reference hit_max_bytes = resume_offset >= max_bytes, mod.rs:331)
+    val spent = CarvePipeline.run(spark, InMemoryRef(evidence),
+      testCfg.copy(maxBytes = Some(2 * 8192L)), "t", resumeOffset = 2 * 8192L)
+    assert(spent.carvedFiles.isEmpty)
+    // raising the cap to 24 KiB admits exactly the resumed chunk
+    val roomy = CarvePipeline.run(spark, InMemoryRef(evidence),
+      testCfg.copy(maxBytes = Some(3 * 8192L)), "t", resumeOffset = 2 * 8192L)
+    assert(roomy.carvedFiles.collect().map(_.globalStart).toSeq == Seq(2 * 8192L + 100))
+  }
+
+  test("overlap bytes count toward the max_bytes budget") {
+    val sample = jpeg()
+    val evidence = new Array[Byte](4 * 8192)
+    // chunk 0 reads 8192+1024 bytes, so chunk 1's remaining budget under a
+    // 16 KiB cap is 7168 bytes: a header below that line is scanned, one
+    // above it is not (reference charges data.len() incl. overlap)
+    System.arraycopy(sample, 0, evidence, 8192 + 100, sample.length)
+    System.arraycopy(sample, 0, evidence, 8192 + 7500, sample.length)
+    val result = CarvePipeline.run(spark, InMemoryRef(evidence),
+      testCfg.copy(maxBytes = Some(2 * 8192L)), "t")
+    assert(result.carvedFiles.collect().map(_.globalStart).toSeq == Seq(8192L + 100))
+  }
+
+  test("carve handler failures are counted in the run summary") {
+    val sample = jpeg()
+    val evidence = new Array[Byte](8192)
+    System.arraycopy(sample, 0, evidence, 100, sample.length)
+    // a payload root nested under a regular file makes the payload sink
+    // throw inside processHit — the hit must be dropped AND counted
+    val blocker = java.nio.file.Files.createTempFile("graft-notadir", "")
+    try {
+      val result = CarvePipeline.run(spark, InMemoryRef(evidence), testCfg, "errs",
+        payloadDir = Some(blocker.toString + "/payloads"))
+      val summary = CarvePipeline.summarize(spark, "errs", result)
+      assert(summary.filesCarved == 0L)
+      assert(summary.errorCount >= 1L)
+    } finally java.nio.file.Files.deleteIfExists(blocker)
+  }
 }
