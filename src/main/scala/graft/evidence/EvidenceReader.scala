@@ -91,6 +91,59 @@ final case class InMemoryRef(data: Array[Byte]) extends EvidenceRef {
   override def open(): EvidenceReader = new InMemoryEvidence(data)
 }
 
+/** Synthetic evidence: `slots` copies of small `samples` planted
+  * round-robin at `stride` alignment, zero-filled between. Bytes are
+  * GENERATED at read time, so nothing ships with the task — the closure
+  * carries only the sample bytes (a few KiB) no matter how large the
+  * byte space is. This is how the oracle-checked carve queries scale:
+  * the evidence never exists materialized anywhere.
+  */
+final case class StridedSamplesRef(samples: IndexedSeq[Array[Byte]], stride: Long, slots: Long)
+    extends EvidenceRef {
+  require(samples.nonEmpty && samples.forall(_.length <= stride),
+    "every sample must fit its stride slot")
+
+  override def open(): EvidenceReader = new EvidenceReader {
+    override val length: Long = stride * slots
+    override def readAt(offset: Long, buf: Array[Byte], bufOff: Int, len: Int): Int = {
+      if (offset >= length) 0
+      else {
+        val n = math.min(len.toLong, length - offset).toInt
+        java.util.Arrays.fill(buf, bufOff, bufOff + n, 0.toByte)
+        var slot = offset / stride
+        while (slot < slots && slot * stride < offset + n) {
+          val sample = samples((slot % samples.length).toInt)
+          val sStart = slot * stride
+          val from = math.max(offset, sStart)
+          val to = math.min(offset + n, sStart + sample.length)
+          if (to > from)
+            System.arraycopy(sample, (from - sStart).toInt,
+              buf, bufOff + (from - offset).toInt, (to - from).toInt)
+          slot += 1
+        }
+        n
+      }
+    }
+  }
+}
+
+/** Zero-filled synthetic evidence of arbitrary size (the reference's
+  * zero-image benchmark shape) — nothing allocated, nothing shipped.
+  */
+final case class ZerosRef(lengthBytes: Long) extends EvidenceRef {
+  override def open(): EvidenceReader = new EvidenceReader {
+    override val length: Long = lengthBytes
+    override def readAt(offset: Long, buf: Array[Byte], bufOff: Int, len: Int): Int = {
+      if (offset >= length) 0
+      else {
+        val n = math.min(len.toLong, length - offset).toInt
+        java.util.Arrays.fill(buf, bufOff, bufOff + n, 0.toByte)
+        n
+      }
+    }
+  }
+}
+
 /** Large in-memory evidence via a Spark broadcast — serialized once to
   * the block manager instead of once per task closure. Use for anything
   * beyond a few MiB (benchmarks, tests with big synthetic images).

@@ -85,9 +85,13 @@ object Dedup {
       shingleN: Int,
       numHashes: Int,
       rowsPerBand: Int): DataFrame = {
-    val membership = docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("tid"))
+    // membership feeds four join branches and sh feeds two — Spark
+    // re-executes each occurrence of a subplan (no common-subtree reuse),
+    // so persist both: one corpus scan instead of four, one shingle
+    // shuffle instead of two. Both are collapsed-size (texts, not docs).
+    val membership = docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("tid")).persist()
     val texts = docs.select(md5(col(textCol)).as("doc_id"), col(textCol).as("t")).distinct()
-    val sh = shingles(texts, "doc_id", "t", shingleN)
+    val sh = shingles(texts, "doc_id", "t", shingleN).persist()
     val textPairs = lshCandidatePairs(bandKeys(minHashSignatures(sh, numHashes), rowsPerBand))
     val cross = broadcast(textPairs)
       .join(membership.select(col("doc_id").as("d1"), col("tid").as("id_a")), Seq("id_a"))
@@ -98,7 +102,12 @@ object Dedup {
     val same = m2.alias("x").join(m2.alias("y"),
         col("x.tid") === col("y.tid") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    cross.union(same).distinct()
+    // No distinct needed: each doc has exactly one tid and textPairs is
+    // already distinct, so cross pairs are unique; same-text pairs have
+    // equal tids while cross pairs have different ones, so the branches
+    // are disjoint. (The naive form NEEDS the distinct — one pair per
+    // colliding band — which is exactly the shuffle the collapse avoids.)
+    cross.union(same)
   }
 
   /** Scale-path variant on Spark ML's MinHashLSH: shingle sets →
@@ -148,7 +157,9 @@ object Dedup {
     * restricts pairs to a blocking key (language, LSH bucket, ...).
     */
   def ngramJaccardPairs(shingleDf: DataFrame): DataFrame = {
-    val distinctSh = shingleDf.select(col("id"), col("shingle")).distinct()
+    // distinctSh feeds the sizes agg and both sides of the intersection
+    // self-join — persist so the distinct shuffle runs once, not three times
+    val distinctSh = shingleDf.select(col("id"), col("shingle")).distinct().persist()
     val sizes = distinctSh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = distinctSh.select(col("shingle"), col("id").as("id_a"))
     val b = distinctSh.select(col("shingle"), col("id").as("id_b"))

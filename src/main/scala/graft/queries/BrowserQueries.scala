@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.carve.EngineConfig
-import graft.evidence.InMemoryRef
+import graft.evidence.StridedSamplesRef
 import graft.pipeline.CarvePipeline
 import graft.sqlite.SqliteArtefacts
 import org.apache.spark.sql.functions._
@@ -22,17 +22,13 @@ object BrowserQueries {
     try in.readAllBytes() finally in.close()
   }
 
-  /** Evidence with all browser-profile DBs planted at 64 KiB strides. */
+  /** Evidence with all browser-profile DBs planted at 64 KiB strides,
+    * synthesized at read time (nothing ships beyond the DB bytes).
+    */
   private def extractAll(s: SparkSession) = {
-    val names = Seq("chrome_history.sqlite", "chrome_cookies.sqlite",
+    val names = IndexedSeq("chrome_history.sqlite", "chrome_cookies.sqlite",
       "firefox_places.sqlite", "firefox_cookies.sqlite", "firefox_downloads.sqlite")
-    val stride = 65536
-    val evidence = new Array[Byte](names.length * stride)
-    names.zipWithIndex.foreach { case (n, i) =>
-      val b = fixtureBytes(n)
-      System.arraycopy(b, 0, evidence, i * stride, b.length)
-    }
-    val ref = InMemoryRef(evidence)
+    val ref = StridedSamplesRef(names.map(fixtureBytes), 65536L, names.length.toLong)
     val (cfg0, _) = EngineConfig.filterFileTypes(
       EngineConfig(chunkSize = 128 * 1024, overlap = 8192), Some(Seq("sqlite")), disableZip = false)
     val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))

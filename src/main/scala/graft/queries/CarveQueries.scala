@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.carve.EngineConfig
-import graft.evidence.InMemoryRef
+import graft.evidence.StridedSamplesRef
 import graft.fixtures.FixtureBytes
 import graft.pipeline.CarvePipeline
 import org.apache.spark.sql.functions._
@@ -24,25 +24,20 @@ object CarveQueries {
   private def carveResult(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nDocs = table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
-    val evidence = new Array[Byte]((nDocs * SampleStride).toInt)
-    var d = 0L
-    while (d < nDocs) {
-      val sample = (d % 5) match {
-        case 0 => FixtureBytes.jpeg()
-        case 1 => FixtureBytes.png()
-        case 2 => FixtureBytes.gif()
-        case 3 => FixtureBytes.pdf()
-        case _ => FixtureBytes.sqlite()
-      }
-      System.arraycopy(sample, 0, evidence, (d * SampleStride).toInt, sample.length)
-      d += 1
-    }
+    // The evidence is synthesized AT READ TIME on the executors: the task
+    // closure carries only the five sample byte arrays (~1 KiB), not the
+    // nDocs*8 KiB byte space — the same job shape works at any corpus
+    // size (a materialized array here shipped ~40 MB per task at sf0.1).
+    val ref = StridedSamplesRef(
+      IndexedSeq(FixtureBytes.jpeg(), FixtureBytes.png(), FixtureBytes.gif(),
+        FixtureBytes.pdf(), FixtureBytes.sqlite()),
+      SampleStride, nDocs)
     // pattern-set pruning to the five planted types (filter_file_types)
     val (cfg0, _) = EngineConfig.filterFileTypes(
-      EngineConfig(chunkSize = 64 * 1024, overlap = 4096),
+      EngineConfig(chunkSize = 512 * 1024, overlap = 4096),
       Some(Seq("jpeg", "png", "gif", "pdf", "sqlite")), disableZip = false)
     val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
-    CarvePipeline.run(s, InMemoryRef(evidence), cfg, "oracle-run",
+    CarvePipeline.run(s, ref, cfg, "oracle-run",
       enableStrings = false, enableEntropy = false)
       .carvedFiles.toDF()
   }

@@ -96,9 +96,11 @@ object LlmQueries {
     "q33_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         val docs = docsTpl(s, dir)
-        val membership = docs.select(col("doc_id"), md5(col("t")).as("tid"))
+        // membership/sh feed multiple join branches — persist so the
+        // corpus scans and shingle shuffles run once (see collapsedLshPairs)
+        val membership = docs.select(col("doc_id"), md5(col("t")).as("tid")).persist()
         val texts = docs.select(md5(col("t")).as("tid"), col("t")).distinct()
-        val sh = Dedup.shingles(texts.withColumnRenamed("tid", "doc_id"), "doc_id", "t", 3)
+        val sh = Dedup.shingles(texts.withColumnRenamed("tid", "doc_id"), "doc_id", "t", 3).persist()
         val textPairs = Dedup.ngramJaccardPairs(sh)
           .filter(col("inter_count") * 2 >= col("union_count"))
         val sizes = sh.select(col("id"), col("shingle")).distinct()

@@ -25,6 +25,34 @@ class CoreSpec extends AnyFunSuite {
     assert(ChunkPlanner.planLocal(600, 300, 50).length == 2)
   }
 
+  test("strided synthetic evidence is byte-identical to the materialized layout") {
+    import graft.evidence.{StridedSamplesRef, ZerosRef}
+    val samples = IndexedSeq(
+      Array.tabulate(7)(i => (i + 1).toByte),
+      Array.tabulate(13)(i => (i + 100).toByte),
+      Array.tabulate(5)(i => (i + 50).toByte))
+    val stride = 16L
+    val slots = 10L
+    val expected = new Array[Byte]((stride * slots).toInt)
+    (0L until slots).foreach { s =>
+      val sm = samples((s % 3).toInt)
+      System.arraycopy(sm, 0, expected, (s * stride).toInt, sm.length)
+    }
+    val r = StridedSamplesRef(samples, stride, slots).open()
+    assert(r.length == expected.length.toLong)
+    // every (offset, len) window, including slot-straddling and EOF-clipped
+    for (off <- 0 until expected.length; len <- Seq(1, 3, 16, 33, 200)) {
+      val buf = new Array[Byte](len)
+      val n = r.readAt(off.toLong, buf, 0, len)
+      assert(n == math.min(len, expected.length - off), s"n at $off/$len")
+      assert(buf.take(n).sameElements(expected.slice(off, off + n)), s"bytes at $off/$len")
+    }
+    assert(r.readAt(expected.length.toLong, new Array[Byte](4), 0, 4) == 0)
+    val z = ZerosRef(32L).open()
+    val zb = Array.fill[Byte](8)(9)
+    assert(z.readAt(28L, zb, 0, 8) == 4 && zb.take(4).forall(_ == 0))
+  }
+
   test("aho-corasick finds all overlapping matches") {
     val ac = AhoCorasick.buildFromStrings(Seq("abc", "bcd", "cd", "x"))
     val hits = ac.findAll("zabcdx".getBytes).sorted
