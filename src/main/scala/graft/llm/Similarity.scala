@@ -60,6 +60,27 @@ object Similarity {
         .as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: (id_a, id_b, score) for all
+    * pairs with cosine >= minScore that share a sign-LSH bucket. The
+    * bucket join is the scale path — pairwise work is O(sum of bucket
+    * sizes squared), not O(N^2); near-identical vectors project to
+    * near-identical signs, so recall for true near-dups is high. The
+    * threshold should sit far from the corpus similarity mass (e.g. 0.99
+    * against a ~0.5 background) so float ordering can't flip membership.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, minScore: Double): DataFrame = {
+    val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
+    val withBucket = corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id")
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))).as("score"))
+      .filter(col("score") >= minScore)
+  }
+
   /** Bucketed ANN: exact cosine top-k but only within the query's LSH
     * bucket. Output: (query_id, neighbor_id, rank, score).
     */

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.operators.{AsOfJoin, Sessionize}
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators a training-data/analytics pipeline needs that
+  * the reference lacks: gap sessionization and a distributed as-of join.
+  * Both are single-shuffle window formulations (see the operator
+  * Scaladocs for the scale argument).
+  */
+object EventQueries {
+  import Registry.table
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- Gap-based sessionization (30-minute inactivity split)
+    "q48_sessionize" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        Sessionize.summarize(ev, "user_id", "ts", "event_id", 1800L * 1000000L,
+            Seq(sum(col("cents")).as("total_cents")))
+          .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+            col("n_events"), col("session_start"), col("session_end"), col("total_cents"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""WITH e AS (SELECT event_id, ts, user_id, CAST(round(value*100) AS BIGINT) AS cents FROM events),
+             |g AS (SELECT e.*, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT g.*, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+             |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+             |       min(ts) AS session_start, max(ts) AS session_end, CAST(sum(cents) AS BIGINT) AS total_cents
+             |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ---- As-of join: latest order at or before each event, per user
+    "q49_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+        val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        AsOfJoin.lookupLatest(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate",
+            Seq("o_orderkey", "o_orderdate"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             |         row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+             |SELECT e.event_id, e.user_id, e.ts, p.o_orderkey, p.o_orderdate
+             |FROM events e LEFT JOIN p ON p.event_id = e.event_id AND p.rn = 1
+             |ORDER BY e.event_id""".stripMargin)))
+}

@@ -251,6 +251,47 @@ object LlmQueries {
              |SELECT doc_id, min(md5(shingle)) AS fingerprint, count(DISTINCT shingle) AS n_grams
              |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- Embedding-cosine near-dup pairs (LSH-bucket blocked). The
+    // synthetic corpus has no natural near-dups (max background cosine
+    // ~0.51), so every 20th vector gets a deterministically perturbed
+    // copy (±0.15% element-wise, cosine ~0.99999) — both engines build
+    // the same corpus, so the pair set is exact.
+    "q47_dedup_embed_cosine" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val dups = emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            expr("transform(embedding, (x, i) -> CAST(x * (1.0D + (CAST(i % 7 AS DOUBLE) - 3.0D) * 0.0005D) AS FLOAT))")
+              .as("embedding"))
+        val corpus = emb.select(col("vec_id"), col("embedding")).union(dups)
+        Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 8, 0.99)
+          .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |e AS (
+             |  SELECT vec_id, i, v FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, i,
+             |         CAST(v * (1.0 + (CAST((i-1) % 7 AS DOUBLE) - 3.0) * 0.0005) AS FLOAT)
+             |  FROM base WHERE vec_id % 20 = 0
+             |),
+             |p AS (SELECT j, i, CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+             |                        THEN 1.0 ELSE -1.0 END AS pv
+             |      FROM (SELECT unnest(range(0, 8)) AS j) js, (SELECT unnest(range(0, 64)) AS i) xs),
+             |proj AS (SELECT vec_id, j, sum(CAST(v AS DOUBLE) * pv) AS pr FROM e JOIN p ON p.i = e.i - 1 GROUP BY vec_id, j),
+             |b AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |      FROM proj GROUP BY vec_id),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |d AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, sum(CAST(a.v AS DOUBLE) * CAST(b2.v AS DOUBLE)) AS dp
+             |      FROM e a JOIN b ba ON ba.vec_id = a.vec_id
+             |      JOIN b bb ON bb.bucket = ba.bucket AND bb.vec_id > a.vec_id
+             |      JOIN e b2 ON b2.vec_id = bb.vec_id AND b2.i = a.i
+             |      GROUP BY 1, 2),
+             |sc AS (SELECT id_a, id_b, dp / (na.nrm * nb.nrm) AS score
+             |       FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
+             |SELECT id_a, id_b, round(score, 4) AS score FROM sc WHERE score >= 0.99 ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- Multimodal: binary payload column + stubbed batch decode
     "q42_multimodal_decode" -> QueryDef(
       (s, dir) => {
