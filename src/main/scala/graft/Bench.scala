@@ -50,6 +50,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // cache hygiene between queries (outside the timed region): each
+      // query is self-contained, so its persisted intermediates are dead
+      spark.catalog.clearCache()
       name -> secs.min
     }
     if (only.isDefined) {

@@ -71,7 +71,9 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, minScore: Double): DataFrame = {
     val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
-    val withBucket = corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id")
+    // both sides of the pair join read this — persist or the whole
+    // bucket computation (2 shuffles) runs twice
+    val withBucket = corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id").persist()
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq("bucket"))
@@ -86,7 +88,8 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame, k: Int, nPlanes: Int): DataFrame = {
     val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
-    val withBucket = corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id")
+    // feeds both the broadcast query side and the candidate side
+    val withBucket = corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id").persist()
     val q = broadcast(withBucket
       .join(queries.select(col(idCol).as("qid")), col(idCol) === col("qid"))
       .select(col("qid").as("query_id"), col(vecCol).as("qv"), col("bucket")))
