@@ -83,6 +83,45 @@ object Similarity {
       .filter(col("score") >= minScore)
   }
 
+  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    * centroid (the coarse codebook — here any small centroid table; at
+    * scale the output of a k-means job), then search a query only in the
+    * lists of its `nProbe` nearest centroids.
+    *
+    * Scale shape: assignment is a broadcast of the codebook + one
+    * map-side-combinable argmax groupBy (no window sort over the corpus);
+    * probing broadcasts the (tiny) probe set so candidate generation is
+    * shuffle-free on the corpus side. Output: (query_id, neighbor_id,
+    * rank, score).
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, b) / (norm(a) * norm(b))
+    val cents = broadcast(centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cv")))
+    // inverted lists: nearest centroid per corpus vector (ties -> lowest id)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(cents)
+      .select(col("id"), col("cent_id"), cos(col("v"), col("cv")).as("cs"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), (-col("cent_id")).as("tb"))).as("cent_id"))
+    val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(assigned, col("neighbor_id") === col("id")).drop("id")
+    // probe set: nProbe nearest centroids per query
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("qv"), col("cent_id"), cos(col("qv"), col("cv")).as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("cent_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent_id"))
+    val scored = broadcast(qProbes).join(lists, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("nv")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: exact cosine top-k but only within the query's LSH
     * bucket. Output: (query_id, neighbor_id, rank, score).
     */

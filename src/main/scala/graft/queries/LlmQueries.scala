@@ -187,6 +187,44 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(score, 4) AS score
              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- IVF ANN: coarse-quantizer inverted lists, 2-probe search.
+    // Deterministic codebook = embeddings 0..7 (a k-means output at scale).
+    "q50_ivf_ann" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") < 8)
+        val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, queries, 5, 2)
+          .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rnk"),
+            round(col("score"), 4).as("score"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |cc AS (SELECT a.vec_id AS id, k.vec_id AS cent_id, sum(CAST(a.v AS DOUBLE) * CAST(k.v AS DOUBLE)) AS dp
+             |       FROM e a JOIN e k ON k.i = a.i AND k.vec_id < 8 GROUP BY 1, 2),
+             |cs AS (SELECT id, cent_id, dp / (na.nrm * nk.nrm) AS c
+             |       FROM cc JOIN n na ON na.vec_id = id JOIN n nk ON nk.vec_id = cent_id),
+             |asg AS (SELECT id, cent_id FROM
+             |        (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn FROM cs)
+             |        WHERE rn = 1),
+             |probe AS (SELECT id AS query_id, cent_id FROM
+             |          (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn
+             |           FROM cs WHERE id BETWEEN 10 AND 19)
+             |          WHERE rn <= 2),
+             |cand AS (SELECT p.query_id, a.id AS neighbor_id FROM probe p
+             |         JOIN asg a ON a.cent_id = p.cent_id AND a.id <> p.query_id),
+             |d AS (SELECT c.query_id, c.neighbor_id, sum(CAST(qa.v AS DOUBLE) * CAST(nb.v AS DOUBLE)) AS dp
+             |      FROM cand c JOIN e qa ON qa.vec_id = c.query_id
+             |      JOIN e nb ON nb.vec_id = c.neighbor_id AND nb.i = qa.i
+             |      GROUP BY 1, 2),
+             |sc AS (SELECT query_id, neighbor_id, dp / (nq.nrm * nn.nrm) AS score
+             |       FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk, score
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(score, 4) AS score
+             |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
     // ---- Language ID (stopword heuristic)
     "q36_lang_id" -> QueryDef(
       (s, dir) => {

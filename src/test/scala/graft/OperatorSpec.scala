@@ -61,6 +61,27 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sums.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("ivf top-k finds cluster neighbors through probed lists") {
+    import spark.implicits._
+    // two tight clusters around orthogonal axes; centroids = one member of
+    // each. A query near cluster 0 must rank cluster-0 members on top.
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val v = Array.fill(64)(jitter)
+      v(axis) = 10f
+      v
+    }
+    val corpus = (
+      (0L until 5L).map(i => (i, vec(0, 0.01f * (i + 1)))) ++
+      (10L until 15L).map(i => (i, vec(7, 0.01f * (i - 9))))
+    ).toDF("vec_id", "embedding")
+    val centroids = corpus.filter(col("vec_id").isin(0L, 10L))
+    val queries = corpus.filter(col("vec_id") === 1L)
+    val out = graft.llm.Similarity.ivfTopK(corpus, "vec_id", "embedding", centroids, queries, 3, 1)
+      .orderBy("rank").collect().map(r => r.getLong(1))
+    // 1-probe search: all neighbors come from cluster 0's inverted list
+    assert(out.length == 3 && out.forall(_ < 5L) && !out.contains(1L))
+  }
+
   test("embedding near-dup pairs find planted copies only") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
