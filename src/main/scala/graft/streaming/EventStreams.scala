@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch event/dedup operators:
+  *
+  *  - `sessionize`: watermarked gap sessions via the native
+  *    `session_window` aggregation — the streaming counterpart of
+  *    `operators.Sessionize` (same gap semantics; emits a session row
+  *    once the watermark passes its end).
+  *  - `dedupFirstSeen`: streaming exact dedup with explicit keyed state
+  *    (`flatMapGroupsWithState`): the first document per content hash
+  *    passes through, later duplicates are dropped, and state expires
+  *    after an idle timeout so the state store stays bounded — the
+  *    streaming counterpart of `llm.Dedup.exactGroups`.
+  *
+  * State scale: both operators shuffle by key into the state store, so
+  * capacity grows with executors, and watermark/timeout bound the live
+  * state (without them a 100 TB stream would accrete state forever).
+  */
+object EventStreams {
+
+  /** Gap-based streaming sessions. `events` needs (user_id, ts, value). */
+  def sessionize(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_cents"))
+
+  final case class Doc(contentHash: String, docId: Long)
+
+  /** First-seen filter over a keyed stream: emits a Doc only the first
+    * time its contentHash appears. With `idleTimeout = Some("1 hour")`
+    * per-key state expires after that much inactivity (bounding the state
+    * store at the cost of possibly re-admitting a very old duplicate);
+    * note processing-time timeouts keep the micro-batch engine triggering
+    * even without input. `None` keeps state forever — fine when an
+    * upstream watermarked window bounds the key space.
+    */
+  def dedupFirstSeen(docs: Dataset[Doc], idleTimeout: Option[String]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    docs.groupByKey(_.contentHash)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (hash: String, rows: Iterator[Doc], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.empty // all duplicates of an already-seen hash
+          } else {
+            // keep the smallest docId of this batch as the canonical first
+            val first = rows.minBy(_.docId)
+            state.update(first.docId)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(first)
+          }
+        })
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming operators driven through MemoryStream batches. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stream-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int) = new java.sql.Timestamp(minute * 60L * 1000)
+
+  test("streaming sessionization emits watermark-closed gap sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = EventStreams.sessionize(
+      in.toDF().toDF("user_id", "ts", "value"), gap = "30 minutes", watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 7: events at t=0 and t=10 (one session), then t=60 (a new
+      // session) — the t=100 event advances the watermark past both
+      in.addData((7L, ts(0), 1.0), (7L, ts(10), 2.5))
+      q.processAllAvailable()
+      in.addData((7L, ts(60), 4.0))
+      q.processAllAvailable()
+      in.addData((7L, ts(100), 0.0))
+      q.processAllAvailable()
+      val done = spark.table("sess")
+        .select("user_id", "n_events", "total_cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(done.contains((7L, 2L, 350L))) // 100 + 250 cents
+      assert(done.contains((7L, 1L, 400L)))
+    } finally q.stop()
+  }
+
+  test("streaming first-seen dedup drops later duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStreams.Doc]
+    val out = EventStreams.dedupFirstSeen(in.toDS(), idleTimeout = None)
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(EventStreams.Doc("h1", 5L), EventStreams.Doc("h1", 3L), EventStreams.Doc("h2", 9L))
+      q.processAllAvailable()
+      in.addData(EventStreams.Doc("h1", 1L), EventStreams.Doc("h3", 7L))
+      q.processAllAvailable()
+      val seen = spark.table("dedup").as[EventStreams.Doc]
+        .collect().map(d => d.contentHash -> d.docId).toMap
+      // h1 keeps the batch-1 minimum (3), h1 in batch 2 is suppressed
+      assert(seen == Map("h1" -> 3L, "h2" -> 9L, "h3" -> 7L))
+    } finally q.stop()
+  }
+}
