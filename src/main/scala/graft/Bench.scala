@@ -33,6 +33,13 @@ object Bench {
         .orderBy("k").count()
       SparkEntry.queries.get("q17_file_naming")
         .foreach(f => try f(spark, sfDir).count() catch { case _: Throwable => () })
+      // carve-DAG warm-up: a 50-slot version of the dense bench
+      val wu = CarvePipeline.run(spark,
+        StridedSamplesRef(IndexedSeq(graft.fixtures.FixtureBytes.jpeg()), 4096L, 50L),
+        EngineConfig(chunkSize = 64 * 1024, overlap = 4096),
+        "bench-warmup", enableStrings = false, enableEntropy = false)
+      wu.carvedFiles.count()
+      wu.scanned.unpersist()
     }
 
     // Dev loop: SPARK_GRAFT_ONLY=q31,q33 times just those queries (prefix
@@ -62,15 +69,29 @@ object Bench {
       return
     }
 
-    // scan_only: 512 MiB zero-filled evidence, full 43-pattern set, one
-    // warm-up pass then a timed pass (reference shape: zero image scan).
-    // The zeros are generated at read time — no 512 MiB driver allocation
-    // or broadcast; the measurement is the scan automaton, as intended.
-    val scanBytes = 512L * 1024 * 1024
+    // jpeg_dense: 500 × 34-byte JPEGs at 4 KiB stride, max_files 200
+    // (runs before the big scan so it doesn't inherit its GC debt)
+    val denseRef = StridedSamplesRef(IndexedSeq(graft.fixtures.FixtureBytes.jpeg()), 4096L, 500L)
+    val denseCfg = EngineConfig(
+      fileTypes = EngineConfig.defaultFileTypes.filter(_.id == "jpeg").map(_.copy(minSize = 0)),
+      chunkSize = 256 * 1024, overlap = 65536, maxFiles = Some(200))
+    val t0 = System.nanoTime()
+    val denseRun = CarvePipeline.run(spark, denseRef, denseCfg, "bench-dense",
+      enableStrings = false, enableEntropy = false)
+    val denseCarved = denseRun.carvedFiles.count()
+    val denseSec = (System.nanoTime() - t0) / 1e9
+
+    // scan_only: 8 GiB zero-filled evidence, full 43-pattern set, one
+    // warm-up pass then a timed pass (reference shape: zero image scan,
+    // scaled up so the measurement amortizes Spark's fixed job overhead —
+    // at 512 MiB the job finishes in ~0.3 s and scheduling dominates).
+    // The zeros are generated at read time — no driver allocation or
+    // broadcast; the measurement is the scan automaton, as intended.
+    val scanBytes = 8L * 1024 * 1024 * 1024
     val zeroRef = ZerosRef(scanBytes)
-    // 8 MiB chunks: enough tasks to engage every local core (at cluster
-    // scale the default 512 MiB chunk gives ~200k tasks at 100 TB)
-    val scanCfg = EngineConfig(chunkSize = 8L * 1024 * 1024, overlap = 65536)
+    // 32 MiB chunks: 256 tasks over the local cores (at cluster scale the
+    // default 512 MiB chunk gives ~200k tasks at 100 TB)
+    val scanCfg = EngineConfig(chunkSize = 32L * 1024 * 1024, overlap = 65536)
     def scanOnce(): Double = {
       val t0 = System.nanoTime()
       val r = CarvePipeline.run(spark, zeroRef, scanCfg, "bench-scan",
@@ -82,17 +103,6 @@ object Bench {
     scanOnce(); scanOnce() // warm-up (JIT + codegen)
     val scanSec = Seq(scanOnce(), scanOnce(), scanOnce()).min
     val scanMibps = scanBytes / (1024.0 * 1024.0) / scanSec
-
-    // jpeg_dense: 500 × 34-byte JPEGs at 4 KiB stride, max_files 200
-    val denseRef = StridedSamplesRef(IndexedSeq(graft.fixtures.FixtureBytes.jpeg()), 4096L, 500L)
-    val denseCfg = EngineConfig(
-      fileTypes = EngineConfig.defaultFileTypes.filter(_.id == "jpeg").map(_.copy(minSize = 0)),
-      chunkSize = 256 * 1024, overlap = 65536, maxFiles = Some(200))
-    val t0 = System.nanoTime()
-    val denseRun = CarvePipeline.run(spark, denseRef, denseCfg, "bench-dense",
-      enableStrings = false, enableEntropy = false)
-    val denseCarved = denseRun.carvedFiles.count()
-    val denseSec = (System.nanoTime() - t0) / 1e9
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -113,12 +113,17 @@ object CarvePipeline {
     // scans share the buffer (the reference's Arc<Vec<u8>> sharing).
     val scanned = chunks.mapPartitions { iter =>
       val reader = evidenceRef.open()
+      // one reusable read buffer per task thread: chunks are up to 512 MiB,
+      // so per-chunk allocation would churn the old-gen at cluster scale.
+      // Nothing downstream retains `data` — span/entropy inputs are copied.
+      var data = Array.emptyByteArray
       iter.map { chunk =>
-        val data = new Array[Byte](chunk.length.toInt)
+        val want = chunk.length.toInt
+        if (data.length < want) data = new Array[Byte](want)
         var got = 0
         var n = 1
-        while (got < data.length && n > 0) {
-          n = reader.readAt(chunk.start + got, data, got, data.length - got)
+        while (got < want && n > 0) {
+          n = reader.readAt(chunk.start + got, data, got, want - got)
           got += n
         }
         val hits = scan.normalize(chunk, scan.scanChunk(chunk, data, got))
