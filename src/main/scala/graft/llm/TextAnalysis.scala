@@ -68,6 +68,27 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
         .cast("long").as("bpe_pieces"))
 
+  /** Top-k TF-IDF keywords per document. The RANKING is pure-integer
+    * (tf desc, then document frequency asc, then term asc), so it is
+    * deterministic across engines; the tfidf double is carried as an
+    * informational score. At corpus scale the df table is term-keyed and
+    * joins back to tf with map-side partial aggregation on both groupBys.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count().toDouble
+    val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+    // tf feeds both the df aggregation and the scoring join
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")).persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Document fingerprint: minimum md5 over word 5-grams (one-permutation
     * min-hash — a deterministic, order-independent content signature),
     * plus the distinct-gram count.

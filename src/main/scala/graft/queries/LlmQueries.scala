@@ -275,6 +275,25 @@ object LlmQueries {
              |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_pieces
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- TF-IDF top-3 keywords (integer-deterministic ranking)
+    "q51_tfidf_keywords" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.tfidfTopTerms(table(s, dir, "documents"), "doc_id", "text", 3)
+          .select(col("id").as("doc_id"), col("rank").cast("int").as("rnk"),
+            col("term").as("top_term"), col("tf"), col("df"),
+            round(col("tfidf"), 4).as("tfidf"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * ln(nd / df.df) AS tfidf
+             |       FROM tf JOIN df USING (term), n),
+             |r AS (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rn FROM sc)
+             |SELECT doc_id, CAST(rn AS INT) AS rnk, term AS top_term, tf, df, round(tfidf, 4) AS tfidf
+             |FROM r WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
     // ---- Document fingerprinting (min-md5 over word 5-grams)
     "q39_fingerprint" -> QueryDef(
       (s, dir) => {
