@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: PII redaction,
+  * repetition/quality signals (Gopher-style), deterministic stratified
+  * sampling, and greedy sequence packing.
+  *
+  * Everything here is either a pure column expression (whole-stage
+  * codegen, pushdown-friendly) or — for the inherently sequential packing
+  * step — a single-shuffle per-stratum pass. All randomness is replaced by
+  * md5-derived keys so results are engine-independent and replayable.
+  */
+object Curation {
+
+  // Redaction regexes — RE2-compatible (no lookaround/backrefs) so the
+  // same pattern string runs identically under Spark (java.util.regex)
+  // and any RE2-based engine. Application order is email → phone → ipv4
+  // and must be preserved by callers re-deriving the semantics.
+  val EmailRe  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe  = "\\+[0-9]{1,2} [0-9]{3} [0-9]{3} [0-9]{4}"
+  val Ipv4Re   = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails, phone numbers, and IPv4 addresses from `textCol`,
+    * returning the cleaned text plus per-category match counts (counted
+    * on the ORIGINAL text, before any replacement). Pure expressions —
+    * no UDF, stays inside whole-stage codegen.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    df.select(
+      col(idCol).as("id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        Ipv4Re, "[IP]").as("clean"),
+      n(EmailRe).as("n_emails"),
+      n(PhoneRe).as("n_phones"),
+      n(Ipv4Re).as("n_ips"))
+  }
+
+  /** Gopher-style repetition signals per document over whitespace words:
+    * total words, distinct words (dup fraction = 1 - distinct/total), and
+    * the most frequent word bigram with its count (ties break on bigram
+    * asc, so the result is deterministic). One shuffle (groupBy id+bigram
+    * with map-side partial aggregation); the per-id top-1 rides the same
+    * hash partitioning.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col(textCol), " ")
+    val base = df.select(col(idCol).as("id"), ws.as("ws"))
+    val words = base.select(col("id"), size(col("ws")).cast("long").as("total_words"),
+      size(array_distinct(col("ws"))).cast("long").as("distinct_words"))
+    val bigrams = base.select(col("id"),
+        explode(expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")).as("bg"))
+      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("bg_n"))
+    val top = bigrams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("bg_n").desc, col("bg").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("bg").as("top_bigram"), col("bg_n").as("top_bigram_n"))
+    words.join(top, Seq("id"))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff the first two hex
+    * chars of md5(saltless key) sort below the stratum's threshold. A
+    * threshold of "29" keeps ~16% (0x29/0x100); per-stratum thresholds
+    * implement training-mix reweighting. No RNG, so the sample is stable
+    * under retries, resumes, and engine swaps; the filter is a scan-level
+    * predicate (no shuffle at all).
+    */
+  def hashSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                 thresholds: Map[String, String], defaultThreshold: String): DataFrame = {
+    val prefix = substring(md5(keyCol.cast("string")), 1, 2)
+    val thr = thresholds.foldLeft(lit(defaultThreshold)) { case (acc, (stratum, t)) =>
+      when(strataCol === stratum, lit(t)).otherwise(acc)
+    }
+    df.filter(prefix < thr).withColumn("sample_key", prefix)
+  }
+
+  /** Greedy sequential sequence packing: within each stratum, walk docs in
+    * `idCol` order and start a new bin whenever adding the next doc would
+    * exceed `capacity` tokens (an oversized doc gets a bin of its own).
+    * Packing is inherently sequential, so this is one shuffle
+    * (groupByKey on the stratum) + a linear per-group pass with O(1)
+    * state. At corpus scale, pre-shard each stratum (e.g. stratum =
+    * (lang, pmod(hash(id), shards))) so groups stay bounded; bins are
+    * then unique per (stratum, shard).
+    */
+  def packGreedy(df: DataFrame, groupCol: String, idCol: String, tokCol: String,
+                 capacity: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(groupCol).cast("string"), col(idCol).cast("long"), col(tokCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val sorted = it.toArray.sortBy(_._2)
+        var bin = 0L
+        var fill = 0L
+        sorted.iterator.map { case (_, id, t) =>
+          if (fill + t > capacity && fill > 0L) { bin += 1; fill = t } else fill += t
+          (g, id, t, bin, fill)
+        }
+      }
+      .toDF(groupCol, idCol, "toks", "bin", "fill_after")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -293,6 +293,105 @@ object LlmQueries {
              |r AS (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rn FROM sc)
              |SELECT doc_id, CAST(rn AS INT) AS rnk, term AS top_term, tf, df, round(tfidf, 4) AS tfidf
              |FROM r WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ---- PII redaction (email → phone → IPv4, counts on original text).
+    // PII is planted deterministically from doc fields so both engines
+    // see byte-identical input; regexes are RE2-compatible (Curation).
+    "q52_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val msg = concat(
+          lit("contact "),
+          when(col("doc_id") % 3 < 2,
+            concat(lit("user"), col("doc_id").cast("string"), lit("@corp"),
+              (col("doc_id") % 7).cast("string"), lit(".example.com")))
+            .otherwise(lit("nobody")),
+          lit(" tel "),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("+1 415 555 "), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("none")),
+          lit(" from 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0."), (col("doc_id") % 250).cast("string"),
+          lit(" via "), col("source"))
+        Curation.redactPii(
+            table(s, dir, "documents").select(col("doc_id"), msg.as("msg")), "doc_id", "msg")
+          .select(col("id").as("doc_id"), col("clean"),
+            col("n_emails"), col("n_phones"), col("n_ips"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (SELECT doc_id,
+             |  'contact ' || CASE WHEN doc_id % 3 < 2 THEN 'user' || CAST(doc_id AS VARCHAR) || '@corp' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE 'nobody' END ||
+             |  ' tel ' || CASE WHEN doc_id % 2 = 0 THEN '+1 415 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE 'none' END ||
+             |  ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+             |  ' via ' || source AS msg FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(msg,
+             |    '${Curation.EmailRe}', '[EMAIL]', 'g'),
+             |    '${Curation.PhoneRe}', '[PHONE]', 'g'),
+             |    '${Curation.Ipv4Re}', '[IP]', 'g') AS clean,
+             |  CAST(len(regexp_extract_all(msg, '${Curation.EmailRe}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(msg, '${Curation.PhoneRe}')) AS BIGINT) AS n_phones,
+             |  CAST(len(regexp_extract_all(msg, '${Curation.Ipv4Re}')) AS BIGINT) AS n_ips
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- Repetition signals (Gopher-style): dup-word and top-bigram
+    // stats per document; ties on the top bigram break lexicographically.
+    "q53_repetition_stats" -> QueryDef(
+      (s, dir) => {
+        Curation.repetitionStats(table(s, dir, "documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("total_words"), col("distinct_words"),
+            col("top_bigram"), col("top_bigram_n"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS total_words,
+             |               CAST(len(list_distinct(ws)) AS BIGINT) AS distinct_words FROM w),
+             |bg AS (SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS bg
+             |       FROM (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM w)),
+             |cnt AS (SELECT doc_id, bg, count(*) AS bg_n FROM bg GROUP BY 1, 2),
+             |top AS (SELECT doc_id, bg AS top_bigram, bg_n AS top_bigram_n,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY bg_n DESC, bg ASC) AS rn FROM cnt)
+             |SELECT t.doc_id, total_words, distinct_words, top_bigram, CAST(top_bigram_n AS BIGINT) AS top_bigram_n
+             |FROM tot t JOIN top USING (doc_id) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- Deterministic stratified sampling: md5-prefix thresholds per
+    // stratum (en downsampled ~9%, others ~25%) — a scan-level predicate,
+    // stable under retries/resume, no RNG.
+    "q54_hash_sample" -> QueryDef(
+      (s, dir) => {
+        Curation.hashSample(table(s, dir, "documents"),
+            col("doc_id"), col("lang"), Map("en" -> "18"), "40")
+          .select(col("doc_id"), col("lang"), col("sample_key"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key
+             |FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < CASE WHEN lang = 'en' THEN '18' ELSE '40' END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Greedy sequence packing per language stratum (capacity 500
+    // whitespace tokens; oversized docs get their own bin). The oracle
+    // replays the same sequential walk as a recursive CTE.
+    "q55_sequence_pack" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        Curation.packGreedy(docs, "lang", "doc_id", "toks", 500L)
+          .orderBy("lang", "doc_id")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, doc_id, toks, rn, CAST(0 AS BIGINT) AS bin, toks AS fill_after
+             |  FROM s WHERE rn = 1
+             |  UNION ALL
+             |  SELECT s.lang, s.doc_id, s.toks, s.rn,
+             |         CASE WHEN r.fill_after + s.toks > 500 THEN r.bin + 1 ELSE r.bin END,
+             |         CASE WHEN r.fill_after + s.toks > 500 THEN s.toks ELSE r.fill_after + s.toks END
+             |  FROM r JOIN s ON s.lang = r.lang AND s.rn = r.rn + 1)
+             |SELECT lang, doc_id, toks, bin, fill_after FROM r ORDER BY lang, doc_id""".stripMargin)),
 
     // ---- Document fingerprinting (min-md5 over word 5-grams)
     "q39_fingerprint" -> QueryDef(

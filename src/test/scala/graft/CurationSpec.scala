@@ -1,0 +1,88 @@
+package graft
+
+import graft.llm.Curation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the corpus-curation operators (PII redaction,
+  * repetition stats, hash sampling, sequence packing) against
+  * hand-computed expectations.
+  */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-curation-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("redactPii replaces emails, phones, IPs and counts each on the original text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b@x.io and c@y.org call +1 415 555 0001 from 10.1.2.3"),
+      (2L, "nothing sensitive here"),
+      (3L, "ip only 192.168.0.1 and 8.8.8.8")
+    ).toDF("id", "text")
+    val out = Curation.redactPii(df, "id", "text").orderBy("id").collect()
+    assert(out(0).getString(1) ==
+      "mail [EMAIL] and [EMAIL] call [PHONE] from [IP]")
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) == ((2L, 1L, 1L)))
+    assert(out(1).getString(1) == "nothing sensitive here")
+    assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) == ((0L, 0L, 0L)))
+    assert(out(2).getString(1) == "ip only [IP] and [IP]")
+    assert(out(2).getLong(4) == 2L)
+  }
+
+  test("repetitionStats computes word totals and the lexicographically-tied top bigram") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"),       // bigrams: "a b"x2, "b a", "b c" -> top ("a b", 2)
+      (2L, "x y z")            // all bigrams count 1 -> tie broken to "x y"
+    ).toDF("id", "text")
+    val out = Curation.repetitionStats(df, "id", "text").orderBy("id").collect()
+    assert((out(0).getLong(1), out(0).getLong(2)) == ((5L, 3L)))
+    assert((out(0).getString(3), out(0).getLong(4)) == (("a b", 2L)))
+    assert((out(1).getString(3), out(1).getLong(4)) == (("x y", 1L)))
+  }
+
+  test("hashSample is deterministic and respects per-stratum thresholds") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    def run() = Curation.hashSample(df, col("id"), col("lang"),
+      Map("en" -> "10"), "80").select("id").as[Long].collect().sorted.toSeq
+    val a = run()
+    assert(a == run(), "same input must sample identically")
+    val langs = Curation.hashSample(df, col("id"), col("lang"), Map("en" -> "10"), "80")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en keeps ~0x10/0x100 = 6.25% of 1000; de keeps ~0x80/0x100 = 50%
+    assert(langs("en") > 20 && langs("en") < 120, s"en=${langs("en")}")
+    assert(langs("de") > 400 && langs("de") < 600, s"de=${langs("de")}")
+  }
+
+  test("packGreedy fills bins sequentially, oversized docs get their own bin") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, 300L), ("en", 2L, 150L), // bin 0 (fill 450)
+      ("en", 3L, 100L),                   // 450+100>500 -> bin 1
+      ("en", 4L, 900L),                   // oversized -> bin 2 alone
+      ("en", 5L, 10L),                    // 900+10>500 -> bin 3
+      ("de", 6L, 500L),                   // exact fit -> bin 0
+      ("de", 7L, 1L)                      // 500+1>500 -> bin 1
+    ).toDF("lang", "doc_id", "toks")
+    val out = Curation.packGreedy(df, "lang", "doc_id", "toks", 500L)
+      .orderBy("lang", "doc_id")
+      .select("lang", "doc_id", "bin", "fill_after")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("de", 6L, 0L, 500L), ("de", 7L, 1L, 1L),
+      ("en", 1L, 0L, 300L), ("en", 2L, 0L, 450L), ("en", 3L, 1L, 100L),
+      ("en", 4L, 2L, 900L), ("en", 5L, 3L, 10L)))
+  }
+}
