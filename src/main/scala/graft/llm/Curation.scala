@@ -45,25 +45,39 @@ object Curation {
   /** Gopher-style repetition signals per document over whitespace words:
     * total words, distinct words (dup fraction = 1 - distinct/total), and
     * the most frequent word bigram with its count (ties break on bigram
-    * asc, so the result is deterministic). One shuffle (groupBy id+bigram
-    * with map-side partial aggregation); the per-id top-1 rides the same
-    * hash partitioning.
+    * asc, so the result is deterministic). Documents with fewer than two
+    * words have no bigrams and are dropped.
+    *
+    * Entirely per-row expressions — the bigram array is sorted and the
+    * top run found in one `aggregate` pass, so the operator is a narrow
+    * codegen'd scan with NO shuffle: at corpus scale it runs at parquet
+    * read speed regardless of document count.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ws = split(col(textCol), " ")
-    val base = df.select(col(idCol).as("id"), ws.as("ws"))
-    val words = base.select(col("id"), size(col("ws")).cast("long").as("total_words"),
-      size(array_distinct(col("ws"))).cast("long").as("distinct_words"))
-    val bigrams = base.select(col("id"),
-        explode(expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")).as("bg"))
-      .groupBy(col("id"), col("bg")).agg(count(lit(1)).as("bg_n"))
-    val top = bigrams
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("bg_n").desc, col("bg").asc)))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("bg").as("top_bigram"), col("bg_n").as("top_bigram_n"))
-    words.join(top, Seq("id"))
+    // Strictly-greater keeps the FIRST maximal run of the asc-sorted
+    // array, which is exactly the (count desc, bigram asc) tie-break.
+    val topRun =
+      """aggregate(
+        |  array_sort(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))),
+        |  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+        |         CAST('' AS STRING) AS best, CAST(0 AS BIGINT) AS bestn),
+        |  (acc, x) -> struct(
+        |    x AS prev,
+        |    CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END AS run,
+        |    CASE WHEN (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END) > acc.bestn
+        |         THEN x ELSE acc.best END AS best,
+        |    CASE WHEN (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END) > acc.bestn
+        |         THEN (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END)
+        |         ELSE acc.bestn END AS bestn),
+        |  acc -> struct(acc.best AS top_bigram, acc.bestn AS top_bigram_n))""".stripMargin
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("id"),
+        size(col("ws")).cast("long").as("total_words"),
+        size(array_distinct(col("ws"))).cast("long").as("distinct_words"),
+        expr(topRun).as("tr"))
+      .select(col("id"), col("total_words"), col("distinct_words"),
+        col("tr.top_bigram").as("top_bigram"), col("tr.top_bigram_n").as("top_bigram_n"))
   }
 
   /** Deterministic stratified sampling: keep a row iff the first two hex
