@@ -91,12 +91,21 @@ object TextAnalysis {
 
   /** Document fingerprint: minimum md5 over word 5-grams (one-permutation
     * min-hash — a deterministic, order-independent content signature),
-    * plus the distinct-gram count.
+    * plus the distinct-gram count. Documents with fewer than five words
+    * have no grams and are dropped (matching the explode/groupBy form).
+    *
+    * Pure per-row array expressions — no explode, no shuffle: the
+    * operator is a narrow codegen'd scan at any corpus size.
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    Dedup.shingles(df, idCol, textCol, 5)
-      .groupBy(col("id"))
-      .agg(
-        min(md5(col("shingle"))).as("fingerprint"),
-        countDistinct(col("shingle")).as("n_grams"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(
+        col("id"),
+        expr("transform(sequence(0, size(ws) - 5), i -> " +
+          "concat(ws[i], ' ', ws[i+1], ' ', ws[i+2], ' ', ws[i+3], ' ', ws[i+4]))").as("grams"))
+      .select(
+        col("id"),
+        array_min(expr("transform(grams, g -> md5(g))")).as("fingerprint"),
+        size(array_distinct(col("grams"))).cast("long").as("n_grams"))
 }
