@@ -174,4 +174,49 @@ object Dedup {
         col("id_a"), col("id_b"), col("inter_count"),
         (col("n_a") + col("n_b") - col("inter_count")).as("union_count"))
   }
+
+  /** Connected components over an undirected duplicate-pair graph:
+    * (id, component) where component = min id reachable from the node —
+    * the cluster assignment step that turns near-dup PAIRS (LSH / Jaccard
+    * / cosine output) into keep/drop decisions (keep id == component).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum label in its closed neighborhood; converges after
+    * graph-diameter rounds (duplicate clusters are near-cliques, so 2-3
+    * in practice). Each round is one shuffle of the label table;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * does not replay rounds 1..N-1. Runs until a fixpoint (bounded by
+    * `maxIter`, then asserts convergence rather than returning partial
+    * labels).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    val sym = edges.select(a.as("u"), b.as("v"))
+      .union(edges.select(b.as("u"), a.as("v")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("v") === labels("id"))
+        .select(col("u").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = neighborMin.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = neighborMin
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

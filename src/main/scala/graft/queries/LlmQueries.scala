@@ -393,6 +393,37 @@ object LlmQueries {
              |  FROM r JOIN s ON s.lang = r.lang AND s.rn = r.rn + 1)
              |SELECT lang, doc_id, toks, bin, fill_after FROM r ORDER BY lang, doc_id""".stripMargin)),
 
+    // ---- Near-dup cluster assignment: connected components over a
+    // deterministic pair graph (chains + long-range links exercise
+    // transitive closure, not just cliques). component = min reachable
+    // id == the canonical survivor; the oracle replays reachability as a
+    // recursive CTE.
+    "q56_dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"))
+        val maxId = docs.agg(max("doc_id")).first().getLong(0)
+        val e1 = docs.filter(col("doc_id") % 7 < 2 && col("doc_id") + 1 <= maxId)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        val e2 = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") + 50 <= maxId)
+          .select(col("doc_id").as("a"), (col("doc_id") + 50).as("b"))
+        Dedup.connectedComponents(e1.union(e2), "a", "b")
+          .select(col("id").as("doc_id"), col("comp").as("component"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE e0 AS (
+             |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+             |  WHERE doc_id % 7 < 2 AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+             |  UNION ALL
+             |  SELECT doc_id, doc_id + 50 FROM documents
+             |  WHERE doc_id % 13 = 0 AND doc_id + 50 <= (SELECT max(doc_id) FROM documents)),
+             |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+             |nodes AS (SELECT DISTINCT u AS id FROM e),
+             |r AS (
+             |  SELECT id AS src, id AS dst FROM nodes
+             |  UNION
+             |  SELECT r.src, e.v FROM r JOIN e ON e.u = r.dst)
+             |SELECT src AS doc_id, min(dst) AS component FROM r GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     // ---- Document fingerprinting (min-md5 over word 5-grams)
     "q39_fingerprint" -> QueryDef(
       (s, dir) => {

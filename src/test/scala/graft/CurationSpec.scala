@@ -66,6 +66,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(langs("de") > 400 && langs("de") < 600, s"de=${langs("de")}")
   }
 
+  test("connectedComponents labels chains, cliques, and isolated pairs with the min id") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}, bridge 5-10
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (5L, 10L)
+    ).toDF("a", "b")
+    val out = graft.llm.Dedup.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("packGreedy fills bins sequentially, oversized docs get their own bin") {
     import spark.implicits._
     val df = Seq(
