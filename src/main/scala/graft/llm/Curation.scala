@@ -53,23 +53,27 @@ object Curation {
     * codegen'd scan with NO shuffle: at corpus scale it runs at parquet
     * read speed regardless of document count.
     */
+  // Most frequent bigram of the `ws` word array and its count, as one
+  // aggregate() pass over the sorted bigram array. Strictly-greater keeps
+  // the FIRST maximal run of the asc-sorted array, which is exactly the
+  // (count desc, bigram asc) tie-break. Empty/1-word arrays yield
+  // ('', 0).
+  private val topRun =
+    """aggregate(
+      |  array_sort(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))),
+      |  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+      |         CAST('' AS STRING) AS best, CAST(0 AS BIGINT) AS bestn),
+      |  (acc, x) -> struct(
+      |    x AS prev,
+      |    CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END AS run,
+      |    CASE WHEN (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END) > acc.bestn
+      |         THEN x ELSE acc.best END AS best,
+      |    CASE WHEN (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END) > acc.bestn
+      |         THEN (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END)
+      |         ELSE acc.bestn END AS bestn),
+      |  acc -> struct(acc.best AS top_bigram, acc.bestn AS top_bigram_n))""".stripMargin
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Strictly-greater keeps the FIRST maximal run of the asc-sorted
-    // array, which is exactly the (count desc, bigram asc) tie-break.
-    val topRun =
-      """aggregate(
-        |  array_sort(transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))),
-        |  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
-        |         CAST('' AS STRING) AS best, CAST(0 AS BIGINT) AS bestn),
-        |  (acc, x) -> struct(
-        |    x AS prev,
-        |    CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END AS run,
-        |    CASE WHEN (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END) > acc.bestn
-        |         THEN x ELSE acc.best END AS best,
-        |    CASE WHEN (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END) > acc.bestn
-        |         THEN (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END)
-        |         ELSE acc.bestn END AS bestn),
-        |  acc -> struct(acc.best AS top_bigram, acc.bestn AS top_bigram_n))""".stripMargin
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("id"),
@@ -78,6 +82,55 @@ object Curation {
         expr(topRun).as("tr"))
       .select(col("id"), col("total_words"), col("distinct_words"),
         col("tr.top_bigram").as("top_bigram"), col("tr.top_bigram_n").as("top_bigram_n"))
+  }
+
+  /** Composite quality gate: evaluates every rule, emits the failed-rule
+    * list (stable order, comma-joined) and a keep flag. One narrow
+    * codegen'd pass — no joins, no shuffle; at corpus scale this is the
+    * filter stage in front of dedup, running at scan speed.
+    *
+    * Rules (all integer arithmetic — no float thresholds to drift):
+    *  - too_short:      fewer than `minTokens` whitespace tokens
+    *  - high_dup:       duplicate words are more than half of all words
+    *  - bigram_repeat:  the top bigram covers more than 1/8 of the words
+    *  - stopword_poor:  stopwords are less than 1/10 of the words
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 20L): DataFrame = {
+    val stop = "'the','a','and','of','to','in'"
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"),
+        size(col("ws")).cast("long").as("total"),
+        size(array_distinct(col("ws"))).cast("long").as("dst"),
+        expr(s"CAST(size(filter(ws, x -> x IN ($stop))) AS BIGINT)").as("stop_n"),
+        expr(topRun).getField("top_bigram_n").as("top_n"))
+      .select(col("id"), col("total").as("n_tokens"),
+        (col("total") - col("dst")).as("dup_words"),
+        col("top_n").as("top_bigram_n"), col("stop_n").as("n_stopwords"),
+        concat_ws(",",
+          when(col("total") < minTokens, lit("too_short")),
+          when((col("total") - col("dst")) * 2 > col("total"), lit("high_dup")),
+          when(col("top_n") * 8 > col("total"), lit("bigram_repeat")),
+          when(col("stop_n") * 10 < col("total"), lit("stopword_poor"))).as("reasons"))
+      .withColumn("keep", (col("reasons") === "").cast("boolean"))
+  }
+
+  /** Corpus-wide top-k word n-grams: explode per-document n-gram arrays,
+    * count globally, keep the k most frequent (ties break on the gram
+    * asc). The groupBy does map-side partial aggregation and the top-k is
+    * TakeOrderedAndProject — no global sort — so the reduce side only
+    * ever sees (distinct grams, then k) rows regardless of corpus size.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val grams = expr(
+      s"""transform(sequence(0, size(ws) - $n),
+         |  i -> array_join(slice(ws, i + 1, $n), ' '))""".stripMargin)
+    df.select(split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
   }
 
   /** Deterministic stratified sampling: keep a row iff the first two hex

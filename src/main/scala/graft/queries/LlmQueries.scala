@@ -393,6 +393,50 @@ object LlmQueries {
              |  FROM r JOIN s ON s.lang = r.lang AND s.rn = r.rn + 1)
              |SELECT lang, doc_id, toks, bin, fill_after FROM r ORDER BY lang, doc_id""".stripMargin)),
 
+    // ---- Composite quality gate: integer-arithmetic rules, failed-rule
+    // list in stable order, keep flag. One narrow pass, no shuffle.
+    "q57_quality_gate" -> QueryDef(
+      (s, dir) => {
+        Curation.qualityGate(table(s, dir, "documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_tokens"), col("dup_words"),
+            col("top_bigram_n"), col("n_stopwords"), col("reasons"),
+            col("keep").cast("long").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS total,
+             |             CAST(len(list_distinct(ws)) AS BIGINT) AS dst,
+             |             CAST(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) AS BIGINT) AS stop_n
+             |      FROM w),
+             |bg AS (SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS bg
+             |       FROM (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM w)),
+             |tn AS (SELECT doc_id, max(n) AS top_n
+             |       FROM (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2) GROUP BY doc_id),
+             |sig AS (SELECT m.doc_id, total AS n_tokens, (total - dst) AS dup_words,
+             |               CAST(COALESCE(tn.top_n, 0) AS BIGINT) AS top_bigram_n, stop_n AS n_stopwords,
+             |               concat_ws(',',
+             |                 CASE WHEN total < 20 THEN 'too_short' END,
+             |                 CASE WHEN (total - dst) * 2 > total THEN 'high_dup' END,
+             |                 CASE WHEN COALESCE(tn.top_n, 0) * 8 > total THEN 'bigram_repeat' END,
+             |                 CASE WHEN stop_n * 10 < total THEN 'stopword_poor' END) AS reasons
+             |        FROM m LEFT JOIN tn ON m.doc_id = tn.doc_id)
+             |SELECT doc_id, n_tokens, dup_words, top_bigram_n, n_stopwords, reasons,
+             |       CASE WHEN reasons = '' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+             |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // ---- Corpus-wide top-20 bigrams (map-side partial agg + top-k)
+    "q58_top_ngrams" -> QueryDef(
+      (s, dir) => {
+        Curation.topNgrams(table(s, dir, "documents"), "text", 2, 20)
+          .orderBy(col("n").desc, col("gram").asc)
+      },
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 2),
+             |bg AS (SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] AS gram
+             |       FROM (SELECT unnest(range(1, len(ws))) AS i, ws FROM w))
+             |SELECT gram, count(*) AS n FROM bg GROUP BY gram
+             |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin)),
+
     // ---- Near-dup cluster assignment: connected components over a
     // deterministic pair graph (chains + long-range links exercise
     // transitive closure, not just cliques). component = min reachable

@@ -66,6 +66,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(langs("de") > 400 && langs("de") < 600, s"de=${langs("de")}")
   }
 
+  test("qualityGate evaluates every rule and joins failed reasons in stable order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog while of crows watch " +
+        "to see in morning and evening light today"), // 21 distinct words, 6 stopwords
+      (2L, "x y z"),                                              // short + stopword_poor
+      (3L, "w w w w w w w w w w w w w w w w w w w w w w w w")     // dup + bigram + stopword
+    ).toDF("id", "text")
+    val out = Curation.qualityGate(df.select(col("id"), trim(col("text")).as("text")), "id", "text")
+      .orderBy("id").select("reasons", "keep").as[(String, Boolean)].collect().toSeq
+    assert(out(0) == ("" -> true))
+    // 3 words: too_short; any bigram covers >1/8 of 3 words; no stopwords
+    assert(out(1) == ("too_short,bigram_repeat,stopword_poor" -> false))
+    // 24 identical words: every repetition rule, but not too_short
+    assert(out(2) == ("high_dup,bigram_repeat,stopword_poor" -> false))
+  }
+
+  test("topNgrams counts across documents with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq("a b a b", "a b c", "z").toDF("text")
+    val out = Curation.topNgrams(df, "text", 2, 3)
+      .as[(String, Long)].collect().toSeq
+    // "a b" x3 (twice in doc1, once in doc2); then "b a" and "b c" tie at 1 -> asc
+    assert(out == Seq("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+
   test("connectedComponents labels chains, cliques, and isolated pairs with the min id") {
     import spark.implicits._
     // chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}, bridge 5-10

@@ -60,6 +60,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"top-k did a full sort:\n$p")
   }
 
+  test("quality gate is a shuffle-free narrow pass") {
+    val p = planOf("q57_quality_gate")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"quality gate acquired a shuffle:\n$p")
+  }
+
+  test("corpus top-ngrams partially aggregates and take-orders the top k") {
+    val p = planOf("q58_top_ngrams")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k did a full sort:\n$p")
+  }
+
   test("token counting prunes the documents scan to the needed columns") {
     val df = SparkEntry.queries("q38_token_counts")(spark, dir)
     df.collect()
