@@ -85,9 +85,11 @@ object Curation {
   }
 
   /** Composite quality gate: evaluates every rule, emits the failed-rule
-    * list (stable order, comma-joined) and a keep flag. One narrow
-    * codegen'd pass — no joins, no shuffle; at corpus scale this is the
-    * filter stage in front of dedup, running at scan speed.
+    * list (stable order, comma-joined) and a keep flag, appended to the
+    * ORIGINAL columns (so it composes — including over streams — without
+    * a join). One narrow codegen'd pass — no joins, no shuffle; at corpus
+    * scale this is the filter stage in front of dedup, running at scan
+    * speed.
     *
     * Rules (all integer arithmetic — no float thresholds to drift):
     *  - too_short:      fewer than `minTokens` whitespace tokens
@@ -98,21 +100,22 @@ object Curation {
   def qualityGate(df: DataFrame, idCol: String, textCol: String,
                   minTokens: Long = 20L): DataFrame = {
     val stop = "'the','a','and','of','to','in'"
-    df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
-      .select(col("id"),
-        size(col("ws")).cast("long").as("total"),
-        size(array_distinct(col("ws"))).cast("long").as("dst"),
-        expr(s"CAST(size(filter(ws, x -> x IN ($stop))) AS BIGINT)").as("stop_n"),
-        expr(topRun).getField("top_bigram_n").as("top_n"))
-      .select(col("id"), col("total").as("n_tokens"),
-        (col("total") - col("dst")).as("dup_words"),
-        col("top_n").as("top_bigram_n"), col("stop_n").as("n_stopwords"),
-        concat_ws(",",
-          when(col("total") < minTokens, lit("too_short")),
-          when((col("total") - col("dst")) * 2 > col("total"), lit("high_dup")),
-          when(col("top_n") * 8 > col("total"), lit("bigram_repeat")),
-          when(col("stop_n") * 10 < col("total"), lit("stopword_poor"))).as("reasons"))
+    df.withColumn("ws", split(col(textCol), " "))
+      .withColumn("total", size(col("ws")).cast("long"))
+      .withColumn("dst", size(array_distinct(col("ws"))).cast("long"))
+      .withColumn("stop_n", expr(s"CAST(size(filter(ws, x -> x IN ($stop))) AS BIGINT)"))
+      .withColumn("top_n", expr(topRun).getField("top_bigram_n"))
+      .withColumn("reasons", concat_ws(",",
+        when(col("total") < minTokens, lit("too_short")),
+        when((col("total") - col("dst")) * 2 > col("total"), lit("high_dup")),
+        when(col("top_n") * 8 > col("total"), lit("bigram_repeat")),
+        when(col("stop_n") * 10 < col("total"), lit("stopword_poor"))))
       .withColumn("keep", (col("reasons") === "").cast("boolean"))
+      .withColumn("n_tokens", col("total"))
+      .withColumn("dup_words", col("total") - col("dst"))
+      .withColumn("top_bigram_n", col("top_n"))
+      .withColumn("n_stopwords", col("stop_n"))
+      .drop("ws", "total", "dst", "stop_n", "top_n")
   }
 
   /** Corpus-wide top-k word n-grams: explode per-document n-gram arrays,

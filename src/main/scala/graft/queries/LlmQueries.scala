@@ -398,7 +398,7 @@ object LlmQueries {
     "q57_quality_gate" -> QueryDef(
       (s, dir) => {
         Curation.qualityGate(table(s, dir, "documents"), "doc_id", "text")
-          .select(col("id").as("doc_id"), col("n_tokens"), col("dup_words"),
+          .select(col("doc_id"), col("n_tokens"), col("dup_words"),
             col("top_bigram_n"), col("n_stopwords"), col("reasons"),
             col("keep").cast("long").as("keep"))
           .orderBy("doc_id")

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import graft.llm.{Curation, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming document curation: the batch curation operators composed
+  * over an unbounded stream. `qualityGate` and `fingerprint` are narrow
+  * per-row expression pipelines, so they run on a streaming DataFrame
+  * unchanged; the only stateful stage is the first-seen dedup
+  * (`EventStreams.dedupFirstSeen`), keyed by the content fingerprint.
+  *
+  * Scale: the stateless stages scale with input partitions and hold no
+  * state; the dedup stage shuffles by fingerprint into the state store,
+  * whose live size is one (hash, docId) entry per distinct document —
+  * bound it with the idle timeout when the stream is unbounded.
+  */
+object DocStreams {
+
+  /** quality-gate → fingerprint → first-seen dedup over a (possibly
+    * streaming) documents frame with columns (idCol, textCol). Returns
+    * the curated stream of (contentHash = fingerprint, docId) — the
+    * documents a downstream sink should keep.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minTokens: Long = 20L,
+             idleTimeout: Option[String] = None): Dataset[EventStreams.Doc] = {
+    import docs.sparkSession.implicits._
+    val kept = Curation.qualityGate(docs, idCol, textCol, minTokens)
+      .filter(col("keep"))
+      .select(col(idCol), col(textCol))
+    val fp = TextAnalysis.fingerprint(kept, idCol, textCol)
+      .select(col("fingerprint").as("contentHash"), col("id").as("docId"))
+      .as[EventStreams.Doc]
+    EventStreams.dedupFirstSeen(fp, idleTimeout)
+  }
+}

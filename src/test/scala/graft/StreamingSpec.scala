@@ -64,4 +64,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(seen == Map("h1" -> 3L, "h2" -> 9L, "h3" -> 7L))
     } finally q.stop()
   }
+
+  test("streaming curation gates quality then dedups by fingerprint across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clean = "the quick brown fox jumps over a lazy dog while of crows " +
+      "watch to see in morning and evening light today"
+    val in = MemoryStream[(Long, String)]
+    val out = graft.streaming.DocStreams.curate(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      // batch 1: one clean doc and one too-short doc
+      in.addData((10L, clean), (11L, "too short"))
+      q.processAllAvailable()
+      // batch 2: an exact duplicate of the clean doc (same fingerprint)
+      // and a different clean doc
+      in.addData((12L, clean), (13L, clean.replace("today", "tomorrow")))
+      q.processAllAvailable()
+      val kept = spark.table("curated").as[EventStreams.Doc]
+        .collect().map(_.docId).toSet
+      assert(kept == Set(10L, 13L), s"got $kept")
+    } finally q.stop()
+  }
 }
