@@ -141,4 +141,24 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Deterministic symmetric int8 quantization per vector (the storage/
+    * bandwidth reduction step before ANN serving): scale = max |x|,
+    * q_i = round(x_i * 127 / scale); a zero vector quantizes to zeros.
+    * Emits the quantized codes as a comma-joined string alongside the
+    * L2 norm and scale. Pure per-row array expressions — a shuffle-free
+    * narrow pass at any corpus size.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("scale_raw",
+        expr("array_max(transform(v, x -> abs(CAST(x AS DOUBLE))))"))
+      .select(
+        col("id"),
+        round(norm(col("v")), 4).as("l2_norm"),
+        round(col("scale_raw"), 4).as("scale"),
+        expr("""concat_ws(',', transform(v, x -> CAST(round(
+                |  CASE WHEN scale_raw = 0.0D THEN 0.0D
+                |       ELSE CAST(x AS DOUBLE) * 127.0D / scale_raw END) AS BIGINT)))"""
+          .stripMargin).as("q8"))
 }

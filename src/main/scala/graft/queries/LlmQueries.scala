@@ -437,6 +437,25 @@ object LlmQueries {
              |SELECT gram, count(*) AS n FROM bg GROUP BY gram
              |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin)),
 
+    // ---- Int8 embedding quantization (symmetric, scale = max |x|)
+    "q59_embed_quantize" -> QueryDef(
+      (s, dir) => {
+        Similarity.quantizeInt8(table(s, dir, "embeddings"), "vec_id", "embedding")
+          .select(col("id").as("vec_id"), col("l2_norm"), col("scale"), col("q8"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH s AS (SELECT vec_id, embedding,
+             |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale_raw
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  round(sqrt(list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+             |  round(scale_raw, 4) AS scale,
+             |  array_to_string(list_transform(embedding, x -> CAST(round(
+             |    CASE WHEN scale_raw = 0 THEN 0.0
+             |         ELSE CAST(x AS DOUBLE) * 127.0 / scale_raw END) AS BIGINT)), ',') AS q8
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
     // ---- Near-dup cluster assignment: connected components over a
     // deterministic pair graph (chains + long-range links exercise
     // transitive closure, not just cliques). component = min reachable

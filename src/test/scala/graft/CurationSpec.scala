@@ -107,6 +107,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 1L, 11L -> 1L, 12L -> 1L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("quantizeInt8 scales to max|x| and zero vectors quantize to zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .orderBy("id").select("l2_norm", "scale", "q8")
+      .as[(Double, Double, String)].collect().toSeq
+    // scale 2.0; round(63.5)=64 (half-up), -127, round(31.75)=32
+    assert(out(0) == ((2.2913, 2.0, "64,-127,32")))
+    assert(out(1) == ((0.0, 0.0, "0,0,0")))
+  }
+
   test("packGreedy fills bins sequentially, oversized docs get their own bin") {
     import spark.implicits._
     val df = Seq(
