@@ -12,6 +12,31 @@ object EventQueries {
   import Registry.table
 
   val defs: Map[String, QueryDef] = Map(
+    // ---- Sliding-frame rolling deviation: each event vs its user's last
+    // 5 events. Fully integer (dev_scaled = cents*n - sum over the frame)
+    // so the comparison is exact; one shuffle (the user_id window).
+    "q60_rolling_deviation" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+        table(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .select(col("event_id"), col("user_id"), col("cents"),
+            sum(col("cents")).over(w).as("win_sum"),
+            count(lit(1)).over(w).as("win_n"))
+          .withColumn("dev_scaled", col("cents") * col("win_n") - col("win_sum"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS cents FROM events)
+             |SELECT event_id, user_id, cents,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS win_sum,
+             |  CAST(count(*) OVER w AS BIGINT) AS win_n,
+             |  CAST(cents * (count(*) OVER w) - (sum(cents) OVER w) AS BIGINT) AS dev_scaled
+             |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- Gap-based sessionization (30-minute inactivity split)
     "q48_sessionize" -> QueryDef(
       (s, dir) => {
