@@ -197,22 +197,29 @@ object Dedup {
       .union(edges.select(b.as("u"), a.as("v")))
       .distinct()
       .persist()
+    def propagate(l: DataFrame): DataFrame =
+      sym.join(l, sym("v") === l("id"))
+        .select(col("u").as("id"), col("comp"))
+        .union(l)
+        .groupBy("id").agg(min("comp").as("comp"))
+    // Labels only ever decrease, so the label-sum is a monotone
+    // convergence witness: unchanged sum == fixpoint. The sum is a
+    // narrow scan of the just-checkpointed labels — much cheaper than
+    // re-joining old vs new labels every round.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("comp").cast("decimal(38,0)"))).first().getDecimal(0)
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = sym.join(labels, sym("v") === labels("id"))
-        .select(col("u").as("id"), col("comp"))
-        .union(labels)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      converged = neighborMin.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      labels = neighborMin
+      val next = propagate(labels).localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
       iter += 1
     }
     sym.unpersist()
