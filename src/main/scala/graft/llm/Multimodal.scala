@@ -48,6 +48,35 @@ object Multimodal {
       .mapPartitions { batch => batch.map { case (id, payload) => decodeStub(id, payload) } }
   }
 
+  final case class MediaEmbed(id: Long, embedding: Array[Float])
+
+  /** STUB embedder — deterministic fake embedding from the payload's md5
+    * (a real implementation would run a vision/audio encoder here, with
+    * per-partition model load amortized by `mapPartitions`). Components
+    * are (byte - 128)/256 — exactly representable in both float and
+    * double, so downstream float math is engine-independent.
+    */
+  def embedStub(id: Long, payload: Array[Byte], dim: Int = 8): MediaEmbed = {
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val hex = graft.carve.Hex.lower(md5)
+    val emb = Array.tabulate(dim) { j =>
+      val v = Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16)
+      (v / 256.0 - 0.5).toFloat
+    }
+    MediaEmbed(id, emb)
+  }
+
+  /** Batched embedding over (id, payload) rows — the multimodal bridge
+    * into the embedding operators (ANN, near-dup, quantization).
+    */
+  def embed(spark: SparkSession, media: DataFrame, idCol: String, payloadCol: String,
+            dim: Int = 8): Dataset[MediaEmbed] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch => batch.map { case (id, payload) => embedStub(id, payload, dim) } }
+  }
+
   /** Frame sampling plan for video-like payloads: deterministic frame
     * indices (every `stride`-th of nFrames) — the shuffle-free metadata
     * half of a sample-and-decode stage.

@@ -561,6 +561,32 @@ object LlmQueries {
              |CAST((length(substr(text, 1, 64)) % 16) + 1 AS INT) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Multimodal → embedding bridge: stub-embed media payloads and
+    // int8-quantize the result (media → encode → compress, the serving
+    // prep path). Embedding components are (byte-128)/256 — exact in
+    // float AND double, so the cross-engine math is bit-identical.
+    "q61_media_embed_quantize" -> QueryDef(
+      (s, dir) => {
+        val media = table(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("payload"))
+        val emb = Multimodal.embed(s, media, "doc_id", "payload").toDF()
+        Similarity.quantizeInt8(emb, "id", "embedding")
+          .select(col("id").as("doc_id"), col("l2_norm"), col("scale"), col("q8"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, md5(substr(text, 1, 64)) AS h FROM documents),
+             |e AS (SELECT doc_id, list_transform(range(0, 8),
+             |        j -> CAST('0x' || substr(h, CAST(2*j+1 AS INT), 2) AS INT)/256.0 - 0.5) AS emb
+             |      FROM m),
+             |s AS (SELECT doc_id, emb,
+             |        list_max(list_transform(emb, x -> abs(x))) AS scale_raw FROM e)
+             |SELECT doc_id,
+             |  round(sqrt(list_sum(list_transform(emb, x -> x * x))), 4) AS l2_norm,
+             |  round(scale_raw, 4) AS scale,
+             |  array_to_string(list_transform(emb, x -> CAST(round(
+             |    CASE WHEN scale_raw = 0 THEN 0.0 ELSE x * 127.0 / scale_raw END) AS BIGINT)), ',') AS q8
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // ---- Multimodal: deterministic frame-sampling plan
     "q43_frame_sampling" -> QueryDef(
       (s, dir) => {
