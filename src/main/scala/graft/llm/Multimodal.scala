@@ -77,6 +77,28 @@ object Multimodal {
       .mapPartitions { batch => batch.map { case (id, payload) => embedStub(id, payload, dim) } }
   }
 
+  final case class ResizedMedia(id: Long, byteLen: Long, contentMd5: String)
+
+  /** STUB resize — deterministic downsample keeping every `stride`-th
+    * payload byte (a real implementation would decode, scale, re-encode).
+    * Runs in the same batched mapPartitions shape; emits the resized
+    * payload's length and content hash (the payload itself would stream
+    * to the blob store, exactly like carved files).
+    */
+  def resize(spark: SparkSession, media: DataFrame, idCol: String, payloadCol: String,
+             stride: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val out = Iterator.range(0, payload.length, stride).map(payload(_)).toArray
+          val md5 = java.security.MessageDigest.getInstance("MD5").digest(out)
+          ResizedMedia(id, out.length.toLong, graft.carve.Hex.lower(md5))
+        }
+      }
+  }
+
   /** Frame sampling plan for video-like payloads: deterministic frame
     * indices (every `stride`-th of nFrames) — the shuffle-free metadata
     * half of a sample-and-decode stage.

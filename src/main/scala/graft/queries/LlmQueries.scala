@@ -587,6 +587,23 @@ object LlmQueries {
              |    CASE WHEN scale_raw = 0 THEN 0.0 ELSE x * 127.0 / scale_raw END) AS BIGINT)), ',') AS q8
              |FROM s ORDER BY doc_id""".stripMargin)),
 
+    // ---- Multimodal resize stage: stride-2 downsample of each payload
+    "q62_media_resize" -> QueryDef(
+      (s, dir) => {
+        val media = table(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("payload"))
+        Multimodal.resize(s, media, "doc_id", "payload", 2).toDF()
+          .select(col("id").as("doc_id"), col("byteLen").as("byte_len"),
+            col("contentMd5").as("content_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents),
+             |r AS (SELECT doc_id, array_to_string(list_transform(
+             |        range(1, length(p) + 1, 2), i -> substr(p, CAST(i AS INT), 1)), '') AS rp
+             |      FROM m)
+             |SELECT doc_id, CAST(length(rp) AS BIGINT) AS byte_len, md5(rp) AS content_md5
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // ---- Multimodal: deterministic frame-sampling plan
     "q43_frame_sampling" -> QueryDef(
       (s, dir) => {
