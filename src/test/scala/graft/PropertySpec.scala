@@ -1,0 +1,112 @@
+package graft
+
+import graft.llm.{Curation, Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Seeded randomized properties: each distributed operator is compared
+  * against an independent single-threaded reference implementation over
+  * many generated cases. Cases are batched into one DataFrame per
+  * property (disjoint groups / id ranges), so each property is a single
+  * Spark action.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-property-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("packGreedy matches a sequential fold reference on random strata") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val rows = (0 until 40).flatMap { g =>
+      val n = 1 + rnd.nextInt(30)
+      (0 until n).map(i => (s"g$g", (g * 1000 + i).toLong, 1L + rnd.nextInt(900)))
+    }
+    val cap = 1000L
+    val got = Curation.packGreedy(rows.toDF("lang", "doc_id", "toks"), "lang", "doc_id", "toks", cap)
+      .select("lang", "doc_id", "bin", "fill_after")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var bin = 0L; var fill = 0L
+      rs.sortBy(_._2).map { case (_, id, t) =>
+        if (fill + t > cap && fill > 0L) { bin += 1; fill = t } else fill += t
+        (g, id, bin, fill)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("connectedComponents matches a union-find reference on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    // 12 disjoint random graphs, offset id ranges, one edge list
+    val edges = (0 until 12).flatMap { g =>
+      val base = g * 1000L
+      val nodes = 2 + rnd.nextInt(28)
+      val nEdges = 1 + rnd.nextInt(40)
+      (0 until nEdges).map { _ =>
+        (base + rnd.nextInt(nodes), base + rnd.nextInt(nodes))
+      }.filter { case (a, b) => a != b }
+    }
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want)
+  }
+
+  test("quantizeInt8 matches direct computation on random vectors") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val vecs = (0 until 100).map(i => (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f)))
+    val got = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .select("id", "q8").as[(Long, String)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max
+      val want = v.map { x =>
+        if (scale == 0.0) 0L
+        else new java.math.BigDecimal(x.toDouble * 127.0 / scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }.mkString(",")
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
+  test("repetitionStats matches a naive reference on random word lists") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Curation.repetitionStats(docs.toDF("id", "text"), "id", "text")
+      .select("id", "total_words", "distinct_words", "top_bigram", "top_bigram_n")
+      .as[(Long, Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (bg, n) = counts.toSeq.sortBy { case (g, c) => (-c, g) }.head
+      val want = (id, ws.size.toLong, ws.distinct.size.toLong, bg, n)
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+}
