@@ -99,9 +99,17 @@ object Dedup {
       .select(least(col("d1"), col("d2")).as("doc_a"), greatest(col("d1"), col("d2")).as("doc_b"))
     val shingled = sh.select(col("id").as("tid")).distinct()
     val m2 = membership.join(broadcast(shingled), Seq("tid"))
-    val same = m2.alias("x").join(m2.alias("y"),
-        col("x.tid") === col("y.tid") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // same-text pairs: ONE shuffle (groupBy tid) + in-row pair expansion,
+    // instead of a two-exchange self-join on tid. doc_a < doc_b falls out
+    // of the sorted id list and i < j.
+    val same = m2.groupBy(col("tid"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
     // No distinct needed: each doc has exactly one tid and textPairs is
     // already distinct, so cross pairs are unique; same-text pairs have
     // equal tids while cross pairs have different ones, so the branches

@@ -111,12 +111,18 @@ object LlmQueries {
           .join(membership.select(col("doc_id").as("d2"), col("tid").as("id_b")), Seq("id_b"))
           .select(least(col("d1"), col("d2")).as("doc_a"), greatest(col("d1"), col("d2")).as("doc_b"),
             col("inter_count"), col("union_count"))
-        // same-text doc pairs: J = 1 by construction
+        // same-text doc pairs: J = 1 by construction. One shuffle
+        // (groupBy tid) + in-row pair expansion, not a self-join.
         val m2 = membership.join(broadcast(sizes), membership("tid") === sizes("id"))
-        val same = m2.alias("x").join(m2.alias("y"),
-            col("x.tid") === col("y.tid") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.n").as("inter_count"), col("x.n").as("union_count"))
+        val same = m2.groupBy(col("tid"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"), first(col("n")).as("n"))
+          .filter(size(col("ids")) >= 2)
+          .select(col("n"), explode(expr(
+            """flatten(transform(sequence(0, size(ids) - 2),
+              |  i -> transform(sequence(i + 1, size(ids) - 1),
+              |    j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))""".stripMargin)).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"),
+            col("n").as("inter_count"), col("n").as("union_count"))
         cross.union(same).orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $shingleSql,
