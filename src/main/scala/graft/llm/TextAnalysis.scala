@@ -108,4 +108,18 @@ object TextAnalysis {
         col("id"),
         array_min(expr("transform(grams, g -> md5(g))")).as("fingerprint"),
         size(array_distinct(col("grams"))).cast("long").as("n_grams"))
+
+  /** Column-appending fingerprint variant: adds `fingerprint` to the
+    * ORIGINAL columns (null for documents with fewer than five words), so
+    * it composes into wider pipelines — including streaming ones — with
+    * no join.
+    */
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("graft_ws", split(col(textCol), " "))
+      .withColumn("fingerprint",
+        when(size(col("graft_ws")) >= 5,
+          array_min(expr("transform(transform(sequence(0, size(graft_ws) - 5), i -> " +
+            "concat(graft_ws[i], ' ', graft_ws[i+1], ' ', graft_ws[i+2], ' ', " +
+            "graft_ws[i+3], ' ', graft_ws[i+4])), g -> md5(g))"))))
+      .drop("graft_ws")
 }

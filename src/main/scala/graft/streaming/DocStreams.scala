@@ -34,4 +34,18 @@ object DocStreams {
       .as[EventStreams.Doc]
     EventStreams.dedupFirstSeen(fp, idleTimeout)
   }
+
+  /** Watermark-bounded streaming dedup via the engine-native
+    * `dropDuplicatesWithinWatermark`: rows sharing a fingerprint are
+    * deduplicated as long as they arrive within the watermark delay of
+    * each other, and the state store evicts fingerprints older than the
+    * watermark automatically — the zero-custom-code alternative to
+    * `dedupFirstSeen` when an event-time column exists.
+    */
+  def dedupWithinWatermark(docs: DataFrame, idCol: String, textCol: String,
+                           tsCol: String, delay: String): DataFrame =
+    TextAnalysis.withFingerprint(docs, textCol)
+      .filter(col("fingerprint").isNotNull)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
 }
