@@ -50,9 +50,13 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
-    // SPARK_GRAFT_REPEAT=N (dev): run each query N times, report the min —
-    // separates steady-state cost from codegen/JIT warm-up.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // Each query runs N times and reports the min (criterion-style
+    // steady state): run 1 absorbs first-touch costs the sf0.001 warm-up
+    // cannot — page-cache-cold sf0.1 parquet reads and AQE-replanned
+    // codegen (plan shape at sf0.1 can differ from sf0.001, e.g. a join
+    // crossing the broadcast threshold) — run 2 measures the operator.
+    // SPARK_GRAFT_REPEAT overrides for dev loops.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
 
     // Per-query codegen/JIT warm-up at the smallest SF (criterion-style,
     // untimed): the generated-code cache is keyed by plan shape, not

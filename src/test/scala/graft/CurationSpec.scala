@@ -101,10 +101,16 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       (20L, 21L),
       (5L, 10L)
     ).toDF("a", "b")
+    val want = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L, 20L -> 20L, 21L -> 20L)
+    // driver union-find path (small graph) and distributed min-label
+    // propagation path (threshold 0) must produce identical labels
     val out = graft.llm.Dedup.connectedComponents(edges, "a", "b")
       .orderBy("id").as[(Long, Long)].collect().toSeq
-    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 1L, 11L -> 1L, 12L -> 1L, 20L -> 20L, 21L -> 20L))
+    assert(out == want)
+    val dist = graft.llm.Dedup.connectedComponents(edges, "a", "b", smallGraphThreshold = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(dist == want)
   }
 
   test("quantizeInt8 scales to max|x| and zero vectors quantize to zeros") {

@@ -57,7 +57,9 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         (base + rnd.nextInt(nodes), base + rnd.nextInt(nodes))
       }.filter { case (a, b) => a != b }
     }
-    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    // threshold 0 forces the distributed propagation path; the driver
+    // union-find path is the reference computed below
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b", smallGraphThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     // union-find reference
     val parent = scala.collection.mutable.Map[Long, Long]()
