@@ -149,6 +149,38 @@ object Similarity {
     * L2 norm and scale. Pure per-row array expressions — a shuffle-free
     * narrow pass at any corpus size.
     */
+  /** Per-dimension corpus statistics (the normalization profile computed
+    * before whitening/quantizing an embedding table): n, mean, std for
+    * each vector position. Elements are scaled to integers
+    * (round(x·10⁷)) at the scan, so the distributed sums are EXACT
+    * (order-independent) — the float-sum nondeterminism of a naive
+    * avg/stddev over doubles never enters; mean/std then derive from the
+    * exact sums via IEEE-exactly-rounded double ops (+,−,·,/,sqrt only),
+    * reproducible on any engine. One map-side-combinable aggregation of
+    * (dim, scaled) pairs — shuffle width is the dimensionality.
+    * Returns (dim 0-based, n, mean round-4, std round-4) in ORIGINAL
+    * units.
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT)").as("scaled"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("scaled")).as("s1"),
+        sum((col("scaled") * col("scaled")).cast("decimal(38,0)")).as("s2"))
+      .select(col("dim"), col("n"),
+        round(col("s1").cast("double") / col("n").cast("double") / lit(1.0e7), 4).as("mean"),
+        // greatest(·, 0): exact-sum variance is mathematically ≥ 0 but
+        // the double evaluation can land an ulp below zero → NaN sqrt
+        round(
+          sqrt(greatest(
+            (col("s2").cast("double") / col("n").cast("double")) -
+              (col("s1").cast("double") / col("n").cast("double")) *
+                (col("s1").cast("double") / col("n").cast("double")),
+            lit(0.0))) / lit(1.0e7),
+          4).as("std"))
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("scale_raw",

@@ -109,6 +109,26 @@ object TextAnalysis {
         array_min(expr("transform(grams, g -> md5(g))")).as("fingerprint"),
         size(array_distinct(col("grams"))).cast("long").as("n_grams"))
 
+  /** Benchmark-contamination check: for every (train doc, benchmark doc)
+    * pair sharing at least `minShared` distinct word n-grams, the count
+    * of shared n-grams. The benchmark side is the small one by
+    * construction (eval sets are thousands of docs; the corpus is
+    * billions), so its distinct n-grams broadcast and the probe is a
+    * map-side join on the corpus scan — no corpus shuffle. Returns
+    * (train_doc, bench_doc, n_shared).
+    */
+  def crossNgramOverlap(train: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int, minShared: Long): DataFrame = {
+    val t = Dedup.shingles(train, idCol, textCol, n).distinct()
+    val b = Dedup.shingles(bench, idCol, textCol, n).distinct()
+      .select(col("id").as("bench_doc"), col("shingle"))
+    t.join(broadcast(b), Seq("shingle"))
+      .groupBy(col("id").as("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Column-appending fingerprint variant: adds `fingerprint` to the
     * ORIGINAL columns (null for documents with fewer than five words), so
     * it composes into wider pipelines — including streaming ones — with

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
 import org.apache.spark.sql.functions._
 
 /** Event-stream operators a training-data/analytics pipeline needs that
@@ -56,6 +56,23 @@ object EventQueries {
              |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
              |       min(ts) AS session_start, max(ts) AS session_end, CAST(sum(cents) AS BIGINT) AS total_cents
              |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin)),
+
+    // ---- Band (interval) join: per event, how many other events the
+    // same user produced within ±60 s. The bucketed-bin formulation
+    // (RangeJoin Scaladoc) keeps a hot user's rows sharded by time.
+    "q63_range_join" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        RangeJoin.countNeighbors(ev, ev, "user_id", "ts", "event_id", 60L * 1000000L)
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, a.user_id, a.ts,
+             |  CAST(coalesce(sum(CASE WHEN b.event_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_nearby
+             |FROM events a LEFT JOIN events b
+             |  ON b.user_id = a.user_id AND b.event_id <> a.event_id
+             | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+             |GROUP BY a.event_id, a.user_id, a.ts
+             |ORDER BY a.event_id""".stripMargin)),
 
     // ---- As-of join: latest order at or before each event, per user
     "q49_asof_join" -> QueryDef(

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.llm.{Sketches, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Approximate-query sketches and corpus-profiling operators (HLL,
+  * count-min, weighted sampling, contamination check, embedding stats).
+  * Every estimate is computed from integer sketch state + IEEE-exact
+  * double ops, so the DuckDB oracles reproduce the values bit-for-bit —
+  * the approximation is deterministic, not a rows-only check.
+  */
+object SketchQueries {
+  import Registry.table
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- HyperLogLog distinct users per event type, next to the exact
+    // count the sketch is standing in for at scale.
+    "q64_hll_distinct" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        Sketches.hllDistinct(ev, "event_type", "user_id")
+          .join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_exact"), col("hll_estimate"), col("empty_buckets"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type, user_id,
+             |            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+             |          FROM events),
+             |r AS (SELECT event_type, hv % 64 AS bucket,
+             |             CASE WHEN hv // 64 = 0 THEN 55 ELSE 55 - length(bin(hv // 64)) END AS rho
+             |      FROM h),
+             |m AS (SELECT event_type, bucket, max(rho) AS mx FROM r GROUP BY 1, 2),
+             |sk AS (SELECT event_type,
+             |              CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) AS BIGINT) AS s_present,
+             |              count(*) AS n_buckets
+             |       FROM m GROUP BY 1),
+             |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+             |SELECT sk.event_type, ex.n_exact,
+             |  round((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)) * CAST(36028797018963968 AS DOUBLE) /
+             |        CAST(s_present + (64 - n_buckets) * 36028797018963968 AS DOUBLE), 4) AS hll_estimate,
+             |  CAST(64 - n_buckets AS BIGINT) AS empty_buckets
+             |FROM sk JOIN ex ON ex.event_type = sk.event_type
+             |ORDER BY sk.event_type""".stripMargin)),
+
+    // ---- Count-min heavy hitters: top-20 tokens' exact counts next to
+    // their 4×256 sketch estimates.
+    "q65_cms_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        Sketches.cmsHeavyHitters(toks, "token", d = 4, w = 256, k = 20)
+          .orderBy("token")
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |tk AS (SELECT token FROM toks WHERE token <> ''),
+             |rows_ AS (SELECT unnest(range(0, 4)) AS r),
+             |sk AS (SELECT r, CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 12) AS BIGINT) % 256 AS c,
+             |              count(*) AS cnt
+             |       FROM tk, rows_ GROUP BY 1, 2),
+             |ex AS (SELECT token, count(*) AS n_exact FROM tk GROUP BY 1
+             |       ORDER BY n_exact DESC, token LIMIT 20),
+             |cand AS (SELECT token, n_exact, r,
+             |                CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 12) AS BIGINT) % 256 AS c
+             |         FROM ex, rows_)
+             |SELECT token, n_exact, CAST(min(cnt) AS BIGINT) AS cm_estimate
+             |FROM cand JOIN sk USING (r, c)
+             |GROUP BY 1, 2 ORDER BY token""".stripMargin)),
+
+    // ---- Deterministic weighted sample: 50 docs, probability ∝ n_chars
+    "q66_weighted_sample" -> QueryDef(
+      (s, dir) => {
+        Sketches.weightedSample(table(s, dir, "documents"), "doc_id", "n_chars", 50)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars, sample_hash FROM (
+             |  SELECT doc_id, n_chars,
+             |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS sample_hash
+             |  FROM documents WHERE n_chars > 0
+             |  ORDER BY CAST(sample_hash AS DOUBLE) / CAST(n_chars AS DOUBLE), doc_id
+             |  LIMIT 50)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Benchmark-contamination check: train docs sharing any word
+    // trigram with a benchmark doc (doc_id % 97 = 0), with the count.
+    "q67_contamination" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        TextAnalysis.crossNgramOverlap(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", n = 3, minShared = 1L)
+          .orderBy("train_doc", "bench_doc")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+             |sh AS (SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] AS s FROM g),
+             |b AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 = 0),
+             |t AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, count(*) AS n_shared
+             |FROM t JOIN b ON t.s = b.s
+             |GROUP BY 1, 2 ORDER BY train_doc, bench_doc""".stripMargin)),
+
+    // ---- Per-dimension embedding mean/std from exact integer sums
+    "q68_embed_dim_stats" -> QueryDef(
+      (s, dir) => {
+        Similarity.dimStats(table(s, dir, "embeddings"), "embedding")
+          .orderBy("dim")
+      },
+      Some("""WITH e AS (SELECT generate_subscripts(embedding, 1) AS sub, unnest(embedding) AS x
+             |           FROM embeddings),
+             |sc AS (SELECT CAST(sub - 1 AS BIGINT) AS dim,
+             |              CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS scaled
+             |       FROM e),
+             |a AS (SELECT dim, count(*) AS n, CAST(sum(scaled) AS BIGINT) AS s1,
+             |             CAST(sum(scaled * scaled) AS DECIMAL(38,0)) AS s2
+             |      FROM sc GROUP BY dim)
+             |SELECT dim, n,
+             |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0, 4) AS mean,
+             |  round(sqrt(greatest(
+             |          CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+             |          (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+             |          0.0)) / 10000000.0, 4) AS std
+             |FROM a ORDER BY dim""".stripMargin)))
+}
