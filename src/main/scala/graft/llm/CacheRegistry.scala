@@ -1,0 +1,37 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry of the DataFrames that operator plan-builders
+  * persist for shared-subtree reuse (Spark re-executes every occurrence
+  * of a subplan, so a DF feeding 2+ branches must be cached — PERF
+  * LESSON 1). Those caches cannot be dropped inside the builder: the
+  * returned plan is lazy, and an eager `unpersist()` at construction
+  * time is a no-op that silently re-scans the corpus once per branch.
+  *
+  * Caller contract: after materializing an operator's result (count /
+  * write / collect), call `CacheRegistry.releaseAll(spark)` — or
+  * `spark.catalog.clearCache()`, which the bench and verify harnesses
+  * already do between queries. Re-materializing a result after release
+  * is still correct (the plan recomputes), just slower.
+  */
+object CacheRegistry {
+  private val reg = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  /** Persist `df` (default storage level) and track the handle. */
+  def persist(df: DataFrame): DataFrame = {
+    df.persist()
+    reg.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    df
+  }
+
+  /** Unpersist every handle registered for the session. */
+  def releaseAll(spark: SparkSession): Unit = {
+    val q = reg.remove(spark)
+    if (q != null) q.forEach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+  }
+}

@@ -28,14 +28,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
   /** Word n-gram shingles: (id, shingle), duplicates preserved. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), " ")
-    // sliding window over the word array via sequence + transform —
-    // stays in whole-stage codegen (no UDF)
-    val grams = when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - lit(n)), i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    splitWords(df, idCol, textCol)
+      .select(col("id"), explode(shingleArray(n)).as("shingle"))
+
+  /** Per-document DISTINCT shingles: (id, shingle) with no duplicate
+    * pairs — `array_distinct` runs per row BEFORE the explode, so the
+    * output needs no corpus-wide `distinct()` shuffle. Use this wherever
+    * a set-semantics shingle table is wanted (Jaccard, contamination):
+    * the dedup happens in the narrow scan for free.
+    */
+  def distinctShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    splitWords(df, idCol, textCol)
+      .select(col("id"), explode(array_distinct(shingleArray(n))).as("shingle"))
+
+  private def splitWords(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+
+  // Sliding window over the pre-split word array via sequence + transform —
+  // stays in whole-stage codegen (no UDF). Grams are built by direct
+  // element indexing: a per-gram slice() materializes a throwaway
+  // sub-array, which profiles ~5x slower than indexed concat on a
+  // shingle-heavy corpus scan.
+  private def shingleArray(n: Int): Column = {
+    val parts = (0 until n)
+      .map(o => if (o == 0) "graft_ws[i]" else s"graft_ws[i+$o]")
+      .mkString(", ' ', ")
+    when(size(col("graft_ws")) >= n,
+      expr(s"transform(sequence(0, size(graft_ws) - $n), i -> concat($parts))"))
       .otherwise(array())
-    df.select(col(idCol).as("id"), explode(grams).as("shingle"))
   }
 
   /** K md5-seeded minhashes per id: (id, k, minhash). */
@@ -89,9 +110,11 @@ object Dedup {
     // re-executes each occurrence of a subplan (no common-subtree reuse),
     // so persist both: one corpus scan instead of four, one shingle
     // shuffle instead of two. Both are collapsed-size (texts, not docs).
-    val membership = docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("tid")).persist()
+    // Cache lifecycle: see [[CacheRegistry]] — release after materializing.
+    val membership = CacheRegistry.persist(
+      docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("tid")))
     val texts = docs.select(md5(col(textCol)).as("doc_id"), col(textCol).as("t")).distinct()
-    val sh = shingles(texts, "doc_id", "t", shingleN).persist()
+    val sh = CacheRegistry.persist(shingles(texts, "doc_id", "t", shingleN))
     val textPairs = lshCandidatePairs(bandKeys(minHashSignatures(sh, numHashes), rowsPerBand))
     val cross = broadcast(textPairs)
       .join(membership.select(col("doc_id").as("d1"), col("tid").as("id_a")), Seq("id_a"))
@@ -166,8 +189,10 @@ object Dedup {
     */
   def ngramJaccardPairs(shingleDf: DataFrame): DataFrame = {
     // distinctSh feeds the sizes agg and both sides of the intersection
-    // self-join — persist so the distinct shuffle runs once, not three times
-    val distinctSh = shingleDf.select(col("id"), col("shingle")).distinct().persist()
+    // self-join — persist so the distinct shuffle runs once, not three
+    // times. Cache lifecycle: [[CacheRegistry]] — release after use.
+    val distinctSh = CacheRegistry.persist(
+      shingleDf.select(col("id"), col("shingle")).distinct())
     val sizes = distinctSh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val a = distinctSh.select(col("shingle"), col("id").as("id_a"))
     val b = distinctSh.select(col("shingle"), col("id").as("id_b"))
@@ -201,12 +226,21 @@ object Dedup {
     * truncates the growing lineage so round N's plan does not replay
     * rounds 1..N-1. Runs until a fixpoint (bounded by `maxIter`, then
     * asserts convergence rather than returning partial labels).
+    *
+    * `smallGraphThreshold < 0` (the default) resolves the cutoff from
+    * the `graft.cc.smallGraphEdges` session conf, defaulting to 1M
+    * edges — boxed (Long, Long) tuples plus the union-find maps cost
+    * ~100 bytes/edge on the driver, so 1M stays ~100 MB, safe even for
+    * a default 1g driver heap. Raise the conf on drivers sized for it.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
-                          smallGraphThreshold: Long = 10000000L): DataFrame = {
+                          smallGraphThreshold: Long = -1L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val smallCutoff =
+      if (smallGraphThreshold >= 0L) smallGraphThreshold
+      else spark.conf.get("graft.cc.smallGraphEdges", "1000000").toLong
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val sym = edges.select(a.as("u"), b.as("v"))
@@ -214,7 +248,7 @@ object Dedup {
       .distinct()
       .persist()
     val edgeCount = sym.count()
-    if (edgeCount <= smallGraphThreshold) {
+    if (edgeCount <= smallCutoff) {
       // Driver union-find (rank + path compression), then component =
       // min node id per root — identical labels to the distributed path.
       val es = sym.as[(Long, Long)].collect()

@@ -72,8 +72,10 @@ object Similarity {
       nPlanes: Int, minScore: Double): DataFrame = {
     val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
     // both sides of the pair join read this — persist or the whole
-    // bucket computation (2 shuffles) runs twice
-    val withBucket = corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id").persist()
+    // bucket computation (2 shuffles) runs twice. Cache lifecycle:
+    // [[CacheRegistry]] — release after materializing.
+    val withBucket = CacheRegistry.persist(
+      corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id"))
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq("bucket"))
@@ -127,8 +129,10 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame, k: Int, nPlanes: Int): DataFrame = {
     val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
-    // feeds both the broadcast query side and the candidate side
-    val withBucket = corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id").persist()
+    // feeds both the broadcast query side and the candidate side. Cache
+    // lifecycle: [[CacheRegistry]] — release after materializing.
+    val withBucket = CacheRegistry.persist(
+      corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id"))
     val q = broadcast(withBucket
       .join(queries.select(col(idCol).as("qid")), col(idCol) === col("qid"))
       .select(col("qid").as("query_id"), col(vecCol).as("qv"), col("bucket")))
@@ -165,10 +169,15 @@ object Similarity {
     df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("dim").cast("long").as("dim"),
         expr("CAST(round(CAST(x AS DOUBLE) * 10000000.0D) AS BIGINT)").as("scaled"))
+      // accumulate in decimal(38,0), matching the oracle's hugeint-width
+      // sums: squaring in LONG would wrap silently (ANSI off) once
+      // |x| ≳ 303 (scaled² > 2⁶³), and s1 can overflow LONG at extreme n —
+      // either would quietly break the exactness contract at scale
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
-        sum(col("scaled")).as("s1"),
-        sum((col("scaled") * col("scaled")).cast("decimal(38,0)")).as("s2"))
+        sum(col("scaled").cast("decimal(38,0)")).cast("decimal(38,0)").as("s1"),
+        sum(col("scaled").cast("decimal(38,0)") * col("scaled").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("s2"))
       .select(col("dim"), col("n"),
         round(col("s1").cast("double") / col("n").cast("double") / lit(1.0e7), 4).as("mean"),
         // greatest(·, 0): exact-sum variance is mathematically ≥ 0 but

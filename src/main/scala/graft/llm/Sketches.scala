@@ -20,85 +20,131 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** HyperLogLog distinct-count estimate per group, p=6 (m=64 buckets,
-    * standard error ≈ 1.04/√64 ≈ 13%).
+  /** HyperLogLog distinct-count estimate per group. Default precision
+    * p=6 (m=64 buckets, standard error ≈ 1.04/√64 ≈ 13%); raising `p`
+    * tightens the error at 2^p·8 bytes of sketch state per group.
     *
-    * Per value: a 60-bit md5 hash splits into bucket (low 6 bits) and a
-    * 54-bit tail w; rank ρ = leading zeros of w + 1 (ρ = 55 for w = 0).
-    * The harmonic sum Σ 2^−M[j] is accumulated EXACTLY as the integer
-    * Σ 2^(55−M[j]) (≤ 64·2^55 < 2^62), including 2^55 per empty bucket;
-    * the raw estimate α·m²·2^55/S then involves only exactly-rounded
-    * double ops. The small-range linear-counting correction is omitted
-    * (it needs ln); `empty_buckets` is emitted so callers can apply it.
+    * Per value: a 60-bit md5 hash splits into bucket (low p bits) and a
+    * (60−p)-bit tail w; rank ρ = leading zeros of w + 1 (ρ = 61−p for
+    * w = 0). The harmonic sum Σ 2^−M[j] is accumulated EXACTLY as the
+    * integer Σ 2^(61−p−M[j]) (≤ m·2^(61−p) = 2^61), including a full
+    * term per empty bucket; the raw estimate α·m²·2^(61−p)/S then
+    * involves only exactly-rounded double ops.
+    *
+    * `smallRangeCorrection = true` applies the standard linear-counting
+    * correction (Flajolet et al. §4: when the raw estimate ≤ 2.5·m and
+    * empty buckets remain, estimate = m·ln(m/V)). It needs libm's `ln`,
+    * whose last-ulp rounding is implementation-defined — so the corrected
+    * estimate is accurate (≈1/√(2m) relative error at low load) but NOT
+    * guaranteed bit-reproducible across engines; leave the flag off when
+    * comparing hashes against another engine. `empty_buckets` is always
+    * emitted so callers can apply their own correction.
     *
     * Returns (groupCol, hll_estimate DOUBLE round-4, empty_buckets LONG).
     */
-  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  smallRangeCorrection: Boolean = false, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"precision $p outside [4, 16]")
+    val m = 1L << p
+    val maxRho = 61 - p // tail bits (60-p) + 1
+    val alphaM2 = (p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m.toDouble)
+    }) * m.toDouble * m.toDouble
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10).cast("long")
-    // h div 64, NOT h/64: `/` is double division, which would round away
+    // h div m, NOT h/m: `/` is double division, which would round away
     // the low bits of a 60-bit hash (doubles carry 53)
     val hv = df.select(col(groupCol), h.as("hv"))
-      .select(col(groupCol), (col("hv") % 64).as("bucket"), expr("hv div 64").as("w"))
-    val rho = when(col("w") === 0L, lit(55)).otherwise(lit(55) - length(bin(col("w"))))
+      .select(col(groupCol), (col("hv") % m).as("bucket"), expr(s"hv div $m").as("w"))
+    val rho = when(col("w") === 0L, lit(maxRho)).otherwise(lit(maxRho) - length(bin(col("w"))))
+    val raw = lit(alphaM2) * lit(math.pow(2.0, maxRho)) /
+      (col("s_present") + (lit(m) - col("n_buckets")) * lit(1L << maxRho)).cast("double")
+    val empty = (lit(m) - col("n_buckets")).cast("double")
+    val est =
+      if (!smallRangeCorrection) raw
+      else when(raw <= lit(2.5 * m) && empty > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / empty)).otherwise(raw)
     hv.select(col(groupCol), col("bucket"), rho.as("rho"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rho")).as("mx"))
       .groupBy(col(groupCol))
       .agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mx)")).as("s_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mx)")).as("s_present"),
         count(lit(1)).as("n_buckets"))
       .select(
         col(groupCol),
-        round(
-          lit(0.709 * 4096.0) * lit(math.pow(2.0, 55)) /
-            (col("s_present") + (lit(64L) - col("n_buckets")) * lit(1L << 55)).cast("double"),
-          4).as("hll_estimate"),
-        (lit(64L) - col("n_buckets")).as("empty_buckets"))
+        round(est, 4).as("hll_estimate"),
+        (lit(m) - col("n_buckets")).as("empty_buckets"))
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
   }
 
   /** Count-min sketch (d rows × w columns) over a token column, queried
     * for the exact top-k tokens: emits each candidate's true count next
-    * to its sketch estimate (always an over-count). Token stream →
-    * d-row replication → (row, col) counts is one map-side-combinable
-    * aggregation; the sketch itself (d·w rows) broadcasts back to the
-    * candidates. Hash_i(t) = 48-bit md5("i:t") mod w.
+    * to its sketch estimate (always an over-count). Hash_i(t) = 48-bit
+    * md5("i:t") mod w.
     *
-    * Returns (token, n_exact, cm_estimate), top-k by (n_exact desc,
-    * token asc).
+    * Plan shape: ONE corpus pass — a map-side-combinable groupBy to
+    * per-token exact counts. Every sketch cell is the sum of the exact
+    * counts of the tokens hashing into it (identical to counting raw
+    * tokens), so the sketch derives from the vocabulary table, never a
+    * second corpus scan. The sketch (d·w cells) and the top-k are bounded
+    * regardless of corpus size, so — like the adaptive small-graph path
+    * in [[Dedup.connectedComponents]] — they finish on the driver, the
+    * vocabulary cache is dropped before returning, and the result is a
+    * local relation. No persisted RDDs outlive the call.
+    *
+    * Returns (token, n_exact, cm_estimate); callers order as needed.
     */
   def cmsHeavyHitters(tokens: DataFrame, tokenCol: String,
                       d: Int = 4, w: Int = 256, k: Int = 20): DataFrame = {
-    val toks = tokens.select(col(tokenCol).as("token")).persist()
+    val spark = tokens.sparkSession
+    import spark.implicits._
     def colHash(row: Int, t: org.apache.spark.sql.Column) =
       conv(substring(md5(concat(lit(row.toString), lit(":"), t)), 1, 12), 16, 10)
         .cast("long") % w
-    val sketch = toks
-      .select(explode(array((0 until d).map { i =>
+    // same 48-bit hash, driver side (md5 of the UTF-8 bytes, first 12 hex
+    // chars as base-16) — must stay in lockstep with colHash above
+    def driverHash(row: Int, t: String): Long =
+      java.lang.Long.parseLong(md5Hex(s"$row:$t").substring(0, 12), 16) % w
+    val vocab = tokens.select(col(tokenCol).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .persist()
+    val cells = vocab
+      .select(col("n_exact"), explode(array((0 until d).map { i =>
         struct(lit(i).as("r"), colHash(i, col("token")).as("c"))
       }: _*)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-      .agg(count(lit(1)).as("cnt"))
-    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col("token")).limit(k)
-    val cand = exact.select(col("token"), col("n_exact"),
-      explode(array((0 until d).map { i =>
-        struct(lit(i).as("r"), colHash(i, col("token")).as("c"))
-      }: _*)).as("rc"))
-    val out = cand
-      .join(broadcast(sketch), cand("rc.r") === sketch("r") && cand("rc.c") === sketch("c"))
-      .groupBy(col("token"), col("n_exact"))
-      .agg(min(col("cnt")).as("cm_estimate"))
-    toks.unpersist()
-    out
+      .agg(sum(col("n_exact")).as("cnt"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, c, cnt) => (r, c) -> cnt }.toMap
+    val topk = vocab.orderBy(col("n_exact").desc, col("token")).limit(k)
+      .as[(String, Long)].collect()
+    vocab.unpersist()
+    val out = topk.toSeq.map { case (t, nExact) =>
+      val est = (0 until d).map(i => cells((i, driverHash(i, t)))).min
+      (t, nExact, est)
+    }
+    spark.createDataFrame(out).toDF("token", "n_exact", "cm_estimate")
   }
 
   /** Deterministic weighted sample of k rows without replacement:
     * priority = hash(id)/weight (48-bit md5 uniform over an exact double
-    * division — heavier rows draw proportionally smaller priorities),
-    * take the k smallest. The selection is a TakeOrdered (per-partition
-    * top-k then driver merge), not a global sort — the scale-safe shape.
-    * Ties (hash collisions) break on id. Returns (idCol, weightCol,
-    * sample_hash) for the selected rows.
+    * division — heavier rows draw proportionally smaller priorities, a
+    * weight-BIASED selection; exact ∝-weight sampling à la
+    * Efraimidis–Spirakis needs u^(1/w), i.e. libm, which would break the
+    * no-libm determinism contract). The selection is a TakeOrdered
+    * (per-partition top-k then driver merge), not a global sort — the
+    * scale-safe shape. Ties (hash collisions) break on id. Returns
+    * (idCol, weightCol, sample_hash) for the selected rows.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10).cast("long")

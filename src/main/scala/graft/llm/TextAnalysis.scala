@@ -78,8 +78,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val nDocs = df.count().toDouble
     val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
-    // tf feeds both the df aggregation and the scoring join
-    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")).persist()
+    // tf feeds both the df aggregation and the scoring join. Cache
+    // lifecycle: [[CacheRegistry]] — release after materializing.
+    val tf = CacheRegistry.persist(
+      toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
@@ -120,8 +122,11 @@ object TextAnalysis {
   def crossNgramOverlap(train: DataFrame, bench: DataFrame,
                         idCol: String, textCol: String,
                         n: Int, minShared: Long): DataFrame = {
-    val t = Dedup.shingles(train, idCol, textCol, n).distinct()
-    val b = Dedup.shingles(bench, idCol, textCol, n).distinct()
+    // per-doc gram sets dedup inside the scan (array_distinct before the
+    // explode) — the train side reaches the probe join with NO shuffle at
+    // all; the only exchange left is the final per-pair groupBy
+    val t = Dedup.distinctShingles(train, idCol, textCol, n)
+    val b = Dedup.distinctShingles(bench, idCol, textCol, n)
       .select(col("id").as("bench_doc"), col("shingle"))
     t.join(broadcast(b), Seq("shingle"))
       .groupBy(col("id").as("train_doc"), col("bench_doc"))

@@ -69,7 +69,9 @@ object SketchQueries {
              |FROM cand JOIN sk USING (r, c)
              |GROUP BY 1, 2 ORDER BY token""".stripMargin)),
 
-    // ---- Deterministic weighted sample: 50 docs, probability ∝ n_chars
+    // ---- Deterministic weighted sample: 50 docs, weight-biased toward
+    // large n_chars (priority = hash/weight; not exact ∝-weight
+    // Efraimidis–Spirakis sampling, which would need libm's pow/ln)
     "q66_weighted_sample" -> QueryDef(
       (s, dir) => {
         Sketches.weightedSample(table(s, dir, "documents"), "doc_id", "n_chars", 50)
@@ -114,8 +116,9 @@ object SketchQueries {
              |sc AS (SELECT CAST(sub - 1 AS BIGINT) AS dim,
              |              CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) AS scaled
              |       FROM e),
-             |a AS (SELECT dim, count(*) AS n, CAST(sum(scaled) AS BIGINT) AS s1,
-             |             CAST(sum(scaled * scaled) AS DECIMAL(38,0)) AS s2
+             |a AS (SELECT dim, count(*) AS n,
+             |             CAST(sum(CAST(scaled AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+             |             CAST(sum(CAST(scaled AS DECIMAL(38,0)) * CAST(scaled AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
              |      FROM sc GROUP BY dim)
              |SELECT dim, n,
              |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 10000000.0, 4) AS mean,

@@ -1,0 +1,87 @@
+package graft
+
+import graft.llm.{CacheRegistry, Dedup, Sketches, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the operator library's cache lifecycle contract: every persisted
+  * shared subtree is registered with [[CacheRegistry]], so after
+  * materializing a result and calling `releaseAll` no persisted RDDs
+  * remain in the session — composing operators in a long-lived
+  * application cannot leak storage memory.
+  */
+class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-cache-hygiene-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def assertNoLeak(name: String)(build: => org.apache.spark.sql.DataFrame): Unit = {
+    val df = build
+    df.count() // materialize with the caches alive (that's their point)
+    CacheRegistry.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"$name leaked persisted RDDs after releaseAll")
+  }
+
+  test("collapsedLshPairs leaves no persisted RDDs after releaseAll") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, if (i % 4 == 0) "a b c d e f" else s"u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    assertNoLeak("collapsedLshPairs") {
+      Dedup.collapsedLshPairs(docs, "doc_id", "text", shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    }
+  }
+
+  test("ngramJaccardPairs leaves no persisted RDDs after releaseAll") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"a b c d${i % 3} e f")).toDF("doc_id", "text")
+    assertNoLeak("ngramJaccardPairs") {
+      Dedup.ngramJaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3))
+    }
+  }
+
+  test("cosineNearDupPairs and lshTopK leave no persisted RDDs after releaseAll") {
+    import spark.implicits._
+    val vecs = (1L to 30L).map(i => (i, Seq.tabulate(8)(d => ((i % 5) + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    assertNoLeak("cosineNearDupPairs") {
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", nPlanes = 4, minScore = 0.99)
+    }
+    assertNoLeak("lshTopK") {
+      Similarity.lshTopK(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") <= 3), k = 5, nPlanes = 4)
+    }
+  }
+
+  test("tfidfTopTerms leaves no persisted RDDs after releaseAll") {
+    import spark.implicits._
+    val docs = (1L to 15L).map(i => (i, s"the quick brown fox f$i jumps")).toDF("doc_id", "text")
+    assertNoLeak("tfidfTopTerms") {
+      TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+    }
+  }
+
+  test("cmsHeavyHitters is self-contained: no persisted RDDs even without releaseAll") {
+    import spark.implicits._
+    val toks = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"c$i")).toDF("token")
+    val out = Sketches.cmsHeavyHitters(toks, "token", d = 4, w = 64, k = 5)
+    out.count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "cmsHeavyHitters must drop its vocabulary cache before returning")
+  }
+
+  test("connectedComponents driver path is self-contained") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    Dedup.connectedComponents(edges, "a", "b").count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}

@@ -44,6 +44,22 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hllDistinct smallRangeCorrection lands within 2% on a 50-distinct group") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => ("a", s"a$i")).toDF("g", "v")
+    // p=14 (m=16384): linear counting at load 50/16384 has ~1/sqrt(2m)
+    // ≈ 0.55% relative error — comfortably inside 2%. (At the default
+    // p=6 the inherent LC error at load 50/64 is ~10%, so a 2% bound
+    // there would be hash luck, not accuracy.)
+    val est = Sketches.hllDistinct(df, "g", "v", smallRangeCorrection = true, p = 14)
+      .collect()(0).getDouble(1)
+    assert(math.abs(est - 50.0) / 50.0 <= 0.02, s"corrected estimate $est vs 50")
+    // flag off must keep emitting the raw (libm-free, oracle-exact) value,
+    // and the default-p raw path must be unchanged by the generalization
+    val raw = Sketches.hllDistinct(df, "g", "v").collect()(0).getDouble(1)
+    assert(raw != est)
+  }
+
   test("hllDistinct is insensitive to duplication and row order") {
     import spark.implicits._
     val base = (1 to 300).map(i => ("g", s"v$i")).toDF("g", "v")
@@ -136,5 +152,17 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out(0)._3 - 3.0) < 1e-9)
     assert(math.abs(out(0)._4 - 1.633) < 1e-3)
     assert(out(1)._3 == 0.0 && out(1)._4 == 0.0)
+  }
+
+  test("dimStats survives magnitudes whose squares overflow LONG") {
+    import spark.implicits._
+    // |x| = 400 -> scaled = 4e9, scaled^2 = 1.6e19 > Long.MaxValue: a
+    // LONG accumulator would wrap silently (ANSI off); the decimal(38,0)
+    // path must stay exact. mean 0, std 400.
+    val df = Seq((1L, Seq(400.0f)), (2L, Seq(-400.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(df, "embedding").collect()(0)
+    assert(out.getLong(1) == 2L)
+    assert(out.getDouble(2) == 0.0)
+    assert(math.abs(out.getDouble(3) - 400.0) < 1e-6, s"std ${out.getDouble(3)}")
   }
 }
