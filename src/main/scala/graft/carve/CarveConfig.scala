@@ -1,6 +1,6 @@
 package graft.carve
 
-/** Engine configuration: the 30 built-in file types with their header
+/** Engine configuration: the 31 built-in file types with their header
   * patterns / size limits / validators (values from the reference's
   * config/default.yml:26-331 and src/config.rs:7-79), the type allow/deny
   * filter with zip/ole family expansion (src/util.rs:574-696), and the
@@ -67,7 +67,7 @@ object EngineConfig {
   private val MiB = 1024L * 1024
   private val GiB = 1024L * MiB
 
-  /** 30 default file types — ids, magics, limits from config/default.yml. */
+  /** 31 default file types — ids, magics, limits from config/default.yml. */
   val defaultFileTypes: Seq[FileTypeConfig] = Seq(
     FileTypeConfig("jpeg", Seq("jpg", "jpeg"), Seq(HeaderPattern("jpeg_soi", "FFD8FF")), Seq.empty, 100 * MiB, 500, "jpeg"),
     FileTypeConfig("png", Seq("png"), Seq(HeaderPattern("png_sig", "89504E470D0A1A0A")), Seq.empty, 100 * MiB, 100, "png"),

@@ -109,6 +109,11 @@ object CarvePipeline {
     val doStrings = enableStrings
     val doEntropy = enableEntropy
 
+    // Progress: per-chunk byte counts land in a named accumulator that
+    // ProgressListener folds into %, MiB/s, ETA events (SURVEY step 9).
+    val bytesProgress = spark.sparkContext.longAccumulator(
+      ProgressListener.accumulatorName(runId))
+
     // Stage 1: one evidence pass per chunk; signature + string + entropy
     // scans share the buffer (the reference's Arc<Vec<u8>> sharing).
     val scanned = chunks.mapPartitions { iter =>
@@ -126,6 +131,7 @@ object CarvePipeline {
           n = reader.readAt(chunk.start + got, data, got, want - got)
           got += n
         }
+        bytesProgress.add(got.toLong)
         val hits = scan.normalize(chunk, scan.scanChunk(chunk, data, got))
         val artefacts =
           if (doStrings) {

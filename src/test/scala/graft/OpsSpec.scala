@@ -130,4 +130,113 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.copy(overlap = 1234).configHash != a.configHash)
     assert(a.copy(fileTypes = a.fileTypes.filterNot(_.id == "zip")).configHash != a.configHash)
   }
+
+  test("progress listener emits percent/MiB-s/ETA events during a pipeline run") {
+    import graft.pipeline.{ProgressEvent, ProgressListener}
+    val evidence = new Array[Byte](64 * 1024)
+    System.arraycopy(FixtureBytes.jpeg(), 0, evidence, 4096, FixtureBytes.jpeg().length)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[ProgressEvent]()
+    val listener = new ProgressListener("progrun", evidence.length.toLong,
+      intervalMs = 0L, onProgress = events.add(_))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      CarvePipeline.run(spark, InMemoryRef(evidence), cfg, "progrun",
+        enableStrings = false, enableEntropy = false).carvedFiles.count()
+      // listener-bus delivery is async; wait briefly for the task-end events
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (events.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(!events.isEmpty, "no progress events captured")
+      val last = events.toArray(Array.empty[ProgressEvent]).last
+      assert(last.runId == "progrun")
+      assert(last.bytesScanned > 0 && last.totalBytes == evidence.length.toLong)
+      assert(last.percent > 0.0 && last.percent <= 100.0)
+      assert(last.mibPerSec > 0.0 && last.etaSec >= 0.0)
+      assert(listener.bytesScanned >= evidence.length.toLong) // overlap re-reads count too
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("sink schemas match the reference parquet layouts column for column") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val info = RunInfo("r", "0.1.0", "cfg", "ev", "sha")
+    val prov = Seq("run_id" -> StringType, "tool_version" -> StringType,
+      "config_hash" -> StringType, "evidence_path" -> StringType,
+      "evidence_sha256" -> StringType)
+    def check(df: org.apache.spark.sql.DataFrame, want: Seq[(String, DataType)]): Unit = {
+      val got = df.schema.fields.map(f => f.name -> f.dataType).toSeq
+      assert(got == want, s"\ngot:  $got\nwant: $want")
+    }
+    val carved = Seq(graft.core.CarvedFile("r", "docx", "docx/f.docx", "docx",
+      0L, 10L, 10L, "m", "s", validated = true, truncated = false, Seq("e1", "e2"), "zip_header"))
+      .toDS()
+    val filesDf = MetadataSinks.carvedFilesDf(spark, carved, info)
+    check(filesDf, prov ++ Seq(
+      "handler_id" -> StringType, "file_type" -> StringType, "carved_path" -> StringType,
+      "global_start" -> LongType, "global_end" -> LongType, "size" -> LongType,
+      "md5" -> StringType, "sha256" -> StringType, "pattern_id" -> StringType,
+      "magic_bytes" -> BinaryType, "validated" -> BooleanType, "truncated" -> BooleanType,
+      "error" -> StringType))
+    // zip-family handler collapse + errors array join + null magic_bytes
+    val fr = filesDf.collect().head
+    assert(fr.getAs[String]("handler_id") == "zip")
+    assert(fr.getAs[String]("error") == "e1; e2")
+    assert(fr.isNullAt(fr.fieldIndex("magic_bytes")))
+
+    val arts = Seq(
+      graft.core.StringArtefact("r", "Url", "https://h.example/p", "ascii", 0L, 19L),
+      graft.core.StringArtefact("r", "Email", "a@b.example", "ascii", 20L, 31L),
+      graft.core.StringArtefact("r", "Phone", "+1 555 0100", "ascii", 40L, 51L)).toDS()
+    check(MetadataSinks.urlArtefactsDf(spark, arts, info), prov ++ Seq(
+      "global_start" -> LongType, "global_end" -> LongType, "url" -> StringType,
+      "scheme" -> StringType, "host" -> StringType, "port" -> IntegerType,
+      "path" -> StringType, "query" -> StringType, "fragment" -> StringType,
+      "source_kind" -> StringType, "source_detail" -> StringType, "certainty" -> DoubleType))
+    check(MetadataSinks.emailArtefactsDf(spark, arts, info), prov ++ Seq(
+      "global_start" -> LongType, "global_end" -> LongType, "email" -> StringType,
+      "local_part" -> StringType, "domain" -> StringType,
+      "source_kind" -> StringType, "source_detail" -> StringType, "certainty" -> DoubleType))
+    check(MetadataSinks.phoneArtefactsDf(spark, arts, info), prov ++ Seq(
+      "global_start" -> LongType, "global_end" -> LongType, "phone_raw" -> StringType,
+      "phone_e164" -> StringType, "country" -> StringType,
+      "source_kind" -> StringType, "source_detail" -> StringType, "certainty" -> DoubleType))
+    assert(MetadataSinks.urlArtefactsDf(spark, arts, info).collect()
+      .head.getAs[String]("source_kind") == "string_span")
+
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T03:04:05.000006Z"))
+    val hist = Seq(graft.core.BrowserHistoryRecord("r", "chrome", "Default",
+      Some("https://x.example"), Some("t"), Some(ts), Some(3L), Some("link"), "History")).toDS()
+    check(MetadataSinks.browserHistoryDf(spark, hist, info), prov ++ Seq(
+      "source_file" -> StringType, "browser" -> StringType, "profile" -> StringType,
+      "url" -> StringType, "title" -> StringType, "visit_time_utc" -> TimestampType,
+      "visit_source" -> StringType, "row_id" -> LongType, "table_name" -> StringType))
+
+    val cookies = Seq(graft.core.BrowserCookieRecord("r", "chrome", "Default",
+      Some("h"), Some("n"), Some("v"), Some("/"), Some(ts), Some(ts), Some(ts),
+      Some(true), Some(false), "Cookies")).toDS()
+    check(MetadataSinks.browserCookiesDf(spark, cookies, info), prov ++ Seq(
+      "source_file" -> StringType, "browser" -> StringType, "profile" -> StringType,
+      "host" -> StringType, "name" -> StringType, "value" -> StringType,
+      "path" -> StringType, "expires_utc" -> TimestampType,
+      "last_access_utc" -> TimestampType, "creation_utc" -> TimestampType,
+      "is_secure" -> BooleanType, "is_http_only" -> BooleanType))
+
+    val dls = Seq(graft.core.BrowserDownloadRecord("r", "firefox", "p1",
+      Some("https://d.example/f"), Some("/tmp/f"), Some(ts), Some(ts), Some(9L),
+      Some("complete"), "places.sqlite")).toDS()
+    check(MetadataSinks.browserDownloadsDf(spark, dls, info), prov ++ Seq(
+      "source_file" -> StringType, "browser" -> StringType, "profile" -> StringType,
+      "url" -> StringType, "target_path" -> StringType, "start_time_utc" -> TimestampType,
+      "end_time_utc" -> TimestampType, "total_bytes" -> LongType, "state" -> StringType))
+
+    val summary = Seq(graft.core.RunSummary("r", 1L, 2L, 3L, 4L, 5L, 6L, 0L)).toDS()
+    check(MetadataSinks.runSummaryDf(spark, summary, info), prov ++ Seq(
+      "bytes_scanned" -> LongType, "chunks_processed" -> LongType,
+      "hits_found" -> LongType, "files_carved" -> LongType,
+      "string_spans" -> LongType, "artefacts_extracted" -> LongType))
+
+    val regions = Seq(graft.core.EntropyRegion("r", 0L, 4096L, 7.9, 4096L)).toDS()
+    check(MetadataSinks.entropyRegionsDf(spark, regions, info), prov ++ Seq(
+      "global_start" -> LongType, "global_end" -> LongType,
+      "entropy" -> DoubleType, "window_size" -> LongType))
+  }
 }
