@@ -2,13 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ingest main: convert a raw image (the output of imaging a device /
-  * converting an E01 — those conversions happen off-cluster, SURVEY §2.1)
-  * into the parquet evidence-chunk table `(chunk_id, start, valid_length,
-  * data)` via the DSv2 evidence source. At cluster scale this runs once
-  * and downstream jobs read the columnar table with pruning/pushdown.
+/** Ingest main: convert an evidence image — raw `.dd` or EWF `.E01`
+  * (auto-detected by signature via [[graft.evidence.EvidenceOpen]]; the
+  * pure-JVM [[graft.evidence.EwfReader]] decompresses chunks in-task) —
+  * into the parquet evidence-chunk table `(chunk_id, start,
+  * valid_length, data)` via the DSv2 evidence source. At cluster scale
+  * this runs once and downstream jobs read the columnar table with
+  * pruning/pushdown.
   *
-  * Usage: runMain graft.Ingest <rawImage> <outParquetDir> [chunkSize] [overlap]
+  * Usage: runMain graft.Ingest <image> <outParquetDir> [chunkSize] [overlap]
   */
 object Ingest {
   def main(args: Array[String]): Unit = {

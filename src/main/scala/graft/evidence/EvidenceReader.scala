@@ -78,8 +78,11 @@ final class RawFileEvidence(path: String) extends EvidenceReader {
 
 /** Serializable descriptor shipped to executors; each task opens its own
   * reader (FileChannels aren't serializable and must not be shared).
+  * Open extension point: [[EwfRef]] adds EWF-E01 container reading; a
+  * deployment with exotic evidence (device mappers, object stores)
+  * implements the same two methods.
   */
-sealed trait EvidenceRef extends Serializable {
+trait EvidenceRef extends Serializable {
   def open(): EvidenceReader
 }
 

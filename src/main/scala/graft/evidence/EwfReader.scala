@@ -1,0 +1,249 @@
+package graft.evidence
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+import java.nio.channels.FileChannel
+import java.nio.file.{Path, Paths, StandardOpenOption}
+import java.util.zip.Inflater
+
+/** Minimal pure-JVM reader for EWF-E01 (Expert Witness Format / EnCase)
+  * evidence images — the format a forensic user's acquisitions usually
+  * arrive in. The reference reaches E01 through a libewf FFI binding
+  * (src/evidence.rs:165-400); a JVM cluster can't assume a native
+  * library on every executor, so this reads the container directly from
+  * the public format structure: 13-byte segment header, a chain of
+  * 76-byte section descriptors (adler32-checksummed), a `volume` section
+  * carrying chunk geometry, `sectors` sections carrying chunk payloads,
+  * and `table` sections whose 31-bit entries locate each chunk (MSB set
+  * = zlib-compressed, otherwise raw bytes + trailing adler32).
+  *
+  * Scope: single-segment, EnCase-style volume (64-bit sector count at
+  * offset 16), read-only. Multi-segment images and the EWF2 (.Ex01)
+  * container are out of scope — convert those off-cluster or extend
+  * `parse` with a segment list.
+  */
+object EwfReader {
+
+  val Signature: Array[Byte] =
+    Array(0x45, 0x56, 0x46, 0x09, 0x0d, 0x0a, 0xff, 0x00).map(_.toByte)
+
+  /** One chunk's location in the segment file. */
+  final case class ChunkEntry(dataOffset: Long, storedSize: Int, compressed: Boolean)
+
+  /** Parsed segment geometry. `chunkSize` = sectorsPerChunk ·
+    * bytesPerSector; every chunk decodes to exactly `chunkSize` bytes
+    * except the last, which decodes to the media remainder.
+    */
+  final case class Info(
+      path: String,
+      chunkSize: Int,
+      mediaSize: Long,
+      chunks: Vector[ChunkEntry]) {
+    require(chunkSize > 0, "ewf: chunk size must be positive")
+    def chunkLogicalSize(idx: Int): Int =
+      math.min(chunkSize.toLong, mediaSize - idx.toLong * chunkSize).toInt
+  }
+
+  def parse(path: Path): Info = {
+    val ch = FileChannel.open(path, StandardOpenOption.READ)
+    try parse(ch, path.toString)
+    finally ch.close()
+  }
+
+  private def parse(ch: FileChannel, name: String): Info = {
+    val fileLen = ch.size()
+    val header = readExact(ch, 0L, 13)
+    require(header.take(8).sameElements(Signature), s"ewf: bad signature in $name")
+    require(header(8) == 1, s"ewf: unexpected fields_start in $name")
+
+    var off = 13L
+    var geometry: Option[(Int, Long)] = None // (chunkSize, mediaSize)
+    var declaredChunks = -1L
+    val sectorsRanges = Vector.newBuilder[(Long, Long)]
+    val tableEntries = Vector.newBuilder[(Long, Boolean)] // absolute offset, compressed
+    var done = false
+    while (!done && off + 76 <= fileLen) {
+      val desc = readExact(ch, off, 76)
+      val bb = ByteBuffer.wrap(desc).order(ByteOrder.LITTLE_ENDIAN)
+      val typeBytes = new Array[Byte](16); bb.get(typeBytes)
+      val sectionType = new String(typeBytes.takeWhile(_ != 0), "US-ASCII")
+      val next = bb.getLong(16)
+      val size = bb.getLong(24)
+      val storedCrc = bb.getInt(72)
+      require(storedCrc == adler32(desc, 0, 72).toInt,
+        s"ewf: section descriptor checksum mismatch at $off in $name")
+      val dataStart = off + 76
+      val dataEnd = off + math.max(size, 76L)
+      sectionType match {
+        case "volume" | "disk" =>
+          val v = readExact(ch, dataStart, math.min(dataEnd - dataStart, 1052L).toInt)
+          val vb = ByteBuffer.wrap(v).order(ByteOrder.LITTLE_ENDIAN)
+          declaredChunks = vb.getInt(4).toLong & 0xffffffffL
+          val sectorsPerChunk = vb.getInt(8).toLong & 0xffffffffL
+          val bytesPerSector = vb.getInt(12).toLong & 0xffffffffL
+          val sectorCount = vb.getLong(16)
+          require(sectorsPerChunk > 0 && bytesPerSector > 0,
+            s"ewf: invalid volume geometry in $name")
+          geometry = Some(((sectorsPerChunk * bytesPerSector).toInt, sectorCount * bytesPerSector))
+        case "sectors" =>
+          sectorsRanges += ((dataStart, dataEnd))
+        case "table" =>
+          // header: u32 entry_count, pad4, u64 base, pad4, u32 checksum;
+          // then entry_count u32 entries (MSB = compressed), u32 checksum
+          val th = readExact(ch, dataStart, 24)
+          val tb = ByteBuffer.wrap(th).order(ByteOrder.LITTLE_ENDIAN)
+          val n = tb.getInt(0)
+          val base = tb.getLong(8)
+          require(n >= 0 && dataStart + 24 + 4L * n <= fileLen,
+            s"ewf: table overruns file in $name")
+          val ents = readExact(ch, dataStart + 24, 4 * n)
+          val eb = ByteBuffer.wrap(ents).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until n).foreach { i =>
+            val e = eb.getInt(4 * i)
+            tableEntries += ((base + (e & 0x7fffffffL), (e & 0x80000000L) != 0))
+          }
+        case "table2" => // mirror of table — primary already collected
+        case _ => // header/header2/data/hash/done/next: no chunk data
+      }
+      if (sectionType == "done" || sectionType == "next" || next <= off) done = true
+      else off = next
+    }
+
+    val (chunkSize, mediaSize) = geometry.getOrElse(
+      throw new IllegalArgumentException(s"ewf: no volume section in $name"))
+    val ranges = sectorsRanges.result()
+    val offsets = tableEntries.result()
+    // stored size = gap to the next chunk in the same sectors section,
+    // or to that section's end for the final chunk of a section
+    val chunks = offsets.zipWithIndex.map { case ((o, comp), i) =>
+      val sectionEnd = ranges.find(r => o >= r._1 && o < r._2).map(_._2).getOrElse(fileLen)
+      val nextOff = offsets.drop(i + 1).map(_._1).find(n => n > o && n <= sectionEnd)
+        .getOrElse(sectionEnd)
+      ChunkEntry(o, (nextOff - o).toInt, comp)
+    }
+    require(declaredChunks < 0 || chunks.length.toLong == declaredChunks,
+      s"ewf: table has ${chunks.length} chunks, volume declares $declaredChunks in $name")
+    require(chunks.length.toLong * chunkSize >= mediaSize,
+      s"ewf: chunk table too short for media size in $name")
+    Info(name, chunkSize, mediaSize, chunks)
+  }
+
+  private def readExact(ch: FileChannel, off: Long, len: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(len)
+    var pos = off
+    while (buf.hasRemaining) {
+      val n = ch.read(buf, pos)
+      require(n > 0, s"ewf: truncated file at offset $pos")
+      pos += n
+    }
+    buf.array()
+  }
+
+  private[evidence] def adler32(data: Array[Byte], off: Int, len: Int): Long = {
+    val a = new java.util.zip.Adler32
+    a.update(data, off, len)
+    a.getValue
+  }
+}
+
+/** EvidenceReader over a parsed E01: chunk-granular decompression with a
+  * one-chunk cache (scan access is sequential within a task, so each
+  * chunk inflates once per task even though readAt is range-oriented).
+  */
+final class EwfEvidence(info: EwfReader.Info) extends EvidenceReader {
+  private val ch = FileChannel.open(Paths.get(info.path), StandardOpenOption.READ)
+  private var cachedIdx = -1
+  private var cached: Array[Byte] = Array.emptyByteArray
+
+  override def length: Long = info.mediaSize
+
+  override def readAt(offset: Long, buf: Array[Byte], bufOff: Int, len: Int): Int = {
+    if (offset >= info.mediaSize || len <= 0) return 0
+    val idx = (offset / info.chunkSize).toInt
+    val chunk = loadChunk(idx)
+    val within = (offset - idx.toLong * info.chunkSize).toInt
+    // one chunk per call: short reads are allowed by the contract and the
+    // caller's loop crosses chunk boundaries naturally
+    val n = math.min(len, chunk.length - within)
+    System.arraycopy(chunk, within, buf, bufOff, n)
+    n
+  }
+
+  private def loadChunk(idx: Int): Array[Byte] = {
+    if (idx != cachedIdx) {
+      val entry = info.chunks(idx)
+      val logical = info.chunkLogicalSize(idx)
+      val stored = new Array[Byte](entry.storedSize)
+      val bb = ByteBuffer.wrap(stored)
+      var pos = entry.dataOffset
+      while (bb.hasRemaining) {
+        val n = ch.read(bb, pos)
+        require(n > 0, s"ewf: truncated chunk $idx")
+        pos += n
+      }
+      val out = new Array[Byte](logical)
+      if (entry.compressed) {
+        val inf = new Inflater()
+        inf.setInput(stored)
+        var got = 0
+        while (got < logical && !inf.finished()) {
+          val n = inf.inflate(out, got, logical - got)
+          require(n > 0 || inf.finished(), s"ewf: bad zlib stream in chunk $idx")
+          got += n
+        }
+        inf.end()
+        require(got == logical, s"ewf: chunk $idx inflated to $got of $logical bytes")
+      } else {
+        // raw chunk: payload + trailing u32le adler32
+        require(entry.storedSize >= logical + 4, s"ewf: raw chunk $idx too small")
+        System.arraycopy(stored, 0, out, 0, logical)
+        val want = ByteBuffer.wrap(stored, logical, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+        require(EwfReader.adler32(out, 0, logical) == want,
+          s"ewf: chunk $idx checksum mismatch")
+      }
+      cached = out
+      cachedIdx = idx
+    }
+    cached
+  }
+
+  override def close(): Unit = ch.close()
+}
+
+/** Serializable descriptor for E01 evidence on shared storage: the
+  * driver parses the section/table geometry once; each task re-opens the
+  * file and decompresses only the chunks its reads touch.
+  */
+final case class EwfRef(path: String) extends EvidenceRef {
+  @transient private lazy val info: EwfReader.Info = EwfReader.parse(Paths.get(path))
+  override def open(): EvidenceReader = new EwfEvidence(EwfReader.parse(Paths.get(path)))
+  def mediaSize: Long = info.mediaSize
+}
+
+/** Container-format dispatch (reference `open_source`,
+  * src/evidence.rs:402-420): "raw" and "ewf" select explicitly; "auto"
+  * sniffs the 8-byte EWF signature so `.E01` acquisitions and raw `.dd`
+  * images flow through the same entry points (Ingest, the DSv2 source)
+  * with no flag.
+  */
+object EvidenceOpen {
+  def ref(path: String, format: String = "auto"): EvidenceRef =
+    format.toLowerCase(java.util.Locale.ROOT) match {
+      case "raw" => RawFileRef(path)
+      case "ewf" => EwfRef(path)
+      case "auto" => if (isEwf(path)) EwfRef(path) else RawFileRef(path)
+      case other => throw new IllegalArgumentException(
+        s"unknown evidence format '$other' (raw | ewf | auto)")
+    }
+
+  def isEwf(path: String): Boolean = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      val bb = ByteBuffer.allocate(8)
+      var n = 0
+      while (bb.hasRemaining && n >= 0) n = ch.read(bb, bb.position().toLong)
+      bb.position() == 8 && bb.array().sameElements(EwfReader.Signature)
+    } finally ch.close()
+  }
+}

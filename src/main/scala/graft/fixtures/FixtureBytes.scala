@@ -406,6 +406,88 @@ object FixtureBytes {
     out.toByteArray // 80 bytes; max extent = 50 + 30
   }
 
+  def leU64(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+  /** Minimal single-segment EWF-E01 image over `data` (the golden-image
+    * analog for the EWF reader): segment header, volume/sectors/table/
+    * done sections with adler32-checksummed descriptors, every
+    * `compressEvery`-th chunk zlib-compressed, the rest raw with the
+    * trailing adler32. `data.length` must be a multiple of
+    * `bytesPerSector` (EWF media is sector-granular).
+    */
+  def e01(data: Array[Byte], sectorsPerChunk: Int = 8, bytesPerSector: Int = 512,
+          compressEvery: Int = 2): Array[Byte] = {
+    require(data.length % bytesPerSector == 0, "EWF media must be sector-granular")
+    val chunkSize = sectorsPerChunk * bytesPerSector
+    val nChunks = (data.length + chunkSize - 1) / chunkSize
+    val out = new ByteArrayOutputStream
+    def adler(b: Array[Byte], off: Int, len: Int): Long = {
+      val a = new java.util.zip.Adler32; a.update(b, off, len); a.getValue
+    }
+    def section(tpe: String, body: Array[Byte], selfNext: Boolean = false): Unit = {
+      val off = out.size().toLong
+      val desc = new Array[Byte](76)
+      val t = ascii(tpe)
+      System.arraycopy(t, 0, desc, 0, t.length)
+      System.arraycopy(leU64(if (selfNext) off else off + 76 + body.length), 0, desc, 16, 8)
+      System.arraycopy(leU64(76L + body.length), 0, desc, 24, 8)
+      System.arraycopy(leU32(adler(desc, 0, 72)), 0, desc, 72, 4)
+      out.write(desc); out.write(body)
+    }
+    // segment header: signature, fields_start=1, segment=1, fields_end=0
+    out.write(Array(0x45, 0x56, 0x46, 0x09, 0x0d, 0x0a, 0xff, 0x00).map(_.toByte))
+    out.write(1); out.write(leU16(1)); out.write(leU16(0))
+    // volume: chunk_count@4, sectors_per_chunk@8, bytes_per_sector@12,
+    // sector_count (u64)@16 — EnCase-style 1052-byte section
+    val vol = new Array[Byte](1052)
+    vol(0) = 1 // media type: fixed disk
+    System.arraycopy(leU32(nChunks.toLong), 0, vol, 4, 4)
+    System.arraycopy(leU32(sectorsPerChunk.toLong), 0, vol, 8, 4)
+    System.arraycopy(leU32(bytesPerSector.toLong), 0, vol, 12, 4)
+    System.arraycopy(leU64(data.length.toLong / bytesPerSector), 0, vol, 16, 8)
+    section("volume", vol)
+    // chunk payloads (absolute offsets recorded for the table)
+    val payloads = (0 until nChunks).map { i =>
+      val logical = math.min(chunkSize, data.length - i * chunkSize)
+      val chunk = java.util.Arrays.copyOfRange(data, i * chunkSize, i * chunkSize + logical)
+      val compressed = compressEvery > 0 && i % compressEvery == 0
+      val stored =
+        if (compressed) {
+          val d = new java.util.zip.Deflater()
+          d.setInput(chunk); d.finish()
+          val buf = new Array[Byte](chunk.length + 64)
+          val n = d.deflate(buf); d.end()
+          java.util.Arrays.copyOf(buf, n)
+        } else chunk ++ leU32(adler(chunk, 0, chunk.length))
+      (stored, compressed)
+    }
+    val sectorsBody = new ByteArrayOutputStream
+    val base = out.size().toLong + 76
+    val entries = payloads.map { case (stored, compressed) =>
+      val abs = base + sectorsBody.size()
+      sectorsBody.write(stored)
+      (abs, compressed)
+    }
+    section("sectors", sectorsBody.toByteArray)
+    // table: u32 n, pad4, u64 base=0, pad4, u32 header-adler; entries; adler
+    val tbl = new ByteArrayOutputStream
+    val th = new Array[Byte](24)
+    System.arraycopy(leU32(entries.length.toLong), 0, th, 0, 4)
+    System.arraycopy(leU32(adler(th, 0, 20)), 0, th, 20, 4)
+    tbl.write(th)
+    val entBytes = new ByteArrayOutputStream
+    entries.foreach { case (abs, compressed) =>
+      require(abs <= 0x7fffffffL, "fixture table offsets are 31-bit")
+      entBytes.write(leU32(abs | (if (compressed) 0x80000000L else 0L)))
+    }
+    tbl.write(entBytes.toByteArray)
+    tbl.write(leU32(adler(entBytes.toByteArray, 0, entBytes.size())))
+    section("table", tbl.toByteArray)
+    section("done", Array.emptyByteArray, selfNext = true)
+    out.toByteArray
+  }
+
   /** Surround `sample` with junk and return (evidence, offset). */
   def planted(sample: Array[Byte], before: Int = 64, after: Int = 64): (Array[Byte], Long) = {
     val out = new ByteArrayOutputStream

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.core.ChunkPlanner
-import graft.evidence.RawFileEvidence
+import graft.evidence.{EvidenceOpen, EvidenceRef}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -37,8 +37,11 @@ class EvidenceSource extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // container dispatch: raw | ewf | auto (default sniffs the EWF
+    // signature, so .E01 images need no flag)
     new EvidenceTable(
       opts.get("path"),
+      Option(opts.get("format")).getOrElse("auto"),
       Option(opts.get("chunksize")).map(_.toLong).getOrElse(512L * 1024 * 1024),
       Option(opts.get("overlap")).map(_.toLong).getOrElse(65536L))
   }
@@ -52,7 +55,7 @@ object EvidenceSource {
     StructField("data", BinaryType, nullable = false)))
 }
 
-private[sources] class EvidenceTable(path: String, chunkSize: Long, overlap: Long)
+private[sources] class EvidenceTable(path: String, format: String, chunkSize: Long, overlap: Long)
     extends Table with SupportsRead {
   require(path != null, "graft evidence source requires option 'path'")
   override def name(): String = s"evidence(`$path`)"
@@ -61,10 +64,10 @@ private[sources] class EvidenceTable(path: String, chunkSize: Long, overlap: Lon
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EvidenceScanBuilder(path, chunkSize, overlap)
+    new EvidenceScanBuilder(EvidenceOpen.ref(path, format), chunkSize, overlap)
 }
 
-private[sources] class EvidenceScanBuilder(path: String, chunkSize: Long, overlap: Long)
+private[sources] class EvidenceScanBuilder(ref: EvidenceRef, chunkSize: Long, overlap: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = EvidenceSource.Schema
 
@@ -76,7 +79,7 @@ private[sources] class EvidenceScanBuilder(path: String, chunkSize: Long, overla
 
     override def planInputPartitions(): Array[InputPartition] = {
       val len = {
-        val r = new RawFileEvidence(path)
+        val r = ref.open()
         try r.length finally r.close()
       }
       ChunkPlanner.planLocal(len, chunkSize, overlap)
@@ -85,20 +88,20 @@ private[sources] class EvidenceScanBuilder(path: String, chunkSize: Long, overla
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new EvidenceReaderFactory(path, required)
+      new EvidenceReaderFactory(ref, required)
   }
 }
 
 private[sources] case class EvidenceChunkPartition(
     id: Long, start: Long, length: Long, validLength: Long) extends InputPartition
 
-private[sources] class EvidenceReaderFactory(path: String, schema: StructType)
+private[sources] class EvidenceReaderFactory(ref: EvidenceRef, schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EvidenceChunkPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
-      private lazy val reader = new RawFileEvidence(path)
+      private lazy val reader = ref.open()
 
       override def next(): Boolean = !emitted
 

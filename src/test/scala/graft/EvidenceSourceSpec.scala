@@ -87,4 +87,73 @@ class EvidenceSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark, graft.evidence.RawFileRef(img.toString), cfg, "raw", false, false)
     assert(raw.carvedFiles.collect().map(_.globalStart).toSeq == Seq(4090L))
   }
+  test("EwfRef reads a synthesized E01: geometry, cross-chunk reads, EOF") {
+    import graft.evidence.EwfRef
+    import graft.fixtures.FixtureBytes
+    // 44 sectors (22528 bytes) at 8 sectors/chunk -> 5 full chunks + a
+    // 2048-byte tail chunk; alternate chunks zlib-compressed
+    val data = Array.tabulate[Byte](22528)(i => ((i * 31 + 7) % 251).toByte)
+    val img = Files.createTempFile("ev", ".E01")
+    Files.write(img, FixtureBytes.e01(data, sectorsPerChunk = 8, bytesPerSector = 512))
+    val ref = EwfRef(img.toString)
+    assert(ref.mediaSize == data.length.toLong)
+    val r = ref.open()
+    try {
+      assert(r.length == data.length.toLong)
+      assert(r.readExactAt(0L, data.length).get.sameElements(data))
+      // unaligned read crossing a compressed/raw chunk boundary
+      assert(r.readExactAt(4000L, 300).get.sameElements(data.slice(4000, 4300)))
+      // inside the short tail chunk
+      assert(r.readExactAt(22000L, 400).get.sameElements(data.slice(22000, 22400)))
+      assert(r.readAt(data.length.toLong, new Array[Byte](8), 0, 8) == 0)
+    } finally r.close()
+  }
+
+  test("EwfReader verifies structure: corrupt descriptor checksum is rejected") {
+    import graft.fixtures.FixtureBytes
+    val data = Array.tabulate[Byte](8192)(i => (i % 113).toByte)
+    val bytes = FixtureBytes.e01(data)
+    bytes(20) = (bytes(20) ^ 0x5a).toByte // inside the volume section descriptor
+    val img = Files.createTempFile("ev", ".E01")
+    Files.write(img, bytes)
+    intercept[IllegalArgumentException] {
+      graft.evidence.EwfReader.parse(img)
+    }
+  }
+
+  test("carve pipeline reads E01 evidence end to end, matching the raw image") {
+    import graft.carve.EngineConfig
+    import graft.evidence.{EwfRef, InMemoryRef}
+    import graft.fixtures.FixtureBytes
+    val jpeg = FixtureBytes.jpeg()
+    val data = new Array[Byte](16384) // 32 sectors
+    System.arraycopy(jpeg, 0, data, 5000, jpeg.length)
+    val img = Files.createTempFile("ev", ".E01")
+    Files.write(img, FixtureBytes.e01(data, sectorsPerChunk = 4, bytesPerSector = 512))
+    val cfg = EngineConfig(
+      fileTypes = EngineConfig.defaultFileTypes.filter(_.id == "jpeg").map(_.copy(minSize = 0)),
+      chunkSize = 6000, overlap = 512) // pipeline chunks deliberately misaligned with EWF chunks
+    val fromEwf = graft.pipeline.CarvePipeline.run(
+      spark, EwfRef(img.toString), cfg, "ewf", false, false)
+      .carvedFiles.collect().map(c => (c.globalStart, c.size, c.sha256)).toSeq
+    val fromRaw = graft.pipeline.CarvePipeline.run(
+      spark, InMemoryRef(data), cfg, "ewf", false, false)
+      .carvedFiles.collect().map(c => (c.globalStart, c.size, c.sha256)).toSeq
+    assert(fromEwf.nonEmpty && fromEwf == fromRaw)
+    assert(fromEwf.head._1 == 5000L)
+  }
+  test("DSv2 evidence source auto-detects E01 and yields identical chunk rows") {
+    import graft.fixtures.FixtureBytes
+    val data = Array.tabulate[Byte](12288)(i => ((i * 13 + 5) % 251).toByte) // 24 sectors
+    val rawImg = Files.createTempFile("ev", ".dd")
+    Files.write(rawImg, data)
+    val e01Img = Files.createTempFile("ev", ".E01")
+    Files.write(e01Img, FixtureBytes.e01(data, sectorsPerChunk = 4, bytesPerSector = 512))
+    def rows(path: String) = spark.read.format("graft.sources.EvidenceSource")
+      .option("path", path).option("chunkSize", "5000").option("overlap", "100")
+      .load().orderBy("chunk_id").collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("start"),
+        r.getAs[Long]("valid_length"), r.getAs[Array[Byte]]("data").toSeq))
+    assert(rows(e01Img.toString).toSeq == rows(rawImg.toString).toSeq)
+  }
 }

@@ -30,6 +30,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Distinct hash exchanges — the AQE plan string prints subtrees twice
+    * (initial + final, with fresh plan_ids), so raw substring counts
+    * double-count; dedup on the partitioning expression instead.
+    */
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSet.size
+
   test("dim joins broadcast the small side (no sort-merge shuffle)") {
     val p = planOf("q07_join_customer_nation_region")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
@@ -70,6 +77,51 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("q58_top_ngrams")
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k did a full sort:\n$p")
+  }
+
+  test("range join window-bins instead of a cartesian/nested-loop product") {
+    val p = planOf("q63_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degraded to an all-pairs product:\n$p")
+  }
+
+  test("HLL sketch aggregates partially on both groupBy levels") {
+    val p = planOf("q64_hll_distinct")
+    assert(p.contains("partial_"), s"sketch lost map-side combine:\n$p")
+  }
+
+  test("CMS heavy hitters finish on the driver: final plan reads no parquet") {
+    // the corpus is scanned ONCE while building the bounded sketch/top-k;
+    // the returned result is a local relation (see Sketches.cmsHeavyHitters),
+    // so only the 20-row presentation orderBy remains in the plan
+    val df = SparkEntry.queries("q65_cms_heavy_hitters")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan"), s"q65 result should be a local relation:\n$p")
+    assert(p.contains("LocalTableScan"), s"q65 result should be a local relation:\n$p")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "cmsHeavyHitters leaked its vocabulary cache")
+  }
+
+  test("weighted sampling take-orders instead of a global sort") {
+    val p = planOf("q66_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"sample did a full sort:\n$p")
+  }
+
+  test("contamination probe broadcasts the bench side; corpus side never shuffles pre-join") {
+    val df = SparkEntry.queries("q67_contamination")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe degraded to SMJ:\n$p")
+    // exactly one hash exchange: the final per-pair groupBy (per-doc gram
+    // dedup happens inside the scan via array_distinct, not a shuffle)
+    assert(hashExchanges(p) <= 1, s"expected only the per-pair groupBy exchange:\n$p")
+  }
+
+  test("per-dimension embedding stats are one partial aggregation") {
+    val p = planOf("q68_embed_dim_stats")
+    assert(p.contains("partial_"), s"dim stats lost map-side combine:\n$p")
+    assert(hashExchanges(p) <= 1, s"dim stats should shuffle only (dim) rows once:\n$p")
   }
 
   test("token counting prunes the documents scan to the needed columns") {
