@@ -79,6 +79,7 @@ object Bench {
       }
       // cache hygiene between queries (outside the timed region): each
       // query is self-contained, so its persisted intermediates are dead
+      graft.llm.CacheRegistry.releaseAll(spark)
       spark.catalog.clearCache()
       name -> secs.min
     }

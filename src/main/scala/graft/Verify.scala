@@ -25,7 +25,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries are self-contained: drop their persisted intermediates so
-      // 41 queries in one JVM don't accumulate cache + GC pressure
+      // 60 queries in one JVM don't accumulate cache + GC pressure
+      // (releaseAll also drains the registry's handle list)
+      graft.llm.CacheRegistry.releaseAll(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
