@@ -108,6 +108,9 @@ object EwfReader {
       if (sectionType == "done" || sectionType == "next" || next <= off) done = true
       else off = next
     }
+    // a segment must end in a done/next section; running off the end of
+    // the file instead means a truncated acquisition
+    require(done, s"ewf: no done/next terminator — truncated segment $name")
 
     val (chunkSize, mediaSize) = geometry.getOrElse(
       throw new IllegalArgumentException(s"ewf: no volume section in $name"))

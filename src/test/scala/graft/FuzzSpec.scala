@@ -95,4 +95,68 @@ class FuzzSpec extends AnyFunSuite {
       ()
     }
   }
+  test("EWF round-trip holds across random geometry and compression mixes") {
+    import graft.evidence.EwfReader
+    import graft.fixtures.FixtureBytes
+    val rnd = new scala.util.Random(97)
+    (1 to 12).foreach { trial =>
+      val bytesPerSector = Seq(512, 1024)(rnd.nextInt(2))
+      val sectorsPerChunk = Seq(2, 4, 8, 16)(rnd.nextInt(4))
+      val sectors = 1 + rnd.nextInt(40)
+      val compressEvery = Seq(1, 2, 3, 1000)(rnd.nextInt(4)) // all/alternate/sparse/none-but-first
+      val data = Array.tabulate[Byte](sectors * bytesPerSector)(i =>
+        ((i * (trial + 3) + rnd.nextInt(7)) % 251).toByte)
+      val img = java.nio.file.Files.createTempFile("fuzz", ".E01")
+      java.nio.file.Files.write(img,
+        FixtureBytes.e01(data, sectorsPerChunk, bytesPerSector, compressEvery))
+      val info = EwfReader.parse(img)
+      assert(info.mediaSize == data.length.toLong, s"trial $trial: media size")
+      val r = new graft.evidence.EwfEvidence(info)
+      try {
+        assert(r.readExactAt(0L, data.length).get.sameElements(data), s"trial $trial: content")
+        // random window reads
+        (1 to 5).foreach { _ =>
+          val off = rnd.nextInt(data.length)
+          val len = 1 + rnd.nextInt(data.length - off)
+          assert(r.readExactAt(off.toLong, len).get.sameElements(data.slice(off, off + len)),
+            s"trial $trial: window $off+$len")
+        }
+      } finally r.close()
+      java.nio.file.Files.delete(img)
+    }
+  }
+
+  test("truncated or bit-flipped E01 files fail loudly, never silently misread") {
+    import graft.evidence.EwfReader
+    import graft.fixtures.FixtureBytes
+    val data = Array.tabulate[Byte](8192)(i => (i % 199).toByte)
+    val good = FixtureBytes.e01(data)
+    val rnd = new scala.util.Random(13)
+    // truncations: parse must throw (never return wrong geometry)
+    Seq(5, 13, 80, good.length / 2, good.length - 3).foreach { keep =>
+      val img = java.nio.file.Files.createTempFile("fuzz", ".E01")
+      java.nio.file.Files.write(img, java.util.Arrays.copyOf(good, keep))
+      intercept[Exception] { EwfReader.parse(img) }
+      java.nio.file.Files.delete(img)
+    }
+    // bit flips anywhere: either parse/read throws, or every byte read
+    // back is correct (flips in slack space are allowed to be harmless)
+    (1 to 20).foreach { _ =>
+      val mutated = good.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      val img = java.nio.file.Files.createTempFile("fuzz", ".E01")
+      java.nio.file.Files.write(img, mutated)
+      try {
+        val info = EwfReader.parse(img)
+        val r = new graft.evidence.EwfEvidence(info)
+        try {
+          val back = r.readExactAt(0L, data.length)
+          back.foreach(b => assert(b.sameElements(data) || info.mediaSize != data.length,
+            s"silent corruption from flip at $at"))
+        } finally r.close()
+      } catch { case _: Exception => () } // loud failure is the contract
+      java.nio.file.Files.delete(img)
+    }
+  }
 }
