@@ -3,10 +3,10 @@ package graft.evidence
 import java.nio.ByteBuffer
 import java.nio.ByteOrder
 import java.nio.channels.FileChannel
-import java.nio.file.{Path, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.zip.Inflater
 
-/** Minimal pure-JVM reader for EWF-E01 (Expert Witness Format / EnCase)
+/** Pure-JVM reader for EWF-E01 (Expert Witness Format / EnCase)
   * evidence images — the format a forensic user's acquisitions usually
   * arrive in. The reference reaches E01 through a libewf FFI binding
   * (src/evidence.rs:165-400); a JVM cluster can't assume a native
@@ -17,25 +17,28 @@ import java.util.zip.Inflater
   * and `table` sections whose 31-bit entries locate each chunk (MSB set
   * = zlib-compressed, otherwise raw bytes + trailing adler32).
   *
-  * Scope: single-segment, EnCase-style volume (64-bit sector count at
-  * offset 16), read-only. Multi-segment images and the EWF2 (.Ex01)
-  * container are out of scope — convert those off-cluster or extend
-  * `parse` with a segment list.
+  * Multi-segment images are supported through the EnCase naming chain:
+  * `parse(image.E01)` walks sibling segments (`.E02`, `.E03`, …) in
+  * order; non-final segments terminate with a `next` section, the final
+  * one with `done`, and each chunk entry remembers its segment. Scope
+  * notes: EnCase-style volume (64-bit sector count at offset 16),
+  * read-only; the EWF2 (.Ex01) container is out of scope — convert
+  * off-cluster or extend `parseSegments`.
   */
 object EwfReader {
 
   val Signature: Array[Byte] =
     Array(0x45, 0x56, 0x46, 0x09, 0x0d, 0x0a, 0xff, 0x00).map(_.toByte)
 
-  /** One chunk's location in the segment file. */
-  final case class ChunkEntry(dataOffset: Long, storedSize: Int, compressed: Boolean)
+  /** One chunk's location: which segment file, where, how stored. */
+  final case class ChunkEntry(segment: Int, dataOffset: Long, storedSize: Int, compressed: Boolean)
 
-  /** Parsed segment geometry. `chunkSize` = sectorsPerChunk ·
+  /** Parsed image geometry. `chunkSize` = sectorsPerChunk ·
     * bytesPerSector; every chunk decodes to exactly `chunkSize` bytes
     * except the last, which decodes to the media remainder.
     */
   final case class Info(
-      path: String,
+      segmentPaths: Vector[String],
       chunkSize: Int,
       mediaSize: Long,
       chunks: Vector[ChunkEntry]) {
@@ -44,25 +47,103 @@ object EwfReader {
       math.min(chunkSize.toLong, mediaSize - idx.toLong * chunkSize).toInt
   }
 
-  def parse(path: Path): Info = {
-    val ch = FileChannel.open(path, StandardOpenOption.READ)
-    try parse(ch, path.toString)
-    finally ch.close()
+  /** Parse starting from the first segment; sibling segments are
+    * discovered by the EnCase extension chain (.E01 → .E02 → …).
+    */
+  def parse(first: Path): Info = parseSegments(discoverSegments(first))
+
+  /** EnCase segment naming: E01..E99, then EAA..EZZ. We generate the
+    * successor of the current extension and stop at the first gap.
+    */
+  def discoverSegments(first: Path): Seq[Path] = {
+    val name = first.getFileName.toString
+    val dot = name.lastIndexOf('.')
+    if (dot < 0) return Seq(first)
+    val (stem, ext) = (name.substring(0, dot + 1), name.substring(dot + 1))
+    def next(e: String): Option[String] = {
+      if (e.length != 3) return None
+      val upper = e == e.toUpperCase(java.util.Locale.ROOT)
+      val u = e.toUpperCase(java.util.Locale.ROOT)
+      val succ: Option[String] =
+        if (u(0) == 'E' && u(1).isDigit && u(2).isDigit) {
+          val n = (u(1) - '0') * 10 + (u(2) - '0')
+          if (n < 99) Some(f"E${n + 1}%02d") else Some("EAA")
+        } else if (u(0) == 'E' && u(1).isLetter && u(2).isLetter) {
+          if (u(2) < 'Z') Some(s"E${u(1)}${(u(2) + 1).toChar}")
+          else if (u(1) < 'Z') Some(s"E${(u(1) + 1).toChar}A")
+          else None
+        } else None
+      succ.map(s => if (upper) s else s.toLowerCase(java.util.Locale.ROOT))
+    }
+    val out = Vector.newBuilder[Path]
+    out += first
+    var cur = ext
+    var continue = true
+    while (continue) {
+      next(cur) match {
+        case Some(e) =>
+          val p = first.resolveSibling(stem + e)
+          if (Files.isRegularFile(p)) { out += p; cur = e }
+          else continue = false
+        case None => continue = false
+      }
+    }
+    out.result()
   }
 
-  private def parse(ch: FileChannel, name: String): Info = {
+  def parseSegments(paths: Seq[Path]): Info = {
+    require(paths.nonEmpty, "ewf: no segment files")
+    var geometry: Option[(Int, Long)] = None
+    var declaredChunks = 0L
+    var sawDeclared = false
+    val chunks = Vector.newBuilder[ChunkEntry]
+    paths.zipWithIndex.foreach { case (p, segIdx) =>
+      val ch = FileChannel.open(p, StandardOpenOption.READ)
+      val seg =
+        try parseOneSegment(ch, p.toString, segIdx, isLast = segIdx == paths.length - 1)
+        finally ch.close()
+      seg.geometry.foreach { g =>
+        geometry.foreach(prev => require(prev == g, s"ewf: segment geometry mismatch in $p"))
+        geometry = Some(g)
+      }
+      if (seg.declaredChunks >= 0) { declaredChunks += seg.declaredChunks; sawDeclared = true }
+      chunks ++= seg.chunks
+    }
+    val (chunkSize, mediaSize) = geometry.getOrElse(
+      throw new IllegalArgumentException(s"ewf: no volume section in ${paths.head}"))
+    val all = chunks.result()
+    // EnCase re-states the TOTAL chunk count in every volume section, so
+    // only validate when it was seen exactly once (the usual layout:
+    // volume in segment 1 only)
+    require(!sawDeclared || declaredChunks == all.length.toLong || paths.length > 1,
+      s"ewf: table has ${all.length} chunks, volume declares $declaredChunks")
+    require(all.length.toLong * chunkSize >= mediaSize,
+      s"ewf: chunk table too short for media size (${all.length} chunks of $chunkSize for $mediaSize)")
+    Info(paths.map(_.toString).toVector, chunkSize, mediaSize, all)
+  }
+
+  private final case class SegmentParse(
+      geometry: Option[(Int, Long)],
+      declaredChunks: Long,
+      chunks: Vector[ChunkEntry])
+
+  private def parseOneSegment(
+      ch: FileChannel, name: String, segIdx: Int, isLast: Boolean): SegmentParse = {
     val fileLen = ch.size()
     val header = readExact(ch, 0L, 13)
     require(header.take(8).sameElements(Signature), s"ewf: bad signature in $name")
     require(header(8) == 1, s"ewf: unexpected fields_start in $name")
+    val segmentNumber = ByteBuffer.wrap(header, 9, 2).order(ByteOrder.LITTLE_ENDIAN).getShort.toInt
+    require(segmentNumber == segIdx + 1,
+      s"ewf: $name carries segment number $segmentNumber, expected ${segIdx + 1}")
 
     var off = 13L
-    var geometry: Option[(Int, Long)] = None // (chunkSize, mediaSize)
+    var geometry: Option[(Int, Long)] = None
     var declaredChunks = -1L
     val sectorsRanges = Vector.newBuilder[(Long, Long)]
-    val tableEntries = Vector.newBuilder[(Long, Boolean)] // absolute offset, compressed
-    var done = false
-    while (!done && off + 76 <= fileLen) {
+    val tableEntries = Vector.newBuilder[(Long, Boolean)]
+    var terminator: Option[String] = None
+    while (terminator.isEmpty && off + 76 <= fileLen) {
       val desc = readExact(ch, off, 76)
       val bb = ByteBuffer.wrap(desc).order(ByteOrder.LITTLE_ENDIAN)
       val typeBytes = new Array[Byte](16); bb.get(typeBytes)
@@ -103,17 +184,25 @@ object EwfReader {
             tableEntries += ((base + (e & 0x7fffffffL), (e & 0x80000000L) != 0))
           }
         case "table2" => // mirror of table — primary already collected
-        case _ => // header/header2/data/hash/done/next: no chunk data
+        case _ => // header/header2/data/hash: no chunk data
       }
-      if (sectionType == "done" || sectionType == "next" || next <= off) done = true
+      if (sectionType == "done" || sectionType == "next" || next <= off)
+        terminator = Some(sectionType)
       else off = next
     }
-    // a segment must end in a done/next section; running off the end of
-    // the file instead means a truncated acquisition
-    require(done, s"ewf: no done/next terminator — truncated segment $name")
+    // a segment must end in done (final) / next (more segments follow);
+    // running off the end of the file means a truncated acquisition
+    terminator match {
+      case Some("done") => require(isLast,
+        s"ewf: $name ends with 'done' but more segments were given")
+      case Some("next") => require(!isLast,
+        s"ewf: $name ends with 'next' but no ${segIdx + 2}th segment exists")
+      case Some(other) => throw new IllegalArgumentException(
+        s"ewf: segment $name ends in unexpected section '$other'")
+      case None => throw new IllegalArgumentException(
+        s"ewf: no done/next terminator — truncated segment $name")
+    }
 
-    val (chunkSize, mediaSize) = geometry.getOrElse(
-      throw new IllegalArgumentException(s"ewf: no volume section in $name"))
     val ranges = sectorsRanges.result()
     val offsets = tableEntries.result()
     // stored size = gap to the next chunk in the same sectors section,
@@ -122,13 +211,9 @@ object EwfReader {
       val sectionEnd = ranges.find(r => o >= r._1 && o < r._2).map(_._2).getOrElse(fileLen)
       val nextOff = offsets.drop(i + 1).map(_._1).find(n => n > o && n <= sectionEnd)
         .getOrElse(sectionEnd)
-      ChunkEntry(o, (nextOff - o).toInt, comp)
+      ChunkEntry(segIdx, o, (nextOff - o).toInt, comp)
     }
-    require(declaredChunks < 0 || chunks.length.toLong == declaredChunks,
-      s"ewf: table has ${chunks.length} chunks, volume declares $declaredChunks in $name")
-    require(chunks.length.toLong * chunkSize >= mediaSize,
-      s"ewf: chunk table too short for media size in $name")
-    Info(name, chunkSize, mediaSize, chunks)
+    SegmentParse(geometry, declaredChunks, chunks)
   }
 
   private def readExact(ch: FileChannel, off: Long, len: Int): Array[Byte] = {
@@ -152,11 +237,19 @@ object EwfReader {
 /** EvidenceReader over a parsed E01: chunk-granular decompression with a
   * one-chunk cache (scan access is sequential within a task, so each
   * chunk inflates once per task even though readAt is range-oriented).
+  * Segment channels open lazily — a task reading one chunk range touches
+  * only the segment files that range lives in.
   */
 final class EwfEvidence(info: EwfReader.Info) extends EvidenceReader {
-  private val ch = FileChannel.open(Paths.get(info.path), StandardOpenOption.READ)
+  private val channels = new Array[FileChannel](info.segmentPaths.length)
   private var cachedIdx = -1
   private var cached: Array[Byte] = Array.emptyByteArray
+
+  private def channel(seg: Int): FileChannel = {
+    if (channels(seg) == null)
+      channels(seg) = FileChannel.open(Paths.get(info.segmentPaths(seg)), StandardOpenOption.READ)
+    channels(seg)
+  }
 
   override def length: Long = info.mediaSize
 
@@ -178,6 +271,7 @@ final class EwfEvidence(info: EwfReader.Info) extends EvidenceReader {
       val logical = info.chunkLogicalSize(idx)
       val stored = new Array[Byte](entry.storedSize)
       val bb = ByteBuffer.wrap(stored)
+      val ch = channel(entry.segment)
       var pos = entry.dataOffset
       while (bb.hasRemaining) {
         val n = ch.read(bb, pos)
@@ -211,12 +305,13 @@ final class EwfEvidence(info: EwfReader.Info) extends EvidenceReader {
     cached
   }
 
-  override def close(): Unit = ch.close()
+  override def close(): Unit = channels.foreach(c => if (c != null) c.close())
 }
 
 /** Serializable descriptor for E01 evidence on shared storage: the
   * driver parses the section/table geometry once; each task re-opens the
-  * file and decompresses only the chunks its reads touch.
+  * segment files and decompresses only the chunks its reads touch.
+  * `path` is the FIRST segment; siblings are discovered by naming.
   */
 final case class EwfRef(path: String) extends EvidenceRef {
   @transient private lazy val info: EwfReader.Info = EwfReader.parse(Paths.get(path))

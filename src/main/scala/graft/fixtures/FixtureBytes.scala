@@ -410,82 +410,100 @@ object FixtureBytes {
     java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
 
   /** Minimal single-segment EWF-E01 image over `data` (the golden-image
-    * analog for the EWF reader): segment header, volume/sectors/table/
-    * done sections with adler32-checksummed descriptors, every
-    * `compressEvery`-th chunk zlib-compressed, the rest raw with the
-    * trailing adler32. `data.length` must be a multiple of
-    * `bytesPerSector` (EWF media is sector-granular).
+    * analog for the EWF reader). See [[e01Segments]].
     */
   def e01(data: Array[Byte], sectorsPerChunk: Int = 8, bytesPerSector: Int = 512,
-          compressEvery: Int = 2): Array[Byte] = {
+          compressEvery: Int = 2): Array[Byte] =
+    e01Segments(data, sectorsPerChunk, bytesPerSector, compressEvery, 1).head
+
+  /** Spec-shaped EWF-E01 image over `data`, split into `segments` files:
+    * per-segment header (running segment number), volume section in the
+    * first segment, sectors+table sections with adler32-checksummed
+    * descriptors, every `compressEvery`-th chunk zlib-compressed (the
+    * rest raw with the trailing adler32), `next` terminator on non-final
+    * segments and `done` on the last. `data.length` must be a multiple
+    * of `bytesPerSector` (EWF media is sector-granular).
+    */
+  def e01Segments(data: Array[Byte], sectorsPerChunk: Int = 8, bytesPerSector: Int = 512,
+                  compressEvery: Int = 2, segments: Int = 1): Seq[Array[Byte]] = {
     require(data.length % bytesPerSector == 0, "EWF media must be sector-granular")
+    require(segments >= 1, "need at least one segment")
     val chunkSize = sectorsPerChunk * bytesPerSector
     val nChunks = (data.length + chunkSize - 1) / chunkSize
-    val out = new ByteArrayOutputStream
+    require(segments <= math.max(nChunks, 1), "more segments than chunks")
     def adler(b: Array[Byte], off: Int, len: Int): Long = {
       val a = new java.util.zip.Adler32; a.update(b, off, len); a.getValue
     }
-    def section(tpe: String, body: Array[Byte], selfNext: Boolean = false): Unit = {
-      val off = out.size().toLong
-      val desc = new Array[Byte](76)
-      val t = ascii(tpe)
-      System.arraycopy(t, 0, desc, 0, t.length)
-      System.arraycopy(leU64(if (selfNext) off else off + 76 + body.length), 0, desc, 16, 8)
-      System.arraycopy(leU64(76L + body.length), 0, desc, 24, 8)
-      System.arraycopy(leU32(adler(desc, 0, 72)), 0, desc, 72, 4)
-      out.write(desc); out.write(body)
+    val perSeg = (nChunks + segments - 1) / math.max(segments, 1)
+    (0 until segments).map { seg =>
+      val out = new ByteArrayOutputStream
+      def section(tpe: String, body: Array[Byte], selfNext: Boolean = false): Unit = {
+        val off = out.size().toLong
+        val desc = new Array[Byte](76)
+        val t = ascii(tpe)
+        System.arraycopy(t, 0, desc, 0, t.length)
+        System.arraycopy(leU64(if (selfNext) off else off + 76 + body.length), 0, desc, 16, 8)
+        System.arraycopy(leU64(76L + body.length), 0, desc, 24, 8)
+        System.arraycopy(leU32(adler(desc, 0, 72)), 0, desc, 72, 4)
+        out.write(desc); out.write(body)
+      }
+      // segment header: signature, fields_start=1, segment number, fields_end=0
+      out.write(Array(0x45, 0x56, 0x46, 0x09, 0x0d, 0x0a, 0xff, 0x00).map(_.toByte))
+      out.write(1); out.write(leU16(seg + 1)); out.write(leU16(0))
+      if (seg == 0) {
+        // volume: chunk_count@4, sectors_per_chunk@8, bytes_per_sector@12,
+        // sector_count (u64)@16 — EnCase-style 1052-byte section
+        val vol = new Array[Byte](1052)
+        vol(0) = 1 // media type: fixed disk
+        System.arraycopy(leU32(nChunks.toLong), 0, vol, 4, 4)
+        System.arraycopy(leU32(sectorsPerChunk.toLong), 0, vol, 8, 4)
+        System.arraycopy(leU32(bytesPerSector.toLong), 0, vol, 12, 4)
+        System.arraycopy(leU64(data.length.toLong / bytesPerSector), 0, vol, 16, 8)
+        section("volume", vol)
+      }
+      // this segment's contiguous chunk slice
+      val firstChunk = seg * perSeg
+      val lastChunk = math.min(nChunks, firstChunk + perSeg)
+      val payloads = (firstChunk until lastChunk).map { i =>
+        val logical = math.min(chunkSize, data.length - i * chunkSize)
+        val chunk = java.util.Arrays.copyOfRange(data, i * chunkSize, i * chunkSize + logical)
+        val compressed = compressEvery > 0 && i % compressEvery == 0
+        val stored =
+          if (compressed) {
+            val d = new java.util.zip.Deflater()
+            d.setInput(chunk); d.finish()
+            val buf = new Array[Byte](chunk.length + 64)
+            val n = d.deflate(buf); d.end()
+            java.util.Arrays.copyOf(buf, n)
+          } else chunk ++ leU32(adler(chunk, 0, chunk.length))
+        (stored, compressed)
+      }
+      val sectorsBody = new ByteArrayOutputStream
+      val base = out.size().toLong + 76
+      val entries = payloads.map { case (stored, compressed) =>
+        val abs = base + sectorsBody.size()
+        sectorsBody.write(stored)
+        (abs, compressed)
+      }
+      section("sectors", sectorsBody.toByteArray)
+      // table: u32 n, pad4, u64 base=0, pad4, u32 header-adler; entries; adler
+      val tbl = new ByteArrayOutputStream
+      val th = new Array[Byte](24)
+      System.arraycopy(leU32(entries.length.toLong), 0, th, 0, 4)
+      System.arraycopy(leU32(adler(th, 0, 20)), 0, th, 20, 4)
+      tbl.write(th)
+      val entBytes = new ByteArrayOutputStream
+      entries.foreach { case (abs, compressed) =>
+        require(abs <= 0x7fffffffL, "fixture table offsets are 31-bit")
+        entBytes.write(leU32(abs | (if (compressed) 0x80000000L else 0L)))
+      }
+      tbl.write(entBytes.toByteArray)
+      tbl.write(leU32(adler(entBytes.toByteArray, 0, entBytes.size())))
+      section("table", tbl.toByteArray)
+      if (seg == segments - 1) section("done", Array.emptyByteArray, selfNext = true)
+      else section("next", Array.emptyByteArray, selfNext = true)
+      out.toByteArray
     }
-    // segment header: signature, fields_start=1, segment=1, fields_end=0
-    out.write(Array(0x45, 0x56, 0x46, 0x09, 0x0d, 0x0a, 0xff, 0x00).map(_.toByte))
-    out.write(1); out.write(leU16(1)); out.write(leU16(0))
-    // volume: chunk_count@4, sectors_per_chunk@8, bytes_per_sector@12,
-    // sector_count (u64)@16 — EnCase-style 1052-byte section
-    val vol = new Array[Byte](1052)
-    vol(0) = 1 // media type: fixed disk
-    System.arraycopy(leU32(nChunks.toLong), 0, vol, 4, 4)
-    System.arraycopy(leU32(sectorsPerChunk.toLong), 0, vol, 8, 4)
-    System.arraycopy(leU32(bytesPerSector.toLong), 0, vol, 12, 4)
-    System.arraycopy(leU64(data.length.toLong / bytesPerSector), 0, vol, 16, 8)
-    section("volume", vol)
-    // chunk payloads (absolute offsets recorded for the table)
-    val payloads = (0 until nChunks).map { i =>
-      val logical = math.min(chunkSize, data.length - i * chunkSize)
-      val chunk = java.util.Arrays.copyOfRange(data, i * chunkSize, i * chunkSize + logical)
-      val compressed = compressEvery > 0 && i % compressEvery == 0
-      val stored =
-        if (compressed) {
-          val d = new java.util.zip.Deflater()
-          d.setInput(chunk); d.finish()
-          val buf = new Array[Byte](chunk.length + 64)
-          val n = d.deflate(buf); d.end()
-          java.util.Arrays.copyOf(buf, n)
-        } else chunk ++ leU32(adler(chunk, 0, chunk.length))
-      (stored, compressed)
-    }
-    val sectorsBody = new ByteArrayOutputStream
-    val base = out.size().toLong + 76
-    val entries = payloads.map { case (stored, compressed) =>
-      val abs = base + sectorsBody.size()
-      sectorsBody.write(stored)
-      (abs, compressed)
-    }
-    section("sectors", sectorsBody.toByteArray)
-    // table: u32 n, pad4, u64 base=0, pad4, u32 header-adler; entries; adler
-    val tbl = new ByteArrayOutputStream
-    val th = new Array[Byte](24)
-    System.arraycopy(leU32(entries.length.toLong), 0, th, 0, 4)
-    System.arraycopy(leU32(adler(th, 0, 20)), 0, th, 20, 4)
-    tbl.write(th)
-    val entBytes = new ByteArrayOutputStream
-    entries.foreach { case (abs, compressed) =>
-      require(abs <= 0x7fffffffL, "fixture table offsets are 31-bit")
-      entBytes.write(leU32(abs | (if (compressed) 0x80000000L else 0L)))
-    }
-    tbl.write(entBytes.toByteArray)
-    tbl.write(leU32(adler(entBytes.toByteArray, 0, entBytes.size())))
-    section("table", tbl.toByteArray)
-    section("done", Array.emptyByteArray, selfNext = true)
-    out.toByteArray
   }
 
   /** Surround `sample` with junk and return (evidence, offset). */

@@ -156,4 +156,31 @@ class EvidenceSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("valid_length"), r.getAs[Array[Byte]]("data").toSeq))
     assert(rows(e01Img.toString).toSeq == rows(rawImg.toString).toSeq)
   }
+  test("multi-segment E01 chain (.E01/.E02/.E03) reads identically to the raw media") {
+    import graft.evidence.{EwfReader, EwfRef}
+    import graft.fixtures.FixtureBytes
+    val data = Array.tabulate[Byte](9 * 4096)(i => ((i * 17 + 11) % 251).toByte) // 9 chunks
+    val dir = Files.createTempDirectory("ewfseg")
+    val segs = FixtureBytes.e01Segments(data, sectorsPerChunk = 8, bytesPerSector = 512,
+      compressEvery = 2, segments = 3)
+    Seq("img.E01", "img.E02", "img.E03").zip(segs).foreach { case (n, bytes) =>
+      Files.write(dir.resolve(n), bytes)
+    }
+    val first = dir.resolve("img.E01")
+    assert(EwfReader.discoverSegments(first).map(_.getFileName.toString) ==
+      Seq("img.E01", "img.E02", "img.E03"))
+    val info = EwfReader.parse(first)
+    assert(info.mediaSize == data.length.toLong && info.chunks.length == 9)
+    assert(info.chunks.map(_.segment).distinct == Vector(0, 1, 2))
+    val r = new graft.evidence.EwfEvidence(info)
+    try {
+      assert(r.readExactAt(0L, data.length).get.sameElements(data))
+      // read crossing the segment boundary (chunk 2 -> 3 spans .E01/.E02)
+      assert(r.readExactAt(3 * 4096L - 100, 200).get
+        .sameElements(data.slice(3 * 4096 - 100, 3 * 4096 + 100)))
+    } finally r.close()
+    // a missing final segment fails loudly ('next' with no successor)
+    Files.delete(dir.resolve("img.E03"))
+    intercept[IllegalArgumentException] { EwfReader.parse(first) }
+  }
 }
