@@ -179,4 +179,55 @@ object Curation {
       }
       .toDF(groupCol, idCol, "toks", "bin", "fill_after")
   }
+
+  /** Deterministic training-order shuffle key: a 48-bit md5 of
+    * (seed, id). Globally ordering by (shuffle_key, id) is a uniform
+    * reshuffle of the corpus that any engine reproduces bit-for-bit and
+    * that re-runs replay exactly — the property training pipelines need
+    * for resumable epoch ordering. The operator emits only the KEY (a
+    * narrow codegen'd pass); the materializing writer does the
+    * range-partitioned sort, which is Spark's scalable global sort —
+    * no window over an unpartitioned frame anywhere.
+    */
+  def shuffleKey(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+      conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 12), 16, 10)
+        .cast("long"))
+
+  /** Deterministic train/validation/test split assignment: bucket =
+    * md5(seed, id) mod 100; [0, trainPct) → "train", [trainPct,
+    * trainPct+valPct) → "val", rest → "test". Stable across runs and
+    * engines, disjoint and exhaustive by construction, and a pure
+    * narrow pass — the split of a 100 TB corpus costs one scan.
+    */
+  def assignSplit(df: DataFrame, idCol: String, seed: String,
+                  trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100, "invalid split percentages")
+    val bucket =
+      conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Text normalization for dedup/tokenization pre-passes: ASCII
+    * lowercase (A-Z only — locale-independent, so every engine agrees;
+    * full Unicode case folding is intentionally out of scope), control
+    * characters stripped, space runs collapsed, ends trimmed. Pure
+    * expressions, shuffle-free.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val upperAz = ('A' to 'Z').mkString
+    val lowerAz = ('a' to 'z').mkString
+    val cleaned =
+      trim(regexp_replace(
+        regexp_replace(
+          translate(col(textCol), upperAz, lowerAz),
+          "[\\x00-\\x1f\\x7f]", " "),
+        " +", " "))
+    df.withColumn("norm_text", cleaned)
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
+  }
 }

@@ -622,5 +622,52 @@ object LlmQueries {
       },
       Some("""WITH m AS (SELECT doc_id, (length(substr(text, 1, 64)) % 16) + 1 AS n_frames FROM documents)
              |SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx
-             |FROM m ORDER BY doc_id, frame_idx""".stripMargin)))
+             |FROM m ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- Deterministic training-order shuffle: md5(seed,id) key, global
+    // range-sort by (key, id). Replayable epoch ordering at any scale.
+    "q69_corpus_shuffle" -> QueryDef(
+      (s, dir) => {
+        Curation.shuffleKey(table(s, dir, "documents").select(col("doc_id")), "doc_id", "epoch1")
+          .orderBy("shuffle_key", "doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS shuffle_key
+             |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin)),
+
+    // ---- Deterministic train/val/test split: hash-bucket assignment,
+    // disjoint and exhaustive, one narrow pass.
+    "q70_split_assign" -> QueryDef(
+      (s, dir) => {
+        Curation.assignSplit(table(s, dir, "documents").select(col("doc_id")), "doc_id",
+            "split1", trainPct = 80, valPct = 10)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        CAST('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 AS b
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Text normalization pre-pass: ASCII lowercase, control chars →
+    // space, space runs collapsed, trimmed. The probe input is mutated
+    // (uppercased + padded + a tab) so the normalization is exercised.
+    "q71_text_normalize" -> QueryDef(
+      (s, dir) => {
+        val mutated = table(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("  "), upper(col("text")), lit("\t"), lit("END  ")).as("text"))
+        Curation.normalizeText(mutated, "doc_id", "text")
+          .select(col("doc_id"), col("norm_text"), col("norm_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id, '  ' || upper(text) || chr(9) || 'END  ' AS t FROM documents),
+             |n AS (SELECT doc_id,
+             |        trim(regexp_replace(regexp_replace(
+             |          translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+             |          '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+             |      FROM m)
+             |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len
+             |FROM n ORDER BY doc_id""".stripMargin)))
 }

@@ -146,4 +146,51 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("en", 1L, 0L, 300L), ("en", 2L, 0L, 450L), ("en", 3L, 1L, 100L),
       ("en", 4L, 2L, 900L), ("en", 5L, 3L, 10L)))
   }
+  test("assignSplit is disjoint, exhaustive, deterministic, and near the requested proportions") {
+    import spark.implicits._
+    val docs = (1L to 2000L).toDF("doc_id")
+    val out = graft.llm.Curation.assignSplit(docs, "doc_id", "s1", 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.length == 2000 && out.map(_._1).distinct.length == 2000)
+    val byS = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    // md5 buckets: expect 80/10/10 within a few percent at n=2000
+    assert(math.abs(byS("train") - 1600) < 100, s"train ${byS("train")}")
+    assert(math.abs(byS("val") - 200) < 60, s"val ${byS("val")}")
+    assert(math.abs(byS("test") - 200) < 60, s"test ${byS("test")}")
+    // deterministic: same seed -> same assignment; new seed -> different
+    val again = graft.llm.Curation.assignSplit(docs, "doc_id", "s1", 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    val other = graft.llm.Curation.assignSplit(docs, "doc_id", "s2", 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(!out.sortBy(_._1).sameElements(other.sortBy(_._1)))
+  }
+
+  test("shuffleKey reorders uniformly and replays exactly") {
+    import spark.implicits._
+    val docs = (1L to 500L).toDF("doc_id")
+    def order(seed: String) = graft.llm.Curation.shuffleKey(docs, "doc_id", seed)
+      .orderBy("shuffle_key", "doc_id").collect().map(_.getLong(0)).toSeq
+    val e1 = order("epoch1")
+    assert(e1.toSet == (1L to 500L).toSet)
+    assert(e1 != (1L to 500L).toSeq, "shuffle left the corpus in id order")
+    assert(order("epoch1") == e1, "same seed must replay the exact order")
+    assert(order("epoch2") != e1, "different seed must give a different order")
+  }
+
+  test("normalizeText lowercases ASCII, strips control chars, collapses and trims spaces") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Hello\tWORLD  x  "),
+      (2L, "already clean"),
+      (3L, "A\u0000B\u007fC"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = graft.llm.Curation.normalizeText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("hello world x", 13L)))
+    assert(out(2L) == (("already clean", 13L)))
+    assert(out(3L) == (("a b c", 5L)))
+    assert(out(4L) == (("", 0L)))
+  }
 }

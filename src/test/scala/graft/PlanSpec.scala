@@ -124,6 +124,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashExchanges(p) <= 1, s"dim stats should shuffle only (dim) rows once:\n$p")
   }
 
+  test("split assignment and text normalization are shuffle-free narrow passes") {
+    Seq("q70_split_assign", "q71_text_normalize").foreach { q =>
+      val p = planOf(q)
+      assert(hashExchanges(p) == 0, s"$q acquired a hash shuffle:\n$p")
+      assert(!p.contains("Window"), s"$q acquired a window:\n$p")
+    }
+  }
+
+  test("corpus shuffle is a range-partitioned global sort, not a single-partition window") {
+    val p = planOf("q69_corpus_shuffle")
+    assert(!p.contains("Window"), s"shuffle ordering must not use a window:\n$p")
+    assert(p.contains("rangepartitioning"), s"expected a range-partitioned sort:\n$p")
+  }
+
   test("token counting prunes the documents scan to the needed columns") {
     val df = SparkEntry.queries("q38_token_counts")(spark, dir)
     df.collect()
