@@ -99,6 +99,28 @@ object Dedup {
     * has no signature/bands, so the naive per-doc form emits no pair for
     * it. Returns (doc_a, doc_b), doc_a < doc_b, distinct.
     */
+  /** Shared front half of the collapsed-LSH operators: text membership,
+    * candidate pairs between canonical texts, and the set of tids that
+    * actually shingled. Everything here is collapsed-size (texts, not
+    * docs) except membership (2 narrow columns per doc).
+    */
+  private def collapsedParts(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
+    // membership feeds several join branches and sh feeds two — Spark
+    // re-executes each occurrence of a subplan (no common-subtree reuse),
+    // so persist both: one corpus scan instead of four, one shingle
+    // shuffle instead of two.
+    // Cache lifecycle: see [[CacheRegistry]] — release after materializing.
+    val membership = CacheRegistry.persist(
+      docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("tid")))
+    val texts = docs.select(md5(col(textCol)).as("doc_id"), col(textCol).as("t")).distinct()
+    val sh = CacheRegistry.persist(shingles(texts, "doc_id", "t", shingleN))
+    val textPairs = lshCandidatePairs(bandKeys(minHashSignatures(sh, numHashes), rowsPerBand))
+    val shingled = sh.select(col("id").as("tid")).distinct()
+    (membership, textPairs, shingled)
+  }
+
   def collapsedLshPairs(
       docs: DataFrame,
       idCol: String,
@@ -106,21 +128,12 @@ object Dedup {
       shingleN: Int,
       numHashes: Int,
       rowsPerBand: Int): DataFrame = {
-    // membership feeds four join branches and sh feeds two — Spark
-    // re-executes each occurrence of a subplan (no common-subtree reuse),
-    // so persist both: one corpus scan instead of four, one shingle
-    // shuffle instead of two. Both are collapsed-size (texts, not docs).
-    // Cache lifecycle: see [[CacheRegistry]] — release after materializing.
-    val membership = CacheRegistry.persist(
-      docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("tid")))
-    val texts = docs.select(md5(col(textCol)).as("doc_id"), col(textCol).as("t")).distinct()
-    val sh = CacheRegistry.persist(shingles(texts, "doc_id", "t", shingleN))
-    val textPairs = lshCandidatePairs(bandKeys(minHashSignatures(sh, numHashes), rowsPerBand))
+    val (membership, textPairs, shingled) =
+      collapsedParts(docs, idCol, textCol, shingleN, numHashes, rowsPerBand)
     val cross = broadcast(textPairs)
       .join(membership.select(col("doc_id").as("d1"), col("tid").as("id_a")), Seq("id_a"))
       .join(membership.select(col("doc_id").as("d2"), col("tid").as("id_b")), Seq("id_b"))
       .select(least(col("d1"), col("d2")).as("doc_a"), greatest(col("d1"), col("d2")).as("doc_b"))
-    val shingled = sh.select(col("id").as("tid")).distinct()
     val m2 = membership.join(broadcast(shingled), Seq("tid"))
     // same-text pairs: ONE shuffle (groupBy tid) + in-row pair expansion,
     // instead of a two-exchange self-join on tid. doc_a < doc_b falls out
@@ -139,6 +152,57 @@ object Dedup {
     // are disjoint. (The naive form NEEDS the distinct — one pair per
     // colliding band — which is exactly the shuffle the collapse avoids.)
     cross.union(same)
+  }
+
+  /** End-to-end near-duplicate removal — the composition a pipeline
+    * actually runs: LSH candidates → duplicate clusters → per-document
+    * keep decision. Every document gets its cluster's minimum id as
+    * `keep_id` (documents with no near-dup keep themselves); `kept` = 1
+    * exactly for cluster canonicals, so `filter($"kept" === 1)` yields
+    * the deduplicated corpus and the (doc_id, keep_id) table is the
+    * provenance map.
+    *
+    * Scale design: connected components run on the CANONICAL-TEXT graph,
+    * never the document graph. Same-text documents form cliques, so the
+    * doc-level components are exactly the text-level components expanded
+    * through membership — but the text graph has |distinct texts| nodes
+    * where the doc graph has O(docs²) same-text edges (15M at sf0.1,
+    * unbounded at corpus scale). Each text is represented by its minimum
+    * member doc id, making the text-component label directly the
+    * cluster-min doc id. Texts too short to shingle never enter LSH
+    * (they have no signature), so their documents keep themselves —
+    * identical to the pair-level semantics in [[collapsedLshPairs]].
+    * Returns (doc_id, keep_id, kept LONG), one row per input doc.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val (membership, textPairs, shingled) =
+      collapsedParts(docs, idCol, textCol, shingleN, numHashes, rowsPerBand)
+    // text → its minimum member doc (the text's representative)
+    val reps = CacheRegistry.persist(
+      membership.groupBy(col("tid")).agg(min(col("doc_id")).as("rep")))
+    // components over canonical texts, on numeric representative ids:
+    // cluster label = min rep = min doc id across the whole cluster
+    val repPairs = broadcast(textPairs)
+      .join(reps.select(col("tid").as("id_a"), col("rep").as("rep_a")), Seq("id_a"))
+      .join(reps.select(col("tid").as("id_b"), col("rep").as("rep_b")), Seq("id_b"))
+      .select(col("rep_a"), col("rep_b"))
+    val comp = connectedComponents(repPairs, "rep_a", "rep_b")
+    // expand back to documents: shingled texts adopt their cluster label
+    // (falling back to their own rep for texts with no candidate pair);
+    // unshingled texts keep every document as its own canonical
+    val tidLabel = reps
+      .join(broadcast(shingled.withColumn("shingled", lit(true))), Seq("tid"), "left")
+      .join(comp.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("tid"),
+        when(col("shingled"), coalesce(col("comp"), col("rep"))).as("label"))
+    membership
+      .join(tidLabel, Seq("tid"))
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("label"), col("doc_id")).cast("long").as("keep_id"),
+        when(coalesce(col("label"), col("doc_id")) === col("doc_id"), 1L)
+          .otherwise(0L).as("kept"))
   }
 
   /** Scale-path variant on Spark ML's MinHashLSH: shingle sets →

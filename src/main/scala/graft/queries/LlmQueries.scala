@@ -669,5 +669,35 @@ object LlmQueries {
              |          '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
              |      FROM m)
              |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len
-             |FROM n ORDER BY doc_id""".stripMargin)))
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // ---- End-to-end near-dup removal: LSH pairs → connected components
+    // → canonical keep decision per document. THE dedup user story in
+    // one call: every doc gets its cluster's min id as keep_id; docs
+    // with no near-dup keep themselves. The oracle replays the whole
+    // composition (q31's band pairs + q56's reachability CTE).
+    "q72_dedup_corpus" -> QueryDef(
+      (s, dir) => {
+        Dedup.dedupCorpus(docsTpl(s, dir), "doc_id", "t",
+            shingleN = 3, numHashes = 8, rowsPerBand = 2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleSql,
+              |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+              |        FROM sh, (SELECT unnest(range(0, 8)) AS k) ks GROUP BY id, k),
+              |bands AS (SELECT id, k // 2 AS band, md5(string_agg(mh, ',' ORDER BY k)) AS bk
+              |          FROM sig GROUP BY id, k // 2),
+              |p AS (SELECT DISTINCT a.id AS u, b.id AS v
+              |      FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+              |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+              |nodes AS (SELECT DISTINCT u AS id FROM e),
+              |r AS (
+              |  SELECT id AS src, id AS dst FROM nodes
+              |  UNION
+              |  SELECT r.src, e.v FROM r JOIN e ON e.u = r.dst),
+              |comp AS (SELECT src AS id, min(dst) AS comp FROM r GROUP BY src)
+              |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_id,
+              |       CAST(coalesce(c.comp, d.doc_id) = d.doc_id AS BIGINT) AS kept
+              |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)))
 }
