@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoder}
+
+/** Bounded grouped top-k as a typed [[Aggregator]]: keeps the k smallest
+  * (priority, id) pairs per group with a size-k buffer at every stage,
+  * so the partial aggregation is map-side combinable — the reduce side
+  * sees at most k rows per (group × map partition), never the group's
+  * data. This is the scale-correct alternative to a
+  * `Window.partitionBy(group).orderBy(...)` row_number, which must
+  * materialize and sort EVERY row of a stratum in one partition — the
+  * shape that falls over when one stratum holds half of a 100 TB corpus.
+  *
+  * Ordering is the lexicographic (priority, id) tuple order, so ties
+  * break deterministically on id.
+  */
+class TopKSmallestAgg(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  require(k > 0, s"k must be positive, got $k")
+  private val ord = Ordering.Tuple2[Long, Long]
+  override def zero: Seq[(Long, Long)] = Vector.empty
+  private def bound(s: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = s.sorted(ord)
+    if (sorted.length > k) sorted.take(k) else sorted
+  }
+  override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+    if (b.length >= k && ord.gteq(a, b.last)) b else bound(b :+ a)
+  override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    bound(b1 ++ b2)
+  override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r.sorted(ord)
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+}
+
+/** Corpus-profiling operators: stratified fixed-size sampling, per-group
+  * exact quantiles, grouped argmax, and log2 length histograms. Like the
+  * sketches, every output is either pure-integer or built from
+  * exactly-rounded double ops on exactly-representable values, so the
+  * DuckDB oracles reproduce each number bit-for-bit.
+  */
+object Profiling {
+
+  /** Deterministic fixed-size stratified sample: the k documents with the
+    * smallest 48-bit md5(id) per stratum. Unlike threshold sampling
+    * ([[Curation.hashSample]]) the per-stratum size is EXACT (min(k,
+    * |stratum|)), and unlike a window row_number the selection is a
+    * bounded map-side-combinable aggregate ([[TopKSmallestAgg]]) — no
+    * stratum is ever sorted or collected whole. Returns
+    * (stratum, id, sample_hash), k rows per stratum.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10).cast("long")
+    val topk = udaf(new TopKSmallestAgg(k))
+    df.select(col(strataCol).as("stratum"), h.as("sample_hash"), col(idCol).cast("long").as("id"))
+      .groupBy(col("stratum"))
+      .agg(topk(col("sample_hash"), col("id")).as("picks"))
+      .select(col("stratum"), explode(col("picks")).as("p"))
+      .select(col("stratum"), col("p._2").as("id"), col("p._1").as("sample_hash"))
+  }
+
+  /** Exact per-group quantiles (linear interpolation on sorted values —
+    * the percentile_cont definition) of an integer column, one row per
+    * (group, quantile). Spark's exact `percentile` aggregate buffers a
+    * value→count map, so the shuffle carries (group × distinct values)
+    * entries, not rows — integer-valued columns (lengths, token counts)
+    * keep that bounded at corpus scale. With probs stepping in 1/4s over
+    * integer data every interpolation term is exactly representable, so
+    * the doubles are engine-independent. Returns
+    * (groupCol, q_idx, q_value, n).
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0), s"bad probs $probs")
+    val arr = probs.map(p => s"CAST($p AS DOUBLE)").mkString(", ")
+    df.groupBy(col(groupCol))
+      .agg(
+        expr(s"percentile($valCol, array($arr))").as("qs"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"), posexplode(col("qs")))
+      .select(
+        col(groupCol),
+        col("pos").cast("long").as("q_idx"),
+        round(col("col"), 4).as("q_value"),
+        col("n"))
+  }
+
+  /** Grouped argmax without a window: the row with the maximum `ordCol`
+    * per group (ties → smallest id) via `max_by` over a (ord, -id)
+    * struct — one map-side-combinable aggregate carrying O(1) state per
+    * group, where the row_number formulation sorts every group's rows.
+    * Returns (groupCols..., best_id, best_<ordCol>, n_rows).
+    */
+  def argmaxPerGroup(df: DataFrame, groupCols: Seq[String],
+                     ordCol: String, idCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        max_by(col(idCol).cast("long"), struct(col(ordCol), -col(idCol))).as("best_id"),
+        max(col(ordCol)).as(s"best_$ordCol"),
+        count(lit(1)).as("n_rows"))
+
+  /** Power-of-two histogram of a non-negative integer column: bucket =
+    * bit length (floor(log2)+1, 0 for values ≤ 0) — computed as
+    * length(bin(v)), no libm. One map-side-combinable groupBy over at
+    * most 64 buckets: corpus length profiles at scan speed. Returns
+    * (bucket, n_docs, sum_chars, min_chars, max_chars).
+    */
+  def lengthHistogram(df: DataFrame, valCol: String): DataFrame =
+    df.select(
+        when(col(valCol) <= 0, 0L)
+          .otherwise(length(bin(col(valCol))).cast("long")).as("bucket"),
+        col(valCol))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(valCol)).as("sum_chars"),
+        min(col(valCol)).as("min_chars"),
+        max(col(valCol)).as("max_chars"))
+}

@@ -136,6 +136,51 @@ object Sketches {
     spark.createDataFrame(out).toDF("token", "n_exact", "cm_estimate")
   }
 
+  /** Build an m-bit Bloom filter over a key column, packed into m/32
+    * words of 32 bits (32, not 64, so the oracle's `1 << bit` never
+    * shifts into the sign bit on any engine). Bit positions are
+    * kHashes 48-bit md5("i:key") values mod m. The build is one
+    * map-side-combinable distinct + a bounded collect (m/32 words — for
+    * the default m=2048 that is 64 longs), the same documented
+    * driver-finish pattern as [[cmsHeavyHitters]]: the filter size is a
+    * constant, independent of corpus size.
+    */
+  def bloomBits(keys: DataFrame, keyCol: String, m: Int = 2048, kHashes: Int = 3): Array[Long] = {
+    require(m % 32 == 0 && m > 0, s"m must be a positive multiple of 32, got $m")
+    require(kHashes > 0, s"kHashes must be positive, got $kHashes")
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val pos = keys.select(explode(array((0 until kHashes).map { i =>
+        conv(substring(md5(concat(lit(s"$i:"), col(keyCol))), 1, 12), 16, 10)
+          .cast("long") % m
+      }: _*)).as("p"))
+      .distinct()
+    val words = new Array[Long](m / 32)
+    pos.as[Long].collect().foreach { p =>
+      words((p / 32).toInt) |= (1L << (p % 32).toInt)
+    }
+    words
+  }
+
+  /** Probe a Bloom filter built by [[bloomBits]]: appends `bloom_hit`
+    * (1 iff all kHashes bit positions of the row's key are set — no
+    * false negatives, deterministic false positives). The filter rides
+    * into the plan as an array literal, so the probe is a narrow
+    * codegen'd scan with ZERO shuffle — the shape that makes Bloom
+    * pre-filters worth it in front of an expensive contamination join
+    * at 100 TB.
+    */
+  def bloomProbe(df: DataFrame, keyCol: String, words: Array[Long], kHashes: Int = 3): DataFrame = {
+    val m = words.length * 32
+    val hit = (0 until kHashes).map { i =>
+      val p = s"(CAST(conv(substring(md5(concat('$i:', $keyCol)), 1, 12), 16, 10) AS BIGINT) % $m)"
+      s"(shiftright(element_at(graft_bloom_words, CAST($p div 32 AS INT) + 1), CAST($p % 32 AS INT)) & 1) = 1"
+    }.mkString(" AND ")
+    df.withColumn("graft_bloom_words", typedLit(words.toSeq))
+      .withColumn("bloom_hit", expr(hit).cast("long"))
+      .drop("graft_bloom_words")
+  }
+
   /** Deterministic weighted sample of k rows without replacement:
     * priority = hash(id)/weight (48-bit md5 uniform over an exact double
     * division — heavier rows draw proportionally smaller priorities, a

@@ -134,6 +134,48 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Inverted-index statistics: per term, the number of documents
+    * containing it (df) and its total occurrence count (total_tf), for
+    * the k terms with the highest df (ties → term asc). Two map-side
+    * combinable aggregations — (doc, term) then term — and the top-k is
+    * a TakeOrdered, so the reduce side never sees more than the
+    * vocabulary; posting-list materialization is left to the caller
+    * (join back on term) because at corpus scale the full lists ARE the
+    * data. Returns (term, df, total_tf).
+    */
+  def docFrequency(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** End-to-end benchmark decontamination — the composition a training
+    * pipeline runs before an eval: flag every train document sharing at
+    * least `minShared` distinct word n-grams with ANY benchmark document
+    * ([[crossNgramOverlap]] semantics), and emit the keep decision. The
+    * contaminated-id set is at most |train| rows and arrives through a
+    * broadcast left join, so the corpus is never shuffled. Returns
+    * (idCol, contaminated LONG, kept LONG), one row per train doc.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int, minShared: Long): DataFrame = {
+    val bad = crossNgramOverlap(train, bench, idCol, textCol, n, minShared)
+      .select(col("train_doc").as(idCol)).distinct()
+      .withColumn("graft_bad", lit(1L))
+    train.join(broadcast(bad), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("graft_bad"), lit(0L)).as("contaminated"),
+        when(col("graft_bad").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   /** Column-appending fingerprint variant: adds `fingerprint` to the
     * ORIGINAL columns (null for documents with fewer than five words), so
     * it composes into wider pipelines — including streaming ones — with

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.llm.{Profiling, Sketches, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Corpus-profiling and membership operators over the documents table:
+  * stratified sampling, per-group quantiles, grouped argmax, inverted-
+  * index stats, Bloom-filter probes, end-to-end decontamination, and
+  * length histograms. All md5-keyed / exact-arithmetic, so every query
+  * has a bit-exact DuckDB oracle.
+  */
+object ProfileQueries {
+  import Registry.table
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- Fixed-size stratified sample: 20 docs per language, smallest
+    // md5(doc_id) first — a bounded map-side-combinable aggregate, not a
+    // per-stratum window sort.
+    "q73_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        Profiling.stratifiedSample(table(s, dir, "documents"), "lang", "doc_id", 20)
+          .orderBy("stratum", "id")
+      },
+      Some("""WITH h AS (SELECT lang AS stratum, doc_id AS id,
+             |            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS sample_hash
+             |          FROM documents),
+             |r AS (SELECT stratum, id, sample_hash,
+             |             row_number() OVER (PARTITION BY stratum ORDER BY sample_hash, id) AS rn
+             |      FROM h)
+             |SELECT stratum, id, sample_hash FROM r WHERE rn <= 20
+             |ORDER BY stratum, id""".stripMargin)),
+
+    // ---- Per-language length quartiles (exact percentile_cont over the
+    // integer n_chars column; every interpolation term is exactly
+    // representable so the doubles match bit-for-bit).
+    "q74_length_quantiles" -> QueryDef(
+      (s, dir) => {
+        Profiling.groupQuantiles(table(s, dir, "documents"), "lang", "n_chars",
+            Seq(0.25, 0.5, 0.75))
+          .orderBy("lang", "q_idx")
+      },
+      Some("""WITH q AS (SELECT lang, count(*) AS n,
+             |                  quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+             |           FROM documents GROUP BY lang)
+             |SELECT lang, CAST(generate_subscripts(qs, 1) - 1 AS BIGINT) AS q_idx,
+             |       round(unnest(qs), 4) AS q_value, n
+             |FROM q ORDER BY lang, q_idx""".stripMargin)),
+
+    // ---- Longest document per (lang, source) via map-side-combinable
+    // max_by argmax (ties -> smallest doc_id); no window sort anywhere.
+    "q75_best_per_group" -> QueryDef(
+      (s, dir) => {
+        Profiling.argmaxPerGroup(table(s, dir, "documents"),
+            Seq("lang", "source"), "n_chars", "doc_id")
+          .orderBy("lang", "source")
+      },
+      Some("""WITH m AS (SELECT lang, source, max(n_chars) AS best_n_chars,
+             |                  count(*) AS n_rows
+             |           FROM documents GROUP BY 1, 2)
+             |SELECT m.lang, m.source, min(d.doc_id) AS best_id, m.best_n_chars, m.n_rows
+             |FROM m JOIN documents d
+             |  ON d.lang = m.lang AND d.source = m.source AND d.n_chars = m.best_n_chars
+             |GROUP BY m.lang, m.source, m.best_n_chars, m.n_rows
+             |ORDER BY m.lang, m.source""".stripMargin)),
+
+    // ---- Inverted-index stats: document frequency + total term
+    // frequency for the 100 highest-df terms.
+    "q76_doc_frequency" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.docFrequency(table(s, dir, "documents"), "doc_id", "text", 100)
+          .orderBy("term")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+             |top AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+             |        FROM tf GROUP BY term
+             |        ORDER BY df DESC, term LIMIT 100)
+             |SELECT term, df, total_tf FROM top ORDER BY term""".stripMargin)),
+
+    // ---- Bloom-filter membership probe: 2048-bit filter over the
+    // benchmark texts (doc_id % 97 = 0), probed by every document.
+    // bloom_hit has no false negatives; the false positives are
+    // deterministic, so the oracle reproduces them exactly.
+    "q77_bloom_probe" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+        val words = Sketches.bloomBits(bench, "text", m = 2048, kHashes = 3)
+        Sketches.bloomProbe(docs, "text", words, kHashes = 3)
+          .join(broadcast(bench.distinct().withColumn("mflag", lit(1L))), Seq("text"), "left")
+          .select(col("doc_id"), col("bloom_hit"),
+            coalesce(col("mflag"), lit(0L)).as("is_member"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bk AS (SELECT DISTINCT text AS key FROM documents WHERE doc_id % 97 = 0),
+             |rs AS (SELECT unnest(range(0, 3)) AS r),
+             |pos AS (SELECT DISTINCT
+             |          CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || key), 1, 12) AS BIGINT) % 2048 AS p
+             |        FROM bk, rs),
+             |words AS (SELECT p // 32 AS w,
+             |                 bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+             |          FROM pos GROUP BY 1),
+             |probe AS (SELECT doc_id, text, r,
+             |            CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || text), 1, 12) AS BIGINT) % 2048 AS p
+             |          FROM documents, rs),
+             |chk AS (SELECT doc_id, text,
+             |               CASE WHEN (coalesce(word, 0) >> CAST(p % 32 AS INT)) & 1 = 1
+             |                    THEN 1 ELSE 0 END AS ok
+             |        FROM probe LEFT JOIN words ON words.w = probe.p // 32)
+             |SELECT doc_id,
+             |       CAST(min(ok) AS BIGINT) AS bloom_hit,
+             |       CAST(CASE WHEN max(CASE WHEN text IN (SELECT key FROM bk) THEN 1 ELSE 0 END) = 1
+             |            THEN 1 ELSE 0 END AS BIGINT) AS is_member
+             |FROM chk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- End-to-end decontamination: train docs sharing >= 3 distinct
+    // word trigrams with any benchmark doc (doc_id % 97 = 0) are flagged
+    // and dropped; one row per train doc with the keep decision.
+    "q78_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        TextAnalysis.decontaminate(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", n = 3, minShared = 3L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w),
+             |sh AS (SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] AS s FROM g),
+             |b AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 = 0),
+             |t AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+             |pair AS (SELECT t.doc_id AS td, b.doc_id AS bd, count(*) AS n
+             |         FROM t JOIN b ON t.s = b.s GROUP BY 1, 2),
+             |bad AS (SELECT DISTINCT td FROM pair WHERE n >= 3)
+             |SELECT d.doc_id,
+             |       CAST(CASE WHEN bad.td IS NULL THEN 0 ELSE 1 END AS BIGINT) AS contaminated,
+             |       CAST(CASE WHEN bad.td IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+             |FROM documents d LEFT JOIN bad ON bad.td = d.doc_id
+             |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- Power-of-two document length histogram (bucket = bit length
+    // of n_chars): the corpus length profile in one bounded groupBy.
+    "q79_length_histogram" -> QueryDef(
+      (s, dir) => {
+        Profiling.lengthHistogram(table(s, dir, "documents"), "n_chars")
+          .orderBy("bucket")
+      },
+      Some("""SELECT CAST(CASE WHEN n_chars <= 0 THEN 0 ELSE length(bin(n_chars)) END AS BIGINT) AS bucket,
+             |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)))
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.llm.{Profiling, Sketches, TextAnalysis, TopKSmallestAgg}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the profiling/membership operators: bounded top-k
+  * aggregator semantics, stratified sample vs the window formulation,
+  * quantile interpolation vs a naive sort, argmax tie-breaks, Bloom
+  * filter no-false-negatives, doc frequency, and decontamination flags.
+  */
+class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-profiling-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("TopKSmallestAgg buffers never exceed k and merge == global sort") {
+    val agg = new TopKSmallestAgg(3)
+    val xs = Seq((9L, 1L), (1L, 2L), (5L, 3L), (1L, 1L), (7L, 4L), (0L, 9L))
+    val b = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(b.length == 3)
+    // split arbitrarily, reduce halves, merge — same result as global
+    val (l, r) = xs.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == xs.sorted.take(3))
+    assert(agg.finish(b) == xs.sorted.take(3))
+  }
+
+  test("stratifiedSample picks exactly min(k, |stratum|) smallest hashes per stratum") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (if (i % 2 == 0) "even" else "odd", i))
+      .toDF("lang", "doc_id")
+      .union(Seq(("tiny", 100L)).toDF("lang", "doc_id"))
+    val got = Profiling.stratifiedSample(df, "lang", "doc_id", 5)
+    val bySize = got.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(bySize == Map("even" -> 5L, "odd" -> 5L, "tiny" -> 1L))
+    // equivalence with the window formulation
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+    val w = Window.partitionBy(col("stratum")).orderBy(col("sample_hash"), col("id"))
+    val want = df.select(col("lang").as("stratum"), col("doc_id").as("id"), h.as("sample_hash"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("groupQuantiles matches a naive sorted-array interpolation") {
+    import spark.implicits._
+    val vals = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L) // n=8
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val got = Profiling.groupQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.75))
+      .orderBy("q_idx").select("q_value").as[Double].collect().toSeq
+    val sorted = vals.sorted.map(_.toDouble)
+    def q(p: Double) = {
+      val rank = p * (sorted.length - 1)
+      val lo = rank.toInt; val d = rank - lo
+      sorted(lo) + (sorted(math.min(lo + 1, sorted.length - 1)) - sorted(lo)) * d
+    }
+    assert(got == Seq(q(0.25), q(0.5), q(0.75)))
+  }
+
+  test("argmaxPerGroup breaks ord ties on the smallest id") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "s", 10L, 7L), ("a", "s", 10L, 3L), ("a", "s", 9L, 1L),
+      ("b", "s", 5L, 2L)).toDF("lang", "source", "n_chars", "doc_id")
+    val got = Profiling.argmaxPerGroup(df, Seq("lang", "source"), "n_chars", "doc_id")
+      .orderBy("lang").select("best_id", "best_n_chars", "n_rows")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 10L, 3L), (2L, 5L, 1L)))
+  }
+
+  test("lengthHistogram buckets by bit length with zeros in bucket 0") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("n")
+    val got = Profiling.lengthHistogram(df, "n")
+      .orderBy("bucket").select("bucket", "n_docs")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L), (10L, 1L), (11L, 1L)))
+  }
+
+  test("bloom probe has no false negatives and matches a direct bit check") {
+    import spark.implicits._
+    val keys = (1 to 40).map(i => s"key$i").toDF("k")
+    val words = Sketches.bloomBits(keys, "k", m = 256, kHashes = 3)
+    val probe = (1 to 40).map(i => s"key$i").union((1 to 200).map(i => s"other$i")).toDF("k")
+    val got = Sketches.bloomProbe(probe, "k", words, kHashes = 3)
+    // every inserted key must hit
+    assert(got.filter(col("k").startsWith("key") && col("bloom_hit") === 0).count() == 0)
+    // some non-member should miss (256 bits, <=120 set, 3 hashes)
+    assert(got.filter(col("k").startsWith("other") && col("bloom_hit") === 0).count() > 0)
+  }
+
+  test("docFrequency counts distinct docs and total occurrences per term") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.docFrequency(df, "doc_id", "text", 10)
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 3L), ("b", 1L, 1L), ("c", 2L, 4L)))
+  }
+
+  test("decontaminate flags exactly the train docs sharing enough grams") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"), // shares 3 trigrams with bench
+      (2L, "completely different words here now")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps away")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(train, bench, "doc_id", "text", n = 3, minShared = 3L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L), (2L, 0L, 1L)))
+  }
+}
