@@ -138,6 +138,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("rangepartitioning"), s"expected a range-partitioned sort:\n$p")
   }
 
+  test("stratified sample is a bounded aggregate, not a per-stratum window sort") {
+    val p = planOf("q73_stratified_sample")
+    assert(!p.contains("Window"), s"stratified sample degraded to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected a typed top-k aggregate:\n$p")
+  }
+
+  test("grouped argmax is one partial aggregation, no window, no join") {
+    val p = planOf("q75_best_per_group")
+    assert(!p.contains("Window"), s"argmax degraded to a window sort:\n$p")
+    assert(!p.contains("Join"), s"argmax acquired a join:\n$p")
+    assert(p.contains("partial_"), s"argmax lost map-side combine:\n$p")
+    assert(hashExchanges(p) <= 1, s"argmax should shuffle group rows once:\n$p")
+  }
+
+  test("doc frequency partially aggregates both levels and take-orders the top k") {
+    val p = planOf("q76_doc_frequency")
+    assert(p.contains("partial_"), s"doc frequency lost map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to a global sort:\n$p")
+  }
+
+  test("bloom probe is a narrow scan: zero shuffles before the membership join") {
+    val df = SparkEntry.queries("q77_bloom_probe")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"membership flag lost its broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bloom probe corpus side shuffled:\n$p")
+  }
+
+  test("decontamination broadcasts both the bench grams and the flagged-id set") {
+    val p = planOf("q78_decontaminate")
+    assert(!p.contains("SortMergeJoin"), s"decontaminate shuffled a join side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("length histogram and group quantiles shuffle only group rows once") {
+    Seq("q79_length_histogram", "q74_length_quantiles").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("partial_") || p.contains("ObjectHashAggregate"),
+        s"$q lost map-side combine:\n$p")
+      assert(hashExchanges(p) <= 1, s"$q shuffles more than once:\n$p")
+    }
+  }
+
   test("token counting prunes the documents scan to the needed columns") {
     val df = SparkEntry.queries("q38_token_counts")(spark, dir)
     df.collect()
