@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel and retention-cohort analytics over event streams.
+  *
+  * Both are single-shuffle formulations: the funnel walks each user's
+  * time-sorted events in ONE `aggregate` pass (per-user state is the
+  * stage-timestamp vector, O(stages)), where the textbook form chains
+  * one join + aggregate per stage — k shuffles and k scans for a k-step
+  * funnel. Retention is two map-side-combinable aggregates and one
+  * user-keyed join. Timestamps are carried as epoch-µs BIGINTs so every
+  * comparison is exact integer arithmetic.
+  */
+object EventAnalytics {
+
+  /** Furthest funnel stage per user: stage i counts only when it happens
+    * STRICTLY after the recorded time of stage i-1 (first eligible
+    * occurrence wins; an event can satisfy only one stage). Returns
+    * (userCol, stage LONG, t0_us..t{n-1}_us BIGINT nullable) — stage =
+    * number of stages reached.
+    *
+    * One shuffle (groupBy user); the per-user walk runs over the
+    * time-sorted event array inside whole-stage codegen. Stage strings
+    * must be simple literals (no quotes).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.forall(s => !s.contains("'")), s"bad stages $stages")
+    val n = stages.length
+    val fields = (0 until n).map(i => s"t$i")
+    val init = fields.map(f => s"CAST(NULL AS BIGINT) AS $f").mkString(", ")
+    val step = stages.zipWithIndex.map { case (st, i) =>
+      val guard =
+        if (i == 0) s"acc.t0 IS NULL AND x.ty = '$st'"
+        else s"acc.t${i - 1} IS NOT NULL AND acc.t$i IS NULL AND x.ty = '$st' AND x.us > acc.t${i - 1}"
+      s"CASE WHEN $guard THEN x.us ELSE acc.t$i END AS t$i"
+    }.mkString(", ")
+    val stage = (n to 1 by -1)
+      .map(i => s"WHEN fu.t${i - 1} IS NOT NULL THEN ${i}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+    events
+      .select(col(userCol), struct(
+        expr(s"unix_micros($tsCol)").as("us"), col(typeCol).as("ty")).as("ev"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .withColumn("fu", expr(
+        s"aggregate(evs, struct($init), (acc, x) -> struct($step))"))
+      .select(
+        col(userCol) +: expr(s"CAST($stage AS BIGINT)").as("stage") +:
+          fields.map(f => col(s"fu.$f").as(s"${f}_us")): _*)
+  }
+
+  /** Retention cohort grid: users keyed by the epoch-day of their first
+    * event, counted on each later day they were active. Day arithmetic
+    * is integer epoch-µs division — no timezone in play. Returns
+    * (cohort_day, day_offset, n_users), one row per (cohort, offset)
+    * with at least one active user.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val day = expr(s"unix_micros($tsCol) div $usPerDay")
+    val first = events.groupBy(col(userCol))
+      .agg(min(day).as("cohort_day"))
+    val active = events
+      .select(col(userCol), day.as("active_day")).distinct()
+    active.join(first, Seq(userCol))
+      .groupBy(col("cohort_day"), (col("active_day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOfJoin, RangeJoin, Sessionize}
+import graft.operators.{AsOfJoin, EventAnalytics, RangeJoin, Sessionize}
 import org.apache.spark.sql.functions._
 
 /** Event-stream operators a training-data/analytics pipeline needs that
@@ -89,5 +89,44 @@ object EventQueries {
              |  FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
              |SELECT e.event_id, e.user_id, e.ts, p.o_orderkey, p.o_orderdate
              |FROM events e LEFT JOIN p ON p.event_id = e.event_id AND p.rn = 1
-             |ORDER BY e.event_id""".stripMargin)))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- Ordered funnel view -> click -> purchase: one aggregate walk
+    // per user over the time-sorted events (single shuffle), vs the
+    // textbook one-join-per-stage chain the oracle runs.
+    "q80_funnel" -> QueryDef(
+      (s, dir) => {
+        EventAnalytics.funnel(table(s, dir, "events"), "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON s1.user_id = e.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON s2.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+             |u AS (SELECT DISTINCT user_id FROM events)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+             |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+             |  epoch_us(t1) AS t0_us, epoch_us(t2) AS t1_us, epoch_us(t3) AS t2_us
+             |FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+             |       LEFT JOIN s2 ON s2.user_id = u.user_id
+             |       LEFT JOIN s3 ON s3.user_id = u.user_id
+             |ORDER BY u.user_id""".stripMargin)),
+
+    // ---- Retention cohorts: users by epoch-day of first event, counted
+    // on each later active day. Integer day arithmetic, no timezone.
+    "q81_retention" -> QueryDef(
+      (s, dir) => {
+        EventAnalytics.retentionCohorts(table(s, dir, "events"), "user_id", "ts")
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
+             |           FROM events GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS active_day FROM events)
+             |SELECT f.cohort_day, a.active_day - f.cohort_day AS day_offset,
+             |       count(*) AS n_users
+             |FROM a JOIN f ON f.user_id = a.user_id
+             |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)))
 }

@@ -95,4 +95,45 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1000L), (5L, 1005L)))
   }
+
+  test("funnel requires strictly-ordered stages and one stage per event") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val events = Seq(
+      // u1: full ordered funnel
+      (1L, ts(1000000L), "view"), (1L, ts(2000000L), "click"), (1L, ts(3000000L), "purchase"),
+      // u2: click BEFORE the first view must not count; no later click
+      (2L, ts(2000000L), "view"), (2L, ts(1000000L), "click"),
+      // u3: click at the SAME micro as view is not strictly after
+      (3L, ts(1000000L), "view"), (3L, ts(1000000L), "click"),
+      // u4: never views
+      (4L, ts(1000000L), "purchase")).toDF("user_id", "ts", "event_type")
+    val got = graft.operators.EventAnalytics
+      .funnel(events, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .select("user_id", "stage", "t0_us", "t1_us", "t2_us")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, Some(1000000L), Some(2000000L), Some(3000000L)),
+      (2L, 1L, Some(2000000L), None, None),
+      (3L, 1L, Some(1000000L), None, None),
+      (4L, 0L, None, None, None)))
+  }
+
+  test("retention cohorts count distinct users per (cohort, offset)") {
+    import spark.implicits._
+    val day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val events = Seq(
+      // u1 first on day 0, active days 0 and 2 (twice on day 2)
+      (1L, ts(100L)), (1L, ts(2 * day + 5L)), (1L, ts(2 * day + 9L)),
+      // u2 first on day 0 as well, only day 0
+      (2L, ts(500L)),
+      // u3 first on day 1, active days 1 and 2
+      (3L, ts(day + 1L)), (3L, ts(2 * day + 1L))).toDF("user_id", "ts")
+    val got = graft.operators.EventAnalytics.retentionCohorts(events, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
 }
