@@ -307,8 +307,13 @@ object Dedup {
       else spark.conf.get("graft.cc.smallGraphEdges", "1000000").toLong
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    val sym = edges.select(a.as("u"), b.as("v"))
-      .union(edges.select(b.as("u"), a.as("v")))
+    // both orientations from ONE pass over the (possibly expensive)
+    // edges subtree — a union of two selects would re-execute it twice
+    val sym = edges
+      .select(explode(array(
+        struct(a.as("u"), b.as("v")),
+        struct(b.as("u"), a.as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
       .distinct()
       .persist()
     val edgeCount = sym.count()
