@@ -67,4 +67,42 @@ object EventStreams {
           }
         })
   }
+
+  final case class FunnelEvent(userId: Long, us: Long, ty: String)
+  final case class StageAdvance(userId: Long, stage: Long, atUs: Long)
+
+  /** Streaming twin of `operators.EventAnalytics.funnel`: per-user keyed
+    * state holds the timestamps of the stages reached so far (a prefix
+    * vector, O(stages)); each micro-batch's events are walked in
+    * event-time order and a StageAdvance row is emitted every time a
+    * user's furthest stage moves forward. Same strictly-after / one-
+    * stage-per-event semantics as the batch walk.
+    *
+    * Ordering caveat (inherent to forward-only streaming funnels): the
+    * walk is event-time-sorted WITHIN a micro-batch, but an event
+    * arriving in a later batch with an earlier timestamp than an
+    * already-recorded stage cannot retroactively rewrite the funnel —
+    * replay the batch operator when exact late-data semantics matter.
+    * State never expires here; compose with a timeout variant when the
+    * user key space is unbounded.
+    */
+  def funnelAdvances(events: Dataset[FunnelEvent], stages: Seq[String]): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[Seq[Long]]) => {
+          var times = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[StageAdvance]
+          rows.toSeq.sortBy(e => (e.us, e.ty)).foreach { e =>
+            val i = times.length
+            if (i < stages.length && e.ty == stages(i) &&
+                (i == 0 || e.us > times(i - 1))) {
+              times = times :+ e.us
+              out += StageAdvance(user, i + 1L, e.us)
+            }
+          }
+          if (out.nonEmpty) state.update(times)
+          out.iterator
+        })
+  }
 }

@@ -111,4 +111,51 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(id) == want, s"doc $id")
     }
   }
+
+  test("TopKSmallestAgg matches sort-take under random inputs and random splits") {
+    val rnd = new Random(11)
+    (0 until 200).foreach { _ =>
+      val k = 1 + rnd.nextInt(8)
+      val agg = new graft.llm.TopKSmallestAgg(k)
+      val xs = Seq.fill(rnd.nextInt(30))((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+      // random tree of partial buffers merged together — simulates
+      // arbitrary partitioning of the input across map tasks
+      val chunks = xs.grouped(1 + rnd.nextInt(5)).toSeq
+      val merged = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == xs.sorted.take(k))
+    }
+  }
+
+  test("funnel matches a sequential walk reference on random event streams") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val stages = Seq("view", "click", "purchase")
+    val types = stages ++ Seq("error", "signup")
+    val events = (0 until 80).flatMap { u =>
+      (0 until 1 + rnd.nextInt(25)).map { _ =>
+        (u.toLong, rnd.nextInt(50).toLong, types(rnd.nextInt(types.size)))
+      }
+    }
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val df = events.map { case (u, s, ty) => (u, ts(s * 1000000L), ty) }
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.EventAnalytics
+      .funnel(df, "user_id", "ts", "event_type", stages)
+      .select("user_id", "stage", "t0_us", "t1_us", "t2_us")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Seq(2, 3, 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getLong(i))))).toMap
+    events.groupBy(_._1).foreach { case (u, evs) =>
+      var times = Vector.empty[Long]
+      evs.map { case (_, s, ty) => (s * 1000000L, ty) }.sorted.foreach { case (us, ty) =>
+        val i = times.length
+        if (i < stages.length && ty == stages(i) && (i == 0 || us > times(i - 1)))
+          times = times :+ us
+      }
+      val want = (times.length.toLong,
+        (0 until 3).map(i => times.lift(i)))
+      assert(got(u) == want, s"user $u: got ${got(u)}, want $want")
+    }
+  }
 }

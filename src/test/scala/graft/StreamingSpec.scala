@@ -88,4 +88,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(kept == Set(10L, 13L), s"got $kept")
     } finally q.stop()
   }
+
+  test("streaming funnel advances stages across batches with batch-walk semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{FunnelEvent, StageAdvance}
+    val in = MemoryStream[FunnelEvent]
+    val out = EventStreams.funnelAdvances(in.toDS(), Seq("view", "click", "purchase"))
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      // u1 arrives out of order WITHIN the batch (click before view) —
+      // the in-batch event-time sort still records both stages;
+      // u2's click strictly precedes its view, so only the view counts
+      in.addData(
+        FunnelEvent(1L, 2000000L, "click"), FunnelEvent(1L, 1000000L, "view"),
+        FunnelEvent(2L, 1000000L, "click"), FunnelEvent(2L, 2000000L, "view"))
+      q.processAllAvailable()
+      // u1 completes in a later batch; u2's second click is after its
+      // view, so it advances now
+      in.addData(FunnelEvent(1L, 3000000L, "purchase"), FunnelEvent(2L, 3000000L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("funnel").as[StageAdvance].collect().toSet
+      assert(got == Set(
+        StageAdvance(1L, 1L, 1000000L), StageAdvance(1L, 2L, 2000000L),
+        StageAdvance(1L, 3L, 3000000L),
+        StageAdvance(2L, 1L, 2000000L), StageAdvance(2L, 2L, 3000000L)), s"got $got")
+    } finally q.stop()
+  }
 }
