@@ -1,0 +1,95 @@
+package graft
+
+import graft.llm.{CacheRegistry, Curation, Dedup, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation run — the LLM-pipeline counterpart
+  * of [[Carve]]: normalize → quality gate → near-duplicate removal
+  * (LSH + connected components, [[Dedup.dedupCorpus]]) → benchmark
+  * decontamination → train/val/test split → deterministic shuffle key,
+  * written as partitioned parquet with per-stage counts in a one-row
+  * summary.
+  *
+  * Every stage is one of the library operators, so the run inherits
+  * their scale shapes: the narrow stages (normalize/gate/split/shuffle
+  * key) cost one scan; dedup collapses to canonical texts before any
+  * pairwise work; decontamination broadcasts the benchmark n-grams.
+  * All keys are md5-derived — a re-run (or another engine) reproduces
+  * the same corpus bit-for-bit.
+  *
+  * Usage: runMain graft.Curate <documentsParquet> <benchParquet|-> <outDir>
+  * Env:   SPARK_GRAFT_CPUS (default 4), GRAFT_SPLIT_SEED (default "graft")
+  */
+object Curate {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: Curate <documentsParquet> <benchParquet|-> <outDir>")
+    val (docsPath, benchPath, outDir) = (args(0), args(1), args(2))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val seed = sys.env.getOrElse("GRAFT_SPLIT_SEED", "graft")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val summary = run(spark, docsPath,
+        Option(benchPath).filter(_ != "-"), outDir, seed)
+      println(summary.mkString("{", ", ", "}"))
+    } finally spark.stop()
+  }
+
+  /** Runs the pipeline; returns the stage-count summary (also written to
+    * `outDir/summary`). Package-visible for the spec.
+    */
+  def run(spark: SparkSession, docsPath: String, benchPath: Option[String],
+          outDir: String, seed: String): Seq[(String, Long)] = {
+    val raw = spark.read.parquet(docsPath)
+    val nRaw = raw.count()
+
+    // 1. normalize + quality gate — narrow, one scan
+    val normed = Curation.normalizeText(raw, "doc_id", "text")
+      .select(col("doc_id"), col("norm_text").as("text"), col("lang"))
+    val gated = Curation.qualityGate(normed, "doc_id", "text")
+      .filter(col("keep"))
+      .select("doc_id", "text", "lang")
+    val nGated = gated.count()
+
+    // 2. near-duplicate removal: cluster keep-decisions joined back
+    val keep = Dedup.dedupCorpus(gated, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      .filter(col("kept") === 1L)
+      .select(col("doc_id"))
+    val deduped = gated.join(keep, Seq("doc_id"))
+    val nDeduped = deduped.count()
+
+    // 3. benchmark decontamination (skipped when no benchmark given)
+    val clean = benchPath match {
+      case Some(bp) =>
+        val bench = spark.read.parquet(bp).select(col("doc_id"), col("text"))
+        val flags = TextAnalysis.decontaminate(
+          deduped.select(col("doc_id"), col("text")), bench,
+          "doc_id", "text", n = 3, minShared = 3L)
+        deduped.join(flags.filter(col("kept") === 1L).select("doc_id"), Seq("doc_id"))
+      case None => deduped
+    }
+    val nClean = clean.count()
+
+    // 4. split assignment + deterministic shuffle key, partitioned write
+    val out = Curation.shuffleKey(
+      Curation.assignSplit(clean, "doc_id", seed, trainPct = 90, valPct = 5),
+      "doc_id", seed)
+    out.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")
+
+    val summary = Seq(
+      "n_raw" -> nRaw, "n_quality" -> nGated,
+      "n_deduped" -> nDeduped, "n_clean" -> nClean)
+    import spark.implicits._
+    summary.toDF("stage", "n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/summary")
+    CacheRegistry.releaseAll(spark)
+    summary
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end test of the Curate pipeline main over the sf0.001
+  * documents table: stage counts are monotone, the written corpus is
+  * readable and split-partitioned, no near-duplicate clusters survive,
+  * and a re-run reproduces the identical corpus (determinism).
+  */
+class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-curate-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("curate pipeline runs end-to-end, filters monotonically, and is deterministic") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val out1 = Files.createTempDirectory("graft-curate1").toString
+    val out2 = Files.createTempDirectory("graft-curate2").toString
+    // benchmark side: the same synthetic corpus's doc_id % 97 == 0 slice,
+    // staged to parquet (Curate reads bench from a path)
+    val benchDir = Files.createTempDirectory("graft-bench").toString + "/bench"
+    spark.read.parquet(docs).filter(col("doc_id") % 97 === 0)
+      .select("doc_id", "text").write.parquet(benchDir)
+
+    val s1 = Curate.run(spark, docs, Some(benchDir), out1, "graft")
+    val counts = s1.toMap
+    assert(counts("n_raw") > 0)
+    assert(counts("n_raw") >= counts("n_quality"))
+    assert(counts("n_quality") >= counts("n_deduped"))
+    assert(counts("n_deduped") >= counts("n_clean"))
+    assert(counts("n_clean") > 0)
+
+    val corpus = spark.read.parquet(s"$out1/corpus")
+    assert(corpus.count() == counts("n_clean"))
+    // split partitioning exists and covers every row
+    val splits = corpus.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(splits.values.sum == counts("n_clean"))
+    assert(corpus.columns.contains("shuffle_key"))
+    // the kept corpus has no remaining exact duplicates
+    val dups = corpus.groupBy("text").count().filter(col("count") > 1).count()
+    assert(dups == 0, "near-dup removal left exact duplicates")
+    // no persisted RDDs leak out of the pipeline
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+
+    // determinism: identical summary and identical kept doc_ids
+    val s2 = Curate.run(spark, docs, Some(benchDir), out2, "graft")
+    assert(s1 == s2)
+    val ids1 = spark.read.parquet(s"$out1/corpus").select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = spark.read.parquet(s"$out2/corpus").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+}
