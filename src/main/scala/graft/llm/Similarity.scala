@@ -100,23 +100,34 @@ object Similarity {
       centroids: DataFrame, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       dot(a, b) / (norm(a) * norm(b))
-    val cents = broadcast(centroids.select(col(idCol).as("cent_id"), col(vecCol).as("cv")))
-    // inverted lists: nearest centroid per corpus vector (ties -> lowest id)
-    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(cents)
-      .select(col("id"), col("cent_id"), cos(col("v"), col("cv")).as("cs"))
-      .groupBy(col("id"))
-      .agg(max_by(col("cent_id"), struct(col("cs"), (-col("cent_id")).as("tb"))).as("cent_id"))
+    // A coarse-quantizer codebook is bounded by construction (a k-means
+    // output, 2^8..2^16 entries), so it rides into the plan as an array
+    // literal and the inverted-list assignment is a PER-ROW argmax — a
+    // narrow codegen'd scan. The groupBy-argmax formulation this
+    // replaces shuffled the corpus twice (N×C-row aggregate + re-join);
+    // at 100 TB the assignment pass now costs one scan, zero exchanges.
+    val cents = centroids
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty && cents.length <= (1 << 16),
+      s"codebook must be a bounded coarse quantizer, got ${cents.length} entries")
+    // per-centroid (cs, -cent_id) structs: lexicographic max = highest
+    // score, ties -> lowest centroid id (same tie-break as max_by over
+    // struct(cs, -cent_id)); ascending sort + reverse = (cs desc,
+    // cent_id asc), the probe order
+    def scoredCents(v: org.apache.spark.sql.Column) =
+      transform(
+        array(cents.sortBy(_._1).map { case (cid, cv) =>
+          struct(lit(cid).as("cent_id"), typedLit(cv).as("cv"))
+        }: _*),
+        c => struct(cos(v, c.getField("cv")).as("cs"), (-c.getField("cent_id")).as("nid")))
     val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .join(assigned, col("neighbor_id") === col("id")).drop("id")
-    // probe set: nProbe nearest centroids per query
+      .withColumn("cent_id", -array_max(scoredCents(col("nv"))).getField("nid"))
+    // probe set: nProbe nearest centroids per query, in-row as well
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(cents)
-      .select(col("query_id"), col("qv"), col("cent_id"), cos(col("qv"), col("cv")).as("cs"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cs").desc, col("cent_id"))))
-      .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cent_id"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(reverse(array_sort(scoredCents(col("qv")))), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), (-col("p.nid")).as("cent_id"))
     val scored = broadcast(qProbes).join(lists, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("nv")).as("score"))

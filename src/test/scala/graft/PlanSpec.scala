@@ -182,6 +182,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF assignment is in-row: only the final top-k window shuffles") {
+    val p = planOf("q50_ivf_ann")
+    assert(p.contains("BroadcastHashJoin"), s"probe join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"IVF corpus side shuffled for a join:\n$p")
+    assert(hashExchanges(p) <= 1,
+      s"IVF should shuffle only the per-query candidate window:\n$p")
+  }
+
   test("token counting prunes the documents scan to the needed columns") {
     val df = SparkEntry.queries("q38_token_counts")(spark, dir)
     df.collect()
