@@ -232,18 +232,66 @@ object Dedup {
   /** 60-bit SimHash from whitespace tokens (multiplicity preserved):
     * token hash = first 15 hex chars of md5 as a long; bit j of the
     * signature is set when the +1/−1 votes of token bit j sum positive.
+    *
+    * The vote matrix is computed entirely per row (one `aggregate` pass
+    * over the token-hash array carrying a 60-slot vote vector), so the
+    * operator is a narrow codegen'd scan with NO shuffle — the
+    * explode × 60-bit-join formulation costs a 60× row blowup plus two
+    * exchanges for the same integer votes (which are order-independent
+    * sums, hence identical).
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-    val hv = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-    val bits = toks.select(col("id"), hv.as("hv"))
-      .crossJoin(df.sparkSession.range(60).toDF("j"))
-      .groupBy(col("id"), col("j"))
-      .agg(sum(when(expr("shiftright(hv, CAST(j AS INT)) & 1") === 1, 1)
-        .otherwise(-1)).as("vote"))
-    bits.groupBy(col("id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
-        .as("simhash"))
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        expr(s"transform(split($textCol, ' '), " +
+          "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))").as("hvs"))
+      .select(col("id"),
+        expr("""aggregate(hvs, array_repeat(CAST(0 AS BIGINT), 60),
+          |  (acc, h) -> zip_with(acc, sequence(0, 59),
+          |    (a, j) -> a + CASE WHEN (shiftright(h, CAST(j AS INT)) & 1) = 1
+          |                  THEN 1 ELSE -1 END))""".stripMargin).as("votes"))
+      .select(col("id"),
+        expr("""aggregate(zip_with(votes, sequence(0, 59),
+          |    (v, j) -> CASE WHEN v > 0
+          |              THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))
+          |              ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+
+  /** SimHash near-duplicate pairs (Charikar banding): the 60-bit
+    * signature splits into `nBands` bands of `bandBits` bits; two
+    * documents are candidates when any band matches exactly (a pair
+    * within hamming distance d < nBands must agree on at least one band
+    * by pigeonhole, so recall at maxHamming ≤ nBands-1 is total), and a
+    * candidate survives when the full signature hamming distance is ≤
+    * `maxHamming`. Scale shape: the band join buckets on (band, key) —
+    * pairwise work is per-bucket, never all-pairs — and the signature
+    * table is computed once (persisted through both join sides).
+    * Returns (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   nBands: Int = 4, bandBits: Int = 15,
+                   maxHamming: Int = 3): DataFrame = {
+    require(nBands > 0 && bandBits > 0 && nBands * bandBits <= 60,
+      s"bands ${nBands}x$bandBits exceed the 60-bit signature")
+    // signature table feeds both join sides. Cache lifecycle:
+    // [[CacheRegistry]] — release after materializing.
+    val sig = CacheRegistry.persist(simHash(df, idCol, textCol))
+    val mask = (1L << bandBits) - 1
+    // all bands in ONE pass over the signature table (explode, not a
+    // per-band union)
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("b"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bk"))
+      }: _*)).as("band"))
+      .select(col("id"), col("simhash"), col("band.b").as("b"), col("band.bk").as("bk"))
+    val a = banded.select(col("b"), col("bk"), col("id").as("doc_a"), col("simhash").as("sa"))
+    val bb = banded.select(col("b"), col("bk"), col("id").as("doc_b"), col("simhash").as("sb"))
+    a.join(bb, Seq("b", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact pairwise n-gram Jaccard via distinct-shingle join. Returns

@@ -87,6 +87,28 @@ object LlmQueries {
              |CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- SimHash near-dup pairs: band the 60-bit signature 4x15,
+    // candidates share a band, survivors are within hamming <= 3.
+    "q82_simhash_pairs" -> QueryDef(
+      (s, dir) => {
+        Dedup.simHashPairs(table(s, dir, "documents"), "doc_id", "text",
+            nBands = 4, bandBits = 15, maxHamming = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
+             |bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+             |         FROM h, (SELECT unnest(range(0, 60)) AS j) js GROUP BY doc_id, j),
+             |sig AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS sh
+             |        FROM bits GROUP BY doc_id),
+             |bands AS (SELECT doc_id, sh, b, (sh >> CAST(15 * b AS INT)) & 32767 AS bk
+             |          FROM sig, (SELECT unnest(range(0, 4)) AS b) bs),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sa, b.sh AS sb
+             |         FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ---- Exact n-gram Jaccard near-dup pairs (integer inter/union).
     // Scale shape: duplicate-heavy corpora collapse to canonical texts
     // first (30 here), pairwise Jaccard runs on those, and doc pairs are

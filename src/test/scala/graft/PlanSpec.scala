@@ -182,6 +182,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("simhash signatures are a shuffle-free narrow pass") {
+    val p = planOf("q32_dedup_simhash")
+    assert(hashExchanges(p) == 0, s"simhash acquired a shuffle:\n$p")
+    assert(!p.contains("Generate"), s"simhash acquired an explode:\n$p")
+  }
+
   test("IVF assignment is in-row: only the final top-k window shuffles") {
     val p = planOf("q50_ivf_ann")
     assert(p.contains("BroadcastHashJoin"), s"probe join lost its broadcast:\n$p")

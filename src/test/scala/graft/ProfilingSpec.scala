@@ -107,6 +107,18 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("a", 2L, 3L), ("b", 1L, 1L), ("c", 2L, 4L)))
   }
 
+  test("simHashPairs finds identical docs at hamming 0 and skips unrelated text") {
+    import spark.implicits._
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, same), (2L, same),
+      (3L, "completely unrelated words about database engines and storage")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.simHashPairs(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.llm.CacheRegistry.releaseAll(spark)
+    assert(got == Set((1L, 2L, 0L)), s"got $got")
+  }
+
   test("decontaminate flags exactly the train docs sharing enough grams") {
     import spark.implicits._
     val train = Seq(
