@@ -49,12 +49,15 @@ object Curate {
     val raw = spark.read.parquet(docsPath)
     val nRaw = raw.count()
 
-    // 1. normalize + quality gate — narrow, one scan
+    // 1. normalize + quality gate — narrow, one scan. The gated frame
+    // feeds the dedup keep-decisions AND the join back AND its stage
+    // count, so persist it (shared subtrees re-execute otherwise).
     val normed = Curation.normalizeText(raw, "doc_id", "text")
       .select(col("doc_id"), col("norm_text").as("text"), col("lang"))
-    val gated = Curation.qualityGate(normed, "doc_id", "text")
-      .filter(col("keep"))
-      .select("doc_id", "text", "lang")
+    val gated = CacheRegistry.persist(
+      Curation.qualityGate(normed, "doc_id", "text")
+        .filter(col("keep"))
+        .select("doc_id", "text", "lang"))
     val nGated = gated.count()
 
     // 2. near-duplicate removal: cluster keep-decisions joined back
@@ -62,7 +65,7 @@ object Curate {
         shingleN = 3, numHashes = 8, rowsPerBand = 2)
       .filter(col("kept") === 1L)
       .select(col("doc_id"))
-    val deduped = gated.join(keep, Seq("doc_id"))
+    val deduped = CacheRegistry.persist(gated.join(keep, Seq("doc_id")))
     val nDeduped = deduped.count()
 
     // 3. benchmark decontamination (skipped when no benchmark given)
