@@ -256,6 +256,39 @@ object Dedup {
           |              ELSE CAST(0 AS BIGINT) END),
           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
 
+  /** Incremental dedup of a NEW batch against an already-ingested
+    * reference corpus — the shape every snapshot-over-snapshot crawl
+    * pipeline runs: `exact_dup` = the batch document's content hash
+    * already exists in the reference; `near_dup` = any of its LSH band
+    * keys does. Both checks are semi-joins against reference-derived
+    * tables (hash set / band-key set), so the cost scales with the
+    * BATCH plus one pass over the reference — no batch×reference
+    * pairing ever forms, and at production scale the reference tables
+    * are precomputed once per snapshot and reused. Returns one row per
+    * new doc: (idCol, exact_dup LONG, near_dup LONG).
+    */
+  def dedupAgainst(newDocs: DataFrame, ref: DataFrame,
+                   idCol: String, textCol: String,
+                   shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val refHashes = ref.select(md5(col(textCol)).as("graft_h")).distinct()
+      .withColumn("graft_exact", lit(1L))
+    val refBands = bandKeys(
+        minHashSignatures(shingles(ref, idCol, textCol, shingleN), numHashes), rowsPerBand)
+      .select(col("band"), col("band_key")).distinct()
+    val newBands = bandKeys(
+        minHashSignatures(shingles(newDocs, idCol, textCol, shingleN), numHashes), rowsPerBand)
+    val nearIds = newBands.join(refBands, Seq("band", "band_key"))
+      .select(col("id")).distinct()
+      .withColumn("graft_near", lit(1L))
+    newDocs.select(col(idCol), md5(col(textCol)).as("graft_h"))
+      .join(refHashes, Seq("graft_h"), "left")
+      .join(nearIds.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("graft_exact"), lit(0L)).as("exact_dup"),
+        coalesce(col("graft_near"), lit(0L)).as("near_dup"))
+  }
+
   /** SimHash near-duplicate pairs (Charikar banding): the 60-bit
     * signature splits into `nBands` bands of `bandBits` bits; two
     * documents are candidates when any band matches exactly (a pair

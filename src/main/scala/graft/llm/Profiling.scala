@@ -61,6 +61,24 @@ object Profiling {
       .select(col("stratum"), col("p._2").as("id"), col("p._1").as("sample_hash"))
   }
 
+  /** Per-key document cap (domain/source rate limiting): every row gets
+    * a `kept` flag, 1 for at most k rows per key — chosen
+    * deterministically as the k smallest md5(id) (the
+    * [[stratifiedSample]] pick set, so the selection is a bounded
+    * aggregate, never a per-key window sort). The pick set (keys × k
+    * ids) broadcasts back onto the corpus scan; for key cardinalities
+    * where that outgrows the broadcast budget, drop the hint and join on
+    * the id — the pick table is still ≪ corpus. Appends `kept` LONG to
+    * the original columns.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    val picks = stratifiedSample(df, keyCol, idCol, k)
+      .select(col("id").as("graft_keep_id"), lit(1L).as("graft_kept"))
+    df.join(broadcast(picks), df(idCol).cast("long") === col("graft_keep_id"), "left")
+      .withColumn("kept", coalesce(col("graft_kept"), lit(0L)))
+      .drop("graft_keep_id", "graft_kept")
+  }
+
   /** Exact per-group quantiles (linear interpolation on sorted values —
     * the percentile_cont definition) of an integer column, one row per
     * (group, quantile). Spark's exact `percentile` aggregate buffers a

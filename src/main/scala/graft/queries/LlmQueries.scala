@@ -693,6 +693,32 @@ object LlmQueries {
              |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len
              |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // ---- Incremental dedup: new batch (doc_id % 3 <> 0) vs the
+    // already-ingested reference slice (doc_id % 3 = 0) on the template
+    // corpus — exact content-hash hit + LSH band-key hit per new doc.
+    "q84_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = docsTpl(s, dir)
+        Dedup.dedupAgainst(
+            docs.filter(col("doc_id") % 3 =!= 0),
+            docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "t", shingleN = 3, numHashes = 8, rowsPerBand = 2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shingleSql,
+              |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+              |        FROM sh, (SELECT unnest(range(0, 8)) AS k) ks GROUP BY id, k),
+              |bands AS (SELECT id, k // 2 AS band, md5(string_agg(mh, ',' ORDER BY k)) AS bk
+              |          FROM sig GROUP BY id, k // 2),
+              |refb AS (SELECT DISTINCT band, bk FROM bands WHERE id % 3 = 0),
+              |nearids AS (SELECT DISTINCT b.id FROM bands b JOIN refb USING (band, bk)
+              |            WHERE b.id % 3 <> 0),
+              |refh AS (SELECT DISTINCT md5(t) AS h FROM m WHERE id % 3 = 0)
+              |SELECT m.id AS doc_id,
+              |  CAST(CASE WHEN md5(m.t) IN (SELECT h FROM refh) THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+              |  CAST(CASE WHEN m.id IN (SELECT id FROM nearids) THEN 1 ELSE 0 END AS BIGINT) AS near_dup
+              |FROM m WHERE m.id % 3 <> 0 ORDER BY doc_id""".stripMargin)),
+
     // ---- End-to-end near-dup removal: LSH pairs → connected components
     // → canonical keep decision per document. THE dedup user story in
     // one call: every doc gets its cluster's min id as keep_id; docs

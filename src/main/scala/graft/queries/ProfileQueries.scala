@@ -139,6 +139,25 @@ object ProfileQueries {
              |FROM documents d LEFT JOIN bad ON bad.td = d.doc_id
              |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- Per-source document cap (domain rate limiting): at most 10
+    // docs kept per source, deterministically the 10 smallest
+    // md5(doc_id); every doc flagged, bounded aggregate + broadcast
+    // flag join — no per-key window over the corpus.
+    "q83_source_cap" -> QueryDef(
+      (s, dir) => {
+        Profiling.capPerKey(table(s, dir, "documents"), "source", "doc_id", 10)
+          .select(col("doc_id"), col("source"), col("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, source,
+             |            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS sh
+             |          FROM documents),
+             |r AS (SELECT doc_id, source,
+             |             row_number() OVER (PARTITION BY source ORDER BY sh, doc_id) AS rn
+             |      FROM h)
+             |SELECT doc_id, source, CAST(CASE WHEN rn <= 10 THEN 1 ELSE 0 END AS BIGINT) AS kept
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // ---- Power-of-two document length histogram (bucket = bit length
     // of n_chars): the corpus length profile in one bounded groupBy.
     "q79_length_histogram" -> QueryDef(

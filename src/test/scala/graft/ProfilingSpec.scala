@@ -107,6 +107,37 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("a", 2L, 3L), ("b", 1L, 1L), ("c", 2L, 4L)))
   }
 
+  test("capPerKey keeps exactly min(k, |key|) rows per key, flagging the rest") {
+    import spark.implicits._
+    val df = (1L to 30L).map(i => (if (i % 3 == 0) "big" else "small", i))
+      .toDF("source", "doc_id")
+    val got = Profiling.capPerKey(df, "source", "doc_id", 7)
+    assert(got.count() == 30) // every row present, flagged
+    val keptBy = got.filter(col("kept") === 1L).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(keptBy == Map("big" -> 7L, "small" -> 7L))
+    // flags agree with the stratified pick set
+    val picks = Profiling.stratifiedSample(df, "source", "doc_id", 7)
+      .select("id").as[Long].collect().toSet
+    val keptIds = got.filter(col("kept") === 1L).select("doc_id").as[Long].collect().toSet
+    assert(keptIds == picks)
+  }
+
+  test("dedupAgainst flags exact and near duplicates of the reference corpus") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = Seq((100L, base)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, base),                                   // exact + near
+      (2L, base.replace("kappa", "lambda")),        // near only (shares bands)
+      (3L, "totally different words with zero overlap here now")) // neither
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.dedupAgainst(fresh, ref, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 0L, 1L), (3L, 0L, 0L)), s"got $got")
+  }
+
   test("simHashPairs finds identical docs at hamming 0 and skips unrelated text") {
     import spark.implicits._
     val same = "the quick brown fox jumps over the lazy dog again and again"
