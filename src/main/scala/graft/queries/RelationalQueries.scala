@@ -332,5 +332,56 @@ object RelationalQueries {
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |WHERE event_type IN ('click','view','purchase','signup','error')
              |EXCEPT SELECT DISTINCT user_id, event_type FROM events WHERE event_type = 'error'
-             |ORDER BY user_id, event_type""".stripMargin)))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // ---- Hierarchical rollup: order totals by (status, priority) with
+    // subtotals per status and a grand total. grouping() flags make the
+    // subtotal rows explicit; all levels come out of ONE partial-agg
+    // pass (Catalyst Expand), not one scan per level.
+    "q85_rollup" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders")
+          .withColumn("price_cents", cents(col("o_totalprice")))
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("total_cents"),
+            grouping(col("o_orderstatus")).cast("long").as("g_status"),
+            grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+            coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+            col("n_orders"), col("total_cents"), col("g_status"), col("g_prio"))
+          .orderBy("g_status", "g_prio", "status", "priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus, '<all>') AS status,
+             |       coalesce(o_orderpriority, '<all>') AS priority,
+             |       count(*) AS n_orders,
+             |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+             |       CAST(CASE WHEN GROUPING(o_orderstatus) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_status,
+             |       CAST(CASE WHEN GROUPING(o_orderpriority) = 1 THEN 1 ELSE 0 END AS BIGINT) AS g_prio
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY g_status, g_prio, status, priority""".stripMargin)),
+
+    // ---- Pivot: per-user event counts spread across event-type columns
+    // (the reporting shape). Spark's pivot is one partial-agg pass with
+    // the pivot values fixed up front — at scale always pass the value
+    // list explicitly or the planner first runs a distinct scan.
+    "q86_pivot" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("user_id"), col("click").as("n_click"), col("view").as("n_view"),
+            col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+            col("error").as("n_error"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }
