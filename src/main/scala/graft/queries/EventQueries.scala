@@ -128,5 +128,37 @@ object EventQueries {
              |SELECT f.cohort_day, a.active_day - f.cohort_day AS day_offset,
              |       count(*) AS n_users
              |FROM a JOIN f ON f.user_id = a.user_id
-             |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // ---- Salted two-phase aggregation over genuinely skewed keys (5
+    // event types across the whole table): spreading each hot key over
+    // 16 salts must be value-identical to the plain group-by the oracle
+    // runs — the correctness contract of the skew tool.
+    "q87_salted_agg" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "events")
+          .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        graft.llm.Skew.saltedAggregate(e, "event_type", 16,
+            partials = Seq(count(lit(1)).as("pc"), sum(col("cents")).as("ps")),
+            finals = Seq(sum(col("pc")).as("n_events"), sum(col("ps")).as("total_cents")))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Salted skew join: hot-keyed events against a 5-row dimension,
+    // salt-spread on the big side, dim replicated per salt — row-for-row
+    // identical to the plain join.
+    "q88_salted_join" -> QueryDef(
+      (s, dir) => {
+        val e = table(s, dir, "events").select(col("event_id"), col("event_type"))
+        val dim = e.select(col("event_type")).distinct()
+          .withColumn("type_len", length(col("event_type")).cast("long"))
+        graft.llm.Skew.saltedJoin(e, dim, "event_type", 16)
+          .select(col("event_id"), col("event_type"), col("type_len"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, CAST(length(event_type) AS BIGINT) AS type_len
+             |FROM events ORDER BY event_id""".stripMargin)))
 }

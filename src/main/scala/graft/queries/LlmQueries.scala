@@ -120,9 +120,11 @@ object LlmQueries {
         val docs = docsTpl(s, dir)
         // membership/sh feed multiple join branches — persist so the
         // corpus scans and shingle shuffles run once (see collapsedLshPairs)
-        val membership = docs.select(col("doc_id"), md5(col("t")).as("tid")).persist()
+        val membership = graft.llm.CacheRegistry.persist(
+          docs.select(col("doc_id"), md5(col("t")).as("tid")))
         val texts = docs.select(md5(col("t")).as("tid"), col("t")).distinct()
-        val sh = Dedup.shingles(texts.withColumnRenamed("tid", "doc_id"), "doc_id", "t", 3).persist()
+        val sh = graft.llm.CacheRegistry.persist(
+          Dedup.shingles(texts.withColumnRenamed("tid", "doc_id"), "doc_id", "t", 3))
         val textPairs = Dedup.ngramJaccardPairs(sh)
           .filter(col("inter_count") * 2 >= col("union_count"))
         val sizes = sh.select(col("id"), col("shingle")).distinct()
