@@ -34,6 +34,21 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_cents"))
 
+  /** Watermarked tumbling-window counts per event type — the canonical
+    * `window()` aggregation: a window's row is emitted once the
+    * watermark passes its end, so late events inside the allowed delay
+    * still count and state is evicted beyond it. `events` needs
+    * (ts, event_type, value).
+    */
+  def tumblingTypeCounts(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_cents"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("total_cents"))
+
   final case class Doc(contentHash: String, docId: Long)
 
   /** First-seen filter over a keyed stream: emits a Doc only the first

@@ -89,6 +89,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("tumbling window counts emit watermark-closed windows with late data applied") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = EventStreams.tumblingTypeCounts(
+      in.toDF().toDF("ts", "event_type", "value"), width = "10 minutes", watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(7), "view", 3.0))
+      q.processAllAvailable()
+      // late click at t=8 arrives within the 5-minute watermark and must
+      // land in the [0,10) window; the t=30 event closes it
+      in.addData((ts(8), "click", 4.0), (ts(30), "view", 0.5))
+      q.processAllAvailable()
+      in.addData((ts(50), "click", 0.0)) // push the watermark past [30,40)
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("win_start", "event_type", "n_events", "total_cents")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows.contains((0L, "click", 3L, 700L)), s"got $rows")
+      assert(rows.contains((0L, "view", 1L, 300L)), s"got $rows")
+      assert(rows.contains((30L, "view", 1L, 50L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming funnel advances stages across batches with batch-walk semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
