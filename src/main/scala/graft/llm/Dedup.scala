@@ -59,15 +59,21 @@ object Dedup {
       .otherwise(array())
   }
 
-  /** K md5-seeded minhashes per id: (id, k, minhash). */
-  def minHashSignatures(shingleDf: DataFrame, k: Int): DataFrame =
-    shingleDf
-      .crossJoin(spark_range_df(shingleDf, k))
-      .groupBy(col("id"), col("k"))
-      .agg(min(md5(concat(col("k").cast("string"), lit(":"), col("shingle")))).as("minhash"))
-
-  private def spark_range_df(df: DataFrame, k: Int): DataFrame =
-    df.sparkSession.range(k).toDF("k")
+  /** K md5-seeded minhashes per id: (id, k, minhash). All k mins are
+    * separate aggregate columns of ONE id-keyed groupBy (map-side
+    * combinable), unstacked afterwards — the crossJoin(range(k))
+    * formulation replicated every shingle k× and shuffled the
+    * replicated rows on (id, k).
+    */
+  def minHashSignatures(shingleDf: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"graft_mh$i"))
+    shingleDf.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        posexplode(array((0 until k).map(i => col(s"graft_mh$i")): _*)))
+      .select(col("id"), col("pos").cast("long").as("k"), col("col").as("minhash"))
+  }
 
   /** Band keys: bands of `rowsPerBand` minhashes hashed together in k
     * order (sort the (k, minhash) structs, then project the minhashes).

@@ -196,6 +196,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"IVF should shuffle only the per-query candidate window:\n$p")
   }
 
+  test("per-key cap flags ride a broadcast join, never a per-key window") {
+    val p = planOf("q83_source_cap")
+    assert(!p.contains("Window"), s"cap degraded to a window sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"pick-set flag join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"cap shuffled the corpus for the flag join:\n$p")
+  }
+
+  test("incremental dedup forms no batch-by-reference product") {
+    val p = planOf("q84_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup degraded to a cross product:\n$p")
+  }
+
+  test("funnel is one user-keyed aggregation, no joins") {
+    val p = planOf("q80_funnel")
+    assert(!p.contains("Join"), s"funnel acquired a per-stage join:\n$p")
+    assert(hashExchanges(p) <= 1, s"funnel should shuffle users once:\n$p")
+  }
+
   test("token counting prunes the documents scan to the needed columns") {
     val df = SparkEntry.queries("q38_token_counts")(spark, dir)
     df.collect()
