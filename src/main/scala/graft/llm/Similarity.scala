@@ -43,26 +43,35 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane component for (plane j, dim i): the low
-    * bit of md5(j || ':' || i).
+    * bit of md5(j || ':' || i) — computed on the driver (the plane
+    * matrix is nPlanes×64 constants) with the same md5 the SQL engines
+    * evaluate, so the embedded literals are bit-identical to the
+    * expression form the oracles replicate.
     */
-  private def planeComponent(j: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-    when(conv(substring(md5(concat(j.cast("string"), lit(":"), i.cast("string"))), 1, 1), 16, 10)
-      .cast("int") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+  private def planeComponent(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xf) % 2 == 1) 1.0 else -1.0
+  }
 
-  /** Sign-random-projection bucket key over `nPlanes` hyperplanes. */
+  /** Sign-random-projection bucket key over `nPlanes` hyperplanes. The
+    * plane matrix rides into the plan as literals and each projection is
+    * an in-row `aggregate` over the vector in index order (the same
+    * summation order as the engines' sum-over-unnest), so bucket
+    * assignment is a narrow codegen'd scan — ZERO shuffles, where the
+    * posexplode + plane-join + two-groupBy form shuffled the exploded
+    * corpus twice.
+    */
   def lshBucket(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
-    val spark = df.sparkSession
-    val planes = broadcast(
-      spark.range(nPlanes).toDF("j")
-        .crossJoin(spark.range(64).toDF("i"))
-        .select(col("j"), col("i"), planeComponent(col("j"), col("i")).as("p")))
-    df.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "v")))
-      .join(planes, Seq("i"))
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("v").cast("double") * col("p")).as("proj"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))")).otherwise(0L))
-        .as("bucket"))
+    require(nPlanes > 0 && nPlanes <= 60, s"nPlanes $nPlanes outside (0, 60]")
+    val bucket = (0 until nPlanes).map { j =>
+      val plane = typedLit((0 until 64).map(i => planeComponent(j, i)).toArray)
+      val proj = aggregate(
+        zip_with(col(vecCol), plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    df.select(col(idCol).as("id"), bucket.as("bucket"))
   }
 
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, score) for all
