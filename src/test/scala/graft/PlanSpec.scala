@@ -196,6 +196,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"IVF should shuffle only the per-query candidate window:\n$p")
   }
 
+  test("LSH bucket assignment adds no exploded-corpus shuffles") {
+    // q35 = bucket + persist + broadcast-query join + top-k window;
+    // everything beyond the bucketed-corpus persist is bounded, so the
+    // plan must not contain a posexplode of the corpus vectors
+    val p = planOf("q35_ann_lsh_bucketed")
+    assert(!p.contains("posexplode"), s"bucket stage re-acquired the vector explode:\n$p")
+  }
+
   test("per-key cap flags ride a broadcast join, never a per-key window") {
     val p = planOf("q83_source_cap")
     assert(!p.contains("Window"), s"cap degraded to a window sort:\n$p")
