@@ -461,4 +461,59 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** Segment-level exact substring dedup (the paragraph-dedup pass of a
+    * training pipeline, at fixed word-window granularity since the
+    * corpus carries no paragraph marks): each document splits into
+    * consecutive non-overlapping `segWords`-word segments, a segment
+    * occurrence is kept iff it is the corpus-wide FIRST occurrence of
+    * that segment text (smallest (doc, position)), and every document is
+    * re-assembled from its kept segments in order. Returns one row per
+    * document: (id, n_segments, n_kept, deduped_text) — deduped_text is
+    * NULL when every segment of the document occurred earlier.
+    *
+    * Scale shape: segmentation is a narrow scan (non-overlapping slices
+    * copy each word once, unlike shingling); first-occurrence is a
+    * map-side-combinable `min(struct(id, seg_no))` keyed by segment
+    * hash, so the agg shuffle moves one row per DISTINCT segment; the
+    * flag join shuffles the segment table once (sort-merge + AQE — the
+    * first-occurrence side has one row per distinct segment, never a
+    * hot-key blowup); reassembly is one id-keyed groupBy. The shared
+    * segment subtree is recomputed (twice) rather than persisted: it is
+    * a narrow projection of the corpus, and caching an exploded 100 TB
+    * corpus costs more than a second parquet scan.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segWords: Int): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    val segs = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+      .select(col("id"), expr(
+        s"""transform(sequence(0, (size(graft_ws) - 1) div $segWords),
+           |          i -> concat_ws(' ', slice(graft_ws, i * $segWords + 1, $segWords)))"""
+          .stripMargin).as("graft_segs"))
+      .select(col("id"), size(col("graft_segs")).cast("long").as("n_segments"),
+        posexplode(col("graft_segs")).as(Seq("seg_no", "seg")))
+      .select(col("id"), col("n_segments"), col("seg_no").cast("long").as("seg_no"),
+        col("seg"), md5(col("seg")).as("graft_sh"))
+    val firsts = segs.groupBy(col("graft_sh"))
+      .agg(min(struct(col("id"), col("seg_no"))).as("graft_first"))
+    segs.join(firsts, "graft_sh")
+      .withColumn("graft_keep",
+        col("graft_first.id") === col("id") && col("graft_first.seg_no") === col("seg_no"))
+      .groupBy(col("id"))
+      .agg(
+        max(col("n_segments")).as("n_segments"),
+        sum(when(col("graft_keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls the when() emits for dropped
+        // segments; sort_array restores document order (seg_no leads
+        // the struct), so reassembly is deterministic.
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("graft_keep"),
+            struct(col("seg_no"), col("seg"))))),
+          s => s.getField("seg"))).as("graft_text"))
+      .select(col("id"), col("n_segments"), col("n_kept"),
+        when(col("n_kept") === 0L, lit(null)).otherwise(col("graft_text"))
+          .as("deduped_text"))
+  }
 }

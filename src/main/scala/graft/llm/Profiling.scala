@@ -136,4 +136,20 @@ object Profiling {
         sum(col(valCol)).as("sum_chars"),
         min(col(valCol)).as("min_chars"),
         max(col(valCol)).as("max_chars"))
+
+  /** Token frequency spectrum (Zipf profile): for each corpus-wide token
+    * occurrence count c, how many distinct tokens occur exactly c times.
+    * The frequency-of-frequencies curve drives vocabulary-size and
+    * dedup-threshold decisions in corpus curation (Good–Turing mass
+    * estimates read straight off it). Two map-side-combinable groupBys:
+    * the first shuffles one row per distinct token, the second one row
+    * per distinct count (≪ tokens) — nothing here scales with corpus
+    * row count after the partial aggregation. Returns
+    * (occurrences, n_tokens).
+    */
+  def frequencySpectrum(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("occurrences"))
+      .groupBy(col("occurrences")).agg(count(lit(1)).as("n_tokens"))
 }

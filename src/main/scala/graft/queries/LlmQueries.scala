@@ -53,6 +53,32 @@ object LlmQueries {
              |      FROM documents)
              |GROUP BY md5(content) ORDER BY content_hash""".stripMargin)),
 
+    // ---- Segment-level exact substring dedup (the paragraph-dedup pass
+    // at 10-word-window granularity): keep only the corpus-wide first
+    // occurrence of every segment, re-assemble each doc from its kept
+    // segments. First-occurrence is a min(struct) agg over distinct
+    // segments; reassembly one id-keyed groupBy.
+    "q89_segment_dedup" -> QueryDef(
+      (s, dir) => {
+        Dedup.segmentDedup(table(s, dir, "documents"), "doc_id", "text", 10)
+          .orderBy("id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |segs AS (SELECT doc_id, CAST(unnest(range((len(ws) + 9) // 10)) AS BIGINT) AS seg_no, ws
+             |         FROM d),
+             |seg2 AS (SELECT doc_id, seg_no,
+             |                array_to_string(ws[seg_no * 10 + 1 : seg_no * 10 + 10], ' ') AS seg
+             |         FROM segs),
+             |firsts AS (SELECT seg, min(doc_id * 4294967296 + seg_no) AS first_key
+             |           FROM seg2 GROUP BY seg),
+             |k AS (SELECT s.doc_id, s.seg_no, s.seg,
+             |             (s.doc_id * 4294967296 + s.seg_no = f.first_key) AS keep
+             |      FROM seg2 s JOIN firsts f ON s.seg = f.seg)
+             |SELECT doc_id AS id, count(*) AS n_segments,
+             |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY seg_no) AS deduped_text
+             |FROM k GROUP BY doc_id ORDER BY id""".stripMargin)),
+
     // ---- MinHash + LSH near-dup candidates (shingle→minhash→band→join).
     // Signatures depend only on the text, so duplicate-heavy corpora are
     // collapsed to canonical texts first and doc pairs re-expanded by

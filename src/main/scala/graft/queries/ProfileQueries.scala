@@ -168,5 +168,19 @@ object ProfileQueries {
       Some("""SELECT CAST(CASE WHEN n_chars <= 0 THEN 0 ELSE length(bin(n_chars)) END AS BIGINT) AS bucket,
              |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
-             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)))
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- Token frequency spectrum (Zipf / frequency-of-frequencies):
+    // how many distinct tokens occur exactly c times. Two map-side-
+    // combinable groupBys, post-partial-agg volume = distinct tokens
+    // then distinct counts.
+    "q90_frequency_spectrum" -> QueryDef(
+      (s, dir) => {
+        Profiling.frequencySpectrum(table(s, dir, "documents"), "text")
+          .orderBy("occurrences")
+      },
+      Some("""WITH tc AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |c AS (SELECT tok, count(*) AS occurrences FROM tc WHERE tok <> '' GROUP BY tok)
+             |SELECT occurrences, count(*) AS n_tokens FROM c
+             |GROUP BY occurrences ORDER BY occurrences""".stripMargin)))
 }

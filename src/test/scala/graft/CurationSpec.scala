@@ -193,4 +193,35 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == (("a b c", 5L)))
     assert(out(4L) == (("", 0L)))
   }
+
+  test("segmentDedup keeps first occurrences in (doc, position) order and reassembles") {
+    import spark.implicits._
+    // 2-word segments: doc 1 = [a b][c d], doc 2 = [c d][a b][e f] (both
+    // earlier segments repeat), doc 3 = [a b] only (fully deduped),
+    // doc 4 = odd tail segment [g].
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "c d a b e f"),
+      (3L, "a b"),
+      (4L, "e f g")).toDF("doc_id", "text")
+    val out = graft.llm.Dedup.segmentDedup(df, "doc_id", "text", 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), Option(r.getString(3)))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, Some("a b c d"))))
+    assert(out(2L) == ((3L, 1L, Some("e f"))))
+    assert(out(3L) == ((1L, 0L, None)))
+    // "e f" was first seen at doc 2 position 2, so doc 4 keeps only "g".
+    assert(out(4L) == ((2L, 1L, Some("g"))))
+  }
+
+  test("frequencySpectrum counts distinct tokens per occurrence count") {
+    import spark.implicits._
+    // a×3, b×2, c×2, d×1 → spectrum {1→1, 2→2, 3→1}; empty tokens from
+    // double spaces are dropped.
+    val df = Seq((1L, "a a b  c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = graft.llm.Profiling.frequencySpectrum(df, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }
