@@ -223,6 +223,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashExchanges(p) <= 1, s"funnel should shuffle users once:\n$p")
   }
 
+  test("segment dedup partially aggregates first-occurrences and never crosses") {
+    val p = planOf("q89_segment_dedup")
+    assert(p.contains("partial_"), s"first-occurrence min lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment flag join degraded to an all-pairs product:\n$p")
+  }
+
+  test("frequency spectrum is two partial aggregations and prunes to the text column") {
+    val df = SparkEntry.queries("q90_frequency_spectrum")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"token counting lost map-side combine:\n$p")
+    assert(hashExchanges(p) <= 2, s"spectrum should shuffle tokens then counts:\n$p")
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s => !s.contains("source")),
+      s"documents scan reads unused columns:\n$p")
+  }
+
   test("token counting prunes the documents scan to the needed columns") {
     val df = SparkEntry.queries("q38_token_counts")(spark, dir)
     df.collect()
