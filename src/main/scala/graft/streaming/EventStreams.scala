@@ -83,6 +83,50 @@ object EventStreams {
         })
   }
 
+  /** Stream-stream event-time interval join (attribution): every `follow`
+    * event joins the `base` events of the same key whose timestamp it
+    * trails by at most `within` — the impressions→clicks shape. Both
+    * sides carry watermarks, and the time-bound join condition is what
+    * lets the engine evict buffered rows: without it a stream-stream
+    * join must hold both sides forever. Inner-join rows emit as soon as
+    * both sides arrive (the watermark only gates state cleanup), so
+    * results are append-mode safe. Columns: (join key, base_ts,
+    * follow_ts, follow value).
+    *
+    * Scale: state per key ≈ events inside the `within` horizon — the
+    * join shuffles both streams by key into the state store, so capacity
+    * grows with executors, and the interval bound keeps per-key state
+    * O(rate × within) regardless of stream length.
+    */
+  def attributeWithin(base: DataFrame, follow: DataFrame, keyCol: String,
+                      within: String, watermark: String): DataFrame = {
+    val b = base.withWatermark("ts", watermark)
+      .select(col(keyCol).as("graft_k"), col("ts").as("base_ts"))
+    val f = follow.withWatermark("ts", watermark)
+      .select(col(keyCol).as("graft_fk"), col("ts").as("follow_ts"),
+        col("value").as("follow_value"))
+    b.join(f,
+        col("graft_k") === col("graft_fk") &&
+          col("follow_ts") >= col("base_ts") &&
+          col("follow_ts") <= col("base_ts") + expr(s"INTERVAL $within"))
+      .select(col("graft_k").as(keyCol), col("base_ts"), col("follow_ts"),
+        col("follow_value"))
+  }
+
+  /** Built-in watermarked streaming dedup: the engine-managed twin of
+    * [[dedupFirstSeen]] — `dropDuplicatesWithinWatermark` keeps the
+    * first row per key and expires its state once the event-time
+    * watermark passes the row's timestamp plus the allowed delay, so
+    * the state store is bounded by the watermark horizon instead of a
+    * processing-time timeout. Use this when "duplicates arrive close in
+    * event time" holds; keep the keyed-state variant when duplicates
+    * can be arbitrarily late but idle keys may be dropped.
+    */
+  def dedupWithinWatermark(docs: DataFrame, keyCol: String,
+                           watermark: String): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   final case class FunnelEvent(userId: Long, us: Long, ty: String)
   final case class StageAdvance(userId: Long, stage: Long, atUs: Long)
 

@@ -143,4 +143,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         StageAdvance(2L, 1L, 2000000L), StageAdvance(2L, 2L, 3000000L)), s"got $got")
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes follows within the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = EventStreams.attributeWithin(
+      views.toDF().toDF("user_id", "ts", "value"),
+      buys.toDF().toDF("user_id", "ts", "value"),
+      "user_id", within = "15 minutes", watermark = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // u1: view at t=60 → purchase at t=70 joins; purchase at t=100 is
+      // past the 15-minute horizon. u2: purchase with no view — dropped
+      // by the inner join. The purchase arrives a batch LATER than the
+      // view, exercising the buffered-state path. (Timestamps sit well
+      // above epoch 0: a row at exactly the initial watermark is late.)
+      views.addData((1L, ts(60), 0.0))
+      q.processAllAvailable()
+      buys.addData((1L, ts(70), 9.5), (1L, ts(100), 3.0), (2L, ts(70), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3))).toSet
+      assert(got == Set((1L, ts(60), ts(70), 9.5)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps the first row per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val out = EventStreams.dedupWithinWatermark(
+      in.toDF().toDF("content_hash", "ts", "doc_id"), "content_hash",
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append").start()
+    try {
+      in.addData(("h1", ts(60), 5L), ("h2", ts(61), 9L))
+      q.processAllAvailable()
+      // h1 again within the watermark horizon — dropped even though it
+      // arrives in a later micro-batch
+      in.addData(("h1", ts(65), 1L), ("h3", ts(66), 7L))
+      q.processAllAvailable()
+      val got = spark.table("wmdedup")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      assert(got == Set(("h1", 5L), ("h2", 9L), ("h3", 7L)), s"got $got")
+    } finally q.stop()
+  }
 }
