@@ -483,15 +483,21 @@ object Dedup {
     * a narrow projection of the corpus, and caching an exploded 100 TB
     * corpus costs more than a second parquet scan.
     */
+  // Non-overlapping segWords-word segments of the pre-split word array —
+  // unlike shingling each word is copied once, so segmentation stays a
+  // narrow codegen'd scan.
+  private def segmentArray(segWords: Int): Column =
+    expr(
+      s"""transform(sequence(0, (size(graft_ws) - 1) div $segWords),
+         |          i -> concat_ws(' ', slice(graft_ws, i * $segWords + 1, $segWords)))"""
+        .stripMargin)
+
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
                    segWords: Int): DataFrame = {
     require(segWords > 0, s"segWords must be positive, got $segWords")
     val segs = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
-      .select(col("id"), expr(
-        s"""transform(sequence(0, (size(graft_ws) - 1) div $segWords),
-           |          i -> concat_ws(' ', slice(graft_ws, i * $segWords + 1, $segWords)))"""
-          .stripMargin).as("graft_segs"))
+      .select(col("id"), segmentArray(segWords).as("graft_segs"))
       .select(col("id"), size(col("graft_segs")).cast("long").as("n_segments"),
         posexplode(col("graft_segs")).as(Seq("seg_no", "seg")))
       .select(col("id"), col("n_segments"), col("seg_no").cast("long").as("seg_no"),
@@ -515,5 +521,37 @@ object Dedup {
       .select(col("id"), col("n_segments"), col("n_kept"),
         when(col("n_kept") === 0L, lit(null)).otherwise(col("graft_text"))
           .as("deduped_text"))
+  }
+
+  /** Cross-group duplication matrix at segment granularity: for every
+    * pair of groups (sources, crawls, snapshots — `groupCol`), how many
+    * DISTINCT `segWords`-word segments occur in both. The provenance
+    * profile that tells a corpus build which sources mirror each other
+    * before any pairwise dedup runs.
+    *
+    * Scale shape: per-doc `array_distinct` dedups inside the narrow
+    * scan; ONE segment-hash-keyed groupBy collects the bounded set of
+    * groups per segment (≤ #groups, with partial aggregation); pairs
+    * expand IN-ROW from that set — the corpus never self-joins, and the
+    * pair count per segment is ≤ #groups², independent of how many
+    * documents share it. Returns (src_a, src_b, n_shared_segments),
+    * src_a < src_b.
+    */
+  def crossGroupSegmentOverlap(df: DataFrame, groupCol: String,
+                               textCol: String, segWords: Int): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    df.select(col(groupCol).as("graft_src"), split(col(textCol), " ").as("graft_ws"))
+      .select(col("graft_src"),
+        explode(array_distinct(segmentArray(segWords))).as("seg"))
+      .groupBy(md5(col("seg")).as("graft_segh"))
+      .agg(sort_array(collect_set(col("graft_src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs,
+          |  (a, i) -> transform(slice(srcs, i + 2, size(srcs)),
+          |                      b -> named_struct('src_a', a, 'src_b', b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_segments"))
   }
 }

@@ -182,5 +182,26 @@ object ProfileQueries {
       Some("""WITH tc AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
              |c AS (SELECT tok, count(*) AS occurrences FROM tc WHERE tok <> '' GROUP BY tok)
              |SELECT occurrences, count(*) AS n_tokens FROM c
-             |GROUP BY occurrences ORDER BY occurrences""".stripMargin)))
+             |GROUP BY occurrences ORDER BY occurrences""".stripMargin)),
+
+    // ---- Cross-source duplication matrix: distinct 10-word segments
+    // shared by each source pair. One segment-keyed groupBy collecting
+    // the bounded per-segment source set; pairs expand in-row — the
+    // corpus never self-joins.
+    "q91_source_overlap" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Dedup.crossGroupSegmentOverlap(
+            table(s, dir, "documents"), "source", "text", 10)
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+             |segs AS (SELECT source, CAST(unnest(range((len(ws) + 9) // 10)) AS BIGINT) AS seg_no, ws
+             |         FROM d),
+             |seg2 AS (SELECT DISTINCT source,
+             |                array_to_string(ws[seg_no * 10 + 1 : seg_no * 10 + 10], ' ') AS seg
+             |         FROM segs),
+             |p AS (SELECT a.source AS src_a, b.source AS src_b
+             |      FROM seg2 a JOIN seg2 b ON a.seg = b.seg AND a.source < b.source)
+             |SELECT src_a, src_b, count(*) AS n_shared_segments
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

@@ -215,6 +215,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((2L, 1L, Some("g"))))
   }
 
+  test("crossGroupSegmentOverlap counts distinct shared segments per source pair") {
+    import spark.implicits._
+    // 2-word segments: a={w1 w2}, b={w1 w2, x1 x2} (the repeat inside b
+    // dedups per-doc), c={w1 w2, x1 x2} → (a,b)=1, (a,c)=1, (b,c)=2.
+    val df = Seq(
+      ("a", "w1 w2"),
+      ("b", "w1 w2"),
+      ("b", "x1 x2 x1 x2"),
+      ("c", "w1 w2 x1 x2")).toDF("source", "text")
+    val out = graft.llm.Dedup.crossGroupSegmentOverlap(df, "source", "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 2L))
+  }
+
   test("frequencySpectrum counts distinct tokens per occurrence count") {
     import spark.implicits._
     // a×3, b×2, c×2, d×1 → spectrum {1→1, 2→2, 3→1}; empty tokens from
