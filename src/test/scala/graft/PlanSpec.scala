@@ -241,6 +241,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"documents scan reads unused columns:\n$p")
   }
 
+  test("source overlap expands pairs in-row: no self-join, bounded per-segment state") {
+    val p = planOf("q91_source_overlap")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"overlap matrix acquired a corpus self-join:\n$p")
+    assert(p.contains("partial_") || p.contains("ObjectHashAggregate"),
+      s"source-set collection lost partial aggregation:\n$p")
+  }
+
   test("token counting prunes the documents scan to the needed columns") {
     val df = SparkEntry.queries("q38_token_counts")(spark, dir)
     df.collect()

@@ -158,4 +158,32 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(u) == want, s"user $u: got ${got(u)}, want $want")
     }
   }
+
+  test("segmentDedup matches a sequential first-occurrence reference on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val vocab = Vector("a", "b", "c", "d")
+    val segWords = 3
+    // small vocab + short segments → heavy cross-doc segment collisions
+    val docs = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(17)
+      id -> (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val got = Dedup.segmentDedup(docs.toDF("doc_id", "text"), "doc_id", "text", segWords)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))).toMap
+    // sequential reference: walk docs in (id, position) order, keep a
+    // segment iff its text was never seen before
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val want = docs.map { case (id, text) =>
+      val segs = text.split(" ").grouped(segWords).map(_.mkString(" ")).toSeq
+      val kept = segs.filter(seen.add)
+      id -> ((segs.length.toLong, kept.length.toLong,
+        if (kept.isEmpty) None else Some(kept.mkString(" "))))
+    }.toMap
+    assert(got == want)
+    // global invariant: kept segments across the corpus == distinct segments
+    assert(got.values.map(_._2).sum == seen.size.toLong)
+  }
 }
