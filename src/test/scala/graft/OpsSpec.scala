@@ -239,4 +239,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "global_start" -> LongType, "global_end" -> LongType,
       "entropy" -> DoubleType, "window_size" -> LongType))
   }
+
+  test("Carve main honors the reference CLI toggles (types filter, stage switches)") {
+    spark // force the suite session up so runJob's getOrCreate reuses it
+    val jpeg = FixtureBytes.jpeg()
+    val png = FixtureBytes.png()
+    val evidence = new Array[Byte](16384)
+    System.arraycopy(jpeg, 0, evidence, 0, jpeg.length)
+    System.arraycopy(png, 0, evidence, 4096, png.length)
+    val img = Files.createTempFile("graft-carve", ".dd")
+    Files.write(img, evidence)
+    // a config file with fixture-sized minimums (the embedded default's
+    // forensic min_sizes would reject the tiny synthetic samples)
+    val yml = Files.createTempFile("graft-cfg", ".yml")
+    Files.write(yml,
+      """file_types:
+        |  - id: "jpeg"
+        |    extensions: ["jpg"]
+        |    header_patterns:
+        |      - id: "jpeg_soi"
+        |        hex: "FFD8FF"
+        |    footer_patterns: []
+        |    max_size: 1000000
+        |    min_size: 0
+        |    validator: "jpeg"
+        |  - id: "png"
+        |    extensions: ["png"]
+        |    header_patterns:
+        |      - id: "png_sig"
+        |        hex: "89504E470D0A1A0A"
+        |    footer_patterns: []
+        |    max_size: 1000000
+        |    min_size: 0
+        |    validator: "png"
+        |""".stripMargin.getBytes("UTF-8"))
+    val out = tmp()
+    Carve.runJob(Array(img.toString, out, yml.toString), Map(
+      "GRAFT_TYPES" -> "jpeg",          // allow-list: png must not carve
+      "GRAFT_SCAN_ENTROPY" -> "false",  // entropy stage off
+      "GRAFT_CHUNK_MIB" -> "1",
+      "GRAFT_RUN_ID" -> "togglerun"), stopSession = false)
+    val files = spark.read.parquet(s"$out/files")
+    val types = files.select("file_type").collect().map(_.getString(0)).toSeq
+    assert(types == Seq("jpeg"), s"expected only the jpeg to carve, got $types")
+    val entropy = spark.read.parquet(s"$out/entropy_regions")
+    assert(entropy.count() == 0L, "entropy stage ran despite GRAFT_SCAN_ENTROPY=false")
+    assert(spark.read.parquet(s"$out/run_summary").count() == 1L)
+  }
 }
