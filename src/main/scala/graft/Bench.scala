@@ -56,7 +56,11 @@ object Bench {
     // codegen (plan shape at sf0.1 can differ from sf0.001, e.g. a join
     // crossing the broadcast threshold) — run 2 measures the operator.
     // SPARK_GRAFT_REPEAT overrides for dev loops.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+    // 3 timed runs per query: with 2, one host-contention window lands in
+    // both and the reported min is inflated severalfold (observed: a
+    // 1.9 s-steady query printing 7.2 s); the third sample costs ~15 s
+    // over the whole sweep and restores a usable noise floor.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(3)
 
     // Per-query codegen/JIT warm-up at the smallest SF (criterion-style,
     // untimed): the generated-code cache is keyed by plan shape, not

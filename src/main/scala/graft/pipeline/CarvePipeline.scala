@@ -213,6 +213,57 @@ object CarvePipeline {
     Result(chunks, observed.as[ChunkScan], carved, artefactRows, regionRows, obs, carveErrors)
   }
 
+  /** Per-fleet result: the per-image [[Result]]s plus the unioned,
+    * `evidence_id`-tagged output tables. `release()` drops every image's
+    * persisted scan dataset once the outputs are written.
+    */
+  final case class FleetResult(
+      perImage: Map[String, Result],
+      carvedFiles: org.apache.spark.sql.DataFrame,
+      artefacts: org.apache.spark.sql.DataFrame,
+      entropyRegions: org.apache.spark.sql.DataFrame) {
+    def release(): Unit = perImage.values.foreach(_.scanned.unpersist())
+  }
+
+  /** Carve a FLEET of evidence images in one Spark job — the capability
+    * the one-process-per-image reference binary cannot express. Each
+    * image contributes an independent [[run]] DAG (nothing executes
+    * until an action), and the unioned outputs carry an `evidence_id`
+    * column, so a lab's whole intake carves as one application whose
+    * tasks from different images interleave across the cluster: a
+    * straggler image no longer idles the rest of the fleet the way N
+    * sequential single-image runs would.
+    *
+    * Per-image semantics are exactly [[run]]'s: `cfg.maxBytes` /
+    * `maxFiles` budgets, resume offsets, and run counters apply PER
+    * IMAGE (each gets runId `"$runId:$imageId"`, keeping accumulator and
+    * observation names distinct); carved payloads land under
+    * `payloadDir/<imageId>/`.
+    */
+  def runMany(
+      spark: SparkSession,
+      images: Seq[(String, EvidenceRef)],
+      cfg: EngineConfig,
+      runId: String,
+      enableStrings: Boolean = true,
+      enableEntropy: Boolean = true,
+      payloadDir: Option[String] = None): FleetResult = {
+    require(images.nonEmpty, "empty image fleet")
+    require(images.map(_._1).distinct.size == images.size,
+      s"duplicate evidence ids in ${images.map(_._1)}")
+    val results = images.map { case (id, ref) =>
+      id -> run(spark, ref, cfg, s"$runId:$id",
+        enableStrings = enableStrings, enableEntropy = enableEntropy,
+        payloadDir = payloadDir.map(d => s"$d/$id"))
+    }
+    def tagged(f: Result => org.apache.spark.sql.Dataset[_]) =
+      results.map { case (id, r) =>
+        f(r).toDF.withColumn("evidence_id", org.apache.spark.sql.functions.lit(id))
+      }.reduce(_ unionByName _)
+    FleetResult(results.toMap, tagged(_.carvedFiles), tagged(_.artefacts),
+      tagged(_.entropyRegions))
+  }
+
   /** Span decode + artefact regex pass (reference strings/mod.rs:124-180,
     * decode :232-259): hints gate which extractors run.
     */

@@ -231,4 +231,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(summary.errorCount >= 1L)
     } finally java.nio.file.Files.deleteIfExists(blocker)
   }
+
+  test("fleet run carves every image in one job with evidence_id separation") {
+    val (evA, plantedA) = buildEvidence(Seq(jpeg(), png(), pdf()))
+    val (evB, plantedB) = buildEvidence(Seq(gif(), mp3()))
+    val fleet = CarvePipeline.runMany(spark,
+      Seq("imgA" -> InMemoryRef(evA), "imgB" -> InMemoryRef(evB)),
+      testCfg, "fleetrun")
+    try {
+      val byImage = fleet.carvedFiles
+        .groupBy("evidence_id").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byImage == Map("imgA" -> plantedA.size.toLong, "imgB" -> plantedB.size.toLong))
+      // per-image rows equal a solo run of the same image
+      val solo = CarvePipeline.run(spark, InMemoryRef(evA), testCfg, "fleetrun:imgA")
+      val soloRows = solo.carvedFiles.collect().map(c => (c.globalStart, c.sha256)).toSet
+      solo.scanned.unpersist()
+      val fleetRows = fleet.carvedFiles
+        .filter(org.apache.spark.sql.functions.col("evidence_id") === "imgA")
+        .collect().map(r => (r.getLong(r.fieldIndex("globalStart")),
+          r.getString(r.fieldIndex("sha256")))).toSet
+      assert(fleetRows == soloRows)
+    } finally fleet.release()
+    assert(fleet.perImage.values.forall(
+      _.scanned.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "fleet release left scan datasets persisted")
+  }
 }
