@@ -231,4 +231,56 @@ object Similarity {
                 |  CASE WHEN scale_raw = 0.0D THEN 0.0D
                 |       ELSE CAST(x AS DOUBLE) * 127.0D / scale_raw END) AS BIGINT)))"""
           .stripMargin).as("q8"))
+
+  /** One Lloyd iteration of k-means — the step that TRAINS the coarse
+    * codebook [[ivfTopK]] consumes. Seeds are the k vectors with the
+    * smallest md5(id) (deterministic, engine-independent); every vector
+    * assigns to the seed minimizing the EXACT integer squared-L2
+    * distance over elements scaled to round(x·10⁴) (ties → lowest
+    * cluster index); the update emits each cluster's exact per-dimension
+    * mean. Iterate by feeding the means back as the next seed table.
+    *
+    * Scale shape: the seed pick is a bounded k-row collect; seeds embed
+    * as array literals so assignment is a narrow codegen'd scan (zero
+    * corpus shuffles — the [[ivfTopK]] codebook-literal judgment); the
+    * update is ONE map-side-combinable (cluster, dim)-keyed aggregation
+    * whose post-partial volume is k × dims. Fixed-point distances make
+    * the argmin — and therefore the whole step — bit-reproducible on any
+    * engine: float-sum order never enters. Returns
+    * (cluster_id, dim, n, mean round-4 in original units).
+    */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int = 8, scale: Double = 10000.0): DataFrame = {
+    require(k > 0 && k <= (1 << 12), s"k must be a bounded codebook size, got $k")
+    def quantLit(x: Float): Long =
+      new java.math.BigDecimal(x.toDouble * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val seeds = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"), col("id")).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(seeds.nonEmpty, "empty corpus")
+    val qvec = expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
+    // one named_struct candidate per seed, the quantized seed embedded as
+    // an array literal (the LSH-plane/IVF-codebook literal pattern);
+    // array_min's lexicographic struct order = (min dist, lowest cluster)
+    val candidates = seeds.zipWithIndex.map { case (s, j) =>
+      val arr = s.map(x => s"${quantLit(x)}L").mkString(", ")
+      s"""named_struct(
+         |  'dist', aggregate(zip_with(graft_q, array($arr),
+         |                             (a, b) -> (a - b) * (a - b)),
+         |                    0L, (acc, v) -> acc + v),
+         |  'cluster', CAST($j AS BIGINT))""".stripMargin
+    }.mkString(", ")
+    df.select(qvec.as("graft_q"))
+      .select(expr(s"array_min(array($candidates)).cluster").as("cluster_id"),
+        posexplode(col("graft_q")).as(Seq("dim", "qv")))
+      .groupBy(col("cluster_id"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("graft_s"))
+      .select(col("cluster_id"), col("dim"), col("n"),
+        round(col("graft_s").cast("double") / col("n").cast("double") / lit(scale), 4)
+          .as("mean"))
+  }
 }

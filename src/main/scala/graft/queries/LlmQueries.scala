@@ -269,7 +269,7 @@ object LlmQueries {
              |           FROM cs WHERE id BETWEEN 10 AND 19)
              |          WHERE rn <= 2),
              |cand AS (SELECT p.query_id, a.id AS neighbor_id FROM probe p
-             |         JOIN asg a ON a.cent_id = p.cent_id AND a.id <> p.query_id),
+             |         JOIN asg a ON a.cent_id = p.cent_id AND a.id <> p.query_id), -- q50
              |d AS (SELECT c.query_id, c.neighbor_id, sum(CAST(qa.v AS DOUBLE) * CAST(nb.v AS DOUBLE)) AS dp
              |      FROM cand c JOIN e qa ON qa.vec_id = c.query_id
              |      JOIN e nb ON nb.vec_id = c.neighbor_id AND nb.i = qa.i
@@ -280,6 +280,36 @@ object LlmQueries {
              |      FROM sc)
              |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(score, 4) AS score
              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- K-means Lloyd step (trains the IVF codebook): deterministic
+    // md5-smallest seeds, integer-exact argmin assignment against seed
+    // literals (narrow scan, zero corpus shuffles), one bounded
+    // (cluster, dim) aggregation for the exact centroid update.
+    "q92_kmeans_step" -> QueryDef(
+      (s, dir) => {
+        Similarity.kmeansStep(table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+          .orderBy("cluster_id", "dim")
+      },
+      Some("""WITH seeds AS (
+             |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+             |         embedding AS sv
+             |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             |q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |      FROM embeddings),
+             |sq AS (SELECT cid, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS dim,
+             |              CAST(round(CAST(unnest(sv) AS DOUBLE) * 10000.0) AS BIGINT) AS qs
+             |       FROM seeds),
+             |kd AS (SELECT q.vec_id, sq.cid, sum((q.qv - sq.qs) * (q.qv - sq.qs)) AS dist
+             |       FROM q JOIN sq ON q.dim = sq.dim GROUP BY 1, 2),
+             |ka AS (SELECT vec_id, cid,
+             |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |       FROM kd),
+             |kj AS (SELECT ka.cid AS cluster_id, q.dim, q.qv
+             |       FROM ka JOIN q USING (vec_id) WHERE ka.rn = 1)
+             |SELECT cluster_id, dim, count(*) AS n,
+             |       round(CAST(sum(qv) AS DOUBLE) / count(*) / 10000.0, 4) AS mean
+             |FROM kj GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin)),
 
     // ---- Language ID (stopword heuristic)
     "q36_lang_id" -> QueryDef(

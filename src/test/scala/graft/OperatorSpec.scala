@@ -82,6 +82,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 3 && out.forall(_ < 5L) && !out.contains(1L))
   }
 
+  test("kmeans step assigns tight clusters to their seeds and averages exactly") {
+    import spark.implicits._
+    // two tight orthogonal clusters; ids chosen so the two smallest-md5
+    // ids (6 and 19) land one in each cluster — the seeds then ARE the
+    // clusters and every member assigns to its own seed
+    def vec(axis: Int, v: Float): Array[Float] = {
+      val a = Array.fill(16)(0f)
+      a(axis) = v
+      a
+    }
+    val corpus = (
+      Seq(0L, 2L, 3L, 6L).zipWithIndex.map { case (i, p) => (i, vec(0, 1f + 0.1f * p)) } ++
+      Seq(10L, 12L, 13L, 19L).zipWithIndex.map { case (i, p) => (i, vec(7, 2f + 0.1f * p)) }
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.kmeansStep(corpus, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 32, s"expected 2 clusters x 16 dims, got ${out.size}")
+    // each cluster holds exactly its 4 members; the axis mean is the
+    // exact average of the planted magnitudes, other dims are 0
+    val byCluster = out.groupBy(_._1._1)
+    assert(byCluster.keySet == Set(0L, 1L))
+    byCluster.foreach { case (_, dims) =>
+      assert(dims.values.forall(_._1 == 4L))
+      val axisMeans = dims.collect { case ((_, d), (_, m)) if m != 0.0 => d -> m }
+      assert(axisMeans.size == 1)
+      assert(Set(1.15, 2.15).contains(axisMeans.head._2),
+        s"unexpected centroid mean ${axisMeans.head}")
+    }
+    assert(out.values.map(_._2).toSeq.count(_ != 0.0) == 2)
+  }
+
   test("embedding near-dup pairs find planted copies only") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

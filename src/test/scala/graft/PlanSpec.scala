@@ -241,6 +241,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"documents scan reads unused columns:\n$p")
   }
 
+  test("kmeans assignment is a narrow scan: one bounded update aggregation, no joins") {
+    val p = planOf("q92_kmeans_step")
+    assert(!p.contains("Join"), s"assignment degraded to a seed join:\n$p")
+    assert(p.contains("partial_"), s"centroid update lost map-side combine:\n$p")
+    assert(hashExchanges(p) <= 1,
+      s"kmeans step should shuffle only the (cluster, dim) update:\n$p")
+  }
+
   test("source overlap expands pairs in-row: no self-join, bounded per-segment state") {
     val p = planOf("q91_source_overlap")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
