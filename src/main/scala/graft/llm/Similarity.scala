@@ -252,21 +252,70 @@ object Similarity {
   def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
                  k: Int = 8, scale: Double = 10000.0): DataFrame = {
     require(k > 0 && k <= (1 << 12), s"k must be a bounded codebook size, got $k")
-    def quantLit(x: Float): Long =
-      new java.math.BigDecimal(x.toDouble * scale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     val seeds = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy(col("h"), col("id")).limit(k)
       .collect().map(_.getSeq[Float](1).toArray)
     require(seeds.nonEmpty, "empty corpus")
+    assignStep(df, vecCol, seeds.toSeq, scale)
+  }
+
+  /** Full k-means training: `iters` Lloyd rounds, each one corpus scan
+    * (assignment against the current centroids as literals) plus one
+    * bounded (cluster, dim) aggregation collected to the driver
+    * (k × dims rows — the codebook is driver-sized by definition).
+    * Returns the final centroid table (cluster_id, embedding) ready to
+    * feed [[ivfTopK]]. A cluster that loses every member keeps its
+    * previous centroid. Deterministic end to end: md5 seeds, exact
+    * integer distances, fixed-point means.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int = 8, iters: Int = 3, scale: Double = 10000.0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    var step = kmeansStep(df, idCol, vecCol, k, scale)
+    var centroids: Map[Long, Array[Float]] = Map.empty
+    for (_ <- 1 until iters) {
+      centroids = collectCentroids(step, centroids)
+      step = assignStep(df, vecCol, centroidArray(centroids, k), scale)
+    }
+    centroids = collectCentroids(step, centroids)
+    import spark.implicits._
+    centroidArray(centroids, k).zipWithIndex
+      .map { case (v, j) => (j.toLong, v) }
+      .toDF("cluster_id", "embedding")
+  }
+
+  private def collectCentroids(step: DataFrame,
+                               prev: Map[Long, Array[Float]]): Map[Long, Array[Float]] = {
+    val rows = step.collect()
+    val byCluster = rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+      val dims = rs.map(r => r.getLong(1) -> r.getDouble(3)).sortBy(_._1)
+      c -> dims.map(_._2.toFloat)
+    }
+    prev ++ byCluster // empty clusters keep their previous centroid
+  }
+
+  private def centroidArray(cents: Map[Long, Array[Float]], k: Int): Seq[Array[Float]] =
+    (0 until k).map(j => cents.getOrElse(j.toLong,
+      cents.valuesIterator.next())) // a never-seeded slot borrows any centroid
+
+  /** One assignment + update round against explicit centroids (the inner
+    * loop of [[kmeans]]; [[kmeansStep]] = this with md5-picked seeds).
+    * Centroids embed as array literals (the LSH-plane/IVF-codebook
+    * literal pattern), so assignment is a narrow codegen'd scan;
+    * array_min's lexicographic struct order gives (min dist, lowest
+    * cluster) — deterministic tie-break for free.
+    */
+  private def assignStep(df: DataFrame, vecCol: String,
+                         cents: Seq[Array[Float]], scale: Double): DataFrame = {
+    def quantLit(x: Float): Long =
+      new java.math.BigDecimal(x.toDouble * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     val qvec = expr(
       s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
-    // one named_struct candidate per seed, the quantized seed embedded as
-    // an array literal (the LSH-plane/IVF-codebook literal pattern);
-    // array_min's lexicographic struct order = (min dist, lowest cluster)
-    val candidates = seeds.zipWithIndex.map { case (s, j) =>
+    val candidates = cents.zipWithIndex.map { case (s, j) =>
       val arr = s.map(x => s"${quantLit(x)}L").mkString(", ")
       s"""named_struct(
          |  'dist', aggregate(zip_with(graft_q, array($arr),

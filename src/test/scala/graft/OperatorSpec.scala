@@ -113,6 +113,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._2).toSeq.count(_ != 0.0) == 2)
   }
 
+  test("iterated kmeans converges to planted centroids from one-sided seeds") {
+    import spark.implicits._
+    // both md5-smallest ids (11, 12 of this id set) sit in the SAME
+    // cluster, so the first assignment is lopsided — the Lloyd
+    // iterations must still converge to one centroid per cluster
+    def vec(axis: Int, v: Float): Array[Float] = {
+      val a = Array.fill(16)(0f)
+      a(axis) = v
+      a
+    }
+    val corpus = (
+      (0L until 4L).map(i => (i, vec(0, 1f + 0.1f * i))) ++
+      (10L until 14L).map(i => (i, vec(7, 2f + 0.1f * (i - 10))))
+    ).toDF("vec_id", "embedding")
+    val cents = graft.llm.Similarity.kmeans(corpus, "vec_id", "embedding", k = 2, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents.size == 2)
+    val axisOf = cents.values.map(v => v.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axisOf == Set(0, 7), s"centroids did not split the clusters: $cents")
+    val mags = cents.values.map(v => math.round(v.max * 100) / 100.0).toSet
+    assert(mags == Set(1.15, 2.15), s"converged centroids off: $mags")
+  }
+
   test("embedding near-dup pairs find planted copies only") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
