@@ -298,8 +298,9 @@ object Similarity {
   }
 
   private def centroidArray(cents: Map[Long, Array[Float]], k: Int): Seq[Array[Float]] =
-    (0 until k).map(j => cents.getOrElse(j.toLong,
-      cents.valuesIterator.next())) // a never-seeded slot borrows any centroid
+    // a never-seeded slot borrows the lowest-numbered centroid (a fixed
+    // choice — Map iteration order would be nondeterministic)
+    (0 until k).map(j => cents.getOrElse(j.toLong, cents(cents.keys.min)))
 
   /** One assignment + update round against explicit centroids (the inner
     * loop of [[kmeans]]; [[kmeansStep]] = this with md5-picked seeds).
