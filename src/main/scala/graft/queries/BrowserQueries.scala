@@ -114,5 +114,39 @@ object BrowserQueries {
              |    make_timestamp(1700000000000000 + i*1000000), CAST(2000 + i AS BIGINT),
              |    CAST(i % 3 AS VARCHAR)
              |  FROM idx)
-             |ORDER BY browser, target_path""".stripMargin)))
+             |ORDER BY browser, target_path""".stripMargin)),
+
+    // ---- Unified forensic timeline: visits + download starts + cookie
+    // creations from every recovered profile DB, one time-ordered stream.
+    "q93_browser_timeline" -> QueryDef(
+      (s, dir) => {
+        val (ref, carved) = extractAll(s)
+        SqliteArtefacts.timeline(s, ref, carved, "browser-run")
+          .orderBy("event_time", "kind", "browser", "detail")
+      },
+      Some("""WITH idx AS (SELECT unnest(range(0, 20)) AS i),
+             |dlx AS (SELECT unnest(range(0, 10)) AS i),
+             |ev AS (
+             |  SELECT make_timestamp(13303449600000000 + i*2000000 - 11644473600000000) AS event_time,
+             |         'visit' AS kind, 'chrome' AS browser,
+             |         'https://site' || i || '.example.com/' AS detail FROM idx
+             |  UNION ALL
+             |  SELECT make_timestamp(1700000000000000 + i*2000000), 'visit', 'firefox',
+             |         'https://ff' || i || '.example.org/' FROM idx
+             |  UNION ALL
+             |  SELECT make_timestamp(13303449600000000 + i*3000000 - 11644473600000000), 'download', 'chrome',
+             |         CASE WHEN i % 2 = 0 THEN 'https://chain' || i || '.example.com/get'
+             |              WHEN i % 3 = 0 THEN 'https://tab' || i || '.example.com/'
+             |              ELSE '/home/u/dl/file' || i || '.bin' END FROM dlx
+             |  UNION ALL
+             |  SELECT make_timestamp(1700000000000000 + i*1000000), 'download', 'firefox',
+             |         'https://dl' || i || '.example.org/f.zip' FROM dlx
+             |  UNION ALL
+             |  SELECT make_timestamp(13303449600000000 + i*1000000 - 11644473600000000), 'cookie_created', 'chrome',
+             |         '.site' || i || '.example.com|cookie' || i FROM idx
+             |  UNION ALL
+             |  SELECT make_timestamp(1700000000000000 + i*500000), 'cookie_created', 'firefox',
+             |         '.ff' || i || '.example.org|ffcookie' || i FROM idx)
+             |SELECT event_time, kind, browser, detail FROM ev
+             |ORDER BY event_time, kind, browser, detail""".stripMargin)))
 }

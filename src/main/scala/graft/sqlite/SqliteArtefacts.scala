@@ -47,4 +47,28 @@ object SqliteArtefacts {
         try BrowserExtract.downloads(db, runId, c.path) catch { case _: Exception => Seq.empty })
     }
   }
+
+  /** Unified activity timeline — the log2timeline-style view an
+    * investigator reads first: page visits, download starts, and cookie
+    * creations from every recovered profile DB merged into one
+    * time-ordered stream of (event_time, kind, browser, detail). Rows
+    * whose source column was absent/null carry no event time and are
+    * dropped. Each artefact family is one extraction branch over the
+    * same carved set; union is narrow (no shuffle beyond the carve DAG
+    * itself).
+    */
+  def timeline(spark: SparkSession, evidenceRef: EvidenceRef,
+               carved: Dataset[CarvedFile], runId: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = history(spark, evidenceRef, carved, runId).toDF()
+      .select(col("visitTime").as("event_time"), lit("visit").as("kind"),
+        col("browser"), col("url").as("detail"))
+    val d = downloads(spark, evidenceRef, carved, runId).toDF()
+      .select(col("startTime").as("event_time"), lit("download").as("kind"),
+        col("browser"), coalesce(col("url"), col("targetPath")).as("detail"))
+    val c = cookies(spark, evidenceRef, carved, runId).toDF()
+      .select(col("creationUtc").as("event_time"), lit("cookie_created").as("kind"),
+        col("browser"), concat_ws("|", col("host"), col("name")).as("detail"))
+    h.unionByName(d).unionByName(c).filter(col("event_time").isNotNull)
+  }
 }
