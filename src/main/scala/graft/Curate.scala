@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * the same corpus bit-for-bit.
   *
   * Usage: runMain graft.Curate <documentsParquet> <benchParquet|-> <outDir>
-  * Env:   SPARK_GRAFT_CPUS (default 4), GRAFT_SPLIT_SEED (default "graft")
+  * Env:   SPARK_GRAFT_CPUS (default 4), GRAFT_SPLIT_SEED (default "graft"),
+  *        GRAFT_SEGMENT_WORDS=N enables the exact-substring (segment)
+  *        dedup stage at N-word granularity between the gate and the
+  *        near-dup pass (0/unset = off).
   */
 object Curate {
   def main(args: Array[String]): Unit = {
@@ -27,6 +30,7 @@ object Curate {
     val (docsPath, benchPath, outDir) = (args(0), args(1), args(2))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val seed = sys.env.getOrElse("GRAFT_SPLIT_SEED", "graft")
+    val segWords = sys.env.get("GRAFT_SEGMENT_WORDS").map(_.toInt).filter(_ > 0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,7 +40,7 @@ object Curate {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val summary = run(spark, docsPath,
-        Option(benchPath).filter(_ != "-"), outDir, seed)
+        Option(benchPath).filter(_ != "-"), outDir, seed, segWords)
       println(summary.mkString("{", ", ", "}"))
     } finally spark.stop()
   }
@@ -45,7 +49,8 @@ object Curate {
     * `outDir/summary`). Package-visible for the spec.
     */
   def run(spark: SparkSession, docsPath: String, benchPath: Option[String],
-          outDir: String, seed: String): Seq[(String, Long)] = {
+          outDir: String, seed: String,
+          segmentWords: Option[Int] = None): Seq[(String, Long)] = {
     val raw = spark.read.parquet(docsPath)
     val nRaw = raw.count()
 
@@ -60,15 +65,29 @@ object Curate {
         .select("doc_id", "text", "lang"))
     val nGated = gated.count()
 
-    // 2. near-duplicate removal: cluster keep-decisions joined back
-    val keep = Dedup.dedupCorpus(gated, "doc_id", "text",
+    // 2. optional exact-substring (segment) dedup — rewrite every doc to
+    // its corpus-first segments before the near-dup pass (the Lee et al.
+    // ordering: substring-level first, then document-level)
+    val preDedup = segmentWords match {
+      case Some(w) =>
+        CacheRegistry.persist(
+          Dedup.segmentDedup(gated, "doc_id", "text", w)
+            .filter(col("n_kept") > 0)
+            .select(col("id").as("doc_id"), col("deduped_text").as("text"))
+            .join(gated.select("doc_id", "lang"), Seq("doc_id")))
+      case None => gated
+    }
+    val nSegment = preDedup.count()
+
+    // 3. near-duplicate removal: cluster keep-decisions joined back
+    val keep = Dedup.dedupCorpus(preDedup, "doc_id", "text",
         shingleN = 3, numHashes = 8, rowsPerBand = 2)
       .filter(col("kept") === 1L)
       .select(col("doc_id"))
-    val deduped = CacheRegistry.persist(gated.join(keep, Seq("doc_id")))
+    val deduped = CacheRegistry.persist(preDedup.join(keep, Seq("doc_id")))
     val nDeduped = deduped.count()
 
-    // 3. benchmark decontamination (skipped when no benchmark given)
+    // 4. benchmark decontamination (skipped when no benchmark given)
     val clean = benchPath match {
       case Some(bp) =>
         val bench = spark.read.parquet(bp).select(col("doc_id"), col("text"))
@@ -80,15 +99,15 @@ object Curate {
     }
     val nClean = clean.count()
 
-    // 4. split assignment + deterministic shuffle key, partitioned write
+    // 5. split assignment + deterministic shuffle key, partitioned write
     val out = Curation.shuffleKey(
       Curation.assignSplit(clean, "doc_id", seed, trainPct = 90, valPct = 5),
       "doc_id", seed)
     out.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/corpus")
 
-    val summary = Seq(
-      "n_raw" -> nRaw, "n_quality" -> nGated,
-      "n_deduped" -> nDeduped, "n_clean" -> nClean)
+    val summary = Seq("n_raw" -> nRaw, "n_quality" -> nGated) ++
+      segmentWords.map(_ => "n_segment" -> nSegment).toSeq ++
+      Seq("n_deduped" -> nDeduped, "n_clean" -> nClean)
     import spark.implicits._
     summary.toDF("stage", "n").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/summary")

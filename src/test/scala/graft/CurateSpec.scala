@@ -62,4 +62,26 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids2 = spark.read.parquet(s"$out2/corpus").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  test("segment-dedup stage rewrites texts to corpus-first segments before near-dup") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val out = Files.createTempDirectory("graft-curate-seg").toString
+    val s = Curate.run(spark, docs, None, out, "graft", segmentWords = Some(10))
+    val counts = s.toMap
+    assert(counts.contains("n_segment"))
+    assert(counts("n_quality") >= counts("n_segment"))
+    assert(counts("n_segment") >= counts("n_deduped"))
+    assert(counts("n_clean") > 0)
+    // every written text is segment-unique at 10-word granularity: no
+    // 10-word-aligned segment appears twice in the whole output corpus
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val dupSegs = corpus
+      .select(explode(expr(
+        """transform(sequence(0, (size(split(text, ' ')) - 1) div 10),
+          |          i -> concat_ws(' ', slice(split(text, ' '), i * 10 + 1, 10)))"""
+          .stripMargin)).as("seg"))
+      .groupBy("seg").count().filter(col("count") > 1).count()
+    assert(dupSegs == 0, "output corpus still contains duplicated segments")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
