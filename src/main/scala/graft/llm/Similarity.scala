@@ -304,10 +304,21 @@ object Similarity {
 
   /** One assignment + update round against explicit centroids (the inner
     * loop of [[kmeans]]; [[kmeansStep]] = this with md5-picked seeds).
-    * Centroids embed as array literals (the LSH-plane/IVF-codebook
-    * literal pattern), so assignment is a narrow codegen'd scan;
-    * array_min's lexicographic struct order gives (min dist, lowest
-    * cluster) — deterministic tie-break for free.
+    * Quantization stays a built-in expression (its round() semantics are
+    * what the oracle matches); the k-way argmin is a typed closure over
+    * the quantized longs with the seed matrix in the task closure — the
+    * per-seed zip_with/aggregate forest it replaces is NOT codegen'd
+    * (higher-order functions evaluate interpreted, allocating a k×d
+    * array per row — measured ~1 ms/row). Integer distances with strict
+    * `<` keep the (min dist, lowest cluster) tie-break exact. Still a
+    * narrow scan — zero corpus shuffles before the update agg.
+    *
+    * PERF: the cluster projection MUST sit in its own select BELOW the
+    * posexplode. A single `select(nearest(q), posexplode(q))` plans the
+    * non-generator expression in the Project ABOVE the Generate, so the
+    * argmin re-evaluates once per exploded (row × dim) — a d× blowup
+    * measured at 12 s vs 0.6 s here. As a child attribute it is
+    * evaluated once per vector and carried through the generate.
     */
   private def assignStep(df: DataFrame, vecCol: String,
                          cents: Seq[Array[Float]], scale: Double): DataFrame = {
@@ -316,16 +327,28 @@ object Similarity {
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     val qvec = expr(
       s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
-    val candidates = cents.zipWithIndex.map { case (s, j) =>
-      val arr = s.map(x => s"${quantLit(x)}L").mkString(", ")
-      s"""named_struct(
-         |  'dist', aggregate(zip_with(graft_q, array($arr),
-         |                             (a, b) -> (a - b) * (a - b)),
-         |                    0L, (acc, v) -> acc + v),
-         |  'cluster', CAST($j AS BIGINT))""".stripMargin
-    }.mkString(", ")
+    val seedMatrix: Array[Array[Long]] = cents.map(_.map(quantLit)).toArray
+    val nearest = udf { (qs: Seq[Long]) =>
+      val q = qs.toArray // unbox once; Seq#apply in the hot loop re-boxes
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < seedMatrix.length) {
+        val s = seedMatrix(j)
+        var d = 0L
+        var i = 0
+        val n = math.min(s.length, q.length)
+        while (i < n) {
+          val diff = q(i) - s(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best.toLong
+    }
     df.select(qvec.as("graft_q"))
-      .select(expr(s"array_min(array($candidates)).cluster").as("cluster_id"),
+      .select(nearest(col("graft_q")).as("cluster_id"), col("graft_q"))
+      .select(col("cluster_id"),
         posexplode(col("graft_q")).as(Seq("dim", "qv")))
       .groupBy(col("cluster_id"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), sum(col("qv")).as("graft_s"))
