@@ -43,6 +43,58 @@ object CarveQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    // ---- The flagship "DataFrame scans + pattern matching over
+    // Parquet" path: the evidence is materialized as the ingest job's
+    // columnar chunk table (chunk_id, start, valid_length, data) and
+    // scanned via scanChunkTable — a plain narrow map over table rows —
+    // and must reproduce the pread scan's hits bit-for-bit, overlap
+    // ownership included (each planted sample = exactly one header hit).
+    "q94_columnar_scan" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val nDocs = table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
+        val ref = StridedSamplesRef(
+          IndexedSeq(FixtureBytes.jpeg(), FixtureBytes.png(), FixtureBytes.gif(),
+            FixtureBytes.pdf(), FixtureBytes.sqlite()),
+          SampleStride, nDocs)
+        val (cfg0, _) = EngineConfig.filterFileTypes(
+          EngineConfig(chunkSize = 512 * 1024, overlap = 4096),
+          Some(Seq("jpeg", "png", "gif", "pdf", "sqlite")), disableZip = false)
+        val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
+        // ingest shape: one ranged read per chunk row → columnar table
+        val chunkTable = graft.core.ChunkPlanner
+          .plan(s, SampleStride * nDocs, cfg.chunkSize, cfg.overlap)
+          .mapPartitions { it =>
+            val r = ref.open()
+            it.map { c =>
+              val want = c.length.toInt
+              val buf = new Array[Byte](want)
+              var got = 0
+              var n = 1
+              while (got < want && n > 0) {
+                n = r.readAt(c.start + got, buf, got, want - got); got += n
+              }
+              (c.id, c.start, c.validLength,
+                if (got == want) buf else java.util.Arrays.copyOf(buf, got))
+            }
+          }.toDF("chunk_id", "start", "valid_length", "data")
+        val scan = graft.scan.SignatureScan(cfg)
+        val typeOf = scan.patterns.zipWithIndex
+          .map { case (p, i) => i -> p.fileTypeId }.toMap
+        val typeExpr = typeOf.toSeq.sortBy(_._1).foldLeft(lit(null): org.apache.spark.sql.Column) {
+          case (acc, (i, t)) => when(col("h.fileTypeId") === i, lit(t)).otherwise(acc)
+        }
+        CarvePipeline.scanChunkTable(s, chunkTable, cfg, "columnar-run",
+            enableStrings = false, enableEntropy = false)
+          .select(explode(col("hits")).as("h"))
+          .select(col("h.globalOffset").as("global_offset"), typeExpr.as("file_type"))
+          .orderBy("global_offset")
+      },
+      Some("""SELECT doc_id*8192 AS global_offset,
+             |CASE CAST(doc_id%5 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+             |  WHEN 2 THEN 'gif' WHEN 3 THEN 'pdf' ELSE 'sqlite' END AS file_type
+             |FROM documents ORDER BY global_offset""".stripMargin)),
+
     // ---- Full scan→overlap-dedup→carve DAG (SURVEY §2.1-2.3, §3.1)
     "q40_carve_pipeline" -> QueryDef(
       (s, dir) => {
