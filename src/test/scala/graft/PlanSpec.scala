@@ -241,6 +241,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"documents scan reads unused columns:\n$p")
   }
 
+  test("columnar chunk-table scan stays narrow: no hash exchange before the sort") {
+    val p = planOf("q94_columnar_scan")
+    assert(hashExchanges(p) == 0,
+      s"columnar scan path acquired a shuffle before presentation:\n$p")
+    assert(!p.contains("Join"), s"columnar scan path acquired a join:\n$p")
+  }
+
   test("kmeans assignment is a narrow scan: one bounded update aggregation, no joins") {
     val p = planOf("q92_kmeans_step")
     assert(!p.contains("Join"), s"assignment degraded to a seed join:\n$p")

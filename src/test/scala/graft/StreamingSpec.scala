@@ -171,6 +171,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events without stream-side state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "search"), (1L, "social")).toDF("src_id", "src_name")
+    val in = MemoryStream[(Long, Long)] // (event_id, src_id)
+    val joined = in.toDF().toDF("event_id", "src_id")
+      .join(broadcast(dim), Seq("src_id"))
+    val q = joined.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      in.addData((100L, 0L), (101L, 1L), (102L, 9L)) // 9 has no dim row
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+      assert(got == Set((100L, "search"), (101L, "social")), s"got $got")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark keeps the first row per key across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
