@@ -159,6 +159,70 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kmeansStep matches an exact sequential Lloyd reference on random vectors") {
+    import spark.implicits._
+    val rnd = new Random(19)
+    val dims = 12
+    val vecs = (0L until 80L).map { id =>
+      (id, Array.fill(dims)((rnd.nextFloat() * 2 - 1) * 3f))
+    }
+    val k = 5
+    val got = Similarity.kmeansStep(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // sequential reference with the IDENTICAL integer arithmetic
+    def quant(x: Float): Long =
+      new java.math.BigDecimal(x.toDouble * 10000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val seeds = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(k).map(_._2.map(quant))
+    val assigned = vecs.map { case (_, v) =>
+      val q = v.map(quant)
+      val dists = seeds.map(s => s.zip(q).map { case (a, b) => (b - a) * (b - a) }.sum)
+      (dists.zipWithIndex.minBy { case (d, j) => (d, j) }._2.toLong, q)
+    }
+    val want = assigned.groupBy(_._1).flatMap { case (c, members) =>
+      (0 until dims).map { d =>
+        val xs = members.map(_._2(d))
+        (c, d.toLong) -> ((members.size.toLong,
+          BigDecimal(xs.sum.toDouble / members.size / 10000.0)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }
+    assert(got.keySet == want.keySet, "cluster/dim key sets differ")
+    got.foreach { case (key, (n, mean)) =>
+      assert(want(key)._1 == n, s"$key size: got $n want ${want(key)._1}")
+      assert(math.abs(want(key)._2 - mean) < 1e-9, s"$key mean: got $mean want ${want(key)._2}")
+    }
+  }
+
+  test("crossGroupSegmentOverlap matches a set-intersection reference on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val vocab = Vector("a", "b", "c")
+    val docs = (0 until 80).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (s"src${rnd.nextInt(6)}", (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val got = Dedup.crossGroupSegmentOverlap(docs.toDF("source", "text"), "source", "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val segSets = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap(d => d._2.split(" ").grouped(2).map(_.mkString(" "))).toSet
+    }
+    val srcs = segSets.keys.toSeq.sorted
+    val want = (for {
+      ai <- srcs.indices; bi <- (ai + 1) until srcs.length
+      shared = (segSets(srcs(ai)) intersect segSets(srcs(bi))).size
+      if shared > 0
+    } yield (srcs(ai), srcs(bi)) -> shared.toLong).toMap
+    assert(got == want)
+  }
+
   test("segmentDedup matches a sequential first-occurrence reference on random corpora") {
     import spark.implicits._
     val rnd = new Random(11)
