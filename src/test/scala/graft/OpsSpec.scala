@@ -286,4 +286,62 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(entropy.count() == 0L, "entropy stage ran despite GRAFT_SCAN_ENTROPY=false")
     assert(spark.read.parquet(s"$out/run_summary").count() == 1L)
   }
+
+  test("CarveFleet main carves a comma-separated intake with per-image outputs") {
+    spark
+    def writeImage(name: String, samples: Seq[Array[Byte]]): String = {
+      val evidence = new Array[Byte](16384)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        System.arraycopy(s, 0, evidence, i * 4096, s.length)
+      }
+      val p = Files.createTempFile(name, ".dd")
+      Files.write(p, evidence)
+      p.toString
+    }
+    val imgA = writeImage("fleetA", Seq(FixtureBytes.jpeg(), FixtureBytes.png()))
+    val imgB = writeImage("fleetB", Seq(FixtureBytes.gif()))
+    val yml = Files.createTempFile("graft-fleet-cfg", ".yml")
+    Files.write(yml,
+      """file_types:
+        |  - id: "jpeg"
+        |    extensions: ["jpg"]
+        |    header_patterns:
+        |      - id: "jpeg_soi"
+        |        hex: "FFD8FF"
+        |    footer_patterns: []
+        |    max_size: 1000000
+        |    min_size: 0
+        |    validator: "jpeg"
+        |  - id: "png"
+        |    extensions: ["png"]
+        |    header_patterns:
+        |      - id: "png_sig"
+        |        hex: "89504E470D0A1A0A"
+        |    footer_patterns: []
+        |    max_size: 1000000
+        |    min_size: 0
+        |    validator: "png"
+        |  - id: "gif"
+        |    extensions: ["gif"]
+        |    header_patterns:
+        |      - id: "gif89a"
+        |        hex: "474946383961"
+        |    footer_patterns: []
+        |    max_size: 1000000
+        |    min_size: 0
+        |    validator: "gif"
+        |""".stripMargin.getBytes("UTF-8"))
+    val out = tmp()
+    CarveFleet.runJob(Array(s"$imgA,$imgB", out, yml.toString),
+      Map("GRAFT_RUN_ID" -> "fleettest"), stopSession = false)
+    val byImage = spark.read.parquet(s"$out/files")
+      .groupBy("evidence_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aName = new java.io.File(imgA).getName
+    val bName = new java.io.File(imgB).getName
+    assert(byImage == Map(aName -> 2L, bName -> 1L), s"got $byImage")
+    val summary = spark.read.parquet(s"$out/run_summary")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(summary == Map(aName -> 2L, bName -> 1L), s"got $summary")
+  }
 }
