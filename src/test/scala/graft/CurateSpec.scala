@@ -63,6 +63,25 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids1 == ids2)
   }
 
+  test("profile report writes every table with sane totals") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val out = Files.createTempDirectory("graft-profile").toString
+    Profile.run(spark, docs, out)
+    val nDocs = spark.read.parquet(docs).count()
+    val hist = spark.read.parquet(s"$out/length_histogram")
+    assert(hist.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    val langs = spark.read.parquet(s"$out/lang_counts")
+    assert(langs.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    val quality = spark.read.parquet(s"$out/quality_buckets")
+    assert(quality.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    assert(spark.read.parquet(s"$out/top_ngrams").count() == 50L)
+    assert(spark.read.parquet(s"$out/frequency_spectrum").count() > 0L)
+    assert(spark.read.parquet(s"$out/source_overlap").count() > 0L)
+    assert(spark.read.parquet(s"$out/length_quantiles").count() > 0L)
+    assert(spark.read.parquet(s"$out/source_counts")
+      .agg(sum("n_docs")).head().getLong(0) == nDocs)
+  }
+
   test("segment-dedup stage rewrites texts to corpus-first segments before near-dup") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val out = Files.createTempDirectory("graft-curate-seg").toString
