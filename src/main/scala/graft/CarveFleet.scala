@@ -44,15 +44,9 @@ object CarveFleet {
         .partitionBy("evidence_id").parquet(s"$outDir/artefacts")
       fleet.entropyRegions.write.mode("overwrite")
         .partitionBy("evidence_id").parquet(s"$outDir/entropy_regions")
-      import spark.implicits._
-      val summaries = fleet.perImage.toSeq.map { case (id, r) =>
-        val s = CarvePipeline.summarize(spark, s"$runId:$id", r)
-        (id, s.bytesScanned, s.chunksProcessed, s.hitsFound, s.filesCarved,
-          s.stringSpans, s.artefactsExtracted, s.errorCount)
-      }
-      summaries.toDF("evidence_id", "bytes_scanned", "chunks_processed",
-          "hits_found", "files_carved", "string_spans", "artefacts_extracted",
-          "errors")
+      // after the table writes above the scan/carve counters are final;
+      // summaries() is two jobs total regardless of fleet size
+      fleet.summaries(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/run_summary")
       fleet.release()
     } finally if (stopSession) spark.stop()

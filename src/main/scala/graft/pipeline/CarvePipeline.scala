@@ -223,6 +223,37 @@ object CarvePipeline {
       artefacts: org.apache.spark.sql.DataFrame,
       entropyRegions: org.apache.spark.sql.DataFrame) {
     def release(): Unit = perImage.values.foreach(_.scanned.unpersist())
+
+    /** One-row-per-image run summary computed in TWO jobs total — a
+      * [[summarize]] call per image would run N sequential driver jobs,
+      * the fleet-size bottleneck at a 1000-image intake. The scan
+      * counters aggregate over the tagged union of the (persisted)
+      * per-image scan datasets; carve counts come from one groupBy over
+      * the unioned carve table; carve-error counts read each image's
+      * accumulator (driver-side values, no job).
+      */
+    def summaries(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      val scanAgg = perImage.toSeq.map { case (id, r) =>
+        r.scanned.toDF().withColumn("evidence_id", lit(id))
+      }.reduce(_ unionByName _)
+        .groupBy("evidence_id")
+        .agg(sum(col("bytesRead")).as("bytes_scanned"),
+          count(lit(1)).as("chunks_processed"),
+          sum(size(col("hits"))).cast("long").as("hits_found"),
+          sum(size(col("artefacts"))).cast("long").as("artefacts_extracted"))
+      val carveCounts = carvedFiles.groupBy("evidence_id")
+        .agg(count(lit(1)).as("files_carved"))
+      val errorRows = perImage.toSeq.map { case (id, r) => (id, r.carveErrors.value) }
+      import spark.implicits._
+      val errors = errorRows.toDF("evidence_id", "errors")
+      scanAgg.join(carveCounts, Seq("evidence_id"), "left")
+        .join(errors, Seq("evidence_id"), "left")
+        .select(col("evidence_id"), col("bytes_scanned"), col("chunks_processed"),
+          col("hits_found"), coalesce(col("files_carved"), lit(0L)).as("files_carved"),
+          col("artefacts_extracted").as("string_spans"), col("artefacts_extracted"),
+          coalesce(col("errors"), lit(0L)).as("errors"))
+    }
   }
 
   /** Carve a FLEET of evidence images in one Spark job — the capability
