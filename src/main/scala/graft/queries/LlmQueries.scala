@@ -730,6 +730,35 @@ object LlmQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Train/test leakage audit: assign splits, then count the
+    // distinct 10-word segments shared across each split pair — the
+    // standard check that a held-out set does not leak training text.
+    // Composition of assignSplit (narrow hash-bucket pass) and the
+    // segment-overlap matrix (one groupBy, in-row pair expansion).
+    "q95_split_leakage" -> QueryDef(
+      (s, dir) => {
+        val split = Curation.assignSplit(
+          table(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "split1", trainPct = 80, valPct = 10)
+        Dedup.crossGroupSegmentOverlap(split, "split", "text", 10)
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH sp AS (SELECT doc_id, text,
+             |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id, text,
+             |        CAST('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 AS b
+             |      FROM documents)),
+             |d AS (SELECT split, string_split(text, ' ') AS ws FROM sp),
+             |segs AS (SELECT split, CAST(unnest(range((len(ws) + 9) // 10)) AS BIGINT) AS seg_no, ws
+             |         FROM d),
+             |seg2 AS (SELECT DISTINCT split,
+             |                array_to_string(ws[seg_no * 10 + 1 : seg_no * 10 + 10], ' ') AS seg
+             |         FROM segs),
+             |p AS (SELECT a.split AS src_a, b.split AS src_b
+             |      FROM seg2 a JOIN seg2 b ON a.seg = b.seg AND a.split < b.split)
+             |SELECT src_a, src_b, count(*) AS n_shared_segments
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- Text normalization pre-pass: ASCII lowercase, control chars →
     // space, space runs collapsed, trimmed. The probe input is mutated
     // (uppercased + padded + a tab) so the normalization is exercised.
