@@ -69,4 +69,33 @@ object EventAnalytics {
       .groupBy(col("cohort_day"), (col("active_day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Rolling active users (the DAU/WAU/MAU curve): for every date D in
+    * the data's range, how many distinct users were active in the
+    * trailing `windowDays`-day window (D-windowDays+1 .. D].
+    *
+    * COUNT(DISTINCT) over a sliding range frame is not a window
+    * aggregate Spark supports, and buffering per-day user sets in one
+    * partition would not scale; instead each distinct (user, day)
+    * activity row EXPLODES into the `windowDays` window-dates it
+    * contributes to — a bounded ×windowDays expansion of the per-day
+    * distinct pairs (not of raw events) — and one distinct-count
+    * aggregation per window-date finishes the job. Shuffles: the
+    * (user, day) distinct, then the count-distinct expand; both
+    * map-side combinable. Returns (win_day DATE, active_users).
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val ud = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val bounds = ud.agg(min(col("d")).as("graft_lo"), max(col("d")).as("graft_hi"))
+    ud.select(col("user_id"),
+        explode(expr(s"sequence(d, date_add(d, ${windowDays - 1}))")).as("win_day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("win_day") >= col("graft_lo") && col("win_day") <= col("graft_hi"))
+      .groupBy(col("win_day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
 }

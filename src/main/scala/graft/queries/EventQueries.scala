@@ -160,5 +160,24 @@ object EventQueries {
           .orderBy("event_id")
       },
       Some("""SELECT event_id, event_type, CAST(length(event_type) AS BIGINT) AS type_len
-             |FROM events ORDER BY event_id""".stripMargin)))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- Rolling 7-day active users (the WAU curve): each distinct
+    // (user, day) pair explodes into the 7 window-dates it serves —
+    // bounded ×7 on per-day distinct pairs, never on raw events — then
+    // one distinct-count per window-date. No per-day user-set buffering.
+    "q96_rolling_active_users" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.rollingActiveUsers(
+            table(s, dir, "events"), "user_id", "ts", windowDays = 7)
+          .orderBy("win_day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+             |w AS (SELECT user_id, d + CAST(o AS INTEGER) AS win_day
+             |      FROM ud, (SELECT unnest(range(0, 7)) AS o) os),
+             |c AS (SELECT win_day, count(DISTINCT user_id) AS active_users
+             |      FROM w GROUP BY win_day)
+             |SELECT win_day, active_users FROM c, b
+             |WHERE win_day BETWEEN b.lo AND b.hi ORDER BY win_day""".stripMargin)))
 }

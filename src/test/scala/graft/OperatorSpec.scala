@@ -174,6 +174,20 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 0L, None, None, None)))
   }
 
+  test("rolling active users counts trailing-window distinct users per date") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // user 1 active on days 1 and 3 (twice), user 2 on day 1 only
+    val events = Seq(
+      (1L, ts(1)), (1L, ts(3)), (1L, ts(3)), (2L, ts(1))).toDF("user_id", "ts")
+    val out = graft.operators.EventAnalytics
+      .rollingActiveUsers(events, "user_id", "ts", windowDays = 2)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // window (D-1, D]: day1 {1,2}, day2 {1,2} (carried), day3 {1};
+    // day4 is past the data's max date and must not appear
+    assert(out == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-03" -> 1L))
+  }
+
   test("retention cohorts count distinct users per (cohort, offset)") {
     import spark.implicits._
     val day = 86400000000L
