@@ -127,6 +127,25 @@ object EventStreams {
     docs.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Sliding-window distinct active users on a stream — the streaming
+    * twin of `operators.EventAnalytics.rollingActiveUsers`. Distinct
+    * aggregates are unsupported in streaming, so the count chains TWO
+    * stateful operators (the Spark 3.5+ pattern): a watermarked
+    * per-(window, user) dedup whose state the watermark evicts, then a
+    * windowed count of the surviving rows. A window's row emits once the
+    * watermark passes its end.
+    */
+  def slidingActiveUsers(events: DataFrame, width: String, slide: String,
+                         watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), window(col("ts"), width, slide).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("active_users"))
+
   final case class FunnelEvent(userId: Long, us: Long, ty: String)
   final case class StageAdvance(userId: Long, stage: Long, atUs: Long)
 

@@ -171,6 +171,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sliding-window distinct users chain dedup state into the windowed count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = EventStreams.slidingActiveUsers(
+      in.toDF().toDF("user_id", "ts"),
+      width = "20 minutes", slide = "10 minutes", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sau")
+      .outputMode("append").start()
+    try {
+      // user 1 twice inside [60,70), user 2 once at t=75; the t=200
+      // event pushes the watermark far past every earlier window
+      in.addData((1L, ts(61)), (1L, ts(65)), (2L, ts(75)))
+      q.processAllAvailable()
+      in.addData((9L, ts(200)))
+      q.processAllAvailable()
+      val got = spark.table("sau")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2))).toMap
+      // window [50,70): u1; [60,80): u1+u2; [70,90): u2
+      assert(got.get(50L).contains(1L), s"got $got")
+      assert(got.get(60L).contains(2L), s"got $got")
+      assert(got.get(70L).contains(1L), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches events without stream-side state") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{broadcast, col}
