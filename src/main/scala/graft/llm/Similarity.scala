@@ -302,6 +302,30 @@ object Similarity {
     // choice — Map iteration order would be nondeterministic)
     (0 until k).map(j => cents.getOrElse(j.toLong, cents(cents.keys.min)))
 
+  /** Per-vector cluster assignment against an explicit centroid table —
+    * the serving-side step between [[kmeans]] (which trains the
+    * centroids) and [[ivfTopK]] (which probes them): each vector gets
+    * the id of its nearest centroid under the same integer-exact
+    * squared-L2 distance the trainer used (ties → lowest cluster id).
+    * Centroids ride as literals in the task closure, so this is a
+    * narrow codegen'd scan — zero shuffles at any corpus size. Returns
+    * the input columns plus `cluster_id`.
+    */
+  def assignClusters(df: DataFrame, vecCol: String,
+                     centroids: DataFrame, scale: Double = 10000.0): DataFrame = {
+    // centroids carries (cluster_id, vecCol) — the [[kmeans]] output shape
+    val cents = centroids
+      .select(col("cluster_id").cast("long").as("cid"), col(vecCol).as("cv"))
+      .orderBy("cid")
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    require(cents.nonEmpty && cents.length <= (1 << 12),
+      s"centroid table must be a bounded codebook, got ${cents.length} entries")
+    val nearest = nearestUdf(cents.toSeq, scale)
+    val qvec = expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
+    df.withColumn("cluster_id", nearest(qvec))
+  }
+
   /** One assignment + update round against explicit centroids (the inner
     * loop of [[kmeans]]; [[kmeansStep]] = this with md5-picked seeds).
     * Quantization stays a built-in expression (its round() semantics are
@@ -320,15 +344,16 @@ object Similarity {
     * measured at 12 s vs 0.6 s here. As a child attribute it is
     * evaluated once per vector and carried through the generate.
     */
-  private def assignStep(df: DataFrame, vecCol: String,
-                         cents: Seq[Array[Float]], scale: Double): DataFrame = {
+  /** Integer-exact nearest-centroid closure over quantized vectors; the
+    * centroid matrix quantizes with the same HALF_UP rounding the scan
+    * expression applies, so engine and driver agree bit-for-bit.
+    */
+  private def nearestUdf(cents: Seq[Array[Float]], scale: Double) = {
     def quantLit(x: Float): Long =
       new java.math.BigDecimal(x.toDouble * scale)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
-    val qvec = expr(
-      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
     val seedMatrix: Array[Array[Long]] = cents.map(_.map(quantLit)).toArray
-    val nearest = udf { (qs: Seq[Long]) =>
+    udf { (qs: Seq[Long]) =>
       val q = qs.toArray // unbox once; Seq#apply in the hot loop re-boxes
       var best = 0
       var bestD = Long.MaxValue
@@ -346,6 +371,13 @@ object Similarity {
       }
       best.toLong
     }
+  }
+
+  private def assignStep(df: DataFrame, vecCol: String,
+                         cents: Seq[Array[Float]], scale: Double): DataFrame = {
+    val qvec = expr(
+      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
+    val nearest = nearestUdf(cents, scale)
     df.select(qvec.as("graft_q"))
       .select(nearest(col("graft_q")).as("cluster_id"), col("graft_q"))
       .select(col("cluster_id"),

@@ -730,6 +730,45 @@ object LlmQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Cluster × label contingency matrix: vectors assign to the
+    // md5-seed centroids (narrow literal-embedded argmin scan, zero
+    // corpus shuffles), then one bounded groupBy against the stored
+    // label — the clustering-quality view (purity per cluster).
+    "q97_cluster_label_matrix" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val seeds = emb
+          .select(col("vec_id").cast("long").as("id"), col("embedding"))
+          .withColumn("h", md5(col("id").cast("string")))
+          .orderBy(col("h"), col("id")).limit(8)
+          .withColumn("cluster_id",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("h"), col("id"))) - 1)
+          .select(col("cluster_id").cast("long").as("cluster_id"), col("embedding"))
+        Similarity.assignClusters(emb, "embedding", seeds)
+          .groupBy(col("cluster_id"), col("label"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy("cluster_id", "label")
+      },
+      Some("""WITH seeds AS (
+             |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+             |         embedding AS sv
+             |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             |q AS (SELECT vec_id, label, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |      FROM embeddings),
+             |sq AS (SELECT cid, CAST(generate_subscripts(sv, 1) - 1 AS BIGINT) AS dim,
+             |              CAST(round(CAST(unnest(sv) AS DOUBLE) * 10000.0) AS BIGINT) AS qs
+             |       FROM seeds),
+             |kd AS (SELECT q.vec_id, sq.cid, sum((q.qv - sq.qs) * (q.qv - sq.qs)) AS dist
+             |       FROM q JOIN sq ON q.dim = sq.dim GROUP BY 1, 2),
+             |ka AS (SELECT vec_id, cid,
+             |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |       FROM kd)
+             |SELECT ka.cid AS cluster_id, e.label, count(*) AS n_vectors
+             |FROM ka JOIN embeddings e USING (vec_id) WHERE ka.rn = 1
+             |GROUP BY 1, 2 ORDER BY cluster_id, label""".stripMargin)),
+
     // ---- Train/test leakage audit: assign splits, then count the
     // distinct 10-word segments shared across each split pair — the
     // standard check that a held-out set does not leak training text.
