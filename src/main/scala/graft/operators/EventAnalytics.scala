@@ -84,6 +84,36 @@ object EventAnalytics {
     * (user, day) distinct, then the count-distinct expand; both
     * map-side combinable. Returns (win_day DATE, active_users).
     */
+  /** Per-group σ-outlier flags with EXACT integer arithmetic: a value v
+    * in group g is an outlier iff (v − μ_g)² > sigmas²·σ_g² — evaluated
+    * as (n·v − s1)² > sigmas²·(n·s2 − s1²) after multiplying through by
+    * n², so only integer sums of the cent-scaled values are ever
+    * compared: no float division, no engine-dependent rounding anywhere.
+    * One map-side-combinable stats aggregation (one row per group) plus
+    * a join back onto the scan. Returns the id/group/cents columns plus
+    * `is_outlier`.
+    */
+  def outliers(events: DataFrame, idCol: String, groupCol: String,
+               valCol: String, sigmas: Int): DataFrame = {
+    require(sigmas > 0, s"sigmas must be positive, got $sigmas")
+    val cents = expr(s"CAST(round($valCol * 100) AS BIGINT)")
+    val rows = events.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      cents.as("v_cents"))
+    val dec = col("v_cents").cast("decimal(38,0)")
+    val stats = rows.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
+        sum(dec).cast("decimal(38,0)").as("graft_s1"),
+        sum(dec * dec).cast("decimal(38,0)").as("graft_s2"))
+    rows.join(stats, Seq("grp"))
+      .select(col("id"), col("grp"), col("v_cents"),
+        (pow2(col("graft_n") * col("v_cents").cast("decimal(38,0)") - col("graft_s1")) >
+          lit(sigmas * sigmas) * (col("graft_n") * col("graft_s2") - pow2(col("graft_s1"))))
+          .as("is_outlier"))
+  }
+
+  private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c * c).cast("decimal(38,0)")
+
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
                          windowDays: Int): DataFrame = {
     require(windowDays > 0, s"windowDays must be positive, got $windowDays")

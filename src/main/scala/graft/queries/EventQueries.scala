@@ -179,5 +179,25 @@ object EventQueries {
              |c AS (SELECT win_day, count(DISTINCT user_id) AS active_users
              |      FROM w GROUP BY win_day)
              |SELECT win_day, active_users FROM c, b
-             |WHERE win_day BETWEEN b.lo AND b.hi ORDER BY win_day""".stripMargin)))
+             |WHERE win_day BETWEEN b.lo AND b.hi ORDER BY win_day""".stripMargin)),
+
+    // ---- Per-type 3σ outlier flags with pure-integer arithmetic:
+    // (n·v − s1)² > 9·(n·s2 − s1²) — the σ test multiplied through by
+    // n², so no float division or sqrt exists on either engine.
+    "q98_value_outliers" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.outliers(
+            table(s, dir, "events"), "event_id", "event_type", "value", sigmas = 3)
+          .orderBy("id")
+      },
+      Some("""WITH r AS (SELECT event_id AS id, event_type AS grp,
+             |                 CAST(round(value * 100) AS BIGINT) AS v_cents
+             |          FROM events),
+             |st AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             |              CAST(sum(v_cents) AS HUGEINT) AS s1,
+             |              CAST(sum(CAST(v_cents AS HUGEINT) * v_cents) AS HUGEINT) AS s2
+             |       FROM r GROUP BY grp)
+             |SELECT id, grp, v_cents,
+             |       ((n * v_cents - s1) * (n * v_cents - s1)) > 9 * (n * s2 - s1 * s1) AS is_outlier
+             |FROM r JOIN st USING (grp) ORDER BY id""".stripMargin)))
 }

@@ -188,6 +188,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-03" -> 1L))
   }
 
+  test("outlier flags are exact at the 3-sigma boundary") {
+    import spark.implicits._
+    // group a: nine 0.00 + one 1.00 — the extreme sits EXACTLY at 3σ
+    // ((n·v−s1)² = 810000 = 9·(n·s2−s1²)), so the strict test says no.
+    // group b: nineteen 0.00 + one 1.00 — comfortably beyond 3σ.
+    val rows =
+      (1L to 9L).map(i => (i, "a", 0.0)) ++ Seq((10L, "a", 1.0)) ++
+      (11L to 29L).map(i => (i, "b", 0.0)) ++ Seq((30L, "b", 1.0))
+    val out = graft.operators.EventAnalytics
+      .outliers(rows.toDF("event_id", "event_type", "value"),
+        "event_id", "event_type", "value", sigmas = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.count(_._2) == 1 && out(30L), s"got $out")
+    assert(!out(10L), "boundary value flagged despite strict inequality")
+  }
+
   test("retention cohorts count distinct users per (cohort, offset)") {
     import spark.implicits._
     val day = 86400000000L
