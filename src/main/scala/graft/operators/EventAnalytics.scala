@@ -70,6 +70,23 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-user inter-event gaps in whole seconds: for every event after a
+    * user's first, the time since that user's previous event — the
+    * distribution that calibrates session-gap thresholds. One user-keyed
+    * window (shuffle bounded by per-user event counts); epoch-µs integer
+    * arithmetic, no timezone. Returns (user_id, gap_s).
+    */
+  def interEventGaps(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = expr(s"unix_micros($tsCol)")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("graft_us"))
+    events.select(col(userCol).as("user_id"), us.as("graft_us"))
+      .withColumn("graft_prev", lag(col("graft_us"), 1).over(w))
+      .filter(col("graft_prev").isNotNull)
+      .select(col("user_id"),
+        expr("(graft_us - graft_prev) div 1000000L").as("gap_s"))
+  }
+
   /** Rolling active users (the DAU/WAU/MAU curve): for every date D in
     * the data's range, how many distinct users were active in the
     * trailing `windowDays`-day window (D-windowDays+1 .. D].

@@ -199,5 +199,28 @@ object EventQueries {
              |       FROM r GROUP BY grp)
              |SELECT id, grp, v_cents,
              |       ((n * v_cents - s1) * (n * v_cents - s1)) > 9 * (n * s2 - s1 * s1) AS is_outlier
-             |FROM r JOIN st USING (grp) ORDER BY id""".stripMargin)))
+             |FROM r JOIN st USING (grp) ORDER BY id""".stripMargin)),
+
+    // ---- Inter-event gap distribution: per-user lag (one user-keyed
+    // window) → whole-second gaps → power-of-two histogram. The curve
+    // that calibrates session-gap thresholds.
+    "q99_gap_histogram" -> QueryDef(
+      (s, dir) => {
+        val gaps = graft.operators.EventAnalytics.interEventGaps(
+          table(s, dir, "events"), "user_id", "ts")
+        graft.llm.Profiling.lengthHistogram(gaps, "gap_s")
+          .select(col("bucket"), col("n_docs").as("n_gaps"),
+            col("sum_chars").as("sum_gap_s"), col("min_chars").as("min_gap_s"),
+            col("max_chars").as("max_gap_s"))
+          .orderBy("bucket")
+      },
+      Some("""WITH g AS (SELECT user_id,
+             |                 (epoch_us(ts) - lag(epoch_us(ts)) OVER
+             |                    (PARTITION BY user_id ORDER BY epoch_us(ts))) // 1000000 AS gap_s
+             |          FROM events),
+             |gg AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL)
+             |SELECT CAST(CASE WHEN gap_s <= 0 THEN 0 ELSE length(bin(gap_s)) END AS BIGINT) AS bucket,
+             |       count(*) AS n_gaps, CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+             |       min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+             |FROM gg GROUP BY 1 ORDER BY bucket""".stripMargin)))
 }
