@@ -160,6 +160,35 @@ object Dedup {
     cross.union(same)
   }
 
+  /** MinHash agreement per LSH candidate pair — the banding-calibration
+    * diagnostic: for every candidate text pair, how many of the k
+    * minhashes agree (n_matching/k estimates the Jaccard similarity the
+    * banding thresholds were tuned against). Pairwise work runs on the
+    * CANDIDATES only (already subquadratic after banding), and the
+    * signature table carries k small strings per text. Pure integer
+    * output (n_matching, k) — no float division. Returns
+    * (id_a, id_b, n_matching, k) over canonical texts.
+    */
+  def minhashAgreement(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int,
+                       rowsPerBand: Int): DataFrame = {
+    val canon = docs.select(md5(col(textCol)).as("graft_th"), col(textCol).as("graft_t"))
+      .groupBy(col("graft_th")).agg(min(col("graft_t")).as("graft_t"))
+      .select(col("graft_th").as("id"), col("graft_t").as("text"))
+    val sh = CacheRegistry.persist(distinctShingles(canon, "id", "text", shingleN))
+    val sigs = CacheRegistry.persist(minHashSignatures(sh, numHashes))
+    val pairs = lshCandidatePairs(bandKeys(sigs, rowsPerBand))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("k"), col("minhash").as("graft_ma")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("k"), col("minhash").as("graft_mb")),
+        Seq("id_b", "k"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("graft_ma") === col("graft_mb"), 1L).otherwise(0L))
+          .as("n_matching"),
+        count(lit(1)).as("k"))
+  }
+
   /** End-to-end near-duplicate removal — the composition a pipeline
     * actually runs: LSH candidates → duplicate clusters → per-document
     * keep decision. Every document gets its cluster's minimum id as

@@ -730,6 +730,34 @@ object LlmQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- MinHash agreement per LSH candidate pair (banding
+    // calibration): n_matching of k minhashes — the integer Jaccard
+    // estimate the band/row thresholds were tuned against. Pairwise
+    // work on post-banding candidates only.
+    "q100_minhash_agreement" -> QueryDef(
+      (s, dir) => {
+        Dedup.minhashAgreement(docsTpl(s, dir), "doc_id", "t",
+            shingleN = 3, numHashes = 8, rowsPerBand = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH m AS (SELECT md5($tplSql) AS id, min($tplSql) AS t FROM documents GROUP BY 1),
+              |w AS (SELECT id, string_split(t, ' ') AS ws FROM m),
+              |tri AS (SELECT id, unnest(range(1, len(ws)-1)) AS i, ws FROM w),
+              |sh0 AS (SELECT id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] AS shingle FROM tri),
+              |sh AS (SELECT DISTINCT id, shingle FROM sh0),
+              |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+              |        FROM sh, (SELECT unnest(range(0, 8)) AS k) ks GROUP BY id, k),
+              |bands AS (SELECT id, k // 2 AS band, md5(string_agg(mh, ',' ORDER BY k)) AS bk
+              |          FROM sig GROUP BY id, k // 2),
+              |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |          FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id)
+              |SELECT p.id_a, p.id_b,
+              |       CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+              |       count(*) AS k
+              |FROM pairs p JOIN sig sa ON sa.id = p.id_a
+              |JOIN sig sb ON sb.id = p.id_b AND sb.k = sa.k
+              |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- Cluster × label contingency matrix: vectors assign to the
     // md5-seed centroids (narrow literal-embedded argmin scan, zero
     // corpus shuffles), then one bounded groupBy against the stored

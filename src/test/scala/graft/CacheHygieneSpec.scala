@@ -84,4 +84,14 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.connectedComponents(edges, "a", "b").count()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("minhashAgreement leaves no persisted RDDs after releaseAll") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, if (i % 3 == 0) "a b c d e f g" else s"u$i v$i w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    assertNoLeak("minhashAgreement") {
+      Dedup.minhashAgreement(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    }
+  }
 }
