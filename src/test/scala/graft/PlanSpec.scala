@@ -265,6 +265,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"source-set collection lost partial aggregation:\n$p")
   }
 
+  test("outlier flags broadcast the per-group stats back onto the scan") {
+    val p = planOf("q98_value_outliers")
+    assert(p.contains("partial_"), s"stats aggregation lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"stats join degraded to a product:\n$p")
+  }
+
+  test("cluster-purity matrix assignment stays narrow: one bounded groupBy") {
+    val p = planOf("q97_cluster_label_matrix")
+    assert(!p.contains("SortMergeJoin"), s"assignment acquired a corpus join:\n$p")
+    assert(p.contains("partial_"), s"contingency count lost map-side combine:\n$p")
+  }
+
+  test("minhash agreement joins candidates only, never the corpus crosswise") {
+    val p = planOf("q100_minhash_agreement")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"agreement join degraded to an all-pairs product:\n$p")
+  }
+
   test("token counting prunes the documents scan to the needed columns") {
     val df = SparkEntry.queries("q38_token_counts")(spark, dir)
     df.collect()
