@@ -314,16 +314,21 @@ object Similarity {
   def assignClusters(df: DataFrame, vecCol: String,
                      centroids: DataFrame, scale: Double = 10000.0): DataFrame = {
     // centroids carries (cluster_id, vecCol) — the [[kmeans]] output shape
-    val cents = centroids
+    val centRows = centroids
       .select(col("cluster_id").cast("long").as("cid"), col(vecCol).as("cv"))
       .orderBy("cid")
-      .collect().map(r => r.getSeq[Float](1).toArray)
-    require(cents.nonEmpty && cents.length <= (1 << 12),
-      s"centroid table must be a bounded codebook, got ${cents.length} entries")
-    val nearest = nearestUdf(cents.toSeq, scale)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(centRows.nonEmpty && centRows.length <= (1 << 12),
+      s"centroid table must be a bounded codebook, got ${centRows.length} entries")
+    // the argmin closure returns a POSITION in the cid-sorted matrix; map
+    // it back through the cid array so re-labeled / filtered codebooks
+    // (ids not 0..n-1) emit the table's actual cluster_id, not the slot
+    val cids = centRows.map(_._1)
+    val nearest = nearestUdf(centRows.map(_._2).toSeq, scale)
     val qvec = expr(
       s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
-    df.withColumn("cluster_id", nearest(qvec))
+    df.withColumn("cluster_id",
+      element_at(typedLit(cids), nearest(qvec).cast("int") + 1))
   }
 
   /** One assignment + update round against explicit centroids (the inner
@@ -385,7 +390,16 @@ object Similarity {
       .groupBy(col("cluster_id"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), sum(col("qv")).as("graft_s"))
       .select(col("cluster_id"), col("dim"), col("n"),
-        round(col("graft_s").cast("double") / col("n").cast("double") / lit(scale), 4)
-          .as("mean"))
+        // HALF_UP mean in scaled units as PURE INTEGER arithmetic:
+        // sign(s) · ((2|s| + n) DIV (2n)). With the output precision equal
+        // to 1/scale this IS round(s/n/scale, 4) for scale=1e4 — but the
+        // decimal half-tie (2s ≡ n (mod 2n)) is decided exactly, where the
+        // previous double round(sum/n/1e4, 4) saw the binary expansion a
+        // hair off the tie and Spark/DuckDB split on it (q98 precedent:
+        // no float division on either engine). Numerator is kept
+        // non-negative so truncating and floor division coincide — the
+        // expression means the same thing under Spark's DIV and DuckDB's //.
+        (expr("CAST(sign(graft_s) AS BIGINT) * ((2L * abs(graft_s) + n) DIV (2L * n))")
+          .cast("double") / lit(scale)).as("mean"))
   }
 }

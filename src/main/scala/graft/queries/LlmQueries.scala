@@ -308,7 +308,9 @@ object LlmQueries {
              |kj AS (SELECT ka.cid AS cluster_id, q.dim, q.qv
              |       FROM ka JOIN q USING (vec_id) WHERE ka.rn = 1)
              |SELECT cluster_id, dim, count(*) AS n,
-             |       round(CAST(sum(qv) AS DOUBLE) / count(*) / 10000.0, 4) AS mean
+             |       CAST(CAST(sign(sum(qv)) AS BIGINT)
+             |            * ((2 * abs(sum(qv)) + count(*)) // (2 * count(*))) AS DOUBLE)
+             |         / 10000.0 AS mean
              |FROM kj GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin)),
 
     // ---- Language ID (stopword heuristic)

@@ -113,6 +113,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.map(_._2).toSeq.count(_ != 0.0) == 2)
   }
 
+  test("kmeans step decides decimal half-ties exactly (HALF_UP on the rational mean)") {
+    import spark.implicits._
+    // the two sf0.01 cells that split Spark/DuckDB under the old double
+    // round (VERDICT r4): n=62 with s=25823 -> 416.5 -> 417 -> 0.0417,
+    // and s=27125 -> 437.5 -> 438 -> 0.0438; plus a negative half-tie
+    // s=-31 -> -0.5 -> HALF_UP(away from zero) -> -0.0001
+    val rows = (0L until 62L).map { i =>
+      val d0 = if (i == 0) 0.0447f else 0.0416f // 447 + 61*416 = 25823
+      val d1 = if (i == 0) 0.0468f else 0.0437f // 468 + 61*437 = 27125
+      val d2 = if (i < 31) -0.0001f else 0.0f   // s = -31 over n = 62
+      (i, Array(d0, d1, d2))
+    }
+    val out = graft.llm.Similarity.kmeansStep(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(0L -> ((62L, 0.0417)), 1L -> ((62L, 0.0438)),
+      2L -> ((62L, -0.0001))), s"half-tie means off: $out")
+  }
+
+  test("assignClusters emits the centroid table's actual cluster_id values") {
+    import spark.implicits._
+    // re-labeled codebook: ids 7 and 42, NOT 0..n-1 — each tight vector
+    // must get the table id of its nearest centroid, not its slot index
+    def vec(axis: Int, v: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(axis) = v; a
+    }
+    val cents = Seq((7L, vec(0, 1f)), (42L, vec(3, 1f))).toDF("cluster_id", "embedding")
+    val df = Seq((100L, vec(0, 0.9f)), (101L, vec(3, 1.1f))).toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.assignClusters(df, "embedding", cents)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 7L, 101L -> 42L), s"cluster ids mislabeled: $got")
+  }
+
   test("iterated kmeans converges to planted centroids from one-sided seeds") {
     import spark.implicits._
     // both md5-smallest ids (11, 12 of this id set) sit in the SAME

@@ -188,10 +188,12 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val want = assigned.groupBy(_._1).flatMap { case (c, members) =>
       (0 until dims).map { d =>
-        val xs = members.map(_._2(d))
-        (c, d.toLong) -> ((members.size.toLong,
-          BigDecimal(xs.sum.toDouble / members.size / 10000.0)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        val s = members.map(_._2(d)).sum
+        val n = members.size.toLong
+        // HALF_UP mean on the exact rational s/n in scaled units — the
+        // same integer form the operator (and its oracle) now evaluate
+        val meanScaled = s.sign * ((2L * s.abs + n) / (2L * n))
+        (c, d.toLong) -> ((n, meanScaled.toDouble / 10000.0))
       }
     }
     assert(got.keySet == want.keySet, "cluster/dim key sets differ")
