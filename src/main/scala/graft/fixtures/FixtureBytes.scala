@@ -56,6 +56,28 @@ object FixtureBytes {
     out.toByteArray
   }
 
+  /** Genuinely decodable still image: a w×h solid-rgb bitmap encoded by
+    * the JDK's ImageIO (`fmt` ∈ png | bmp | jpg | gif). Unlike the
+    * minimal header samples above (which exercise the carvers'
+    * structural validation), these are complete images a real codec
+    * round-trips — the decode side of the multimodal operators reads
+    * them back with `javax.imageio` and must recover the planted
+    * dimensions and (for lossless formats) the exact color.
+    */
+  def solidImage(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no ImageIO writer for $fmt")
+    out.toByteArray
+  }
+
   /** SQLite: 100-byte header + pages; page_size@16 BE, page_count@28 BE. */
   def sqlite(pageSize: Int = 512, pageCount: Int = 2): Array[Byte] = {
     val total = pageSize * pageCount

@@ -4,12 +4,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Multimodal columns: media payloads ride as opaque `binary` columns
-  * with typed metadata. The Spark-side plumbing — schema, batched
-  * per-partition decode, partition sizing — is real; the codec itself is
-  * STUBBED (no image/audio libraries in this environment) behind
-  * `decodeStub`, which produces deterministic metadata from the bytes so
-  * the pipeline stays testable end-to-end. Swap `decodeStub` for a real
-  * JNI/javacv decoder without touching the plan.
+  * with typed metadata, decoded in batched `mapPartitions` passes (the
+  * Spark analog of a Pandas-UDF batch — per-partition init amortizes a
+  * model load or codec context).
+  *
+  * Still images (JPEG/PNG/BMP/GIF) decode for REAL through the JDK's
+  * `javax.imageio` — dimensions and pixel statistics come from the
+  * actual bitmap. Payloads no `ImageIO` reader accepts (video
+  * containers, foreign codecs — no AV libraries ship in this
+  * environment) fall back to `decodeStub`, which derives deterministic
+  * metadata from the bytes so the video half of the pipeline stays
+  * testable end-to-end; swap the stub for a JNI/javacv decoder without
+  * touching the plan.
   */
 object Multimodal {
 
@@ -22,8 +28,74 @@ object Multimodal {
       nFrames: Int,
       kind: String)
 
-  /** STUB decoder — deterministic fake: dimensions derived from content
-    * bytes. A real implementation would parse the container here.
+  /** Real decoded-bitmap metadata: dimensions, container format, and
+    * per-channel mean pixel value (integer floor of the channel sum /
+    * pixel count — exact for the solid fixtures, deterministic for any
+    * bitmap).
+    */
+  final case class ImageMeta(
+      id: Long,
+      width: Int,
+      height: Int,
+      format: String,
+      avgR: Int,
+      avgG: Int,
+      avgB: Int,
+      nPixels: Long)
+
+  final case class MediaEmbed(id: Long, embedding: Array[Float])
+
+  final case class ResizedMedia(id: Long, byteLen: Long, contentMd5: String)
+
+  final case class ResizedImage(
+      id: Long, width: Int, height: Int, avgR: Int, avgG: Int, avgB: Int)
+
+  /** Magic-byte sniff for the still-image formats the JDK decodes.
+    * (Same signatures the carve registry anchors on —
+    * reference `config/default.yml` jpeg/png/gif/bmp entries.)
+    */
+  def sniffImageFormat(p: Array[Byte]): Option[String] =
+    if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff) Some("jpeg")
+    else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G') Some("png")
+    else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+      Some("gif")
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Some("bmp")
+    else None
+
+  /** Decode one still image through `javax.imageio`; None when the
+    * payload isn't a sniffable image or the codec rejects it (truncated
+    * or synthetic-header bytes — e.g. the carve fixtures' minimal
+    * samples, which are structurally valid but not decodable).
+    */
+  def decodeImage(id: Long, payload: Array[Byte]): Option[ImageMeta] =
+    sniffImageFormat(payload).flatMap { fmt =>
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+      img.map { bi =>
+        val w = bi.getWidth
+        val h = bi.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = bi.getRGB(x, y)
+            sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageMeta(id, w, h, fmt, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt, n)
+      }
+    }
+
+  /** STUB decoder for the VIDEO/opaque path only — deterministic fake:
+    * dimensions derived from content bytes. A real implementation would
+    * parse the container here (no AV libraries in this environment).
     */
   def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
@@ -34,27 +106,75 @@ object Multimodal {
       width = ((payload.headOption.getOrElse(0: Byte) & 0xff) % 64) + 1,
       height = ((payload.lastOption.getOrElse(0: Byte) & 0xff) % 64) + 1,
       nFrames = (payload.length % 16) + 1,
-      kind = "image")
+      kind = "opaque")
   }
 
-  /** Batched decode over (id, payload) rows — mapPartitions so a real
-    * decoder can amortize per-batch init (model load, JNI context) the
-    * way a Pandas-UDF batch would.
+  /** Batched decode over (id, payload) rows — dispatches per payload:
+    * decodable still images go through `javax.imageio` (real width /
+    * height, one frame), everything else through the video-path stub.
     */
   def decode(spark: SparkSession, media: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions { batch => batch.map { case (id, payload) => decodeStub(id, payload) } }
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          decodeImage(id, payload) match {
+            case Some(m) =>
+              val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+              MediaMeta(id, payload.length.toLong, graft.carve.Hex.lower(md5),
+                m.width, m.height, nFrames = 1, kind = m.format)
+            case None => decodeStub(id, payload)
+          }
+        }
+      }
   }
 
-  final case class MediaEmbed(id: Long, embedding: Array[Float])
+  /** Batched REAL image decode: only payloads `javax.imageio` accepts
+    * survive (undecodable rows drop — the quality-gate convention for a
+    * corrupt media column). Emits bitmap dimensions + channel means.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame, idCol: String, payloadCol: String): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch => batch.flatMap { case (id, p) => decodeImage(id, p) } }
+  }
 
-  /** STUB embedder — deterministic fake embedding from the payload's md5
-    * (a real implementation would run a vision/audio encoder here, with
-    * per-partition model load amortized by `mapPartitions`). Components
-    * are (byte - 128)/256 — exactly representable in both float and
-    * double, so downstream float math is engine-independent.
+  /** Deterministic 8-dim embedding from REAL decoded pixel statistics —
+    * every component is a k/256 binary fraction (exact in float AND
+    * double, so downstream quantization math is engine-independent):
+    * channel means re-centered, dimensions, and two mixed moments.
+    */
+  def imageEmbedding(m: ImageMeta): Array[Float] = Array(
+    (m.avgR / 256.0 - 0.5).toFloat,
+    (m.avgG / 256.0 - 0.5).toFloat,
+    (m.avgB / 256.0 - 0.5).toFloat,
+    (m.width / 256.0).toFloat,
+    (m.height / 256.0).toFloat,
+    ((m.width.toLong * m.height % 256) / 256.0).toFloat,
+    (((m.avgR + m.avgG + m.avgB) % 256) / 256.0 - 0.5).toFloat,
+    ((m.id % 256) / 256.0 - 0.5).toFloat)
+
+  /** Batched image → embedding bridge over REAL decoded bitmaps (the
+    * multimodal entry into ANN / near-dup / quantization operators).
+    * A vision encoder would replace `imageEmbedding` per batch; the
+    * decode, batching, and schema are the production shape.
+    */
+  def embedImages(spark: SparkSession, media: DataFrame, idCol: String, payloadCol: String): Dataset[MediaEmbed] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, p) =>
+          decodeImage(id, p).map(m => MediaEmbed(id, imageEmbedding(m)))
+        }
+      }
+  }
+
+  /** STUB embedder for the opaque path — deterministic fake embedding
+    * from the payload's md5. Components are (byte - 128)/256 — exactly
+    * representable in both float and double.
     */
   def embedStub(id: Long, payload: Array[Byte], dim: Int = 8): MediaEmbed = {
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
@@ -66,8 +186,8 @@ object Multimodal {
     MediaEmbed(id, emb)
   }
 
-  /** Batched embedding over (id, payload) rows — the multimodal bridge
-    * into the embedding operators (ANN, near-dup, quantization).
+  /** Batched embedding over opaque (id, payload) rows — the stub half;
+    * real images should go through [[embedImages]].
     */
   def embed(spark: SparkSession, media: DataFrame, idCol: String, payloadCol: String,
             dim: Int = 8): Dataset[MediaEmbed] = {
@@ -77,13 +197,54 @@ object Multimodal {
       .mapPartitions { batch => batch.map { case (id, payload) => embedStub(id, payload, dim) } }
   }
 
-  final case class ResizedMedia(id: Long, byteLen: Long, contentMd5: String)
+  /** REAL bitmap resize: decode, scale each image to
+    * (max(1, w/factor), max(1, h/factor)) on a fresh RGB raster, and
+    * emit the resized dimensions + channel means. The re-encoded
+    * payload would stream to the blob store exactly like carved files;
+    * metadata is what flows on.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, idCol: String, payloadCol: String,
+                   factor: Int = 2): Dataset[ResizedImage] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, p) =>
+          sniffImageFormat(p).flatMap { _ =>
+            val in =
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+              catch { case _: Exception => None }
+            in.map { bi =>
+              val w2 = math.max(1, bi.getWidth / factor)
+              val h2 = math.max(1, bi.getHeight / factor)
+              val out = new java.awt.image.BufferedImage(
+                w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.drawImage(bi, 0, 0, w2, h2, null)
+              g.dispose()
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h2) {
+                var x = 0
+                while (x < w2) {
+                  val px = out.getRGB(x, y)
+                  sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w2.toLong * h2
+              ResizedImage(id, w2, h2, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+            }
+          }
+        }
+      }
+  }
 
-  /** STUB resize — deterministic downsample keeping every `stride`-th
-    * payload byte (a real implementation would decode, scale, re-encode).
-    * Runs in the same batched mapPartitions shape; emits the resized
-    * payload's length and content hash (the payload itself would stream
-    * to the blob store, exactly like carved files).
+  /** STUB resize for opaque payloads — deterministic downsample keeping
+    * every `stride`-th payload byte; real images go through
+    * [[resizeImages]].
     */
   def resize(spark: SparkSession, media: DataFrame, idCol: String, payloadCol: String,
              stride: Int): Dataset[ResizedMedia] = {

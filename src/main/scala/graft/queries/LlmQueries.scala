@@ -31,6 +31,27 @@ object LlmQueries {
   private def docsTpl(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"), tplCol.as("t"))
 
+  /** Deterministic media column: one complete solid-color bitmap per
+    * document — PNG for even ids, BMP for odd — with dimensions and RGB
+    * planted by arithmetic on doc_id, encoded by ImageIO on the
+    * executors. The multimodal queries decode these REAL payloads and
+    * their oracles predict what the decoder must recover.
+    */
+  private def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val w = (id % 13).toInt + 4
+          val h = (id % 7).toInt + 3
+          val rgb = ((id * 37 % 256).toInt << 16) | ((id * 59 % 256).toInt << 8) |
+            (id * 83 % 256).toInt
+          (id, graft.fixtures.FixtureBytes.solidImage(fmt, w, h, rgb))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Word-trigram shingle oracle fragment over the template corpus. */
   private val shingleSql =
     s"""m AS (SELECT doc_id AS id, $tplSql AS t FROM documents),
@@ -630,41 +651,49 @@ object LlmQueries {
              |       FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
              |SELECT id_a, id_b, round(score, 4) AS score FROM sc WHERE score >= 0.99 ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- Multimodal: binary payload column + stubbed batch decode
+    // ---- Multimodal: binary image column + REAL javax.imageio decode.
+    // Payloads are complete PNG/BMP bitmaps synthesized per doc_id
+    // (solid color, dimensions and RGB planted by arithmetic on the id);
+    // the operator decodes the actual bitmap, and the oracle verifies
+    // the full encode→decode loop returns the planted ground truth —
+    // the strongest check an engine without a codec can express.
     "q42_multimodal_decode" -> QueryDef(
       (s, dir) => {
-        val media = table(s, dir, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("payload"))
-        Multimodal.decode(s, media, "doc_id", "payload").toDF()
-          .select(col("id").as("doc_id"), col("byteLen").as("byte_len"),
-            col("contentMd5").as("content_md5"), col("width"), col("height"),
-            col("nFrames").as("n_frames"))
+        Multimodal.decodeImages(s, mediaTable(s, dir), "doc_id", "payload").toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"), col("format"),
+            col("avgR").as("avg_r"), col("avgG").as("avg_g"), col("avgB").as("avg_b"),
+            col("nPixels").as("n_pixels"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |CAST(length(substr(text, 1, 64)) AS BIGINT) AS byte_len,
-             |md5(substr(text, 1, 64)) AS content_md5,
-             |CAST((ascii(substr(text, 1, 1)) % 64) + 1 AS INT) AS width,
-             |CAST((ascii(substr(substr(text, 1, 64), length(substr(text, 1, 64)), 1)) % 64) + 1 AS INT) AS height,
-             |CAST((length(substr(text, 1, 64)) % 16) + 1 AS INT) AS n_frames
+             |CAST((doc_id % 13) + 4 AS INT) AS width,
+             |CAST((doc_id % 7) + 3 AS INT) AS height,
+             |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+             |CAST((doc_id * 37) % 256 AS INT) AS avg_r,
+             |CAST((doc_id * 59) % 256 AS INT) AS avg_g,
+             |CAST((doc_id * 83) % 256 AS INT) AS avg_b,
+             |CAST(((doc_id % 13) + 4) * ((doc_id % 7) + 3) AS BIGINT) AS n_pixels
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ---- Multimodal → embedding bridge: stub-embed media payloads and
-    // int8-quantize the result (media → encode → compress, the serving
-    // prep path). Embedding components are (byte-128)/256 — exact in
-    // float AND double, so the cross-engine math is bit-identical.
+    // ---- Multimodal → embedding bridge: REAL decode, embedding from
+    // the decoded pixel statistics (k/256 binary fractions — exact in
+    // float AND double), then int8 quantization (media → encode →
+    // compress, the serving prep path).
     "q61_media_embed_quantize" -> QueryDef(
       (s, dir) => {
-        val media = table(s, dir, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("payload"))
-        val emb = Multimodal.embed(s, media, "doc_id", "payload").toDF()
+        val emb = Multimodal.embedImages(s, mediaTable(s, dir), "doc_id", "payload").toDF()
         Similarity.quantizeInt8(emb, "id", "embedding")
           .select(col("id").as("doc_id"), col("l2_norm"), col("scale"), col("q8"))
           .orderBy("doc_id")
       },
-      Some("""WITH m AS (SELECT doc_id, md5(substr(text, 1, 64)) AS h FROM documents),
-             |e AS (SELECT doc_id, list_transform(range(0, 8),
-             |        j -> CAST('0x' || substr(h, CAST(2*j+1 AS INT), 2) AS INT)/256.0 - 0.5) AS emb
+      Some("""WITH m AS (SELECT doc_id,
+             |    (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g, (doc_id * 83) % 256 AS b,
+             |    (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h FROM documents),
+             |e AS (SELECT doc_id, [r/256.0 - 0.5, g/256.0 - 0.5, b/256.0 - 0.5,
+             |        w/256.0, h/256.0,
+             |        CAST((w * h) % 256 AS DOUBLE)/256.0,
+             |        CAST((r + g + b) % 256 AS DOUBLE)/256.0 - 0.5,
+             |        CAST(doc_id % 256 AS DOUBLE)/256.0 - 0.5] AS emb
              |      FROM m),
              |s AS (SELECT doc_id, emb,
              |        list_max(list_transform(emb, x -> abs(x))) AS scale_raw FROM e)
@@ -675,22 +704,24 @@ object LlmQueries {
              |    CASE WHEN scale_raw = 0 THEN 0.0 ELSE x * 127.0 / scale_raw END) AS BIGINT)), ',') AS q8
              |FROM s ORDER BY doc_id""".stripMargin)),
 
-    // ---- Multimodal resize stage: stride-2 downsample of each payload
+    // ---- Multimodal resize stage: REAL bitmap halving — decode, scale
+    // onto a fresh raster, emit resized dimensions + channel means (a
+    // solid source must stay exactly its color at any sampling).
     "q62_media_resize" -> QueryDef(
       (s, dir) => {
-        val media = table(s, dir, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("payload"))
-        Multimodal.resize(s, media, "doc_id", "payload", 2).toDF()
-          .select(col("id").as("doc_id"), col("byteLen").as("byte_len"),
-            col("contentMd5").as("content_md5"))
+        Multimodal.resizeImages(s, mediaTable(s, dir), "doc_id", "payload", 2).toDF()
+          .select(col("id").as("doc_id"), col("width").as("out_width"),
+            col("height").as("out_height"), col("avgR").as("avg_r"),
+            col("avgG").as("avg_g"), col("avgB").as("avg_b"))
           .orderBy("doc_id")
       },
-      Some("""WITH m AS (SELECT doc_id, substr(text, 1, 64) AS p FROM documents),
-             |r AS (SELECT doc_id, array_to_string(list_transform(
-             |        range(1, length(p) + 1, 2), i -> substr(p, CAST(i AS INT), 1)), '') AS rp
-             |      FROM m)
-             |SELECT doc_id, CAST(length(rp) AS BIGINT) AS byte_len, md5(rp) AS content_md5
-             |FROM r ORDER BY doc_id""".stripMargin)),
+      Some("""SELECT doc_id,
+             |CAST(greatest(((doc_id % 13) + 4) // 2, 1) AS INT) AS out_width,
+             |CAST(greatest(((doc_id % 7) + 3) // 2, 1) AS INT) AS out_height,
+             |CAST((doc_id * 37) % 256 AS INT) AS avg_r,
+             |CAST((doc_id * 59) % 256 AS INT) AS avg_g,
+             |CAST((doc_id * 83) % 256 AS INT) AS avg_b
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- Multimodal: deterministic frame-sampling plan
     "q43_frame_sampling" -> QueryDef(

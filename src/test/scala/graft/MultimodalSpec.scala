@@ -1,0 +1,103 @@
+package graft
+
+import graft.fixtures.FixtureBytes
+import graft.llm.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-codec tests for the multimodal operators: the decode path must
+  * read ACTUAL bitmaps through javax.imageio (dimensions, exact colors
+  * for lossless formats, near-exact for JPEG), fall back to the stub
+  * only for undecodable payloads, and the resize stage must scale the
+  * real raster.
+  */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-multimodal-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("decodeImage reads a real JPEG's actual dimensions and near-exact color") {
+    val payload = FixtureBytes.solidImage("jpg", 17, 9, 0x406080)
+    assert(Multimodal.sniffImageFormat(payload).contains("jpeg"))
+    val m = Multimodal.decodeImage(7L, payload).get
+    assert(m.width == 17 && m.height == 9 && m.format == "jpeg" && m.nPixels == 153L)
+    // JPEG is lossy: a solid block survives as DC-only coefficients, so
+    // the decoded mean sits within quantization error of the planted color
+    assert(math.abs(m.avgR - 0x40) <= 8 && math.abs(m.avgG - 0x60) <= 8 &&
+      math.abs(m.avgB - 0x80) <= 8, s"jpeg color drifted: $m")
+  }
+
+  test("decodeImage round-trips PNG, BMP and GIF dimensions; lossless colors exact") {
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val m = Multimodal.decodeImage(1L, FixtureBytes.solidImage(fmt, 12, 5, 0x102030)).get
+      assert(m.width == 12 && m.height == 5, s"$fmt dims: $m")
+    }
+    // PNG and BMP are lossless: channel means equal the planted color
+    for (fmt <- Seq("png", "bmp")) {
+      val m = Multimodal.decodeImage(1L, FixtureBytes.solidImage(fmt, 12, 5, 0x102030)).get
+      assert((m.avgR, m.avgG, m.avgB) == ((0x10, 0x20, 0x30)), s"$fmt color: $m")
+    }
+  }
+
+  test("decode dispatches: real images via ImageIO, opaque payloads via the stub") {
+    import spark.implicits._
+    val png = FixtureBytes.solidImage("png", 21, 6, 0xaabbcc)
+    val text = "not an image at all, just bytes".getBytes("UTF-8")
+    // the carve fixtures' minimal JPEG sniffs as an image but has no scan
+    // data — the codec rejects it and the row must fall back to the stub
+    val headerOnly = FixtureBytes.jpeg()
+    val media = Seq((1L, png), (2L, text), (3L, headerOnly)).toDF("id", "payload")
+    val out = Multimodal.decode(spark, media, "id", "payload")
+      .collect().map(m => m.id -> m).toMap
+    assert(out(1L).width == 21 && out(1L).height == 6 &&
+      out(1L).kind == "png" && out(1L).nFrames == 1)
+    assert(out(2L).kind == "opaque" &&
+      out(2L).width == ((text.head & 0xff) % 64) + 1)
+    assert(out(3L).kind == "opaque", s"undecodable jpeg must fall back: ${out(3L)}")
+  }
+
+  test("decodeImages drops undecodable rows and keeps real bitmap stats") {
+    import spark.implicits._
+    val media = Seq(
+      (10L, FixtureBytes.solidImage("png", 8, 4, 0x010203)),
+      (11L, "garbage".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodeImages(spark, media, "id", "payload").collect()
+    assert(out.map(_.id).toSeq == Seq(10L))
+    assert(out.head.nPixels == 32L && (out.head.avgR, out.head.avgG, out.head.avgB) == ((1, 2, 3)))
+  }
+
+  test("resizeImages halves the real raster and preserves a solid color") {
+    import spark.implicits._
+    val media = Seq(
+      (5L, FixtureBytes.solidImage("png", 15, 7, 0x405060)),
+      (6L, FixtureBytes.solidImage("bmp", 4, 3, 0x708090))).toDF("id", "payload")
+    val out = Multimodal.resizeImages(spark, media, "id", "payload", 2)
+      .collect().map(r => r.id -> r).toMap
+    assert(out(5L).width == 7 && out(5L).height == 3)
+    assert((out(5L).avgR, out(5L).avgG, out(5L).avgB) == ((0x40, 0x50, 0x60)))
+    assert(out(6L).width == 2 && out(6L).height == 1)
+    assert((out(6L).avgR, out(6L).avgG, out(6L).avgB) == ((0x70, 0x80, 0x90)))
+  }
+
+  test("embedImages derives the documented k/256-exact components from real pixels") {
+    import spark.implicits._
+    val media = Seq((9L, FixtureBytes.solidImage("png", 10, 6, 0x203040))).toDF("id", "payload")
+    val out = Multimodal.embedImages(spark, media, "id", "payload").collect()
+    assert(out.length == 1)
+    val e = out.head.embedding
+    val want = Array(
+      0x20 / 256.0 - 0.5, 0x30 / 256.0 - 0.5, 0x40 / 256.0 - 0.5,
+      10 / 256.0, 6 / 256.0, (10 * 6 % 256) / 256.0,
+      ((0x20 + 0x30 + 0x40) % 256) / 256.0 - 0.5, (9 % 256) / 256.0 - 0.5
+    ).map(_.toFloat)
+    assert(e.toSeq == want.toSeq, s"embedding off: ${e.toSeq} vs ${want.toSeq}")
+  }
+}
