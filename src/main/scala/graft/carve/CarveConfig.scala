@@ -30,6 +30,14 @@ final case class EngineConfig(
     stringMinLen: Int = 6,
     stringMaxLen: Int = 1024,
     stringScanUtf16: Boolean = false,
+    // per-artefact extraction toggles (reference enable_url_scan /
+    // enable_email_scan / enable_phone_scan, src/config.rs:44-49,
+    // default_true) and SQLite page-level URL recovery
+    // (enable_sqlite_page_recovery, config.rs:68-69, default false)
+    enableUrlScan: Boolean = true,
+    enableEmailScan: Boolean = true,
+    enablePhoneScan: Boolean = true,
+    sqlitePageRecovery: Boolean = false,
     entropyWindowSize: Int = 4096,
     entropyThreshold: Double = 7.5,
     zipAllowedKinds: Option[Seq[String]] = None,
@@ -47,6 +55,8 @@ final case class EngineConfig(
     canonical.append(chunkSize).append('|').append(overlap).append('|')
       .append(stringMinLen).append('|').append(stringMaxLen).append('|')
       .append(stringScanUtf16).append('|')
+      .append(enableUrlScan).append('|').append(enableEmailScan).append('|')
+      .append(enablePhoneScan).append('|').append(sqlitePageRecovery).append('|')
       .append(entropyWindowSize).append('|').append(entropyThreshold).append('|')
       .append(zipAllowedKinds.map(_.mkString(",")).getOrElse("")).append('|')
       .append(oleAllowedKinds.map(_.mkString(",")).getOrElse("")).append('|')

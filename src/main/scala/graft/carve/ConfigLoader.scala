@@ -48,6 +48,10 @@ object ConfigLoader {
       stringMinLen = longOr(root, "string_min_len", base.stringMinLen).toInt,
       stringMaxLen = longOr(root, "string_max_len", base.stringMaxLen).toInt,
       stringScanUtf16 = boolOr(root, "string_scan_utf16", base.stringScanUtf16),
+      enableUrlScan = boolOr(root, "enable_url_scan", base.enableUrlScan),
+      enableEmailScan = boolOr(root, "enable_email_scan", base.enableEmailScan),
+      enablePhoneScan = boolOr(root, "enable_phone_scan", base.enablePhoneScan),
+      sqlitePageRecovery = boolOr(root, "enable_sqlite_page_recovery", base.sqlitePageRecovery),
       entropyWindowSize = longOr(root, "entropy_window_size", base.entropyWindowSize).toInt,
       entropyThreshold = doubleOr(root, "entropy_threshold", base.entropyThreshold),
       zipAllowedKinds = strListOpt(root, "zip_allowed_kinds"),

@@ -108,6 +108,8 @@ object CarvePipeline {
     val entropyThreshold = cfg.entropyThreshold
     val doStrings = enableStrings
     val doEntropy = enableEntropy
+    val (doUrls, doEmails, doPhones) =
+      (cfg.enableUrlScan, cfg.enableEmailScan, cfg.enablePhoneScan)
 
     // Progress: per-chunk byte counts land in a named accumulator that
     // ProgressListener folds into %, MiB/s, ETA events (SURVEY step 9).
@@ -139,7 +141,7 @@ object CarvePipeline {
               .filter(sp => sp.localStart < chunk.validLength) // overlap ownership for spans
               .flatMap { sp =>
                 val spanBytes = java.util.Arrays.copyOfRange(data, sp.localStart.toInt, sp.localStart.toInt + sp.length)
-                decodeAndExtract(runId, chunk.start, sp, spanBytes)
+                decodeAndExtract(runId, chunk.start, sp, spanBytes, doUrls, doEmails, doPhones)
               }
           } else Seq.empty[StringArtefact]
         val regions =
@@ -296,13 +298,18 @@ object CarvePipeline {
   }
 
   /** Span decode + artefact regex pass (reference strings/mod.rs:124-180,
-    * decode :232-259): hints gate which extractors run.
+    * decode :232-259): span hints AND the per-kind config toggles
+    * (ArtefactScanConfig, reference pipeline/mod.rs:310-314) gate which
+    * extractors run.
     */
   private[pipeline] def decodeAndExtract(
       runId: String,
       chunkStart: Long,
       sp: StringSpan,
-      spanBytes: Array[Byte]): Seq[StringArtefact] = {
+      spanBytes: Array[Byte],
+      urls: Boolean = true,
+      emails: Boolean = true,
+      phones: Boolean = true): Seq[StringArtefact] = {
     val (text, encoding) =
       if ((sp.flags & StringFlags.Utf16Le) != 0) (StringScan.decodeUtf16Naive(spanBytes, littleEndian = true), "utf-16le")
       else if ((sp.flags & StringFlags.Utf16Be) != 0) (StringScan.decodeUtf16Naive(spanBytes, littleEndian = false), "utf-16be")
@@ -313,9 +320,9 @@ object CarvePipeline {
     def wanted(flag: Int): Boolean = !useHints || (sp.flags & flag) != 0
 
     Artefacts.extractAll(text).collect {
-      case f if (f.kind == "Url" && wanted(StringFlags.UrlLike)) ||
-        (f.kind == "Email" && wanted(StringFlags.EmailLike)) ||
-        (f.kind == "Phone" && wanted(StringFlags.PhoneLike)) =>
+      case f if (f.kind == "Url" && urls && wanted(StringFlags.UrlLike)) ||
+        (f.kind == "Email" && emails && wanted(StringFlags.EmailLike)) ||
+        (f.kind == "Phone" && phones && wanted(StringFlags.PhoneLike)) =>
         val start = chunkStart + sp.localStart + f.start
         val len = f.content.getBytes("UTF-8").length
         StringArtefact(runId, f.kind, f.content, encoding,
@@ -346,6 +353,8 @@ object CarvePipeline {
     val entropyThreshold = cfg.entropyThreshold
     val doStrings = enableStrings
     val doEntropy = enableEntropy
+    val (doUrls, doEmails, doPhones) =
+      (cfg.enableUrlScan, cfg.enableEmailScan, cfg.enablePhoneScan)
     chunkTable
       .select(org.apache.spark.sql.functions.col("chunk_id"),
         org.apache.spark.sql.functions.col("start"),
@@ -361,7 +370,7 @@ object CarvePipeline {
               .filter(sp => sp.localStart < validLength)
               .flatMap { sp =>
                 val spanBytes = java.util.Arrays.copyOfRange(data, sp.localStart.toInt, sp.localStart.toInt + sp.length)
-                decodeAndExtract(runId, start, sp, spanBytes)
+                decodeAndExtract(runId, start, sp, spanBytes, doUrls, doEmails, doPhones)
               }
           else Seq.empty[StringArtefact]
         val regions =

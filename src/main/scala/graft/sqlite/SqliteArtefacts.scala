@@ -24,11 +24,25 @@ object SqliteArtefacts {
     } finally reader.close()
   }
 
-  def history(spark: SparkSession, evidenceRef: EvidenceRef, carved: Dataset[CarvedFile], runId: String): Dataset[BrowserHistoryRecord] = {
+  /** With `pageRecovery` (reference enable_sqlite_page_recovery,
+    * pipeline/workers.rs:319-326): a DB whose table-level parse yields
+    * no records falls back to the tolerant page-leaf scan.
+    */
+  def history(spark: SparkSession, evidenceRef: EvidenceRef, carved: Dataset[CarvedFile],
+              runId: String, pageRecovery: Boolean = false): Dataset[BrowserHistoryRecord] = {
     import spark.implicits._
     carved.filter(_.fileType == "sqlite").flatMap { c =>
-      loadDb(evidenceRef, c).toSeq.flatMap(db =>
-        try BrowserExtract.history(db, runId, c.path) catch { case _: Exception => Seq.empty })
+      val reader = evidenceRef.open()
+      val bytes = try reader.readExactAt(c.globalStart, c.size.toInt) finally reader.close()
+      bytes.toSeq.flatMap { b =>
+        val viaDb =
+          try {
+            val db = new SqliteFile(b)
+            BrowserExtract.history(db, runId, c.path)
+          } catch { case _: Exception => Seq.empty[BrowserHistoryRecord] }
+        if (viaDb.nonEmpty || !pageRecovery) viaDb
+        else SqlitePages.extractHistory(b, runId, c.path)
+      }
     }
   }
 

@@ -287,6 +287,191 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/run_summary").count() == 1L)
   }
 
+  private def writeToggleYml(extra: String = ""): java.nio.file.Path = {
+    val yml = Files.createTempFile("graft-cfg", ".yml")
+    Files.write(yml,
+      (s"""$extra
+         |file_types:
+         |  - id: "jpeg"
+         |    extensions: ["jpg"]
+         |    header_patterns:
+         |      - id: "jpeg_soi"
+         |        hex: "FFD8FF"
+         |    footer_patterns: []
+         |    max_size: 1000000
+         |    min_size: 0
+         |    validator: "jpeg"
+         |  - id: "png"
+         |    extensions: ["png"]
+         |    header_patterns:
+         |      - id: "png_sig"
+         |        hex: "89504E470D0A1A0A"
+         |    footer_patterns: []
+         |    max_size: 1000000
+         |    min_size: 0
+         |    validator: "png"
+         |""").stripMargin.trim.getBytes("UTF-8"))
+    yml
+  }
+
+  private def writeImage(bytes: Array[Byte]): java.nio.file.Path = {
+    val img = Files.createTempFile("graft-carve", ".dd")
+    Files.write(img, bytes)
+    img
+  }
+
+  test("Carve main gates per-artefact extraction with flag-over-file precedence") {
+    spark
+    val text = "visit https://toggle.example.com/page mail toggler@example.org now"
+    val evidence = new Array[Byte](16384)
+    System.arraycopy(text.getBytes("ISO-8859-1"), 0, evidence, 100, text.length)
+    val img = writeImage(evidence)
+
+    // flag disables what the file left on
+    val out1 = tmp()
+    Carve.runJob(Array(img.toString, out1, writeToggleYml().toString), Map(
+      "GRAFT_SCAN_URLS" -> "false", "GRAFT_CHUNK_MIB" -> "1",
+      "GRAFT_SCAN_ENTROPY" -> "false", "GRAFT_RUN_ID" -> "art1"), stopSession = false)
+    assert(spark.read.parquet(s"$out1/artefacts_urls").count() == 0L,
+      "url extraction ran despite GRAFT_SCAN_URLS=false")
+    assert(spark.read.parquet(s"$out1/artefacts_emails").count() > 0L,
+      "email extraction must stay on when only urls are disabled")
+
+    // flag re-enables what the file turned off (flag > file, config.rs merge_cli)
+    val out2 = tmp()
+    Carve.runJob(Array(img.toString, out2,
+      writeToggleYml("enable_url_scan: false").toString), Map(
+      "GRAFT_SCAN_URLS" -> "true", "GRAFT_CHUNK_MIB" -> "1",
+      "GRAFT_SCAN_ENTROPY" -> "false", "GRAFT_RUN_ID" -> "art2"), stopSession = false)
+    assert(spark.read.parquet(s"$out2/artefacts_urls").count() > 0L,
+      "GRAFT_SCAN_URLS=true must override enable_url_scan: false in the file")
+
+    // string-min-len above every span length suppresses all artefacts
+    val out3 = tmp()
+    Carve.runJob(Array(img.toString, out3, writeToggleYml().toString), Map(
+      "GRAFT_STRING_MIN_LEN" -> "2000", "GRAFT_CHUNK_MIB" -> "1",
+      "GRAFT_SCAN_ENTROPY" -> "false", "GRAFT_RUN_ID" -> "art3"), stopSession = false)
+    assert(spark.read.parquet(s"$out3/artefacts_urls").count() == 0L &&
+      spark.read.parquet(s"$out3/artefacts_emails").count() == 0L,
+      "no span reaches GRAFT_STRING_MIN_LEN=2000, artefact sinks must be empty")
+  }
+
+  test("Carve main dry-run scans and counts but writes nothing") {
+    spark
+    val jpeg = FixtureBytes.jpeg()
+    val evidence = new Array[Byte](16384)
+    System.arraycopy(jpeg, 0, evidence, 0, jpeg.length)
+    val img = writeImage(evidence)
+    val out = tmp()
+    Carve.runJob(Array(img.toString, out, writeToggleYml().toString), Map(
+      "GRAFT_DRY_RUN" -> "true", "GRAFT_CHUNK_MIB" -> "1",
+      "GRAFT_RUN_ID" -> "dryrun"), stopSession = false)
+    for (sink <- Seq("files", "artefacts_urls", "run_summary", "carved"))
+      assert(!Files.exists(java.nio.file.Paths.get(out, sink)),
+        s"dry-run must not write $sink")
+  }
+
+  test("Carve main validate/remove flags re-verify carved output and enforce pairing") {
+    spark
+    val jpeg = FixtureBytes.jpeg()
+    val evidence = new Array[Byte](16384)
+    System.arraycopy(jpeg, 0, evidence, 0, jpeg.length)
+    val img = writeImage(evidence)
+    val out = tmp()
+    Carve.runJob(Array(img.toString, out, writeToggleYml().toString), Map(
+      "GRAFT_VALIDATE_CARVED" -> "true", "GRAFT_REMOVE_INVALID" -> "true",
+      "GRAFT_CHUNK_MIB" -> "1", "GRAFT_SCAN_ENTROPY" -> "false",
+      "GRAFT_RUN_ID" -> "valrun"), stopSession = false)
+    // untampered evidence: every carve re-verifies, nothing is removed
+    assert(spark.read.parquet(s"$out/files").count() == 1L)
+    // --remove-invalid without --validate-carved is a CLI contract error
+    intercept[IllegalArgumentException] {
+      Carve.runJob(Array(img.toString, tmp(), writeToggleYml().toString), Map(
+        "GRAFT_REMOVE_INVALID" -> "true", "GRAFT_RUN_ID" -> "badpair"),
+        stopSession = false)
+    }
+  }
+
+  test("Carve main verifies a supplied evidence sha256 digest") {
+    spark
+    val jpeg = FixtureBytes.jpeg()
+    val evidence = new Array[Byte](16384)
+    System.arraycopy(jpeg, 0, evidence, 0, jpeg.length)
+    val img = writeImage(evidence)
+    val good = FixtureBytes.sha256Hex(evidence)
+    val out = tmp()
+    Carve.runJob(Array(img.toString, out, writeToggleYml().toString), Map(
+      "GRAFT_EVIDENCE_SHA256" -> good.toUpperCase, "GRAFT_CHUNK_MIB" -> "1",
+      "GRAFT_SCAN_ENTROPY" -> "false", "GRAFT_RUN_ID" -> "sharun"), stopSession = false)
+    assert(spark.read.parquet(s"$out/files").count() == 1L)
+    intercept[IllegalArgumentException] {
+      Carve.runJob(Array(img.toString, tmp(), writeToggleYml().toString), Map(
+        "GRAFT_EVIDENCE_SHA256" -> ("0" * 64), "GRAFT_RUN_ID" -> "shabad"),
+        stopSession = false)
+    }
+  }
+
+  test("Carve main writes a checkpoint at a cap stop; resume completes to byte parity") {
+    spark
+    val jpeg = FixtureBytes.jpeg()
+    val png = FixtureBytes.png()
+    val evidence = new Array[Byte](12288)
+    System.arraycopy(jpeg, 0, evidence, 0, jpeg.length)
+    System.arraycopy(png, 0, evidence, 6000, png.length)
+    val img = writeImage(evidence)
+    val yml = writeToggleYml("chunk_size: 4096\noverlap_bytes: 512")
+    def carvedSet(out: String): Set[(String, Long, String)] =
+      spark.read.parquet(s"$out/files")
+        .select("file_type", "global_start", "sha256").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+
+    val full = tmp()
+    Carve.runJob(Array(img.toString, full, yml.toString),
+      Map("GRAFT_SCAN_STRINGS" -> "false", "GRAFT_SCAN_ENTROPY" -> "false",
+        "GRAFT_RUN_ID" -> "ckfull"), stopSession = false)
+
+    val cp = Files.createTempFile("graft-ck", ".json").toString
+    val part1 = tmp()
+    Carve.runJob(Array(img.toString, part1, yml.toString),
+      Map("GRAFT_MAX_CHUNKS" -> "1", "GRAFT_CHECKPOINT_PATH" -> cp,
+        "GRAFT_SCAN_STRINGS" -> "false", "GRAFT_SCAN_ENTROPY" -> "false",
+        "GRAFT_RUN_ID" -> "ckpart"), stopSession = false)
+    val state = Checkpoint.load(cp)
+    assert(state.nextOffset == 4096L,
+      s"cap stop after chunk 0 must checkpoint next_offset=4096, got ${state.nextOffset}")
+
+    val part2 = tmp()
+    Carve.runJob(Array(img.toString, part2, yml.toString),
+      Map("GRAFT_RESUME_FROM" -> cp,
+        "GRAFT_SCAN_STRINGS" -> "false", "GRAFT_SCAN_ENTROPY" -> "false",
+        "GRAFT_RUN_ID" -> "ckresume"), stopSession = false)
+
+    val stitched = carvedSet(part1) ++ carvedSet(part2)
+    assert(stitched == carvedSet(full),
+      s"stop+resume must equal the uncapped run: $stitched vs ${carvedSet(full)}")
+    assert(carvedSet(part1).nonEmpty && carvedSet(part2).nonEmpty,
+      "both halves of the split run should carve something")
+  }
+
+  test("sqlite page recovery toggles the tolerant fallback for unparseable DBs") {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream("/fixtures/chrome_history.sqlite")
+    val db = try in.readAllBytes() finally in.close()
+    // break the sqlite_master root page b-tree header: table-level parse
+    // finds nothing, but the leaf pages (and their URLs) stay intact
+    java.util.Arrays.fill(db, 100, 120, 0.toByte)
+    val ref = InMemoryRef(db)
+    val carved = Seq(graft.core.CarvedFile("r", "sqlite", "sqlite/x.sqlite", "sqlite",
+      0L, db.length.toLong - 1, db.length.toLong, "", "", validated = true,
+      truncated = false, errors = Seq.empty, patternId = "sqlite_header")).toDS()
+    assert(graft.sqlite.SqliteArtefacts.history(spark, ref, carved, "r").count() == 0L,
+      "page recovery must stay off by default (reference default false)")
+    val recovered = graft.sqlite.SqliteArtefacts
+      .history(spark, ref, carved, "r", pageRecovery = true).collect()
+    assert(recovered.nonEmpty, "page scan should recover urls from intact leaf pages")
+    assert(recovered.forall(_.browser == "sqlite_page"))
+  }
+
   test("CarveFleet main carves a comma-separated intake with per-image outputs") {
     spark
     def writeImage(name: String, samples: Seq[Array[Byte]]): String = {
