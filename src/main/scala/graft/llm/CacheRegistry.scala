@@ -19,11 +19,21 @@ object CacheRegistry {
   private val reg = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
-  /** Persist `df` (default storage level) and track the handle. */
+  /** Persist `df` (default storage level) and track the handle.
+    * IDEMPOTENT by logical plan: composed operators re-persist shared
+    * subtrees an inner builder already registered (e.g. dedupCorpus over
+    * collapsedParts), and a second `persist()` on an equivalent plan
+    * only earns a `CacheManager: already cached` warning — so a plan
+    * that is already cached (this handle or any equivalent one;
+    * `storageLevel` resolves through the session's CacheManager) is
+    * returned untouched, leaving the original registrant to release it.
+    */
   def persist(df: DataFrame): DataFrame = {
-    df.persist()
-    reg.computeIfAbsent(df.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist()
+      reg.computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    }
     df
   }
 

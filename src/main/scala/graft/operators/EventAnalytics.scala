@@ -109,6 +109,14 @@ object EventAnalytics {
     * One map-side-combinable stats aggregation (one row per group) plus
     * a join back onto the scan. Returns the id/group/cents columns plus
     * `is_outlier`.
+    *
+    * Precision bound: the comparison runs in decimal(38,0), so it is
+    * exact while n·|v_cents| (and hence every operand) stays below 10¹⁹
+    * — ample for monetary data, but a group whose scaled magnitudes
+    * breach it would, under Spark's default non-ANSI decimal overflow,
+    * silently emit NULL flags. That failure mode is closed: an
+    * overflowed operand on a non-null value raises a run-stopping error
+    * instead of a null verdict (rescale the value column to proceed).
     */
   def outliers(events: DataFrame, idCol: String, groupCol: String,
                valCol: String, sigmas: Int): DataFrame = {
@@ -121,10 +129,15 @@ object EventAnalytics {
       .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
         sum(dec).cast("decimal(38,0)").as("graft_s1"),
         sum(dec * dec).cast("decimal(38,0)").as("graft_s2"))
+    val lhs = pow2(col("graft_n") * col("v_cents").cast("decimal(38,0)") - col("graft_s1"))
+    val rhs = lit(sigmas.toLong * sigmas) *
+      (col("graft_n") * col("graft_s2") - pow2(col("graft_s1")))
     rows.join(stats, Seq("grp"))
       .select(col("id"), col("grp"), col("v_cents"),
-        (pow2(col("graft_n") * col("v_cents").cast("decimal(38,0)") - col("graft_s1")) >
-          lit(sigmas * sigmas) * (col("graft_n") * col("graft_s2") - pow2(col("graft_s1"))))
+        when(col("v_cents").isNotNull && (lhs.isNull || rhs.isNull),
+          raise_error(lit("outliers: decimal(38,0) overflow — n*|v_cents| exceeds " +
+            "10^19; rescale the value column")))
+          .otherwise(lhs > rhs)
           .as("is_outlier"))
   }
 

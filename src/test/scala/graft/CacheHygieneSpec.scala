@@ -85,6 +85,52 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("dedupCorpus persists each shared subtree once: zero CacheManager warnings") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "a b c d e f g" else s"u$i v$i w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    val warnings = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "graft-cache-capture", null, null, false,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val msg = e.getMessage.getFormattedMessage
+        if (msg.contains("already cached")) warnings.add(msg)
+      }
+    }
+    appender.start()
+    val logCfg = ctx.getConfiguration
+    logCfg.getRootLogger.addAppender(appender, null, null)
+    ctx.updateLoggers()
+    try Dedup.dedupCorpus(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2).count()
+    finally {
+      logCfg.getRootLogger.removeAppender("graft-cache-capture")
+      ctx.updateLoggers()
+    }
+    CacheRegistry.releaseAll(spark)
+    assert(warnings.isEmpty, s"CacheManager re-cache warnings: $warnings")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "dedupCorpus leaked persisted RDDs after releaseAll")
+  }
+
+  test("CacheRegistry.persist is a no-op on an already-persisted plan") {
+    import spark.implicits._
+    val df = (1L to 10L).toDF("x")
+    val first = CacheRegistry.persist(df)
+    val again = CacheRegistry.persist(df.sparkSession.range(1, 11).toDF("x")
+      .filter(col("x") > 0)) // distinct plan: registers normally
+    val dup = CacheRegistry.persist(df) // same plan: must not re-persist
+    first.count(); again.count(); dup.count()
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    CacheRegistry.releaseAll(spark)
+    assert(persisted == 2, s"same-plan re-persist should be a no-op, got $persisted caches")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("minhashAgreement leaves no persisted RDDs after releaseAll") {
     import spark.implicits._
     val docs = (1L to 30L).map(i => (i, if (i % 3 == 0) "a b c d e f g" else s"u$i v$i w$i x$i y$i"))

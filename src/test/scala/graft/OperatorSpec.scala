@@ -238,6 +238,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out(10L), "boundary value flagged despite strict inequality")
   }
 
+  test("outliers raise loudly on decimal overflow instead of nulling the flag") {
+    import spark.implicits._
+    // two values of 5e16 dollars -> 5e18 cents; n·s2 = 2·(5e18)² = 1e38
+    // breaches decimal(38,0). Under ANSI (the Spark 4 default) the
+    // arithmetic itself throws; under non-ANSI the operands null out and
+    // the operator's raise_error guard fires — either way the run stops
+    // loudly instead of emitting is_outlier = null.
+    val rows = Seq((1L, "g", 5.0e16), (2L, "g", 5.0e16)).toDF("id", "grp", "amount")
+    def loud(ansi: String): Unit = {
+      val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val e = intercept[Exception] {
+          graft.operators.EventAnalytics.outliers(rows, "id", "grp", "amount", 3).collect()
+        }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        assert(messages(e).exists(m => m.contains("overflow") ||
+          m.contains("NUMERIC_VALUE_OUT_OF_RANGE")), s"ansi=$ansi unexpected failure: $e")
+      } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+    loud("true")
+    loud("false")
+  }
+
   test("retention cohorts count distinct users per (cohort, offset)") {
     import spark.implicits._
     val day = 86400000000L
