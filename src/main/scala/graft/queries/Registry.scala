@@ -18,10 +18,41 @@ object Registry {
     * reads the same values at µs precision, so results stay comparable.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    depthSample(df, name)
   }
+
+  /** Depth-compare subsampling (dev/CI knob, unset in the driver's gate).
+    *
+    * `GRAFT_DEPTH_SAMPLE=<hex digit>` keeps only the rows of the two
+    * pair-feeding tables whose key's md5 starts with a hex digit <= the
+    * given one — e.g. `0` keeps ~1/16 of docs and so ~1/256 (≈0.4%) of
+    * doc pairs. The predicate is expressible verbatim in DuckDB
+    * (`substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= '0'`), so the
+    * quadratic pair-generating oracles — infeasible for DuckDB at sf0.1
+    * in full — can be cross-checked at that scale on a deterministic
+    * subsample with BOTH engines seeing exactly the same input rows
+    * (which also keeps holistic operators like connected-components
+    * comparable, where filtering output pairs would not).
+    */
+  private val sampleKeys = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  private def depthSample(df: DataFrame, name: String): DataFrame =
+    depthSample(df, name, sys.env.get("GRAFT_DEPTH_SAMPLE"))
+
+  private[graft] def depthSample(df: DataFrame, name: String,
+                                   sample: Option[String]): DataFrame =
+    (sample, sampleKeys.get(name)) match {
+      case (Some(digit), Some(key)) =>
+        require(digit.length == 1 && "0123456789abcdef".contains(digit(0)),
+          s"GRAFT_DEPTH_SAMPLE must be one lowercase hex digit, got '$digit'")
+        df.filter(org.apache.spark.sql.functions.expr(
+          s"substr(md5(CAST($key AS STRING)), 1, 1) <= '$digit'"))
+      case _ => df
+    }
 }
