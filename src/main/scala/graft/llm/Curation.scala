@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -150,6 +151,33 @@ object Curation {
       when(strataCol === stratum, lit(t)).otherwise(acc)
     }
     df.filter(prefix < thr).withColumn("sample_key", prefix)
+  }
+
+  /** Deterministic source-mixture sampling — build a training mix with
+    * fixed per-source document quotas (the "data mixing" step of corpus
+    * assembly: N_s docs from each source s, chosen reproducibly). Docs
+    * within a source are ranked by md5 of their id (id as tiebreak), so
+    * the pick is stable under retries and engine swaps; a source absent
+    * from `quotas` contributes nothing; a quota larger than the source
+    * takes the whole source. Returns the input columns of the picked
+    * rows.
+    *
+    * Scale shape: one rank-within-source window (a single shuffle on the
+    * source key). Sources are few and large, so for skewed mixes
+    * pre-filter with [[hashSample]]'s scan-level threshold to cut each
+    * source near its quota before the exact window ranks the remainder.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, srcCol: String,
+                    quotas: Map[String, Long]): DataFrame = {
+    require(quotas.nonEmpty, "quotas must name at least one source")
+    require(quotas.values.forall(_ >= 0L), s"quotas must be >= 0: $quotas")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("graft_rn", row_number().over(w))
+      .withColumn("graft_quota",
+        element_at(typedLit(quotas), col(srcCol).cast("string")))
+      .filter(col("graft_quota").isNotNull && col("graft_rn") <= col("graft_quota"))
+      .drop("graft_rn", "graft_quota")
   }
 
   /** Greedy sequential sequence packing: within each stratum, walk docs in

@@ -583,4 +583,50 @@ object Dedup {
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared_segments"))
   }
+
+  /** Maximal cross-document duplicated spans — the substring-level dedup
+    * used on training corpora (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": memorized spans matter, not just
+    * whole-document dups; reference surface: SwiftBeaver has no text
+    * analogue, this generalizes its overlap-dedup idea to corpora).
+    * A token position is covered when the `n`-gram starting there occurs
+    * in at least `minDocs` DISTINCT documents; overlapping covered
+    * intervals [pos, pos+n) merge gaps-and-islands into maximal spans.
+    * Returns (id, span_start, span_end) in token indices, end-exclusive.
+    *
+    * Scale shape: one n-gram-keyed groupBy (map-side combinable
+    * count-distinct over doc ids is approximated exactly here by a
+    * two-level agg), one shuffle join back on the gram, and a per-DOC
+    * window for the interval merge — no corpus self-join anywhere; the
+    * join fan-out is corpus positions, not position pairs.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2, s"need n>0, minDocs>=2; got n=$n minDocs=$minDocs")
+    val grams = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+      .filter(size(col("graft_ws")) >= n)
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, size(graft_ws) - $n),
+           |  i -> struct(i AS pos, concat_ws(' ', slice(graft_ws, i + 1, $n)) AS gram))"""
+          .stripMargin)).as("g"))
+      .select(col("id"), col("g.pos").cast("long").as("pos"), md5(col("g.gram")).as("graft_gh"))
+    // distinct (gram, id) first so the count is map-side combinable,
+    // then the df count — two partial-agg shuffles on the same key
+    val dup = grams.select(col("graft_gh"), col("id")).distinct()
+      .groupBy(col("graft_gh")).agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") >= minDocs)
+      .select(col("graft_gh"))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    grams.join(dup, "graft_gh")
+      .withColumn("graft_end", col("pos") + n)
+      .withColumn("graft_maxe", max(col("graft_end")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("graft_new",
+        when(col("graft_maxe").isNull || col("pos") > col("graft_maxe"), 1L).otherwise(0L))
+      .withColumn("graft_isl", sum(col("graft_new")).over(byDoc))
+      .groupBy(col("id"), col("graft_isl"))
+      .agg(min(col("pos")).as("span_start"), max(col("graft_end")).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Encoder}
 
@@ -152,4 +152,41 @@ object Profiling {
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("occurrences"))
       .groupBy(col("occurrences")).agg(count(lit(1)).as("n_tokens"))
+
+  /** Vocabulary growth curve (Heaps'-law profile): distinct word-`n`-gram
+    * types seen within the first k documents, for k at every multiple of
+    * `step` — the curve that predicts how much NEW text a corpus keeps
+    * contributing as it grows (flat tail ⇒ more data adds no new types;
+    * drives dedup and mixing decisions). `rankCol` must be a dense
+    * 0-based document index (the driver tables' doc_id) — reusing an
+    * existing dense id instead of ranking avoids a corpus-wide
+    * single-partition row_number window.
+    *
+    * Scale shape: one gram-keyed groupBy (map-side combinable min) and a
+    * bucket histogram; the cumulative sum runs on N/step rows — the
+    * curve itself, not the corpus — so the final single-partition window
+    * is bounded by construction. Returns (k_docs, vocab_size).
+    */
+  def vocabGrowth(df: DataFrame, rankCol: String, textCol: String,
+                  n: Int, step: Int): DataFrame = {
+    require(n > 0 && step > 0, s"need n>0, step>0; got n=$n step=$step")
+    val grams = df
+      .select(col(rankCol).as("graft_rank"), split(col(textCol), " ").as("graft_ws"))
+      .filter(size(col("graft_ws")) >= n)
+      .select(col("graft_rank"), explode(expr(
+        s"transform(sequence(0, size(graft_ws) - $n), i -> concat_ws(' ', slice(graft_ws, i + 1, $n)))"
+      )).as("graft_g"))
+    val newPerBucket = grams
+      .groupBy(col("graft_g")).agg(min(col("graft_rank")).as("graft_first"))
+      .groupBy(expr(s"CAST(graft_first DIV $step AS BIGINT) + 1L").as("graft_bucket"))
+      .agg(count(lit(1)).as("graft_new"))
+    // spine: every step point the corpus reaches, even where nothing new
+    // appears — the curve must be complete for downstream extrapolation
+    val spine = df.select(expr(s"CAST($rankCol DIV $step AS BIGINT) + 1L")
+      .as("graft_bucket")).distinct()
+    spine.join(newPerBucket, Seq("graft_bucket"), "left")
+      .withColumn("vocab_size",
+        sum(coalesce(col("graft_new"), lit(0L))).over(Window.orderBy(col("graft_bucket"))))
+      .select((col("graft_bucket") * step).cast("long").as("k_docs"), col("vocab_size"))
+  }
 }

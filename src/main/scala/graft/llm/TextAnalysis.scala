@@ -176,6 +176,44 @@ object TextAnalysis {
         when(col("graft_bad").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** Bigram language-model quality score — the perplexity-proxy filter
+    * corpus pipelines run (CCNet-style: score each document under an
+    * n-gram LM trained on the corpus itself; outliers are boilerplate or
+    * noise). Add-one smoothing: P(w2|w1) = (c2(w1,w2)+1)/(c1(w1)+V),
+    * where c1 counts w1 as a bigram head and V is the unigram vocabulary
+    * size. Returns (id, n_bigrams, lp_sum_micro): lp_sum_micro is the
+    * per-document sum of round(1e6·ln P) as BIGINT — each log is rounded
+    * to integer micro-nats once per DISTINCT bigram before any
+    * summation, so the result is independent of partial-agg order (the
+    * bit-reproducibility lesson from the entropy and k-means operators).
+    *
+    * Scale shape: counts and the score table are per-DISTINCT-bigram
+    * (vocabulary-sized, map-side combinable); the corpus pays one
+    * (w1,w2)-keyed shuffle join to pick up scores plus the per-doc agg.
+    * No driver actions — V rides in as a broadcast 1-row cross join.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+    val bigrams = CacheRegistry.persist(toks
+      .filter(size(col("graft_ws")) >= 2)
+      .select(col("id"), explode(expr(
+        """transform(sequence(0, size(graft_ws) - 2),
+          |  i -> struct(graft_ws[i] AS w1, graft_ws[i + 1] AS w2))""".stripMargin)).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("graft_c2"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("graft_c1"))
+    val vocab = toks.select(explode(col("graft_ws")).as("w"))
+      .filter(col("w") =!= "").agg(countDistinct(col("w")).as("graft_v"))
+    val scores = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        expr("""CAST(round(ln(CAST(graft_c2 + 1 AS DOUBLE) /
+               |               CAST(graft_c1 + graft_v AS DOUBLE)) * 1000000.0) AS BIGINT)"""
+          .stripMargin).as("graft_lp"))
+    bigrams.join(scores, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("graft_lp")).as("lp_sum_micro"))
+  }
+
   /** Column-appending fingerprint variant: adds `fingerprint` to the
     * ORIGINAL columns (null for documents with fewer than five words), so
     * it composes into wider pipelines — including streaming ones — with

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Profiling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -934,5 +934,97 @@ object LlmQueries {
               |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keep_id,
               |       CAST(coalesce(c.comp, d.doc_id) = d.doc_id AS BIGINT) AS kept
               |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-              |ORDER BY d.doc_id""".stripMargin)))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- Cross-document duplicated spans (substring-level dedup, Lee
+    // et al. style): maximal merged intervals of 4-gram positions whose
+    // gram occurs in >= 2 distinct documents — over the REAL text
+    // column, where the small vocabulary makes shared 4-grams sparse
+    // but non-trivial.
+    "q101_duplicate_spans" -> QueryDef(
+      (s, dir) => {
+        Dedup.duplicateSpans(table(s, dir, "documents"), "doc_id", "text", n = 4, minDocs = 2)
+          .select(col("id").as("doc_id"), col("span_start"), col("span_end"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT doc_id, unnest(range(1, len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 4),
+             |g AS (SELECT doc_id, i - 1 AS pos,
+             |             ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' ||
+             |             ws[CAST(i+2 AS INT)] || ' ' || ws[CAST(i+3 AS INT)] AS gram FROM t),
+             |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+             |x AS (SELECT doc_id, pos, pos + 4 AS e,
+             |             max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM m),
+             |isl AS (SELECT doc_id, pos, e,
+             |               sum(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
+             |                 OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM x)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end
+             |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ---- Bigram-LM quality score (perplexity-proxy filter, CCNet
+    // style). Scores are integer micro-nats rounded per DISTINCT bigram
+    // BEFORE summation, so both engines aggregate identical integers in
+    // any order — only one ln() per vocabulary entry must agree.
+    "q102_lm_score" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.lmScore(table(s, dir, "documents"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_bigrams"), col("lp_sum_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM w WHERE len(ws) >= 2),
+             |bg AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i+1 AS INT)] AS w2 FROM t),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+             |v AS (SELECT count(DISTINCT tok) AS v
+             |      FROM (SELECT unnest(ws) AS tok FROM w) WHERE tok <> ''),
+             |sc AS (SELECT c2.w1, c2.w2,
+             |              CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
+             |                            CAST(c1.c1 + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+             |       FROM c2 JOIN c1 USING (w1), v)
+             |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |       CAST(sum(sc.lp) AS BIGINT) AS lp_sum_micro
+             |FROM bg JOIN sc ON bg.w1 = sc.w1 AND bg.w2 = sc.w2
+             |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Deterministic source-mixture sampling (data mixing): fixed
+    // per-source quotas picked by md5-of-id rank. src12's quota exceeds
+    // its sf0.01 group size on purpose — the whole source is taken.
+    "q103_mixture_sample" -> QueryDef(
+      (s, dir) => {
+        Curation.mixtureSample(table(s, dir, "documents"), "doc_id", "source",
+            Map("src0" -> 15L, "src1" -> 10L, "src3" -> 20L, "src7" -> 5L, "src12" -> 30L))
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, source,
+             |  row_number() OVER (PARTITION BY source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents)
+             |SELECT doc_id, source FROM r
+             |WHERE rn <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
+             |  WHEN 'src3' THEN 20 WHEN 'src7' THEN 5 WHEN 'src12' THEN 30 ELSE 0 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Vocabulary growth curve (Heaps'-law profile): distinct word
+    // trigram types within the first k docs, every 50 docs. doc_id is
+    // the driver tables' dense 0-based index, so no ranking window runs
+    // over the corpus.
+    "q104_vocab_growth" -> QueryDef(
+      (s, dir) => {
+        Profiling.vocabGrowth(table(s, dir, "documents"), "doc_id", "text", n = 3, step = 50)
+          .orderBy("k_docs")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w WHERE len(ws) >= 3),
+             |g AS (SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' ||
+             |             ws[CAST(i+2 AS INT)] AS gram FROM t),
+             |f AS (SELECT gram, min(doc_id) AS first_rank FROM g GROUP BY gram),
+             |nb AS (SELECT first_rank // 50 + 1 AS bucket, count(*) AS n_new FROM f GROUP BY 1),
+             |spine AS (SELECT DISTINCT doc_id // 50 + 1 AS bucket FROM documents)
+             |SELECT CAST(spine.bucket * 50 AS BIGINT) AS k_docs,
+             |       CAST(sum(coalesce(nb.n_new, 0)) OVER (ORDER BY spine.bucket) AS BIGINT) AS vocab_size
+             |FROM spine LEFT JOIN nb USING (bucket)
+             |ORDER BY k_docs""".stripMargin)))
 }

@@ -294,4 +294,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"documents scan reads unused columns: $s")
     }
   }
+
+  test("duplicate spans never self-join the corpus; gram count keeps map-side combine") {
+    val p = planOf("q101_duplicate_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span extraction degraded to an all-pairs product:\n$p")
+    assert(p.contains("partial_"), s"gram document-frequency lost map-side combine:\n$p")
+  }
+
+  test("lm score joins per-distinct-bigram tables; vocab rides a 1-row broadcast") {
+    val p = planOf("q102_lm_score")
+    assert(!p.contains("CartesianProduct"),
+      s"lm scoring acquired an unbounded product:\n$p")
+    assert(p.contains("partial_"), s"bigram counts lost map-side combine:\n$p")
+  }
+
+  test("mixture sample is one rank window on the source key, no joins") {
+    val p = planOf("q103_mixture_sample")
+    assert(!p.contains("Join"), s"quota lookup degraded to a join:\n$p")
+    assert(hashExchanges(p) <= 1,
+      s"mixture sampling should shuffle once on the source key:\n$p")
+  }
+
+  test("vocab growth shuffles grams and buckets; the cumsum window is curve-sized") {
+    val p = planOf("q104_vocab_growth")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"growth curve acquired a corpus-scale join:\n$p")
+    assert(p.contains("partial_"), s"first-rank aggregation lost map-side combine:\n$p")
+  }
 }
