@@ -93,9 +93,94 @@ object Multimodal {
       }
     }
 
-  /** STUB decoder for the VIDEO/opaque path only — deterministic fake:
-    * dimensions derived from content bytes. A real implementation would
-    * parse the container here (no AV libraries in this environment).
+  /** One decoded video frame: index in stream order plus the same real
+    * bitmap statistics [[ImageMeta]] carries for stills.
+    */
+  final case class FrameMeta(
+      id: Long,
+      frame_idx: Long,
+      width: Int,
+      height: Int,
+      avgR: Int,
+      avgG: Int,
+      avgB: Int)
+
+  /** RIFF-AVI sniff: 'RIFF' <size> 'AVI '. */
+  def isAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** Walk a RIFF-AVI container and return the video frame payloads (the
+    * movi LIST's 00dc/00db chunk bodies, stream order). Pure-JVM RIFF
+    * parse — tolerant of missing idx1 and odd-length padding; malformed
+    * containers return the frames parsed so far (carve-style salvage).
+    */
+  def aviFramePayloads(p: Array[Byte]): Seq[Array[Byte]] = {
+    def le32(off: Int): Long =
+      if (off + 4 > p.length) -1L
+      else (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def fcc(off: Int): String =
+      if (off + 4 > p.length) ""
+      else new String(p, off, 4, "ISO-8859-1")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    if (!isAvi(p)) return frames.toSeq
+    val riffEnd = math.min(p.length.toLong, 8L + le32(4)).toInt
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = fcc(o)
+        val len = le32(o + 4)
+        if (len < 0) return
+        val declaredEnd = o + 8L + len
+        if (id == "LIST") {
+          // a truncated trailing LIST still yields its intact children —
+          // carve-style salvage — by clamping the walk to the buffer
+          val listType = fcc(o + 8)
+          walk(o + 12, math.min(declaredEnd, to.toLong).toInt,
+            inMovi || listType == "movi")
+        } else if (inMovi && len > 0 && declaredEnd <= to &&
+          (id.endsWith("dc") || id.endsWith("db"))) {
+          frames += java.util.Arrays.copyOfRange(p, o + 8, declaredEnd.toInt)
+        }
+        if (declaredEnd > to) return // ran off the truncated tail
+        o = (declaredEnd + (len & 1L)).toInt // word-aligned
+      }
+    }
+    // top-level chunks start after the RIFF header + 'AVI ' form type
+    walk(12, riffEnd, inMovi = false)
+    frames.toSeq
+  }
+
+  /** REAL video frame sampling: parse each RIFF-AVI payload, take every
+    * `stride`-th frame, and decode it through `javax.imageio` (MJPEG
+    * frames are plain JPEGs — the JDK decodes them natively). Only the
+    * SAMPLED frames pay a decode, exactly like a production frame
+    * sampler; non-AVI or undecodable payloads drop. One batched
+    * mapPartitions pass — a narrow scan at any corpus size.
+    */
+  def sampleAviFrames(spark: SparkSession, media: DataFrame, idCol: String,
+                      payloadCol: String, stride: Int): Dataset[FrameMeta] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, p) =>
+          aviFramePayloads(p).zipWithIndex
+            .collect { case (f, i) if i % stride == 0 =>
+              decodeImage(id, f).map(m =>
+                FrameMeta(id, i.toLong, m.width, m.height, m.avgR, m.avgG, m.avgB))
+            }.flatten
+        }
+      }
+  }
+
+  /** STUB decoder for OPAQUE payloads only — deterministic fake:
+    * dimensions derived from content bytes. Still images decode for
+    * real in [[decodeImage]]; MJPEG-AVI video decodes for real in
+    * [[sampleAviFrames]]; this remains for foreign codecs the JDK
+    * cannot read (no AV libraries in this environment).
     */
   def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)

@@ -52,6 +52,30 @@ object LlmQueries {
       }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic video column: one complete MJPEG-in-AVI container per
+    * document — (doc_id % 5) + 1 solid-color JPEG frames at dimensions
+    * planted by arithmetic on doc_id, encoded by ImageIO on the
+    * executors. The frame-sampling query decodes these REAL payloads.
+    */
+  private def videoTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nf = (id % 5).toInt + 1
+          val w = (id % 6).toInt + 8
+          val h = (id % 4).toInt + 6
+          val frames = (0 until nf).map { j =>
+            val rgb = (((id * 31 + j * 17) % 256).toInt << 16) |
+              (((id * 53 + j * 29) % 256).toInt << 8) |
+              ((id * 71 + j * 41) % 256).toInt
+            (w, h, rgb)
+          }
+          (id, graft.fixtures.FixtureBytes.mjpegAvi(frames))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Word-trigram shingle oracle fragment over the template corpus. */
   private val shingleSql =
     s"""m AS (SELECT doc_id AS id, $tplSql AS t FROM documents),
@@ -723,18 +747,25 @@ object LlmQueries {
              |CAST((doc_id * 83) % 256 AS INT) AS avg_b
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ---- Multimodal: deterministic frame-sampling plan
+    // ---- Multimodal: REAL video frame sampling — every-2nd-frame over
+    // complete MJPEG-in-AVI containers built per document (frame count,
+    // dimensions planted by arithmetic on doc_id; JPEG frames encoded by
+    // ImageIO on the executors). The RIFF walk and the per-frame JPEG
+    // decode are real; the oracle predicts what the parser+decoder must
+    // recover, so width/height flowing through proves the decode ran.
     "q43_frame_sampling" -> QueryDef(
       (s, dir) => {
-        val media = table(s, dir, "documents")
-          .select(col("doc_id"), substring(col("text"), 1, 64).cast("binary").as("payload"))
-        val meta = Multimodal.decode(s, media, "doc_id", "payload")
-        Multimodal.sampleFrames(meta, 2)
-          .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+        Multimodal.sampleAviFrames(s, videoTable(s, dir), "doc_id", "payload", stride = 2)
+          .toDF()
+          .select(col("id").as("doc_id"), col("frame_idx"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
           .orderBy("doc_id", "frame_idx")
       },
-      Some("""WITH m AS (SELECT doc_id, (length(substr(text, 1, 64)) % 16) + 1 AS n_frames FROM documents)
-             |SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx
+      Some("""WITH m AS (SELECT doc_id, (doc_id % 5) + 1 AS nf,
+             |               (doc_id % 6) + 8 AS w, (doc_id % 4) + 6 AS h FROM documents)
+             |SELECT doc_id, CAST(unnest(range(0, nf, 2)) AS BIGINT) AS frame_idx,
+             |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
              |FROM m ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // ---- Deterministic training-order shuffle: md5(seed,id) key, global

@@ -100,4 +100,45 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).map(_.toFloat)
     assert(e.toSeq == want.toSeq, s"embedding off: ${e.toSeq} vs ${want.toSeq}")
   }
+
+  test("mjpegAvi builds a container whose RIFF walk recovers every real JPEG frame") {
+    val frames = Seq((12, 8, 0xff0000), (12, 8, 0x00ff00), (12, 8, 0x0000ff))
+    val avi = FixtureBytes.mjpegAvi(frames)
+    assert(Multimodal.isAvi(avi))
+    val payloads = Multimodal.aviFramePayloads(avi)
+    assert(payloads.length == 3, s"expected 3 movi frames, got ${payloads.length}")
+    payloads.zip(frames).foreach { case (bytes, (w, h, _)) =>
+      assert(Multimodal.sniffImageFormat(bytes).contains("jpeg"),
+        "movi chunk body is not a JPEG")
+      val m = Multimodal.decodeImage(0L, bytes).get
+      assert(m.width == w && m.height == h, s"frame decoded ${m.width}x${m.height}")
+    }
+    // dominant channel survives JPEG quantization on solid frames
+    val reds = Multimodal.decodeImage(0L, payloads(0)).get
+    assert(reds.avgR > 200 && reds.avgG < 60 && reds.avgB < 60,
+      s"red frame decoded to ($reds)")
+  }
+
+  test("sampleAviFrames decodes every stride-th frame; junk payloads drop") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, FixtureBytes.mjpegAvi(Seq((8, 6, 0x102030), (8, 6, 0x405060),
+        (8, 6, 0x708090), (8, 6, 0xa0b0c0), (8, 6, 0xd0e0f0)))),
+      (2L, FixtureBytes.mjpegAvi(Seq((10, 4, 0x111111)))),
+      (3L, "not a video at all".getBytes("UTF-8")),
+      (4L, FixtureBytes.avi()) // RIFF-AVI shell with no movi frames
+    ).toDF("id", "payload")
+    val out = Multimodal.sampleAviFrames(spark, media, "id", "payload", stride = 2)
+      .collect().map(f => (f.id, f.frame_idx, f.width, f.height)).sorted.toSeq
+    assert(out == Seq((1L, 0L, 8, 6), (1L, 2L, 8, 6), (1L, 4L, 8, 6), (2L, 0L, 10, 4)))
+  }
+
+  test("aviFramePayloads salvages a truncated container instead of throwing") {
+    val full = FixtureBytes.mjpegAvi(Seq((8, 6, 0x123456), (8, 6, 0x654321)))
+    // cut inside the second frame's chunk body
+    val cut = java.util.Arrays.copyOf(full, full.length - 10)
+    val got = Multimodal.aviFramePayloads(cut)
+    assert(got.length == 1, s"expected the intact first frame only, got ${got.length}")
+    assert(Multimodal.decodeImage(0L, got.head).isDefined)
+  }
 }
