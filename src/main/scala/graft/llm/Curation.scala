@@ -258,4 +258,43 @@ object Curation {
     df.withColumn("norm_text", cleaned)
       .withColumn("norm_len", length(col("norm_text")).cast("long"))
   }
+
+  /** Source-level blocklist generation — the domain-filtering decision a
+    * crawl pipeline makes ABOVE the document level (drop whole feeds
+    * whose content is copied or low-quality, CCNet/RefinedWeb style).
+    * Per source: document count, documents that are exact duplicates of
+    * an earlier document ANYWHERE in the corpus (same text, not the
+    * minimum id — the [[Dedup.exactGroups]] survivor rule), their rate
+    * in basis points, the mean whitespace-token count (both integer
+    * HALF_UP — no float on either engine), and the block verdict:
+    * `dup_bp > maxDupBp OR mean_tokens < minMeanTokens`.
+    *
+    * Scale shape: one text-keyed aggregation computes each text group's
+    * minimum id (map-side combinable, distinct-texts-sized output), the
+    * corpus picks up its dup flag through a text-keyed join, and the
+    * source rollup is a second bounded aggregation — no windows, no
+    * driver collects, volume never exceeds one corpus pass per stage.
+    * Returns (source, n_docs, n_dups, dup_bp, mean_tokens, blocked).
+    */
+  def sourceBlocklist(df: DataFrame, idCol: String, textCol: String,
+                      srcCol: String, maxDupBp: Long = 1000L,
+                      minMeanTokens: Long = 10L): DataFrame = {
+    val base = df.select(
+      col(idCol).cast("long").as("graft_id"), col(srcCol).as("source"),
+      col(textCol).as("graft_t"),
+      size(split(col(textCol), " ")).cast("long").as("graft_tok"))
+    val firstIds = base.groupBy(col("graft_t"))
+      .agg(min(col("graft_id")).as("graft_first"))
+    base.join(firstIds, Seq("graft_t"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("graft_id") =!= col("graft_first"), 1L).otherwise(0L)).as("n_dups"),
+        sum(col("graft_tok")).as("graft_tok_sum"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        expr("(20000 * n_dups + n_docs) div (2 * n_docs)").as("dup_bp"),
+        expr("(2 * graft_tok_sum + n_docs) div (2 * n_docs)").as("mean_tokens"))
+      .withColumn("blocked",
+        (col("dup_bp") > maxDupBp || col("mean_tokens") < minMeanTokens).cast("long"))
+  }
 }

@@ -240,6 +240,38 @@ object Dedup {
           .otherwise(0L).as("kept"))
   }
 
+  /** Quality-aware duplicate-cluster representative selection: the same
+    * near-duplicate clusters as [[dedupCorpus]] (LSH candidates →
+    * connected components on the canonical-text graph), but the kept
+    * document is the member with the MOST whitespace tokens (integer
+    * score — no float to drift; ties → lowest doc id) instead of the
+    * blind minimum id. This is the curation refinement real pipelines
+    * apply: when a cluster mixes a full article with truncated copies,
+    * keep the longest, not the numerically first.
+    *
+    * Scale shape: everything [[dedupCorpus]] does, plus one
+    * cluster-keyed max(struct) aggregation (map-side combinable,
+    * cluster-count-sized output) and one broadcast-sized join back —
+    * no windows over the corpus. Returns
+    * (doc_id, cluster_id, q_score, rep_id, kept LONG).
+    */
+  def qualityRepresentatives(docs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int, numHashes: Int,
+                             rowsPerBand: Int): DataFrame = {
+    val labels = dedupCorpus(docs, idCol, textCol, shingleN, numHashes, rowsPerBand)
+      .select(col("doc_id"), col("keep_id").as("cluster_id"))
+    val scored = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("q_score"))
+    val members = labels.join(scored, Seq("doc_id"))
+    // lexicographic max over (score, -id) = highest score, ties → lowest id
+    val reps = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("q_score"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("rep_id"))
+    members.join(reps, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("q_score"), col("rep_id"),
+        when(col("doc_id") === col("rep_id"), 1L).otherwise(0L).as("kept"))
+  }
+
   /** Scale-path variant on Spark ML's MinHashLSH: shingle sets →
     * HashingTF sparse vectors → approxSimilarityJoin. Trades the
     * engine-independent md5 hash family for the ML library's optimized

@@ -331,6 +331,55 @@ object Similarity {
       element_at(typedLit(cids), nearest(qvec).cast("int") + 1))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    * every vector to its nearest centroid — here the same md5-picked
+    * deterministic seeds [[kmeansStep]] uses, integer-exact distances —
+    * then compare pairs ONLY within a cluster; cosine at/above
+    * `threshold` marks the higher id a duplicate of the lower. This is
+    * the published 100 TB path for embedding-level dedup: the all-pairs
+    * comparison never happens — candidate volume is the sum of
+    * per-cluster squares, and k grows with the corpus so cluster
+    * populations stay bounded. Like [[cosineNearDupPairs]] the threshold
+    * must sit far from the corpus similarity mass so float ordering
+    * can't flip membership; the CLUSTER decision is integer-exact on
+    * both engines. Returns (cluster_id, keep_id, drop_id, score
+    * round-4), one row per in-cluster pair over the threshold.
+    *
+    * Scale shape: the seed pick is a bounded k-row collect; assignment
+    * is a narrow codegen'd scan (centroid literals — the [[ivfTopK]]
+    * judgment); the pair join shuffles the corpus once per side on
+    * cluster_id. Zero windows, zero driver collects past the codebook.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 16, threshold: Double = 0.99,
+                    scale: Double = 10000.0): DataFrame = {
+    require(k > 0 && k <= (1 << 12), s"k must be a bounded codebook size, got $k")
+    val spark = df.sparkSession
+    val seeds = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"), col("id")).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(seeds.nonEmpty, "empty corpus")
+    import spark.implicits._
+    val cents = seeds.toSeq.zipWithIndex
+      .map { case (v, j) => (j.toLong, v) }.toDF("cluster_id", vecCol)
+    val assigned = assignClusters(
+      df.select(col(idCol).cast("long").as("graft_vid"), col(vecCol)),
+      vecCol, cents, scale)
+    val a = assigned.select(col("cluster_id"), col("graft_vid").as("keep_id"),
+      col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+    val b = assigned.select(col("cluster_id"), col("graft_vid").as("drop_id"),
+      col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("keep_id") < col("drop_id"))
+      .select(col("cluster_id"), col("keep_id"), col("drop_id"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= threshold)
+      .select(col("cluster_id"), col("keep_id"), col("drop_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** One assignment + update round against explicit centroids (the inner
     * loop of [[kmeans]]; [[kmeansStep]] = this with md5-picked seeds).
     * Quantization stays a built-in expression (its round() semantics are

@@ -214,6 +214,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("graft_lp")).as("lp_sum_micro"))
   }
 
+  /** N-gram novelty against a reference corpus — the freshness signal a
+    * pipeline computes before admitting a new crawl snapshot (how much
+    * of a document is text the reference has never seen). Per document:
+    * the count of DISTINCT word n-grams, the count of those absent from
+    * the reference's global n-gram set, and their ratio in basis points
+    * (integer HALF_UP — no float division on either engine). Documents
+    * too short to form one n-gram emit (0, 0, 0).
+    *
+    * Scale shape: both sides dedup grams inside the scan
+    * ([[Dedup.distinctShingles]] — `array_distinct` BEFORE the explode,
+    * the q67 lesson), so the join is per-distinct-gram; the reference
+    * collapses to its vocabulary (one map-side-combinable distinct)
+    * before joining, and the per-doc rollup is one bounded aggregation.
+    * Returns (id, total_grams, novel_grams, novelty_bp).
+    */
+  def ngramNovelty(df: DataFrame, ref: DataFrame,
+                   idCol: String, textCol: String, n: Int): DataFrame = {
+    val docGrams = Dedup.distinctShingles(df, idCol, textCol, n)
+    val refGrams = Dedup.distinctShingles(ref, idCol, textCol, n)
+      .select(col("shingle")).distinct().withColumn("graft_seen", lit(1L))
+    val perDoc = docGrams.join(refGrams, Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(col("graft_seen").isNull, 1L).otherwise(0L)).as("novel_grams"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_bp",
+        when(col("total_grams") === 0L, lit(0L))
+          .otherwise(expr("(20000 * novel_grams + total_grams) div (2 * total_grams)")))
+  }
+
   /** Column-appending fingerprint variant: adds `fingerprint` to the
     * ORIGINAL columns (null for documents with fewer than five words), so
     * it composes into wider pipelines — including streaming ones — with

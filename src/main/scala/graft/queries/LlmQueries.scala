@@ -1057,5 +1057,147 @@ object LlmQueries {
              |SELECT CAST(spine.bucket * 50 AS BIGINT) AS k_docs,
              |       CAST(sum(coalesce(nb.n_new, 0)) OVER (ORDER BY spine.bucket) AS BIGINT) AS vocab_size
              |FROM spine LEFT JOIN nb USING (bucket)
-             |ORDER BY k_docs""".stripMargin)))
+             |ORDER BY k_docs""".stripMargin)),
+
+    // ---- SemDeDup (cluster-scoped embedding dedup): same planted
+    // near-dups as q47, but candidates come from nearest-centroid
+    // cluster membership (md5-seeded, integer-exact assignment) instead
+    // of LSH buckets — the published scale path where all-pairs never
+    // happens because k grows with the corpus.
+    "q105_semantic_dedup" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val dups = emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            expr("transform(embedding, (x, i) -> CAST(x * (1.0D + (CAST(i % 7 AS DOUBLE) - 3.0D) * 0.0005D) AS FLOAT))")
+              .as("embedding"))
+        val corpus = emb.select(col("vec_id"), col("embedding")).union(dups)
+        Similarity.semanticDedup(corpus, "vec_id", "embedding", k = 16, threshold = 0.99)
+          .orderBy("cluster_id", "keep_id", "drop_id")
+      },
+      Some("""WITH base AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |e AS (
+             |  SELECT vec_id, i, v FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 1000000, i,
+             |         CAST(v * (1.0 + (CAST((i-1) % 7 AS DOUBLE) - 3.0) * 0.0005) AS FLOAT)
+             |  FROM base WHERE vec_id % 20 = 0
+             |),
+             |ids AS (SELECT DISTINCT vec_id FROM e),
+             |sel AS (SELECT vec_id AS sid, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+             |        FROM ids ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+             |q AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             |             CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT) AS qv FROM e),
+             |sq AS (SELECT sel.cid, q.dim, q.qv AS qs FROM sel JOIN q ON q.vec_id = sel.sid),
+             |kd AS (SELECT q.vec_id, sq.cid, sum((q.qv - sq.qs) * (q.qv - sq.qs)) AS dist
+             |       FROM q JOIN sq ON sq.dim = q.dim GROUP BY 1, 2),
+             |ka AS (SELECT vec_id, cid,
+             |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM kd),
+             |asg AS (SELECT vec_id, cid AS cluster_id FROM ka WHERE rn = 1),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |d AS (SELECT aa.cluster_id, a.vec_id AS keep_id, bb.vec_id AS drop_id,
+             |             sum(CAST(a.v AS DOUBLE) * CAST(b2.v AS DOUBLE)) AS dp
+             |      FROM e a JOIN asg aa ON aa.vec_id = a.vec_id
+             |      JOIN asg bb ON bb.cluster_id = aa.cluster_id AND bb.vec_id > a.vec_id
+             |      JOIN e b2 ON b2.vec_id = bb.vec_id AND b2.i = a.i
+             |      GROUP BY 1, 2, 3),
+             |sc AS (SELECT cluster_id, keep_id, drop_id, dp / (na.nrm * nb.nrm) AS score
+             |       FROM d JOIN n na ON na.vec_id = keep_id JOIN n nb ON nb.vec_id = drop_id)
+             |SELECT cluster_id, keep_id, drop_id, round(score, 4) AS score
+             |FROM sc WHERE score >= 0.99 ORDER BY cluster_id, keep_id, drop_id""".stripMargin)),
+
+    // ---- Quality-aware duplicate-cluster representatives: q72's
+    // clusters over a padded template corpus (members differ in token
+    // count), keeping the LONGEST member (ties -> lowest id) instead of
+    // the minimum id.
+    "q106_quality_rep" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"),
+          concat(tplCol, expr("repeat(' pad', CAST(doc_id % 5 AS INT))")).as("t"))
+        Dedup.qualityRepresentatives(docs, "doc_id", "t",
+            shingleN = 3, numHashes = 8, rowsPerBand = 2)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |m AS (SELECT doc_id AS id, $tplSql || repeat(' pad', CAST(doc_id % 5 AS INT)) AS t FROM documents),
+              |w AS (SELECT id, string_split(t, ' ') AS ws FROM m),
+              |tri AS (SELECT id, unnest(range(1, len(ws)-1)) AS i, ws FROM w),
+              |sh AS (SELECT id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] AS shingle FROM tri),
+              |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+              |        FROM sh, (SELECT unnest(range(0, 8)) AS k) ks GROUP BY id, k),
+              |bands AS (SELECT id, k // 2 AS band, md5(string_agg(mh, ',' ORDER BY k)) AS bk
+              |          FROM sig GROUP BY id, k // 2),
+              |p AS (SELECT DISTINCT a.id AS u, b.id AS v
+              |      FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+              |eg AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+              |nodes AS (SELECT DISTINCT u AS id FROM eg),
+              |r AS (
+              |  SELECT id AS src, id AS dst FROM nodes
+              |  UNION
+              |  SELECT r.src, eg.v FROM r JOIN eg ON eg.u = r.dst),
+              |comp AS (SELECT src AS id, min(dst) AS comp FROM r GROUP BY src),
+              |lab AS (SELECT m.id AS doc_id, coalesce(c.comp, m.id) AS cluster_id,
+              |               CAST(len(string_split(m.t, ' ')) AS BIGINT) AS q_score
+              |        FROM m LEFT JOIN comp c ON c.id = m.id),
+              |rep AS (SELECT cluster_id, doc_id AS rep_id,
+              |               row_number() OVER (PARTITION BY cluster_id ORDER BY q_score DESC, doc_id) AS rn
+              |        FROM lab)
+              |SELECT lab.doc_id, lab.cluster_id, lab.q_score, rep.rep_id,
+              |       CAST(lab.doc_id = rep.rep_id AS BIGINT) AS kept
+              |FROM lab JOIN rep ON rep.cluster_id = lab.cluster_id AND rep.rn = 1
+              |ORDER BY lab.doc_id""".stripMargin)),
+
+    // ---- Source-level blocklist (domain filtering): planted common
+    // bodies make sources whose ids end 0/1/2 pure duplicates; the
+    // verdict is exact-integer per source.
+    "q107_source_blocklist" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("source"),
+          when(col("doc_id") % 10 < 3, lit("common document body"))
+            .otherwise(col("text")).as("content"))
+        Curation.sourceBlocklist(docs, "doc_id", "content", "source",
+            maxDupBp = 1000L, minMeanTokens = 10L)
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |                  CASE WHEN doc_id % 10 < 3 THEN 'common document body' ELSE text END AS content
+             |           FROM documents),
+             |f AS (SELECT content, min(doc_id) AS first_id FROM d GROUP BY content),
+             |s AS (SELECT d.source, count(*) AS n_docs,
+             |             sum(CASE WHEN d.doc_id <> f.first_id THEN 1 ELSE 0 END) AS n_dups,
+             |             sum(len(string_split(d.content, ' '))) AS tok_sum
+             |      FROM d JOIN f USING (content) GROUP BY d.source)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_dups AS BIGINT) AS n_dups,
+             |       CAST((20000 * n_dups + n_docs) // (2 * n_docs) AS BIGINT) AS dup_bp,
+             |       CAST((2 * tok_sum + n_docs) // (2 * n_docs) AS BIGINT) AS mean_tokens,
+             |       CAST(((20000 * n_dups + n_docs) // (2 * n_docs) > 1000
+             |             OR (2 * tok_sum + n_docs) // (2 * n_docs) < 10) AS BIGINT) AS blocked
+             |FROM s ORDER BY source""".stripMargin)),
+
+    // ---- N-gram novelty vs a reference snapshot (docs with id % 10 = 0):
+    // distinct-3-gram miss rate per document, integer basis points.
+    "q108_ngram_novelty" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        TextAnalysis.ngramNovelty(docs, docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3)
+          .select(col("id").as("doc_id"), col("total_grams"), col("novel_grams"),
+            col("novelty_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM w WHERE len(ws) >= 3),
+             |g AS (SELECT DISTINCT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' ||
+             |             ws[CAST(i+2 AS INT)] AS gram FROM t),
+             |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+             |per AS (SELECT g.doc_id, count(*) AS total_grams,
+             |               sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS novel_grams
+             |        FROM g LEFT JOIN ref USING (gram) GROUP BY g.doc_id)
+             |SELECT d.doc_id, CAST(coalesce(per.total_grams, 0) AS BIGINT) AS total_grams,
+             |       CAST(coalesce(per.novel_grams, 0) AS BIGINT) AS novel_grams,
+             |       CAST(CASE WHEN coalesce(per.total_grams, 0) = 0 THEN 0
+             |                 ELSE (20000 * per.novel_grams + per.total_grams) // (2 * per.total_grams)
+             |            END AS BIGINT) AS novelty_bp
+             |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)))
 }

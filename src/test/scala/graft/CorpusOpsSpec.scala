@@ -100,4 +100,80 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out2 == Seq((2L, 1L), (4L, 2L)))
   }
+
+  test("ngramNovelty counts distinct-gram misses vs the reference in basis points") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),  // ref doc: grams "a b c", "b c d"
+      (1L, "a b c x"),  // "a b c" seen, "b c x" novel -> 1/2 = 5000 bp
+      (2L, "z z")       // too short for a trigram -> (0, 0, 0)
+    ).toDF("doc_id", "text")
+    val ref = docs.filter($"doc_id" === 0L)
+    val out = TextAnalysis.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (0L, 2L, 0L, 0L),     // the reference doc itself: nothing novel
+      (1L, 2L, 1L, 5000L),
+      (2L, 0L, 0L, 0L)))
+  }
+
+  test("sourceBlocklist flags duplicate-heavy and short-content sources") {
+    import spark.implicits._
+    val long1 = "one two three four five six seven eight nine ten eleven twelve"
+    val long2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (0L, "sa", "dup body text"), (1L, "sa", "dup body text"), // 1 of 2 dup -> 5000 bp
+      (2L, "sb", long1), (3L, "sb", long2),                     // clean, 12-token mean
+      (4L, "sc", "tiny")                                        // mean 1 < 10 -> blocked
+    ).toDF("doc_id", "source", "content")
+    val out = Curation.sourceBlocklist(docs, "doc_id", "content", "source",
+        maxDupBp = 1000L, minMeanTokens = 10L)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("sa", 2L, 1L, 5000L, 3L, 1L),
+      ("sb", 2L, 0L, 0L, 12L, 0L),
+      ("sc", 1L, 0L, 0L, 1L, 1L)))
+  }
+
+  test("semanticDedup pairs only near-identical vectors, within their cluster") {
+    import spark.implicits._
+    // two near-identical vectors (cos ~ 1) among mutually orthogonal noise
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9999f, 0.0001f, 0.0f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.semanticDedup(emb, "vec_id", "embedding",
+        k = 3, threshold = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((0L, 1L)),
+      s"only the planted pair may cross the threshold: $out")
+    assert(out.head._3 > 0.999)
+  }
+
+  test("qualityRepresentatives keeps the longest cluster member, ties -> lowest id") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (10L, base),            // cluster with 11: 11 is longer -> rep 11
+      (11L, base + " extra"),
+      (12L, base),            // exact copy of 10 -> same cluster, shorter than 11
+      (30L, "lone wolf document body with nothing shared here at all today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.qualityRepresentatives(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (10L, 10L, 20L, 11L, 0L),
+      (11L, 10L, 21L, 11L, 1L),
+      (12L, 10L, 20L, 11L, 0L),
+      (30L, 30L, 11L, 30L, 1L)))
+  }
 }
