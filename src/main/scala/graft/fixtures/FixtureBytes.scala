@@ -108,6 +108,26 @@ object FixtureBytes {
     out.toByteArray
   }
 
+  /** Complete playable PCM16 WAV: RIFF header + canonical `fmt ` chunk +
+    * interleaved little-endian `data` chunk. Byte-exact so audio decode
+    * tests can assert every recovered sample.
+    */
+  def pcmWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new ByteArrayOutputStream
+    out.write(ascii("RIFF")); out.write(leU32(36L + dataLen)); out.write(ascii("WAVE"))
+    out.write(ascii("fmt ")); out.write(leU32(16))
+    out.write(leU16(1)) // PCM
+    out.write(leU16(channels))
+    out.write(leU32(sampleRate.toLong))
+    out.write(leU32(sampleRate.toLong * channels * 2)) // byte rate
+    out.write(leU16(channels * 2)) // block align
+    out.write(leU16(16)) // bits per sample
+    out.write(ascii("data")); out.write(leU32(dataLen.toLong))
+    samples.foreach(v => out.write(leU16(v & 0xffff)))
+    out.toByteArray
+  }
+
   def bmp(width: Int = 4, height: Int = 4): Array[Byte] = {
     val rowSize = ((width * 24 + 31) / 32) * 4
     val pixelData = rowSize * height

@@ -10,12 +10,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * Still images (JPEG/PNG/BMP/GIF) decode for REAL through the JDK's
   * `javax.imageio` — dimensions and pixel statistics come from the
-  * actual bitmap. Payloads no `ImageIO` reader accepts (video
-  * containers, foreign codecs — no AV libraries ship in this
-  * environment) fall back to `decodeStub`, which derives deterministic
-  * metadata from the bytes so the video half of the pipeline stays
-  * testable end-to-end; swap the stub for a JNI/javacv decoder without
-  * touching the plan.
+  * actual bitmap. MJPEG-in-AVI video decodes for REAL (RIFF walk +
+  * per-frame ImageIO). PCM16 WAV audio decodes for REAL (RIFF walk +
+  * little-endian sample parse, integer-exact features). Only payloads
+  * none of those readers accept (foreign codecs — no AV libraries ship
+  * in this environment) fall back to `decodeStub`, which derives
+  * deterministic metadata from the bytes so that path stays testable
+  * end-to-end; swap the stub for a JNI/javacv decoder without touching
+  * the plan.
   */
 object Multimodal {
 
@@ -172,6 +174,124 @@ object Multimodal {
               decodeImage(id, f).map(m =>
                 FrameMeta(id, i.toLong, m.width, m.height, m.avgR, m.avgG, m.avgB))
             }.flatten
+        }
+      }
+  }
+
+  /** Integer-exact PCM features from one decoded clip: amplitude sum,
+    * energy (sum of squares), and peak — all BIGINT-safe (|sample| ≤
+    * 32768 ⇒ sum_sq ≤ 2³⁰·n), so every downstream aggregation stays
+    * engine-independent with zero float arithmetic.
+    */
+  final case class AudioMeta(
+      id: Long,
+      sampleRate: Int,
+      channels: Int,
+      nSamples: Long,
+      sumAmp: Long,
+      sumSq: Long,
+      maxAbs: Int)
+
+  /** One fixed-length window of PCM samples — the frame-level feature
+    * row an acoustic-model pipeline trains on (energy = Σ v², exact).
+    */
+  final case class FrameEnergy(id: Long, frameId: Long, nInFrame: Long, energy: Long)
+
+  /** RIFF-WAVE sniff: 'RIFF' <size> 'WAVE'. */
+  def isWav(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL WAV decode: walk the RIFF chunk chain (word-aligned, same
+    * tolerant salvage as [[aviFramePayloads]]), require a PCM16 `fmt `
+    * chunk, and parse the `data` chunk's interleaved little-endian
+    * samples. None for non-WAV payloads, compressed codecs
+    * (fmt != 1 / bits != 16), or a container with either chunk missing.
+    */
+  def decodeWavSamples(p: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (!isWav(p)) return None
+    def le32(off: Int): Long =
+      if (off + 4 > p.length) -1L
+      else (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    var rate = -1; var channels = -1; var bits = -1; var fmtCode = -1
+    var data: Array[Short] = null
+    val riffEnd = math.min(p.length.toLong, 8L + le32(4)).toInt
+    var o = 12
+    while (o + 8 <= riffEnd) {
+      val id = new String(p, o, 4, "ISO-8859-1")
+      val len = le32(o + 4)
+      if (len < 0 || o + 8L + len > riffEnd) return None
+      val body = o + 8
+      if (id == "fmt " && len >= 16) {
+        fmtCode = le16(body); channels = le16(body + 2)
+        rate = le32(body + 4).toInt; bits = le16(body + 14)
+      } else if (id == "data") {
+        val n = (len / 2).toInt
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = le16(body + 2 * i).toShort; i += 1 }
+        data = out
+      }
+      o = (body + len + (len & 1L)).toInt
+    }
+    if (fmtCode == 1 && bits == 16 && channels > 0 && rate > 0 && data != null)
+      Some((rate, channels, data))
+    else None
+  }
+
+  /** Batched REAL audio decode → integer-exact clip features. Only
+    * parseable PCM16 WAVs survive (the corrupt-media quality-gate
+    * convention, matching [[decodeImages]]); one narrow mapPartitions
+    * scan, no shuffle at any corpus size.
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame, idCol: String,
+                  payloadCol: String): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, p) =>
+          decodeWavSamples(p).map { case (rate, ch, samples) =>
+            var sum = 0L; var sq = 0L; var peak = 0
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toInt
+              sum += v; sq += v.toLong * v
+              val a = math.abs(v); if (a > peak) peak = a
+              i += 1
+            }
+            AudioMeta(id, rate, ch, samples.length.toLong, sum, sq, peak)
+          }
+        }
+      }
+  }
+
+  /** REAL frame-level feature extraction: decode each PCM16 WAV and cut
+    * the interleaved sample stream into fixed `frameLen`-sample windows
+    * (final partial window kept — its n_in_frame says so), emitting
+    * integer-exact per-window energy. The audio analog of
+    * [[sampleAviFrames]]: one narrow batched scan whose output volume is
+    * samples/frameLen rows, never a shuffle.
+    */
+  def audioFrameEnergy(spark: SparkSession, media: DataFrame, idCol: String,
+                       payloadCol: String, frameLen: Int): Dataset[FrameEnergy] = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, p) =>
+          decodeWavSamples(p).toSeq.flatMap { case (_, _, samples) =>
+            samples.iterator.zipWithIndex
+              .map { case (v, i) => (i / frameLen, v.toInt) }.toSeq
+              .groupBy(_._1).toSeq.sortBy(_._1)
+              .map { case (f, vs) =>
+                FrameEnergy(id, f.toLong, vs.length.toLong,
+                  vs.iterator.map(x => x._2.toLong * x._2).sum)
+              }
+          }
         }
       }
   }

@@ -76,6 +76,27 @@ object LlmQueries {
       }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic audio column: one complete PCM16 WAV per document —
+    * sample rate, channel count, and every interleaved sample planted by
+    * arithmetic on (doc_id, flat sample index), byte-exact via
+    * `FixtureBytes.pcmWav`. The audio queries decode these REAL payloads
+    * and their oracles recompute the planted integer features.
+    */
+  private def audioTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val ch = (id % 2).toInt + 1
+          val rate = 8000 * ((id % 3).toInt + 1)
+          val n = ch * ((id % 25).toInt + 40)
+          val samples = Array.tabulate(n)(i =>
+            ((id * 7919 + i.toLong * 104729) % 65536 - 32768).toShort)
+          (id, graft.fixtures.FixtureBytes.pcmWav(rate, ch, samples))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Word-trigram shingle oracle fragment over the template corpus. */
   private val shingleSql =
     s"""m AS (SELECT doc_id AS id, $tplSql AS t FROM documents),
@@ -1199,5 +1220,57 @@ object LlmQueries {
              |                 ELSE (20000 * per.novel_grams + per.total_grams) // (2 * per.total_grams)
              |            END AS BIGINT) AS novelty_bp
              |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- REAL audio decode: every payload is a complete PCM16 WAV
+    // (RIFF + fmt + data) whose rate/channels/samples are planted by
+    // arithmetic on doc_id; the decoder walks the container for real
+    // and the oracle recomputes the integer-exact features.
+    "q109_audio_features" -> QueryDef(
+      (s, dir) => {
+        Multimodal.decodeAudio(s, audioTable(s, dir), "doc_id", "payload").toDF()
+          .select(col("id").as("doc_id"), col("sampleRate").as("sample_rate"),
+            col("channels"), col("nSamples").as("n_samples"),
+            col("sumAmp").as("sum_amp"), col("sumSq").as("sum_sq"),
+            col("maxAbs").as("max_abs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels,
+             |                  CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+             |                  (1 + doc_id % 2) * (40 + doc_id % 25) AS n
+             |           FROM documents),
+             |ix AS (SELECT doc_id, channels, sample_rate, unnest(range(n)) AS i FROM p),
+             |v AS (SELECT doc_id, channels, sample_rate,
+             |             (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v
+             |      FROM ix)
+             |SELECT doc_id, sample_rate, channels,
+             |       CAST(count(*) AS BIGINT) AS n_samples,
+             |       CAST(sum(v) AS BIGINT) AS sum_amp,
+             |       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+             |       CAST(max(abs(v)) AS INT) AS max_abs
+             |FROM v GROUP BY doc_id, sample_rate, channels
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Frame-level acoustic features: the decoded sample stream cut
+    // into 16-sample windows, per-window integer energy (the training
+    // rows an acoustic model consumes; final partial window kept).
+    "q110_audio_frame_energy" -> QueryDef(
+      (s, dir) => {
+        Multimodal.audioFrameEnergy(s, audioTable(s, dir), "doc_id", "payload",
+            frameLen = 16).toDF()
+          .select(col("id").as("doc_id"), col("frameId").as("frame_id"),
+            col("nInFrame").as("n_in_frame"), col("energy"))
+          .orderBy("doc_id", "frame_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, (1 + doc_id % 2) * (40 + doc_id % 25) AS n
+             |           FROM documents),
+             |v AS (SELECT doc_id, unnest(range(n)) AS i FROM p),
+             |e AS (SELECT doc_id, i // 16 AS frame_id,
+             |             (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v
+             |      FROM v)
+             |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+             |       CAST(count(*) AS BIGINT) AS n_in_frame,
+             |       CAST(sum(v * v) AS BIGINT) AS energy
+             |FROM e GROUP BY doc_id, frame_id
+             |ORDER BY doc_id, frame_id""".stripMargin)))
 }

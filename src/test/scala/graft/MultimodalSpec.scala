@@ -133,6 +133,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 0L, 8, 6), (1L, 2L, 8, 6), (1L, 4L, 8, 6), (2L, 0L, 10, 4)))
   }
 
+  test("decodeWavSamples round-trips a pcmWav byte-exactly; rejects non-PCM") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val wav = FixtureBytes.pcmWav(16000, 2, samples)
+    assert(Multimodal.isWav(wav))
+    val (rate, ch, got) = Multimodal.decodeWavSamples(wav).get
+    assert(rate == 16000 && ch == 2)
+    assert(got.toSeq == samples.toSeq)
+    // fmt-less shell (the carve fixture) and non-WAV bytes must both reject
+    assert(Multimodal.decodeWavSamples(FixtureBytes.wav()).isEmpty)
+    assert(Multimodal.decodeWavSamples("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeAudio computes integer-exact clip features; junk rows drop") {
+    import spark.implicits._
+    val s1 = Array[Short](3, -4, 5)
+    val media = Seq(
+      (1L, FixtureBytes.pcmWav(8000, 1, s1)),
+      (2L, "garbage".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodeAudio(spark, media, "id", "payload").collect()
+    assert(out.map(_.id).toSeq == Seq(1L))
+    val m = out.head
+    assert(m.sampleRate == 8000 && m.channels == 1 && m.nSamples == 3L)
+    assert(m.sumAmp == 4L && m.sumSq == 50L && m.maxAbs == 5)
+  }
+
+  test("audioFrameEnergy windows the sample stream, keeping the partial tail") {
+    import spark.implicits._
+    // 5 samples at frameLen=2: frames (2, 2, 1)
+    val media = Seq((9L, FixtureBytes.pcmWav(8000, 1,
+      Array[Short](1, 2, 3, 4, 5)))).toDF("id", "payload")
+    val out = Multimodal.audioFrameEnergy(spark, media, "id", "payload", frameLen = 2)
+      .collect().map(f => (f.frameId, f.nInFrame, f.energy)).sorted.toSeq
+    assert(out == Seq((0L, 2L, 5L), (1L, 2L, 25L), (2L, 1L, 25L)))
+  }
+
   test("aviFramePayloads salvages a truncated container instead of throwing") {
     val full = FixtureBytes.mjpegAvi(Seq((8, 6, 0x123456), (8, 6, 0x654321)))
     // cut inside the second frame's chunk body

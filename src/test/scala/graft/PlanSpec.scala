@@ -322,4 +322,50 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"growth curve acquired a corpus-scale join:\n$p")
     assert(p.contains("partial_"), s"first-rank aggregation lost map-side combine:\n$p")
   }
+
+  test("semantic dedup pairs only within clusters: cluster-keyed join, no all-pairs") {
+    val p = planOf("q105_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SemDeDup degraded to an all-pairs product:\n$p")
+    // AQE may broadcast the smaller side at tiny SF; either way the join
+    // key must be cluster_id so candidate volume stays per-cluster squares
+    assert(p.contains("hashpartitioning(cluster_id") ||
+      p.contains("BroadcastHashJoin [cluster_id"),
+      s"pair join must be keyed on cluster_id:\n$p")
+  }
+
+  test("quality representatives add one bounded cluster agg, never a corpus window") {
+    val p = planOf("q106_quality_rep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"representative pick acquired an unbounded product:\n$p")
+    assert(p.contains("partial_"),
+      s"cluster max(struct) lost map-side combine:\n$p")
+  }
+
+  test("source blocklist is two bounded aggregations and a text-keyed join") {
+    val p = planOf("q107_source_blocklist")
+    assert(p.contains("partial_"), s"rollups lost map-side combine:\n$p")
+    assert(hashExchanges(p) <= 3,
+      s"blocklist should shuffle at most on text (agg + join) and source:\n$p")
+  }
+
+  test("ngram novelty dedups grams in-scan and joins per-distinct-gram") {
+    val p = planOf("q108_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty join degraded to a product:\n$p")
+    assert(p.contains("array_distinct"),
+      s"grams must dedup inside the scan, before the explode:\n$p")
+  }
+
+  test("audio decode is a shuffle-free narrow scan") {
+    val p = planOf("q109_audio_features")
+    assert(hashExchanges(p) == 0,
+      s"clip-feature decode acquired a hash shuffle:\n$p")
+  }
+
+  test("audio frame energy is a shuffle-free narrow scan") {
+    val p = planOf("q110_audio_frame_energy")
+    assert(hashExchanges(p) == 0,
+      s"frame windowing acquired a hash shuffle:\n$p")
+  }
 }
