@@ -262,7 +262,10 @@ object Dedup {
       .select(col("doc_id"), col("keep_id").as("cluster_id"))
     val scored = docs.select(col(idCol).cast("long").as("doc_id"),
       size(split(col(textCol), " ")).cast("long").as("q_score"))
-    val members = labels.join(scored, Seq("doc_id"))
+    // members embeds the whole LSH→CC DAG and feeds BOTH the rep agg and
+    // the final join — persist or the front half executes per branch
+    // (PERF LESSON 1). Narrow: three longs per corpus row.
+    val members = CacheRegistry.persist(labels.join(scored, Seq("doc_id")))
     // lexicographic max over (score, -id) = highest score, ties → lowest id
     val reps = members.groupBy(col("cluster_id"))
       .agg(max(struct(col("q_score"), (-col("doc_id")).as("nid"))).as("b"))

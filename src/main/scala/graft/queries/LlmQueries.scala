@@ -1133,14 +1133,19 @@ object LlmQueries {
     // the minimum id.
     "q106_quality_rep" -> QueryDef(
       (s, dir) => {
+        // the pad token carries the template-family id: a corpus-wide
+        // 'pad pad pad' shingle would glue unrelated families into the
+        // same LSH buckets (6M candidate pairs at sf0.1 — the boilerplate
+        // pathology production dedup caps buckets against)
         val docs = table(s, dir, "documents").select(col("doc_id"),
-          concat(tplCol, expr("repeat(' pad', CAST(doc_id % 5 AS INT))")).as("t"))
+          concat(tplCol, expr(
+            "repeat(concat(' p', CAST(doc_id div 50 AS STRING)), CAST(doc_id % 5 AS INT))")).as("t"))
         Dedup.qualityRepresentatives(docs, "doc_id", "t",
             shingleN = 3, numHashes = 8, rowsPerBand = 2)
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE
-              |m AS (SELECT doc_id AS id, $tplSql || repeat(' pad', CAST(doc_id % 5 AS INT)) AS t FROM documents),
+              |m AS (SELECT doc_id AS id, $tplSql || repeat(' p' || CAST(doc_id // 50 AS VARCHAR), CAST(doc_id % 5 AS INT)) AS t FROM documents),
               |w AS (SELECT id, string_split(t, ' ') AS ws FROM m),
               |tri AS (SELECT id, unnest(range(1, len(ws)-1)) AS i, ws FROM w),
               |sh AS (SELECT id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] AS shingle FROM tri),
