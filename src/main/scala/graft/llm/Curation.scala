@@ -297,4 +297,58 @@ object Curation {
       .withColumn("blocked",
         (col("dup_bp") > maxDupBp || col("mean_tokens") < minMeanTokens).cast("long"))
   }
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, App. A1 —
+    * the published heuristic filter most large text pipelines start
+    * from), each rule an independent integer-exact flag so downstream
+    * analysis can attribute removals per rule:
+    *
+    *   - word count outside [minWords, maxWords]
+    *   - mean word length outside [3, 10] characters (×100 HALF_UP)
+    *   - symbol-to-word ratio over 10% ('#' and '...' per Gopher, bp)
+    *   - under 80% of words containing an alphabetic character (bp)
+    *   - fewer than 2 of the 8 Gopher stopwords present
+    *
+    * Every ratio is integer basis points / centi-chars with HALF_UP
+    * rounding — no float on any engine. `keep` = no rule fired. One
+    * narrow zero-shuffle scan (all rules are per-row array
+    * expressions); at 100 TB this runs at parquet-read speed. Returns
+    * (id, n_words, mean_wlen_c, symbol_bp, alpha_bp, n_stop,
+    *  f_word_count, f_word_len, f_symbol, f_alpha, f_stop, keep).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val stops = "'the','be','to','of','and','that','have','with'"
+    df.select(col(idCol).as("id"), col(textCol).as("graft_t"))
+      .withColumn("ws", split(col("graft_t"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      // character mass of the words = text length minus the separators
+      .withColumn("graft_chars",
+        (length(col("graft_t")) - (col("n_words") - 1)).cast("long"))
+      .withColumn("mean_wlen_c",
+        expr("(200 * graft_chars + n_words) div (2 * n_words)"))
+      .withColumn("graft_sym", expr(
+        """CAST(length(graft_t) - length(replace(graft_t, '#', ''))
+          |  + (length(graft_t) - length(replace(graft_t, '...', ''))) div 3
+          |  AS BIGINT)""".stripMargin))
+      .withColumn("symbol_bp",
+        expr("(20000 * graft_sym + n_words) div (2 * n_words)"))
+      .withColumn("graft_alpha",
+        expr("CAST(size(filter(ws, x -> x rlike '[a-zA-Z]')) AS BIGINT)"))
+      .withColumn("alpha_bp",
+        expr("(20000 * graft_alpha + n_words) div (2 * n_words)"))
+      .withColumn("n_stop",
+        expr(s"CAST(size(filter(array($stops), s -> array_contains(ws, s))) AS BIGINT)"))
+      .withColumn("f_word_count",
+        (col("n_words") < minWords || col("n_words") > maxWords).cast("long"))
+      .withColumn("f_word_len",
+        (col("mean_wlen_c") < 300L || col("mean_wlen_c") > 1000L).cast("long"))
+      .withColumn("f_symbol", (col("symbol_bp") > 1000L).cast("long"))
+      .withColumn("f_alpha", (col("alpha_bp") < 8000L).cast("long"))
+      .withColumn("f_stop", (col("n_stop") < 2L).cast("long"))
+      .withColumn("keep",
+        (col("f_word_count") + col("f_word_len") + col("f_symbol") +
+          col("f_alpha") + col("f_stop") === 0L).cast("long"))
+      .drop("graft_t", "ws", "graft_chars", "graft_sym", "graft_alpha")
+  }
 }

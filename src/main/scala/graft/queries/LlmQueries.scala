@@ -1277,5 +1277,48 @@ object LlmQueries {
              |       CAST(count(*) AS BIGINT) AS n_in_frame,
              |       CAST(sum(v * v) AS BIGINT) AS energy
              |FROM e GROUP BY doc_id, frame_id
-             |ORDER BY doc_id, frame_id""".stripMargin)))
+             |ORDER BY doc_id, frame_id""".stripMargin)),
+
+    // ---- Gopher quality-rule battery (Rae et al. 2021 App. A1) over
+    // the raw document corpus: five independent integer-exact rule
+    // flags plus the combined keep verdict — pure per-row arithmetic,
+    // byte-identical on both engines.
+    "q111_gopher_rules" -> QueryDef(
+      (s, dir) => {
+        Curation.gopherRules(table(s, dir, "documents"), "doc_id", "text",
+            minWords = 10L)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+             |b AS (SELECT doc_id, text, ws, CAST(len(ws) AS BIGINT) AS n_words,
+             |             CAST(strlen(text) - (len(ws) - 1) AS BIGINT) AS chars,
+             |             CAST(strlen(text) - strlen(replace(text, '#', ''))
+             |                  + (strlen(text) - strlen(replace(text, '...', ''))) // 3
+             |               AS BIGINT) AS sym,
+             |             CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha,
+             |             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             |                                  s -> list_contains(ws, s))) AS BIGINT) AS n_stop
+             |      FROM w),
+             |m AS (SELECT doc_id, n_words,
+             |             (200 * chars + n_words) // (2 * n_words) AS mean_wlen_c,
+             |             (20000 * sym + n_words) // (2 * n_words) AS symbol_bp,
+             |             (20000 * alpha + n_words) // (2 * n_words) AS alpha_bp,
+             |             n_stop
+             |      FROM b)
+             |SELECT doc_id, n_words,
+             |       CAST(mean_wlen_c AS BIGINT) AS mean_wlen_c,
+             |       CAST(symbol_bp AS BIGINT) AS symbol_bp,
+             |       CAST(alpha_bp AS BIGINT) AS alpha_bp,
+             |       n_stop,
+             |       CAST(n_words < 10 OR n_words > 100000 AS BIGINT) AS f_word_count,
+             |       CAST(mean_wlen_c < 300 OR mean_wlen_c > 1000 AS BIGINT) AS f_word_len,
+             |       CAST(symbol_bp > 1000 AS BIGINT) AS f_symbol,
+             |       CAST(alpha_bp < 8000 AS BIGINT) AS f_alpha,
+             |       CAST(n_stop < 2 AS BIGINT) AS f_stop,
+             |       CAST((n_words < 10 OR n_words > 100000) = false
+             |            AND (mean_wlen_c < 300 OR mean_wlen_c > 1000) = false
+             |            AND symbol_bp <= 1000 AND alpha_bp >= 8000 AND n_stop >= 2
+             |         AS BIGINT) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)))
 }

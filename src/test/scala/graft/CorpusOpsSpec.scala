@@ -156,6 +156,30 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head._3 > 0.999)
   }
 
+  test("gopherRules fires each rule independently and keeps clean prose") {
+    import spark.implicits._
+    val clean = "the cat and the dog have fun with all of that every single day"
+    val docs = Seq(
+      (0L, clean),                                      // keep
+      (1L, "tiny doc"),                                 // word count (min 10)
+      (2L, clean + " ###rock ###roll ###punk"),         // symbol ratio > 10%
+      (3L, "the of 11111 22222 33333 44444 55555 66666 77777 88888"), // <80% alpha
+      (4L, "the of aa aa aa aa aa aa aa aa aa aa")      // mean word len < 3
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Curation.gopherRules(docs, "doc_id", "text", minWords = 10L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        r.getLong(r.fieldIndex("f_word_count")), r.getLong(r.fieldIndex("f_word_len")),
+        r.getLong(r.fieldIndex("f_symbol")), r.getLong(r.fieldIndex("f_alpha")),
+        r.getLong(r.fieldIndex("f_stop")), r.getLong(r.fieldIndex("keep")))).toSeq
+    assert(out == Seq(
+      (0L, 0L, 0L, 0L, 0L, 0L, 1L),
+      (1L, 1L, 0L, 0L, 0L, 1L, 0L),
+      (2L, 0L, 0L, 1L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 1L, 0L, 0L),
+      (4L, 0L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("qualityRepresentatives keeps the longest cluster member, ties -> lowest id") {
     import spark.implicits._
     val base = (1 to 20).map(i => s"t$i").mkString(" ")

@@ -357,6 +357,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"grams must dedup inside the scan, before the explode:\n$p")
   }
 
+  test("gopher rule battery is a shuffle-free narrow scan") {
+    val p = planOf("q111_gopher_rules")
+    assert(hashExchanges(p) == 0,
+      s"per-row rule arithmetic acquired a hash shuffle:\n$p")
+  }
+
   test("audio decode is a shuffle-free narrow scan") {
     val p = planOf("q109_audio_features")
     assert(hashExchanges(p) == 0,
