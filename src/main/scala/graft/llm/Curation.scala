@@ -351,4 +351,72 @@ object Curation {
           col("f_alpha") + col("f_stop") === 0L).cast("long"))
       .drop("graft_t", "ws", "graft_chars", "graft_sym", "graft_alpha")
   }
+
+  /** One sorted-run aggregate over the document's word n-grams computing
+    * BOTH repetition masses in a single pass (same idiom as [[topRun]]):
+    * `best` = the largest count×strlen over any single gram (top-gram
+    * char mass), `dups` = Σ count×strlen over grams occurring ≥ 2 times
+    * (duplicated-gram char mass; the +2·len / +len steps accumulate
+    * exactly c·len for every run of length c ≥ 2).
+    */
+  private def runMass(n: Int): String =
+    s"""CASE WHEN size(ws) >= $n THEN aggregate(
+       |  array_sort(transform(sequence(0, size(ws) - $n),
+       |    i -> concat_ws(' ', slice(ws, i + 1, $n)))),
+       |  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+       |         CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS dups),
+       |  (acc, x) -> struct(
+       |    x AS prev,
+       |    CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END AS run,
+       |    greatest(acc.best,
+       |      (CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END)
+       |        * length(x)) AS best,
+       |    acc.dups + CASE
+       |      WHEN x = acc.prev AND acc.run = 1 THEN 2 * length(x)
+       |      WHEN x = acc.prev THEN length(x)
+       |      ELSE CAST(0 AS BIGINT) END AS dups),
+       |  acc -> struct(acc.best AS best, acc.dups AS dups))
+       |ELSE struct(CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS dups) END"""
+      .stripMargin
+
+  /** Gopher repetition-rule battery (Rae et al. 2021 App. A1, the
+    * n-gram half): per document, the character mass of the single most
+    * frequent word n-gram for n = 2..4 (`top{n}_bp`) and of all
+    * duplicated word n-grams for n = 5..10 (`dup{n}_bp`), each in
+    * integer basis points of the document's word-character mass with
+    * HALF_UP rounding, plus the published per-n threshold flags and the
+    * combined keep. Char mass = count × gram length (words + internal
+    * separators) — a documented deterministic proxy for the paper's
+    * "fraction of characters".
+    *
+    * Scale shape: every measure is ONE in-row pass over the document's
+    * sorted gram array ([[runMass]]) — no explode, no groupBy, zero
+    * shuffles at any corpus size; the 9 measures widen the row, not the
+    * plan.
+    */
+  def gopherRepetitionRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val topBp = Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
+    val dupBp = Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L,
+      9 -> 1100L, 10 -> 1000L)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("graft_t"))
+      .withColumn("ws", split(col("graft_t"), " "))
+      .withColumn("graft_chars",
+        (length(col("graft_t")) - (size(col("ws")) - 1)).cast("long"))
+    val withMeasures = (2 to 10).foldLeft(base) { (d, n) =>
+      val mass = if (n <= 4) s"(${runMass(n)}).best" else s"(${runMass(n)}).dups"
+      val cName = if (n <= 4) s"top${n}_bp" else s"dup${n}_bp"
+      d.withColumn(cName,
+        expr(s"(20000 * ($mass) + graft_chars) div (2 * graft_chars)"))
+    }
+    val flagged = (2 to 10).foldLeft(withMeasures) { (d, n) =>
+      val (cName, fName, thr) =
+        if (n <= 4) (s"top${n}_bp", s"f_top$n", topBp(n))
+        else (s"dup${n}_bp", s"f_dup$n", dupBp(n))
+      d.withColumn(fName, (col(cName) > thr).cast("long"))
+    }
+    val flagSum = (2 to 10).map(n =>
+      col(if (n <= 4) s"f_top$n" else s"f_dup$n")).reduce(_ + _)
+    flagged.withColumn("keep", (flagSum === 0L).cast("long"))
+      .drop("graft_t", "ws", "graft_chars")
+  }
 }

@@ -97,6 +97,56 @@ object LlmQueries {
       }.toDF("doc_id", "payload")
   }
 
+  /** Generated DuckDB oracle for q112: per n, explode the document's
+    * word n-grams, group, and take max(count×strlen) (n ≤ 4, top-gram
+    * mass) or sum over count ≥ 2 (n ≥ 5, duplicated mass) — the
+    * explicit-SQL restatement of `Curation.gopherRepetitionRules`'
+    * in-row sorted-run pass.
+    */
+  private def gopherRepetitionOracle: String = {
+    val topBp = Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
+    val dupBp = Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L,
+      9 -> 1100L, 10 -> 1000L)
+    val perN = (2 to 10).map { n =>
+      val gram = (0 until n).map(k => s"ws[CAST(i+$k AS INT)]").mkString(" || ' ' || ")
+      val agg =
+        if (n <= 4) "max(c * strlen(gram))"
+        else "sum(CASE WHEN c >= 2 THEN c * strlen(gram) ELSE 0 END)"
+      s"""t$n AS (SELECT doc_id, unnest(range(1, len(ws) - $n + 2)) AS i, ws
+         |        FROM w WHERE len(ws) >= $n),
+         |g$n AS (SELECT doc_id, gram, count(*) AS c
+         |        FROM (SELECT doc_id, $gram AS gram FROM t$n) GROUP BY doc_id, gram),
+         |m$n AS (SELECT doc_id, $agg AS mass FROM g$n GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    val bpCols = (2 to 10).map { n =>
+      val cName = if (n <= 4) s"top${n}_bp" else s"dup${n}_bp"
+      s"""CAST((20000 * coalesce(m$n.mass, 0) + b.chars) // (2 * b.chars) AS BIGINT) AS $cName"""
+    }.mkString(",\n       ")
+    val flagCols = (2 to 10).map { n =>
+      val (cName, fName, thr) =
+        if (n <= 4) (s"top${n}_bp", s"f_top$n", topBp(n))
+        else (s"dup${n}_bp", s"f_dup$n", dupBp(n))
+      s"""CAST((20000 * coalesce(m$n.mass, 0) + b.chars) // (2 * b.chars) > $thr AS BIGINT) AS $fName"""
+    }.mkString(",\n       ")
+    val keepPred = (2 to 10).map { n =>
+      val thr = if (n <= 4) topBp(n) else dupBp(n)
+      s"(20000 * coalesce(m$n.mass, 0) + b.chars) // (2 * b.chars) <= $thr"
+    }.mkString(" AND ")
+    val joins = (2 to 10).map(n => s"LEFT JOIN m$n ON m$n.doc_id = b.doc_id")
+      .mkString("\n")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |b AS (SELECT doc_id, CAST(strlen(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS chars
+       |      FROM documents),
+       |$perN
+       |SELECT b.doc_id,
+       |       $bpCols,
+       |       $flagCols,
+       |       CAST($keepPred AS BIGINT) AS keep
+       |FROM b
+       |$joins
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** Word-trigram shingle oracle fragment over the template corpus. */
   private val shingleSql =
     s"""m AS (SELECT doc_id AS id, $tplSql AS t FROM documents),
@@ -1320,5 +1370,18 @@ object LlmQueries {
              |            AND (mean_wlen_c < 300 OR mean_wlen_c > 1000) = false
              |            AND symbol_bp <= 1000 AND alpha_bp >= 8000 AND n_stop >= 2
              |         AS BIGINT) AS keep
-             |FROM m ORDER BY doc_id""".stripMargin)))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- Gopher repetition battery (Rae et al. 2021 App. A1, n-gram
+    // half): top-n-gram char mass (n=2..4) and duplicated-n-gram char
+    // mass (n=5..10) in integer bp, with the published threshold flags.
+    // The oracle is generated per n (explode → group → max/sum) and must
+    // agree with the Spark side's single in-row sorted-run pass.
+    "q112_gopher_repetition" -> QueryDef(
+      (s, dir) => {
+        Curation.gopherRepetitionRules(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(gopherRepetitionOracle)))
 }

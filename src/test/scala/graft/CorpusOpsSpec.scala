@@ -180,6 +180,22 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 0L, 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("gopherRepetitionRules measures top-gram and duplicated-gram char mass in bp") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b" occurs 3x (mass 9), chars = 7: top2_bp = HALF_UP(180000/14) = 12857
+      (0L, "a b a b a b x"),
+      // 50 distinct 3-char words: top bigram mass 7 of 150 chars -> 467 bp
+      (1L, (1 to 50).map(i => f"w$i%02d").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Curation.gopherRepetitionRules(docs, "doc_id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("top2_bp")),
+        r.getLong(r.fieldIndex("f_top2")), r.getLong(r.fieldIndex("dup5_bp")),
+        r.getLong(r.fieldIndex("keep")))).toSeq
+    assert(out == Seq((0L, 12857L, 1L, 0L, 0L), (1L, 467L, 0L, 0L, 1L)))
+  }
+
   test("qualityRepresentatives keeps the longest cluster member, ties -> lowest id") {
     import spark.implicits._
     val base = (1 to 20).map(i => s"t$i").mkString(" ")

@@ -363,6 +363,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-row rule arithmetic acquired a hash shuffle:\n$p")
   }
 
+  test("gopher repetition battery runs in-row: no explode, no shuffle") {
+    val p = planOf("q112_gopher_repetition")
+    assert(hashExchanges(p) == 0,
+      s"sorted-run gram masses acquired a hash shuffle:\n$p")
+    assert(!p.toLowerCase.contains("generate"),
+      s"gram masses must be in-row aggregates, not an explode:\n$p")
+  }
+
   test("audio decode is a shuffle-free narrow scan") {
     val p = planOf("q109_audio_features")
     assert(hashExchanges(p) == 0,
