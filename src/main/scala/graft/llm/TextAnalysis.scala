@@ -229,6 +229,49 @@ object TextAnalysis {
     * before joining, and the per-doc rollup is one bounded aggregation.
     * Returns (id, total_grams, novel_grams, novelty_bp).
     */
+  /** Corpus-level boilerplate detection — the cross-document complement
+    * to the within-document repetition rules: a word n-gram is
+    * boilerplate when it appears in at least `num/denom` of all
+    * documents (site chrome, licence headers, navigation text). Per
+    * document: distinct-gram count, how many of those are boilerplate,
+    * and the boilerplate char mass (Σ strlen over its boilerplate
+    * grams) in integer bp of the document's word-char mass, HALF_UP.
+    * This is the signal that would have caught the q106 pathology —
+    * corpus-wide boilerplate glues LSH buckets — BEFORE shingling.
+    *
+    * Scale shape: gram document-frequency is one map-side-combinable
+    * aggregation over in-scan-deduped grams ([[Dedup.distinctShingles]]);
+    * the corpus size rides in as a 1-row broadcast (no driver collect in
+    * the plan); the per-doc rollup joins per-distinct-gram. Returns
+    * (id, n_grams, n_boiler, boiler_bp).
+    */
+  def boilerplateMass(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, num: Int = 1, denom: Int = 5): DataFrame = {
+    require(num > 0 && denom > 0, s"fraction must be positive, got $num/$denom")
+    val grams = Dedup.distinctShingles(df, idCol, textCol, n)
+    val nDocs = df.select(count(lit(1)).as("graft_nd"))
+    // boilerplate grams: doc frequency ≥ num/denom of the corpus
+    val boiler = grams.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("graft_df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("graft_df") * denom >= col("graft_nd") * num)
+      .select(col("shingle"), length(col("shingle")).cast("long").as("graft_len"))
+    val perDoc = grams.join(broadcast(boiler), Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("graft_len").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        sum(coalesce(col("graft_len"), lit(0L))).as("graft_mass"))
+    df.select(col(idCol).as("id"), col(textCol).as("graft_t"))
+      .withColumn("graft_chars",
+        (length(col("graft_t")) - (size(split(col("graft_t"), " ")) - 1)).cast("long"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        expr("(20000 * coalesce(graft_mass, 0) + graft_chars) div (2 * graft_chars)")
+          .as("boiler_bp"))
+  }
+
   def ngramNovelty(df: DataFrame, ref: DataFrame,
                    idCol: String, textCol: String, n: Int): DataFrame = {
     val docGrams = Dedup.distinctShingles(df, idCol, textCol, n)

@@ -1383,5 +1383,44 @@ object LlmQueries {
           .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id")
       },
-      Some(gopherRepetitionOracle)))
+      Some(gopherRepetitionOracle)),
+
+    // ---- Corpus-level boilerplate: a ' all rights reserved worldwide'
+    // footer planted on 2/3 of documents makes its internal trigrams
+    // high-document-frequency; the operator must flag exactly those (and
+    // not the per-doc boundary grams) and charge each doc its bp mass.
+    "q113_boilerplate" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 =!= 0, lit(" all rights reserved worldwide"))
+              .otherwise(lit(""))).as("t"))
+        TextAnalysis.boilerplateMass(docs, "doc_id", "t", n = 3, num = 1, denom = 5)
+          .select(col("id").as("doc_id"), col("n_grams"), col("n_boiler"),
+            col("boiler_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text || CASE WHEN doc_id % 3 <> 0
+             |                  THEN ' all rights reserved worldwide' ELSE '' END AS t
+             |           FROM documents),
+             |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+             |t3 AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws
+             |       FROM w WHERE len(ws) >= 3),
+             |g AS (SELECT DISTINCT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]
+             |             || ' ' || ws[CAST(i+2 AS INT)] AS gram FROM t3),
+             |f AS (SELECT gram, count(*) AS dfc FROM g GROUP BY gram),
+             |nd AS (SELECT count(*) AS n FROM d),
+             |b AS (SELECT gram, CAST(strlen(gram) AS BIGINT) AS glen
+             |      FROM f, nd WHERE dfc * 5 >= n * 1),
+             |p AS (SELECT g.doc_id, count(*) AS n_grams,
+             |             sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler,
+             |             sum(coalesce(b.glen, 0)) AS mass
+             |      FROM g LEFT JOIN b USING (gram) GROUP BY g.doc_id),
+             |c AS (SELECT doc_id, CAST(strlen(t) - (len(string_split(t, ' ')) - 1) AS BIGINT) AS chars
+             |      FROM d)
+             |SELECT c.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+             |       CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+             |       CAST((20000 * coalesce(p.mass, 0) + c.chars) // (2 * c.chars) AS BIGINT) AS boiler_bp
+             |FROM c LEFT JOIN p ON p.doc_id = c.doc_id
+             |ORDER BY c.doc_id""".stripMargin)))
 }

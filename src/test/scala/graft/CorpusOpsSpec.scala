@@ -196,6 +196,25 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((0L, 12857L, 1L, 0L, 0L), (1L, 467L, 0L, 0L, 1L)))
   }
 
+  test("boilerplateMass flags high-df grams only and charges per-doc bp") {
+    import spark.implicits._
+    // footer "x y z" in 4/5 docs (df 4 >= 5*4/5); every other gram unique
+    val docs = Seq(
+      (0L, "aa bb cc x y z"), (1L, "dd ee ff x y z"),
+      (2L, "gg hh ii x y z"), (3L, "jj kk ll x y z"),
+      (4L, "mm nn oo pp qq rr")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.boilerplateMass(docs, "doc_id", "text",
+        n = 3, num = 4, denom = 5)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // each doc: 4 distinct grams; only 'x y z' (len 5) is boilerplate;
+    // word chars = 9 -> bp = HALF_UP((20000*5 + 9) / 18) = 5556
+    assert(out == Seq(
+      (0L, 4L, 1L, 5556L), (1L, 4L, 1L, 5556L), (2L, 4L, 1L, 5556L),
+      (3L, 4L, 1L, 5556L), (4L, 4L, 0L, 0L)))
+  }
+
   test("qualityRepresentatives keeps the longest cluster member, ties -> lowest id") {
     import spark.implicits._
     val base = (1 to 20).map(i => s"t$i").mkString(" ")

@@ -371,6 +371,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gram masses must be in-row aggregates, not an explode:\n$p")
   }
 
+  test("boilerplate mass broadcasts the bounded gram set back onto the corpus") {
+    val p = planOf("q113_boilerplate")
+    assert(p.contains("partial_"),
+      s"gram document-frequency lost map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the boilerplate set (≤ denom/num × grams-per-doc) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-size scalar must ride a 1-row broadcast, not a cartesian:\n$p")
+  }
+
   test("audio decode is a shuffle-free narrow scan") {
     val p = planOf("q109_audio_features")
     assert(hashExchanges(p) == 0,
