@@ -214,21 +214,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("graft_lp")).as("lp_sum_micro"))
   }
 
-  /** N-gram novelty against a reference corpus — the freshness signal a
-    * pipeline computes before admitting a new crawl snapshot (how much
-    * of a document is text the reference has never seen). Per document:
-    * the count of DISTINCT word n-grams, the count of those absent from
-    * the reference's global n-gram set, and their ratio in basis points
-    * (integer HALF_UP — no float division on either engine). Documents
-    * too short to form one n-gram emit (0, 0, 0).
-    *
-    * Scale shape: both sides dedup grams inside the scan
-    * ([[Dedup.distinctShingles]] — `array_distinct` BEFORE the explode,
-    * the q67 lesson), so the join is per-distinct-gram; the reference
-    * collapses to its vocabulary (one map-side-combinable distinct)
-    * before joining, and the per-doc rollup is one bounded aggregation.
-    * Returns (id, total_grams, novel_grams, novelty_bp).
-    */
   /** Corpus-level boilerplate detection — the cross-document complement
     * to the within-document repetition rules: a word n-gram is
     * boilerplate when it appears in at least `num/denom` of all
@@ -272,6 +257,90 @@ object TextAnalysis {
           .as("boiler_bp"))
   }
 
+  /** Per-document log-probability under a bigram LM built from a
+    * REFERENCE corpus (add-one smoothed, integer micro-nats rounded per
+    * bigram — deterministic because every occurrence of a (w1, w2) pair
+    * rounds the identical value, so the integer sum is order-free).
+    * Bigrams unseen in the reference back off through the same formula
+    * with zero counts: ln((0+1)/(0+V)). Returns
+    * (id, n_bigrams, lp_sum_micro).
+    *
+    * Scale shape: the reference collapses to its bigram/unigram count
+    * tables (map-side combinable, vocabulary-sized); the corpus pays one
+    * (w1, w2)-keyed join and one id-keyed rollup. The vocab scalar rides
+    * a 1-row broadcast.
+    */
+  def lmScoreAgainst(docs: DataFrame, ref: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    def bigramsOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+        .filter(size(col("graft_ws")) >= 2)
+        .select(col("id"), explode(expr(
+          """transform(sequence(0, size(graft_ws) - 2),
+            |  i -> struct(graft_ws[i] AS w1, graft_ws[i + 1] AS w2))""".stripMargin)).as("b"))
+        .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val refBigrams = bigramsOf(ref)
+    val c2 = refBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("graft_c2"))
+    val c1 = refBigrams.groupBy(col("w1")).agg(count(lit(1)).as("graft_c1"))
+    val vocab = ref.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "").agg(countDistinct(col("w")).as("graft_v"))
+    bigramsOf(docs)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        expr("""CAST(round(ln(CAST(coalesce(graft_c2, 0) + 1 AS DOUBLE) /
+               |               CAST(coalesce(graft_c1, 0) + graft_v AS DOUBLE)) * 1000000.0)
+               |  AS BIGINT)""".stripMargin).as("graft_lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("graft_lp")).as("lp_sum_micro"))
+  }
+
+  /** Moore–Lewis cross-entropy-difference data selection (Moore & Lewis
+    * 2010, the classic targeted-selection method): score every document
+    * under an IN-DOMAIN bigram LM and a GENERAL bigram LM and rank by
+    * the difference — documents that look much more like the target
+    * domain than like the background select first. Scores are
+    * [[lmScoreAgainst]] integer micro-nats, so the delta is exact.
+    * Documents too short to form a bigram emit zeros. Returns
+    * (id, n_bigrams, lp_in_micro, lp_gen_micro, ml_delta_micro).
+    *
+    * Scale shape: two reference LM count tables + two (w1, w2)-keyed
+    * corpus joins (each the [[lmScoreAgainst]] shape) and one id-keyed
+    * merge — nothing quadratic, no windows.
+    */
+  def mooreLewisSelect(docs: DataFrame, inDomain: DataFrame, general: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val sIn = lmScoreAgainst(docs, inDomain, idCol, textCol)
+      .select(col("id"), col("n_bigrams"), col("lp_sum_micro").as("lp_in_micro"))
+    val sGen = lmScoreAgainst(docs, general, idCol, textCol)
+      .select(col("id"), col("lp_sum_micro").as("lp_gen_micro"))
+    docs.select(col(idCol).as("id"))
+      .join(sIn, Seq("id"), "left")
+      .join(sGen, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_in_micro"), lit(0L)).as("lp_in_micro"),
+        coalesce(col("lp_gen_micro"), lit(0L)).as("lp_gen_micro"),
+        (coalesce(col("lp_in_micro"), lit(0L)) -
+          coalesce(col("lp_gen_micro"), lit(0L))).as("ml_delta_micro"))
+  }
+
+  /** N-gram novelty against a reference corpus — the freshness signal a
+    * pipeline computes before admitting a new crawl snapshot (how much
+    * of a document is text the reference has never seen). Per document:
+    * the count of DISTINCT word n-grams, the count of those absent from
+    * the reference's global n-gram set, and their ratio in basis points
+    * (integer HALF_UP — no float division on either engine). Documents
+    * too short to form one n-gram emit (0, 0, 0).
+    *
+    * Scale shape: both sides dedup grams inside the scan
+    * ([[Dedup.distinctShingles]] — `array_distinct` BEFORE the explode,
+    * the q67 lesson), so the join is per-distinct-gram; the reference
+    * collapses to its vocabulary (one map-side-combinable distinct)
+    * before joining, and the per-doc rollup is one bounded aggregation.
+    * Returns (id, total_grams, novel_grams, novelty_bp).
+    */
   def ngramNovelty(df: DataFrame, ref: DataFrame,
                    idCol: String, textCol: String, n: Int): DataFrame = {
     val docGrams = Dedup.distinctShingles(df, idCol, textCol, n)

@@ -1422,5 +1422,50 @@ object LlmQueries {
              |       CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
              |       CAST((20000 * coalesce(p.mass, 0) + c.chars) // (2 * c.chars) AS BIGINT) AS boiler_bp
              |FROM c LEFT JOIN p ON p.doc_id = c.doc_id
-             |ORDER BY c.doc_id""".stripMargin)))
+             |ORDER BY c.doc_id""".stripMargin)),
+
+    // ---- Moore–Lewis cross-entropy-difference selection: in-domain LM
+    // from source 'src0' documents, general LM from the whole corpus;
+    // per-doc delta in exact integer micro-nats (one rounded ln per
+    // reference vocabulary entry, identical on both engines — the q102
+    // discipline, with the unseen-bigram backoff ln(1/(c1+V)) inline).
+    "q114_moore_lewis" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        TextAnalysis.mooreLewisSelect(docs, docs.filter(col("source") === "src0"),
+            docs, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT doc_id, source, unnest(range(1, len(ws))) AS i, ws FROM w WHERE len(ws) >= 2),
+             |bg AS (SELECT doc_id, source, ws[CAST(i AS INT)] AS w1, ws[CAST(i+1 AS INT)] AS w2 FROM t),
+             |c2i AS (SELECT w1, w2, count(*) AS c FROM bg WHERE source = 'src0' GROUP BY w1, w2),
+             |c1i AS (SELECT w1, count(*) AS c FROM bg WHERE source = 'src0' GROUP BY w1),
+             |vi AS (SELECT count(DISTINCT tok) AS v
+             |       FROM (SELECT unnest(ws) AS tok FROM w WHERE source = 'src0') WHERE tok <> ''),
+             |c2g AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+             |c1g AS (SELECT w1, count(*) AS c FROM bg GROUP BY w1),
+             |vg AS (SELECT count(DISTINCT tok) AS v
+             |       FROM (SELECT unnest(ws) AS tok FROM w) WHERE tok <> ''),
+             |si AS (SELECT bg.doc_id,
+             |              CAST(round(ln(CAST(coalesce(c2i.c, 0) + 1 AS DOUBLE) /
+             |                            CAST(coalesce(c1i.c, 0) + vi.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+             |       FROM bg LEFT JOIN c2i ON bg.w1 = c2i.w1 AND bg.w2 = c2i.w2
+             |               LEFT JOIN c1i ON bg.w1 = c1i.w1, vi),
+             |sg AS (SELECT bg.doc_id,
+             |              CAST(round(ln(CAST(coalesce(c2g.c, 0) + 1 AS DOUBLE) /
+             |                            CAST(coalesce(c1g.c, 0) + vg.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+             |       FROM bg LEFT JOIN c2g ON bg.w1 = c2g.w1 AND bg.w2 = c2g.w2
+             |               LEFT JOIN c1g ON bg.w1 = c1g.w1, vg),
+             |pi AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS lp_in FROM si GROUP BY doc_id),
+             |pg AS (SELECT doc_id, sum(lp) AS lp_gen FROM sg GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(pi.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |       CAST(coalesce(pi.lp_in, 0) AS BIGINT) AS lp_in_micro,
+             |       CAST(coalesce(pg.lp_gen, 0) AS BIGINT) AS lp_gen_micro,
+             |       CAST(coalesce(pi.lp_in, 0) - coalesce(pg.lp_gen, 0) AS BIGINT) AS ml_delta_micro
+             |FROM documents d LEFT JOIN pi ON pi.doc_id = d.doc_id
+             |LEFT JOIN pg ON pg.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)))
 }

@@ -215,6 +215,28 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 4L, 1L, 5556L), (4L, 4L, 0L, 0L)))
   }
 
+  test("mooreLewisSelect favors in-domain-looking docs; unseen bigrams back off") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha beta"),  // pure in-domain phrasing
+      (1L, "gamma delta gamma delta"), // pure background phrasing
+      (2L, "zz")                       // too short -> zeros
+    ).toDF("doc_id", "text")
+    val inDomain = Seq((10L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val general = Seq((20L, "gamma delta gamma delta"),
+      (21L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.mooreLewisSelect(docs, inDomain, general,
+        "doc_id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    // doc 0 must score strictly higher under the in-domain LM than the
+    // general one; doc 1 the reverse; doc 2 emits zeros
+    assert(out(0)._3 > 0L, s"in-domain doc not preferred: ${out(0)}")
+    assert(out(1)._3 < 0L, s"background doc not penalized: ${out(1)}")
+    assert(out(2) == ((2L, 0L, 0L)))
+    assert(out.map(_._2) == Seq(3L, 3L, 0L))
+  }
+
   test("qualityRepresentatives keeps the longest cluster member, ties -> lowest id") {
     import spark.implicits._
     val base = (1 to 20).map(i => s"t$i").mkString(" ")

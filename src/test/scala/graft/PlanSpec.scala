@@ -381,6 +381,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus-size scalar must ride a 1-row broadcast, not a cartesian:\n$p")
   }
 
+  test("moore-lewis scores join LM count tables; vocab scalars ride 1-row broadcasts") {
+    val p = planOf("q114_moore_lewis")
+    assert(!p.contains("CartesianProduct"),
+      s"LM scoring acquired an unbounded product:\n$p")
+    assert(p.contains("partial_"), s"LM count tables lost map-side combine:\n$p")
+  }
+
   test("audio decode is a shuffle-free narrow scan") {
     val p = planOf("q109_audio_features")
     assert(hashExchanges(p) == 0,
