@@ -111,6 +111,41 @@ object TextAnalysis {
         array_min(expr("transform(grams, g -> md5(g))")).as("fingerprint"),
         size(array_distinct(col("grams"))).cast("long").as("n_grams"))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    * algorithm): hash every word k-gram, slide a w-hash window, and
+    * select each window's minimum; the DISTINCT selected hashes are the
+    * document's fingerprint set. Unlike the single min-hash
+    * [[fingerprint]], winnowing guarantees any shared run of
+    * w + k - 1 words between two documents shares a fingerprint —
+    * the plagiarism/near-dup detector's local guarantee. Documents with
+    * fewer than w k-grams winnow one window over all grams; fewer than
+    * k words drop. Returns (id, n_grams, n_windows, n_fps, min_fp).
+    *
+    * Pure per-row array expressions (hash transform + per-window
+    * `array_min` over a slice) — no explode, no shuffle; the w-wide
+    * slice keeps the scan O(grams × w) with w a small constant.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val parts = (0 until k)
+      .map(o => if (o == 0) "ws[i]" else s"ws[i+$o]").mkString(", ' ', ")
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("id"), expr(
+        s"transform(transform(sequence(0, size(ws) - $k), i -> concat($parts)), g -> md5(g))")
+        .as("hs"))
+      .select(col("id"), size(col("hs")).cast("long").as("n_grams"),
+        expr(s"""CASE WHEN size(hs) >= $w
+                |  THEN transform(sequence(0, size(hs) - $w),
+                |         j -> array_min(slice(hs, j + 1, $w)))
+                |  ELSE array(array_min(hs)) END""".stripMargin).as("mins"))
+      .select(col("id"), col("n_grams"),
+        size(col("mins")).cast("long").as("n_windows"),
+        size(array_distinct(col("mins"))).cast("long").as("n_fps"),
+        array_min(col("mins")).as("min_fp"))
+  }
+
   /** Benchmark-contamination check: for every (train doc, benchmark doc)
     * pair sharing at least `minShared` distinct word n-grams, the count
     * of shared n-grams. The benchmark side is the small one by

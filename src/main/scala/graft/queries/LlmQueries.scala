@@ -1467,5 +1467,37 @@ object LlmQueries {
              |       CAST(coalesce(pi.lp_in, 0) - coalesce(pg.lp_gen, 0) AS BIGINT) AS ml_delta_micro
              |FROM documents d LEFT JOIN pi ON pi.doc_id = d.doc_id
              |LEFT JOIN pg ON pg.doc_id = d.doc_id
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- Winnowing fingerprints (MOSS): per-window minimum of md5'd
+    // word 4-grams with window 4; the oracle rebuilds the same windows
+    // with an explicit (window, gram) join. Docs with under 4 grams
+    // winnow one window over all grams; under 4 words drop.
+    "q115_winnowing" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.winnowingFingerprints(table(s, dir, "documents"),
+            "doc_id", "text", k = 4, w = 4)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 4),
+             |t AS (SELECT doc_id, unnest(range(1, len(ws) - 2)) AS i, ws FROM w),
+             |h AS (SELECT doc_id, i, md5(ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]
+             |             || ' ' || ws[CAST(i+2 AS INT)] || ' ' || ws[CAST(i+3 AS INT)]) AS hv
+             |      FROM t),
+             |g AS (SELECT doc_id, count(*) AS n_grams FROM h GROUP BY doc_id),
+             |win AS (SELECT doc_id, unnest(range(1, greatest(n_grams - 4 + 1, 1) + 1)) AS j,
+             |               n_grams FROM g),
+             |m AS (SELECT win.doc_id, win.j, min(h.hv) AS mh
+             |      FROM win JOIN h ON h.doc_id = win.doc_id
+             |                     AND h.i >= win.j AND h.i <= least(win.j + 3, win.n_grams)
+             |      GROUP BY win.doc_id, win.j)
+             |SELECT g.doc_id, CAST(g.n_grams AS BIGINT) AS n_grams,
+             |       CAST(count(*) AS BIGINT) AS n_windows,
+             |       CAST(count(DISTINCT m.mh) AS BIGINT) AS n_fps,
+             |       min(m.mh) AS min_fp
+             |FROM g JOIN m ON m.doc_id = g.doc_id
+             |GROUP BY g.doc_id, g.n_grams
+             |ORDER BY g.doc_id""".stripMargin)))
 }

@@ -237,6 +237,36 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_._2) == Seq(3L, 3L, 0L))
   }
 
+  test("winnowingFingerprints windows correctly and honors the shared-run guarantee") {
+    import spark.implicits._
+    val run = "p q r s t u v" // 7 words = w + k - 1: must share a fingerprint
+    val docs = Seq(
+      (0L, "a b c d e f"),          // 3 grams < w -> one window over all
+      (1L, s"x1 x2 x3 $run y1 y2"),
+      (2L, s"z1 $run z2 z3 z4")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.winnowingFingerprints(docs, "doc_id", "text",
+        k = 4, w = 4)
+      .orderBy("id").collect()
+    val d0 = out(0)
+    assert(d0.getLong(1) == 3L && d0.getLong(2) == 1L && d0.getLong(3) == 1L)
+    // the guarantee needs the actual fingerprint SETS: recompute per doc
+    def fps(text: String): Set[String] = {
+      val ws = text.split(" ")
+      val hs = ws.sliding(4).map(g => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8"))
+        md.map("%02x".format(_)).mkString
+      }).toVector
+      if (hs.length >= 4) hs.sliding(4).map(_.min).toSet else Set(hs.min)
+    }
+    assert(fps(s"x1 x2 x3 $run y1 y2").intersect(fps(s"z1 $run z2 z3 z4")).nonEmpty,
+      "docs sharing a 7-word run must share a winnowing fingerprint")
+    // and the operator agrees with the reference computation
+    assert(out(1).getLong(3) == fps(s"x1 x2 x3 $run y1 y2").size)
+    assert(out(2).getString(4) == fps(s"z1 $run z2 z3 z4").min)
+  }
+
   test("qualityRepresentatives keeps the longest cluster member, ties -> lowest id") {
     import spark.implicits._
     val base = (1 to 20).map(i => s"t$i").mkString(" ")

@@ -388,6 +388,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), s"LM count tables lost map-side combine:\n$p")
   }
 
+  test("winnowing fingerprints are a shuffle-free narrow scan") {
+    val p = planOf("q115_winnowing")
+    assert(hashExchanges(p) == 0,
+      s"per-window minima acquired a hash shuffle:\n$p")
+    assert(!p.toLowerCase.contains("generate"),
+      s"windows must be in-row slices, not an explode:\n$p")
+  }
+
   test("audio decode is a shuffle-free narrow scan") {
     val p = planOf("q109_audio_features")
     assert(hashExchanges(p) == 0,
