@@ -352,6 +352,45 @@ object Curation {
       .drop("graft_t", "ws", "graft_chars", "graft_sym", "graft_alpha")
   }
 
+  /** Token-budget mixture planning — the arithmetic a data-mixing run
+    * does before sampling (the planning half of [[mixtureSample]]):
+    * per source, the corpus token supply, the token demand implied by
+    * the target mixture weight (ppm of `tokenBudget`), the sampling
+    * rate that meets demand (capped at 10000 bp — you cannot sample
+    * more than once without repeating), and the epoch count in
+    * centi-epochs when demand exceeds supply (oversampling ×1.00+).
+    * All integer HALF_UP — the plan is bit-identical on any engine.
+    * Sources absent from `targetPpm` get weight 0. Returns
+    * (source, n_docs, n_tokens, target_ppm, required_tokens,
+    *  sample_bp, epochs_c).
+    *
+    * Scale shape: ONE source-keyed map-side-combinable aggregation;
+    * the weight map rides as a literal map expression. Output is
+    * sources-sized; nothing else touches the corpus.
+    */
+  def mixturePlan(df: DataFrame, srcCol: String, textCol: String,
+                  targetPpm: Map[String, Long],
+                  tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val entries = targetPpm.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val ppmMap =
+      if (entries.isEmpty) typedLit(Map.empty[String, Long]) else map(entries: _*)
+    df.select(col(srcCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("graft_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("n_tokens"))
+      .withColumn("target_ppm",
+        coalesce(ppmMap(col("source")), lit(0L)).cast("long"))
+      .withColumn("required_tokens",
+        expr(s"(2 * target_ppm * ${tokenBudget}L + 1000000) div 2000000"))
+      .withColumn("sample_bp",
+        least(lit(10000L),
+          expr("(20000 * required_tokens + n_tokens) div (2 * n_tokens)")))
+      .withColumn("epochs_c",
+        expr("(200 * required_tokens + n_tokens) div (2 * n_tokens)"))
+  }
+
   /** One sorted-run aggregate over the document's word n-grams computing
     * BOTH repetition masses in a single pass (same idiom as [[topRun]]):
     * `best` = the largest count×strlen over any single gram (top-gram

@@ -1499,5 +1499,32 @@ object LlmQueries {
              |       min(m.mh) AS min_fp
              |FROM g JOIN m ON m.doc_id = g.doc_id
              |GROUP BY g.doc_id, g.n_grams
-             |ORDER BY g.doc_id""".stripMargin)))
+             |ORDER BY g.doc_id""".stripMargin)),
+
+    // ---- Token-budget mixture planning: target weights for three
+    // sources against a 1M-token budget; per-source supply, demand,
+    // capped sampling rate, and centi-epoch oversampling factor — all
+    // integer HALF_UP.
+    "q116_mixture_plan" -> QueryDef(
+      (s, dir) => {
+        Curation.mixturePlan(table(s, dir, "documents"), "source", "text",
+            Map("src0" -> 300000L, "src1" -> 200000L, "src3" -> 100000L),
+            tokenBudget = 1000000L)
+          .orderBy("source")
+      },
+      Some("""WITH s AS (SELECT source, count(*) AS n_docs,
+             |                  sum(len(string_split(text, ' '))) AS n_tokens
+             |           FROM documents GROUP BY source),
+             |t(tsrc, ppm) AS (VALUES ('src0', 300000), ('src1', 200000), ('src3', 100000)),
+             |r AS (SELECT s.source, s.n_docs, s.n_tokens,
+             |             CAST(coalesce(t.ppm, 0) AS BIGINT) AS target_ppm,
+             |             (2 * CAST(coalesce(t.ppm, 0) AS BIGINT) * 1000000 + 1000000) // 2000000 AS required_tokens
+             |      FROM s LEFT JOIN t ON t.tsrc = s.source)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |       CAST(n_tokens AS BIGINT) AS n_tokens,
+             |       CAST(target_ppm AS BIGINT) AS target_ppm,
+             |       CAST(required_tokens AS BIGINT) AS required_tokens,
+             |       CAST(least(10000, (20000 * required_tokens + n_tokens) // (2 * n_tokens)) AS BIGINT) AS sample_bp,
+             |       CAST((200 * required_tokens + n_tokens) // (2 * n_tokens) AS BIGINT) AS epochs_c
+             |FROM r ORDER BY source""".stripMargin)))
 }

@@ -267,6 +267,25 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getString(4) == fps(s"z1 $run z2 z3 z4").min)
   }
 
+  test("mixturePlan computes supply, demand, capped rate and oversampling epochs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "sa", "w w w w w w w w w w"),  // sa: 20 tokens supply
+      (1L, "sa", "w w w w w w w w w w"),
+      (2L, "sb", "w w w w w")             // sb: 5 tokens supply
+    ).toDF("doc_id", "source", "text")
+    val out = graft.llm.Curation.mixturePlan(docs, "source", "text",
+        Map("sa" -> 500000L, "sb" -> 500000L), tokenBudget = 20L)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(out == Seq(
+      // sa: demand 10 of 20 -> 50% sampling, 0.50 epochs
+      ("sa", 2L, 20L, 500000L, 10L, 5000L, 50L),
+      // sb: demand 10 of 5 -> capped at 100% sampling, 2.00 epochs
+      ("sb", 1L, 5L, 500000L, 10L, 10000L, 200L)))
+  }
+
   test("qualityRepresentatives keeps the longest cluster member, ties -> lowest id") {
     import spark.implicits._
     val base = (1 to 20).map(i => s"t$i").mkString(" ")

@@ -396,6 +396,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"windows must be in-row slices, not an explode:\n$p")
   }
 
+  test("mixture plan is one source-keyed aggregation with a literal weight map") {
+    val p = planOf("q116_mixture_plan")
+    assert(p.contains("partial_"), s"source rollup lost map-side combine:\n$p")
+    assert(!p.contains("Join"), s"the weight map must be a literal, not a join:\n$p")
+    assert(hashExchanges(p) <= 1,
+      s"plan should shuffle once on the source key:\n$p")
+  }
+
   test("audio decode is a shuffle-free narrow scan") {
     val p = planOf("q109_audio_features")
     assert(hashExchanges(p) == 0,
