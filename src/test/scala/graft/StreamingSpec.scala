@@ -89,6 +89,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("gopher rule batteries run on a stream unchanged (narrow expression pipelines)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clean = "the cat and the dog have fun with all of that every single day"
+    val in = MemoryStream[(Long, String)]
+    val out = graft.llm.Curation.gopherRules(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", minWords = 10L)
+      .select("id", "keep")
+    val q = out.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, clean), (2L, "tiny doc"))
+      q.processAllAvailable()
+      val got = spark.table("gopher_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 0L), s"got $got")
+    } finally q.stop()
+  }
+
   test("tumbling window counts emit watermark-closed windows with late data applied") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
