@@ -399,6 +399,53 @@ object TextAnalysis {
     * it composes into wider pipelines — including streaming ones — with
     * no join.
     */
+  /** One BPE training step (Sennrich, Haddow, Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016): count
+    * every adjacent character pair across the corpus weighted by word
+    * frequency and emit the top merge candidates — the inner loop a
+    * distributed tokenizer trainer repeats after applying the winning
+    * merge. Scale shape: tokens collapse to the word VOCABULARY first
+    * (one map-side-combinable groupBy — post-shuffle volume is distinct
+    * words, not corpus tokens), pair expansion is in-row over each
+    * word's characters, and the pair aggregation is again partial-agg'd;
+    * the top-n is a bounded TakeOrdered. Counts are exact integers.
+    * Output: (pair, n), count desc, pair asc.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topN)
+  }
+
+  /** Tokenizer fertility per source — pieces/word and bytes/token, the
+    * diagnostic that decides whether a tokenizer fits a corpus slice
+    * (high fertility = more pieces per word = more compute per byte of
+    * text). One map-side-combinable aggregation; the per-document
+    * counters are the q38 tokenization (whitespace words + BPE-ish regex
+    * pieces) computed in-row. Ratios are integer HALF_UP in basis points
+    * (pieces·10⁴/words) and centi-units (chars·10²/pieces), exact on any
+    * engine. Output per source: (source, n_docs, n_chars, ws_tokens,
+    * bpe_pieces, fertility_bp, chars_per_piece_c).
+    */
+  def tokenFertility(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.select(
+        col(srcCol).as("source"),
+        length(col(textCol)).cast("long").as("c"),
+        size(split(col(textCol), " ")).cast("long").as("w"),
+        size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+          .cast("long").as("p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("c").as("n_chars"),
+        sum("w").as("ws_tokens"), sum("p").as("bpe_pieces"))
+      .withColumn("fertility_bp", expr("(20000 * bpe_pieces + ws_tokens) div (2 * ws_tokens)"))
+      .withColumn("chars_per_piece_c", expr("(200 * n_chars + bpe_pieces) div (2 * bpe_pieces)"))
+
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("graft_ws", split(col(textCol), " "))
       .withColumn("fingerprint",

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Curation, Dedup, Multimodal, Profiling, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Pq, Profiling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -1526,5 +1526,136 @@ object LlmQueries {
              |       CAST(required_tokens AS BIGINT) AS required_tokens,
              |       CAST(least(10000, (20000 * required_tokens + n_tokens) // (2 * n_tokens)) AS BIGINT) AS sample_bp,
              |       CAST((200 * required_tokens + n_tokens) // (2 * n_tokens) AS BIGINT) AS epochs_c
-             |FROM r ORDER BY source""".stripMargin)))
+             |FROM r ORDER BY source""".stripMargin)),
+
+    // ---- Product quantization encode (Jégou et al. 2011): 8 subspaces
+    // × 16 codes over the 64-dim embeddings, codebook = the sub-vectors
+    // of vec_id < 16; integer-exact scaled-L2 argmin per subspace (ties
+    // → lowest code). A narrow zero-shuffle scan on the Spark side.
+    "q117_pq_encode" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Pq.encode(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 16))
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id", "sub")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |           FROM embeddings),
+             |v AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
+             |cb AS (SELECT vec_id AS code, sub, j, qv FROM v WHERE vec_id < 16),
+             |d AS (SELECT v.vec_id, v.sub, cb.code, sum((v.qv - cb.qv) * (v.qv - cb.qv)) AS dist
+             |      FROM v JOIN cb ON cb.sub = v.sub AND cb.j = v.j GROUP BY 1, 2, 3),
+             |a AS (SELECT vec_id, sub, code,
+             |             row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d)
+             |SELECT vec_id, sub, code FROM a WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin)),
+
+    // ---- PQ asymmetric-distance top-k: per-query distance tables over
+    // the same codebook, corpus side scored by 8 table lookups on its
+    // codes — the compressed-search path a billion-vector index serves.
+    "q118_pq_adc_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Pq.adcTopK(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 16),
+            emb.filter(col("vec_id") >= 20 && col("vec_id") < 30), k = 5)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |           FROM embeddings),
+             |v AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
+             |cb AS (SELECT vec_id AS code, sub, j, qv FROM v WHERE vec_id < 16),
+             |d AS (SELECT v.vec_id, v.sub, cb.code, sum((v.qv - cb.qv) * (v.qv - cb.qv)) AS dist
+             |      FROM v JOIN cb ON cb.sub = v.sub AND cb.j = v.j GROUP BY 1, 2, 3),
+             |a AS (SELECT vec_id, sub, code FROM
+             |      (SELECT vec_id, sub, code,
+             |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d)
+             |      WHERE rn = 1),
+             |adc AS (SELECT dq.vec_id AS query_id, a.vec_id AS neighbor_id,
+             |               CAST(sum(dq.dist) AS BIGINT) AS adc_dist
+             |        FROM d dq JOIN a ON a.sub = dq.sub AND a.code = dq.code
+             |        WHERE dq.vec_id BETWEEN 20 AND 29 AND a.vec_id <> dq.vec_id
+             |        GROUP BY 1, 2),
+             |r AS (SELECT query_id, neighbor_id, adc_dist,
+             |             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+             |      FROM adc)
+             |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, adc_dist
+             |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- PQ recall@5 against the exact scaled-L2 top-5 — the quality
+    // gate every compressed-ANN deployment measures before serving.
+    "q119_pq_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Pq.adcRecall(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 16),
+            emb.filter(col("vec_id") >= 20 && col("vec_id") < 30), k = 5)
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |           FROM embeddings),
+             |v AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
+             |cb AS (SELECT vec_id AS code, sub, j, qv FROM v WHERE vec_id < 16),
+             |d AS (SELECT v.vec_id, v.sub, cb.code, sum((v.qv - cb.qv) * (v.qv - cb.qv)) AS dist
+             |      FROM v JOIN cb ON cb.sub = v.sub AND cb.j = v.j GROUP BY 1, 2, 3),
+             |a AS (SELECT vec_id, sub, code FROM
+             |      (SELECT vec_id, sub, code,
+             |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d)
+             |      WHERE rn = 1),
+             |adc AS (SELECT dq.vec_id AS query_id, a.vec_id AS neighbor_id, sum(dq.dist) AS adc_dist
+             |        FROM d dq JOIN a ON a.sub = dq.sub AND a.code = dq.code
+             |        WHERE dq.vec_id BETWEEN 20 AND 29 AND a.vec_id <> dq.vec_id
+             |        GROUP BY 1, 2),
+             |apx AS (SELECT query_id, neighbor_id FROM
+             |        (SELECT query_id, neighbor_id,
+             |                row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+             |         FROM adc) WHERE rnk <= 5),
+             |ex AS (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+             |              sum((qa.qv - nb.qv) * (qa.qv - nb.qv)) AS d2
+             |       FROM q qa JOIN q nb ON nb.i = qa.i AND nb.vec_id <> qa.vec_id
+             |       WHERE qa.vec_id BETWEEN 20 AND 29 GROUP BY 1, 2),
+             |ext AS (SELECT query_id, neighbor_id FROM
+             |        (SELECT query_id, neighbor_id,
+             |                row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+             |         FROM ex) WHERE rn <= 5),
+             |ov AS (SELECT e.query_id, count(*) AS n_overlap FROM ext e
+             |       JOIN apx x ON x.query_id = e.query_id AND x.neighbor_id = e.neighbor_id
+             |       GROUP BY 1)
+             |SELECT qq.vec_id AS query_id,
+             |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+             |       CAST((20000 * coalesce(ov.n_overlap, 0) + 5) // 10 AS BIGINT) AS recall_bp
+             |FROM (SELECT vec_id FROM embeddings WHERE vec_id BETWEEN 20 AND 29) qq
+             |LEFT JOIN ov ON ov.query_id = qq.vec_id ORDER BY query_id""".stripMargin)),
+
+    // ---- BPE merge step: corpus-weighted adjacent char-pair counts
+    // over the word vocabulary — the inner loop of tokenizer training.
+    "q120_bpe_merge_step" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.bpePairCounts(table(s, dir, "documents"), "text", topN = 20)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+             |v AS (SELECT word, count(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY word),
+             |p AS (SELECT unnest(list_transform(range(1, length(word)),
+             |                    i -> substr(word, CAST(i AS INT), 2))) AS pair, freq FROM v),
+             |a AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair)
+             |SELECT pair, n FROM a ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    // ---- Tokenizer fertility per source: pieces/word (bp) and
+    // chars/piece (centi) — integer HALF_UP, one bounded aggregation.
+    "q121_token_fertility" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.tokenFertility(table(s, dir, "documents"), "source", "text")
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_pieces,
+             |       CAST((20000 * sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')))
+             |             + sum(len(string_split(text, ' '))))
+             |            // (2 * sum(len(string_split(text, ' ')))) AS BIGINT) AS fertility_bp,
+             |       CAST((200 * sum(length(text))
+             |             + sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))))
+             |            // (2 * sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')))) AS BIGINT) AS chars_per_piece_c
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)))
 }

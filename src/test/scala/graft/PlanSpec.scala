@@ -415,4 +415,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashExchanges(p) == 0,
       s"frame windowing acquired a hash shuffle:\n$p")
   }
+
+  test("pq encode is a shuffle-free narrow scan with the codebook as literals") {
+    val p = planOf("q117_pq_encode")
+    assert(hashExchanges(p) == 0,
+      s"PQ encoding acquired a hash shuffle:\n$p")
+    assert(!p.contains("Join"), s"the codebook must ride as literals, not a join:\n$p")
+  }
+
+  test("pq adc search broadcasts the query distance tables; corpus side never shuffles pre-topk") {
+    val p = planOf("q118_pq_adc_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query distance tables must broadcast:\n$p")
+    // the only hash exchange is the per-query top-k window
+    assert(hashExchanges(p) <= 1, s"ADC scoring acquired extra shuffles:\n$p")
+  }
+
+  test("bpe merge step collapses to the vocabulary before pair expansion") {
+    val p = planOf("q120_bpe_merge_step")
+    assert(p.contains("partial_"), s"pair counting lost map-side combine:\n$p")
+    // word vocab groupBy + pair groupBy; top-n is TakeOrdered, not a window
+    assert(hashExchanges(p) <= 2, s"expected vocab+pair shuffles only:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-n should be TakeOrdered:\n$p")
+  }
+
+  test("token fertility is one source-keyed aggregation") {
+    val p = planOf("q121_token_fertility")
+    assert(p.contains("partial_"), s"fertility rollup lost map-side combine:\n$p")
+    assert(hashExchanges(p) <= 1, s"plan should shuffle once on the source key:\n$p")
+  }
 }
