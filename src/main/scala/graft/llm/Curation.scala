@@ -458,4 +458,34 @@ object Curation {
     flagged.withColumn("keep", (flagSum === 0L).cast("long"))
       .drop("graft_t", "ws", "graft_chars")
   }
+
+  /** Cut each document into overlapping fixed-width word windows — the
+    * sequence-windowing step that turns long documents into training
+    * rows (and RAG corpora into retrieval chunks): windows of `width`
+    * words every `stride` words, the last window clipped to the text.
+    * Chunk count is ceil((len − width)/stride) + 1, minimum one (a
+    * short document yields itself). Pure in-row array expansion —
+    * output volume is ~len/stride rows per doc and the scan stays
+    * narrow, zero shuffles at any corpus size. Output: (id, chunk_idx,
+    * n_words, chunk_text).
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+      .withColumn("graft_len", size(col("graft_ws")).cast("long"))
+      // truncating DIV and floor // agree here: for len < width the
+      // greatest(1, ...) floor takes over on both engines
+      .withColumn("graft_nc", greatest(lit(1L),
+        expr(s"((graft_len - $width + $stride - 1) DIV $stride) + 1")))
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0L, graft_nc - 1), i -> struct(
+           |  i AS chunk_idx,
+           |  least(CAST($width AS BIGINT), graft_len - i * $stride) AS n_words,
+           |  array_join(slice(graft_ws, CAST(i * $stride + 1 AS INT), $width), ' ') AS chunk_text))"""
+          .stripMargin)).as("c"))
+      .select(col("id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_words").as("n_words"), col("c.chunk_text").as("chunk_text"))
+  }
 }

@@ -74,6 +74,17 @@ object Pq {
     }: _*)
   }
 
+  /** The m per-subspace argmin code columns (ties → lowest code) for a
+    * row's vector against the collected codebook — shared by
+    * [[encodeWide]] and [[ivfAdcTopK]].
+    */
+  private def codeColumns(vecCol: String, cb: Array[Array[Array[Float]]],
+      m: Int, scale: Double): Seq[Column] =
+    (0 until m).map { s =>
+      val d = subDists(col(vecCol), cb, s, scale)
+      (array_position(d, array_min(d)) - 1L).as(s"code_$s")
+    }
+
   /** Encode the corpus: (id, code_0..code_{m-1}) — each code the argmin
     * (ties → lowest code) over that subspace's codebook. A narrow
     * codegen'd scan; nothing shuffles.
@@ -81,11 +92,7 @@ object Pq {
   def encodeWide(corpus: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
       m: Int = 8, scale: Double = 10000.0): DataFrame = {
     val cb = collectCodebook(codebook, idCol, vecCol, m)
-    val codes = (0 until m).map { s =>
-      val d = subDists(col(vecCol), cb, s, scale)
-      (array_position(d, array_min(d)) - 1L).as(s"code_$s")
-    }
-    corpus.select((col(idCol).as("id") +: codes): _*)
+    corpus.select((col(idCol).as("id") +: codeColumns(vecCol, cb, m, scale)): _*)
   }
 
   /** Long-form encoding (id, sub, code) — the inspection/storage layout
@@ -152,5 +159,60 @@ object Pq {
     queries.select(col(idCol).as("query_id")).join(overlap, Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("recall_bp", expr(s"(20000 * n_overlap + $k) div (2 * $k)"))
+  }
+
+  /** IVF-ADC — the production composition for billion-vector search:
+    * the coarse quantizer ([[Similarity.ivfTopK]]'s cosine argmax,
+    * literal-embedded) routes every corpus vector into an inverted
+    * list, PQ codes compress it to m bytes, and a query probes only its
+    * `nProbe` nearest lists, scoring candidates with ADC lookups. The
+    * corpus pays two narrow in-row passes fused into ONE scan (coarse
+    * assignment + encoding — zero shuffles); the per-query candidate
+    * set is the probed lists, not the corpus, and the only wide ops are
+    * the cent_id-keyed candidate join (probe side broadcast) and the
+    * per-query top-k window. This variant quantizes the full vector
+    * (no residual codebooks — the IVFFlat-ADC layout); distances are
+    * scaled-BIGINT exact. Output: (query_id, neighbor_id, rnk,
+    * adc_dist).
+    */
+  def ivfAdcTopK(corpus: DataFrame, idCol: String, vecCol: String, coarse: DataFrame,
+      codebook: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      m: Int = 8, scale: Double = 10000.0): DataFrame = {
+    def dotD(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def normD(a: Column) = sqrt(dotD(a, a))
+    def cosD(a: Column, b: Column) = dotD(a, b) / (normD(a) * normD(b))
+    val cents = coarse
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty && cents.length <= (1 << 16),
+      s"coarse quantizer must be bounded, got ${cents.length} entries")
+    // (cs, -cent_id) structs — lexicographic max = best cosine, ties →
+    // lowest centroid id (the q50 probe order)
+    def scoredCents(v: Column) = transform(
+      array(cents.sortBy(_._1).map { case (cid, cv) =>
+        struct(lit(cid).as("cent_id"), typedLit(cv).as("cv"))
+      }: _*),
+      c => struct(cosD(v, c.getField("cv")).as("cs"), (-c.getField("cent_id")).as("nid")))
+    val cb = collectCodebook(codebook, idCol, vecCol, m)
+    val lists = corpus.select(
+      (col(idCol).as("neighbor_id") +:
+        (-array_max(scoredCents(col(vecCol))).getField("nid")).as("cent_id") +:
+        codeColumns(vecCol, cb, m, scale)): _*)
+    val qProbes = queries
+      .select((col(idCol).as("query_id") +:
+        explode(slice(reverse(array_sort(scoredCents(col(vecCol)))), 1, nProbe)).as("p") +:
+        (0 until m).map(s => subDists(col(vecCol), cb, s, scale).as(s"dt_$s"))): _*)
+      .withColumn("cent_id", -col("p.nid")).drop("p")
+    val adc = (0 until m).map { s =>
+      element_at(col(s"dt_$s"), col(s"code_$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val scored = broadcast(qProbes).join(lists, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("int")).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_dist"))
   }
 }

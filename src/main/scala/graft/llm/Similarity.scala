@@ -451,4 +451,72 @@ object Similarity {
         (expr("CAST(sign(graft_s) AS BIGINT) * ((2L * abs(graft_s) + n) DIV (2L * n))")
           .cast("double") / lit(scale)).as("mean"))
   }
+
+  /** k-NN label propagation — auto-labeling by majority vote over each
+    * query's exact cosine top-k (the standard weak-supervision step for
+    * stratifying or filtering an unlabeled slice against a labeled
+    * seed set). The vote table is query-bounded (Q·k rows), so the
+    * label join broadcasts it against the corpus labels and the
+    * argmax is a window over Q·(distinct labels) rows — corpus-side
+    * cost is exactly [[cosineTopK]]'s. Ties → lowest label. Output:
+    * (query_id, pred_label, votes).
+    */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val nbrs = cosineTopK(corpus, idCol, vecCol, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).cast("long").as("label"))
+    val votes = broadcast(nbrs).join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** Bucket-size histogram of the sign-LSH partitioning — the
+    * calibration diagnostic that catches degenerate bucketing before a
+    * pair join runs (the boilerplate pathology: corpus-wide shared
+    * structure collapses everything into one bucket and the candidate
+    * join goes quadratic). Two bounded map-side-combinable
+    * aggregations; post-shuffle volume is distinct buckets, then
+    * distinct sizes. Output: (bucket_size, n_buckets).
+    */
+  def lshBucketHistogram(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int): DataFrame =
+    lshBucket(df, idCol, vecCol, nPlanes)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+
+  /** Per-dimension mean drift between the md5-hash train/val splits —
+    * the distribution-shift check run before trusting a held-out set
+    * (a skewed split silently biases every eval). Reuses
+    * [[Curation.assignSplit]]'s exact split predicate (seeded md5
+    * bucket), accumulates scaled-BIGINT sums per (split, dim) in ONE
+    * map-side-combinable aggregation (post-shuffle volume = the
+    * dimensionality), and emits integer HALF_UP means in scaled units —
+    * engine-exact, no float summation. Output per dim: (dim, n_train,
+    * n_val, mean_train_sc, mean_val_sc, drift_sc).
+    */
+  def splitDrift(df: DataFrame, idCol: String, vecCol: String, seed: String,
+      trainPct: Int, scale: Double = 10000.0): DataFrame = {
+    val split = Curation.assignSplit(df.select(col(idCol), col(vecCol)), idCol,
+      seed, trainPct, 100 - trainPct)
+    val isTrain = (col("split") === "train").cast("long")
+    val mean = (s: String, n: String) =>
+      expr(s"CAST(sign($s) AS BIGINT) * ((2L * abs($s) + $n) DIV (2L * $n))")
+    split
+      .select(col("split"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("split"), col("dim").cast("long").as("dim"),
+        expr(s"CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT)").as("sc"))
+      .groupBy(col("dim"))
+      .agg(
+        sum(isTrain).as("n_train"),
+        sum(when(col("split") === "train", col("sc")).otherwise(0L)).as("s_train"),
+        sum(lit(1L) - isTrain).as("n_val"),
+        sum(when(col("split") =!= "train", col("sc")).otherwise(0L)).as("s_val"))
+      .select(col("dim"), col("n_train"), col("n_val"),
+        mean("s_train", "n_train").as("mean_train_sc"),
+        mean("s_val", "n_val").as("mean_val_sc"))
+      .withColumn("drift_sc", abs(col("mean_train_sc") - col("mean_val_sc")))
+  }
 }

@@ -446,6 +446,39 @@ object TextAnalysis {
       .withColumn("fertility_bp", expr("(20000 * bpe_pieces + ws_tokens) div (2 * ws_tokens)"))
       .withColumn("chars_per_piece_c", expr("(200 * n_chars + bpe_pieces) div (2 * bpe_pieces)"))
 
+  /** Model-based quality filtering with a hashed-feature linear
+    * classifier — the fastText-style scorer the GPT-3/LLaMA pipelines
+    * run over every crawl document (score against a Wikipedia-vs-crawl
+    * model, keep by threshold). Features are md5-hashed token buckets
+    * (the hashing trick — no vocabulary ships with the model); the
+    * weight vector is bounded (`nBuckets` entries) and rides into the
+    * plan as a literal, so scoring is a narrow codegen'd scan — ZERO
+    * shuffles at any corpus size. Weights here are md5-derived integers
+    * (deterministic stand-ins for trained weights — the plumbing is the
+    * operator; swap the literal for a trained vector in production), so
+    * scores are integer-exact on any engine. Output: (id, score,
+    * pred_keep).
+    */
+  def hashedClassifier(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536, s"nBuckets $nBuckets out of range")
+    // weight(b) = first md5 hex digit of "w:b" minus 8 — in [-8, 7],
+    // computed on the driver with the same md5 the SQL engines evaluate
+    // (the [[Similarity.lshBucket]] plane-literal pattern)
+    val weights = Array.tabulate(nBuckets) { b =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$b".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) >> 4) & 0xf).toLong - 8L
+    }
+    val w = typedLit(weights)
+    val perTok = transform(split(col(textCol), " "), t =>
+      element_at(w,
+        (conv(substring(md5(t), 1, 12), 16, 10).cast("long") % nBuckets).cast("int") + 1))
+    df.select(col(idCol).as("id"),
+        aggregate(perTok, lit(0L), (acc, v) => acc + v).as("score"))
+      .withColumn("pred_keep", (col("score") >= 0L).cast("long"))
+  }
+
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("graft_ws", split(col(textCol), " "))
       .withColumn("fingerprint",

@@ -1657,5 +1657,123 @@ object LlmQueries {
              |       CAST((200 * sum(length(text))
              |             + sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))))
              |            // (2 * sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')))) AS BIGINT) AS chars_per_piece_c
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- Hashed-feature linear classifier (fastText-style quality
+    // model): md5 token buckets, literal weight vector, in-row integer
+    // score — a zero-shuffle narrow scan on the Spark side.
+    "q122_hashed_classifier" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.hashedClassifier(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |w AS (SELECT doc_id,
+             |             CAST('0x' || substr(md5('w:' ||
+             |               CAST(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS VARCHAR)), 1, 1) AS BIGINT) - 8 AS wt
+             |      FROM toks),
+             |s AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w GROUP BY doc_id)
+             |SELECT doc_id, score,
+             |       CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_keep
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ---- Train/val embedding drift: per-dim HALF_UP means of the two
+    // md5-split halves in scaled integer units — the shift check before
+    // trusting a held-out set. One bounded (dim) aggregation.
+    "q123_split_drift" -> QueryDef(
+      (s, dir) => {
+        Similarity.splitDrift(table(s, dir, "embeddings"), "vec_id", "embedding",
+            seed = "dr", trainPct = 80)
+          .orderBy("dim")
+      },
+      Some("""WITH sp AS (SELECT vec_id,
+             |                   CASE WHEN CAST('0x' || substr(md5('dr:' || CAST(vec_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 80
+             |                        THEN 'train' ELSE 'val' END AS split,
+             |                   embedding
+             |            FROM embeddings),
+             |q AS (SELECT split, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS sc
+             |      FROM sp),
+             |a AS (SELECT dim,
+             |             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             |             CAST(sum(CASE WHEN split = 'train' THEN sc ELSE 0 END) AS BIGINT) AS s_train,
+             |             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             |             CAST(sum(CASE WHEN split = 'val' THEN sc ELSE 0 END) AS BIGINT) AS s_val
+             |      FROM q GROUP BY dim),
+             |m AS (SELECT dim, n_train, n_val,
+             |             CAST(sign(s_train) AS BIGINT) * ((2 * abs(s_train) + n_train) // (2 * n_train)) AS mean_train_sc,
+             |             CAST(sign(s_val) AS BIGINT) * ((2 * abs(s_val) + n_val) // (2 * n_val)) AS mean_val_sc
+             |      FROM a)
+             |SELECT dim, n_train, n_val, mean_train_sc, mean_val_sc,
+             |       abs(mean_train_sc - mean_val_sc) AS drift_sc
+             |FROM m ORDER BY dim""".stripMargin)),
+
+    // ---- k-NN label propagation: majority label over the exact cosine
+    // top-5 (q34's ranking) — weak supervision from a labeled seed set.
+    "q124_knn_classify" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+            emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+             |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+             |      GROUP BY a.vec_id, b.vec_id),
+             |sc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
+             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+             |      FROM sc),
+             |v AS (SELECT t.query_id, CAST(em.label AS BIGINT) AS label, count(*) AS votes
+             |      FROM (SELECT query_id, neighbor_id FROM r WHERE rnk <= 5) t
+             |      JOIN embeddings em ON em.vec_id = t.neighbor_id GROUP BY 1, 2),
+             |b AS (SELECT query_id, label, votes,
+             |             row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn FROM v)
+             |SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes
+             |FROM b WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
+    // ---- LSH bucket-size histogram: the banding-calibration
+    // diagnostic that catches degenerate buckets before any pair join.
+    "q125_lsh_bucket_histogram" -> QueryDef(
+      (s, dir) => {
+        Similarity.lshBucketHistogram(table(s, dir, "embeddings"), "vec_id", "embedding",
+            nPlanes = 8)
+          .orderBy("bucket_size")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |p AS (SELECT j, i, CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+             |                        THEN 1.0 ELSE -1.0 END AS pv
+             |      FROM (SELECT unnest(range(0, 8)) AS j) js, (SELECT unnest(range(0, 64)) AS i) xs),
+             |proj AS (SELECT vec_id, j, sum(CAST(v AS DOUBLE) * pv) AS pr
+             |         FROM e JOIN p ON p.i = e.i - 1 GROUP BY vec_id, j),
+             |b AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |      FROM proj GROUP BY vec_id),
+             |h AS (SELECT bucket, count(*) AS bucket_size FROM b GROUP BY bucket)
+             |SELECT CAST(bucket_size AS BIGINT) AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+             |FROM h GROUP BY bucket_size ORDER BY bucket_size""".stripMargin)),
+
+    // ---- Overlapping word windows (training-sequence / RAG chunking):
+    // width 12, stride 8, last window clipped, short docs yield
+    // themselves. In-row expansion, zero shuffles.
+    "q126_chunk_windows" -> QueryDef(
+      (s, dir) => {
+        Curation.chunkWindows(table(s, dir, "documents"), "doc_id", "text",
+            width = 12, stride = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+             |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+             |           FROM documents),
+             |c AS (SELECT doc_id, ws, l, greatest(1, ((l - 12 + 8 - 1) // 8) + 1) AS nc FROM w),
+             |x AS (SELECT doc_id, ws, l, unnest(range(nc)) AS i FROM c)
+             |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |       CAST(least(12, l - i * 8) AS BIGINT) AS n_words,
+             |       array_to_string(list_slice(ws, CAST(i * 8 + 1 AS INT), CAST(i * 8 + 12 AS INT)), ' ') AS chunk_text
+             |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)))
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.llm.{Curation, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the corpus-diagnostic operators: hashed-classifier
+  * scoring, k-NN label propagation, split drift, LSH bucket histogram,
+  * and chunk windowing edge cases (short docs, exact-width docs, last
+  * window clipping).
+  */
+class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-diagnostics-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("hashedClassifier score is the sum of md5-derived bucket weights") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha alpha"), (2L, "alpha")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedClassifier(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // score("alpha alpha") must be exactly 2 * score("alpha")
+    assert(got(1L) == 2 * got(2L))
+    // and the weight is the documented function of the md5 bucket
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bkt = java.lang.Long.parseLong(
+      md.digest("alpha".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16) % 64
+    val w = ((java.security.MessageDigest.getInstance("MD5")
+      .digest(s"w:$bkt".getBytes("UTF-8"))(0) >> 4) & 0xf) - 8
+    assert(got(2L) == w.toLong)
+  }
+
+  test("knnClassify majority-votes the top-k labels, ties to the lowest label") {
+    import spark.implicits._
+    // query 0 at origin-ish; neighbors: two label-7 vectors very close,
+    // one label-3 vector close, others far
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 9),
+      (1L, Seq(0.99f, 0.1f, 0f, 0f), 7),
+      (2L, Seq(0.98f, 0.15f, 0f, 0f), 7),
+      (3L, Seq(0.9f, 0.4f, 0f, 0f), 3),
+      (4L, Seq(0f, 1f, 0f, 0f), 1),
+      (5L, Seq(0f, 0f, 1f, 0f), 1))
+    val df = rows.toDF("id", "v", "label")
+    val got = Similarity.knnClassify(df, "id", "v", "label", df.filter(col("id") === 0L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 7L, 2L)))
+  }
+
+  test("splitDrift means are integer HALF_UP over each split's scaled sums") {
+    import spark.implicits._
+    // ids chosen arbitrarily; verify invariants rather than the split:
+    // n_train + n_val == N per dim, and drift == |meanA - meanB|
+    val df = (0L until 50L).map(i => (i, Seq(i.toFloat / 100f, -1f)))
+      .toDF("id", "v")
+    val rows = Similarity.splitDrift(df, "id", "v", seed = "t", trainPct = 80).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_val") == 50L)
+      assert(r.getAs[Long]("drift_sc") ==
+        math.abs(r.getAs[Long]("mean_train_sc") - r.getAs[Long]("mean_val_sc")))
+    }
+    // dim 1 is the constant -1: both means must be exactly -10000, zero drift
+    val d1 = rows.find(_.getAs[Long]("dim") == 1L).get
+    assert(d1.getAs[Long]("mean_train_sc") == -10000L && d1.getAs[Long]("drift_sc") == 0L)
+  }
+
+  test("lshBucketHistogram sizes sum back to the corpus size") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, Seq(math.sin(i * 1.7).toFloat,
+      math.cos(i * 2.3).toFloat, math.sin(i * 0.9).toFloat, 1f))).toDF("id", "v")
+    val got = Similarity.lshBucketHistogram(df, "id", "v", nPlanes = 4).collect()
+    assert(got.map(r => r.getLong(0) * r.getLong(1)).sum == 40L)
+  }
+
+  test("chunkWindows clips the last window and yields one chunk for short docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 words: chunks [1..12],[9..20]
+      (2L, "a b c"),                                  // short: itself
+      (3L, (1 to 12).map(i => s"w$i").mkString(" "))  // exact width: one chunk
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkWindows(df, "doc_id", "text", width = 12, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+    assert(byDoc(3L).length == 1 && byDoc(3L).head._3 == 12L)
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.length == 2)
+    assert(d1(0)._4 == (1 to 12).map(i => s"w$i").mkString(" "))
+    assert(d1(1)._4 == (9 to 20).map(i => s"w$i").mkString(" ") && d1(1)._3 == 12L)
+  }
+}

@@ -444,4 +444,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), s"fertility rollup lost map-side combine:\n$p")
     assert(hashExchanges(p) <= 1, s"plan should shuffle once on the source key:\n$p")
   }
+
+  test("hashed classifier is a shuffle-free narrow scan with the weights as literals") {
+    val p = planOf("q122_hashed_classifier")
+    assert(hashExchanges(p) == 0, s"classifier scoring acquired a shuffle:\n$p")
+    assert(!p.contains("Join"), s"the weight vector must ride as a literal, not a join:\n$p")
+  }
+
+  test("split drift is one dim-keyed aggregation over the exploded scaled vectors") {
+    val p = planOf("q123_split_drift")
+    assert(p.contains("partial_"), s"drift agg lost map-side combine:\n$p")
+    assert(hashExchanges(p) <= 1, s"plan should shuffle once on the dim key:\n$p")
+    assert(!p.contains("Join"), s"split assignment must be in-row, not a join:\n$p")
+  }
+
+  test("chunk windows are in-row expansion, zero shuffles") {
+    val p = planOf("q126_chunk_windows")
+    assert(hashExchanges(p) == 0, s"chunking acquired a shuffle:\n$p")
+  }
 }
