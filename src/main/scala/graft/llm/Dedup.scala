@@ -664,4 +664,16 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"), max(col("graft_end")).as("span_end"))
       .select(col("id"), col("span_start"), col("span_end"))
   }
+
+  /** Cluster-size histogram over a [[connectedComponents]] (or any
+    * (member, cluster)) table — the dedup health report: a long tail of
+    * pair-sized clusters is normal near-duplication; a giant component
+    * means boilerplate or a degenerate bucket glued the corpus together
+    * (the q106 pathology, post-clustering view). Two bounded
+    * map-side-combinable aggregations; post-shuffle volume is distinct
+    * clusters, then distinct sizes. Output: (cluster_size, n_clusters).
+    */
+  def clusterSizeHistogram(clusters: DataFrame, compCol: String): DataFrame =
+    clusters.groupBy(col(compCol)).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 }

@@ -89,7 +89,10 @@ object Similarity {
     // bucket computation (2 shuffles) runs twice. Cache lifecycle:
     // [[CacheRegistry]] — release after materializing.
     val withBucket = CacheRegistry.persist(
-      corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id"))
+      corpus.join(buckets, corpus(idCol) === buckets("id"))
+        // drop by REFERENCE: a plain drop("id") would also remove the
+        // caller's id column when idCol itself is named "id"
+        .drop(buckets("id")))
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na"))
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"),
@@ -159,7 +162,10 @@ object Similarity {
     // feeds both the broadcast query side and the candidate side. Cache
     // lifecycle: [[CacheRegistry]] — release after materializing.
     val withBucket = CacheRegistry.persist(
-      corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id"))
+      corpus.join(buckets, corpus(idCol) === buckets("id"))
+        // drop by REFERENCE: a plain drop("id") would also remove the
+        // caller's id column when idCol itself is named "id"
+        .drop(buckets("id")))
     val q = broadcast(withBucket
       .join(queries.select(col(idCol).as("qid")), col(idCol) === col("qid"))
       .select(col("qid").as("query_id"), col(vecCol).as("qv"), col("bucket"),
@@ -450,6 +456,64 @@ object Similarity {
         // expression means the same thing under Spark's DIV and DuckDB's //.
         (expr("CAST(sign(graft_s) AS BIGINT) * ((2L * abs(graft_s) + n) DIV (2L * n))")
           .cast("double") / lit(scale)).as("mean"))
+  }
+
+  /** Centroid-based silhouette — the cluster-quality score that decides
+    * whether a clustering (and hence an IVF codebook or SemDeDup
+    * partition) actually separates the corpus: per vector, a² = squared
+    * distance to its own (nearest) centroid, b² = squared distance to
+    * the best OTHER centroid, s = (b²−a²)/b² in basis points (b² ≥ a²
+    * by construction since assignment is the argmin; s→0 means the
+    * vector sits on a cluster boundary). Distances are scaled-BIGINT
+    * exact against literal-embedded centroids — a narrow zero-shuffle
+    * corpus scan, like every serving-side assignment in this module.
+    * Output: (id, cluster_id, a2, b2, s_bp).
+    */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, scale: Double = 10000.0): DataFrame = {
+    val cents = centroids
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .collect().sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty && cents.length >= 2 && cents.length <= (1 << 12),
+      s"need a bounded codebook of >= 2 centroids, got ${cents.length}")
+    val sv = transform(col(vecCol), x =>
+      round(x.cast("double") * scale).cast("long"))
+    // (dist², cid) structs; ascending sort → rank 1 = assignment,
+    // rank 2 = best other cluster (ties → lowest cid via struct order)
+    val scored = array_sort(array(cents.map { case (cid, cv) =>
+      val csc = transform(typedLit(cv), x => round(x.cast("double") * scale).cast("long"))
+      struct(
+        aggregate(zip_with(sv, csc, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d2"),
+        lit(cid).as("cid"))
+    }: _*))
+    df.select(col(idCol).as("id"), scored.as("graft_sc"))
+      .select(col("id"),
+        col("graft_sc")(0).getField("cid").as("cluster_id"),
+        col("graft_sc")(0).getField("d2").as("a2"),
+        col("graft_sc")(1).getField("d2").as("b2"))
+      .withColumn("s_bp",
+        when(col("b2") === 0L, lit(0L))
+          .otherwise(expr("(20000 * (b2 - a2) + b2) div (2 * b2)")))
+  }
+
+  /** Recall@k of the LSH-bucketed ANN against the exact cosine top-k —
+    * the evaluation that calibrates `nPlanes` (more planes = smaller
+    * buckets = faster but lower recall). Both rankings use the same
+    * (score desc, neighbor_id) tie-break; overlap and recall_bp are
+    * integer-exact. Output: (query_id, n_overlap, recall_bp).
+    */
+  def lshRecall(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, nPlanes: Int): DataFrame = {
+    val approx = lshTopK(corpus, idCol, vecCol, queries, k, nPlanes)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = cosineTopK(corpus, idCol, vecCol, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    queries.select(col(idCol).as("query_id")).join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_bp", expr(s"(20000 * n_overlap + $k) div (2 * $k)"))
   }
 
   /** k-NN label propagation — auto-labeling by majority vote over each

@@ -446,6 +446,82 @@ object TextAnalysis {
       .withColumn("fertility_bp", expr("(20000 * bpe_pieces + ws_tokens) div (2 * ws_tokens)"))
       .withColumn("chars_per_piece_c", expr("(200 * n_chars + bpe_pieces) div (2 * bpe_pieces)"))
 
+  /** Pairwise source divergence — count-weighted log-likelihood-ratio
+    * (≈ n·KL) between every pair of sources' add-one-smoothed unigram
+    * distributions, the corpus-similarity matrix that informs mixture
+    * design (near-zero divergence → redundant sources; large asymmetry
+    * → one source covers the other's vocabulary but not vice versa).
+    * Each distinct (word, pair) term is ln of an integer ratio rounded
+    * ONCE to micro-nats (the q102/q114 discipline), then summed as
+    * BIGINTs weighted by the a-side count — order-independent and
+    * engine-exact. Scale shape: one token pass collapses to per-source
+    * word counts (map-side combinable; post-shuffle volume = vocab ×
+    * sources); the pair expansion joins per-distinct-word, so cost is
+    * vocab-bounded, never corpus-bounded. Output: (src_a, src_b,
+    * n_terms, div_micro).
+    */
+  def sourceDivergence(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(srcCol).as("source"), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    // feeds totals, the vocab grid, and the a-side — persist the one
+    // corpus-derived table. Cache lifecycle: [[CacheRegistry]].
+    val counts = CacheRegistry.persist(
+      toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vocab = counts.select(col("w")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("graft_v"))
+    val grid = vocab
+      .crossJoin(broadcast(totals.select(col("source").as("src_b"), col("n").as("n_b"))))
+      .join(counts.select(col("source").as("src_b"), col("w"), col("c").as("c_b")),
+        Seq("src_b", "w"), "left")
+      .select(col("src_b"), col("w"), col("n_b"), coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val aSide = counts.select(col("source").as("src_a"), col("w"), col("c").as("c_a"))
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+    aSide.join(grid, Seq("w")).filter(col("src_a") =!= col("src_b"))
+      .crossJoin(broadcast(vsize))
+      .select(col("src_a"), col("src_b"), col("c_a"),
+        expr("""CAST(round(ln(CAST((c_a + 1) * (n_b + graft_v) AS DOUBLE) /
+               |               CAST((c_b + 1) * (n_a + graft_v) AS DOUBLE)) * 1000000.0) AS BIGINT)"""
+          .stripMargin).as("graft_t"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c_a") * col("graft_t")).as("div_micro"))
+  }
+
+  /** Cross-document winnowing matches — the MOSS detector itself: every
+    * document pair sharing at least `minShared` distinct winnowing
+    * fingerprints, with the shared count. The winnowing guarantee makes
+    * this sound: any run of w+k−1 common words forces a common
+    * fingerprint, so true overlapping pairs MUST collide in the
+    * fingerprint buckets — candidate generation is a fingerprint-keyed
+    * join (pairwise work = Σ bucket², like LSH banding), never
+    * all-pairs. Output: (id_a, id_b, n_shared).
+    */
+  def winnowingMatches(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2L): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val parts = (0 until k)
+      .map(o => if (o == 0) "ws[i]" else s"ws[i+$o]").mkString(", ' ', ")
+    // per-doc DISTINCT fingerprints, all in-row; feeds both join sides.
+    // Cache lifecycle: [[CacheRegistry]] — release after materializing.
+    val fps = CacheRegistry.persist(
+      df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+        .filter(size(col("ws")) >= k)
+        .select(col("id"), expr(
+          s"transform(transform(sequence(0, size(ws) - $k), i -> concat($parts)), g -> md5(g))")
+          .as("hs"))
+        .select(col("id"), expr(
+          s"""CASE WHEN size(hs) >= $w
+             |  THEN transform(sequence(0, size(hs) - $w),
+             |         j -> array_min(slice(hs, j + 1, $w)))
+             |  ELSE array(array_min(hs)) END""".stripMargin).as("mins"))
+        .select(col("id"), explode(array_distinct(col("mins"))).as("fp")))
+    fps.select(col("fp"), col("id").as("id_a"))
+      .join(fps.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Model-based quality filtering with a hashed-feature linear
     * classifier — the fastText-style scorer the GPT-3/LLaMA pipelines
     * run over every crawl document (score against a Wikipedia-vs-crawl

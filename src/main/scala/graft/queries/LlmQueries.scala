@@ -1775,5 +1775,207 @@ object LlmQueries {
              |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
              |       CAST(least(12, l - i * 8) AS BIGINT) AS n_words,
              |       array_to_string(list_slice(ws, CAST(i * 8 + 1 AS INT), CAST(i * 8 + 12 AS INT)), ' ') AS chunk_text
-             |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)))
+             |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- IVF-ADC: the production billion-vector composition — coarse
+    // lists (q50's quantizer) probed per query, candidates scored by PQ
+    // code lookups (q118's tables). One fused narrow corpus scan.
+    "q127_ivf_adc" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Pq.ivfAdcTopK(emb, "vec_id", "embedding",
+            coarse = emb.filter(col("vec_id") < 8),
+            codebook = emb.filter(col("vec_id") < 16),
+            queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+            k = 5, nProbe = 2)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |cc AS (SELECT a.vec_id AS id, k.vec_id AS cent_id, sum(CAST(a.v AS DOUBLE) * CAST(k.v AS DOUBLE)) AS dp
+             |       FROM e a JOIN e k ON k.i = a.i AND k.vec_id < 8 GROUP BY 1, 2),
+             |cs AS (SELECT id, cent_id, dp / (na.nrm * nk.nrm) AS c
+             |       FROM cc JOIN n na ON na.vec_id = id JOIN n nk ON nk.vec_id = cent_id),
+             |asg AS (SELECT id, cent_id FROM
+             |        (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn FROM cs)
+             |        WHERE rn = 1),
+             |probe AS (SELECT id AS query_id, cent_id FROM
+             |          (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn
+             |           FROM cs WHERE id BETWEEN 10 AND 19)
+             |          WHERE rn <= 2),
+             |q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |      FROM embeddings),
+             |pv AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
+             |pcb AS (SELECT vec_id AS code, sub, j, qv FROM pv WHERE vec_id < 16),
+             |pd AS (SELECT pv.vec_id, pv.sub, pcb.code, sum((pv.qv - pcb.qv) * (pv.qv - pcb.qv)) AS dist
+             |       FROM pv JOIN pcb ON pcb.sub = pv.sub AND pcb.j = pv.j GROUP BY 1, 2, 3),
+             |pa AS (SELECT vec_id, sub, code FROM
+             |       (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM pd)
+             |       WHERE rn = 1),
+             |cand AS (SELECT p.query_id, ag.id AS neighbor_id FROM probe p
+             |         JOIN asg ag ON ag.cent_id = p.cent_id AND ag.id <> p.query_id),
+             |adc AS (SELECT c2.query_id, c2.neighbor_id, CAST(sum(dq.dist) AS BIGINT) AS adc_dist
+             |        FROM cand c2 JOIN pa ON pa.vec_id = c2.neighbor_id
+             |        JOIN pd dq ON dq.vec_id = c2.query_id AND dq.sub = pa.sub AND dq.code = pa.code
+             |        GROUP BY 1, 2),
+             |r AS (SELECT query_id, neighbor_id, adc_dist,
+             |             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk FROM adc)
+             |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, adc_dist
+             |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- Pairwise source divergence (count-weighted unigram LLR in
+    // micro-nats): the corpus-similarity matrix behind mixture design.
+    "q128_source_divergence" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.sourceDivergence(table(s, dir, "documents"), "source", "text")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+             |c AS (SELECT source, w, count(*) AS c FROM toks WHERE w <> '' GROUP BY 1, 2),
+             |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY source),
+             |vz AS (SELECT count(DISTINCT w) AS gv FROM c),
+             |grid AS (SELECT tb.source AS src_b, vw.w, tb.n AS n_b, coalesce(cb.c, 0) AS c_b
+             |         FROM (SELECT DISTINCT w FROM c) vw CROSS JOIN t tb
+             |         LEFT JOIN c cb ON cb.source = tb.source AND cb.w = vw.w),
+             |a AS (SELECT ca.source AS src_a, ca.w, ca.c AS c_a, ta.n AS n_a
+             |      FROM c ca JOIN t ta ON ta.source = ca.source),
+             |terms AS (SELECT src_a, src_b, c_a,
+             |                 CAST(round(ln(CAST((c_a + 1) * (n_b + gv) AS DOUBLE) /
+             |                               CAST((c_b + 1) * (n_a + gv) AS DOUBLE)) * 1000000.0) AS BIGINT) AS lt
+             |          FROM a JOIN grid ON grid.w = a.w CROSS JOIN vz WHERE src_a <> src_b)
+             |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_terms,
+             |       CAST(sum(c_a * lt) AS BIGINT) AS div_micro
+             |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Cross-document winnowing matches (the MOSS detector): pairs
+    // sharing >= 2 distinct fingerprints via the fingerprint-bucket join.
+    "q129_winnowing_matches" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.winnowingMatches(table(s, dir, "documents"), "doc_id", "text",
+            k = 4, w = 4, minShared = 2L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 4),
+             |t AS (SELECT doc_id, unnest(range(1, len(ws) - 2)) AS i, ws FROM w),
+             |h AS (SELECT doc_id, i, md5(ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]
+             |             || ' ' || ws[CAST(i+2 AS INT)] || ' ' || ws[CAST(i+3 AS INT)]) AS hv
+             |      FROM t),
+             |g AS (SELECT doc_id, count(*) AS n_grams FROM h GROUP BY doc_id),
+             |win AS (SELECT doc_id, unnest(range(1, greatest(n_grams - 4 + 1, 1) + 1)) AS j,
+             |               n_grams FROM g),
+             |m AS (SELECT win.doc_id, win.j, min(h.hv) AS mh
+             |      FROM win JOIN h ON h.doc_id = win.doc_id
+             |                     AND h.i >= win.j AND h.i <= least(win.j + 3, win.n_grams)
+             |      GROUP BY win.doc_id, win.j),
+             |fp AS (SELECT DISTINCT doc_id, mh FROM m),
+             |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+             |       FROM fp a JOIN fp b ON b.mh = a.mh AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+             |FROM pr WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Dedup cluster-size histogram: the post-clustering health
+    // report (a giant component = glued corpus, the q106 pathology).
+    "q130_cluster_size_histogram" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"))
+        val maxId = docs.agg(max("doc_id")).first().getLong(0)
+        val e1 = docs.filter(col("doc_id") % 7 < 2 && col("doc_id") + 1 <= maxId)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        val e2 = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") + 50 <= maxId)
+          .select(col("doc_id").as("a"), (col("doc_id") + 50).as("b"))
+        Dedup.clusterSizeHistogram(
+            Dedup.connectedComponents(e1.union(e2), "a", "b"), "comp")
+          .orderBy("cluster_size")
+      },
+      Some("""WITH RECURSIVE e0 AS (
+             |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+             |  WHERE doc_id % 7 < 2 AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+             |  UNION ALL
+             |  SELECT doc_id, doc_id + 50 FROM documents
+             |  WHERE doc_id % 13 = 0 AND doc_id + 50 <= (SELECT max(doc_id) FROM documents)),
+             |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+             |nodes AS (SELECT DISTINCT u AS id FROM e),
+             |r AS (
+             |  SELECT id AS src, id AS dst FROM nodes
+             |  UNION
+             |  SELECT r.src, e.v FROM r JOIN e ON e.u = r.dst),
+             |comp AS (SELECT src AS id, min(dst) AS component FROM r GROUP BY src),
+             |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+             |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+             |       CAST(count(*) AS BIGINT) AS n_clusters
+             |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
+    // ---- Centroid silhouette: per-vector (b²−a²)/b² in bp against the
+    // q50 codebook — cluster-quality eval as a zero-shuffle narrow scan.
+    "q131_silhouette" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.silhouette(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 8))
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |           FROM embeddings),
+             |cb AS (SELECT vec_id AS cid, i, qv FROM q WHERE vec_id < 8),
+             |d AS (SELECT q.vec_id, cb.cid, sum((q.qv - cb.qv) * (q.qv - cb.qv)) AS d2
+             |      FROM q JOIN cb ON cb.i = q.i GROUP BY 1, 2),
+             |r AS (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+             |ab AS (SELECT a.vec_id, a.cid AS cluster_id, CAST(a.d2 AS BIGINT) AS a2, CAST(b.d2 AS BIGINT) AS b2
+             |       FROM (SELECT * FROM r WHERE rn = 1) a JOIN (SELECT * FROM r WHERE rn = 2) b USING (vec_id))
+             |SELECT vec_id, cluster_id, a2, b2,
+             |       CASE WHEN b2 = 0 THEN 0 ELSE (20000 * (b2 - a2) + b2) // (2 * b2) END AS s_bp
+             |FROM ab ORDER BY vec_id""".stripMargin)),
+
+    // ---- LSH ANN recall@5 vs the exact cosine top-5 — calibrates
+    // nPlanes the way q119 calibrates the PQ codebook.
+    "q132_lsh_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.lshRecall(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 10), k = 5, nPlanes = 8)
+          .orderBy("query_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |xd AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |              sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+             |       FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+             |       GROUP BY 1, 2),
+             |xsc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
+             |        FROM xd JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |ex AS (SELECT query_id, neighbor_id FROM
+             |       (SELECT query_id, neighbor_id,
+             |               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+             |        FROM xsc) WHERE rnk <= 5),
+             |p AS (SELECT j, i, CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 1
+             |                        THEN 1.0 ELSE -1.0 END AS pv
+             |      FROM (SELECT unnest(range(0, 8)) AS j) js, (SELECT unnest(range(0, 64)) AS i) xs),
+             |proj AS (SELECT vec_id, j, sum(CAST(v AS DOUBLE) * pv) AS pr
+             |         FROM e JOIN p ON p.i = e.i - 1 GROUP BY vec_id, j),
+             |b AS (SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |      FROM proj GROUP BY vec_id),
+             |ld AS (SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+             |              sum(CAST(a.v AS DOUBLE) * CAST(b2.v AS DOUBLE)) AS dp
+             |       FROM e a JOIN b ba ON ba.vec_id = a.vec_id AND a.vec_id < 10
+             |       JOIN b bb ON bb.bucket = ba.bucket
+             |       JOIN e b2 ON b2.vec_id = bb.vec_id AND b2.i = a.i AND b2.vec_id <> a.vec_id
+             |       GROUP BY 1, 2),
+             |lsc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
+             |        FROM ld JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |ap AS (SELECT query_id, neighbor_id FROM
+             |       (SELECT query_id, neighbor_id,
+             |               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+             |        FROM lsc) WHERE rnk <= 5),
+             |ov AS (SELECT x.query_id, count(*) AS n_overlap FROM ex x
+             |       JOIN ap ON ap.query_id = x.query_id AND ap.neighbor_id = x.neighbor_id
+             |       GROUP BY 1)
+             |SELECT qq.vec_id AS query_id,
+             |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+             |       CAST((20000 * coalesce(ov.n_overlap, 0) + 5) // 10 AS BIGINT) AS recall_bp
+             |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) qq
+             |LEFT JOIN ov ON ov.query_id = qq.vec_id ORDER BY query_id""".stripMargin)))
 }

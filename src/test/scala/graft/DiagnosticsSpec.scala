@@ -82,6 +82,78 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(r => r.getLong(0) * r.getLong(1)).sum == 40L)
   }
 
+  test("sourceDivergence is zero between identically-distributed sources") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x x y"), ("a", "z"),
+      ("b", "x y x"), ("b", "z"),          // same unigram counts as a
+      ("c", "q q q q")).toDF("source", "text")
+    val got = graft.llm.TextAnalysis.sourceDivergence(df, "source", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    assert(got(("a", "b")) == 0L && got(("b", "a")) == 0L)
+    // divergent pair is nonzero in at least one direction
+    assert(got(("a", "c")) != 0L || got(("c", "a")) != 0L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("winnowingMatches finds pairs sharing a long run and skips unrelated docs") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"$shared alpha beta"),
+      (2L, s"gamma delta $shared"),
+      (3L, "p q r s t u v w x y z aa bb cc")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.winnowingMatches(df, "doc_id", "text",
+        k = 4, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 8-word shared run (>= w+k-1 = 7 words) guarantees a shared
+    // fingerprint for (1,2); doc 3 shares no 4-gram with anyone
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("silhouette assigns the argmin centroid and scores boundary vectors near zero") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 0f))).toDF("id", "v")
+    val vecs = Seq(
+      (10L, Seq(1f, 0f)),   // clearly cluster 0: a2 small, b2 big
+      (11L, Seq(5f, 0f)),   // exact midpoint: a2 == b2 -> s_bp 0, ties to cluster 0
+      (12L, Seq(9f, 0f))).toDF("id", "v")
+    val got = graft.llm.Similarity.silhouette(vecs, "id", "v", cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(got(10L)._1 == 0L && got(10L)._2 > 9000L)
+    assert(got(11L) == (0L, 0L))
+    assert(got(12L)._1 == 1L)
+    // s_bp formula check on vector 10: a2 = 1e8, b2 = 81e8 (scaled by 1e4)
+    val a2 = 10000L * 10000L; val b2 = 90000L * 90000L
+    val want = (20000L * (b2 - a2) + b2) / (2L * b2)
+    assert(got(10L)._2 == want)
+  }
+
+  test("lshRecall is full when buckets keep the true neighbors together") {
+    import spark.implicits._
+    // two tight clusters far apart: the exact top-1 of each query is its
+    // twin, which shares every sign projection -> recall 10000 bp
+    val df = Seq(
+      (0L, Seq(1f, 1f, 0.5f, 2f)), (1L, Seq(1.01f, 1f, 0.5f, 2f)),
+      (2L, Seq(-3f, -1f, -2f, -1f)), (3L, Seq(-3f, -1.01f, -2f, -1f))).toDF("id", "v")
+    val got = graft.llm.Similarity.lshRecall(df, "id", "v",
+        df.filter(col("id") === 0L || col("id") === 2L), k = 1, nPlanes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(0L -> 10000L, 2L -> 10000L), s"got $got")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("clusterSizeHistogram counts clusters by size") {
+    import spark.implicits._
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 30L))
+      .toDF("id", "comp")
+    val got = graft.llm.Dedup.clusterSizeHistogram(clusters, "comp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
   test("chunkWindows clips the last window and yields one chunk for short docs") {
     import spark.implicits._
     val df = Seq(

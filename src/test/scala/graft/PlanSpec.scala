@@ -462,4 +462,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("q126_chunk_windows")
     assert(hashExchanges(p) == 0, s"chunking acquired a shuffle:\n$p")
   }
+
+  test("ivf-adc fuses assignment+encoding into one narrow scan; probes broadcast") {
+    val p = planOf("q127_ivf_adc")
+    assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+    // the only hash exchange is the per-query top-k window
+    assert(hashExchanges(p) <= 1, s"IVF-ADC corpus side acquired extra shuffles:\n$p")
+  }
+
+  test("winnowing matches reuse one persisted fingerprint table on both join sides") {
+    val p = planOf("q129_winnowing_matches")
+    assert(p.contains("InMemoryTableScan"),
+      s"fingerprint subtree must be persisted, not recomputed per side:\n$p")
+    // fp-keyed join (both sides) + pair groupBy
+    assert(hashExchanges(p) <= 3, s"match join acquired extra shuffles:\n$p")
+  }
+
+  test("silhouette is a shuffle-free narrow scan against centroid literals") {
+    val p = planOf("q131_silhouette")
+    assert(hashExchanges(p) == 0, s"silhouette scoring acquired a shuffle:\n$p")
+    assert(!p.contains("Join"), s"centroids must ride as literals, not a join:\n$p")
+  }
 }

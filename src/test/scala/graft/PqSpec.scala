@@ -78,6 +78,23 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((10L, 1L, 10000L)))
   }
 
+  test("ivfAdcTopK only scores candidates from probed lists") {
+    // coarse centroids split the space; corpus point 12 lives in an
+    // unprobed list for query 20 (nProbe=1), so it must not appear even
+    // though its ADC distance is finite
+    val coarse = vecs(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 0f, 1f, 0f))
+    val cb = coarse
+    val corpus = vecs(
+      10L -> Seq(0.9f, 0.1f, 0f, 0f),  // list 0
+      11L -> Seq(0.8f, 0.2f, 0f, 0f),  // list 0
+      12L -> Seq(0f, 0f, 0.9f, 0.1f))  // list 1
+    val queries = vecs(20L -> Seq(1f, 0f, 0f, 0f))
+    val got = Pq.ivfAdcTopK(corpus, "id", "v", coarse, cb, queries,
+        k = 3, nProbe = 1, m = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(10L, 11L), s"expected only list-0 members, got $got")
+  }
+
   test("bpePairCounts weights pairs by word frequency and breaks count ties by pair") {
     import spark.implicits._
     val df = Seq("ab ab abc", "ab x").toDF("text") // 'ab' x3, 'abc' x1: ab->4, bc->1; 'x' filtered

@@ -108,6 +108,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("hashed classifier and chunk windows run on a stream unchanged (stateless narrow ops)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.llm.TextAnalysis.hashedClassifier(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val chunked = graft.llm.Curation.chunkWindows(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", width = 3, stride = 2)
+    val q1 = scored.writeStream.format("memory").queryName("hc_stream")
+      .outputMode("append").start()
+    val q2 = chunked.writeStream.format("memory").queryName("cw_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "a b c d e"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      // classifier emits one scored row; batch result must equal stream result
+      val batchScore = graft.llm.TextAnalysis.hashedClassifier(
+        Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().head.getLong(1)
+      assert(spark.table("hc_stream").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == Seq((1L, batchScore)))
+      // 5 words, width 3 stride 2 -> chunks at 0 ("a b c"), 1 ("c d e")
+      val chunks = spark.table("cw_stream").collect()
+        .map(r => (r.getLong(1), r.getString(3))).sortBy(_._1)
+      assert(chunks.toSeq == Seq((0L, "a b c"), (1L, "c d e")))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("tumbling window counts emit watermark-closed windows with late data applied") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
