@@ -459,6 +459,28 @@ object Curation {
       .drop("graft_t", "ws", "graft_chars")
   }
 
+  /** Leakage-free train/val/test split: assign by DUPLICATE CLUSTER,
+    * not by document, so two copies of the same text can never land in
+    * different splits (the subtle eval-contamination bug a per-doc hash
+    * split ships silently — q95 audits it, this prevents it). Cluster
+    * key = min doc id per exact canonical text; the split hash runs on
+    * the cluster id through the same seeded md5 bucket as
+    * [[assignSplit]]. Scale shape: one text-keyed min agg (map-side
+    * combinable) + one text-keyed join — both on the canonical-text
+    * key, the exact-dedup shape. For near-dup-safe splits feed
+    * [[Dedup.connectedComponents]] output as the cluster instead.
+    * Output: (id, cluster_id, split).
+    */
+  def clusterSplit(df: DataFrame, idCol: String, textCol: String, seed: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    val canon = df.groupBy(col(textCol).as("graft_t"))
+      .agg(min(col(idCol)).as("cluster_id"))
+    val joined = df.select(col(idCol).as("id"), col(textCol).as("graft_t"))
+      .join(canon, Seq("graft_t"))
+    assignSplit(joined, "cluster_id", seed, trainPct, valPct)
+      .select(col("id"), col("cluster_id"), col("split"))
+  }
+
   /** Cut each document into overlapping fixed-width word windows — the
     * sequence-windowing step that turns long documents into training
     * rows (and RAG corpora into retrieval chunks): windows of `width`

@@ -446,6 +446,75 @@ object TextAnalysis {
       .withColumn("fertility_bp", expr("(20000 * bpe_pieces + ws_tokens) div (2 * ws_tokens)"))
       .withColumn("chars_per_piece_c", expr("(200 * n_chars + bpe_pieces) div (2 * bpe_pieces)"))
 
+  /** Template-family detection via structural fingerprints: hash the
+    * sequence of word LENGTHS (structure, not content), so
+    * machine-generated documents that differ only in slot values — spam
+    * templates, boilerplate mail-merge, SEO farms — collapse to one
+    * fingerprint with many docs but multiple distinct texts. The
+    * complement to content dedup: exact dedup misses these entirely
+    * (every text is unique) and near-dup may miss them when slots are
+    * long. One map-side-combinable aggregation; the fingerprint is
+    * in-row. Output: (struct_fp, n_docs, n_texts, first_doc) for
+    * families of at least `minDocs` documents.
+    */
+  def templateFingerprints(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("graft_t"))
+      .withColumn("struct_fp", md5(concat_ws(",",
+        expr("transform(split(graft_t, ' '), w -> CAST(length(w) AS STRING))"))))
+      .groupBy(col("struct_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("graft_t")).as("n_texts"),
+        min(col("id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its HASHED-bigram features are
+    * under the target domain than under the raw corpus. The hashing
+    * trick is the point — both models live in a fixed `nBuckets`-dim
+    * space regardless of vocabulary, so the model tables are bounded by
+    * construction and broadcast. log-ratio per bucket is rounded ONCE
+    * to integer micro-nats (the q102/q114 discipline), then each doc
+    * sums count·weight as BIGINTs — engine-exact. Scale shape: two
+    * bounded bucket-count aggregations (map-side combinable, post-
+    * shuffle volume = nBuckets), one broadcast join onto the in-row
+    * bucketed bigram stream, one id-keyed sum. Output: (id, n_bigrams,
+    * dsir_micro); resample by dsir_micro rank to select.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536, s"nBuckets $nBuckets out of range")
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+      .filter(size(col("graft_ws")) >= 2)
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, size(graft_ws) - 2),
+           |  i -> CAST(conv(substring(md5(concat(graft_ws[i], ' ', graft_ws[i + 1])), 1, 12), 16, 10) AS BIGINT) % $nBuckets)"""
+          .stripMargin)).as("bucket"))
+    // per-corpus bucket counts — bounded tables (<= nBuckets rows)
+    def model(df: DataFrame, cName: String) =
+      bucketed(df).groupBy(col("bucket")).agg(count(lit(1)).as(cName))
+    // each bounded model table feeds BOTH the totals agg and the weight
+    // join — persist or the corpus-count subtree executes twice. Cache
+    // lifecycle: [[CacheRegistry]] — release after materializing.
+    val tgt = CacheRegistry.persist(model(target, "c_t"))
+    val rawM = CacheRegistry.persist(model(raw, "c_r"))
+    val totals = tgt.agg(sum(col("c_t")).as("n_t")).crossJoin(rawM.agg(sum(col("c_r")).as("n_r")))
+    // add-one smoothed log-ratio per bucket in micro-nats, rounded once
+    val weights = rawM.join(tgt, Seq("bucket"), "full")
+      .select(col("bucket"), coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), expr(
+        s"""CAST(round(ln(CAST((c_t + 1) * (n_r + $nBuckets) AS DOUBLE) /
+           |              CAST((c_r + 1) * (n_t + $nBuckets) AS DOUBLE)) * 1000000.0) AS BIGINT)"""
+          .stripMargin).as("graft_w"))
+    bucketed(raw).join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("graft_w")).as("dsir_micro"))
+  }
+
   /** Pairwise source divergence — count-weighted log-likelihood-ratio
     * (≈ n·KL) between every pair of sources' add-one-smoothed unigram
     * distributions, the corpus-similarity matrix that informs mixture

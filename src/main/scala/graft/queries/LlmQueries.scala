@@ -1977,5 +1977,66 @@ object LlmQueries {
              |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
              |       CAST((20000 * coalesce(ov.n_overlap, 0) + 5) // 10 AS BIGINT) AS recall_bp
              |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) qq
-             |LEFT JOIN ov ON ov.query_id = qq.vec_id ORDER BY query_id""".stripMargin)))
+             |LEFT JOIN ov ON ov.query_id = qq.vec_id ORDER BY query_id""".stripMargin)),
+
+    // ---- Template-family detection: structural (word-length-sequence)
+    // fingerprints over the template corpus — catches slot-filled
+    // machine text that exact and near dedup both miss.
+    "q133_template_detection" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.templateFingerprints(docsTpl(s, dir), "doc_id", "t", minDocs = 2L)
+          .orderBy("struct_fp")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $tplSql AS t FROM documents),
+              |f AS (SELECT doc_id, t,
+              |             md5(array_to_string(list_transform(string_split(t, ' '),
+              |                 w -> CAST(length(w) AS VARCHAR)), ',')) AS struct_fp
+              |      FROM d)
+              |SELECT struct_fp, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(count(DISTINCT t) AS BIGINT) AS n_texts,
+              |       CAST(min(doc_id) AS BIGINT) AS first_doc
+              |FROM f GROUP BY struct_fp HAVING count(*) >= 2 ORDER BY struct_fp""".stripMargin)),
+
+    // ---- Leakage-free split: assignment hashed on the duplicate
+    // CLUSTER, so copies of one text always share a split.
+    "q134_cluster_split" -> QueryDef(
+      (s, dir) => {
+        Curation.clusterSplit(table(s, dir, "documents"), "doc_id", "text",
+            seed = "cs", trainPct = 80, valPct = 10)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT text, min(doc_id) AS cluster_id FROM documents GROUP BY text),
+             |j AS (SELECT d.doc_id, c.cluster_id FROM documents d JOIN c ON c.text = d.text)
+             |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             |       CASE WHEN CAST('0x' || substr(md5('cs:' || CAST(cluster_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 80 THEN 'train'
+             |            WHEN CAST('0x' || substr(md5('cs:' || CAST(cluster_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 90 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // ---- DSIR importance weights (hashed-bigram target-vs-raw
+    // log-ratio, integer micro-nats): target domain = source 'src0'.
+    "q135_dsir_weights" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        TextAnalysis.dsirWeights(docs, docs.filter(col("source") === "src0"),
+            "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT doc_id, source, unnest(range(1, len(ws))) AS i, ws FROM w WHERE len(ws) >= 2),
+             |bg AS (SELECT doc_id, source,
+             |              CAST('0x' || substr(md5(ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]), 1, 12) AS BIGINT) % 256 AS bucket
+             |       FROM t),
+             |ct AS (SELECT bucket, count(*) AS c_t FROM bg WHERE source = 'src0' GROUP BY bucket),
+             |cr AS (SELECT bucket, count(*) AS c_r FROM bg GROUP BY bucket),
+             |tot AS (SELECT (SELECT CAST(sum(c_t) AS BIGINT) FROM ct) AS n_t,
+             |               (SELECT CAST(sum(c_r) AS BIGINT) FROM cr) AS n_r),
+             |wt AS (SELECT cr.bucket, coalesce(ct.c_t, 0) AS c_t, cr.c_r FROM cr LEFT JOIN ct USING (bucket)),
+             |wm AS (SELECT bucket, CAST(round(ln(CAST((c_t + 1) * (n_r + 256) AS DOUBLE) /
+             |                                    CAST((c_r + 1) * (n_t + 256) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wv
+             |       FROM wt CROSS JOIN tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(wm.wv) AS BIGINT) AS dsir_micro
+             |FROM bg JOIN wm USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }
