@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector expressions over the [[VecKernels]] static loops.
+  *
+  * Each expression's generated code is ONE static call, so a stage using
+  * them compiles far below the JVM's 64 KB method limit no matter how
+  * large the embedded codebook is — the alternative (unrolled scalar
+  * terms or higher-order functions) either breaks whole-stage codegen or
+  * never participates in it (see the VecKernels scaladoc for measured
+  * costs). Bounded constants (codebooks, centroids) arrive as foldable
+  * literal children — evaluated once at first use, embedded in generated
+  * code as reference objects — so the constructing code stays on the
+  * public `call_function` + `typedLit` surface.
+  */
+abstract class VecExpression extends Expression {
+  /** The per-row children; the rest must be foldable constants. */
+  protected def streamingArity: Int
+
+  override def nullable: Boolean = children.take(streamingArity).exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = children.drop(streamingArity).filterNot(_.foldable)
+    if (bad.nonEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: constant arguments must be foldable literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  protected def evalLongArray(e: Expression): Array[Long] =
+    e.eval(null).asInstanceOf[ArrayData].toLongArray()
+  protected def evalFloatArray(e: Expression): Array[Float] =
+    e.eval(null).asInstanceOf[ArrayData].toFloatArray()
+  protected def evalInt(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  /** Java snippet computing the result from the evaluated per-row
+    * children's value variables.
+    */
+  protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String
+  protected def kernelEval(vals: Seq[ArrayData]): Any
+
+  override def eval(input: InternalRow): Any = {
+    val vals = children.take(streamingArity).map(_.eval(input))
+    if (vals.contains(null)) null
+    else kernelEval(vals.map(_.asInstanceOf[ArrayData]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = children.take(streamingArity).map(_.genCode(ctx))
+    val jt = CodeGenerator.javaType(dataType)
+    val dv = CodeGenerator.defaultValue(dataType)
+    val childCode = cs.map(_.code).foldLeft(code"")((acc, c) => code"$acc\n$c")
+    val isNull = cs.map(_.isNull.toString).mkString(" || ")
+    val call = kernelCall(ctx, cs.map(_.value.toString))
+    ev.copy(code =
+      code"""
+      $childCode
+      boolean ${ev.isNull} = $isNull;
+      $jt ${ev.value} = $dv;
+      if (!${ev.isNull}) {
+        ${ev.value} = $call;
+      }""")
+  }
+}
+
+/** graft_scale_q(vec array<float>, scale double lit) → array<long>:
+  * `round(x·scale)` per element, Spark Round(double) semantics.
+  */
+case class ScaleQ(vec: Expression, scaleE: Expression) extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(vec, scaleE)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_scale_q"
+  @transient private lazy val scale: Double =
+    scaleE.eval(null).asInstanceOf[Number].doubleValue()
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.scaleQ(v.head, scale)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.scaleQ(${vals.head}, ${scale}D)"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): ScaleQ =
+    copy(vec = nc(0), scaleE = nc(1))
+}
+
+/** graft_pq_codes(sv array<long>, cb array<long> lit, m int lit) →
+  * array<long> of m codes (argmin per subspace, ties → lowest).
+  */
+case class PqCodesExpr(vec: Expression, cbE: Expression, mE: Expression)
+    extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(vec, cbE, mE)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+  @transient private lazy val cb = evalLongArray(cbE)
+  @transient private lazy val m = evalInt(mE)
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.pqCodes(v.head, cb, m)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.pqCodes(${vals.head}, " +
+      s"${ctx.addReferenceObj("cb", cb, "long[]")}, $m)"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): PqCodesExpr =
+    copy(vec = nc(0), cbE = nc(1), mE = nc(2))
+}
+
+/** graft_pq_dt(sv array<long>, cb array<long> lit, m int lit) →
+  * array<long>, the flattened m×ksub ADC distance table.
+  */
+case class PqDistTableExpr(vec: Expression, cbE: Expression, mE: Expression)
+    extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(vec, cbE, mE)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_dt"
+  @transient private lazy val cb = evalLongArray(cbE)
+  @transient private lazy val m = evalInt(mE)
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.pqDistTable(v.head, cb, m)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.pqDistTable(${vals.head}, " +
+      s"${ctx.addReferenceObj("cb", cb, "long[]")}, $m)"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): PqDistTableExpr =
+    copy(vec = nc(0), cbE = nc(1), mE = nc(2))
+}
+
+/** graft_adc(dt array<long>, codes array<long>, m int lit) → bigint:
+  * Σ_s dt[s·ksub + codes[s]].
+  */
+case class AdcDistExpr(dt: Expression, codes: Expression, mE: Expression)
+    extends VecExpression {
+  override protected def streamingArity: Int = 2
+  override def children: Seq[Expression] = Seq(dt, codes, mE)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_adc"
+  @transient private lazy val m = evalInt(mE)
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.adcDist(v(0), v(1), m)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.adcDist(${vals(0)}, ${vals(1)}, $m)"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): AdcDistExpr =
+    copy(dt = nc(0), codes = nc(1), mE = nc(2))
+}
+
+/** graft_sqdist(a array<long>, b array<long>) → bigint: exact integer
+  * squared L2.
+  */
+case class SqDistExpr(a: Expression, b: Expression) extends VecExpression {
+  override protected def streamingArity: Int = 2
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sqdist"
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.sqDistLong(v(0), v(1))
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.sqDistLong(${vals(0)}, ${vals(1)})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): SqDistExpr =
+    copy(a = nc(0), b = nc(1))
+}
+
+/** graft_cos_rank(v array<float>, cents array<float> lit, cids
+  * array<long> lit) → array<long>: centroid ids by cosine desc, ties →
+  * lowest id.
+  */
+case class CosRankExpr(vec: Expression, centsE: Expression, cidsE: Expression)
+    extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(vec, centsE, cidsE)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cos_rank"
+  @transient private lazy val cents = evalFloatArray(centsE)
+  @transient private lazy val cids = evalLongArray(cidsE)
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.cosRank(v.head, cents, cids)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.cosRank(${vals.head}, " +
+      s"${ctx.addReferenceObj("cents", cents, "float[]")}, " +
+      s"${ctx.addReferenceObj("cids", cids, "long[]")})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): CosRankExpr =
+    copy(vec = nc(0), centsE = nc(1), cidsE = nc(2))
+}
+
+/** Session registration for the vector kernel functions (idempotent). */
+object VecFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_scale_q" -> (e => ScaleQ(e(0), e(1))),
+    "graft_pq_codes" -> (e => PqCodesExpr(e(0), e(1), e(2))),
+    "graft_pq_dt" -> (e => PqDistTableExpr(e(0), e(1), e(2))),
+    "graft_adc" -> (e => AdcDistExpr(e(0), e(1), e(2))),
+    "graft_sqdist" -> (e => SqDistExpr(e(0), e(1))),
+    "graft_cos_rank" -> (e => CosRankExpr(e(0), e(1), e(2))))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    val id = FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id, new ExpressionInfo(classOf[VecKernels.type].getName, name), builder)
+  }
+}

@@ -1,0 +1,237 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Static vector kernels behind the [[VecExpressions]] Catalyst
+  * expressions — tight primitive-array loops invoked as ONE static call
+  * from generated code.
+  *
+  * WHY: the scalar `element_at` unroll of a PQ codebook distance (m·ksub
+  * ·dsub terms ≈ 1000+ expression nodes per row) exceeds the JVM's 64 KB
+  * method limit when whole-stage codegen compiles it; Spark then falls
+  * back to INTERPRETED evaluation for the entire stage (observed:
+  * `InternalCompilerException: Code grows beyond 64 KB`, ~1.7 ms/row).
+  * Higher-order functions (`aggregate(zip_with(...))`) are CodegenFallback
+  * by construction and measure ~1.3 ms/row. A loop in a static method is
+  * the shape the JIT wants: the generated code stays tiny (one call), the
+  * stage stays in whole-stage codegen, and the kernel runs as compiled
+  * long/double arithmetic with no per-element lambda dispatch or boxing.
+  *
+  * PARITY: every accumulation here replicates the exact IEEE operation
+  * order of the expression form it replaces (and of the DuckDB oracles):
+  * doubles fold left-to-right from 0.0 in index order; integer sums are
+  * order-free; scaling reproduces Spark's `round(double)` semantics
+  * (BigDecimal HALF_UP, then double→long truncating cast). ScaleSpec
+  * asserts kernel-vs-expression equality row-by-row on the real corpus.
+  */
+object VecKernels {
+
+  /** `round(x·scale)` per element as BIGINT — bit-identical to the
+    * expression `round(cast(x as double) * scale).cast("long")`: Spark's
+    * Round(double) is `BigDecimal.valueOf(d).setScale(0, HALF_UP)
+    * .doubleValue()` and the long cast truncates.
+    */
+  def scaleQ(v: ArrayData, scale: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = v.getFloat(i).toDouble * scale
+      out(i) = java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Same scaling on a driver-side float matrix (codebook prep) — the
+    * one code path both the per-row expression and the plan-build
+    * literals flow through, so they cannot diverge.
+    */
+  def scaleQLocal(rows: Array[Array[Float]], scale: Double): Array[Array[Long]] =
+    rows.map(_.map(f => java.math.BigDecimal.valueOf(f.toDouble * scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong))
+
+  /** PQ codes: for each subspace s, the index of the codebook entry with
+    * minimal integer squared L2 to the row's subvector (ties → lowest
+    * code). `cb` is the scaled codebook flattened [s][c][dsub];
+    * ksub = cb.length / sv.length.
+    */
+  def pqCodes(sv: ArrayData, cb: Array[Long], m: Int): ArrayData = {
+    val v = sv.toLongArray()
+    val dsub = v.length / m
+    val ksub = cb.length / v.length
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var bestC = 0L
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * dsub
+        var d = 0L
+        var i = 0
+        while (i < dsub) {
+          val t = v(s * dsub + i) - cb(base + i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ADC distance table: dist(s, c) for every (subspace, code) pair,
+    * flattened [s][c] — the per-query table whose lookups replace all
+    * corpus-side vector math.
+    */
+  def pqDistTable(sv: ArrayData, cb: Array[Long], m: Int): ArrayData = {
+    val v = sv.toLongArray()
+    val dsub = v.length / m
+    val ksub = cb.length / v.length
+    val out = new Array[Long](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * dsub
+        var d = 0L
+        var i = 0
+        while (i < dsub) {
+          val t = v(s * dsub + i) - cb(base + i)
+          d += t * t
+          i += 1
+        }
+        out(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ADC score: Σ_s dt[s·ksub + codes[s]] — m table lookups per
+    * candidate, the entire per-pair cost of PQ search.
+    */
+  def adcDist(dt: ArrayData, codes: ArrayData, m: Int): Long = {
+    val ksub = dt.numElements() / m
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      acc += dt.getLong(s * ksub + codes.getLong(s).toInt)
+      s += 1
+    }
+    acc
+  }
+
+  /** Exact integer squared L2 between two scaled vectors. */
+  def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = a.getLong(i) - b.getLong(i)
+      acc += t * t
+      i += 1
+    }
+    acc
+  }
+
+  /** Double dot product of two float vectors, accumulated left-to-right
+    * from 0.0 in index order — bit-identical to
+    * `aggregate(zip_with(a, b, x·y), 0.0, +)` and the oracles'
+    * sum-over-unnest.
+    */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** sqrt of the self-dot — the L2 norm with the same fold order. */
+  def normF(a: ArrayData): Double = java.lang.Math.sqrt(dotF(a, a))
+
+  /** Sign-random-projection bucket key: bit j set iff the projection of
+    * `v` onto plane j (doubles, index-order fold from 0.0) is strictly
+    * positive. `planes` is the nPlanes×dim ±1 matrix flattened row-major.
+    */
+  def lshBucketK(v: ArrayData, planes: Array[Double]): Long = {
+    val dim = v.numElements()
+    val nPlanes = planes.length / dim
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        acc += v.getFloat(i).toDouble * planes(j * dim + i)
+        i += 1
+      }
+      if (acc > 0) bucket += (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Centroid ids ranked by cosine similarity to `v`, descending, ties →
+    * lowest id. `cents` is the float centroid matrix flattened in
+    * ascending-id order; `cids` the matching ids. Cosine = dot/(|v|·|c|)
+    * with every double accumulation folded left-to-right from 0.0 in
+    * index order — bit-identical to the `foldLeft(lit(0.0))(_ + _)`
+    * expression chain and the oracles' sum-over-unnest.
+    */
+  def cosRank(v: ArrayData, cents: Array[Float], cids: Array[Long]): ArrayData = {
+    val n = cids.length
+    val dim = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    val vn = java.lang.Math.sqrt(acc)
+    val cos = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      var dot = 0.0
+      var cn = 0.0
+      var j = 0
+      while (j < dim) {
+        val cv = cents(c * dim + j).toDouble
+        dot += v.getFloat(j).toDouble * cv
+        cn += cv * cv
+        j += 1
+      }
+      cos(c) = dot / (vn * java.lang.Math.sqrt(cn))
+      c += 1
+    }
+    // insertion argsort: cos desc, index (= ascending cid) on ties —
+    // n is the coarse-list count, small by construction
+    val idx = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      var p = k
+      while (p > 0 && (cos(idx(p - 1)) < cos(k) ||
+          (cos(idx(p - 1)) == cos(k) && idx(p - 1) > k))) {
+        idx(p) = idx(p - 1); p -= 1
+      }
+      idx(p) = k
+      k += 1
+    }
+    val out = new Array[Long](n)
+    var o = 0
+    while (o < n) { out(o) = cids(idx(o)); o += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

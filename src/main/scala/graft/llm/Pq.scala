@@ -1,8 +1,9 @@
 package graft.llm
 
+import graft.functions.{VecFunctions, VecKernels}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Product quantization (PQ) — the memory-compression path for
   * billion-vector ANN serving (Jégou, Douze, Schmid, "Product
@@ -23,30 +24,39 @@ import org.apache.spark.sql.{Column, DataFrame}
   * distance tables; the corpus side does m array lookups + a sum per
   * row, which is why PQ serves billion-vector indexes from RAM.
   *
+  * PERF: all vector math runs through the [[graft.functions.VecKernels]]
+  * codegen'd kernel expressions — static primitive-array loops called
+  * from whole-stage codegen. The two alternatives both fail at this
+  * expression size: higher-order functions (`aggregate(zip_with(...))`)
+  * are CodegenFallback (measured ~1.3 ms/row), and unrolled scalar
+  * `element_at` chains exceed the JVM's 64 KB method limit (m·ksub·dsub
+  * ≈ 1000+ terms), which kills whole-stage codegen for the entire stage
+  * and made the interpreted fallback the hot path (measured ~1.7 ms/row
+  * before this form; ~2 µs/row after).
+  *
   * Everything is computed on `round(x·scale)` BIGINTs (the q92/dimStats
   * quantization), so subspace distances, code argmins, ADC sums, and
   * ranks are integer-exact and engine-independent (ties → lowest code /
-  * lowest neighbor id).
+  * lowest neighbor id). Corpus rows and the codebook literals are scaled
+  * by the SAME kernel ([[VecKernels.scaleQ]] per row,
+  * [[VecKernels.scaleQLocal]] at plan build — one code path), which
+  * ScaleSpec pins bit-identical to the engine's own
+  * `round(cast(x as double) * scale)` expression over the full corpus.
   */
 object Pq {
 
-  /** round(x·scale) as BIGINT — the engine-side quantization both Spark
-    * and the DuckDB oracles evaluate on the raw floats, so no driver
-    * arithmetic has to reproduce either engine's rounding.
-    */
-  private def scaled(x: Column, scale: Double): Column =
-    round(x.cast("double") * scale).cast("long")
+  /** The per-row scaled vector through the codegen'd kernel. */
+  private def scaledVec(spark: SparkSession, vecCol: String, scale: Double): Column = {
+    VecFunctions.register(spark)
+    call_function("graft_scale_q", col(vecCol), lit(scale))
+  }
 
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
-
-  /** The per-subspace codebooks as driver-side float literals: entry
-    * (s, c) is the s-th dsub-dim slice of the c-th codebook vector in
-    * ascending id order (code = rank, 0-based). The codebook table is
+  /** The per-subspace codebooks, collected and flattened [s][c][dsub]
+    * in ascending id order (code = rank, 0-based). The codebook table is
     * driver-sized by definition (≤ 256 codes for one-byte storage).
     */
   private def collectCodebook(codebook: DataFrame, idCol: String, vecCol: String,
-      m: Int): Array[Array[Array[Float]]] = {
+      m: Int, scale: Double): Array[Long] = {
     val rows = codebook
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .collect().sortBy(_.getLong(0))
@@ -56,34 +66,21 @@ object Pq {
     val dim = rows.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    Array.tabulate(m, rows.length) { (s, c) => rows(c).slice(s * dsub, (s + 1) * dsub) }
-  }
-
-  /** dist(s, c) columns for one row's vector: integer squared L2 between
-    * the row's s-th scaled subvector and codebook entry (s, c). The
-    * codebook literals go through the SAME `scaled` expression as the
-    * data (constant-folded by the engine), keeping both sides'
-    * quantization semantics identical.
-    */
-  private def subDists(vec: Column, cb: Array[Array[Array[Float]]], s: Int,
-      scale: Double): Column = {
-    val dsub = cb(s)(0).length
-    val sub = transform(slice(vec, s * dsub + 1, dsub), x => scaled(x, scale))
-    array(cb(s).indices.map { c =>
-      sqDist(sub, transform(typedLit(cb(s)(c)), x => scaled(x, scale)))
-    }: _*)
-  }
-
-  /** The m per-subspace argmin code columns (ties → lowest code) for a
-    * row's vector against the collected codebook — shared by
-    * [[encodeWide]] and [[ivfAdcTopK]].
-    */
-  private def codeColumns(vecCol: String, cb: Array[Array[Array[Float]]],
-      m: Int, scale: Double): Seq[Column] =
-    (0 until m).map { s =>
-      val d = subDists(col(vecCol), cb, s, scale)
-      (array_position(d, array_min(d)) - 1L).as(s"code_$s")
+    val scaled = VecKernels.scaleQLocal(rows, scale)
+    // flatten [s][c][dsub]: subspace-major so ksub is derivable in-kernel
+    val out = new Array[Long](m * rows.length * dsub)
+    var o = 0
+    for (s <- 0 until m; c <- rows.indices; i <- 0 until dsub) {
+      out(o) = scaled(c)(s * dsub + i); o += 1
     }
+    out
+  }
+
+  /** (neighbor side) the m codes as ONE array column. */
+  private def codesCol(spark: SparkSession, vecCol: String, cbFlat: Array[Long],
+      m: Int, scale: Double): Column =
+    call_function("graft_pq_codes",
+      scaledVec(spark, vecCol, scale), typedLit(cbFlat), lit(m))
 
   /** Encode the corpus: (id, code_0..code_{m-1}) — each code the argmin
     * (ties → lowest code) over that subspace's codebook. A narrow
@@ -91,8 +88,13 @@ object Pq {
     */
   def encodeWide(corpus: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
       m: Int = 8, scale: Double = 10000.0): DataFrame = {
-    val cb = collectCodebook(codebook, idCol, vecCol, m)
-    corpus.select((col(idCol).as("id") +: codeColumns(vecCol, cb, m, scale)): _*)
+    val spark = corpus.sparkSession
+    val cbFlat = collectCodebook(codebook, idCol, vecCol, m, scale)
+    corpus
+      .select(col(idCol).as("id"),
+        codesCol(spark, vecCol, cbFlat, m, scale).as("graft_codes"))
+      .select((col("id") +: (0 until m).map(s =>
+        element_at(col("graft_codes"), s + 1).as(s"code_$s"))): _*)
   }
 
   /** Long-form encoding (id, sub, code) — the inspection/storage layout
@@ -118,15 +120,14 @@ object Pq {
     */
   def adcTopK(corpus: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
       queries: DataFrame, k: Int, m: Int = 8, scale: Double = 10000.0): DataFrame = {
-    val cb = collectCodebook(codebook, idCol, vecCol, m)
-    val codes = encodeWide(corpus, idCol, vecCol, codebook, m, scale)
-      .withColumnRenamed("id", "neighbor_id")
-    val q = broadcast(queries.select(
-      (col(idCol).as("query_id") +:
-        (0 until m).map(s => subDists(col(vecCol), cb, s, scale).as(s"dt_$s"))): _*))
-    val adc = (0 until m).map { s =>
-      element_at(col(s"dt_$s"), col(s"code_$s").cast("int") + 1)
-    }.reduce(_ + _)
+    val spark = corpus.sparkSession
+    val cbFlat = collectCodebook(codebook, idCol, vecCol, m, scale)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      codesCol(spark, vecCol, cbFlat, m, scale).as("graft_codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      call_function("graft_pq_dt",
+        scaledVec(spark, vecCol, scale), typedLit(cbFlat), lit(m)).as("graft_dt")))
+    val adc = call_function("graft_adc", col("graft_dt"), col("graft_codes"), lit(m))
     val scored = q.join(codes, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))
@@ -144,14 +145,17 @@ object Pq {
     */
   def adcRecall(corpus: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
       queries: DataFrame, k: Int, m: Int = 8, scale: Double = 10000.0): DataFrame = {
+    val spark = corpus.sparkSession
     val approx = adcTopK(corpus, idCol, vecCol, codebook, queries, k, m, scale)
       .select(col("query_id"), col("neighbor_id"))
-    val sv = (c: Column) => transform(c, x => scaled(x, scale))
-    val qx = broadcast(queries.select(col(idCol).as("query_id"), sv(col(vecCol)).as("qv")))
-    val cx = corpus.select(col(idCol).as("neighbor_id"), sv(col(vecCol)).as("nv"))
+    val qx = broadcast(queries.select(col(idCol).as("query_id"),
+      scaledVec(spark, vecCol, scale).as("qv")))
+    val cx = corpus.select(col(idCol).as("neighbor_id"),
+      scaledVec(spark, vecCol, scale).as("nv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
     val exact = qx.join(cx, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), sqDist(col("qv"), col("nv")).as("d2"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("graft_sqdist", col("qv"), col("nv")).as("d2"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
@@ -162,52 +166,46 @@ object Pq {
   }
 
   /** IVF-ADC — the production composition for billion-vector search:
-    * the coarse quantizer ([[Similarity.ivfTopK]]'s cosine argmax,
-    * literal-embedded) routes every corpus vector into an inverted
-    * list, PQ codes compress it to m bytes, and a query probes only its
-    * `nProbe` nearest lists, scoring candidates with ADC lookups. The
-    * corpus pays two narrow in-row passes fused into ONE scan (coarse
-    * assignment + encoding — zero shuffles); the per-query candidate
-    * set is the probed lists, not the corpus, and the only wide ops are
-    * the cent_id-keyed candidate join (probe side broadcast) and the
+    * the coarse quantizer (cosine rank against the bounded centroid
+    * table, literal-embedded) routes every corpus vector into an
+    * inverted list, PQ codes compress it to m bytes, and a query probes
+    * only its `nProbe` nearest lists, scoring candidates with ADC
+    * lookups. The corpus pays ONE narrow in-row scan (coarse assignment
+    * + encoding — zero shuffles); the per-query candidate set is the
+    * probed lists, not the corpus, and the only wide ops are the
+    * cent_id-keyed candidate join (probe side broadcast) and the
     * per-query top-k window. This variant quantizes the full vector
     * (no residual codebooks — the IVFFlat-ADC layout); distances are
-    * scaled-BIGINT exact. Output: (query_id, neighbor_id, rnk,
+    * scaled-BIGINT exact, and the coarse cosines accumulate doubles in
+    * index order — bit-identical to the oracles' sum-over-unnest
+    * (ties → lowest centroid id). Output: (query_id, neighbor_id, rnk,
     * adc_dist).
     */
   def ivfAdcTopK(corpus: DataFrame, idCol: String, vecCol: String, coarse: DataFrame,
       codebook: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
       m: Int = 8, scale: Double = 10000.0): DataFrame = {
-    def dotD(a: Column, b: Column) = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    def normD(a: Column) = sqrt(dotD(a, a))
-    def cosD(a: Column, b: Column) = dotD(a, b) / (normD(a) * normD(b))
+    val spark = corpus.sparkSession
+    VecFunctions.register(spark)
     val cents = coarse
       .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
     require(cents.nonEmpty && cents.length <= (1 << 16),
       s"coarse quantizer must be bounded, got ${cents.length} entries")
-    // (cs, -cent_id) structs — lexicographic max = best cosine, ties →
-    // lowest centroid id (the q50 probe order)
-    def scoredCents(v: Column) = transform(
-      array(cents.sortBy(_._1).map { case (cid, cv) =>
-        struct(lit(cid).as("cent_id"), typedLit(cv).as("cv"))
-      }: _*),
-      c => struct(cosD(v, c.getField("cv")).as("cs"), (-c.getField("cent_id")).as("nid")))
-    val cb = collectCodebook(codebook, idCol, vecCol, m)
-    val lists = corpus.select(
-      (col(idCol).as("neighbor_id") +:
-        (-array_max(scoredCents(col(vecCol))).getField("nid")).as("cent_id") +:
-        codeColumns(vecCol, cb, m, scale)): _*)
+    val centsFlat = cents.flatMap(_._2)
+    val cids = cents.map(_._1)
+    def cosRank(vecC: Column): Column =
+      call_function("graft_cos_rank", vecC, typedLit(centsFlat), typedLit(cids))
+    val cbFlat = collectCodebook(codebook, idCol, vecCol, m, scale)
+    val lists = corpus.select(col(idCol).as("neighbor_id"),
+      element_at(cosRank(col(vecCol)), 1).as("cent_id"),
+      codesCol(spark, vecCol, cbFlat, m, scale).as("graft_codes"))
     val qProbes = queries
-      .select((col(idCol).as("query_id") +:
-        explode(slice(reverse(array_sort(scoredCents(col(vecCol)))), 1, nProbe)).as("p") +:
-        (0 until m).map(s => subDists(col(vecCol), cb, s, scale).as(s"dt_$s"))): _*)
-      .withColumn("cent_id", -col("p.nid")).drop("p")
-    val adc = (0 until m).map { s =>
-      element_at(col(s"dt_$s"), col(s"code_$s").cast("int") + 1)
-    }.reduce(_ + _)
+      .select(col(idCol).as("query_id"),
+        explode(slice(cosRank(col(vecCol)), 1, nProbe)).as("cent_id"),
+        call_function("graft_pq_dt",
+          scaledVec(spark, vecCol, scale), typedLit(cbFlat), lit(m)).as("graft_dt"))
+    val adc = call_function("graft_adc", col("graft_dt"), col("graft_codes"), lit(m))
     val scored = broadcast(qProbes).join(lists, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
