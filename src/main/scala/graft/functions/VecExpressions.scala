@@ -166,6 +166,80 @@ case class SqDistExpr(a: Expression, b: Expression) extends VecExpression {
     copy(a = nc(0), b = nc(1))
 }
 
+/** graft_sqdist_top2(sv array<long>, cb array<long> lit, cids
+  * array<long> lit) → array<long> [cid₁, d²₁, cid₂, d²₂]: nearest and
+  * second-nearest centroid under exact integer squared L2, ties →
+  * lowest id.
+  */
+case class SqDistTop2Expr(vec: Expression, cbE: Expression, cidsE: Expression)
+    extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(vec, cbE, cidsE)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sqdist_top2"
+  @transient private lazy val cb = evalLongArray(cbE)
+  @transient private lazy val cids = evalLongArray(cidsE)
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.sqDistTop2(v.head, cb, cids)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.sqDistTop2(${vals.head}, " +
+      s"${ctx.addReferenceObj("cb", cb, "long[]")}, " +
+      s"${ctx.addReferenceObj("cids", cids, "long[]")})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): SqDistTop2Expr =
+    copy(vec = nc(0), cbE = nc(1), cidsE = nc(2))
+}
+
+/** graft_dot(a array<float>, b array<float>) → double: dot product
+  * accumulated in index order from 0.0.
+  */
+case class DotExpr(a: Expression, b: Expression) extends VecExpression {
+  override protected def streamingArity: Int = 2
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.dotF(v(0), v(1))
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.dotF(${vals(0)}, ${vals(1)})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): DotExpr =
+    copy(a = nc(0), b = nc(1))
+}
+
+/** graft_norm(a array<float>) → double: sqrt of the index-order
+  * self-dot.
+  */
+case class NormExpr(a: Expression) extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(a)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.normF(v.head)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.normF(${vals.head})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): NormExpr =
+    copy(a = nc(0))
+}
+
+/** graft_lsh_bucket(v array<float>, planes array<double> lit) → bigint:
+  * bit j set iff the projection onto plane j is strictly positive.
+  */
+case class LshBucketExpr(vec: Expression, planesE: Expression) extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(vec, planesE)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+  @transient private lazy val planes: Array[Double] =
+    planesE.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.lshBucketK(v.head, planes)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.lshBucketK(${vals.head}, " +
+      s"${ctx.addReferenceObj("planes", planes, "double[]")})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): LshBucketExpr =
+    copy(vec = nc(0), planesE = nc(1))
+}
+
 /** graft_cos_rank(v array<float>, cents array<float> lit, cids
   * array<long> lit) → array<long>: centroid ids by cosine desc, ties →
   * lowest id.
@@ -196,6 +270,10 @@ object VecFunctions {
     "graft_pq_dt" -> (e => PqDistTableExpr(e(0), e(1), e(2))),
     "graft_adc" -> (e => AdcDistExpr(e(0), e(1), e(2))),
     "graft_sqdist" -> (e => SqDistExpr(e(0), e(1))),
+    "graft_sqdist_top2" -> (e => SqDistTop2Expr(e(0), e(1), e(2))),
+    "graft_dot" -> (e => DotExpr(e(0), e(1))),
+    "graft_norm" -> (e => NormExpr(e(0))),
+    "graft_lsh_bucket" -> (e => LshBucketExpr(e(0), e(1))),
     "graft_cos_rank" -> (e => CosRankExpr(e(0), e(1), e(2))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>

@@ -142,6 +142,36 @@ object VecKernels {
     acc
   }
 
+  /** Nearest and second-nearest centroid under exact integer squared L2
+    * (ties → lowest id): returns [cid₁, d²₁, cid₂, d²₂]. `cb` is the
+    * scaled centroid matrix flattened row-major in `cids` order — the
+    * silhouette a²/b² pass as one kernel call.
+    */
+  def sqDistTop2(sv: ArrayData, cb: Array[Long], cids: Array[Long]): ArrayData = {
+    val v = sv.toLongArray()
+    val dim = v.length
+    val n = cids.length
+    var d1 = Long.MaxValue; var c1 = -1
+    var d2 = Long.MaxValue; var c2 = -1
+    var c = 0
+    while (c < n) {
+      var d = 0L
+      var i = 0
+      val base = c * dim
+      while (i < dim) {
+        val t = v(i) - cb(base + i)
+        d += t * t
+        i += 1
+      }
+      // strict < keeps the earliest (lowest-cid) entry on exact ties,
+      // matching array_sort over (d2, cid) structs
+      if (d < d1) { d2 = d1; c2 = c1; d1 = d; c1 = c }
+      else if (d < d2) { d2 = d; c2 = c }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(cids(c1), d1, cids(c2), d2))
+  }
+
   /** Double dot product of two float vectors, accumulated left-to-right
     * from 0.0 in index order — bit-identical to
     * `aggregate(zip_with(a, b, x·y), 0.0, +)` and the oracles'

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.functions.VecFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
@@ -8,24 +9,36 @@ import org.apache.spark.sql.DataFrame
   *
   *  - `cosineTopK`: brute-force exact top-k — the baseline. The query set
   *    is broadcast (small); the corpus side streams, so the plan is one
-  *    broadcast join + per-query top-k window. Dot products use
-  *    `aggregate(zip_with(...))` in double precision — codegen'd, no UDF.
+  *    broadcast join + per-query top-k window.
   *  - `lshTopK`: the scale path — md5-seeded random hyperplanes bucket
   *    the corpus; candidates share a bucket, so per-query work drops from
   *    O(N) to O(bucket). Planes are deterministic (seeded hashes), making
   *    results reproducible across engines and runs.
+  *
+  * All per-row/per-pair vector math goes through the
+  * [[graft.functions.VecKernels]] codegen'd kernel expressions (static
+  * primitive-array loops, one call in generated code). The
+  * `aggregate(zip_with(...))` higher-order forms they replace are
+  * CodegenFallback — interpreted per PAIR on the join hot paths, with
+  * per-element lambda dispatch — and the k-way variants (assignment,
+  * silhouette) either allocated per-row arrays in a UDF or blew the
+  * 64 KB codegen method limit when unrolled. The kernels accumulate
+  * doubles in the same index order from 0.0, so scores are bit-identical
+  * to the old forms and to the DuckDB oracles' sum-over-unnest.
   */
 object Similarity {
 
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
-  private def norm(a: org.apache.spark.sql.Column) = sqrt(dot(a, a))
+  private def norm(a: org.apache.spark.sql.Column) =
+    call_function("graft_norm", a)
 
   /** Exact top-k cosine neighbors for each query id. Output:
     * (query_id, neighbor_id, rank, score).
     */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame, k: Int): DataFrame = {
+    VecFunctions.register(corpus.sparkSession)
     // norms are computed ONCE per vector before the cross join (same
     // doubles — sqrt(dot(a,a)) is deterministic — but N+Q norm passes
     // instead of N*Q: at corpus scale this halves the FLOPs per pair)
@@ -55,23 +68,20 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket key over `nPlanes` hyperplanes. The
-    * plane matrix rides into the plan as literals and each projection is
-    * an in-row `aggregate` over the vector in index order (the same
-    * summation order as the engines' sum-over-unnest), so bucket
-    * assignment is a narrow codegen'd scan — ZERO shuffles, where the
-    * posexplode + plane-join + two-groupBy form shuffled the exploded
-    * corpus twice.
+    * plane matrix rides into the plan as a literal and all nPlanes
+    * projections run in ONE kernel call (doubles folded in index order —
+    * the same summation order as the engines' sum-over-unnest), so
+    * bucket assignment is a narrow codegen'd scan — ZERO shuffles, where
+    * the posexplode + plane-join + two-groupBy form shuffled the
+    * exploded corpus twice.
     */
   def lshBucket(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
     require(nPlanes > 0 && nPlanes <= 60, s"nPlanes $nPlanes outside (0, 60]")
-    val bucket = (0 until nPlanes).map { j =>
-      val plane = typedLit((0 until 64).map(i => planeComponent(j, i)).toArray)
-      val proj = aggregate(
-        zip_with(col(vecCol), plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    df.select(col(idCol).as("id"), bucket.as("bucket"))
+    VecFunctions.register(df.sparkSession)
+    val planesFlat =
+      (0 until nPlanes).flatMap(j => (0 until 64).map(i => planeComponent(j, i))).toArray
+    df.select(col(idCol).as("id"),
+      call_function("graft_lsh_bucket", col(vecCol), typedLit(planesFlat)).as("bucket"))
   }
 
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, score) for all
@@ -84,6 +94,7 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, minScore: Double): DataFrame = {
+    VecFunctions.register(corpus.sparkSession)
     val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
     // both sides of the pair join read this — persist or the whole
     // bucket computation (2 shuffles) runs twice. Cache lifecycle:
@@ -117,36 +128,33 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    VecFunctions.register(corpus.sparkSession)
     def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       dot(a, b) / (norm(a) * norm(b))
     // A coarse-quantizer codebook is bounded by construction (a k-means
     // output, 2^8..2^16 entries), so it rides into the plan as an array
-    // literal and the inverted-list assignment is a PER-ROW argmax — a
-    // narrow codegen'd scan. The groupBy-argmax formulation this
-    // replaces shuffled the corpus twice (N×C-row aggregate + re-join);
-    // at 100 TB the assignment pass now costs one scan, zero exchanges.
+    // literal and the inverted-list assignment is a PER-ROW cosine rank
+    // in one kernel call — a narrow codegen'd scan. The groupBy-argmax
+    // formulation this replaces shuffled the corpus twice (N×C-row
+    // aggregate + re-join); at 100 TB the assignment pass now costs one
+    // scan, zero exchanges.
     val cents = centroids
       .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
     require(cents.nonEmpty && cents.length <= (1 << 16),
       s"codebook must be a bounded coarse quantizer, got ${cents.length} entries")
-    // per-centroid (cs, -cent_id) structs: lexicographic max = highest
-    // score, ties -> lowest centroid id (same tie-break as max_by over
-    // struct(cs, -cent_id)); ascending sort + reverse = (cs desc,
-    // cent_id asc), the probe order
-    def scoredCents(v: org.apache.spark.sql.Column) =
-      transform(
-        array(cents.sortBy(_._1).map { case (cid, cv) =>
-          struct(lit(cid).as("cent_id"), typedLit(cv).as("cv"))
-        }: _*),
-        c => struct(cos(v, c.getField("cv")).as("cs"), (-c.getField("cent_id")).as("nid")))
+    // cosine rank: ids descending by score, ties -> lowest centroid id
+    // (the same order as sorting (cs, -cent_id) structs)
+    def rank(v: org.apache.spark.sql.Column) =
+      call_function("graft_cos_rank", v,
+        typedLit(cents.flatMap(_._2)), typedLit(cents.map(_._1)))
     val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("cent_id", -array_max(scoredCents(col("nv"))).getField("nid"))
+      .withColumn("cent_id", element_at(rank(col("nv")), 1))
     // probe set: nProbe nearest centroids per query, in-row as well
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(slice(reverse(array_sort(scoredCents(col("qv")))), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qv"), (-col("p.nid")).as("cent_id"))
+        explode(slice(rank(col("qv")), 1, nProbe)).as("cent_id"))
     val scored = broadcast(qProbes).join(lists, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cos(col("qv"), col("nv")).as("score"))
@@ -158,6 +166,7 @@ object Similarity {
     * bucket. Output: (query_id, neighbor_id, rank, score).
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame, k: Int, nPlanes: Int): DataFrame = {
+    VecFunctions.register(corpus.sparkSession)
     val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
     // feeds both the broadcast query side and the candidate side. Cache
     // lifecycle: [[CacheRegistry]] — release after materializing.
@@ -225,7 +234,8 @@ object Similarity {
             lit(0.0))) / lit(1.0e7),
           4).as("std"))
 
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    VecFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("scale_raw",
         expr("array_max(transform(v, x -> abs(CAST(x AS DOUBLE))))"))
@@ -237,6 +247,7 @@ object Similarity {
                 |  CASE WHEN scale_raw = 0.0D THEN 0.0D
                 |       ELSE CAST(x AS DOUBLE) * 127.0D / scale_raw END) AS BIGINT)))"""
           .stripMargin).as("q8"))
+  }
 
   /** One Lloyd iteration of k-means — the step that TRAINS the coarse
     * codebook [[ivfTopK]] consumes. Seeds are the k vectors with the
@@ -326,15 +337,17 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(centRows.nonEmpty && centRows.length <= (1 << 12),
       s"centroid table must be a bounded codebook, got ${centRows.length} entries")
-    // the argmin closure returns a POSITION in the cid-sorted matrix; map
+    // the argmin kernel returns a POSITION in the cid-sorted matrix; map
     // it back through the cid array so re-labeled / filtered codebooks
     // (ids not 0..n-1) emit the table's actual cluster_id, not the slot
+    VecFunctions.register(df.sparkSession)
     val cids = centRows.map(_._1)
-    val nearest = nearestUdf(centRows.map(_._2).toSeq, scale)
-    val qvec = expr(
-      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
+    val cbFlat = centRows.flatMap(_._2.map(quantLit(_, scale)))
     df.withColumn("cluster_id",
-      element_at(typedLit(cids), nearest(qvec).cast("int") + 1))
+      element_at(typedLit(cids), element_at(
+        call_function("graft_pq_codes",
+          call_function("graft_scale_q", col(vecCol), lit(scale)),
+          typedLit(cbFlat), lit(1)), 1).cast("int") + 1))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
@@ -359,6 +372,7 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int = 16, threshold: Double = 0.99,
                     scale: Double = 10000.0): DataFrame = {
+    VecFunctions.register(df.sparkSession)
     require(k > 0 && k <= (1 << 12), s"k must be a bounded codebook size, got $k")
     val spark = df.sparkSession
     val seeds = df
@@ -386,16 +400,23 @@ object Similarity {
         round(col("score"), 4).as("score"))
   }
 
+  /** Centroid-matrix quantization for the argmin kernels: the same
+    * HALF_UP rounding the [[graft.functions.VecKernels.scaleQ]] scan
+    * expression applies, so engine and driver agree bit-for-bit.
+    */
+  private def quantLit(x: Float, scale: Double): Long =
+    new java.math.BigDecimal(x.toDouble * scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
   /** One assignment + update round against explicit centroids (the inner
     * loop of [[kmeans]]; [[kmeansStep]] = this with md5-picked seeds).
-    * Quantization stays a built-in expression (its round() semantics are
-    * what the oracle matches); the k-way argmin is a typed closure over
-    * the quantized longs with the seed matrix in the task closure — the
-    * per-seed zip_with/aggregate forest it replaces is NOT codegen'd
-    * (higher-order functions evaluate interpreted, allocating a k×d
-    * array per row — measured ~1 ms/row). Integer distances with strict
-    * `<` keep the (min dist, lowest cluster) tie-break exact. Still a
-    * narrow scan — zero corpus shuffles before the update agg.
+    * Quantization and the k-way argmin are kernel expressions
+    * (graft_scale_q + graft_pq_codes with m=1 — integer distances with
+    * strict `<` keep the (min dist, lowest cluster) tie-break exact);
+    * the typed-UDF closure this replaces boxed a Seq[Long] per row, and
+    * the per-seed zip_with/aggregate forest before it evaluated
+    * interpreted (~1 ms/row). Still a narrow scan — zero corpus
+    * shuffles before the update agg.
     *
     * PERF: the cluster projection MUST sit in its own select BELOW the
     * posexplode. A single `select(nearest(q), posexplode(q))` plans the
@@ -404,42 +425,14 @@ object Similarity {
     * measured at 12 s vs 0.6 s here. As a child attribute it is
     * evaluated once per vector and carried through the generate.
     */
-  /** Integer-exact nearest-centroid closure over quantized vectors; the
-    * centroid matrix quantizes with the same HALF_UP rounding the scan
-    * expression applies, so engine and driver agree bit-for-bit.
-    */
-  private def nearestUdf(cents: Seq[Array[Float]], scale: Double) = {
-    def quantLit(x: Float): Long =
-      new java.math.BigDecimal(x.toDouble * scale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
-    val seedMatrix: Array[Array[Long]] = cents.map(_.map(quantLit)).toArray
-    udf { (qs: Seq[Long]) =>
-      val q = qs.toArray // unbox once; Seq#apply in the hot loop re-boxes
-      var best = 0
-      var bestD = Long.MaxValue
-      var j = 0
-      while (j < seedMatrix.length) {
-        val s = seedMatrix(j)
-        var d = 0L
-        var i = 0
-        val n = math.min(s.length, q.length)
-        while (i < n) {
-          val diff = q(i) - s(i); d += diff * diff; i += 1
-        }
-        if (d < bestD) { bestD = d; best = j }
-        j += 1
-      }
-      best.toLong
-    }
-  }
-
   private def assignStep(df: DataFrame, vecCol: String,
                          cents: Seq[Array[Float]], scale: Double): DataFrame = {
-    val qvec = expr(
-      s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT))")
-    val nearest = nearestUdf(cents, scale)
-    df.select(qvec.as("graft_q"))
-      .select(nearest(col("graft_q")).as("cluster_id"), col("graft_q"))
+    VecFunctions.register(df.sparkSession)
+    val cbFlat = cents.flatMap(_.map(quantLit(_, scale))).toArray
+    df.select(call_function("graft_scale_q", col(vecCol), lit(scale)).as("graft_q"))
+      .select(element_at(
+        call_function("graft_pq_codes", col("graft_q"), typedLit(cbFlat), lit(1)),
+        1).as("cluster_id"), col("graft_q"))
       .select(col("cluster_id"),
         posexplode(col("graft_q")).as(Seq("dim", "qv")))
       .groupBy(col("cluster_id"), col("dim").cast("long").as("dim"))
@@ -476,22 +469,19 @@ object Similarity {
       .collect().sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(cents.nonEmpty && cents.length >= 2 && cents.length <= (1 << 12),
       s"need a bounded codebook of >= 2 centroids, got ${cents.length}")
-    val sv = transform(col(vecCol), x =>
-      round(x.cast("double") * scale).cast("long"))
-    // (dist², cid) structs; ascending sort → rank 1 = assignment,
-    // rank 2 = best other cluster (ties → lowest cid via struct order)
-    val scored = array_sort(array(cents.map { case (cid, cv) =>
-      val csc = transform(typedLit(cv), x => round(x.cast("double") * scale).cast("long"))
-      struct(
-        aggregate(zip_with(sv, csc, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("d2"),
-        lit(cid).as("cid"))
-    }: _*))
+    VecFunctions.register(df.sparkSession)
+    // one kernel call: [cid₁, d²₁, cid₂, d²₂] — rank 1 = assignment,
+    // rank 2 = best other cluster (ties → lowest cid). The centroid
+    // matrix quantizes through the engine-parity HALF_UP round.
+    val scored = call_function("graft_sqdist_top2",
+      call_function("graft_scale_q", col(vecCol), lit(scale)),
+      typedLit(cents.flatMap(_._2.map(quantLit(_, scale)))),
+      typedLit(cents.map(_._1)))
     df.select(col(idCol).as("id"), scored.as("graft_sc"))
       .select(col("id"),
-        col("graft_sc")(0).getField("cid").as("cluster_id"),
-        col("graft_sc")(0).getField("d2").as("a2"),
-        col("graft_sc")(1).getField("d2").as("b2"))
+        col("graft_sc")(0).as("cluster_id"),
+        col("graft_sc")(1).as("a2"),
+        col("graft_sc")(3).as("b2"))
       .withColumn("s_bp",
         when(col("b2") === 0L, lit(0L))
           .otherwise(expr("(20000 * (b2 - a2) + b2) div (2 * b2)")))
