@@ -423,6 +423,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), s"the codebook must ride as literals, not a join:\n$p")
   }
 
+  test("vector kernel stages stay inside whole-stage codegen") {
+    // The kernel expressions exist so PQ/IVF/silhouette stages compile
+    // under the JVM's 64 KB method limit (the unrolled forms broke WSCG
+    // for the whole stage and ran interpreted at ~ms/row). Pin: the
+    // Project that evaluates each kernel carries a WholeStageCodegen
+    // star, and the plan still uses the kernel (not a re-expansion).
+    for ((query, kernel) <- Seq(
+        "q117_pq_encode" -> "graft_pq_codes",
+        "q118_pq_adc_topk" -> "graft_adc",
+        "q131_silhouette" -> "graft_sqdist_top2",
+        "q50_ivf_ann" -> "graft_cos_rank",
+        "q35_ann_lsh_bucketed" -> "graft_lsh_bucket")) {
+      val p = planOf(query)
+      assert(p.contains(kernel), s"$query no longer uses $kernel:\n$p")
+      val codegenLines = p.linesIterator
+        .filter(_.contains(kernel)).filter(l => l.contains("*("))
+      assert(codegenLines.nonEmpty,
+        s"$query evaluates $kernel outside whole-stage codegen:\n$p")
+    }
+  }
+
   test("pq adc search broadcasts the query distance tables; corpus side never shuffles pre-topk") {
     val p = planOf("q118_pq_adc_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
