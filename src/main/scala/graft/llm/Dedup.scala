@@ -676,4 +676,111 @@ object Dedup {
   def clusterSizeHistogram(clusters: DataFrame, compCol: String): DataFrame =
     clusters.groupBy(col(compCol)).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
+  /** Exact set-similarity join with PREFIX FILTERING (Chaudhuri et al.
+    * 2006 / PPJoin, Xiao et al. 2008) — all document pairs whose
+    * word-set Jaccard is ≥ threshold, WITHOUT the all-pairs comparison:
+    * order each document's distinct tokens by a global rarity order
+    * (document frequency asc, token asc) and keep only the first
+    * |T| − ⌈t·|T|⌉ + 1 as its prefix; any pair with J ≥ t must share a
+    * prefix token on BOTH sides (J ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, and an
+    * intersection that misses the prefix fits inside the ⌈t·|A|⌉−1
+    * suffix — contradiction), so the token-keyed prefix join is a
+    * LOSSLESS candidate generator. The oracle computes the unfiltered
+    * all-pairs answer, so the gate proves losslessness, not just
+    * plausibility.
+    *
+    * Scale shape: candidate volume is Σ per-prefix-token pair counts —
+    * rare tokens by construction (the global order puts the rarest
+    * first), so the quadratic blowup a raw token join suffers on common
+    * tokens never forms. One vocab-keyed df join + one doc-keyed
+    * collect + the prefix-token candidate join; verification is an
+    * in-row array_intersect on the two bounded token arrays. The
+    * threshold test is pure integers (10⁴·|∩| ≥ t_bp·|∪|) — no float on
+    * either engine. Output: (id_a, id_b, n_inter, n_union, jaccard_bp).
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      thresholdBp: Long): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be in (0, 10000], got $thresholdBp")
+    // Collapse to canonical texts first (the q33 judgment): exact-dup
+    // classes share one token set, so J is class-invariant — pairwise
+    // work runs on DISTINCT texts and doc-level pairs re-expand in-row.
+    // On a duplicate-heavy corpus this is the difference between
+    // verifying millions of doc pairs and dozens of text pairs
+    // (measured 10.5 s → sub-second at sf0.1).
+    val membership = CacheRegistry.persist(
+      df.select(col(idCol).as("graft_did"), md5(col(textCol)).as("graft_tid")))
+    val texts = df.select(md5(col(textCol)).as("graft_tid"),
+      col(textCol).as("graft_t")).distinct()
+    val tp = jaccardJoinDistinct(texts, thresholdBp)
+    // cross-text doc pairs: the verified text-pair table is candidate-
+    // bounded, so it broadcasts against the membership expansion
+    val cross = broadcast(tp)
+      .join(membership.select(col("graft_did").as("graft_d1"),
+        col("graft_tid").as("tid_a")), Seq("tid_a"))
+      .join(membership.select(col("graft_did").as("graft_d2"),
+        col("graft_tid").as("tid_b")), Seq("tid_b"))
+      .select(least(col("graft_d1"), col("graft_d2")).as("id_a"),
+        greatest(col("graft_d1"), col("graft_d2")).as("id_b"),
+        col("n_inter"), col("n_union"), col("jaccard_bp"))
+    // same-text doc pairs: J = 1 by construction. One shuffle (groupBy
+    // tid) + in-row pair expansion, not a self-join.
+    val sizes = texts.select(col("graft_tid"),
+      size(array_distinct(split(col("graft_t"), " "))).cast("long").as("graft_n"))
+    val same = membership.join(broadcast(sizes), Seq("graft_tid"))
+      .groupBy(col("graft_tid"))
+      .agg(sort_array(collect_list(col("graft_did"))).as("ids"),
+        first(col("graft_n")).as("graft_n"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("graft_n"), explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("graft_n").as("n_inter"), col("graft_n").as("n_union"),
+        lit(10000L).as("jaccard_bp"))
+    cross.union(same)
+  }
+
+  /** The prefix-filter join proper, over already-distinct texts keyed
+    * `graft_tid` / bodied `graft_t`. Output: (tid_a, tid_b, n_inter,
+    * n_union, jaccard_bp).
+    */
+  private def jaccardJoinDistinct(texts: DataFrame, thresholdBp: Long): DataFrame = {
+    val toks = texts.select(col("graft_tid").as("id"),
+      explode(array_distinct(split(col("graft_t"), " "))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("graft_df"))
+    // per text: tokens in global rarity order + the prefix length
+    val ordered = toks.join(dfreq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("graft_df"), col("tok")))).as("graft_ts"))
+      .select(col("id"), expr("transform(graft_ts, x -> x.tok)").as("graft_toks"))
+      .withColumn("graft_sz", size(col("graft_toks")))
+      .withColumn("graft_plen",
+        col("graft_sz") - expr(s"($thresholdBp * graft_sz + 9999) DIV 10000") + 1)
+    // both candidate sides and the verification join read this — persist
+    // or the df-join + collect runs three times. Cache lifecycle:
+    // [[CacheRegistry]] — release after materializing.
+    val docs = CacheRegistry.persist(
+      ordered.select(col("id"), col("graft_toks"), col("graft_sz"), col("graft_plen")))
+    val pre = docs.select(col("id"),
+      explode(expr("slice(graft_toks, 1, graft_plen)")).as("tok"))
+    val cands = pre.select(col("id").as("tid_a"), col("tok"))
+      .join(pre.select(col("id").as("tid_b"), col("tok")), Seq("tok"))
+      .filter(col("tid_a") < col("tid_b"))
+      .select(col("tid_a"), col("tid_b")).distinct()
+    cands
+      .join(docs.select(col("id").as("tid_a"), col("graft_toks").as("graft_ta"),
+        col("graft_sz").as("graft_na")), Seq("tid_a"))
+      .join(docs.select(col("id").as("tid_b"), col("graft_toks").as("graft_tb"),
+        col("graft_sz").as("graft_nb")), Seq("tid_b"))
+      .select(col("tid_a"), col("tid_b"),
+        size(array_intersect(col("graft_ta"), col("graft_tb"))).cast("long").as("n_inter"),
+        col("graft_na"), col("graft_nb"))
+      .select(col("tid_a"), col("tid_b"), col("n_inter"),
+        (col("graft_na") + col("graft_nb") - col("n_inter")).cast("long").as("n_union"))
+      .filter(lit(10000L) * col("n_inter") >= lit(thresholdBp) * col("n_union"))
+      .withColumn("jaccard_bp", expr("(20000 * n_inter + n_union) DIV (2 * n_union)"))
+  }
 }

@@ -234,6 +234,41 @@ object Similarity {
             lit(0.0))) / lit(1.0e7),
           4).as("std"))
 
+  /** Exact upper-triangle covariance of the embedding dimensions — the
+    * input to whitening / PCA before quantization or ANN indexing (a
+    * correlated embedding space wastes PQ codebook entropy; whitening
+    * needs Σ). Elements are scaled to round(x·scale) BIGINTs at the scan
+    * ([[graft.functions.VecKernels.scaleQ]]), every (i ≤ j) pair expands
+    * IN-ROW, and one map-side-combinable aggregation accumulates
+    * (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ) in decimal(38,0) — exact at any corpus size,
+    * order-free, matching DuckDB's hugeint sums. The covariance comes
+    * out in integer micro-units via HALF_UP division: with scale=10⁴,
+    * cov·10⁶ = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) / (100·n²) exactly. Post-shuffle
+    * volume is d(d+1)/2 cells — never corpus-shaped. Output:
+    * (di, dj, n, cov_u).
+    */
+  def embedCovariance(df: DataFrame, vecCol: String, scale: Double = 10000.0): DataFrame = {
+    VecFunctions.register(df.sparkSession)
+    df.select(call_function("graft_scale_q", col(vecCol), lit(scale)).as("graft_sv"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(graft_sv)), i ->
+          |  transform(sequence(i, size(graft_sv)), j -> struct(
+          |    CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+          |    element_at(graft_sv, i) AS xi, element_at(graft_sv, j) AS xj))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.di").as("di"), col("p.dj").as("dj"), col("p.xi").as("xi"),
+        col("p.xj").as("xj"))
+      .groupBy(col("di"), col("dj"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_si"),
+        sum(col("xj").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_sj"),
+        sum((col("xi") * col("xj")).cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_sij"))
+      .select(col("di"), col("dj"), col("n"),
+        expr("""CAST(CASE WHEN n * graft_sij - graft_si * graft_sj < 0 THEN -1 ELSE 1 END *
+               |  ((2 * abs(n * graft_sij - graft_si * graft_sj) + 100 * n * n)
+               |    DIV (2 * 100 * n * n)) AS BIGINT)""".stripMargin).as("cov_u"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     VecFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))

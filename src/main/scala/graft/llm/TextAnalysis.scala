@@ -493,13 +493,15 @@ object TextAnalysis {
            |  i -> CAST(conv(substring(md5(concat(graft_ws[i], ' ', graft_ws[i + 1])), 1, 12), 16, 10) AS BIGINT) % $nBuckets)"""
           .stripMargin)).as("bucket"))
     // per-corpus bucket counts — bounded tables (<= nBuckets rows)
-    def model(df: DataFrame, cName: String) =
-      bucketed(df).groupBy(col("bucket")).agg(count(lit(1)).as(cName))
-    // each bounded model table feeds BOTH the totals agg and the weight
-    // join — persist or the corpus-count subtree executes twice. Cache
-    // lifecycle: [[CacheRegistry]] — release after materializing.
-    val tgt = CacheRegistry.persist(model(target, "c_t"))
-    val rawM = CacheRegistry.persist(model(raw, "c_r"))
+    def model(b: DataFrame, cName: String) =
+      b.groupBy(col("bucket")).agg(count(lit(1)).as(cName))
+    // the raw bigram stream feeds its model AND the final per-doc join —
+    // persist or the corpus explodes twice; the bounded model tables
+    // each feed the totals agg and the weight join. Cache lifecycle:
+    // [[CacheRegistry]] — release after materializing.
+    val rawB = CacheRegistry.persist(bucketed(raw))
+    val tgt = CacheRegistry.persist(model(bucketed(target), "c_t"))
+    val rawM = CacheRegistry.persist(model(rawB, "c_r"))
     val totals = tgt.agg(sum(col("c_t")).as("n_t")).crossJoin(rawM.agg(sum(col("c_r")).as("n_r")))
     // add-one smoothed log-ratio per bucket in micro-nats, rounded once
     val weights = rawM.join(tgt, Seq("bucket"), "full")
@@ -510,7 +512,7 @@ object TextAnalysis {
         s"""CAST(round(ln(CAST((c_t + 1) * (n_r + $nBuckets) AS DOUBLE) /
            |              CAST((c_r + 1) * (n_t + $nBuckets) AS DOUBLE)) * 1000000.0) AS BIGINT)"""
           .stripMargin).as("graft_w"))
-    bucketed(raw).join(broadcast(weights), Seq("bucket"))
+    rawB.join(broadcast(weights), Seq("bucket"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("graft_w")).as("dsir_micro"))
   }
@@ -632,4 +634,55 @@ object TextAnalysis {
             "concat(graft_ws[i], ' ', graft_ws[i+1], ' ', graft_ws[i+2], ' ', " +
             "graft_ws[i+3], ' ', graft_ws[i+4])), g -> md5(g))"))))
       .drop("graft_ws")
+
+  /** Per-document word-distribution entropy in integer micro-nats — the
+    * lexical-diversity quality signal (low entropy = repeated/boilerplate
+    * text even when no single n-gram dominates; complements the Gopher
+    * repetition battery). H = ln(n) − (Σ c·ln(c))/n over per-word counts
+    * c; each ln rounds ONCE to micro-nats (the q102/q114 discipline),
+    * the c-weighted sum is a BIGINT, and the division is HALF_UP integer
+    * — engine-exact. Two map-side-combinable aggregations; post-shuffle
+    * volume is distinct (doc, word), then docs. Output: (id, n_words,
+    * n_distinct, entropy_micro).
+    */
+  def wordEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("graft_w"))
+      .groupBy(col("id"), col("graft_w")).agg(count(lit(1)).as("graft_c"))
+      .groupBy(col("id"))
+      .agg(sum(col("graft_c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("graft_c") *
+          expr("CAST(round(ln(CAST(graft_c AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+          .as("graft_s"))
+      .select(col("id"), col("n_words"), col("n_distinct"),
+        (expr("CAST(round(ln(CAST(n_words AS DOUBLE)) * 1000000.0) AS BIGINT)") -
+          expr("(2 * graft_s + n_words) DIV (2 * n_words)")).as("entropy_micro"))
+
+  /** Vocabulary coverage curve — the tokenizer-sizing report: rank the
+    * corpus vocabulary by frequency (ties → lexicographic) and emit, at
+    * each checkpoint size V, how many token OCCURRENCES the top-V types
+    * cover (basis points, HALF_UP). The running sum is a window over the
+    * RANKED VOCABULARY — type-bounded, never corpus-bounded (the corpus
+    * pays one map-side-combinable token count). Output per checkpoint ≤
+    * |vocab|: (vocab_size, cum_tokens, coverage_bp).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint size")
+    val counts = df.select(explode(split(col(textCol), " ")).as("graft_w"))
+      .filter(col("graft_w") =!= "")
+      .groupBy(col("graft_w")).agg(count(lit(1)).as("graft_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("graft_c").desc, col("graft_w"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = counts
+      .withColumn("vocab_size", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("graft_c").desc, col("graft_w"))))
+      .withColumn("cum_tokens", sum(col("graft_c")).over(w))
+    val total = counts.agg(sum(col("graft_c")).as("graft_tot"))
+    ranked.filter(col("vocab_size").isin(checkpoints: _*))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size").cast("long").as("vocab_size"), col("cum_tokens"),
+        expr("(20000 * cum_tokens + graft_tot) DIV (2 * graft_tot)").as("coverage_bp"))
+  }
 }

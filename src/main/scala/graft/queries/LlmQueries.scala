@@ -2038,5 +2038,94 @@ object LlmQueries {
              |                                    CAST((c_r + 1) * (n_t + 256) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wv
              |       FROM wt CROSS JOIN tot)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(wm.wv) AS BIGINT) AS dsir_micro
-             |FROM bg JOIN wm USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM bg JOIN wm USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Exact upper-triangle embedding covariance (whitening/PCA
+    // prep): scaled-BIGINT second moments, integer micro-unit output.
+    "q136_embed_covariance" -> QueryDef(
+      (s, dir) => {
+        Similarity.embedCovariance(table(s, dir, "embeddings"), "embedding")
+          .orderBy("di", "dj")
+      },
+      Some("""WITH e AS (SELECT list_transform(embedding,
+             |              x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS sv
+             |        FROM embeddings),
+             |t AS (SELECT sv, unnest(range(1, len(sv) + 1)) AS i FROM e),
+             |p AS (SELECT sv, i, unnest(range(i, len(sv) + 1)) AS j FROM t),
+             |c AS (SELECT CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+             |             sv[CAST(i AS INT)] AS xi, sv[CAST(j AS INT)] AS xj
+             |      FROM p),
+             |a AS (SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+             |             sum(xi) AS si, sum(xj) AS sj, sum(xi * xj) AS sij
+             |      FROM c GROUP BY di, dj)
+             |SELECT di, dj, n,
+             |       CAST((CASE WHEN n * sij - si * sj < 0 THEN -1 ELSE 1 END) *
+             |            ((2 * abs(n * sij - si * sj) + 100 * n * n)
+             |              // (2 * 100 * n * n)) AS BIGINT) AS cov_u
+             |FROM a ORDER BY di, dj""".stripMargin)),
+
+    // ---- Word-distribution entropy per document (lexical diversity),
+    // integer micro-nats via once-rounded ln terms.
+    "q137_word_entropy" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.wordEntropy(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+             |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             |             CAST(count(*) AS BIGINT) AS n_distinct,
+             |             CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+             |      FROM c GROUP BY doc_id)
+             |SELECT doc_id, n_words, n_distinct,
+             |       CAST(CAST(round(ln(CAST(n_words AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |            - (2 * s + n_words) // (2 * n_words) AS BIGINT) AS entropy_micro
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // ---- Vocabulary coverage curve (tokenizer sizing): occurrences
+    // covered by the top-V types at checkpoint sizes.
+    "q138_vocab_coverage" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.vocabCoverage(table(s, dir, "documents"), "text",
+            Seq(10L, 30L, 100L, 300L, 1000L, 3000L))
+          .orderBy("vocab_size")
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |c AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY w),
+             |r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS r,
+             |             sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM c),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c)
+             |SELECT CAST(r AS BIGINT) AS vocab_size, CAST(cum AS BIGINT) AS cum_tokens,
+             |       CAST((20000 * cum + tot) // (2 * tot) AS BIGINT) AS coverage_bp
+             |FROM r CROSS JOIN tot
+             |WHERE r IN (10, 30, 100, 300, 1000, 3000)
+             |ORDER BY vocab_size""".stripMargin)),
+
+    // ---- Prefix-filtered exact Jaccard similarity join: the oracle is
+    // the UNFILTERED all-pairs answer, so the hash match proves the
+    // prefix filter lossless.
+    "q139_jaccard_join" -> QueryDef(
+      (s, dir) => {
+        Dedup.jaccardJoin(table(s, dir, "documents"), "doc_id", "text", 8000L)
+          .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |        FROM documents),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM t GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |                 CAST(count(*) AS BIGINT) AS n_inter
+             |          FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |          GROUP BY a.doc_id, b.doc_id),
+             |j AS (SELECT doc_a, doc_b, n_inter,
+             |             sa.sz + sb.sz - n_inter AS n_union
+             |      FROM inter
+             |      JOIN sz sa ON sa.doc_id = doc_a
+             |      JOIN sz sb ON sb.doc_id = doc_b)
+             |SELECT doc_a, doc_b, n_inter, CAST(n_union AS BIGINT) AS n_union,
+             |       CAST((20000 * n_inter + n_union) // (2 * n_union) AS BIGINT) AS jaccard_bp
+             |FROM j WHERE 10000 * n_inter >= 8000 * n_union
+             |ORDER BY doc_a, doc_b""".stripMargin)))
 }

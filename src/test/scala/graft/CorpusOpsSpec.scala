@@ -306,4 +306,68 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (12L, 10L, 20L, 11L, 0L),
       (30L, 30L, 11L, 30L, 1L)))
   }
+
+  test("wordEntropy: uniform text has H = ln(n_distinct), constant text has H = 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),   // 4 distinct, uniform -> H = ln(4)
+      (1L, "a a a a"),   // constant -> H = 0
+      (2L, "a a b b"))   // 2 x 2 -> H = ln(2)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.wordEntropy(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def lnMicro(x: Double) = math.round(math.log(x) * 1e6)
+    // H_micro = lnMicro(n) - HALF_UP(sum c*lnMicro(c) / n)
+    assert(got(0) == (0L, 4L, 4L, lnMicro(4.0)))          // sum term 0
+    assert(got(1) == (1L, 4L, 1L, lnMicro(4.0) - lnMicro(4.0))) // 4*ln4/4
+    assert(got(2) == (2L, 4L, 2L, lnMicro(4.0) - lnMicro(2.0))) // 4*ln2/4
+  }
+
+  test("vocabCoverage ranks by count desc then token, with HALF_UP coverage") {
+    import spark.implicits._
+    // counts: x:4, a:2, b:2, c:1 -> order x, a, b, c; total 9
+    val docs = Seq((0L, "x x a b"), (1L, "x x a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(1L, 2L, 3L, 4L, 99L))
+      .orderBy("vocab_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 4444L),   // (20000*4+9) div 18
+      (2L, 6L, 6667L),
+      (3L, 8L, 8889L),
+      (4L, 9L, 10000L))) // checkpoint 99 > |vocab| is absent
+  }
+
+  test("jaccardJoin finds exactly the >= threshold pairs, incl. exact-duplicate classes") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),     // with doc 1: inter 3 ({b,c,d}... see below
+      (1L, "b c d e"),     // J(0,1) = 3/5 = 0.6
+      (2L, "a b c d"),     // exact dup of 0 -> J = 1
+      (3L, "p q r s"))     // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(docs, "doc_id", "text", 6000L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 3L, 5L, 6000L),   // boundary: J = 0.6 included at t = 0.6
+      (0L, 2L, 4L, 4L, 10000L),  // exact-dup class pair
+      (1L, 2L, 3L, 5L, 6000L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("embedCovariance: hand-computed 2-dim cells, exact micro units") {
+    import spark.implicits._
+    // vectors (1.0, 2.0) and (3.0, 6.0): scaled (10000,20000),(30000,60000)
+    // cov(0,0) raw = E[x^2]-E[x]^2 = (1+9)/2 - 4 = 1.0 -> 1e6 micro
+    // cov(0,1) = (2+18)/2 - 2*4 = 2.0; cov(1,1) = (4+36)/2 - 16 = 4.0
+    val df = Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(3.0f, 6.0f))).toDF("embedding")
+    val got = graft.llm.Similarity.embedCovariance(df, "embedding")
+      .orderBy("di", "dj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 1000000L),
+      (0L, 1L, 2L, 2000000L),
+      (1L, 1L, 2L, 4000000L)))
+  }
 }
