@@ -269,6 +269,41 @@ object Similarity {
                |    DIV (2 * 100 * n * n)) AS BIGINT)""".stripMargin).as("cov_u"))
   }
 
+  /** Apply per-dimension whitening — the normalization step between
+    * [[dimStats]]/[[embedCovariance]] (which measure the embedding
+    * space) and quantization/ANN indexing (which assume it is
+    * standardized). The z-score reduces EXACTLY: with x_sc = round(x·s),
+    * (x − mean)/std = (n·x_sc − Σx_sc) / √(n·Σx_sc² − (Σx_sc)²) — the
+    * scale cancels, the numerator and radicand are exact integers
+    * (decimal(38,0) ≡ hugeint), and only the final divide/sqrt/round-4
+    * run in IEEE doubles (the q68 precedent; sqrt output makes decimal
+    * half-ties unreachable). A zero-variance dimension whitens to 0.
+    *
+    * Scale shape: one (dim)-keyed map-side-combinable stats agg
+    * (post-shuffle volume = dimensionality), stats broadcast back onto
+    * the exploded corpus; the exploded stream feeds both — persisted via
+    * [[CacheRegistry]]. Output: (id, dim, w_r4).
+    */
+  def whiten(df: DataFrame, idCol: String, vecCol: String,
+      scale: Double = 10000.0): DataFrame = {
+    VecFunctions.register(df.sparkSession)
+    val ex = CacheRegistry.persist(
+      df.select(col(idCol).as("id"),
+        posexplode(call_function("graft_scale_q", col(vecCol), lit(scale)))
+          .as(Seq("dim", "xsc")))
+        .select(col("id"), col("dim").cast("long").as("dim"), col("xsc")))
+    val stats = ex.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xsc").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_s1"),
+        sum((col("xsc") * col("xsc")).cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_s2"))
+    ex.join(broadcast(stats), Seq("dim"))
+      .select(col("id"), col("dim"),
+        expr("""CASE WHEN n * graft_s2 - graft_s1 * graft_s1 <= 0 THEN 0.0D
+               |  ELSE round(CAST(n * xsc - graft_s1 AS DOUBLE) /
+               |             sqrt(CAST(n * graft_s2 - graft_s1 * graft_s1 AS DOUBLE)), 4)
+               |END""".stripMargin).as("w_r4"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     VecFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))

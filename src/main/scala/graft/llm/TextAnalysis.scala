@@ -593,6 +593,57 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-split contamination via winnowing fingerprints — the
+    * leakage audit run AFTER a split ships: for every non-train
+    * document, how many distinct winnowing fingerprints it shares with
+    * the train side, and with how many distinct train documents. The
+    * winnowing guarantee ([[winnowingFingerprints]]) makes a miss
+    * meaningful: any shared run of w+k−1 words between an eval doc and
+    * any train doc FORCES a shared fingerprint, so this catches
+    * paraphrase-adjacent leakage that exact/doc-level dedup misses and
+    * [[crossNgramOverlap]] only sees at the n-gram level. Split = the
+    * [[Curation.assignSplit]] seeded md5 bucket.
+    *
+    * Scale shape: fingerprints are in-row (no explode until the distinct
+    * fp stream); the contaminating join is fingerprint-keyed (pairwise
+    * volume = Σ per-fp train×eval, the LSH-banding bound), and the
+    * output is eval-bounded. Output: (id, n_shared_fps, n_train_docs)
+    * for eval docs with ≥ `minShared` shared fingerprints.
+    */
+  def fingerprintContamination(df: DataFrame, idCol: String, textCol: String,
+      seed: String, trainPct: Int, k: Int = 4, w: Int = 4,
+      minShared: Long = 2L): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val parts = (0 until k)
+      .map(o => if (o == 0) "ws[i]" else s"ws[i+$o]").mkString(", ' ', ")
+    val withSplit = Curation.assignSplit(
+      df.select(col(idCol).as("id"), col(textCol).as("graft_t")),
+      "id", seed, trainPct, 100 - trainPct)
+    // per-doc DISTINCT fingerprints (in-row winnowing); feeds both the
+    // train and eval sides. Cache lifecycle: [[CacheRegistry]].
+    val fps = CacheRegistry.persist(withSplit
+      .select(col("id"), col("split"), split(col("graft_t"), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("id"), col("split"), expr(
+        s"transform(transform(sequence(0, size(ws) - $k), i -> concat($parts)), g -> md5(g))")
+        .as("hs"))
+      .select(col("id"), col("split"), expr(
+        s"""CASE WHEN size(hs) >= $w
+           |  THEN transform(sequence(0, size(hs) - $w),
+           |         j -> array_min(slice(hs, j + 1, $w)))
+           |  ELSE array(array_min(hs)) END""".stripMargin).as("mins"))
+      .select(col("id"), col("split"), explode(array_distinct(col("mins"))).as("fp")))
+    val train = fps.filter(col("split") === "train")
+      .select(col("fp"), col("id").as("graft_tid"))
+    val eval_ = fps.filter(col("split") =!= "train")
+      .select(col("fp"), col("id"))
+    eval_.join(train, Seq("fp"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("fp")).as("n_shared_fps"),
+        countDistinct(col("graft_tid")).as("n_train_docs"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   /** Model-based quality filtering with a hashed-feature linear
     * classifier — the fastText-style scorer the GPT-3/LLaMA pipelines
     * run over every crawl document (score against a Wikipedia-vs-crawl

@@ -2127,5 +2127,64 @@ object LlmQueries {
              |SELECT doc_a, doc_b, n_inter, CAST(n_union AS BIGINT) AS n_union,
              |       CAST((20000 * n_inter + n_union) // (2 * n_union) AS BIGINT) AS jaccard_bp
              |FROM j WHERE 10000 * n_inter >= 8000 * n_union
-             |ORDER BY doc_a, doc_b""".stripMargin)))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Whitening application: exact-integer z-score reduction
+    // (n·x_sc − s1)/√(n·s2 − s1²) — the scale cancels; only the final
+    // divide/sqrt/round run as doubles (q68 precedent).
+    "q140_whiten" -> QueryDef(
+      (s, dir) => {
+        Similarity.whiten(table(s, dir, "embeddings"), "vec_id", "embedding")
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding,
+             |              x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS sv
+             |        FROM embeddings),
+             |x AS (SELECT vec_id, unnest(range(1, len(sv) + 1)) AS i, sv FROM e),
+             |v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, sv[CAST(i AS INT)] AS xsc FROM x),
+             |st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(xsc) AS s1,
+             |              sum(xsc * xsc) AS s2
+             |       FROM v GROUP BY dim)
+             |SELECT vec_id, dim,
+             |       CASE WHEN n * s2 - s1 * s1 <= 0 THEN 0.0
+             |            ELSE round(CAST(n * xsc - s1 AS DOUBLE) /
+             |                       sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 4)
+             |       END AS w_r4
+             |FROM v JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin)),
+
+    // ---- Cross-split contamination via winnowing fingerprints: eval
+    // docs sharing >= 2 distinct fingerprints with the train side.
+    "q141_fp_contamination" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.fingerprintContamination(table(s, dir, "documents"),
+            "doc_id", "text", seed = "fc", trainPct = 80)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH sp AS (SELECT doc_id, text,
+             |              CASE WHEN CAST('0x' || substr(md5('fc:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 80
+             |                   THEN 'train' ELSE 'test' END AS split
+             |        FROM documents),
+             |w AS (SELECT doc_id, split, string_split(text, ' ') AS ws FROM sp
+             |      WHERE len(string_split(text, ' ')) >= 4),
+             |t AS (SELECT doc_id, split, unnest(range(1, len(ws) - 2)) AS i, ws FROM w),
+             |h AS (SELECT doc_id, split, i, md5(ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]
+             |             || ' ' || ws[CAST(i+2 AS INT)] || ' ' || ws[CAST(i+3 AS INT)]) AS hv
+             |      FROM t),
+             |g AS (SELECT doc_id, split, count(*) AS n_grams FROM h GROUP BY doc_id, split),
+             |win AS (SELECT doc_id, split, unnest(range(1, greatest(n_grams - 4 + 1, 1) + 1)) AS j,
+             |               n_grams FROM g),
+             |m AS (SELECT win.doc_id, win.split, win.j, min(h.hv) AS mh
+             |      FROM win JOIN h ON h.doc_id = win.doc_id
+             |                     AND h.i >= win.j AND h.i <= least(win.j + 3, win.n_grams)
+             |      GROUP BY win.doc_id, win.split, win.j),
+             |fp AS (SELECT DISTINCT doc_id, split, mh FROM m),
+             |je AS (SELECT e.doc_id, e.mh, t.doc_id AS tid
+             |       FROM fp e JOIN fp t ON e.mh = t.mh
+             |       WHERE e.split <> 'train' AND t.split = 'train')
+             |SELECT doc_id, CAST(count(DISTINCT mh) AS BIGINT) AS n_shared_fps,
+             |       CAST(count(DISTINCT tid) AS BIGINT) AS n_train_docs
+             |FROM je GROUP BY doc_id HAVING count(DISTINCT mh) >= 2
+             |ORDER BY doc_id""".stripMargin)))
 }
