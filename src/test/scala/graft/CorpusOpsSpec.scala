@@ -356,6 +356,44 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("whiten standardizes each dimension and zero-variance dims whiten to 0") {
+    import spark.implicits._
+    // dim 0: values 1,3 -> mean 2, std 1 -> z = -1, +1
+    // dim 1: constant 5 -> zero variance -> 0
+    val df = Seq(Tuple1(Array(1.0f, 5.0f)), Tuple1(Array(3.0f, 5.0f))).toDF("embedding")
+      .withColumn("vid", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val got = graft.llm.Similarity.whiten(df, "vid", "embedding")
+      .orderBy("id", "dim").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, -1.0), (1L, 0.0), (0L, 1.0), (1L, 0.0)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("fingerprintContamination flags an eval doc copying a train run, not a clean one") {
+    import spark.implicits._
+    // Seed 'x' buckets: doc 1 -> train, and we pick ids so 2 and 3 land
+    // non-train by probing the same md5 bucket the operator uses.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    def bucket(seed: String, id: Long): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16) % 100
+    // find a train id and two eval ids under seed "t50", 50% train
+    val ids = (0L until 200L)
+    val trainId = ids.find(bucket("t50", _) < 50).get
+    val evalIds = ids.filter(bucket("t50", _) >= 50).take(2)
+    val docs = Seq(
+      (trainId, base),                        // train
+      (evalIds(0), base + " iota kappa"),     // shares the 8-word run -> flagged
+      (evalIds(1), "uno dos tres cuatro cinco seis siete ocho")) // clean
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.fingerprintContamination(docs, "doc_id", "text",
+        seed = "t50", trainPct = 50, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == Seq((evalIds(0), 1L)),
+      s"expected only ${evalIds(0)} flagged against 1 train doc, got ${got.toSeq}")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("embedCovariance: hand-computed 2-dim cells, exact micro units") {
     import spark.implicits._
     // vectors (1.0, 2.0) and (3.0, 6.0): scaled (10000,20000),(30000,60000)
