@@ -240,6 +240,22 @@ case class LshBucketExpr(vec: Expression, planesE: Expression) extends VecExpres
     copy(vec = nc(0), planesE = nc(1))
 }
 
+/** graft_simhash(hvs array<long>) → bigint: 60-bit SimHash signature
+  * from the +1/−1 bit votes of the token hashes.
+  */
+case class SimHashExpr(hvs: Expression) extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(hvs)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.simhash60(v.head)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.simhash60(${vals.head})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): SimHashExpr =
+    copy(hvs = nc(0))
+}
+
 /** graft_cos_rank(v array<float>, cents array<float> lit, cids
   * array<long> lit) → array<long>: centroid ids by cosine desc, ties →
   * lowest id.
@@ -274,6 +290,7 @@ object VecFunctions {
     "graft_dot" -> (e => DotExpr(e(0), e(1))),
     "graft_norm" -> (e => NormExpr(e(0))),
     "graft_lsh_bucket" -> (e => LshBucketExpr(e(0), e(1))),
+    "graft_simhash" -> (e => SimHashExpr(e(0))),
     "graft_cos_rank" -> (e => CosRankExpr(e(0), e(1), e(2))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>

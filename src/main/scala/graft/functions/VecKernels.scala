@@ -172,6 +172,33 @@ object VecKernels {
     UnsafeArrayData.fromPrimitiveArray(Array(cids(c1), d1, cids(c2), d2))
   }
 
+  /** 60-bit SimHash signature from token hashes: bit j set when the
+    * +1/−1 votes of bit j across all token hashes sum strictly
+    * positive. Votes are order-free integer sums, so the loop is
+    * bit-identical to any fold order.
+    */
+  def simhash60(hvs: ArrayData): Long = {
+    val n = hvs.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hvs.getLong(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) sig += (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   /** Double dot product of two float vectors, accumulated left-to-right
     * from 0.0 in index order — bit-identical to
     * `aggregate(zip_with(a, b, x·y), 0.0, +)` and the oracles'

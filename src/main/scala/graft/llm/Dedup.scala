@@ -303,28 +303,22 @@ object Dedup {
     * token hash = first 15 hex chars of md5 as a long; bit j of the
     * signature is set when the +1/−1 votes of token bit j sum positive.
     *
-    * The vote matrix is computed entirely per row (one `aggregate` pass
-    * over the token-hash array carrying a 60-slot vote vector), so the
-    * operator is a narrow codegen'd scan with NO shuffle — the
+    * The vote matrix runs in ONE [[graft.functions.VecKernels.simhash60]]
+    * kernel call per row — a narrow fully-codegen'd scan with NO
+    * shuffle. The nested-HOF fold it replaces (aggregate carrying a
+    * 60-slot vote vector rebuilt by zip_with per token) is
+    * CodegenFallback AND allocates a 60-long array per token; the
     * explode × 60-bit-join formulation costs a 60× row blowup plus two
-    * exchanges for the same integer votes (which are order-independent
-    * sums, hence identical).
+    * exchanges. Votes are order-independent integer sums, so all three
+    * forms are value-identical — only the cost differs.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VecFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"),
         expr(s"transform(split($textCol, ' '), " +
           "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))").as("hvs"))
-      .select(col("id"),
-        expr("""aggregate(hvs, array_repeat(CAST(0 AS BIGINT), 60),
-          |  (acc, h) -> zip_with(acc, sequence(0, 59),
-          |    (a, j) -> a + CASE WHEN (shiftright(h, CAST(j AS INT)) & 1) = 1
-          |                  THEN 1 ELSE -1 END))""".stripMargin).as("votes"))
-      .select(col("id"),
-        expr("""aggregate(zip_with(votes, sequence(0, 59),
-          |    (v, j) -> CASE WHEN v > 0
-          |              THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))
-          |              ELSE CAST(0 AS BIGINT) END),
-          |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+      .select(col("id"), call_function("graft_simhash", col("hvs")).as("simhash"))
+  }
 
   /** Incremental dedup of a NEW batch against an already-ingested
     * reference corpus — the shape every snapshot-over-snapshot crawl
