@@ -69,6 +69,15 @@ class VecKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VecKernels.sqDistLong(longs(3, -4, 0), longs(0, 0, 2)) == 9L + 16L + 4L)
   }
 
+  test("simhash60 sets exactly the positive-vote bits") {
+    // one hash: every set bit votes +1, every clear bit votes -1 -> sig = h (low 60 bits)
+    assert(VecKernels.simhash60(longs(0b1011L)) == 0b1011L)
+    // two hashes: bit agreement wins, disagreement (one +1, one -1) -> not positive -> 0
+    assert(VecKernels.simhash60(longs(0b1100L, 0b1010L)) == 0b1000L)
+    // empty token list: all votes 0 -> signature 0
+    assert(VecKernels.simhash60(longs()) == 0L)
+  }
+
   test("cosRank orders centroids by cosine descending, ties to the lowest id") {
     // v = (1,0); cents: id 7 = (0,1) cos 0, id 9 = (1,0) cos 1,
     // id 11 = (2,0) cos 1 (tie with 9 → 9 first)
