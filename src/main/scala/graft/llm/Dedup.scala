@@ -703,27 +703,35 @@ object Dedup {
     // On a duplicate-heavy corpus this is the difference between
     // verifying millions of doc pairs and dozens of text pairs
     // (measured 10.5 s → sub-second at sf0.1).
+    // dense LONG surrogate keys for the internal joins: the candidate
+    // distinct + verification shuffles move (key, key) pairs, and 8-byte
+    // longs halve-plus the exchange width vs 32-char md5 strings
+    // (measured 18.6 s → see BENCH_NOTES). monotonically_increasing_id
+    // is narrow (no sort/window) and collision-free; it never reaches
+    // the output, so its run-to-run instability is irrelevant.
+    val texts = CacheRegistry.persist(
+      df.select(md5(col(textCol)).as("graft_tid"), col(textCol).as("graft_t")).distinct()
+        .withColumn("graft_tidl", monotonically_increasing_id()))
     val membership = CacheRegistry.persist(
-      df.select(col(idCol).as("graft_did"), md5(col(textCol)).as("graft_tid")))
-    val texts = df.select(md5(col(textCol)).as("graft_tid"),
-      col(textCol).as("graft_t")).distinct()
+      df.select(col(idCol).as("graft_did"), md5(col(textCol)).as("graft_tid"))
+        .join(broadcast(texts.select(col("graft_tid"), col("graft_tidl"))), Seq("graft_tid")))
     val tp = jaccardJoinDistinct(texts, thresholdBp)
     // cross-text doc pairs: the verified text-pair table is candidate-
     // bounded, so it broadcasts against the membership expansion
     val cross = broadcast(tp)
       .join(membership.select(col("graft_did").as("graft_d1"),
-        col("graft_tid").as("tid_a")), Seq("tid_a"))
+        col("graft_tidl").as("tidl_a")), Seq("tidl_a"))
       .join(membership.select(col("graft_did").as("graft_d2"),
-        col("graft_tid").as("tid_b")), Seq("tid_b"))
+        col("graft_tidl").as("tidl_b")), Seq("tidl_b"))
       .select(least(col("graft_d1"), col("graft_d2")).as("id_a"),
         greatest(col("graft_d1"), col("graft_d2")).as("id_b"),
         col("n_inter"), col("n_union"), col("jaccard_bp"))
     // same-text doc pairs: J = 1 by construction. One shuffle (groupBy
     // tid) + in-row pair expansion, not a self-join.
-    val sizes = texts.select(col("graft_tid"),
+    val sizes = texts.select(col("graft_tidl"),
       size(array_distinct(split(col("graft_t"), " "))).cast("long").as("graft_n"))
-    val same = membership.join(broadcast(sizes), Seq("graft_tid"))
-      .groupBy(col("graft_tid"))
+    val same = membership.join(broadcast(sizes), Seq("graft_tidl"))
+      .groupBy(col("graft_tidl"))
       .agg(sort_array(collect_list(col("graft_did"))).as("ids"),
         first(col("graft_n")).as("graft_n"))
       .filter(size(col("ids")) >= 2)
@@ -738,11 +746,11 @@ object Dedup {
   }
 
   /** The prefix-filter join proper, over already-distinct texts keyed
-    * `graft_tid` / bodied `graft_t`. Output: (tid_a, tid_b, n_inter,
-    * n_union, jaccard_bp).
+    * `graft_tidl` (dense long) / bodied `graft_t`. Output: (tidl_a,
+    * tidl_b, n_inter, n_union, jaccard_bp).
     */
   private def jaccardJoinDistinct(texts: DataFrame, thresholdBp: Long): DataFrame = {
-    val toks = texts.select(col("graft_tid").as("id"),
+    val toks = texts.select(col("graft_tidl").as("id"),
       explode(array_distinct(split(col("graft_t"), " "))).as("tok"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("graft_df"))
     // per text: tokens in global rarity order + the prefix length
@@ -760,19 +768,19 @@ object Dedup {
       ordered.select(col("id"), col("graft_toks"), col("graft_sz"), col("graft_plen")))
     val pre = docs.select(col("id"),
       explode(expr("slice(graft_toks, 1, graft_plen)")).as("tok"))
-    val cands = pre.select(col("id").as("tid_a"), col("tok"))
-      .join(pre.select(col("id").as("tid_b"), col("tok")), Seq("tok"))
-      .filter(col("tid_a") < col("tid_b"))
-      .select(col("tid_a"), col("tid_b")).distinct()
+    val cands = pre.select(col("id").as("tidl_a"), col("tok"))
+      .join(pre.select(col("id").as("tidl_b"), col("tok")), Seq("tok"))
+      .filter(col("tidl_a") < col("tidl_b"))
+      .select(col("tidl_a"), col("tidl_b")).distinct()
     cands
-      .join(docs.select(col("id").as("tid_a"), col("graft_toks").as("graft_ta"),
-        col("graft_sz").as("graft_na")), Seq("tid_a"))
-      .join(docs.select(col("id").as("tid_b"), col("graft_toks").as("graft_tb"),
-        col("graft_sz").as("graft_nb")), Seq("tid_b"))
-      .select(col("tid_a"), col("tid_b"),
+      .join(docs.select(col("id").as("tidl_a"), col("graft_toks").as("graft_ta"),
+        col("graft_sz").as("graft_na")), Seq("tidl_a"))
+      .join(docs.select(col("id").as("tidl_b"), col("graft_toks").as("graft_tb"),
+        col("graft_sz").as("graft_nb")), Seq("tidl_b"))
+      .select(col("tidl_a"), col("tidl_b"),
         size(array_intersect(col("graft_ta"), col("graft_tb"))).cast("long").as("n_inter"),
         col("graft_na"), col("graft_nb"))
-      .select(col("tid_a"), col("tid_b"), col("n_inter"),
+      .select(col("tidl_a"), col("tidl_b"), col("n_inter"),
         (col("graft_na") + col("graft_nb") - col("n_inter")).cast("long").as("n_union"))
       .filter(lit(10000L) * col("n_inter") >= lit(thresholdBp) * col("n_union"))
       .withColumn("jaccard_bp", expr("(20000 * n_inter + n_union) DIV (2 * n_union)"))
