@@ -644,6 +644,50 @@ object TextAnalysis {
       .filter(col("n_shared_fps") >= minShared)
   }
 
+  /** Collocation mining by pointwise mutual information — the
+    * word2phrase step that promotes high-PMI adjacent pairs ("new
+    * york") into single tokenizer/phrase-vocab units. PMI =
+    * ln(p(w₁w₂) / (p(w₁)p(w₂))) = ln(c₁₂·T² / (B·c₁·c₂)) over exact
+    * integer counts (T tokens, B bigrams corpus-wide), rounded ONCE to
+    * integer micro-nats — engine-exact (the q102/q114 ln discipline).
+    * Pairs below `minCount` drop (PMI is noise at tiny counts); output
+    * is the top `k` by (PMI desc, pair asc).
+    *
+    * Scale shape: two map-side-combinable count aggregations (bigrams,
+    * unigrams), two vocab-keyed joins to attach c₁/c₂, one broadcast of
+    * the 1-row totals, and a TakeOrdered top-k — post-shuffle volume is
+    * vocab-shaped, never corpus-shaped. Output: (w1, w2, n_pair,
+    * pmi_micro).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    val words = df.select(split(col(textCol), " ").as("graft_ws"))
+    val toks = words.select(explode(col("graft_ws")).as("w")).filter(col("w") =!= "")
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = words.filter(size(col("graft_ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(graft_ws) - 2),
+          |  i -> struct(graft_ws[i] AS w1, graft_ws[i + 1] AS w2))""".stripMargin)).as("p"))
+      .filter(col("p.w1") =!= "" && col("p.w2") =!= "")
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    // B = ALL adjacent pairs (pre-minCount) so probabilities stay honest
+    val totals = uni.agg(sum(col("c")).as("graft_t")).crossJoin(
+      words.filter(size(col("graft_ws")) >= 2)
+        .select((size(col("graft_ws")) - 1).cast("long").as("nb"))
+        .agg(sum(col("nb")).as("graft_b")))
+    bi.join(uni.select(col("w").as("w1"), col("c").as("graft_c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("graft_c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr("""CAST(round(ln(CAST(n_pair AS DOUBLE) * CAST(graft_t AS DOUBLE) * CAST(graft_t AS DOUBLE)
+               |            / (CAST(graft_b AS DOUBLE) * CAST(graft_c1 AS DOUBLE) * CAST(graft_c2 AS DOUBLE)))
+               |     * 1000000.0) AS BIGINT)""".stripMargin).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Model-based quality filtering with a hashed-feature linear
     * classifier — the fastText-style scorer the GPT-3/LLaMA pipelines
     * run over every crawl document (score against a Wikipedia-vs-crawl

@@ -2186,5 +2186,32 @@ object LlmQueries {
              |SELECT doc_id, CAST(count(DISTINCT mh) AS BIGINT) AS n_shared_fps,
              |       CAST(count(DISTINCT tid) AS BIGINT) AS n_train_docs
              |FROM je GROUP BY doc_id HAVING count(DISTINCT mh) >= 2
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Collocation mining by PMI (word2phrase): top pairs by
+    // ln(c12*T^2/(B*c1*c2)) in integer micro-nats, exact counts.
+    "q142_collocations" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.collocations(table(s, dir, "documents"), "text",
+            minCount = 5L, k = 20)
+          .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      },
+      Some("""WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT unnest(ws) AS w FROM ws),
+             |uni AS (SELECT w, count(*) AS c FROM t WHERE w <> '' GROUP BY w),
+             |bp AS (SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+             |       FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM ws WHERE len(ws) >= 2)),
+             |bi AS (SELECT w1, w2, count(*) AS n_pair FROM bp
+             |       WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2 HAVING count(*) >= 5),
+             |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS t,
+             |               (SELECT CAST(sum(len(ws) - 1) AS BIGINT) FROM ws WHERE len(ws) >= 2) AS b)
+             |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+             |       CAST(round(ln(CAST(n_pair AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+             |                   / (CAST(b AS DOUBLE) * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)))
+             |            * 1000000.0) AS BIGINT) AS pmi_micro
+             |FROM bi
+             |JOIN uni c1 ON c1.w = bi.w1
+             |JOIN uni c2 ON c2.w = bi.w2
+             |CROSS JOIN tot
+             |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin)))
 }
