@@ -659,6 +659,39 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_end"))
   }
 
+  /** Apply-side of [[duplicateSpans]] — REMOVE the cross-document
+    * duplicated spans from each document (the Lee et al. pipeline
+    * actually deletes the memorized substrings rather than dropping
+    * whole documents). Every token position inside any detected span is
+    * cut; survivors re-join in order. Docs with no spans (including
+    * those too short to gram) pass through unchanged; a fully-covered
+    * doc becomes the empty string.
+    *
+    * Scale shape: [[duplicateSpans]]' cost plus one id-keyed span
+    * collect (spans per doc are bounded by the merge) and a left join
+    * back onto the corpus; the cut itself is in-row. Output:
+    * (id, clean_text, n_removed).
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n, minDocs)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("graft_spans"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("graft_sp", coalesce(col("graft_spans"),
+        expr("CAST(array() AS ARRAY<STRUCT<span_start: BIGINT, span_end: BIGINT>>)")))
+      .withColumn("graft_kept", expr(
+        """filter(transform(sequence(0, size(graft_ws) - 1),
+          |         i -> struct(CAST(i AS BIGINT) AS i, graft_ws[i] AS w)),
+          |       p -> NOT exists(graft_sp,
+          |         s -> p.i >= s.span_start AND p.i < s.span_end))""".stripMargin))
+      .select(col("id"),
+        concat_ws(" ", expr("transform(graft_kept, p -> p.w)")).as("clean_text"),
+        (size(col("graft_ws")) - size(col("graft_kept"))).cast("long").as("n_removed"))
+  }
+
   /** Cluster-size histogram over a [[connectedComponents]] (or any
     * (member, cluster)) table — the dedup health report: a long tail of
     * pair-sized clusters is normal near-duplication; a giant component

@@ -2213,5 +2213,39 @@ object LlmQueries {
              |JOIN uni c1 ON c1.w = bi.w1
              |JOIN uni c2 ON c2.w = bi.w2
              |CROSS JOIN tot
-             |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin)))
+             |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // ---- Apply-side of q101: cut every cross-document duplicated span
+    // out of each document (Lee et al. span REMOVAL, not doc dropping).
+    "q143_span_removal" -> QueryDef(
+      (s, dir) => {
+        Dedup.removeDuplicateSpans(table(s, dir, "documents"), "doc_id", "text",
+            n = 4, minDocs = 2)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |t AS (SELECT doc_id, unnest(range(1, len(ws) - 2)) AS i, ws FROM w WHERE len(ws) >= 4),
+             |g AS (SELECT doc_id, i - 1 AS pos,
+             |             ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' ||
+             |             ws[CAST(i+2 AS INT)] || ' ' || ws[CAST(i+3 AS INT)] AS gram FROM t),
+             |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+             |x AS (SELECT doc_id, pos, pos + 4 AS e,
+             |             max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM m),
+             |isl AS (SELECT doc_id, pos, e,
+             |               sum(CASE WHEN maxe IS NULL OR pos > maxe THEN 1 ELSE 0 END)
+             |                 OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM x),
+             |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2 FROM isl GROUP BY doc_id, island),
+             |wp AS (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM w),
+             |kp AS (SELECT wp.doc_id, wp.i, wp.ws[CAST(wp.i + 1 AS INT)] AS kw FROM wp
+             |       WHERE NOT EXISTS (SELECT 1 FROM sp
+             |              WHERE sp.doc_id = wp.doc_id AND wp.i >= sp.s AND wp.i < sp.e2)),
+             |agg AS (SELECT doc_id, coalesce(string_agg(kw, ' ' ORDER BY i), '') AS clean_text,
+             |               count(*) AS nk
+             |        FROM kp GROUP BY doc_id)
+             |SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+             |       CAST(len(w.ws) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
+             |FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""".stripMargin)))
 }
