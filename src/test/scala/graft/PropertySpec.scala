@@ -252,4 +252,60 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // global invariant: kept segments across the corpus == distinct segments
     assert(got.values.map(_._2).sum == seen.size.toLong)
   }
+
+  test("vector kernels are bit-identical to the higher-order-function expressions they replaced") {
+    import spark.implicits._
+    graft.functions.VecFunctions.register(spark)
+    val rnd = new Random(7)
+    // random float vectors incl. negatives, tiny magnitudes, exact ints
+    val vecs = (0 until 200).map { _ =>
+      Array.fill(16)((rnd.nextGaussian() * math.pow(10, rnd.nextInt(4) - 2)).toFloat)
+    }
+    val df = vecs.map(v => Tuple1(v)).toDF("v").repartition(4)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val planes = (0 until 12).flatMap(_ => (0 until 16).map(_ =>
+      if (rnd.nextBoolean()) 1.0 else -1.0)).toArray
+    val hofBucket = (0 until 12).map { j =>
+      val p = typedLit(planes.slice(j * 16, (j + 1) * 16))
+      when(aggregate(zip_with(col("v"), p, (x, pp) => x.cast("double") * pp),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val bad = df.select(
+      // dot/norm: kernel vs HOF fold (same index order from 0.0)
+      (call_function("graft_dot", col("v"), col("v")) =!= hofDot(col("v"), col("v"))).as("d"),
+      (call_function("graft_norm", col("v")) =!= sqrt(hofDot(col("v"), col("v")))).as("n"),
+      // scaling: kernel vs engine round expression
+      (call_function("graft_scale_q", col("v"), lit(10000.0)) =!=
+        transform(col("v"), x => round(x.cast("double") * 10000.0).cast("long"))).as("s"),
+      // LSH bucket: kernel vs per-plane HOF projections
+      (call_function("graft_lsh_bucket", col("v"), typedLit(planes)) =!= hofBucket).as("b"))
+      .filter(col("d") || col("n") || col("s") || col("b")).count()
+    assert(bad == 0L, s"$bad random vectors diverged between kernel and HOF forms")
+  }
+
+  test("pqCodes/sqDistTop2 match a driver-side argmin reference on random codebooks") {
+    import spark.implicits._
+    graft.functions.VecFunctions.register(spark)
+    val rnd = new Random(11)
+    val dim = 12
+    val cb = Array.fill(7)(Array.fill(dim)(rnd.nextInt(2001).toLong - 1000))
+    val cbFlat = cb.flatten // m=1 layout == [c][dim]
+    val vecs = (0 until 300).map(i => (i.toLong, Array.fill(dim)(rnd.nextInt(2001).toLong - 1000)))
+    val got = vecs.toDF("id", "sv")
+      .select(col("id"),
+        element_at(call_function("graft_pq_codes", col("sv"), typedLit(cbFlat), lit(1)), 1).as("code"),
+        call_function("graft_sqdist_top2", col("sv"), typedLit(cbFlat),
+          typedLit(cb.indices.map(_.toLong).toArray)).as("t2"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    vecs.foreach { case (id, v) =>
+      val d2 = cb.map(c => c.zip(v).map { case (a, b) => val t = b - a; t * t }.sum)
+      val order = d2.zipWithIndex.sortBy { case (d, i) => (d, i) }
+      val (code, t2) = got(id)
+      assert(code == order(0)._2.toLong, s"vec $id argmin mismatch")
+      assert(t2 == List(order(0)._2.toLong, order(0)._1, order(1)._2.toLong, order(1)._1),
+        s"vec $id top2 mismatch")
+    }
+  }
 }
