@@ -688,6 +688,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Distinctive vocabulary per source — Dirichlet-smoothed log-odds of
+    * each token in a source vs the REST of the corpus (Monroe, Colaresi
+    * & Quinn 2008, "Fightin' Words"), the standard report for "what
+    * makes this source different" before mixture design. With α = 1:
+    * δ = ln[(c_s+1)(n_r−c_r+V−1) / ((n_s−c_s+V−1)(c_r+1))], all-integer
+    * argument products (exact in doubles below 2⁵³), rounded ONCE to
+    * micro-nats. Emits each source's top `k` tokens by (δ desc, token
+    * asc).
+    *
+    * Scale shape: one (source, token) count agg + one token rollup
+    * (both map-side combinable), bounded totals broadcast, and the
+    * top-k window runs over source×vocab — never the corpus. Output:
+    * (source, token, n_in_source, delta_micro).
+    */
+  def distinctiveTerms(df: DataFrame, srcCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val toks = df.select(col(srcCol).as("source"),
+      explode(split(col(textCol), " ")).as("w")).filter(col("w") =!= "")
+    // feeds the per-source counts, the token rollup, and the totals —
+    // persist the one shuffle. Cache lifecycle: [[CacheRegistry]].
+    val sc = CacheRegistry.persist(
+      toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_s")))
+    val tokTot = sc.groupBy(col("w")).agg(sum(col("c_s")).as("graft_cw"))
+    val srcTot = sc.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val vTot = tokTot.agg(count(lit(1)).as("graft_v"), sum(col("graft_cw")).as("graft_n"))
+    val scored = sc
+      .join(broadcast(tokTot), Seq("w"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(vTot))
+      .select(col("source"), col("w"), col("c_s"),
+        expr("""CAST(round(ln(
+               |  (CAST(c_s + 1 AS DOUBLE) * CAST((graft_n - n_s) - (graft_cw - c_s) + graft_v - 1 AS DOUBLE))
+               |  / (CAST(n_s - c_s + graft_v - 1 AS DOUBLE) * CAST((graft_cw - c_s) + 1 AS DOUBLE)))
+               |  * 1000000.0) AS BIGINT)""".stripMargin).as("delta_micro"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("delta_micro").desc, col("w"))
+    scored.withColumn("graft_rn", row_number().over(w)).filter(col("graft_rn") <= k)
+      .select(col("source"), col("w").as("token"), col("c_s").as("n_in_source"),
+        col("delta_micro"))
+  }
+
   /** Model-based quality filtering with a hashed-feature linear
     * classifier — the fastText-style scorer the GPT-3/LLaMA pipelines
     * run over every crawl document (score against a Wikipedia-vs-crawl

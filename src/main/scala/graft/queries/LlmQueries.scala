@@ -2247,5 +2247,30 @@ object LlmQueries {
              |        FROM kp GROUP BY doc_id)
              |SELECT w.doc_id, coalesce(agg.clean_text, '') AS clean_text,
              |       CAST(len(w.ws) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed
-             |FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""".stripMargin)))
+             |FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id""".stripMargin)),
+
+    // ---- Distinctive vocabulary per source: Dirichlet log-odds vs the
+    // rest of the corpus (Fightin' Words), top-5 per source.
+    "q144_distinctive_terms" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.distinctiveTerms(table(s, dir, "documents"), "source", "text", k = 5)
+          .orderBy("source", "delta_micro", "token")
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+             |sc AS (SELECT source, w, count(*) AS c_s FROM t WHERE w <> '' GROUP BY source, w),
+             |tw AS (SELECT w, CAST(sum(c_s) AS BIGINT) AS cw FROM sc GROUP BY w),
+             |st AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM sc GROUP BY source),
+             |vt AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(cw) AS BIGINT) AS n FROM tw),
+             |d AS (SELECT sc.source, sc.w, CAST(sc.c_s AS BIGINT) AS c_s,
+             |             CAST(round(ln(
+             |               (CAST(sc.c_s + 1 AS DOUBLE) * CAST((vt.n - st.n_s) - (tw.cw - sc.c_s) + vt.v - 1 AS DOUBLE))
+             |               / (CAST(st.n_s - sc.c_s + vt.v - 1 AS DOUBLE) * CAST((tw.cw - sc.c_s) + 1 AS DOUBLE)))
+             |               * 1000000.0) AS BIGINT) AS delta_micro
+             |      FROM sc JOIN tw USING (w) JOIN st USING (source) CROSS JOIN vt),
+             |r AS (SELECT source, w, c_s, delta_micro,
+             |             row_number() OVER (PARTITION BY source
+             |               ORDER BY delta_micro DESC, w) AS rn
+             |      FROM d)
+             |SELECT source, w AS token, c_s AS n_in_source, delta_micro
+             |FROM r WHERE rn <= 5 ORDER BY source, delta_micro, token""".stripMargin)))
 }
