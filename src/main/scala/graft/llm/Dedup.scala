@@ -692,6 +692,33 @@ object Dedup {
         (size(col("graft_ws")) - size(col("graft_kept"))).cast("long").as("n_removed"))
   }
 
+  /** Document-stitching candidates — pairs where one document's LAST
+    * `k` words equal another's FIRST `k` words, the signature of a
+    * single source document split across crawl shards / pagination.
+    * Re-joining such pairs (and dropping the overlap) recovers full
+    * documents that length filters would otherwise discard and dedup
+    * would treat as unrelated. Self-pairs and documents shorter than
+    * `k` drop.
+    *
+    * Scale shape: head and tail grams are in-row (one narrow scan),
+    * and the candidate join is gram-keyed — volume is Σ per-gram
+    * heads×tails, the banding bound; no all-pairs. Output:
+    * (prev_doc, next_doc, boundary_gram).
+    */
+  def stitchCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val ws = df.select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+      .filter(size(col("graft_ws")) >= k)
+    val tails = ws.select(col("id").as("prev_doc"),
+      expr(s"concat_ws(' ', slice(graft_ws, -$k, $k))").as("boundary_gram"))
+    val heads = ws.select(col("id").as("next_doc"),
+      expr(s"concat_ws(' ', slice(graft_ws, 1, $k))").as("boundary_gram"))
+    tails.join(heads, Seq("boundary_gram"))
+      .filter(col("prev_doc") =!= col("next_doc"))
+      .select(col("prev_doc"), col("next_doc"), col("boundary_gram"))
+  }
+
   /** Cluster-size histogram over a [[connectedComponents]] (or any
     * (member, cluster)) table — the dedup health report: a long tail of
     * pair-sized clusters is normal near-duplication; a giant component

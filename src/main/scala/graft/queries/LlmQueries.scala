@@ -2272,5 +2272,23 @@ object LlmQueries {
              |               ORDER BY delta_micro DESC, w) AS rn
              |      FROM d)
              |SELECT source, w AS token, c_s AS n_in_source, delta_micro
-             |FROM r WHERE rn <= 5 ORDER BY source, delta_micro, token""".stripMargin)))
+             |FROM r WHERE rn <= 5 ORDER BY source, delta_micro, token""".stripMargin)),
+
+    // ---- Document stitching: tail-k == head-k boundary matches — the
+    // crawl-shard-split recovery candidates.
+    "q145_doc_stitching" -> QueryDef(
+      (s, dir) => {
+        Dedup.stitchCandidates(table(s, dir, "documents"), "doc_id", "text", k = 3)
+          .orderBy("prev_doc", "next_doc")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+             |tl AS (SELECT doc_id AS prev_doc,
+             |              array_to_string(ws[-3:], ' ') AS boundary_gram FROM f),
+             |hd AS (SELECT doc_id AS next_doc,
+             |              array_to_string(ws[1:3], ' ') AS boundary_gram FROM f)
+             |SELECT prev_doc, next_doc, boundary_gram
+             |FROM tl JOIN hd USING (boundary_gram)
+             |WHERE prev_doc <> next_doc
+             |ORDER BY prev_doc, next_doc""".stripMargin)))
 }
