@@ -189,6 +189,58 @@ object Dedup {
         count(lit(1)).as("k"))
   }
 
+  /** Banding calibration table — the eval that justifies (numHashes,
+    * rowsPerBand) choices: for every post-banding candidate pair, the
+    * MinHash agreement (the Jaccard ESTIMATE, n_matching of k) and the
+    * EXACT shingle-set Jaccard, averaged per agreement level. A
+    * well-calibrated family shows mean exact Jaccard ≈ n_matching/k;
+    * heavy divergence means degenerate shingles (the q106/q113
+    * boilerplate pathology) or too few hashes. Exact-integer
+    * arithmetic throughout (bp + HALF_UP means).
+    *
+    * Scale shape: identical front half to [[minhashAgreement]]
+    * (canonical texts, banding — pairwise work only on candidates);
+    * the exact-Jaccard check joins the candidate pairs back onto the
+    * distinct-shingle table, so its volume is candidates × shared
+    * shingles, never corpus². Output: (n_matching, n_pairs,
+    * mean_exact_bp).
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, numHashes: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val canon = docs.select(md5(col(textCol)).as("graft_th"), col(textCol).as("graft_t"))
+      .groupBy(col("graft_th")).agg(min(col("graft_t")).as("graft_t"))
+      .select(col("graft_th").as("id"), col("graft_t").as("text"))
+    val sh = CacheRegistry.persist(distinctShingles(canon, "id", "text", shingleN))
+    val sigs = CacheRegistry.persist(minHashSignatures(sh, numHashes))
+    val pairs = CacheRegistry.persist(lshCandidatePairs(bandKeys(sigs, rowsPerBand)))
+    val agree = pairs
+      .join(sigs.select(col("id").as("id_a"), col("k"), col("minhash").as("graft_ma")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("k"), col("minhash").as("graft_mb")),
+        Seq("id_b", "k"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("graft_ma") === col("graft_mb"), 1L).otherwise(0L))
+        .as("n_matching"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("graft_n"))
+    val inter = broadcast(pairs)
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("graft_ni"))
+    agree
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("id").as("id_a"), col("graft_n").as("graft_na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("graft_n").as("graft_nb")), Seq("id_b"))
+      .select(col("n_matching"),
+        expr("""(20000 * coalesce(graft_ni, 0) + (graft_na + graft_nb - coalesce(graft_ni, 0)))
+               |DIV (2 * (graft_na + graft_nb - coalesce(graft_ni, 0)))""".stripMargin)
+          .as("graft_ebp"))
+      .groupBy(col("n_matching"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("graft_ebp")).as("graft_s"))
+      .select(col("n_matching"), col("n_pairs"),
+        expr("(2 * graft_s + n_pairs) DIV (2 * n_pairs)").as("mean_exact_bp"))
+  }
+
   /** End-to-end near-duplicate removal — the composition a pipeline
     * actually runs: LSH candidates → duplicate clusters → per-document
     * keep decision. Every document gets its cluster's minimum id as

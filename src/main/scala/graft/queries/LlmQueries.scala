@@ -2290,5 +2290,45 @@ object LlmQueries {
              |SELECT prev_doc, next_doc, boundary_gram
              |FROM tl JOIN hd USING (boundary_gram)
              |WHERE prev_doc <> next_doc
-             |ORDER BY prev_doc, next_doc""".stripMargin)))
+             |ORDER BY prev_doc, next_doc""".stripMargin)),
+
+    // ---- Banding calibration: MinHash agreement (estimate) vs exact
+    // shingle Jaccard, averaged per agreement level.
+    "q146_minhash_calibration" -> QueryDef(
+      (s, dir) => {
+        Dedup.minhashCalibration(docsTpl(s, dir), "doc_id", "t",
+            shingleN = 3, numHashes = 8, rowsPerBand = 2)
+          .orderBy("n_matching")
+      },
+      Some(s"""WITH m AS (SELECT md5($tplSql) AS id, min($tplSql) AS t FROM documents GROUP BY 1),
+              |w AS (SELECT id, string_split(t, ' ') AS ws FROM m),
+              |tri AS (SELECT id, unnest(range(1, len(ws)-1)) AS i, ws FROM w),
+              |sh0 AS (SELECT id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)] AS shingle FROM tri),
+              |sh AS (SELECT DISTINCT id, shingle FROM sh0),
+              |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+              |        FROM sh, (SELECT unnest(range(0, 8)) AS k) ks GROUP BY id, k),
+              |bands AS (SELECT id, k // 2 AS band, md5(string_agg(mh, ',' ORDER BY k)) AS bk
+              |          FROM sig GROUP BY id, k // 2),
+              |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              |          FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+              |agree AS (SELECT p.id_a, p.id_b,
+              |                 CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+              |          FROM pairs p JOIN sig sa ON sa.id = p.id_a
+              |          JOIN sig sb ON sb.id = p.id_b AND sb.k = sa.k
+              |          GROUP BY 1, 2),
+              |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id),
+              |inter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS ni
+              |          FROM pairs p JOIN sh a ON a.id = p.id_a
+              |          JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+              |          GROUP BY 1, 2),
+              |ex AS (SELECT g.n_matching,
+              |              (20000 * coalesce(i.ni, 0) + (sa.n + sb.n - coalesce(i.ni, 0)))
+              |                // (2 * (sa.n + sb.n - coalesce(i.ni, 0))) AS ebp
+              |       FROM agree g
+              |       LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+              |       JOIN sz sa ON sa.id = g.id_a
+              |       JOIN sz sb ON sb.id = g.id_b)
+              |SELECT n_matching, CAST(count(*) AS BIGINT) AS n_pairs,
+              |       CAST((2 * sum(ebp) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_exact_bp
+              |FROM ex GROUP BY n_matching ORDER BY n_matching""".stripMargin)))
 }
