@@ -352,6 +352,50 @@ object Curation {
       .drop("graft_t", "ws", "graft_chars", "graft_sym", "graft_alpha")
   }
 
+  /** Cross-document chunk dedup — the RAG-prep step after
+    * [[chunkWindows]]: overlapping windows cut from near-identical
+    * documents flood a retrieval index with duplicate chunks; this
+    * reports every chunk text that occurs more than once, with its
+    * occurrence/document counts and the canonical first occurrence
+    * (min (doc, idx)). Feed the survivors to the index; drop the rest.
+    * One map-side-combinable aggregation over the in-row chunk
+    * expansion — no joins, no corpus pairing. Output: (chunk_hash,
+    * n_chunks, n_docs, first_doc, first_idx).
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame =
+    chunkWindows(df, idCol, textCol, width, stride)
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("id")).as("n_docs"),
+        min(struct(col("id"), col("chunk_idx"))).as("graft_f"))
+      .filter(col("n_chunks") >= 2)
+      .select(col("chunk_hash"), col("n_chunks"), col("n_docs"),
+        col("graft_f.id").as("first_doc"), col("graft_f.chunk_idx").as("first_idx"))
+
+  /** Corpus report card — the per-source Gopher quality rollup every
+    * curation run prints before filtering: how many documents each rule
+    * flags and the keep rate, per source. Rule semantics are EXACTLY
+    * [[gopherRules]]' (same flags, same integer thresholds); this adds
+    * one source-keyed map-side-combinable aggregation with HALF_UP
+    * keep_bp. Output: (source, n_docs, n_word_count, n_word_len,
+    * n_symbol, n_alpha, n_stop, n_keep, keep_bp).
+    */
+  def gopherReport(df: DataFrame, idCol: String, srcCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val flags = gopherRules(df, idCol, textCol, minWords, maxWords)
+    flags.join(df.select(col(idCol).as("id"), col(srcCol).as("source")), Seq("id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_word_count")).as("n_word_count"),
+        sum(col("f_word_len")).as("n_word_len"),
+        sum(col("f_symbol")).as("n_symbol"),
+        sum(col("f_alpha")).as("n_alpha"),
+        sum(col("f_stop")).as("n_stop"),
+        sum(col("keep")).as("n_keep"))
+      .withColumn("keep_bp", expr("(20000 * n_keep + n_docs) DIV (2 * n_docs)"))
+  }
+
   /** Token-budget mixture planning — the arithmetic a data-mixing run
     * does before sampling (the planning half of [[mixtureSample]]):
     * per source, the corpus token supply, the token demand implied by

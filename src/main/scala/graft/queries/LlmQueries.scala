@@ -2330,5 +2330,74 @@ object LlmQueries {
               |       JOIN sz sb ON sb.id = g.id_b)
               |SELECT n_matching, CAST(count(*) AS BIGINT) AS n_pairs,
               |       CAST((2 * sum(ebp) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_exact_bp
-              |FROM ex GROUP BY n_matching ORDER BY n_matching""".stripMargin)))
+              |FROM ex GROUP BY n_matching ORDER BY n_matching""".stripMargin)),
+
+    // ---- RAG chunk dedup: duplicated chunk windows across documents
+    // with counts and the canonical first occurrence.
+    "q147_chunk_dedup" -> QueryDef(
+      (s, dir) => {
+        Curation.chunkDedup(table(s, dir, "documents"), "doc_id", "text",
+            width = 12, stride = 8)
+          .orderBy("chunk_hash")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS ln,
+             |             greatest(1, (CAST(len(ws) AS BIGINT) - 12 + 8 - 1) // 8 + 1) AS nc
+             |      FROM w),
+             |c AS (SELECT doc_id, unnest(range(0, nc)) AS i, ws, ln FROM n),
+             |ch AS (SELECT doc_id, i AS chunk_idx,
+             |              array_to_string(ws[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 12 AS INT)], ' ') AS chunk_text
+             |       FROM c),
+             |a AS (SELECT md5(chunk_text) AS chunk_hash, CAST(count(*) AS BIGINT) AS n_chunks,
+             |             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |             min({'d': doc_id, 'i': chunk_idx}) AS f
+             |      FROM ch GROUP BY md5(chunk_text))
+             |SELECT chunk_hash, n_chunks, n_docs,
+             |       CAST(f.d AS BIGINT) AS first_doc, CAST(f.i AS BIGINT) AS first_idx
+             |FROM a WHERE n_chunks >= 2 ORDER BY chunk_hash""".stripMargin)),
+
+    // ---- Corpus report card: per-source Gopher rule flag counts and
+    // keep rate (same rule semantics as q111).
+    "q148_gopher_report" -> QueryDef(
+      (s, dir) => {
+        Curation.gopherReport(table(s, dir, "documents"), "doc_id", "source", "text",
+            minWords = 10L)
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents),
+             |b AS (SELECT doc_id, source, ws, CAST(len(ws) AS BIGINT) AS n_words,
+             |             CAST(strlen(text) - (len(ws) - 1) AS BIGINT) AS chars,
+             |             CAST(strlen(text) - strlen(replace(text, '#', ''))
+             |                  + (strlen(text) - strlen(replace(text, '...', ''))) // 3
+             |               AS BIGINT) AS sym,
+             |             CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha,
+             |             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             |                                  s -> list_contains(ws, s))) AS BIGINT) AS n_stop
+             |      FROM w),
+             |m AS (SELECT doc_id, source, n_words,
+             |             (200 * chars + n_words) // (2 * n_words) AS mean_wlen_c,
+             |             (20000 * sym + n_words) // (2 * n_words) AS symbol_bp,
+             |             (20000 * alpha + n_words) // (2 * n_words) AS alpha_bp,
+             |             n_stop
+             |      FROM b),
+             |f AS (SELECT source,
+             |             CAST(n_words < 10 OR n_words > 100000 AS BIGINT) AS f_word_count,
+             |             CAST(mean_wlen_c < 300 OR mean_wlen_c > 1000 AS BIGINT) AS f_word_len,
+             |             CAST(symbol_bp > 1000 AS BIGINT) AS f_symbol,
+             |             CAST(alpha_bp < 8000 AS BIGINT) AS f_alpha,
+             |             CAST(n_stop < 2 AS BIGINT) AS f_stop,
+             |             CAST((n_words < 10 OR n_words > 100000) = false
+             |                  AND (mean_wlen_c < 300 OR mean_wlen_c > 1000) = false
+             |                  AND symbol_bp <= 1000 AND alpha_bp >= 8000 AND n_stop >= 2
+             |               AS BIGINT) AS keep
+             |      FROM m)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(f_word_count) AS BIGINT) AS n_word_count,
+             |       CAST(sum(f_word_len) AS BIGINT) AS n_word_len,
+             |       CAST(sum(f_symbol) AS BIGINT) AS n_symbol,
+             |       CAST(sum(f_alpha) AS BIGINT) AS n_alpha,
+             |       CAST(sum(f_stop) AS BIGINT) AS n_stop,
+             |       CAST(sum(keep) AS BIGINT) AS n_keep,
+             |       CAST((20000 * sum(keep) + count(*)) // (2 * count(*)) AS BIGINT) AS keep_bp
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)))
 }
