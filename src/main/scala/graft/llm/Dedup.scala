@@ -99,8 +99,13 @@ object Dedup {
   /** Duplicate-heavy-corpus LSH dedup, end to end. Signatures depend only
     * on the text, so the corpus collapses to canonical texts first
     * (identical texts always share all bands), LSH runs on those, and doc
-    * pairs re-expand via broadcast — turning the skewed all-docs shingle
-    * self-join into a tiny one. Same-text pairs are emitted only for
+    * pairs re-expand through the membership join — turning the skewed
+    * all-docs shingle self-join into a tiny one. Join strategies are
+    * left to the planner: the pair/membership tables are corpus- or
+    * candidate-proportional, so a forced broadcast would collect them to
+    * the driver and OOM at scale regardless of cluster size; AQE
+    * converts the join to broadcast at runtime exactly when the built
+    * side is actually small. Same-text pairs are emitted only for
     * texts that actually shingle: a text shorter than the shingle width
     * has no signature/bands, so the naive per-doc form emits no pair for
     * it. Returns (doc_a, doc_b), doc_a < doc_b, distinct.
@@ -136,11 +141,11 @@ object Dedup {
       rowsPerBand: Int): DataFrame = {
     val (membership, textPairs, shingled) =
       collapsedParts(docs, idCol, textCol, shingleN, numHashes, rowsPerBand)
-    val cross = broadcast(textPairs)
+    val cross = textPairs
       .join(membership.select(col("doc_id").as("d1"), col("tid").as("id_a")), Seq("id_a"))
       .join(membership.select(col("doc_id").as("d2"), col("tid").as("id_b")), Seq("id_b"))
       .select(least(col("d1"), col("d2")).as("doc_a"), greatest(col("d1"), col("d2")).as("doc_b"))
-    val m2 = membership.join(broadcast(shingled), Seq("tid"))
+    val m2 = membership.join(shingled, Seq("tid"))
     // same-text pairs: ONE shuffle (groupBy tid) + in-row pair expansion,
     // instead of a two-exchange self-join on tid. doc_a < doc_b falls out
     // of the sorted id list and i < j.
@@ -223,7 +228,7 @@ object Dedup {
       .agg(sum(when(col("graft_ma") === col("graft_mb"), 1L).otherwise(0L))
         .as("n_matching"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("graft_n"))
-    val inter = broadcast(pairs)
+    val inter = pairs
       .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("graft_ni"))
@@ -270,7 +275,7 @@ object Dedup {
       membership.groupBy(col("tid")).agg(min(col("doc_id")).as("rep")))
     // components over canonical texts, on numeric representative ids:
     // cluster label = min rep = min doc id across the whole cluster
-    val repPairs = broadcast(textPairs)
+    val repPairs = textPairs
       .join(reps.select(col("tid").as("id_a"), col("rep").as("rep_a")), Seq("id_a"))
       .join(reps.select(col("tid").as("id_b"), col("rep").as("rep_b")), Seq("id_b"))
       .select(col("rep_a"), col("rep_b"))
@@ -279,7 +284,7 @@ object Dedup {
     // (falling back to their own rep for texts with no candidate pair);
     // unshingled texts keep every document as its own canonical
     val tidLabel = reps
-      .join(broadcast(shingled.withColumn("shingled", lit(true))), Seq("tid"), "left")
+      .join(shingled.withColumn("shingled", lit(true)), Seq("tid"), "left")
       .join(comp.withColumnRenamed("id", "rep"), Seq("rep"), "left")
       .select(col("tid"),
         when(col("shingled"), coalesce(col("comp"), col("rep"))).as("label"))
@@ -826,11 +831,14 @@ object Dedup {
         .withColumn("graft_tidl", monotonically_increasing_id()))
     val membership = CacheRegistry.persist(
       df.select(col(idCol).as("graft_did"), md5(col(textCol)).as("graft_tid"))
-        .join(broadcast(texts.select(col("graft_tid"), col("graft_tidl"))), Seq("graft_tid")))
+        .join(texts.select(col("graft_tid"), col("graft_tidl")), Seq("graft_tid")))
     val tp = jaccardJoinDistinct(texts, thresholdBp)
-    // cross-text doc pairs: the verified text-pair table is candidate-
-    // bounded, so it broadcasts against the membership expansion
-    val cross = broadcast(tp)
+    // cross-text doc pairs: re-expand the verified text pairs through
+    // membership. No forced broadcast — texts/sizes are distinct-text-
+    // sized (≈ corpus on a mostly-unique corpus) and tp is candidate-
+    // pair-sized (unbounded on a similar corpus); AQE broadcasts at
+    // runtime exactly when the built side measures small.
+    val cross = tp
       .join(membership.select(col("graft_did").as("graft_d1"),
         col("graft_tidl").as("tidl_a")), Seq("tidl_a"))
       .join(membership.select(col("graft_did").as("graft_d2"),
@@ -842,7 +850,7 @@ object Dedup {
     // tid) + in-row pair expansion, not a self-join.
     val sizes = texts.select(col("graft_tidl"),
       size(array_distinct(split(col("graft_t"), " "))).cast("long").as("graft_n"))
-    val same = membership.join(broadcast(sizes), Seq("graft_tidl"))
+    val same = membership.join(sizes, Seq("graft_tidl"))
       .groupBy(col("graft_tidl"))
       .agg(sort_array(collect_list(col("graft_did"))).as("ids"),
         first(col("graft_n")).as("graft_n"))

@@ -504,4 +504,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashExchanges(p) == 0, s"silhouette scoring acquired a shuffle:\n$p")
     assert(!p.contains("Join"), s"centroids must ride as literals, not a join:\n$p")
   }
+
+  test("dedup operators carry no forced broadcast on corpus-proportional tables") {
+    // With autoBroadcastJoinThreshold = -1 stats-based broadcast is off,
+    // so any BroadcastExchange left in the INITIAL physical plan can only
+    // come from a broadcast() hint. The dedup family must have none: its
+    // join inputs (text-pair candidates, membership, distinct-text sizes)
+    // are corpus- or candidate-proportional, and a hint-forced broadcast
+    // collects them to the driver — an OOM at scale no cluster size
+    // fixes. AQE is still free to broadcast at runtime when a side
+    // measures small; this pins only that nothing is FORCED.
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(threshold)
+    try {
+      spark.conf.set(threshold, "-1")
+      for (q <- Seq("q31_dedup_minhash_lsh", "q56_dedup_clusters",
+          "q72_dedup_corpus", "q100_minhash_agreement", "q106_quality_rep",
+          "q139_jaccard_join", "q146_minhash_calibration")) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        val p = df.queryExecution.sparkPlan.toString
+        assert(!p.contains("BroadcastExchange"),
+          s"$q forces a broadcast on an unbounded join side:\n$p")
+      }
+    } finally spark.conf.set(threshold, saved)
+  }
 }
