@@ -97,7 +97,7 @@ object Bench {
     val results = selected.map { case (name, _) => name -> times(name) }
     if (only.exists(_.nonEmpty)) {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      emit(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -145,9 +145,22 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""scan_only_mibps":$scanMibps,"scan_only_sec":$scanSec,""" +
       s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Print the one-line JSON contract to stdout AND persist it to a file
+    * (SPARK_GRAFT_BENCH_OUT, default BENCH_FULL.json in the CWD): the
+    * driver's stdout tail-capture has truncated the per-query map to the
+    * last ~55 of 140 entries; the file carries all of them.
+    */
+  private def emit(json: String): Unit = {
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench: could not write $out: $e") }
   }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    RelationalQueries.defs ++ ArtefactQueries.defs ++ CarveQueries.defs ++ LlmQueries.defs ++ BrowserQueries.defs ++ EventQueries.defs ++ SketchQueries.defs ++ ProfileQueries.defs
+    RelationalQueries.defs ++ ArtefactQueries.defs ++ CarveQueries.defs ++ LlmQueries.defs ++ BrowserQueries.defs ++ EventQueries.defs ++ SketchQueries.defs ++ ProfileQueries.defs ++ BridgeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full scan→overlap-dedup→carve DAG over synthesized evidence.

@@ -151,6 +151,9 @@ object VecKernels {
     val v = sv.toLongArray()
     val dim = v.length
     val n = cids.length
+    // top-2 is undefined over a 1-centroid codebook — fail with the
+    // contract, not an ArrayIndexOutOfBounds on cids(-1) below
+    require(n >= 2, s"graft_sqdist_top2 needs >= 2 centroids, got $n")
     var d1 = Long.MaxValue; var c1 = -1
     var d2 = Long.MaxValue; var c2 = -1
     var c = 0

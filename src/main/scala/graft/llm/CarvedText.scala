@@ -1,0 +1,177 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Carve→curation bridge: turns carved document payloads (the payload
+  * store written by [[graft.pipeline.CarvePipeline]] when `payloadDir`
+  * is set) into a `documents` DataFrame the curation pipeline
+  * ([[graft.Curate]]) consumes. The reference's own artefact path is
+  * "text out of evidence" (/root/reference/src/strings/mod.rs:99-115,
+  * string artefacts); this extends it from strings to whole recovered
+  * documents, closing the forensic→training-data loop.
+  *
+  * Extraction rules — deterministic and engine-independent, so an
+  * oracle can predict them arithmetically:
+  *
+  *  - `eml` (RFC-822 framing as carved per
+  *    /root/reference/src/carve/eml.rs:25-208): headers end at the
+  *    first blank line; continuation lines (leading whitespace) unfold
+  *    into their header; text = the `Subject:` value, a newline, then
+  *    the body with CRLF→LF; trailing whitespace trimmed.
+  *
+  *  - `rtf` (control-word grammar as carved per
+  *    /root/reference/src/carve/rtf.rs:37-127): group braces dropped;
+  *    a control word is consumed with its optional numeric parameter
+  *    and single delimiting space; `\par`/`\line` emit '\n', `\tab`
+  *    emits '\t', `\'hh` emits the latin-1 byte, `\{ \} \\` escape
+  *    literally, `\~` is a space; `\binN` skips N raw bytes (the byte
+  *    after the digits counts as the first raw byte — the reference
+  *    carver's quirk, kept so both walkers agree on extents); `{\*`
+  *    destination groups and the fonttbl/colortbl/stylesheet/info/pict
+  *    destinations are dropped whole; raw CR/LF are ignored; trailing
+  *    whitespace trimmed.
+  *
+  * Scale shape: one `binaryFile` row per carved document, extraction is
+  * a narrow per-row pass — no shuffle, no driver involvement. At 100 TB
+  * the payload store is an object-store prefix and this stage is a pure
+  * distributed scan; document-sized payloads (KB–MB) are row-local by
+  * construction, so no single task ever holds more than a few payloads.
+  */
+object CarvedText {
+
+  /** RFC-822 text extraction — see object doc for the rule. */
+  def emlToText(bytes: Array[Byte]): String = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("\r\n", "\n")
+    val split = s.indexOf("\n\n")
+    val (head, body) = if (split >= 0) (s.substring(0, split), s.substring(split + 2)) else (s, "")
+    val unfolded = head.replaceAll("\n[ \t]+", " ")
+    val subject = unfolded.linesIterator
+      .collectFirst { case l if l.regionMatches(true, 0, "Subject:", 0, 8) => l.substring(8).trim }
+      .getOrElse("")
+    dropTrailingWhitespace(subject + "\n" + body)
+  }
+
+  // destinations whose content is formatting machinery, not document text
+  private val SkipDestinations =
+    Set("fonttbl", "colortbl", "stylesheet", "info", "pict")
+
+  /** RTF plain-text extraction — see object doc for the rule. */
+  def rtfToText(bytes: Array[Byte]): String = {
+    val out = new java.lang.StringBuilder
+    val n = bytes.length
+    var i = 0
+    var depth = 0
+    var skipAboveDepth = Int.MaxValue // skipping while depth >= this
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      b match {
+        case '{' =>
+          depth += 1
+          i += 1
+          // {\* ...} → ignorable destination
+          if (depth < skipAboveDepth && i + 1 < n &&
+              bytes(i) == '\\' && bytes(i + 1) == '*')
+            skipAboveDepth = depth
+        case '}' =>
+          depth -= 1
+          if (depth < skipAboveDepth) skipAboveDepth = Int.MaxValue
+          i += 1
+        case '\\' if i + 1 < n =>
+          val c = bytes(i + 1) & 0xff
+          if (c == '{' || c == '}' || c == '\\') {
+            if (depth < skipAboveDepth) out.append(c.toChar)
+            i += 2
+          } else if (c == '\'') {
+            if (i + 3 < n) {
+              val h1 = Character.digit(bytes(i + 2), 16)
+              val h2 = Character.digit(bytes(i + 3), 16)
+              if (h1 >= 0 && h2 >= 0) {
+                if (depth < skipAboveDepth) out.append(((h1 << 4) | h2).toChar)
+                i += 4
+              } else i += 2 // malformed hex escape in a carved payload: drop
+            } else i = n
+          } else if (c == '~') {
+            if (depth < skipAboveDepth) out.append(' ')
+            i += 2
+          } else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+            // control word: letters, optional (signed) integer parameter,
+            // optional single space delimiter
+            var j = i + 1
+            while (j < n && ((bytes(j) >= 'a' && bytes(j) <= 'z') ||
+                (bytes(j) >= 'A' && bytes(j) <= 'Z'))) j += 1
+            val word = new String(bytes, i + 1, j - i - 1,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            var param = 0L
+            var hasParam = false
+            var neg = false
+            if (j < n && bytes(j) == '-') { neg = true; j += 1 }
+            while (j < n && bytes(j) >= '0' && bytes(j) <= '9') {
+              param = param * 10 + (bytes(j) - '0'); hasParam = true; j += 1
+            }
+            if (neg) param = -param
+            if (word == "bin" && hasParam && param > 0) {
+              // reference quirk (RtfCarver, src/carve/rtf.rs:37-127): the
+              // byte right after the digits — even a space delimiter —
+              // counts as the first raw byte, so no delimiter consumption
+              i = j + math.min(param, (n - j).toLong).toInt
+            } else {
+              if (j < n && bytes(j) == ' ') j += 1 // delimiter consumed
+              word match {
+                case "par" | "line" if depth < skipAboveDepth => out.append('\n')
+                case "tab" if depth < skipAboveDepth => out.append('\t')
+                case w if SkipDestinations.contains(w) =>
+                  skipAboveDepth = math.min(skipAboveDepth, depth)
+                case _ => ()
+              }
+              i = j
+            }
+          } else i += 2 // unknown control symbol: drop
+        case '\\' => i += 1 // dangling escape at payload end: drop
+        case '\r' | '\n' => i += 1 // raw newlines are not document text
+        case _ =>
+          if (depth < skipAboveDepth && depth >= 1) out.append(b.toChar)
+          i += 1
+      }
+    }
+    dropTrailingWhitespace(out.toString)
+  }
+
+  private def dropTrailingWhitespace(s: String): String = {
+    var e = s.length
+    while (e > 0 && Character.isWhitespace(s.charAt(e - 1))) e -= 1
+    s.substring(0, e)
+  }
+
+  // carve naming contract: {type}_{offset:012X}.{ext} (graft.carve.Naming)
+  private val OffsetRe = "_([0-9A-Fa-f]{12})\\.[A-Za-z0-9]+$".r
+
+  /** Read a carve payload store into a documents frame:
+    * (global_start BIGINT — the carve offset parsed from the payload
+    * name, the stable provenance key; file_type; path; text). Only
+    * text-bearing types are bridged; other carved payloads (images,
+    * archives) stay in the store for the multimodal path.
+    */
+  def documents(spark: SparkSession, payloadDir: String,
+                types: Seq[String] = Seq("eml", "rtf")): DataFrame = {
+    import spark.implicits._
+    val extRe = types.mkString("\\.(", "|", ")$")
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(payloadDir)
+      .filter(col("path").rlike(extRe))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, content) =>
+        val text =
+          if (path.endsWith(".eml")) emlToText(content)
+          else rtfToText(content)
+        val off = OffsetRe.findFirstMatchIn(path)
+          .map(m => java.lang.Long.parseLong(m.group(1), 16)).getOrElse(-1L)
+        val fileType = path.substring(path.lastIndexOf('.') + 1)
+        (off, fileType, path, text)
+      }
+      .toDF("global_start", "file_type", "path", "text")
+  }
+}

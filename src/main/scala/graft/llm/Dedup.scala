@@ -86,10 +86,32 @@ object Dedup {
         sort_array(collect_list(struct(col("k"), col("minhash")))),
         s => s.getField("minhash")))).as("band_key"))
 
-  /** Candidate near-duplicate pairs: ids sharing any band bucket. */
-  def lshCandidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_key"), col("id").as("id_a"))
-    val b = bands.select(col("band"), col("band_key"), col("id").as("id_b"))
+  /** Candidate near-duplicate pairs: ids sharing any band bucket.
+    *
+    * `maxBandMembers` (opt-in) caps bucket size: a single degenerate
+    * band key — boilerplate shingles, near-empty texts — otherwise
+    * emits |bucket|²/2 candidates, the one quadratic blow-up left in
+    * the banding scheme at corpus scale. Buckets above the cap are
+    * dropped WHOLE (the published LSH-dedup mitigation): deterministic,
+    * and the lost pairs are precision-free boilerplate collisions that
+    * the verify stage would reject anyway. The bucket-size aggregation
+    * is map-side combinable and band-bucket-keyed, never corpus-shaped;
+    * the membership filter join is left to the planner/AQE. Default
+    * (None) emits every pair — oracle semantics unchanged.
+    */
+  def lshCandidatePairs(bands: DataFrame, maxBandMembers: Option[Int] = None): DataFrame = {
+    val kept = maxBandMembers match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBandMembers must be >= 2, got $cap")
+        val smallBuckets = bands.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("graft_bn"))
+          .filter(col("graft_bn") <= cap)
+          .select("band", "band_key")
+        bands.join(smallBuckets, Seq("band", "band_key"))
+      case None => bands
+    }
+    val a = kept.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val b = kept.select(col("band"), col("band_key"), col("id").as("id_b"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -210,7 +232,7 @@ object Dedup {
     * shingles, never corpus². Output: (n_matching, n_pairs,
     * mean_exact_bp).
     */
-  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+  def minhashCalibration(docs: DataFrame, textCol: String,
                          shingleN: Int, numHashes: Int,
                          rowsPerBand: Int): DataFrame = {
     val canon = docs.select(md5(col(textCol)).as("graft_th"), col(textCol).as("graft_t"))

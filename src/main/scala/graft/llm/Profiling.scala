@@ -184,9 +184,16 @@ object Profiling {
     // appears — the curve must be complete for downstream extrapolation
     val spine = df.select(expr(s"CAST($rankCol DIV $step AS BIGINT) + 1L")
       .as("graft_bucket")).distinct()
+    // the final bucket may be partial — clamp its k_docs label to the
+    // corpus size (max rank + 1; ranks are dense 0-based) instead of
+    // overstating it as a full step. nTotal rides as a broadcast 1-row
+    // agg, no driver action.
+    val nTotal = df.select((max(col(rankCol)) + 1L).as("graft_ntotal"))
     spine.join(newPerBucket, Seq("graft_bucket"), "left")
       .withColumn("vocab_size",
         sum(coalesce(col("graft_new"), lit(0L))).over(Window.orderBy(col("graft_bucket"))))
-      .select((col("graft_bucket") * step).cast("long").as("k_docs"), col("vocab_size"))
+      .crossJoin(broadcast(nTotal))
+      .select(least(col("graft_bucket") * step, col("graft_ntotal"))
+        .cast("long").as("k_docs"), col("vocab_size"))
   }
 }

@@ -247,6 +247,17 @@ object Similarity {
     * volume is d(d+1)/2 cells — never corpus-shaped. Output:
     * (di, dj, n, cov_u).
     */
+  /** HALF_UP micro-unit covariance over (n, graft_si, graft_sj,
+    * graft_sij). The divisor 200·n² is computed in decimal(38,0): as
+    * BIGINT it overflows above n ≈ 2.1e8 rows — well inside 100 TB
+    * territory. Exposed for the overflow unit test.
+    */
+  private[graft] val covUExpr: String =
+    """CAST(CASE WHEN n * graft_sij - graft_si * graft_sj < 0 THEN -1 ELSE 1 END *
+      |  ((2 * abs(n * graft_sij - graft_si * graft_sj)
+      |      + 100 * CAST(n AS DECIMAL(38,0)) * n)
+      |    DIV (200 * CAST(n AS DECIMAL(38,0)) * n)) AS BIGINT)""".stripMargin
+
   def embedCovariance(df: DataFrame, vecCol: String, scale: Double = 10000.0): DataFrame = {
     VecFunctions.register(df.sparkSession)
     df.select(call_function("graft_scale_q", col(vecCol), lit(scale)).as("graft_sv"))
@@ -263,10 +274,7 @@ object Similarity {
         sum(col("xi").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_si"),
         sum(col("xj").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_sj"),
         sum((col("xi") * col("xj")).cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_sij"))
-      .select(col("di"), col("dj"), col("n"),
-        expr("""CAST(CASE WHEN n * graft_sij - graft_si * graft_sj < 0 THEN -1 ELSE 1 END *
-               |  ((2 * abs(n * graft_sij - graft_si * graft_sj) + 100 * n * n)
-               |    DIV (2 * 100 * n * n)) AS BIGINT)""".stripMargin).as("cov_u"))
+      .select(col("di"), col("dj"), col("n"), expr(covUExpr).as("cov_u"))
   }
 
   /** Apply per-dimension whitening — the normalization step between

@@ -76,7 +76,9 @@ object TextAnalysis {
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = df.count().toDouble
+    // nDocs rides in the plan as a broadcast 1-row agg (no eager action
+    // on the driver — same shape as boilerplateMass's graft_nd).
+    val nDocs = df.select(count(lit(1)).cast("double").as("graft_nd"))
     val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
     // tf feeds both the df aggregation and the scoring join. Cache
     // lifecycle: [[CacheRegistry]] — release after materializing.
@@ -86,9 +88,11 @@ object TextAnalysis {
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
     tf.join(dfreq, Seq("term"))
-      .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("graft_nd") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .drop("graft_nd")
   }
 
   /** Document fingerprint: minimum md5 over word 5-grams (one-permutation
@@ -194,9 +198,11 @@ object TextAnalysis {
     * pipeline runs before an eval: flag every train document sharing at
     * least `minShared` distinct word n-grams with ANY benchmark document
     * ([[crossNgramOverlap]] semantics), and emit the keep decision. The
-    * contaminated-id set is at most |train| rows and arrives through a
-    * broadcast left join, so the corpus is never shuffled. Returns
-    * (idCol, contaminated LONG, kept LONG), one row per train doc.
+    * contaminated-id set is bounded only by |train| (a heavily
+    * contaminated corpus makes it corpus-proportional), so the join
+    * strategy is left to the planner — AQE broadcasts it at runtime when
+    * it actually measures small. Returns (idCol, contaminated LONG,
+    * kept LONG), one row per train doc.
     */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
@@ -204,7 +210,7 @@ object TextAnalysis {
     val bad = crossNgramOverlap(train, bench, idCol, textCol, n, minShared)
       .select(col("train_doc").as(idCol)).distinct()
       .withColumn("graft_bad", lit(1L))
-    train.join(broadcast(bad), Seq(idCol), "left")
+    train.join(bad, Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("graft_bad"), lit(0L)).as("contaminated"),

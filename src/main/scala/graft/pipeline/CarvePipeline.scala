@@ -118,7 +118,7 @@ object CarvePipeline {
 
     // Stage 1: one evidence pass per chunk; signature + string + entropy
     // scans share the buffer (the reference's Arc<Vec<u8>> sharing).
-    val scanned = chunks.mapPartitions { iter =>
+    val scannedRaw = chunks.mapPartitions { iter =>
       val reader = evidenceRef.open()
       // one reusable read buffer per task thread: chunks are up to 512 MiB,
       // so per-chunk allocation would churn the old-gen at cluster scale.
@@ -151,7 +151,23 @@ object CarvePipeline {
           else Seq.empty[EntropyRegion]
         ChunkScan(chunk.id, chunk.start, chunk.validLength, got.toLong, hits, artefacts, regions)
       }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    // Run counters as streaming-safe observed metrics (reference
+    // AtomicU64 counters, pipeline/mod.rs:256-264): available via
+    // `result.observation.get` after any action over the scan output.
+    // The OBSERVED dataset is the one persisted and handed out as
+    // `Result.scanned`, so `scanned.unpersist()` actually releases the
+    // cache (unpersisting a wrapper over the persisted plan is a no-op
+    // in Spark's CacheManager — the bug this ordering fixes).
+    val obs = org.apache.spark.sql.Observation(s"graft_scan_$runId")
+    val scanned = scannedRaw.observe(obs,
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("bytesRead")).as("bytes_scanned"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("chunks_processed"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("hits"))).as("hits_found"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("artefacts"))).as("artefacts_extracted"))
+      .as[ChunkScan]
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val registry = EngineConfig.buildRegistry(cfg)
     val patternIdOf: Map[Int, (String, String)] =
@@ -202,17 +218,7 @@ object CarvePipeline {
     val artefactRows = scanned.flatMap(_.artefacts)
     val regionRows = scanned.flatMap(_.regions)
 
-    // Run counters as streaming-safe observed metrics (reference
-    // AtomicU64 counters, pipeline/mod.rs:256-264): available via
-    // `result.observation.get` after any action over the scan output.
-    val obs = org.apache.spark.sql.Observation(s"graft_scan_$runId")
-    val observed = scanned.observe(obs,
-      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("bytesRead")).as("bytes_scanned"),
-      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("chunks_processed"),
-      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("hits"))).as("hits_found"),
-      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("artefacts"))).as("artefacts_extracted"))
-
-    Result(chunks, observed.as[ChunkScan], carved, artefactRows, regionRows, obs, carveErrors)
+    Result(chunks, scanned, carved, artefactRows, regionRows, obs, carveErrors)
   }
 
   /** Per-fleet result: the per-image [[Result]]s plus the unioned,

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.carve.EngineConfig
+import graft.evidence.{EvidenceReader, EvidenceRef}
+import graft.llm.CarvedText
+import graft.pipeline.CarvePipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Carve→curation bridge as an oracle-checkable query: evidence is
+  * synthesized with one PER-SLOT-VARYING text document per doc_id (even
+  * slots an RFC-822 eml ended by an mbox boundary, odd slots an rtf
+  * ended by its closing brace), the full distributed
+  * scan→dedup→carve→payload-store DAG runs, and
+  * [[graft.llm.CarvedText]] reads the payload store back into a
+  * documents frame — whose text DuckDB predicts arithmetically from
+  * doc_id. This checks the whole loop: signature scan, eml/rtf walkers,
+  * payload naming, binaryFile re-read, and both text extractors.
+  */
+object BridgeQueries {
+
+  private val Stride = 4096L
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Slot content: deterministic in the slot index, small enough for
+    * any stride. The eml body is followed by an mbox `\nFrom ` boundary
+    * so the carve ends exactly at the document; the rtf ends itself at
+    * brace depth 0. The eml body is long enough (≥20 tokens, ≥10%
+    * stopwords, no heavy repeats) to clear [[graft.llm.Curation]]'s
+    * quality gate, so the bridged corpus also exercises Curate.run;
+    * the short rtf docs are the gate's realistic drop fodder.
+    */
+  private[graft] val EmlBody =
+    "the quick brown fox %d jumps over a lazy dog and walks to the old stone town in light rain near noon"
+
+  private[graft] def slotSample(slot: Long): Array[Byte] =
+    if (slot % 2 == 0)
+      ascii(s"From: user$slot@example.com\r\nTo: list@example.com\r\n" +
+        s"Subject: note $slot\r\n\r\n${EmlBody.format(slot)}\r\n\nFrom -")
+    else
+      ascii(s"{\\rtf1\\ansi doc $slot {\\b bold} text\\par}")
+
+  /** Synthetic evidence with one generated document per stride slot,
+    * zero-filled between — bytes are computed at read time from the
+    * slot index alone, so the task closure carries two Longs no matter
+    * the byte-space size (the [[graft.evidence.StridedSamplesRef]]
+    * scale story, with varying instead of cycling content).
+    */
+  private[graft] final case class DocSlotsRef(stride: Long, slots: Long)
+      extends EvidenceRef {
+    override def open(): EvidenceReader = new EvidenceReader {
+      override val length: Long = stride * slots
+      override def readAt(offset: Long, buf: Array[Byte], bufOff: Int, len: Int): Int = {
+        if (offset >= length) 0
+        else {
+          val n = math.min(len.toLong, length - offset).toInt
+          java.util.Arrays.fill(buf, bufOff, bufOff + n, 0.toByte)
+          var slot = offset / stride
+          while (slot < slots && slot * stride < offset + n) {
+            val sample = slotSample(slot)
+            val sStart = slot * stride
+            val from = math.max(offset, sStart)
+            val to = math.min(offset + n, sStart + sample.length)
+            if (to > from)
+              System.arraycopy(sample, (from - sStart).toInt,
+                buf, bufOff + (from - offset).toInt, (to - from).toInt)
+            slot += 1
+          }
+          n
+        }
+      }
+    }
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "q149_carved_documents" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val nDocs = Registry.table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
+        val (cfg0, _) = EngineConfig.filterFileTypes(
+          EngineConfig(chunkSize = 512 * 1024, overlap = 4096),
+          Some(Seq("eml", "rtf")), disableZip = false)
+        val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
+        val payloadDir = java.nio.file.Files
+          .createTempDirectory("graft-bridge").toString
+        // materialize the carve so the payload store exists before the
+        // (lazy) binaryFile read resolves it; release the pipeline's
+        // scan cache — the returned frame reads only the payload store
+        val run = CarvePipeline.run(s, DocSlotsRef(Stride, nDocs), cfg, "bridge-run",
+          enableStrings = false, enableEntropy = false,
+          payloadDir = Some(payloadDir))
+        run.carvedFiles.count()
+        run.scanned.unpersist()
+        CarvedText.documents(s, payloadDir)
+          .select((col("global_start") / Stride).cast("long").as("doc_id"),
+            col("file_type"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CASE WHEN doc_id % 2 = 0 THEN 'eml' ELSE 'rtf' END AS file_type,
+             |CASE WHEN doc_id % 2 = 0
+             |  THEN 'note ' || doc_id || chr(10) ||
+             |    'the quick brown fox ' || doc_id ||
+             |    ' jumps over a lazy dog and walks to the old stone town in light rain near noon'
+             |  ELSE 'doc ' || doc_id || ' bold text' END AS text
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+}

@@ -197,8 +197,9 @@ object LlmQueries {
 
     // ---- MinHash + LSH near-dup candidates (shingle→minhash→band→join).
     // Signatures depend only on the text, so duplicate-heavy corpora are
-    // collapsed to canonical texts first and doc pairs re-expanded by
-    // broadcast (identical texts always share all bands).
+    // collapsed to canonical texts first and doc pairs re-expanded through
+    // the membership join — join strategy left to the planner/AQE
+    // (identical texts always share all bands).
     "q31_dedup_minhash_lsh" -> QueryDef(
       (s, dir) => {
         Dedup.collapsedLshPairs(docsTpl(s, dir), "doc_id", "t",
@@ -254,9 +255,10 @@ object LlmQueries {
     // ---- Exact n-gram Jaccard near-dup pairs (integer inter/union).
     // Scale shape: duplicate-heavy corpora collapse to canonical texts
     // first (30 here), pairwise Jaccard runs on those, and doc pairs are
-    // re-expanded by broadcast — turning the skewed all-docs shingle
-    // self-join into a tiny one. Result is identical to the naive
-    // pairwise form the oracle computes.
+    // re-expanded through the membership join — strategy left to the
+    // planner/AQE, which broadcasts when a side measures small — turning
+    // the skewed all-docs shingle self-join into a tiny one. Result is
+    // identical to the naive pairwise form the oracle computes.
     "q33_dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         val docs = docsTpl(s, dir)
@@ -272,14 +274,14 @@ object LlmQueries {
         val sizes = sh.select(col("id"), col("shingle")).distinct()
           .groupBy(col("id")).agg(count(lit(1)).as("n"))
         // cross-text doc pairs (normalize doc order)
-        val cross = broadcast(textPairs)
+        val cross = textPairs
           .join(membership.select(col("doc_id").as("d1"), col("tid").as("id_a")), Seq("id_a"))
           .join(membership.select(col("doc_id").as("d2"), col("tid").as("id_b")), Seq("id_b"))
           .select(least(col("d1"), col("d2")).as("doc_a"), greatest(col("d1"), col("d2")).as("doc_b"),
             col("inter_count"), col("union_count"))
         // same-text doc pairs: J = 1 by construction. One shuffle
         // (groupBy tid) + in-row pair expansion, not a self-join.
-        val m2 = membership.join(broadcast(sizes), membership("tid") === sizes("id"))
+        val m2 = membership.join(sizes, membership("tid") === sizes("id"))
         val same = m2.groupBy(col("tid"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"), first(col("n")).as("n"))
           .filter(size(col("ids")) >= 2)
@@ -1112,7 +1114,8 @@ object LlmQueries {
     // ---- Vocabulary growth curve (Heaps'-law profile): distinct word
     // trigram types within the first k docs, every 50 docs. doc_id is
     // the driver tables' dense 0-based index, so no ranking window runs
-    // over the corpus.
+    // over the corpus. The final partial bucket's k_docs label is
+    // clamped to the corpus size in both engines.
     "q104_vocab_growth" -> QueryDef(
       (s, dir) => {
         Profiling.vocabGrowth(table(s, dir, "documents"), "doc_id", "text", n = 3, step = 50)
@@ -1125,7 +1128,7 @@ object LlmQueries {
              |f AS (SELECT gram, min(doc_id) AS first_rank FROM g GROUP BY gram),
              |nb AS (SELECT first_rank // 50 + 1 AS bucket, count(*) AS n_new FROM f GROUP BY 1),
              |spine AS (SELECT DISTINCT doc_id // 50 + 1 AS bucket FROM documents)
-             |SELECT CAST(spine.bucket * 50 AS BIGINT) AS k_docs,
+             |SELECT CAST(least(spine.bucket * 50, (SELECT max(doc_id) + 1 FROM documents)) AS BIGINT) AS k_docs,
              |       CAST(sum(coalesce(nb.n_new, 0)) OVER (ORDER BY spine.bucket) AS BIGINT) AS vocab_size
              |FROM spine LEFT JOIN nb USING (bucket)
              |ORDER BY k_docs""".stripMargin)),
@@ -2296,7 +2299,7 @@ object LlmQueries {
     // shingle Jaccard, averaged per agreement level.
     "q146_minhash_calibration" -> QueryDef(
       (s, dir) => {
-        Dedup.minhashCalibration(docsTpl(s, dir), "doc_id", "t",
+        Dedup.minhashCalibration(docsTpl(s, dir), "t",
             shingleN = 3, numHashes = 8, rowsPerBand = 2)
           .orderBy("n_matching")
       },

@@ -12,17 +12,27 @@ final case class QueryDef(fn: (SparkSession, String) => DataFrame, oracle: Optio
 object Registry {
   /** Read one driver-provided table from the given sf directory.
     *
-    * `events.parquet` stores TIMESTAMP(NANOS) which Spark 4 refuses to
-    * read natively; we read nanos as Long (legacy conf) and convert to a
-    * µs TimestampType column — the driver data is µs-aligned, and DuckDB
-    * reads the same values at µs precision, so results stay comparable.
+    * `events.parquet`'s `ts` column has shipped as both TIMESTAMP(NANOS)
+    * (which Spark 4 refuses to read natively — we read nanos as Long via
+    * the legacy conf and convert) and, in newer driver drops, plain µs
+    * TIMESTAMP / TIMESTAMP_NTZ. Dispatch on the type Spark actually read
+    * so every vintage normalizes to a µs TimestampType column; all graft
+    * sessions run with session.timeZone=UTC, so the NTZ cast is
+    * value-preserving and matches what DuckDB sees.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df =
       if (name == "events") {
+        import org.apache.spark.sql.functions.{col, expr}
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$dir/$name.parquet")
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        raw.schema("ts").dataType match {
+          case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+          case TimestampType    => raw
+          case other => sys.error(s"events.ts: unsupported parquet type $other")
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     depthSample(df, name)
   }

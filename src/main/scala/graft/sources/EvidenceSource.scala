@@ -30,20 +30,24 @@ import java.util
 class EvidenceSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EvidenceSource.Schema
+    if (Option(options.get("mode")).contains("hits")) EvidenceSource.HitsSchema
+    else EvidenceSource.Schema
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    val format = Option(opts.get("format")).getOrElse("auto")
+    val chunkSize = Option(opts.get("chunksize")).map(_.toLong).getOrElse(512L * 1024 * 1024)
+    val overlap = Option(opts.get("overlap")).map(_.toLong).getOrElse(65536L)
     // container dispatch: raw | ewf | auto (default sniffs the EWF
     // signature, so .E01 images need no flag)
-    new EvidenceTable(
-      opts.get("path"),
-      Option(opts.get("format")).getOrElse("auto"),
-      Option(opts.get("chunksize")).map(_.toLong).getOrElse(512L * 1024 * 1024),
-      Option(opts.get("overlap")).map(_.toLong).getOrElse(65536L))
+    if (Option(opts.get("mode")).contains("hits"))
+      new EvidenceHitsTable(path, format, chunkSize, overlap)
+    else
+      new EvidenceTable(path, format, chunkSize, overlap)
   }
 }
 
@@ -53,6 +57,14 @@ object EvidenceSource {
     StructField("start", LongType, nullable = false),
     StructField("valid_length", LongType, nullable = false),
     StructField("data", BinaryType, nullable = false)))
+
+  /** `mode=hits` schema: signature-scan matches after overlap-ownership
+    * dedup, one row per hit.
+    */
+  val HitsSchema: StructType = StructType(Seq(
+    StructField("global_offset", LongType, nullable = false),
+    StructField("file_type", StringType, nullable = false),
+    StructField("pattern_id", StringType, nullable = false)))
 }
 
 private[sources] class EvidenceTable(path: String, format: String, chunkSize: Long, overlap: Long)
@@ -94,6 +106,136 @@ private[sources] class EvidenceScanBuilder(ref: EvidenceRef, chunkSize: Long, ov
 
 private[sources] case class EvidenceChunkPartition(
     id: Long, start: Long, length: Long, validLength: Long) extends InputPartition
+
+/** `mode=hits`: the signature scan itself runs INSIDE the DSv2 scan, and
+  * `file_type` predicates push down into automaton construction — a
+  * `WHERE file_type IN ('jpeg','png')` compiles an Aho–Corasick over
+  * just those types' patterns, so the per-byte scan work shrinks with
+  * the query instead of scanning all 43 patterns and filtering rows
+  * after (the `--types` semantics of the reference's
+  * filter_file_types, src/config.rs, applied at the source).
+  */
+private[sources] class EvidenceHitsTable(path: String, format: String,
+    chunkSize: Long, overlap: Long) extends Table with SupportsRead {
+  require(path != null, "graft evidence source requires option 'path'")
+  override def name(): String = s"evidence_hits(`$path`)"
+  override def schema(): StructType = EvidenceSource.HitsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EvidenceHitsScanBuilder(EvidenceOpen.ref(path, format), chunkSize, overlap)
+}
+
+private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long, overlap: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+  private var required: StructType = EvidenceSource.HitsSchema
+  private var pushed: Array[Filter] = Array.empty
+  // None = no pruning (full pattern set); Some(s) = AND-intersection of
+  // every accepted file_type predicate
+  private var allowedTypes: Option[Set[String]] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("file_type", _: String) => true
+      case In("file_type", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v: String) => intersect(Set(v))
+      case In(_, vs) => intersect(vs.map(_.asInstanceOf[String]).toSet)
+      case _ => ()
+    }
+    pushed = accepted
+    rejected // Spark evaluates what the source does not handle
+  }
+
+  private def intersect(s: Set[String]): Unit =
+    allowedTypes = Some(allowedTypes.fold(s)(_ intersect s))
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new EvidenceHitsScan(ref, chunkSize, overlap,
+    allowedTypes.map(_.toSeq.sorted), required)
+}
+
+private[graft] class EvidenceHitsScan(ref: EvidenceRef, chunkSize: Long,
+    overlap: Long, val pushedTypes: Option[Seq[String]], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft evidence hits, PushedTypes: ${pushedTypes.map(_.mkString("[", ",", "]")).getOrElse("ALL")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val len = {
+      val r = ref.open()
+      try r.length finally r.close()
+    }
+    ChunkPlanner.planLocal(len, chunkSize, overlap)
+      .map(c => EvidenceChunkPartition(c.id, c.start, c.length, c.validLength): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EvidenceHitsReaderFactory(ref, chunkSize, overlap, pushedTypes, required)
+}
+
+private[sources] class EvidenceHitsReaderFactory(ref: EvidenceRef, chunkSize: Long,
+    overlap: Long, types: Option[Seq[String]], schema: StructType)
+    extends PartitionReaderFactory {
+  // the pruned automaton compiles once per executor, not per partition
+  @transient private lazy val scan: graft.scan.SignatureScan = {
+    val (cfg, _) = graft.carve.EngineConfig.filterFileTypes(
+      graft.carve.EngineConfig(chunkSize = chunkSize, overlap = overlap),
+      types, disableZip = false)
+    graft.scan.SignatureScan(cfg)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EvidenceChunkPartition]
+    new PartitionReader[InternalRow] {
+      private lazy val reader = ref.open()
+      private var hits: Iterator[graft.core.NormalizedHit] = _
+
+      private def ensure(): Unit = if (hits == null) {
+        val buf = new Array[Byte](p.length.toInt)
+        var got = 0
+        var n = 1
+        while (got < buf.length && n > 0) {
+          n = reader.readAt(p.start + got, buf, got, buf.length - got)
+          got += n
+        }
+        val chunk = graft.core.ScanChunk(p.id, p.start, p.length, p.validLength)
+        hits = scan.normalize(chunk, scan.scanChunk(chunk, buf, got)).iterator
+      }
+
+      override def next(): Boolean = { ensure(); hits.hasNext }
+
+      override def get(): InternalRow = {
+        val h = hits.next()
+        val pat = scan.patterns(h.patternId)
+        InternalRow.fromSeq(schema.fields.toIndexedSeq.map {
+          _.name match {
+            case "global_offset" => h.globalOffset
+            case "file_type" =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(pat.fileTypeId)
+            case "pattern_id" =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(pat.patternId)
+          }
+        })
+      }
+
+      override def close(): Unit = reader.close()
+    }
+  }
+}
 
 private[sources] class EvidenceReaderFactory(ref: EvidenceRef, schema: StructType)
     extends PartitionReaderFactory {

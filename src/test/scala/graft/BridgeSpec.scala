@@ -1,0 +1,111 @@
+package graft
+
+import graft.carve.EngineConfig
+import graft.llm.CarvedText
+import graft.pipeline.CarvePipeline
+import graft.queries.BridgeQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Carve→curation bridge: byte-level extractor rules, the payload-store
+  * round trip, and Curate.run consuming carved documents end-to-end.
+  */
+class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bridge-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  test("emlToText: subject + body, CRLF fold, header unfolding") {
+    val eml = ascii(
+      "From: a@example.com\r\nSubject: long\r\n subject line\r\nTo: b@example.com\r\n\r\n" +
+        "first line\r\nsecond line\r\n")
+    assert(CarvedText.emlToText(eml) == "long subject line\nfirst line\nsecond line")
+    // no blank line → all headers, empty body; no subject → empty title
+    assert(CarvedText.emlToText(ascii("From: a@b.c\r\nTo: d@e.f\r\n")) == "")
+  }
+
+  test("rtfToText: control words, escapes, destinations, bin skip") {
+    assert(CarvedText.rtfToText(ascii("{\\rtf1\\ansi Hello {\\b world}}")) == "Hello world")
+    // \par → newline, \tab → tab, \'e9 → é, escaped braces literal
+    assert(CarvedText.rtfToText(ascii("{\\rtf1 a\\par b\\tab c\\'e9\\{x\\}}")) ==
+      "a\nb\tcé{x}")
+    // {\*\foo junk} and {\fonttbl...} destinations drop entirely
+    assert(CarvedText.rtfToText(ascii(
+      "{\\rtf1{\\*\\gen junk}{\\fonttbl{\\f0 Arial}}keep}")) == "keep")
+    // \binN raw bytes skipped, the byte after the digits counting as raw
+    // (the reference walker's quirk): \bin3 then " xyz" skips " xy"
+    assert(CarvedText.rtfToText(ascii("{\\rtf1 a\\bin3 xyz}")) == "az")
+    // raw CR/LF are not text; trailing whitespace trimmed
+    assert(CarvedText.rtfToText(ascii("{\\rtf1 a\r\nb \\par }")) == "ab")
+  }
+
+  test("carved payload store round-trips into a documents frame") {
+    val nSlots = 8L
+    val (cfg0, _) = EngineConfig.filterFileTypes(
+      EngineConfig(chunkSize = 64 * 1024, overlap = 4096),
+      Some(Seq("eml", "rtf")), disableZip = false)
+    val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
+    val payloadDir = Files.createTempDirectory("graft-bridge-rt").toString
+    val run = CarvePipeline.run(spark, BridgeQueries.DocSlotsRef(4096L, nSlots), cfg,
+      "bridge-spec", enableStrings = false, enableEntropy = false,
+      payloadDir = Some(payloadDir))
+    run.carvedFiles.count()
+    run.scanned.unpersist()
+    val docs = CarvedText.documents(spark, payloadDir)
+      .select((col("global_start") / 4096L).cast("long").as("doc_id"),
+        col("file_type"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(docs.length == nSlots)
+    docs.foreach { case (id, tpe, text) =>
+      if (id % 2 == 0) {
+        assert(tpe == "eml")
+        assert(text == s"note $id\n${BridgeQueries.EmlBody.format(id)}")
+      } else {
+        assert(tpe == "rtf")
+        assert(text == s"doc $id bold text")
+      }
+    }
+  }
+
+  test("Curate.run consumes a carved-payload documents frame end-to-end") {
+    val nSlots = 40L
+    val (cfg0, _) = EngineConfig.filterFileTypes(
+      EngineConfig(chunkSize = 64 * 1024, overlap = 4096),
+      Some(Seq("eml", "rtf")), disableZip = false)
+    val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
+    val payloadDir = Files.createTempDirectory("graft-bridge-curate").toString
+    val run = CarvePipeline.run(spark, BridgeQueries.DocSlotsRef(4096L, nSlots), cfg,
+      "bridge-curate", enableStrings = false, enableEntropy = false,
+      payloadDir = Some(payloadDir))
+    run.carvedFiles.count()
+    run.scanned.unpersist()
+    val docsParquet = Files.createTempDirectory("graft-bridge-docs").toString + "/documents"
+    // the realistic hand-off: language-ID the carved corpus to supply
+    // the lang column Curate's document schema carries
+    val bridged = CarvedText.documents(spark, payloadDir)
+      .select((col("global_start") / 4096L).cast("long").as("doc_id"), col("text"))
+    bridged
+      .join(graft.llm.TextAnalysis.langId(bridged, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("lang_pred").as("lang")), Seq("doc_id"))
+      .write.parquet(docsParquet)
+    val outDir = Files.createTempDirectory("graft-bridge-out").toString
+    val summary = Curate.run(spark, docsParquet, None, outDir, "graft").toMap
+    assert(summary("n_raw") == nSlots)
+    assert(summary("n_clean") > 0)
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    assert(corpus.count() == summary("n_clean"))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}

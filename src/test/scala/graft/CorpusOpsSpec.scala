@@ -99,6 +99,13 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("k_docs")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out2 == Seq((2L, 1L), (4L, 2L)))
+    // a partial final bucket is labeled with the corpus size, not a
+    // full step multiple (3 docs, step 2 → last label 3, not 4)
+    val out3 = Profiling.vocabGrowth(docs.filter($"doc_id" < 3), "doc_id", "text",
+        n = 3, step = 2)
+      .orderBy("k_docs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out3 == Seq((2L, 1L), (3L, 2L)))
   }
 
   test("ngramNovelty counts distinct-gram misses vs the reference in basis points") {
@@ -407,5 +414,17 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, 0L, 2L, 1000000L),
       (0L, 1L, 2L, 2000000L),
       (1L, 1L, 2L, 4000000L)))
+  }
+
+  test("embedCovariance divisor survives n beyond the BIGINT 200·n² overflow point") {
+    // n = 3e9 rows: 200·n² ≈ 1.8e21 overflows BIGINT; the decimal-promoted
+    // expression must still divide exactly. sij chosen so n·sij = 5·100·n².
+    val cov = spark.sql(
+      s"""SELECT ${graft.llm.Similarity.covUExpr} AS cov_u FROM VALUES
+         |  (CAST(3000000000 AS BIGINT), CAST(0 AS DECIMAL(38,0)),
+         |   CAST(0 AS DECIMAL(38,0)), CAST(1500000000000 AS DECIMAL(38,0)))
+         |  AS t(n, graft_si, graft_sj, graft_sij)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(cov == 5L, s"expected exact 5 micro-units at n=3e9, got $cov")
   }
 }

@@ -113,6 +113,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist == want)
   }
 
+  test("lshCandidatePairs hot-band cap bounds a degenerate bucket's candidates") {
+    import spark.implicits._
+    // adversarial corpus: 30 docs share one boilerplate text (one band
+    // bucket of 30 → 435 pairs), plus one genuine near-dup pair
+    val docs = ((1L to 30L).map(i => (i, "the same boilerplate text everywhere")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+          (101L, "alpha beta gamma delta epsilon zeta"))).toDF("doc_id", "text")
+    val sh = graft.llm.Dedup.shingles(docs, "doc_id", "text", 3)
+    val bands = graft.llm.Dedup.bandKeys(
+      graft.llm.Dedup.minHashSignatures(sh, 8), rowsPerBand = 2)
+    val uncapped = graft.llm.Dedup.lshCandidatePairs(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 30 * 29 / 2 + 1, s"expected 436 pairs, got ${uncapped.size}")
+    // cap 10: the 30-member boilerplate buckets drop whole, the genuine
+    // 2-member buckets survive untouched
+    val capped = graft.llm.Dedup.lshCandidatePairs(bands, maxBandMembers = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"cap should keep only the genuine pair: $capped")
+    // degenerate cap rejected
+    intercept[IllegalArgumentException] {
+      graft.llm.Dedup.lshCandidatePairs(bands, maxBandMembers = Some(1))
+    }
+  }
+
   test("quantizeInt8 scales to max|x| and zero vectors quantize to zeros") {
     import spark.implicits._
     val df = Seq(

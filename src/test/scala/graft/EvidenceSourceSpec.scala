@@ -63,6 +63,41 @@ class EvidenceSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toSeq == Seq(5000L))
   }
 
+  test("hits mode pushes file_type predicates into the scan's pattern set") {
+    val img = Files.createTempFile("evhits", ".dd")
+    val bytes = new Array[Byte](16384)
+    val jpeg = graft.fixtures.FixtureBytes.jpeg()
+    val png = graft.fixtures.FixtureBytes.png()
+    val pdf = graft.fixtures.FixtureBytes.pdf()
+    System.arraycopy(jpeg, 0, bytes, 1000, jpeg.length)
+    System.arraycopy(png, 0, bytes, 5000, png.length)
+    System.arraycopy(pdf, 0, bytes, 9000, pdf.length)
+    Files.write(img, bytes)
+    val df = spark.read.format("graft.sources.EvidenceSource")
+      .option("path", img.toString).option("mode", "hits")
+      .option("chunkSize", "4096").option("overlap", "64")
+      .load()
+      .filter(col("file_type").isin("jpeg", "png"))
+    val rows = df.select("global_offset", "file_type").orderBy("global_offset")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1000L, "jpeg"), (5000L, "png")))
+    // the predicate reached automaton construction, not a post-filter:
+    // the scan object itself carries the pruned type set
+    val hitsScan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case s: graft.sources.EvidenceHitsScan => s }
+    assert(hitsScan.isDefined, "expected a BatchScanExec over EvidenceHitsScan")
+    assert(hitsScan.get.pushedTypes.contains(Seq("jpeg", "png")),
+      s"pattern set not pruned: ${hitsScan.get.pushedTypes}")
+    // unfiltered: all three planted types surface
+    val all = spark.read.format("graft.sources.EvidenceSource")
+      .option("path", img.toString).option("mode", "hits")
+      .option("chunkSize", "4096").option("overlap", "64")
+      .load().select("global_offset").orderBy("global_offset")
+      .collect().map(_.getLong(0))
+    assert(all.toSeq == Seq(1000L, 5000L, 9000L))
+  }
+
   test("parquet chunk-table scan matches the raw pipeline") {
     val img = Files.createTempFile("ev3", ".dd")
     val bytes = new Array[Byte](3 * 4096)

@@ -167,8 +167,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"bloom probe corpus side shuffled:\n$p")
   }
 
-  test("decontamination broadcasts both the bench grams and the flagged-id set") {
-    val p = planOf("q78_decontaminate")
+  test("decontamination broadcasts the bench grams; flagged ids carry no forced hint") {
+    // The bench-gram side is bounded (eval suites are small by
+    // construction) so it may broadcast; the flagged-id set is bounded
+    // only by |train| and must reach the planner UNHINTED — AQE
+    // broadcasts it at runtime when it actually measures small (as it
+    // does at this sf, hence the executed-plan broadcast check stays).
+    val df = SparkEntry.queries("q78_decontaminate")(spark, dir)
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.size <= 1, s"flagged-id join re-acquired a forced broadcast:\n" +
+      df.queryExecution.optimizedPlan.toString)
+    // examine only the AQE FINAL plan — the unhinted initial plan
+    // legitimately says SortMergeJoin until runtime stats arrive
+    val p = planOf("q78_decontaminate").split("== Initial Plan ==").head
     assert(!p.contains("SortMergeJoin"), s"decontaminate shuffled a join side:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
   }
@@ -514,18 +527,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // collects them to the driver — an OOM at scale no cluster size
     // fixes. AQE is still free to broadcast at runtime when a side
     // measures small; this pins only that nothing is FORCED.
+    // Earlier tests may have registered CacheRegistry persists whose
+    // PHYSICAL plans were compiled under the default 10 MB threshold;
+    // Spark's CacheManager dedupes by logical plan, so those
+    // BroadcastExchange-bearing InMemoryRelations would leak into the
+    // pinned plans even with the threshold off. Clear both cache layers
+    // before and after so the pin is order-independent.
     val threshold = "spark.sql.autoBroadcastJoinThreshold"
     val saved = spark.conf.get(threshold)
+    def clearCaches(): Unit = {
+      graft.llm.CacheRegistry.releaseAll(spark)
+      spark.catalog.clearCache()
+    }
     try {
       spark.conf.set(threshold, "-1")
-      for (q <- Seq("q31_dedup_minhash_lsh", "q56_dedup_clusters",
-          "q72_dedup_corpus", "q100_minhash_agreement", "q106_quality_rep",
-          "q139_jaccard_join", "q146_minhash_calibration")) {
+      clearCaches()
+      for (q <- Seq("q31_dedup_minhash_lsh", "q33_dedup_ngram_jaccard",
+          "q56_dedup_clusters", "q72_dedup_corpus", "q78_decontaminate",
+          "q100_minhash_agreement", "q106_quality_rep", "q139_jaccard_join",
+          "q146_minhash_calibration")) {
         val df = SparkEntry.queries(q)(spark, dir)
         val p = df.queryExecution.sparkPlan.toString
         assert(!p.contains("BroadcastExchange"),
           s"$q forces a broadcast on an unbounded join side:\n$p")
       }
-    } finally spark.conf.set(threshold, saved)
+    } finally {
+      spark.conf.set(threshold, saved)
+      clearCaches()
+    }
   }
 }

@@ -308,4 +308,19 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"vec $id top2 mismatch")
     }
   }
+
+  test("sqDistTop2 rejects a 1-centroid codebook with the contract, not AIOOBE") {
+    import spark.implicits._
+    graft.functions.VecFunctions.register(spark)
+    val e = intercept[Exception] {
+      Seq((1L, Array(1L, 2L, 3L))).toDF("id", "sv")
+        .select(call_function("graft_sqdist_top2", col("sv"),
+          typedLit(Array(0L, 0L, 0L)), typedLit(Array(0L))))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("needs >= 2 centroids")),
+      s"expected the n>=2 contract, got: $e")
+  }
 }
