@@ -138,6 +138,77 @@ object CarvedText {
     dropTrailingWhitespace(out.toString)
   }
 
+  /** FB2 (FictionBook XML, as carved per
+    * /root/reference/src/carve/fb2.rs) plain-text extraction: tags
+    * drop; the five XML named entities and decimal/hex character
+    * references decode; `<p>`/`<v>`/`<title>`/`<subtitle>` closers and
+    * `<empty-line/>` emit '\n'; whitespace runs inside text collapse to
+    * one space; `<binary>` payloads (base64 cover art) drop whole;
+    * trailing whitespace trimmed.
+    */
+  def fb2ToText(bytes: Array[Byte]): String = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.lang.StringBuilder
+    val n = s.length
+    var i = 0
+    var inBinary = false
+    var pendingSpace = false
+    def emit(c: Char): Unit = {
+      if (c == '\n') { out.append('\n'); pendingSpace = false }
+      else {
+        if (pendingSpace && out.length > 0 && out.charAt(out.length - 1) != '\n') out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      }
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val close = s.indexOf('>', i)
+        if (close < 0) { i = n }
+        else {
+          val tag = s.substring(i + 1, close).trim.toLowerCase(java.util.Locale.ROOT)
+          val name = tag.stripPrefix("/").takeWhile(ch => ch.isLetterOrDigit || ch == '-')
+          if (name == "binary") inBinary = !tag.startsWith("/")
+          if (!inBinary) {
+            // block-level closers and the self-closing empty-line break lines
+            val isCloser = tag.startsWith("/") &&
+              Set("p", "v", "title", "subtitle", "stanza", "annotation").contains(name)
+            if (isCloser || name == "empty-line") emit('\n')
+          }
+          i = close + 1
+        }
+      } else if (inBinary) {
+        i += 1
+      } else if (c == '&') {
+        val semi = s.indexOf(';', i)
+        if (semi > i && semi - i <= 8) {
+          val ent = s.substring(i + 1, semi)
+          val decoded = ent match {
+            case "amp" => Some('&'); case "lt" => Some('<'); case "gt" => Some('>')
+            case "quot" => Some('"'); case "apos" => Some('\'')
+            case e if e.startsWith("#x") || e.startsWith("#X") =>
+              scala.util.Try(Integer.parseInt(e.drop(2), 16).toChar).toOption
+            case e if e.startsWith("#") =>
+              scala.util.Try(e.drop(1).toInt.toChar).toOption
+            case _ => None
+          }
+          decoded match {
+            case Some(ch) => emit(ch); i = semi + 1
+            case None => emit('&'); i += 1 // not an entity: literal ampersand
+          }
+        } else { emit('&'); i += 1 }
+      } else if (Character.isWhitespace(c)) {
+        pendingSpace = true
+        i += 1
+      } else {
+        emit(c)
+        i += 1
+      }
+    }
+    dropTrailingWhitespace(out.toString)
+  }
+
   private def dropTrailingWhitespace(s: String): String = {
     var e = s.length
     while (e > 0 && Character.isWhitespace(s.charAt(e - 1))) e -= 1
@@ -154,8 +225,10 @@ object CarvedText {
     * archives) stay in the store for the multimodal path.
     */
   def documents(spark: SparkSession, payloadDir: String,
-                types: Seq[String] = Seq("eml", "rtf")): DataFrame = {
+                types: Seq[String] = Seq("eml", "rtf", "fb2")): DataFrame = {
     import spark.implicits._
+    val known = Set("eml", "rtf", "fb2")
+    require(types.nonEmpty && types.forall(known), s"bridgeable types are $known, got $types")
     val extRe = types.mkString("\\.(", "|", ")$")
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -166,6 +239,7 @@ object CarvedText {
       .map { case (path, content) =>
         val text =
           if (path.endsWith(".eml")) emlToText(content)
+          else if (path.endsWith(".fb2")) fb2ToText(content)
           else rtfToText(content)
         val off = OffsetRe.findFirstMatchIn(path)
           .map(m => java.lang.Long.parseLong(m.group(1), 16)).getOrElse(-1L)

@@ -36,8 +36,22 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query id. Output:
     * (query_id, neighbor_id, rank, score).
+    *
+    * Q×N by CONTRACT: the query side rides as a broadcast against one
+    * corpus scan, which is the right brute-force shape only while Q is
+    * bounded (eval probes, recall checks). `maxQueries` enforces that
+    * contract up front — the probe scans at most maxQueries+1 rows of
+    * the query frame, so it is not a corpus action — instead of letting
+    * an unboundedly large query set OOM the driver at broadcast time.
+    * For large query sets use [[lshBucket]]/IVF ANN.
     */
-  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame, k: Int): DataFrame = {
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame,
+                 k: Int, maxQueries: Long = 100000L): DataFrame = {
+    require(maxQueries > 0, s"maxQueries must be positive, got $maxQueries")
+    val nq = queries.limit(math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
+    require(nq <= maxQueries,
+      s"cosineTopK query side exceeds $maxQueries rows — brute force is Q×N by contract; " +
+        "use the LSH/IVF ANN operators for large query sets")
     VecFunctions.register(corpus.sparkSession)
     // norms are computed ONCE per vector before the cross join (same
     // doubles — sqrt(dot(a,a)) is deterministic — but N+Q norm passes

@@ -25,22 +25,29 @@ object BridgeQueries {
     s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
 
   /** Slot content: deterministic in the slot index, small enough for
-    * any stride. The eml body is followed by an mbox `\nFrom ` boundary
-    * so the carve ends exactly at the document; the rtf ends itself at
-    * brace depth 0. The eml body is long enough (≥20 tokens, ≥10%
-    * stopwords, no heavy repeats) to clear [[graft.llm.Curation]]'s
-    * quality gate, so the bridged corpus also exercises Curate.run;
-    * the short rtf docs are the gate's realistic drop fodder.
+    * any stride, cycling the three text-bearing carve types. The eml
+    * body is followed by an mbox `\nFrom ` boundary so the carve ends
+    * exactly at the document; the rtf ends itself at brace depth 0; the
+    * fb2 ends at `</FictionBook>`. The eml body is long enough (≥20
+    * tokens, ≥10% stopwords, no heavy repeats) to clear
+    * [[graft.llm.Curation]]'s quality gate, so the bridged corpus also
+    * exercises Curate.run; the short rtf/fb2 docs are the gate's
+    * realistic drop fodder.
     */
   private[graft] val EmlBody =
     "the quick brown fox %d jumps over a lazy dog and walks to the old stone town in light rain near noon"
 
   private[graft] def slotSample(slot: Long): Array[Byte] =
-    if (slot % 2 == 0)
-      ascii(s"From: user$slot@example.com\r\nTo: list@example.com\r\n" +
-        s"Subject: note $slot\r\n\r\n${EmlBody.format(slot)}\r\n\nFrom -")
-    else
-      ascii(s"{\\rtf1\\ansi doc $slot {\\b bold} text\\par}")
+    (slot % 3) match {
+      case 0 =>
+        ascii(s"From: user$slot@example.com\r\nTo: list@example.com\r\n" +
+          s"Subject: note $slot\r\n\r\n${EmlBody.format(slot)}\r\n\nFrom -")
+      case 1 =>
+        ascii(s"{\\rtf1\\ansi doc $slot {\\b bold} text\\par}")
+      case _ =>
+        ascii("<?xml version=\"1.0\"?><FictionBook><body>" +
+          s"<p>story $slot goes here tonight</p></body></FictionBook>")
+    }
 
   /** Synthetic evidence with one generated document per stride slot,
     * zero-filled between — bytes are computed at read time from the
@@ -81,7 +88,7 @@ object BridgeQueries {
         val nDocs = Registry.table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
         val (cfg0, _) = EngineConfig.filterFileTypes(
           EngineConfig(chunkSize = 512 * 1024, overlap = 4096),
-          Some(Seq("eml", "rtf")), disableZip = false)
+          Some(Seq("eml", "rtf", "fb2")), disableZip = false)
         val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
         val payloadDir = java.nio.file.Files
           .createTempDirectory("graft-bridge").toString
@@ -99,11 +106,13 @@ object BridgeQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |CASE WHEN doc_id % 2 = 0 THEN 'eml' ELSE 'rtf' END AS file_type,
-             |CASE WHEN doc_id % 2 = 0
-             |  THEN 'note ' || doc_id || chr(10) ||
+             |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'eml' WHEN 1 THEN 'rtf'
+             |  ELSE 'fb2' END AS file_type,
+             |CASE CAST(doc_id % 3 AS INT)
+             |  WHEN 0 THEN 'note ' || doc_id || chr(10) ||
              |    'the quick brown fox ' || doc_id ||
              |    ' jumps over a lazy dog and walks to the old stone town in light rain near noon'
-             |  ELSE 'doc ' || doc_id || ' bold text' END AS text
+             |  WHEN 1 THEN 'doc ' || doc_id || ' bold text'
+             |  ELSE 'story ' || doc_id || ' goes here tonight' END AS text
              |FROM documents ORDER BY doc_id""".stripMargin)))
 }

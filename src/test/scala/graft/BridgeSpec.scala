@@ -51,11 +51,22 @@ class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CarvedText.rtfToText(ascii("{\\rtf1 a\r\nb \\par }")) == "ab")
   }
 
+  test("fb2ToText: tags drop, entities decode, binary payloads skip") {
+    assert(CarvedText.fb2ToText(ascii(
+      "<?xml version=\"1.0\"?><FictionBook><body><p>one two</p>" +
+        "<p>a &amp; b &lt;c&gt; &#65;&#x42;</p><empty-line/>" +
+        "<binary id=\"cover\">QUJD</binary><p>tail</p></body></FictionBook>")) ==
+      "one two\na & b <c> AB\n\ntail")
+    // whitespace runs collapse, newlines from markup only
+    assert(CarvedText.fb2ToText(ascii(
+      "<FictionBook><body><p>x\n   y</p></body></FictionBook>")) == "x y")
+  }
+
   test("carved payload store round-trips into a documents frame") {
-    val nSlots = 8L
+    val nSlots = 9L
     val (cfg0, _) = EngineConfig.filterFileTypes(
       EngineConfig(chunkSize = 64 * 1024, overlap = 4096),
-      Some(Seq("eml", "rtf")), disableZip = false)
+      Some(Seq("eml", "rtf", "fb2")), disableZip = false)
     val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
     val payloadDir = Files.createTempDirectory("graft-bridge-rt").toString
     val run = CarvePipeline.run(spark, BridgeQueries.DocSlotsRef(4096L, nSlots), cfg,
@@ -69,21 +80,25 @@ class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
     assert(docs.length == nSlots)
     docs.foreach { case (id, tpe, text) =>
-      if (id % 2 == 0) {
-        assert(tpe == "eml")
-        assert(text == s"note $id\n${BridgeQueries.EmlBody.format(id)}")
-      } else {
-        assert(tpe == "rtf")
-        assert(text == s"doc $id bold text")
+      (id % 3) match {
+        case 0 =>
+          assert(tpe == "eml")
+          assert(text == s"note $id\n${BridgeQueries.EmlBody.format(id)}")
+        case 1 =>
+          assert(tpe == "rtf")
+          assert(text == s"doc $id bold text")
+        case _ =>
+          assert(tpe == "fb2")
+          assert(text == s"story $id goes here tonight")
       }
     }
   }
 
   test("Curate.run consumes a carved-payload documents frame end-to-end") {
-    val nSlots = 40L
+    val nSlots = 42L
     val (cfg0, _) = EngineConfig.filterFileTypes(
       EngineConfig(chunkSize = 64 * 1024, overlap = 4096),
-      Some(Seq("eml", "rtf")), disableZip = false)
+      Some(Seq("eml", "rtf", "fb2")), disableZip = false)
     val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
     val payloadDir = Files.createTempDirectory("graft-bridge-curate").toString
     val run = CarvePipeline.run(spark, BridgeQueries.DocSlotsRef(4096L, nSlots), cfg,

@@ -62,6 +62,42 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.queries.Registry.depthSample(ords, "orders", Some("0")) eq ords)
   }
 
+  test("Registry.table normalizes every events-timestamp vintage to µs TimestampType") {
+    // The driver's events.parquet has shipped ts as TIMESTAMP(NANOS)
+    // (read as Long under the legacy conf), TIMESTAMP_NTZ, and plain
+    // TIMESTAMP across rounds; the adapter must normalize all three to
+    // the same µs TimestampType values. Synthesize one parquet per
+    // vintage and pin both the read type and the normalized instant.
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-events-vintage")
+    val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    def readTs(dir: String): (org.apache.spark.sql.types.DataType, Long) = {
+      val df = graft.queries.Registry.table(spark, dir, "events")
+      val tpe = df.schema("ts").dataType
+      val v = df.select(unix_micros(col("ts"))).collect()(0).getLong(0)
+      (tpe, v)
+    }
+    // vintage 1: Long column named ts (what nanosAsLong surfaces) in nanos
+    val longDir = s"$base/long"
+    spark.range(1).select(lit(micros * 1000L).as("ts"), lit(1L).as("event_id"))
+      .write.parquet(s"$longDir/events.parquet")
+    // vintage 2: TIMESTAMP_NTZ micros
+    val ntzDir = s"$base/ntz"
+    spark.range(1)
+      .select(timestamp_micros(lit(micros)).cast("timestamp_ntz").as("ts"), lit(1L).as("event_id"))
+      .write.parquet(s"$ntzDir/events.parquet")
+    // vintage 3: session-zoned TIMESTAMP micros
+    val tsDir = s"$base/ts"
+    spark.range(1)
+      .select(timestamp_micros(lit(micros)).as("ts"), lit(1L).as("event_id"))
+      .write.parquet(s"$tsDir/events.parquet")
+    for (d <- Seq(longDir, ntzDir, tsDir)) {
+      val (tpe, v) = readTs(d)
+      assert(tpe == org.apache.spark.sql.types.TimestampType, s"$d read as $tpe")
+      assert(v == micros, s"$d normalized to $v, expected $micros")
+    }
+  }
+
   test("every query analyzes with unique, non-empty column names") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

@@ -416,6 +416,18 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 2L, 4000000L)))
   }
 
+  test("cosineTopK enforces its bounded-query-side contract") {
+    import spark.implicits._
+    val emb = (1L to 5L).map(i => (i, Array(i.toFloat, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Similarity.cosineTopK(emb, "vec_id", "embedding", emb, 2, maxQueries = 3L)
+    }
+    assert(e.getMessage.contains("Q×N by contract"))
+    // within contract: unchanged results
+    val ok = graft.llm.Similarity.cosineTopK(emb, "vec_id", "embedding", emb.limit(2), 2)
+    assert(ok.count() == 4L) // 2 queries × top-2
+  }
+
   test("embedCovariance divisor survives n beyond the BIGINT 200·n² overflow point") {
     // n = 3e9 rows: 200·n² ≈ 1.8e21 overflows BIGINT; the decimal-promoted
     // expression must still divide exactly. sij chosen so n·sij = 5·100·n².
