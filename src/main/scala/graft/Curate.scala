@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * Env:   SPARK_GRAFT_CPUS (default 4), GRAFT_SPLIT_SEED (default "graft"),
   *        GRAFT_SEGMENT_WORDS=N enables the exact-substring (segment)
   *        dedup stage at N-word granularity between the gate and the
-  *        near-dup pass (0/unset = off).
+  *        near-dup pass (0/unset = off), GRAFT_LSH_BAND_CAP=N drops
+  *        LSH band buckets with more than N members whole (boilerplate
+  *        guard; unset = no cap).
   */
 object Curate {
   def main(args: Array[String]): Unit = {
@@ -79,9 +81,14 @@ object Curate {
     }
     val nSegment = preDedup.count()
 
-    // 3. near-duplicate removal: cluster keep-decisions joined back
+    // 3. near-duplicate removal: cluster keep-decisions joined back.
+    // GRAFT_LSH_BAND_CAP=N (optional) drops LSH band buckets with > N
+    // members whole — the boilerplate-bucket guard for corpora where one
+    // degenerate band key would emit quadratic candidates.
+    val bandCap = sys.env.get("GRAFT_LSH_BAND_CAP").map(_.toInt).filter(_ >= 2)
     val keep = Dedup.dedupCorpus(preDedup, "doc_id", "text",
-        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+        shingleN = 3, numHashes = 8, rowsPerBand = 2,
+        maxBandMembers = bandCap)
       .filter(col("kept") === 1L)
       .select(col("doc_id"))
     val deduped = CacheRegistry.persist(preDedup.join(keep, Seq("doc_id")))

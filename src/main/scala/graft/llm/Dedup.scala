@@ -139,7 +139,8 @@ object Dedup {
     */
   private def collapsedParts(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, rowsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
+      shingleN: Int, numHashes: Int, rowsPerBand: Int,
+      maxBandMembers: Option[Int] = None): (DataFrame, DataFrame, DataFrame) = {
     // membership feeds several join branches and sh feeds two — Spark
     // re-executes each occurrence of a subplan (no common-subtree reuse),
     // so persist both: one corpus scan instead of four, one shingle
@@ -149,7 +150,8 @@ object Dedup {
       docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("tid")))
     val texts = docs.select(md5(col(textCol)).as("doc_id"), col(textCol).as("t")).distinct()
     val sh = CacheRegistry.persist(shingles(texts, "doc_id", "t", shingleN))
-    val textPairs = lshCandidatePairs(bandKeys(minHashSignatures(sh, numHashes), rowsPerBand))
+    val textPairs = lshCandidatePairs(
+      bandKeys(minHashSignatures(sh, numHashes), rowsPerBand), maxBandMembers)
     val shingled = sh.select(col("id").as("tid")).distinct()
     (membership, textPairs, shingled)
   }
@@ -289,9 +291,11 @@ object Dedup {
     * Returns (doc_id, keep_id, kept LONG), one row per input doc.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-                  shingleN: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+                  shingleN: Int, numHashes: Int, rowsPerBand: Int,
+                  maxBandMembers: Option[Int] = None): DataFrame = {
     val (membership, textPairs, shingled) =
-      collapsedParts(docs, idCol, textCol, shingleN, numHashes, rowsPerBand)
+      collapsedParts(docs, idCol, textCol, shingleN, numHashes, rowsPerBand,
+        maxBandMembers)
     // text → its minimum member doc (the text's representative)
     val reps = CacheRegistry.persist(
       membership.groupBy(col("tid")).agg(min(col("doc_id")).as("rep")))
