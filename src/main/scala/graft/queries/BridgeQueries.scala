@@ -114,5 +114,42 @@ object BridgeQueries {
              |    ' jumps over a lazy dog and walks to the old stone town in light rain near noon'
              |  WHEN 1 THEN 'doc ' || doc_id || ' bold text'
              |  ELSE 'story ' || doc_id || ' goes here tonight' END AS text
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- DSv2 hits-mode pushdown under the oracle gate: a raw image
+    // with one jpeg/png sample per doc_id slot is scanned through the
+    // `mode=hits` table; the `file_type = 'jpeg'` predicate pushes into
+    // Aho–Corasick construction (only jpeg patterns compile), and the
+    // surviving offsets must be exactly the even slots. The image is a
+    // temp file streamed to disk (harness scaffolding, like q149's
+    // payload dir), never held in driver memory.
+    "q150_dsv2_hits_pushdown" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val nDocs = Registry.table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
+        val stride = 1024
+        val jpeg = graft.fixtures.FixtureBytes.jpeg()
+        val png = graft.fixtures.FixtureBytes.png()
+        val img = java.nio.file.Files.createTempFile("graft-hits", ".dd")
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(img))
+        var slot = 0L
+        while (slot < nDocs) {
+          val sample = if (slot % 2 == 0) jpeg else png
+          out.write(sample)
+          out.write(new Array[Byte](stride - sample.length))
+          slot += 1
+        }
+        out.close()
+        s.read.format("graft.sources.EvidenceSource")
+          .option("path", img.toString).option("mode", "hits")
+          .option("chunkSize", (64 * 1024).toString).option("overlap", "128")
+          .load()
+          .filter(col("file_type") === "jpeg")
+          .select((col("global_offset") / stride).cast("long").as("doc_id"),
+            col("file_type"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'jpeg' AS file_type FROM documents
+             |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin)))
 }

@@ -518,6 +518,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), s"centroids must ride as literals, not a join:\n$p")
   }
 
+  test("carved-text bridge reads the payload store as a narrow join-free scan") {
+    // q149's returned frame is binaryFile → extract → project → sort:
+    // no hash exchange (the orderBy is a range exchange) and no join —
+    // at 100 TB this is a pure distributed scan over the payload store.
+    val p = planOf("q149_carved_documents")
+    assert(hashExchanges(p) == 0, s"bridge acquired a hash shuffle:\n$p")
+    assert(!p.contains("Join"), s"bridge acquired a join:\n$p")
+  }
+
+  test("dsv2 hits mode pushes the file_type predicate into the scan") {
+    // EvidenceHitsScan.description() prints the pruned set, and
+    // BatchScanExec embeds it in the plan string — AQE-wrapping-proof,
+    // unlike a tree collect (AdaptiveSparkPlanExec hides its subtree).
+    val p = planOf("q150_dsv2_hits_pushdown")
+    assert(p.contains("PushedTypes: [jpeg]"),
+      s"file_type predicate did not reach automaton construction:\n$p")
+  }
+
   test("dedup operators carry no forced broadcast on corpus-proportional tables") {
     // With autoBroadcastJoinThreshold = -1 stats-based broadcast is off,
     // so any BroadcastExchange left in the INITIAL physical plan can only
