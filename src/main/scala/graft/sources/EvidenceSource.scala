@@ -45,7 +45,8 @@ class EvidenceSource extends TableProvider {
     // container dispatch: raw | ewf | auto (default sniffs the EWF
     // signature, so .E01 images need no flag)
     if (Option(opts.get("mode")).contains("hits"))
-      new EvidenceHitsTable(path, format, chunkSize, overlap)
+      new EvidenceHitsTable(path, format, chunkSize, overlap,
+        Option(opts.get("types")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     else
       new EvidenceTable(path, format, chunkSize, overlap)
   }
@@ -116,7 +117,8 @@ private[sources] case class EvidenceChunkPartition(
   * filter_file_types, src/config.rs, applied at the source).
   */
 private[sources] class EvidenceHitsTable(path: String, format: String,
-    chunkSize: Long, overlap: Long) extends Table with SupportsRead {
+    chunkSize: Long, overlap: Long, types: Option[Seq[String]])
+    extends Table with SupportsRead {
   require(path != null, "graft evidence source requires option 'path'")
   override def name(): String = s"evidence_hits(`$path`)"
   override def schema(): StructType = EvidenceSource.HitsSchema
@@ -124,10 +126,11 @@ private[sources] class EvidenceHitsTable(path: String, format: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EvidenceHitsScanBuilder(EvidenceOpen.ref(path, format), chunkSize, overlap)
+    new EvidenceHitsScanBuilder(EvidenceOpen.ref(path, format), chunkSize, overlap, types)
 }
 
-private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long, overlap: Long)
+private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long,
+    overlap: Long, typesOption: Option[Seq[String]])
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -136,8 +139,9 @@ private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long
   private var required: StructType = EvidenceSource.HitsSchema
   private var pushed: Array[Filter] = Array.empty
   // None = no pruning (full pattern set); Some(s) = AND-intersection of
+  // the `types` option (the --types analog for WHERE-less jobs) and
   // every accepted file_type predicate
-  private var allowedTypes: Option[Set[String]] = None
+  private var allowedTypes: Option[Set[String]] = typesOption.map(_.toSet)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 

@@ -96,6 +96,17 @@ class EvidenceSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load().select("global_offset").orderBy("global_offset")
       .collect().map(_.getLong(0))
     assert(all.toSeq == Seq(1000L, 5000L, 9000L))
+    // the `types` option prunes without a WHERE (the --types analog),
+    // and a predicate intersects further
+    val typed = spark.read.format("graft.sources.EvidenceSource")
+      .option("path", img.toString).option("mode", "hits")
+      .option("types", "jpeg,pdf")
+      .option("chunkSize", "4096").option("overlap", "64")
+      .load()
+    assert(typed.select("global_offset").orderBy("global_offset")
+      .collect().map(_.getLong(0)).toSeq == Seq(1000L, 9000L))
+    assert(typed.filter(col("file_type") === "pdf")
+      .select("global_offset").collect().map(_.getLong(0)).toSeq == Seq(9000L))
   }
 
   test("parquet chunk-table scan matches the raw pipeline") {
