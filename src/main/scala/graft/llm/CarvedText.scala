@@ -163,7 +163,11 @@ object CarvedText {
     }
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '<') {
+      if (c == '<' && s.startsWith("<!--", i)) {
+        // comments may contain '>' — skip to the full terminator
+        val e = s.indexOf("-->", i)
+        i = if (e < 0) n else e + 3
+      } else if (c == '<') {
         val close = s.indexOf('>', i)
         if (close < 0) { i = n }
         else {

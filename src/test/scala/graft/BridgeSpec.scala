@@ -60,6 +60,9 @@ class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // whitespace runs collapse, newlines from markup only
     assert(CarvedText.fb2ToText(ascii(
       "<FictionBook><body><p>x\n   y</p></body></FictionBook>")) == "x y")
+    // comments with '>' inside don't leak text
+    assert(CarvedText.fb2ToText(ascii(
+      "<FictionBook><body><!-- a > b --><p>kept</p></body></FictionBook>")) == "kept")
   }
 
   test("carved payload store round-trips into a documents frame") {
