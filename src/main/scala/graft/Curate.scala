@@ -85,7 +85,10 @@ object Curate {
     // GRAFT_LSH_BAND_CAP=N (optional) drops LSH band buckets with > N
     // members whole — the boilerplate-bucket guard for corpora where one
     // degenerate band key would emit quadratic candidates.
-    val bandCap = sys.env.get("GRAFT_LSH_BAND_CAP").map(_.toInt).filter(_ >= 2)
+    val bandCap = sys.env.get("GRAFT_LSH_BAND_CAP").map(_.toInt)
+    // reject a nonsensical cap instead of silently running uncapped —
+    // same contract as lshCandidatePairs' own require
+    bandCap.foreach(c => require(c >= 2, s"GRAFT_LSH_BAND_CAP must be >= 2, got $c"))
     val keep = Dedup.dedupCorpus(preDedup, "doc_id", "text",
         shingleN = 3, numHashes = 8, rowsPerBand = 2,
         maxBandMembers = bandCap)

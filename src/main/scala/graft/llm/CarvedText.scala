@@ -173,7 +173,10 @@ object CarvedText {
         else {
           val tag = s.substring(i + 1, close).trim.toLowerCase(java.util.Locale.ROOT)
           val name = tag.stripPrefix("/").takeWhile(ch => ch.isLetterOrDigit || ch == '-')
-          if (name == "binary") inBinary = !tag.startsWith("/")
+          // a self-closing <binary/> opens nothing — only a true opener
+          // flips the skip on, only </binary> flips it off
+          if (name == "binary")
+            inBinary = !tag.startsWith("/") && !tag.endsWith("/")
           if (!inBinary) {
             // block-level closers and the self-closing empty-line break lines
             val isCloser = tag.startsWith("/") &&
@@ -186,19 +189,23 @@ object CarvedText {
         i += 1
       } else if (c == '&') {
         val semi = s.indexOf(';', i)
-        if (semi > i && semi - i <= 8) {
+        if (semi > i && semi - i <= 9) {
           val ent = s.substring(i + 1, semi)
-          val decoded = ent match {
+          // decoded code point — may be astral, so emit via
+          // Character.toChars (a bare .toChar truncates above U+FFFF)
+          val decoded: Option[Int] = ent match {
             case "amp" => Some('&'); case "lt" => Some('<'); case "gt" => Some('>')
             case "quot" => Some('"'); case "apos" => Some('\'')
             case e if e.startsWith("#x") || e.startsWith("#X") =>
-              scala.util.Try(Integer.parseInt(e.drop(2), 16).toChar).toOption
+              scala.util.Try(Integer.parseInt(e.drop(2), 16)).toOption
             case e if e.startsWith("#") =>
-              scala.util.Try(e.drop(1).toInt.toChar).toOption
+              scala.util.Try(e.drop(1).toInt).toOption
             case _ => None
           }
-          decoded match {
-            case Some(ch) => emit(ch); i = semi + 1
+          decoded.filter(Character.isValidCodePoint) match {
+            case Some(cp) =>
+              Character.toChars(cp).foreach(emit)
+              i = semi + 1
             case None => emit('&'); i += 1 // not an entity: literal ampersand
           }
         } else { emit('&'); i += 1 }
@@ -245,8 +252,13 @@ object CarvedText {
           if (path.endsWith(".eml")) emlToText(content)
           else if (path.endsWith(".fb2")) fb2ToText(content)
           else rtfToText(content)
+        // fail loudly on a store entry that violates the carve naming
+        // contract — a silent -1 would integer-divide to doc_id 0 and
+        // collide with slot 0's provenance downstream
         val off = OffsetRe.findFirstMatchIn(path)
-          .map(m => java.lang.Long.parseLong(m.group(1), 16)).getOrElse(-1L)
+          .map(m => java.lang.Long.parseLong(m.group(1), 16))
+          .getOrElse(sys.error(
+            s"payload name violates the {type}_{offset:012X} contract: $path"))
         val fileType = path.substring(path.lastIndexOf('.') + 1)
         (off, fileType, path, text)
       }

@@ -40,24 +40,36 @@ object Similarity {
     * Q×N by CONTRACT: the query side rides as a broadcast against one
     * corpus scan, which is the right brute-force shape only while Q is
     * bounded (eval probes, recall checks). `maxQueries` enforces that
-    * contract up front — the probe scans at most maxQueries+1 rows of
-    * the query frame, so it is not a corpus action — instead of letting
-    * an unboundedly large query set OOM the driver at broadcast time.
-    * For large query sets use [[lshBucket]]/IVF ANN.
+    * contract INSIDE the plan: a limit-bounded count of the query
+    * frame rides into the query-side norm column, which raises the
+    * contract error at execution when the count exceeds the cap.
+    * Construction stays lazy (no eager job; plan-only inspection is
+    * side-effect-free), and because the guard lives in a column the
+    * score NEEDS, column pruning cannot optimize it away (an unused
+    * assert_true projection gets pruned — verified). For large query
+    * sets use [[lshBucket]]/IVF ANN.
     */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame,
                  k: Int, maxQueries: Long = 100000L): DataFrame = {
-    require(maxQueries > 0, s"maxQueries must be positive, got $maxQueries")
-    val nq = queries.limit(math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
-    require(nq <= maxQueries,
-      s"cosineTopK query side exceeds $maxQueries rows — brute force is Q×N by contract; " +
-        "use the LSH/IVF ANN operators for large query sets")
+    require(maxQueries > 0 && maxQueries < Int.MaxValue,
+      s"maxQueries must be in (0, Int.MaxValue), got $maxQueries")
     VecFunctions.register(corpus.sparkSession)
+    val nq = broadcast(queries.limit(maxQueries.toInt + 1)
+      .select(count(lit(1)).as("graft_nq")))
     // norms are computed ONCE per vector before the cross join (same
     // doubles — sqrt(dot(a,a)) is deterministic — but N+Q norm passes
     // instead of N*Q: at corpus scale this halves the FLOPs per pair)
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn")))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("graft_qn0"))
+      .crossJoin(nq)
+      .select(col("query_id"), col("qv"),
+        when(col("graft_nq") <= maxQueries, col("graft_qn0"))
+          .otherwise(raise_error(lit(
+            s"cosineTopK query side exceeds $maxQueries rows — brute force is Q×N " +
+              "by contract; use the LSH/IVF ANN operators for large query sets"))
+            .cast("double"))
+          .as("qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       norm(col(vecCol)).as("nn"))
     val scored = q.crossJoin(c)

@@ -146,7 +146,7 @@ private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
+    val accepted = filters.filter {
       case EqualTo("file_type", _: String) => true
       case In("file_type", vs) => vs.forall(_.isInstanceOf[String])
       case _ => false
@@ -157,7 +157,14 @@ private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long
       case _ => ()
     }
     pushed = accepted
-    rejected // Spark evaluates what the source does not handle
+    // Return EVERY filter as residual: pruning the pattern set is a
+    // performance hint, not an exact evaluation — filterFileTypes is
+    // case-insensitive and expands container families (docx→zip,
+    // doc→ole), so the pruned scan can emit rows the predicate
+    // rejects (e.g. 'zip' rows for a 'docx' ask). Spark re-applies
+    // the predicate post-scan, keeping results exact while the
+    // automaton still compiles only the asked-for patterns.
+    filters
   }
 
   private def intersect(s: Set[String]): Unit =
@@ -191,16 +198,28 @@ private[graft] class EvidenceHitsScan(ref: EvidenceRef, chunkSize: Long,
     new EvidenceHitsReaderFactory(ref, chunkSize, overlap, pushedTypes, required)
 }
 
+private[sources] object EvidenceHitsReaderFactory {
+  // PartitionReaderFactory instances deserialize once PER TASK, so a
+  // lazy val would recompile the automaton for every chunk partition.
+  // This JVM-level cache (keyed by the pruned type set) makes the
+  // compile once-per-executor for real — at a 100 TB image's ~200k
+  // partitions that is the difference between 1 and 200k compiles.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.scan.SignatureScan]()
+
+  private[sources] def scanFor(types: Option[Seq[String]]): graft.scan.SignatureScan =
+    cache.computeIfAbsent(types.map(_.mkString(",")).getOrElse(" ALL"), _ => {
+      val (cfg, _) = graft.carve.EngineConfig.filterFileTypes(
+        graft.carve.EngineConfig(), types, disableZip = false)
+      graft.scan.SignatureScan(cfg)
+    })
+}
+
 private[sources] class EvidenceHitsReaderFactory(ref: EvidenceRef, chunkSize: Long,
     overlap: Long, types: Option[Seq[String]], schema: StructType)
     extends PartitionReaderFactory {
-  // the pruned automaton compiles once per executor, not per partition
-  @transient private lazy val scan: graft.scan.SignatureScan = {
-    val (cfg, _) = graft.carve.EngineConfig.filterFileTypes(
-      graft.carve.EngineConfig(chunkSize = chunkSize, overlap = overlap),
-      types, disableZip = false)
-    graft.scan.SignatureScan(cfg)
-  }
+  @transient private lazy val scan: graft.scan.SignatureScan =
+    EvidenceHitsReaderFactory.scanFor(types)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EvidenceChunkPartition]

@@ -416,13 +416,18 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, 2L, 4000000L)))
   }
 
-  test("cosineTopK enforces its bounded-query-side contract") {
+  test("cosineTopK enforces its bounded-query-side contract lazily") {
     import spark.implicits._
     val emb = (1L to 5L).map(i => (i, Array(i.toFloat, 1f))).toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException] {
-      graft.llm.Similarity.cosineTopK(emb, "vec_id", "embedding", emb, 2, maxQueries = 3L)
-    }
-    assert(e.getMessage.contains("Q×N by contract"))
+    // construction is lazy — no job, no throw; the contract fires at
+    // execution (the in-plan assert_true guard)
+    val over = graft.llm.Similarity.cosineTopK(emb, "vec_id", "embedding", emb, 2,
+      maxQueries = 3L)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] { over.collect() }
+    assert(messages(e).exists(_.contains("by contract")),
+      s"expected the Q×N contract failure, got: $e")
     // within contract: unchanged results
     val ok = graft.llm.Similarity.cosineTopK(emb, "vec_id", "embedding", emb.limit(2), 2)
     assert(ok.count() == 4L) // 2 queries × top-2

@@ -173,12 +173,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // only by |train| and must reach the planner UNHINTED — AQE
     // broadcasts it at runtime when it actually measures small (as it
     // does at this sf, hence the executed-plan broadcast check stays).
+    // NOTE: ResolvedHint nodes never survive optimization
+    // (EliminateResolvedHint folds them into Join.hint), so the pin
+    // inspects Join.hint itself.
     val df = SparkEntry.queries("q78_decontaminate")(spark, dir)
     val hinted = df.queryExecution.optimizedPlan.collect {
-      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) => j
     }
-    assert(hinted.size <= 1, s"flagged-id join re-acquired a forced broadcast:\n" +
-      df.queryExecution.optimizedPlan.toString)
+    assert(hinted.size == 1, // exactly the bench-gram broadcast, nothing else
+      s"expected only the bench-gram hint, found ${hinted.size}:\n" +
+        df.queryExecution.optimizedPlan.toString)
     // examine only the AQE FINAL plan — the unhinted initial plan
     // legitimately says SortMergeJoin until runtime stats arrive
     val p = planOf("q78_decontaminate").split("== Initial Plan ==").head
@@ -538,13 +544,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("dedup operators carry no forced broadcast on corpus-proportional tables") {
     // With autoBroadcastJoinThreshold = -1 stats-based broadcast is off,
-    // so any BroadcastExchange left in the INITIAL physical plan can only
-    // come from a broadcast() hint. The dedup family must have none: its
-    // join inputs (text-pair candidates, membership, distinct-text sizes)
-    // are corpus- or candidate-proportional, and a hint-forced broadcast
-    // collects them to the driver — an OOM at scale no cluster size
-    // fixes. AQE is still free to broadcast at runtime when a side
-    // measures small; this pins only that nothing is FORCED.
+    // so any broadcast JOIN NODE left in the initial physical plan can
+    // only come from a broadcast() hint (BroadcastExchange itself is
+    // inserted later by EnsureRequirements, so sparkPlan must be
+    // checked for the join operators, not the exchange). The dedup
+    // family must have none: its join inputs (text-pair candidates,
+    // membership, distinct-text sizes) are corpus- or
+    // candidate-proportional, and a hint-forced broadcast collects
+    // them to the driver — an OOM at scale no cluster size fixes. AQE
+    // is still free to broadcast at runtime when a side measures
+    // small; this pins only that nothing is FORCED.
     // Earlier tests may have registered CacheRegistry persists whose
     // PHYSICAL plans were compiled under the default 10 MB threshold;
     // Spark's CacheManager dedupes by logical plan, so those
@@ -560,13 +569,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       spark.conf.set(threshold, "-1")
       clearCaches()
+      // q78 is NOT in this list: its bench-gram broadcast is a
+      // legitimate forced hint (bounded side) with its own pin above.
       for (q <- Seq("q31_dedup_minhash_lsh", "q33_dedup_ngram_jaccard",
-          "q56_dedup_clusters", "q72_dedup_corpus", "q78_decontaminate",
+          "q56_dedup_clusters", "q72_dedup_corpus",
           "q100_minhash_agreement", "q106_quality_rep", "q139_jaccard_join",
           "q146_minhash_calibration")) {
         val df = SparkEntry.queries(q)(spark, dir)
         val p = df.queryExecution.sparkPlan.toString
-        assert(!p.contains("BroadcastExchange"),
+        assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
           s"$q forces a broadcast on an unbounded join side:\n$p")
       }
     } finally {
