@@ -25,12 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    a control word is consumed with its optional numeric parameter
   *    and single delimiting space; `\par`/`\line` emit '\n', `\tab`
   *    emits '\t', `\'hh` emits the latin-1 byte, `\{ \} \\` escape
-  *    literally, `\~` is a space; `\binN` skips N raw bytes (the byte
-  *    after the digits counts as the first raw byte — the reference
-  *    carver's quirk, kept so both walkers agree on extents); `{\*`
-  *    destination groups and the fonttbl/colortbl/stylesheet/info/pict
-  *    destinations are dropped whole; raw CR/LF are ignored; trailing
-  *    whitespace trimmed.
+  *    literally, `\~` is a space; `\uN` emits the signed-16-bit code
+  *    unit and suppresses its `\ucN`-many fallback units (default 1);
+  *    `\binN` skips N raw bytes (the byte after the digits counts as
+  *    the first raw byte — the reference carver's quirk, kept so both
+  *    walkers agree on extents); `{\*` destination groups and the
+  *    fonttbl/colortbl/stylesheet/info/pict destinations are dropped
+  *    whole; raw CR/LF are ignored; trailing whitespace trimmed.
   *
   * Scale shape: one `binaryFile` row per carved document, extraction is
   * a narrow per-row pass — no shuffle, no driver involvement. At 100 TB
@@ -64,6 +65,8 @@ object CarvedText {
     var i = 0
     var depth = 0
     var skipAboveDepth = Int.MaxValue // skipping while depth >= this
+    var ucSkip = 1       // \ucN: fallback units after each \uN (default 1)
+    var skipFallback = 0 // pending fallback units to suppress after \uN
     while (i < n) {
       val b = bytes(i) & 0xff
       b match {
@@ -88,7 +91,9 @@ object CarvedText {
               val h1 = Character.digit(bytes(i + 2), 16)
               val h2 = Character.digit(bytes(i + 3), 16)
               if (h1 >= 0 && h2 >= 0) {
-                if (depth < skipAboveDepth) out.append(((h1 << 4) | h2).toChar)
+                // a hex escape counts as ONE fallback unit after \uN
+                if (skipFallback > 0) skipFallback -= 1
+                else if (depth < skipAboveDepth) out.append(((h1 << 4) | h2).toChar)
                 i += 4
               } else i += 2 // malformed hex escape in a carved payload: drop
             } else i = n
@@ -108,7 +113,10 @@ object CarvedText {
             var neg = false
             if (j < n && bytes(j) == '-') { neg = true; j += 1 }
             while (j < n && bytes(j) >= '0' && bytes(j) <= '9') {
-              param = param * 10 + (bytes(j) - '0'); hasParam = true; j += 1
+              // saturate instead of wrapping: a corrupt 19+-digit \binN
+              // must not flip negative and walk its raw payload as text
+              if (param < Long.MaxValue / 16) param = param * 10 + (bytes(j) - '0')
+              hasParam = true; j += 1
             }
             if (neg) param = -param
             if (word == "bin" && hasParam && param > 0) {
@@ -121,6 +129,16 @@ object CarvedText {
               word match {
                 case "par" | "line" if depth < skipAboveDepth => out.append('\n')
                 case "tab" if depth < skipAboveDepth => out.append('\t')
+                case "uc" if hasParam && param >= 0 =>
+                  ucSkip = math.min(param, 8L).toInt // spec default 1; clamp
+                case "u" if hasParam =>
+                  // \uN: signed 16-bit code unit (negatives wrap by 65536);
+                  // emit it and suppress the next ucSkip fallback units
+                  val cp = (if (param < 0) param + 65536 else param).toInt
+                  if (depth < skipAboveDepth && cp >= 0 && cp <= 0xFFFF &&
+                      !Character.isSurrogate(cp.toChar))
+                    out.append(cp.toChar)
+                  skipFallback = ucSkip
                 case w if SkipDestinations.contains(w) =>
                   skipAboveDepth = math.min(skipAboveDepth, depth)
                 case _ => ()
@@ -131,7 +149,9 @@ object CarvedText {
         case '\\' => i += 1 // dangling escape at payload end: drop
         case '\r' | '\n' => i += 1 // raw newlines are not document text
         case _ =>
-          if (depth < skipAboveDepth && depth >= 1) out.append(b.toChar)
+          // plain text byte = one fallback unit when pending after \uN
+          if (skipFallback > 0) skipFallback -= 1
+          else if (depth < skipAboveDepth && depth >= 1) out.append(b.toChar)
           i += 1
       }
     }
@@ -168,7 +188,18 @@ object CarvedText {
         val e = s.indexOf("-->", i)
         i = if (e < 0) n else e + 3
       } else if (c == '<') {
-        val close = s.indexOf('>', i)
+        // quote-aware tag-end scan: '>' inside a quoted attribute value
+        // is legal XML and must not terminate the tag
+        var close = -1
+        var q = 0.toChar
+        var j = i + 1
+        while (close < 0 && j < n) {
+          val cj = s.charAt(j)
+          if (q != 0) { if (cj == q) q = 0.toChar }
+          else if (cj == '"' || cj == '\'') q = cj
+          else if (cj == '>') close = j
+          j += 1
+        }
         if (close < 0) { i = n }
         else {
           val tag = s.substring(i + 1, close).trim.toLowerCase(java.util.Locale.ROOT)
@@ -202,7 +233,8 @@ object CarvedText {
               scala.util.Try(e.drop(1).toInt).toOption
             case _ => None
           }
-          decoded.filter(Character.isValidCodePoint) match {
+          decoded.filter(cp => Character.isValidCodePoint(cp) &&
+              !(cp >= 0xD800 && cp <= 0xDFFF)) match {
             case Some(cp) =>
               Character.toChars(cp).foreach(emit)
               i = semi + 1
@@ -227,7 +259,7 @@ object CarvedText {
   }
 
   // carve naming contract: {type}_{offset:012X}.{ext} (graft.carve.Naming)
-  private val OffsetRe = "_([0-9A-Fa-f]{12})\\.[A-Za-z0-9]+$".r
+  private val OffsetRe = "_([0-9A-Fa-f]{12,})\\.[A-Za-z0-9]+$".r
 
   /** Read a carve payload store into a documents frame:
     * (global_start BIGINT — the carve offset parsed from the payload

@@ -107,7 +107,11 @@ object Dedup {
           .agg(count(lit(1)).as("graft_bn"))
           .filter(col("graft_bn") <= cap)
           .select("band", "band_key")
-        bands.join(smallBuckets, Seq("band", "band_key"))
+        // the capped frame feeds BOTH sides of the self-join below —
+        // persist so the bucket-count agg and membership join run once,
+        // not once per side (subplan re-execution; see collapsedParts).
+        // Cache lifecycle: [[CacheRegistry]] — release after materializing.
+        CacheRegistry.persist(bands.join(smallBuckets, Seq("band", "band_key")))
       case None => bands
     }
     val a = kept.select(col("band"), col("band_key"), col("id").as("id_a"))

@@ -182,13 +182,18 @@ object Profiling {
       .agg(count(lit(1)).as("graft_new"))
     // spine: every step point the corpus reaches, even where nothing new
     // appears — the curve must be complete for downstream extrapolation
-    val spine = df.select(expr(s"CAST($rankCol DIV $step AS BIGINT) + 1L")
+    // the rank projection feeds the spine AND the clamp total — persist
+    // the 1-column frame so the corpus is scanned once for both, not
+    // once per consumer. Cache lifecycle: [[CacheRegistry]].
+    val ranks = CacheRegistry.persist(
+      df.select(col(rankCol).cast("long").as("graft_rank3")))
+    val spine = ranks.select(expr(s"CAST(graft_rank3 DIV $step AS BIGINT) + 1L")
       .as("graft_bucket")).distinct()
     // the final bucket may be partial — clamp its k_docs label to the
     // corpus size (max rank + 1; ranks are dense 0-based) instead of
     // overstating it as a full step. nTotal rides as a broadcast 1-row
     // agg, no driver action.
-    val nTotal = df.select((max(col(rankCol)) + 1L).as("graft_ntotal"))
+    val nTotal = ranks.select((max(col("graft_rank3")) + 1L).as("graft_ntotal"))
     spine.join(newPerBucket, Seq("graft_bucket"), "left")
       .withColumn("vocab_size",
         sum(coalesce(col("graft_new"), lit(0L))).over(Window.orderBy(col("graft_bucket"))))

@@ -49,6 +49,14 @@ class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CarvedText.rtfToText(ascii("{\\rtf1 a\\bin3 xyz}")) == "az")
     // raw CR/LF are not text; trailing whitespace trimmed
     assert(CarvedText.rtfToText(ascii("{\\rtf1 a\r\nb \\par }")) == "ab")
+    // \uN unicode escapes: code unit emitted, '?' fallback suppressed
+    assert(CarvedText.rtfToText(ascii(
+      "{\\rtf1 \\u1055?\\u1088?\\u1080?\\u1074?\\u1077?\\u1090?}")) == "Привет")
+    // \uc0 disables the fallback skip entirely
+    assert(CarvedText.rtfToText(ascii("{\\rtf1\\uc0 \\u224 b}")) == "àb")
+    // a corrupt 20-digit \bin parameter saturates instead of wrapping
+    // negative (which would walk the raw payload as text)
+    assert(CarvedText.rtfToText(ascii("{\\rtf1 a\\bin99999999999999999999 xyz}")) == "a")
   }
 
   test("fb2ToText: tags drop, entities decode, binary payloads skip") {
@@ -63,6 +71,17 @@ class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // comments with '>' inside don't leak text
     assert(CarvedText.fb2ToText(ascii(
       "<FictionBook><body><!-- a > b --><p>kept</p></body></FictionBook>")) == "kept")
+    // '>' inside a quoted attribute value doesn't end the tag
+    assert(CarvedText.fb2ToText(ascii(
+      "<FictionBook><body><p note=\"x>y\">text</p></body></FictionBook>")) == "text")
+    // a self-closing <binary/> doesn't latch skipping on
+    assert(CarvedText.fb2ToText(ascii(
+      "<FictionBook><body><binary id=\"c\"/><p>after</p></body></FictionBook>")) == "after")
+    // astral refs emit surrogate pairs; surrogate refs stay literal text
+    assert(CarvedText.fb2ToText(ascii(
+      "<FictionBook><body><p>a&#x1F600;b</p></body></FictionBook>")) == "a😀b")
+    assert(CarvedText.fb2ToText(ascii(
+      "<FictionBook><body><p>a&#xD800;b</p></body></FictionBook>")) == "a&#xD800;b")
   }
 
   test("carved payload store round-trips into a documents frame") {

@@ -135,6 +135,7 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       graft.llm.Dedup.lshCandidatePairs(bands, maxBandMembers = Some(1))
     }
+    graft.llm.CacheRegistry.releaseAll(spark) // capped path persists its frame
   }
 
   test("quantizeInt8 scales to max|x| and zero vectors quantize to zeros") {
