@@ -90,17 +90,31 @@ object BridgeQueries {
           EngineConfig(chunkSize = 512 * 1024, overlap = 4096),
           Some(Seq("eml", "rtf", "fb2")), disableZip = false)
         val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
-        val payloadDir = java.nio.file.Files
-          .createTempDirectory("graft-bridge").toString
-        // materialize the carve so the payload store exists before the
-        // (lazy) binaryFile read resolves it; release the pipeline's
-        // scan cache — the returned frame reads only the payload store
-        val run = CarvePipeline.run(s, DocSlotsRef(Stride, nDocs), cfg, "bridge-run",
-          enableStrings = false, enableEntropy = false,
-          payloadDir = Some(payloadDir))
-        run.carvedFiles.count()
-        run.scanned.unpersist()
-        CarvedText.documents(s, payloadDir)
+        // Deterministic store keyed by (generator version, nDocs): the
+        // carve output is bit-identical for a given slot count, so a
+        // complete store from an earlier invocation is reused instead
+        // of re-carving ~nDocs files into a fresh temp dir per bench
+        // pass (the real pipeline shape too: payload store written
+        // once, curated many times). Bump the version on any
+        // slotSample change.
+        val payloadDir = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-bridge-v2-$nDocs")
+        val complete = payloadDir.isDirectory && {
+          val counts = payloadDir.listFiles()
+          counts != null && counts.iterator.flatMap(d =>
+            Option(d.listFiles()).map(_.length).iterator).sum == nDocs
+        }
+        if (!complete) {
+          // materialize the carve so the payload store exists before
+          // the (lazy) binaryFile read resolves it; release the scan
+          // cache — the returned frame reads only the payload store
+          val run = CarvePipeline.run(s, DocSlotsRef(Stride, nDocs), cfg, "bridge-run",
+            enableStrings = false, enableEntropy = false,
+            payloadDir = Some(payloadDir.toString))
+          run.carvedFiles.count()
+          run.scanned.unpersist()
+        }
+        CarvedText.documents(s, payloadDir.toString)
           .select((col("global_start") / Stride).cast("long").as("doc_id"),
             col("file_type"), col("text"))
           .orderBy("doc_id")
