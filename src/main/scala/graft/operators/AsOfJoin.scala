@@ -38,7 +38,10 @@ object AsOfJoin {
     val l = left.select(
       col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__side") +:
         lit(null).cast(pType).as("__p") +: leftCols.map(col): _*)
-    val r = right.select(
+    // a right row with a NULL time has no defined as-of position — NULLS
+    // FIRST ordering would otherwise make it precede (and match) every
+    // left row, violating the rightTime <= leftTime contract
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side") +:
         pStruct.as("__p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

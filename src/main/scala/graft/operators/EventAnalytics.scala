@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Ordered-funnel and retention-cohort analytics over event streams.
   *
   * Both are single-shuffle formulations: the funnel walks each user's
-  * time-sorted events in ONE `aggregate` pass (per-user state is the
-  * stage-timestamp vector, O(stages)), where the textbook form chains
-  * one join + aggregate per stage — k shuffles and k scans for a k-step
-  * funnel. Retention is two map-side-combinable aggregates and one
-  * user-keyed join. Timestamps are carried as epoch-µs BIGINTs so every
-  * comparison is exact integer arithmetic.
+  * time-sorted events in ONE `aggregate` pass (the FOLD state is the
+  * O(stages) stage-timestamp vector, but the sorted event array it
+  * folds over is the user's whole history — a pathological hot user
+  * concentrates their events into one row, so cap or pre-filter bot
+  * traffic first; the k-join textbook form trades that for k shuffles
+  * and k scans). Retention is two map-side-combinable aggregates and
+  * one user-keyed join. Timestamps are carried as epoch-µs BIGINTs so
+  * every comparison is exact integer arithmetic.
   */
 object EventAnalytics {
 
@@ -27,7 +29,9 @@ object EventAnalytics {
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String, typeCol: String,
              stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty && stages.forall(s => !s.contains("'")), s"bad stages $stages")
+    require(stages.nonEmpty &&
+      stages.forall(s => !s.contains("'") && !s.contains("\\")),
+      s"stages must be simple literals (no quotes/backslashes): $stages")
     val n = stages.length
     val fields = (0 until n).map(i => s"t$i")
     val init = fields.map(f => s"CAST(NULL AS BIGINT) AS $f").mkString(", ")
@@ -54,13 +58,16 @@ object EventAnalytics {
 
   /** Retention cohort grid: users keyed by the epoch-day of their first
     * event, counted on each later day they were active. Day arithmetic
-    * is integer epoch-µs division — no timezone in play. Returns
-    * (cohort_day, day_offset, n_users), one row per (cohort, offset)
-    * with at least one active user.
+    * is integer epoch-µs FLOOR division (via pmod — Spark's `div`
+    * truncates toward zero, which would fold the last pre-1970 half-day
+    * into day 0; floor matches DuckDB's `//`) — no timezone in play.
+    * Returns (cohort_day, day_offset, n_users), one row per
+    * (cohort, offset) with at least one active user.
     */
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val usPerDay = 86400000000L
-    val day = expr(s"unix_micros($tsCol) div $usPerDay")
+    val day = expr(
+      s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $usPerDay)) div $usPerDay")
     val first = events.groupBy(col(userCol))
       .agg(min(day).as("cohort_day"))
     val active = events
@@ -87,20 +94,6 @@ object EventAnalytics {
         expr("(graft_us - graft_prev) div 1000000L").as("gap_s"))
   }
 
-  /** Rolling active users (the DAU/WAU/MAU curve): for every date D in
-    * the data's range, how many distinct users were active in the
-    * trailing `windowDays`-day window (D-windowDays+1 .. D].
-    *
-    * COUNT(DISTINCT) over a sliding range frame is not a window
-    * aggregate Spark supports, and buffering per-day user sets in one
-    * partition would not scale; instead each distinct (user, day)
-    * activity row EXPLODES into the `windowDays` window-dates it
-    * contributes to — a bounded ×windowDays expansion of the per-day
-    * distinct pairs (not of raw events) — and one distinct-count
-    * aggregation per window-date finishes the job. Shuffles: the
-    * (user, day) distinct, then the count-distinct expand; both
-    * map-side combinable. Returns (win_day DATE, active_users).
-    */
   /** Per-group σ-outlier flags with EXACT integer arithmetic: a value v
     * in group g is an outlier iff (v − μ_g)² > sigmas²·σ_g² — evaluated
     * as (n·v − s1)² > sigmas²·(n·s2 − s1²) after multiplying through by
@@ -126,7 +119,9 @@ object EventAnalytics {
       cents.as("v_cents"))
     val dec = col("v_cents").cast("decimal(38,0)")
     val stats = rows.groupBy(col("grp"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("graft_n"),
+      // count the VALUES (count(*) would inflate n when valCol has
+      // nulls while s1/s2 sum only the non-null ones)
+      .agg(count(col("v_cents")).cast("decimal(38,0)").as("graft_n"),
         sum(dec).cast("decimal(38,0)").as("graft_s1"),
         sum(dec * dec).cast("decimal(38,0)").as("graft_s2"))
     val lhs = pow2(col("graft_n") * col("v_cents").cast("decimal(38,0)") - col("graft_s1"))
@@ -144,17 +139,38 @@ object EventAnalytics {
   private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (c * c).cast("decimal(38,0)")
 
+  /** Rolling active users (the DAU/WAU/MAU curve): for every date D
+    * whose trailing `windowDays`-day window (D-windowDays+1 .. D]
+    * saw at least one active user, that distinct-user count. Dates
+    * with an empty window are ABSENT, not 0 — left-join a calendar
+    * spine for a gap-free curve. Days bucket via `to_date`, i.e. in
+    * the session timezone (graft entry points pin UTC); the cohort
+    * operators use timezone-free epoch-day arithmetic instead, so mix
+    * the two only under UTC.
+    *
+    * COUNT(DISTINCT) over a sliding range frame is not a window
+    * aggregate Spark supports, and buffering per-day user sets in one
+    * partition would not scale; instead each distinct (user, day)
+    * activity row EXPLODES into the `windowDays` window-dates it
+    * contributes to — a bounded ×windowDays expansion of the per-day
+    * distinct pairs (not of raw events) — and one distinct-count
+    * aggregation per window-date finishes the job. Shuffles: the
+    * (user, day) distinct, then the count-distinct expand; both
+    * map-side combinable. Only the trailing overhang needs clipping
+    * (win_day = d + k with k >= 0 can never undershoot the data's
+    * min day). Returns (win_day DATE, active_users).
+    */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
                          windowDays: Int): DataFrame = {
     require(windowDays > 0, s"windowDays must be positive, got $windowDays")
     val ud = events
       .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"))
       .distinct()
-    val bounds = ud.agg(min(col("d")).as("graft_lo"), max(col("d")).as("graft_hi"))
+    val bounds = ud.agg(max(col("d")).as("graft_hi"))
     ud.select(col("user_id"),
         explode(expr(s"sequence(d, date_add(d, ${windowDays - 1}))")).as("win_day"))
       .crossJoin(broadcast(bounds))
-      .filter(col("win_day") >= col("graft_lo") && col("win_day") <= col("graft_hi"))
+      .filter(col("win_day") <= col("graft_hi"))
       .groupBy(col("win_day"))
       .agg(countDistinct(col("user_id")).as("active_users"))
   }

@@ -27,6 +27,8 @@ object RangeJoin {
   def countNeighbors(left: DataFrame, right: DataFrame,
                      keyCol: String, tsCol: String, idCol: String,
                      windowMicros: Long): DataFrame = {
+    // div 0 under non-ANSI Spark yields NULL bins → every count silently 0
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
     val lus = unix_micros(col(tsCol))
     // integer `div`, not `/`: double division of a µs epoch can round
     // across a bin boundary

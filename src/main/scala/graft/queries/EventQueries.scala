@@ -122,9 +122,14 @@ object EventQueries {
         EventAnalytics.retentionCohorts(table(s, dir, "events"), "user_id", "ts")
           .orderBy("cohort_day", "day_offset")
       },
-      Some("""WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_day
-             |           FROM events GROUP BY 1),
-             |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS active_day FROM events)
+      // FLOOR epoch-day division on both engines (// truncates toward
+      // zero in DuckDB exactly like Spark's div, so the pmod form keeps
+      // the two bit-identical even for pre-1970 timestamps)
+      Some("""WITH e AS (SELECT user_id,
+             |  (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+             |    // 86400000000 AS d FROM events),
+             |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+             |a AS (SELECT DISTINCT user_id, d AS active_day FROM e)
              |SELECT f.cohort_day, a.active_day - f.cohort_day AS day_offset,
              |       count(*) AS n_users
              |FROM a JOIN f ON f.user_id = a.user_id

@@ -41,6 +41,17 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 102L), (2L, 101L), (3L, -1L), (4L, -1L), (5L, 202L)))
   }
 
+  test("as-of join never matches a right row whose time is NULL") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "key", "t")
+    // a null-time order would sort NULLS FIRST and shadow every match
+    val right = Seq((Some(999L), 10L, None: Option[Long]), (Some(101L), 10L, Some(50L)))
+      .toDF("order_id", "key", "ot")
+    val out = AsOfJoin.lookupLatest(left, "key", "t", right, "key", "ot", Seq("order_id", "ot"))
+      .select("order_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(101L))
+  }
+
   test("sessionization splits on gaps and keeps keys independent") {
     import spark.implicits._
     val us = 1000000L
@@ -206,6 +217,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 1L, Some(2000000L), None, None),
       (3L, 1L, Some(1000000L), None, None),
       (4L, 0L, None, None, None)))
+    // stage names that would escape the generated SQL literal are rejected
+    intercept[IllegalArgumentException] {
+      graft.operators.EventAnalytics
+        .funnel(events, "user_id", "ts", "event_type", Seq("view\\"))
+    }
+  }
+
+  test("outliers counts only non-null values in the group stats") {
+    import spark.implicits._
+    // [10, 10, NULL]: the two real values are identical (sigma = 0) so
+    // neither is an outlier; counting the null row as n=3 would corrupt
+    // mu and flag both
+    val df = Seq((1L, "g", Some(10.0)), (2L, "g", Some(10.0)), (3L, "g", None: Option[Double]))
+      .toDF("id", "grp", "v")
+    val flags = graft.operators.EventAnalytics.outliers(df, "id", "grp", "v", 3)
+      .filter(col("v_cents").isNotNull)
+      .select("is_outlier").collect().map(_.getBoolean(0))
+    assert(flags.toSeq == Seq(false, false))
+  }
+
+  test("countNeighbors rejects a zero window instead of silently counting nothing") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, new java.sql.Timestamp(0L))).toDF("event_id", "user_id", "ts")
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.countNeighbors(ev, ev, "user_id", "ts", "event_id", 0L)
+    }
   }
 
   test("rolling active users counts trailing-window distinct users per date") {
