@@ -13,7 +13,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object SqliteArtefacts {
 
+  /** Whole-DB in-memory parse bound: a carved "sqlite" past this is
+    * either a false positive or beyond the JVM-array ceiling (size.toInt
+    * would wrap negative above 2 GiB and crash the task); skip it.
+    */
+  private val MaxDbBytes: Long = Int.MaxValue.toLong
+
   private def loadDb(ref: EvidenceRef, c: CarvedFile): Option[SqliteFile] = {
+    if (c.size > MaxDbBytes) return None
     val reader = ref.open()
     try {
       val bytes = reader.readExactAt(c.globalStart, c.size.toInt)
@@ -31,7 +38,7 @@ object SqliteArtefacts {
   def history(spark: SparkSession, evidenceRef: EvidenceRef, carved: Dataset[CarvedFile],
               runId: String, pageRecovery: Boolean = false): Dataset[BrowserHistoryRecord] = {
     import spark.implicits._
-    carved.filter(_.fileType == "sqlite").flatMap { c =>
+    carved.filter(c => c.fileType == "sqlite" && c.size <= MaxDbBytes).flatMap { c =>
       val reader = evidenceRef.open()
       val bytes = try reader.readExactAt(c.globalStart, c.size.toInt) finally reader.close()
       bytes.toSeq.flatMap { b =>
@@ -65,7 +72,9 @@ object SqliteArtefacts {
   /** Unified activity timeline — the log2timeline-style view an
     * investigator reads first: page visits, download starts, and cookie
     * creations from every recovered profile DB merged into one
-    * time-ordered stream of (event_time, kind, browser, detail). Rows
+    * stream of (event_time, kind, browser, detail) — UNORDERED; order
+    * by event_time at the consumer (a global sort here would force a
+    * range shuffle every caller pays whether or not it needs it). Rows
     * whose source column was absent/null carry no event time and are
     * dropped. Each artefact family is one extraction branch over the
     * same carved set; union is narrow (no shuffle beyond the carve DAG

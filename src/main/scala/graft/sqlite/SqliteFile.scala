@@ -45,9 +45,15 @@ final class SqliteFile(data: Array[Byte]) {
   }
   private val reservedPerPage: Int = data(20) & 0xff
   val usableSize: Int = pageSize - reservedPerPage
-  val pageCount: Int = math.min(
-    ((data(28) & 0xffL) << 24 | (data(29) & 0xffL) << 16 | (data(30) & 0xffL) << 8 | (data(31) & 0xffL)).toInt,
-    data.length / pageSize)
+  val pageCount: Int = {
+    // the in-header database size (bytes 28-31) is only trustworthy when
+    // non-zero (old writers and zeroed headers are legal per the spec's
+    // version-valid-for rule); fall back to the byte length
+    val hdr = ((data(28) & 0xffL) << 24 | (data(29) & 0xffL) << 16 |
+      (data(30) & 0xffL) << 8 | (data(31) & 0xffL)).toInt
+    val byLen = data.length / pageSize
+    if (hdr > 0) math.min(hdr, byLen) else byLen
+  }
 
   @inline private def u8(off: Int): Int = data(off) & 0xff
   @inline private def u16(off: Int): Int = ((data(off) & 0xff) << 8) | (data(off + 1) & 0xff)
@@ -103,9 +109,15 @@ final class SqliteFile(data: Array[Byte]) {
       ((v << 8) | (payload(off + 8) & 0xff), 9)
     }
     val (headerLen, hl) = pvarint(0)
+    if (headerLen < hl || headerLen > payload.length)
+      throw new SqliteParseException("record header truncated")
     val types = mutable.ArrayBuffer.empty[Long]
     var off = hl
     while (off < headerLen) {
+      // bounds-checked: a corrupt headerLen must raise the class's typed
+      // parse error, not an ArrayIndexOutOfBoundsException
+      if (off >= payload.length)
+        throw new SqliteParseException("record header truncated")
       val (t, n) = pvarint(off)
       types += t
       off += n
@@ -204,8 +216,11 @@ final class SqliteFile(data: Array[Byte]) {
     out.toSeq
   }
 
-  /** sqlite_master rows: (type, name, tbl_name, rootpage, sql). */
-  def masterRows: Seq[(String, String, String, Long, String)] =
+  /** sqlite_master rows: (type, name, tbl_name, rootpage, sql).
+    * Memoized — hasTable/readTable/tableColumns all consult it, and a
+    * def would re-walk the page-1 b-tree on every call.
+    */
+  lazy val masterRows: Seq[(String, String, String, Long, String)] =
     tableRows(1L).flatMap { case (_, vals) =>
       if (vals.length < 5) None
       else for {

@@ -124,8 +124,10 @@ object SqlitePages {
             }
           }
           var dataPos = headerSize
+          var aligned = true // stop at the first overrun: advancing past it
+                             // would decode every later serial misaligned
           serials.foreach { serial =>
-            if (dataPos <= payload.length) {
+            if (aligned && dataPos <= payload.length) {
               val (len, isText): (Int, Boolean) = serial match {
                 case 0 | 8 | 9 | 10 | 11 => (0, false)
                 case 1 => (1, false); case 2 => (2, false); case 3 => (3, false)
@@ -149,7 +151,7 @@ object SqlitePages {
                   if (text.trim.nonEmpty) texts += text
                 }
                 dataPos = nextPos
-              }
+              } else aligned = false
             }
           }
         }

@@ -41,6 +41,10 @@ object DocStreams {
     * each other, and the state store evicts fingerprints older than the
     * watermark automatically — the zero-custom-code alternative to
     * `dedupFirstSeen` when an event-time column exists.
+    *
+    * Documents too short to fingerprint (< 5 words — no 5-gram exists)
+    * are DROPPED, mirroring the batch fingerprint/dedup operators'
+    * domain; route them around this stage if they must survive.
     */
   def dedupWithinWatermark(docs: DataFrame, idCol: String, textCol: String,
                            tsCol: String, delay: String): DataFrame =

@@ -43,19 +43,37 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions._
-        val ranges = batch.select(col("start"), col("length")).collect()
+        // malformed manifest lines (permissive JSON → null fields) must
+        // not NPE the stream; they are simply not announced ranges
+        val ranges = batch
+          .filter(col("start").isNotNull && col("length").isNotNull &&
+            col("length") > 0)
+          .select(col("start"), col("length")).collect()
+          .map(r => (r.getLong(0), r.getLong(0) + r.getLong(1)))
         if (ranges.nonEmpty) {
-          val minStart = ranges.map(_.getLong(0)).min
-          val maxEnd = ranges.map(r => r.getLong(0) + r.getLong(1)).max
-          // carve just the announced region; deterministic naming makes
-          // re-delivered batches idempotent
-          val result = CarvePipeline.run(spark, evidenceRef, cfg, runId,
-            enableStrings = false, enableEntropy = false,
-            resumeOffset = minStart, endOffset = Some(maxEnd))
-          result.carvedFiles
-            .filter(c => c.globalStart >= minStart && c.globalStart < maxEnd)
-            .write.mode("append").parquet(s"$outDir/batch_$batchId")
-          result.scanned.unpersist()
+          // carve each COALESCED announced range, not the batch's
+          // bounding box: a batch holding {0,10MB} and {1GB,10MB} must
+          // not carve (and later double-carve) the unannounced middle
+          val merged = ranges.sortBy(_._1)
+            .foldLeft(List.empty[(Long, Long)]) {
+              case ((s, e) :: tail, (s2, e2)) if s2 <= e =>
+                (s, math.max(e, e2)) :: tail
+              case (acc, r) => r :: acc
+            }.reverse
+          merged.foreach { case (start, end) =>
+            val result = CarvePipeline.run(spark, evidenceRef, cfg, runId,
+              enableStrings = false, enableEntropy = false,
+              resumeOffset = start, endOffset = Some(end))
+            // OVERWRITE the per-(batch, range) dir: foreachBatch is
+            // at-least-once, and append would duplicate every row when
+            // a failed batch re-delivers (parquet part names are fresh
+            // UUIDs, so nothing collides to save us)
+            result.carvedFiles
+              .filter(c => c.globalStart >= start && c.globalStart < end)
+              .write.mode("overwrite")
+              .parquet(s"$outDir/batch_${batchId}_$start")
+            result.scanned.unpersist()
+          }
         }
         ()
       }
