@@ -39,7 +39,7 @@ object Bench {
         EngineConfig(chunkSize = 64 * 1024, overlap = 4096),
         "bench-warmup", enableStrings = false, enableEntropy = false)
       wu.carvedFiles.count()
-      wu.scanned.unpersist()
+      wu.release()
     }
 
     // Dev loop: SPARK_GRAFT_ONLY=q31,q33 times just those queries (prefix
@@ -136,7 +136,7 @@ object Bench {
       val r = CarvePipeline.run(spark, zeroRef, scanCfg, "bench-scan",
         enableStrings = false, enableEntropy = false)
       r.carvedFiles.count()
-      r.scanned.unpersist()
+      r.release()
       (System.nanoTime() - t0) / 1e9
     }
     scanOnce(); scanOnce() // warm-up (JIT + codegen)

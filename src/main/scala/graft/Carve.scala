@@ -206,7 +206,7 @@ object Carve {
           System.err.println(s"[carve] checkpoint saved to $cp (next_offset=$nextOffset)")
         }
       }
-      result.scanned.unpersist()
+      result.release()
     } finally spark.sparkContext.removeSparkListener(listener)
     if (stopSession) spark.stop()
   }

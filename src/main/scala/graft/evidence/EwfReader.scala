@@ -206,11 +206,19 @@ object EwfReader {
     val ranges = sectorsRanges.result()
     val offsets = tableEntries.result()
     // stored size = gap to the next chunk in the same sectors section,
-    // or to that section's end for the final chunk of a section
+    // or to that section's end for the final chunk of a section. Table
+    // entries are ascending (chunks are written sequentially), so the
+    // in-section successor is found with a short forward probe — the
+    // drop(i+1).find(...) form was O(chunks²) and re-allocated a
+    // collection per entry (a 64k-chunk segment cost ~2e9 comparisons
+    // per parse).
+    val offArr = offsets.map(_._1)
     val chunks = offsets.zipWithIndex.map { case ((o, comp), i) =>
       val sectionEnd = ranges.find(r => o >= r._1 && o < r._2).map(_._2).getOrElse(fileLen)
-      val nextOff = offsets.drop(i + 1).map(_._1).find(n => n > o && n <= sectionEnd)
-        .getOrElse(sectionEnd)
+      var j = i + 1
+      while (j < offArr.length && offArr(j) <= o) j += 1
+      val nextOff =
+        if (j < offArr.length && offArr(j) <= sectionEnd) offArr(j) else sectionEnd
       ChunkEntry(segIdx, o, (nextOff - o).toInt, comp)
     }
     SegmentParse(geometry, declaredChunks, chunks)
@@ -308,15 +316,24 @@ final class EwfEvidence(info: EwfReader.Info) extends EvidenceReader {
   override def close(): Unit = channels.foreach(c => if (c != null) c.close())
 }
 
-/** Serializable descriptor for E01 evidence on shared storage: the
-  * driver parses the section/table geometry once; each task re-opens the
-  * segment files and decompresses only the chunks its reads touch.
-  * `path` is the FIRST segment; siblings are discovered by naming.
+/** Serializable descriptor for E01 evidence on shared storage: only the
+  * path ships with the task closure (a 100 TB image's chunk table would
+  * be gigabytes — too big to embed), and each JVM parses the
+  * section/table geometry ONCE into a process-level cache; every task
+  * on that executor reuses it and re-opens just the segment
+  * FileChannels. `path` is the FIRST segment; siblings are discovered
+  * by naming.
   */
 final case class EwfRef(path: String) extends EvidenceRef {
-  @transient private lazy val info: EwfReader.Info = EwfReader.parse(Paths.get(path))
-  override def open(): EvidenceReader = new EwfEvidence(EwfReader.parse(Paths.get(path)))
-  def mediaSize: Long = info.mediaSize
+  override def open(): EvidenceReader = new EwfEvidence(EwfRef.infoFor(path))
+  def mediaSize: Long = EwfRef.infoFor(path).mediaSize
+}
+
+object EwfRef {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, EwfReader.Info]()
+  private def infoFor(path: String): EwfReader.Info =
+    cache.computeIfAbsent(path, p => EwfReader.parse(Paths.get(p)))
 }
 
 /** Container-format dispatch (reference `open_source`,

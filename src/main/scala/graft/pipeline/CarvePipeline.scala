@@ -48,7 +48,21 @@ object CarvePipeline {
       artefacts: Dataset[StringArtefact],
       entropyRegions: Dataset[EntropyRegion],
       observation: org.apache.spark.sql.Observation,
-      carveErrors: org.apache.spark.util.LongAccumulator)
+      carveErrors: org.apache.spark.util.LongAccumulator) {
+    /** Drop both persisted stages once outputs are materialized. */
+    def release(): Unit = { carvedFiles.unpersist(); scanned.unpersist() }
+  }
+
+  /** Close a task-held resource when the task finishes: mapPartitions
+    * iterators have no end-of-iteration hook, and an unclosed
+    * EvidenceReader (FileChannels) or PayloadWriter leaks one FD per
+    * task until the executor hits its ulimit. Outside a task (driver
+    * unit use) the close is a no-op — driver-side readers close
+    * explicitly.
+    */
+  private def closeOnTaskEnd(close: => Unit): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close))
 
   def run(
       spark: SparkSession,
@@ -85,7 +99,11 @@ object CarvePipeline {
     // tail), so the reference's sequential accounting has a closed form:
     // the j-th processed chunk starts with rs + j*(chunkSize+overlap)
     // already spent. Chunks past the budget drop; the straddler is clamped
-    // to the remaining room, exactly like read_chunk_limited.
+    // to the remaining room, exactly like read_chunk_limited. When an
+    // endOffset ALSO clamps chunks inside the window, the closed form
+    // still charges their regular length — the budget is then
+    // CONSERVATIVE (never over-reads, may under-read by the clamped
+    // overlap), matching the reference's charge-full-reads behavior.
     cfg.maxBytes.foreach { mb =>
       val rs = resumeOffset
       val cs = cfg.chunkSize
@@ -120,6 +138,7 @@ object CarvePipeline {
     // scans share the buffer (the reference's Arc<Vec<u8>> sharing).
     val scannedRaw = chunks.mapPartitions { iter =>
       val reader = evidenceRef.open()
+      closeOnTaskEnd(reader.close())
       // one reusable read buffer per task thread: chunks are up to 512 MiB,
       // so per-chunk allocation would churn the old-gen at cluster scale.
       // Nothing downstream retains `data` — span/entropy inputs are copied.
@@ -186,6 +205,7 @@ object CarvePipeline {
       // Deterministic {type}_{offset:012X} names make task retries and
       // speculative attempts idempotent (same bytes, same path).
       val writer = payloadDir.map(new PayloadWriter(_))
+      closeOnTaskEnd { writer.foreach(_.close()); reader.close() }
       val ctx = ExtractionContext(runId, reader, writer.map(w => w.sink _))
       iter.flatMap { h =>
         val (patId, ftId) = patternIdOf(h.fileTypeId)
@@ -214,6 +234,11 @@ object CarvePipeline {
       }
     }
     cfg.maxFiles.foreach(n => carved = carved.limit(n.toInt))
+    // persist: the carve table feeds multiple actions (output write,
+    // summaries, caller counts) — re-running it would double-fire the
+    // carveErrors accumulator and redo payload writes/renames. Rows are
+    // metadata only (no payload bytes), so the cache is small.
+    carved = carved.persist(StorageLevel.MEMORY_AND_DISK)
 
     val artefactRows = scanned.flatMap(_.artefacts)
     val regionRows = scanned.flatMap(_.regions)
@@ -230,7 +255,7 @@ object CarvePipeline {
       carvedFiles: org.apache.spark.sql.DataFrame,
       artefacts: org.apache.spark.sql.DataFrame,
       entropyRegions: org.apache.spark.sql.DataFrame) {
-    def release(): Unit = perImage.values.foreach(_.scanned.unpersist())
+    def release(): Unit = perImage.values.foreach(_.release())
 
     /** One-row-per-image run summary computed in TWO jobs total — a
       * [[summarize]] call per image would run N sequential driver jobs,
@@ -242,6 +267,11 @@ object CarvePipeline {
       */
     def summaries(spark: SparkSession): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.functions._
+      // materialize the (persisted) carve table FIRST so the error
+      // accumulators are populated before the driver snapshots them —
+      // reading them at plan-construction time reported 0 whenever the
+      // carve had not been acted on yet
+      carvedFiles.count()
       val scanAgg = perImage.toSeq.map { case (id, r) =>
         r.scanned.toDF().withColumn("evidence_id", lit(id))
       }.reduce(_ unionByName _)
@@ -255,11 +285,19 @@ object CarvePipeline {
       val errorRows = perImage.toSeq.map { case (id, r) => (id, r.carveErrors.value) }
       import spark.implicits._
       val errors = errorRows.toDF("evidence_id", "errors")
-      scanAgg.join(carveCounts, Seq("evidence_id"), "left")
+      // spine = EVERY image id: one whose scan produced zero chunks must
+      // still appear (all-zero), not silently vanish from the report
+      val spine = perImage.keys.toSeq.toDF("evidence_id")
+      spine.join(scanAgg, Seq("evidence_id"), "left")
+        .join(carveCounts, Seq("evidence_id"), "left")
         .join(errors, Seq("evidence_id"), "left")
-        .select(col("evidence_id"), col("bytes_scanned"), col("chunks_processed"),
-          col("hits_found"), coalesce(col("files_carved"), lit(0L)).as("files_carved"),
-          col("artefacts_extracted").as("string_spans"), col("artefacts_extracted"),
+        .select(col("evidence_id"),
+          coalesce(col("bytes_scanned"), lit(0L)).as("bytes_scanned"),
+          coalesce(col("chunks_processed"), lit(0L)).as("chunks_processed"),
+          coalesce(col("hits_found"), lit(0L)).as("hits_found"),
+          coalesce(col("files_carved"), lit(0L)).as("files_carved"),
+          coalesce(col("artefacts_extracted"), lit(0L)).as("string_spans"),
+          coalesce(col("artefacts_extracted"), lit(0L)).as("artefacts_extracted"),
           coalesce(col("errors"), lit(0L)).as("errors"))
     }
   }
@@ -293,7 +331,8 @@ object CarvePipeline {
     val results = images.map { case (id, ref) =>
       id -> run(spark, ref, cfg, s"$runId:$id",
         enableStrings = enableStrings, enableEntropy = enableEntropy,
-        payloadDir = payloadDir.map(d => s"$d/$id"))
+        payloadDir = payloadDir.map(d =>
+          s"$d/${graft.carve.Naming.sanitizeComponent(id)}"))
     }
     def tagged(f: Result => org.apache.spark.sql.Dataset[_]) =
       results.map { case (id, r) =>
@@ -329,7 +368,15 @@ object CarvePipeline {
       case f if (f.kind == "Url" && urls && wanted(StringFlags.UrlLike)) ||
         (f.kind == "Email" && emails && wanted(StringFlags.EmailLike)) ||
         (f.kind == "Phone" && phones && wanted(StringFlags.PhoneLike)) =>
-        val start = chunkStart + sp.localStart + f.start
+        // the reference's mat.start() is a UTF-8 BYTE index into the
+        // DECODED text (Rust regex over &str), not a char index — for a
+        // decoded span with multibyte chars before the match the two
+        // differ, so convert; for pure-ASCII prefixes (the common case)
+        // they are equal and the cheap path avoids the re-encode
+        val byteStart =
+          if ((0 until f.start).forall(text.charAt(_) < 0x80)) f.start
+          else text.substring(0, f.start).getBytes("UTF-8").length
+        val start = chunkStart + sp.localStart + byteStart
         val len = f.content.getBytes("UTF-8").length
         StringArtefact(runId, f.kind, f.content, encoding,
           start, if (len == 0) start else start + len - 1)
@@ -398,6 +445,7 @@ object CarvePipeline {
     import spark.implicits._
     carved.mapPartitions { iter =>
       val reader = evidenceRef.open()
+      closeOnTaskEnd(reader.close())
       iter.map { c =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val buf = new Array[Byte](64 * 1024)
@@ -417,8 +465,20 @@ object CarvePipeline {
   /** Run counters (reference RunSummary, src/metadata/mod.rs:13-22). */
   def summarize(spark: SparkSession, runId: String, r: Result): RunSummary = {
     import spark.implicits._
-    val agg = r.scanned.map(c => (c.bytesRead, 1L, c.hits.size.toLong, c.artefacts.size.toLong))
-      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    // a grouping-free SQL aggregate, not Dataset.reduce: a legitimately
+    // empty scan (resume past maxBytes, zero-length image) must yield an
+    // all-zero summary rather than UnsupportedOperationException — and
+    // the action must stay on the SQL path so the scan Observation's
+    // CollectMetrics fires (an RDD-level fold would not complete it)
+    val aggRow = {
+      import org.apache.spark.sql.functions._
+      r.scanned.toDF().agg(
+        coalesce(sum(col("bytesRead")), lit(0L)).as("b"),
+        count(lit(1)).as("c"),
+        coalesce(sum(size(col("hits"))).cast("long"), lit(0L)).as("h"),
+        coalesce(sum(size(col("artefacts"))).cast("long"), lit(0L)).as("a")).head()
+    }
+    val agg = (aggRow.getLong(0), aggRow.getLong(1), aggRow.getLong(2), aggRow.getLong(3))
     RunSummary(runId, agg._1, agg._2, agg._3, r.carvedFiles.count(),
       stringSpans = agg._4, artefactsExtracted = agg._4,
       // populated by the carvedFiles.count() action above (reference

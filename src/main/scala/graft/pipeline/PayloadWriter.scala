@@ -24,7 +24,9 @@ final class PayloadWriter(root: String) {
       currentPath = relPath
     }
     out.write(bytes, 0, len)
-    out.flush()
+    // no per-write flush: the buffered stream batches carve blocks, and
+    // rollover/close (incl. the pipeline's task-completion close) flush
+    // the tail — a flush per block was a syscall per carve write
   }
 
   def close(): Unit = {

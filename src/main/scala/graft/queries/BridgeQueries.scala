@@ -112,7 +112,7 @@ object BridgeQueries {
             enableStrings = false, enableEntropy = false,
             payloadDir = Some(payloadDir.toString))
           run.carvedFiles.count()
-          run.scanned.unpersist()
+          run.release()
         }
         CarvedText.documents(s, payloadDir.toString)
           .select((col("global_start") / Stride).cast("long").as("doc_id"),

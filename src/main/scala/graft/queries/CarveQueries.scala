@@ -66,6 +66,8 @@ object CarveQueries {
           .plan(s, SampleStride * nDocs, cfg.chunkSize, cfg.overlap)
           .mapPartitions { it =>
             val r = ref.open()
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
             it.map { c =>
               val want = c.length.toInt
               val buf = new Array[Byte](want)

@@ -72,7 +72,7 @@ object StreamingPipeline {
               .filter(c => c.globalStart >= start && c.globalStart < end)
               .write.mode("overwrite")
               .parquet(s"$outDir/batch_${batchId}_$start")
-            result.scanned.unpersist()
+            result.release()
           }
         }
         ()

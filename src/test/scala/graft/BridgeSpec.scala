@@ -95,7 +95,7 @@ class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bridge-spec", enableStrings = false, enableEntropy = false,
       payloadDir = Some(payloadDir))
     run.carvedFiles.count()
-    run.scanned.unpersist()
+    run.release()
     val docs = CarvedText.documents(spark, payloadDir)
       .select((col("global_start") / 4096L).cast("long").as("doc_id"),
         col("file_type"), col("text"))
@@ -127,7 +127,7 @@ class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bridge-curate", enableStrings = false, enableEntropy = false,
       payloadDir = Some(payloadDir))
     run.carvedFiles.count()
-    run.scanned.unpersist()
+    run.release()
     val docsParquet = Files.createTempDirectory("graft-bridge-docs").toString + "/documents"
     // the realistic hand-off: language-ID the carved corpus to supply
     // the lang column Curate's document schema carries

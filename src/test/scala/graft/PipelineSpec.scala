@@ -246,7 +246,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       // per-image rows equal a solo run of the same image
       val solo = CarvePipeline.run(spark, InMemoryRef(evA), testCfg, "fleetrun:imgA")
       val soloRows = solo.carvedFiles.collect().map(c => (c.globalStart, c.sha256)).toSet
-      solo.scanned.unpersist()
+      solo.release()
       val fleetRows = fleet.carvedFiles
         .filter(org.apache.spark.sql.functions.col("evidence_id") === "imgA")
         .collect().map(r => (r.getLong(r.fieldIndex("globalStart")),
