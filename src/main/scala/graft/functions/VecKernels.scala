@@ -30,16 +30,27 @@ object VecKernels {
   /** `round(x·scale)` per element as BIGINT — bit-identical to the
     * expression `round(cast(x as double) * scale).cast("long")`: Spark's
     * Round(double) is `BigDecimal.valueOf(d).setScale(0, HALF_UP)
-    * .doubleValue()` and the long cast truncates.
+    * .doubleValue()` and the long cast truncates. NaN/Infinity follow
+    * the same expression semantics too: under Spark 4's default ANSI
+    * mode the long cast raises CAST_OVERFLOW, so the kernel raises the
+    * matching typed ArithmeticException (the naked BigDecimal.valueOf
+    * NumberFormatException it used to throw named neither the kernel
+    * nor the offending value).
     */
+  @inline private def roundToLong(d: Double): Long =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      throw new ArithmeticException(
+        s"graft_scale_q: non-finite component $d cannot scale to BIGINT " +
+          "(matches ANSI CAST_OVERFLOW); clean the vector column first")
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
   def scaleQ(v: ArrayData, scale: Double): ArrayData = {
     val n = v.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val d = v.getFloat(i).toDouble * scale
-      out(i) = java.math.BigDecimal.valueOf(d)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      out(i) = roundToLong(v.getFloat(i).toDouble * scale)
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
@@ -50,8 +61,7 @@ object VecKernels {
     * literals flow through, so they cannot diverge.
     */
   def scaleQLocal(rows: Array[Array[Float]], scale: Double): Array[Array[Long]] =
-    rows.map(_.map(f => java.math.BigDecimal.valueOf(f.toDouble * scale)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong))
+    rows.map(_.map(f => roundToLong(f.toDouble * scale)))
 
   /** PQ codes: for each subspace s, the index of the codebook entry with
     * minimal integer squared L2 to the row's subvector (ties → lowest
@@ -60,6 +70,10 @@ object VecKernels {
     */
   def pqCodes(sv: ArrayData, cb: Array[Long], m: Int): ArrayData = {
     val v = sv.toLongArray()
+    // a row whose dimension disagrees with the codebook layout would
+    // index wrong-but-in-bounds cells and emit silent garbage codes
+    require(v.length > 0 && v.length % m == 0 && cb.length % v.length == 0,
+      s"pq: vector dim ${v.length} incompatible with codebook (${cb.length} cells, m=$m)")
     val dsub = v.length / m
     val ksub = cb.length / v.length
     val out = new Array[Long](m)

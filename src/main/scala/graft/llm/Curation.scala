@@ -93,9 +93,14 @@ object Curation {
     * speed.
     *
     * Rules (all integer arithmetic — no float thresholds to drift):
+    *  - null_text:      the text column is NULL (otherwise every other
+    *                    rule's comparison is NULL and concat_ws would
+    *                    silently pass the row)
     *  - too_short:      fewer than `minTokens` whitespace tokens
     *  - high_dup:       duplicate words are more than half of all words
     *  - bigram_repeat:  the top bigram covers more than 1/8 of the words
+    *                    (a doc with fewer than two words has no bigram —
+    *                    top_bigram_n = 0, never a spurious flag)
     *  - stopword_poor:  stopwords are less than 1/10 of the words
     */
   def qualityGate(df: DataFrame, idCol: String, textCol: String,
@@ -105,8 +110,11 @@ object Curation {
       .withColumn("total", size(col("ws")).cast("long"))
       .withColumn("dst", size(array_distinct(col("ws"))).cast("long"))
       .withColumn("stop_n", expr(s"CAST(size(filter(ws, x -> x IN ($stop))) AS BIGINT)"))
-      .withColumn("top_n", expr(topRun).getField("top_bigram_n"))
+      .withColumn("top_n",
+        when(size(col("ws")) >= 2, expr(topRun).getField("top_bigram_n"))
+          .otherwise(lit(0L)))
       .withColumn("reasons", concat_ws(",",
+        when(col(textCol).isNull, lit("null_text")),
         when(col("total") < minTokens, lit("too_short")),
         when((col("total") - col("dst")) * 2 > col("total"), lit("high_dup")),
         when(col("top_n") * 8 > col("total"), lit("bigram_repeat")),
@@ -317,9 +325,11 @@ object Curation {
     *  f_word_count, f_word_len, f_symbol, f_alpha, f_stop, keep).
     */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
-                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  carryCols: Seq[String] = Nil): DataFrame = {
     val stops = "'the','be','to','of','and','that','have','with'"
-    df.select(col(idCol).as("id"), col(textCol).as("graft_t"))
+    df.select(col(idCol).as("id") +: col(textCol).as("graft_t") +:
+        carryCols.map(col): _*)
       .withColumn("ws", split(col("graft_t"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       // character mass of the words = text length minus the separators
@@ -383,8 +393,12 @@ object Curation {
     */
   def gopherReport(df: DataFrame, idCol: String, srcCol: String, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
-    val flags = gopherRules(df, idCol, textCol, minWords, maxWords)
-    flags.join(df.select(col(idCol).as("id"), col(srcCol).as("source")), Seq("id"))
+    // the source column rides THROUGH the rules projection (narrow) —
+    // joining flags back on id would shuffle the whole corpus twice
+    // before this source-sized rollup
+    val flags = gopherRules(df, idCol, textCol, minWords, maxWords,
+      carryCols = Seq(srcCol))
+    flags.withColumnRenamed(srcCol, "source")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("f_word_count")).as("n_word_count"),
@@ -426,8 +440,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("graft_tok")).as("n_tokens"))
       .withColumn("target_ppm",
         coalesce(ppmMap(col("source")), lit(0L)).cast("long"))
+      // decimal-promoted: 2·ppm·budget overflows BIGINT past
+      // ppm·budget ≈ 4.6e18 — i.e. any multi-trillion-token budget;
+      // the quotient (≤ budget) fits BIGINT again
       .withColumn("required_tokens",
-        expr(s"(2 * target_ppm * ${tokenBudget}L + 1000000) div 2000000"))
+        expr(s"CAST((2 * CAST(target_ppm AS DECIMAL(38,0)) * ${tokenBudget}L" +
+          " + 1000000) DIV 2000000 AS BIGINT)"))
       .withColumn("sample_bp",
         least(lit(10000L),
           expr("(20000 * required_tokens + n_tokens) div (2 * n_tokens)")))

@@ -219,10 +219,17 @@ object Multimodal {
     var data: Array[Short] = null
     val riffEnd = math.min(p.length.toLong, 8L + le32(4)).toInt
     var o = 12
-    while (o + 8 <= riffEnd) {
+    var walking = true
+    while (walking && o + 8 <= riffEnd) {
       val id = new String(p, o, 4, "ISO-8859-1")
       val len = le32(o + 4)
-      if (len < 0 || o + 8L + len > riffEnd) return None
+      if (len < 0 || o + 8L + len > riffEnd) {
+        // tolerant salvage (the aviFramePayloads contract): a truncated
+        // or overrunning trailing chunk ends the walk; fmt/data chunks
+        // already parsed still count — a carved clip with a damaged
+        // tail LIST/INFO must not vanish from the corpus
+        walking = false
+      } else {
       val body = o + 8
       if (id == "fmt " && len >= 16) {
         fmtCode = le16(body); channels = le16(body + 2)
@@ -235,6 +242,7 @@ object Multimodal {
         data = out
       }
       o = (body + len + (len & 1L)).toInt
+      }
     }
     if (fmtCode == 1 && bits == 16 && channels > 0 && rate > 0 && data != null)
       Some((rate, channels, data))
@@ -284,12 +292,15 @@ object Multimodal {
       .mapPartitions { batch =>
         batch.flatMap { case (id, p) =>
           decodeWavSamples(p).toSeq.flatMap { case (_, _, samples) =>
-            samples.iterator.zipWithIndex
-              .map { case (v, i) => (i / frameLen, v.toInt) }.toSeq
-              .groupBy(_._1).toSeq.sortBy(_._1)
-              .map { case (f, vs) =>
-                FrameEnergy(id, f.toLong, vs.length.toLong,
-                  vs.iterator.map(x => x._2.toLong * x._2).sum)
+            // grouped iteration, not zipWithIndex.toSeq.groupBy: the
+            // boxed-tuple Seq + HashMap form held every sample of a
+            // clip in memory at once (a 10-min 44.1 kHz stereo clip is
+            // ~53M samples); windows need only O(frameLen) state
+            samples.iterator.grouped(frameLen).zipWithIndex
+              .map { case (vs, f) =>
+                var e = 0L
+                vs.foreach { v => val x = v.toLong; e += x * x }
+                FrameEnergy(id, f.toLong, vs.length.toLong, e)
               }
           }
         }
@@ -453,6 +464,7 @@ object Multimodal {
     */
   def resize(spark: SparkSession, media: DataFrame, idCol: String, payloadCol: String,
              stride: Int): Dataset[ResizedMedia] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     import spark.implicits._
     media.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
@@ -470,6 +482,7 @@ object Multimodal {
     * half of a sample-and-decode stage.
     */
   def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     meta.toDF().select(
       col("id"),
       explode(sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frame_idx"))

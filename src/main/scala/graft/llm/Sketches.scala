@@ -56,7 +56,11 @@ object Sketches {
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10).cast("long")
     // h div m, NOT h/m: `/` is double division, which would round away
     // the low bits of a 60-bit hash (doubles carry 53)
+    // null values hash to a null bucket, which would count as a phantom
+    // occupied register (sum skips it but count(lit(1)) does not) —
+    // drop them: NULL contributes no distinct value
     val hv = df.select(col(groupCol), h.as("hv"))
+      .filter(col("hv").isNotNull)
       .select(col(groupCol), (col("hv") % m).as("bucket"), expr(s"hv div $m").as("w"))
     val rho = when(col("w") === 0L, lit(maxRho)).otherwise(lit(maxRho) - length(bin(col("w"))))
     val raw = lit(alphaM2) * lit(math.pow(2.0, maxRho)) /

@@ -12,18 +12,25 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Skew {
 
-  /** Equi-join `big ⋈ small` on `key`, salted. The salt is a
-    * deterministic hash of the big side's whole row (no rand() — retries
-    * stay reproducible). Output columns = big.* ++ small.* minus the
-    * duplicate key.
+  /** Equi-join `big ⋈ small` on `key`, salted. The salt hashes the big
+    * side's whole row MIXED WITH its map partition id (still no rand()
+    * — a retry of the same partition recomputes the same salts):
+    * byte-identical duplicate rows — precisely the shape of a hot key —
+    * would otherwise all hash to ONE salt and re-concentrate in a
+    * single task; with the partition id mixed in they spread across at
+    * least as many salts as the map partitions they arrive from.
+    * Output columns = big.* ++ small.* minus the duplicate key.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, saltFactor: Int): DataFrame = {
-    val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)).cast("int"))
+    val bigSalted = big.withColumn("__salt", rowSalt(big, saltFactor))
     val smallExploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")
   }
+
+  private def rowSalt(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64((df.columns.map(col) :+ spark_partition_id().cast("long"))
+      .toIndexedSeq: _*), lit(saltFactor)).cast("int")
 
   /** Two-phase aggregation for skewed group keys: partial aggregate on
     * (key, salt), then final aggregate on key. Spark's hash aggregate
@@ -37,8 +44,7 @@ object Skew {
       saltFactor: Int,
       partials: Seq[Column],
       finals: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)).cast("int"))
+    val salted = df.withColumn("__salt", rowSalt(df, saltFactor))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(partials.head, partials.tail: _*)

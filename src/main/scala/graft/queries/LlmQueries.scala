@@ -609,8 +609,8 @@ object LlmQueries {
             col("keep").cast("long").as("keep"))
           .orderBy("doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-             |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS total,
+      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+             |m AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS total,
              |             CAST(len(list_distinct(ws)) AS BIGINT) AS dst,
              |             CAST(len(list_filter(ws, x -> x IN ('the','a','and','of','to','in'))) AS BIGINT) AS stop_n
              |      FROM w),
@@ -621,6 +621,7 @@ object LlmQueries {
              |sig AS (SELECT m.doc_id, total AS n_tokens, (total - dst) AS dup_words,
              |               CAST(COALESCE(tn.top_n, 0) AS BIGINT) AS top_bigram_n, stop_n AS n_stopwords,
              |               concat_ws(',',
+             |                 CASE WHEN text IS NULL THEN 'null_text' END,
              |                 CASE WHEN total < 20 THEN 'too_short' END,
              |                 CASE WHEN (total - dst) * 2 > total THEN 'high_dup' END,
              |                 CASE WHEN COALESCE(tn.top_n, 0) * 8 > total THEN 'bigram_repeat' END,

@@ -81,6 +81,14 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) == ("too_short,bigram_repeat,stopword_poor" -> false))
     // 24 identical words: every repetition rule, but not too_short
     assert(out(2) == ("high_dup,bigram_repeat,stopword_poor" -> false))
+    // NULL text must be flagged, not silently kept (null comparisons
+    // feed concat_ws, which skips them); 1-word docs have no bigram so
+    // bigram_repeat cannot fire spuriously
+    val edge = Seq((4L, null: String), (5L, "solitary")).toDF("id", "text")
+    val eo = Curation.qualityGate(edge, "id", "text")
+      .orderBy("id").select("reasons", "keep").as[(String, Boolean)].collect().toSeq
+    assert(eo(0)._1 == "null_text" && !eo(0)._2)
+    assert(!eo(1)._1.contains("bigram_repeat") && !eo(1)._2) // too_short etc., no bigram flag
   }
 
   test("topNgrams counts across documents with deterministic tie-break") {

@@ -309,6 +309,27 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scaleQ fails a non-finite component with a typed error, like ANSI cast") {
+    import spark.implicits._
+    graft.functions.VecFunctions.register(spark)
+    val df = Seq(Tuple1(Array(1.5f, Float.NaN))).toDF("v")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // the expression form raises CAST_OVERFLOW under Spark 4's default
+    // ANSI mode; the kernel raises its matching typed error (previously
+    // a bare NumberFormatException from BigDecimal.valueOf)
+    val eExpr = intercept[Exception] {
+      df.select(transform(col("v"), x => round(x.cast("double") * 100.0).cast("long")))
+        .collect()
+    }
+    assert(messages(eExpr).exists(_.contains("CAST_OVERFLOW")))
+    val eKernel = intercept[Exception] {
+      df.select(call_function("graft_scale_q", col("v"), lit(100.0))).collect()
+    }
+    assert(messages(eKernel).exists(_.contains("non-finite component")),
+      s"expected the kernel's typed error, got: $eKernel")
+  }
+
   test("sqDistTop2 rejects a 1-centroid codebook with the contract, not AIOOBE") {
     import spark.implicits._
     graft.functions.VecFunctions.register(spark)
