@@ -241,6 +241,11 @@ object VecKernels {
     */
   def lshBucketK(v: ArrayData, planes: Array[Double]): Long = {
     val dim = v.numElements()
+    // a vector whose dimension disagrees with the plane matrix would
+    // derive a wrong nPlanes (0 for dim > planes, folded bits past 60)
+    // and bucket everything together — fail loudly instead
+    require(dim > 0 && planes.length % dim == 0 && planes.length / dim <= 60,
+      s"lsh_bucket: vector dim $dim incompatible with ${planes.length}-entry plane matrix")
     val nPlanes = planes.length / dim
     var bucket = 0L
     var j = 0

@@ -456,6 +456,12 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     require(nBands > 0 && bandBits > 0 && nBands * bandBits <= 60,
       s"bands ${nBands}x$bandBits exceed the 60-bit signature")
+    // pigeonhole recall bound: a pair differing in nBands bits can
+    // spread one difference per band and escape every bucket, so the
+    // total-recall claim above only holds for maxHamming <= nBands-1 —
+    // enforce it instead of silently losing pairs
+    require(maxHamming <= nBands - 1,
+      s"maxHamming $maxHamming exceeds the banding recall bound ${nBands - 1}")
     // signature table feeds both join sides. Cache lifecycle:
     // [[CacheRegistry]] — release after materializing.
     val sig = CacheRegistry.persist(simHash(df, idCol, textCol))
@@ -548,7 +554,9 @@ object Dedup {
       .select(col("e.u"), col("e.v"))
       .distinct()
       .persist()
-    val edgeCount = sym.count()
+    // sym holds BOTH orientations; the cutoff (and its documented driver
+    // memory sizing) is in undirected edges, so halve before comparing
+    val edgeCount = sym.count() / 2
     if (edgeCount <= smallCutoff) {
       // Driver union-find (rank + path compression), then component =
       // min node id per root — identical labels to the distributed path.
@@ -850,15 +858,21 @@ object Dedup {
     // On a duplicate-heavy corpus this is the difference between
     // verifying millions of doc pairs and dozens of text pairs
     // (measured 10.5 s → sub-second at sf0.1).
-    // dense LONG surrogate keys for the internal joins: the candidate
-    // distinct + verification shuffles move (key, key) pairs, and 8-byte
-    // longs halve-plus the exchange width vs 32-char md5 strings
-    // (measured 18.6 s → see BENCH_NOTES). monotonically_increasing_id
-    // is narrow (no sort/window) and collision-free; it never reaches
-    // the output, so its run-to-run instability is irrelevant.
+    // compact surrogate keys for the internal joins: the candidate
+    // distinct + verification shuffles move (key, key) pairs, and a
+    // 16-byte two-long struct beats the 32-char md5 string exchange
+    // width (measured 18.6 s → see BENCH_NOTES). The key is the md5
+    // SPLIT INTO TWO LONGS — fully deterministic, unlike
+    // monotonically_increasing_id, whose value depends on partition
+    // content order: a cache-evicted partition recomputed mid-job could
+    // hand DIFFERENT ids to the three consumers of `texts` and silently
+    // mis-join pairs to documents. 120 of the 128 md5 bits ride along,
+    // so collisions are out of the picture too.
     val texts = CacheRegistry.persist(
       df.select(md5(col(textCol)).as("graft_tid"), col(textCol).as("graft_t")).distinct()
-        .withColumn("graft_tidl", monotonically_increasing_id()))
+        .withColumn("graft_tidl", struct(
+          conv(substring(col("graft_tid"), 1, 15), 16, 10).cast("long").as("h"),
+          conv(substring(col("graft_tid"), 16, 15), 16, 10).cast("long").as("l"))))
     val membership = CacheRegistry.persist(
       df.select(col(idCol).as("graft_did"), md5(col(textCol)).as("graft_tid"))
         .join(texts.select(col("graft_tid"), col("graft_tidl")), Seq("graft_tid")))

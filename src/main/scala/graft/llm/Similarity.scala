@@ -70,8 +70,13 @@ object Similarity {
               "by contract; use the LSH/IVF ANN operators for large query sets"))
             .cast("double"))
           .as("qn")))
+    // a zero-norm vector scores NaN against every query, and NaN
+    // orders ABOVE every real score — one padding row would otherwise
+    // consume a top-k slot for every query (oracles carry the same
+    // nrm <> 0 guard)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       norm(col(vecCol)).as("nn"))
+      .filter(col("nn") =!= 0.0)
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
@@ -101,11 +106,17 @@ object Similarity {
     * the posexplode + plane-join + two-groupBy form shuffled the
     * exploded corpus twice.
     */
-  def lshBucket(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int): DataFrame = {
+  def lshBucket(df: DataFrame, idCol: String, vecCol: String, nPlanes: Int,
+                dim: Int = 64): DataFrame = {
     require(nPlanes > 0 && nPlanes <= 60, s"nPlanes $nPlanes outside (0, 60]")
+    require(dim > 0, s"dim must be positive, got $dim")
     VecFunctions.register(df.sparkSession)
+    // the plane matrix must match the embedding dimensionality — the
+    // kernel cross-checks the row length and fails loudly on mismatch
+    // (a silently wrong nPlanes derivation would bucket everything
+    // together and degrade the ANN joins to quadratic)
     val planesFlat =
-      (0 until nPlanes).flatMap(j => (0 until 64).map(i => planeComponent(j, i))).toArray
+      (0 until nPlanes).flatMap(j => (0 until dim).map(i => planeComponent(j, i))).toArray
     df.select(col(idCol).as("id"),
       call_function("graft_lsh_bucket", col(vecCol), typedLit(planesFlat)).as("bucket"))
   }
@@ -119,9 +130,9 @@ object Similarity {
     * against a ~0.5 background) so float ordering can't flip membership.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int, minScore: Double): DataFrame = {
+      nPlanes: Int, minScore: Double, dim: Int = 64): DataFrame = {
     VecFunctions.register(corpus.sparkSession)
-    val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
+    val buckets = lshBucket(corpus, idCol, vecCol, nPlanes, dim)
     // both sides of the pair join read this — persist or the whole
     // bucket computation (2 shuffles) runs twice. Cache lifecycle:
     // [[CacheRegistry]] — release after materializing.
@@ -191,9 +202,10 @@ object Similarity {
   /** Bucketed ANN: exact cosine top-k but only within the query's LSH
     * bucket. Output: (query_id, neighbor_id, rank, score).
     */
-  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame, k: Int, nPlanes: Int): DataFrame = {
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String, queries: DataFrame,
+      k: Int, nPlanes: Int, dim: Int = 64): DataFrame = {
     VecFunctions.register(corpus.sparkSession)
-    val buckets = lshBucket(corpus, idCol, vecCol, nPlanes)
+    val buckets = lshBucket(corpus, idCol, vecCol, nPlanes, dim)
     // feeds both the broadcast query side and the candidate side. Cache
     // lifecycle: [[CacheRegistry]] — release after materializing.
     val withBucket = CacheRegistry.persist(
@@ -207,6 +219,7 @@ object Similarity {
         norm(col(vecCol)).as("qn")))
     val c = withBucket.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("bucket"),
       norm(col(vecCol)).as("nn"))
+      .filter(col("nn") =!= 0.0) // zero-norm: NaN score would rank first
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
@@ -299,7 +312,10 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(col("xi").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_si"),
         sum(col("xj").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_sj"),
-        sum((col("xi") * col("xj")).cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_sij"))
+        // promote BEFORE multiplying: xi·xj in LONG wraps silently once
+        // |x_scaled| exceeds ~3e9 (scaled² > 2^63) — the dimStats hazard
+        sum(col("xi").cast("decimal(38,0)") * col("xj").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("graft_sij"))
       .select(col("di"), col("dj"), col("n"), expr(covUExpr).as("cov_u"))
   }
 
@@ -329,7 +345,8 @@ object Similarity {
     val stats = ex.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
         sum(col("xsc").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_s1"),
-        sum((col("xsc") * col("xsc")).cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_s2"))
+        sum(col("xsc").cast("decimal(38,0)") * col("xsc").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("graft_s2"))
     ex.join(broadcast(stats), Seq("dim"))
       .select(col("id"), col("dim"),
         expr("""CASE WHEN n * graft_s2 - graft_s1 * graft_s1 <= 0 THEN 0.0D
@@ -598,16 +615,29 @@ object Similarity {
     * integer-exact. Output: (query_id, n_overlap, recall_bp).
     */
   def lshRecall(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int, nPlanes: Int): DataFrame = {
-    val approx = lshTopK(corpus, idCol, vecCol, queries, k, nPlanes)
+      queries: DataFrame, k: Int, nPlanes: Int, dim: Int = 64): DataFrame = {
+    val approx = lshTopK(corpus, idCol, vecCol, queries, k, nPlanes, dim)
       .select(col("query_id"), col("neighbor_id"))
-    val exact = cosineTopK(corpus, idCol, vecCol, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
+    // exact feeds both the overlap join and the per-query denominator.
+    // Cache lifecycle: [[CacheRegistry]] — release after materializing.
+    val exact = CacheRegistry.persist(
+      cosineTopK(corpus, idCol, vecCol, queries, k)
+        .select(col("query_id"), col("neighbor_id")))
     val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
-    queries.select(col(idCol).as("query_id")).join(overlap, Seq("query_id"), "left")
-      .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
-      .withColumn("recall_bp", expr(s"(20000 * n_overlap + $k) div (2 * $k)"))
+    // recall divides by what the EXACT search actually returned (≤ k) —
+    // dividing by the parameter under-reports on small corpora where
+    // fewer than k neighbors exist; zero exact neighbors = vacuous 100%
+    val exactN = exact.groupBy("query_id").agg(count(lit(1)).as("graft_ne"))
+    queries.select(col(idCol).as("query_id"))
+      .join(overlap, Seq("query_id"), "left")
+      .join(exactN, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("graft_ne"), lit(0L)).as("graft_ne"))
+      .withColumn("recall_bp", expr(
+        "CASE WHEN graft_ne = 0 THEN CAST(10000 AS BIGINT) " +
+          "ELSE (20000 * n_overlap + graft_ne) div (2 * graft_ne) END"))
+      .drop("graft_ne")
   }
 
   /** k-NN label propagation — auto-labeling by majority vote over each
@@ -640,8 +670,8 @@ object Similarity {
     * distinct sizes. Output: (bucket_size, n_buckets).
     */
   def lshBucketHistogram(df: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int): DataFrame =
-    lshBucket(df, idCol, vecCol, nPlanes)
+      nPlanes: Int, dim: Int = 64): DataFrame =
+    lshBucket(df, idCol, vecCol, nPlanes, dim)
       .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_size"))
       .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
 

@@ -720,7 +720,10 @@ object TextAnalysis {
     val srcTot = sc.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
     val vTot = tokTot.agg(count(lit(1)).as("graft_v"), sum(col("graft_cw")).as("graft_n"))
     val scored = sc
-      .join(broadcast(tokTot), Seq("w"))
+      // tokTot is per-DISTINCT-TOKEN — vocabulary-sized, not bounded;
+      // a forced broadcast collects the whole vocabulary to the driver.
+      // Leave the strategy to the planner/AQE.
+      .join(tokTot, Seq("w"))
       .join(broadcast(srcTot), Seq("source"))
       .crossJoin(broadcast(vTot))
       .select(col("source"), col("w"), col("c_s"),
@@ -811,9 +814,13 @@ object TextAnalysis {
   def vocabCoverage(df: DataFrame, textCol: String,
       checkpoints: Seq[Long]): DataFrame = {
     require(checkpoints.nonEmpty, "need at least one checkpoint size")
-    val counts = df.select(explode(split(col(textCol), " ")).as("graft_w"))
-      .filter(col("graft_w") =!= "")
-      .groupBy(col("graft_w")).agg(count(lit(1)).as("graft_c"))
+    // counts feeds the ranking AND the total — persist so the corpus
+    // explode + vocabulary shuffle runs once, not per consumer. Cache
+    // lifecycle: [[CacheRegistry]] — release after materializing.
+    val counts = CacheRegistry.persist(
+      df.select(explode(split(col(textCol), " ")).as("graft_w"))
+        .filter(col("graft_w") =!= "")
+        .groupBy(col("graft_w")).agg(count(lit(1)).as("graft_c")))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("graft_c").desc, col("graft_w"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -321,7 +321,8 @@ object LlmQueries {
              |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
              |      GROUP BY a.vec_id, b.vec_id),
              |sc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
-             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id
+             |       WHERE nb.nrm <> 0),
              |r AS (SELECT query_id, neighbor_id,
              |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk, score
              |      FROM sc)
@@ -354,7 +355,8 @@ object LlmQueries {
              |      JOIN e b2 ON b2.vec_id = bb.vec_id AND b2.i = a.i AND b2.vec_id <> a.vec_id
              |      GROUP BY a.vec_id, b2.vec_id),
              |sc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
-             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id
+             |       WHERE nb.nrm <> 0),
              |r AS (SELECT query_id, neighbor_id,
              |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk, score
              |      FROM sc)
@@ -1729,7 +1731,8 @@ object LlmQueries {
              |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
              |      GROUP BY a.vec_id, b.vec_id),
              |sc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
-             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id
+             |       WHERE nb.nrm <> 0),
              |r AS (SELECT query_id, neighbor_id,
              |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
              |      FROM sc),
@@ -1950,7 +1953,8 @@ object LlmQueries {
              |       FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
              |       GROUP BY 1, 2),
              |xsc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
-             |        FROM xd JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |        FROM xd JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id
+             |        WHERE nb.nrm <> 0),
              |ex AS (SELECT query_id, neighbor_id FROM
              |       (SELECT query_id, neighbor_id,
              |               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
@@ -1969,18 +1973,23 @@ object LlmQueries {
              |       JOIN e b2 ON b2.vec_id = bb.vec_id AND b2.i = a.i AND b2.vec_id <> a.vec_id
              |       GROUP BY 1, 2),
              |lsc AS (SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS score
-             |        FROM ld JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id),
+             |        FROM ld JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id
+             |        WHERE nb.nrm <> 0),
              |ap AS (SELECT query_id, neighbor_id FROM
              |       (SELECT query_id, neighbor_id,
              |               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
              |        FROM lsc) WHERE rnk <= 5),
              |ov AS (SELECT x.query_id, count(*) AS n_overlap FROM ex x
              |       JOIN ap ON ap.query_id = x.query_id AND ap.neighbor_id = x.neighbor_id
-             |       GROUP BY 1)
+             |       GROUP BY 1),
+             |exn AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1)
              |SELECT qq.vec_id AS query_id,
              |       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-             |       CAST((20000 * coalesce(ov.n_overlap, 0) + 5) // 10 AS BIGINT) AS recall_bp
+             |       CAST(CASE WHEN coalesce(exn.n_exact, 0) = 0 THEN 10000
+             |            ELSE (20000 * coalesce(ov.n_overlap, 0) + exn.n_exact)
+             |                 // (2 * exn.n_exact) END AS BIGINT) AS recall_bp
              |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) qq
+             |LEFT JOIN exn ON exn.query_id = qq.vec_id
              |LEFT JOIN ov ON ov.query_id = qq.vec_id ORDER BY query_id""".stripMargin)),
 
     // ---- Template-family detection: structural (word-length-sequence)

@@ -53,11 +53,12 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vecs = (1L to 30L).map(i => (i, Seq.tabulate(8)(d => ((i % 5) + d).toFloat)))
       .toDF("vec_id", "embedding")
     assertNoLeak("cosineNearDupPairs") {
-      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", nPlanes = 4, minScore = 0.99)
+      Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", nPlanes = 4,
+        minScore = 0.99, dim = 8)
     }
     assertNoLeak("lshTopK") {
       Similarity.lshTopK(vecs, "vec_id", "embedding",
-        vecs.filter(col("vec_id") <= 3), k = 5, nPlanes = 4)
+        vecs.filter(col("vec_id") <= 3), k = 5, nPlanes = 4, dim = 8)
     }
   }
 

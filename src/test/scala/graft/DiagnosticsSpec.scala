@@ -78,8 +78,16 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val df = (0L until 40L).map(i => (i, Seq(math.sin(i * 1.7).toFloat,
       math.cos(i * 2.3).toFloat, math.sin(i * 0.9).toFloat, 1f))).toDF("id", "v")
-    val got = Similarity.lshBucketHistogram(df, "id", "v", nPlanes = 4).collect()
+    val got = Similarity.lshBucketHistogram(df, "id", "v", nPlanes = 4, dim = 4).collect()
     assert(got.map(r => r.getLong(0) * r.getLong(1)).sum == 40L)
+    // a plane matrix that disagrees with the vector dimension fails
+    // loudly (it used to bucket everything together silently)
+    val e = intercept[Exception] {
+      Similarity.lshBucketHistogram(df, "id", "v", nPlanes = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("incompatible")), s"got: $e")
   }
 
   test("sourceDivergence is zero between identically-distributed sources") {
@@ -139,7 +147,7 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, Seq(1f, 1f, 0.5f, 2f)), (1L, Seq(1.01f, 1f, 0.5f, 2f)),
       (2L, Seq(-3f, -1f, -2f, -1f)), (3L, Seq(-3f, -1.01f, -2f, -1f))).toDF("id", "v")
     val got = graft.llm.Similarity.lshRecall(df, "id", "v",
-        df.filter(col("id") === 0L || col("id") === 2L), k = 1, nPlanes = 3)
+        df.filter(col("id") === 0L || col("id") === 2L), k = 1, nPlanes = 3, dim = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(got == Map(0L -> 10000L, 2L -> 10000L), s"got $got")
     graft.llm.CacheRegistry.releaseAll(spark)
