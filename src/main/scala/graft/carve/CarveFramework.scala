@@ -56,6 +56,10 @@ final class CarveStream(
   def context: ExtractionContext = ctx
 
   def readExact(len: Int): Array[Byte] = {
+    // a negative length here is a Long size field wrapped by .toInt — an
+    // evidence-controlled value; drop the hit (Invalid) instead of
+    // letting new Array[Byte](-n) kill the task uncaught
+    if (len < 0) throw new CarveErrors.Invalid(s"negative read length $len (size overflow)")
     if (maxSize > 0 && written0 + len > maxSize) throw new CarveErrors.Truncated
     val buf = new Array[Byte](len)
     var read = 0

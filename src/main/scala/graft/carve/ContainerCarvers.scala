@@ -68,8 +68,13 @@ final class ZipCarver(
           if (n == 0) {
             truncated = true; errors :+= "eof before EOCD"; done = true
           } else {
-            if (first && n >= Header.length && !buf.take(Header.length).sameElements(Header))
-              return None
+            if (first) {
+              // looped prefix read for the gate: a short first readAt
+              // previously SKIPPED validation and carved unvalidated data
+              val head = if (n >= Header.length) buf.take(Header.length)
+                else graft.carve.Scan.readPrefix(ctx, offset, Header.length)
+              if (!head.sameElements(Header)) return None
+            }
             first = false
             val search = carry ++ buf.take(n)
             val pos = Scan.findPattern(search, search.length, Eocd)
@@ -252,6 +257,8 @@ final class OleCarver(
       classifiedKind = classifyKind(ctx, hit.globalOffset, header, sectorSize, effectiveMax)
       val targetSize = math.min(refineSize(ctx, hit.globalOffset, header, sectorSize, effectiveMax), effectiveMax)
       val remaining = targetSize - stream.written
+      if (remaining > Int.MaxValue) // max_size configured past 2 GiB
+        throw new CarveErrors.Invalid("ole declared size exceeds 2 GiB carve limit")
       if (remaining > 0) {
         try stream.readExact(remaining.toInt)
         catch {

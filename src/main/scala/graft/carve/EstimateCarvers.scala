@@ -26,6 +26,9 @@ final class WebmCarver(val maxSize: Long, val minSize: Long, val extension: Stri
     val (ebmlSize, ebmlSizeLen, _) =
       readVintSize(ctx, hit.globalOffset + ebmlIdLen).getOrElse(return None)
     val ebmlHeaderStart = hit.globalOffset + ebmlIdLen + ebmlSizeLen
+    // EBML headers are tens of bytes; a crafted vint would otherwise
+    // drive a negative or multi-GB allocation through .toInt
+    if (ebmlSize < 0 || ebmlSize > 4096) return None
     val ebmlHeader = ctx.evidence.readExactAt(ebmlHeaderStart, ebmlSize.toInt).getOrElse(return None)
     val docType = parseDocType(ebmlHeader).getOrElse("")
     if (docType != "webm" && docType != "matroska") return None

@@ -170,8 +170,11 @@ final class BmpCarver(val maxSize: Long, val minSize: Long, val extension: Strin
   override def eofError: String = "eof before BMP end"
 
   override def plan(hit: CarveHit, ctx: ExtractionContext): Option[(Long, Long, Seq[String], Boolean)] = {
-    val buf = new Array[Byte](58)
-    val n = ctx.evidence.readAt(hit.globalOffset, buf)
+    // looped prefix read: a single readAt may legally return short
+    // (EWF serves one chunk per call) and would drop a valid BMP whose
+    // header straddles a chunk boundary
+    val buf = Scan.readPrefix(ctx, hit.globalOffset, 58)
+    val n = buf.length
     if (n < 18) return None
     if (buf(0) != 'B'.toByte || buf(1) != 'M'.toByte) return None
     val fileSize = Bin.leU32(buf, 2)

@@ -422,10 +422,12 @@ final class EmlCarver(val maxSize: Long, val minSize: Long, val extension: Strin
     if (Templates.exists(t => Scan.containsPattern(head, t))) return None
     if (!head.contains('@'.toByte)) return None
     if (!head.contains('\n'.toByte)) return None
-    val (end, _, _, _) = scanForEnd(ctx, hit, hit.globalOffset)
-    // eml: validated == no EOF during the ranged copy; no error strings.
+    val (end, _, _, truncated) = scanForEnd(ctx, hit, hit.globalOffset)
+    // eml: validated == no EOF during the ranged copy; no error strings —
+    // but a max_size cut IS reported as truncated (dropping the flag
+    // painted a cut-off message as intact)
     Scan.finishRange(this, ctx, hit, hit.globalOffset, end, minSize,
-      validated = true, truncated = false, errors = Seq.empty,
+      validated = true, truncated = truncated, errors = Seq.empty,
       eofError = None, validatedOnEof = Some(false))
   }
 }
@@ -516,9 +518,15 @@ final class FooterCarver(
         if (n == 0) {
           truncated = true; errors :+= "eof before footer"; done = true
         } else {
-          if (written == 0 && headerPatterns.nonEmpty &&
-              !headerPatterns.exists(p => p.nonEmpty && n >= p.length &&
-                java.util.Arrays.equals(buf.take(p.length), p))) return None
+          if (written == 0 && headerPatterns.nonEmpty) {
+            // gate on a LOOPED prefix read — a legally short first readAt
+            // (EWF: one chunk per call) must not skip or fail the check
+            val gateLen = headerPatterns.map(_.length).max
+            val head = if (n >= gateLen) buf.take(gateLen)
+              else Scan.readPrefix(ctx, offset, gateLen)
+            if (!headerPatterns.exists(p => p.nonEmpty && head.length >= p.length &&
+                java.util.Arrays.equals(head.take(p.length), p))) return None
+          }
           val search = carry ++ buf.take(n)
           var best = -1
           var bestLen = 0

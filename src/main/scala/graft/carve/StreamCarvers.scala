@@ -68,6 +68,8 @@ final class SqliteCarver(val maxSize: Long, val minSize: Long, val extension: St
     if (totalSize < 100) totalSize = 100
     val target = math.min(totalSize, if (maxSize > 0) maxSize else totalSize)
     val remaining = target - 100
+    if (remaining > Int.MaxValue) // unlimited max_size + a huge header page count
+      throw new CarveErrors.Invalid("sqlite declared size exceeds 2 GiB carve limit")
     if (remaining > 0) stream.readExact(remaining.toInt)
     true
   }
@@ -90,6 +92,10 @@ abstract class RiffCarver(form: String) extends StreamCarver {
     if (totalSize < 12) throw new CarveErrors.Invalid(s"$fileType size too small")
     val target = math.min(totalSize, if (maxSize > 0) maxSize else totalSize)
     val remaining = target - 12
+    // declared RIFF sizes near 0xFFFFFFFF minus the cap can exceed a
+    // JVM array; reject instead of wrapping .toInt negative
+    if (remaining > Int.MaxValue)
+      throw new CarveErrors.Invalid(s"$fileType declared size exceeds 2 GiB carve limit")
     if (remaining > 0) stream.readExact(remaining.toInt)
     true
   }

@@ -42,6 +42,10 @@ final class TarCarver(val maxSize: Long, val minSize: Long, val extension: Strin
         val size = parseOctal(header, 124, 136)
         val blocks = (size + Block - 1) / Block
         val dataLen = blocks * Block
+        // the 11-digit octal size field reaches ~8.6 GB; past Int.MaxValue
+        // the .toInt either wraps negative or silently desyncs the walk
+        if (dataLen > Int.MaxValue)
+          throw new CarveErrors.Invalid("tar entry exceeds 2 GiB carve limit")
         if (dataLen > 0) stream.readExact(dataLen.toInt)
       }
     }
