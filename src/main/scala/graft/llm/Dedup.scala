@@ -930,11 +930,20 @@ object Dedup {
     // [[CacheRegistry]] — release after materializing.
     val docs = CacheRegistry.persist(
       ordered.select(col("id"), col("graft_toks"), col("graft_sz"), col("graft_plen")))
-    val pre = docs.select(col("id"),
+    // LENGTH FILTER (Arasu et al. 2006): J ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max and
+    // |∩| ≤ min, so 10⁴·min(|A|,|B|) ≥ t_bp·max(|A|,|B|) — size-
+    // incompatible candidates die at the prefix join, before the
+    // distinct shuffle and the array verification. Lossless; carrying
+    // one extra long per exploded prefix row is far cheaper than the
+    // pairs it prunes.
+    val pre = docs.select(col("id"), col("graft_sz"),
       explode(expr("slice(graft_toks, 1, graft_plen)")).as("tok"))
-    val cands = pre.select(col("id").as("tidl_a"), col("tok"))
-      .join(pre.select(col("id").as("tidl_b"), col("tok")), Seq("tok"))
-      .filter(col("tidl_a") < col("tidl_b"))
+    val cands = pre.select(col("id").as("tidl_a"), col("graft_sz").as("graft_sa"), col("tok"))
+      .join(pre.select(col("id").as("tidl_b"), col("graft_sz").as("graft_sb"), col("tok")),
+        Seq("tok"))
+      .filter(col("tidl_a") < col("tidl_b") &&
+        lit(10000L) * least(col("graft_sa"), col("graft_sb")) >=
+          lit(thresholdBp) * greatest(col("graft_sa"), col("graft_sb")))
       .select(col("tidl_a"), col("tidl_b")).distinct()
     cands
       .join(docs.select(col("id").as("tidl_a"), col("graft_toks").as("graft_ta"),

@@ -363,6 +363,29 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("jaccardJoin length filter is lossless on size-heterogeneous docs") {
+    import spark.implicits._
+    // Sizes 2..40 sharing tokens, so many candidate pairs are size-
+    // incompatible at t=0.5 (min < t*max) and die at the length filter;
+    // brute force over all pairs is the ground truth the filtered join
+    // must reproduce exactly.
+    val docs = (0L until 12L).map { i =>
+      (i, (0L to (2 + 3 * i)).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    def toks(i: Long): Set[String] = (0L to (2 + 3 * i)).map(j => s"w$j").toSet
+    val expect = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L
+      inter = toks(a).intersect(toks(b)).size.toLong
+      union = toks(a).union(toks(b)).size.toLong
+      if 10000L * inter >= 5000L * union
+    } yield (a, b, inter, union, (20000 * inter + union) / (2 * union))).toSeq
+    val got = Dedup.jaccardJoin(docs, "doc_id", "text", 5000L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expect.sorted)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("whiten standardizes each dimension and zero-variance dims whiten to 0") {
     import spark.implicits._
     // dim 0: values 1,3 -> mean 2, std 1 -> z = -1, +1
