@@ -572,4 +572,71 @@ object Curation {
       .select(col("id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.n_words").as("n_words"), col("c.chunk_text").as("chunk_text"))
   }
+
+  /** Exact-count proportional stratified sample, largest-remainder
+    * (Hare) apportionment: allocate EXACTLY `total` slots across strata
+    * proportionally to their sizes — ⌊total·nᵢ/N⌋ each, the leftover
+    * slots to the largest fractional remainders (ties → stratum asc) —
+    * then take each stratum's quota in md5(seed:id) order. Unlike
+    * [[hashSample]]'s per-row Bernoulli (binomially-distributed output
+    * size) this hits the requested count exactly, which is what a fixed
+    * token-budget mixture needs; it stays deterministic across engines
+    * and runs.
+    *
+    * Scale shape: the allocation table is one map-side-combinable
+    * groupBy (|strata| rows, all driver-free: the remainder ranking is
+    * a window over |strata| rows). The per-stratum quota take needs a
+    * rank within stratum — a sort-by-hash window partitioned by
+    * stratum. At 100 TB a single giant stratum makes that window's
+    * partition the straggler, so when quota ≪ stratum size, pre-filter
+    * by hash prefix first (keep rows whose 12-hex-digit hash value <
+    * ~2·quota/n fraction of the space — a superset of the final take,
+    * since the take IS the quota smallest hashes) and rank only the
+    * survivors; the pre-filter is a narrow pass. `overselect` controls
+    * that safety factor; 0 (the default) disables the pre-filter (exact
+    * rank over the full stratum). The pre-filter is a superset of the
+    * final take only with high probability — an under-filled stratum is
+    * OBSERVABLE (output count < total), never silent; re-run with a
+    * larger factor or 0. Output: (idCol, strataCol) of the selected
+    * rows.
+    */
+  def largestRemainderSample(df: DataFrame, idCol: String, strataCol: String,
+                             total: Long, seed: String,
+                             overselect: Double = 0.0): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val sizes = df.groupBy(col(strataCol)).agg(count(lit(1)).as("graft_n"))
+    val nTot = sizes.agg(sum(col("graft_n")).as("graft_nt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("graft_rem").desc, col(strataCol))
+    // |strata| rows: the single-reducer window is bounded and fine
+    val alloc = sizes.crossJoin(broadcast(nTot))
+      .select(col(strataCol),
+        col("graft_n"),
+        expr(s"($total * graft_n) DIV graft_nt").as("graft_fl"),
+        expr(s"($total * graft_n) % graft_nt").as("graft_rem"),
+        expr(s"$total - sum(($total * graft_n) DIV graft_nt) OVER ()").as("graft_extra"))
+      .withColumn("graft_rk", row_number().over(w))
+      .select(col(strataCol),
+        (col("graft_fl") +
+          when(col("graft_rk") <= col("graft_extra"), lit(1L)).otherwise(lit(0L)))
+          .as("graft_k"),
+        col("graft_n"))
+    val hashed = df.select(col(idCol), col(strataCol),
+      conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 12), 16, 10)
+        .cast("long").as("graft_h"))
+    val joined = hashed.join(broadcast(alloc), Seq(strataCol))
+    val candidates =
+      if (overselect <= 0.0) joined
+      else joined.filter(
+        // hash space is [0, 16^12); keep a ~overselect·k/n slice — a
+        // superset of the k smallest hashes w.h.p.; rank() below stays
+        // exact because selection only ever takes the k smallest
+        col("graft_h").cast("double") <
+          lit(overselect * 281474976710656.0) * col("graft_k") / col("graft_n"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("graft_h"), col(idCol))
+    candidates.withColumn("graft_rn", row_number().over(ws))
+      .filter(col("graft_rn") <= col("graft_k"))
+      .select(col(idCol), col(strataCol))
+  }
 }

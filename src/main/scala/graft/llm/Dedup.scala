@@ -958,4 +958,122 @@ object Dedup {
       .filter(lit(10000L) * col("n_inter") >= lit(thresholdBp) * col("n_union"))
       .withColumn("jaccard_bp", expr("(20000 * n_inter + n_union) DIV (2 * n_union)"))
   }
+
+  /** Exact IDF-WEIGHTED set-similarity join — all document pairs whose
+    * weighted word-set Jaccard J_w(A,B) = Σ_{u∈A∩B} w(u) / Σ_{u∈A∪B} w(u)
+    * is ≥ threshold, with the weighted prefix filter (Chaudhuri et al.
+    * 2006 generalizes directly). Rare tokens count more: w(u) =
+    * ⌊N / df(u)⌋ with N = |docs| and df = DOCUMENT frequency (copies
+    * included), so two documents sharing distinctive vocabulary score
+    * higher than two sharing only stopwords — plain Jaccard's known
+    * blind spot on boilerplate-heavy corpora. All-integer weights keep
+    * both engines bit-identical (no float idf).
+    *
+    * Prefix filter, weighted form: order each doc's tokens by global
+    * rarity (df asc, token asc — i.e. weight desc), and let the prefix
+    * be the SHORTEST head whose suffix weight drops below t·W(doc):
+    * J_w ≥ t ⇒ Σ_{A∩B} w ≥ t·Σ_{A∪B} w ≥ t·W(A), and an intersection
+    * avoiding the prefix fits inside the suffix weight < t·W(A) —
+    * contradiction, so the prefix-token join is LOSSLESS. The weighted
+    * length filter prunes 10⁴·min(W_A,W_B) < t_bp·max(W_A,W_B) pairs at
+    * the candidate join for the same reason. The oracle computes the
+    * unfiltered all-pairs answer, proving losslessness at the gate.
+    *
+    * Scale shape mirrors [[jaccardJoin]]: canonical-text collapse first
+    * (doc-level df recovered by weighting each text's tokens with its
+    * copy count), the heavy-weight-first prefix keeps candidate fan-out
+    * on the rare end of the vocabulary, verification is one in-row pass
+    * over the two bounded (token, weight) arrays, and doc pairs
+    * re-expand through the membership join with the strategy left to
+    * AQE. N rides in as a 1-row broadcast agg — no driver action.
+    * Output: (id_a, id_b, w_inter, w_union, wjaccard_bp).
+    */
+  def weightedJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      thresholdBp: Long): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be in (0, 10000], got $thresholdBp")
+    val texts = CacheRegistry.persist(
+      df.select(md5(col(textCol)).as("graft_tid"), col(textCol).as("graft_t")).distinct()
+        .withColumn("graft_tidl", struct(
+          conv(substring(col("graft_tid"), 1, 15), 16, 10).cast("long").as("h"),
+          conv(substring(col("graft_tid"), 16, 15), 16, 10).cast("long").as("l"))))
+    val membership = CacheRegistry.persist(
+      df.select(col(idCol).as("graft_did"), md5(col(textCol)).as("graft_tid"))
+        .join(texts.select(col("graft_tid"), col("graft_tidl")), Seq("graft_tid")))
+    val copies = membership.groupBy(col("graft_tidl"))
+      .agg(count(lit(1)).as("graft_copies"))
+    val toks = texts.select(col("graft_tidl").as("id"),
+      explode(array_distinct(split(col("graft_t"), " "))).as("tok"))
+    // doc-level df: each text's tokens occur once per document copy
+    val dfreq = toks.join(copies.withColumnRenamed("graft_tidl", "id"), Seq("id"))
+      .groupBy(col("tok")).agg(sum(col("graft_copies")).as("graft_df"))
+    val nDocs = df.select(count(lit(1)).as("graft_nd"))
+    val weights = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("graft_df"),
+        expr("graft_nd DIV graft_df").as("graft_w"))
+    // per text: (tok, w) in rarity order, total weight W, prefix length
+    val ordered = toks.join(weights, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(
+        struct(col("graft_df"), col("tok"), col("graft_w")))).as("graft_ts"))
+      .select(col("id"),
+        expr("transform(graft_ts, x -> struct(x.tok AS tok, x.graft_w AS w))").as("graft_tws"))
+      .withColumn("graft_wt", expr("aggregate(graft_tws, 0L, (s, x) -> s + x.w)"))
+      .withColumn("graft_plen", expr(
+        s"""aggregate(graft_tws, struct(CAST(0 AS BIGINT) AS cum, 0 AS i, 0 AS p),
+           |  (acc, x) -> struct(acc.cum + x.w, acc.i + 1,
+           |    CASE WHEN acc.p > 0 THEN acc.p
+           |         WHEN 10000 * (acc.cum + x.w) > (10000 - $thresholdBp) * graft_wt
+           |           THEN acc.i + 1
+           |         ELSE 0 END),
+           |  acc -> acc.p)""".stripMargin))
+    val docs = CacheRegistry.persist(
+      ordered.select(col("id"), col("graft_tws"), col("graft_wt"), col("graft_plen")))
+    val pre = docs.select(col("id"), col("graft_wt"),
+      explode(expr("transform(slice(graft_tws, 1, graft_plen), x -> x.tok)")).as("tok"))
+    val cands = pre.select(col("id").as("tidl_a"), col("graft_wt").as("graft_wa"), col("tok"))
+      .join(pre.select(col("id").as("tidl_b"), col("graft_wt").as("graft_wb"), col("tok")),
+        Seq("tok"))
+      .filter(col("tidl_a") < col("tidl_b") &&
+        lit(10000L) * least(col("graft_wa"), col("graft_wb")) >=
+          lit(thresholdBp) * greatest(col("graft_wa"), col("graft_wb")))
+      .select(col("tidl_a"), col("tidl_b")).distinct()
+    val tp = cands
+      .join(docs.select(col("id").as("tidl_a"), col("graft_tws").as("graft_ta"),
+        col("graft_wt").as("graft_wa")), Seq("tidl_a"))
+      .join(docs.select(col("id").as("tidl_b"), col("graft_tws").as("graft_tb"),
+        col("graft_wt").as("graft_wb")), Seq("tidl_b"))
+      .withColumn("graft_tbt", expr("transform(graft_tb, x -> x.tok)"))
+      .select(col("tidl_a"), col("tidl_b"),
+        expr("""aggregate(filter(graft_ta, x -> array_contains(graft_tbt, x.tok)),
+               |  0L, (s, x) -> s + x.w)""".stripMargin).as("w_inter"),
+        col("graft_wa"), col("graft_wb"))
+      .select(col("tidl_a"), col("tidl_b"), col("w_inter"),
+        (col("graft_wa") + col("graft_wb") - col("w_inter")).as("w_union"))
+      .filter(lit(10000L) * col("w_inter") >= lit(thresholdBp) * col("w_union"))
+      .withColumn("wjaccard_bp", expr("(20000 * w_inter + w_union) DIV (2 * w_union)"))
+    val cross = tp
+      .join(membership.select(col("graft_did").as("graft_d1"),
+        col("graft_tidl").as("tidl_a")), Seq("tidl_a"))
+      .join(membership.select(col("graft_did").as("graft_d2"),
+        col("graft_tidl").as("tidl_b")), Seq("tidl_b"))
+      .select(least(col("graft_d1"), col("graft_d2")).as("id_a"),
+        greatest(col("graft_d1"), col("graft_d2")).as("id_b"),
+        col("w_inter"), col("w_union"), col("wjaccard_bp"))
+    // same-text doc pairs: J_w = 1, weight = the text's total W
+    val same = membership.join(docs.withColumnRenamed("id", "graft_tidl")
+        .select(col("graft_tidl"), col("graft_wt")), Seq("graft_tidl"))
+      .groupBy(col("graft_tidl"))
+      .agg(sort_array(collect_list(col("graft_did"))).as("ids"),
+        first(col("graft_wt")).as("graft_wt"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("graft_wt"), explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("graft_wt").as("w_inter"), col("graft_wt").as("w_union"),
+        lit(10000L).as("wjaccard_bp"))
+    cross.union(same)
+  }
 }

@@ -564,6 +564,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum(col("c_a") * col("graft_t")).as("div_micro"))
   }
 
+  /** Pairwise source VOCABULARY overlap — exact token-set Jaccard
+    * between every ordered source pair, the set-theoretic complement of
+    * [[sourceDivergence]]'s distributional view: divergence weighs HOW
+    * OFTEN words occur, this measures WHICH words exist at all — high
+    * Jaccard with high divergence means shared vocabulary used very
+    * differently (e.g. code vs prose quoting code). Zero-overlap pairs
+    * are kept (n_inter = 0), so the output is the full |S|·(|S|−1)/2
+    * matrix.
+    *
+    * Scale shape: one (source, token) distinct collapse (map-side
+    * combinable, post-shuffle = per-source vocab), per-source sizes are
+    * |S| rows, and the intersection self-join is keyed by token where
+    * each token carries ≤ |S| rows — cost is vocab-bounded, never
+    * corpus-bounded; the size join is broadcast-small. Output:
+    * (src_a, src_b, n_inter, n_union, jaccard_bp), src_a < src_b.
+    */
+  def sourceTokenJaccard(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val st = CacheRegistry.persist(
+      df.select(col(srcCol).as("s"), explode(split(col(textCol), " ")).as("w"))
+        .filter(col("w") =!= "").distinct())
+    val sizes = st.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val pairs = sizes.select(col("s").as("src_a"), col("n").as("n_a"))
+      .join(sizes.select(col("s").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val inter = st.select(col("s").as("src_a"), col("w"))
+      .join(st.select(col("s").as("src_b"), col("w")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("graft_i"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("graft_i"), lit(0L)).as("n_inter"),
+        (col("n_a") + col("n_b") - coalesce(col("graft_i"), lit(0L))).as("n_union"))
+      .withColumn("jaccard_bp", expr("(20000 * n_inter + n_union) DIV (2 * n_union)"))
+  }
+
   /** Cross-document winnowing matches — the MOSS detector itself: every
     * document pair sharing at least `minShared` distinct winnowing
     * fingerprints, with the shared count. The winnowing guarantee makes

@@ -174,4 +174,36 @@ object EventAnalytics {
       .groupBy(col("win_day"))
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * for each consecutive pair in a user's (ts, tiebreak) order, count
+    * the (from_type → to_type) transition and report its row-normalized
+    * probability in basis points (HALF_UP integer rounding — both
+    * engines agree bit-for-bit, no float division). `tieCol` breaks
+    * equal timestamps deterministically (e.g. the event id).
+    *
+    * Scale shape: ONE user-keyed shuffle for the lead() window (the
+    * same partitioning sessionize uses — at 100 TB this is the
+    * unavoidable order-by-user pass), then two aggregations over the
+    * event-type vocabulary, which is tiny by construction — both
+    * map-side combinable, post-shuffle volume = |types|². The row
+    * totals re-join on from_type: |types|-sized, broadcast by AQE.
+    * Returns (from_type, to_type, n_trans, p_bp).
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val trans = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("graft_tot"))
+    trans.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("(20000 * n_trans + graft_tot) DIV (2 * graft_tot)").as("p_bp"))
+  }
 }

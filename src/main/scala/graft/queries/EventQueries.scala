@@ -227,5 +227,27 @@ object EventQueries {
              |SELECT CAST(CASE WHEN gap_s <= 0 THEN 0 ELSE length(bin(gap_s)) END AS BIGINT) AS bucket,
              |       count(*) AS n_gaps, CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
              |       min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
-             |FROM gg GROUP BY 1 ORDER BY bucket""".stripMargin)))
+             |FROM gg GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- First-order Markov transition matrix over per-user event
+    // streams: one user-keyed window shuffle, then two tiny aggs over
+    // the |types|^2 transition grid. Row probabilities in HALF_UP bp.
+    "q152_event_transitions" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.transitionMatrix(
+            table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH s AS (SELECT user_id, event_type AS from_type,
+             |                 lead(event_type) OVER
+             |                   (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |          FROM events),
+             |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+             |      FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+             |t AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS tot
+             |      FROM c GROUP BY from_type)
+             |SELECT from_type, to_type, n_trans,
+             |       (20000 * n_trans + tot) // (2 * tot) AS p_bp
+             |FROM c JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)))
 }

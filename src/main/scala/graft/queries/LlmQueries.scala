@@ -2412,5 +2412,87 @@ object LlmQueries {
              |       CAST(sum(f_stop) AS BIGINT) AS n_stop,
              |       CAST(sum(keep) AS BIGINT) AS n_keep,
              |       CAST((20000 * sum(keep) + count(*)) // (2 * count(*)) AS BIGINT) AS keep_bp
-             |FROM f GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- IDF-weighted exact Jaccard join: rare-token-weighted overlap
+    // with the weighted prefix + length filters; the oracle is the
+    // UNFILTERED all-pairs answer, so the hash match proves both
+    // filters lossless. Integer weights w = N div df keep both engines
+    // bit-identical.
+    "q151_weighted_jaccard" -> QueryDef(
+      (s, dir) => {
+        Dedup.weightedJaccardJoin(table(s, dir, "documents"), "doc_id", "text", 8000L)
+          .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |        FROM documents),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+             |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY tok),
+             |w AS (SELECT tok, nd // df AS w FROM dfq CROSS JOIN n),
+             |tw AS (SELECT doc_id, t.tok, w FROM t JOIN w USING (tok)),
+             |tot AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wt FROM tw GROUP BY doc_id),
+             |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |             CAST(sum(a.w) AS BIGINT) AS iw
+             |      FROM tw a JOIN tw b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |      GROUP BY a.doc_id, b.doc_id),
+             |j AS (SELECT doc_a, doc_b, iw, ta.wt + tb.wt - iw AS uw
+             |      FROM i JOIN tot ta ON ta.doc_id = i.doc_a
+             |             JOIN tot tb ON tb.doc_id = i.doc_b)
+             |SELECT doc_a, doc_b, iw AS w_inter, uw AS w_union,
+             |       (20000 * iw + uw) // (2 * uw) AS wjaccard_bp
+             |FROM j WHERE 10000 * iw >= 8000 * uw
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Pairwise source vocabulary overlap: exact token-set Jaccard
+    // between sources, vocab-bounded (the set view complementing q128's
+    // distributional divergence). Zero-overlap pairs kept.
+    "q153_source_vocab_jaccard" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.sourceTokenJaccard(table(s, dir, "documents"), "source", "text")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH tk AS (SELECT source AS s, unnest(string_split(text, ' ')) AS w
+             |         FROM documents),
+             |st AS (SELECT DISTINCT s, w FROM tk WHERE w <> ''),
+             |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY s),
+             |pr AS (SELECT a.s AS src_a, b.s AS src_b, a.n AS n_a, b.n AS n_b
+             |       FROM sz a JOIN sz b ON a.s < b.s),
+             |it AS (SELECT a.s AS src_a, b.s AS src_b, CAST(count(*) AS BIGINT) AS i
+             |       FROM st a JOIN st b ON a.w = b.w AND a.s < b.s GROUP BY 1, 2)
+             |SELECT src_a, src_b, COALESCE(i, 0) AS n_inter,
+             |       n_a + n_b - COALESCE(i, 0) AS n_union,
+             |       (20000 * COALESCE(i, 0) + (n_a + n_b - COALESCE(i, 0)))
+             |         // (2 * (n_a + n_b - COALESCE(i, 0))) AS jaccard_bp
+             |FROM pr LEFT JOIN it USING (src_a, src_b)
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- Exact-count proportional stratified sample via largest-
+    // remainder apportionment: exactly 100 docs allocated across
+    // sources proportionally, each stratum's quota taken in
+    // deterministic md5(seed:id) order.
+    "q154_exact_stratified" -> QueryDef(
+      (s, dir) => {
+        Curation.largestRemainderSample(table(s, dir, "documents"), "doc_id", "source",
+            total = 100L, seed = "lrs7")
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |        FROM documents GROUP BY source),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM n),
+             |q AS (SELECT source, n, (100 * n) // nt AS fl, (100 * n) % nt AS rem
+             |      FROM n CROSS JOIN t),
+             |e AS (SELECT CAST(100 - sum(fl) AS BIGINT) AS extra FROM q),
+             |r AS (SELECT source, fl,
+             |             row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
+             |a AS (SELECT source,
+             |             fl + CASE WHEN rk <= (SELECT extra FROM e) THEN 1 ELSE 0 END AS k
+             |      FROM r),
+             |rk AS (SELECT doc_id, source,
+             |              row_number() OVER (PARTITION BY source
+             |                ORDER BY substr(md5('lrs7:' || CAST(doc_id AS VARCHAR)), 1, 12),
+             |                         doc_id) AS rn
+             |       FROM documents)
+             |SELECT doc_id, source FROM rk JOIN a USING (source)
+             |WHERE rn <= k ORDER BY doc_id""".stripMargin)))
 }

@@ -386,6 +386,43 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("weightedJaccardJoin weights rare tokens and handles exact-dup classes") {
+    import spark.implicits._
+    // N = 4 docs; df: a:2 b:3 c:3 d:3 e:1 p:1 q:1 r:1 → w = 4 div df:
+    // a:2, b/c/d:1, e/p/q/r:4. W0 = 5, W1 = 7, W2 = 5 (dup of 0), W3 = 12.
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "b c d e"),   // inter {b,c,d} w=3, union w=9 → 3333 bp
+      (2L, "a b c d"),   // exact dup of 0 → J_w = 1 at weight 5
+      (3L, "p q r"))     // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardJoin(docs, "doc_id", "text", 3000L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 3L, 9L, 3333L),
+      (0L, 2L, 5L, 5L, 10000L),
+      (1L, 2L, 3L, 9L, 3333L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("sourceTokenJaccard keeps zero-overlap pairs and rounds HALF_UP") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "A", "a b"), (1L, "A", "b c"),  // vocab {a,b,c}
+      (2L, "B", "b c d"),                  // vocab {b,c,d}: inter 2 / union 4
+      (3L, "C", "x y"))                    // disjoint from both
+      .toDF("doc_id", "source", "text")
+    val got = graft.llm.TextAnalysis.sourceTokenJaccard(docs, "source", "text")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", "B", 2L, 4L, 5000L),
+      ("A", "C", 0L, 5L, 0L),
+      ("B", "C", 0L, 5L, 0L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("whiten standardizes each dimension and zero-variance dims whiten to 0") {
     import spark.implicits._
     // dim 0: values 1,3 -> mean 2, std 1 -> z = -1, +1

@@ -271,4 +271,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("largestRemainderSample hits the exact total with Hare apportionment") {
+    import spark.implicits._
+    // sizes 3 and 2, total 3: floors (9//5, 6//5) = (1, 1), remainders
+    // (4, 1) → the one leftover slot goes to s1 → quotas (2, 1).
+    val docs = Seq((1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s2"), (5L, "s2"))
+      .toDF("doc_id", "source")
+    def hash12(seed: String, id: Long): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    def takeK(ids: Seq[Long], k: Int): Seq[Long] =
+      ids.sortBy(id => (hash12("z", id), id)).take(k)
+    val expect = (takeK(Seq(1L, 2L, 3L), 2) ++ takeK(Seq(4L, 5L), 1)).sorted
+    val got = graft.llm.Curation.largestRemainderSample(docs, "doc_id", "source",
+        total = 3L, seed = "z")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+  }
+
+  test("largestRemainderSample overselect pre-filter returns the identical sample") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val exact = graft.llm.Curation.largestRemainderSample(docs, "doc_id", "source",
+        total = 12L, seed = "os")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val fast = graft.llm.Curation.largestRemainderSample(docs, "doc_id", "source",
+        total = 12L, seed = "os", overselect = 3.0)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(exact.size == 12 && fast == exact)
+  }
 }

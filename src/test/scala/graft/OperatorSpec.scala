@@ -316,4 +316,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
   }
+
+  test("transitionMatrix counts per-user consecutive pairs with tie-broken order") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // user 1: a →(t20 tie, id order)→ b → c → a; user 2: a → b → a
+    val events = Seq(
+      (1L, ts(10L), 1L, "a"), (1L, ts(20L), 2L, "b"),
+      (1L, ts(20L), 3L, "c"), (1L, ts(30L), 4L, "a"),
+      (2L, ts(10L), 5L, "a"), (2L, ts(20L), 6L, "b"), (2L, ts(30L), 7L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.EventAnalytics
+      .transitionMatrix(events, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // a: 2×a→b (p 10000); b: one each of b→a, b→c (p 5000); c: c→a
+    assert(got == Seq(
+      ("a", "b", 2L, 10000L),
+      ("b", "a", 1L, 5000L), ("b", "c", 1L, 5000L),
+      ("c", "a", 1L, 10000L)))
+  }
 }
