@@ -205,6 +205,24 @@ case class DotExpr(a: Expression, b: Expression) extends VecExpression {
     copy(a = nc(0), b = nc(1))
 }
 
+/** graft_wisect(aToks array<string> sorted, aWs array<long>,
+  * bToks array<string> sorted) → bigint: Σ aWs[i] where aToks[i] ∈
+  * bToks, one merge walk over the two token-sorted arrays.
+  */
+case class WIsectExpr(aT: Expression, aW: Expression, bT: Expression)
+    extends VecExpression {
+  override protected def streamingArity: Int = 3
+  override def children: Seq[Expression] = Seq(aT, aW, bT)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_wisect"
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.wisect(v(0), v(1), v(2))
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.wisect(${vals(0)}, ${vals(1)}, ${vals(2)})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): WIsectExpr =
+    copy(aT = nc(0), aW = nc(1), bT = nc(2))
+}
+
 /** graft_norm(a array<float>) → double: sqrt of the index-order
   * self-dot.
   */
@@ -288,6 +306,7 @@ object VecFunctions {
     "graft_sqdist" -> (e => SqDistExpr(e(0), e(1))),
     "graft_sqdist_top2" -> (e => SqDistTop2Expr(e(0), e(1), e(2))),
     "graft_dot" -> (e => DotExpr(e(0), e(1))),
+    "graft_wisect" -> (e => WIsectExpr(e(0), e(1), e(2))),
     "graft_norm" -> (e => NormExpr(e(0))),
     "graft_lsh_bucket" -> (e => LshBucketExpr(e(0), e(1))),
     "graft_simhash" -> (e => SimHashExpr(e(0))),

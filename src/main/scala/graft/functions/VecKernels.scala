@@ -313,4 +313,29 @@ object VecKernels {
     while (o < n) { out(o) = cids(idx(o)); o += 1 }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Weighted set-intersection sum: Σ aWs[i] over positions where
+    * aToks[i] occurs in bToks, both token arrays SORTED in UTF8String
+    * binary order (what `sort_array` / struct sort_array produce) —
+    * one O(|A|+|B|) merge walk with no per-element lambda dispatch.
+    * Replaces the `aggregate(... element_at(map_from_entries(...)))`
+    * form, whose CodegenFallback knocked the whole verification stage
+    * out of whole-stage codegen (measured ~10× on the sf0.1 pair set).
+    * Weights are a global function of the token, so summing the a-side
+    * weight at each match is exact.
+    */
+  def wisect(aToks: ArrayData, aWs: ArrayData, bToks: ArrayData): Long = {
+    val na = aToks.numElements()
+    val nb = bToks.numElements()
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < na && j < nb) {
+      val c = aToks.getUTF8String(i).compareTo(bToks.getUTF8String(j))
+      if (c == 0) { s += aWs.getLong(i); i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    s
+  }
 }

@@ -992,6 +992,7 @@ object Dedup {
       thresholdBp: Long): DataFrame = {
     require(thresholdBp > 0 && thresholdBp <= 10000,
       s"thresholdBp must be in (0, 10000], got $thresholdBp")
+    graft.functions.VecFunctions.register(df.sparkSession)
     val texts = CacheRegistry.persist(
       df.select(md5(col(textCol)).as("graft_tid"), col(textCol).as("graft_t")).distinct()
         .withColumn("graft_tidl", struct(
@@ -1011,7 +1012,11 @@ object Dedup {
     val weights = dfreq.crossJoin(broadcast(nDocs))
       .select(col("tok"), col("graft_df"),
         expr("graft_nd DIV graft_df").as("graft_w"))
-    // per text: (tok, w) in rarity order, total weight W, prefix length
+    // per text: (tok, w) in rarity order for the prefix, total weight W,
+    // prefix length, and TOKEN-SORTED parallel (tokens, weights) arrays
+    // for the merge-walk verification kernel (per-text work — the
+    // higher-order functions here run once per distinct text, not per
+    // candidate pair, so their CodegenFallback cost is immaterial)
     val ordered = toks.join(weights, Seq("tok"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(
@@ -1027,8 +1032,13 @@ object Dedup {
            |           THEN acc.i + 1
            |         ELSE 0 END),
            |  acc -> acc.p)""".stripMargin))
+      .withColumn("graft_srt",
+        expr("sort_array(transform(graft_tws, x -> struct(x.tok AS tok, x.w AS w)))"))
+      .withColumn("graft_vt", expr("transform(graft_srt, x -> x.tok)"))
+      .withColumn("graft_vw", expr("transform(graft_srt, x -> x.w)"))
     val docs = CacheRegistry.persist(
-      ordered.select(col("id"), col("graft_tws"), col("graft_wt"), col("graft_plen")))
+      ordered.select(col("id"), col("graft_tws"), col("graft_vt"), col("graft_vw"),
+        col("graft_wt"), col("graft_plen")))
     val pre = docs.select(col("id"), col("graft_wt"),
       explode(expr("transform(slice(graft_tws, 1, graft_plen), x -> x.tok)")).as("tok"))
     val cands = pre.select(col("id").as("tidl_a"), col("graft_wt").as("graft_wa"), col("tok"))
@@ -1039,14 +1049,18 @@ object Dedup {
           lit(thresholdBp) * greatest(col("graft_wa"), col("graft_wb")))
       .select(col("tidl_a"), col("tidl_b")).distinct()
     val tp = cands
-      .join(docs.select(col("id").as("tidl_a"), col("graft_tws").as("graft_ta"),
-        col("graft_wt").as("graft_wa")), Seq("tidl_a"))
-      .join(docs.select(col("id").as("tidl_b"), col("graft_tws").as("graft_tb"),
+      .join(docs.select(col("id").as("tidl_a"), col("graft_vt").as("graft_vta"),
+        col("graft_vw").as("graft_vwa"), col("graft_wt").as("graft_wa")), Seq("tidl_a"))
+      .join(docs.select(col("id").as("tidl_b"), col("graft_vt").as("graft_vtb"),
         col("graft_wt").as("graft_wb")), Seq("tidl_b"))
-      .withColumn("graft_tbt", expr("transform(graft_tb, x -> x.tok)"))
+      // verification: ONE codegen'd merge walk per pair over the two
+      // token-sorted arrays (graft_wisect kernel) — the higher-order-
+      // function forms (map_from_entries/aggregate) are CodegenFallback
+      // and knocked the whole pair stage out of whole-stage codegen
+      // (measured ~10× slower on the sf0.1 pair set)
       .select(col("tidl_a"), col("tidl_b"),
-        expr("""aggregate(filter(graft_ta, x -> array_contains(graft_tbt, x.tok)),
-               |  0L, (s, x) -> s + x.w)""".stripMargin).as("w_inter"),
+        call_function("graft_wisect",
+          col("graft_vta"), col("graft_vwa"), col("graft_vtb")).as("w_inter"),
         col("graft_wa"), col("graft_wb"))
       .select(col("tidl_a"), col("tidl_b"), col("w_inter"),
         (col("graft_wa") + col("graft_wb") - col("w_inter")).as("w_union"))
@@ -1075,5 +1089,39 @@ object Dedup {
         col("graft_wt").as("w_inter"), col("graft_wt").as("w_union"),
         lit(10000L).as("wjaccard_bp"))
     cross.union(same)
+  }
+
+  /** Dedup aggressiveness sweep: cluster statistics at several Jaccard
+    * thresholds from ONE candidate generation — the tuning table that
+    * answers "how much does each threshold remove, and does any
+    * threshold glue the corpus into a mega-cluster?" before committing
+    * a full dedup run. Candidate pairs come from [[jaccardJoin]] at the
+    * LOOSEST threshold (every tighter pair set is a subset, and the
+    * exact (n_inter, n_union) ride along, so tighter thresholds
+    * re-filter with the exact integer test — no re-scan, no loss);
+    * connected components then run once per threshold over the
+    * shrinking edge set. Output, one row per threshold:
+    * (threshold_bp, n_docs_clustered, n_clusters, max_cluster,
+    * n_removable = docs − clusters, i.e. what a keep-one-per-cluster
+    * dedup deletes).
+    */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val pairs = CacheRegistry.persist(
+      jaccardJoin(df, idCol, textCol, thresholds.min)
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union")))
+    thresholds.sorted.map { t =>
+      val p = pairs.filter(lit(10000L) * col("n_inter") >= lit(t) * col("n_union"))
+      val cc = connectedComponents(p, "id_a", "id_b")
+      val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("graft_sz"))
+      sizes.agg(
+          coalesce(sum(col("graft_sz")), lit(0L)).as("n_docs_clustered"),
+          count(lit(1)).as("n_clusters"),
+          coalesce(max(col("graft_sz")), lit(0L)).as("max_cluster"))
+        .select(lit(t).as("threshold_bp"), col("n_docs_clustered"),
+          col("n_clusters"), col("max_cluster"),
+          (col("n_docs_clustered") - col("n_clusters")).as("n_removable"))
+    }.reduce(_.union(_))
   }
 }

@@ -599,6 +599,45 @@ object TextAnalysis {
       .withColumn("jaccard_bp", expr("(20000 * n_inter + n_union) DIV (2 * n_union)"))
   }
 
+  /** Per-source out-of-vocabulary report against the corpus's own top-V
+    * vocabulary — the tokenizer-planning view: a source whose OOV rate
+    * is high under the corpus-global vocabulary will fragment into
+    * bytes/unknowns under a tokenizer trained on that corpus mix, and
+    * its `n_oov_types` says whether the mass is a few frequent unknowns
+    * (extend the vocab) or a long tail (re-balance the mix). Top-V =
+    * the V most frequent tokens, ties broken by token asc, selected via
+    * distributed top-k (TakeOrdered — no global sort, no single-reducer
+    * window). Occurrence counts, not distinct: the rate weighs actual
+    * token mass.
+    *
+    * Scale shape: one (source, token) count agg (map-side combinable,
+    * post-shuffle = per-source vocab), a vocab-bounded global count for
+    * the top-V, and a vocab-keyed left join — never corpus-bounded.
+    * Output: (source, n_tokens, n_oov_tokens, oov_bp HALF_UP,
+    * n_oov_types).
+    */
+  def oovReport(df: DataFrame, srcCol: String, textCol: String,
+                vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val st = CacheRegistry.persist(
+      df.select(col(srcCol).as("source"), explode(split(col(textCol), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("graft_c")))
+    val topv = st.groupBy(col("w")).agg(sum(col("graft_c")).as("graft_tc"))
+      .orderBy(col("graft_tc").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1L).as("graft_iv"))
+    st.join(topv, Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("graft_c")).as("n_tokens"),
+        coalesce(sum(when(col("graft_iv").isNull, col("graft_c"))), lit(0L))
+          .as("n_oov_tokens"),
+        count(when(col("graft_iv").isNull, col("w"))).as("n_oov_types"))
+      .select(col("source"), col("n_tokens"), col("n_oov_tokens"),
+        expr("(20000 * n_oov_tokens + n_tokens) DIV (2 * n_tokens)").as("oov_bp"),
+        col("n_oov_types"))
+  }
+
   /** Cross-document winnowing matches — the MOSS detector itself: every
     * document pair sharing at least `minShared` distinct winnowing
     * fingerprints, with the shared count. The winnowing guarantee makes

@@ -2494,5 +2494,95 @@ object LlmQueries {
              |                         doc_id) AS rn
              |       FROM documents)
              |SELECT doc_id, source FROM rk JOIN a USING (source)
-             |WHERE rn <= k ORDER BY doc_id""".stripMargin)))
+             |WHERE rn <= k ORDER BY doc_id""".stripMargin)),
+
+    // ---- Per-source OOV report vs the corpus top-20 vocabulary:
+    // occurrence-mass OOV rate + distinct OOV type count, the
+    // tokenizer-planning view. Vocab ties break by token asc.
+    "q155_oov_report" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.oovReport(table(s, dir, "documents"), "source", "text",
+            vocabSize = 20)
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             |         FROM documents),
+             |st AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+             |       FROM tk WHERE w <> '' GROUP BY source, w),
+             |tv AS (SELECT w FROM
+             |         (SELECT w, sum(c) AS tc,
+             |                 row_number() OVER (ORDER BY sum(c) DESC, w) AS rk
+             |          FROM st GROUP BY w) WHERE rk <= 20),
+             |j AS (SELECT source, st.w, c, tv.w IS NOT NULL AS iv
+             |      FROM st LEFT JOIN tv ON st.w = tv.w)
+             |SELECT source,
+             |       CAST(sum(c) AS BIGINT) AS n_tokens,
+             |       CAST(COALESCE(sum(CASE WHEN NOT iv THEN c END), 0) AS BIGINT)
+             |         AS n_oov_tokens,
+             |       CAST((20000 * COALESCE(sum(CASE WHEN NOT iv THEN c END), 0)
+             |             + sum(c)) // (2 * sum(c)) AS BIGINT) AS oov_bp,
+             |       CAST(count(CASE WHEN NOT iv THEN 1 END) AS BIGINT) AS n_oov_types
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- Dedup aggressiveness sweep: cluster stats at three Jaccard
+    // thresholds from one candidate generation; the oracle recomputes
+    // each level's connected components from the exact all-pairs sets.
+    "q156_threshold_sweep" -> QueryDef(
+      (s, dir) => {
+        Dedup.thresholdSweep(table(s, dir, "documents"), "doc_id", "text",
+            Seq(8000L, 9000L, 9600L))
+          .orderBy("threshold_bp")
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |      FROM documents),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+             |i AS (SELECT a.doc_id AS pa, b.doc_id AS pb, CAST(count(*) AS BIGINT) AS ni
+             |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |      GROUP BY a.doc_id, b.doc_id),
+             |p AS (SELECT pa, pb, ni, sa.n + sb.n - ni AS nu
+             |      FROM i JOIN sz sa ON sa.doc_id = pa JOIN sz sb ON sb.doc_id = pb),
+             |e1 AS (SELECT pa AS u, pb AS v FROM p WHERE 10000 * ni >= 8000 * nu
+             |       UNION SELECT pb, pa FROM p WHERE 10000 * ni >= 8000 * nu),
+             |n1 AS (SELECT DISTINCT u AS id FROM e1),
+             |r1 AS (SELECT id AS src, id AS dst FROM n1
+             |       UNION SELECT r1.src, e1.v FROM r1 JOIN e1 ON e1.u = r1.dst),
+             |s1 AS (SELECT src, min(dst) AS comp FROM r1 GROUP BY src),
+             |c1 AS (SELECT comp, CAST(count(*) AS BIGINT) AS csz FROM s1 GROUP BY comp),
+             |e2 AS (SELECT pa AS u, pb AS v FROM p WHERE 10000 * ni >= 9000 * nu
+             |       UNION SELECT pb, pa FROM p WHERE 10000 * ni >= 9000 * nu),
+             |n2 AS (SELECT DISTINCT u AS id FROM e2),
+             |r2 AS (SELECT id AS src, id AS dst FROM n2
+             |       UNION SELECT r2.src, e2.v FROM r2 JOIN e2 ON e2.u = r2.dst),
+             |s2 AS (SELECT src, min(dst) AS comp FROM r2 GROUP BY src),
+             |c2 AS (SELECT comp, CAST(count(*) AS BIGINT) AS csz FROM s2 GROUP BY comp),
+             |e3 AS (SELECT pa AS u, pb AS v FROM p WHERE 10000 * ni >= 9600 * nu
+             |       UNION SELECT pb, pa FROM p WHERE 10000 * ni >= 9600 * nu),
+             |n3 AS (SELECT DISTINCT u AS id FROM e3),
+             |r3 AS (SELECT id AS src, id AS dst FROM n3
+             |       UNION SELECT r3.src, e3.v FROM r3 JOIN e3 ON e3.u = r3.dst),
+             |s3 AS (SELECT src, min(dst) AS comp FROM r3 GROUP BY src),
+             |c3 AS (SELECT comp, CAST(count(*) AS BIGINT) AS csz FROM s3 GROUP BY comp)
+             |SELECT * FROM (
+             |  SELECT CAST(8000 AS BIGINT) AS threshold_bp,
+             |         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_docs_clustered,
+             |         (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_clusters,
+             |         COALESCE((SELECT max(csz) FROM c1), 0) AS max_cluster,
+             |         (SELECT CAST(count(*) AS BIGINT) FROM s1)
+             |           - (SELECT CAST(count(*) AS BIGINT) FROM c1) AS n_removable
+             |  UNION ALL
+             |  SELECT CAST(9000 AS BIGINT),
+             |         (SELECT CAST(count(*) AS BIGINT) FROM s2),
+             |         (SELECT CAST(count(*) AS BIGINT) FROM c2),
+             |         COALESCE((SELECT max(csz) FROM c2), 0),
+             |         (SELECT CAST(count(*) AS BIGINT) FROM s2)
+             |           - (SELECT CAST(count(*) AS BIGINT) FROM c2)
+             |  UNION ALL
+             |  SELECT CAST(9600 AS BIGINT),
+             |         (SELECT CAST(count(*) AS BIGINT) FROM s3),
+             |         (SELECT CAST(count(*) AS BIGINT) FROM c3),
+             |         COALESCE((SELECT max(csz) FROM c3), 0),
+             |         (SELECT CAST(count(*) AS BIGINT) FROM s3)
+             |           - (SELECT CAST(count(*) AS BIGINT) FROM c3))
+             |ORDER BY threshold_bp""".stripMargin)))
 }

@@ -423,6 +423,38 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("oovReport measures occurrence mass and distinct types outside the top-V") {
+    import spark.implicits._
+    // counts: a:3 b:3 x:1 y:2 → top-2 = {a, b}; OOV types x (src A), y (src B)
+    val docs = Seq((0L, "A", "a a b x"), (1L, "B", "a b b y y"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.llm.TextAnalysis.oovReport(docs, "source", "text", vocabSize = 2)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("A", 4L, 1L, 2500L, 1L),
+      ("B", 5L, 2L, 4000L, 1L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("thresholdSweep reports per-threshold cluster stats from one pair generation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "b c d e"),  // J(0,1) = 0.6
+      (2L, "a b c d"),                   // dup of 0
+      (3L, "p q r s"), (4L, "p q r t"))  // J(3,4) = 0.6
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.thresholdSweep(docs, "doc_id", "text", Seq(7000L, 5000L))
+      .orderBy("threshold_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      // t=0.5: comps {0,1,2} and {3,4}
+      (5000L, 5L, 2L, 3L, 3L),
+      // t=0.7: only the exact-dup pair (0,2) survives
+      (7000L, 2L, 1L, 2L, 1L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("whiten standardizes each dimension and zero-variance dims whiten to 0") {
     import spark.implicits._
     // dim 0: values 1,3 -> mean 2, std 1 -> z = -1, +1

