@@ -362,6 +362,35 @@ object Curation {
       .drop("graft_t", "ws", "graft_chars", "graft_sym", "graft_alpha")
   }
 
+  /** Classifier reliability curve — does the cheap hashed-n-gram
+    * quality classifier's score actually track the expensive rule
+    * battery's verdict? Bucket [[TextAnalysis.hashedClassifier]] scores
+    * into fixed-width bins and report each bin's [[gopherRules]] keep
+    * rate: a monotone curve means the classifier threshold is tunable,
+    * a flat one means it learned nothing — the check to run BEFORE
+    * replacing rule filtering with classifier filtering at 100 TB
+    * (where the rules' regex battery is the expensive pass). Bins use
+    * explicit floor semantics (`-((w−1−s) div w)` for s<0) so both
+    * engines bin negatives identically. Two narrow per-doc passes and
+    * one id-keyed join, then a bin-bounded agg. Output: (score_bin,
+    * n_docs, n_keep, keep_bp HALF_UP).
+    */
+  def classifierCalibration(df: DataFrame, idCol: String, textCol: String,
+      binWidth: Long = 8L, minWords: Long = 50L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val scores = TextAnalysis.hashedClassifier(df, idCol, textCol)
+      .select(col("id"), col("score"))
+    val labels = gopherRules(df, idCol, textCol, minWords)
+      .select(col("id"), col("keep"))
+    scores.join(labels, Seq("id"))
+      .withColumn("score_bin", expr(
+        s"""CASE WHEN score >= 0 THEN score DIV $binWidth
+           |     ELSE -((${binWidth - 1} - score) DIV $binWidth) END""".stripMargin))
+      .groupBy(col("score_bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"))
+      .withColumn("keep_bp", expr("(20000 * n_keep + n_docs) DIV (2 * n_docs)"))
+  }
+
   /** Cross-document chunk dedup — the RAG-prep step after
     * [[chunkWindows]]: overlapping windows cut from near-identical
     * documents flood a retrieval index with duplicate chunks; this

@@ -27,6 +27,31 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Dedup provenance audit — one row per REMOVED cluster member, up
+    * to `maxPerGroup` per cluster (lowest ids first), linking it to the
+    * kept representative (the cluster's min id): the record a
+    * compliance/takedown pipeline needs to answer "where did this
+    * document go". Takes any (id, cluster) frame — exact classes
+    * (`df.select(id, md5(text))`), [[connectedComponents]] output, or
+    * [[dedupCorpus]] clusters. The cap bounds the per-cluster OUTPUT on
+    * pathological clusters (a 10M-copy boilerplate class must not emit
+    * 10M audit rows; its size is the histogram's job) while the rank
+    * sort stays O(cluster size log cluster size) per cluster. One
+    * cluster-keyed shuffle; skew equals duplication skew. Output:
+    * (keep_id, dup_id, dup_rank), dup_rank 1-based in dup_id order.
+    */
+  def clusterProvenance(clusters: DataFrame, idCol: String, compCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    val byComp = Window.partitionBy(col(compCol))
+    clusters.select(col(idCol), col(compCol))
+      .withColumn("graft_rn", row_number().over(byComp.orderBy(col(idCol))))
+      .withColumn("graft_keep", min(col(idCol)).over(byComp))
+      .filter(col("graft_rn") > 1 && col("graft_rn") <= maxPerGroup + 1)
+      .select(col("graft_keep").as("keep_id"), col(idCol).as("dup_id"),
+        (col("graft_rn") - 1).cast("long").as("dup_rank"))
+  }
+
   /** Word n-gram shingles: (id, shingle), duplicates preserved. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     splitWords(df, idCol, textCol)

@@ -2584,5 +2584,87 @@ object LlmQueries {
              |         COALESCE((SELECT max(csz) FROM c3), 0),
              |         (SELECT CAST(count(*) AS BIGINT) FROM s3)
              |           - (SELECT CAST(count(*) AS BIGINT) FROM c3))
-             |ORDER BY threshold_bp""".stripMargin)))
+             |ORDER BY threshold_bp""".stripMargin)),
+
+    // ---- Classifier reliability curve: hashed-classifier score bins
+    // vs the Gopher rule battery's keep rate — the check before
+    // swapping rule filtering for classifier filtering. Explicit floor
+    // binning so both engines bin negative scores identically.
+    "q157_classifier_calibration" -> QueryDef(
+      (s, dir) => {
+        Curation.classifierCalibration(table(s, dir, "documents"), "doc_id", "text",
+            binWidth = 8L, minWords = 10L)
+          .orderBy("score_bin")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |w AS (SELECT doc_id,
+             |             CAST('0x' || substr(md5('w:' ||
+             |               CAST(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64
+             |                    AS VARCHAR)), 1, 1) AS BIGINT) - 8 AS wt
+             |      FROM toks),
+             |sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w GROUP BY doc_id),
+             |gw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+             |gb AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+             |              CAST(strlen(text) - (len(ws) - 1) AS BIGINT) AS chars,
+             |              CAST(strlen(text) - strlen(replace(text, '#', ''))
+             |                   + (strlen(text) - strlen(replace(text, '...', ''))) // 3
+             |                AS BIGINT) AS sym,
+             |              CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha,
+             |              CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             |                                   st -> list_contains(ws, st))) AS BIGINT) AS n_stop
+             |       FROM gw),
+             |gm AS (SELECT doc_id, n_words,
+             |              (200 * chars + n_words) // (2 * n_words) AS mwc,
+             |              (20000 * sym + n_words) // (2 * n_words) AS sbp,
+             |              (20000 * alpha + n_words) // (2 * n_words) AS abp,
+             |              n_stop
+             |       FROM gb),
+             |g AS (SELECT doc_id,
+             |             CAST((n_words < 10 OR n_words > 100000) = false
+             |                  AND (mwc < 300 OR mwc > 1000) = false
+             |                  AND sbp <= 1000 AND abp >= 8000 AND n_stop >= 2
+             |               AS BIGINT) AS keep
+             |      FROM gm),
+             |j AS (SELECT CASE WHEN score >= 0 THEN score // 8
+             |                  ELSE -((7 - score) // 8) END AS score_bin, keep
+             |      FROM sc JOIN g USING (doc_id))
+             |SELECT score_bin, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(keep) AS BIGINT) AS n_keep,
+             |       (20000 * sum(keep) + count(*)) // (2 * count(*)) AS keep_bp
+             |FROM j GROUP BY score_bin ORDER BY score_bin""".stripMargin)),
+
+    // ---- Dedup provenance audit: each removed near-dup cluster member
+    // (capped per cluster) linked to its kept representative — the
+    // takedown/compliance trail over the q139-exact clusters.
+    "q158_dup_provenance" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.jaccardJoin(table(s, dir, "documents"), "doc_id", "text", 8000L)
+          .select(col("id_a"), col("id_b"))
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        Dedup.clusterProvenance(cc, "id", "comp", maxPerGroup = 3)
+          .orderBy("keep_id", "dup_rank")
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |      FROM documents),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+             |i AS (SELECT a.doc_id AS pa, b.doc_id AS pb, CAST(count(*) AS BIGINT) AS ni
+             |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |      GROUP BY a.doc_id, b.doc_id),
+             |p AS (SELECT pa, pb, ni, sa.n + sb.n - ni AS nu
+             |      FROM i JOIN sz sa ON sa.doc_id = pa JOIN sz sb ON sb.doc_id = pb),
+             |e1 AS (SELECT pa AS u, pb AS v FROM p WHERE 10000 * ni >= 8000 * nu
+             |       UNION SELECT pb, pa FROM p WHERE 10000 * ni >= 8000 * nu),
+             |n1 AS (SELECT DISTINCT u AS id FROM e1),
+             |r1 AS (SELECT id AS src, id AS dst FROM n1
+             |       UNION SELECT r1.src, e1.v FROM r1 JOIN e1 ON e1.u = r1.dst),
+             |s1 AS (SELECT src, min(dst) AS comp FROM r1 GROUP BY src),
+             |rk AS (SELECT src AS dup_id, comp,
+             |              row_number() OVER (PARTITION BY comp ORDER BY src) AS rn,
+             |              min(src) OVER (PARTITION BY comp) AS keep_id
+             |       FROM s1)
+             |SELECT keep_id, dup_id, CAST(rn - 1 AS BIGINT) AS dup_rank
+             |FROM rk WHERE rn > 1 AND rn <= 4
+             |ORDER BY keep_id, dup_rank""".stripMargin)))
 }

@@ -455,6 +455,44 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("clusterProvenance links capped removed members to the min-id representative") {
+    import spark.implicits._
+    val clusters = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "A"),
+      (9L, "B"), (7L, "B"), (11L, "C"))
+      .toDF("id", "comp")
+    val got = graft.llm.Dedup.clusterProvenance(clusters, "id", "comp", maxPerGroup = 2)
+      .orderBy("keep_id", "dup_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // A: keep 1, dups capped at 2 of 4 (ids 2, 3); B: keep 7, dup 9;
+    // C: singleton -> no rows
+    assert(got.toSeq == Seq((1L, 2L, 1L), (1L, 3L, 2L), (7L, 9L, 1L)))
+  }
+
+  test("classifierCalibration bins scores with floor semantics and matches composition") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the be to of and that have with words here"),
+      (1L, "zz yy xx ww vv uu tt ss rr qq"),
+      (2L, "the quick brown fox jumps over the lazy dog okay"))
+      .toDF("doc_id", "text")
+    val scores = graft.llm.TextAnalysis.hashedClassifier(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keeps = graft.llm.Curation.gopherRules(docs, "doc_id", "text", minWords = 5L)
+      .select("id", "keep").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = scores.toSeq
+      .map { case (id, s) => (Math.floorDiv(s, 8L), keeps(id)) }
+      .groupBy(_._1).toSeq
+      .map { case (bin, xs) =>
+        val n = xs.size.toLong; val k = xs.map(_._2).sum
+        (bin, n, k, (20000L * k + n) / (2L * n))
+      }.sortBy(_._1)
+    val got = graft.llm.Curation.classifierCalibration(docs, "doc_id", "text",
+        binWidth = 8L, minWords = 5L)
+      .orderBy("score_bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expect)
+  }
+
   test("whiten standardizes each dimension and zero-variance dims whiten to 0") {
     import spark.implicits._
     // dim 0: values 1,3 -> mean 2, std 1 -> z = -1, +1

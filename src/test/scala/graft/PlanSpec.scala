@@ -453,7 +453,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         "q118_pq_adc_topk" -> "graft_adc",
         "q131_silhouette" -> "graft_sqdist_top2",
         "q50_ivf_ann" -> "graft_cos_rank",
-        "q35_ann_lsh_bucketed" -> "graft_lsh_bucket")) {
+        "q35_ann_lsh_bucketed" -> "graft_lsh_bucket",
+        // the weighted-Jaccard pair verification: the higher-order-
+        // function form was CodegenFallback and cost 10× at sf0.1
+        "q151_weighted_jaccard" -> "graft_wisect")) {
       val p = planOf(query)
       assert(p.contains(kernel), s"$query no longer uses $kernel:\n$p")
       val codegenLines = p.linesIterator
