@@ -626,8 +626,10 @@ object Curation {
     * rank over the full stratum). The pre-filter is a superset of the
     * final take only with high probability — an under-filled stratum is
     * OBSERVABLE (output count < total), never silent; re-run with a
-    * larger factor or 0. Output: (idCol, strataCol) of the selected
-    * rows.
+    * larger factor or 0. A NULL stratum is a real stratum (null-safe
+    * expansion join), and `total` > population fails loudly at run time
+    * rather than silently undershooting. Output: (idCol, strataCol) of
+    * the selected rows.
     */
   def largestRemainderSample(df: DataFrame, idCol: String, strataCol: String,
                              total: Long, seed: String,
@@ -648,12 +650,29 @@ object Curation {
       .select(col(strataCol),
         (col("graft_fl") +
           when(col("graft_rk") <= col("graft_extra"), lit(1L)).otherwise(lit(0L)))
-          .as("graft_k"),
+          .as("graft_k0"),
         col("graft_n"))
+      // total > N makes some quota exceed its stratum — the 'EXACTLY
+      // total' contract is unsatisfiable, so fail LOUDLY at run time
+      // (the sizes are unknowable at plan time), not by silently
+      // returning fewer rows
+      .withColumn("graft_k", expr(
+        s"""CASE WHEN graft_k0 > graft_n THEN
+           |  CAST(raise_error(concat('largestRemainderSample: total $total ',
+           |    'exceeds the population; stratum quota ', CAST(graft_k0 AS STRING),
+           |    ' > stratum size ', CAST(graft_n AS STRING))) AS BIGINT)
+           |ELSE graft_k0 END""".stripMargin))
+      .drop("graft_k0")
     val hashed = df.select(col(idCol), col(strataCol),
       conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 12), 16, 10)
         .cast("long").as("graft_h"))
-    val joined = hashed.join(broadcast(alloc), Seq(strataCol))
+    // null-safe equi-join: groupBy above keeps a NULL stratum as a real
+    // group with a real quota, so the expansion join must match it too
+    // (a plain equi-join drops every null-stratum row and silently
+    // undershoots the total)
+    val joined = hashed.join(broadcast(alloc),
+      hashed(strataCol) <=> alloc(strataCol), "inner")
+      .drop(alloc(strataCol))
     val candidates =
       if (overselect <= 0.0) joined
       else joined.filter(

@@ -44,7 +44,10 @@ object Dedup {
       maxPerGroup: Int): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
     val byComp = Window.partitionBy(col(compCol))
-    clusters.select(col(idCol), col(compCol))
+    // distinct: a membership frame built with duplicate (id, cluster)
+    // rows would otherwise emit self-links (keep_id == dup_id) and
+    // shift ranks past the cap
+    clusters.select(col(idCol), col(compCol)).distinct()
       .withColumn("graft_rn", row_number().over(byComp.orderBy(col(idCol))))
       .withColumn("graft_keep", min(col(idCol)).over(byComp))
       .filter(col("graft_rn") > 1 && col("graft_rn") <= maxPerGroup + 1)
@@ -873,26 +876,31 @@ object Dedup {
     * threshold test is pure integers (10⁴·|∩| ≥ t_bp·|∪|) — no float on
     * either engine. Output: (id_a, id_b, n_inter, n_union, jaccard_bp).
     */
-  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
-      thresholdBp: Long): DataFrame = {
-    require(thresholdBp > 0 && thresholdBp <= 10000,
-      s"thresholdBp must be in (0, 10000], got $thresholdBp")
-    // Collapse to canonical texts first (the q33 judgment): exact-dup
-    // classes share one token set, so J is class-invariant — pairwise
-    // work runs on DISTINCT texts and doc-level pairs re-expand in-row.
-    // On a duplicate-heavy corpus this is the difference between
-    // verifying millions of doc pairs and dozens of text pairs
-    // (measured 10.5 s → sub-second at sf0.1).
-    // compact surrogate keys for the internal joins: the candidate
-    // distinct + verification shuffles move (key, key) pairs, and a
-    // 16-byte two-long struct beats the 32-char md5 string exchange
-    // width (measured 18.6 s → see BENCH_NOTES). The key is the md5
-    // SPLIT INTO TWO LONGS — fully deterministic, unlike
-    // monotonically_increasing_id, whose value depends on partition
-    // content order: a cache-evicted partition recomputed mid-job could
-    // hand DIFFERENT ids to the three consumers of `texts` and silently
-    // mis-join pairs to documents. 120 of the 128 md5 bits ride along,
-    // so collisions are out of the picture too.
+  /** Canonical-text collapse shared by the exact similarity joins (the
+    * q33 judgment): exact-dup classes share one token set, so any
+    * text-set similarity is class-invariant — pairwise work runs on
+    * DISTINCT texts and doc-level pairs re-expand through membership.
+    * On a duplicate-heavy corpus this is the difference between
+    * verifying millions of doc pairs and dozens of text pairs
+    * (measured 10.5 s → sub-second at sf0.1).
+    *
+    * Compact surrogate keys for the internal joins: the candidate
+    * distinct + verification shuffles move (key, key) pairs, and a
+    * 16-byte two-long struct beats the 32-char md5 string exchange
+    * width (measured 18.6 s → see BENCH_NOTES). The key is the md5
+    * SPLIT INTO TWO LONGS — fully deterministic, unlike
+    * monotonically_increasing_id, whose value depends on partition
+    * content order: a cache-evicted partition recomputed mid-job could
+    * hand DIFFERENT ids to the consumers of `texts` and silently
+    * mis-join pairs to documents. 120 of the 128 md5 bits ride along,
+    * so collisions are out of the picture too.
+    *
+    * Returns (texts: graft_tid, graft_t, graft_tidl; membership:
+    * graft_did, graft_tid, graft_tidl), both persisted — callers
+    * release via [[CacheRegistry]].
+    */
+  private def canonicalTexts(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     val texts = CacheRegistry.persist(
       df.select(md5(col(textCol)).as("graft_tid"), col(textCol).as("graft_t")).distinct()
         .withColumn("graft_tidl", struct(
@@ -901,36 +909,56 @@ object Dedup {
     val membership = CacheRegistry.persist(
       df.select(col(idCol).as("graft_did"), md5(col(textCol)).as("graft_tid"))
         .join(texts.select(col("graft_tid"), col("graft_tidl")), Seq("graft_tid")))
-    val tp = jaccardJoinDistinct(texts, thresholdBp)
-    // cross-text doc pairs: re-expand the verified text pairs through
-    // membership. No forced broadcast — texts/sizes are distinct-text-
-    // sized (≈ corpus on a mostly-unique corpus) and tp is candidate-
-    // pair-sized (unbounded on a similar corpus); AQE broadcasts at
-    // runtime exactly when the built side measures small.
-    val cross = tp
-      .join(membership.select(col("graft_did").as("graft_d1"),
+    (texts, membership)
+  }
+
+  /** Re-expand verified text pairs (tidl_a, tidl_b, payload...) to doc
+    * pairs through membership, ids canonicalized least/greatest. No
+    * forced broadcast — membership is corpus-sized and tp is candidate-
+    * pair-sized (unbounded on a similar corpus); AQE broadcasts at
+    * runtime exactly when the built side measures small.
+    */
+  private def expandTextPairs(tp: DataFrame, membership: DataFrame,
+      payload: Seq[String]): DataFrame =
+    tp.join(membership.select(col("graft_did").as("graft_d1"),
         col("graft_tidl").as("tidl_a")), Seq("tidl_a"))
       .join(membership.select(col("graft_did").as("graft_d2"),
         col("graft_tidl").as("tidl_b")), Seq("tidl_b"))
-      .select(least(col("graft_d1"), col("graft_d2")).as("id_a"),
-        greatest(col("graft_d1"), col("graft_d2")).as("id_b"),
-        col("n_inter"), col("n_union"), col("jaccard_bp"))
-    // same-text doc pairs: J = 1 by construction. One shuffle (groupBy
-    // tid) + in-row pair expansion, not a self-join.
-    val sizes = texts.select(col("graft_tidl"),
-      size(array_distinct(split(col("graft_t"), " "))).cast("long").as("graft_n"))
-    val same = membership.join(sizes, Seq("graft_tidl"))
+      .select(least(col("graft_d1"), col("graft_d2")).as("id_a") +:
+        greatest(col("graft_d1"), col("graft_d2")).as("id_b") +:
+        payload.map(col): _*)
+
+  /** Same-text doc pairs: similarity = 1 by construction, inter = union
+    * = the class's per-text value (`perText`: graft_tidl → graft_v).
+    * One shuffle (groupBy tid) + in-row pair expansion, not a self-join.
+    * Output columns named (outInter, outUnion, outBp).
+    */
+  private def sameTextPairs(membership: DataFrame, perText: DataFrame,
+      outInter: String, outUnion: String, outBp: String): DataFrame =
+    membership.join(perText, Seq("graft_tidl"))
       .groupBy(col("graft_tidl"))
       .agg(sort_array(collect_list(col("graft_did"))).as("ids"),
-        first(col("graft_n")).as("graft_n"))
+        first(col("graft_v")).as("graft_v"))
       .filter(size(col("ids")) >= 2)
-      .select(col("graft_n"), explode(expr(
+      .select(col("graft_v"), explode(expr(
         """flatten(transform(sequence(0, size(ids) - 2),
           |  i -> transform(sequence(i + 1, size(ids) - 1),
           |    j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("graft_n").as("n_inter"), col("graft_n").as("n_union"),
-        lit(10000L).as("jaccard_bp"))
+        col("graft_v").as(outInter), col("graft_v").as(outUnion),
+        lit(10000L).as(outBp))
+
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      thresholdBp: Long): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be in (0, 10000], got $thresholdBp")
+    val (texts, membership) = canonicalTexts(df, idCol, textCol)
+    val tp = jaccardJoinDistinct(texts, thresholdBp)
+    val cross = expandTextPairs(tp, membership,
+      Seq("n_inter", "n_union", "jaccard_bp"))
+    val sizes = texts.select(col("graft_tidl"),
+      size(array_distinct(split(col("graft_t"), " "))).cast("long").as("graft_v"))
+    val same = sameTextPairs(membership, sizes, "n_inter", "n_union", "jaccard_bp")
     cross.union(same)
   }
 
@@ -1018,14 +1046,7 @@ object Dedup {
     require(thresholdBp > 0 && thresholdBp <= 10000,
       s"thresholdBp must be in (0, 10000], got $thresholdBp")
     graft.functions.VecFunctions.register(df.sparkSession)
-    val texts = CacheRegistry.persist(
-      df.select(md5(col(textCol)).as("graft_tid"), col(textCol).as("graft_t")).distinct()
-        .withColumn("graft_tidl", struct(
-          conv(substring(col("graft_tid"), 1, 15), 16, 10).cast("long").as("h"),
-          conv(substring(col("graft_tid"), 16, 15), 16, 10).cast("long").as("l"))))
-    val membership = CacheRegistry.persist(
-      df.select(col(idCol).as("graft_did"), md5(col(textCol)).as("graft_tid"))
-        .join(texts.select(col("graft_tid"), col("graft_tidl")), Seq("graft_tid")))
+    val (texts, membership) = canonicalTexts(df, idCol, textCol)
     val copies = membership.groupBy(col("graft_tidl"))
       .agg(count(lit(1)).as("graft_copies"))
     val toks = texts.select(col("graft_tidl").as("id"),
@@ -1057,8 +1078,9 @@ object Dedup {
            |           THEN acc.i + 1
            |         ELSE 0 END),
            |  acc -> acc.p)""".stripMargin))
-      .withColumn("graft_srt",
-        expr("sort_array(transform(graft_tws, x -> struct(x.tok AS tok, x.w AS w)))"))
+      // graft_tws elements are already struct(tok, w), so sorting the
+      // array directly gives UTF8-binary token order for the kernel
+      .withColumn("graft_srt", expr("sort_array(graft_tws)"))
       .withColumn("graft_vt", expr("transform(graft_srt, x -> x.tok)"))
       .withColumn("graft_vw", expr("transform(graft_srt, x -> x.w)"))
     val docs = CacheRegistry.persist(
@@ -1091,28 +1113,11 @@ object Dedup {
         (col("graft_wa") + col("graft_wb") - col("w_inter")).as("w_union"))
       .filter(lit(10000L) * col("w_inter") >= lit(thresholdBp) * col("w_union"))
       .withColumn("wjaccard_bp", expr("(20000 * w_inter + w_union) DIV (2 * w_union)"))
-    val cross = tp
-      .join(membership.select(col("graft_did").as("graft_d1"),
-        col("graft_tidl").as("tidl_a")), Seq("tidl_a"))
-      .join(membership.select(col("graft_did").as("graft_d2"),
-        col("graft_tidl").as("tidl_b")), Seq("tidl_b"))
-      .select(least(col("graft_d1"), col("graft_d2")).as("id_a"),
-        greatest(col("graft_d1"), col("graft_d2")).as("id_b"),
-        col("w_inter"), col("w_union"), col("wjaccard_bp"))
-    // same-text doc pairs: J_w = 1, weight = the text's total W
-    val same = membership.join(docs.withColumnRenamed("id", "graft_tidl")
-        .select(col("graft_tidl"), col("graft_wt")), Seq("graft_tidl"))
-      .groupBy(col("graft_tidl"))
-      .agg(sort_array(collect_list(col("graft_did"))).as("ids"),
-        first(col("graft_wt")).as("graft_wt"))
-      .filter(size(col("ids")) >= 2)
-      .select(col("graft_wt"), explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  i -> transform(sequence(i + 1, size(ids) - 1),
-          |    j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("graft_wt").as("w_inter"), col("graft_wt").as("w_union"),
-        lit(10000L).as("wjaccard_bp"))
+    val cross = expandTextPairs(tp, membership,
+      Seq("w_inter", "w_union", "wjaccard_bp"))
+    // same-text doc pairs: J_w = 1, value = the text's total weight W
+    val perText = docs.select(col("id").as("graft_tidl"), col("graft_wt").as("graft_v"))
+    val same = sameTextPairs(membership, perText, "w_inter", "w_union", "wjaccard_bp")
     cross.union(same)
   }
 

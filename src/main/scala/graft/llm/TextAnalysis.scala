@@ -584,7 +584,12 @@ object TextAnalysis {
     val st = CacheRegistry.persist(
       df.select(col(srcCol).as("s"), explode(split(col(textCol), " ")).as("w"))
         .filter(col("w") =!= "").distinct())
-    val sizes = st.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    // sizes over ALL sources present in df, not just token-bearing ones
+    // — a source whose texts are all empty still appears in every pair
+    // (n = 0), keeping the full-matrix contract honest
+    val sizes = df.select(col(srcCol).as("s")).distinct()
+      .join(st.groupBy(col("s")).agg(count(lit(1)).as("graft_c")), Seq("s"), "left")
+      .select(col("s"), coalesce(col("graft_c"), lit(0L)).as("n"))
     val pairs = sizes.select(col("s").as("src_a"), col("n").as("n_a"))
       .join(sizes.select(col("s").as("src_b"), col("n").as("n_b")),
         col("src_a") < col("src_b"))
@@ -596,7 +601,10 @@ object TextAnalysis {
       .select(col("src_a"), col("src_b"),
         coalesce(col("graft_i"), lit(0L)).as("n_inter"),
         (col("n_a") + col("n_b") - coalesce(col("graft_i"), lit(0L))).as("n_union"))
-      .withColumn("jaccard_bp", expr("(20000 * n_inter + n_union) DIV (2 * n_union)"))
+      // two empty vocabularies are identical sets → J = 1 (and no ÷0)
+      .withColumn("jaccard_bp", expr(
+        "CASE WHEN n_union = 0 THEN 10000 " +
+          "ELSE (20000 * n_inter + n_union) DIV (2 * n_union) END"))
   }
 
   /** Per-source out-of-vocabulary report against the corpus's own top-V

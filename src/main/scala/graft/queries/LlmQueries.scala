@@ -2455,15 +2455,19 @@ object LlmQueries {
       Some("""WITH tk AS (SELECT source AS s, unnest(string_split(text, ' ')) AS w
              |         FROM documents),
              |st AS (SELECT DISTINCT s, w FROM tk WHERE w <> ''),
-             |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY s),
+             |sz AS (SELECT d.s, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+             |       FROM (SELECT DISTINCT source AS s FROM documents) d
+             |       LEFT JOIN (SELECT s, count(*) AS n FROM st GROUP BY s) c
+             |         ON d.s = c.s),
              |pr AS (SELECT a.s AS src_a, b.s AS src_b, a.n AS n_a, b.n AS n_b
              |       FROM sz a JOIN sz b ON a.s < b.s),
              |it AS (SELECT a.s AS src_a, b.s AS src_b, CAST(count(*) AS BIGINT) AS i
              |       FROM st a JOIN st b ON a.w = b.w AND a.s < b.s GROUP BY 1, 2)
              |SELECT src_a, src_b, COALESCE(i, 0) AS n_inter,
              |       n_a + n_b - COALESCE(i, 0) AS n_union,
-             |       (20000 * COALESCE(i, 0) + (n_a + n_b - COALESCE(i, 0)))
-             |         // (2 * (n_a + n_b - COALESCE(i, 0))) AS jaccard_bp
+             |       CASE WHEN n_a + n_b - COALESCE(i, 0) = 0 THEN 10000
+             |            ELSE (20000 * COALESCE(i, 0) + (n_a + n_b - COALESCE(i, 0)))
+             |              // (2 * (n_a + n_b - COALESCE(i, 0))) END AS jaccard_bp
              |FROM pr LEFT JOIN it USING (src_a, src_b)
              |ORDER BY src_a, src_b""".stripMargin)),
 

@@ -423,6 +423,22 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("sourceTokenJaccard keeps token-less sources in the full matrix") {
+    import spark.implicits._
+    val docs = Seq((0L, "A", "a b"), (1L, "B", ""), (2L, "C", ""))
+      .toDF("doc_id", "source", "text")
+    val got = graft.llm.TextAnalysis.sourceTokenJaccard(docs, "source", "text")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // B and C have empty vocabularies: they still pair (A,B)/(A,C) with
+    // J = 0, and (B,C) — two identical empty sets — reports J = 1
+    assert(got.toSeq == Seq(
+      ("A", "B", 0L, 2L, 0L),
+      ("A", "C", 0L, 2L, 0L),
+      ("B", "C", 0L, 0L, 10000L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("oovReport measures occurrence mass and distinct types outside the top-V") {
     import spark.implicits._
     // counts: a:3 b:3 x:1 y:2 → top-2 = {a, b}; OOV types x (src A), y (src B)

@@ -290,6 +290,25 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("largestRemainderSample keeps a NULL stratum and fails loudly when total > N") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("s1")), (2L, Some("s1")), (3L, None), (4L, None))
+      .toDF("doc_id", "source")
+    // null stratum holds half the mass -> gets half the quota
+    val got = graft.llm.Curation.largestRemainderSample(docs, "doc_id", "source",
+        total = 2L, seed = "n")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.length == 2)
+    assert(got.count(_._2.isEmpty) == 1 && got.count(_._2.contains("s1")) == 1)
+    // total beyond the population must raise, not silently undershoot
+    val e = intercept[Exception] {
+      graft.llm.Curation.largestRemainderSample(docs, "doc_id", "source",
+        total = 9L, seed = "n").collect()
+    }
+    assert(e.getMessage.contains("largestRemainderSample") ||
+      Option(e.getCause).exists(_.getMessage.contains("largestRemainderSample")))
+  }
+
   test("largestRemainderSample overselect pre-filter returns the identical sample") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")

@@ -317,23 +317,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
   }
 
-  test("transitionMatrix counts per-user consecutive pairs with tie-broken order") {
+  test("transitionMatrix orders by time first, event-id only on genuine ties") {
     import spark.implicits._
-    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
-    // user 1: a →(t20 tie, id order)→ b → c → a; user 2: a → b → a
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // Event ids are deliberately ANTI-chronological except at the one
+    // genuine tie, so an implementation ordering by id alone (or by
+    // (id, ts)) produces a different transition set and fails:
+    //  user 1 time order: a(id 10) → b(id 2) =tie= c(id 5) → d(id 1)
+    //    id order would give d→b, b→c, c→a instead.
+    //  user 2 time order: b(id 9) → a(id 7) → b(id 6).
     val events = Seq(
-      (1L, ts(10L), 1L, "a"), (1L, ts(20L), 2L, "b"),
-      (1L, ts(20L), 3L, "c"), (1L, ts(30L), 4L, "a"),
-      (2L, ts(10L), 5L, "a"), (2L, ts(20L), 6L, "b"), (2L, ts(30L), 7L, "a"))
+      (1L, ts(1000L), 10L, "a"), (1L, ts(2000L), 2L, "b"),
+      (1L, ts(2000L), 5L, "c"), (1L, ts(3000L), 1L, "d"),
+      (2L, ts(500L), 9L, "b"), (2L, ts(1000L), 7L, "a"), (2L, ts(2000L), 6L, "b"))
       .toDF("user_id", "ts", "event_id", "event_type")
     val got = graft.operators.EventAnalytics
       .transitionMatrix(events, "user_id", "ts", "event_type", "event_id")
       .orderBy("from_type", "to_type")
       .as[(String, String, Long, Long)].collect().toSeq
-    // a: 2×a→b (p 10000); b: one each of b→a, b→c (p 5000); c: c→a
+    // a→b ×2 (all of a's exits); b splits b→a / b→c at 5000 each; c→d
     assert(got == Seq(
       ("a", "b", 2L, 10000L),
       ("b", "a", 1L, 5000L), ("b", "c", 1L, 5000L),
-      ("c", "a", 1L, 10000L)))
+      ("c", "d", 1L, 10000L)))
   }
 }
