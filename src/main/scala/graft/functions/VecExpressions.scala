@@ -274,6 +274,40 @@ case class SimHashExpr(hvs: Expression) extends VecExpression {
     copy(hvs = nc(0))
 }
 
+/** graft_bits_mask(bits array<long>, width int lit) → array<long>:
+  * bit-index list folded into a `width`-word bitmask (dense-vocabulary
+  * set representation).
+  */
+case class BitsToMaskExpr(bits: Expression, widthE: Expression) extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(bits, widthE)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bits_mask"
+  @transient private lazy val width = evalInt(widthE)
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.bitsToMask(v.head, width)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.bitsToMask(${vals.head}, $width)"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): BitsToMaskExpr =
+    copy(bits = nc(0), widthE = nc(1))
+}
+
+/** graft_mask_inter(a array<long>, b array<long>) → bigint:
+  * Σ popcount(a & b) — |A ∩ B| of two same-width bitmask sets.
+  */
+case class MaskIntersectExpr(a: Expression, b: Expression) extends VecExpression {
+  override protected def streamingArity: Int = 2
+  override def children: Seq[Expression] = Seq(a, b)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_mask_inter"
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.maskIntersect(v(0), v(1))
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.maskIntersect(${vals(0)}, ${vals(1)})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): MaskIntersectExpr =
+    copy(a = nc(0), b = nc(1))
+}
+
 /** graft_cos_rank(v array<float>, cents array<float> lit, cids
   * array<long> lit) → array<long>: centroid ids by cosine desc, ties →
   * lowest id.
@@ -310,6 +344,8 @@ object VecFunctions {
     "graft_norm" -> (e => NormExpr(e(0))),
     "graft_lsh_bucket" -> (e => LshBucketExpr(e(0), e(1))),
     "graft_simhash" -> (e => SimHashExpr(e(0))),
+    "graft_bits_mask" -> (e => BitsToMaskExpr(e(0), e(1))),
+    "graft_mask_inter" -> (e => MaskIntersectExpr(e(0), e(1))),
     "graft_cos_rank" -> (e => CosRankExpr(e(0), e(1), e(2))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>

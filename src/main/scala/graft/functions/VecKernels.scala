@@ -338,4 +338,45 @@ object VecKernels {
     }
     s
   }
+
+  /** Bit-index list → fixed-width bitmask (`width` 64-bit words). The
+    * dense-vocabulary set representation: with every corpus token mapped
+    * to a bit < width·64, a document's distinct-token set becomes a flat
+    * long array and set algebra becomes word-wise bit ops. Order-free
+    * (ORs commute), so an unordered `collect_list` of bit indices is a
+    * sound producer. Out-of-range bits fail loudly — a silent mask drop
+    * would undercount every intersection the token participates in.
+    */
+  def bitsToMask(bits: ArrayData, width: Int): ArrayData = {
+    val n = bits.numElements()
+    val out = new Array[Long](width)
+    var i = 0
+    while (i < n) {
+      val b = bits.getLong(i)
+      if (b < 0L || b >= width.toLong * 64L)
+        throw new IllegalArgumentException(
+          s"graft_bits_mask: bit index $b outside [0, ${width * 64})")
+      out((b >> 6).toInt) |= 1L << (b & 63L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** |A ∩ B| of two same-width bitmasks: Σ popcount(a & b). One branch-
+    * free word loop per candidate pair — the verification kernel of the
+    * dense-vocabulary exact-Jaccard path, where the pair volume is the
+    * dominant cost and any per-element lambda dispatch would swamp it.
+    */
+  def maskIntersect(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    require(na == b.numElements(),
+      s"graft_mask_inter: mask widths differ ($na vs ${b.numElements()})")
+    var s = 0L
+    var i = 0
+    while (i < na) {
+      s += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    s
+  }
 }

@@ -962,14 +962,112 @@ object Dedup {
     cross.union(same)
   }
 
-  /** The prefix-filter join proper, over already-distinct texts keyed
-    * `graft_tidl` (dense long) / bodied `graft_t`. Output: (tidl_a,
-    * tidl_b, n_inter, n_union, jaccard_bp).
+  /** Similarity join over already-distinct texts keyed `graft_tidl`
+    * (dense long) / bodied `graft_t`. Output: (tidl_a, tidl_b, n_inter,
+    * n_union, jaccard_bp).
+    *
+    * Two regimes, dispatched on the corpus's measured shape:
+    *
+    *   - SPARSE (the 100-TB text norm: huge vocabulary, rare tokens) —
+    *     prefix-filter candidate join [[prefixJaccardDistinct]], where
+    *     candidates ≪ all pairs because prefix tokens are rare.
+    *   - DENSE (small vocabulary: category sets, event-type sets, tag
+    *     corpora) — every token is common, so the prefix join
+    *     degenerates to ~all-pairs WITH a corpus-sized exploded-token
+    *     shuffle on top (measured at sf0.1: V=31, every token in ~75%
+    *     of docs → 44M candidate rows for 12.5M pairs). There
+    *     [[denseJaccardDistinct]] encodes each distinct token set as a
+    *     ⌈V/64⌉-word bitmask and verifies ALL pairs with a codegen'd
+    *     popcount kernel — no exploded shuffle, no distinct, no array
+    *     joins; in this regime the qualifying OUTPUT is itself Θ(pairs)
+    *     (24% of all pairs at sf0.1/t=0.8), so all-pairs verification
+    *     is output-optimal.
+    *
+    * Dispatch probes are bounded driver actions (the
+    * [[connectedComponents]] edge-count precedent): the vocabulary
+    * count is capped by `limit(max+1)`, and the pair-loop budget
+    * D²·width ≤ opsPerCore · defaultParallelism keeps the dense path
+    * off corpora whose distinct-text count would make the quadratic
+    * loop slower than the sparse plan at the session's actual core
+    * count. Session confs `graft.jaccard.denseVocabMax` (default 4096)
+    * and `graft.jaccard.densePairOpsPerCore` (default 4e9, roughly a
+    * few seconds of popcount work per core) tune the cutovers;
+    * denseVocabMax=0 forces the sparse path. `dfreq` is persisted
+    * ([[CacheRegistry]]) because the probe materializes it and both
+    * paths join it back to the token stream — vocabulary-sized, the
+    * smallest cacheable frame in the join.
     */
   private def jaccardJoinDistinct(texts: DataFrame, thresholdBp: Long): DataFrame = {
+    val spark = texts.sparkSession
     val toks = texts.select(col("graft_tidl").as("id"),
       explode(array_distinct(split(col("graft_t"), " "))).as("tok"))
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("graft_df"))
+    val dfreq = CacheRegistry.persist(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("graft_df")))
+    val vocabMax = spark.conf.get("graft.jaccard.denseVocabMax", "4096").toInt
+    val vocabN = dfreq.limit(vocabMax + 1).count()
+    val dense = vocabN <= vocabMax && {
+      val width = math.max(((vocabN + 63) / 64).toInt, 1)
+      val d = texts.count().toDouble
+      val budget = spark.conf.get("graft.jaccard.densePairOpsPerCore", "4000000000").toDouble
+      val cores = math.max(spark.sparkContext.defaultParallelism, 1).toDouble
+      d * d * width <= budget * cores
+    }
+    if (dense) denseJaccardDistinct(texts, toks, dfreq, vocabN.toInt, thresholdBp)
+    else prefixJaccardDistinct(texts, toks, dfreq, thresholdBp)
+  }
+
+  /** Dense-vocabulary verification: token → bit id (vocabulary sort
+    * order — a ≤ denseVocabMax-row single-partition window, bounded by
+    * the dispatch gate), per-text bitmask via one kernel call, then a
+    * non-equi self-join whose condition carries ONLY the cheap length
+    * filter — the popcount kernel runs once per surviving pair in the
+    * projection, inside whole-stage codegen. The stream side is
+    * repartitioned so the quadratic loop spreads across every core
+    * instead of riding the agg's (possibly single) output partition.
+    */
+  private def denseJaccardDistinct(texts: DataFrame, toks: DataFrame,
+      dfreq: DataFrame, vocabN: Int, thresholdBp: Long): DataFrame = {
+    val spark = texts.sparkSession
+    graft.functions.VecFunctions.register(spark)
+    val width = math.max((vocabN + 63) / 64, 1)
+    val vocab = dfreq.select(col("tok")).withColumn("graft_bit",
+      (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
+    val docs = CacheRegistry.persist(
+      toks.join(vocab, Seq("tok"))
+        .groupBy(col("id"))
+        .agg(collect_list(col("graft_bit")).as("graft_bits"))
+        .select(col("id"),
+          call_function("graft_bits_mask", col("graft_bits"), lit(width)).as("graft_m"),
+          size(col("graft_bits")).cast("long").as("graft_sz")))
+    val lhs = docs.repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("id").as("tidl_a"), col("graft_m").as("graft_ma"),
+        col("graft_sz").as("graft_na"))
+    val rhs = docs.select(col("id").as("tidl_b"), col("graft_m").as("graft_mb"),
+      col("graft_sz").as("graft_nb"))
+    // n_inter rides through explode(array(...)) — a 1-element Generate —
+    // as an OPTIMIZER BARRIER: written as a plain projection, Catalyst
+    // inlines the kernel into the pushed-down join condition and the
+    // popcount runs 2-3× per raw combo (including combos the cheap
+    // predicates already reject); a filter on a Generate's output cannot
+    // push below it, so the join keeps only the cheap length/order
+    // predicates and the kernel runs exactly once per surviving pair.
+    lhs.join(rhs,
+        col("tidl_a") < col("tidl_b") &&
+          lit(10000L) * least(col("graft_na"), col("graft_nb")) >=
+            lit(thresholdBp) * greatest(col("graft_na"), col("graft_nb")))
+      .withColumn("n_inter", explode(array(
+        call_function("graft_mask_inter", col("graft_ma"), col("graft_mb")))))
+      .withColumn("n_union",
+        (col("graft_na") + col("graft_nb") - col("n_inter")).cast("long"))
+      .filter(lit(10000L) * col("n_inter") >= lit(thresholdBp) * col("n_union"))
+      .withColumn("jaccard_bp", expr("(20000 * n_inter + n_union) DIV (2 * n_union)"))
+      .select(col("tidl_a"), col("tidl_b"), col("n_inter"), col("n_union"),
+        col("jaccard_bp"))
+  }
+
+  /** The prefix-filter join proper (sparse-vocabulary regime). */
+  private def prefixJaccardDistinct(texts: DataFrame, toks: DataFrame,
+      dfreq: DataFrame, thresholdBp: Long): DataFrame = {
     // per text: tokens in global rarity order + the prefix length
     val ordered = toks.join(dfreq, Seq("tok"))
       .groupBy(col("id"))
@@ -1086,29 +1184,65 @@ object Dedup {
     val docs = CacheRegistry.persist(
       ordered.select(col("id"), col("graft_tws"), col("graft_vt"), col("graft_vw"),
         col("graft_wt"), col("graft_plen")))
-    val pre = docs.select(col("id"), col("graft_wt"),
-      explode(expr("transform(slice(graft_tws, 1, graft_plen), x -> x.tok)")).as("tok"))
-    val cands = pre.select(col("id").as("tidl_a"), col("graft_wt").as("graft_wa"), col("tok"))
-      .join(pre.select(col("id").as("tidl_b"), col("graft_wt").as("graft_wb"), col("tok")),
-        Seq("tok"))
-      .filter(col("tidl_a") < col("tidl_b") &&
-        lit(10000L) * least(col("graft_wa"), col("graft_wb")) >=
-          lit(thresholdBp) * greatest(col("graft_wa"), col("graft_wb")))
-      .select(col("tidl_a"), col("tidl_b")).distinct()
-    val tp = cands
-      .join(docs.select(col("id").as("tidl_a"), col("graft_vt").as("graft_vta"),
-        col("graft_vw").as("graft_vwa"), col("graft_wt").as("graft_wa")), Seq("tidl_a"))
-      .join(docs.select(col("id").as("tidl_b"), col("graft_vt").as("graft_vtb"),
-        col("graft_wt").as("graft_wb")), Seq("tidl_b"))
-      // verification: ONE codegen'd merge walk per pair over the two
-      // token-sorted arrays (graft_wisect kernel) — the higher-order-
-      // function forms (map_from_entries/aggregate) are CodegenFallback
-      // and knocked the whole pair stage out of whole-stage codegen
-      // (measured ~10× slower on the sf0.1 pair set)
-      .select(col("tidl_a"), col("tidl_b"),
-        call_function("graft_wisect",
-          col("graft_vta"), col("graft_vwa"), col("graft_vtb")).as("w_inter"),
-        col("graft_wa"), col("graft_wb"))
+    // regime dispatch, same probes and confs as [[jaccardJoinDistinct]]:
+    // in the dense-vocabulary regime every prefix token is common, the
+    // prefix self-join degenerates to ~all-pairs plus a corpus-sized
+    // exploded shuffle, and a budget-gated all-pairs join carrying the
+    // (token, weight) arrays straight through — no candidate distinct,
+    // no join-backs — is strictly less work. The per-pair merge walk
+    // costs O(doc tokens) ≤ vocabN, hence vocabN as the budget's
+    // per-pair unit.
+    val spark = df.sparkSession
+    val vocabMax = spark.conf.get("graft.jaccard.denseVocabMax", "4096").toInt
+    val dfreqP = CacheRegistry.persist(dfreq)
+    val vocabN = dfreqP.limit(vocabMax + 1).count()
+    val dense = vocabN <= vocabMax && {
+      val d = texts.count().toDouble
+      val budget = spark.conf.get("graft.jaccard.densePairOpsPerCore", "4000000000").toDouble
+      val cores = math.max(spark.sparkContext.defaultParallelism, 1).toDouble
+      d * d * math.max(vocabN, 1L) <= budget * cores
+    }
+    val verified =
+      if (dense) {
+        val lhs = docs.repartition(spark.sessionState.conf.numShufflePartitions)
+          .select(col("id").as("tidl_a"), col("graft_vt").as("graft_vta"),
+            col("graft_vw").as("graft_vwa"), col("graft_wt").as("graft_wa"))
+        val rhs = docs.select(col("id").as("tidl_b"), col("graft_vt").as("graft_vtb"),
+          col("graft_wt").as("graft_wb"))
+        lhs.join(rhs,
+            col("tidl_a") < col("tidl_b") &&
+              lit(10000L) * least(col("graft_wa"), col("graft_wb")) >=
+                lit(thresholdBp) * greatest(col("graft_wa"), col("graft_wb")))
+          // explode(array(...)) barrier: see denseJaccardDistinct — keeps
+          // the merge-walk kernel out of the pushed-down join condition
+          .withColumn("w_inter", explode(array(call_function("graft_wisect",
+            col("graft_vta"), col("graft_vwa"), col("graft_vtb")))))
+      } else {
+        val pre = docs.select(col("id"), col("graft_wt"),
+          explode(expr("transform(slice(graft_tws, 1, graft_plen), x -> x.tok)")).as("tok"))
+        val cands = pre.select(col("id").as("tidl_a"), col("graft_wt").as("graft_wa"), col("tok"))
+          .join(pre.select(col("id").as("tidl_b"), col("graft_wt").as("graft_wb"), col("tok")),
+            Seq("tok"))
+          .filter(col("tidl_a") < col("tidl_b") &&
+            lit(10000L) * least(col("graft_wa"), col("graft_wb")) >=
+              lit(thresholdBp) * greatest(col("graft_wa"), col("graft_wb")))
+          .select(col("tidl_a"), col("tidl_b")).distinct()
+        cands
+          .join(docs.select(col("id").as("tidl_a"), col("graft_vt").as("graft_vta"),
+            col("graft_vw").as("graft_vwa"), col("graft_wt").as("graft_wa")), Seq("tidl_a"))
+          .join(docs.select(col("id").as("tidl_b"), col("graft_vt").as("graft_vtb"),
+            col("graft_wt").as("graft_wb")), Seq("tidl_b"))
+          // verification: ONE codegen'd merge walk per pair over the two
+          // token-sorted arrays (graft_wisect kernel) — the higher-order-
+          // function forms (map_from_entries/aggregate) are CodegenFallback
+          // and knocked the whole pair stage out of whole-stage codegen
+          // (measured ~10× slower on the sf0.1 pair set)
+          .select(col("tidl_a"), col("tidl_b"),
+            call_function("graft_wisect",
+              col("graft_vta"), col("graft_vwa"), col("graft_vtb")).as("w_inter"),
+            col("graft_wa"), col("graft_wb"))
+      }
+    val tp = verified
       .select(col("tidl_a"), col("tidl_b"), col("w_inter"),
         (col("graft_wa") + col("graft_wb") - col("w_inter")).as("w_union"))
       .filter(lit(10000L) * col("w_inter") >= lit(thresholdBp) * col("w_union"))

@@ -386,6 +386,49 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("jaccardJoin dense bitmask path and sparse prefix path agree pair-for-pair") {
+    import spark.implicits._
+    // 40-token vocabulary (dense-eligible) with heavy cross-doc overlap
+    // and heterogeneous sizes, so both the candidate structure and the
+    // length filter are exercised on a non-trivial pair set
+    val docs = (0L until 30L).map { i =>
+      (i, (0L to (1 + i % 12) * 3).map(j => s"w${(j * (i % 5 + 1)) % 40}")
+        .distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(): Seq[Seq[Any]] = Dedup.jaccardJoin(docs, "doc_id", "text", 5000L)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val dense = run()
+    graft.llm.CacheRegistry.releaseAll(spark)
+    // denseVocabMax=0 forces the sparse prefix-filter path on the same
+    // input — the two regimes must be observably identical
+    spark.conf.set("graft.jaccard.denseVocabMax", "0")
+    val sparse = try run() finally {
+      spark.conf.unset("graft.jaccard.denseVocabMax")
+      graft.llm.CacheRegistry.releaseAll(spark)
+    }
+    assert(dense.nonEmpty, "corpus must produce qualifying pairs")
+    assert(dense == sparse)
+  }
+
+  test("weightedJaccardJoin dense and sparse paths agree pair-for-pair") {
+    import spark.implicits._
+    val docs = (0L until 24L).map { i =>
+      (i, (0L to (1 + i % 9) * 3).map(j => s"w${(j * (i % 7 + 1)) % 32}")
+        .distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(): Seq[Seq[Any]] = Dedup.weightedJaccardJoin(docs, "doc_id", "text", 4000L)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val dense = run()
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.conf.set("graft.jaccard.denseVocabMax", "0")
+    val sparse = try run() finally {
+      spark.conf.unset("graft.jaccard.denseVocabMax")
+      graft.llm.CacheRegistry.releaseAll(spark)
+    }
+    assert(dense.nonEmpty, "corpus must produce qualifying pairs")
+    assert(dense == sparse)
+  }
+
   test("weightedJaccardJoin weights rare tokens and handles exact-dup classes") {
     import spark.implicits._
     // N = 4 docs; df: a:2 b:3 c:3 d:3 e:1 p:1 q:1 r:1 → w = 4 div df:

@@ -457,13 +457,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         // the weighted-Jaccard pair verification: the higher-order-
         // function form was CodegenFallback and cost 10× at sf0.1
         "q151_weighted_jaccard" -> "graft_wisect")) {
-      val p = planOf(query)
+      // q151 on the tiny-vocab test corpus routes to the dense all-pairs
+      // path, where the kernel deliberately sits behind a non-codegen
+      // Generate barrier (see denseJaccardDistinct); this pin protects
+      // the SPARSE path's codegen, so force it for the build.
+      val forceSparse = query == "q151_weighted_jaccard"
+      if (forceSparse) spark.conf.set("graft.jaccard.denseVocabMax", "0")
+      val p = try planOf(query) finally {
+        if (forceSparse) {
+          spark.conf.unset("graft.jaccard.denseVocabMax")
+          graft.llm.CacheRegistry.releaseAll(spark)
+          spark.catalog.clearCache()
+        }
+      }
       assert(p.contains(kernel), s"$query no longer uses $kernel:\n$p")
       val codegenLines = p.linesIterator
         .filter(_.contains(kernel)).filter(l => l.contains("*("))
       assert(codegenLines.nonEmpty,
         s"$query evaluates $kernel outside whole-stage codegen:\n$p")
     }
+  }
+
+  test("dense-vocabulary jaccard join verifies with the popcount kernel, no exploded-token candidate join") {
+    // The driver corpus is in the dense regime (31 distinct tokens), so
+    // the default plan must take the bitmask path: the popcount kernel
+    // behind its Generate barrier, and NO prefix-token candidate
+    // machinery (slice of the rarity-ordered prefix / array_intersect
+    // verification) anywhere in the plan.
+    val p = planOf("q139_jaccard_join")
+    assert(p.contains("graft_mask_inter"), s"dense path not taken:\n$p")
+    assert(p.contains("graft_bits_mask"), s"mask build missing:\n$p")
+    assert(!p.contains("slice(graft_toks") && !p.contains("array_intersect"),
+      s"prefix-path candidate machinery leaked into the dense plan:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
   }
 
   test("pq adc search broadcasts the query distance tables; corpus side never shuffles pre-topk") {

@@ -78,6 +78,26 @@ class VecKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(VecKernels.simhash60(longs()) == 0L)
   }
 
+  test("bitsToMask sets exactly the listed bits across word boundaries") {
+    val m = VecKernels.bitsToMask(longs(0, 63, 64, 130, 130), 3).toLongArray()
+    assert(m(0) == (1L | (1L << 63)))
+    assert(m(1) == 1L)
+    assert(m(2) == (1L << 2), "duplicate bit indices must OR idempotently")
+    val e = intercept[IllegalArgumentException](VecKernels.bitsToMask(longs(192), 3))
+    assert(e.getMessage.contains("outside"))
+    assert(VecKernels.bitsToMask(longs(), 2).toLongArray().toSeq == Seq(0L, 0L))
+  }
+
+  test("maskIntersect is the popcount of the word-wise AND") {
+    val a = longs(0xFFL, 1L << 40)
+    val b = longs(0x0FL, (1L << 40) | 1L)
+    assert(VecKernels.maskIntersect(a, b) == 5L)
+    assert(VecKernels.maskIntersect(longs(0L), longs(-1L)) == 0L)
+    val e = intercept[IllegalArgumentException](
+      VecKernels.maskIntersect(longs(1L), longs(1L, 2L)))
+    assert(e.getMessage.contains("widths differ"))
+  }
+
   test("wisect sums a-side weights over the sorted-array intersection") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.unsafe.types.UTF8String
