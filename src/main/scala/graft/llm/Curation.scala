@@ -687,4 +687,68 @@ object Curation {
       .filter(col("graft_rn") <= col("graft_k"))
       .select(col(idCol), col(strataCol))
   }
+
+  /** Greedy maximum-coverage document selection — the classic (1−1/e)
+    * greedy: pick `k` documents one at a time, each the one adding the
+    * most not-yet-covered distinct tokens (ties → lowest id). The
+    * diversity-first seed-set / eval-set picker: k documents that
+    * jointly cover as much of the corpus vocabulary as greedily
+    * possible.
+    *
+    * Scale shape: the exploded token table is persisted once
+    * ([[CacheRegistry]]); each of the k steps is one left-anti join
+    * against the winners' (bounded: ≤ k documents') token set plus one
+    * map-side-combinable count aggregate, finished by a
+    * TakeOrderedAndProject argmax — a SINGLE-ROW driver action per
+    * step, the bounded-collect shape [[Dedup.connectedComponents]]'s
+    * probe established (k ≤ 100 by `require`). Greedy selection is
+    * inherently sequential in k; each step stays fully distributed.
+    *
+    * Output: (pick_rank, `idCol`, gain, covered_total), pick_rank
+    * 1-based, covered_total the cumulative distinct-token coverage
+    * (= Σ gains, since each gain counts newly covered tokens). Fewer
+    * than k rows when the corpus runs out of documents.
+    */
+  def greedyCover(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = CacheRegistry.persist(
+      df.select(col(idCol).cast("long").as("graft_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("graft_tok")))
+    val ids = toks.select(col("graft_id")).distinct()
+    var winners = Vector.empty[Long]
+    var results = Vector.empty[(Long, Long, Long, Long)]
+    var covTot = 0L
+    var exhausted = false
+    var rank = 1
+    while (rank <= k && !exhausted) {
+      val remainingIds =
+        if (winners.isEmpty) ids else ids.filter(!col("graft_id").isin(winners: _*))
+      val uncovered =
+        if (winners.isEmpty) toks
+        else toks.join(
+          toks.filter(col("graft_id").isin(winners: _*))
+            .select(col("graft_tok")).distinct(),
+          Seq("graft_tok"), "left_anti")
+      val gains = remainingIds
+        .join(uncovered.groupBy(col("graft_id")).agg(count(lit(1)).as("graft_gain")),
+          Seq("graft_id"), "left")
+        .select(col("graft_id"),
+          coalesce(col("graft_gain"), lit(0L)).as("graft_gain"))
+      // argmax: orderBy+limit(1) plans as TakeOrderedAndProject (per-
+      // partition top-1 + driver merge), never a full sort
+      val top = gains.orderBy(col("graft_gain").desc, col("graft_id")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0)
+        val gain = top(0).getLong(1)
+        covTot += gain
+        results :+= ((rank.toLong, id, gain, covTot))
+        winners :+= id
+        rank += 1
+      }
+    }
+    results.toDF("pick_rank", idCol, "gain", "covered_total")
+  }
 }

@@ -249,5 +249,57 @@ object EventQueries {
              |SELECT from_type, to_type, n_trans,
              |       (20000 * n_trans + tot) // (2 * tot) AS p_bp
              |FROM c JOIN t USING (from_type)
-             |ORDER BY from_type, to_type""".stripMargin)))
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // ---- PageRank over the event-type transition digraph (edges =
+    // q152's transition counts): 8 integer-exact power iterations with
+    // uniform dangling-mass redistribution — "which event type is the
+    // behavioral sink" — the oracle unrolls the iterations as chained
+    // CTEs (q156 precedent).
+    "q160_event_pagerank" -> QueryDef(
+      (s, dir) => {
+        val edges = graft.operators.EventAnalytics.transitionMatrix(
+            table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+          .select(col("from_type"), col("to_type"), col("n_trans"))
+        graft.operators.GraphOps.pageRank(edges, "from_type", "to_type", "n_trans",
+            iters = 8)
+          .withColumnRenamed("node", "event_type")
+          .orderBy("event_type")
+      },
+      Some(pageRankOracle(8))))
+
+  /** DuckDB oracle for [[graft.operators.GraphOps.pageRank]] over the
+    * transition graph, `iters` unrolled levels of the exact integer
+    * update r' = 150000 + (85·Σ⌊r·w/out⌋) // 100 + (85·dang) // (100·N).
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH s AS (SELECT user_id, event_type AS u,
+        |                 lead(event_type) OVER
+        |                   (PARTITION BY user_id ORDER BY ts, event_id) AS v
+        |          FROM events),
+        |e0 AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM s
+        |       WHERE v IS NOT NULL GROUP BY u, v),
+        |outd AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM e0 GROUP BY u),
+        |e AS (SELECT e0.u, e0.v, e0.w, outd.outw FROM e0 JOIN outd USING (u)),
+        |nodes AS (SELECT u AS n FROM e0 UNION SELECT v FROM e0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+        |r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+        |d$i AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang FROM r$p
+        |        WHERE n NOT IN (SELECT u FROM outd)),
+        |c$i AS (SELECT e.v AS n, CAST(sum((r.r * e.w) // e.outw) AS BIGINT) AS ct
+        |        FROM e JOIN r$p r ON r.n = e.u GROUP BY e.v),
+        |r$i AS (SELECT nodes.n,
+        |          CAST(150000 + (85 * coalesce(c$i.ct, 0)) // 100
+        |               + (85 * d$i.dang) // (100 * nn.nn) AS BIGINT) AS r
+        |        FROM nodes LEFT JOIN c$i ON c$i.n = nodes.n
+        |        CROSS JOIN d$i CROSS JOIN nn)""".stripMargin)
+    }
+    sb.append(s"\nSELECT n AS event_type, r AS rank_micro FROM r$iters ORDER BY event_type")
+    sb.toString
+  }
 }

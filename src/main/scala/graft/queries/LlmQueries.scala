@@ -2670,5 +2670,52 @@ object LlmQueries {
              |       FROM s1)
              |SELECT keep_id, dup_id, CAST(rn - 1 AS BIGINT) AS dup_rank
              |FROM rk WHERE rn > 1 AND rn <= 4
-             |ORDER BY keep_id, dup_rank""".stripMargin)))
+             |ORDER BY keep_id, dup_rank""".stripMargin)),
+
+    // ---- Greedy maximum-coverage selection: 4 documents picked one at
+    // a time, each adding the most not-yet-covered distinct tokens —
+    // the diversity-first seed/eval-set picker. The oracle unrolls the
+    // same greedy levels as chained CTEs (the q156 sweep precedent).
+    "q159_greedy_cover" -> QueryDef(
+      (s, dir) => {
+        Curation.greedyCover(table(s, dir, "documents"), "doc_id", "text", k = 4)
+          .orderBy("pick_rank")
+      },
+      Some(greedyCoverOracle(4))))
+
+  /** DuckDB oracle for [[Curation.greedyCover]] at depth `k`: level i
+    * filters the tokens still uncovered after level i−1's cumulative
+    * cover, counts per remaining doc (LEFT JOIN keeps zero-gain docs),
+    * and takes the (gain DESC, doc_id) argmax — exactly the operator's
+    * tie rule.
+    */
+  private def greedyCoverOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |      FROM documents),
+        |ids AS (SELECT DISTINCT doc_id FROM t),
+        |g1 AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain FROM t GROUP BY t.doc_id),
+        |w1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT DISTINCT tok FROM t WHERE doc_id IN (SELECT doc_id FROM w1))""".stripMargin)
+    for (i <- 2 to k) {
+      val p = i - 1
+      val picked = (1 until i).map(j => s"SELECT doc_id FROM w$j").mkString(" UNION ALL ")
+      sb.append(s""",
+        |u$i AS (SELECT doc_id, tok FROM t WHERE tok NOT IN (SELECT tok FROM c$p)),
+        |g$i AS (SELECT ids.doc_id, CAST(count(u.tok) AS BIGINT) AS gain
+        |        FROM ids LEFT JOIN u$i u ON u.doc_id = ids.doc_id
+        |        WHERE ids.doc_id NOT IN ($picked)
+        |        GROUP BY ids.doc_id),
+        |w$i AS (SELECT doc_id, gain FROM g$i ORDER BY gain DESC, doc_id LIMIT 1),
+        |c$i AS (SELECT tok FROM c$p UNION
+        |        SELECT tok FROM t WHERE doc_id IN (SELECT doc_id FROM w$i))""".stripMargin)
+    }
+    val rows = (1 to k).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS pick_rank, doc_id, gain,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM c$i) AS covered_total FROM w$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.append(s"\nSELECT * FROM (\n$rows\n) ORDER BY pick_rank")
+    sb.toString
+  }
 }

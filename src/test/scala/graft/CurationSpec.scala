@@ -320,4 +320,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(exact.size == 12 && fast == exact)
   }
+
+  test("greedyCover picks max-gain docs, ties to lowest id, cumulative coverage exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"),
+      (1L, "a b"),
+      (2L, "c d e f"),
+      (3L, "f g")).toDF("doc_id", "text")
+    val got = Curation.greedyCover(docs, "doc_id", "text", k = 3)
+      .orderBy("pick_rank").as[(Long, Long, Long, Long)].collect().toSeq
+    // pick1: d2 covers {c,d,e,f} (gain 4); pick2: d0 and d1 both add
+    // {a,b} (gain 2) → lowest id d0; pick3: only g left → d3 gain 1
+    assert(got == Seq((1L, 2L, 4L, 4L), (2L, 0L, 2L, 6L), (3L, 3L, 1L, 7L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("greedyCover stops when documents run out and keeps zero-gain picks") {
+    import spark.implicits._
+    val docs = Seq((5L, "x y"), (7L, "x y"), (9L, "x")).toDF("doc_id", "text")
+    val got = Curation.greedyCover(docs, "doc_id", "text", k = 10)
+      .orderBy("pick_rank").as[(Long, Long, Long, Long)].collect().toSeq
+    // d5 covers everything; d7/d9 add nothing but remain pickable at
+    // gain 0 (lowest id first); then the corpus is exhausted at 3 < k
+    assert(got == Seq((1L, 5L, 2L, 2L), (2L, 7L, 0L, 2L), (3L, 9L, 0L, 2L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
 }

@@ -341,4 +341,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", "a", 1L, 5000L), ("b", "c", 1L, 5000L),
       ("c", "d", 1L, 10000L)))
   }
+
+  test("pageRank: symmetric 2-cycle is a fixed point at the initial rank") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("s", "d", "w")
+    val got = graft.operators.GraphOps.pageRank(edges, "s", "d", "w", iters = 5)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    // base 150000 + (85·1000000) DIV 100 = 1000000 exactly, every round
+    assert(got == Seq(("a", 1000000L), ("b", 1000000L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("pageRank redistributes dangling mass uniformly, hand-computed 2 iterations") {
+    import spark.implicits._
+    // a→b only; b is dangling. N=2.
+    // iter1: dang=r(b)=1e6; a' = 150000 + (85·1e6)/(100·2) = 575000
+    //        b' = 150000 + (85·⌊1e6·1/1⌋)/100 + 425000 = 1425000
+    // iter2: dang=1425000, share (85·1425000) DIV 200 = 605625
+    //        a'' = 150000 + 605625 = 755625
+    //        b'' = 150000 + (85·575000) DIV 100 + 605625 = 1244375
+    val edges = Seq(("a", "b", 1L)).toDF("s", "d", "w")
+    val got = graft.operators.GraphOps.pageRank(edges, "s", "d", "w", iters = 2)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 755625L), ("b", 1244375L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
 }
