@@ -853,6 +853,36 @@ object TextAnalysis {
       .withColumn("pred_keep", (col("score") >= 0L).cast("long"))
   }
 
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
+    * corpus's adjacent-token co-occurrence graph — undirected (both
+    * orientations emitted, weights = corpus bigram counts), self-
+    * adjacencies kept. High-rank tokens are the corpus's structural
+    * keywords: connected to many, themselves-well-connected neighbors —
+    * a signal word-frequency alone misses.
+    *
+    * Scale shape: one narrow in-row bigram pass (collocations'
+    * construction), one (a, b)-keyed count, then
+    * [[graft.operators.GraphOps.pageRank]] — per-iteration join+agg on
+    * the VOCABULARY-sized graph, so iteration cost is independent of
+    * corpus size once the edges are counted. Integer micro-unit ranks,
+    * engine-exact. Output: (token, rank_micro).
+    */
+  def textRank(df: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val words = df.select(split(col(textCol), " ").as("graft_ws"))
+    val bi = words.filter(size(col("graft_ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(graft_ws) - 2),
+          |  i -> struct(graft_ws[i] AS w1, graft_ws[i + 1] AS w2))""".stripMargin)).as("p"))
+      .filter(col("p.w1") =!= "" && col("p.w2") =!= "")
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val edges = bi.select(col("w1").as("graft_a"), col("w2").as("graft_b"))
+      .union(bi.select(col("w2").as("graft_a"), col("w1").as("graft_b")))
+      .groupBy(col("graft_a"), col("graft_b"))
+      .agg(count(lit(1)).as("graft_w"))
+    graft.operators.GraphOps.pageRank(edges, "graft_a", "graft_b", "graft_w", iters)
+      .select(col("node").as("token"), col("rank_micro"))
+  }
+
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("graft_ws", split(col(textCol), " "))
       .withColumn("fingerprint",

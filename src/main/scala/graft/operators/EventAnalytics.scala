@@ -206,4 +206,41 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("n_trans"),
         expr("(20000 * n_trans + graft_tot) DIV (2 * graft_tot)").as("p_bp"))
   }
+
+  /** First-order Markov next-event backtest: for every observed
+    * transition, "predict" the modal next type of its source (highest
+    * transition count, ties → lexicographically smallest type) and
+    * score the hit rate per source type — the sanity check before
+    * shipping a transition model as a recommender/prefetcher. The
+    * model and the evaluation share ONE persisted transition pass
+    * ([[graft.llm.CacheRegistry]]); the model is |types|²-bounded.
+    *
+    * Output: (from_type, predicted_type, n_total, n_hit, hit_bp),
+    * hit_bp the HALF_UP basis-point hit rate.
+    */
+  def markovBacktest(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val trans = graft.llm.CacheRegistry.persist(events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("from_type"), col("to_type")))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+      .orderBy(col("graft_n").desc, col("to_type"))
+    val model = trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("graft_n"))
+      .withColumn("graft_rk", row_number().over(byFrom))
+      .filter(col("graft_rk") === 1)
+      .select(col("from_type"), col("to_type").as("predicted_type"))
+    trans.join(model, Seq("from_type"))
+      .groupBy(col("from_type"))
+      .agg(first(col("predicted_type")).as("predicted_type"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("to_type") === col("predicted_type"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("from_type"), col("predicted_type"), col("n_total"), col("n_hit"),
+        expr("(20000 * n_hit + n_total) DIV (2 * n_total)").as("hit_bp"))
+  }
 }

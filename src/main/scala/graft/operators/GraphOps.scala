@@ -67,7 +67,7 @@ object GraphOps {
     val base = scale * (100L - dampingPct) / 100L
     var ranks = nodes.select(col("graft_n"), lit(scale).as("graft_r"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e2.join(ranks, e2("graft_u") === ranks("graft_n"))
         .select(col("graft_v"),
           expr("(graft_r * graft_w) DIV graft_out").as("graft_c"))
@@ -81,7 +81,11 @@ object GraphOps {
           (lit(base) +
             expr(s"($dampingPct * coalesce(graft_ct, CAST(0 AS BIGINT))) DIV 100") +
             expr(s"($dampingPct * graft_dang) DIV (100 * graft_nn)")).as("graft_r"))
-        .localCheckpoint()
+      // checkpoint every 3rd level (and the last): lineage doubles per
+      // uncheckpointed level, so the interval bounds plan growth at 2³
+      // nodes while cutting the eager materialization jobs — pure
+      // fixed overhead on small graphs — to a third
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("graft_n").as("node"), col("graft_r").as("rank_micro"))
   }

@@ -266,7 +266,35 @@ object EventQueries {
           .withColumnRenamed("node", "event_type")
           .orderBy("event_type")
       },
-      Some(pageRankOracle(8))))
+      Some(pageRankOracle(8))),
+
+    // ---- First-order Markov next-event backtest: per source type, the
+    // hit rate of "predict the modal next type" — ties in the model go
+    // to the lexicographically smallest type on both engines.
+    "q162_markov_backtest" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.markovBacktest(
+            table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+          .orderBy("from_type")
+      },
+      Some("""WITH s AS (SELECT user_id, event_type AS from_type,
+             |                 lead(event_type) OVER
+             |                   (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |          FROM events),
+             |t AS (SELECT from_type, to_type FROM s WHERE to_type IS NOT NULL),
+             |m AS (SELECT from_type, to_type AS predicted_type,
+             |             row_number() OVER (PARTITION BY from_type
+             |                                ORDER BY count(*) DESC, to_type) AS rk
+             |      FROM t GROUP BY from_type, to_type)
+             |SELECT t.from_type, m.predicted_type,
+             |       CAST(count(*) AS BIGINT) AS n_total,
+             |       CAST(sum(CASE WHEN t.to_type = m.predicted_type THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_hit,
+             |       CAST((20000 * sum(CASE WHEN t.to_type = m.predicted_type THEN 1 ELSE 0 END)
+             |             + count(*)) // (2 * count(*)) AS BIGINT) AS hit_bp
+             |FROM t JOIN m ON m.from_type = t.from_type AND m.rk = 1
+             |GROUP BY t.from_type, m.predicted_type
+             |ORDER BY t.from_type""".stripMargin)))
 
   /** DuckDB oracle for [[graft.operators.GraphOps.pageRank]] over the
     * transition graph, `iters` unrolled levels of the exact integer
@@ -286,19 +314,7 @@ object EventQueries {
         |nodes AS (SELECT u AS n FROM e0 UNION SELECT v FROM e0),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
         |r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin)
-    for (i <- 1 to iters) {
-      val p = i - 1
-      sb.append(s""",
-        |d$i AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang FROM r$p
-        |        WHERE n NOT IN (SELECT u FROM outd)),
-        |c$i AS (SELECT e.v AS n, CAST(sum((r.r * e.w) // e.outw) AS BIGINT) AS ct
-        |        FROM e JOIN r$p r ON r.n = e.u GROUP BY e.v),
-        |r$i AS (SELECT nodes.n,
-        |          CAST(150000 + (85 * coalesce(c$i.ct, 0)) // 100
-        |               + (85 * d$i.dang) // (100 * nn.nn) AS BIGINT) AS r
-        |        FROM nodes LEFT JOIN c$i ON c$i.n = nodes.n
-        |        CROSS JOIN d$i CROSS JOIN nn)""".stripMargin)
-    }
+    sb.append(OracleGen.pageRankChain(iters))
     sb.append(s"\nSELECT n AS event_type, r AS rank_micro FROM r$iters ORDER BY event_type")
     sb.toString
   }

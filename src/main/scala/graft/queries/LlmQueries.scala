@@ -2681,7 +2681,31 @@ object LlmQueries {
         Curation.greedyCover(table(s, dir, "documents"), "doc_id", "text", k = 4)
           .orderBy("pick_rank")
       },
-      Some(greedyCoverOracle(4))))
+      Some(greedyCoverOracle(4))),
+
+    // ---- TextRank keyword scores: PageRank over the undirected
+    // adjacent-token co-occurrence graph, 6 integer-exact iterations —
+    // the structural-keyword signal raw frequency misses.
+    "q161_textrank" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.textRank(table(s, dir, "documents"), "text", iters = 6)
+          .orderBy("token")
+      },
+      Some("""WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+             |x AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM ws WHERE len(ws) >= 2),
+             |b AS (SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2 FROM x
+             |      WHERE ws[CAST(i AS INT)] <> '' AND ws[CAST(i + 1 AS INT)] <> ''),
+             |e0 AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM
+             |        (SELECT w1 AS u, w2 AS v FROM b
+             |         UNION ALL SELECT w2 AS u, w1 AS v FROM b) sym
+             |       GROUP BY u, v),
+             |outd AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM e0 GROUP BY u),
+             |e AS (SELECT e0.u, e0.v, e0.w, outd.outw FROM e0 JOIN outd USING (u)),
+             |nodes AS (SELECT u AS n FROM e0 UNION SELECT v FROM e0),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+             |r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+        + OracleGen.pageRankChain(6)
+        + "\nSELECT n AS token, r AS rank_micro FROM r6 ORDER BY token")))
 
   /** DuckDB oracle for [[Curation.greedyCover]] at depth `k`: level i
     * filters the tokens still uncovered after level i−1's cumulative

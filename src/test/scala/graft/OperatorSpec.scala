@@ -342,6 +342,42 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c", "d", 1L, 10000L)))
   }
 
+  test("markovBacktest predicts the modal next type, ties to smallest, exact hit rates") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // user 1: a→b→a→c; user 2: a→b. Model: a→b (2 of 3), b→a (1 of 1).
+    // Backtest: from a, 3 transitions, 2 hit (→b); from b, 1 of 1 hit.
+    val events = Seq(
+      (1L, ts(1000L), 1L, "a"), (1L, ts(2000L), 2L, "b"),
+      (1L, ts(3000L), 3L, "a"), (1L, ts(4000L), 4L, "c"),
+      (2L, ts(1000L), 5L, "a"), (2L, ts(2000L), 6L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.EventAnalytics
+      .markovBacktest(events, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 3L, 2L, 6667L),
+      ("b", "a", 1L, 1L, 10000L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("textRank equals pageRank over the hand-built symmetric bigram graph") {
+    import spark.implicits._
+    val docs = Seq(("x y"), ("y z")).toDF("text")
+    val got = graft.llm.TextAnalysis.textRank(docs, "text", iters = 4)
+      .orderBy("token").as[(String, Long)].collect().toSeq
+    val edges = Seq(("x", "y", 1L), ("y", "x", 1L), ("y", "z", 1L), ("z", "y", 1L))
+      .toDF("a", "b", "w")
+    val expect = graft.operators.GraphOps.pageRank(edges, "a", "b", "w", iters = 4)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(got == expect)
+    // y bridges both bigrams — it must outrank the leaves
+    val m = got.toMap
+    assert(m("y") > m("x") && m("x") == m("z"))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("pageRank: symmetric 2-cycle is a fixed point at the initial rank") {
     import spark.implicits._
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("s", "d", "w")
