@@ -78,6 +78,34 @@ object FixtureBytes {
     out.toByteArray
   }
 
+  /** Deterministic gradient image for perceptual-hash tests: pixel
+    * (x, y) has r = (seed + 11x + 23y) % 256, g = (seed + 7x + 31y)
+    * % 256, b = (seed + 13x + 17y) % 256 — linear ramps with modular
+    * wrap, so every pixel (and anything derived from sampled pixels)
+    * is predictable by arithmetic on (seed, w, h) without touching
+    * bytes. Encode via ImageIO; png/bmp are lossless so a decoder
+    * must reproduce the formula exactly.
+    */
+  def gradientImage(fmt: String, w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (seed + 11 * x + 23 * y) % 256
+        val g = (seed + 7 * x + 31 * y) % 256
+        val b = (seed + 13 * x + 17 * y) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream
+    require(javax.imageio.ImageIO.write(img, fmt, out), s"no ImageIO writer for $fmt")
+    out.toByteArray
+  }
+
   /** SQLite: 100-byte header + pages; page_size@16 BE, page_count@28 BE. */
   def sqlite(pageSize: Int = 512, pageCount: Int = 2): Array[Byte] = {
     val total = pageSize * pageCount

@@ -487,4 +487,106 @@ object Multimodal {
       col("id"),
       explode(sequence(lit(0), col("nFrames") - 1, lit(stride))).as("frame_idx"))
   }
+
+  final case class ImageDHash(id: Long, width: Int, height: Int,
+                              dhashA: Long, dhashB: Long)
+
+  /** Difference hash (dHash) of one decoded bitmap: nearest-neighbor
+    * sample onto a 9×8 grid (px = x·W DIV 9, py = y·H DIV 8 — integer
+    * floor, no interpolation, so the sampled pixel set is exactly
+    * predictable from the source pixels), integer luma
+    * (299r + 587g + 114b) DIV 1000, then bit (x, y) = 1 iff
+    * gray(x+1, y) > gray(x, y). The 64 bits are returned as two 32-bit
+    * halves (rows 0-3 → dhashA, rows 4-7 → dhashB, bit index y·8+x
+    * within each half): engines whose BIGINT shift faults at bit 63
+    * can still reproduce the hash exactly, and the four 16-bit bands
+    * the near-dup join buckets on fall out of the halves for free.
+    */
+  def dHash(id: Long, payload: Array[Byte]): Option[ImageDHash] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+    img.map { bi =>
+      val w = bi.getWidth
+      val h = bi.getHeight
+      val gray = Array.ofDim[Int](8, 9)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val px = x * w / 9
+          val py = y * h / 8
+          val c = bi.getRGB(px, py)
+          gray(y)(x) = (299 * ((c >> 16) & 0xff) + 587 * ((c >> 8) & 0xff) +
+            114 * (c & 0xff)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var a = 0L
+      var b = 0L
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (gray(y)(x + 1) > gray(y)(x)) {
+            if (y < 4) a |= 1L << (y * 8 + x)
+            else b |= 1L << ((y - 4) * 8 + x)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      ImageDHash(id, w, h, a, b)
+    }
+  }
+
+  /** Batched REAL image → dHash bridge (undecodable rows drop, the
+    * [[decodeImages]] convention). One narrow mapPartitions scan,
+    * payload-local, zero shuffles.
+    */
+  def dHashImages(spark: SparkSession, media: DataFrame, idCol: String,
+                  payloadCol: String): Dataset[ImageDHash] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch => batch.flatMap { case (id, p) => dHash(id, p) } }
+  }
+
+  /** Perceptual near-duplicate pairs over dHash halves: bucket on the
+    * four 16-bit bands (hamming ≤ 3 ⇒ at least one band is untouched —
+    * pigeonhole — so the band join is LOSSLESS for `maxHamming` ≤ 3),
+    * then verify candidates with two popcounts. The classic
+    * image-dedup shape: candidate volume rides the band-bucket sizes,
+    * never all pairs.
+    */
+  def dhashNearDupPairs(hashes: DataFrame, idCol: String,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-band losslessness, got $maxHamming")
+    val withBands = hashes.select(col(idCol).as("graft_id"),
+      col("dhashA").as("graft_ha"), col("dhashB").as("graft_hb"))
+    val bands = withBands.select(col("graft_id"), col("graft_ha"), col("graft_hb"),
+      explode(expr(
+        """array(struct(0 AS bi, graft_ha % 65536 AS bv),
+          |      struct(1 AS bi, graft_ha DIV 65536 AS bv),
+          |      struct(2 AS bi, graft_hb % 65536 AS bv),
+          |      struct(3 AS bi, graft_hb DIV 65536 AS bv))""".stripMargin)).as("b"))
+      .select(col("graft_id"), col("graft_ha"), col("graft_hb"),
+        col("b.bi").as("graft_bi"), col("b.bv").as("graft_bv"))
+    val cands = bands.select(col("graft_id").as("id_a"), col("graft_ha").as("ha_a"),
+        col("graft_hb").as("hb_a"), col("graft_bi"), col("graft_bv"))
+      .join(bands.select(col("graft_id").as("id_b"), col("graft_ha").as("ha_b"),
+        col("graft_hb").as("hb_b"), col("graft_bi"), col("graft_bv")),
+        Seq("graft_bi", "graft_bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha_a"), col("hb_a"),
+        col("ha_b"), col("hb_b"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        expr("bit_count(ha_a ^ ha_b) + bit_count(hb_a ^ hb_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -67,6 +67,19 @@ object GraphOps {
     val base = scale * (100L - dampingPct) / 100L
     var ranks = nodes.select(col("graft_n"), lit(scale).as("graft_r"))
       .localCheckpoint()
+    // superseded checkpoints are unpersisted deterministically (after
+    // the eager replacement materializes) instead of waiting on GC +
+    // ContextCleaner; only the FINAL checkpoint survives — it IS the
+    // returned result's storage, so callers wanting a cache-free
+    // session should write the result out and drop the reference.
+    // Dataset.unpersist only talks to the CacheManager, which knows
+    // nothing of checkpoint storage — the persisted RDD under the
+    // checkpoint's LogicalRDD is what must be released.
+    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    var prevCkpt = ranks
     for (i <- 1 to iters) {
       val contrib = e2.join(ranks, e2("graft_u") === ranks("graft_n"))
         .select(col("graft_v"),
@@ -85,7 +98,11 @@ object GraphOps {
       // uncheckpointed level, so the interval bounds plan growth at 2³
       // nodes while cutting the eager materialization jobs — pure
       // fixed overhead on small graphs — to a third
-      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 || i == iters) {
+        ranks = ranks.localCheckpoint()
+        dropCheckpoint(prevCkpt)
+        prevCkpt = ranks
+      }
     }
     ranks.select(col("graft_n").as("node"), col("graft_r").as("rank_micro"))
   }

@@ -52,6 +52,29 @@ object LlmQueries {
       }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic gradient-image column (png/bmp alternating): pixel
+    * values are linear ramps in (x, y) seeded by doc_id arithmetic
+    * ([[graft.fixtures.FixtureBytes.gradientImage]]), so everything a
+    * decoder derives from sampled pixels is oracle-predictable without
+    * touching bytes. Sizes cycle (16-18 × 12-13) and the gradient seed
+    * cycles mod 8, planting exact-duplicate classes (ids ≡ mod 24) and
+    * cross-size near-duplicates (same seed, different size) for the
+    * perceptual-hash queries.
+    */
+  private def gradientMediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val w = (id % 3).toInt + 16
+          val h = (id % 2).toInt + 12
+          val seed = ((id % 8) * 29).toInt
+          (id, graft.fixtures.FixtureBytes.gradientImage(fmt, w, h, seed))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Deterministic video column: one complete MJPEG-in-AVI container per
     * document — (doc_id % 5) + 1 solid-color JPEG frames at dimensions
     * planted by arithmetic on doc_id, encoded by ImageIO on the
@@ -2705,7 +2728,78 @@ object LlmQueries {
              |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
              |r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
         + OracleGen.pageRankChain(6)
-        + "\nSELECT n AS token, r AS rank_micro FROM r6 ORDER BY token")))
+        + "\nSELECT n AS token, r AS rank_micro FROM r6 ORDER BY token")),
+
+    // ---- Perceptual hash (dHash) over REAL decoded gradient images:
+    // 9×8 nearest-neighbor sample → integer luma → difference bits as
+    // two 32-bit halves. The oracle recomputes the hash from doc_id
+    // arithmetic alone — a match proves the whole encode→decode→
+    // sample→luma→bit pipeline end-to-end.
+    "q163_image_dhash" -> QueryDef(
+      (s, dir) => {
+        Multimodal.dHashImages(s, gradientMediaTable(s, dir), "doc_id", "payload")
+          .toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("dhashA").as("dhash_a"), col("dhashB").as("dhash_b"))
+          .orderBy("doc_id")
+      },
+      Some(dhashOracleCte +
+        "\nSELECT doc_id, w AS width, h AS height, dhash_a, dhash_b FROM hsh ORDER BY doc_id")),
+
+    // ---- Perceptual near-duplicate pairs: 16-bit-band bucketing over
+    // the dHash halves (lossless for hamming ≤ 3 by pigeonhole), two-
+    // popcount verification. Oracle is the UNBUCKETED all-pairs answer,
+    // proving the band join lossless at the gate.
+    "q164_image_neardup" -> QueryDef(
+      (s, dir) => {
+        val hashes = Multimodal.dHashImages(s, gradientMediaTable(s, dir),
+          "doc_id", "payload").toDF()
+        Multimodal.dhashNearDupPairs(hashes, "id", maxHamming = 2)
+          .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(dhashOracleCte + """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.dhash_a, b.dhash_a))
+        |            + bit_count(xor(a.dhash_b, b.dhash_b)) AS BIGINT) AS hamming
+        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash_a, b.dhash_a))
+        |      + bit_count(xor(a.dhash_b, b.dhash_b)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin)))
+
+  /** Shared oracle CTE computing every document's dHash halves (and
+    * image size) purely from doc_id arithmetic — the gradient pixel
+    * formula, the 9×8 floor-sample, the integer luma, and the
+    * difference bits, mirrored in SQL.
+    */
+  // a def, not a val: the query map's initializer above reads this
+  // during object construction, before a later val would be assigned
+  private def dhashOracleCte: String =
+    """WITH p AS (SELECT doc_id, 16 + doc_id % 3 AS w, 12 + doc_id % 2 AS h,
+      |                  (doc_id % 8) * 29 AS s FROM documents),
+      |gy AS (SELECT doc_id, w, h, s, unnest(range(0, 8)) AS y FROM p),
+      |gx AS (SELECT doc_id, w, h, s, y, unnest(range(0, 9)) AS x FROM gy),
+      |pix AS (SELECT doc_id, y, x,
+      |         (299 * ((s + 11 * ((x * w) // 9) + 23 * ((y * h) // 8)) % 256)
+      |        + 587 * ((s +  7 * ((x * w) // 9) + 31 * ((y * h) // 8)) % 256)
+      |        + 114 * ((s + 13 * ((x * w) // 9) + 17 * ((y * h) // 8)) % 256)) // 1000 AS gray
+      |        FROM gx),
+      |bits AS (SELECT a.doc_id, a.y, a.x,
+      |               CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |         FROM pix a JOIN pix b ON b.doc_id = a.doc_id AND b.y = a.y
+      |                              AND b.x = a.x + 1
+      |         WHERE a.x < 8),
+      |hsh AS (SELECT bits.doc_id, p.w, p.h,
+      |          CAST(sum(CASE WHEN y < 4
+      |                        THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+      |                        ELSE 0 END) AS BIGINT) AS dhash_a,
+      |          CAST(sum(CASE WHEN y >= 4
+      |                        THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+      |                        ELSE 0 END) AS BIGINT) AS dhash_b
+      |        FROM bits JOIN p ON p.doc_id = bits.doc_id
+      |        GROUP BY bits.doc_id, p.w, p.h)""".stripMargin
 
   /** DuckDB oracle for [[Curation.greedyCover]] at depth `k`: level i
     * filters the tokens still uncovered after level i−1's cumulative

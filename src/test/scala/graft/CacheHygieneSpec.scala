@@ -141,4 +141,51 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
         shingleN = 3, numHashes = 8, rowsPerBand = 2)
     }
   }
+
+  test("jaccardJoin leaves no persisted RDDs after releaseAll, both regimes") {
+    import spark.implicits._
+    val docs = (1L to 25L).map(i => (i, s"a b c d${i % 4} e${i % 3} f"))
+      .toDF("doc_id", "text")
+    assertNoLeak("jaccardJoin (dense)") {
+      Dedup.jaccardJoin(docs, "doc_id", "text", 5000L)
+    }
+    spark.conf.set("graft.jaccard.denseVocabMax", "0")
+    try assertNoLeak("jaccardJoin (sparse)") {
+      Dedup.jaccardJoin(docs, "doc_id", "text", 5000L)
+    } finally spark.conf.unset("graft.jaccard.denseVocabMax")
+  }
+
+  test("weightedJaccardJoin and greedyCover/markovBacktest leave no persisted RDDs") {
+    import spark.implicits._
+    val docs = (1L to 25L).map(i => (i, s"a b c d${i % 4} e${i % 3} f"))
+      .toDF("doc_id", "text")
+    assertNoLeak("weightedJaccardJoin") {
+      Dedup.weightedJaccardJoin(docs, "doc_id", "text", 4000L)
+    }
+    assertNoLeak("greedyCover") {
+      graft.llm.Curation.greedyCover(docs, "doc_id", "text", k = 3)
+    }
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val events = (1L to 40L).map(i => (i % 5, ts(i * 1000L), i, s"t${i % 3}"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assertNoLeak("markovBacktest") {
+      graft.operators.EventAnalytics.markovBacktest(
+        events, "user_id", "ts", "event_type", "event_id")
+    }
+  }
+
+  test("pageRank retains ONLY its result checkpoint after releaseAll") {
+    import spark.implicits._
+    // superseded per-level checkpoints are unpersisted deterministically
+    // inside the loop; the final checkpoint IS the result's storage and
+    // must survive — exactly one persisted RDD remains
+    val docs = (1L to 20L).map(i => (i, s"a b${i % 3} c d${i % 2}")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRank(docs, "text", iters = 7)
+    out.count()
+    CacheRegistry.releaseAll(spark)
+    val remaining = spark.sparkContext.getPersistentRDDs
+    assert(remaining.size <= 1,
+      s"pageRank left ${remaining.size} persisted RDDs; only the result checkpoint may remain")
+    remaining.values.foreach(_.unpersist(true))
+  }
 }

@@ -176,4 +176,64 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 1, s"expected the intact first frame only, got ${got.length}")
     assert(Multimodal.decodeImage(0L, got.head).isDefined)
   }
+
+  /** The dHash formula computed independently from the gradient pixel
+    * function (no image bytes) — what the DuckDB oracle runs.
+    */
+  private def expectedDhash(w: Int, h: Int, seed: Int): (Long, Long) = {
+    def gray(x: Int, y: Int): Int = {
+      val px = x * w / 9
+      val py = y * h / 8
+      (299 * ((seed + 11 * px + 23 * py) % 256) +
+        587 * ((seed + 7 * px + 31 * py) % 256) +
+        114 * ((seed + 13 * px + 17 * py) % 256)) / 1000
+    }
+    var a = 0L; var b = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (gray(x + 1, y) > gray(x, y)) {
+        if (y < 4) a |= 1L << (y * 8 + x) else b |= 1L << ((y - 4) * 8 + x)
+      }
+    (a, b)
+  }
+
+  test("dHash through a REAL png/bmp encode-decode equals the analytic formula") {
+    for ((fmt, w, h, seed) <- Seq(("png", 17, 13, 87), ("bmp", 16, 12, 203),
+        ("png", 18, 12, 0))) {
+      val payload = FixtureBytes.gradientImage(fmt, w, h, seed)
+      val got = Multimodal.dHash(42L, payload).get
+      val (ea, eb) = expectedDhash(w, h, seed)
+      assert((got.dhashA, got.dhashB) == (ea, eb),
+        s"$fmt $w x $h seed=$seed: got (${got.dhashA}, ${got.dhashB}), want ($ea, $eb)")
+      assert(got.width == w && got.height == h)
+    }
+    assert(Multimodal.dHash(1L, Array[Byte](1, 2, 3)).isEmpty,
+      "undecodable payloads must drop")
+  }
+
+  test("dhashNearDupPairs band join is lossless vs brute force at maxHamming 2") {
+    import spark.implicits._
+    // 12 images cycling 6 parameter classes (2 seeds × 3 sizes): ids i
+    // and i+6 are pixel-identical → guaranteed hamming-0 pairs; cross-
+    // size same-seed pairs land wherever the sampling puts them; brute
+    // force is ground truth either way
+    val media = (0L until 12L).map { id =>
+      val cls = (id % 6).toInt
+      val w = (cls % 3) + 16
+      val seed = (cls / 3) * 61
+      (id, FixtureBytes.gradientImage("png", w, 12, seed))
+    }.toDF("doc_id", "payload")
+    val hashes = Multimodal.dHashImages(spark, media, "doc_id", "payload").toDF()
+    val got = Multimodal.dhashNearDupPairs(hashes, "id", maxHamming = 2)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    val hs = hashes.as[Multimodal.ImageDHash].collect().sortBy(_.id)
+    val expect = (for {
+      a <- hs; b <- hs if a.id < b.id
+      ham = java.lang.Long.bitCount(a.dhashA ^ b.dhashA) +
+        java.lang.Long.bitCount(a.dhashB ^ b.dhashB)
+      if ham <= 2
+    } yield (a.id, b.id, ham.toLong)).toSeq.sorted
+    assert(expect.nonEmpty, "fixture must produce near-dup pairs")
+    assert(got == expect)
+  }
 }
