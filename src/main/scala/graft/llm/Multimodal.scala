@@ -491,6 +491,77 @@ object Multimodal {
   final case class ImageDHash(id: Long, width: Int, height: Int,
                               dhashA: Long, dhashB: Long)
 
+  final case class AudioFp(id: Long, nSamples: Long, fp: Long)
+
+  /** 32-bit energy-delta fingerprint of one decoded PCM16 clip: samples
+    * (interleaved, channel-agnostic) split into 33 frames by the
+    * ASSIGNMENT rule f(i) = i·33 DIV n — the floor form both engines
+    * compute identically, no boundary arithmetic — per-frame energy
+    * E(f) = Σ s², and bit f = 1 iff E(f+1) > E(f) (f in 0..31). The
+    * audio analogue of [[dHash]]: length- and rate-robust enough that
+    * truncated/extended copies of the same signal land at small hamming
+    * distance, fully integer, oracle-predictable. Clips shorter than 33
+    * samples drop (a frame would be empty).
+    */
+  def audioFingerprint(id: Long, payload: Array[Byte]): Option[AudioFp] =
+    decodeWavSamples(payload).collect { case (_, _, samples) if samples.length >= 33 =>
+      val n = samples.length
+      val energy = new Array[Long](33)
+      var i = 0
+      while (i < n) {
+        val s = samples(i).toLong
+        energy(((i.toLong * 33L) / n).toInt) += s * s
+        i += 1
+      }
+      var fp = 0L
+      var f = 0
+      while (f < 32) {
+        if (energy(f + 1) > energy(f)) fp |= 1L << f
+        f += 1
+      }
+      AudioFp(id, n.toLong, fp)
+    }
+
+  /** Batched REAL WAV → fingerprint bridge (undecodable/too-short rows
+    * drop). One narrow mapPartitions scan, zero shuffles.
+    */
+  def audioFingerprints(spark: SparkSession, media: DataFrame, idCol: String,
+                        payloadCol: String): Dataset[AudioFp] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch => batch.flatMap { case (id, p) => audioFingerprint(id, p) } }
+  }
+
+  /** Near-duplicate pairs over any 32-bit fingerprint column: bucket on
+    * the four 8-bit bands (hamming ≤ 3 ⇒ one band untouched —
+    * pigeonhole-lossless), verify with one popcount.
+    */
+  def fp32NearDupPairs(hashes: DataFrame, idCol: String, fpCol: String,
+                       maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-band losslessness, got $maxHamming")
+    val h = hashes.select(col(idCol).as("graft_id"), col(fpCol).as("graft_fp"))
+    val bands = h.select(col("graft_id"), col("graft_fp"),
+      explode(expr(
+        """array(struct(0 AS bi, graft_fp % 256 AS bv),
+          |      struct(1 AS bi, (graft_fp DIV 256) % 256 AS bv),
+          |      struct(2 AS bi, (graft_fp DIV 65536) % 256 AS bv),
+          |      struct(3 AS bi, graft_fp DIV 16777216 AS bv))""".stripMargin)).as("b"))
+      .select(col("graft_id"), col("graft_fp"),
+        col("b.bi").as("graft_bi"), col("b.bv").as("graft_bv"))
+    bands.select(col("graft_id").as("id_a"), col("graft_fp").as("fp_a"),
+        col("graft_bi"), col("graft_bv"))
+      .join(bands.select(col("graft_id").as("id_b"), col("graft_fp").as("fp_b"),
+        col("graft_bi"), col("graft_bv")), Seq("graft_bi", "graft_bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Difference hash (dHash) of one decoded bitmap: nearest-neighbor
     * sample onto a 9×8 grid (px = x·W DIV 9, py = y·H DIV 8 — integer
     * floor, no interpolation, so the sampled pixel set is exactly

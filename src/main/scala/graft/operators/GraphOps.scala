@@ -44,13 +44,29 @@ object GraphOps {
     *
     * Output: (node, rank_micro) — `node` keeps the source/dest column
     * type.
+    *
+    * Adaptive execution, the [[graft.llm.Dedup.connectedComponents]]
+    * pattern: graphs at or under `smallGraphThreshold` edges (< 0 → the
+    * `graft.pagerank.smallGraphEdges` session conf, default 100k) run
+    * the power iteration on the DRIVER over the collected edge list —
+    * identical integer update, none of the per-iteration job overhead
+    * that dominates tiny graphs (an event-type or vocabulary graph is
+    * |types|²-bounded no matter the corpus size; measured 8 s of pure
+    * scheduling for a 5-node graph distributed vs ~0.1 s on-driver).
+    * Bigger graphs (document-similarity scale) run the distributed
+    * join+agg loop. A spec pins both paths value-identical.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
-               iters: Int, dampingPct: Long = 85L, scale: Long = 1000000L): DataFrame = {
+               iters: Int, dampingPct: Long = 85L, scale: Long = 1000000L,
+               smallGraphThreshold: Long = -1L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampingPct >= 0L && dampingPct <= 100L,
       s"dampingPct must be in [0, 100], got $dampingPct")
     require(scale >= 100L, s"scale must be >= 100, got $scale")
+    val spark = edges.sparkSession
+    val smallCutoff =
+      if (smallGraphThreshold >= 0L) smallGraphThreshold
+      else spark.conf.get("graft.pagerank.smallGraphEdges", "100000").toLong
     val ed = edges.select(col(srcCol).as("graft_u"), col(dstCol).as("graft_v"),
       col(wCol).cast("long").as("graft_w"))
     val out = ed.groupBy(col("graft_u")).agg(sum(col("graft_w")).as("graft_out"))
@@ -58,6 +74,12 @@ object GraphOps {
     // joins this — one persisted frame instead of an edge+out join per
     // level
     val e2 = CacheRegistry.persist(ed.join(out, Seq("graft_u")))
+    // bounded probe on the persisted frame (materialized here, reused by
+    // every iteration either way)
+    val probeN = math.min(smallCutoff + 1L, Int.MaxValue.toLong).toInt
+    val eCount = e2.limit(probeN).count()
+    if (eCount <= smallCutoff)
+      return pageRankDriver(spark, e2, iters, dampingPct, scale)
     val nodes = CacheRegistry.persist(
       ed.select(col("graft_u").as("graft_n"))
         .union(ed.select(col("graft_v").as("graft_n"))).distinct())
@@ -105,5 +127,39 @@ object GraphOps {
       }
     }
     ranks.select(col("graft_n").as("node"), col("graft_r").as("rank_micro"))
+  }
+
+  /** Driver power iteration over the collected (bounded) edge list —
+    * the exact integer update of the distributed loop: contributions
+    * floor-divide per edge, then base + (d·contrib) DIV 100 +
+    * (d·dang) DIV (100·N). Longs stay positive throughout, so Scala's
+    * `/` is the same floor division as Spark's `DIV`.
+    */
+  private def pageRankDriver(spark: org.apache.spark.sql.SparkSession,
+      e2: DataFrame, iters: Int, dampingPct: Long, scale: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val edges = e2.collect().map(r => (r.get(0), r.get(1), r.getLong(2), r.getLong(3)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.length.toLong
+    val base = scale * (100L - dampingPct) / 100L
+    val sources = edges.iterator.map(_._1).toSet
+    var rank: Map[Any, Long] = nodes.iterator.map(nd => (nd: Any) -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[Any, Long]
+      edges.foreach { case (u, v, w, outw) =>
+        contrib(v) = contrib.getOrElse(v, 0L) + rank(u) * w / outw
+      }
+      val dang = nodes.iterator.filterNot(sources).map(rank).sum
+      rank = nodes.iterator.map(nd => (nd: Any) ->
+        (base + dampingPct * contrib.getOrElse(nd, 0L) / 100L +
+          dampingPct * dang / (100L * n))).toMap
+    }
+    val schema = StructType(Seq(
+      StructField("node", e2.schema("graft_u").dataType),
+      StructField("rank_micro", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(nodes.map(nd => Row(nd, rank(nd))).toSeq, 1),
+      schema)
   }
 }

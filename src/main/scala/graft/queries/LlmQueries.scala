@@ -2767,7 +2767,78 @@ object LlmQueries {
         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash_a, b.dhash_a))
         |      + bit_count(xor(a.dhash_b, b.dhash_b)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Audio energy-delta fingerprint over REAL decoded PCM16 WAVs:
+    // 33 assignment-rule frames, per-frame integer energy, 32
+    // difference bits — the audio analogue of q163, oracle-predicted
+    // from doc_id arithmetic alone.
+    "q165_audio_fingerprint" -> QueryDef(
+      (s, dir) => {
+        Multimodal.audioFingerprints(s, audioFpTable(s, dir), "doc_id", "payload")
+          .toDF()
+          .select(col("id").as("doc_id"), col("nSamples").as("n_samples"), col("fp"))
+          .orderBy("doc_id")
+      },
+      Some(audioFpOracleCte +
+        "\nSELECT p.doc_id, CAST(p.n AS BIGINT) AS n_samples, fp.fp" +
+        "\nFROM fp JOIN p ON p.doc_id = fp.doc_id ORDER BY p.doc_id")),
+
+    // ---- Audio near-duplicate pairs: four 8-bit band buckets over the
+    // 32-bit fingerprint (pigeonhole-lossless for hamming ≤ 3), one-
+    // popcount verification against the unbucketed all-pairs oracle.
+    "q166_audio_neardup" -> QueryDef(
+      (s, dir) => {
+        val hashes = Multimodal.audioFingerprints(s, audioFpTable(s, dir),
+          "doc_id", "payload").toDF()
+        Multimodal.fp32NearDupPairs(hashes, "id", "fp", maxHamming = 3)
+          .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(audioFpOracleCte + """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin)))
+
+  /** Deterministic audio column for the fingerprint queries: PCM16 mono
+    * WAVs whose sample stream depends only on doc_id % 8 (the seed
+    * class) while the clip LENGTH cycles doc_id % 3 — planting
+    * exact-duplicate classes (ids ≡ mod 24) under the REAL encode →
+    * decode → fingerprint pipeline.
+    */
+  private def audioFpTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 198 + (id % 3).toInt * 16
+          val seed = (id % 8) * 7919L * 31L
+          val samples = Array.tabulate(n)(i =>
+            (((seed + i.toLong * 104729L) % 65536L) - 32768L).toShort)
+          (id, graft.fixtures.FixtureBytes.pcmWav(8000, 1, samples))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Shared oracle CTE computing every document's audio fingerprint
+    * purely from doc_id arithmetic — the planted sample formula, the
+    * assignment-rule frames, integer energies, and difference bits,
+    * mirrored in SQL.
+    */
+  private def audioFpOracleCte: String =
+    """WITH p AS (SELECT doc_id, 198 + (doc_id % 3) * 16 AS n,
+      |                  (doc_id % 8) * 7919 * 31 AS sd FROM documents),
+      |ix AS (SELECT doc_id, n, sd, unnest(range(0, n)) AS i FROM p),
+      |sm AS (SELECT doc_id, n, i, ((sd + i * 104729) % 65536) - 32768 AS s FROM ix),
+      |en AS (SELECT doc_id, (i * 33) // n AS f, CAST(sum(s * s) AS BIGINT) AS e
+      |       FROM sm GROUP BY doc_id, (i * 33) // n),
+      |bits AS (SELECT a.doc_id, a.f, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      |         FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      |         WHERE a.f < 32),
+      |fp AS (SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS fp
+      |       FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Shared oracle CTE computing every document's dHash halves (and
     * image size) purely from doc_id arithmetic — the gradient pixel

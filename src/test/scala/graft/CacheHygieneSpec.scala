@@ -178,9 +178,14 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     // superseded per-level checkpoints are unpersisted deterministically
     // inside the loop; the final checkpoint IS the result's storage and
-    // must survive — exactly one persisted RDD remains
+    // must survive — exactly one persisted RDD remains. Force the
+    // DISTRIBUTED path (the one that checkpoints): the default small-
+    // graph cutoff would route this tiny vocabulary to the driver loop.
     val docs = (1L to 20L).map(i => (i, s"a b${i % 3} c d${i % 2}")).toDF("doc_id", "text")
-    val out = TextAnalysis.textRank(docs, "text", iters = 7)
+    spark.conf.set("graft.pagerank.smallGraphEdges", "0")
+    val out =
+      try TextAnalysis.textRank(docs, "text", iters = 7)
+      finally spark.conf.unset("graft.pagerank.smallGraphEdges")
     out.count()
     CacheRegistry.releaseAll(spark)
     val remaining = spark.sparkContext.getPersistentRDDs

@@ -210,6 +210,52 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "undecodable payloads must drop")
   }
 
+  test("audioFingerprint through a REAL WAV encode-decode equals the analytic formula") {
+    def expectedFp(n: Int, seed: Long): Long = {
+      val energy = new Array[Long](33)
+      for (i <- 0 until n) {
+        val s = ((seed + i.toLong * 104729L) % 65536L) - 32768L
+        energy(((i.toLong * 33L) / n).toInt) += s * s
+      }
+      (0 until 32).foldLeft(0L)((acc, f) =>
+        if (energy(f + 1) > energy(f)) acc | (1L << f) else acc)
+    }
+    for ((n, seed) <- Seq((198, 0L), (214, 7919L * 31L), (230, 5 * 7919L * 31L))) {
+      val samples = Array.tabulate(n)(i =>
+        (((seed + i.toLong * 104729L) % 65536L) - 32768L).toShort)
+      val wav = FixtureBytes.pcmWav(8000, 1, samples)
+      val got = Multimodal.audioFingerprint(9L, wav).get
+      assert(got.fp == expectedFp(n, seed), s"n=$n seed=$seed")
+      assert(got.nSamples == n.toLong)
+    }
+    // too-short clips drop (an empty frame would make the bits undefined)
+    assert(Multimodal.audioFingerprint(1L,
+      FixtureBytes.pcmWav(8000, 1, Array.fill(32)(5.toShort))).isEmpty)
+  }
+
+  test("fp32NearDupPairs band join is lossless vs brute force at maxHamming 3") {
+    import spark.implicits._
+    val media = (0L until 12L).map { id =>
+      val cls = (id % 6).toInt
+      val n = 198 + (cls % 3) * 16
+      val seed = (cls / 3) * 7919L * 31L
+      val samples = Array.tabulate(n)(i =>
+        (((seed + i.toLong * 104729L) % 65536L) - 32768L).toShort)
+      (id, FixtureBytes.pcmWav(8000, 1, samples))
+    }.toDF("doc_id", "payload")
+    val hashes = Multimodal.audioFingerprints(spark, media, "doc_id", "payload").toDF()
+    val got = Multimodal.fp32NearDupPairs(hashes, "id", "fp", maxHamming = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    val hs = hashes.as[Multimodal.AudioFp].collect().sortBy(_.id)
+    val expect = (for {
+      a <- hs; b <- hs if a.id < b.id
+      ham = java.lang.Long.bitCount(a.fp ^ b.fp)
+      if ham <= 3
+    } yield (a.id, b.id, ham.toLong)).toSeq.sorted
+    assert(expect.nonEmpty, "fixture must produce near-dup pairs")
+    assert(got == expect)
+  }
+
   test("dhashNearDupPairs band join is lossless vs brute force at maxHamming 2") {
     import spark.implicits._
     // 12 images cycling 6 parameter classes (2 seeds × 3 sizes): ids i

@@ -378,6 +378,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("pageRank driver and distributed paths agree value-for-value") {
+    import spark.implicits._
+    // weighted digraph with a dangling node, asymmetric weights, and a
+    // cycle — every term of the update exercised on both paths
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("c", "d", 4L)).toDF("s", "d", "w")
+    val driver = graft.operators.GraphOps.pageRank(edges, "s", "d", "w", iters = 6)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    graft.llm.CacheRegistry.releaseAll(spark)
+    val dist = graft.operators.GraphOps.pageRank(edges, "s", "d", "w", iters = 6,
+        smallGraphThreshold = 0L)
+      .orderBy("node").as[(String, Long)].collect().toSeq
+    assert(driver.nonEmpty && driver == dist)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("pageRank: symmetric 2-cycle is a fixed point at the initial rank") {
     import spark.implicits._
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("s", "d", "w")
