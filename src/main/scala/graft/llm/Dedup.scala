@@ -1003,18 +1003,31 @@ object Dedup {
       explode(array_distinct(split(col("graft_t"), " "))).as("tok"))
     val dfreq = CacheRegistry.persist(
       toks.groupBy(col("tok")).agg(count(lit(1)).as("graft_df")))
-    val vocabMax = spark.conf.get("graft.jaccard.denseVocabMax", "4096").toInt
+    val vocabMax = denseVocabMax(spark)
     val vocabN = dfreq.limit(vocabMax + 1).count()
-    val dense = vocabN <= vocabMax && {
-      val width = math.max(((vocabN + 63) / 64).toInt, 1)
-      val d = texts.count().toDouble
-      val budget = spark.conf.get("graft.jaccard.densePairOpsPerCore", "4000000000").toDouble
-      val cores = math.max(spark.sparkContext.defaultParallelism, 1).toDouble
-      d * d * width <= budget * cores
-    }
-    if (dense) denseJaccardDistinct(texts, toks, dfreq, vocabN.toInt, thresholdBp)
+    val width = math.max(((vocabN + 63) / 64).toInt, 1).toLong
+    if (densePathEligible(spark, vocabN, vocabMax, texts.count(), width))
+      denseJaccardDistinct(texts, toks, dfreq, vocabN.toInt, thresholdBp)
     else prefixJaccardDistinct(texts, toks, dfreq, thresholdBp)
   }
+
+  /** The ONE place the dense-regime cutovers live (both exact and
+    * weighted joins dispatch through here — divergent copies would let
+    * the two joins pick different regimes on the same corpus):
+    * vocabulary within `graft.jaccard.denseVocabMax` AND pair-loop work
+    * D²·perPairUnit within `graft.jaccard.densePairOpsPerCore` × the
+    * session's actual core count.
+    */
+  private def denseVocabMax(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("graft.jaccard.denseVocabMax", "4096").toInt
+
+  private def densePathEligible(spark: org.apache.spark.sql.SparkSession,
+      vocabN: Long, vocabMax: Int, textCount: Long, perPairUnit: Long): Boolean =
+    vocabN <= vocabMax && {
+      val budget = spark.conf.get("graft.jaccard.densePairOpsPerCore", "4000000000").toDouble
+      val cores = math.max(spark.sparkContext.defaultParallelism, 1).toDouble
+      textCount.toDouble * textCount.toDouble * perPairUnit.toDouble <= budget * cores
+    }
 
   /** Dense-vocabulary verification: token → bit id (vocabulary sort
     * order — a ≤ denseVocabMax-row single-partition window, bounded by
@@ -1161,55 +1174,50 @@ object Dedup {
     // for the merge-walk verification kernel (per-text work — the
     // higher-order functions here run once per distinct text, not per
     // candidate pair, so their CodegenFallback cost is immaterial)
-    val ordered = toks.join(weights, Seq("tok"))
+    // regime dispatch ([[densePathEligible]], the one shared cutover):
+    // probed BEFORE the per-text frame is built, so the dense regime
+    // never evaluates (or caches) the prefix-only columns — the
+    // prefix-length CodegenFallback aggregate and the rarity-ordered
+    // token array exist only on the sparse branch. In the dense regime
+    // every prefix token is common, the prefix self-join degenerates to
+    // ~all-pairs plus a corpus-sized exploded shuffle, and a
+    // budget-gated all-pairs join carrying the (token, weight) arrays
+    // straight through — no candidate distinct, no join-backs — is
+    // strictly less work. The per-pair merge walk costs O(doc tokens)
+    // ≤ vocabN, hence vocabN as the budget's per-pair unit.
+    val spark = df.sparkSession
+    val vocabMax = denseVocabMax(spark)
+    val dfreqP = CacheRegistry.persist(dfreq)
+    val vocabN = dfreqP.limit(vocabMax + 1).count()
+    val dense = densePathEligible(spark, vocabN, vocabMax, texts.count(),
+      math.max(vocabN, 1L))
+    // per text: (tok, w) in rarity order, total weight W, and the
+    // TOKEN-SORTED parallel (tokens, weights) arrays for the merge-walk
+    // verification kernel (per-text work — the higher-order functions
+    // here run once per distinct text, not per candidate pair, so their
+    // CodegenFallback cost is immaterial)
+    val sorted = toks.join(weights, Seq("tok"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(
         struct(col("graft_df"), col("tok"), col("graft_w")))).as("graft_ts"))
       .select(col("id"),
         expr("transform(graft_ts, x -> struct(x.tok AS tok, x.graft_w AS w))").as("graft_tws"))
       .withColumn("graft_wt", expr("aggregate(graft_tws, 0L, (s, x) -> s + x.w)"))
-      .withColumn("graft_plen", expr(
-        s"""aggregate(graft_tws, struct(CAST(0 AS BIGINT) AS cum, 0 AS i, 0 AS p),
-           |  (acc, x) -> struct(acc.cum + x.w, acc.i + 1,
-           |    CASE WHEN acc.p > 0 THEN acc.p
-           |         WHEN 10000 * (acc.cum + x.w) > (10000 - $thresholdBp) * graft_wt
-           |           THEN acc.i + 1
-           |         ELSE 0 END),
-           |  acc -> acc.p)""".stripMargin))
       // graft_tws elements are already struct(tok, w), so sorting the
       // array directly gives UTF8-binary token order for the kernel
       .withColumn("graft_srt", expr("sort_array(graft_tws)"))
       .withColumn("graft_vt", expr("transform(graft_srt, x -> x.tok)"))
       .withColumn("graft_vw", expr("transform(graft_srt, x -> x.w)"))
-    val docs = CacheRegistry.persist(
-      ordered.select(col("id"), col("graft_tws"), col("graft_vt"), col("graft_vw"),
-        col("graft_wt"), col("graft_plen")))
-    // regime dispatch, same probes and confs as [[jaccardJoinDistinct]]:
-    // in the dense-vocabulary regime every prefix token is common, the
-    // prefix self-join degenerates to ~all-pairs plus a corpus-sized
-    // exploded shuffle, and a budget-gated all-pairs join carrying the
-    // (token, weight) arrays straight through — no candidate distinct,
-    // no join-backs — is strictly less work. The per-pair merge walk
-    // costs O(doc tokens) ≤ vocabN, hence vocabN as the budget's
-    // per-pair unit.
-    val spark = df.sparkSession
-    val vocabMax = spark.conf.get("graft.jaccard.denseVocabMax", "4096").toInt
-    val dfreqP = CacheRegistry.persist(dfreq)
-    val vocabN = dfreqP.limit(vocabMax + 1).count()
-    val dense = vocabN <= vocabMax && {
-      val d = texts.count().toDouble
-      val budget = spark.conf.get("graft.jaccard.densePairOpsPerCore", "4000000000").toDouble
-      val cores = math.max(spark.sparkContext.defaultParallelism, 1).toDouble
-      d * d * math.max(vocabN, 1L) <= budget * cores
-    }
-    val verified =
+    val (verified, docs) =
       if (dense) {
+        val docs = CacheRegistry.persist(sorted.select(col("id"),
+          col("graft_vt"), col("graft_vw"), col("graft_wt")))
         val lhs = docs.repartition(spark.sessionState.conf.numShufflePartitions)
           .select(col("id").as("tidl_a"), col("graft_vt").as("graft_vta"),
             col("graft_vw").as("graft_vwa"), col("graft_wt").as("graft_wa"))
         val rhs = docs.select(col("id").as("tidl_b"), col("graft_vt").as("graft_vtb"),
           col("graft_wt").as("graft_wb"))
-        lhs.join(rhs,
+        val joined = lhs.join(rhs,
             col("tidl_a") < col("tidl_b") &&
               lit(10000L) * least(col("graft_wa"), col("graft_wb")) >=
                 lit(thresholdBp) * greatest(col("graft_wa"), col("graft_wb")))
@@ -1217,7 +1225,21 @@ object Dedup {
           // the merge-walk kernel out of the pushed-down join condition
           .withColumn("w_inter", explode(array(call_function("graft_wisect",
             col("graft_vta"), col("graft_vwa"), col("graft_vtb")))))
+        (joined, docs)
       } else {
+        // the SHORTEST prefix whose suffix weight drops below t·W(doc) —
+        // prefix-path-only work, built after the dispatch on purpose
+        val docs = CacheRegistry.persist(sorted
+          .withColumn("graft_plen", expr(
+            s"""aggregate(graft_tws, struct(CAST(0 AS BIGINT) AS cum, 0 AS i, 0 AS p),
+               |  (acc, x) -> struct(acc.cum + x.w, acc.i + 1,
+               |    CASE WHEN acc.p > 0 THEN acc.p
+               |         WHEN 10000 * (acc.cum + x.w) > (10000 - $thresholdBp) * graft_wt
+               |           THEN acc.i + 1
+               |         ELSE 0 END),
+               |  acc -> acc.p)""".stripMargin))
+          .select(col("id"), col("graft_tws"), col("graft_vt"), col("graft_vw"),
+            col("graft_wt"), col("graft_plen")))
         val pre = docs.select(col("id"), col("graft_wt"),
           explode(expr("transform(slice(graft_tws, 1, graft_plen), x -> x.tok)")).as("tok"))
         val cands = pre.select(col("id").as("tidl_a"), col("graft_wt").as("graft_wa"), col("tok"))
@@ -1237,10 +1259,21 @@ object Dedup {
           // function forms (map_from_entries/aggregate) are CodegenFallback
           // and knocked the whole pair stage out of whole-stage codegen
           // (measured ~10× slower on the sf0.1 pair set)
+        val v = cands
+          .join(docs.select(col("id").as("tidl_a"), col("graft_vt").as("graft_vta"),
+            col("graft_vw").as("graft_vwa"), col("graft_wt").as("graft_wa")), Seq("tidl_a"))
+          .join(docs.select(col("id").as("tidl_b"), col("graft_vt").as("graft_vtb"),
+            col("graft_wt").as("graft_wb")), Seq("tidl_b"))
+          // verification: ONE codegen'd merge walk per pair over the two
+          // token-sorted arrays (graft_wisect kernel) — the higher-order-
+          // function forms (map_from_entries/aggregate) are CodegenFallback
+          // and knocked the whole pair stage out of whole-stage codegen
+          // (measured ~10x slower on the sf0.1 pair set)
           .select(col("tidl_a"), col("tidl_b"),
             call_function("graft_wisect",
               col("graft_vta"), col("graft_vwa"), col("graft_vtb")).as("w_inter"),
             col("graft_wa"), col("graft_wb"))
+        (v, docs)
       }
     val tp = verified
       .select(col("tidl_a"), col("tidl_b"), col("w_inter"),

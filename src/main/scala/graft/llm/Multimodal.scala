@@ -533,33 +533,16 @@ object Multimodal {
       .mapPartitions { batch => batch.flatMap { case (id, p) => audioFingerprint(id, p) } }
   }
 
-  /** Near-duplicate pairs over any 32-bit fingerprint column: bucket on
-    * the four 8-bit bands (hamming ≤ 3 ⇒ one band untouched —
-    * pigeonhole-lossless), verify with one popcount.
+  /** Near-duplicate pairs over any 32-bit fingerprint column: four
+    * 8-bit bands ([[bandedHammingPairs]] — sign-safe, lossless for
+    * hamming ≤ 3 by pigeonhole), one-popcount verification.
     */
   def fp32NearDupPairs(hashes: DataFrame, idCol: String, fpCol: String,
                        maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] for 4-band losslessness, got $maxHamming")
-    val h = hashes.select(col(idCol).as("graft_id"), col(fpCol).as("graft_fp"))
-    val bands = h.select(col("graft_id"), col("graft_fp"),
-      explode(expr(
-        """array(struct(0 AS bi, graft_fp % 256 AS bv),
-          |      struct(1 AS bi, (graft_fp DIV 256) % 256 AS bv),
-          |      struct(2 AS bi, (graft_fp DIV 65536) % 256 AS bv),
-          |      struct(3 AS bi, graft_fp DIV 16777216 AS bv))""".stripMargin)).as("b"))
-      .select(col("graft_id"), col("graft_fp"),
-        col("b.bi").as("graft_bi"), col("b.bv").as("graft_bv"))
-    bands.select(col("graft_id").as("id_a"), col("graft_fp").as("fp_a"),
-        col("graft_bi"), col("graft_bv"))
-      .join(bands.select(col("graft_id").as("id_b"), col("graft_fp").as("fp_b"),
-        col("graft_bi"), col("graft_bv")), Seq("graft_bi", "graft_bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    bandedHammingPairs(hashes, idCol, Seq(fpCol), bandBits = 8,
+      maxHamming = maxHamming)
   }
 
   /** Difference hash (dHash) of one decoded bitmap: nearest-neighbor
@@ -624,40 +607,63 @@ object Multimodal {
       .mapPartitions { batch => batch.flatMap { case (id, p) => dHash(id, p) } }
   }
 
-  /** Perceptual near-duplicate pairs over dHash halves: bucket on the
-    * four 16-bit bands (hamming ≤ 3 ⇒ at least one band is untouched —
-    * pigeonhole — so the band join is LOSSLESS for `maxHamming` ≤ 3),
-    * then verify candidates with two popcounts. The classic
-    * image-dedup shape: candidate volume rides the band-bucket sizes,
-    * never all pairs.
+  /** Shared banded-hamming near-dup machinery over 32-bit fingerprint
+    * WORDS: each word is first masked to its low 32 bits (callers may
+    * hand sign-extended values — Spark's %/DIV truncate toward zero on
+    * negatives and would band byte-equal patterns apart, silently
+    * dropping pairs; `shiftrightunsigned` on the masked word sees the
+    * true bit pattern), bucketed on `bandBits`-bit bands, candidates
+    * verified with one popcount per word BEFORE the pair distinct
+    * (hamming is a pure function of the carried words, so filtering
+    * first shrinks the dedup shuffle by every band-colliding pair that
+    * fails the threshold). Pigeonhole: hamming ≤ nBands−1 leaves one
+    * band untouched, so the bucket join is LOSSLESS up to there.
+    */
+  private def bandedHammingPairs(hashes: DataFrame, idCol: String,
+      wordCols: Seq[String], bandBits: Int, maxHamming: Int): DataFrame = {
+    require(wordCols.nonEmpty && 32 % bandBits == 0,
+      s"bandBits must divide 32, got $bandBits")
+    val perWord = 32 / bandBits
+    val nBands = wordCols.length * perWord
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"maxHamming must be in [0, ${nBands - 1}] for $nBands-band losslessness, got $maxHamming")
+    val wi = wordCols.indices
+    val masked = hashes.select(col(idCol).as("graft_id") +:
+      wi.map(i => col(wordCols(i)).bitwiseAND(lit(0xFFFFFFFFL)).as(s"graft_w$i")): _*)
+    val bandStructs = (for {
+      i <- wi; b <- 0 until perWord
+    } yield s"struct(${i * perWord + b} AS bi, " +
+      s"(shiftrightunsigned(graft_w$i, ${b * bandBits}) & ${(1L << bandBits) - 1}) AS bv)")
+      .mkString(", ")
+    val bands = masked.select(col("graft_id") +: wi.map(i => col(s"graft_w$i")) :+
+      explode(expr(s"array($bandStructs)")).as("b"): _*)
+      .select(col("graft_id") +: wi.map(i => col(s"graft_w$i")) :+
+        col("b.bi").as("graft_bi") :+ col("b.bv").as("graft_bv"): _*)
+    val lhs = bands.select(col("graft_id").as("id_a") +:
+      wi.map(i => col(s"graft_w$i").as(s"graft_a$i")) :+
+      col("graft_bi") :+ col("graft_bv"): _*)
+    val rhs = bands.select(col("graft_id").as("id_b") +:
+      wi.map(i => col(s"graft_w$i").as(s"graft_b$i")) :+
+      col("graft_bi") :+ col("graft_bv"): _*)
+    val ham = wi.map(i => s"bit_count(graft_a$i ^ graft_b$i)").mkString(" + ")
+    lhs.join(rhs, Seq("graft_bi", "graft_bv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr(ham).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** Perceptual near-duplicate pairs over dHash halves: four 16-bit
+    * bands over the two 32-bit words ([[bandedHammingPairs]] — lossless
+    * for hamming ≤ 3 by pigeonhole). The classic image-dedup shape:
+    * candidate volume rides the band-bucket sizes, never all pairs.
     */
   def dhashNearDupPairs(hashes: DataFrame, idCol: String,
                         maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] for 4-band losslessness, got $maxHamming")
-    val withBands = hashes.select(col(idCol).as("graft_id"),
-      col("dhashA").as("graft_ha"), col("dhashB").as("graft_hb"))
-    val bands = withBands.select(col("graft_id"), col("graft_ha"), col("graft_hb"),
-      explode(expr(
-        """array(struct(0 AS bi, graft_ha % 65536 AS bv),
-          |      struct(1 AS bi, graft_ha DIV 65536 AS bv),
-          |      struct(2 AS bi, graft_hb % 65536 AS bv),
-          |      struct(3 AS bi, graft_hb DIV 65536 AS bv))""".stripMargin)).as("b"))
-      .select(col("graft_id"), col("graft_ha"), col("graft_hb"),
-        col("b.bi").as("graft_bi"), col("b.bv").as("graft_bv"))
-    val cands = bands.select(col("graft_id").as("id_a"), col("graft_ha").as("ha_a"),
-        col("graft_hb").as("hb_a"), col("graft_bi"), col("graft_bv"))
-      .join(bands.select(col("graft_id").as("id_b"), col("graft_ha").as("ha_b"),
-        col("graft_hb").as("hb_b"), col("graft_bi"), col("graft_bv")),
-        Seq("graft_bi", "graft_bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ha_a"), col("hb_a"),
-        col("ha_b"), col("hb_b"))
-      .distinct()
-    cands
-      .withColumn("hamming",
-        expr("bit_count(ha_a ^ ha_b) + bit_count(hb_a ^ hb_b)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    bandedHammingPairs(hashes, idCol, Seq("dhashA", "dhashB"),
+      bandBits = 16, maxHamming = maxHamming)
   }
 }

@@ -67,8 +67,19 @@ object GraphOps {
     val smallCutoff =
       if (smallGraphThreshold >= 0L) smallGraphThreshold
       else spark.conf.get("graft.pagerank.smallGraphEdges", "100000").toLong
+    // weights must be strictly positive: a zero out-weight sum would be
+    // a bare DIVIDE_BY_ZERO from deep inside iteration codegen, and a
+    // negative weight lets ranks go negative, where Spark's DIV
+    // (truncate toward zero) and the oracle's // (floor) disagree —
+    // silent divergence. Loud in-plan check, the raise_error convention
+    // (weights are unknowable at plan time).
     val ed = edges.select(col(srcCol).as("graft_u"), col(dstCol).as("graft_v"),
       col(wCol).cast("long").as("graft_w"))
+      .withColumn("graft_w", expr(
+        """CASE WHEN graft_w <= 0 THEN
+          |  CAST(raise_error(concat('pageRank: edge weight must be positive, got ',
+          |    CAST(graft_w AS STRING))) AS BIGINT)
+          |ELSE graft_w END""".stripMargin))
     val out = ed.groupBy(col("graft_u")).agg(sum(col("graft_w")).as("graft_out"))
     // edges annotated with their source's out-weight: every iteration
     // joins this — one persisted frame instead of an edge+out join per

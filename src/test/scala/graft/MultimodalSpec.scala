@@ -256,6 +256,21 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect)
   }
 
+  test("fp32NearDupPairs masks sign-extended fingerprints: negative fps still pair") {
+    import spark.implicits._
+    // bit 31 set → sign-extended negative BIGINT when packed from an
+    // Int. -16777216 vs -16777215 differ in ONE low bit; truncating
+    // %/DIV banding would split their high bands apart and silently
+    // drop the pair — the masked shiftrightunsigned banding must not.
+    val hashes = Seq(
+      (1L, 0xFF000000L | 0xFFFFFFFF00000000L), // sign-extended 0xFF000000
+      (2L, 0xFF000001L | 0xFFFFFFFF00000000L), // hamming 1 from the above
+      (3L, 0x00000F00L)).toDF("id", "fp")
+    val got = Multimodal.fp32NearDupPairs(hashes, "id", "fp", maxHamming = 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+  }
+
   test("dhashNearDupPairs band join is lossless vs brute force at maxHamming 2") {
     import spark.implicits._
     // 12 images cycling 6 parameter classes (2 seeds × 3 sizes): ids i

@@ -378,6 +378,19 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("pageRank rejects non-positive edge weights loudly") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 1L), ("b", "a", 0L)).toDF("s", "d", "w")
+    val e = intercept[Exception] {
+      graft.operators.GraphOps.pageRank(edges, "s", "d", "w", iters = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("edge weight must be positive")),
+      s"expected the loud weight check, got: $e")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("pageRank driver and distributed paths agree value-for-value") {
     import spark.implicits._
     // weighted digraph with a dangling node, asymmetric weights, and a
