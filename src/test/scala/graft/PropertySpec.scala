@@ -344,4 +344,60 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(e).exists(_.contains("needs >= 2 centroids")),
       s"expected the n>=2 contract, got: $e")
   }
+
+  test("jaccardJoin matches a brute-force reference on random corpora, both regimes") {
+    import spark.implicits._
+    val rnd = new Random(1307)
+    // random small-vocab corpus: dup classes, empty-ish docs, skewed sizes
+    val vocab = (0 until 24).map(i => s"t$i")
+    val docs = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      val toks = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (id, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val want = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      sa = ta.split(" ").toSet; sb = tb.split(" ").toSet
+      inter = (sa & sb).size.toLong; union = (sa | sb).size.toLong
+      if 10000L * inter >= 6000L * union
+    } yield (a, b, inter, union, (20000 * inter + union) / (2 * union))).sorted
+    def run(): Seq[(Long, Long, Long, Long, Long)] =
+      Dedup.jaccardJoin(df, "doc_id", "text", 6000L)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val dense = run()
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.conf.set("graft.jaccard.denseVocabMax", "0")
+    val sparse = try run() finally {
+      spark.conf.unset("graft.jaccard.denseVocabMax")
+      graft.llm.CacheRegistry.releaseAll(spark)
+    }
+    assert(want.nonEmpty && dense == want && sparse == want)
+  }
+
+  test("bandedHammingPairs (fp32) is lossless vs brute force on random fps incl. negatives") {
+    import spark.implicits._
+    val rnd = new Random(7331)
+    // fingerprints clustered so hamming<=3 pairs actually occur; every
+    // value sign-extended-from-Int half the time
+    val base = Seq.fill(6)(rnd.nextLong() & 0xFFFFFFFFL)
+    val fps = (0L until 48L).map { id =>
+      val b = base(rnd.nextInt(base.size))
+      val flips = rnd.nextInt(4)
+      val v = (0 until flips).foldLeft(b)((acc, _) => acc ^ (1L << rnd.nextInt(32)))
+      val signed = if (rnd.nextBoolean() && (v & 0x80000000L) != 0L)
+        v | 0xFFFFFFFF00000000L else v
+      (id, signed)
+    }
+    val got = graft.llm.Multimodal
+      .fp32NearDupPairs(fps.toDF("id", "fp"), "id", "fp", maxHamming = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      ham = java.lang.Long.bitCount((fa & 0xFFFFFFFFL) ^ (fb & 0xFFFFFFFFL))
+      if ham <= 3
+    } yield (a, b, ham.toLong)).sorted
+    assert(want.nonEmpty && got == want)
+  }
 }
