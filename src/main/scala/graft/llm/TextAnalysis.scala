@@ -22,20 +22,49 @@ object TextAnalysis {
   /** Language ID: argmax of stopword hits, ties broken by language code
     * ascending; zero hits ⇒ "und" (undetermined).
     */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), langPred(col(textCol)).as("lang_pred"))
+
+  /** The [[langId]] prediction as a row-local (shuffle-free, codegen'd)
+    * Column, reusable wherever the text column is already in scope.
+    */
+  def langPred(text: Column): Column = {
+    val toks = split(text, " ")
     val counts = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
-        size(filter(col("toks"), t => t.isin(words: _*))).cast("long").as("hits"),
+        size(filter(toks, t => t.isin(words: _*))).cast("long").as("hits"),
         lit(lang).as("lang"))
     }
     val maxHits = array_max(transform(array(counts: _*), c => c.getField("hits")))
-    toks.select(
-      col("id"),
-      when(maxHits === 0, lit("und"))
-        .otherwise(array_min(transform(
-          filter(array(counts: _*), c => c.getField("hits") === maxHits),
-          c => c.getField("lang")))).as("lang_pred"))
+    when(maxHits === 0, lit("und"))
+      .otherwise(array_min(transform(
+        filter(array(counts: _*), c => c.getField("hits") === maxHits),
+        c => c.getField("lang"))))
+  }
+
+  /** Language-ID confusion matrix: the [[langId]] heuristic scored
+    * against a ground-truth label column — the eval you run before
+    * trusting a cheap classifier to route a 100-TB corpus. One cell per
+    * (truth, predicted) pair with the cell's share of its truth row in
+    * HALF_UP basis points, so per-language recall is the diagonal cell's
+    * `share_bp` directly.
+    *
+    * The prediction is row-local (no shuffle); the matrix is two
+    * |langs|²-bounded aggregations — constant-size output regardless of
+    * corpus scale.
+    */
+  def langIdConfusion(df: DataFrame, textCol: String,
+                      truthCol: String): DataFrame = {
+    val cells = df
+      .select(col(truthCol).as("lang_true"),
+        langPred(col(textCol)).as("lang_pred"))
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val rowTotals = cells.groupBy(col("lang_true"))
+      .agg(sum(col("n_docs")).as("graft_tot"))
+    cells.join(rowTotals, Seq("lang_true"))
+      .select(col("lang_true"), col("lang_pred"), col("n_docs"),
+        expr("(20000 * n_docs + graft_tot) DIV (2 * graft_tot)").as("share_bp"))
   }
 
   /** Quality metrics as exact integers: character/token/punct/digit/

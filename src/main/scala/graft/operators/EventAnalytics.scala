@@ -243,4 +243,41 @@ object EventAnalytics {
       .select(col("from_type"), col("predicted_type"), col("n_total"), col("n_hit"),
         expr("(20000 * n_hit + n_total) DIV (2 * n_total)").as("hit_bp"))
   }
+
+  /** Schema-on-read stats over a semi-structured JSON column: extract
+    * one integer property by JSONPath (`get_json_object`, codegen'd —
+    * no UDF, no upfront schema) and aggregate it per group. Events with
+    * a missing/non-numeric property are counted (`n_missing`) but
+    * excluded from the numeric stats; `mean_centi` is the HALF_UP
+    * integer mean ×100 so both engines agree bit-for-bit.
+    *
+    * One map-side-combinable shuffle on the group key; the JSON parse
+    * runs row-local inside whole-stage codegen, so the pass scales
+    * linearly with the event log and never materializes a parsed
+    * struct column.
+    */
+  def jsonPropStats(events: DataFrame, groupCol: String, jsonCol: String,
+                    path: String): DataFrame = {
+    require(path.startsWith("$") && !path.contains("'"),
+      s"path must be a quote-free JSONPath starting at $$: $path")
+    events
+      .select(col(groupCol),
+        // try_cast, not cast: a non-numeric property value must count
+        // as missing, not abort the job under ANSI mode
+        expr(s"try_cast(get_json_object(`$jsonCol`, '$path') AS BIGINT)")
+          .as("graft_v"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("graft_v")).as("n_with_prop"),
+        coalesce(sum(col("graft_v")), lit(0L)).as("sum_prop"),
+        min(col("graft_v")).as("min_prop"),
+        max(col("graft_v")).as("max_prop"))
+      .select(col(groupCol), col("n_events"),
+        (col("n_events") - col("n_with_prop")).as("n_missing"),
+        col("sum_prop"), col("min_prop"), col("max_prop"),
+        when(col("n_with_prop") > 0,
+          expr("(200 * sum_prop + n_with_prop) DIV (2 * n_with_prop)"))
+          .as("mean_centi"))
+  }
 }

@@ -294,7 +294,31 @@ object EventQueries {
              |             + count(*)) // (2 * count(*)) AS BIGINT) AS hit_bp
              |FROM t JOIN m ON m.from_type = t.from_type AND m.rk = 1
              |GROUP BY t.from_type, m.predicted_type
-             |ORDER BY t.from_type""".stripMargin)))
+             |ORDER BY t.from_type""".stripMargin)),
+
+    // ---- Schema-on-read JSON property stats: the events table's props
+    // column parsed per row (get_json_object — codegen'd, no upfront
+    // schema) and aggregated per event type. mean_centi is the HALF_UP
+    // integer mean ×100 so both engines agree exactly.
+    "q167_json_props" -> QueryDef(
+      (s, dir) => {
+        EventAnalytics.jsonPropStats(table(s, dir, "events"),
+            "event_type", "props", "$.k")
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS (SELECT event_type,
+             |                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+             |          FROM events)
+             |SELECT event_type,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(count(*) - count(v) AS BIGINT) AS n_missing,
+             |       CAST(COALESCE(sum(v), 0) AS BIGINT) AS sum_prop,
+             |       CAST(min(v) AS BIGINT) AS min_prop,
+             |       CAST(max(v) AS BIGINT) AS max_prop,
+             |       CASE WHEN count(v) > 0 THEN
+             |         CAST((200 * sum(v) + count(v)) // (2 * count(v)) AS BIGINT)
+             |       END AS mean_centi
+             |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
   /** DuckDB oracle for [[graft.operators.GraphOps.pageRank]] over the
     * transition graph, `iters` unrolled levels of the exact integer

@@ -2800,7 +2800,33 @@ object LlmQueries {
         |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin)))
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Language-ID eval: the q36 heuristic scored against the
+    // ground-truth lang column as a confusion matrix; share_bp is each
+    // cell's HALF_UP share of its truth row (diagonal = recall).
+    "q168_langid_eval" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.langIdConfusion(table(s, dir, "documents"), "text", "lang")
+          .orderBy("lang_true", "lang_pred")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |hits AS (SELECT doc_id, l.lang, count(*) AS c FROM toks
+             |         JOIN (VALUES ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+             |                      ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),
+             |                      ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+             |                      ('fr','le'),('fr','les'),('fr','des'),('fr','et'),('fr','une')) l(lang, sw)
+             |         ON tok = sw GROUP BY doc_id, l.lang),
+             |best AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rn FROM hits),
+             |pred AS (SELECT d.doc_id, d.lang AS lang_true, COALESCE(b.lang, 'und') AS lang_pred
+             |         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+             |cells AS (SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+             |          FROM pred GROUP BY lang_true, lang_pred),
+             |tot AS (SELECT lang_true, sum(n_docs) AS t FROM cells GROUP BY lang_true)
+             |SELECT c.lang_true, c.lang_pred, c.n_docs,
+             |       CAST((20000 * c.n_docs + t.t) // (2 * t.t) AS BIGINT) AS share_bp
+             |FROM cells c JOIN tot t USING (lang_true)
+             |ORDER BY lang_true, lang_pred""".stripMargin)))
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed

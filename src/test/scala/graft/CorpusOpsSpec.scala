@@ -633,4 +633,21 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(cov == 5L, s"expected exact 5 micro-units at n=3e9, got $cov")
   }
+
+  test("langIdConfusion cells match hand-computed counts and HALF_UP row shares") {
+    import spark.implicits._
+    val docs = Seq(
+      ("the and x", "en"),  // en hit
+      ("the to y", "en"),   // en hit
+      ("xyz qqq", "en"),    // no stopword -> und
+      ("der die", "de"),    // de hit
+      ("el the", "de"))     // en/es tie at 1 -> min lang "en"
+      .toDF("text", "lang")
+    val got = TextAnalysis.langIdConfusion(docs, "text", "lang")
+      .orderBy("lang_true", "lang_pred")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("de", "de", 1L, 5000L), ("de", "en", 1L, 5000L),
+      ("en", "en", 2L, 6667L), ("en", "und", 1L, 3333L)))
+  }
 }

@@ -431,4 +431,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("a", 755625L), ("b", 1244375L)))
     graft.llm.CacheRegistry.releaseAll(spark)
   }
+
+  test("jsonPropStats extracts by path, counts missing/malformed, HALF_UP centi-mean") {
+    import spark.implicits._
+    val events = Seq(
+      ("click", """{"k": 1}"""),
+      ("click", """{"k": 2}"""),          // mean 1.5 -> 150 centi
+      ("view", """{"k": 7, "x": 9}"""),   // extra keys ignored
+      ("view", """{"other": 3}"""),       // path missing -> n_missing
+      ("view", "not json at all"),        // malformed -> n_missing
+      ("view", """{"k": "abc"}"""))       // non-numeric -> n_missing
+      .toDF("event_type", "props")
+    val got = graft.operators.EventAnalytics
+      .jsonPropStats(events, "event_type", "props", "$.k")
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("click", 2L, 0L, 3L, Some(1L), Some(2L), Some(150L)),
+      ("view", 4L, 3L, 7L, Some(7L), Some(7L), Some(700L))))
+  }
+
+  test("jsonPropStats yields null stats for a group with no parseable values") {
+    import spark.implicits._
+    val events = Seq(("e", """{"j": 1}""")).toDF("event_type", "props")
+    val got = graft.operators.EventAnalytics
+      .jsonPropStats(events, "event_type", "props", "$.k")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(("e", 1L, 1L, 0L, None, None, None)))
+  }
 }
