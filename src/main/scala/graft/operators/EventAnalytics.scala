@@ -244,6 +244,83 @@ object EventAnalytics {
         expr("(20000 * n_hit + n_total) DIV (2 * n_total)").as("hit_bp"))
   }
 
+  /** Pairwise association rules over per-user event-type baskets:
+    * support / confidence / lift for every unordered type pair that at
+    * least `minSupport` users share — the market-basket view of an
+    * event log ("users who error also purchase?").
+    *
+    * The basket is the user's DISTINCT type set, so the per-user
+    * self-join emits at most |types|² rows per user and the output is
+    * |types|²-bounded regardless of event volume: two map-side-
+    * combinable shuffles (distinct, pair groupBy) and constant-size
+    * finishing joins. `lift_milli`'s cross-multiplied numerator is
+    * promoted to decimal(38,0) — in BIGINT it wraps once
+    * n_both·n_users exceeds ~9.2e15, well inside 100-TB territory.
+    * All ratios are HALF_UP integers: support/confidence in basis
+    * points, lift in milli-units (1000 = independent).
+    */
+  def associationRules(events: DataFrame, userCol: String, typeCol: String,
+                       minSupport: Long = 1L): DataFrame = {
+    val baskets = graft.llm.CacheRegistry.persist(
+      events.select(col(userCol).as("graft_u"), col(typeCol).as("graft_it"))
+        .distinct())
+    val nUsers = baskets.agg(
+      count_distinct(col("graft_u")).as("graft_nu"))
+    val itemN = baskets.groupBy(col("graft_it"))
+      .agg(count(lit(1)).as("graft_ni"))
+    baskets.as("x")
+      .join(baskets.as("y"),
+        col("x.graft_u") === col("y.graft_u") &&
+          col("x.graft_it") < col("y.graft_it"))
+      .groupBy(col("x.graft_it").as("item_a"), col("y.graft_it").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+      .join(itemN.select(col("graft_it").as("item_a"), col("graft_ni").as("n_a")),
+        Seq("item_a"))
+      .join(itemN.select(col("graft_it").as("item_b"), col("graft_ni").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(nUsers)
+      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"), col("n_b"),
+        expr("(20000 * n_both + graft_nu) DIV (2 * graft_nu)").as("support_bp"),
+        expr("(20000 * n_both + n_a) DIV (2 * n_a)").as("conf_ab_bp"),
+        expr("""CAST((2000 * CAST(n_both AS DECIMAL(38,0)) * graft_nu
+                      + CAST(n_a AS DECIMAL(38,0)) * n_b)
+                  DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+          .as("lift_milli"))
+  }
+
+  /** Last-touch attribution: each conversion event linked to the SAME
+    * user's most recent touch event at-or-before it (ties at an
+    * instant → greatest touch id), unattributed when the latest touch
+    * is older than `horizonUs`. Runs on [[AsOfJoin.lookupLatest]]'s
+    * merge-window formulation — one key shuffle + one sorted scan,
+    * O(|conversions|+|touches|) rows, no per-pair blow-up — so the
+    * lookback horizon is a row-local post-filter, not a range join.
+    *
+    * Output per conversion: (conv_id, userCol, conv_ts, touch_id,
+    * touch_type, age_us) with NULL touch columns when unattributed.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           idCol: String, typeCol: String, convType: String,
+                           touchTypes: Seq[String], horizonUs: Long): DataFrame = {
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val conversions = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(userCol), col(tsCol).as("conv_ts"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol).as("graft_tts"),
+        col(idCol).as("touch_id"), col(typeCol).as("touch_type"))
+    val within = col("graft_tts").isNotNull &&
+      expr("unix_micros(graft_tts)") >= expr("unix_micros(conv_ts)") - lit(horizonUs)
+    AsOfJoin.lookupLatest(conversions, userCol, "conv_ts",
+        touches, userCol, "graft_tts", Seq("touch_id", "graft_tts", "touch_type"))
+      .select(col("conv_id"), col(userCol), col("conv_ts"),
+        when(within, col("touch_id")).as("touch_id"),
+        when(within, col("touch_type")).as("touch_type"),
+        when(within,
+          expr("unix_micros(conv_ts)") - expr("unix_micros(graft_tts)"))
+          .as("age_us"))
+  }
+
   /** Schema-on-read stats over a semi-structured JSON column: extract
     * one integer property by JSONPath (`get_json_object`, codegen'd —
     * no UDF, no upfront schema) and aggregate it per group. Events with

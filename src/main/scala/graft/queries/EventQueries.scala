@@ -318,7 +318,67 @@ object EventQueries {
              |       CASE WHEN count(v) > 0 THEN
              |         CAST((200 * sum(v) + count(v)) // (2 * count(v)) AS BIGINT)
              |       END AS mean_centi
-             |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Market-basket association rules over per-user event-type
+    // baskets: support/confidence in HALF_UP bp, lift in milli-units
+    // (1000 = independent), |types|²-bounded output.
+    "q169_assoc_rules" -> QueryDef(
+      (s, dir) => {
+        EventAnalytics.associationRules(table(s, dir, "events"),
+            "user_id", "event_type", minSupport = 1L)
+          .orderBy("item_a", "item_b")
+      },
+      Some("""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+             |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM b),
+             |i AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY 1),
+             |p AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+             |             CAST(count(*) AS BIGINT) AS n_both
+             |      FROM b x JOIN b y ON x.user_id = y.user_id
+             |                       AND x.event_type < y.event_type
+             |      GROUP BY 1, 2)
+             |SELECT item_a, item_b, n_both, ia.ni AS n_a, ib.ni AS n_b,
+             |       CAST((20000 * n_both + nu.nu) // (2 * nu.nu) AS BIGINT) AS support_bp,
+             |       CAST((20000 * n_both + ia.ni) // (2 * ia.ni) AS BIGINT) AS conf_ab_bp,
+             |       CAST((2000 * n_both * nu.nu + ia.ni * ib.ni)
+             |            // (2 * ia.ni * ib.ni) AS BIGINT) AS lift_milli
+             |FROM p JOIN i ia ON ia.event_type = p.item_a
+             |       JOIN i ib ON ib.event_type = p.item_b
+             |       CROSS JOIN nu
+             |WHERE n_both >= 1
+             |ORDER BY item_a, item_b""".stripMargin)),
+
+    // ---- Last-touch attribution: each purchase linked to the user's
+    // most recent view/click at-or-before it (ties -> greatest touch
+    // id), unattributed when the latest touch is > 1 day old. The
+    // operator is the merge-window as-of join + a row-local horizon
+    // filter; the oracle is the quadratic textbook join.
+    "q170_attribution" -> QueryDef(
+      (s, dir) => {
+        EventAnalytics.lastTouchAttribution(table(s, dir, "events"),
+            "user_id", "ts", "event_id", "event_type",
+            convType = "purchase", touchTypes = Seq("view", "click"),
+            horizonUs = 86400000000L)
+          .orderBy("conv_id")
+      },
+      Some("""WITH c AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, ts, event_id, event_type FROM events
+             |      WHERE event_type IN ('view', 'click')),
+             |m AS (SELECT c.conv_id, t.event_id AS touch_id,
+             |             t.event_type AS touch_type, t.ts,
+             |             row_number() OVER (PARTITION BY c.conv_id
+             |                                ORDER BY t.ts DESC, t.event_id DESC) AS rn
+             |      FROM c JOIN t ON t.user_id = c.user_id AND t.ts <= c.conv_ts)
+             |SELECT c.conv_id, c.user_id, c.conv_ts,
+             |       CASE WHEN epoch_us(m.ts) >= epoch_us(c.conv_ts) - 86400000000
+             |            THEN m.touch_id END AS touch_id,
+             |       CASE WHEN epoch_us(m.ts) >= epoch_us(c.conv_ts) - 86400000000
+             |            THEN m.touch_type END AS touch_type,
+             |       CASE WHEN epoch_us(m.ts) >= epoch_us(c.conv_ts) - 86400000000
+             |            THEN epoch_us(c.conv_ts) - epoch_us(m.ts) END AS age_us
+             |FROM c LEFT JOIN m ON m.conv_id = c.conv_id AND m.rn = 1
+             |ORDER BY c.conv_id""".stripMargin)))
 
   /** DuckDB oracle for [[graft.operators.GraphOps.pageRank]] over the
     * transition graph, `iters` unrolled levels of the exact integer

@@ -452,6 +452,56 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("view", 4L, 3L, 7L, Some(7L), Some(7L), Some(700L))))
   }
 
+  test("associationRules computes support/confidence/lift over distinct baskets") {
+    import spark.implicits._
+    // baskets: u1{a,b} u2{a,b} u3{a} u4{b,c}; duplicates must not inflate
+    val events = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"), // dup (1,a)
+      (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "b"), (4L, "c")).toDF("user_id", "event_type")
+    val got = graft.operators.EventAnalytics
+      .associationRules(events, "user_id", "event_type")
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // (a,b): both=2 of nu=4, n_a=3, n_b=3 -> sup 5000, conf 6667,
+    //        lift 2·4/(3·3)=0.8889 -> 889 milli
+    // (b,c): both=1, n_b=3, n_c=1 -> sup 2500, conf 3333, lift 4/3 -> 1333
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 3L, 5000L, 6667L, 889L),
+      ("b", "c", 1L, 3L, 1L, 2500L, 3333L, 1333L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("lastTouchAttribution matches latest touch within horizon, ties to greatest id") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val events = Seq(
+      // u1: view(1)@1s, click(2)@2s, purchase(3)@2.5s -> click(2), age 0.5s
+      (1L, 10L, ts(1000L), "view"), (2L, 10L, ts(2000L), "click"),
+      (3L, 10L, ts(2500L), "purchase"),
+      // u1: purchase(4)@3.5s -> latest touch 1.5s old > 1s horizon -> null
+      (4L, 10L, ts(3500L), "purchase"),
+      // u2: purchase(5) with no touches at all -> null
+      (5L, 20L, ts(9000L), "purchase"),
+      // u3: view(6) and click(7) at the SAME instant -> greatest id (7) wins
+      (6L, 30L, ts(1000L), "view"), (7L, 30L, ts(1000L), "click"),
+      (8L, 30L, ts(1500L), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.EventAnalytics
+      .lastTouchAttribution(events, "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        horizonUs = 1000000L)
+      .orderBy("conv_id")
+      .select("conv_id", "touch_id", "touch_type", "age_us")
+      .as[(Long, Option[Long], Option[String], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (3L, Some(2L), Some("click"), Some(500000L)),
+      (4L, None, None, None),
+      (5L, None, None, None),
+      (8L, Some(7L), Some("click"), Some(500000L))))
+  }
+
   test("jsonPropStats yields null stats for a group with no parseable values") {
     import spark.implicits._
     val events = Seq(("e", """{"j": 1}""")).toDF("event_type", "props")
