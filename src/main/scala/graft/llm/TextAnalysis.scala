@@ -36,7 +36,11 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }
     val maxHits = array_max(transform(array(counts: _*), c => c.getField("hits")))
-    when(maxHits === 0, lit("und"))
+    // NULL text has zero stopword hits by definition — classify it
+    // "und" rather than letting the NULL propagate through maxHits
+    // (which would yield a NULL prediction the oracles' COALESCE maps
+    // to 'und')
+    when(text.isNull || maxHits === 0, lit("und"))
       .otherwise(array_min(transform(
         filter(array(counts: _*), c => c.getField("hits") === maxHits),
         c => c.getField("lang"))))
@@ -55,11 +59,13 @@ object TextAnalysis {
     */
   def langIdConfusion(df: DataFrame, textCol: String,
                       truthCol: String): DataFrame = {
-    val cells = df
+    // cells feeds two branches (rowTotals + the final join) — persist
+    // it so the corpus-wide prediction scan runs once, not twice
+    val cells = CacheRegistry.persist(df
       .select(col(truthCol).as("lang_true"),
         langPred(col(textCol)).as("lang_pred"))
       .groupBy(col("lang_true"), col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs")))
     val rowTotals = cells.groupBy(col("lang_true"))
       .agg(sum(col("n_docs")).as("graft_tot"))
     cells.join(rowTotals, Seq("lang_true"))

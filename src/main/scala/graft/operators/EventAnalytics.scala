@@ -335,8 +335,10 @@ object EventAnalytics {
     */
   def jsonPropStats(events: DataFrame, groupCol: String, jsonCol: String,
                     path: String): DataFrame = {
-    require(path.startsWith("$") && !path.contains("'"),
-      s"path must be a quote-free JSONPath starting at $$: $path")
+    require(path.startsWith("$") && !path.contains("'") && !path.contains("\\"),
+      s"path must be a quote- and backslash-free JSONPath starting at $$: $path")
+    require(!jsonCol.contains("`"),
+      s"jsonCol must not contain backticks: $jsonCol")
     events
       .select(col(groupCol),
         // try_cast, not cast: a non-numeric property value must count
@@ -353,8 +355,13 @@ object EventAnalytics {
       .select(col(groupCol), col("n_events"),
         (col("n_events") - col("n_with_prop")).as("n_missing"),
         col("sum_prop"), col("min_prop"), col("max_prop"),
-        when(col("n_with_prop") > 0,
-          expr("(200 * sum_prop + n_with_prop) DIV (2 * n_with_prop)"))
+        // signed HALF_UP (the (2x+y) DIV (2y) trick is only HALF_UP for
+        // x >= 0) with the sum promoted to decimal(38,0): 200·sum wraps
+        // BIGINT once a group's property mass passes ~4.6e16
+        when(col("n_with_prop") > 0, expr(
+          """CAST(CASE WHEN sum_prop < 0 THEN -1 ELSE 1 END *
+            |  ((200 * abs(CAST(sum_prop AS DECIMAL(38,0))) + n_with_prop)
+            |    DIV (2 * n_with_prop)) AS BIGINT)""".stripMargin))
           .as("mean_centi"))
   }
 }

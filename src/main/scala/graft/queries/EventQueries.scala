@@ -306,8 +306,18 @@ object EventQueries {
             "event_type", "props", "$.k")
           .orderBy("event_type")
       },
+      // json_valid + integer-regex guards make the oracle equivalent to
+      // Spark's get_json_object + try_cast on malformed/fractional
+      // payloads (DuckDB's json_extract aborts on malformed JSON and
+      // TRY_CAST('1.5') rounds where Spark nulls)
       Some("""WITH v AS (SELECT event_type,
-             |                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+             |                 CASE WHEN json_valid(props) THEN
+             |                   CASE WHEN regexp_matches(
+             |                          COALESCE(json_extract_string(props, '$.k'), ''),
+             |                          '^\s*[-+]?[0-9]+\s*$')
+             |                        THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |                   END
+             |                 END AS v
              |          FROM events)
              |SELECT event_type,
              |       CAST(count(*) AS BIGINT) AS n_events,
@@ -316,7 +326,8 @@ object EventQueries {
              |       CAST(min(v) AS BIGINT) AS min_prop,
              |       CAST(max(v) AS BIGINT) AS max_prop,
              |       CASE WHEN count(v) > 0 THEN
-             |         CAST((200 * sum(v) + count(v)) // (2 * count(v)) AS BIGINT)
+             |         CAST((CASE WHEN sum(v) < 0 THEN -1 ELSE 1 END) *
+             |              ((200 * abs(sum(v)) + count(v)) // (2 * count(v))) AS BIGINT)
              |       END AS mean_centi
              |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

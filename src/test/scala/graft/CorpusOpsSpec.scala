@@ -640,6 +640,7 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("the and x", "en"),  // en hit
       ("the to y", "en"),   // en hit
       ("xyz qqq", "en"),    // no stopword -> und
+      (null, "en"),         // NULL text -> und (not a NULL cell)
       ("der die", "de"),    // de hit
       ("el the", "de"))     // en/es tie at 1 -> min lang "en"
       .toDF("text", "lang")
@@ -648,6 +649,7 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, String, Long, Long)].collect().toSeq
     assert(got == Seq(
       ("de", "de", 1L, 5000L), ("de", "en", 1L, 5000L),
-      ("en", "en", 2L, 6667L), ("en", "und", 1L, 3333L)))
+      ("en", "en", 2L, 5000L), ("en", "und", 2L, 5000L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
   }
 }

@@ -440,6 +440,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("view", """{"k": 7, "x": 9}"""),   // extra keys ignored
       ("view", """{"other": 3}"""),       // path missing -> n_missing
       ("view", "not json at all"),        // malformed -> n_missing
+      ("view", """{"k": 1.5}"""),         // fractional -> n_missing (no rounding)
       ("view", """{"k": "abc"}"""))       // non-numeric -> n_missing
       .toDF("event_type", "props")
     val got = graft.operators.EventAnalytics
@@ -449,7 +450,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().toSeq
     assert(got == Seq(
       ("click", 2L, 0L, 3L, Some(1L), Some(2L), Some(150L)),
-      ("view", 4L, 3L, 7L, Some(7L), Some(7L), Some(700L))))
+      ("view", 5L, 4L, 7L, Some(7L), Some(7L), Some(700L))))
+  }
+
+  test("jsonPropStats accepts signed/padded integer strings and is HALF_UP on negative means") {
+    import spark.implicits._
+    // the q167 oracle's integer regex must admit exactly what Spark's
+    // try_cast admits: optional sign, surrounding whitespace
+    val events = Seq(
+      ("s", """{"k": "+7"}"""), ("s", """{"k": " 9 "}"""),
+      // mean -1/3 -> -33.33 centi -> HALF_UP toward nearest = -33
+      ("n", """{"k": -3}"""), ("n", """{"k": 1}"""), ("n", """{"k": 1}"""))
+      .toDF("event_type", "props")
+    val got = graft.operators.EventAnalytics
+      .jsonPropStats(events, "event_type", "props", "$.k")
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("n", 3L, 0L, -1L, Some(-3L), Some(1L), Some(-33L)),
+      ("s", 2L, 0L, 16L, Some(7L), Some(9L), Some(800L))))
   }
 
   test("associationRules computes support/confidence/lift over distinct baskets") {
