@@ -172,6 +172,17 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.operators.EventAnalytics.markovBacktest(
         events, "user_id", "ts", "event_type", "event_id")
     }
+    assertNoLeak("associationRules") {
+      graft.operators.EventAnalytics.associationRules(
+        events.select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_type")),
+        "user_id", "event_type")
+    }
+    assertNoLeak("langIdConfusion") {
+      graft.llm.TextAnalysis.langIdConfusion(
+        docs.withColumn("lang",
+          org.apache.spark.sql.functions.lit("en")), "text", "lang")
+    }
   }
 
   test("pageRank retains ONLY its result checkpoint after releaseAll") {
