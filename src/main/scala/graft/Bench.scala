@@ -50,6 +50,56 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
+
+    // Throughput shapes run FIRST (before the multi-minute query sweep):
+    // rounds 5-7 measured scan_only AFTER a 600 s suite and watched it
+    // halve three rounds running with zero scan-kernel change — heap
+    // fragmentation, codegen-cache pressure, and background GC from 160
+    // queries all land inside the "steady-state" scan. Fresh-JVM-adjacent
+    // placement plus per-sample capture (scan_only_samples) makes the
+    // next slide attributable instead of mysterious.
+    val (denseSec, denseCarved, scanSamples) = if (!only.exists(_.nonEmpty)) {
+      // jpeg_dense: 500 × 34-byte JPEGs at 4 KiB stride, max_files 200 —
+      // best-of-3 like every query (single-shot samples swung 0.27→2.55 s
+      // across rounds on pure host noise)
+      val denseRef = StridedSamplesRef(IndexedSeq(graft.fixtures.FixtureBytes.jpeg()), 4096L, 500L)
+      val denseCfg = EngineConfig(
+        fileTypes = EngineConfig.defaultFileTypes.filter(_.id == "jpeg").map(_.copy(minSize = 0)),
+        chunkSize = 256 * 1024, overlap = 65536, maxFiles = Some(200))
+      def denseOnce(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val r = CarvePipeline.run(spark, denseRef, denseCfg, "bench-dense",
+          enableStrings = false, enableEntropy = false)
+        val n = r.carvedFiles.count()
+        r.release()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      denseOnce() // warm-up beyond the 50-slot pass above (full 200-file shape)
+      val denseRuns = Seq(denseOnce(), denseOnce(), denseOnce())
+
+      // scan_only: 8 GiB zero-filled evidence, full 43-pattern set
+      // (reference shape: zero image scan, scaled up so the measurement
+      // amortizes Spark's fixed job overhead — at 512 MiB the job
+      // finishes in ~0.3 s and scheduling dominates). The zeros are
+      // generated at read time — no driver allocation or broadcast; the
+      // measurement is the scan automaton, as intended. 32 MiB chunks:
+      // 256 tasks over the local cores (at cluster scale the default
+      // 512 MiB chunk gives ~200k tasks at 100 TB).
+      val scanBytes = 8L * 1024 * 1024 * 1024
+      val zeroRef = ZerosRef(scanBytes)
+      val scanCfg = EngineConfig(chunkSize = 32L * 1024 * 1024, overlap = 65536)
+      def scanOnce(): Double = {
+        val t0 = System.nanoTime()
+        val r = CarvePipeline.run(spark, zeroRef, scanCfg, "bench-scan",
+          enableStrings = false, enableEntropy = false)
+        r.carvedFiles.count()
+        r.release()
+        (System.nanoTime() - t0) / 1e9
+      }
+      scanOnce(); scanOnce() // warm-up (JIT + codegen)
+      (denseRuns.map(_._1).min, denseRuns.head._2,
+        Seq(scanOnce(), scanOnce(), scanOnce()))
+    } else (0.0, 0L, Nil)
     // Each query runs N times and reports the min (criterion-style
     // steady state): run 1 absorbs first-touch costs the sf0.001 warm-up
     // cannot — page-cache-cold sf0.1 parquet reads and AQE-replanned
@@ -102,51 +152,15 @@ object Bench {
       return
     }
 
-    // Let the JVM settle before the throughput benches: the 47-query
-    // sweep above leaves dead broadcast/codegen/cache debris whose
-    // collection would otherwise land inside the timed scan.
-    System.gc()
-    Thread.sleep(500)
-
-    // jpeg_dense: 500 × 34-byte JPEGs at 4 KiB stride, max_files 200
-    // (runs before the big scan so it doesn't inherit its GC debt)
-    val denseRef = StridedSamplesRef(IndexedSeq(graft.fixtures.FixtureBytes.jpeg()), 4096L, 500L)
-    val denseCfg = EngineConfig(
-      fileTypes = EngineConfig.defaultFileTypes.filter(_.id == "jpeg").map(_.copy(minSize = 0)),
-      chunkSize = 256 * 1024, overlap = 65536, maxFiles = Some(200))
-    val t0 = System.nanoTime()
-    val denseRun = CarvePipeline.run(spark, denseRef, denseCfg, "bench-dense",
-      enableStrings = false, enableEntropy = false)
-    val denseCarved = denseRun.carvedFiles.count()
-    val denseSec = (System.nanoTime() - t0) / 1e9
-
-    // scan_only: 8 GiB zero-filled evidence, full 43-pattern set, one
-    // warm-up pass then a timed pass (reference shape: zero image scan,
-    // scaled up so the measurement amortizes Spark's fixed job overhead —
-    // at 512 MiB the job finishes in ~0.3 s and scheduling dominates).
-    // The zeros are generated at read time — no driver allocation or
-    // broadcast; the measurement is the scan automaton, as intended.
     val scanBytes = 8L * 1024 * 1024 * 1024
-    val zeroRef = ZerosRef(scanBytes)
-    // 32 MiB chunks: 256 tasks over the local cores (at cluster scale the
-    // default 512 MiB chunk gives ~200k tasks at 100 TB)
-    val scanCfg = EngineConfig(chunkSize = 32L * 1024 * 1024, overlap = 65536)
-    def scanOnce(): Double = {
-      val t0 = System.nanoTime()
-      val r = CarvePipeline.run(spark, zeroRef, scanCfg, "bench-scan",
-        enableStrings = false, enableEntropy = false)
-      r.carvedFiles.count()
-      r.release()
-      (System.nanoTime() - t0) / 1e9
-    }
-    scanOnce(); scanOnce() // warm-up (JIT + codegen)
-    val scanSec = Seq(scanOnce(), scanOnce(), scanOnce()).min
+    val scanSec = scanSamples.min
     val scanMibps = scanBytes / (1024.0 * 1024.0) / scanSec
-
+    val samplesJson = scanSamples.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""scan_only_mibps":$scanMibps,"scan_only_sec":$scanSec,""" +
+      s""""scan_only_samples":$samplesJson,""" +
       s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
     spark.stop()
   }

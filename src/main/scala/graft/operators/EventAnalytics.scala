@@ -257,7 +257,10 @@ object EventAnalytics {
     * promoted to decimal(38,0) — in BIGINT it wraps once
     * n_both·n_users exceeds ~9.2e15, well inside 100-TB territory.
     * All ratios are HALF_UP integers: support/confidence in basis
-    * points, lift in milli-units (1000 = independent).
+    * points, lift in milli-units (1000 = independent). Confidence is
+    * DIRECTIONAL and both directions are emitted: `conf_ab_bp` is
+    * P(b|a) and `conf_ba_bp` is P(a|b), with item_a < item_b
+    * lexicographically.
     */
   def associationRules(events: DataFrame, userCol: String, typeCol: String,
                        minSupport: Long = 1L): DataFrame = {
@@ -268,8 +271,19 @@ object EventAnalytics {
       count_distinct(col("graft_u")).as("graft_nu"))
     val itemN = baskets.groupBy(col("graft_it"))
       .agg(count(lit(1)).as("graft_ni"))
-    baskets.as("x")
-      .join(baskets.as("y"),
+    // Apriori prune: a pair can only reach minSupport if BOTH items do,
+    // so semi-join baskets against the frequent-item set before the
+    // per-user pair join — a high-cardinality itemCol (URLs, SKUs) can't
+    // go quadratic on items that could never survive the n_both filter.
+    // Output is provably unchanged: n_both >= minSupport implies
+    // n_a, n_b >= minSupport. Skipped at minSupport <= 1 (no-op prune).
+    val pairable =
+      if (minSupport <= 1L) baskets
+      else baskets.join(
+        itemN.filter(col("graft_ni") >= minSupport).select(col("graft_it")),
+        Seq("graft_it"), "left_semi")
+    pairable.as("x")
+      .join(pairable.as("y"),
         col("x.graft_u") === col("y.graft_u") &&
           col("x.graft_it") < col("y.graft_it"))
       .groupBy(col("x.graft_it").as("item_a"), col("y.graft_it").as("item_b"))
@@ -283,6 +297,7 @@ object EventAnalytics {
       .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"), col("n_b"),
         expr("(20000 * n_both + graft_nu) DIV (2 * graft_nu)").as("support_bp"),
         expr("(20000 * n_both + n_a) DIV (2 * n_a)").as("conf_ab_bp"),
+        expr("(20000 * n_both + n_b) DIV (2 * n_b)").as("conf_ba_bp"),
         expr("""CAST((2000 * CAST(n_both AS DECIMAL(38,0)) * graft_nu
                       + CAST(n_a AS DECIMAL(38,0)) * n_b)
                   DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
@@ -299,6 +314,13 @@ object EventAnalytics {
     *
     * Output per conversion: (conv_id, userCol, conv_ts, touch_id,
     * touch_type, age_us) with NULL touch columns when unattributed.
+    *
+    * NULL user keys get equality-join semantics, not window-partition
+    * semantics: the underlying window groups NULL keys into one
+    * partition, which would attribute a NULL-user conversion to a
+    * NULL-user touch. Touches with a NULL key are filtered up front, so
+    * an anonymous conversion is always emitted UNATTRIBUTED (exactly
+    * what `t.user_id = c.user_id` yields in the quadratic formulation).
     */
   def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
                            idCol: String, typeCol: String, convType: String,
@@ -307,6 +329,7 @@ object EventAnalytics {
     val conversions = events.filter(col(typeCol) === convType)
       .select(col(idCol).as("conv_id"), col(userCol), col(tsCol).as("conv_ts"))
     val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .filter(col(userCol).isNotNull)
       .select(col(userCol), col(tsCol).as("graft_tts"),
         col(idCol).as("touch_id"), col(typeCol).as("touch_type"))
     val within = col("graft_tts").isNotNull &&

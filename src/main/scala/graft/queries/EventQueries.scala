@@ -309,13 +309,16 @@ object EventQueries {
       // json_valid + integer-regex guards make the oracle equivalent to
       // Spark's get_json_object + try_cast on malformed/fractional
       // payloads (DuckDB's json_extract aborts on malformed JSON and
-      // TRY_CAST('1.5') rounds where Spark nulls)
+      // TRY_CAST('1.5') rounds where Spark nulls). The inner cast is
+      // TRY_CAST: the regex pins the lexical form but not the range, so a
+      // 20-digit integer must become NULL (Spark's try_cast behavior), not
+      // abort the oracle.
       Some("""WITH v AS (SELECT event_type,
              |                 CASE WHEN json_valid(props) THEN
              |                   CASE WHEN regexp_matches(
              |                          COALESCE(json_extract_string(props, '$.k'), ''),
              |                          '^\s*[-+]?[0-9]+\s*$')
-             |                        THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |                        THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
              |                   END
              |                 END AS v
              |          FROM events)
@@ -351,6 +354,7 @@ object EventQueries {
              |SELECT item_a, item_b, n_both, ia.ni AS n_a, ib.ni AS n_b,
              |       CAST((20000 * n_both + nu.nu) // (2 * nu.nu) AS BIGINT) AS support_bp,
              |       CAST((20000 * n_both + ia.ni) // (2 * ia.ni) AS BIGINT) AS conf_ab_bp,
+             |       CAST((20000 * n_both + ib.ni) // (2 * ib.ni) AS BIGINT) AS conf_ba_bp,
              |       CAST((2000 * n_both * nu.nu + ia.ni * ib.ni)
              |            // (2 * ia.ni * ib.ni) AS BIGINT) AS lift_milli
              |FROM p JOIN i ia ON ia.event_type = p.item_a

@@ -2658,7 +2658,7 @@ object LlmQueries {
              |      FROM sc JOIN g USING (doc_id))
              |SELECT score_bin, CAST(count(*) AS BIGINT) AS n_docs,
              |       CAST(sum(keep) AS BIGINT) AS n_keep,
-             |       (20000 * sum(keep) + count(*)) // (2 * count(*)) AS keep_bp
+             |       (20000 * CAST(sum(keep) AS BIGINT) + count(*)) // (2 * count(*)) AS keep_bp
              |FROM j GROUP BY score_bin ORDER BY score_bin""".stripMargin)),
 
     // ---- Dedup provenance audit: each removed near-dup cluster member

@@ -483,14 +483,55 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = graft.operators.EventAnalytics
       .associationRules(events, "user_id", "event_type")
       .orderBy("item_a", "item_b")
-      .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
-    // (a,b): both=2 of nu=4, n_a=3, n_b=3 -> sup 5000, conf 6667,
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // (a,b): both=2 of nu=4, n_a=3, n_b=3 -> sup 5000, conf both ways 6667,
     //        lift 2·4/(3·3)=0.8889 -> 889 milli
-    // (b,c): both=1, n_b=3, n_c=1 -> sup 2500, conf 3333, lift 4/3 -> 1333
+    // (b,c): both=1, n_b=3, n_c=1 -> sup 2500, conf b->c 3333, c->b 10000,
+    //        lift 4/3 -> 1333
     assert(got == Seq(
-      ("a", "b", 2L, 3L, 3L, 5000L, 6667L, 889L),
-      ("b", "c", 1L, 3L, 1L, 2500L, 3333L, 1333L)))
+      ("a", "b", 2L, 3L, 3L, 5000L, 6667L, 6667L, 889L),
+      ("b", "c", 1L, 3L, 1L, 2500L, 3333L, 10000L, 1333L)))
     graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("associationRules Apriori guard prunes infrequent items without changing output") {
+    import spark.implicits._
+    // 40 singleton items appear once each (user 100 holds them all — an
+    // adversarial wide basket); items a,b are shared by 3 users. At
+    // minSupport=3 every singleton is pruned BEFORE the pair join, so the
+    // wide basket contributes 0 pair rows instead of C(41,2).
+    val wide = (1 to 40).map(i => (100L, f"z$i%02d"))
+    val events = (wide ++ Seq((100L, "a"),
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "b")))
+      .toDF("user_id", "event_type")
+    val got = graft.operators.EventAnalytics
+      .associationRules(events, "user_id", "event_type", minSupport = 2L)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // only (a,b) survives: both=2 of nu=4 users, n_a=3, n_b=3
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == Seq(("a", "b", 2L, 3L, 3L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("lastTouchAttribution leaves NULL-user conversions unattributed") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // a NULL-user touch and a NULL-user conversion share the window's
+    // NULL partition; equality-join semantics say they must NOT match
+    val events = Seq(
+      (1L, None, ts(1000L), "view"),
+      (2L, None, ts(1500L), "purchase"),
+      (3L, Some(10L), ts(1000L), "view"),
+      (4L, Some(10L), ts(1500L), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.EventAnalytics
+      .lastTouchAttribution(events, "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("view", "click"),
+        horizonUs = 1000000L)
+      .orderBy("conv_id")
+      .select("conv_id", "touch_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((2L, None), (4L, Some(3L))))
   }
 
   test("lastTouchAttribution matches latest touch within horizon, ties to greatest id") {

@@ -38,6 +38,19 @@ def main(outdir, sfdir):
                           con.sql(f"SELECT {', '.join(spark_cols)} FROM spark_rel").fetchall()]
             duck_rel = con.sql(sql)
             duck_cols = sorted(duck_rel.columns)
+            # Driver-grade type check: the driver hashes typed values, so a
+            # DuckDB HUGEINT (e.g. from uncast sum()) mismatches a Spark
+            # BIGINT even when every value agrees. Require column-by-column
+            # type parity between the Spark parquet and the oracle result so
+            # oracle type drift never reaches the driver.
+            spark_types = {c: str(t) for c, t in zip(spark_rel.columns, spark_rel.types)}
+            duck_types = {c: str(t) for c, t in zip(duck_rel.columns, duck_rel.types)}
+            bad_types = [(c, spark_types.get(c), duck_types[c]) for c in duck_types
+                         if c in spark_types and spark_types[c] != duck_types[c]]
+            if bad_types:
+                print(f"FAIL {name}: type drift (col, spark, oracle): {bad_types}")
+                failures += 1
+                continue
             duck_rows = [tuple(norm(v) for v in r) for r in
                          con.sql(f"SELECT {', '.join(duck_cols)} FROM duck_rel").fetchall()]
             if spark_cols != duck_cols:
