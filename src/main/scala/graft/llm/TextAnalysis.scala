@@ -464,6 +464,168 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair")).limit(topN)
   }
 
+  /** Full BPE training loop (Sennrich et al., ACL 2016): `merges`
+    * iterations of count-pairs → pick the most frequent → apply the
+    * merge corpus-wide, emitting the learned merge table — the actual
+    * tokenizer-prep artifact ([[bpePairCounts]] is one unrolled step).
+    * Output: (step, sym_a, sym_b, merged, n), one row per learned merge
+    * in training order; fewer than `merges` rows when the vocabulary
+    * runs out of adjacent pairs. Ties break (n desc, sym_a asc, sym_b
+    * asc) and the merge applies greedily left-to-right non-overlapping
+    * — the reference semantics of Sennrich's `learn_bpe`.
+    *
+    * Scale shape, the [[graft.operators.GraphOps.pageRank]] pattern:
+    * tokens collapse to the word VOCABULARY once up front (post-shuffle
+    * volume is distinct words, not corpus tokens, and every iteration
+    * runs over that bounded frame); each iteration is one map-side-
+    * combinable pair aggregation plus a 1-row argmax action, with the
+    * symbol-array rewrite running in-row (the per-word fold is a
+    * higher-order function — CodegenFallback, but per WORD per step,
+    * never per candidate pair, which is the regime BENCH_NOTES allows).
+    * Vocab frames localCheckpoint every 3rd step — lineage otherwise
+    * deepens per level — and superseded checkpoint RDDs are released
+    * deterministically. Vocabularies at or under `smallVocabThreshold`
+    * words (< 0 → the `graft.bpe.smallVocabWords` session conf, default
+    * 100k) train on the DRIVER over the collected word list — identical
+    * integer counts and tie-breaks, none of the per-iteration job
+    * overhead that dominates small-vocab corpora; a spec pins both
+    * paths row-identical.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+               smallVocabThreshold: Long = -1L): DataFrame = {
+    require(merges >= 1 && merges <= 64, s"merges must be in [1, 64], got $merges")
+    val spark = df.sparkSession
+    val cutoff =
+      if (smallVocabThreshold >= 0L) smallVocabThreshold
+      else spark.conf.get("graft.bpe.smallVocabWords", "100000").toLong
+    val vocab0 = graft.llm.CacheRegistry.persist(df
+      .select(explode(split(col(textCol), " ")).as("graft_w"))
+      .filter(length(col("graft_w")) >= 2)
+      .groupBy(col("graft_w")).agg(count(lit(1)).as("graft_f")))
+    val probeN = math.min(cutoff + 1L, Int.MaxValue.toLong).toInt
+    if (vocab0.limit(probeN).count() <= cutoff)
+      return bpeTrainDriver(spark, vocab0, merges)
+
+    // distributed loop over (symbol array, word freq)
+    // split('', -1) appends one trailing empty match — filter it
+    var vocab: DataFrame = vocab0.select(
+      filter(split(col("graft_w"), ""), s => s =!= lit("")).as("graft_syms"),
+      col("graft_f")).localCheckpoint()
+    def dropCheckpoint(d: DataFrame): Unit = d.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    var prevCkpt = vocab
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // adjacent pairs weighted by word freq; single-symbol words emit
+      // nothing (the sequence() guard matters: sequence(1, 0) DESCENDS)
+      val pairs = vocab.select(explode(expr(
+          """CASE WHEN size(graft_syms) < 2 THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+            |ELSE transform(sequence(1, size(graft_syms) - 1),
+            |  i -> struct(element_at(graft_syms, i) AS a,
+            |              element_at(graft_syms, i + 1) AS b)) END""".stripMargin))
+          .as("graft_p"), col("graft_f"))
+        .groupBy(col("graft_p.a").as("graft_a"), col("graft_p.b").as("graft_b"))
+        .agg(sum(col("graft_f")).as("graft_n"))
+      val top = pairs.orderBy(col("graft_n").desc, col("graft_a"), col("graft_b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((step.toLong, a, b, a + b, n))
+        // greedy left-to-right fold: replace a trailing `a` when the next
+        // symbol is `b`. Equivalent to index-skipping greedy because the
+        // merged symbol a+b can never itself equal `a` (b is non-empty).
+        // get() is the 0-based NULL-on-out-of-bounds accessor — the empty
+        // accumulator must not trip ANSI element_at.
+        val mergedSyms = aggregate(col("graft_syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s))))
+        vocab = vocab.select(mergedSyms.as("graft_syms"), col("graft_f"))
+        if (step % 3 == 0 || step == merges) {
+          vocab = vocab.localCheckpoint()
+          dropCheckpoint(prevCkpt)
+          prevCkpt = vocab
+        }
+        step += 1
+      }
+    }
+    dropCheckpoint(prevCkpt)
+    bpeMergesFrame(spark, learned.toSeq)
+  }
+
+  /** Driver BPE training over the collected (bounded) word vocabulary —
+    * the exact counts, tie-breaks, and greedy merge of the distributed
+    * loop. Symbols are Unicode code points (what Spark's split('')
+    * yields), not UTF-16 code units.
+    */
+  private def bpeTrainDriver(spark: org.apache.spark.sql.SparkSession,
+      vocab0: DataFrame, merges: Int): DataFrame = {
+    def codePoints(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    var words: Array[(Array[String], Long)] =
+      vocab0.collect().map(r => (codePoints(r.getString(0)), r.getLong(1)))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((pa, pb), pn) => (-pn, pa, pb) }
+        learned += ((step.toLong, a, b, a + b, n))
+        words = words.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        step += 1
+      }
+    }
+    bpeMergesFrame(spark, learned.toSeq)
+  }
+
+  private def bpeMergesFrame(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, String, String, String, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("sym_a", StringType, nullable = false),
+      StructField("sym_b", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3, r._4, r._5)), 1), schema)
+  }
+
   /** Tokenizer fertility per source — pieces/word and bytes/token, the
     * diagnostic that decides whether a tokenizer fits a corpus slice
     * (high fertility = more pieces per word = more compute per byte of

@@ -2826,7 +2826,20 @@ object LlmQueries {
              |SELECT c.lang_true, c.lang_pred, c.n_docs,
              |       CAST((20000 * c.n_docs + t.t) // (2 * t.t) AS BIGINT) AS share_bp
              |FROM cells c JOIN tot t USING (lang_true)
-             |ORDER BY lang_true, lang_pred""".stripMargin)))
+             |ORDER BY lang_true, lang_pred""".stripMargin)),
+
+    // ---- Full BPE training loop: 8 iterations of count-pairs → argmax
+    // → greedy corpus-wide merge, emitting the learned merge table (the
+    // tokenizer-prep artifact; q120 is one unrolled step). The oracle
+    // unrolls the loop as chained CTEs, representing each word as a
+    // chr(31)-delimited symbol string so the merge is one non-
+    // overlapping left-to-right replace — exactly the greedy semantics.
+    "q171_bpe_train" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.bpeTrain(table(s, dir, "documents"), "text", merges = 8)
+          .orderBy("step")
+      },
+      Some(bpeTrainOracle(8))))
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed
@@ -2904,6 +2917,51 @@ object LlmQueries {
     * and takes the (gain DESC, doc_id) argmax — exactly the operator's
     * tie rule.
     */
+  /** DuckDB oracle for [[TextAnalysis.bpeTrain]], `k` unrolled merge
+    * levels. Each word is a wrapped symbol string `␟s₁␟␟s₂␟…` (chr(31)
+    * never occurs in the corpus), so applying the winning merge (a, b)
+    * is one `replace('␟a␟␟b␟' → '␟ab␟')` — non-overlapping left-to-
+    * right, the exact greedy BPE semantics, with per-symbol delimiters
+    * so adjacent matches never share boundary characters. An exhausted
+    * level's argmax CTE is empty and contributes no output row (the
+    * CASE guard keeps the vocabulary unchanged from there on). Every
+    * level CTE is MATERIALIZED: DuckDB inlines CTEs by default and
+    * each level references its predecessor several times, so the
+    * un-materialized chain re-scans the corpus exponentially.
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val sep2 = "chr(31)||chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |vw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks
+        |       WHERE length(w) >= 2 GROUP BY w),
+        |v0 AS MATERIALIZED (SELECT chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31))
+        |              || chr(31) AS wr, f FROM vw)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |s$i AS MATERIALIZED (SELECT list_transform(string_split(wr, $sep2),
+        |                              x -> trim(x, chr(31))) AS syms, f FROM v$p),
+        |p$i AS MATERIALIZED (SELECT u.pr.a AS a, u.pr.b AS b, CAST(sum(f) AS BIGINT) AS n
+        |        FROM (SELECT unnest([{'a': syms[j], 'b': syms[j+1]}
+        |                             for j in range(1, len(syms))]) AS pr, f
+        |              FROM s$i WHERE len(syms) >= 2) u
+        |        GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+        |v$i AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN wr
+        |               ELSE replace(wr,
+        |                 chr(31)||(SELECT a FROM b$i)||$sep2||(SELECT b FROM b$i)||chr(31),
+        |                 chr(31)||(SELECT a FROM b$i)||(SELECT b FROM b$i)||chr(31)) END AS wr,
+        |               f FROM v$p)""".stripMargin)
+    }
+    val rows = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS sym_a, b AS sym_b, a||b AS merged, n FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    sb.append(s"\nSELECT * FROM (\n$rows\n) ORDER BY step")
+    sb.toString
+  }
+
   private def greedyCoverOracle(k: Int): String = {
     val sb = new StringBuilder
     sb.append(

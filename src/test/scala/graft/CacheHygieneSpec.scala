@@ -204,4 +204,18 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pageRank left ${remaining.size} persisted RDDs; only the result checkpoint may remain")
     remaining.values.foreach(_.unpersist(true))
   }
+
+  test("bpeTrain leaves no persisted RDDs after releaseAll, both paths") {
+    import spark.implicits._
+    val docs = (1L to 15L).map(i => (i, s"abc$i abd abd ee$i")).toDF("doc_id", "text")
+    // distributed loop (threshold 0): per-level checkpoints must be
+    // dropped in-loop and the final one at exit — the merge table is a
+    // driver-built frame, so NOTHING may survive releaseAll
+    assertNoLeak("bpeTrain(distributed)") {
+      TextAnalysis.bpeTrain(docs, "text", merges = 7, smallVocabThreshold = 0L)
+    }
+    assertNoLeak("bpeTrain(driver)") {
+      TextAnalysis.bpeTrain(docs, "text", merges = 7, smallVocabThreshold = 1000L)
+    }
+  }
 }

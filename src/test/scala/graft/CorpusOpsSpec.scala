@@ -652,4 +652,45 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("en", "en", 2L, 5000L), ("en", "und", 2L, 5000L)))
     graft.llm.CacheRegistry.releaseAll(spark)
   }
+
+  test("bpeTrain learns hand-computed merges with deterministic tie-breaks") {
+    import spark.implicits._
+    // vocab: aaab×2, aab×1.
+    // step1 pairs: (a,a) 2·2+1=5, (a,b) 2+1=3 -> merge (a,a):
+    //   aaab=[aa,a,b], aab=[aa,b]
+    // step2: (aa,a) 2, (a,b) 2, (aa,b) 1 -> tie at 2, 'a' < 'aa' ->
+    //   merge (a,b): aaab=[aa,ab], aab unchanged [aa,b]
+    // step3: (aa,ab) 2, (aa,b) 1 -> merge -> aaab=[aaab]
+    // step4: (aa,b) 1 -> merge -> aab=[aab]; then no pairs -> stop at 4
+    val docs = Seq("aaab aaab aab").toDF("text")
+    val expect = Seq(
+      (1L, "a", "a", "aa", 5L),
+      (2L, "a", "b", "ab", 2L),
+      (3L, "aa", "ab", "aaab", 2L),
+      (4L, "aa", "b", "aab", 1L))
+    val driver = TextAnalysis.bpeTrain(docs, "text", merges = 6,
+        smallVocabThreshold = 1000L)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(driver == expect)
+    // distributed loop (threshold 0 forces it) must be row-identical
+    val dist = TextAnalysis.bpeTrain(docs, "text", merges = 6,
+        smallVocabThreshold = 0L)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(dist == expect)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("bpeTrain driver and distributed paths agree on a mixed corpus") {
+    import spark.implicits._
+    val docs = Seq("hello hello help", "world word hello w", "held hold bold")
+      .toDF("text")
+    val a = TextAnalysis.bpeTrain(docs, "text", merges = 10,
+        smallVocabThreshold = 1000L)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val b = TextAnalysis.bpeTrain(docs, "text", merges = 10,
+        smallVocabThreshold = 0L)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
 }
