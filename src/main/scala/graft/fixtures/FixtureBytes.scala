@@ -465,6 +465,17 @@ object FixtureBytes {
     */
   def mjpegAvi(frames: Seq[(Int, Int, Int)]): Array[Byte] = {
     require(frames.nonEmpty, "an AVI needs at least one frame")
+    val (w0, h0, _) = frames.head
+    framesAvi(frames.map { case (w, h, rgb) => solidImage("jpeg", w, h, rgb) }, w0, h0)
+  }
+
+  /** AVI container around arbitrary pre-encoded frame payloads (the
+    * [[mjpegAvi]] RIFF layout with the frame codec left to the caller —
+    * e.g. lossless BMP frames keep a perceptual-hash pipeline
+    * pixel-exact where JPEG quantization would not).
+    */
+  def framesAvi(framePayloads: Seq[Array[Byte]], w0: Int, h0: Int): Array[Byte] = {
+    require(framePayloads.nonEmpty, "an AVI needs at least one frame")
     def chunk(fcc: String, body: Array[Byte]): Array[Byte] = {
       val out = new ByteArrayOutputStream
       out.write(ascii(fcc)); out.write(leU32(body.length)); out.write(body)
@@ -473,22 +484,20 @@ object FixtureBytes {
     }
     def list(fcc: String, body: Array[Byte]): Array[Byte] =
       chunk("LIST", ascii(fcc) ++ body)
-    val jpegs = frames.map { case (w, h, rgb) => solidImage("jpeg", w, h, rgb) }
-    val (w0, h0, _) = frames.head
     val avih = chunk("avih",
       leU32(33333) ++ leU32(0) ++ leU32(0) ++ leU32(0) ++ // usPerFrame, maxBps, pad, flags
-        leU32(frames.length.toLong) ++ leU32(0) ++ leU32(1) ++ leU32(0) ++ // total, initial, streams, bufSize
+        leU32(framePayloads.length.toLong) ++ leU32(0) ++ leU32(1) ++ leU32(0) ++ // total, initial, streams, bufSize
         leU32(w0.toLong) ++ leU32(h0.toLong) ++ new Array[Byte](16)) // width, height, reserved
     val strh = chunk("strh",
       ascii("vids") ++ ascii("MJPG") ++ new Array[Byte](12) ++ // type, handler, flags/prio/initial
         leU32(1) ++ leU32(30) ++ leU32(0) ++ // scale, rate, start
-        leU32(frames.length.toLong) ++ leU32(0) ++ leU32(0xffffffffL) ++ leU32(0) ++ // length, bufSize, quality, sampleSize
+        leU32(framePayloads.length.toLong) ++ leU32(0) ++ leU32(0xffffffffL) ++ leU32(0) ++ // length, bufSize, quality, sampleSize
         leU16(0) ++ leU16(0) ++ leU16(w0) ++ leU16(h0)) // rcFrame
     val strf = chunk("strf",
       leU32(40) ++ leU32(w0.toLong) ++ leU32(h0.toLong) ++ leU16(1) ++ leU16(24) ++
         ascii("MJPG") ++ leU32((w0.toLong * h0 * 3)) ++ new Array[Byte](16))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val movi = list("movi", jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val movi = list("movi", framePayloads.map(j => chunk("00dc", j)).reduce(_ ++ _))
     val body = ascii("AVI ") ++ hdrl ++ movi
     ascii("RIFF") ++ leU32(body.length.toLong) ++ body
   }

@@ -666,4 +666,55 @@ object Multimodal {
     bandedHammingPairs(hashes, idCol, Seq("dhashA", "dhashB"),
       bandBits = 16, maxHamming = maxHamming)
   }
+
+  /** Per-video perceptual fingerprint: the field-wise MINIMUM of the
+    * sampled frames' dHash halves.
+    */
+  final case class VideoFp(id: Long, nFrames: Long, nSampled: Long,
+      fpA: Long, fpB: Long)
+
+  /** Per-video perceptual fingerprint — the [[sampleAviFrames]] ×
+    * [[dHash]] composition: walk each RIFF-AVI payload, dHash every
+    * `stride`-th frame (only the sampled frames pay a decode), and
+    * collapse the sampled hashes to one fingerprint per video via the
+    * field-wise MIN of the two 32-bit dHash halves. The min is order-
+    * insensitive, so re-encoded copies with a trimmed head/tail or
+    * shuffled frame order still collide, and it keeps the fingerprint a
+    * fixed 64 bits regardless of video length — the property that lets
+    * [[videoNearDupPairs]] reuse the banded-hamming bucket join
+    * unchanged. Videos with no decodable sampled frame drop (the
+    * [[decodeImages]] convention). One narrow mapPartitions pass,
+    * payload-local, zero shuffles at any corpus size.
+    */
+  def videoFingerprints(spark: SparkSession, media: DataFrame, idCol: String,
+                        payloadCol: String, stride: Int): Dataset[VideoFp] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, p) =>
+          val frames = aviFramePayloads(p)
+          val hashes = frames.zipWithIndex
+            .collect { case (f, i) if i % stride == 0 => dHash(id, f) }
+            .flatten
+          if (hashes.isEmpty) None
+          else Some(VideoFp(id, frames.length.toLong, hashes.length.toLong,
+            hashes.map(_.dhashA).min, hashes.map(_.dhashB).min))
+        }
+      }
+  }
+
+  /** Video near-duplicate pairs over [[videoFingerprints]] output: the
+    * q164 image machinery verbatim — four 16-bit bands over the two
+    * fingerprint words, pigeonhole-lossless for hamming ≤ 3, popcount
+    * verification before the pair distinct.
+    */
+  def videoNearDupPairs(hashes: DataFrame, idCol: String,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-band losslessness, got $maxHamming")
+    bandedHammingPairs(hashes, idCol, Seq("fpA", "fpB"),
+      bandBits = 16, maxHamming = maxHamming)
+  }
 }

@@ -99,6 +99,32 @@ object LlmQueries {
       }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic video column for the perceptual-fingerprint queries:
+    * one AVI per document whose frames are LOSSLESS gradient BMPs
+    * (JPEG quantization would break pixel-exact oracles), dimensions
+    * shared with [[gradientMediaTable]] and a per-frame gradient seed
+    * planted by (doc_id, frame index) arithmetic — so the whole
+    * container-walk → decode → dHash → min-fold pipeline is
+    * oracle-predictable, and ids sharing (mod 5, mod 3, mod 2, mod 8)
+    * classes plant exact-duplicate videos.
+    */
+  private def gradientAviTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val nf = (id % 5).toInt + 1
+          val w = (id % 3).toInt + 16
+          val h = (id % 2).toInt + 12
+          val frames = (0 until nf).map { j =>
+            graft.fixtures.FixtureBytes.gradientImage("bmp", w, h,
+              (((id % 8) * 29 + j * 37) % 256).toInt)
+          }
+          (id, graft.fixtures.FixtureBytes.framesAvi(frames, w, h))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Deterministic audio column: one complete PCM16 WAV per document —
     * sample rate, channel count, and every interleaved sample planted by
     * arithmetic on (doc_id, flat sample index), byte-exact via
@@ -2839,7 +2865,45 @@ object LlmQueries {
         TextAnalysis.bpeTrain(table(s, dir, "documents"), "text", merges = 8)
           .orderBy("step")
       },
-      Some(bpeTrainOracle(8))))
+      Some(bpeTrainOracle(8))),
+
+    // ---- Per-video perceptual fingerprint: AVI walk → dHash of every
+    // 2nd frame (lossless BMP frames keep the pixels oracle-exact) →
+    // field-wise MIN of the two 32-bit halves. The oracle recomputes
+    // every sampled frame's hash from (doc_id, frame) arithmetic alone.
+    "q172_video_fingerprint" -> QueryDef(
+      (s, dir) => {
+        Multimodal.videoFingerprints(s, gradientAviTable(s, dir),
+            "doc_id", "payload", stride = 2)
+          .toDF()
+          .select(col("id").as("doc_id"), col("nFrames").as("n_frames"),
+            col("nSampled").as("n_sampled"),
+            col("fpA").as("fp_a"), col("fpB").as("fp_b"))
+          .orderBy("doc_id")
+      },
+      Some(videoFpOracleCte +
+        "\nSELECT doc_id, n_frames, n_sampled, fp_a, fp_b FROM fp ORDER BY doc_id")),
+
+    // ---- Video near-duplicate pairs: the q164 banded-hamming bucket
+    // join over the per-video min-fold fingerprints (lossless for
+    // hamming ≤ 3 by pigeonhole), against the unbucketed all-pairs
+    // oracle — closing the image/audio/video near-dup triangle.
+    "q173_video_neardup" -> QueryDef(
+      (s, dir) => {
+        val fps = Multimodal.videoFingerprints(s, gradientAviTable(s, dir),
+          "doc_id", "payload", stride = 2).toDF()
+        Multimodal.videoNearDupPairs(fps, "id", maxHamming = 2)
+          .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(videoFpOracleCte + """
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.fp_a, b.fp_a))
+        |            + bit_count(xor(a.fp_b, b.fp_b)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp_a, b.fp_a))
+        |      + bit_count(xor(a.fp_b, b.fp_b)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin)))
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed
@@ -2910,6 +2974,45 @@ object LlmQueries {
       |                        ELSE 0 END) AS BIGINT) AS dhash_b
       |        FROM bits JOIN p ON p.doc_id = bits.doc_id
       |        GROUP BY bits.doc_id, p.w, p.h)""".stripMargin
+
+  /** Shared oracle CTE for the video-fingerprint queries: recomputes
+    * each sampled frame's dHash from the [[gradientAviTable]] plant
+    * ((doc_id, frame j) arithmetic, the [[dhashOracleCte]] formula with
+    * the per-frame seed), then folds the per-frame halves with MIN into
+    * the per-video fingerprint `fp(doc_id, n_frames, n_sampled, fp_a,
+    * fp_b)`.
+    */
+  private def videoFpOracleCte: String =
+    """WITH p AS (SELECT doc_id, doc_id % 5 + 1 AS nf, 16 + doc_id % 3 AS w,
+      |                  12 + doc_id % 2 AS h FROM documents),
+      |sf AS (SELECT doc_id, nf, w, h, j, ((doc_id % 8) * 29 + j * 37) % 256 AS s
+      |       FROM (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS j FROM p)
+      |       WHERE j % 2 = 0),
+      |gy AS (SELECT doc_id, j, w, h, s, unnest(range(0, 8)) AS y FROM sf),
+      |gx AS (SELECT doc_id, j, w, h, s, y, unnest(range(0, 9)) AS x FROM gy),
+      |pix AS (SELECT doc_id, j, y, x,
+      |         (299 * ((s + 11 * ((x * w) // 9) + 23 * ((y * h) // 8)) % 256)
+      |        + 587 * ((s +  7 * ((x * w) // 9) + 31 * ((y * h) // 8)) % 256)
+      |        + 114 * ((s + 13 * ((x * w) // 9) + 17 * ((y * h) // 8)) % 256)) // 1000 AS gray
+      |        FROM gx),
+      |bits AS (SELECT a.doc_id, a.j, a.y, a.x,
+      |               CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |         FROM pix a JOIN pix b ON b.doc_id = a.doc_id AND b.j = a.j
+      |                              AND b.y = a.y AND b.x = a.x + 1
+      |         WHERE a.x < 8),
+      |fh AS (SELECT doc_id, j,
+      |          CAST(sum(CASE WHEN y < 4
+      |                        THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+      |                        ELSE 0 END) AS BIGINT) AS dhash_a,
+      |          CAST(sum(CASE WHEN y >= 4
+      |                        THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+      |                        ELSE 0 END) AS BIGINT) AS dhash_b
+      |        FROM bits GROUP BY doc_id, j),
+      |fp AS (SELECT fh.doc_id, CAST(max(p.nf) AS BIGINT) AS n_frames,
+      |              CAST(count(*) AS BIGINT) AS n_sampled,
+      |              min(dhash_a) AS fp_a, min(dhash_b) AS fp_b
+      |       FROM fh JOIN p ON p.doc_id = fh.doc_id
+      |       GROUP BY fh.doc_id)""".stripMargin
 
   /** DuckDB oracle for [[Curation.greedyCover]] at depth `k`: level i
     * filters the tokens still uncovered after level i−1's cumulative

@@ -297,4 +297,43 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.nonEmpty, "fixture must produce near-dup pairs")
     assert(got == expect)
   }
+
+  test("videoFingerprints min-folds sampled-frame dHashes through a real AVI walk") {
+    import spark.implicits._
+    // 4 frames, stride 2 -> sampled j = 0, 2; lossless BMP frames keep
+    // every sampled pixel (and so the analytic dHash) exact
+    val seeds = Seq(40, 90, 140, 190)
+    val frames = seeds.map(sd => FixtureBytes.gradientImage("bmp", 17, 13, sd))
+    val media = Seq((7L, FixtureBytes.framesAvi(frames, 17, 13)),
+      (8L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val got = Multimodal.videoFingerprints(spark, media, "id", "payload", stride = 2)
+      .collect().toSeq
+    val sampled = Seq(0, 2).map(j => expectedDhash(17, 13, seeds(j)))
+    assert(got == Seq(Multimodal.VideoFp(7L, 4L, 2L,
+      sampled.map(_._1).min, sampled.map(_._2).min)))
+  }
+
+  test("videoNearDupPairs band join is lossless vs brute force on fingerprint words") {
+    import spark.implicits._
+    // same dimension class, seed varies slowly -> planted near-dups
+    val media = (1L to 24L).map { id =>
+      val nf = (id % 3).toInt + 2
+      val frames = (0 until nf).map(j =>
+        FixtureBytes.gradientImage("bmp", 16, 12, (((id % 4) * 29).toInt + j) % 256))
+      (id, FixtureBytes.framesAvi(frames, 16, 12))
+    }.toDF("id", "payload")
+    val fps = Multimodal.videoFingerprints(spark, media, "id", "payload", stride = 2).toDF()
+    val got = Multimodal.videoNearDupPairs(fps, "id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    val hs = fps.as[Multimodal.VideoFp].collect().sortBy(_.id)
+    val expect = (for {
+      a <- hs; b <- hs if a.id < b.id
+      ham = java.lang.Long.bitCount(a.fpA ^ b.fpA) +
+        java.lang.Long.bitCount(a.fpB ^ b.fpB)
+      if ham <= 3
+    } yield (a.id, b.id, ham.toLong)).toSeq.sorted
+    assert(expect.nonEmpty, "fixture must produce video near-dup pairs")
+    assert(got == expect)
+  }
 }
