@@ -608,6 +608,57 @@ object Similarity {
           .otherwise(expr("(20000 * (b2 - a2) + b2) div (2 * b2)")))
   }
 
+  /** Incremental IVF index maintenance: assign a NEW embedding batch to
+    * the EXISTING centroid table — no retraining — and report, per
+    * inverted list, the growth and residual drift that tell an index
+    * operator when retraining is due (the [[graft.llm.Dedup]]
+    * incremental-dedup analog for the ANN side). Per cluster:
+    * (cluster_id, n_base, n_new, growth_bp, resid_base, resid_new,
+    * drift_bp) where growth_bp = n_new/n_base in HALF_UP basis points,
+    * resid_* are the HALF_UP mean squared distances (scaled-integer
+    * units) of each side's members to their centroid, and drift_bp =
+    * resid_new/resid_base in bp (10000 = the new batch fits the old
+    * codebook exactly as well as the base did; sustained growth means
+    * the centroids no longer describe the data). NULL where a
+    * denominator side is empty. A list neither side touches still
+    * reports (0, 0, NULL…) — shrinking lists are a retrain signal too.
+    *
+    * Scale shape: each side is ONE narrow zero-shuffle kernel scan (the
+    * [[silhouette]] assignment — centroid literals, integer-exact
+    * distances) followed by a map-side-combinable k-bounded aggregation;
+    * the finishing joins are over codebook-sized frames. Residual sums
+    * are decimal(38,0)-promoted — at 100 TB a list's Σa² exceeds BIGINT
+    * long before its membership count is interesting.
+    */
+  def ivfIncrementalStats(base: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame,
+      scale: Double = 10000.0): DataFrame = {
+    def sideStats(df: DataFrame, nName: String, sName: String): DataFrame =
+      silhouette(df, idCol, vecCol, centroids, scale)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as(nName),
+          sum(col("a2").cast("decimal(38,0)")).as(sName))
+    val lists = centroids.select(col(idCol).cast("long").as("cluster_id"))
+    lists
+      .join(sideStats(base, "graft_nb", "graft_ssb"), Seq("cluster_id"), "left")
+      .join(sideStats(batch, "graft_nn", "graft_ssn"), Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        coalesce(col("graft_nb"), lit(0L)).as("n_base"),
+        coalesce(col("graft_nn"), lit(0L)).as("n_new"),
+        col("graft_ssb"), col("graft_ssn"))
+      .withColumn("growth_bp", expr(
+        "CASE WHEN n_base > 0 THEN (20000 * n_new + n_base) DIV (2 * n_base) END"))
+      .withColumn("resid_base", expr(
+        "CASE WHEN n_base > 0 THEN CAST((2 * graft_ssb + n_base) DIV (2 * n_base) AS BIGINT) END"))
+      .withColumn("resid_new", expr(
+        "CASE WHEN n_new > 0 THEN CAST((2 * graft_ssn + n_new) DIV (2 * n_new) AS BIGINT) END"))
+      .withColumn("drift_bp", expr(
+        "CASE WHEN resid_base > 0 AND resid_new IS NOT NULL " +
+          "THEN (20000 * resid_new + resid_base) DIV (2 * resid_base) END"))
+      .select(col("cluster_id"), col("n_base"), col("n_new"), col("growth_bp"),
+        col("resid_base"), col("resid_new"), col("drift_bp"))
+  }
+
   /** Recall@k of the LSH-bucketed ANN against the exact cosine top-k —
     * the evaluation that calibrates `nPlanes` (more planes = smaller
     * buckets = faster but lower recall). Both rankings use the same

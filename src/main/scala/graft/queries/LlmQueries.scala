@@ -2903,7 +2903,65 @@ object LlmQueries {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp_a, b.fp_a))
         |      + bit_count(xor(a.fp_b, b.fp_b)) <= 2
-        |ORDER BY doc_a, doc_b""".stripMargin)))
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Incremental IVF maintenance: a systematically-drifted new
+    // batch assigned to the EXISTING q131-style codebook (no retrain);
+    // per-list growth + residual drift in bp tells the operator when
+    // the centroids stopped describing the data. Assignment and
+    // residuals are the silhouette kernel's integer-exact distances.
+    "q174_ivf_incremental" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val batch = emb.filter(col("vec_id") % 3 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            expr("transform(embedding, (x, i) -> " +
+              "CAST(x * 1.02D + 0.001D * CAST(i % 5 AS DOUBLE) AS FLOAT))")
+              .as("embedding"))
+        Similarity.ivfIncrementalStats(emb, batch, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 16))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH b0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             |                  unnest(embedding) AS v FROM embeddings),
+             |nb AS (SELECT vec_id + 2000000 AS vec_id, i,
+             |              CAST(CAST(v AS DOUBLE) * CAST(1.02 AS DOUBLE)
+             |                   + CAST(0.001 AS DOUBLE) * CAST((i - 1) % 5 AS DOUBLE) AS FLOAT) AS v
+             |       FROM b0 WHERE vec_id % 3 = 0),
+             |qb AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             |              CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT) AS qv FROM b0),
+             |qn AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             |              CAST(round(CAST(v AS DOUBLE) * 10000.0) AS BIGINT) AS qv FROM nb),
+             |cb AS (SELECT vec_id AS cid, dim, qv FROM qb WHERE vec_id < 16),
+             |rb AS (SELECT vec_id, cid, d2,
+             |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             |       FROM (SELECT q.vec_id, cb.cid, sum((q.qv - cb.qv) * (q.qv - cb.qv)) AS d2
+             |             FROM qb q JOIN cb ON cb.dim = q.dim GROUP BY 1, 2)),
+             |sb AS (SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_base,
+             |              sum(d2) AS ssb FROM rb WHERE rn = 1 GROUP BY 1),
+             |rn2 AS (SELECT vec_id, cid, d2,
+             |              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             |       FROM (SELECT q.vec_id, cb.cid, sum((q.qv - cb.qv) * (q.qv - cb.qv)) AS d2
+             |             FROM qn q JOIN cb ON cb.dim = q.dim GROUP BY 1, 2)),
+             |sn AS (SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_new,
+             |              sum(d2) AS ssn FROM rn2 WHERE rn = 1 GROUP BY 1),
+             |cl AS (SELECT DISTINCT vec_id AS cluster_id FROM embeddings WHERE vec_id < 16),
+             |m AS (SELECT cl.cluster_id, COALESCE(sb.n_base, 0) AS n_base,
+             |             COALESCE(sn.n_new, 0) AS n_new, sb.ssb, sn.ssn
+             |      FROM cl LEFT JOIN sb USING (cluster_id) LEFT JOIN sn USING (cluster_id)),
+             |r2 AS (SELECT cluster_id, CAST(n_base AS BIGINT) AS n_base,
+             |              CAST(n_new AS BIGINT) AS n_new,
+             |              CASE WHEN n_base > 0
+             |                   THEN CAST((20000 * n_new + n_base) // (2 * n_base) AS BIGINT) END AS growth_bp,
+             |              CASE WHEN n_base > 0
+             |                   THEN CAST((2 * ssb + n_base) // (2 * n_base) AS BIGINT) END AS resid_base,
+             |              CASE WHEN n_new > 0
+             |                   THEN CAST((2 * ssn + n_new) // (2 * n_new) AS BIGINT) END AS resid_new
+             |       FROM m)
+             |SELECT cluster_id, n_base, n_new, growth_bp, resid_base, resid_new,
+             |       CASE WHEN resid_base > 0 AND resid_new IS NOT NULL
+             |            THEN CAST((20000 * resid_new + resid_base) // (2 * resid_base) AS BIGINT) END AS drift_bp
+             |FROM r2 ORDER BY cluster_id""".stripMargin)))
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed

@@ -615,4 +615,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       clearCaches()
     }
   }
+
+  test("incremental IVF stats: one exchange per side's k-bounded aggregation") {
+    // each corpus side is a narrow kernel scan (centroid literals — no
+    // shuffle before its groupBy) + one map-side-combinable aggregation;
+    // the finishing joins are codebook-sized. 2 side aggs + ≤1 exchange
+    // from the bounded join of k-row frames.
+    val p = planOf("q174_ivf_incremental")
+    assert(hashExchanges(p) <= 3,
+      s"ivfIncrementalStats grew extra exchanges beyond the two side aggs + bounded join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
