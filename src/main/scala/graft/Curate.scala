@@ -19,20 +19,45 @@ import org.apache.spark.sql.functions._
   * the same corpus bit-for-bit.
   *
   * Usage: runMain graft.Curate <documentsParquet> <benchParquet|-> <outDir>
-  * Env:   SPARK_GRAFT_CPUS (default 4), GRAFT_SPLIT_SEED (default "graft"),
-  *        GRAFT_SEGMENT_WORDS=N enables the exact-substring (segment)
-  *        dedup stage at N-word granularity between the gate and the
-  *        near-dup pass (0/unset = off), GRAFT_LSH_BAND_CAP=N drops
-  *        LSH band buckets with more than N members whole (boilerplate
-  *        guard; unset = no cap).
+  *            [--split-seed=S] [--segment-words=N] [--band-cap=N]
+  * Flags (first-class config — env-var-only knobs get lost at deploy
+  * time; the env vars below remain as fallbacks):
+  *   --split-seed=S     split/shuffle hash seed (default "graft";
+  *                      env GRAFT_SPLIT_SEED)
+  *   --segment-words=N  enable the exact-substring (segment) dedup stage
+  *                      at N-word granularity between the gate and the
+  *                      near-dup pass (0/unset = off;
+  *                      env GRAFT_SEGMENT_WORDS)
+  *   --band-cap=N       drop LSH band buckets with more than N members
+  *                      whole — the boilerplate guard for corpora where
+  *                      one degenerate band key would emit quadratic
+  *                      candidates (unset = no cap;
+  *                      env GRAFT_LSH_BAND_CAP)
+  * Env:   SPARK_GRAFT_CPUS (default 4).
   */
 object Curate {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: Curate <documentsParquet> <benchParquet|-> <outDir>")
-    val (docsPath, benchPath, outDir) = (args(0), args(1), args(2))
+    val pos = args.filterNot(_.startsWith("--"))
+    val flags = args.filter(_.startsWith("--"))
+    require(pos.length >= 3,
+      "usage: Curate <documentsParquet> <benchParquet|-> <outDir> " +
+        "[--split-seed=S] [--segment-words=N] [--band-cap=N]")
+    def flag(name: String): Option[String] =
+      flags.collectFirst { case a if a.startsWith(s"--$name=") =>
+        a.substring(name.length + 3) }
+    val known = Set("split-seed", "segment-words", "band-cap")
+    flags.foreach { f =>
+      require(known.exists(k => f.startsWith(s"--$k=")),
+        s"unknown flag $f (known: ${known.map("--" + _).mkString(", ")})")
+    }
+    val (docsPath, benchPath, outDir) = (pos(0), pos(1), pos(2))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val seed = sys.env.getOrElse("GRAFT_SPLIT_SEED", "graft")
-    val segWords = sys.env.get("GRAFT_SEGMENT_WORDS").map(_.toInt).filter(_ > 0)
+    val seed = flag("split-seed")
+      .orElse(sys.env.get("GRAFT_SPLIT_SEED")).getOrElse("graft")
+    val segWords = flag("segment-words")
+      .orElse(sys.env.get("GRAFT_SEGMENT_WORDS")).map(_.toInt).filter(_ > 0)
+    val bandCap = flag("band-cap")
+      .orElse(sys.env.get("GRAFT_LSH_BAND_CAP")).map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,7 +67,7 @@ object Curate {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val summary = run(spark, docsPath,
-        Option(benchPath).filter(_ != "-"), outDir, seed, segWords)
+        Option(benchPath).filter(_ != "-"), outDir, seed, segWords, bandCap)
       println(summary.mkString("{", ", ", "}"))
     } finally spark.stop()
   }
@@ -52,7 +77,12 @@ object Curate {
     */
   def run(spark: SparkSession, docsPath: String, benchPath: Option[String],
           outDir: String, seed: String,
-          segmentWords: Option[Int] = None): Seq[(String, Long)] = {
+          segmentWords: Option[Int] = None,
+          bandCap: Option[Int] = None): Seq[(String, Long)] = {
+    // validate config BEFORE any stage persists (a mid-pipeline abort
+    // would otherwise leave stage caches behind); >= 2 is
+    // lshCandidatePairs' own contract
+    bandCap.foreach(c => require(c >= 2, s"band cap must be >= 2, got $c"))
     val raw = spark.read.parquet(docsPath)
     val nRaw = raw.count()
 
@@ -82,13 +112,9 @@ object Curate {
     val nSegment = preDedup.count()
 
     // 3. near-duplicate removal: cluster keep-decisions joined back.
-    // GRAFT_LSH_BAND_CAP=N (optional) drops LSH band buckets with > N
-    // members whole — the boilerplate-bucket guard for corpora where one
-    // degenerate band key would emit quadratic candidates.
-    val bandCap = sys.env.get("GRAFT_LSH_BAND_CAP").map(_.toInt)
-    // reject a nonsensical cap instead of silently running uncapped —
-    // same contract as lshCandidatePairs' own require
-    bandCap.foreach(c => require(c >= 2, s"GRAFT_LSH_BAND_CAP must be >= 2, got $c"))
+    // bandCap (--band-cap / GRAFT_LSH_BAND_CAP) drops LSH band buckets
+    // with > N members whole — the boilerplate-bucket guard for corpora
+    // where one degenerate band key would emit quadratic candidates.
     val keep = Dedup.dedupCorpus(preDedup, "doc_id", "text",
         shingleN = 3, numHashes = 8, rowsPerBand = 2,
         maxBandMembers = bandCap)

@@ -103,4 +103,26 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dupSegs == 0, "output corpus still contains duplicated segments")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("band cap runs end-to-end and a generous cap changes nothing") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val out = Files.createTempDirectory("graft-curate-cap").toString
+    val outRef = Files.createTempDirectory("graft-curate-capref").toString
+    // a cap far above any honest bucket population must reproduce the
+    // uncapped corpus exactly (the guard only drops degenerate buckets)
+    val s = Curate.run(spark, docs, None, out, "graft", bandCap = Some(100000))
+    val sRef = Curate.run(spark, docs, None, outRef, "graft")
+    assert(s == sRef)
+    val ids = spark.read.parquet(s"$out/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val idsRef = spark.read.parquet(s"$outRef/corpus").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == idsRef)
+    // a nonsensical cap is rejected loudly, not silently ignored
+    val err = intercept[IllegalArgumentException] {
+      Curate.run(spark, docs, None, out, "graft", bandCap = Some(1))
+    }
+    assert(err.getMessage.contains("band cap"))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
