@@ -296,4 +296,64 @@ object CarvedText {
       }
       .toDF("global_start", "file_type", "path", "text")
   }
+
+  /** Generic-string fallback for carved types with no structured walker
+    * — the reference's string-artefact path
+    * (/root/reference/src/strings/mod.rs:99-115) applied to the payload
+    * store, so EVERY carved type contributes to the curation corpus,
+    * not just the three text formats: printable ASCII runs of at least
+    * `minLen` chars ([[graft.scan.StringScan]], the q21 semantics —
+    * `\t` | 0x20-0x7E; UTF-8/16 runs excluded for engine parity) are
+    * extracted per payload and joined in offset order into one
+    * pseudo-document. Payloads with no qualifying span drop; the
+    * structured walkers' types are excluded by default so the two
+    * frames compose disjointly (see [[documentsWithStrings]]).
+    *
+    * Scale shape: identical to [[documents]] — one binaryFile row per
+    * carved payload, the scan is a narrow per-row pass, no shuffle, no
+    * driver involvement.
+    */
+  def stringDocuments(spark: SparkSession, payloadDir: String,
+                      minLen: Int = 6,
+                      excludeTypes: Seq[String] = Seq("eml", "rtf", "fb2")): DataFrame = {
+    import spark.implicits._
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val scanner = new graft.scan.StringScan(minLen, 0, scanUtf16 = false)
+    val nonAscii = graft.core.StringFlags.Utf8 |
+      graft.core.StringFlags.Utf16Le | graft.core.StringFlags.Utf16Be
+    val base = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(payloadDir)
+    val files =
+      if (excludeTypes.isEmpty) base
+      else base.filter(!col("path").rlike(excludeTypes.mkString("\\.(", "|", ")$")))
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val spans = scanner.scanChunk(0L, content)
+          .filter(sp => (sp.flags & nonAscii) == 0)
+          .sortBy(_.localStart)
+          .map(sp => new String(content, sp.localStart.toInt, sp.length, "ISO-8859-1"))
+        if (spans.isEmpty) None
+        else {
+          val off = OffsetRe.findFirstMatchIn(path)
+            .map(m => java.lang.Long.parseLong(m.group(1), 16))
+            .getOrElse(sys.error(
+              s"payload name violates the {type}_{offset:012X} contract: $path"))
+          Some((off, path.substring(path.lastIndexOf('.') + 1), path,
+            spans.mkString("\n")))
+        }
+      }
+      .toDF("global_start", "file_type", "path", "text")
+  }
+
+  /** The full bridge: structured text extraction for the types with
+    * walkers UNION the generic-string fallback for everything else —
+    * one documents frame covering the whole payload store.
+    */
+  def documentsWithStrings(spark: SparkSession, payloadDir: String,
+                           minLen: Int = 6,
+                           types: Seq[String] = Seq("eml", "rtf", "fb2")): DataFrame =
+    documents(spark, payloadDir, types)
+      .unionByName(stringDocuments(spark, payloadDir, minLen, types))
 }

@@ -165,5 +165,79 @@ object BridgeQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, 'jpeg' AS file_type FROM documents
-             |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin)))
+             |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // ---- Generic-string bridge over a NON-text carve type: one pdf per
+    // slot whose body mixes printable lines, binary junk, and
+    // under-minLen fragments; the carve runs end-to-end and
+    // CarvedText.stringDocuments must recover exactly the >= 6-char
+    // printable runs in offset order — the strings/mod.rs artefact path
+    // extended so every carved type feeds the curation corpus.
+    "q175_carved_strings" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val nDocs = Registry.table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
+        val (cfg0, _) = EngineConfig.filterFileTypes(
+          EngineConfig(chunkSize = 512 * 1024, overlap = 4096),
+          Some(Seq("pdf")), disableZip = false)
+        val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
+        val payloadDir = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-bridge-pdf-v1-$nDocs")
+        val complete = payloadDir.isDirectory && {
+          val counts = payloadDir.listFiles()
+          counts != null && counts.iterator.flatMap(d =>
+            Option(d.listFiles()).map(_.length).iterator).sum == nDocs
+        }
+        if (!complete) {
+          val run = CarvePipeline.run(s, PdfSlotsRef(Stride, nDocs), cfg, "bridge-pdf",
+            enableStrings = false, enableEntropy = false,
+            payloadDir = Some(payloadDir.toString))
+          run.carvedFiles.count()
+          run.release()
+        }
+        CarvedText.stringDocuments(s, payloadDir.toString)
+          .select((col("global_start") / Stride).cast("long").as("doc_id"),
+            col("file_type"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'pdf' AS file_type,
+             |'%PDF-1.4' || chr(10) || '1 0 obj' || chr(10) ||
+             |'(report ' || doc_id || ' about the stone town harbor)' ||
+             |chr(10) || 'endobj' AS text
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+
+  /** Per-slot pdf sample: printable lines a string scan must keep, plus
+    * binary junk and an under-minLen fragment it must drop. Ends at
+    * `%%EOF` (itself 5 chars — under the default minLen, so the span
+    * set is stable whether or not the carver includes the footer).
+    */
+  private[graft] def pdfSlotSample(slot: Long): Array[Byte] =
+    ascii(s"%PDF-1.4\n1 0 obj\n(report $slot about the stone town harbor)\nendobj\n") ++
+      Array[Byte](1, 2, 3) ++ ascii("tiny\n%%EOF")
+
+  private[graft] final case class PdfSlotsRef(stride: Long, slots: Long)
+      extends EvidenceRef {
+    override def open(): EvidenceReader = new EvidenceReader {
+      override val length: Long = stride * slots
+      override def readAt(offset: Long, buf: Array[Byte], bufOff: Int, len: Int): Int = {
+        if (offset >= length) 0
+        else {
+          val n = math.min(len.toLong, length - offset).toInt
+          java.util.Arrays.fill(buf, bufOff, bufOff + n, 0.toByte)
+          var slot = offset / stride
+          while (slot < slots && slot * stride < offset + n) {
+            val sample = pdfSlotSample(slot)
+            val sStart = slot * stride
+            val from = math.max(offset, sStart)
+            val to = math.min(offset + n, sStart + sample.length)
+            if (to > from)
+              System.arraycopy(sample, (from - sStart).toInt,
+                buf, bufOff + (from - offset).toInt, (to - from).toInt)
+            slot += 1
+          }
+          n
+        }
+      }
+    }
+  }
 }

@@ -145,4 +145,35 @@ class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(corpus.count() == summary("n_clean"))
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("stringDocuments recovers printable runs from non-text payloads; union covers the store") {
+    val nSlots = 12L
+    val (cfg0, _) = EngineConfig.filterFileTypes(
+      EngineConfig(chunkSize = 64 * 1024, overlap = 4096),
+      Some(Seq("pdf")), disableZip = false)
+    val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
+    val payloadDir = Files.createTempDirectory("graft-bridge-str").toString
+    val run = CarvePipeline.run(spark, BridgeQueries.PdfSlotsRef(4096L, nSlots), cfg,
+      "bridge-str", enableStrings = false, enableEntropy = false,
+      payloadDir = Some(payloadDir))
+    run.carvedFiles.count()
+    run.release()
+    val got = CarvedText.stringDocuments(spark, payloadDir)
+      .select((col("global_start") / 4096L).cast("long").as("doc_id"),
+        col("file_type"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == nSlots)
+    got.foreach { case (id, ft, text) =>
+      assert(ft == "pdf")
+      // binary junk, the under-minLen 'tiny' fragment, and the 5-char
+      // %%EOF are all dropped; the four >= 6-char runs survive in order
+      assert(text ==
+        s"%PDF-1.4\n1 0 obj\n(report $id about the stone town harbor)\nendobj")
+    }
+    // the union frame covers string docs and excludes nothing else here
+    // (the store has only pdfs, none of the structured walker types)
+    val all = CarvedText.documentsWithStrings(spark, payloadDir)
+    assert(all.count() == nSlots)
+  }
 }
