@@ -1123,6 +1123,155 @@ object Dedup {
       .withColumn("jaccard_bp", expr("(20000 * n_inter + n_union) DIV (2 * n_union)"))
   }
 
+  /** Exact asymmetric CONTAINMENT join — all document pairs where the
+    * smaller word set sits (mostly) inside the other: C(A→B) =
+    * |A∩B| / |A|, pair kept when max(C(A→B), C(B→A)) =
+    * |∩| / min(|A|,|B|) ≥ threshold. The similarity Jaccard misses by
+    * construction: a boilerplate page embedded whole in a longer
+    * document scores containment ≈ 1 while Jaccard ≈ |A|/|B| → 0 — the
+    * subset-duplication detector (quotation farms, template wrappers,
+    * scraped-page concatenations). Output: (id_a, id_b, n_inter, n_a,
+    * n_b, cont_a_bp, cont_b_bp) with id_a < id_b and each containment
+    * HALF_UP in basis points against ITS OWN side's size.
+    *
+    * Scale shape mirrors [[jaccardJoin]]: canonical-text collapse, then
+    * regime dispatch through the same bounded probes. Sparse corpora
+    * run the asymmetric prefix filter: only the candidate pair's
+    * SMALLER side is prefix-bounded (|∩| ≥ t·|A| forces the
+    * intersection into A's (|A| − ⌈t·|A|⌉ + 1)-token rarity prefix; the
+    * larger side is unconstrained — containment has no length filter,
+    * which is exactly why it catches what Jaccard prunes). Dense
+    * corpora verify all pairs with the bitmask popcount kernel, where
+    * the missing length filter costs nothing (that path never used it
+    * to bound work). Same-text doc pairs ride the membership groupBy.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      thresholdBp: Long): DataFrame = {
+    require(thresholdBp > 0 && thresholdBp <= 10000,
+      s"thresholdBp must be in (0, 10000], got $thresholdBp")
+    val (texts, membership) = canonicalTexts(df, idCol, textCol)
+    val tp = containmentDistinct(texts, thresholdBp)
+    // asymmetric payload: n_a/n_b must FOLLOW their doc through the
+    // least/greatest canonicalization (expandTextPairs' symmetric
+    // payload contract would mispair sizes with flipped ids)
+    val cross = tp
+      .join(membership.select(col("graft_did").as("graft_d1"),
+        col("graft_tidl").as("tidl_a")), Seq("tidl_a"))
+      .join(membership.select(col("graft_did").as("graft_d2"),
+        col("graft_tidl").as("tidl_b")), Seq("tidl_b"))
+      .select(least(col("graft_d1"), col("graft_d2")).as("id_a"),
+        greatest(col("graft_d1"), col("graft_d2")).as("id_b"),
+        col("n_inter"),
+        when(col("graft_d1") <= col("graft_d2"), col("graft_na"))
+          .otherwise(col("graft_nb")).as("n_a"),
+        when(col("graft_d1") <= col("graft_d2"), col("graft_nb"))
+          .otherwise(col("graft_na")).as("n_b"))
+      .withColumn("cont_a_bp", expr("(20000 * n_inter + n_a) DIV (2 * n_a)"))
+      .withColumn("cont_b_bp", expr("(20000 * n_inter + n_b) DIV (2 * n_b)"))
+    val sizes = texts.select(col("graft_tidl"),
+      size(array_distinct(split(col("graft_t"), " "))).cast("long").as("graft_v"))
+    val same = sameTextPairs(membership, sizes, "n_inter", "n_a", "cont_a_bp")
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("n_a"), col("n_a").as("n_b"),
+        lit(10000L).as("cont_a_bp"), lit(10000L).as("cont_b_bp"))
+    cross.select("id_a", "id_b", "n_inter", "n_a", "n_b", "cont_a_bp", "cont_b_bp")
+      .union(same)
+  }
+
+  /** Containment candidates + verification over distinct texts:
+    * (tidl_a, tidl_b, n_inter, graft_na, graft_nb), tidl_a < tidl_b,
+    * max-containment ≥ threshold. Regime dispatch = [[jaccardJoinDistinct]]'s.
+    */
+  private def containmentDistinct(texts: DataFrame, thresholdBp: Long): DataFrame = {
+    val spark = texts.sparkSession
+    val toks = texts.select(col("graft_tidl").as("id"),
+      explode(array_distinct(split(col("graft_t"), " "))).as("tok"))
+    val dfreq = CacheRegistry.persist(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("graft_df")))
+    val vocabMax = denseVocabMax(spark)
+    val vocabN = dfreq.limit(vocabMax + 1).count()
+    val width = math.max(((vocabN + 63) / 64).toInt, 1).toLong
+    if (densePathEligible(spark, vocabN, vocabMax, texts.count(), width))
+      denseContainmentDistinct(texts, toks, dfreq, vocabN.toInt, thresholdBp)
+    else prefixContainmentDistinct(texts, toks, dfreq, thresholdBp)
+  }
+
+  /** Dense-regime containment: the [[denseJaccardDistinct]] bitmask
+    * join with the containment predicate — no length pre-filter exists
+    * for containment, so the join carries only the id order and the
+    * kernel (behind the same 1-element-Generate optimizer barrier)
+    * decides every pair.
+    */
+  private def denseContainmentDistinct(texts: DataFrame, toks: DataFrame,
+      dfreq: DataFrame, vocabN: Int, thresholdBp: Long): DataFrame = {
+    val spark = texts.sparkSession
+    graft.functions.VecFunctions.register(spark)
+    val width = math.max((vocabN + 63) / 64, 1)
+    val vocab = dfreq.select(col("tok")).withColumn("graft_bit",
+      (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
+    val docs = CacheRegistry.persist(
+      toks.join(vocab, Seq("tok"))
+        .groupBy(col("id"))
+        .agg(collect_list(col("graft_bit")).as("graft_bits"))
+        .select(col("id"),
+          call_function("graft_bits_mask", col("graft_bits"), lit(width)).as("graft_m"),
+          size(col("graft_bits")).cast("long").as("graft_sz")))
+    val lhs = docs.repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("id").as("tidl_a"), col("graft_m").as("graft_ma"),
+        col("graft_sz").as("graft_na"))
+    val rhs = docs.select(col("id").as("tidl_b"), col("graft_m").as("graft_mb"),
+      col("graft_sz").as("graft_nb"))
+    lhs.join(rhs, col("tidl_a") < col("tidl_b"))
+      .withColumn("n_inter", explode(array(
+        call_function("graft_mask_inter", col("graft_ma"), col("graft_mb")))))
+      .filter(lit(10000L) * col("n_inter") >=
+        lit(thresholdBp) * least(col("graft_na"), col("graft_nb")))
+      .select(col("tidl_a"), col("tidl_b"), col("n_inter"),
+        col("graft_na"), col("graft_nb"))
+  }
+
+  /** Sparse-regime containment: asymmetric prefix filter. The
+    * candidate join pairs each text's rarity prefix against EVERY
+    * distinct token of larger texts — |∩| ≥ t·|small| forces the
+    * intersection into the small side's prefix, so the join is
+    * lossless; equal sizes tie-break on id to emit each pair once.
+    */
+  private def prefixContainmentDistinct(texts: DataFrame, toks: DataFrame,
+      dfreq: DataFrame, thresholdBp: Long): DataFrame = {
+    val ordered = toks.join(dfreq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("graft_df"), col("tok")))).as("graft_ts"))
+      .select(col("id"), expr("transform(graft_ts, x -> x.tok)").as("graft_toks"))
+      .withColumn("graft_sz", size(col("graft_toks")))
+      .withColumn("graft_plen",
+        col("graft_sz") - expr(s"($thresholdBp * graft_sz + 9999) DIV 10000") + 1)
+    val docs = CacheRegistry.persist(
+      ordered.select(col("id"), col("graft_toks"), col("graft_sz"), col("graft_plen")))
+    val pre = docs.select(col("id"), col("graft_sz"),
+      explode(expr("slice(graft_toks, 1, graft_plen)")).as("tok"))
+    val full = docs.select(col("id"), col("graft_sz"),
+      explode(col("graft_toks")).as("tok"))
+    val cands = pre.select(col("id").as("graft_s"), col("graft_sz").as("graft_ssz"), col("tok"))
+      .join(full.select(col("id").as("graft_l"), col("graft_sz").as("graft_lsz"), col("tok")),
+        Seq("tok"))
+      .filter(col("graft_ssz") < col("graft_lsz") ||
+        (col("graft_ssz") === col("graft_lsz") && col("graft_s") < col("graft_l")))
+      .select(least(col("graft_s"), col("graft_l")).as("tidl_a"),
+        greatest(col("graft_s"), col("graft_l")).as("tidl_b"))
+      .filter(col("tidl_a") =!= col("tidl_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("id").as("tidl_a"), col("graft_toks").as("graft_ta"),
+        col("graft_sz").as("graft_na")), Seq("tidl_a"))
+      .join(docs.select(col("id").as("tidl_b"), col("graft_toks").as("graft_tb"),
+        col("graft_sz").as("graft_nb")), Seq("tidl_b"))
+      .select(col("tidl_a"), col("tidl_b"),
+        size(array_intersect(col("graft_ta"), col("graft_tb"))).cast("long").as("n_inter"),
+        col("graft_na"), col("graft_nb"))
+      .filter(lit(10000L) * col("n_inter") >=
+        lit(thresholdBp) * least(col("graft_na"), col("graft_nb")))
+  }
+
   /** Exact IDF-WEIGHTED set-similarity join — all document pairs whose
     * weighted word-set Jaccard J_w(A,B) = Σ_{u∈A∩B} w(u) / Σ_{u∈A∪B} w(u)
     * is ≥ threshold, with the weighted prefix filter (Chaudhuri et al.

@@ -611,6 +611,51 @@ object TextAnalysis {
     bpeMergesFrame(spark, learned.toSeq)
   }
 
+  /** BPE tokenization with a LEARNED merge table ([[bpeTrain]]'s
+    * output): per document, the token count after applying every merge
+    * corpus-wide in training order (greedy left-to-right, the trainer's
+    * own semantics — applying ranks sequentially reproduces the
+    * trained segmentation). Output per document: (id, n_words,
+    * n_tokens, tokens_per_word_bp) — the fertility diagnostic computed
+    * with the REAL learned tokenizer instead of [[tokenFertility]]'s
+    * regex proxy. Words under 2 chars (excluded from training) count
+    * one token each.
+    *
+    * Scale shape: the merge chain applies to the DISTINCT-WORD
+    * vocabulary, not the corpus (tokens collapse first — the
+    * [[bpeTrain]] judgment); per-word token counts join back to the
+    * exploded corpus and aggregate per document. The merge table is a
+    * driver-sized artifact by definition (`require`-bounded collect);
+    * the k chained folds are per-word HOFs, never per-pair.
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     merges: DataFrame): DataFrame = {
+    val ms = merges.select(col("step").cast("long"), col("sym_a"), col("sym_b"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    require(ms.length <= 64, s"merge table must be bounded (<= 64), got ${ms.length}")
+    val words = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("graft_w"))
+    val vocab = words.select(col("graft_w")).distinct()
+      .filter(length(col("graft_w")) >= 2)
+    // chain the learned merges over the symbol array in training order
+    var syms: Column = filter(split(col("graft_w"), ""), s => s =!= lit(""))
+    ms.foreach { case (a, b) =>
+      syms = aggregate(syms, array().cast("array<string>"),
+        (acc, s) => when(get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+    }
+    val wordTokens = vocab.select(col("graft_w"), size(syms).cast("long").as("graft_nt"))
+    words.join(wordTokens, Seq("graft_w"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        // un-joined rows are the <2-char words: one token each
+        sum(coalesce(col("graft_nt"), lit(1L))).as("n_tokens"))
+      .withColumn("tokens_per_word_bp",
+        expr("(20000 * n_tokens + n_words) DIV (2 * n_words)"))
+  }
+
   private def bpeMergesFrame(spark: org.apache.spark.sql.SparkSession,
       rows: Seq[(Long, String, String, String, Long)]): DataFrame = {
     import org.apache.spark.sql.Row

@@ -2961,7 +2961,45 @@ object LlmQueries {
              |SELECT cluster_id, n_base, n_new, growth_bp, resid_base, resid_new,
              |       CASE WHEN resid_base > 0 AND resid_new IS NOT NULL
              |            THEN CAST((20000 * resid_new + resid_base) // (2 * resid_base) AS BIGINT) END AS drift_bp
-             |FROM r2 ORDER BY cluster_id""".stripMargin)))
+             |FROM r2 ORDER BY cluster_id""".stripMargin)),
+
+    // ---- BPE tokenization with the LEARNED merge table: train 8
+    // merges (q171), then tokenize the corpus with them — per-document
+    // fertility under the real tokenizer, not the q128 regex proxy.
+    // The merge chain applies to the distinct-word vocabulary; counts
+    // join back and aggregate per document.
+    "q176_bpe_tokenize" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val merges = TextAnalysis.bpeTrain(docs, "text", merges = 8)
+        TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(bpeApplyOracle(8))),
+
+    // ---- Asymmetric containment join: pairs where the smaller word
+    // set sits mostly inside the other — the subset-duplication that
+    // Jaccard structurally misses (J ≈ |A|/|B| → 0 for an embedded
+    // boilerplate page). Oracle is the unfiltered all-pairs answer,
+    // proving the asymmetric prefix/bitmask candidates lossless.
+    "q177_containment_join" -> QueryDef(
+      (s, dir) => {
+        Dedup.containmentJoin(table(s, dir, "documents"), "doc_id", "text", 8000L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |          FROM documents),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY doc_id),
+             |i AS (SELECT a.doc_id AS pa, b.doc_id AS pb, CAST(count(*) AS BIGINT) AS ni
+             |      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT pa AS id_a, pb AS id_b, ni AS n_inter, sa.n AS n_a, sb.n AS n_b,
+             |       CAST((20000 * ni + sa.n) // (2 * sa.n) AS BIGINT) AS cont_a_bp,
+             |       CAST((20000 * ni + sb.n) // (2 * sb.n) AS BIGINT) AS cont_b_bp
+             |FROM i JOIN sz sa ON sa.doc_id = pa JOIN sz sb ON sb.doc_id = pb
+             |WHERE 10000 * ni >= 8000 * least(sa.n, sb.n)
+             |ORDER BY id_a, id_b""".stripMargin)))
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed
@@ -3090,14 +3128,18 @@ object LlmQueries {
     * each level references its predecessor several times, so the
     * un-materialized chain re-scans the corpus exponentially.
     */
-  private def bpeTrainOracle(k: Int): String = {
+  /** The shared `k`-level training chain: CTEs v0..v$k (each carrying
+    * the original word for the apply-side join) and b1..b$k (the
+    * per-level argmax).
+    */
+  private def bpeChainCte(k: Int): String = {
     val sep2 = "chr(31)||chr(31)"
     val sb = new StringBuilder
     sb.append(
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |vw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks
         |       WHERE length(w) >= 2 GROUP BY w),
-        |v0 AS MATERIALIZED (SELECT chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31))
+        |v0 AS MATERIALIZED (SELECT w, chr(31) || array_to_string(string_split(w, ''), chr(31)||chr(31))
         |              || chr(31) AS wr, f FROM vw)""".stripMargin)
     for (i <- 1 to k) {
       val p = i - 1
@@ -3110,18 +3152,39 @@ object LlmQueries {
         |              FROM s$i WHERE len(syms) >= 2) u
         |        GROUP BY 1, 2),
         |b$i AS MATERIALIZED (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-        |v$i AS MATERIALIZED (SELECT CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN wr
+        |v$i AS MATERIALIZED (SELECT w, CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN wr
         |               ELSE replace(wr,
         |                 chr(31)||(SELECT a FROM b$i)||$sep2||(SELECT b FROM b$i)||chr(31),
         |                 chr(31)||(SELECT a FROM b$i)||(SELECT b FROM b$i)||chr(31)) END AS wr,
         |               f FROM v$p)""".stripMargin)
     }
+    sb.toString
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
     val rows = (1 to k).map { i =>
       s"SELECT CAST($i AS BIGINT) AS step, a AS sym_a, b AS sym_b, a||b AS merged, n FROM b$i"
     }.mkString("\nUNION ALL\n")
-    sb.append(s"\nSELECT * FROM (\n$rows\n) ORDER BY step")
-    sb.toString
+    bpeChainCte(k) + s"\nSELECT * FROM (\n$rows\n) ORDER BY step"
   }
+
+  /** DuckDB oracle for [[TextAnalysis.bpeTokenCounts]] over the
+    * [[TextAnalysis.bpeTrain]] merge table at depth `k`: the final
+    * chain level v$k already holds every trained word's fully-merged
+    * form, so a word's token count is its symbol-string part count;
+    * under-2-char words (outside the training vocab) count 1.
+    */
+  private def bpeApplyOracle(k: Int): String =
+    bpeChainCte(k) + s""",
+      |wt AS MATERIALIZED (SELECT w,
+      |        CAST(len(string_split(wr, chr(31)||chr(31))) AS BIGINT) AS nt FROM v$k),
+      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |              CAST(sum(CASE WHEN wt.nt IS NULL THEN 1 ELSE wt.nt END) AS BIGINT) AS n_tokens
+      |       FROM dw LEFT JOIN wt ON wt.w = dw.w GROUP BY doc_id)
+      |SELECT doc_id, n_words, n_tokens,
+      |       CAST((20000 * n_tokens + n_words) // (2 * n_words) AS BIGINT) AS tokens_per_word_bp
+      |FROM dt ORDER BY doc_id""".stripMargin
 
   private def greedyCoverOracle(k: Int): String = {
     val sb = new StringBuilder

@@ -653,6 +653,64 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("containmentJoin catches subset duplication Jaccard misses; paths agree") {
+    import spark.implicits._
+    // doc 2 embeds doc 1's whole 5-token set inside 20 tokens:
+    // containment(1→2) = 10000 while Jaccard = 5/20 = 2500
+    val boiler = (0 until 5).map(j => s"b$j").mkString(" ")
+    val docs = Seq(
+      (1L, boiler),
+      (2L, boiler + " " + (0 until 15).map(j => s"x$j").mkString(" ")),
+      (3L, "q0 q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    def run(): Seq[Seq[Any]] = Dedup.containmentJoin(docs, "doc_id", "text", 9000L)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val dense = run()
+    graft.llm.CacheRegistry.releaseAll(spark)
+    assert(dense == Seq(Seq(1L, 2L, 5L, 5L, 20L, 10000L, 2500L)))
+    assert(Dedup.jaccardJoin(docs, "doc_id", "text", 9000L).count() == 0,
+      "Jaccard must miss the embedded subset (that's the point)")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.conf.set("graft.jaccard.denseVocabMax", "0")
+    val sparse = try run() finally {
+      spark.conf.unset("graft.jaccard.denseVocabMax")
+      graft.llm.CacheRegistry.releaseAll(spark)
+    }
+    assert(dense == sparse)
+  }
+
+  test("containmentJoin dense and sparse paths agree on a heterogeneous corpus") {
+    import spark.implicits._
+    val docs = (0L until 30L).map { i =>
+      (i, (0L to (1 + i % 12) * 3).map(j => s"w${(j * (i % 5 + 1)) % 40}")
+        .distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(): Seq[Seq[Any]] = Dedup.containmentJoin(docs, "doc_id", "text", 7000L)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val dense = run()
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.conf.set("graft.jaccard.denseVocabMax", "0")
+    val sparse = try run() finally {
+      spark.conf.unset("graft.jaccard.denseVocabMax")
+      graft.llm.CacheRegistry.releaseAll(spark)
+    }
+    assert(dense.nonEmpty && dense == sparse)
+  }
+
+  test("bpeTokenCounts applies learned merges; untrained short words count one token") {
+    import spark.implicits._
+    // training corpus: aaab x2, aab x1 (the bpeTrain fixture) -> after
+    // 6 merges every trained word is ONE token; 'z' is under the
+    // 2-char training floor and counts 1
+    val docs = Seq((10L, "aaab aaab aab"), (11L, "aaab z")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", merges = 6,
+      smallVocabThreshold = 1000L)
+    val got = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 3L, 3L, 10000L), (11L, 2L, 2L, 10000L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("bpeTrain learns hand-computed merges with deterministic tie-breaks") {
     import spark.implicits._
     // vocab: aaab×2, aab×1.
