@@ -400,4 +400,78 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     } yield (a, b, ham.toLong)).sorted
     assert(want.nonEmpty && got == want)
   }
+
+  test("bpeTrain matches a sequential reference trainer on random corpora") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    val rnd = new Random(29)
+    // small alphabet + repeated structure so merges actually compete
+    def word(): String =
+      (0 until 2 + rnd.nextInt(6)).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString
+    for (trial <- 0 until 3) {
+      val docs = (0 until 12).map(_ =>
+        (0 until 3 + rnd.nextInt(8)).map(_ => word()).mkString(" "))
+      // sequential reference: exact counts, (n desc, a asc, b asc) ties,
+      // greedy left-to-right merge
+      var vocab: Map[List[String], Long] = docs.flatMap(_.split(" "))
+        .filter(_.length >= 2).groupBy(identity)
+        .map { case (w, ws) => w.toList.map(_.toString) -> ws.length.toLong }
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var step = 1
+      var go = true
+      while (step <= 6 && go) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + f }
+        }
+        if (counts.isEmpty) go = false
+        else {
+          val ((a, b), n) = counts.minBy { case ((pa, pb), pn) => (-pn, pa, pb) }
+          want += ((step.toLong, a, b, a + b, n))
+          vocab = vocab.groupBy { case (syms, _) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.toList
+          }.map { case (syms, entries) => syms -> entries.values.sum }
+          step += 1
+        }
+      }
+      for (threshold <- Seq(0L, 100000L)) { // distributed and driver paths
+        val got = TextAnalysis.bpeTrain(
+            docs.toDF("text"), "text", merges = 6, smallVocabThreshold = threshold)
+          .as[(Long, String, String, String, Long)].collect().toSeq
+        assert(got == want.toSeq, s"trial $trial threshold $threshold")
+        graft.llm.CacheRegistry.releaseAll(spark)
+      }
+    }
+  }
+
+  test("containmentJoin matches a set-intersection reference on random corpora") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val docs = (0L until 25L).map { i =>
+      (i, (0 until 3 + rnd.nextInt(15)).map(_ => s"t${rnd.nextInt(30)}")
+        .distinct.mkString(" "))
+    }
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val t = 7000L
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      ni = (sets(a) & sets(b)).size.toLong
+      na = sets(a).size.toLong; nb = sets(b).size.toLong
+      if 10000L * ni >= t * math.min(na, nb)
+    } yield (a, b, ni, na, nb,
+      (20000L * ni + na) / (2L * na), (20000L * ni + nb) / (2L * nb))).toSeq.sorted
+    val got = Dedup.containmentJoin(docs.toDF("doc_id", "text"), "doc_id", "text", t)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(want.nonEmpty && got == want)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
 }
