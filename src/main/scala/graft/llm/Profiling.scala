@@ -201,4 +201,57 @@ object Profiling {
       .select(least(col("graft_bucket") * step, col("graft_ntotal"))
         .cast("long").as("k_docs"), col("vocab_size"))
   }
+
+  // Deterministic Poisson(1) bootstrap weights: the cumulative pmf
+  // (e⁻¹, 2e⁻¹, 2.5e⁻¹, 8e⁻¹/3) mapped onto the 48-bit space of the
+  // md5-derived uniform draw, as EXACT integer thresholds so both
+  // engines take identical branches (floor(cum · 2⁴⁸)).
+  private val PoissonT0 = 103548857136060L
+  private val PoissonT1 = 207097714272121L
+  private val PoissonT2 = 258872142840152L
+  private val PoissonT3 = 276130285696162L
+
+  /** Deterministic multinomial bootstrap of a per-row metric — the
+    * uncertainty quantification a pipeline eval needs before trusting a
+    * single number (dedup rate moved 2 bp: noise or signal?). Each of
+    * `replicates` resamples weights every row by a Poisson(1) count
+    * (the standard large-n multinomial approximation, capped at 4 —
+    * tail mass 0.4% folds into w=4) derived from
+    * md5(seed:replicate:id), so the "randomness" is a pure function of
+    * the data and both engines reproduce it bit-for-bit. Output per
+    * replicate: (replicate, n_eff = Σw, sum_wv = Σw·v, mean_centi =
+    * HALF_UP 100·Σwv/Σw, NULL for an empty resample) — the caller
+    * reads the replicate spread (e.g. 2.5/97.5 percentiles) as the CI.
+    *
+    * Scale shape: ONE corpus scan; the per-row replicate expansion is
+    * an in-row generate and the per-replicate aggregation is map-side
+    * combinable, so post-shuffle volume is `replicates` rows per
+    * partition regardless of corpus size. `replicates` is
+    * require-bounded; the B× generate CPU cost is the honest price of
+    * a bootstrap and is documented here rather than hidden.
+    */
+  def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+                     replicates: Int, seed: String): DataFrame = {
+    require(replicates >= 1 && replicates <= 256,
+      s"replicates must be in [1, 256], got $replicates")
+    require(!seed.contains("'"), s"seed must not contain quotes: $seed")
+    df.select(col(idCol).cast("string").as("graft_id"),
+        col(valueCol).cast("long").as("graft_v"))
+      .select(col("graft_v"), explode(expr(
+        s"""transform(sequence(0, ${replicates - 1}), b -> named_struct(
+           |  'r', CAST(b AS BIGINT),
+           |  'w', CASE
+           |    WHEN CAST(conv(substring(md5(concat('$seed', ':', CAST(b AS STRING), ':', graft_id)), 1, 12), 16, 10) AS BIGINT) < ${PoissonT0}L THEN 0L
+           |    WHEN CAST(conv(substring(md5(concat('$seed', ':', CAST(b AS STRING), ':', graft_id)), 1, 12), 16, 10) AS BIGINT) < ${PoissonT1}L THEN 1L
+           |    WHEN CAST(conv(substring(md5(concat('$seed', ':', CAST(b AS STRING), ':', graft_id)), 1, 12), 16, 10) AS BIGINT) < ${PoissonT2}L THEN 2L
+           |    WHEN CAST(conv(substring(md5(concat('$seed', ':', CAST(b AS STRING), ':', graft_id)), 1, 12), 16, 10) AS BIGINT) < ${PoissonT3}L THEN 3L
+           |    ELSE 4L END))""".stripMargin)).as("graft_bw"))
+      .groupBy(col("graft_bw.r").as("replicate"))
+      .agg(sum(col("graft_bw.w")).as("n_eff"),
+        sum(col("graft_bw.w") * col("graft_v")).as("sum_wv"))
+      .withColumn("mean_centi", expr(
+        """CASE WHEN n_eff > 0 THEN
+          |  CAST(sign(sum_wv) AS BIGINT) * ((200 * abs(sum_wv) + n_eff) DIV (2 * n_eff))
+          |END""".stripMargin))
+  }
 }

@@ -2999,7 +2999,44 @@ object LlmQueries {
              |       CAST((20000 * ni + sb.n) // (2 * sb.n) AS BIGINT) AS cont_b_bp
              |FROM i JOIN sz sa ON sa.doc_id = pa JOIN sz sb ON sb.doc_id = pb
              |WHERE 10000 * ni >= 8000 * least(sa.n, sb.n)
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- Deterministic Poisson bootstrap of the mean document length:
+    // 40 resamples whose per-row weights are md5-derived Poisson(1)
+    // counts (exact 48-bit integer thresholds), so the replicate
+    // spread — the metric's confidence interval — is engine-exact.
+    "q178_bootstrap_mean" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_words"))
+        Profiling.bootstrapMeans(docs, "doc_id", "n_words",
+            replicates = 40, seed = "graft")
+          .orderBy("replicate")
+      },
+      Some("""WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+             |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+             |          FROM documents),
+             |b AS (SELECT unnest(range(0, 40)) AS r),
+             |w0 AS (SELECT r, v,
+             |              CAST('0x' || substr(md5('graft:' || CAST(r AS VARCHAR) || ':' || id), 1, 12)
+             |                   AS BIGINT) AS u
+             |       FROM b CROSS JOIN v),
+             |w AS (SELECT r, v,
+             |             CASE WHEN u < 103548857136060 THEN 0
+             |                  WHEN u < 207097714272121 THEN 1
+             |                  WHEN u < 258872142840152 THEN 2
+             |                  WHEN u < 276130285696162 THEN 3
+             |                  ELSE 4 END AS w
+             |      FROM w0),
+             |a AS (SELECT r AS replicate, CAST(sum(w) AS BIGINT) AS n_eff,
+             |             CAST(sum(w * v) AS BIGINT) AS sum_wv
+             |      FROM w GROUP BY r)
+             |SELECT replicate, n_eff, sum_wv,
+             |       CASE WHEN n_eff > 0 THEN
+             |         CAST(sign(sum_wv) * ((200 * abs(sum_wv) + n_eff) // (2 * n_eff)) AS BIGINT)
+             |       END AS mean_centi
+             |FROM a ORDER BY replicate""".stripMargin)))
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed

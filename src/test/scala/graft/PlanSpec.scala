@@ -493,6 +493,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("dense-vocabulary containment join takes the popcount path like jaccard") {
+    val p = planOf("q177_containment_join")
+    assert(p.contains("graft_mask_inter"), s"dense path not taken:\n$p")
+    assert(!p.contains("slice(graft_toks") && !p.contains("array_intersect"),
+      s"prefix-path candidate machinery leaked into the dense plan:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("bootstrap means is one map-side-combinable aggregation over one corpus scan") {
+    val p = planOf("q178_bootstrap_mean")
+    // in-row replicate generate + partial agg: the only exchange is the
+    // B-row-per-partition replicate groupBy
+    assert(hashExchanges(p) <= 1, s"bootstrap acquired extra shuffles:\n$p")
+    assert(p.contains("partial"), s"replicate agg must partial-aggregate:\n$p")
+  }
+
   test("pq adc search broadcasts the query distance tables; corpus side never shuffles pre-topk") {
     val p = planOf("q118_pq_adc_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -160,4 +160,39 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L, 0L), (2L, 0L, 1L)))
   }
+
+  test("bootstrapMeans matches an md5-threshold reference and is deterministic") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, 10L + i % 7))
+    val got = Profiling.bootstrapMeans(rows.toDF("doc_id", "v"), "doc_id", "v",
+        replicates = 12, seed = "s1")
+      .orderBy("replicate")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // independent reference: same md5 draw, same exact thresholds
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u48(b: Long, id: Long): Long = {
+      val h = md.digest(s"s1:$b:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 12), 16)
+    }
+    val thresholds = Seq(103548857136060L, 207097714272121L,
+      258872142840152L, 276130285696162L)
+    def w(b: Long, id: Long): Long = {
+      val u = u48(b, id)
+      thresholds.indexWhere(u < _) match { case -1 => 4L; case k => k.toLong }
+    }
+    val want = (0L until 12L).map { b =>
+      val ws = rows.map { case (id, v) => (w(b, id), v) }
+      val nEff = ws.map(_._1).sum
+      val swv = ws.map { case (wt, v) => wt * v }.sum
+      (b, nEff, swv,
+        if (nEff > 0) Some(math.signum(swv) * ((200 * math.abs(swv) + nEff) / (2 * nEff)))
+        else None)
+    }
+    assert(got == want)
+    // replicate weights must differ across replicates (it IS a resample)
+    assert(got.map(_._2).distinct.size > 1)
+    // and n_eff concentrates near n (Poisson(1) mean-1 weights)
+    got.foreach { case (_, nEff, _, _) => assert(nEff > 140 && nEff < 260) }
+  }
 }
