@@ -628,8 +628,14 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"maxHamming must be in [0, ${nBands - 1}] for $nBands-band losslessness, got $maxHamming")
     val wi = wordCols.indices
-    val masked = hashes.select(col(idCol).as("graft_id") +:
-      wi.map(i => col(wordCols(i)).bitwiseAND(lit(0xFFFFFFFFL)).as(s"graft_w$i")): _*)
+    // persist the masked fingerprints: BOTH join sides read this subtree
+    // and the caller's `hashes` is typically a mapPartitions DECODE pass
+    // (ImageIO per frame, WAV walk) — without the cache the whole decode
+    // executes once per side (PERF LESSON 1; measured 2× on the video
+    // fingerprints). A few longs per corpus row — the smallest cacheable
+    // frame in the join. Lifecycle: [[CacheRegistry]].
+    val masked = CacheRegistry.persist(hashes.select(col(idCol).as("graft_id") +:
+      wi.map(i => col(wordCols(i)).bitwiseAND(lit(0xFFFFFFFFL)).as(s"graft_w$i")): _*))
     val bandStructs = (for {
       i <- wi; b <- 0 until perWord
     } yield s"struct(${i * perWord + b} AS bi, " +

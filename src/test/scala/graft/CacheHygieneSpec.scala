@@ -205,6 +205,21 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     remaining.values.foreach(_.unpersist(true))
   }
 
+  test("banded-hamming near-dup pairs leave no persisted RDDs after releaseAll") {
+    import spark.implicits._
+    // the masked-fingerprint frame persists (both join sides read the
+    // upstream decode) and must release cleanly
+    val fps = (1L to 30L).map(i => (i, (i % 6) * 1000L)).toDF("id", "fp")
+    assertNoLeak("fp32NearDupPairs") {
+      graft.llm.Multimodal.fp32NearDupPairs(fps, "id", "fp", maxHamming = 3)
+    }
+    val dh = (1L to 30L).map(i => (i, (i % 5) * 7L, (i % 3) * 11L))
+      .toDF("id", "dhashA", "dhashB")
+    assertNoLeak("dhashNearDupPairs") {
+      graft.llm.Multimodal.dhashNearDupPairs(dh, "id", maxHamming = 2)
+    }
+  }
+
   test("bpeTrain leaves no persisted RDDs after releaseAll, both paths") {
     import spark.implicits._
     val docs = (1L to 15L).map(i => (i, s"abc$i abd abd ee$i")).toDF("doc_id", "text")
