@@ -216,6 +216,43 @@ object Curation {
       .toDF(groupCol, idCol, "toks", "bin", "fill_after")
   }
 
+  /** Padding-waste report for length-bucketed batching: each document
+    * lands in the smallest bucket that fits its token count (the
+    * standard fixed-shape batching scheme), and the report says what
+    * that costs — per bucket: document count, real tokens, padded
+    * tokens (n·bucket size), and the waste share in HALF_UP basis
+    * points. Documents longer than every bucket report under bucket −1
+    * with zero padding (they get split/truncated upstream — this
+    * operator measures PADDING, not truncation). The number that
+    * decides whether a bucket ladder is worth retuning before a
+    * training run burns 10% of its FLOPs on pad tokens.
+    *
+    * One narrow in-row bucket assignment (a ≤ |buckets| literal array
+    * probe) + one map-side-combinable groupBy over at most
+    * |buckets|+1 rows. Scales at scan speed.
+    */
+  def paddingWaste(df: DataFrame, tokCol: String, buckets: Seq[Long]): DataFrame = {
+    require(buckets.nonEmpty && buckets.size <= 64 &&
+      buckets.forall(_ > 0) && buckets == buckets.sorted && buckets.distinct == buckets,
+      s"buckets must be a non-empty ascending distinct positive ladder, got $buckets")
+    val arr = buckets.map(b => s"${b}L").mkString(", ")
+    df.select(col(tokCol).cast("long").as("graft_n"))
+      .withColumn("bucket", expr(
+        // try_element_at: the filtered array is EMPTY for overflow docs
+        // and ANSI element_at would abort the job on them
+        s"coalesce(try_element_at(filter(array($arr), b -> b >= graft_n), 1), -1L)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_n")).as("sum_tokens"))
+      .withColumn("padded_tokens",
+        when(col("bucket") === -1L, col("sum_tokens"))
+          .otherwise(col("bucket") * col("n_docs")))
+      .withColumn("waste_bp", expr(
+        """CASE WHEN padded_tokens > 0
+          |  THEN (20000 * (padded_tokens - sum_tokens) + padded_tokens)
+          |       DIV (2 * padded_tokens)
+          |  ELSE 0L END""".stripMargin))
+  }
+
   /** Deterministic training-order shuffle key: a 48-bit md5 of
     * (seed, id). Globally ordering by (shuffle_key, id) is a uniform
     * reshuffle of the corpus that any engine reproduces bit-for-bit and

@@ -3036,7 +3036,38 @@ object LlmQueries {
              |       CASE WHEN n_eff > 0 THEN
              |         CAST(sign(sum_wv) * ((200 * abs(sum_wv) + n_eff) // (2 * n_eff)) AS BIGINT)
              |       END AS mean_centi
-             |FROM a ORDER BY replicate""".stripMargin)))
+             |FROM a ORDER BY replicate""".stripMargin)),
+
+    // ---- Padding-waste report for length-bucketed batching: every doc
+    // in the smallest bucket that fits its token count, waste = padded
+    // minus real tokens in HALF_UP bp — the FLOPs-on-pad-tokens number
+    // that decides whether the bucket ladder needs retuning.
+    "q179_padding_waste" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Curation.paddingWaste(docs, "n_tokens", Seq(16L, 32L, 64L, 128L))
+          .orderBy("bucket")
+      },
+      Some("""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |          FROM documents),
+             |b AS (SELECT n,
+             |             COALESCE(list_filter([CAST(16 AS BIGINT), 32, 64, 128],
+             |                                  x -> x >= n)[1], -1) AS bucket
+             |      FROM d),
+             |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |             CAST(sum(n) AS BIGINT) AS sum_tokens
+             |      FROM b GROUP BY bucket),
+             |p AS (SELECT bucket, n_docs, sum_tokens,
+             |             CASE WHEN bucket = -1 THEN sum_tokens
+             |                  ELSE bucket * n_docs END AS padded_tokens
+             |      FROM a)
+             |SELECT bucket, n_docs, sum_tokens, padded_tokens,
+             |       CASE WHEN padded_tokens > 0
+             |         THEN CAST((20000 * (padded_tokens - sum_tokens) + padded_tokens)
+             |                   // (2 * padded_tokens) AS BIGINT)
+             |         ELSE CAST(0 AS BIGINT) END AS waste_bp
+             |FROM p ORDER BY bucket""".stripMargin)))
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed

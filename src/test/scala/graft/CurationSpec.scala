@@ -346,4 +346,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 5L, 2L, 2L), (2L, 7L, 0L, 2L), (3L, 9L, 0L, 2L)))
     graft.llm.CacheRegistry.releaseAll(spark)
   }
+
+  test("paddingWaste buckets to the smallest fit and measures pad share exactly") {
+    import spark.implicits._
+    // lens: 3,4 -> bucket 4; 5 -> bucket 8; 20 -> overflow (-1, no pad)
+    val docs = Seq(3L, 4L, 5L, 20L).toDF("n")
+    val got = Curation.paddingWaste(docs, "n", Seq(4L, 8L))
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // bucket 4: 2 docs, 7 real, 8 padded -> waste 1/8 = 1250 bp
+    // bucket 8: 1 doc, 5 real, 8 padded -> waste 3/8 = 3750 bp
+    // overflow: padded = real -> 0 bp
+    assert(got == Seq(
+      (-1L, 1L, 20L, 20L, 0L),
+      (4L, 2L, 7L, 8L, 1250L),
+      (8L, 1L, 5L, 8L, 3750L)))
+  }
+
+  test("paddingWaste rejects an unsorted or non-positive bucket ladder") {
+    import spark.implicits._
+    val docs = Seq(3L).toDF("n")
+    intercept[IllegalArgumentException] {
+      Curation.paddingWaste(docs, "n", Seq(8L, 4L))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.paddingWaste(docs, "n", Seq(0L, 4L))
+    }
+  }
 }
