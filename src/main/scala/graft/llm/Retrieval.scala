@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Sparse-retrieval operators for corpus curation: BM25 scoring and
+  * top-k ranking over the whitespace token stream. The quality-weighted
+  * cousin of the tf-idf keyword extractor — what a data pipeline runs to
+  * pull topical slices out of a 100-TB corpus (seed-document expansion,
+  * domain probes, eval-set mining) without an embedding model.
+  *
+  * All scoring is exact integer arithmetic (HALF_UP basis points), so
+  * results are engine-independent and oracle-checkable: the classic
+  * `log`-based idf is replaced by its rational core
+  * `(2N − 2df + 1) / (2df + 1)` in bp (the Robertson–Sparck-Jones
+  * numerator/denominator without the log — monotone in df, so rankings
+  * for a fixed term agree; across terms rare terms weigh more, same as
+  * BM25), and the Okapi length normalization with k1 = 1.2, b = 0.75 is
+  * carried as one exact fraction
+  * `44·avdl·tf / (20·avdl·tf + 6·avdl + 18·dl)` (multiply the textbook
+  * form `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avdl))` through by
+  * `20·avdl`), with `avdl` held in HALF_UP milli-tokens.
+  *
+  * Scale notes: the tf table is one shuffle; doc lengths and term dfs
+  * are partial-aggregated reductions of it; the corpus stats row is a
+  * 1-row plan-embedded aggregate (no driver action); the query-term
+  * table is bounded (`nQueries·termsPerQuery` rows) so its join is a
+  * broadcast; the final top-k is a per-query window over the bounded
+  * query set. Intermediates stay within BIGINT while
+  * `avdl_milli · max_tf < 1.0e13` — e.g. a 10k-token average corpus
+  * with per-doc term frequencies up to 10^6.
+  */
+object Retrieval {
+
+  /** BM25 top-k retrieval: build `nQueries` probe queries of
+    * `termsPerQuery` terms each from the corpus's highest-df terms
+    * (df desc, term asc — deterministic), score every matching document
+    * with integer-exact BM25, and keep the top `k` docs per query
+    * (score desc, id asc).
+    *
+    * Output: `qid, rnk, id, n_terms, score_bp` — `n_terms` is how many
+    * of the query's terms the document contains.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               nQueries: Int = 8, termsPerQuery: Int = 3,
+               k: Int = 5): DataFrame = {
+    require(nQueries > 0 && termsPerQuery > 0 && k > 0,
+      "nQueries, termsPerQuery and k must be positive")
+
+    // (id, tok, tf): the one corpus-wide shuffle. Feeds three branches
+    // (doc lengths, term dfs, the scoring join) -> persist.
+    val tf = CacheRegistry.persist(df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf")))
+
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+
+    // Corpus stats as a 1-row aggregate embedded in the plan (cross
+    // join of a single row — Spark broadcasts it; no eager count()).
+    // avdl_m = HALF_UP(1000 * total_tokens / n_docs), milli-tokens.
+    val stats = dl.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+      .select(col("n_docs"),
+        expr("(2000 * l_tot + n_docs) DIV (2 * n_docs)").as("avdl_m"))
+
+    val termDf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
+
+    // Probe queries: the nQueries*termsPerQuery highest-df terms,
+    // chunked in rank order. orderBy+limit is a distributed top-k
+    // (TakeOrderedAndProject); the row_number window then runs on a
+    // bounded (<= nQueries*termsPerQuery rows) frame, so its single
+    // partition is by construction, not a scale hazard.
+    val nTerms = nQueries * termsPerQuery
+    val ranked = termDf
+      .orderBy(col("df_t").desc, col("tok"))
+      .limit(nTerms)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("df_t").desc, col("tok")))
+          .cast("long"))
+    val queries = ranked.select(col("tok"), col("df_t"),
+      expr(s"(rk - 1) DIV $termsPerQuery").as("qid"))
+
+    // Score: per (query, doc) sum of HALF_UP(idf_bp * tfnorm_bp / 1e4).
+    // `queries` is bounded -> broadcast; `stats` is 1 row -> broadcast.
+    val scored = tf
+      .join(broadcast(queries), Seq("tok"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bp", expr(
+        "(20000 * (2 * n_docs - 2 * df_t + 1) + (2 * df_t + 1)) DIV (2 * (2 * df_t + 1))"))
+      .withColumn("den", expr(
+        "20 * avdl_m * tf + 6 * avdl_m + 18 * dl * 1000"))
+      .withColumn("tfn_bp", expr(
+        "(20000 * 44 * avdl_m * tf + den) DIV (2 * den)"))
+      .withColumn("contrib_bp", expr(
+        "(2 * idf_bp * tfn_bp + 10000) DIV 20000"))
+      .groupBy(col("qid"), col("id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_bp")).as("score_bp"))
+
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score_bp").desc, col("id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("n_terms"), col("score_bp"))
+  }
+}

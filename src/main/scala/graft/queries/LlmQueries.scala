@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Curation, Dedup, Multimodal, Pq, Profiling, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Pq, Profiling, Retrieval, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -3067,7 +3067,50 @@ object LlmQueries {
              |         THEN CAST((20000 * (padded_tokens - sum_tokens) + padded_tokens)
              |                   // (2 * padded_tokens) AS BIGINT)
              |         ELSE CAST(0 AS BIGINT) END AS waste_bp
-             |FROM p ORDER BY bucket""".stripMargin)))
+             |FROM p ORDER BY bucket""".stripMargin)),
+
+    // ---- BM25 top-k retrieval: 8 probe queries of 3 high-df terms
+    // each, integer-exact Okapi scoring (k1=1.2, b=0.75 carried as one
+    // exact fraction; rational RSJ idf in bp), top-5 docs per query.
+    // The seed-expansion / domain-probe primitive over the token index.
+    "q180_bm25_topk" -> QueryDef(
+      (s, dir) => {
+        Retrieval.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+            nQueries = 8, termsPerQuery = 3, k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |      FROM tf GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |              (2000 * CAST(sum(dl) AS BIGINT) + count(*)) // (2 * count(*)) AS avdl_m
+             |       FROM dl),
+             |tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+             |qt AS (SELECT tok, df_t,
+             |              CAST(row_number() OVER (ORDER BY df_t DESC, tok) AS BIGINT) AS rk
+             |       FROM tdf ORDER BY df_t DESC, tok LIMIT 24),
+             |q AS (SELECT tok, df_t, (rk - 1) // 3 AS qid FROM qt),
+             |sc AS (SELECT q.qid, tf.doc_id,
+             |              CAST(count(*) AS BIGINT) AS n_terms,
+             |              CAST(sum(
+             |                (2 * ((20000 * (2 * st.n_docs - 2 * q.df_t + 1) + (2 * q.df_t + 1))
+             |                      // (2 * (2 * q.df_t + 1)))
+             |                   * ((20000 * 44 * st.avdl_m * tf.tf
+             |                       + (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000))
+             |                      // (2 * (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000)))
+             |                 + 10000) // 20000) AS BIGINT) AS score_bp
+             |       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+             |       GROUP BY 1, 2)
+             |SELECT qid, rnk, doc_id, n_terms, score_bp
+             |FROM (SELECT qid, doc_id, n_terms, score_bp,
+             |             CAST(row_number() OVER (PARTITION BY qid
+             |                    ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
+             |      FROM sc) r
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)))
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed

@@ -1,0 +1,96 @@
+package graft
+
+import graft.llm.Retrieval
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 top-k retrieval against an independent pure-Scala reference
+  * implementation of the same integer-exact scoring spec.
+  */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-retrieval-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** HALF_UP(num / den) for non-negative num, positive den. */
+  private def halfUp(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+
+  /** Pure-Scala reference: same spec, no Spark. */
+  private def refBm25(docs: Seq[(Long, String)], nQueries: Int,
+                      termsPerQuery: Int, k: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    val tf = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).groupBy(identity).map {
+        case (tok, occ) => (id, tok, occ.length.toLong)
+      }
+    }
+    val dl = tf.groupBy(_._1).map { case (id, ts) => id -> ts.map(_._3).sum }
+    val nDocs = dl.size.toLong
+    val lTot = dl.values.sum
+    val avdlM = halfUp(1000 * lTot, nDocs)
+    val dfT = tf.groupBy(_._2).map { case (tok, ts) => tok -> ts.size.toLong }
+    val queryTerms = dfT.toSeq.sortBy { case (tok, d) => (-d, tok) }
+      .take(nQueries * termsPerQuery).zipWithIndex
+      .map { case ((tok, d), i) => (tok, d, i.toLong / termsPerQuery) }
+    val scored = (for {
+      (tok, d, qid) <- queryTerms
+      (id, t, f) <- tf if t == tok
+    } yield {
+      val idfBp = halfUp(10000 * (2 * nDocs - 2 * d + 1), 2 * d + 1)
+      val den = 20 * avdlM * f + 6 * avdlM + 18 * dl(id) * 1000
+      val tfnBp = halfUp(10000 * 44 * avdlM * f, den)
+      (qid, id, halfUp(idfBp * tfnBp, 10000))
+    }).groupBy { case (qid, id, _) => (qid, id) }
+      .map { case ((qid, id), cs) => (qid, id, cs.size.toLong, cs.map(_._3).sum) }
+    scored.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.toSeq.sortBy { case (_, id, _, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((_, id, nt, s), i) => (qid, i + 1L, id, nt, s) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  private val corpus = Seq(
+    0L -> "a a b", 1L -> "a c", 2L -> "b b b c", 3L -> "c",
+    4L -> "a b c d", 5L -> "d d e", 6L -> "e a a", 7L -> "b c d e")
+
+  test("bm25TopK matches the pure-Scala reference exactly") {
+    import spark.implicits._
+    val out = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        nQueries = 3, termsPerQuery = 2, k = 3)
+      .orderBy("qid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val expected = refBm25(corpus, nQueries = 3, termsPerQuery = 2, k = 3)
+    assert(out == expected, s"\nspark: $out\nref:   $expected")
+    assert(out.nonEmpty && out.forall(_._5 > 0))
+    spark.catalog.clearCache()
+  }
+
+  test("bm25TopK breaks score ties on ascending doc id") {
+    import spark.implicits._
+    // identical docs -> identical scores for every query term
+    val docs = Seq(10L -> "x y", 3L -> "x y", 7L -> "x y").toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        nQueries = 1, termsPerQuery = 1, k = 3)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L), (2L, 7L), (3L, 10L)))
+    spark.catalog.clearCache()
+  }
+
+  test("bm25TopK degrades gracefully when the vocabulary is smaller than the query budget") {
+    import spark.implicits._
+    val docs = Seq(0L -> "p q", 1L -> "p").toDF("doc_id", "text")
+    // asks for 4*2=8 terms; only 2 exist -> 2 queries of 1 term each
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        nQueries = 4, termsPerQuery = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    assert(out.map(_._1).distinct == Seq(0L))
+    spark.catalog.clearCache()
+  }
+}
