@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for shuffle-amortized pipelines.
+  *
+  * Dedup / provenance / chunk pipelines at 100 TB re-join the same
+  * corpus on the same key many times (tf table ⋈ doc lengths, cluster
+  * map ⋈ payloads, chunk ⋈ parent doc). Each sort-merge join pays a
+  * full shuffle of both sides — unless the tables are written bucketed
+  * on the join key, in which case Spark's scan reports the bucket
+  * partitioning and Catalyst plans the join (and any groupBy on the
+  * key) with ZERO exchanges: the shuffle is paid once at write time and
+  * amortized over every downstream pass.
+  *
+  * Rules the layout must follow for the exchange to disappear:
+  *  - both sides bucketed by the SAME columns into the SAME bucket
+  *    count (or a divisor — Spark 3.1+ coalesces compatible counts);
+  *  - `sortBy` the key so the sort-merge join also skips per-task
+  *    sorts;
+  *  - bucket count sized so one bucket of the BIG side fits an
+  *    executor's memory (at 100 TB that is thousands of buckets; the
+  *    count is the caller's scale knob, never hardcoded).
+  */
+object BucketedWarehouse {
+
+  /** Write `df` as a bucketed, bucket-sorted parquet table in the
+    * session catalog (`spark.sql.warehouse.dir`). Overwrites.
+    *
+    * The pre-write `repartition` on the bucket key uses the same
+    * Murmur3 `pmod` hash as the bucket-id assignment, so every task
+    * holds exactly one bucket's rows and each bucket lands in ONE file
+    * — without it an N-task write emits up to N×numBuckets files (the
+    * small-files explosion at 100 TB), and a one-file bucket is also
+    * what lets the scan report its `sortBy` ordering when
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` is enabled,
+    * dropping the sort-merge join's per-task sorts too.
+    */
+  def writeBucketed(df: DataFrame, name: String, keyCols: Seq[String],
+                    numBuckets: Int): Unit = {
+    require(keyCols.nonEmpty, "at least one bucket column")
+    require(numBuckets > 0, "numBuckets must be positive")
+    val keys = keyCols.map(org.apache.spark.sql.functions.col)
+    df.repartition(numBuckets, keys: _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(name)
+  }
+
+  /** Equi-join two co-bucketed tables on their bucket key — planned
+    * with no exchange when both were written via [[writeBucketed]]
+    * with compatible bucket counts.
+    */
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+                    keyCols: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), keyCols)
+
+  /** Key-grouped aggregation over a bucketed table — the scan's bucket
+    * partitioning satisfies the aggregation's distribution, so the
+    * groupBy runs exchange-free.
+    */
+  def colocatedAgg(spark: SparkSession, name: String, keyCols: Seq[String],
+                   aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    spark.table(name)
+      .groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+}
