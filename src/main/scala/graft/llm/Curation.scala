@@ -253,6 +253,36 @@ object Curation {
           |  ELSE 0L END""".stripMargin))
   }
 
+  /** Shard manifest for the corpus writer: within each source (in id
+    * order), documents are laid out sequentially and cut into shards of
+    * `budget` tokens — a document belongs to the shard its START offset
+    * falls in. Emits one manifest row per shard: document count, real
+    * token load, the id range (what the writer needs to seek), and the
+    * fill ratio vs budget in HALF_UP basis points. The planning step
+    * before a 100-TB corpus is written out as ~even training shards —
+    * uneven shards are stragglers at read time.
+    *
+    * The running offset is a window prefix sum PARTITIONED BY SOURCE
+    * (distributed across sources; within one source the prefix sum is
+    * inherently sequential — for a corpus dominated by a single giant
+    * source, pre-split it with a salt column upstream), then one
+    * map-side-combinable groupBy over (source, shard).
+    */
+  def shardPlan(df: DataFrame, srcCol: String, idCol: String,
+                tokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(srcCol), col(idCol), col(tokCol).cast("long").as("graft_toks"))
+      .withColumn("graft_cum", sum(col("graft_toks")).over(w))
+      .withColumn("shard_ix", expr(s"(graft_cum - graft_toks) DIV ${budget}L"))
+      .groupBy(col(srcCol), col("shard_ix"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_toks")).as("shard_tokens"),
+        min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
+      .withColumn("fill_bp",
+        expr(s"(20000 * shard_tokens + ${budget}L) DIV (2 * ${budget}L)"))
+  }
+
   /** Deterministic training-order shuffle key: a 48-bit md5 of
     * (seed, id). Globally ordering by (shuffle_key, id) is a uniform
     * reshuffle of the corpus that any engine reproduces bit-for-bit and

@@ -3110,7 +3110,37 @@ object LlmQueries {
              |             CAST(row_number() OVER (PARTITION BY qid
              |                    ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
              |      FROM sc) r
-             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)))
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+    // ---- Shard manifest: per-source sequential layout cut into
+    // 2000-token shards by start offset — doc counts, token load, id
+    // range, and fill ratio per shard, the writer's plan for ~even
+    // training shards.
+    "q181_shard_plan" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        Curation.shardPlan(docs, "source", "doc_id", "toks", 2000L)
+          .orderBy("source", "shard_ix")
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+             |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |          FROM documents),
+             |c AS (SELECT source, doc_id, toks,
+             |             CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+             |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |      FROM d),
+             |s AS (SELECT source, doc_id, toks,
+             |             (cum - toks) // 2000 AS shard_ix FROM c),
+             |a AS (SELECT source, shard_ix, CAST(count(*) AS BIGINT) AS n_docs,
+             |             CAST(sum(toks) AS BIGINT) AS shard_tokens,
+             |             CAST(min(doc_id) AS BIGINT) AS first_id,
+             |             CAST(max(doc_id) AS BIGINT) AS last_id
+             |      FROM s GROUP BY 1, 2)
+             |SELECT source, shard_ix, n_docs, shard_tokens, first_id, last_id,
+             |       (20000 * shard_tokens + 2000) // 4000 AS fill_bp
+             |FROM a ORDER BY source, shard_ix""".stripMargin)))
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed

@@ -373,4 +373,19 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       Curation.paddingWaste(docs, "n", Seq(0L, 4L))
     }
   }
+
+  test("shardPlan cuts each source at start offsets and reports fill vs budget") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", 1L, 3L), ("A", 2L, 4L), ("A", 3L, 2L), // starts 0,3,7 -> shards 0,0,1
+      ("B", 10L, 6L)                               // start 0 -> shard 0 (overfull)
+    ).toDF("source", "doc_id", "toks")
+    val got = Curation.shardPlan(docs, "source", "doc_id", "toks", 5L)
+      .orderBy("source", "shard_ix")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 0L, 2L, 7L, 1L, 2L, 14000L),
+      ("A", 1L, 1L, 2L, 3L, 3L, 4000L),
+      ("B", 0L, 1L, 6L, 10L, 10L, 12000L)))
+  }
 }
