@@ -307,6 +307,39 @@ object Multimodal {
       }
   }
 
+  /** Leading/trailing silence trim plan: cut each decoded PCM16 WAV
+    * into `frameLen`-sample windows ([[audioFrameEnergy]]), call a
+    * window voiced when its energy exceeds `thrPerSample` per sample,
+    * and emit the per-clip trim offsets — the speech-corpus
+    * preprocessing step that drops dead air before feature extraction
+    * so a 100-TB audio crawl doesn't spend model FLOPs on silence.
+    *
+    * Output per clip: `id, n_samples, n_frames, first_voiced,
+    * last_voiced` (−1 when the clip is all silence), `trim_start,
+    * trim_end` (sample offsets; an all-silent clip trims to empty) and
+    * `kept_samples`. One narrow decode scan + one map-side-combinable
+    * groupBy per clip — output is O(clips).
+    */
+  def audioSilenceTrim(spark: SparkSession, media: DataFrame, idCol: String,
+                       payloadCol: String, frameLen: Int,
+                       thrPerSample: Long = 0L): DataFrame = {
+    require(thrPerSample >= 0, s"thrPerSample must be >= 0, got $thrPerSample")
+    val frames = audioFrameEnergy(spark, media, idCol, payloadCol, frameLen).toDF()
+    frames
+      .withColumn("voiced_f",
+        when(col("energy") > lit(thrPerSample) * col("nInFrame"), col("frameId")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("nInFrame")).as("n_samples"),
+        min(col("voiced_f")).as("fv"), max(col("voiced_f")).as("lv"))
+      .select(col("id"), col("n_samples"), col("n_frames"),
+        coalesce(col("fv"), lit(-1L)).as("first_voiced"),
+        coalesce(col("lv"), lit(-1L)).as("last_voiced"),
+        coalesce(col("fv") * frameLen, col("n_samples")).as("trim_start"),
+        coalesce(least((col("lv") + 1) * frameLen, col("n_samples")),
+          col("n_samples")).as("trim_end"))
+      .withColumn("kept_samples", col("trim_end") - col("trim_start"))
+  }
+
   /** STUB decoder for OPAQUE payloads only — deterministic fake:
     * dimensions derived from content bytes. Still images decode for
     * real in [[decodeImage]]; MJPEG-AVI video decodes for real in

@@ -3140,7 +3140,69 @@ object LlmQueries {
              |      FROM s GROUP BY 1, 2)
              |SELECT source, shard_ix, n_docs, shard_tokens, first_id, last_id,
              |       (20000 * shard_tokens + 2000) // 4000 AS fill_bp
-             |FROM a ORDER BY source, shard_ix""".stripMargin)))
+             |FROM a ORDER BY source, shard_ix""".stripMargin)),
+
+    // ---- Silence trim plan over REAL WAVs with planted dead air: the
+    // first (doc_id%5) and last (doc_id%3) 16-sample frames are zeroed;
+    // the trim offsets must recover exactly the planted voiced region.
+    "q182_audio_silence_trim" -> QueryDef(
+      (s, dir) => {
+        Multimodal.audioSilenceTrim(s, audioTrimTable(s, dir), "doc_id", "payload",
+            frameLen = 16, thrPerSample = 0L)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, (doc_id % 5) * 16 AS z1,
+             |                  160 - (doc_id % 3) * 16 AS hi
+             |           FROM documents),
+             |v AS (SELECT doc_id, z1, hi, unnest(range(160)) AS i FROM p),
+             |sm AS (SELECT doc_id, i,
+             |              CASE WHEN i >= z1 AND i < hi
+             |                   THEN (doc_id * 7919 + i * 104729) % 65536 - 32768
+             |                   ELSE 0 END AS v
+             |       FROM v),
+             |f AS (SELECT doc_id, i // 16 AS frame_id,
+             |             CAST(count(*) AS BIGINT) AS nif,
+             |             CAST(sum(v * v) AS BIGINT) AS energy
+             |      FROM sm GROUP BY 1, 2),
+             |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             |             CAST(sum(nif) AS BIGINT) AS n_samples,
+             |             min(CASE WHEN energy > 0 THEN frame_id END) AS fv,
+             |             max(CASE WHEN energy > 0 THEN frame_id END) AS lv
+             |      FROM f GROUP BY 1)
+             |SELECT doc_id, n_samples, n_frames,
+             |       CAST(COALESCE(fv, -1) AS BIGINT) AS first_voiced,
+             |       CAST(COALESCE(lv, -1) AS BIGINT) AS last_voiced,
+             |       CAST(COALESCE(fv * 16, n_samples) AS BIGINT) AS trim_start,
+             |       CAST(CASE WHEN lv IS NULL THEN n_samples
+             |                 ELSE least((lv + 1) * 16, n_samples) END AS BIGINT) AS trim_end,
+             |       CAST(CASE WHEN lv IS NULL THEN 0
+             |                 ELSE least((lv + 1) * 16, n_samples) - fv * 16
+             |            END AS BIGINT) AS kept_samples
+             |FROM g ORDER BY doc_id""".stripMargin)))
+
+  /** Deterministic audio column with PLANTED dead air for the silence
+    * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and
+    * last (doc_id%3) 16-sample frames are zeros around the usual LCG
+    * sample stream — the oracle recovers the voiced region by
+    * arithmetic.
+    */
+  private def audioTrimTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val z1 = (id % 5).toInt * 16
+          val hi = 160 - (id % 3).toInt * 16
+          val samples = Array.tabulate(160) { i =>
+            if (i >= z1 && i < hi)
+              (((id * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toShort
+            else 0.toShort
+          }
+          (id, graft.fixtures.FixtureBytes.pcmWav(8000, 1, samples))
+        }
+      }.toDF("doc_id", "payload")
+  }
 
   /** Deterministic audio column for the fingerprint queries: PCM16 mono
     * WAVs whose sample stream depends only on doc_id % 8 (the seed

@@ -336,4 +336,27 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.nonEmpty, "fixture must produce video near-dup pairs")
     assert(got == expect)
   }
+
+  test("audioSilenceTrim recovers planted dead air and empties all-silent clips") {
+    import spark.implicits._
+    // clip 1: 4 leading + 2 trailing zero samples around voice, frame=2
+    //   frames: [0,0] [v,v] [v,v] [0,0] -> voiced 1..2, trim [2,6), kept 4
+    val s1 = Array[Short](0, 0, 7, -7, 9, 3, 0, 0)
+    // clip 2: all silence -> trim to empty
+    val s2 = Array.fill(6)(0.toShort)
+    // clip 3: voice everywhere incl the partial tail frame
+    val s3 = Array[Short](4, 4, 4, 4, 4)
+    val media = Seq(
+      (1L, FixtureBytes.pcmWav(8000, 1, s1)),
+      (2L, FixtureBytes.pcmWav(8000, 1, s2)),
+      (3L, FixtureBytes.pcmWav(8000, 1, s3))).toDF("id", "payload")
+    val got = Multimodal.audioSilenceTrim(spark, media, "id", "payload",
+        frameLen = 2, thrPerSample = 0L)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 4L, 1L, 2L, 2L, 6L, 4L),
+      (2L, 6L, 3L, -1L, -1L, 6L, 6L, 0L),
+      (3L, 5L, 3L, 0L, 2L, 0L, 5L, 5L)))
+  }
 }
