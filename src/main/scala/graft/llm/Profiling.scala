@@ -137,6 +137,52 @@ object Profiling {
         min(col(valCol)).as("min_chars"),
         max(col(valCol)).as("max_chars"))
 
+  /** Shuffle-skew report for a prospective partitioning key: rows are
+    * assigned to `nBuckets` engine-independent hash buckets (48-bit md5
+    * of the key, the repo's cross-engine surrogate for Spark's Murmur3
+    * `hashpartitioning`; NULL keys report under bucket −1 — exactly the
+    * rows an equality join drops and a groupBy lumps into one task),
+    * and each bucket reports its row load, distinct-key count, heaviest
+    * key, and two HALF_UP ratios: `load_bp` (bucket load vs the
+    * balanced 10000) and `top_share_bp` (the heaviest key's share of
+    * its bucket). The read on the report: a hot bucket WITH a dominant
+    * key needs salting or an AQE skew join; a hot bucket with many keys
+    * just needs more partitions.
+    *
+    * Two map-side-combinable aggregations — (bucket, key) then bucket —
+    * plus a bounded (`nBuckets`+1 row) self-join for the heaviest key;
+    * nothing scales with corpus rows after the first partial agg.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      s"nBuckets must be in [1, 65536], got $nBuckets")
+    val keyN = CacheRegistry.persist(df
+      .select(col(keyCol).cast("string").as("graft_key"))
+      .withColumn("bucket",
+        when(col("graft_key").isNull, lit(-1L))
+          .otherwise(expr(
+            s"CAST(conv(substring(md5(graft_key), 1, 12), 16, 10) AS BIGINT) % ${nBuckets}L")))
+      .groupBy(col("bucket"), col("graft_key"))
+      .agg(count(lit(1)).as("n")))
+    val buckets = keyN.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("n")).as("top_key_rows"))
+    // heaviest key per bucket, ties broken on max key string — a join
+    // over the bounded bucket table, not a corpus-wide window
+    val topKeys = keyN.join(buckets.select(col("bucket"), col("top_key_rows")),
+        Seq("bucket"))
+      .filter(col("n") === col("top_key_rows"))
+      .groupBy(col("bucket")).agg(max(col("graft_key")).as("top_key"))
+    val total = buckets.agg(sum(col("n_rows")).as("graft_total"))
+    buckets.join(topKeys, Seq("bucket"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_rows"), col("n_keys"),
+        col("top_key"), col("top_key_rows"),
+        expr(s"(20000 * n_rows * $nBuckets + graft_total) DIV (2 * graft_total)")
+          .as("load_bp"),
+        expr("(20000 * top_key_rows + n_rows) DIV (2 * n_rows)").as("top_share_bp"))
+  }
+
   /** Token frequency spectrum (Zipf profile): for each corpus-wide token
     * occurrence count c, how many distinct tokens occur exactly c times.
     * The frequency-of-frequencies curve drives vocabulary-size and

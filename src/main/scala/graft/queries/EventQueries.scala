@@ -368,6 +368,35 @@ object EventQueries {
     // id), unattributed when the latest touch is > 1 day old. The
     // operator is the merge-window as-of join + a row-local horizon
     // filter; the oracle is the quadratic textbook join.
+    // ---- Shuffle-skew report: events keyed by user_id into 8 md5
+    // buckets — per-bucket load, key count, heaviest key, and the two
+    // ratios that decide salting vs more-partitions before a 100-TB
+    // shuffle on that key.
+    "q183_key_skew" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.keySkewReport(table(s, dir, "events"), "user_id", 8)
+          .orderBy("bucket")
+      },
+      Some("""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+             |b AS (SELECT key, CASE WHEN key IS NULL THEN -1
+             |                  ELSE CAST('0x' || substr(md5(key), 1, 12) AS BIGINT) % 8
+             |             END AS bucket
+             |      FROM k),
+             |kn AS (SELECT bucket, key, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+             |ba AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+             |              CAST(count(*) AS BIGINT) AS n_keys,
+             |              CAST(max(n) AS BIGINT) AS top_key_rows
+             |       FROM kn GROUP BY 1),
+             |tk AS (SELECT kn.bucket, max(kn.key) AS top_key
+             |       FROM kn JOIN ba ON kn.bucket = ba.bucket AND kn.n = ba.top_key_rows
+             |       GROUP BY 1),
+             |st AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM kn)
+             |SELECT ba.bucket, ba.n_rows, ba.n_keys, tk.top_key, ba.top_key_rows,
+             |       (20000 * ba.n_rows * 8 + st.total) // (2 * st.total) AS load_bp,
+             |       (20000 * ba.top_key_rows + ba.n_rows) // (2 * ba.n_rows) AS top_share_bp
+             |FROM ba JOIN tk ON tk.bucket = ba.bucket CROSS JOIN st
+             |ORDER BY ba.bucket""".stripMargin)),
+
     "q170_attribution" -> QueryDef(
       (s, dir) => {
         EventAnalytics.lastTouchAttribution(table(s, dir, "events"),

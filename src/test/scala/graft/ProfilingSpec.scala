@@ -195,4 +195,27 @@ class ProfilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and n_eff concentrates near n (Poisson(1) mean-1 weights)
     got.foreach { case (_, nEff, _, _) => assert(nEff > 140 && nEff < 260) }
   }
+
+  test("keySkewReport buckets by md5, isolates NULL keys, attributes the heaviest key") {
+    import spark.implicits._
+    // 1 bucket => every non-null key lands in bucket 0; "b" dominates 3/5
+    val df = Seq(Some("a"), Some("b"), Some("b"), Some("b"), Some("c"),
+      None, None).toDF("k")
+    val got = Profiling.keySkewReport(df, "k", 1)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // null bucket: 2 of 7 rows, load = 2/7 in bp (nBuckets=1)
+      (-1L, 2L, 1L, null, 2L, 2857L, 10000L),
+      (0L, 5L, 3L, "b", 3L, 7143L, 6000L)))
+    spark.catalog.clearCache()
+  }
+
+  test("keySkewReport breaks heaviest-key ties on the greater key string") {
+    import spark.implicits._
+    val df = Seq("x", "x", "y", "y").toDF("k")
+    val got = Profiling.keySkewReport(df, "k", 1).collect()
+    assert(got.map(r => (r.getString(3), r.getLong(4))).toSeq == Seq(("y", 2L)))
+    spark.catalog.clearCache()
+  }
 }
