@@ -643,4 +643,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ivfIncrementalStats grew extra exchanges beyond the two side aggs + bounded join:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("bm25 broadcasts the bounded query-term table; no sort-merge join") {
+    val p = planOf("q180_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"query terms must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bm25 degraded to SMJ:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"query-term selection should be a distributed top-k:\n$p")
+    // tf + dl + term-df + (qid,doc) aggs + the per-query window; the
+    // persisted tf table truncates re-reads
+    assert(hashExchanges(p) <= 6, s"bm25 acquired extra shuffles:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("shard plan is the per-source prefix-sum window plus one partial agg") {
+    val p = planOf("q181_shard_plan")
+    assert(hashExchanges(p) <= 2, s"shard plan acquired extra shuffles:\n$p")
+    assert(p.contains("partial"), s"manifest agg lost map-side combine:\n$p")
+  }
+
+  test("key-skew report collapses to bounded bucket frames after the first partial agg") {
+    val p = planOf("q183_key_skew")
+    // (bucket,key) agg -> bucket aggs + bounded joins; total is broadcast
+    assert(p.contains("partial"), s"keyed agg lost map-side combine:\n$p")
+    assert(p.contains("Broadcast"), s"1-row total should broadcast:\n$p")
+    assert(hashExchanges(p) <= 5, s"skew report acquired extra shuffles:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
 }
