@@ -355,6 +355,49 @@ object Similarity {
                |END""".stripMargin).as("w_r4"))
   }
 
+  /** Per-group embedding outlier quarantine: quantize each vector to
+    * exact integer milli-units (round(x·10³) — the q59 parity idiom),
+    * form each group's integer centroid (signed-HALF_UP per-dimension
+    * mean), and emit the `k` vectors FARTHEST from their group centroid
+    * by exact squared L2 — the mislabeled/garbage candidates a curation
+    * pass quarantines for review before they poison a contrastive
+    * objective.
+    *
+    * Scale shape: one (group, dim) shuffle for the centroid sums (the
+    * honest cost of an exact mean), then the bounded |groups|·d
+    * centroid table is re-collected to per-group ARRAYS and broadcast,
+    * so the distance pass is one in-row codegen'd `zip_with` scan —
+    * the corpus is never exploded a second time. Top-k runs per group
+    * (window over |groups| partitions).
+    */
+  def embedOutliers(df: DataFrame, idCol: String, groupCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val quant = CacheRegistry.persist(df.select(
+      col(idCol).cast("long").as("id"), col(groupCol).cast("long").as("grp"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("qv")))
+    val cent = quant
+      .select(col("grp"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("grp"), col("dim"),
+        expr("CASE WHEN s >= 0 THEN (2 * s + n) DIV (2 * n) " +
+          "ELSE -((2 * (-s) + n) DIV (2 * n)) END").as("c"))
+      .groupBy(col("grp"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("cv"))
+    val dist = quant.join(broadcast(cent), Seq("grp"))
+      .withColumn("dist_sq", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+    dist
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("dist_sq").desc, col("id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("grp"), col("rnk"), col("id"), col("dist_sq"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     VecFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))

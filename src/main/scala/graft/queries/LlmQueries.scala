@@ -3179,7 +3179,45 @@ object LlmQueries {
              |       CAST(CASE WHEN lv IS NULL THEN 0
              |                 ELSE least((lv + 1) * 16, n_samples) - fv * 16
              |            END AS BIGINT) AS kept_samples
-             |FROM g ORDER BY doc_id""".stripMargin)))
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---- Embedding outlier quarantine: per label, the 3 vectors
+    // farthest (exact integer squared L2 on round(x·10³) milli-units)
+    // from the label's signed-HALF_UP integer centroid — mislabeled /
+    // garbage candidates for review.
+    "q184_embed_outliers" -> QueryDef(
+      (s, dir) => {
+        Similarity.embedOutliers(table(s, dir, "embeddings"), "vec_id", "label",
+            "embedding", k = 3)
+          .select(col("grp").as("label"), col("rnk"), col("id").as("vec_id"),
+            col("dist_sq"))
+          .orderBy("label", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |ex AS MATERIALIZED (SELECT vec_id, label, i, qv[CAST(i AS INT)] AS qval
+             |      FROM (SELECT vec_id, label, qv,
+             |                   unnest(range(1, len(qv) + 1)) AS i
+             |            FROM q)),
+             |cs AS (SELECT label, i, CAST(sum(qval) AS BIGINT) AS s,
+             |              CAST(count(*) AS BIGINT) AS n
+             |       FROM ex GROUP BY 1, 2),
+             |cen AS (SELECT label, i,
+             |               CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+             |                    ELSE -((2 * (-s) + n) // (2 * n)) END AS c
+             |        FROM cs),
+             |d AS (SELECT ex.vec_id, ex.label,
+             |             CAST(sum((qval - c) * (qval - c)) AS BIGINT) AS dist_sq
+             |      FROM ex JOIN cen ON cen.label = ex.label AND cen.i = ex.i
+             |      GROUP BY 1, 2)
+             |SELECT label, rnk, vec_id, dist_sq
+             |FROM (SELECT label, vec_id, dist_sq,
+             |             CAST(row_number() OVER (PARTITION BY label
+             |                    ORDER BY dist_sq DESC, vec_id) AS BIGINT) AS rnk
+             |      FROM d) r
+             |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

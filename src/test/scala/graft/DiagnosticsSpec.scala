@@ -179,4 +179,23 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1(0)._4 == (1 to 12).map(i => s"w$i").mkString(" "))
     assert(d1(1)._4 == (9 to 20).map(i => s"w$i").mkString(" ") && d1(1)._3 == 12L)
   }
+
+  test("embedOutliers ranks by exact distance to the signed-HALF_UP integer centroid") {
+    import spark.implicits._
+    // group 0: milli-quants 1000, 2000, 6000 -> sum 9000, centroid 3000
+    //   dists: 4e6, 1e6, 9e6 -> farthest = id 3 (9e6), then id 1 (4e6)
+    // group 1: -1000, -2000 -> sum -3000, signed centroid -1500
+    //   dists: 250000 both -> tie breaks on id asc
+    val df = Seq(
+      (1L, 0, Array(1.0f)), (2L, 0, Array(2.0f)), (3L, 0, Array(6.0f)),
+      (10L, 1, Array(-1.0f)), (11L, 1, Array(-2.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = graft.llm.Similarity.embedOutliers(df, "vec_id", "label", "embedding", k = 2)
+      .orderBy("grp", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 3L, 9000000L), (0L, 2L, 1L, 4000000L),
+      (1L, 1L, 10L, 250000L), (1L, 2L, 11L, 250000L)))
+    spark.catalog.clearCache()
+  }
 }
