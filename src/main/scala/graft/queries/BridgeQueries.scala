@@ -167,6 +167,45 @@ object BridgeQueries {
       Some("""SELECT doc_id, 'jpeg' AS file_type FROM documents
              |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin)),
 
+    // ---- DSv2 COUNT pushdown: the same planted jpeg/png image, but the
+    // per-type hit counts come out of the SOURCE as per-partition
+    // partial counts (SupportsPushDownAggregates) — no hit rows cross
+    // the scan boundary. The oracle predicts the totals from the slot
+    // parity arithmetic.
+    "q185_dsv2_count_pushdown" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val nDocs = Registry.table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
+        val stride = 1024
+        val jpeg = graft.fixtures.FixtureBytes.jpeg()
+        val png = graft.fixtures.FixtureBytes.png()
+        val img = java.nio.file.Files.createTempFile("graft-cnt", ".dd")
+        val out = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(img))
+        var slot = 0L
+        while (slot < nDocs) {
+          val sample = if (slot % 2 == 0) jpeg else png
+          out.write(sample)
+          out.write(new Array[Byte](stride - sample.length))
+          slot += 1
+        }
+        out.close()
+        s.read.format("graft.sources.EvidenceSource")
+          .option("path", img.toString).option("mode", "hits")
+          .option("chunkSize", (64 * 1024).toString).option("overlap", "128")
+          .load()
+          .groupBy("file_type").count()
+          .withColumnRenamed("count", "n_hits")
+          .orderBy("file_type")
+      },
+      Some("""SELECT file_type, n_hits FROM (
+             |  SELECT 'jpeg' AS file_type, CAST(count(*) AS BIGINT) AS n_hits
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT 'png', CAST(count(*) AS BIGINT)
+             |  FROM documents WHERE doc_id % 2 = 1) t
+             |ORDER BY file_type""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

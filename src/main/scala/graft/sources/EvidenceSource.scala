@@ -133,11 +133,34 @@ private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long
     overlap: Long, typesOption: Option[Seq[String]])
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 
   private var required: StructType = EvidenceSource.HitsSchema
   private var pushed: Array[Filter] = Array.empty
+  // Some(true) = COUNT(*) GROUP BY file_type pushed; Some(false) =
+  // global COUNT(*) pushed. Partial-aggregate contract: each partition
+  // emits its own counts and Spark's final agg sums them, so the scan
+  // ships one row per (partition, type) instead of one row per hit —
+  // at a 100 TB image that is the scan→agg traffic collapsing from
+  // billions of hit rows to |partitions|·|types|.
+  private var aggMode: Option[Boolean] = None
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val oneCountStar = agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+    val gb = agg.groupByExpressions
+    val grouped = gb.length == 1 && (gb(0) match {
+      case f: NamedReference => f.fieldNames.toSeq == Seq("file_type")
+      case _ => false
+    })
+    if (oneCountStar && (grouped || gb.isEmpty)) { aggMode = Some(grouped); true }
+    else false
+  }
   // None = no pruning (full pattern set); Some(s) = AND-intersection of
   // the `types` option (the --types analog for WHERE-less jobs) and
   // every accepted file_type predicate
@@ -172,8 +195,84 @@ private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new EvidenceHitsScan(ref, chunkSize, overlap,
-    allowedTypes.map(_.toSeq.sorted), required)
+  override def build(): Scan = aggMode match {
+    case Some(grouped) => new EvidenceHitsCountScan(ref, chunkSize, overlap,
+      allowedTypes.map(_.toSeq.sorted), grouped)
+    case None => new EvidenceHitsScan(ref, chunkSize, overlap,
+      allowedTypes.map(_.toSeq.sorted), required)
+  }
+}
+
+/** Pushed-COUNT scan: one partial-count row per (partition, file_type)
+  * (or one per partition for a global COUNT(*)); Spark's final
+  * aggregation sums the partials.
+  */
+private[graft] class EvidenceHitsCountScan(ref: EvidenceRef, chunkSize: Long,
+    overlap: Long, val pushedTypes: Option[Seq[String]], grouped: Boolean)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    if (grouped) StructType(Seq(
+      StructField("file_type", StringType, nullable = false),
+      StructField("count", LongType, nullable = false)))
+    else StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft evidence hits, PushedAggregation: count(*)" +
+      (if (grouped) " group by file_type" else "") +
+      s", PushedTypes: ${pushedTypes.map(_.mkString("[", ",", "]")).getOrElse("ALL")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val len = {
+      val r = ref.open()
+      try r.length finally r.close()
+    }
+    ChunkPlanner.planLocal(len, chunkSize, overlap)
+      .map(c => EvidenceChunkPartition(c.id, c.start, c.length, c.validLength): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EvidenceHitsCountReaderFactory(ref, pushedTypes, grouped)
+}
+
+private[sources] class EvidenceHitsCountReaderFactory(ref: EvidenceRef,
+    types: Option[Seq[String]], grouped: Boolean)
+    extends PartitionReaderFactory {
+  @transient private lazy val scan: graft.scan.SignatureScan =
+    EvidenceHitsReaderFactory.scanFor(types)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EvidenceChunkPartition]
+    new PartitionReader[InternalRow] {
+      private lazy val reader = ref.open()
+      private var rows: Iterator[InternalRow] = _
+
+      private def ensure(): Unit = if (rows == null) {
+        val buf = new Array[Byte](p.length.toInt)
+        var got = 0
+        var n = 1
+        while (got < buf.length && n > 0) {
+          n = reader.readAt(p.start + got, buf, got, buf.length - got)
+          got += n
+        }
+        val chunk = graft.core.ScanChunk(p.id, p.start, p.length, p.validLength)
+        val hits = scan.normalize(chunk, scan.scanChunk(chunk, buf, got))
+        rows =
+          if (grouped)
+            hits.groupBy(h => scan.patterns(h.patternId).fileTypeId)
+              .toSeq.sortBy(_._1)
+              .map { case (ft, hs) => InternalRow(
+                org.apache.spark.unsafe.types.UTF8String.fromString(ft),
+                hs.size.toLong) }
+              .iterator
+          else Iterator.single(InternalRow(hits.size.toLong))
+      }
+
+      override def next(): Boolean = { ensure(); rows.hasNext }
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = reader.close()
+    }
+  }
 }
 
 private[graft] class EvidenceHitsScan(ref: EvidenceRef, chunkSize: Long,

@@ -109,6 +109,44 @@ class EvidenceSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("global_offset").collect().map(_.getLong(0)).toSeq == Seq(9000L))
   }
 
+  test("hits mode pushes COUNT(*) aggregation down to per-partition partial counts") {
+    val img = Files.createTempFile("evcount", ".dd")
+    val bytes = new Array[Byte](16384)
+    val jpeg = graft.fixtures.FixtureBytes.jpeg()
+    val png = graft.fixtures.FixtureBytes.png()
+    // two jpegs in different chunks + one png: partial counts must sum
+    System.arraycopy(jpeg, 0, bytes, 1000, jpeg.length)
+    System.arraycopy(jpeg, 0, bytes, 9000, jpeg.length)
+    System.arraycopy(png, 0, bytes, 5000, png.length)
+    Files.write(img, bytes)
+    def hits = spark.read.format("graft.sources.EvidenceSource")
+      .option("path", img.toString).option("mode", "hits")
+      .option("chunkSize", "4096").option("overlap", "64")
+      .load()
+
+    val grouped = hits.groupBy("file_type").count().orderBy("file_type")
+    val got = grouped.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("jpeg", 2L), ("png", 1L)))
+    // the scan line carries the pushed-agg marker; the final agg SUMS
+    // the per-partition partials (AQE wraps stages, so match the plan
+    // text rather than collecting through QueryStageExec boundaries)
+    val gp = grouped.queryExecution.executedPlan.toString
+    assert(gp.contains("PushedAggregation: count(*) group by file_type"),
+      s"grouped count did not push down:\n$gp")
+    assert(gp.contains("sum(agg_func"), s"final agg must sum partial counts:\n$gp")
+
+    val total = hits.agg(count(lit(1))).collect()(0).getLong(0)
+    assert(total == 3L)
+
+    // a residual predicate blocks the pushdown (filters are re-checked
+    // post-scan) — the count must still be exact via the row scan
+    val filtered = hits.filter(col("file_type") === "jpeg").groupBy("file_type").count()
+    assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("jpeg", 2L)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "residual-filtered count must NOT push aggregation (would be inexact)")
+  }
+
   test("parquet chunk-table scan matches the raw pipeline") {
     val img = Files.createTempFile("ev3", ".dd")
     val bytes = new Array[Byte](3 * 4096)
