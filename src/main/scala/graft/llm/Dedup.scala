@@ -435,6 +435,28 @@ object Dedup {
       .select(col("id"), call_function("graft_simhash", col("hvs")).as("simhash"))
   }
 
+  /** Snapshot diff between two corpus drops keyed by document id: the
+    * crawl-refresh audit that says what the new snapshot ADDED,
+    * REMOVED, CHANGED (same id, different content), or left UNCHANGED
+    * — the input to incremental reprocessing (only added+changed docs
+    * re-enter the dedup/curation pipeline) and to deletion-compliance
+    * checks. Content comparison is by md5, so the join ships two
+    * 32-char digests per id, never the documents; one id-keyed
+    * full-outer shuffle (bucket both snapshots by id to make it
+    * exchange-free — [[graft.sources.BucketedWarehouse]]).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(
+      col(idCol).as("id"), md5(coalesce(col(textCol), lit(""))).as(h))
+    hashed(a, "hash_a").join(hashed(b, "hash_b"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("hash_a").isNull, lit("added"))
+          .when(col("hash_b").isNull, lit("removed"))
+          .when(col("hash_a") =!= col("hash_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Incremental dedup of a NEW batch against an already-ingested
     * reference corpus — the shape every snapshot-over-snapshot crawl
     * pipeline runs: `exact_dup` = the batch document's content hash

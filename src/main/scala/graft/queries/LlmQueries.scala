@@ -3217,7 +3217,42 @@ object LlmQueries {
              |             CAST(row_number() OVER (PARTITION BY label
              |                    ORDER BY dist_sq DESC, vec_id) AS BIGINT) AS rnk
              |      FROM d) r
-             |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin)))
+             |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin)),
+
+    // ---- Crawl-refresh snapshot diff: snapshot B deterministically
+    // drops %11 docs, revises %7 docs, and adds shifted %13 docs;
+    // the diff must classify every id added/removed/changed/unchanged.
+    "q186_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val a = docs.select(col("doc_id"), col("text"))
+        val b = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .union(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              concat(lit("new "), col("doc_id").cast("string")).as("text")))
+        Dedup.snapshotDiff(a, b, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id, text FROM documents),
+             |b AS (SELECT doc_id,
+             |             CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+             |                  ELSE text END AS text
+             |      FROM documents WHERE doc_id % 11 <> 0
+             |      UNION ALL
+             |      SELECT doc_id + 100000, 'new ' || CAST(doc_id AS VARCHAR)
+             |      FROM documents WHERE doc_id % 13 = 0)
+             |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             |       CASE WHEN a.doc_id IS NULL THEN 'added'
+             |            WHEN b.doc_id IS NULL THEN 'removed'
+             |            WHEN md5(COALESCE(a.text, '')) <> md5(COALESCE(b.text, ''))
+             |              THEN 'changed'
+             |            ELSE 'unchanged' END AS status
+             |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+             |ORDER BY doc_id""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

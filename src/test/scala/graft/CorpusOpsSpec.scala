@@ -47,6 +47,18 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.isEmpty, s"within-doc repeat must not create spans: ${out.toSeq}")
   }
 
+  test("snapshotDiff classifies ids across snapshots, treating NULL text as empty") {
+    import spark.implicits._
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "fresh"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.snapshotDiff(a, b, "doc_id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"), (3L, "removed"),
+      (4L, "added"), (5L, "unchanged")))
+  }
+
   test("lmScore sums per-bigram integer micro-nats under add-one smoothing") {
     import spark.implicits._
     val docs = Seq((0L, "a b a b"), (1L, "a b"), (2L, "solo")).toDF("doc_id", "text")
