@@ -83,6 +83,66 @@ object Sketches {
         (lit(m) - col("n_buckets")).as("empty_buckets"))
   }
 
+  /** HLL set operations across groups: for every group pair, the
+    * union estimate from MERGED registers (per-bucket max — the HLL
+    * union is lossless, exactly the sketch of the concatenated data)
+    * and the inclusion-exclusion intersection estimate
+    * |A∩B| ≈ |A|+|B|−|A∪B| (clamped at 0). The cross-source user /
+    * vocabulary overlap matrix at 100 TB for the cost of |groups|·2^p
+    * sketch rows — the data is read once, by the register aggregation.
+    *
+    * Same determinism contract as [[hllDistinct]] (md5 hashes, exact
+    * integer harmonic sums, only exactly-rounded double ops, no
+    * small-range correction). Pair expansion happens on the BOUNDED
+    * register table: |groups|² pairs × 2^p buckets, corpus-independent.
+    *
+    * Returns (ga, gb, est_a, est_b, est_union, est_inter), ga < gb.
+    */
+  def hllOverlap(df: DataFrame, groupCol: String, valueCol: String,
+                 p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"precision $p outside [4, 16]")
+    val m = 1L << p
+    val maxRho = 61 - p
+    val alphaM2 = (p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m.toDouble)
+    }) * m.toDouble * m.toDouble
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val rho = when(col("w") === 0L, lit(maxRho)).otherwise(lit(maxRho) - length(bin(col("w"))))
+    // registers feed the per-group estimates AND every pair merge
+    val regs = CacheRegistry.persist(df
+      .select(col(groupCol).as("grp"), h.as("hv"))
+      .filter(col("hv").isNotNull)
+      .select(col("grp"), (col("hv") % m).as("bucket"), expr(s"hv div $m").as("w"))
+      .select(col("grp"), col("bucket"), rho.as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("mx")))
+    def estimate(keys: Seq[String], out: String)(r: DataFrame): DataFrame = {
+      val raw = lit(alphaM2) * lit(math.pow(2.0, maxRho)) /
+        (col("s_present") + (lit(m) - col("n_buckets")) * lit(1L << maxRho)).cast("double")
+      r.groupBy(keys.map(col): _*)
+        .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mx)")).as("s_present"),
+          count(lit(1)).as("n_buckets"))
+        .select(keys.map(col) :+ round(raw, 4).as(out): _*)
+    }
+    val ests = estimate(Seq("grp"), "est")(regs)
+    val pairs = ests.select(col("grp").as("ga"), col("est").as("est_a"))
+      .join(ests.select(col("grp").as("gb"), col("est").as("est_b")),
+        col("ga") < col("gb"))
+    val merged = pairs.select(col("ga"), col("gb"))
+      .join(regs, col("grp") === col("ga")).select(col("ga"), col("gb"), col("bucket"), col("mx"))
+      .union(pairs.select(col("ga"), col("gb"))
+        .join(regs, col("grp") === col("gb")).select(col("ga"), col("gb"), col("bucket"), col("mx")))
+      .groupBy(col("ga"), col("gb"), col("bucket"))
+      .agg(max(col("mx")).as("mx"))
+    pairs.join(estimate(Seq("ga", "gb"), "est_union")(merged), Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"), col("est_union"),
+        round(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")), 4)
+          .as("est_inter"))
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -44,6 +44,47 @@ object SketchQueries {
              |FROM sk JOIN ex ON ex.event_type = sk.event_type
              |ORDER BY sk.event_type""".stripMargin)),
 
+    // ---- HLL set operations: per event-type pair, the union estimate
+    // from per-bucket-max MERGED registers and the inclusion-exclusion
+    // intersection — the cross-segment audience-overlap matrix from
+    // bounded sketch state.
+    "q187_hll_overlap" -> QueryDef(
+      (s, dir) => {
+        Sketches.hllOverlap(table(s, dir, "events"), "event_type", "user_id")
+          .orderBy("ga", "gb")
+      },
+      Some("""WITH h AS (SELECT event_type AS g,
+             |            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+             |          FROM events),
+             |r AS (SELECT g, hv % 64 AS bucket,
+             |             CASE WHEN hv // 64 = 0 THEN 55
+             |                  ELSE 55 - length(bin(hv // 64)) END AS rho
+             |      FROM h WHERE hv IS NOT NULL),
+             |m AS (SELECT g, bucket, max(rho) AS mx FROM r GROUP BY 1, 2),
+             |sk AS (SELECT g, CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) AS BIGINT) AS sp,
+             |              count(*) AS nb
+             |       FROM m GROUP BY 1),
+             |e AS (SELECT g, round((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE))
+             |               * CAST(36028797018963968 AS DOUBLE) /
+             |               CAST(sp + (64 - nb) * 36028797018963968 AS DOUBLE), 4) AS est
+             |      FROM sk),
+             |p AS (SELECT a.g AS ga, b.g AS gb, a.est AS est_a, b.est AS est_b
+             |      FROM e a JOIN e b ON a.g < b.g),
+             |mr AS (SELECT p.ga, p.gb, m.bucket, max(m.mx) AS mx
+             |       FROM p JOIN m ON m.g = p.ga OR m.g = p.gb GROUP BY 1, 2, 3),
+             |usk AS (SELECT ga, gb, CAST(sum(CAST(1 AS BIGINT) << (55 - mx)) AS BIGINT) AS sp,
+             |               count(*) AS nb
+             |        FROM mr GROUP BY 1, 2),
+             |ue AS (SELECT ga, gb, round((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE))
+             |               * CAST(36028797018963968 AS DOUBLE) /
+             |               CAST(sp + (64 - nb) * 36028797018963968 AS DOUBLE), 4) AS est_union
+             |       FROM usk)
+             |SELECT p.ga, p.gb, p.est_a, p.est_b, ue.est_union,
+             |       round(greatest(CAST(0 AS DOUBLE), p.est_a + p.est_b - ue.est_union), 4)
+             |         AS est_inter
+             |FROM p JOIN ue USING (ga, gb)
+             |ORDER BY ga, gb""".stripMargin)),
+
     // ---- Count-min heavy hitters: top-20 tokens' exact counts next to
     // their 4×256 sketch estimates.
     "q65_cms_heavy_hitters" -> QueryDef(

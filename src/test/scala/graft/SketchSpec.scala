@@ -165,4 +165,25 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getDouble(2) == 0.0)
     assert(math.abs(out.getDouble(3) - 400.0) < 1e-6, s"std ${out.getDouble(3)}")
   }
+
+  test("hllOverlap: identical groups intersect fully, disjoint groups clamp at zero") {
+    import spark.implicits._
+    val same = (1 to 300).flatMap(i => Seq(("a", s"u$i"), ("b", s"u$i")))
+    val disj = (1 to 300).map(i => ("c", s"v$i"))
+    val df = (same ++ disj).toDF("grp", "uid")
+    val rows = graft.llm.Sketches.hllOverlap(df, "grp", "uid")
+      .orderBy("ga", "gb").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(rows.map(p => (p._1, p._2)) == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = rows(0)
+    // identical registers: union == both sides, intersection == either
+    assert(ab._3 == ab._4 && ab._4 == ab._5 && ab._5 == ab._6, s"ab: $ab")
+    val ac = rows(1)
+    // disjoint: union must exceed either side; intersection error-bounded
+    // (HLL at p=6 has ~13% error; exact value is 0)
+    assert(ac._5 > ac._3 && ac._5 > ac._4, s"ac: $ac")
+    assert(ac._6 >= 0.0 && ac._6 < 0.35 * ac._5, s"ac inter too large: $ac")
+    spark.catalog.clearCache()
+  }
 }
