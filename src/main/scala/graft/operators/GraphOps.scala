@@ -140,6 +140,114 @@ object GraphOps {
     ranks.select(col("graft_n").as("node"), col("graft_r").as("rank_micro"))
   }
 
+  /** Deterministic synchronous label propagation: community detection
+    * over a weighted edge list. The graph is symmetrized (weights of
+    * coincident directed edges sum); every node starts labeled with
+    * itself; each of `iters` rounds relabels EVERY node with the label
+    * carrying the maximum total neighbor weight, ties broken on the
+    * SMALLEST label — a fully deterministic variant of Raghavan et
+    * al.'s LPA (async updates + random tie-breaks are irreproducible
+    * across engines and runs, useless for an oracle-checked pipeline).
+    *
+    * Scale shape mirrors [[pageRank]]: per round, one join of the
+    * persisted symmetric edge list against the label table plus three
+    * key-partitioned aggregations ((node,label) weight sum → per-node
+    * max → min-label argmax), labels localCheckpoint-ed on the same
+    * every-3rd-round cadence with deterministic release of superseded
+    * checkpoints. Graphs under the small-graph cutoff
+    * (`graft.lpa.smallGraphEdges`, default 100k edges) run the
+    * identical update on the driver — the event-type/vocabulary graphs
+    * are |types|²-bounded regardless of corpus size.
+    *
+    * Output: (node, label) — label is the community representative
+    * (the minimum label that won the node's final round).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int,
+                       smallGraphThreshold: Long = -1L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val spark = edges.sparkSession
+    val smallCutoff =
+      if (smallGraphThreshold >= 0L) smallGraphThreshold
+      else spark.conf.get("graft.lpa.smallGraphEdges", "100000").toLong
+    val ed = edges.select(col(srcCol).as("graft_u"), col(dstCol).as("graft_v"),
+      col(wCol).cast("long").as("graft_w"))
+      .withColumn("graft_w", expr(
+        """CASE WHEN graft_w <= 0 THEN
+          |  CAST(raise_error(concat('labelPropagation: edge weight must be positive, got ',
+          |    CAST(graft_w AS STRING))) AS BIGINT)
+          |ELSE graft_w END""".stripMargin))
+    val sym = CacheRegistry.persist(
+      ed.union(ed.select(col("graft_v").as("graft_u"), col("graft_u").as("graft_v"),
+        col("graft_w")))
+        .groupBy(col("graft_u"), col("graft_v"))
+        .agg(sum(col("graft_w")).as("graft_w")))
+    val probeN = math.min(smallCutoff + 1L, Int.MaxValue.toLong).toInt
+    if (sym.limit(probeN).count() <= smallCutoff)
+      return lpaDriver(spark, sym, iters)
+    val nodes = CacheRegistry.persist(sym.select(col("graft_u").as("graft_n")).distinct())
+    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    var labels = nodes.select(col("graft_n"), col("graft_n").as("graft_l"))
+      .localCheckpoint()
+    var prevCkpt = labels
+    for (i <- 1 to iters) {
+      val scores = sym.join(labels, sym("graft_u") === labels("graft_n"))
+        .groupBy(col("graft_v"), col("graft_l"))
+        .agg(sum(col("graft_w")).as("graft_s"))
+      val best = scores.groupBy(col("graft_v")).agg(max(col("graft_s")).as("graft_ms"))
+      labels = scores.join(best, Seq("graft_v"))
+        .filter(col("graft_s") === col("graft_ms"))
+        .groupBy(col("graft_v")).agg(min(col("graft_l")).as("graft_l"))
+        .select(col("graft_v").as("graft_n"), col("graft_l"))
+      if (i % 3 == 0 || i == iters) {
+        labels = labels.localCheckpoint()
+        dropCheckpoint(prevCkpt)
+        prevCkpt = labels
+      }
+    }
+    labels.select(col("graft_n").as("node"), col("graft_l").as("label"))
+  }
+
+  /** Driver LPA over the collected (bounded) symmetric edge list —
+    * the exact update of the distributed loop.
+    */
+  private def lpaDriver(spark: org.apache.spark.sql.SparkSession,
+      sym: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val edges = sym.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val nodes = edges.map(_._1).distinct
+    implicit val anyOrd: Ordering[Any] =
+      Ordering.fromLessThan[Any] {
+        case (a: String, b: String) => a < b
+        case (a: Long, b: Long) => a < b
+        case (a: Int, b: Int) => a < b
+        case (a, b) => a.toString < b.toString
+      }
+    var label: Map[Any, Any] = nodes.iterator.map(n => (n: Any) -> (n: Any)).toMap
+    for (_ <- 1 to iters) {
+      val scores = scala.collection.mutable.HashMap.empty[(Any, Any), Long]
+      edges.foreach { case (u, v, w) =>
+        val k = ((v: Any), label(u))
+        scores(k) = scores.getOrElse(k, 0L) + w
+      }
+      label = scores.toSeq.groupBy(_._1._1).map { case (v, ls) =>
+        val ms = ls.map(_._2).max
+        v -> ls.filter(_._2 == ms).map(_._1._2).min
+      }
+    }
+    val nodeType = sym.schema("graft_u").dataType
+    val schema = StructType(Seq(
+      StructField("node", nodeType),
+      StructField("label", nodeType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(nodes.map(n => Row(n, label(n))).toSeq, 1),
+      schema)
+  }
+
   /** Driver power iteration over the collected (bounded) edge list —
     * the exact integer update of the distributed loop: contributions
     * floor-divide per edge, then base + (d·contrib) DIV 100 +

@@ -268,6 +268,23 @@ object EventQueries {
       },
       Some(pageRankOracle(8))),
 
+    // ---- Deterministic label-propagation communities over the same
+    // transition graph: symmetrized weights, self-labels, 4 synchronous
+    // max-weight/min-label rounds — the cheap community structure pass
+    // before sampling or visualizing an event taxonomy.
+    "q188_event_communities" -> QueryDef(
+      (s, dir) => {
+        val edges = graft.operators.EventAnalytics.transitionMatrix(
+            table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+          .select(col("from_type"), col("to_type"), col("n_trans"))
+        graft.operators.GraphOps.labelPropagation(edges, "from_type", "to_type",
+            "n_trans", iters = 4)
+          .withColumnRenamed("node", "event_type")
+          .withColumnRenamed("label", "community")
+          .orderBy("event_type")
+      },
+      Some(lpaOracle(4))),
+
     // ---- First-order Markov next-event backtest: per source type, the
     // hit rate of "predict the modal next type" — ties in the model go
     // to the lexicographically smallest type on both engines.
@@ -423,6 +440,37 @@ object EventQueries {
              |            THEN epoch_us(c.conv_ts) - epoch_us(m.ts) END AS age_us
              |FROM c LEFT JOIN m ON m.conv_id = c.conv_id AND m.rn = 1
              |ORDER BY c.conv_id""".stripMargin)))
+
+  /** DuckDB oracle for [[graft.operators.GraphOps.labelPropagation]]:
+    * `iters` unrolled synchronous rounds (each MATERIALIZED — the
+    * inlining-explosion gotcha) of weight-sum → per-node max →
+    * min-label argmax over the symmetrized transition graph.
+    */
+  private def lpaOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH s AS (SELECT user_id, event_type AS u,
+        |                 lead(event_type) OVER
+        |                   (PARTITION BY user_id ORDER BY ts, event_id) AS v
+        |          FROM events),
+        |e0 AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM s
+        |       WHERE v IS NOT NULL GROUP BY u, v),
+        |e AS MATERIALIZED (SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+        |       SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0) t
+        |     GROUP BY u, v),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lab FROM e)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |sc$i AS MATERIALIZED (SELECT e.v AS n, l.lab, CAST(sum(e.w) AS BIGINT) AS s
+        |        FROM e JOIN l${i - 1} l ON l.n = e.u GROUP BY 1, 2),
+        |mx$i AS (SELECT n, max(s) AS ms FROM sc$i GROUP BY 1),
+        |l$i AS MATERIALIZED (SELECT sc$i.n AS n, min(lab) AS lab
+        |       FROM sc$i JOIN mx$i ON mx$i.n = sc$i.n AND sc$i.s = mx$i.ms
+        |       GROUP BY 1)""".stripMargin)
+    }
+    sb.append(s"\nSELECT n AS event_type, lab AS community FROM l$iters ORDER BY event_type")
+    sb.toString
+  }
 
   /** DuckDB oracle for [[graft.operators.GraphOps.pageRank]] over the
     * transition graph, `iters` unrolled levels of the exact integer

@@ -407,6 +407,39 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("labelPropagation merges a two-community barbell deterministically") {
+    import spark.implicits._
+    // two triangles {a,b,c} and {x,y,z} joined by a weak bridge c-x:
+    // after a few rounds each triangle converges to its min label, and
+    // the weight-1 bridge cannot flip either side
+    val edges = Seq(
+      ("a", "b", 5L), ("b", "c", 5L), ("c", "a", 5L),
+      ("x", "y", 5L), ("y", "z", 5L), ("z", "x", 5L),
+      ("c", "x", 1L)).toDF("s", "d", "w")
+    val got = graft.operators.GraphOps.labelPropagation(edges, "s", "d", "w", iters = 4)
+      .orderBy("node").as[(String, String)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b", "c", "x", "y", "z"))
+    val comms = got.toMap
+    assert(Set("a", "b", "c").map(comms).size == 1, s"left triangle split: $got")
+    assert(Set("x", "y", "z").map(comms).size == 1, s"right triangle split: $got")
+    assert(comms("a") != comms("x"), s"bridge merged the communities: $got")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("labelPropagation driver and distributed paths agree value-for-value") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
+      ("c", "a", 1L), ("c", "d", 4L), ("e", "d", 2L)).toDF("s", "d", "w")
+    val driver = graft.operators.GraphOps.labelPropagation(edges, "s", "d", "w", iters = 5)
+      .orderBy("node").as[(String, String)].collect().toSeq
+    graft.llm.CacheRegistry.releaseAll(spark)
+    val dist = graft.operators.GraphOps.labelPropagation(edges, "s", "d", "w", iters = 5,
+        smallGraphThreshold = 0L)
+      .orderBy("node").as[(String, String)].collect().toSeq
+    assert(driver.nonEmpty && driver == dist)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("pageRank: symmetric 2-cycle is a fixed point at the initial rank") {
     import spark.implicits._
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("s", "d", "w")
