@@ -233,4 +233,42 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextAnalysis.bpeTrain(docs, "text", merges = 7, smallVocabThreshold = 1000L)
     }
   }
+
+  test("round-8 persisting operators leave no persisted RDDs after releaseAll") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"a b$i c d${i % 3} e")).toDF("doc_id", "text")
+    assertNoLeak("bm25TopK") {
+      graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text", 2, 2, 3)
+    }
+    val keyed = (1L to 30L).map(i => (i, s"k${i % 4}")).toDF("id", "k")
+    assertNoLeak("keySkewReport") {
+      graft.llm.Profiling.keySkewReport(keyed, "k", 4)
+    }
+    val grouped = (1L to 60L).map(i => (s"g${i % 3}", s"v${i % 20}")).toDF("grp", "v")
+    assertNoLeak("hllOverlap") {
+      Sketches.hllOverlap(grouped, "grp", "v")
+    }
+    val vecs = (1L to 20L).map(i => (i, (i % 4).toInt, Array((i % 7).toFloat, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    assertNoLeak("embedOutliers") {
+      Similarity.embedOutliers(vecs, "vec_id", "label", "embedding", 2)
+    }
+  }
+
+  test("labelPropagation retains only its result checkpoint (distributed); driver path is clean") {
+    import spark.implicits._
+    val edges = (1L to 12L).map(i => (s"n${i % 5}", s"n${(i + 1) % 5}", 1L + i % 3))
+      .toDF("s", "d", "w")
+    val dist = graft.operators.GraphOps.labelPropagation(edges, "s", "d", "w",
+      iters = 5, smallGraphThreshold = 0L)
+    dist.count()
+    CacheRegistry.releaseAll(spark)
+    val remaining = spark.sparkContext.getPersistentRDDs
+    assert(remaining.size <= 1,
+      s"labelPropagation left ${remaining.size} persisted RDDs; only the result checkpoint may remain")
+    remaining.values.foreach(_.unpersist(true))
+    assertNoLeak("labelPropagation(driver)") {
+      graft.operators.GraphOps.labelPropagation(edges, "s", "d", "w", iters = 5)
+    }
+  }
 }
