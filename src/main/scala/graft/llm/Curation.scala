@@ -253,6 +253,53 @@ object Curation {
           |  ELSE 0L END""".stripMargin))
   }
 
+  /** Exact ROC-AUC of the hashed quality classifier against the Gopher
+    * rule battery: the Mann–Whitney U statistic over integer scores
+    * with midrank tie handling, in HALF_UP basis points — the one-
+    * number answer to "is the cheap classifier ordering documents the
+    * way the rules would" before a 100-TB routing decision (the
+    * threshold-free companion to [[classifierCalibration]]).
+    *
+    * Doubled midranks keep everything integer: for a tied score block
+    * of size c after C lower-ranked rows, midrank·2 = 2C + c + 1; then
+    * 2U = Σ_pos midrank·2 − nPos·(nPos+1) and
+    * AUC = 2U / (2·nPos·nNeg), exactly.
+    *
+    * The rank window runs over the DISTINCT-SCORE table, which is
+    * bounded by the score range (|score| ≤ 8·max tokens), not the
+    * corpus. Exact within BIGINT while nPos·nNeg < 4.6e14 — AUC is an
+    * eval-set metric; hash-sample upstream for larger labeled sets.
+    */
+  def classifierAuc(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Long = 50L): DataFrame = {
+    val scores = TextAnalysis.hashedClassifier(df, idCol, textCol)
+      .select(col("id"), col("score"))
+    val labels = gopherRules(df, idCol, textCol, minWords)
+      .select(col("id"), col("keep"))
+    aucFromScores(scores.join(labels, Seq("id")), "score", "keep")
+  }
+
+  /** The Mann–Whitney core of [[classifierAuc]] over an arbitrary
+    * (score, 0/1 label) frame: (n_pos, n_neg, auc_bp), −1 when a class
+    * is empty.
+    */
+  def aucFromScores(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val byScore = df
+      .groupBy(col(scoreCol).as("graft_s"))
+      .agg(count(lit(1)).as("c"), sum(col(labelCol)).as("p"))
+    val w = Window.orderBy(col("graft_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("mr2", lit(2L) * col("cum") + col("c") + 1L)
+      .agg(sum(col("p")).as("n_pos"), sum(col("c") - col("p")).as("n_neg"),
+        sum(col("p") * col("mr2")).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
+                |ELSE (20000 * (r2 - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
+                |     DIV (4 * n_pos * n_neg) END""".stripMargin).as("auc_bp"))
+  }
+
   /** Shard manifest for the corpus writer: within each source (in id
     * order), documents are laid out sequentially and cut into shards of
     * `budget` tokens — a document belongs to the shard its START offset

@@ -3252,7 +3252,64 @@ object LlmQueries {
              |              THEN 'changed'
              |            ELSE 'unchanged' END AS status
              |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Exact classifier AUC vs the Gopher rule labels: integer
+    // Mann–Whitney with doubled midranks — the threshold-free check on
+    // the q157 calibration corpus.
+    "q189_classifier_auc" -> QueryDef(
+      (s, dir) => {
+        Curation.classifierAuc(table(s, dir, "documents"), "doc_id", "text",
+          minWords = 10L)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |w AS (SELECT doc_id,
+             |             CAST('0x' || substr(md5('w:' ||
+             |               CAST(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64
+             |                    AS VARCHAR)), 1, 1) AS BIGINT) - 8 AS wt
+             |      FROM toks),
+             |sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM w GROUP BY doc_id),
+             |gw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+             |gb AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+             |              CAST(strlen(text) - (len(ws) - 1) AS BIGINT) AS chars,
+             |              CAST(strlen(text) - strlen(replace(text, '#', ''))
+             |                   + (strlen(text) - strlen(replace(text, '...', ''))) // 3
+             |                AS BIGINT) AS sym,
+             |              CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha,
+             |              CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             |                                   st -> list_contains(ws, st))) AS BIGINT) AS n_stop
+             |       FROM gw),
+             |gm AS (SELECT doc_id, n_words,
+             |              (200 * chars + n_words) // (2 * n_words) AS mwc,
+             |              (20000 * sym + n_words) // (2 * n_words) AS sbp,
+             |              (20000 * alpha + n_words) // (2 * n_words) AS abp,
+             |              n_stop
+             |       FROM gb),
+             |g AS (SELECT doc_id,
+             |             CAST((n_words < 10 OR n_words > 100000) = false
+             |                  AND (mwc < 300 OR mwc > 1000) = false
+             |                  AND sbp <= 1000 AND abp >= 8000 AND n_stop >= 2
+             |               AS BIGINT) AS keep
+             |      FROM gm),
+             |j AS (SELECT score, keep FROM sc JOIN g USING (doc_id)),
+             |bs AS (SELECT score, CAST(count(*) AS BIGINT) AS c,
+             |              CAST(sum(keep) AS BIGINT) AS p
+             |       FROM j GROUP BY 1),
+             |r AS (SELECT score, c, p,
+             |             CAST(COALESCE(sum(c) OVER (ORDER BY score
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |               AS BIGINT) AS cum
+             |      FROM bs),
+             |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             |             CAST(sum(c - p) AS BIGINT) AS n_neg,
+             |             CAST(sum(p * (2 * cum + c + 1)) AS BIGINT) AS r2
+             |      FROM r)
+             |SELECT n_pos, n_neg,
+             |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
+             |            ELSE CAST((20000 * (r2 - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
+             |                      // (4 * n_pos * n_neg) AS BIGINT) END AS auc_bp
+             |FROM a""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

@@ -374,6 +374,23 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("aucFromScores: perfect, inverted, tied, and single-class orderings") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long)]): (Long, Long, Long) =
+      Curation.aucFromScores(rows.toDF("score", "label"), "score", "label")
+        .as[(Long, Long, Long)].collect().head
+    // perfect separation -> AUC 1.0
+    assert(auc(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))) == (2L, 2L, 10000L))
+    // perfectly inverted -> AUC 0.0
+    assert(auc(Seq((4L, 0L), (3L, 0L), (2L, 1L), (1L, 1L))) == (2L, 2L, 0L))
+    // all scores tied -> midranks make AUC exactly 0.5
+    assert(auc(Seq((7L, 0L), (7L, 1L), (7L, 0L), (7L, 1L))) == (2L, 2L, 5000L))
+    // one positive between two negatives: U = 1 of 2 -> 0.5
+    assert(auc(Seq((1L, 0L), (2L, 1L), (3L, 0L))) == (1L, 2L, 5000L))
+    // single-class degenerate -> -1 sentinel
+    assert(auc(Seq((1L, 1L), (2L, 1L))) == (2L, 0L, -1L))
+  }
+
   test("shardPlan cuts each source at start offsets and reports fill vs budget") {
     import spark.implicits._
     val docs = Seq(
