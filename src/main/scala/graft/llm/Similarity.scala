@@ -398,6 +398,34 @@ object Similarity {
       .select(col("grp"), col("rnk"), col("id"), col("dist_sq"))
   }
 
+  /** Johnson–Lindenstrauss reduction with a deterministic ±1 projection
+    * matrix: each output coordinate j is Σ_i s(j,i)·q_i over the
+    * milli-quantized input, where s(j,i) = ±1 from the first md5
+    * nibble of "j:i" — the Achlioptas sign matrix, engine-reproducible
+    * with no stored model. The cheap front-end that drops a 64-dim
+    * embedding table to k dims before brute-force or LSH candidate
+    * scoring (distances are preserved within the JL bound in
+    * expectation; signs, sums, and the norm are exact integers).
+    *
+    * Entirely per-row codegen'd expressions — ZERO shuffles; the
+    * projection matrix never materializes anywhere.
+    */
+  def jlReduce(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, s"k must be in [1, 256], got $k")
+    df.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("qv"))
+      .withColumn("yv", expr(
+        s"""transform(sequence(0, ${k - 1}), j ->
+           |  aggregate(sequence(0, size(qv) - 1), 0L, (acc, i) ->
+           |    acc + IF(substring(md5(concat(CAST(j AS STRING), ':',
+           |                                  CAST(i AS STRING))), 1, 1) < '8',
+           |             1L, -1L) * element_at(qv, CAST(i + 1 AS INT))))""".stripMargin))
+      .select(col("id"),
+        expr("concat_ws(',', yv)").as("reduced"),
+        expr("aggregate(yv, 0L, (acc, y) -> acc + y * y)").as("norm_sq"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     VecFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), col(vecCol).as("v"))

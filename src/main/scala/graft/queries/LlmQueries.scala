@@ -3309,7 +3309,32 @@ object LlmQueries {
              |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
              |            ELSE CAST((20000 * (r2 - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
              |                      // (4 * n_pos * n_neg) AS BIGINT) END AS auc_bp
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    // ---- Johnson–Lindenstrauss ±1 reduction to 8 dims: deterministic
+    // Achlioptas sign matrix from md5("j:i"), exact integer projections
+    // and norms over the milli-quantized embeddings — shuffle-free.
+    "q190_jl_reduce" -> QueryDef(
+      (s, dir) => {
+        Similarity.jlReduce(table(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |y AS (SELECT vec_id,
+             |    list_transform(range(8), j ->
+             |      CAST(list_sum(list_transform(range(len(qv)), i ->
+             |        CASE WHEN substr(md5(CAST(j AS VARCHAR) || ':' ||
+             |                             CAST(i AS VARCHAR)), 1, 1) < '8'
+             |             THEN 1 ELSE -1 END * qv[CAST(i + 1 AS INT)]))
+             |        AS BIGINT)) AS yv
+             |  FROM q)
+             |SELECT vec_id, array_to_string(yv, ',') AS reduced,
+             |       CAST(list_sum(list_transform(yv, v -> v * v)) AS BIGINT) AS norm_sq
+             |FROM y ORDER BY vec_id""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

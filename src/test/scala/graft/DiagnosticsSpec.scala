@@ -180,6 +180,26 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1(1)._4 == (9 to 20).map(i => s"w$i").mkString(" ") && d1(1)._3 == 12L)
   }
 
+  test("jlReduce is linear and exact over the integer quantization") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 2.0f)),
+      (2L, Array(1.0f, -2.0f, 4.0f)), // exactly 2x vector 1
+      (3L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.jlReduce(df, "vec_id", "embedding", k = 4)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    val v1 = got(0)._2.split(",").map(_.toLong)
+    val v2 = got(1)._2.split(",").map(_.toLong)
+    assert(v2.toSeq == v1.map(_ * 2).toSeq, s"projection must be linear: $got")
+    assert(got(1)._3 == 4 * got(0)._3)
+    assert(got(2)._2 == "0,0,0,0" && got(2)._3 == 0L)
+    // deterministic: same input -> identical projection
+    val again = graft.llm.Similarity.jlReduce(df, "vec_id", "embedding", k = 4)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(again == got)
+  }
+
   test("embedOutliers ranks by exact distance to the signed-HALF_UP integer centroid") {
     import spark.implicits._
     // group 0: milli-quants 1000, 2000, 6000 -> sum 9000, centroid 3000
