@@ -56,5 +56,15 @@ object Profile {
       .orderBy(col("n").desc, col("gram")), "top_ngrams")
     write(graft.llm.Dedup.crossGroupSegmentOverlap(docs, "source", "text", 10)
       .orderBy("src_a", "src_b"), "source_overlap")
+    // pre-shuffle skew diagnostics for the keys downstream pipelines
+    // group/join on, and the writer's shard manifest at a 2k-token
+    // budget — both new round-8 operators on the standard report
+    write(Profiling.keySkewReport(docs, "source", 16).orderBy("bucket"),
+      "key_skew")
+    write(Curation.shardPlan(
+        docs.select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks")),
+        "source", "doc_id", "toks", 2000L)
+      .orderBy("source", "shard_ix"), "shard_plan")
   }
 }

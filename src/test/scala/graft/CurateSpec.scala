@@ -80,6 +80,10 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/length_quantiles").count() > 0L)
     assert(spark.read.parquet(s"$out/source_counts")
       .agg(sum("n_docs")).head().getLong(0) == nDocs)
+    assert(spark.read.parquet(s"$out/key_skew")
+      .agg(sum("n_rows")).head().getLong(0) == nDocs)
+    val shards = spark.read.parquet(s"$out/shard_plan")
+    assert(shards.agg(sum("n_docs")).head().getLong(0) == nDocs)
   }
 
   test("segment-dedup stage rewrites texts to corpus-first segments before near-dup") {

@@ -663,6 +663,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial"), s"manifest agg lost map-side combine:\n$p")
   }
 
+  test("embedding outliers broadcast the bounded centroid arrays") {
+    val p = planOf("q184_embed_outliers")
+    assert(p.contains("Broadcast"), s"centroid table must broadcast:\n$p")
+    // (grp,dim) centroid agg + centroid array collect + per-grp window;
+    // the distance pass itself is in-row zip_with, no explode
+    assert(hashExchanges(p) <= 3, s"outlier quarantine acquired extra shuffles:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("snapshot diff is one id-keyed full-outer join over digests") {
+    val p = planOf("q186_snapshot_diff")
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("jl reduction runs with zero exchanges (pure in-row projection)") {
+    val p = planOf("q190_jl_reduce")
+    // presentation orderBy is a range exchange; no hash shuffle at all
+    assert(hashExchanges(p) == 0, s"jlReduce acquired a shuffle:\n$p")
+  }
+
   test("key-skew report collapses to bounded bucket frames after the first partial agg") {
     val p = planOf("q183_key_skew")
     // (bucket,key) agg -> bucket aggs + bounded joins; total is broadcast

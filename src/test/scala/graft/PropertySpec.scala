@@ -474,4 +474,48 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.nonEmpty && got == want)
     graft.llm.CacheRegistry.releaseAll(spark)
   }
+
+  test("aucFromScores matches the brute-force pairwise definition on random labels") {
+    import spark.implicits._
+    val rnd = new Random(77)
+    for (trial <- 0 until 5) {
+      val rows = (0 until 40 + rnd.nextInt(60)).map { _ =>
+        (rnd.nextInt(12).toLong - 4L, if (rnd.nextInt(3) == 0) 1L else 0L)
+      }
+      val (np, nn) = (rows.count(_._2 == 1L).toLong, rows.count(_._2 == 0L).toLong)
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      // AUC = P(s_pos > s_neg) + P(tie)/2 over all pos×neg pairs
+      val wins = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val wantBp =
+        if (np == 0 || nn == 0) -1L
+        else (2L * 10000L * wins + 2L * np * nn) / (2L * 2L * np * nn)
+      val got = Curation.aucFromScores(rows.toDF("score", "label"), "score", "label")
+        .as[(Long, Long, Long)].collect().head
+      assert(got == ((np, nn, wantBp)), s"trial $trial: got $got want ($np,$nn,$wantBp)")
+    }
+  }
+
+  test("labelPropagation driver and distributed paths agree on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(55)
+    for (trial <- 0 until 3) {
+      val n = 6 + rnd.nextInt(6)
+      val edges = (0 until n * 2).map { _ =>
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}", 1L + rnd.nextInt(5))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("s", "d", "w")
+        val driver = graft.operators.GraphOps.labelPropagation(df, "s", "d", "w", iters = 4)
+          .orderBy("node").as[(String, String)].collect().toSeq
+        graft.llm.CacheRegistry.releaseAll(spark)
+        val dist = graft.operators.GraphOps.labelPropagation(df, "s", "d", "w", iters = 4,
+            smallGraphThreshold = 0L)
+          .orderBy("node").as[(String, String)].collect().toSeq
+        assert(driver == dist, s"trial $trial diverged on ${edges}")
+        graft.llm.CacheRegistry.releaseAll(spark)
+      }
+    }
+  }
 }

@@ -72,6 +72,24 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("bm25TopK matches the reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 3) {
+      val docs = (0L until (8L + rnd.nextInt(12))).map { i =>
+        (i, (0 until 2 + rnd.nextInt(12)).map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+      }
+      val out = Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+          nQueries = 2, termsPerQuery = 2, k = 4)
+        .orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val expected = refBm25(docs, nQueries = 2, termsPerQuery = 2, k = 4)
+      assert(out == expected, s"trial $trial:\nspark: $out\nref:   $expected")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("bm25TopK breaks score ties on ascending doc id") {
     import spark.implicits._
     // identical docs -> identical scores for every query term
