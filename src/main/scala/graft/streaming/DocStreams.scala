@@ -52,4 +52,24 @@ object DocStreams {
       .filter(col("fingerprint").isNotNull)
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming incremental dedup against an already-ingested STATIC
+    * reference corpus — the streaming face of
+    * [[graft.llm.Dedup.dedupAgainst]]: only documents whose content
+    * md5 is NOT in the reference pass through. A stream-static
+    * left-anti join, which Structured Streaming executes per
+    * micro-batch against the (broadcast- or shuffle-joined) reference
+    * hash table; at production scale the reference digests are a
+    * precomputed table refreshed per snapshot, so the stream side
+    * never rescans the reference corpus itself.
+    */
+  def dedupAgainstReference(docs: DataFrame, ref: DataFrame,
+                            textCol: String, refTextCol: String): DataFrame = {
+    val refHashes = ref
+      .select(md5(coalesce(col(refTextCol), lit(""))).as("graft_ref_hash"))
+      .distinct()
+    docs
+      .withColumn("content_hash", md5(coalesce(col(textCol), lit(""))))
+      .join(refHashes, col("content_hash") === col("graft_ref_hash"), "left_anti")
+  }
 }

@@ -283,4 +283,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == Set(("h1", 5L), ("h2", 9L), ("h3", 7L)), s"got $got")
     } finally q.stop()
   }
+
+  test("dedupAgainstReference drops reference-known content per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((100L, "known text"), (101L, "other known")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = graft.streaming.DocStreams.dedupAgainstReference(
+      in.toDF().toDF("doc_id", "text"), ref, "text", "text")
+    val q = out.writeStream.format("memory").queryName("refdedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "known text"), (2L, "novel one"))
+      q.processAllAvailable()
+      // the stream-side dup is dropped; the novel doc passes
+      in.addData((3L, "other known"), (4L, "novel two"))
+      q.processAllAvailable()
+      val got = spark.table("refdedup")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L, 4L), s"got $got")
+    } finally q.stop()
+  }
 }
