@@ -253,6 +253,43 @@ object Curation {
           |  ELSE 0L END""".stripMargin))
   }
 
+  /** Temperature-rebalanced mixture plan at α = 1/2: per-source weights
+    * w_i = ⌊√(token count)⌋ — the square-root temperature sampling that
+    * multilingual corpus builds use to lift low-resource sources
+    * without letting the head dominate (α = 1 is proportional, α = 0
+    * uniform; 1/2 is the standard compromise, and the ONE temperature
+    * whose weight is integer-exact: isqrt needs no libm pow). The
+    * token `budget` is allocated by largest remainder, so planned
+    * token counts are integers summing EXACTLY to the budget.
+    *
+    * One corpus aggregation to per-source token counts; everything
+    * after runs on the bounded |sources| frame (its rank window is
+    * single-partition by construction). `floor(sqrt(·))` on an exact
+    * integer double is engine-identical: IEEE sqrt is correctly
+    * rounded, and perfect squares land exactly.
+    */
+  def temperatureMixture(df: DataFrame, srcCol: String, tokCol: String,
+                         budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val n = df.groupBy(col(srcCol))
+      .agg(sum(col(tokCol)).as("n_tokens"))
+      .withColumn("weight", expr(
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    val tot = n.agg(sum(col("weight")).as("graft_tw"))
+    val based = n.crossJoin(broadcast(tot))
+      .withColumn("graft_tw", greatest(col("graft_tw"), lit(1L)))
+      .withColumn("base", expr(s"(${budget}L * weight) DIV graft_tw"))
+      .withColumn("rem", expr(s"(${budget}L * weight) % graft_tw"))
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("graft_left"))
+    based
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col(srcCol))).cast("long"))
+      .crossJoin(broadcast(leftover))
+      .select(col(srcCol), col("n_tokens"), col("weight"),
+        expr("(20000 * weight + graft_tw) DIV (2 * graft_tw)").as("share_bp"),
+        expr("base + IF(rk <= graft_left, 1L, 0L)").as("planned_tokens"))
+  }
+
   /** Exact ROC-AUC of the hashed quality classifier against the Gopher
     * rule battery: the Mann–Whitney U statistic over integer scores
     * with midrank tie handling, in HALF_UP basis points — the one-

@@ -377,13 +377,7 @@ object Similarity {
       col(idCol).cast("long").as("id"), col(groupCol).cast("long").as("grp"),
       expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("qv")))
-    val cent = quant
-      .select(col("grp"), posexplode(col("qv")).as(Seq("dim", "q")))
-      .groupBy(col("grp"), col("dim"))
-      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-      .select(col("grp"), col("dim"),
-        expr("CASE WHEN s >= 0 THEN (2 * s + n) DIV (2 * n) " +
-          "ELSE -((2 * (-s) + n) DIV (2 * n)) END").as("c"))
+    val cent = integerCentroidDims(quant)
       .groupBy(col("grp"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
         .as("cv"))
@@ -396,6 +390,52 @@ object Similarity {
           .orderBy(col("dist_sq").desc, col("id"))).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("grp"), col("rnk"), col("id"), col("dist_sq"))
+  }
+
+  /** Per-(group, dimension) signed-HALF_UP integer centroid over a
+    * frame carrying milli-quantized vectors in `qv` and group key
+    * `grp` — the shared core of [[embedOutliers]] and
+    * [[centroidAffinity]]. One (group, dim) shuffle.
+    */
+  private def integerCentroidDims(quant: DataFrame): DataFrame =
+    quant
+      .select(col("grp"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("grp"), col("dim"),
+        expr("CASE WHEN s >= 0 THEN (2 * s + n) DIV (2 * n) " +
+          "ELSE -((2 * (-s) + n) DIV (2 * n)) END").as("c"))
+
+  /** Pairwise cosine affinity between group centroids: exact integer
+    * dot products over the signed-HALF_UP milli-quant centroids, norms
+    * as ⌊√Σc²⌋ (engine-identical IEEE sqrt on exact integers), cosine
+    * in signed-HALF_UP basis points. The label/source proximity matrix
+    * that says which corpus slices are embedding-space neighbors —
+    * mixture and contrast-pair planning input. Everything after the
+    * one (group, dim) centroid shuffle runs on |groups|·d bounded
+    * frames; degenerate zero-norm centroids report cos_bp = 0.
+    */
+  def centroidAffinity(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val quant = df.select(col(groupCol).cast("long").as("grp"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("qv"))
+    val cen = CacheRegistry.persist(integerCentroidDims(quant))
+    val dots = cen.select(col("grp").as("la"), col("dim"), col("c").as("ca"))
+      .join(cen.select(col("grp").as("lb"), col("dim"), col("c").as("cb")),
+        Seq("dim"))
+      .filter(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    val norms = cen.groupBy(col("grp"))
+      .agg(expr("CAST(floor(sqrt(CAST(sum(c * c) AS DOUBLE))) AS BIGINT)").as("nrm"))
+    dots
+      .join(norms.select(col("grp").as("la"), col("nrm").as("na")), Seq("la"))
+      .join(norms.select(col("grp").as("lb"), col("nrm").as("nb")), Seq("lb"))
+      .select(col("la").as("label_a"), col("lb").as("label_b"), col("dot"),
+        expr("""CASE WHEN na = 0 OR nb = 0 THEN 0L
+                |     WHEN dot >= 0 THEN (20000 * dot + na * nb) DIV (2 * na * nb)
+                |     ELSE -((20000 * (-dot) + na * nb) DIV (2 * na * nb)) END"""
+          .stripMargin).as("cos_bp"))
   }
 
   /** Johnson–Lindenstrauss reduction with a deterministic ±1 projection

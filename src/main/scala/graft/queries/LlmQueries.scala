@@ -3334,7 +3334,74 @@ object LlmQueries {
              |  FROM q)
              |SELECT vec_id, array_to_string(yv, ',') AS reduced,
              |       CAST(list_sum(list_transform(yv, v -> v * v)) AS BIGINT) AS norm_sq
-             |FROM y ORDER BY vec_id""".stripMargin)))
+             |FROM y ORDER BY vec_id""".stripMargin)),
+
+    // ---- α=1/2 temperature mixture: isqrt source weights + largest-
+    // remainder allocation of a 100k-token budget — planned counts sum
+    // exactly to the budget.
+    "q191_temperature_mixture" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        Curation.temperatureMixture(docs, "source", "toks", budget = 100000L)
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source,
+             |                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |          FROM documents GROUP BY 1),
+             |w AS (SELECT source, n_tokens,
+             |             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+             |      FROM n),
+             |t AS (SELECT greatest(CAST(sum(weight) AS BIGINT), 1) AS tw FROM w),
+             |b AS (SELECT source, n_tokens, weight,
+             |             (100000 * weight) // tw AS base,
+             |             (100000 * weight) % tw AS rem
+             |      FROM w CROSS JOIN t),
+             |lo AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM b),
+             |r AS (SELECT source, n_tokens, weight, base, rem,
+             |             CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+             |      FROM b)
+             |SELECT r.source, r.n_tokens, r.weight,
+             |       (20000 * r.weight + t.tw) // (2 * t.tw) AS share_bp,
+             |       CAST(r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END
+             |         AS BIGINT) AS planned_tokens
+             |FROM r CROSS JOIN lo CROSS JOIN t ORDER BY r.source""".stripMargin)),
+
+    // ---- Label-centroid cosine affinity: exact integer dots over the
+    // signed-HALF_UP milli-quant centroids, isqrt norms, signed-HALF_UP
+    // cosine bp — the embedding-space proximity matrix between slices.
+    "q192_centroid_affinity" -> QueryDef(
+      (s, dir) => {
+        Similarity.centroidAffinity(table(s, dir, "embeddings"), "label", "embedding")
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH q AS (SELECT CAST(label AS BIGINT) AS grp,
+             |    list_transform(embedding,
+             |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |ex AS MATERIALIZED (SELECT grp, i, qv[CAST(i AS INT)] AS qval
+             |      FROM (SELECT grp, qv, unnest(range(1, len(qv) + 1)) AS i FROM q)),
+             |cs AS (SELECT grp, i, CAST(sum(qval) AS BIGINT) AS s,
+             |              CAST(count(*) AS BIGINT) AS n
+             |       FROM ex GROUP BY 1, 2),
+             |cen AS MATERIALIZED (SELECT grp, i,
+             |               CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+             |                    ELSE -((2 * (-s) + n) // (2 * n)) END AS c
+             |        FROM cs),
+             |d AS (SELECT a.grp AS la, b.grp AS lb, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+             |      FROM cen a JOIN cen b ON a.i = b.i AND a.grp < b.grp
+             |      GROUP BY 1, 2),
+             |nr AS (SELECT grp, CAST(floor(sqrt(CAST(sum(c * c) AS DOUBLE))) AS BIGINT) AS nrm
+             |       FROM cen GROUP BY 1)
+             |SELECT d.la AS label_a, d.lb AS label_b, d.dot,
+             |       CASE WHEN na.nrm = 0 OR nb.nrm = 0 THEN CAST(0 AS BIGINT)
+             |            WHEN d.dot >= 0
+             |              THEN (20000 * d.dot + na.nrm * nb.nrm) // (2 * na.nrm * nb.nrm)
+             |            ELSE -((20000 * (-d.dot) + na.nrm * nb.nrm) // (2 * na.nrm * nb.nrm))
+             |       END AS cos_bp
+             |FROM d JOIN nr na ON na.grp = d.la JOIN nr nb ON nb.grp = d.lb
+             |ORDER BY label_a, label_b""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

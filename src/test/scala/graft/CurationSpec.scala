@@ -391,6 +391,20 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auc(Seq((1L, 1L), (2L, 1L))) == (2L, 0L, -1L))
   }
 
+  test("temperatureMixture: isqrt weights, largest-remainder allocation sums to budget") {
+    import spark.implicits._
+    val docs = Seq(("A", 100L), ("B", 25L), ("C", 1L)).toDF("source", "toks")
+    val got = Curation.temperatureMixture(docs, "source", "toks", budget = 33L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // weights 10,5,1 (tw=16); bases 20,10,2; A wins the leftover token
+    assert(got == Seq(
+      ("A", 100L, 10L, 6250L, 21L),
+      ("B", 25L, 5L, 3125L, 10L),
+      ("C", 1L, 1L, 625L, 2L)))
+    assert(got.map(_._5).sum == 33L)
+  }
+
   test("shardPlan cuts each source at start offsets and reports fill vs budget") {
     import spark.implicits._
     val docs = Seq(

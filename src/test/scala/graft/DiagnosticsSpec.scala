@@ -180,6 +180,27 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1(1)._4 == (9 to 20).map(i => s"w$i").mkString(" ") && d1(1)._3 == 12L)
   }
 
+  test("centroidAffinity: orthogonal, opposite, and degenerate centroids") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)), // centroid (1000, 0)
+      (1, Array(0.0f, 1.0f)),                         // centroid (0, 1000)
+      (2, Array(-1.0f, 0.0f)),                        // centroid (-1000, 0)
+      (3, Array(0.0f, 0.0f))                          // zero centroid
+    ).toDF("label", "embedding")
+    val got = graft.llm.Similarity.centroidAffinity(df, "label", "embedding")
+      .orderBy("label_a", "label_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 0L, 0L),
+      (0L, 2L, -1000000L, -10000L),
+      (0L, 3L, 0L, 0L),
+      (1L, 2L, 0L, 0L),
+      (1L, 3L, 0L, 0L),
+      (2L, 3L, 0L, 0L)))
+    spark.catalog.clearCache()
+  }
+
   test("jlReduce is linear and exact over the integer quantization") {
     import spark.implicits._
     val df = Seq(
