@@ -262,19 +262,24 @@ object Curation {
     * token `budget` is allocated by largest remainder, so planned
     * token counts are integers summing EXACTLY to the budget.
     *
-    * One corpus aggregation to per-source token counts; everything
-    * after runs on the bounded |sources| frame (its rank window is
-    * single-partition by construction). `floor(sqrt(·))` on an exact
-    * integer double is engine-identical: IEEE sqrt is correctly
-    * rounded, and perfect squares land exactly.
+    * One corpus aggregation to per-source token counts (persisted —
+    * it feeds the weight total, the bases, and the final select);
+    * everything after runs on the bounded |sources| frame (its rank
+    * window is single-partition by construction). `floor(sqrt(·))` on
+    * an exact integer double is engine-identical: IEEE sqrt is
+    * correctly rounded, and perfect squares land exactly. Exact
+    * within BIGINT while budget·max(weight) < 9.2e18 — e.g. a
+    * 10^13-token budget against sources up to ~8·10^10 tokens
+    * (weight ≤ ~2.8·10^5); beyond that, allocate in larger units
+    * (budget in kilotokens) rather than letting the product wrap.
     */
   def temperatureMixture(df: DataFrame, srcCol: String, tokCol: String,
                          budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val n = df.groupBy(col(srcCol))
+    val n = CacheRegistry.persist(df.groupBy(col(srcCol))
       .agg(sum(col(tokCol)).as("n_tokens"))
       .withColumn("weight", expr(
-        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)")))
     val tot = n.agg(sum(col("weight")).as("graft_tw"))
     val based = n.crossJoin(broadcast(tot))
       .withColumn("graft_tw", greatest(col("graft_tw"), lit(1L)))

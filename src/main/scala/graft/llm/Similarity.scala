@@ -455,12 +455,16 @@ object Similarity {
     df.select(col(idCol).as("id"),
         expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
           .as("qv"))
+      // empty embeddings (failed-embed records) project to the zero
+      // vector — without the guard sequence(0, -1) infers step -1 and
+      // element_at(qv, 0) aborts the job
       .withColumn("yv", expr(
-        s"""transform(sequence(0, ${k - 1}), j ->
-           |  aggregate(sequence(0, size(qv) - 1), 0L, (acc, i) ->
-           |    acc + IF(substring(md5(concat(CAST(j AS STRING), ':',
-           |                                  CAST(i AS STRING))), 1, 1) < '8',
-           |             1L, -1L) * element_at(qv, CAST(i + 1 AS INT))))""".stripMargin))
+        s"""IF(size(qv) = 0, array_repeat(0L, $k),
+           |  transform(sequence(0, ${k - 1}), j ->
+           |    aggregate(sequence(0, size(qv) - 1), 0L, (acc, i) ->
+           |      acc + IF(substring(md5(concat(CAST(j AS STRING), ':',
+           |                                    CAST(i AS STRING))), 1, 1) < '8',
+           |               1L, -1L) * element_at(qv, CAST(i + 1 AS INT)))))""".stripMargin))
       .select(col("id"),
         expr("concat_ws(',', yv)").as("reduced"),
         expr("aggregate(yv, 0L, (acc, y) -> acc + y * y)").as("norm_sq"))

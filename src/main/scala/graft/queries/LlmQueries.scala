@@ -3326,10 +3326,10 @@ object LlmQueries {
              |  FROM embeddings),
              |y AS (SELECT vec_id,
              |    list_transform(range(8), j ->
-             |      CAST(list_sum(list_transform(range(len(qv)), i ->
+             |      CAST(COALESCE(list_sum(list_transform(range(len(qv)), i ->
              |        CASE WHEN substr(md5(CAST(j AS VARCHAR) || ':' ||
              |                             CAST(i AS VARCHAR)), 1, 1) < '8'
-             |             THEN 1 ELSE -1 END * qv[CAST(i + 1 AS INT)]))
+             |             THEN 1 ELSE -1 END * qv[CAST(i + 1 AS INT)])), 0)
              |        AS BIGINT)) AS yv
              |  FROM q)
              |SELECT vec_id, array_to_string(yv, ',') AS reduced,

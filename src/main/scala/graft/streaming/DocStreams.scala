@@ -68,8 +68,12 @@ object DocStreams {
     val refHashes = ref
       .select(md5(coalesce(col(refTextCol), lit(""))).as("graft_ref_hash"))
       .distinct()
+    // join on an internal graft_-prefixed key and drop it: the output
+    // keeps the input schema exactly (no clobbering a caller's own
+    // content_hash column, no internal leaking into the sink)
     docs
-      .withColumn("content_hash", md5(coalesce(col(textCol), lit(""))))
-      .join(refHashes, col("content_hash") === col("graft_ref_hash"), "left_anti")
+      .withColumn("graft_doc_hash", md5(coalesce(col(textCol), lit(""))))
+      .join(refHashes, col("graft_doc_hash") === col("graft_ref_hash"), "left_anti")
+      .drop("graft_doc_hash")
   }
 }

@@ -43,7 +43,10 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val j = BucketedWarehouse.colocatedJoin(spark, "b_docs", "b_meta", Seq("doc_id"))
-      assert(j.count() == 1000L)
+      // value-level correctness, not just cardinality: a write/scan
+      // hash mismatch that mis-assigns rows would keep count==1000
+      val got = j.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == (0L until 1000L).map(i => (i, s"text $i", i % 7)).toSet)
       val jp = j.queryExecution.executedPlan.toString
       assert(exchanges(jp) == 0, s"co-bucketed join acquired a shuffle:\n$jp")
       assert(jp.contains("SortMergeJoin"), s"expected sort-merge join:\n$jp")

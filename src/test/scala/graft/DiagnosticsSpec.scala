@@ -206,7 +206,8 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 2.0f)),
       (2L, Array(1.0f, -2.0f, 4.0f)), // exactly 2x vector 1
-      (3L, Array(0.0f, 0.0f, 0.0f))
+      (3L, Array(0.0f, 0.0f, 0.0f)),
+      (4L, Array.empty[Float])        // failed-embed record: zero vector, no crash
     ).toDF("vec_id", "embedding")
     val got = graft.llm.Similarity.jlReduce(df, "vec_id", "embedding", k = 4)
       .orderBy("id").as[(Long, String, Long)].collect().toSeq
@@ -215,6 +216,7 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v2.toSeq == v1.map(_ * 2).toSeq, s"projection must be linear: $got")
     assert(got(1)._3 == 4 * got(0)._3)
     assert(got(2)._2 == "0,0,0,0" && got(2)._3 == 0L)
+    assert(got(3)._2 == "0,0,0,0" && got(3)._3 == 0L)
     // deterministic: same input -> identical projection
     val again = graft.llm.Similarity.jlReduce(df, "vec_id", "embedding", k = 4)
       .orderBy("id").as[(Long, String, Long)].collect().toSeq

@@ -426,6 +426,27 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("labelPropagation tie-breaks in UTF-8 byte order on both paths") {
+    import spark.implicits._
+    // U+FFFD (UTF-8: EF BF BD) < U+1F600 (F0 9F 98 80) in byte order,
+    // but the emoji's UTF-16 surrogate D83D sorts FIRST in code-unit
+    // order — the case where a naive Java compare diverges from Spark
+    val rep = "�"
+    val emoji = "😀"
+    val edges = Seq((rep, "z", 2L), (emoji, "z", 2L), (rep, emoji, 1L))
+      .toDF("s", "d", "w")
+    val driver = graft.operators.GraphOps.labelPropagation(edges, "s", "d", "w", iters = 1)
+      .orderBy("node").as[(String, String)].collect().toSeq
+    graft.llm.CacheRegistry.releaseAll(spark)
+    val dist = graft.operators.GraphOps.labelPropagation(edges, "s", "d", "w", iters = 1,
+        smallGraphThreshold = 0L)
+      .orderBy("node").as[(String, String)].collect().toSeq
+    assert(driver == dist, s"paths diverged:\ndriver $driver\ndist   $dist")
+    // z's neighbors tie at weight 2 -> min label in UTF-8 order wins
+    assert(driver.toMap.apply("z") == rep, s"tie must resolve to U+FFFD: $driver")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("labelPropagation driver and distributed paths agree value-for-value") {
     import spark.implicits._
     val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 2L),
