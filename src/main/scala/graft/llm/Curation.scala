@@ -358,19 +358,46 @@ object Curation {
     * map-side-combinable groupBy over (source, shard).
     */
   def shardPlan(df: DataFrame, srcCol: String, idCol: String,
-                tokCol: String, budget: Long): DataFrame = {
-    require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(srcCol), col(idCol), col(tokCol).cast("long").as("graft_toks"))
-      .withColumn("graft_cum", sum(col("graft_toks")).over(w))
-      .withColumn("shard_ix", expr(s"(graft_cum - graft_toks) DIV ${budget}L"))
+                tokCol: String, budget: Long): DataFrame =
+    shardAssign(df, srcCol, idCol, tokCol, Nil, budget)
       .groupBy(col(srcCol), col("shard_ix"))
       .agg(count(lit(1)).as("n_docs"), sum(col("graft_toks")).as("shard_tokens"),
         min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
       .withColumn("fill_bp",
         expr(s"(20000 * shard_tokens + ${budget}L) DIV (2 * ${budget}L)"))
+
+  /** Per-document shard assignment shared by [[shardPlan]] and
+    * [[shardChecksums]]: the per-source prefix-sum window plus
+    * `shard_ix` by start offset, carrying any `extraCols` through.
+    */
+  private def shardAssign(df: DataFrame, srcCol: String, idCol: String,
+                          tokCol: String, extraCols: Seq[String],
+                          budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select((Seq(srcCol, idCol).map(col) :+
+        col(tokCol).cast("long").as("graft_toks")) ++ extraCols.map(col): _*)
+      .withColumn("graft_cum", sum(col("graft_toks")).over(w))
+      .withColumn("shard_ix", expr(s"(graft_cum - graft_toks) DIV ${budget}L"))
   }
+
+  /** Shard integrity manifest: the [[shardPlan]] layout with a
+    * commutative per-shard content checksum — the sum of each member
+    * document's 48-bit md5 — so a writer (or a later audit) can verify
+    * a shard's contents without ordering guarantees: any dropped,
+    * duplicated, or substituted document moves the sum. One window +
+    * one map-side-combinable groupBy, same cost as the plan itself.
+    */
+  def shardChecksums(df: DataFrame, srcCol: String, idCol: String,
+                     tokCol: String, textCol: String, budget: Long): DataFrame =
+    shardAssign(df, srcCol, idCol, tokCol, Seq(textCol), budget)
+      .withColumn("graft_h",
+        conv(substring(md5(coalesce(col(textCol), lit(""))), 1, 12), 16, 10)
+          .cast("long"))
+      .groupBy(col(srcCol), col("shard_ix"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_toks")).as("shard_tokens"),
+        sum(col("graft_h")).as("content_sum"))
 
   /** Deterministic training-order shuffle key: a 48-bit md5 of
     * (seed, id). Globally ordering by (shuffle_key, id) is a uniform

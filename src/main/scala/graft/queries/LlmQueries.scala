@@ -3401,7 +3401,59 @@ object LlmQueries {
              |            ELSE -((20000 * (-d.dot) + na.nrm * nb.nrm) // (2 * na.nrm * nb.nrm))
              |       END AS cos_bp
              |FROM d JOIN nr na ON na.grp = d.la JOIN nr nb ON nb.grp = d.lb
-             |ORDER BY label_a, label_b""".stripMargin)))
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    // ---- Per-dimension embedding quartiles over milli-quantized
+    // values — the whitening/normalization QA table (a dimension whose
+    // IQR collapses or whose median drifts from 0 is a preprocessing
+    // bug). Integer inputs keep the interpolated quantiles exact.
+    "q193_embed_dim_quantiles" -> QueryDef(
+      (s, dir) => {
+        val dims = table(s, dir, "embeddings")
+          .select(posexplode(expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+            .as(Seq("dim", "q")))
+          .select(col("dim").cast("long").as("dim"), col("q"))
+        Profiling.groupQuantiles(dims, "dim", "q", Seq(0.25, 0.5, 0.75))
+          .orderBy("dim", "q_idx")
+      },
+      Some("""WITH e AS (SELECT list_transform(embedding,
+             |                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             |           FROM embeddings),
+             |d AS (SELECT CAST(i - 1 AS BIGINT) AS dim, qv[CAST(i AS INT)] AS q
+             |      FROM (SELECT qv, unnest(range(1, len(qv) + 1)) AS i FROM e)),
+             |g AS (SELECT dim, count(*) AS n,
+             |             quantile_cont(q, [0.25, 0.5, 0.75]) AS qs
+             |      FROM d GROUP BY 1)
+             |SELECT dim, CAST(generate_subscripts(qs, 1) - 1 AS BIGINT) AS q_idx,
+             |       round(unnest(qs), 4) AS q_value, n
+             |FROM g ORDER BY dim, q_idx""".stripMargin)),
+
+    // ---- Shard integrity manifest: the q181 layout plus a commutative
+    // md5-sum content checksum per shard — any dropped / duplicated /
+    // substituted member moves the sum, no ordering required.
+    "q194_shard_checksums" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("text"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        Curation.shardChecksums(docs, "source", "doc_id", "toks", "text", 2000L)
+          .orderBy("source", "shard_ix")
+      },
+      Some("""WITH d AS (SELECT source, doc_id, text,
+             |                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |          FROM documents),
+             |c AS (SELECT source, doc_id, text, toks,
+             |             CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+             |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |      FROM d),
+             |s AS (SELECT source, (cum - toks) // 2000 AS shard_ix, toks,
+             |             CAST('0x' || substr(md5(COALESCE(text, '')), 1, 12) AS BIGINT) AS h
+             |      FROM c)
+             |SELECT source, shard_ix, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(toks) AS BIGINT) AS shard_tokens,
+             |       CAST(sum(h) AS BIGINT) AS content_sum
+             |FROM s GROUP BY 1, 2 ORDER BY source, shard_ix""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and
