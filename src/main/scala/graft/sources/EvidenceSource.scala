@@ -134,8 +134,25 @@ private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+  // LIMIT n caps each partition's emitted hit rows at n (partial
+  // pushdown — Spark's CollectLimit still trims globally, so results
+  // stay exact). A preview `LIMIT 100` over a 100 TB image then
+  // finishes after the first partition instead of shipping every hit
+  // row; the byte scan itself stays chunk-granular (a chunk is the
+  // atom of work). Spark only pushes the limit when no residual
+  // filter sits between it and the scan, so the cap can never starve
+  // a filtered query of rows.
+  private var limitN: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    limitN = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   private var required: StructType = EvidenceSource.HitsSchema
   private var pushed: Array[Filter] = Array.empty
@@ -199,7 +216,7 @@ private[sources] class EvidenceHitsScanBuilder(ref: EvidenceRef, chunkSize: Long
     case Some(grouped) => new EvidenceHitsCountScan(ref, chunkSize, overlap,
       allowedTypes.map(_.toSeq.sorted), grouped)
     case None => new EvidenceHitsScan(ref, chunkSize, overlap,
-      allowedTypes.map(_.toSeq.sorted), required)
+      allowedTypes.map(_.toSeq.sorted), required, limitN)
   }
 }
 
@@ -276,12 +293,14 @@ private[sources] class EvidenceHitsCountReaderFactory(ref: EvidenceRef,
 }
 
 private[graft] class EvidenceHitsScan(ref: EvidenceRef, chunkSize: Long,
-    overlap: Long, val pushedTypes: Option[Seq[String]], required: StructType)
+    overlap: Long, val pushedTypes: Option[Seq[String]], required: StructType,
+    val pushedLimit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft evidence hits, PushedTypes: ${pushedTypes.map(_.mkString("[", ",", "]")).getOrElse("ALL")}"
+    s"graft evidence hits, PushedTypes: ${pushedTypes.map(_.mkString("[", ",", "]")).getOrElse("ALL")}" +
+      pushedLimit.map(n => s", PushedLimit: $n").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val len = {
@@ -294,7 +313,8 @@ private[graft] class EvidenceHitsScan(ref: EvidenceRef, chunkSize: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EvidenceHitsReaderFactory(ref, chunkSize, overlap, pushedTypes, required)
+    new EvidenceHitsReaderFactory(ref, chunkSize, overlap, pushedTypes, required,
+      pushedLimit)
 }
 
 private[sources] object EvidenceHitsReaderFactory {
@@ -315,7 +335,8 @@ private[sources] object EvidenceHitsReaderFactory {
 }
 
 private[sources] class EvidenceHitsReaderFactory(ref: EvidenceRef, chunkSize: Long,
-    overlap: Long, types: Option[Seq[String]], schema: StructType)
+    overlap: Long, types: Option[Seq[String]], schema: StructType,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   @transient private lazy val scan: graft.scan.SignatureScan =
     EvidenceHitsReaderFactory.scanFor(types)
@@ -335,7 +356,8 @@ private[sources] class EvidenceHitsReaderFactory(ref: EvidenceRef, chunkSize: Lo
           got += n
         }
         val chunk = graft.core.ScanChunk(p.id, p.start, p.length, p.validLength)
-        hits = scan.normalize(chunk, scan.scanChunk(chunk, buf, got)).iterator
+        val all = scan.normalize(chunk, scan.scanChunk(chunk, buf, got)).iterator
+        hits = limit.fold(all)(all.take)
       }
 
       override def next(): Boolean = { ensure(); hits.hasNext }

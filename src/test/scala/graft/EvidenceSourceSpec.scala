@@ -145,6 +145,19 @@ class EvidenceSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("jpeg", 2L)))
     assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregation"),
       "residual-filtered count must NOT push aggregation (would be inexact)")
+
+    // LIMIT pushes as a per-partition cap (partial): the scan line
+    // carries the marker and the preview returns exactly n valid hits
+    val preview = hits.limit(2)
+    val prows = preview.collect()
+    assert(prows.length == 2 && prows.forall(r => Set("jpeg", "png")(r.getString(1))))
+    assert(preview.queryExecution.executedPlan.toString.contains("PushedLimit: 2"),
+      s"limit did not reach the scan:\n${preview.queryExecution.executedPlan}")
+    // a residual filter between LIMIT and scan must block the pushdown
+    val filteredPreview = hits.filter(col("file_type") === "png").limit(1)
+    assert(filteredPreview.collect().map(_.getString(1)).toSeq == Seq("png"))
+    assert(!filteredPreview.queryExecution.executedPlan.toString.contains("PushedLimit"),
+      "residual-filtered preview must NOT push the limit (could starve the filter)")
   }
 
   test("parquet chunk-table scan matches the raw pipeline") {
