@@ -497,6 +497,51 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("temperatureMixture allocations always sum exactly to the budget") {
+    import spark.implicits._
+    val rnd = new Random(91)
+    for (trial <- 0 until 4) {
+      val srcs = (0 until 2 + rnd.nextInt(8)).map(i => (s"s$i", 1L + rnd.nextInt(100000)))
+      val budget = 1L + rnd.nextInt(1000000)
+      val got = Curation.temperatureMixture(srcs.toDF("source", "toks"),
+          "source", "toks", budget)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got.map(_._5).sum == budget, s"trial $trial: $got")
+      // isqrt weights are monotone in token count
+      val byToks = got.sortBy(_._2)
+      assert(byToks.map(_._3) == byToks.map(_._3).sorted, s"trial $trial: $got")
+      graft.llm.CacheRegistry.releaseAll(spark)
+    }
+  }
+
+  test("shardChecksums agrees with shardPlan on shape and with a fold reference on sums") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val docs = (0L until 60L).map(i =>
+      (s"s${i % 3}", i, s"d$i w${rnd.nextInt(5)}", 1L + rnd.nextInt(40)))
+    val df = docs.toDF("source", "doc_id", "text", "toks")
+    val plan = Curation.shardPlan(df, "source", "doc_id", "toks", 100L)
+      .select("source", "shard_ix", "n_docs", "shard_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val sums = Curation.shardChecksums(df, "source", "doc_id", "toks", "text", 100L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(sums.map(r => (r._1, r._2, r._3, r._4)).toSet == plan)
+    // reference: sequential per-source walk with md5-48 sums
+    def h48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).map { case (_, _, text, toks) =>
+        val shard = cum / 100L; cum += toks
+        ((src, shard), h48(text))
+      }
+    }.groupBy(_._1).map { case ((src, shard), hs) => (src, shard, hs.map(_._2).sum) }.toSet
+    assert(sums.map(r => (r._1, r._2, r._5)).toSet == want)
+  }
+
   test("labelPropagation driver and distributed paths agree on random graphs") {
     import spark.implicits._
     val rnd = new Random(55)
