@@ -387,4 +387,24 @@ object EventAnalytics {
             |    DIV (2 * n_with_prop)) AS BIGINT)""".stripMargin))
           .as("mean_centi"))
   }
+
+  /** Day-of-week periodicity profile per event type: one cell per
+    * (type, dow 0–6, Sunday = 0 — DuckDB's convention, Spark's
+    * `dayofweek` minus 1) with the count and its HALF_UP share of the
+    * type's events — the seasonal signature that decides batch-window
+    * placement and flags types whose traffic is automation (flat
+    * profile) vs human (weekday hump). One map-side-combinable shuffle
+    * to the |types|·7-bounded cell table (persisted — it feeds the
+    * totals and the final join).
+    */
+  def dowProfile(events: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val cells = graft.llm.CacheRegistry.persist(events
+      .select(col(typeCol), (dayofweek(col(tsCol)) - 1).cast("long").as("dow"))
+      .groupBy(col(typeCol), col("dow"))
+      .agg(count(lit(1)).as("n_events")))
+    val totals = cells.groupBy(col(typeCol)).agg(sum(col("n_events")).as("graft_tot"))
+    cells.join(totals, Seq(typeCol))
+      .select(col(typeCol), col("dow"), col("n_events"),
+        expr("(20000 * n_events + graft_tot) DIV (2 * graft_tot)").as("share_bp"))
+  }
 }

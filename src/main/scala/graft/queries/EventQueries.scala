@@ -285,6 +285,25 @@ object EventQueries {
       },
       Some(lpaOracle(4))),
 
+    // ---- Day-of-week periodicity per event type (dow 0 = Sunday):
+    // counts + HALF_UP shares — the seasonal signature behind batch-
+    // window placement and bot-vs-human traffic triage.
+    "q195_dow_profile" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.dowProfile(
+            table(s, dir, "events"), "event_type", "ts")
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             |                 CAST(count(*) AS BIGINT) AS n_events
+             |          FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS tot
+             |      FROM c GROUP BY 1)
+             |SELECT c.event_type, c.dow, c.n_events,
+             |       (20000 * c.n_events + t.tot) // (2 * t.tot) AS share_bp
+             |FROM c JOIN t USING (event_type)
+             |ORDER BY c.event_type, c.dow""".stripMargin)),
+
     // ---- First-order Markov next-event backtest: per source type, the
     // hit rate of "predict the modal next type" — ties in the model go
     // to the lexicographically smallest type on both engines.
