@@ -3453,7 +3453,28 @@ object LlmQueries {
              |SELECT source, shard_ix, CAST(count(*) AS BIGINT) AS n_docs,
              |       CAST(sum(toks) AS BIGINT) AS shard_tokens,
              |       CAST(sum(h) AS BIGINT) AS content_sum
-             |FROM s GROUP BY 1, 2 ORDER BY source, shard_ix""".stripMargin)))
+             |FROM s GROUP BY 1, 2 ORDER BY source, shard_ix""".stripMargin)),
+
+    // ---- Per-source duplicate pressure: docs vs distinct content
+    // digests and the dup share in HALF_UP bp — which crawl sources
+    // are duplicate mills, read before tuning dedup budgets per
+    // source. One map-side-combinable shuffle of (source, digest).
+    "q196_dup_pressure" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "documents")
+          .select(col("source"), md5(coalesce(col("text"), lit(""))).as("graft_h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("graft_h")).as("n_distinct"))
+          .withColumn("dup_bp", expr(
+            "(20000 * (n_docs - n_distinct) + n_docs) DIV (2 * n_docs)"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(count(DISTINCT md5(COALESCE(text, ''))) AS BIGINT) AS n_distinct,
+             |       (20000 * (count(*) - count(DISTINCT md5(COALESCE(text, '')))) + count(*))
+             |         // (2 * count(*)) AS dup_bp
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and
