@@ -253,6 +253,42 @@ object Curation {
           |  ELSE 0L END""".stripMargin))
   }
 
+  /** Deterministic hard-negative sampling for contrastive training:
+    * within each bucket (e.g. language — same-bucket negatives are
+    * HARD negatives), documents are laid on a deterministic md5 ring
+    * and each anchor takes the next `k` ring neighbors as negatives,
+    * skipping any whose content digest equals the anchor's (an exact
+    * duplicate is a false negative that poisons the objective). Ring
+    * order is md5("neg:" + id), so the pairing is reproducible across
+    * runs/engines and uncorrelated with ingestion order. Documents at
+    * the ring tail yield fewer than `k` negatives (no wraparound —
+    * keeps the op one window pass, no union stitch).
+    *
+    * One bucket-partitioned window over a narrow (id, digest) frame —
+    * a single shuffle of two digests per row, never the text.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, textCol: String,
+                    bucketCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val w = Window.partitionBy(col(bucketCol))
+      .orderBy(col("graft_sk"), col(idCol))
+    val base = df.select(col(idCol), col(bucketCol),
+      md5(coalesce(col(textCol), lit(""))).as("graft_h"),
+      md5(concat(lit("neg:"), col(idCol).cast("string"))).as("graft_sk"))
+    val withLeads = (1 to k).foldLeft(base) { (d, j) =>
+      d.withColumn(s"graft_n$j", lead(col(idCol), j).over(w))
+        .withColumn(s"graft_hn$j", lead(col("graft_h"), j).over(w))
+    }
+    val pairs = expr(
+      (1 to k).map(j => s"struct(${j}L AS neg_rank, graft_n$j AS neg_id, " +
+        s"graft_hn$j AS neg_h)").mkString("array(", ", ", ")"))
+    withLeads
+      .select(col(idCol), col(bucketCol), col("graft_h"), explode(pairs).as("p"))
+      .filter(col("p.neg_id").isNotNull && col("p.neg_h") =!= col("graft_h"))
+      .select(col(idCol), col(bucketCol), col("p.neg_rank").as("neg_rank"),
+        col("p.neg_id").as("neg_id"))
+  }
+
   /** Temperature-rebalanced mixture plan at α = 1/2: per-source weights
     * w_i = ⌊√(token count)⌋ — the square-root temperature sampling that
     * multilingual corpus builds use to lift low-resource sources

@@ -3474,7 +3474,34 @@ object LlmQueries {
              |       CAST(count(DISTINCT md5(COALESCE(text, ''))) AS BIGINT) AS n_distinct,
              |       (20000 * (count(*) - count(DISTINCT md5(COALESCE(text, '')))) + count(*))
              |         // (2 * count(*)) AS dup_bp
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- Deterministic hard negatives: within each language bucket,
+    // the next 3 md5-ring neighbors per anchor, exact-dup digests
+    // skipped — reproducible contrastive pairs, one window shuffle.
+    "q197_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        Curation.hardNegatives(table(s, dir, "documents"), "doc_id", "text",
+            "lang", k = 3)
+          .orderBy("doc_id", "neg_rank")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang, md5(COALESCE(text, '')) AS h,
+             |                 md5('neg:' || CAST(doc_id AS VARCHAR)) AS sk
+             |          FROM documents),
+             |l AS (SELECT doc_id, lang, h,
+             |             lead(doc_id, 1) OVER w AS n1, lead(h, 1) OVER w AS h1,
+             |             lead(doc_id, 2) OVER w AS n2, lead(h, 2) OVER w AS h2,
+             |             lead(doc_id, 3) OVER w AS n3, lead(h, 3) OVER w AS h3
+             |      FROM b WINDOW w AS (PARTITION BY lang ORDER BY sk, doc_id)),
+             |u AS (SELECT doc_id, lang, CAST(1 AS BIGINT) AS neg_rank, n1 AS neg_id, h1 AS nh FROM l
+             |      UNION ALL
+             |      SELECT doc_id, lang, 2, n2, h2 FROM l
+             |      UNION ALL
+             |      SELECT doc_id, lang, 3, n3, h3 FROM l)
+             |SELECT u.doc_id, u.lang, u.neg_rank, u.neg_id
+             |FROM u JOIN b ON b.doc_id = u.doc_id
+             |WHERE u.neg_id IS NOT NULL AND u.nh <> b.h
+             |ORDER BY u.doc_id, u.neg_rank""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

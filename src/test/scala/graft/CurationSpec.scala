@@ -391,6 +391,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auc(Seq((1L, 1L), (2L, 1L))) == (2L, 0L, -1L))
   }
 
+  test("hardNegatives: same-bucket, dup-free, deterministic, at most k per anchor") {
+    import spark.implicits._
+    val docs = ((1L to 12L).map(i => (i, s"text $i", s"b${i % 2}")) ++
+      Seq((20L, "text 1", "b1"))) // exact dup of doc 1's content, same bucket
+      .toDF("doc_id", "text", "lang")
+    val content = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bucket = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val got = Curation.hardNegatives(docs, "doc_id", "text", "lang", k = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, _, n) =>
+      assert(a != n, s"self-negative $a")
+      assert(bucket(a) == b && bucket(n) == b, s"cross-bucket pair $a/$n")
+      assert(content(a) != content(n), s"exact dup leaked as negative: $a/$n")
+    }
+    assert(got.groupBy(_._1).values.forall(_.size <= 3))
+    val again = Curation.hardNegatives(docs, "doc_id", "text", "lang", k = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.sorted == again.sorted)
+    // a bucket of identical content yields no negatives at all
+    val same = Seq((1L, "x", "b"), (2L, "x", "b"), (3L, "x", "b")).toDF("doc_id", "text", "lang")
+    assert(Curation.hardNegatives(same, "doc_id", "text", "lang", k = 2).count() == 0L)
+  }
+
   test("temperatureMixture: isqrt weights, largest-remainder allocation sums to budget") {
     import spark.implicits._
     val docs = Seq(("A", 100L), ("B", 25L), ("C", 1L)).toDF("source", "toks")
