@@ -685,6 +685,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashExchanges(p) == 0, s"jlReduce acquired a shuffle:\n$p")
   }
 
+  test("hard negatives ride one bucket-partitioned window shuffle") {
+    val p = planOf("q197_hard_negatives")
+    assert(hashExchanges(p) <= 1, s"hard negatives acquired extra shuffles:\n$p")
+  }
+
+  test("shard checksums reuse the prefix-sum window partitioning for the shard agg") {
+    val p = planOf("q194_shard_checksums")
+    assert(hashExchanges(p) <= 2, s"checksum manifest acquired extra shuffles:\n$p")
+    assert(p.contains("partial"), s"manifest agg lost map-side combine:\n$p")
+  }
+
   test("key-skew report collapses to bounded bucket frames after the first partial agg") {
     val p = planOf("q183_key_skew")
     // (bucket,key) agg -> bucket aggs + bounded joins; total is broadcast
