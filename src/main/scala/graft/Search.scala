@@ -1,0 +1,61 @@
+package graft
+
+import graft.llm.{CacheRegistry, Retrieval}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc BM25 retrieval over a documents table — the seed-expansion /
+  * domain-probe CLI: each positional query is a comma-separated term
+  * list, scored with the library's integer-exact Okapi BM25
+  * ([[graft.llm.Retrieval.bm25TopKFor]]) against the corpus token
+  * index, top-k per query written as one parquet table and echoed to
+  * stdout with the matched documents' text heads.
+  *
+  * Usage: runMain graft.Search <documentsParquet> <outDir> <k> <q1> [q2 ...]
+  *        (each qN like "spark,table,join")
+  * Env:   SPARK_GRAFT_CPUS (default 4)
+  */
+object Search {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: Search <documentsParquet> <outDir> <k> <terms,terms,...>+")
+    val (docsPath, outDir, k) = (args(0), args(1), args(2).toInt)
+    val queries = args.drop(3).toSeq.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val out = run(spark, docsPath, queries, k)
+      out.write.mode("overwrite").parquet(outDir)
+      out.show(queries.size * k, truncate = 60)
+    } finally {
+      CacheRegistry.releaseAll(spark)
+      spark.stop()
+    }
+  }
+
+  /** Runs the retrieval; package-visible for the spec. Returns
+    * (qid, rnk, doc_id, n_terms, score_bp, text).
+    */
+  def run(spark: SparkSession, docsPath: String,
+          queries: Seq[Seq[String]], k: Int): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty && queries.forall(_.nonEmpty),
+      "every query needs at least one term")
+    val docs = spark.read.parquet(docsPath)
+    val terms = queries.zipWithIndex
+      .flatMap { case (ts, i) => ts.distinct.map(t => (i.toLong, t)) }
+      .toDF("qid", "tok")
+    Retrieval.bm25TopKFor(docs, "doc_id", "text", terms, k)
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("qid"), col("rnk"), col("doc_id"), col("n_terms"),
+        col("score_bp"), col("text"))
+      .orderBy("qid", "rnk")
+  }
+}

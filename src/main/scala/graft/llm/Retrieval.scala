@@ -47,28 +47,7 @@ object Retrieval {
                k: Int = 5): DataFrame = {
     require(nQueries > 0 && termsPerQuery > 0 && k > 0,
       "nQueries, termsPerQuery and k must be positive")
-
-    // (id, tok, tf): the one corpus-wide shuffle. Feeds three branches
-    // (doc lengths, term dfs, the scoring join) -> persist.
-    val tf = CacheRegistry.persist(df
-      .select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy(col("id"), col("tok"))
-      .agg(count(lit(1)).as("tf")))
-
-    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-
-    // Corpus stats as a 1-row aggregate embedded in the plan (cross
-    // join of a single row — Spark broadcasts it; no eager count()).
-    // avdl_m = HALF_UP(1000 * total_tokens / n_docs), milli-tokens.
-    val stats = dl.agg(
-        count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
-      .select(col("n_docs"),
-        expr("(2000 * l_tot + n_docs) DIV (2 * n_docs)").as("avdl_m"))
-
-    val termDf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
-
+    val (tf, dl, stats, termDf) = tokenIndex(df, idCol, textCol)
     // Probe queries: the nQueries*termsPerQuery highest-df terms,
     // chunked in rank order. orderBy+limit is a distributed top-k
     // (TakeOrderedAndProject); the row_number window then runs on a
@@ -83,9 +62,54 @@ object Retrieval {
           .cast("long"))
     val queries = ranked.select(col("tok"), col("df_t"),
       expr(s"(rk - 1) DIV $termsPerQuery").as("qid"))
+    scoreQueries(tf, dl, stats, queries, k)
+  }
 
-    // Score: per (query, doc) sum of HALF_UP(idf_bp * tfnorm_bp / 1e4).
-    // `queries` is bounded -> broadcast; `stats` is 1 row -> broadcast.
+  /** BM25 top-k for CALLER-SUPPLIED queries: `queryTerms` is a
+    * (qid LONG, tok STRING) frame — the user-facing retrieval entry
+    * (`graft.Search` wraps it). Terms absent from the corpus simply
+    * contribute nothing (they match no document). Same integer-exact
+    * scoring and plan shape as [[bm25TopK]]; `queryTerms` must be
+    * bounded (it broadcasts).
+    */
+  def bm25TopKFor(df: DataFrame, idCol: String, textCol: String,
+                  queryTerms: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (tf, dl, stats, termDf) = tokenIndex(df, idCol, textCol)
+    val queries = queryTerms
+      .select(col("qid").cast("long").as("qid"), col("tok"))
+      .join(termDf, Seq("tok"))
+    scoreQueries(tf, dl, stats, queries, k)
+  }
+
+  /** The shared corpus passes: the (id, tok, tf) table (persisted — it
+    * feeds doc lengths, term dfs, and the scoring join), doc lengths,
+    * the 1-row corpus stats (avdl in HALF_UP milli-tokens, embedded in
+    * the plan — no eager count()), and per-term document frequencies.
+    */
+  private def tokenIndex(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tf = CacheRegistry.persist(df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+      .select(col("n_docs"),
+        expr("(2000 * l_tot + n_docs) DIV (2 * n_docs)").as("avdl_m"))
+    val termDf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
+    (tf, dl, stats, termDf)
+  }
+
+  /** Score + rank: per (query, doc) sum of HALF_UP(idf_bp·tfnorm_bp /
+    * 1e4) over a bounded (tok, df_t, qid) query frame (broadcast), then
+    * the per-query top-k window.
+    */
+  private def scoreQueries(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                           queries: DataFrame, k: Int): DataFrame = {
     val scored = tf
       .join(broadcast(queries), Seq("tok"))
       .join(dl, Seq("id"))
@@ -100,7 +124,6 @@ object Retrieval {
         "(2 * idf_bp * tfn_bp + 10000) DIV 20000"))
       .groupBy(col("qid"), col("id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib_bp")).as("score_bp"))
-
     scored
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("qid"))

@@ -3501,7 +3501,52 @@ object LlmQueries {
              |SELECT u.doc_id, u.lang, u.neg_rank, u.neg_id
              |FROM u JOIN b ON b.doc_id = u.doc_id
              |WHERE u.neg_id IS NOT NULL AND u.nh <> b.h
-             |ORDER BY u.doc_id, u.neg_rank""".stripMargin)))
+             |ORDER BY u.doc_id, u.neg_rank""".stripMargin)),
+
+    // ---- BM25 with CALLER-SUPPLIED queries (the graft.Search path):
+    // two real probe queries plus one whose only term is absent from
+    // the corpus (contributes nothing, produces no rows).
+    "q198_bm25_explicit" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq((0L, "table"), (0L, "scan"), (1L, "join"),
+          (1L, "stream"), (2L, "zzz_absent")).toDF("qid", "tok")
+        Retrieval.bm25TopKFor(table(s, dir, "documents"), "doc_id", "text",
+            terms, k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |      FROM tf GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |              (2000 * CAST(sum(dl) AS BIGINT) + count(*)) // (2 * count(*)) AS avdl_m
+             |       FROM dl),
+             |tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+             |q AS (SELECT CAST(v.qid AS BIGINT) AS qid, v.tok, tdf.df_t
+             |      FROM (VALUES (0, 'table'), (0, 'scan'), (1, 'join'),
+             |                   (1, 'stream'), (2, 'zzz_absent')) AS v(qid, tok)
+             |      JOIN tdf USING (tok)),
+             |sc AS (SELECT q.qid, tf.doc_id,
+             |              CAST(count(*) AS BIGINT) AS n_terms,
+             |              CAST(sum(
+             |                (2 * ((20000 * (2 * st.n_docs - 2 * q.df_t + 1) + (2 * q.df_t + 1))
+             |                      // (2 * (2 * q.df_t + 1)))
+             |                   * ((20000 * 44 * st.avdl_m * tf.tf
+             |                       + (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000))
+             |                      // (2 * (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000)))
+             |                 + 10000) // 20000) AS BIGINT) AS score_bp
+             |       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+             |       GROUP BY 1, 2)
+             |SELECT qid, rnk, doc_id, n_terms, score_bp
+             |FROM (SELECT qid, doc_id, n_terms, score_bp,
+             |             CAST(row_number() OVER (PARTITION BY qid
+             |                    ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
+             |      FROM sc) r
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

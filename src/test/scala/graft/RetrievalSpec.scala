@@ -26,6 +26,19 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Pure-Scala reference: same spec, no Spark. */
   private def refBm25(docs: Seq[(Long, String)], nQueries: Int,
                       termsPerQuery: Int, k: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    val dfT = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(t => (id, t))
+    }.groupBy(_._2).map { case (tok, ts) => tok -> ts.size.toLong }
+    val queries = dfT.toSeq.sortBy { case (tok, d) => (-d, tok) }
+      .take(nQueries * termsPerQuery).zipWithIndex
+      .groupBy { case (_, i) => i.toLong / termsPerQuery }
+      .map { case (qid, ts) => qid -> ts.map(_._1._1) }
+    refBm25For(docs, queries, k)
+  }
+
+  /** Reference scorer for explicit (qid -> terms) queries. */
+  private def refBm25For(docs: Seq[(Long, String)], queries: Map[Long, Seq[String]],
+                         k: Int): Seq[(Long, Long, Long, Long, Long)] = {
     val tf = docs.flatMap { case (id, text) =>
       text.split(" ").filter(_.nonEmpty).groupBy(identity).map {
         case (tok, occ) => (id, tok, occ.length.toLong)
@@ -36,9 +49,9 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lTot = dl.values.sum
     val avdlM = halfUp(1000 * lTot, nDocs)
     val dfT = tf.groupBy(_._2).map { case (tok, ts) => tok -> ts.size.toLong }
-    val queryTerms = dfT.toSeq.sortBy { case (tok, d) => (-d, tok) }
-      .take(nQueries * termsPerQuery).zipWithIndex
-      .map { case ((tok, d), i) => (tok, d, i.toLong / termsPerQuery) }
+    val queryTerms = queries.toSeq.flatMap { case (qid, ts) =>
+      ts.flatMap(t => dfT.get(t).map(d => (t, d, qid)))
+    }
     val scored = (for {
       (tok, d, qid) <- queryTerms
       (id, t, f) <- tf if t == tok
@@ -99,6 +112,33 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq((1L, 3L), (2L, 7L), (3L, 10L)))
     spark.catalog.clearCache()
+  }
+
+  test("bm25TopKFor scores explicit queries; absent-only queries return no rows") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val terms = Seq((0L, "a"), (0L, "b"), (1L, "zz_missing")).toDF("qid", "tok")
+    val out = Retrieval.bm25TopKFor(docs, "doc_id", "text", terms, k = 3)
+      .orderBy("qid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // the explicit {a,b} query must equal the auto-probe scorer's
+    // answer for the same term pair (force it via the reference)
+    val ref = refBm25For(corpus, Map(0L -> Seq("a", "b")), k = 3)
+    assert(out == ref, s"\nspark: $out\nref:   $ref")
+    assert(!out.exists(_._1 == 1L), "absent-term query leaked rows")
+    spark.catalog.clearCache()
+  }
+
+  test("graft.Search end-to-end over the testdata corpus") {
+    val out = Search.run(spark, "/root/testdata/sf0.001/documents.parquet",
+      Seq(Seq("table", "scan"), Seq("zzz_absent")), k = 4)
+      .collect()
+    assert(out.nonEmpty && out.length <= 4)
+    assert(out.forall(_.getLong(0) == 0L), "absent-only query must yield nothing")
+    assert(out.map(_.getLong(1)).toSeq == (1L to out.length))
+    assert(out.forall(r => r.getString(5).contains("table") || r.getString(5).contains("scan")))
+    graft.llm.CacheRegistry.releaseAll(spark)
   }
 
   test("bm25TopK degrades gracefully when the vocabulary is smaller than the query budget") {
