@@ -86,6 +86,28 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shards.agg(sum("n_docs")).head().getLong(0) == nDocs)
   }
 
+  test("diff main classifies a derived snapshot and writes both tables") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val out = Files.createTempDirectory("graft-diff").toString
+    // snapshot B: drop %7 docs, revise %5 docs
+    val a = spark.read.parquet(docs)
+    val bPath = s"$out/b.parquet"
+    a.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .write.mode("overwrite").parquet(bPath)
+    val summary = Diff.run(spark, docs, bPath, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = a.count()
+    val removed = a.filter(col("doc_id") % 7 === 0).count()
+    val changed = a.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0).count()
+    assert(summary.getOrElse("removed", 0L) == removed)
+    assert(summary.getOrElse("changed", 0L) == changed)
+    assert(summary.getOrElse("unchanged", 0L) == n - removed - changed)
+    assert(!summary.contains("added"))
+    assert(spark.read.parquet(s"$out/diff").count() == n)
+  }
+
   test("segment-dedup stage rewrites texts to corpus-first segments before near-dup") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val out = Files.createTempDirectory("graft-curate-seg").toString
