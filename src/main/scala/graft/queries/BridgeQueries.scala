@@ -206,6 +206,49 @@ object BridgeQueries {
              |  FROM documents WHERE doc_id % 2 = 1) t
              |ORDER BY file_type""".stripMargin)),
 
+    // ---- JSONL corpus ingest with corrupt-record quarantine: the
+    // documents table round-trips through a gzip JSONL drop whose %17
+    // lines are deliberately truncated mid-object; the PERMISSIVE
+    // reader must type every parseable line (per-source counts +
+    // char mass both intact) and quarantine exactly the broken ones.
+    "q199_jsonl_ingest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Registry.table(s, dir, "documents")
+        val nDocs = docs.agg(count(lit(1))).as[Long].head()
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-jsonl-v1-$nDocs")
+        if (!fixture.exists()) {
+          docs.select(
+            when(col("doc_id") % 17 === 0,
+              concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+                lit(", TRUNCATED")))
+              .otherwise(to_json(struct(col("doc_id"), col("text"),
+                col("lang"), col("source"))))
+              .as("value"))
+            .write.mode("overwrite").option("compression", "gzip")
+            .text(fixture.toString)
+        }
+        val parsed = graft.sources.JsonlCorpus.read(s, fixture.toString)
+        val cleanCounts = graft.sources.JsonlCorpus.clean(parsed)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_chars"))
+        val corrupt = graft.sources.JsonlCorpus.quarantine(parsed)
+          .agg(count(lit(1)).as("graft_n"))
+          .select(lit("_corrupt").as("source"), col("graft_n").as("n_docs"),
+            lit(0L).as("sum_chars"))
+        cleanCounts.union(corrupt).orderBy("source")
+      },
+      Some("""SELECT source, n_docs, sum_chars FROM (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+             |  FROM documents WHERE doc_id % 17 <> 0 GROUP BY source
+             |  UNION ALL
+             |  SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+             |  FROM documents WHERE doc_id % 17 = 0) t
+             |ORDER BY source""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

@@ -160,6 +160,29 @@ class EvidenceSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "residual-filtered preview must NOT push the limit (could starve the filter)")
   }
 
+  test("JsonlCorpus splits every line into exactly clean or quarantine") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "a b", "lang": "en", "source": "s1"}""",
+        """{"doc_id": 2, "text": "c", "lang": "de", "source": "s1"}""",
+        """{"doc_id": 3, "text": "truncat""",
+        """not json at all""",
+        // parseable but wrong type: doc_id is a string -> PERMISSIVE
+        // nulls the field and keeps the line in the corrupt column
+        """{"doc_id": "x", "text": "d", "lang": "en", "source": "s2"}"""))
+    val parsed = graft.sources.JsonlCorpus.read(spark, dir)
+    val clean = graft.sources.JsonlCorpus.clean(parsed)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val bad = graft.sources.JsonlCorpus.quarantine(parsed)
+      .collect().map(_.getString(0)).toSeq
+    assert(clean == Seq((1L, "a b"), (2L, "c")), s"clean: $clean")
+    assert(bad.size == 3 && bad.exists(_.contains("not json")), s"bad: $bad")
+    assert(clean.size + bad.size == 5)
+    graft.llm.CacheRegistry.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("parquet chunk-table scan matches the raw pipeline") {
     val img = Files.createTempFile("ev3", ".dd")
     val bytes = new Array[Byte](3 * 4096)
