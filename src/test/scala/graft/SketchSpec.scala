@@ -166,6 +166,22 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out.getDouble(3) - 400.0) < 1e-6, s"std ${out.getDouble(3)}")
   }
 
+  test("hllOverlap union equals the sketch of the concatenated groups (lossless merge)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val a = (1 to 250).map(_ => ("a", s"u${rnd.nextInt(400)}"))
+    val b = (1 to 250).map(_ => ("b", s"v${rnd.nextInt(400)}"))
+    val df = (a ++ b).toDF("grp", "uid")
+    val union = graft.llm.Sketches.hllOverlap(df, "grp", "uid")
+      .collect().head.getDouble(4)
+    // one group holding BOTH datasets must sketch to the same estimate
+    val direct = graft.llm.Sketches.hllDistinct(
+        (a ++ b).map { case (_, u) => ("all", u) }.toDF("grp", "uid"), "grp", "uid")
+      .collect().head.getDouble(1)
+    assert(union == direct, s"register merge lost information: $union != $direct")
+    spark.catalog.clearCache()
+  }
+
   test("hllOverlap: identical groups intersect fully, disjoint groups clamp at zero") {
     import spark.implicits._
     val same = (1 to 300).flatMap(i => Seq(("a", s"u$i"), ("b", s"u$i")))
