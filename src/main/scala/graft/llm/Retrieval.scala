@@ -104,13 +104,55 @@ object Retrieval {
     (tf, dl, stats, termDf)
   }
 
+  /** Source-diversified BM25 top-k: same scoring as [[bm25TopKFor]],
+    * but at most `maxPerSource` results per (query, source) survive
+    * before the global top-k — the search-results-diversity rule that
+    * stops one duplicate-mill source from monopolizing a probe's
+    * slate. One extra id-keyed join (the source lookup) and one extra
+    * bounded window pass.
+    */
+  def bm25DiversifiedFor(df: DataFrame, idCol: String, textCol: String,
+                         srcCol: String, queryTerms: DataFrame, k: Int,
+                         maxPerSource: Int): DataFrame = {
+    require(k > 0 && maxPerSource > 0, "k and maxPerSource must be positive")
+    val (tf, dl, stats, termDf) = tokenIndex(df, idCol, textCol)
+    val queries = queryTerms
+      .select(col("qid").cast("long").as("qid"), col("tok"))
+      .join(termDf, Seq("tok"))
+    val scored = scoreAll(tf, dl, stats, queries)
+      .join(df.select(col(idCol).as("id"), col(srcCol).as("source")), Seq("id"))
+    val perSrc = scored.withColumn("src_rnk",
+        row_number().over(Window.partitionBy(col("qid"), col("source"))
+          .orderBy(col("score_bp").desc, col("id"))))
+      .filter(col("src_rnk") <= maxPerSource)
+    perSrc
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score_bp").desc, col("id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("source"),
+        col("n_terms"), col("score_bp"))
+  }
+
   /** Score + rank: per (query, doc) sum of HALF_UP(idf_bp·tfnorm_bp /
     * 1e4) over a bounded (tok, df_t, qid) query frame (broadcast), then
     * the per-query top-k window.
     */
   private def scoreQueries(tf: DataFrame, dl: DataFrame, stats: DataFrame,
                            queries: DataFrame, k: Int): DataFrame = {
-    val scored = tf
+    val scored = scoreAll(tf, dl, stats, queries)
+    scored
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score_bp").desc, col("id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("n_terms"), col("score_bp"))
+  }
+
+  /** The unranked (qid, id, n_terms, score_bp) scoring core. */
+  private def scoreAll(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                       queries: DataFrame): DataFrame = {
+    tf
       .join(broadcast(queries), Seq("tok"))
       .join(dl, Seq("id"))
       .crossJoin(broadcast(stats))
@@ -124,11 +166,5 @@ object Retrieval {
         "(2 * idf_bp * tfn_bp + 10000) DIV 20000"))
       .groupBy(col("qid"), col("id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib_bp")).as("score_bp"))
-    scored
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("score_bp").desc, col("id"))).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("id"), col("n_terms"), col("score_bp"))
   }
 }

@@ -3546,6 +3546,55 @@ object LlmQueries {
              |             CAST(row_number() OVER (PARTITION BY qid
              |                    ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
              |      FROM sc) r
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+    // ---- Source-diversified retrieval: the q198 probes with at most 2
+    // survivors per (query, source) before the global top-5 — no
+    // duplicate-mill source monopolizes a slate.
+    "q200_bm25_diversified" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq((0L, "table"), (0L, "scan"), (1L, "join"),
+          (1L, "stream")).toDF("qid", "tok")
+        Retrieval.bm25DiversifiedFor(table(s, dir, "documents"), "doc_id", "text",
+            "source", terms, k = 5, maxPerSource = 2)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |      FROM tf GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |              (2000 * CAST(sum(dl) AS BIGINT) + count(*)) // (2 * count(*)) AS avdl_m
+             |       FROM dl),
+             |tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+             |q AS (SELECT CAST(v.qid AS BIGINT) AS qid, v.tok, tdf.df_t
+             |      FROM (VALUES (0, 'table'), (0, 'scan'), (1, 'join'),
+             |                   (1, 'stream')) AS v(qid, tok)
+             |      JOIN tdf USING (tok)),
+             |sc AS (SELECT q.qid, tf.doc_id,
+             |              CAST(count(*) AS BIGINT) AS n_terms,
+             |              CAST(sum(
+             |                (2 * ((20000 * (2 * st.n_docs - 2 * q.df_t + 1) + (2 * q.df_t + 1))
+             |                      // (2 * (2 * q.df_t + 1)))
+             |                   * ((20000 * 44 * st.avdl_m * tf.tf
+             |                       + (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000))
+             |                      // (2 * (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000)))
+             |                 + 10000) // 20000) AS BIGINT) AS score_bp
+             |       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+             |       GROUP BY 1, 2),
+             |ws AS (SELECT sc.qid, sc.doc_id, d.source, sc.n_terms, sc.score_bp,
+             |              row_number() OVER (PARTITION BY sc.qid, d.source
+             |                ORDER BY sc.score_bp DESC, sc.doc_id) AS src_rnk
+             |       FROM sc JOIN documents d USING (doc_id))
+             |SELECT qid, rnk, doc_id, source, n_terms, score_bp
+             |FROM (SELECT qid, doc_id, source, n_terms, score_bp,
+             |             CAST(row_number() OVER (PARTITION BY qid
+             |                    ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
+             |      FROM ws WHERE src_rnk <= 2) r
              |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence

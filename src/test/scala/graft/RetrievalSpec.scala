@@ -130,6 +130,26 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("bm25DiversifiedFor caps survivors per source before the global top-k") {
+    import spark.implicits._
+    // one source with three identical high-scoring docs, another with
+    // one weaker doc: maxPerSource=2 must bump the third clone for the
+    // weaker source's doc
+    val docs = Seq(
+      (1L, "hit hit hit", "mill"), (2L, "hit hit hit", "mill"),
+      (3L, "hit hit hit", "mill"), (4L, "hit other words here", "indie"),
+      (5L, "unrelated text entirely", "indie")
+    ).toDF("doc_id", "text", "source")
+    val terms = Seq((0L, "hit")).toDF("qid", "tok")
+    val got = Retrieval.bm25DiversifiedFor(docs, "doc_id", "text", "source",
+        terms, k = 3, maxPerSource = 2)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got.map(_._2) == Seq(1L, 2L, 4L), s"got $got")
+    assert(got.count(_._3 == "mill") == 2)
+    spark.catalog.clearCache()
+  }
+
   test("graft.Search end-to-end over the testdata corpus") {
     val out = Search.run(spark, "/root/testdata/sf0.001/documents.parquet",
       Seq(Seq("table", "scan"), Seq("zzz_absent")), k = 4)
