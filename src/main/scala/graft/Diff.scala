@@ -42,7 +42,10 @@ object Diff {
     val diff = Dedup.snapshotDiff(a, b, "doc_id", "text")
       .withColumnRenamed("id", "doc_id")
     diff.write.mode("overwrite").parquet(s"$outDir/diff")
-    val summary = diff.groupBy(col("status"))
+    // summarize from the WRITTEN diff — the shuffle-heavy full-outer
+    // join over both snapshots runs once, not once per consumer
+    val summary = spark.read.parquet(s"$outDir/diff")
+      .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("status")
     summary.write.mode("overwrite").parquet(s"$outDir/summary")

@@ -32,7 +32,9 @@ object Search {
     try {
       val out = run(spark, docsPath, queries, k)
       out.write.mode("overwrite").parquet(outDir)
-      out.show(queries.size * k, truncate = 60)
+      // echo from the WRITTEN result — don't re-run the scoring plan
+      spark.read.parquet(outDir).orderBy("qid", "rnk")
+        .show(queries.size * k, truncate = 60)
     } finally {
       CacheRegistry.releaseAll(spark)
       spark.stop()

@@ -427,10 +427,13 @@ object Curation {
     */
   def shardChecksums(df: DataFrame, srcCol: String, idCol: String,
                      tokCol: String, textCol: String, budget: Long): DataFrame =
-    shardAssign(df, srcCol, idCol, tokCol, Seq(textCol), budget)
-      .withColumn("graft_h",
-        conv(substring(md5(coalesce(col(textCol), lit(""))), 1, 12), 16, 10)
-          .cast("long"))
+    // digest BEFORE the window: the prefix-sum exchange then ships ~8
+    // bytes per row, not the document text
+    shardAssign(
+        df.withColumn("graft_h",
+          conv(substring(md5(coalesce(col(textCol), lit(""))), 1, 12), 16, 10)
+            .cast("long")),
+        srcCol, idCol, tokCol, Seq("graft_h"), budget)
       .groupBy(col(srcCol), col("shard_ix"))
       .agg(count(lit(1)).as("n_docs"), sum(col("graft_toks")).as("shard_tokens"),
         sum(col("graft_h")).as("content_sum"))

@@ -76,11 +76,17 @@ object Retrieval {
                   queryTerms: DataFrame, k: Int = 5): DataFrame = {
     require(k > 0, "k must be positive")
     val (tf, dl, stats, termDf) = tokenIndex(df, idCol, textCol)
-    val queries = queryTerms
-      .select(col("qid").cast("long").as("qid"), col("tok"))
-      .join(termDf, Seq("tok"))
-    scoreQueries(tf, dl, stats, queries, k)
+    scoreQueries(tf, dl, stats, resolveTerms(queryTerms, termDf), k)
   }
+
+  /** Normalize caller queries: project, dedup (a repeated (qid, term)
+    * row would silently double that term's contribution), resolve dfs.
+    */
+  private def resolveTerms(queryTerms: DataFrame, termDf: DataFrame): DataFrame =
+    queryTerms
+      .select(col("qid").cast("long").as("qid"), col("tok"))
+      .distinct()
+      .join(termDf, Seq("tok"))
 
   /** The shared corpus passes: the (id, tok, tf) table (persisted — it
     * feeds doc lengths, term dfs, and the scoring join), doc lengths,
@@ -116,10 +122,7 @@ object Retrieval {
                          maxPerSource: Int): DataFrame = {
     require(k > 0 && maxPerSource > 0, "k and maxPerSource must be positive")
     val (tf, dl, stats, termDf) = tokenIndex(df, idCol, textCol)
-    val queries = queryTerms
-      .select(col("qid").cast("long").as("qid"), col("tok"))
-      .join(termDf, Seq("tok"))
-    val scored = scoreAll(tf, dl, stats, queries)
+    val scored = scoreAll(tf, dl, stats, resolveTerms(queryTerms, termDf))
       .join(df.select(col(idCol).as("id"), col(srcCol).as("source")), Seq("id"))
     val perSrc = scored.withColumn("src_rnk",
         row_number().over(Window.partitionBy(col("qid"), col("source"))

@@ -130,6 +130,20 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("bm25TopKFor dedups repeated query terms instead of double-counting them") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val once = Seq((0L, "a"), (0L, "b")).toDF("qid", "tok")
+    val dup = Seq((0L, "a"), (0L, "a"), (0L, "b")).toDF("qid", "tok")
+    def score(t: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopKFor(docs, "doc_id", "text", t, k = 5)
+        .orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(score(dup) == score(once))
+    spark.catalog.clearCache()
+  }
+
   test("bm25DiversifiedFor caps survivors per source before the global top-k") {
     import spark.implicits._
     // one source with three identical high-scoring docs, another with
