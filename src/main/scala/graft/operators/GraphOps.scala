@@ -193,20 +193,32 @@ object GraphOps {
     var labels = nodes.select(col("graft_n"), col("graft_n").as("graft_l"))
       .localCheckpoint()
     var prevCkpt = labels
-    for (i <- 1 to iters) {
+    var converged = false
+    for (i <- 1 to iters if !converged) {
       val scores = sym.join(labels, sym("graft_u") === labels("graft_n"))
         .groupBy(col("graft_v"), col("graft_l"))
         .agg(sum(col("graft_w")).as("graft_s"))
       val best = scores.groupBy(col("graft_v")).agg(max(col("graft_s")).as("graft_ms"))
-      labels = scores.join(best, Seq("graft_v"))
+      val next = scores.join(best, Seq("graft_v"))
         .filter(col("graft_s") === col("graft_ms"))
         .groupBy(col("graft_v")).agg(min(col("graft_l")).as("graft_l"))
         .select(col("graft_v").as("graft_n"), col("graft_l"))
       if (i % 3 == 0 || i == iters) {
-        labels = labels.localCheckpoint()
+        val ckpt = next.localCheckpoint()
+        // convergence probe on the already-materialized checkpoint:
+        // synchronous LPA is idempotent at a fixed point, so stopping
+        // when a round changes nothing returns EXACTLY what running
+        // the remaining rounds would — pure wasted work avoided. The
+        // probe is a bounded limit(1) anti-join count per checkpoint
+        // cadence, not per round.
+        converged = ckpt
+          .join(labels.withColumnRenamed("graft_l", "graft_prev"), Seq("graft_n"))
+          .filter(col("graft_l") =!= col("graft_prev"))
+          .limit(1).count() == 0L
         dropCheckpoint(prevCkpt)
-        prevCkpt = labels
-      }
+        labels = ckpt
+        prevCkpt = ckpt
+      } else labels = next
     }
     labels.select(col("graft_n").as("node"), col("graft_l").as("label"))
   }
@@ -243,16 +255,21 @@ object GraphOps {
         case (a, b) => utf8Less(a.toString, b.toString)
       }
     var label: Map[Any, Any] = nodes.iterator.map(n => (n: Any) -> (n: Any)).toMap
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val scores = scala.collection.mutable.HashMap.empty[(Any, Any), Long]
       edges.foreach { case (u, v, w) =>
         val k = ((v: Any), label(u))
         scores(k) = scores.getOrElse(k, 0L) + w
       }
-      label = scores.toSeq.groupBy(_._1._1).map { case (v, ls) =>
+      val next: Map[Any, Any] = scores.toSeq.groupBy(_._1._1).map { case (v, ls) =>
         val ms = ls.map(_._2).max
         v -> ls.filter(_._2 == ms).map(_._1._2).min
       }
+      converged = next == label // fixed point: remaining rounds are no-ops
+      label = next
+      it += 1
     }
     val nodeType = sym.schema("graft_u").dataType
     val schema = StructType(Seq(

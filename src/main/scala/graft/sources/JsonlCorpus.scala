@@ -52,4 +52,22 @@ object JsonlCorpus {
   def quarantine(parsed: DataFrame): DataFrame =
     parsed.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
+
+  /** STREAMING ingest of a JSONL drop directory: every arriving line
+    * tagged `clean` or `quarantined` in one output stream (route with
+    * a filter). A single tagged stream instead of two helpers because
+    * a streaming scan cannot be cached, and Spark refuses raw-file
+    * queries whose referenced columns are ONLY the corrupt column
+    * (SPARK-21610) — the full-width tag projection sidesteps both.
+    * File-source semantics: new files under `path` are picked up per
+    * micro-batch, which is exactly how crawl drops land.
+    */
+  def readStreamTagged(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(Schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .withColumn("ingest_status",
+        when(col(CorruptCol).isNull, lit("clean")).otherwise(lit("quarantined")))
 }

@@ -86,6 +86,22 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shards.agg(sum("n_docs")).head().getLong(0) == nDocs)
   }
 
+  test("jsonl import main splits a drop into documents and quarantine parquet") {
+    val dir = Files.createTempDirectory("graft-import")
+    Files.write(dir.resolve("drop.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "a b", "lang": "en", "source": "s1"}""",
+      """{"doc_id": 2, "text": "c", "lang": "de", "source": "s2"}""",
+      """garbage line"""))
+    val out = Files.createTempDirectory("graft-import-out").toString
+    val (nClean, nBad) = ImportJsonl.run(spark, dir.toString, out)
+    assert((nClean, nBad) == ((2L, 1L)))
+    assert(spark.read.parquet(s"$out/documents")
+      .columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    assert(spark.read.parquet(s"$out/quarantine")
+      .collect().map(_.getString(0)).toSeq == Seq("garbage line"))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("diff main classifies a derived snapshot and writes both tables") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val out = Files.createTempDirectory("graft-diff").toString

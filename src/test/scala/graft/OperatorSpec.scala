@@ -426,6 +426,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("labelPropagation early-stops at a fixed point without changing the answer") {
+    import spark.implicits._
+    // two disjoint triangles converge in ~2 rounds; asking for 30
+    // rounds must return the same labels as asking for 6 (fixed-point
+    // idempotence), with the convergence probe cutting the extra work
+    val edges = Seq(("a", "b", 5L), ("b", "c", 5L), ("c", "a", 5L),
+      ("x", "y", 5L), ("y", "z", 5L), ("z", "x", 5L)).toDF("s", "d", "w")
+    def run(it: Int, cutoff: Long) =
+      graft.operators.GraphOps.labelPropagation(edges, "s", "d", "w", iters = it,
+          smallGraphThreshold = cutoff)
+        .orderBy("node").as[(String, String)].collect().toSeq
+    val short = run(6, 0L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+    val long = run(30, 0L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+    assert(short == long, s"fixed point drifted:\n$short\n$long")
+    assert(run(30, 1000L) == long) // driver path agrees
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("labelPropagation tie-breaks in UTF-8 byte order on both paths") {
     import spark.implicits._
     // U+FFFD (UTF-8: EF BF BD) < U+1F600 (F0 9F 98 80) in byte order,

@@ -284,6 +284,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming JSONL ingest tags arriving lines clean/quarantined per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sjsonl")
+    java.nio.file.Files.write(dir.resolve("drop1.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "a", "lang": "en", "source": "s"}""",
+        """{"broken"""))
+    val q = graft.sources.JsonlCorpus.readStreamTagged(spark, dir.toString)
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second drop landing later is picked up incrementally
+      java.nio.file.Files.write(dir.resolve("drop2.jsonl"),
+        java.util.Arrays.asList(
+          """{"doc_id": 2, "text": "b", "lang": "de", "source": "s"}"""))
+      q.processAllAvailable()
+      val got = spark.table("jsonl_stream")
+        .collect().map(r => (r.getAs[Any]("doc_id"), r.getAs[String]("ingest_status")))
+        .toSet
+      assert(got == Set((1L, "clean"), (2L, "clean"), (null, "quarantined")),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("dedupAgainstReference drops reference-known content per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
