@@ -79,6 +79,55 @@ object Retrieval {
     scoreQueries(tf, dl, stats, resolveTerms(queryTerms, termDf), k)
   }
 
+  /** Two-stage retrieval with pseudo-relevance feedback (Rocchio):
+    * BM25 pulls `kCand` sparse candidates per query, the top `kSeed`
+    * of them define the query's embedding centroid (per-dimension
+    * signed-HALF_UP mean over milli-quantized vectors), and all
+    * candidates rerank by their exact integer dot product with that
+    * centroid — the classic retrieve-then-rerank pipeline, fully
+    * deterministic. Candidates without an embedding row are dropped
+    * (a failed-embed doc can't be scored densely).
+    *
+    * Everything after the BM25 stage runs on per-query bounded frames
+    * (≤ kCand rows each): the candidate-embedding join is id-keyed,
+    * the centroid is |queries|·d rows and broadcasts, the dot is an
+    * in-row zip_with.
+    *
+    * Output: (qid, prf_rnk, id, bm25_rnk, score_bp, dot).
+    */
+  def bm25PrfRerank(docs: DataFrame, embeds: DataFrame, idCol: String,
+                    textCol: String, vecIdCol: String, vecCol: String,
+                    queryTerms: DataFrame, kCand: Int = 20, kSeed: Int = 3,
+                    k: Int = 10): DataFrame = {
+    require(kSeed >= 1 && kSeed <= kCand && k >= 1,
+      s"need 1 <= kSeed <= kCand and k >= 1, got kSeed=$kSeed kCand=$kCand k=$k")
+    val cands = bm25TopKFor(docs, idCol, textCol, queryTerms, kCand)
+    val qv = embeds.select(col(vecIdCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("qv"))
+    // bounded (|queries|·kCand rows) but feeds two branches
+    val withVec = CacheRegistry.persist(cands.join(qv, Seq("id")))
+    val cen = withVec.filter(col("rnk") <= kSeed)
+      .select(col("qid"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy(col("qid"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("qid"), col("dim"),
+        expr("CASE WHEN s >= 0 THEN (2 * s + n) DIV (2 * n) " +
+          "ELSE -((2 * (-s) + n) DIV (2 * n)) END").as("c"))
+      .groupBy(col("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+        .as("cv"))
+    withVec.join(broadcast(cen), Seq("qid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("prf_rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("id")))
+        .cast("long"))
+      .filter(col("prf_rnk") <= k)
+      .select(col("qid"), col("prf_rnk"), col("id"), col("rnk").as("bm25_rnk"),
+        col("score_bp"), col("dot"))
+  }
+
   /** Normalize caller queries: project, dedup (a repeated (qid, term)
     * row would silently double that term's contribution), resolve dfs.
     */

@@ -3595,7 +3595,80 @@ object LlmQueries {
              |             CAST(row_number() OVER (PARTITION BY qid
              |                    ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
              |      FROM ws WHERE src_rnk <= 2) r
-             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)))
+             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+
+    // ---- Retrieve-then-rerank with pseudo-relevance feedback: BM25
+    // top-20 candidates, Rocchio centroid of the top-3, exact integer
+    // dot rerank to a top-10 — the two-stage pipeline, end to end.
+    "q201_bm25_prf_rerank" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq((0L, "table"), (0L, "scan"), (1L, "join"),
+          (1L, "stream")).toDF("qid", "tok")
+        Retrieval.bm25PrfRerank(table(s, dir, "documents"),
+            table(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
+            terms, kCand = 20, kSeed = 3, k = 10)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("qid", "prf_rnk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |      FROM tf GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |              (2000 * CAST(sum(dl) AS BIGINT) + count(*)) // (2 * count(*)) AS avdl_m
+             |       FROM dl),
+             |tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+             |q AS (SELECT CAST(v.qid AS BIGINT) AS qid, v.tok, tdf.df_t
+             |      FROM (VALUES (0, 'table'), (0, 'scan'), (1, 'join'),
+             |                   (1, 'stream')) AS v(qid, tok)
+             |      JOIN tdf USING (tok)),
+             |sc AS (SELECT q.qid, tf.doc_id,
+             |              CAST(count(*) AS BIGINT) AS n_terms,
+             |              CAST(sum(
+             |                (2 * ((20000 * (2 * st.n_docs - 2 * q.df_t + 1) + (2 * q.df_t + 1))
+             |                      // (2 * (2 * q.df_t + 1)))
+             |                   * ((20000 * 44 * st.avdl_m * tf.tf
+             |                       + (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000))
+             |                      // (2 * (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000)))
+             |                 + 10000) // 20000) AS BIGINT) AS score_bp
+             |       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+             |       GROUP BY 1, 2),
+             |cand AS MATERIALIZED (
+             |       SELECT qid, doc_id, score_bp,
+             |              CAST(row_number() OVER (PARTITION BY qid
+             |                     ORDER BY score_bp DESC, doc_id) AS BIGINT) AS bm25_rnk
+             |       FROM sc QUALIFY bm25_rnk <= 20),
+             |qv AS (SELECT vec_id AS doc_id,
+             |              list_transform(embedding,
+             |                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             |       FROM embeddings),
+             |cv AS MATERIALIZED (SELECT cand.qid, cand.doc_id, cand.score_bp,
+             |              cand.bm25_rnk, qv.qv
+             |       FROM cand JOIN qv USING (doc_id)),
+             |ex AS (SELECT qid, doc_id, bm25_rnk, i, qv[CAST(i AS INT)] AS qval
+             |       FROM (SELECT qid, doc_id, bm25_rnk, qv,
+             |                    unnest(range(1, len(qv) + 1)) AS i
+             |             FROM cv)),
+             |cs AS (SELECT qid, i, CAST(sum(qval) AS BIGINT) AS s,
+             |              CAST(count(*) AS BIGINT) AS n
+             |       FROM ex WHERE bm25_rnk <= 3 GROUP BY 1, 2),
+             |cen AS (SELECT qid, i,
+             |               CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+             |                    ELSE -((2 * (-s) + n) // (2 * n)) END AS c
+             |        FROM cs),
+             |d AS (SELECT ex.qid, ex.doc_id, CAST(sum(ex.qval * cen.c) AS BIGINT) AS dot
+             |      FROM ex JOIN cen ON cen.qid = ex.qid AND cen.i = ex.i
+             |      GROUP BY 1, 2)
+             |SELECT cv.qid, r.prf_rnk, cv.doc_id, cv.bm25_rnk, cv.score_bp, r.dot
+             |FROM (SELECT qid, doc_id, dot,
+             |             CAST(row_number() OVER (PARTITION BY qid
+             |                    ORDER BY dot DESC, doc_id) AS BIGINT) AS prf_rnk
+             |      FROM d) r
+             |JOIN cv ON cv.qid = r.qid AND cv.doc_id = r.doc_id
+             |WHERE r.prf_rnk <= 10 ORDER BY cv.qid, r.prf_rnk""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

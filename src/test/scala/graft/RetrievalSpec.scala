@@ -164,6 +164,28 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("bm25PrfRerank reorders candidates by the seed-centroid dot product") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hit hit hit"), (2L, "hit hit"), (3L, "hit"), (4L, "hit x")
+    ).toDF("doc_id", "text")
+    // seeds (bm25 top-3) are 1,2,3; centroid = mean(1000,1000,-1000) = 333
+    // on dim 0 -> doc 4 (orthogonal, dot 0) outranks doc 3 (dot -333000)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val terms = Seq((0L, "hit")).toDF("qid", "tok")
+    val got = Retrieval.bm25PrfRerank(docs, vecs, "doc_id", "text",
+        "vec_id", "embedding", terms, kCand = 4, kSeed = 3, k = 4)
+      .orderBy("prf_rnk")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 333000L), (2L, 2L, 333000L), (3L, 4L, 0L), (4L, 3L, -333000L)),
+      s"got $got")
+    spark.catalog.clearCache()
+  }
+
   test("graft.Search end-to-end over the testdata corpus") {
     val out = Search.run(spark, "/root/testdata/sf0.001/documents.parquet",
       Seq(Seq("table", "scan"), Seq("zzz_absent")), k = 4)
