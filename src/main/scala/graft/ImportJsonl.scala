@@ -44,7 +44,8 @@ object ImportJsonl {
     clean.write.mode("overwrite").parquet(s"$outDir/documents")
     val bad = JsonlCorpus.quarantine(parsed)
     bad.write.mode("overwrite").parquet(s"$outDir/quarantine")
-    (spark.read.parquet(s"$outDir/documents").count(),
-      spark.read.parquet(s"$outDir/quarantine").count())
+    // count from the persisted parse (materialized by the writes), not
+    // by re-scanning the freshly written parquet
+    (clean.count(), bad.count())
   }
 }

@@ -117,11 +117,19 @@ object Retrieval {
       .groupBy(col("qid"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
         .as("cv"))
-    withVec.join(broadcast(cen), Seq("qid"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+    // left join + coalesce fallback: a query whose every seed lacks an
+    // embedding row has no centroid — its candidates keep their BM25
+    // order (dot stays NULL in the output) instead of vanishing.
+    // coalesce inside the zip_with makes ragged vector lengths
+    // contribute 0 on the non-overlapping dims — the same partial-
+    // overlap sum the per-dimension oracle join computes.
+    withVec.join(broadcast(cen), Seq("qid"), "left")
+      .withColumn("dot", when(col("cv").isNotNull, expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> coalesce(a, 0L) * coalesce(b, 0L)), " +
+          "0L, (acc, x) -> acc + x)")))
       .withColumn("prf_rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("id")))
+        Window.partitionBy(col("qid"))
+          .orderBy(coalesce(col("dot"), -col("rnk")).desc, col("id")))
         .cast("long"))
       .filter(col("prf_rnk") <= k)
       .select(col("qid"), col("prf_rnk"), col("id"), col("rnk").as("bm25_rnk"),

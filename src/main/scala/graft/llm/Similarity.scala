@@ -361,7 +361,11 @@ object Similarity {
     * mean), and emit the `k` vectors FARTHEST from their group centroid
     * by exact squared L2 — the mislabeled/garbage candidates a curation
     * pass quarantines for review before they poison a contrastive
-    * objective.
+    * objective. Precondition: vectors within a group share one
+    * dimensionality — a ragged vector's distance to the centroid is
+    * NULL (zip_with pads with null) and ranks last; filter such rows
+    * upstream (they are exactly what [[jlReduce]]'s zero-vector guard
+    * catches at the projection stage).
     *
     * Scale shape: one (group, dim) shuffle for the centroid sums (the
     * honest cost of an exact mean), then the bounded |groups|·d

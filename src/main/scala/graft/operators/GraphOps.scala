@@ -190,35 +190,44 @@ object GraphOps {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
-    var labels = nodes.select(col("graft_n"), col("graft_n").as("graft_l"))
-      .localCheckpoint()
-    var prevCkpt = labels
-    var converged = false
-    for (i <- 1 to iters if !converged) {
-      val scores = sym.join(labels, sym("graft_u") === labels("graft_n"))
+    def round(cur: DataFrame): DataFrame = {
+      val scores = sym.join(cur, sym("graft_u") === cur("graft_n"))
         .groupBy(col("graft_v"), col("graft_l"))
         .agg(sum(col("graft_w")).as("graft_s"))
       val best = scores.groupBy(col("graft_v")).agg(max(col("graft_s")).as("graft_ms"))
-      val next = scores.join(best, Seq("graft_v"))
+      scores.join(best, Seq("graft_v"))
         .filter(col("graft_s") === col("graft_ms"))
         .groupBy(col("graft_v")).agg(min(col("graft_l")).as("graft_l"))
         .select(col("graft_v").as("graft_n"), col("graft_l"))
-      if (i % 3 == 0 || i == iters) {
-        val ckpt = next.localCheckpoint()
-        // convergence probe on the already-materialized checkpoint:
-        // synchronous LPA is idempotent at a fixed point, so stopping
-        // when a round changes nothing returns EXACTLY what running
-        // the remaining rounds would — pure wasted work avoided. The
-        // probe is a bounded limit(1) anti-join count per checkpoint
-        // cadence, not per round.
-        converged = ckpt
-          .join(labels.withColumnRenamed("graft_l", "graft_prev"), Seq("graft_n"))
+    }
+    var labels = nodes.select(col("graft_n"), col("graft_n").as("graft_l"))
+      .localCheckpoint()
+    var done = 0
+    var converged = false
+    while (done < iters && !converged) {
+      // up to 3 lazy rounds per checkpoint (bounds plan growth at 2³)
+      val block = math.min(3, iters - done)
+      var cur = labels
+      for (_ <- 1 to block) cur = round(cur)
+      val ckpt = cur.localCheckpoint()
+      dropCheckpoint(labels)
+      done += block
+      if (done < iters) {
+        // Convergence probe between CONSECUTIVE MATERIALIZED states:
+        // run one more round, checkpoint it, compare with a bounded
+        // limit(1) count. Every round executes exactly once — the
+        // probe round IS the next block's first round — and at a
+        // fixed point synchronous LPA is idempotent, so stopping
+        // returns exactly what the remaining rounds would.
+        val nxt = round(ckpt).localCheckpoint()
+        converged = nxt
+          .join(ckpt.withColumnRenamed("graft_l", "graft_prev"), Seq("graft_n"))
           .filter(col("graft_l") =!= col("graft_prev"))
           .limit(1).count() == 0L
-        dropCheckpoint(prevCkpt)
-        labels = ckpt
-        prevCkpt = ckpt
-      } else labels = next
+        dropCheckpoint(ckpt)
+        labels = nxt
+        done += 1
+      } else labels = ckpt
     }
     labels.select(col("graft_n").as("node"), col("graft_l").as("label"))
   }

@@ -186,6 +186,25 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("bm25PrfRerank falls back to BM25 order when no seed has an embedding") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hit hit hit hit"), (2L, "hit hit hit"),
+      (3L, "hit hit"), (4L, "hit")
+    ).toDF("doc_id", "text")
+    // seeds (ranks 1,2) have NO embedding rows; candidates 3,4 do
+    val vecs = Seq((3L, Array(1.0f)), (4L, Array(1.0f))).toDF("vec_id", "embedding")
+    val terms = Seq((0L, "hit")).toDF("qid", "tok")
+    val got = Retrieval.bm25PrfRerank(docs, vecs, "doc_id", "text",
+        "vec_id", "embedding", terms, kCand = 4, kSeed = 2, k = 4)
+      .orderBy("prf_rnk")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.isNullAt(5))).toSeq
+    // query survives (not dropped), embedded candidates keep BM25 order,
+    // dot is NULL (no centroid existed)
+    assert(got == Seq((1L, 3L, true), (2L, 4L, true)), s"got $got")
+    spark.catalog.clearCache()
+  }
+
   test("graft.Search end-to-end over the testdata corpus") {
     val out = Search.run(spark, "/root/testdata/sf0.001/documents.parquet",
       Seq(Seq("table", "scan"), Seq("zzz_absent")), k = 4)
