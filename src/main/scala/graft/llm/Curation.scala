@@ -296,7 +296,14 @@ object Curation {
     * uniform; 1/2 is the standard compromise, and the ONE temperature
     * whose weight is integer-exact: isqrt needs no libm pow). The
     * token `budget` is allocated by largest remainder, so planned
-    * token counts are integers summing EXACTLY to the budget.
+    * token counts are integers summing EXACTLY to the budget —
+    * provided at least one source has a positive token count. In the
+    * degenerate all-zero-weight corpus (every source empty; NULL token
+    * counts coalesce to 0) there is nothing to weight by: bases are 0
+    * and the remainder pass hands one token to each of the first
+    * `budget` sources in name order, so the plan sums to
+    * min(|sources|, budget) — a deliberate no-op plan for a no-data
+    * corpus rather than an arbitrary uniform split.
     *
     * One corpus aggregation to per-source token counts (persisted —
     * it feeds the weight total, the bases, and the final select);
@@ -313,7 +320,7 @@ object Curation {
                          budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val n = CacheRegistry.persist(df.groupBy(col(srcCol))
-      .agg(sum(col(tokCol)).as("n_tokens"))
+      .agg(coalesce(sum(col(tokCol)), lit(0L)).as("n_tokens"))
       .withColumn("weight", expr(
         "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)")))
     val tot = n.agg(sum(col("weight")).as("graft_tw"))

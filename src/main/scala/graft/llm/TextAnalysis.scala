@@ -593,7 +593,12 @@ object TextAnalysis {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((a, b), n) = counts.minBy { case ((pa, pb), pn) => (-pn, pa, pb) }
+        // tie-break must match the distributed path's
+        // orderBy(graft_a, graft_b) — Spark's unsigned UTF-8 byte order,
+        // not Java String order (graft.core.Utf8Order; the LPA hazard)
+        implicit val utf8: Ordering[String] = graft.core.Utf8Order.stringOrdering
+        val ((a, b), n) = counts.minBy { case ((pa, pb), pn) => (-pn, pa, pb) }(
+          Ordering.Tuple3(implicitly[Ordering[Long]], utf8, utf8))
         learned += ((step.toLong, a, b, a + b, n))
         words = words.map { case (syms, f) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -242,20 +242,8 @@ object GraphOps {
     val edges = sym.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
     val nodes = edges.map(_._1).distinct
     // strings must compare the way Spark's min() does — unsigned UTF-8
-    // byte order — not Java's UTF-16 code-unit order, which disagrees
-    // for BMP chars in [U+E000, U+FFFF] vs supplementary characters
-    // and would break the driver==distributed determinism contract
-    def utf8Less(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < x.length && i < y.length) {
-        val d = (x(i) & 0xff) - (y(i) & 0xff)
-        if (d != 0) return d < 0
-        i += 1
-      }
-      x.length < y.length
-    }
+    // byte order, not Java's UTF-16 code-unit order (graft.core.Utf8Order)
+    def utf8Less(a: String, b: String): Boolean = graft.core.Utf8Order.less(a, b)
     implicit val anyOrd: Ordering[Any] =
       Ordering.fromLessThan[Any] {
         case (a: String, b: String) => utf8Less(a, b)

@@ -21,6 +21,37 @@ object BridgeQueries {
 
   private val Stride = 4096L
 
+  /** Deterministic cached jpeg/png-slotted raw image for the DSv2
+    * pushdown queries (q150/q185): one sample per doc_id slot, even
+    * slots jpeg, odd slots png, zero-padded to `stride`. Written once
+    * per (nDocs, stride) to a deterministic tmpdir path and reused —
+    * repeated bench/verify passes must not accumulate temp files. The
+    * size check guards against a partially-written file from an
+    * interrupted earlier run; bump the version on any layout change.
+    */
+  private[graft] def plantedImage(nDocs: Long, stride: Int): java.io.File = {
+    val img = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-img-v1-$nDocs-$stride.dd")
+    if (!(img.isFile && img.length() == nDocs * stride)) {
+      val jpeg = graft.fixtures.FixtureBytes.jpeg()
+      val png = graft.fixtures.FixtureBytes.png()
+      val tmp = new java.io.File(img.getParentFile, img.getName + ".tmp")
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(tmp))
+      var slot = 0L
+      while (slot < nDocs) {
+        val sample = if (slot % 2 == 0) jpeg else png
+        out.write(sample)
+        out.write(new Array[Byte](stride - sample.length))
+        slot += 1
+      }
+      out.close()
+      java.nio.file.Files.move(tmp.toPath, img.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    img
+  }
+
   private def ascii(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
 
@@ -135,26 +166,14 @@ object BridgeQueries {
     // `mode=hits` table; the `file_type = 'jpeg'` predicate pushes into
     // Aho–Corasick construction (only jpeg patterns compile), and the
     // surviving offsets must be exactly the even slots. The image is a
-    // temp file streamed to disk (harness scaffolding, like q149's
-    // payload dir), never held in driver memory.
+    // deterministic cached fixture (like q199's jsonl drop) so repeated
+    // bench passes reuse one file instead of accumulating temp images.
     "q150_dsv2_hits_pushdown" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val nDocs = Registry.table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
         val stride = 1024
-        val jpeg = graft.fixtures.FixtureBytes.jpeg()
-        val png = graft.fixtures.FixtureBytes.png()
-        val img = java.nio.file.Files.createTempFile("graft-hits", ".dd")
-        val out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(img))
-        var slot = 0L
-        while (slot < nDocs) {
-          val sample = if (slot % 2 == 0) jpeg else png
-          out.write(sample)
-          out.write(new Array[Byte](stride - sample.length))
-          slot += 1
-        }
-        out.close()
+        val img = plantedImage(nDocs, stride)
         s.read.format("graft.sources.EvidenceSource")
           .option("path", img.toString).option("mode", "hits")
           .option("chunkSize", (64 * 1024).toString).option("overlap", "128")
@@ -177,19 +196,7 @@ object BridgeQueries {
         import s.implicits._
         val nDocs = Registry.table(s, dir, "documents").agg(count(lit(1))).as[Long].head()
         val stride = 1024
-        val jpeg = graft.fixtures.FixtureBytes.jpeg()
-        val png = graft.fixtures.FixtureBytes.png()
-        val img = java.nio.file.Files.createTempFile("graft-cnt", ".dd")
-        val out = new java.io.BufferedOutputStream(
-          java.nio.file.Files.newOutputStream(img))
-        var slot = 0L
-        while (slot < nDocs) {
-          val sample = if (slot % 2 == 0) jpeg else png
-          out.write(sample)
-          out.write(new Array[Byte](stride - sample.length))
-          slot += 1
-        }
-        out.close()
+        val img = plantedImage(nDocs, stride)
         s.read.format("graft.sources.EvidenceSource")
           .option("path", img.toString).option("mode", "hits")
           .option("chunkSize", (64 * 1024).toString).option("overlap", "128")

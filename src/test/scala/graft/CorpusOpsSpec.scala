@@ -750,6 +750,29 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("bpeTrain tie-breaks in UTF-8 byte order on both paths") {
+    import spark.implicits._
+    // U+FFFD (UTF-8: EF BF BD) < U+1F600 (F0 9F 98 80) in byte order,
+    // but the emoji's UTF-16 surrogate D83D sorts FIRST in code-unit
+    // order — the LPA hazard replayed on the BPE merge tie-break.
+    // Words "�z" and "😀z" each x1: step-1 pair counts tie at 1,
+    // so the chosen merge is the (a, b)-min pair — (U+FFFD, z) under
+    // UTF-8 order, (😀, z) under a naive Java compare.
+    val rep = "�"
+    val emoji = "😀"
+    val docs = Seq(s"${rep}z ${emoji}z").toDF("text")
+    val driver = TextAnalysis.bpeTrain(docs, "text", merges = 2,
+        smallVocabThreshold = 1000L)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val dist = TextAnalysis.bpeTrain(docs, "text", merges = 2,
+        smallVocabThreshold = 0L)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(driver == dist, s"paths diverged:\ndriver $driver\ndist   $dist")
+    assert(driver.head == ((1L, rep, "z", rep + "z", 1L)),
+      s"step-1 tie must resolve to U+FFFD in UTF-8 order: $driver")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("bpeTrain driver and distributed paths agree on a mixed corpus") {
     import spark.implicits._
     val docs = Seq("hello hello help", "world word hello w", "held hold bold")

@@ -429,6 +429,24 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._5).sum == 33L)
   }
 
+  test("temperatureMixture: all-zero-weight corpus degenerates to the documented no-op plan") {
+    import spark.implicits._
+    // every source empty (incl. a NULL token count, which coalesces to
+    // 0): weights all 0, so the plan sums to min(|sources|, budget) —
+    // one remainder token to each of the first `budget` sources in
+    // name order — not to the budget (the docstring's carve-out)
+    val docs = Seq(("A", Some(0L)), ("B", None), ("C", Some(0L)))
+      .toDF("source", "toks")
+    val got = Curation.temperatureMixture(docs, "source", "toks", budget = 2L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 0L, 0L, 0L, 1L),
+      ("B", 0L, 0L, 0L, 1L),
+      ("C", 0L, 0L, 0L, 0L)), s"got $got")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("shardPlan cuts each source at start offsets and reports fill vs budget") {
     import spark.implicits._
     val docs = Seq(
