@@ -13,14 +13,22 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.Search <documentsParquet> <outDir> <k> <q1> [q2 ...]
   *        (each qN like "spark,table,join")
+  *
+  * A corpus probed more than once should pay the tokenize+shuffle ONCE:
+  *   runMain graft.Search --build-index <documentsParquet> <indexDir> [numBuckets]
+  *   runMain graft.Search --index <indexDir> <outDir> <k> <q1> [q2 ...]
+  * The indexed mode scores from the persisted bucketed postings
+  * (bucket-pruned scan, zero corpus passes) and emits
+  * (qid, rnk, doc_id, n_terms, score_bp) — no text echo, the index
+  * stores postings only.
   * Env:   SPARK_GRAFT_CPUS (default 4)
   */
 object Search {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: Search <documentsParquet> <outDir> <k> <terms,terms,...>+")
-    val (docsPath, outDir, k) = (args(0), args(1), args(2).toInt)
-    val queries = args.drop(3).toSeq.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    require(args.length >= 3,
+      "usage: Search <documentsParquet> <outDir> <k> <terms,terms,...>+\n" +
+      "   or: Search --build-index <documentsParquet> <indexDir> [numBuckets]\n" +
+      "   or: Search --index <indexDir> <outDir> <k> <terms,terms,...>+")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,16 +38,42 @@ object Search {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val out = run(spark, docsPath, queries, k)
-      out.write.mode("overwrite").parquet(outDir)
-      // echo from the WRITTEN result — don't re-run the scoring plan
-      spark.read.parquet(outDir).orderBy("qid", "rnk")
-        .show(queries.size * k, truncate = 60)
+      args(0) match {
+        case "--build-index" =>
+          val numBuckets = if (args.length > 3) args(3).toInt else 32
+          Retrieval.buildIndex(spark.read.parquet(args(1)), "doc_id", "text",
+            args(2), numBuckets)
+          println(s"index written: ${args(2)} ($numBuckets buckets)")
+        case "--index" =>
+          require(args.length >= 5,
+            "usage: Search --index <indexDir> <outDir> <k> <terms,terms,...>+")
+          val (outDir, k) = (args(2), args(3).toInt)
+          val queries = args.drop(4).toSeq.map(parseTerms)
+          val out = Retrieval.bm25TopKIndexed(spark, args(1), queries, k)
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("qid", "rnk")
+          out.write.mode("overwrite").parquet(outDir)
+          spark.read.parquet(outDir).orderBy("qid", "rnk")
+            .show(queries.size * k, truncate = 60)
+        case docsPath =>
+          require(args.length >= 4,
+            "usage: Search <documentsParquet> <outDir> <k> <terms,terms,...>+")
+          val (outDir, k) = (args(1), args(2).toInt)
+          val queries = args.drop(3).toSeq.map(parseTerms)
+          val out = run(spark, docsPath, queries, k)
+          out.write.mode("overwrite").parquet(outDir)
+          // echo from the WRITTEN result — don't re-run the scoring plan
+          spark.read.parquet(outDir).orderBy("qid", "rnk")
+            .show(queries.size * k, truncate = 60)
+      }
     } finally {
       CacheRegistry.releaseAll(spark)
       spark.stop()
     }
   }
+
+  private def parseTerms(q: String): Seq[String] =
+    q.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Runs the retrieval; package-visible for the spec. Returns
     * (qid, rnk, doc_id, n_terms, score_bp, text).

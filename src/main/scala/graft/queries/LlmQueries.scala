@@ -31,6 +31,66 @@ object LlmQueries {
   private def docsTpl(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"), tplCol.as("t"))
 
+  /** The explicit-retrieval probe set shared by q198 (tokenize-per-
+    * call) and q202 (persisted index): two real probes plus one whose
+    * only term is absent from the corpus. qids are positional.
+    */
+  private val ExplicitProbeTerms: Seq[(Long, Seq[String])] = Seq(
+    (0L, Seq("table", "scan")),
+    (1L, Seq("join", "stream")),
+    (2L, Seq("zzz_absent")))
+
+  /** One oracle for both explicit-BM25 paths — the indexed path must be
+    * row-identical to the per-call path by construction.
+    */
+  private val ExplicitBm25Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |          FROM documents),
+      |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+      |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |      FROM tf GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              (2000 * CAST(sum(dl) AS BIGINT) + count(*)) // (2 * count(*)) AS avdl_m
+      |       FROM dl),
+      |tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+      |q AS (SELECT CAST(v.qid AS BIGINT) AS qid, v.tok, tdf.df_t
+      |      FROM (VALUES (0, 'table'), (0, 'scan'), (1, 'join'),
+      |                   (1, 'stream'), (2, 'zzz_absent')) AS v(qid, tok)
+      |      JOIN tdf USING (tok)),
+      |sc AS (SELECT q.qid, tf.doc_id,
+      |              CAST(count(*) AS BIGINT) AS n_terms,
+      |              CAST(sum(
+      |                (2 * ((20000 * (2 * st.n_docs - 2 * q.df_t + 1) + (2 * q.df_t + 1))
+      |                      // (2 * (2 * q.df_t + 1)))
+      |                   * ((20000 * 44 * st.avdl_m * tf.tf
+      |                       + (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000))
+      |                      // (2 * (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000)))
+      |                 + 10000) // 20000) AS BIGINT) AS score_bp
+      |       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+      |       GROUP BY 1, 2)
+      |SELECT qid, rnk, doc_id, n_terms, score_bp
+      |FROM (SELECT qid, doc_id, n_terms, score_bp,
+      |             CAST(row_number() OVER (PARTITION BY qid
+      |                    ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
+      |      FROM sc) r
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** Deterministic per-corpus-size BM25 index dir (the q199 fixture
+    * convention): built once, reused by every later invocation —
+    * including across JVMs, since openIndex re-registers the bucketed
+    * tables from the on-disk manifest.
+    */
+  private def bm25IndexDir(s: SparkSession, dir: String, docs: DataFrame): String = {
+    import s.implicits._
+    val nDocs = docs.agg(count(lit(1))).as[Long].head()
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-bm25idx-v1-$nDocs")
+    if (!Retrieval.indexExists(idx.toString))
+      Retrieval.buildIndex(docs, "doc_id", "text", idx.toString, numBuckets = 8)
+    idx.toString
+  }
+
   /** Deterministic media column: one complete solid-color bitmap per
     * document — PNG for even ids, BMP for odd — with dimensions and RGB
     * planted by arithmetic on doc_id, encoded by ImageIO on the
@@ -3509,44 +3569,32 @@ object LlmQueries {
     "q198_bm25_explicit" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val terms = Seq((0L, "table"), (0L, "scan"), (1L, "join"),
-          (1L, "stream"), (2L, "zzz_absent")).toDF("qid", "tok")
+        val terms = ExplicitProbeTerms.flatMap { case (q, ts) => ts.map((q, _)) }
+          .toDF("qid", "tok")
         Retrieval.bm25TopKFor(table(s, dir, "documents"), "doc_id", "text",
             terms, k = 5)
           .withColumnRenamed("id", "doc_id")
           .orderBy("qid", "rnk")
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-             |          FROM documents),
-             |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-             |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
-             |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-             |      FROM tf GROUP BY 1),
-             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             |              (2000 * CAST(sum(dl) AS BIGINT) + count(*)) // (2 * count(*)) AS avdl_m
-             |       FROM dl),
-             |tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
-             |q AS (SELECT CAST(v.qid AS BIGINT) AS qid, v.tok, tdf.df_t
-             |      FROM (VALUES (0, 'table'), (0, 'scan'), (1, 'join'),
-             |                   (1, 'stream'), (2, 'zzz_absent')) AS v(qid, tok)
-             |      JOIN tdf USING (tok)),
-             |sc AS (SELECT q.qid, tf.doc_id,
-             |              CAST(count(*) AS BIGINT) AS n_terms,
-             |              CAST(sum(
-             |                (2 * ((20000 * (2 * st.n_docs - 2 * q.df_t + 1) + (2 * q.df_t + 1))
-             |                      // (2 * (2 * q.df_t + 1)))
-             |                   * ((20000 * 44 * st.avdl_m * tf.tf
-             |                       + (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000))
-             |                      // (2 * (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000)))
-             |                 + 10000) // 20000) AS BIGINT) AS score_bp
-             |       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
-             |       GROUP BY 1, 2)
-             |SELECT qid, rnk, doc_id, n_terms, score_bp
-             |FROM (SELECT qid, doc_id, n_terms, score_bp,
-             |             CAST(row_number() OVER (PARTITION BY qid
-             |                    ORDER BY score_bp DESC, doc_id) AS BIGINT) AS rnk
-             |      FROM sc) r
-             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin)),
+      Some(ExplicitBm25Sql)),
+
+    // ---- The SAME probes scored from the PERSISTED inverted index
+    // (postings bucketed by tok over BucketedWarehouse, doc length
+    // denormalized in): buildIndex runs once per session/corpus, then
+    // scoring is a bucket-pruned postings scan + broadcast query join
+    // — zero corpus passes, one bounded shuffle. The oracle is
+    // q198's: the indexed path must be row-identical to the
+    // tokenize-per-call path.
+    "q202_bm25_indexed" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val idx = bm25IndexDir(s, dir, docs)
+        Retrieval.bm25TopKIndexed(s, idx,
+            ExplicitProbeTerms.map(_._2), k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("qid", "rnk")
+      },
+      Some(ExplicitBm25Sql)),
 
     // ---- Source-diversified retrieval: the q198 probes with at most 2
     // survivors per (query, source) before the global top-5 — no

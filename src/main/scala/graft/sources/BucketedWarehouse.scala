@@ -48,6 +48,53 @@ object BucketedWarehouse {
       .saveAsTable(name)
   }
 
+  /** [[writeBucketed]], but as an EXTERNAL table at an explicit `path`
+    * — the layout a persisted index directory uses so its data files
+    * outlive the session. The catalog entry (which is what carries the
+    * bucket spec — parquet files alone don't) is session-scoped under
+    * the default in-memory catalog; a later session recovers it with
+    * [[registerExternal]], which re-attaches the same bucket spec to
+    * the same files (bucket ids are encoded in the part-file names, so
+    * the mapping survives).
+    */
+  def writeBucketedPath(df: DataFrame, name: String, path: String,
+                        keyCols: Seq[String], numBuckets: Int): Unit = {
+    require(keyCols.nonEmpty, "at least one bucket column")
+    require(numBuckets > 0, "numBuckets must be positive")
+    val spark = df.sparkSession
+    // a stale catalog entry for `name` may point at another path; the
+    // external data files are replaced by the overwrite-mode write
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val keys = keyCols.map(org.apache.spark.sql.functions.col)
+    df.repartition(numBuckets, keys: _*)
+      .write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(name)
+  }
+
+  /** Re-register an external bucketed table written by
+    * [[writeBucketedPath]] in a NEW session: a `CREATE TABLE ... USING
+    * parquet CLUSTERED BY ... LOCATION` DDL carrying the original
+    * bucket spec. `schemaDdl` is the column list (e.g.
+    * `"tok STRING, id BIGINT"`); it must match the written schema —
+    * the caller persists it alongside the data (manifest file). No-op
+    * when the table already exists in this session's catalog.
+    */
+  def registerExternal(spark: SparkSession, name: String, path: String,
+                       schemaDdl: String, keyCols: Seq[String],
+                       numBuckets: Int): Unit = {
+    require(keyCols.nonEmpty && numBuckets > 0, "bucket spec required")
+    if (!spark.catalog.tableExists(name)) {
+      val keys = keyCols.map(k => s"`$k`").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE `$name` ($schemaDdl) USING parquet
+           |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+  }
+
   /** Equi-join two co-bucketed tables on their bucket key — planned
     * with no exchange when both were written via [[writeBucketed]]
     * with compatible bucket counts.

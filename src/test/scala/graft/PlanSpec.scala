@@ -657,6 +657,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("indexed bm25 scores from a bucket-pruned scan with no corpus pass") {
+    val p = planOf("q202_bm25_indexed")
+    // the postings/terms scans must prune to the buckets holding the
+    // literal query terms — the inverted-index read pattern
+    assert(p.contains("SelectedBucketsCount"),
+      s"indexed scan lost bucket pruning:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query terms must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"indexed bm25 degraded to SMJ:\n$p")
+    // only the matched-postings (qid,id) agg + the per-query rank
+    // window shuffle; NO corpus-sized tokenize/tf/dl/df exchanges
+    assert(hashExchanges(p) <= 2,
+      s"indexed bm25 re-acquired corpus shuffles:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("shard plan is the per-source prefix-sum window plus one partial agg") {
     val p = planOf("q181_shard_plan")
     assert(hashExchanges(p) <= 2, s"shard plan acquired extra shuffles:\n$p")

@@ -216,6 +216,41 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("indexed bm25 matches the per-call path, incl. after catalog re-registration") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val queries = Seq(Seq("table", "scan"), Seq("join", "stream"), Seq("zzz_absent"))
+    val terms = queries.zipWithIndex
+      .flatMap { case (ts, i) => ts.map(t => (i.toLong, t)) }.toDF("qid", "tok")
+    val want = Retrieval.bm25TopKFor(docs, "doc_id", "text", terms, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    graft.llm.CacheRegistry.releaseAll(spark)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    graft.llm.CacheRegistry.releaseAll(spark)
+    def indexed(): Seq[(Long, Long, Long, Long, Long)] =
+      Retrieval.bm25TopKIndexed(spark, idx, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(indexed() == want, "indexed path diverged from per-call path")
+
+    // a fresh session's catalog has no trace of the tables — dropping
+    // them here forces openIndex's registerExternal DDL path, which
+    // must re-attach the bucket spec from the manifest alone
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_idx_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    assert(indexed() == want, "re-registered index diverged")
+
+    // the re-registered scan still prunes buckets on the term filter
+    val p = Retrieval.bm25TopKIndexed(spark, idx, Seq(Seq("table")), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"indexed scan lost bucket pruning:\n$p")
+  }
+
   test("bm25TopK degrades gracefully when the vocabulary is smaller than the query budget") {
     import spark.implicits._
     val docs = Seq(0L -> "p q", 1L -> "p").toDF("doc_id", "text")
