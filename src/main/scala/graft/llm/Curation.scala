@@ -445,6 +445,55 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("graft_toks")).as("shard_tokens"),
         sum(col("graft_h")).as("content_sum"))
 
+  /** PHYSICALLY write the [[shardPlan]] layout: the per-source
+    * budget-cut shard assignment materialized as one parquet file per
+    * shard under `outDir/data/<src>=…/shard_ix=N/`, plus the
+    * [[shardChecksums]] manifest (source, shard_ix, n_docs,
+    * shard_tokens, content_sum) under `outDir/manifest/` — the packed
+    * artifact + integrity record a training job actually consumes.
+    * Returns the manifest as read back from disk.
+    *
+    * Layout contract: rows within a shard are sorted by `idCol`, and
+    * the pre-write repartition on (source, shard_ix) puts each shard
+    * wholly in one task, so each shard directory holds exactly ONE
+    * file with a deterministic byte-for-byte content — a re-run over
+    * the same corpus rewrites identical shards (file NAMES carry a
+    * task uuid; content is what the checksums pin).
+    *
+    * Scale shape: one prefix-sum window per source (the text column
+    * rides through that one exchange — the writer must move the bytes
+    * to their shard exactly once; the md5 is computed BEFORE the
+    * window so the manifest agg ships no text) + one repartition =
+    * the minimum two data movements any physical shard writer pays.
+    * The assignment frame is persisted because it feeds both the data
+    * write and the manifest agg.
+    */
+  def writeShards(df: DataFrame, srcCol: String, idCol: String,
+                  tokCol: String, textCol: String, budget: Long,
+                  outDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val withH = df.withColumn("graft_h",
+      conv(substring(md5(coalesce(col(textCol), lit(""))), 1, 12), 16, 10)
+        .cast("long"))
+    val assigned = CacheRegistry.persist(
+      shardAssign(withH, srcCol, idCol, tokCol, Seq("graft_h", textCol), budget))
+    assigned
+      .select(col(srcCol), col("shard_ix"), col(idCol),
+        col("graft_toks").as("n_tokens"), col(textCol))
+      .repartition(col(srcCol), col("shard_ix"))
+      .sortWithinPartitions(col(srcCol), col("shard_ix"), col(idCol))
+      .write.mode("overwrite").partitionBy(srcCol, "shard_ix")
+      .parquet(s"$outDir/data")
+    assigned
+      .groupBy(col(srcCol), col("shard_ix"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("graft_toks")).as("shard_tokens"),
+        sum(col("graft_h")).as("content_sum"))
+      .repartition(1)
+      .sortWithinPartitions(col(srcCol), col("shard_ix"))
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
+  }
+
   /** Deterministic training-order shuffle key: a 48-bit md5 of
     * (seed, id). Globally ordering by (shuffle_key, id) is a uniform
     * reshuffle of the corpus that any engine reproduces bit-for-bit and

@@ -44,6 +44,38 @@ object SketchQueries {
              |FROM sk JOIN ex ON ex.event_type = sk.event_type
              |ORDER BY sk.event_type""".stripMargin)),
 
+    // ---- Deterministic KLL/MRL quantile sketch over document token
+    // counts. At the test corpus sizes every md5-assigned stream stays
+    // under its level-0 capacity, so the sketch is EXACT and the
+    // oracle is the plain rank lookup — the gate checks the whole
+    // distributed path (stream hashing, per-stream ladders, driver
+    // union, HALF_UP probe arithmetic) in its lossless regime; the
+    // compaction regime is pinned by PropertySpec's rank-error
+    // envelope (it is deliberately not oracle-SQL-expressible).
+    "q203_kll_quantiles" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+        Sketches.kllQuantiles(docs, "doc_id", "toks",
+            Seq(1000L, 2500L, 5000L, 7500L, 9900L), k = 2048, parts = 8)
+          .orderBy("q_bp")
+      },
+      Some("""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+             |          FROM documents),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+             |r AS (SELECT toks, CAST(row_number() OVER (ORDER BY toks) AS BIGINT) AS rk
+             |      FROM d),
+             |p AS (SELECT CAST(unnest([1000, 2500, 5000, 7500, 9900]) AS BIGINT) AS q_bp),
+             |t AS (SELECT p.q_bp,
+             |             greatest(CAST(1 AS BIGINT),
+             |                      (2 * p.q_bp * n.n + 10000) // 20000) AS target,
+             |             n.n AS n
+             |      FROM p CROSS JOIN n)
+             |SELECT t.q_bp, r.toks AS est_value, t.n AS n_rows
+             |FROM t JOIN r ON r.rk = t.target
+             |ORDER BY t.q_bp""".stripMargin)),
+
     // ---- HLL set operations: per event-type pair, the union estimate
     // from per-bucket-max MERGED registers and the inclusion-exclusion
     // intersection — the cross-segment audience-overlap matrix from

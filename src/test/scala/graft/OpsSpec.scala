@@ -529,4 +529,63 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(summary == Map(aName -> 2L, bName -> 1L), s"got $summary")
   }
+
+  test("Shard main writes one file per shard, manifest matches shardChecksums, re-run is byte-identical") {
+    import org.apache.spark.sql.functions._
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val out = tmp()
+    val manifest = Shard.run(spark, docsPath, out, budget = 2000L)
+      .orderBy("source", "shard_ix")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    graft.llm.CacheRegistry.releaseAll(spark)
+    assert(manifest.nonEmpty)
+
+    // manifest must equal the independent shardChecksums computation
+    // (the q194 oracle surface) on the same corpus and budget
+    val docs = spark.read.parquet(docsPath)
+      .select(col("source"), col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val want = graft.llm.Curation
+      .shardChecksums(docs, "source", "doc_id", "toks", "text", 2000L)
+      .orderBy("source", "shard_ix")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(manifest == want, s"manifest diverged from shardChecksums")
+
+    // one data file per shard directory, and the read-back union is the corpus
+    def shardFiles(base: String): Map[String, java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$base/data"))
+        .filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.toString.stripPrefix(base))
+        .map { case (shard, fs) =>
+          assert(fs.size == 1, s"shard $shard has ${fs.size} files")
+          shard -> fs.head
+        }
+    }
+    val files = shardFiles(out)
+    assert(files.size == manifest.size, s"${files.size} shard dirs vs ${manifest.size} manifest rows")
+    val readBack = spark.read.parquet(s"$out/data")
+    assert(readBack.count() == docs.count())
+    assert(readBack.agg(sum(col("n_tokens"))).head.getLong(0) ==
+      manifest.map(_._4).sum)
+
+    // a re-run over the same corpus must rewrite byte-identical shard
+    // content (names carry task uuids; bytes are the contract)
+    def sha(f: java.io.File): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map(b => f"$b%02x").mkString
+    }
+    val out2 = tmp()
+    Shard.run(spark, docsPath, out2, budget = 2000L).count()
+    graft.llm.CacheRegistry.releaseAll(spark)
+    val files2 = shardFiles(out2)
+    assert(files.keySet == files2.keySet)
+    files.foreach { case (shard, f) =>
+      assert(sha(f) == sha(files2(shard)), s"shard $shard bytes drifted on re-run")
+    }
+  }
 }

@@ -563,4 +563,70 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("kllQuantiles is exact while streams fit their level-0 buffers") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val vals = (0L until 200L).map(i => (i, rnd.nextInt(1000000).toLong))
+    val df = vals.toDF("id", "v")
+    val probes = Seq(0L, 2500L, 5000L, 7500L, 10000L)
+    val got = graft.llm.Sketches.kllQuantiles(df, "id", "v", probes, k = 64, parts = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val sorted = vals.map(_._2).sorted
+    val want = probes.map { bp =>
+      val target = math.max(1L, (2L * bp * 200L + 10000L) / 20000L)
+      (bp, sorted((target - 1).toInt), 200L)
+    }
+    assert(got == want, s"small-n sketch must be exact:\ngot  $got\nwant $want")
+  }
+
+  test("kllQuantiles is deterministic under physical re-arrangement") {
+    import spark.implicits._
+    val rnd = new Random(53)
+    val vals = (0L until 5000L).map(i => (i, rnd.nextInt(100000).toLong))
+    val probes = Seq(1000L, 5000L, 9000L)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      graft.llm.Sketches.kllQuantiles(df, "id", "v", probes, k = 32, parts = 8)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val a = run(vals.toDF("id", "v"))
+    // reversed insertion order + different physical partitioning must
+    // not move a single estimate: the sketch is content-addressed
+    val b = run(vals.reverse.toDF("id", "v").repartition(13))
+    assert(a == b, s"sketch depends on physical layout:\n$a\n$b")
+  }
+
+  test("kllQuantiles rank error stays within the MRL envelope on random data") {
+    import spark.implicits._
+    val rnd = new Random(77)
+    for (trial <- 0 until 3) {
+      val n = 20000 + rnd.nextInt(20000)
+      val k = 128
+      val parts = 8
+      val vals = (0L until n.toLong).map(i => (i, rnd.nextInt(1 << 28).toLong))
+      val sorted = vals.map(_._2).sorted
+      val probes = Seq(500L, 2500L, 5000L, 7500L, 9500L)
+      val got = graft.llm.Sketches
+        .kllQuantiles(vals.toDF("id", "v"), "id", "v", probes, k, parts)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got.forall(_._3 == n.toLong), s"trial $trial lost rows: $got")
+      // deterministic-MRL additive rank error ~ levels·n/k; pin 2x
+      // slack so scheduler-independent regressions fail loudly without
+      // flaking on the bias constant
+      val levels = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n.toLong / k))
+      val bound = math.max(1L, 2L * levels * n.toLong / k)
+      got.foreach { case (bp, est, _) =>
+        val target = math.max(1L, (2L * bp * n + 10000L) / 20000L)
+        // rank range of est in the exact sorted data (ties span a range)
+        val lo = sorted.indexWhere(_ >= est) + 1L
+        val hi = sorted.lastIndexWhere(_ <= est) + 1L
+        val err =
+          if (target < lo) lo - target
+          else if (target > hi) target - hi
+          else 0L
+        assert(err <= bound,
+          s"trial $trial probe $bp: est $est rank [$lo,$hi] vs target $target, err $err > bound $bound")
+      }
+      graft.llm.CacheRegistry.releaseAll(spark)
+    }
+  }
 }
