@@ -22,6 +22,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host-speed calibration anchor, FIRST (before any Spark work can
+    // heat the JVM or contend): a fixed single-threaded CPU-bound
+    // kernel — the signature-scan automaton over an in-memory 256 MiB
+    // pseudorandom buffer — whose work is identical every round, so
+    // cross-round per-query ratios can be divided by the calibration
+    // ratio to separate host drift (this machine is shared; scan_only
+    // swung 16.5k→2.3k MiB/s across rounds on identical code) from
+    // real regressions. Best-of-3 after one untimed JIT pass.
+    val calibrationSec = locally {
+      val patterns = EngineConfig.defaultFileTypes
+        .flatMap(ft => ft.headerPatterns.map(_.bytes) ++ ft.footerPatterns.map(_.bytes))
+      val ac = graft.scan.AhoCorasick.build(patterns)
+      val buf = new Array[Byte](256 * 1024 * 1024)
+      var x = 0x9e3779b97f4a7c15L // splitmix64 — deterministic filler
+      var i = 0
+      while (i < buf.length) {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        buf(i) = (z ^ (z >>> 31)).toByte
+        i += 1
+      }
+      var sink = 0L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        ac.scan(buf)((_, _) => sink += 1)
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // JIT
+      val best = Seq(once(), once(), once()).min
+      if (sink == Long.MinValue) println(sink) // keep the loop unelidable
+      best
+    }
+
     // Untimed warm-up (criterion-style): JIT, codegen compiler, parquet
     // reader and shuffle machinery all initialize here instead of inside
     // the first timed query.
@@ -147,7 +182,8 @@ object Bench {
     val results = selected.map { case (name, _) => name -> times(name) }
     if (only.exists(_.nonEmpty)) {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      emit(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      emit(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,""" +
+        s""""calibration_sec":$calibrationSec,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -159,6 +195,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""calibration_sec":$calibrationSec,""" +
       s""""scan_only_mibps":$scanMibps,"scan_only_sec":$scanSec,""" +
       s""""scan_only_samples":$samplesJson,""" +
       s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")

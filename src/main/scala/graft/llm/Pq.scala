@@ -213,4 +213,91 @@ object Pq {
     scored.withColumn("rnk", row_number().over(w).cast("int")).filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_dist"))
   }
+
+  /** Recall-vs-cost sweep over the IVF probe width — `nprobe` is the
+    * first knob every real ANN deployment tunes, and this emits the
+    * table that tuning reads: per nprobe, how many candidates were
+    * scored (the cost) and the mean recall@k against the exact
+    * scaled-BIGINT ground truth (the accuracy). One corpus pass
+    * regardless of |nProbes|: candidates are generated ONCE at the
+    * widest probe with their probe rank attached, and each narrower
+    * setting is a rank filter against the bounded nprobe grid — never
+    * a re-scan (candidates appear once per (query, neighbor): a corpus
+    * vector lives in exactly one list). The exact ground truth is the
+    * eval harness's all-pairs top-k — run it on SAMPLED queries, like
+    * every recall eval.
+    *
+    * Output: (nprobe, n_candidates, n_hits, mean_recall_bp), where
+    * mean_recall_bp = HALF_UP(10⁴ · Σ overlap / (k · |queries|)).
+    */
+  def ivfAdcRecallByNprobe(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame, codebook: DataFrame, queries: DataFrame, k: Int,
+      nProbes: Seq[Int], m: Int = 8, scale: Double = 10000.0): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1) &&
+      nProbes == nProbes.sorted && nProbes.distinct == nProbes,
+      s"nProbes must be a non-empty ascending distinct positive list, got $nProbes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VecFunctions.register(spark)
+    val cents = coarse
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty && cents.length <= (1 << 16),
+      s"coarse quantizer must be bounded, got ${cents.length} entries")
+    val centsFlat = cents.flatMap(_._2)
+    val cids = cents.map(_._1)
+    def cosRank(vecC: Column): Column =
+      call_function("graft_cos_rank", vecC, typedLit(centsFlat), typedLit(cids))
+    val cbFlat = collectCodebook(codebook, idCol, vecCol, m, scale)
+    val maxNp = math.min(nProbes.max, cents.length)
+    val lists = corpus.select(col(idCol).as("neighbor_id"),
+      element_at(cosRank(col(vecCol)), 1).as("cent_id"),
+      codesCol(spark, vecCol, cbFlat, m, scale).as("graft_codes"))
+    val qProbes = queries.select(col(idCol).as("query_id"),
+      posexplode(slice(cosRank(col(vecCol)), 1, maxNp)).as(Seq("graft_pos", "cent_id")),
+      call_function("graft_pq_dt",
+        scaledVec(spark, vecCol, scale), typedLit(cbFlat), lit(m)).as("graft_dt"))
+    val adc = call_function("graft_adc", col("graft_dt"), col("graft_codes"), lit(m))
+    val grid = nProbes.map(_.toLong).toDF("nprobe")
+    // bounded (candidates × |grid|), feeds the cost count AND the rank
+    // window — persist so the probe join runs once
+    val cand = CacheRegistry.persist(
+      broadcast(qProbes).join(lists, Seq("cent_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), (col("graft_pos") + 1).as("probe_rank"),
+          col("neighbor_id"), adc.as("adc_dist"))
+        .join(broadcast(grid), col("probe_rank") <= col("nprobe")))
+    val stats = cand.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val wNp = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val topk = cand.withColumn("rnk", row_number().over(wNp))
+      .filter(col("rnk") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+    val qx = broadcast(queries.select(col(idCol).as("query_id"),
+      scaledVec(spark, vecCol, scale).as("qv")))
+    val cx = corpus.select(col(idCol).as("neighbor_id"),
+      scaledVec(spark, vecCol, scale).as("nv"))
+    val wEx = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    val exact = qx.join(cx, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("graft_sqdist", col("qv"), col("nv")).as("d2"))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact is ≤ k·|queries| rows and the sweep aggregates are ≤
+    // |nProbes| rows — all provably bounded, so broadcast them rather
+    // than letting the pre-AQE plan stage sort-merge joins
+    val hits = topk.join(broadcast(exact), Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val nq = queries.agg(count(lit(1)).as("graft_nq"))
+    grid.crossJoin(broadcast(nq))
+      .join(broadcast(stats), Seq("nprobe"), "left")
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(20000 * coalesce(n_hits, 0L) + $k * graft_nq) DIV (2 * $k * graft_nq)")
+          .as("mean_recall_bp"))
+  }
 }

@@ -85,8 +85,13 @@ object Retrieval {
     * signed-HALF_UP mean over milli-quantized vectors), and all
     * candidates rerank by their exact integer dot product with that
     * centroid — the classic retrieve-then-rerank pipeline, fully
-    * deterministic. Candidates without an embedding row are dropped
-    * (a failed-embed doc can't be scored densely).
+    * deterministic. Candidates without an embedding row SURVIVE with a
+    * NULL dot, ranked after every densely-scored candidate in their
+    * BM25 order (a failed-embed doc can't be scored densely, but the
+    * sparse stage already judged it relevant — dropping it would make
+    * the rerank lossy exactly for the docs most likely to be broken
+    * and worth inspecting). Missing-embedding SEEDS contribute nothing
+    * to the centroid.
     *
     * Everything after the BM25 stage runs on per-query bounded frames
     * (≤ kCand rows each): the candidate-embedding join is id-keyed,
@@ -105,8 +110,10 @@ object Retrieval {
     val qv = embeds.select(col(vecIdCol).cast("long").as("id"),
       expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
         .as("qv"))
-    // bounded (|queries|·kCand rows) but feeds two branches
-    val withVec = CacheRegistry.persist(cands.join(qv, Seq("id")))
+    // bounded (|queries|·kCand rows) but feeds two branches; LEFT join:
+    // a candidate with no embedding row keeps its slot (qv NULL — the
+    // centroid posexplode skips it, the zip_with dot nulls out)
+    val withVec = CacheRegistry.persist(cands.join(qv, Seq("id"), "left"))
     val cen = withVec.filter(col("rnk") <= kSeed)
       .select(col("qid"), posexplode(col("qv")).as(Seq("dim", "q")))
       .groupBy(col("qid"), col("dim"))
@@ -123,13 +130,19 @@ object Retrieval {
     // coalesce inside the zip_with makes ragged vector lengths
     // contribute 0 on the non-overlapping dims — the same partial-
     // overlap sum the per-dimension oracle join computes.
+    // rank order: densely-scored candidates first (dot desc), then the
+    // NULL-dot tail (no centroid, or no embedding row) in BM25 order.
+    // The scored-first flag is explicit — a bare coalesce(dot, -rnk)
+    // would let an unscored candidate outrank a NEGATIVE real dot.
     withVec.join(broadcast(cen), Seq("qid"), "left")
-      .withColumn("dot", when(col("cv").isNotNull, expr(
+      .withColumn("dot", when(col("cv").isNotNull && col("qv").isNotNull, expr(
         "aggregate(zip_with(qv, cv, (a, b) -> coalesce(a, 0L) * coalesce(b, 0L)), " +
           "0L, (acc, x) -> acc + x)")))
       .withColumn("prf_rnk", row_number().over(
         Window.partitionBy(col("qid"))
-          .orderBy(coalesce(col("dot"), -col("rnk")).desc, col("id")))
+          .orderBy(col("dot").isNotNull.desc, col("dot").desc,
+            when(col("dot").isNull, col("rnk")).otherwise(lit(0L)).asc,
+            col("id")))
         .cast("long"))
       .filter(col("prf_rnk") <= k)
       .select(col("qid"), col("prf_rnk"), col("id"), col("rnk").as("bm25_rnk"),

@@ -1940,6 +1940,77 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, adc_dist
              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- Multi-probe IVF recall sweep: the q127 index layout swept
+    // across nprobe ∈ {1, 2, 4, 8} (8 = every list → the ADC recall
+    // ceiling), reporting scored-candidate cost and mean recall@5
+    // against the exact scaled-BIGINT ground truth. Candidates are
+    // generated once at the widest probe and narrower settings are a
+    // probe-rank filter — one corpus pass for the whole table.
+    "q204_ivf_nprobe_sweep" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Pq.ivfAdcRecallByNprobe(emb, "vec_id", "embedding",
+            coarse = emb.filter(col("vec_id") < 8),
+            codebook = emb.filter(col("vec_id") < 16),
+            queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+            k = 5, nProbes = Seq(1, 2, 4, 8))
+          .orderBy("nprobe")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |cc AS (SELECT a.vec_id AS id, k.vec_id AS cent_id, sum(CAST(a.v AS DOUBLE) * CAST(k.v AS DOUBLE)) AS dp
+             |       FROM e a JOIN e k ON k.i = a.i AND k.vec_id < 8 GROUP BY 1, 2),
+             |cs AS (SELECT id, cent_id, dp / (na.nrm * nk.nrm) AS c
+             |       FROM cc JOIN n na ON na.vec_id = id JOIN n nk ON nk.vec_id = cent_id),
+             |asg AS (SELECT id, cent_id FROM
+             |        (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn FROM cs)
+             |        WHERE rn = 1),
+             |probe AS (SELECT id AS query_id, cent_id, CAST(rn AS BIGINT) AS probe_rank FROM
+             |          (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn
+             |           FROM cs WHERE id BETWEEN 10 AND 19)
+             |          WHERE rn <= 8),
+             |q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |      FROM embeddings),
+             |pv AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
+             |pcb AS (SELECT vec_id AS code, sub, j, qv FROM pv WHERE vec_id < 16),
+             |pd AS MATERIALIZED (SELECT pv.vec_id, pv.sub, pcb.code, sum((pv.qv - pcb.qv) * (pv.qv - pcb.qv)) AS dist
+             |       FROM pv JOIN pcb ON pcb.sub = pv.sub AND pcb.j = pv.j GROUP BY 1, 2, 3),
+             |pa AS (SELECT vec_id, sub, code FROM
+             |       (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM pd)
+             |       WHERE rn = 1),
+             |cand AS (SELECT p.query_id, p.probe_rank, ag.id AS neighbor_id FROM probe p
+             |         JOIN asg ag ON ag.cent_id = p.cent_id AND ag.id <> p.query_id),
+             |adc AS MATERIALIZED (SELECT c2.query_id, c2.probe_rank, c2.neighbor_id, CAST(sum(dq.dist) AS BIGINT) AS adc_dist
+             |        FROM cand c2 JOIN pa ON pa.vec_id = c2.neighbor_id
+             |        JOIN pd dq ON dq.vec_id = c2.query_id AND dq.sub = pa.sub AND dq.code = pa.code
+             |        GROUP BY 1, 2, 3),
+             |grid AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+             |cj AS MATERIALIZED (SELECT g.nprobe, a.query_id, a.neighbor_id, a.adc_dist
+             |      FROM adc a JOIN grid g ON a.probe_rank <= g.nprobe),
+             |stats AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates FROM cj GROUP BY 1),
+             |topk AS (SELECT nprobe, query_id, neighbor_id FROM
+             |         (SELECT nprobe, query_id, neighbor_id,
+             |                 row_number() OVER (PARTITION BY nprobe, query_id ORDER BY adc_dist, neighbor_id) AS rnk
+             |          FROM cj) WHERE rnk <= 5),
+             |ex AS (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+             |              sum((qa.qv - nb.qv) * (qa.qv - nb.qv)) AS d2
+             |       FROM q qa JOIN q nb ON nb.i = qa.i AND nb.vec_id <> qa.vec_id
+             |       WHERE qa.vec_id BETWEEN 10 AND 19 GROUP BY 1, 2),
+             |ext AS (SELECT query_id, neighbor_id FROM
+             |        (SELECT query_id, neighbor_id,
+             |                row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+             |         FROM ex) WHERE rn <= 5),
+             |ov AS (SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hits FROM topk t
+             |       JOIN ext e ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+             |       GROUP BY 1)
+             |SELECT g.nprobe, CAST(coalesce(st.n_candidates, 0) AS BIGINT) AS n_candidates,
+             |       CAST(coalesce(ov.n_hits, 0) AS BIGINT) AS n_hits,
+             |       CAST((20000 * coalesce(ov.n_hits, 0) + 50) // 100 AS BIGINT) AS mean_recall_bp
+             |FROM grid g LEFT JOIN stats st ON st.nprobe = g.nprobe
+             |LEFT JOIN ov ON ov.nprobe = g.nprobe
+             |ORDER BY g.nprobe""".stripMargin)),
+
     // ---- Pairwise source divergence (count-weighted unigram LLR in
     // micro-nats): the corpus-similarity matrix behind mixture design.
     "q128_source_divergence" -> QueryDef(

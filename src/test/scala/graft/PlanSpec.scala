@@ -657,6 +657,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("ivf nprobe sweep keeps the probe a codebook-literal scan") {
+    val p = planOf("q204_ivf_nprobe_sweep")
+    // coarse assignment + PQ encoding are in-row expressions over
+    // literal-embedded centroids/codebooks — the corpus side must NOT
+    // acquire a join or shuffle to find its list
+    assert(!p.contains("SortMergeJoin"), s"ivf sweep degraded to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    // the candidate cache feeds cost + rank branches; the only hash
+    // exchanges are the per-(nprobe, query) window, the per-query
+    // exact window, and the two small aggs
+    assert(hashExchanges(p) <= 5, s"ivf sweep acquired extra shuffles:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("indexed bm25 scores from a bucket-pruned scan with no corpus pass") {
     val p = planOf("q202_bm25_indexed")
     // the postings/terms scans must prune to the buckets holding the

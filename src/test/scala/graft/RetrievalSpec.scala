@@ -199,9 +199,37 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
         "vec_id", "embedding", terms, kCand = 4, kSeed = 2, k = 4)
       .orderBy("prf_rnk")
       .collect().map(r => (r.getLong(1), r.getLong(2), r.isNullAt(5))).toSeq
-    // query survives (not dropped), embedded candidates keep BM25 order,
-    // dot is NULL (no centroid existed)
-    assert(got == Seq((1L, 3L, true), (2L, 4L, true)), s"got $got")
+    // query survives (not dropped), EVERY candidate survives — incl.
+    // the embedding-less seeds — in BM25 order, dot NULL throughout
+    // (no centroid existed)
+    assert(got == Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, true), (4L, 4L, true)),
+      s"got $got")
+    spark.catalog.clearCache()
+  }
+
+  test("bm25PrfRerank keeps a missing-embedding candidate after the scored ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hit hit hit"), (2L, "hit hit"), (3L, "hit"), (4L, "hit x")
+    ).toDF("doc_id", "text")
+    // doc 3 (bm25 rank 3) has NO embedding row; seeds are ranks 1,2 →
+    // centroid (1000, 0). Scored: doc 1,2 dot 1000000; doc 4 dot
+    // -1000000 (NEGATIVE — the case a bare coalesce(dot, -rnk) order
+    // would let the unscored doc 3 jump). Doc 3 must rank LAST with a
+    // NULL dot, after the negative-dot scored candidate.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val terms = Seq((0L, "hit")).toDF("qid", "tok")
+    val got = Retrieval.bm25PrfRerank(docs, vecs, "doc_id", "text",
+        "vec_id", "embedding", terms, kCand = 4, kSeed = 2, k = 4)
+      .orderBy("prf_rnk")
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == Seq(
+      (1L, 1L, Some(1000000L)), (2L, 2L, Some(1000000L)),
+      (3L, 4L, Some(-1000000L)), (4L, 3L, None)), s"got $got")
     spark.catalog.clearCache()
   }
 

@@ -308,6 +308,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("skew monitor surfaces an injected hot key per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-skewmon").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.SkewMonitor.monitor(
+        in.toDF().toDF("id", "join_key"), "join_key", topN = 2, out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-skewmon-ck").toString)
+      .start()
+    try {
+      // batch 0: balanced keys — no dominant entry
+      in.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      q.processAllAvailable()
+      // batch 1: key "hot" floods in (6 of 8 rows) plus a NULL key row
+      in.addData((5L, "hot"), (6L, "hot"), (7L, "hot"), (8L, "hot"),
+        (9L, "hot"), (10L, "hot"), (11L, null), (12L, "b"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .orderBy("batch_id", "rank")
+        .collect().map(r => (r.getLong(4), r.getLong(3), r.getString(0),
+          r.getLong(1), r.getLong(2))).toSeq
+      val byBatch = got.groupBy(_._1)
+      // batch 0: top-2 of four singleton keys, share 2500 bp each
+      assert(byBatch(0L) == Seq((0L, 1L, "a", 1L, 2500L), (0L, 2L, "b", 1L, 2500L)),
+        s"batch 0: $got")
+      // batch 1: the injected hot key dominates at 7500 bp; the NULL
+      // key surfaces as the literal "(null)" bucket in the tail
+      assert(byBatch(1L).head == ((1L, 1L, "hot", 6L, 7500L)), s"batch 1: $got")
+      assert(byBatch(1L)(1) == ((1L, 2L, "(null)", 1L, 1250L)), s"batch 1: $got")
+    } finally q.stop()
+  }
+
   test("dedupAgainstReference drops reference-known content per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
