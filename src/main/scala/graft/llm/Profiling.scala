@@ -183,6 +183,66 @@ object Profiling {
         expr("(20000 * top_key_rows + n_rows) DIV (2 * n_rows)").as("top_share_bp"))
   }
 
+  /** Per-column categorical drift between two corpus snapshots — the
+    * refresh-regression check a pipeline runs before swapping a new
+    * crawl in: for each named column, the exact total-variation
+    * distance between the two value distributions in HALF_UP basis
+    * points, plus the single most-drifted value. NULLs report as the
+    * literal "(null)" value (a drifting null rate IS drift).
+    *
+    * All arithmetic is integer-exact on the cross-multiplied counts
+    * (|n_a·tot_b − n_b·tot_a| — no share rounding accumulates into
+    * the sum); exact within BIGINT while tot_a·tot_b < 4.6e14·…, i.e.
+    * snapshots up to ~3e9 rows each — beyond that, pre-aggregate to
+    * sampled counts. Per column the cost is two value-count
+    * aggregations (column-pruned scans) + a values-sized outer join;
+    * nothing scales with row count after the partial aggs. Columns
+    * must be CATEGORICAL — the per-column value list folds into one
+    * driver-sized row (like every bounded sketch state here); don't
+    * point this at a free-text column.
+    *
+    * Output: (column, n_values, tot_a, tot_b, tv_bp, top_value,
+    * top_delta_bp), one row per requested column.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 32,
+      s"need 1..32 columns, got ${cols.size}")
+    val perCol = cols.map { c =>
+      def counts(df: DataFrame, out: String): DataFrame = df
+        .select(coalesce(col(c).cast("string"), lit("(null)")).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as(out))
+      val joined = counts(a, "n_a").join(counts(b, "n_b"), Seq("v"), "full_outer")
+        .select(col("v"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+      joined
+        .agg(
+          count(lit(1)).as("n_values"),
+          sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"),
+          // recomputing the totals inside abs() keeps this a single
+          // aggregation pass: sum-of-abs needs the totals per row, so
+          // they ride in as grouped subaggregates via a window-free
+          // two-level agg below instead
+          collect_list(struct(col("v"), col("n_a"), col("n_b"))).as("graft_vals"))
+        .select(col("n_values"), col("tot_a"), col("tot_b"),
+          expr("""aggregate(graft_vals, 0L,
+                 |  (acc, x) -> acc + abs(x.n_a * tot_b - x.n_b * tot_a))"""
+            .stripMargin).as("graft_s"),
+          expr("""array_sort(transform(graft_vals,
+                 |  x -> struct(-abs(x.n_a * tot_b - x.n_b * tot_a) AS d, x.v AS v)))[0].v"""
+            .stripMargin).as("top_value"),
+          expr("""-array_sort(transform(graft_vals,
+                 |  x -> struct(-abs(x.n_a * tot_b - x.n_b * tot_a) AS d, x.v AS v)))[0].d"""
+            .stripMargin).as("graft_top"))
+        .select(lit(c).as("col_name"), col("n_values"), col("tot_a"), col("tot_b"),
+          expr("(20000 * graft_s + 2 * tot_a * tot_b) DIV (4 * tot_a * tot_b)")
+            .as("tv_bp"),
+          col("top_value"),
+          expr("(20000 * graft_top + 2 * tot_a * tot_b) DIV (4 * tot_a * tot_b)")
+            .as("top_delta_bp"))
+    }
+    perCol.reduce(_ unionAll _)
+  }
+
   /** Token frequency spectrum (Zipf profile): for each corpus-wide token
     * occurrence count c, how many distinct tokens occur exactly c times.
     * The frequency-of-frequencies curve drives vocabulary-size and

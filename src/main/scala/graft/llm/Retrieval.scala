@@ -256,10 +256,13 @@ object Retrieval {
   // ------------------------------------------------------------------
 
   /** Layout version + bucket count, persisted next to the data so a
-    * fresh session can re-attach the bucket spec.
+    * fresh session can re-attach the bucket spec. v2 stores the corpus
+    * stats as the MERGEABLE pair (n_docs, l_tot) — avdl is derived at
+    * open — so incremental appends can fold a batch in without a
+    * corpus pass.
     */
   private val ManifestName = "_graft_index_manifest"
-  private val IndexVersion = 1
+  private val IndexVersion = 2
 
   /** Materialize the BM25 token index ONCE as bucketed parquet under
     * `indexDir`, so later [[bm25TopKIndexed]] calls score without
@@ -296,16 +299,98 @@ object Retrieval {
     graft.sources.BucketedWarehouse.writeBucketedPath(
       termDf.select(col("tok"), col("df_t")),
       tName, s"$indexDir/terms", Seq("tok"), numBuckets)
-    stats.write.mode("overwrite").parquet(s"$indexDir/stats")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
     val mf = new java.io.File(indexDir, ManifestName)
     java.nio.file.Files.write(mf.toPath,
       s"version=$IndexVersion\nnumBuckets=$numBuckets\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** True when `indexDir` holds a complete index (manifest present). */
-  def indexExists(indexDir: String): Boolean =
-    new java.io.File(indexDir, ManifestName).isFile
+  /** True when `indexDir` holds a complete CURRENT-version index (a
+    * stale-version manifest reads as absent, so fixture caches rebuild
+    * instead of erroring).
+    */
+  def indexExists(indexDir: String): Boolean = {
+    val mf = new java.io.File(indexDir, ManifestName)
+    mf.isFile && {
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(mf)
+      try props.load(in) finally in.close()
+      props.getProperty("version") == IndexVersion.toString
+    }
+  }
+
+  /** Fold an append batch into a persisted index WITHOUT touching the
+    * already-indexed corpus: the batch's postings append to the
+    * bucketed postings table (same bucket spec — each append adds one
+    * file per bucket, which the scan unions and still prunes), the
+    * vocabulary table is re-aggregated from (old terms ∪ batch terms)
+    * — vocabulary-sized work, not corpus-sized — and the stats row
+    * folds in the batch's (n_docs, l_tot). Batch doc ids MUST be new:
+    * a re-sent id would double its postings (the caller dedups
+    * upstream, e.g. via snapshotDiff's `added` class).
+    *
+    * BM25 scores from the appended index equal a full rebuild's
+    * exactly: postings rows, dfs, and the avdl numerator are all
+    * additive when ids are disjoint.
+    */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+                    indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    val (postings0, terms0, stats0) = openIndex(spark, indexDir)
+    val nb = readManifest(indexDir)
+    val (pName, tName) = tableNames(indexDir)
+    val (tf, dl, _, termDf) =
+      tokenIndex(docs.select(col(idCol).cast("long").as(idCol), col(textCol)),
+        idCol, textCol)
+    graft.sources.BucketedWarehouse.appendBucketedPath(
+      tf.join(dl, Seq("id")).select(col("tok"), col("id"), col("tf"), col("dl")),
+      pName, s"$indexDir/postings", Seq("tok"), nb)
+    // terms: merge old + batch into a staging table, then swap dirs —
+    // writing over the table being read is the classic self-overwrite
+    // trap, so the merge lands in terms_new and a rename makes it live
+    val merged = terms0.unionAll(termDf.select(col("tok"), col("df_t")))
+      .groupBy(col("tok")).agg(sum(col("df_t")).as("df_t"))
+    graft.sources.BucketedWarehouse.writeBucketedPath(
+      merged, s"${tName}_new", s"$indexDir/terms_new", Seq("tok"), nb)
+    spark.sql(s"DROP TABLE IF EXISTS `$tName`")
+    spark.sql(s"DROP TABLE IF EXISTS `${tName}_new`")
+    deleteRecursively(new java.io.File(indexDir, "terms"))
+    java.nio.file.Files.move(
+      new java.io.File(indexDir, "terms_new").toPath,
+      new java.io.File(indexDir, "terms").toPath)
+    // stats: two 1-row frames — collect before the overwrite
+    val oldStats = statsRaw(spark, indexDir).head()
+    val batch = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l")).head()
+    import spark.implicits._
+    Seq((oldStats.getLong(0) + batch.getLong(0),
+        oldStats.getLong(1) + batch.getLong(1)))
+      .toDF("n_docs", "l_tot")
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+    // the postings handle is unused but keeps the signature honest
+    locally { val _ = (postings0, stats0) }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  private def readManifest(indexDir: String): Int = {
+    val mf = new java.io.File(indexDir, ManifestName)
+    require(mf.isFile, s"no index manifest at $indexDir — run buildIndex first")
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(mf)
+    try props.load(in) finally in.close()
+    require(props.getProperty("version") == IndexVersion.toString,
+      s"index version ${props.getProperty("version")} != $IndexVersion — rebuild")
+    props.getProperty("numBuckets").toInt
+  }
+
+  private def statsRaw(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/stats")
 
   /** Deterministic per-path catalog names — re-registration in a new
     * session attaches to the same name, and two indexes coexist.
@@ -325,22 +410,18 @@ object Retrieval {
     */
   def openIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val mf = new java.io.File(indexDir, ManifestName)
-    require(mf.isFile, s"no index manifest at $indexDir — run buildIndex first")
-    val props = new java.util.Properties()
-    val in = new java.io.FileInputStream(mf)
-    try props.load(in) finally in.close()
-    require(props.getProperty("version") == IndexVersion.toString,
-      s"index version ${props.getProperty("version")} != $IndexVersion")
-    val nb = props.getProperty("numBuckets").toInt
+    val nb = readManifest(indexDir)
     val (pName, tName) = tableNames(indexDir)
     graft.sources.BucketedWarehouse.registerExternal(spark, pName,
       s"$indexDir/postings", "tok STRING, id BIGINT, tf BIGINT, dl BIGINT",
       Seq("tok"), nb)
     graft.sources.BucketedWarehouse.registerExternal(spark, tName,
       s"$indexDir/terms", "tok STRING, df_t BIGINT", Seq("tok"), nb)
+    // avdl derives from the mergeable (n_docs, l_tot) pair at open —
+    // exactly tokenIndex's HALF_UP milli-token formula
     (spark.table(pName), spark.table(tName),
-      spark.read.parquet(s"$indexDir/stats"))
+      statsRaw(spark, indexDir).select(col("n_docs"),
+        expr("(2000 * l_tot + n_docs) DIV (2 * n_docs)").as("avdl_m")))
   }
 
   /** BM25 top-k from a PERSISTED index — [[bm25TopKFor]]'s scoring,

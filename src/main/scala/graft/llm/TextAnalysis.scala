@@ -1193,4 +1193,71 @@ object TextAnalysis {
       .select(col("vocab_size").cast("long").as("vocab_size"), col("cum_tokens"),
         expr("(20000 * cum_tokens + graft_tot) DIV (2 * graft_tot)").as("coverage_bp"))
   }
+
+  /** Encoding-anomaly detection: per document, counts of U+FFFD
+    * replacement characters (the scar a lossy decode leaves — mojibake
+    * at its most detectable) and C0 control characters other than
+    * tab/LF/CR (binary junk that leaked through extraction), plus the
+    * combined anomaly rate in HALF_UP bp of the character count. The
+    * pre-tokenization hygiene gate: a corpus slice with a rising
+    * anomaly rate means an upstream extractor or charset sniffer
+    * regressed.
+    *
+    * Counting is subtraction of lengths after removal (replace for the
+    * single replacement char, one global regexp_replace for the
+    * control class) — narrow expressions, zero shuffles, and the same
+    * arithmetic on any engine. Only anomalous documents are returned.
+    *
+    * Output: (id, n_chars, n_repl, n_ctl, anomaly_bp), anomaly_bp > 0.
+    */
+  def encodingAnomalies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "�", "")))
+          .cast("long").as("n_repl"),
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol),
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+          .cast("long").as("n_ctl"))
+      .filter(col("n_repl") + col("n_ctl") > 0)
+      .withColumn("anomaly_bp", expr(
+        "(20000 * (n_repl + n_ctl) + n_chars) DIV (2 * n_chars)"))
+
+  /** Term proximity: for every document containing BOTH terms, the
+    * occurrence counts and the minimum token-distance between any
+    * occurrence of `termA` and any of `termB` — the phrase-nearness
+    * signal a retrieval stack layers on top of bag-of-words BM25
+    * ("query terms three tokens apart" ≫ "same 10k-token document").
+    *
+    * Positions index the EMPTY-FILTERED token sequence (split on
+    * single space, empties dropped), matching the tokenizer every
+    * other text operator uses. Entirely in-row: the positions arrays
+    * and the min-distance fold are higher-order expressions over the
+    * token split — zero shuffles, scan-speed. The in-row cost is
+    * |occ_A|·|occ_B| per document — fine for content terms; don't
+    * point it at two stopwords in a 10M-token document without
+    * capping upstream.
+    *
+    * Output: (id, n_a, n_b, min_gap), only documents with both terms.
+    */
+  def termProximity(df: DataFrame, idCol: String, textCol: String,
+                    termA: String, termB: String): DataFrame = {
+    require(termA.nonEmpty && termB.nonEmpty && termA != termB,
+      s"need two distinct non-empty terms, got '$termA' '$termB'")
+    def lt(s: String) = org.apache.spark.sql.functions.lit(s)
+    val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    def positions(term: org.apache.spark.sql.Column) =
+      filter(
+        transform(toks, (t, i) => when(t === term, i.cast("long")).otherwise(lit(-1L))),
+        p => p >= 0L)
+    df.select(col(idCol).as("id"),
+        positions(lt(termA)).as("graft_pa"), positions(lt(termB)).as("graft_pb"))
+      .filter(size(col("graft_pa")) > 0 && size(col("graft_pb")) > 0)
+      .select(col("id"),
+        size(col("graft_pa")).cast("long").as("n_a"),
+        size(col("graft_pb")).cast("long").as("n_b"),
+        array_min(flatten(transform(col("graft_pa"),
+          a => transform(col("graft_pb"), b => abs(a - b))))).as("min_gap"))
+  }
 }

@@ -277,6 +277,113 @@ object GraphOps {
       schema)
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED simple graph of `edges` (direction, multiplicity, and
+    * self-loops are collapsed/dropped first). The wedge enumeration
+    * uses the classic degree-ordered orientation — every edge points
+    * from its lower-(degree, node) endpoint to the higher — which
+    * bounds each node's out-degree by ~√m, so the wedge join's fan-out
+    * is O(m^1.5) worst case instead of Σ deg² (the hub-explosion
+    * killer on power-law graphs at scale). Each triangle is found
+    * exactly once (at its minimum-order apex) and credited to all
+    * three corners.
+    *
+    * Output: (node, degree, n_triangles, clustering_bp) for every
+    * non-isolated node, where clustering_bp is the HALF_UP local
+    * clustering coefficient 2·t/(deg·(deg−1)) in basis points (0 for
+    * degree < 2). The triangle SET is orientation-independent, so the
+    * result does not depend on how ties order — only the plan shape
+    * does.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = graft.llm.CacheRegistry.persist(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val deg = graft.llm.CacheRegistry.persist(
+      und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    // orient by (degree, node); carry the head's degree for the wedge
+    // ordering below
+    val oriented = graft.llm.CacheRegistry.persist(und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(expr("struct(da, a) < struct(db, b)"), col("a")).otherwise(col("b")).as("u"),
+        when(expr("struct(da, a) < struct(db, b)"), col("b")).otherwise(col("a")).as("v"),
+        when(expr("struct(da, a) < struct(db, b)"), col("db")).otherwise(col("da")).as("dv")))
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2")), Seq("u"))
+      .filter(expr("struct(d1, v1) < struct(d2, v2)"))
+    // a closing edge between v1 and v2 is stored as (v1, v2): both
+    // wedge order and storage use the same total order
+    val tris = wedges.join(oriented.select(col("v").as("v2"),
+        col("u").as("v1")), Seq("v1", "v2"), "left_semi")
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tris.select(col("u").as("n"))
+      .unionAll(tris.select(col("v1").as("n")))
+      .unionAll(tris.select(col("v2").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_bp", expr(
+        """CASE WHEN degree < 2 THEN CAST(0 AS BIGINT)
+          |ELSE (40000 * n_triangles + degree * (degree - 1))
+          |     DIV (2 * degree * (degree - 1)) END""".stripMargin))
+  }
+
+  /** k-core peeling over the same undirected simple graph: `iters`
+    * synchronous rounds of drop-every-node-with-degree-below-k, then
+    * the surviving edge set's degrees. At the fixpoint (reached when a
+    * round removes nothing) every reported node has degree ≥ k in the
+    * subgraph — the standard k-core; `iters` bounds the work and is
+    * part of the spec so any engine replays the identical rounds.
+    * Nodes are reported with their degree WITHIN the surviving
+    * subgraph; isolated and peeled nodes are absent.
+    *
+    * Per round: one map-side-combinable degree count + two semi-joins
+    * — all keyed on node, no wedge expansion anywhere. The edge frame
+    * localCheckpoints every 3 rounds (the PageRank cadence) so the
+    * plan does not deepen linearly.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
+    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    var alive = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var prevCkpt = alive
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    for (round <- 1 to iters) {
+      val keep = degrees(alive).filter(col("d") >= k)
+      alive = alive
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+      if (round % 3 == 0 || round == iters) {
+        alive = alive.localCheckpoint()
+        dropCheckpoint(prevCkpt)
+        prevCkpt = alive
+      }
+    }
+    // the final checkpoint stays alive: the returned plan reads it
+    // (its lineage was truncated — dropping it would orphan the frame);
+    // it is executor-memory block storage released with the session or
+    // by the caller's materialize-then-clearCache cycle
+    degrees(alive).select(col("n").as("node"), col("d").as("degree"))
+  }
+
   /** Driver power iteration over the collected (bounded) edge list —
     * the exact integer update of the distributed loop: contributions
     * floor-divide per edge, then base + (d·contrib) DIV 100 +

@@ -285,6 +285,100 @@ object EventQueries {
       },
       Some(lpaOracle(4))),
 
+    // ---- Per-node triangle counts + local clustering over the HOT
+    // transition graph (per-from share > 2040 bp — the above-uniform
+    // transitions): which event types sit in tightly-looping behavior
+    // clusters. The operator's wedge join runs degree-ordered (the
+    // √m-fan-out orientation); the triangle set itself is orientation-
+    // independent, which is what the oracle checks.
+    "q205_event_triangles" -> QueryDef(
+      (s, dir) => {
+        val edges = graft.operators.EventAnalytics.transitionMatrix(
+            table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+          .filter(col("p_bp") > 2040)
+        graft.operators.GraphOps.triangleCounts(edges, "from_type", "to_type")
+          .withColumnRenamed("node", "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT user_id, event_type AS ft,
+             |                 lead(event_type) OVER
+             |                   (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+             |          FROM events),
+             |c AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n
+             |      FROM s WHERE tt IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT ft, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY ft),
+             |p AS (SELECT c.ft, c.tt, (20000 * n + tot) // (2 * tot) AS p_bp
+             |      FROM c JOIN t USING (ft)),
+             |und AS MATERIALIZED (SELECT DISTINCT least(ft, tt) AS a, greatest(ft, tt) AS b
+             |       FROM p WHERE ft <> tt AND p_bp > 2040),
+             |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM
+             |        (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+             |        GROUP BY n),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+             |        JOIN und e2 ON e2.a = e1.b
+             |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS nt FROM
+             |       (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+             |        UNION ALL SELECT z FROM tri) GROUP BY n)
+             |SELECT deg.n AS event_type, degree,
+             |       CAST(coalesce(pn.nt, 0) AS BIGINT) AS n_triangles,
+             |       CASE WHEN degree < 2 THEN CAST(0 AS BIGINT)
+             |            ELSE (40000 * coalesce(pn.nt, 0) + degree * (degree - 1))
+             |                 // (2 * degree * (degree - 1)) END AS clustering_bp
+             |FROM deg LEFT JOIN pn ON pn.n = deg.n
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- k-core peeling of the same hot-transition graph (k = 2,
+    // 4 synchronous rounds — converged at these graph sizes): the
+    // maximal subgraph where every event type keeps ≥ 2 hot neighbors,
+    // the skeleton of the behavioral loop structure. The oracle
+    // unrolls the identical rounds as MATERIALIZED CTEs.
+    "q206_event_kcore" -> QueryDef(
+      (s, dir) => {
+        val edges = graft.operators.EventAnalytics.transitionMatrix(
+            table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+          .filter(col("p_bp") > 2040)
+        graft.operators.GraphOps.kCore(edges, "from_type", "to_type",
+            k = 2, iters = 4)
+          .withColumnRenamed("node", "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT user_id, event_type AS ft,
+             |                 lead(event_type) OVER
+             |                   (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+             |          FROM events),
+             |c AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n
+             |      FROM s WHERE tt IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT ft, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY ft),
+             |p AS (SELECT c.ft, c.tt, (20000 * n + tot) // (2 * tot) AS p_bp
+             |      FROM c JOIN t USING (ft)),
+             |e0 AS MATERIALIZED (SELECT DISTINCT least(ft, tt) AS a, greatest(ft, tt) AS b
+             |      FROM p WHERE ft <> tt AND p_bp > 2040),
+             |k1 AS (SELECT n FROM (SELECT n, count(*) AS d FROM
+             |       (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n)
+             |       WHERE d >= 2),
+             |e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0
+             |      JOIN k1 x ON x.n = e0.a JOIN k1 y ON y.n = e0.b),
+             |k2 AS (SELECT n FROM (SELECT n, count(*) AS d FROM
+             |       (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n)
+             |       WHERE d >= 2),
+             |e2 AS MATERIALIZED (SELECT e1.a, e1.b FROM e1
+             |      JOIN k2 x ON x.n = e1.a JOIN k2 y ON y.n = e1.b),
+             |k3 AS (SELECT n FROM (SELECT n, count(*) AS d FROM
+             |       (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n)
+             |       WHERE d >= 2),
+             |e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2
+             |      JOIN k3 x ON x.n = e2.a JOIN k3 y ON y.n = e2.b),
+             |k4 AS (SELECT n FROM (SELECT n, count(*) AS d FROM
+             |       (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY n)
+             |       WHERE d >= 2),
+             |e4 AS MATERIALIZED (SELECT e3.a, e3.b FROM e3
+             |      JOIN k4 x ON x.n = e3.a JOIN k4 y ON y.n = e3.b)
+             |SELECT n AS event_type, CAST(d AS BIGINT) AS degree FROM
+             |(SELECT n, count(*) AS d FROM
+             | (SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4) GROUP BY n)
+             |ORDER BY event_type""".stripMargin)),
+
     // ---- Day-of-week periodicity per event type (dow 0 = Sunday):
     // counts + HALF_UP shares — the seasonal signature behind batch-
     // window placement and bot-vs-human traffic triage.

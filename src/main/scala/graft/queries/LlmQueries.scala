@@ -85,7 +85,7 @@ object LlmQueries {
     import s.implicits._
     val nDocs = docs.agg(count(lit(1))).as[Long].head()
     val idx = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-bm25idx-v1-$nDocs")
+      sys.props("java.io.tmpdir"), s"graft-bm25idx-v2-$nDocs")
     if (!Retrieval.indexExists(idx.toString))
       Retrieval.buildIndex(docs, "doc_id", "text", idx.toString, numBuckets = 8)
     idx.toString
@@ -2011,6 +2011,127 @@ object LlmQueries {
              |LEFT JOIN ov ON ov.nprobe = g.nprobe
              |ORDER BY g.nprobe""".stripMargin)),
 
+    // ---- Snapshot drift report: exact total-variation distance per
+    // categorical column between the corpus and a refreshed snapshot
+    // (here: %11 of docs dropped, %5 relabeled to lang 'xx') — the
+    // check a pipeline runs before swapping a new crawl in. Integer-
+    // exact on cross-multiplied counts; the most-drifted value rides
+    // along.
+    "q207_snapshot_drift" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val b = docs.filter(col("doc_id") % 11 =!= 0)
+          .select(
+            when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+            col("source"))
+        Profiling.categoricalDrift(docs, b, Seq("lang", "source"))
+          .orderBy("col_name")
+      },
+      Some("""WITH b AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+             |                 source
+             |          FROM documents WHERE doc_id % 11 <> 0),
+             |la AS (SELECT coalesce(lang, '(null)') AS v, CAST(count(*) AS BIGINT) AS n_a
+             |       FROM documents GROUP BY 1),
+             |lb AS (SELECT coalesce(lang, '(null)') AS v, CAST(count(*) AS BIGINT) AS n_b
+             |       FROM b GROUP BY 1),
+             |lj AS (SELECT coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, coalesce(la.v, lb.v) AS v
+             |       FROM la FULL OUTER JOIN lb ON lb.v = la.v),
+             |lt AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+             |              CAST(sum(n_a) AS BIGINT) AS tot_a,
+             |              CAST(sum(n_b) AS BIGINT) AS tot_b FROM lj),
+             |lagg AS (SELECT CAST(sum(abs(n_a * tot_b - n_b * tot_a)) AS BIGINT) AS s
+             |         FROM lj CROSS JOIN lt),
+             |ltop AS (SELECT v, CAST(abs(n_a * tot_b - n_b * tot_a) AS BIGINT) AS d
+             |         FROM lj CROSS JOIN lt ORDER BY d DESC, v LIMIT 1),
+             |sa AS (SELECT coalesce(source, '(null)') AS v, CAST(count(*) AS BIGINT) AS n_a
+             |       FROM documents GROUP BY 1),
+             |sb AS (SELECT coalesce(source, '(null)') AS v, CAST(count(*) AS BIGINT) AS n_b
+             |       FROM b GROUP BY 1),
+             |sj AS (SELECT coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b, coalesce(sa.v, sb.v) AS v
+             |       FROM sa FULL OUTER JOIN sb ON sb.v = sa.v),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+             |              CAST(sum(n_a) AS BIGINT) AS tot_a,
+             |              CAST(sum(n_b) AS BIGINT) AS tot_b FROM sj),
+             |sagg AS (SELECT CAST(sum(abs(n_a * tot_b - n_b * tot_a)) AS BIGINT) AS s
+             |         FROM sj CROSS JOIN st),
+             |stop AS (SELECT v, CAST(abs(n_a * tot_b - n_b * tot_a) AS BIGINT) AS d
+             |         FROM sj CROSS JOIN st ORDER BY d DESC, v LIMIT 1)
+             |SELECT * FROM (
+             |  SELECT 'lang' AS col_name, lt.n_values, lt.tot_a, lt.tot_b,
+             |         (20000 * lagg.s + 2 * lt.tot_a * lt.tot_b)
+             |           // (4 * lt.tot_a * lt.tot_b) AS tv_bp,
+             |         ltop.v AS top_value,
+             |         (20000 * ltop.d + 2 * lt.tot_a * lt.tot_b)
+             |           // (4 * lt.tot_a * lt.tot_b) AS top_delta_bp
+             |  FROM lt CROSS JOIN lagg CROSS JOIN ltop
+             |  UNION ALL
+             |  SELECT 'source', st.n_values, st.tot_a, st.tot_b,
+             |         (20000 * sagg.s + 2 * st.tot_a * st.tot_b)
+             |           // (4 * st.tot_a * st.tot_b),
+             |         stop.v,
+             |         (20000 * stop.d + 2 * st.tot_a * st.tot_b)
+             |           // (4 * st.tot_a * st.tot_b)
+             |  FROM st CROSS JOIN sagg CROSS JOIN stop) t
+             |ORDER BY col_name""".stripMargin)),
+
+    // ---- Term proximity ('table' vs 'scan'): per co-occurring doc,
+    // occurrence counts + minimum token distance — the phrase-nearness
+    // layer over bag-of-words retrieval. Entirely in-row (position
+    // arrays + min fold over the token split), zero shuffles.
+    "q208_term_proximity" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.termProximity(table(s, dir, "documents"),
+            "doc_id", "text", "table", "scan")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |                   generate_subscripts(string_split(text, ' '), 1) AS gi
+             |            FROM documents),
+             |tok AS (SELECT doc_id, tok,
+             |               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY gi) - 1
+             |                    AS BIGINT) AS i
+             |        FROM raw WHERE tok <> ''),
+             |a AS (SELECT doc_id, i FROM tok WHERE tok = 'table'),
+             |b AS (SELECT doc_id, i FROM tok WHERE tok = 'scan'),
+             |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a FROM a GROUP BY 1),
+             |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+             |g AS (SELECT a.doc_id, CAST(min(abs(a.i - b.i)) AS BIGINT) AS min_gap
+             |      FROM a JOIN b USING (doc_id) GROUP BY 1)
+             |SELECT g.doc_id, na.n_a, nb.n_b, g.min_gap
+             |FROM g JOIN na USING (doc_id) JOIN nb USING (doc_id)
+             |ORDER BY g.doc_id""".stripMargin)),
+
+    // ---- Encoding-anomaly detection over a deterministically-damaged
+    // corpus: %7 docs get 1–3 appended U+FFFD replacement chars (a
+    // lossy decode's scar), %13 docs two BEL control chars (binary
+    // leak-through). The detector must flag exactly the damaged docs
+    // with exact counts; the oracle predicts them arithmetically.
+    "q209_encoding_anomalies" -> QueryDef(
+      (s, dir) => {
+        val damaged = table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" "), repeat(lit("�"), (col("doc_id") % 3 + 1).cast("int"))))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 0, lit("\u0007\u0007"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.encodingAnomalies(damaged, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  CAST(strlen(text) AS BIGINT)
+             |    + CASE WHEN doc_id % 7 = 0 THEN 1 + doc_id % 3 + 1 ELSE 0 END
+             |    + CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 0 END AS n_chars,
+             |  CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id % 3 + 1 ELSE 0 END AS BIGINT) AS n_repl,
+             |  CAST(CASE WHEN doc_id % 13 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_ctl
+             |  FROM documents WHERE text IS NOT NULL)
+             |SELECT doc_id, n_chars, n_repl, n_ctl,
+             |       (20000 * (n_repl + n_ctl) + n_chars) // (2 * n_chars) AS anomaly_bp
+             |FROM d WHERE n_repl + n_ctl > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- Pairwise source divergence (count-weighted unigram LLR in
     // micro-nats): the corpus-similarity matrix behind mixture design.
     "q128_source_divergence" -> QueryDef(
@@ -3644,6 +3765,41 @@ object LlmQueries {
           .toDF("qid", "tok")
         Retrieval.bm25TopKFor(table(s, dir, "documents"), "doc_id", "text",
             terms, k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("qid", "rnk")
+      },
+      Some(ExplicitBm25Sql)),
+
+    // ---- Incremental index maintenance: the index is built from the
+    // EVEN-id half of the corpus and the odd half arrives later as an
+    // appendToIndex batch (postings appended bucket-aligned, terms
+    // re-aggregated, stats folded). Scoring the same probes must be
+    // row-identical to q198's full-corpus oracle — postings, dfs and
+    // the avdl numerator are all additive for disjoint ids.
+    "q210_bm25_index_append" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        import s.implicits._
+        val nDocs = docs.agg(count(lit(1))).as[Long].head()
+        val idx = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-bm25apx-v2-$nDocs")
+        val marker = new java.io.File(idx, "_graft_appended")
+        if (!marker.isFile) {
+          // wipe partial state from an interrupted earlier run, then
+          // build-even + append-odd exactly once
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(idx)
+          Retrieval.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", idx.toString, numBuckets = 8)
+          Retrieval.appendToIndex(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", idx.toString)
+          java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+        }
+        Retrieval.bm25TopKIndexed(s, idx.toString,
+            ExplicitProbeTerms.map(_._2), k = 5)
           .withColumnRenamed("id", "doc_id")
           .orderBy("qid", "rnk")
       },

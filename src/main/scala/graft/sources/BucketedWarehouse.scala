@@ -74,6 +74,28 @@ object BucketedWarehouse {
       .saveAsTable(name)
   }
 
+  /** Append a batch to an EXISTING external bucketed table (same spec
+    * required — Spark verifies bucket columns/count against the
+    * catalog entry). Each append lands one new file per bucket thanks
+    * to the same pre-write repartition; scans union a bucket's files
+    * and still prune/co-locate on the key. Compact periodically (read
+    * + writeBucketedPath) if append count grows into many-files
+    * territory.
+    */
+  def appendBucketedPath(df: DataFrame, name: String, path: String,
+                         keyCols: Seq[String], numBuckets: Int): Unit = {
+    require(keyCols.nonEmpty && numBuckets > 0, "bucket spec required")
+    require(df.sparkSession.catalog.tableExists(name),
+      s"append target $name not registered — openIndex/registerExternal first")
+    val keys = keyCols.map(org.apache.spark.sql.functions.col)
+    df.repartition(numBuckets, keys: _*)
+      .write.mode("append").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(name)
+  }
+
   /** Re-register an external bucketed table written by
     * [[writeBucketedPath]] in a NEW session: a `CREATE TABLE ... USING
     * parquet CLUSTERED BY ... LOCATION` DDL carrying the original

@@ -564,6 +564,73 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangleCounts matches a brute-force reference on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(19)
+    for (trial <- 0 until 3) {
+      val n = 12 + rnd.nextInt(10)
+      val edges = (0 until 60).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      val und = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct.toSet
+      val nodes = und.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      // brute force: every unordered node triple with all three edges
+      val triples = nodes.combinations(3).count { c =>
+        val Seq(x, y, z) = c.sorted
+        und((x, y)) && und((x, z)) && und((y, z))
+      }
+      val perNode = nodes.map { v =>
+        val t = nodes.combinations(2).count { p =>
+          val Seq(x, y) = p.sorted
+          x != v && y != v &&
+            und(if (x < v) (x, v) else (v, x)) &&
+            und(if (y < v) (y, v) else (v, y)) && und((x, y))
+        }
+        v -> t.toLong
+      }.toMap
+      val got = graft.operators.GraphOps
+        .triangleCounts(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.llm.CacheRegistry.releaseAll(spark)
+      assert(got.map(_._3).sum == 3L * triples,
+        s"trial $trial: total triangle credits ${got.map(_._3).sum} != 3*$triples")
+      got.foreach { case (v, _, t) =>
+        assert(t == perNode(v), s"trial $trial node $v: got $t want ${perNode(v)}")
+      }
+    }
+  }
+
+  test("kCore matches sequential peeling to the fixpoint on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    for (trial <- 0 until 3) {
+      val n = 14 + rnd.nextInt(8)
+      val k = 2 + rnd.nextInt(2)
+      val edges = (0 until 50).map(_ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}"))
+      var und = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct.toSet
+      // sequential peel to fixpoint
+      var changed = true
+      while (changed) {
+        val deg = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (v, xs) => v -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val nxt = und.filter { case (a, b) => keep(a) && keep(b) }
+        changed = nxt != und
+        und = nxt
+      }
+      val want = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      // 16 rounds ≥ any peel chain at these sizes
+      val got = graft.operators.GraphOps
+        .kCore(edges.toDF("s", "d"), "s", "d", k, iters = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == want, s"trial $trial (k=$k): got $got want $want")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("kllQuantiles is exact while streams fit their level-0 buffers") {
     import spark.implicits._
     val rnd = new Random(31)
