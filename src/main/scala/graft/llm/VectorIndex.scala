@@ -1,0 +1,260 @@
+package graft.llm
+
+import graft.functions.{VecFunctions, VecKernels}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted IVF-PQ vector index — the serving-side counterpart of
+  * [[Pq.ivfAdcTopK]], and the ANN twin of [[Retrieval.buildIndex]]'s
+  * inverted text index.
+  *
+  * [[Pq.ivfAdcTopK]] re-assigns every corpus vector to its coarse list
+  * and re-encodes its PQ codes on EVERY call — a full corpus scan per
+  * probe batch. At 100 TB that scan is the entire cost of a query, paid
+  * again by each one. This module materializes the scan's output ONCE:
+  *
+  *  - `lists` (cent_id, id, codes ARRAY<BIGINT>): one row per corpus
+  *    vector — its coarse-list assignment and its m PQ codes (8 bytes of
+  *    code per 64-float vector, the 32× PQ storage cut). Bucketed +
+  *    sorted by `cent_id` over [[graft.sources.BucketedWarehouse]]: a
+  *    query's probe set arrives as a `cent_id IN (…)` literal predicate,
+  *    so the scan prunes to the buckets holding the probed lists — at
+  *    thousands of lists the read touches a vanishing fraction of the
+  *    corpus, which is exactly the inverted-list access pattern FAISS
+  *    serves from RAM, expressed as bucket-pruned parquet.
+  *  - `centroids` (cent_id, cv ARRAY<FLOAT>): the coarse quantizer —
+  *    bounded by construction (≤ 2¹⁶ rows), re-collected at open.
+  *  - `pqcodebook` (code, cv ARRAY<FLOAT>): the PQ codebook rows
+  *    (≤ 256, one-byte codes), re-collected at open.
+  *  - a manifest pinning (version, numBuckets, m, scale) so a fresh
+  *    session re-attaches the same bucket spec and the same encoding
+  *    geometry — scoring against codes produced under a different
+  *    (m, scale) would be silent garbage.
+  *
+  * Search ([[annTopKIndexed]]) computes the query-side probes and ADC
+  * distance tables on the DRIVER through the very same
+  * [[graft.functions.VecKernels]] kernels the build used (one code path
+  * — they cannot diverge), then runs: bucket-pruned lists scan →
+  * broadcast probe join → `graft_adc` lookups → per-query top-k window.
+  * Zero corpus-side vector math, zero corpus passes, one bounded
+  * shuffle (the top-k window over candidates from ≤ nprobe lists per
+  * query). Results are row-identical to [[Pq.ivfAdcTopK]] on the same
+  * corpus + quantizers (pinned by the oracle gate and VectorIndexSpec).
+  *
+  * Appends ([[appendToIndex]]) encode ONLY the batch against the
+  * PERSISTED quantizers and append bucket-aligned files — assignment
+  * and codes are per-row pure functions of (vector, centroids,
+  * codebook), so an appended index is bit-identical to a full rebuild
+  * over the union (batch ids must be new; dedup upstream, e.g. via
+  * snapshotDiff's `added` class). When [[Similarity.ivfIncrementalStats]]
+  * flags codebook drift past threshold, rebuild instead.
+  */
+object VectorIndex {
+
+  private val ManifestName = "_graft_vindex_manifest"
+  private val IndexVersion = 1
+
+  /** Materialize the IVF-PQ index under `indexDir`. `coarse` and
+    * `codebook` follow [[Pq.ivfAdcTopK]]'s contract: bounded vector
+    * tables (id, vec) — at scale the output of k-means, persisted
+    * verbatim so search and append re-derive the exact same geometry.
+    * `numBuckets` is the scale knob: buckets ≈ corpus size /
+    * executor-memory-sized chunk (thousands at 100 TB), and at least
+    * one bucket per hot list keeps probe reads narrow.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 coarse: DataFrame, codebook: DataFrame, indexDir: String,
+                 numBuckets: Int, m: Int = 8, scale: Double = 10000.0): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val spark = corpus.sparkSession
+    val cents = collectVecTable(coarse, idCol, vecCol)
+    require(cents.nonEmpty && cents.length <= (1 << 16),
+      s"coarse quantizer must be bounded, got ${cents.length} entries")
+    val cb = collectVecTable(codebook, idCol, vecCol)
+    require(cb.nonEmpty && cb.length <= 256,
+      s"PQ codebook must have 1..256 entries (one-byte codes), got ${cb.length}")
+    // quantizers first: bounded frames, and their presence lets append
+    // re-derive geometry without the caller re-supplying it
+    import spark.implicits._
+    cents.toSeq.toDF("cent_id", "cv")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cb.toSeq.toDF("code", "cv")
+      .write.mode("overwrite").parquet(s"$indexDir/pqcodebook")
+    graft.sources.BucketedWarehouse.writeBucketedPath(
+      encodeLists(corpus, idCol, vecCol, cents, cb, m, scale),
+      listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), numBuckets)
+    val mf = new java.io.File(indexDir, ManifestName)
+    java.nio.file.Files.write(mf.toPath,
+      s"version=$IndexVersion\nnumBuckets=$numBuckets\nm=$m\nscale=$scale\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** True when `indexDir` holds a complete CURRENT-version index. */
+  def indexExists(indexDir: String): Boolean = {
+    val mf = new java.io.File(indexDir, ManifestName)
+    mf.isFile && {
+      val props = loadProps(mf)
+      props.getProperty("version") == IndexVersion.toString
+    }
+  }
+
+  /** Encode an append batch against the PERSISTED quantizers and append
+    * its rows bucket-aligned — batch-sized work, zero touches of the
+    * already-indexed corpus. Batch ids MUST be new (see class doc).
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val (nb, m, scale) = readManifest(indexDir)
+    openLists(spark, indexDir) // re-registers the table in a fresh session
+    val (cents, cb) = readQuantizers(spark, indexDir)
+    graft.sources.BucketedWarehouse.appendBucketedPath(
+      encodeLists(batch, idCol, vecCol, cents, cb, m, scale),
+      listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), nb)
+  }
+
+  /** ANN top-k from the PERSISTED index — [[Pq.ivfAdcTopK]]'s scoring,
+    * zero corpus passes. `queries` carries literal (id, vector) probes
+    * (what a serving call is — bounded like the codebooks, ≤ 4096), so
+    * the probe lists resolve on the driver through the same kernels the
+    * build used and arrive at the scan as a `cent_id IN (…)` literal
+    * the bucketed layout prunes on. Output (query_id, neighbor_id, rnk,
+    * adc_dist), self-matches excluded, row-identical to ivfAdcTopK.
+    */
+  def annTopKIndexed(spark: SparkSession, indexDir: String,
+                     queries: Seq[(Long, Array[Float])], k: Int,
+                     nProbe: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nProbe > 0, "nProbe must be positive")
+    require(queries.nonEmpty && queries.length <= 4096,
+      s"queries must be a bounded literal probe batch (1..4096), got ${queries.length}")
+    VecFunctions.register(spark)
+    val (_, m, scale) = readManifest(indexDir)
+    val (cents, cb) = readQuantizers(spark, indexDir)
+    val centsFlat = cents.flatMap(_._2)
+    val cids = cents.map(_._1)
+    val cbFlat = flattenCodebook(cb.map(_._2), m, scale)
+    // query-side probe ranks + ADC tables, driver-computed through the
+    // SAME VecKernels entry points the executors run — one code path
+    val probeRows = queries.flatMap { case (qid, vec) =>
+      val ranked = VecKernels.cosRank(
+        new GenericArrayData(vec), centsFlat, cids).toLongArray()
+      val dt = VecKernels.pqDistTable(
+        VecKernels.scaleQ(new GenericArrayData(vec), scale), cbFlat, m)
+        .toLongArray()
+      ranked.take(nProbe).map(centId => (qid, centId, dt))
+    }
+    val probeCents = probeRows.map(_._2).distinct.sorted
+    import spark.implicits._
+    val qProbes = probeRows.toDF("query_id", "cent_id", "graft_dt")
+    val lists = openLists(spark, indexDir)
+      .filter(col("cent_id").isin(probeCents: _*))
+    val adc = call_function("graft_adc", col("graft_dt"), col("codes"), lit(m))
+    val scored = broadcast(qProbes).join(lists, Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), adc.as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_dist"))
+  }
+
+  /** The bucket-spec-carrying lists frame (re-registering the external
+    * table in this session's catalog if absent).
+    */
+  def openLists(spark: SparkSession, indexDir: String): DataFrame = {
+    val (nb, _, _) = readManifest(indexDir)
+    graft.sources.BucketedWarehouse.registerExternal(spark,
+      listsTableName(indexDir), s"$indexDir/lists",
+      "cent_id BIGINT, id BIGINT, codes ARRAY<BIGINT>", Seq("cent_id"), nb)
+    spark.table(listsTableName(indexDir))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** (cent_id, id, codes): the one corpus pass — assignment + encoding
+    * fused in a single narrow codegen'd scan, exactly ivfAdcTopK's
+    * corpus side.
+    */
+  private def encodeLists(corpus: DataFrame, idCol: String, vecCol: String,
+                          cents: Array[(Long, Array[Float])],
+                          cb: Array[(Long, Array[Float])],
+                          m: Int, scale: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    VecFunctions.register(spark)
+    val centsFlat = cents.flatMap(_._2)
+    val cids = cents.map(_._1)
+    val cbFlat = flattenCodebook(cb.map(_._2), m, scale)
+    corpus.select(
+      element_at(call_function("graft_cos_rank", col(vecCol),
+        typedLit(centsFlat), typedLit(cids)), 1).as("cent_id"),
+      col(idCol).cast("long").as("id"),
+      call_function("graft_pq_codes",
+        call_function("graft_scale_q", col(vecCol), lit(scale)),
+        typedLit(cbFlat), lit(m)).as("codes"))
+  }
+
+  /** Bounded (id, vec) table collected ascending-id — the quantizer
+    * collection shape [[Pq]] uses (code/cent = rank position).
+    */
+  private def collectVecTable(df: DataFrame, idCol: String,
+                              vecCol: String): Array[(Long, Array[Float])] =
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  private def readQuantizers(spark: SparkSession, indexDir: String)
+      : (Array[(Long, Array[Float])], Array[(Long, Array[Float])]) = {
+    def read(sub: String, id: String) =
+      collectVecTable(spark.read.parquet(s"$indexDir/$sub"), id, "cv")
+    (read("centroids", "cent_id"), read("pqcodebook", "code"))
+  }
+
+  /** [[Pq.collectCodebook]]'s flatten ([s][c][dsub], scaled through
+    * scaleQLocal) on already-collected rows.
+    */
+  private def flattenCodebook(rows: Array[Array[Float]], m: Int,
+                              scale: Double): Array[Long] = {
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val scaled = VecKernels.scaleQLocal(rows, scale)
+    val out = new Array[Long](m * rows.length * dsub)
+    var o = 0
+    for (s <- 0 until m; c <- rows.indices; i <- 0 until dsub) {
+      out(o) = scaled(c)(s * dsub + i); o += 1
+    }
+    out
+  }
+
+  private def loadProps(mf: java.io.File): java.util.Properties = {
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(mf)
+    try props.load(in) finally in.close()
+    props
+  }
+
+  private def readManifest(indexDir: String): (Int, Int, Double) = {
+    val mf = new java.io.File(indexDir, ManifestName)
+    require(mf.isFile, s"no vector-index manifest at $indexDir — run buildIndex first")
+    val props = loadProps(mf)
+    require(props.getProperty("version") == IndexVersion.toString,
+      s"index version ${props.getProperty("version")} != $IndexVersion — rebuild")
+    (props.getProperty("numBuckets").toInt, props.getProperty("m").toInt,
+      props.getProperty("scale").toDouble)
+  }
+
+  /** Deterministic per-path catalog name (two indexes coexist; a fresh
+    * session re-attaches by path).
+    */
+  private def listsTableName(indexDir: String): String = {
+    val canon = new java.io.File(indexDir).getAbsolutePath
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"graft_vidx_${md.take(6).map(b => f"$b%02x").mkString}_lists"
+  }
+}

@@ -222,9 +222,9 @@ object BridgeQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Registry.table(s, dir, "documents")
-        val nDocs = docs.agg(count(lit(1))).as[Long].head()
+        val tag = Registry.contentTag(docs, "doc_id", "text", "lang", "source")
         val fixture = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft-jsonl-v1-$nDocs")
+          sys.props("java.io.tmpdir"), s"graft-jsonl-v2-$tag")
         if (!fixture.exists()) {
           docs.select(
             when(col("doc_id") % 17 === 0,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Curation, Dedup, Multimodal, Pq, Profiling, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Pq, Profiling, Retrieval, Similarity, TextAnalysis, VectorIndex}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -76,18 +76,88 @@ object LlmQueries {
       |      FROM sc) r
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** q127's exact IVF-ADC oracle — shared by the per-call path
+    * (q127) and the persisted-index path (q211): the index must be
+    * row-identical to recomputing assignment + codes from scratch.
+    */
+  private val IvfAdcSql: String =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+    |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+    |cc AS (SELECT a.vec_id AS id, k.vec_id AS cent_id, sum(CAST(a.v AS DOUBLE) * CAST(k.v AS DOUBLE)) AS dp
+    |       FROM e a JOIN e k ON k.i = a.i AND k.vec_id < 8 GROUP BY 1, 2),
+    |cs AS (SELECT id, cent_id, dp / (na.nrm * nk.nrm) AS c
+    |       FROM cc JOIN n na ON na.vec_id = id JOIN n nk ON nk.vec_id = cent_id),
+    |asg AS (SELECT id, cent_id FROM
+    |        (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn FROM cs)
+    |        WHERE rn = 1),
+    |probe AS (SELECT id AS query_id, cent_id FROM
+    |          (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn
+    |           FROM cs WHERE id BETWEEN 10 AND 19)
+    |          WHERE rn <= 2),
+    |q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+    |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+    |      FROM embeddings),
+    |pv AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
+    |pcb AS (SELECT vec_id AS code, sub, j, qv FROM pv WHERE vec_id < 16),
+    |pd AS (SELECT pv.vec_id, pv.sub, pcb.code, sum((pv.qv - pcb.qv) * (pv.qv - pcb.qv)) AS dist
+    |       FROM pv JOIN pcb ON pcb.sub = pv.sub AND pcb.j = pv.j GROUP BY 1, 2, 3),
+    |pa AS (SELECT vec_id, sub, code FROM
+    |       (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM pd)
+    |       WHERE rn = 1),
+    |cand AS (SELECT p.query_id, ag.id AS neighbor_id FROM probe p
+    |         JOIN asg ag ON ag.cent_id = p.cent_id AND ag.id <> p.query_id),
+    |adc AS (SELECT c2.query_id, c2.neighbor_id, CAST(sum(dq.dist) AS BIGINT) AS adc_dist
+    |        FROM cand c2 JOIN pa ON pa.vec_id = c2.neighbor_id
+    |        JOIN pd dq ON dq.vec_id = c2.query_id AND dq.sub = pa.sub AND dq.code = pa.code
+    |        GROUP BY 1, 2),
+    |r AS (SELECT query_id, neighbor_id, adc_dist,
+    |             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk FROM adc)
+    |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, adc_dist
+    |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   /** Deterministic per-corpus-size BM25 index dir (the q199 fixture
     * convention): built once, reused by every later invocation —
     * including across JVMs, since openIndex re-registers the bucketed
     * tables from the on-disk manifest.
     */
   private def bm25IndexDir(s: SparkSession, dir: String, docs: DataFrame): String = {
-    import s.implicits._
-    val nDocs = docs.agg(count(lit(1))).as[Long].head()
+    val tag = Registry.contentTag(docs, "doc_id", "text")
     val idx = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-bm25idx-v2-$nDocs")
+      sys.props("java.io.tmpdir"), s"graft-bm25idx-v3-$tag")
     if (!Retrieval.indexExists(idx.toString))
       Retrieval.buildIndex(docs, "doc_id", "text", idx.toString, numBuckets = 8)
+    idx.toString
+  }
+
+  /** Deterministic per-corpus-size IVF-PQ vector index dir (the
+    * bm25IndexDir convention): built once from the even vec_ids, the odd
+    * half APPENDED — so every q211 run also proves appendToIndex lands
+    * bucket-aligned rows identical to a full rebuild (the q127 oracle
+    * covers the union).
+    */
+  private def annIndexDir(s: SparkSession, dir: String, emb: DataFrame): String = {
+    val tag = Registry.contentTag(emb, "vec_id", "embedding")
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-annidx-v2-$tag")
+    // marker AFTER the append — a crash between build and append would
+    // otherwise leave a manifest-complete half-index reused forever
+    // (the q210 marker convention)
+    val marker = new java.io.File(idx, "_graft_appended")
+    if (!marker.isFile) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(idx)
+      VectorIndex.buildIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding",
+        coarse = emb.filter(col("vec_id") < 8),
+        codebook = emb.filter(col("vec_id") < 16),
+        idx.toString, numBuckets = 8)
+      VectorIndex.appendToIndex(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", idx.toString)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
     idx.toString
   }
 
@@ -1906,39 +1976,7 @@ object LlmQueries {
             k = 5, nProbe = 2)
           .orderBy("query_id", "rnk")
       },
-      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
-             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
-             |cc AS (SELECT a.vec_id AS id, k.vec_id AS cent_id, sum(CAST(a.v AS DOUBLE) * CAST(k.v AS DOUBLE)) AS dp
-             |       FROM e a JOIN e k ON k.i = a.i AND k.vec_id < 8 GROUP BY 1, 2),
-             |cs AS (SELECT id, cent_id, dp / (na.nrm * nk.nrm) AS c
-             |       FROM cc JOIN n na ON na.vec_id = id JOIN n nk ON nk.vec_id = cent_id),
-             |asg AS (SELECT id, cent_id FROM
-             |        (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn FROM cs)
-             |        WHERE rn = 1),
-             |probe AS (SELECT id AS query_id, cent_id FROM
-             |          (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn
-             |           FROM cs WHERE id BETWEEN 10 AND 19)
-             |          WHERE rn <= 2),
-             |q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-             |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
-             |      FROM embeddings),
-             |pv AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
-             |pcb AS (SELECT vec_id AS code, sub, j, qv FROM pv WHERE vec_id < 16),
-             |pd AS (SELECT pv.vec_id, pv.sub, pcb.code, sum((pv.qv - pcb.qv) * (pv.qv - pcb.qv)) AS dist
-             |       FROM pv JOIN pcb ON pcb.sub = pv.sub AND pcb.j = pv.j GROUP BY 1, 2, 3),
-             |pa AS (SELECT vec_id, sub, code FROM
-             |       (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM pd)
-             |       WHERE rn = 1),
-             |cand AS (SELECT p.query_id, ag.id AS neighbor_id FROM probe p
-             |         JOIN asg ag ON ag.cent_id = p.cent_id AND ag.id <> p.query_id),
-             |adc AS (SELECT c2.query_id, c2.neighbor_id, CAST(sum(dq.dist) AS BIGINT) AS adc_dist
-             |        FROM cand c2 JOIN pa ON pa.vec_id = c2.neighbor_id
-             |        JOIN pd dq ON dq.vec_id = c2.query_id AND dq.sub = pa.sub AND dq.code = pa.code
-             |        GROUP BY 1, 2),
-             |r AS (SELECT query_id, neighbor_id, adc_dist,
-             |             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk FROM adc)
-             |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, adc_dist
-             |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+      Some(IvfAdcSql)),
 
     // ---- Multi-probe IVF recall sweep: the q127 index layout swept
     // across nprobe ∈ {1, 2, 4, 8} (8 = every list → the ADC recall
@@ -2010,6 +2048,27 @@ object LlmQueries {
              |FROM grid g LEFT JOIN stats st ON st.nprobe = g.nprobe
              |LEFT JOIN ov ON ov.nprobe = g.nprobe
              |ORDER BY g.nprobe""".stripMargin)),
+
+    // ---- The SAME IVF-ADC probes served from the PERSISTED index:
+    // assignment + PQ codes materialized once as cent_id-bucketed
+    // parquet (built from the even vec_ids, odd half APPENDED), then
+    // scoring = bucket-pruned lists scan + broadcast driver-computed
+    // probe tables + graft_adc lookups — zero corpus passes. The
+    // oracle is q127's: the indexed path must be row-identical to
+    // recomputing everything from scratch.
+    "q211_ann_indexed" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val idx = annIndexDir(s, dir, emb)
+        val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        VectorIndex.annTopKIndexed(s, idx, probes, k = 5, nProbe = 2)
+          .orderBy("query_id", "rnk")
+      },
+      Some(IvfAdcSql)),
 
     // ---- Snapshot drift report: exact total-variation distance per
     // categorical column between the corpus and a refreshed snapshot
@@ -3779,10 +3838,9 @@ object LlmQueries {
     "q210_bm25_index_append" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        import s.implicits._
-        val nDocs = docs.agg(count(lit(1))).as[Long].head()
+        val tag = Registry.contentTag(docs, "doc_id", "text")
         val idx = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft-bm25apx-v2-$nDocs")
+          sys.props("java.io.tmpdir"), s"graft-bm25apx-v3-$tag")
         val marker = new java.io.File(idx, "_graft_appended")
         if (!marker.isFile) {
           // wipe partial state from an interrupted earlier run, then

@@ -50,6 +50,29 @@ object Registry {
     * (which also keeps holistic operators like connected-components
     * comparable, where filtering output pairs would not).
     */
+  /** Short content fingerprint for /tmp fixture-cache keys. Cache dirs
+    * for CONTENT-DERIVED fixtures (a BM25/ANN index, a JSONL dump of
+    * the docs) must be keyed by what the corpus HOLDS, not how many
+    * rows it has: the driver testdata ships different 500-row
+    * documents/embeddings tables at sf0.001 and sf0.01, so a
+    * count-keyed cache built at one scale factor silently serves the
+    * other one wrong bytes. md5 over (total count + the first 10 rows
+    * by key, JSON-encoded) — two scans, both cheap, and any content
+    * change in the head or any cardinality change rolls the key.
+    * (Fixtures synthesized purely from ids — the carve slot images —
+    * stay count-keyed: their bytes don't depend on corpus content.)
+    */
+  def contentTag(df: DataFrame, keyCol: String, cols: String*): String = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val head = df.orderBy(col(keyCol)).limit(10)
+      .select(to_json(struct((keyCol +: cols).map(col): _*)).as("j"))
+      .collect().map(_.getString(0)).mkString("\n")
+    val n = df.count()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$n\n$head".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+  }
+
   private val sampleKeys = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
 
   private def depthSample(df: DataFrame, name: String): DataFrame =

@@ -689,6 +689,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("indexed ANN scores from a bucket-pruned lists scan with no corpus pass") {
+    val p = planOf("q211_ann_indexed")
+    // the lists scan must prune to the buckets holding the probed
+    // cent_ids (the FAISS inverted-list read, as bucketed parquet)
+    assert(p.contains("SelectedBucketsCount"),
+      s"lists scan lost bucket pruning:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"indexed ANN degraded to SMJ:\n$p")
+    // the per-query top-k rank window is the ONLY shuffle — no
+    // corpus-side assignment/encoding exchanges
+    assert(hashExchanges(p) <= 1,
+      s"indexed ANN re-acquired corpus shuffles:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("shard plan is the per-source prefix-sum window plus one partial agg") {
     val p = planOf("q181_shard_plan")
     assert(hashExchanges(p) <= 2, s"shard plan acquired extra shuffles:\n$p")
