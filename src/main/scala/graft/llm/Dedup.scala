@@ -1492,4 +1492,197 @@ object Dedup {
           (col("n_docs_clustered") - col("n_clusters")).as("n_removable"))
     }.reduce(_.union(_))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted dedup index over BucketedWarehouse
+  // ------------------------------------------------------------------
+
+  private val DedupManifestName = "_graft_dedup_index_manifest"
+  private val DedupIndexVersion = 1
+
+  /** Persist the reference corpus' dedup keys ONCE — the incremental-
+    * crawl shape: [[dedupAgainst]] recomputes the reference side's
+    * content hashes AND shingle→minhash→band keys on EVERY batch, a
+    * full reference-corpus pass per crawl increment. This is the third
+    * leg of the persisted-index triangle (BM25 postings for text,
+    * IVF-PQ lists for vectors, LSH keys for near-duplication):
+    *
+    *  - `exact` (h): distinct md5 content hashes, bucketed by `h`;
+    *  - `bands` (bk): distinct `band:band_key` composites (single-
+    *    column join key — the bucketed side never reshuffles), bucketed
+    *    by `bk`;
+    *  - a manifest pinning (version, numBuckets, shingleN, numHashes,
+    *    rowsPerBand) — probing with different shingle/hash geometry
+    *    than the index was built with would silently miss everything.
+    */
+  def buildDedupIndex(ref: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, numBuckets: Int, shingleN: Int,
+                      numHashes: Int, rowsPerBand: Int): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val (eName, bName) = dedupTableNames(indexDir)
+    graft.sources.BucketedWarehouse.writeBucketedPath(
+      ref.select(md5(col(textCol)).as("h")).distinct(),
+      eName, s"$indexDir/exact", Seq("h"), numBuckets)
+    graft.sources.BucketedWarehouse.writeBucketedPath(
+      refBandComposite(ref, idCol, textCol, shingleN, numHashes, rowsPerBand),
+      bName, s"$indexDir/bands", Seq("bk"), numBuckets)
+    val mf = new java.io.File(indexDir, DedupManifestName)
+    java.nio.file.Files.write(mf.toPath,
+      (s"version=$DedupIndexVersion\nnumBuckets=$numBuckets\n" +
+        s"shingleN=$shingleN\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** True when `indexDir` holds a complete current-version dedup index. */
+  def dedupIndexExists(indexDir: String): Boolean = {
+    val mf = new java.io.File(indexDir, DedupManifestName)
+    mf.isFile && {
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(mf)
+      try props.load(in) finally in.close()
+      props.getProperty("version") == DedupIndexVersion.toString
+    }
+  }
+
+  /** Fold a batch's keys into the persisted index: only keys NOT
+    * already present append (bucketed left-anti probes — batch-sized
+    * work), so the distinct-keys invariant survives any append order
+    * and re-sending a batch is idempotent.
+    */
+  def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                         indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    val (nb, shingleN, numHashes, rowsPerBand) = readDedupManifest(indexDir)
+    val (exact, bands) = openDedupIndex(spark, indexDir)
+    val (eName, bName) = dedupTableNames(indexDir)
+    graft.sources.BucketedWarehouse.appendBucketedPath(
+      docs.select(md5(col(textCol)).as("h")).distinct()
+        .join(exact, Seq("h"), "left_anti"),
+      eName, s"$indexDir/exact", Seq("h"), nb)
+    graft.sources.BucketedWarehouse.appendBucketedPath(
+      refBandComposite(docs, idCol, textCol, shingleN, numHashes, rowsPerBand)
+        .join(bands, Seq("bk"), "left_anti"),
+      bName, s"$indexDir/bands", Seq("bk"), nb)
+  }
+
+  /** [[dedupAgainst]] from the PERSISTED index — per new doc, the exact
+    * content-hash hit and the LSH band-key hit, with ZERO reference-
+    * corpus passes: the batch's keys shuffle to the index's bucketing;
+    * the corpus-sized index tables never move. Row-identical to
+    * [[dedupAgainst]] on the same reference corpus + geometry (pinned
+    * by the oracle gate).
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                        indexDir: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (_, shingleN, numHashes, rowsPerBand) = readDedupManifest(indexDir)
+    val (exact, bands) = openDedupIndex(spark, indexDir)
+    val newBands = bandKeys(
+      minHashSignatures(shingles(newDocs, idCol, textCol, shingleN), numHashes),
+      rowsPerBand)
+      .select(col("id"), concat_ws(":", col("band"), col("band_key")).as("bk"))
+    val nearIds = newBands.join(bands, Seq("bk"))
+      .select(col("id")).distinct()
+      .withColumn("graft_near", lit(1L))
+    newDocs.select(col(idCol), md5(col(textCol)).as("h"))
+      .join(exact.withColumn("graft_exact", lit(1L)), Seq("h"), "left")
+      .join(nearIds.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("graft_exact"), lit(0L)).as("exact_dup"),
+        coalesce(col("graft_near"), lit(0L)).as("near_dup"))
+  }
+
+  /** Distinct single-column band composites for a corpus slice. */
+  private def refBandComposite(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int, numHashes: Int,
+                               rowsPerBand: Int): DataFrame =
+    bandKeys(minHashSignatures(shingles(df, idCol, textCol, shingleN), numHashes),
+      rowsPerBand)
+      .select(concat_ws(":", col("band"), col("band_key")).as("bk"))
+      .distinct()
+
+  private def openDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String): (DataFrame, DataFrame) = {
+    val (nb, _, _, _) = readDedupManifest(indexDir)
+    val (eName, bName) = dedupTableNames(indexDir)
+    graft.sources.BucketedWarehouse.registerExternal(spark, eName,
+      s"$indexDir/exact", "h STRING", Seq("h"), nb)
+    graft.sources.BucketedWarehouse.registerExternal(spark, bName,
+      s"$indexDir/bands", "bk STRING", Seq("bk"), nb)
+    (spark.table(eName), spark.table(bName))
+  }
+
+  private def readDedupManifest(indexDir: String): (Int, Int, Int, Int) = {
+    val mf = new java.io.File(indexDir, DedupManifestName)
+    require(mf.isFile,
+      s"no dedup-index manifest at $indexDir — run buildDedupIndex first")
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(mf)
+    try props.load(in) finally in.close()
+    require(props.getProperty("version") == DedupIndexVersion.toString,
+      s"index version ${props.getProperty("version")} != $DedupIndexVersion — rebuild")
+    (props.getProperty("numBuckets").toInt, props.getProperty("shingleN").toInt,
+      props.getProperty("numHashes").toInt, props.getProperty("rowsPerBand").toInt)
+  }
+
+  private def dedupTableNames(indexDir: String): (String, String) = {
+    val canon = new java.io.File(indexDir).getAbsolutePath
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tag = md.take(6).map(b => f"$b%02x").mkString
+    (s"graft_didx_${tag}_exact", s"graft_didx_${tag}_bands")
+  }
+
+  /** Blocked fuzzy record linkage: near-identical short strings (names,
+    * titles, product labels) matched by edit distance WITHOUT the
+    * all-pairs cross join. Two scale levers, both standard linkage
+    * practice:
+    *
+    *  1. collapse exact duplicates first — pairwise work runs on
+    *     DISTINCT values, each carrying its record count (the q31/q33
+    *     canonical-text convention; a duplicate-heavy column never
+    *     inflates the pair set);
+    *  2. block on (first token, length band): true matches within
+    *     `maxDist` edits can't differ in length by more than maxDist,
+    *     so banding lengths by `2·maxDist+1` and probing the value's
+    *     own band plus both neighbors keeps every true pair reachable
+    *     while the join stays equi-key (a shuffle join on the block
+    *     key, skew-safe via AQE — never a cartesian). First-token
+    *     blocking is the lossy-by-declaration half (standard: a typo
+    *     in token 1 escapes the block) — it bounds block sizes on
+    *     natural name data.
+    *
+    * Output one row per matched distinct-value pair (val_a < val_b,
+    * levenshtein ≤ maxDist, including 0 for case-folded collisions):
+    * (block_tok, val_a, val_b, dist, n_a, n_b) — n_* = record counts
+    * behind each value.
+    */
+  def fuzzyBlockedPairs(df: DataFrame, valCol: String,
+                        maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val band = 2 * maxDist + 1
+    val vals = df
+      .select(col(valCol).as("v"))
+      .filter(col("v").isNotNull && col("v") =!= "")
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .withColumn("tok", split(col("v"), " ").getItem(0))
+      .withColumn("band", (length(col("v")) / band).cast("long"))
+    // probe own band + both neighbors: |len_a − len_b| ≤ maxDist pairs
+    // always share at least one probed band
+    val probes = vals.withColumn("pband",
+      explode(array(col("band") - 1, col("band"), col("band") + 1)))
+    val a = probes.select(col("tok"), col("pband"),
+      col("v").as("val_a"), col("n").as("n_a"), col("band").as("band_a"))
+    val b = vals.select(col("tok"), col("band").as("pband"),
+      col("v").as("val_b"), col("n").as("n_b"))
+    a.join(b, Seq("tok", "pband"))
+      .filter(col("val_a") < col("val_b"))
+      // each pair meets in exactly one probed band (b's OWN band), so
+      // no dedup needed; drop the helper columns
+      .withColumn("dist", levenshtein(col("val_a"), col("val_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("tok").as("block_tok"), col("val_a"), col("val_b"),
+        col("dist").cast("long").as("dist"), col("n_a"), col("n_b"))
+  }
 }

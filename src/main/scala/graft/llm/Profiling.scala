@@ -360,4 +360,23 @@ object Profiling {
           |  CAST(sign(sum_wv) AS BIGINT) * ((200 * abs(sum_wv) + n_eff) DIV (2 * n_eff))
           |END""".stripMargin))
   }
+
+  /** k-anonymity audit over quasi-identifier columns (the release gate
+    * privacy reviews run before publishing microdata — Sweeney 2002):
+    * rows grouped into equivalence classes on the quasi identifiers;
+    * any class smaller than `k` re-identifies its members and must be
+    * suppressed or generalized. Returns the RISKY classes only
+    * (quasi cols + class_size < k). Derived identifiers (banded
+    * balances, truncated zips) are the caller's withColumn upstream.
+    *
+    * One map-side-combinable count aggregation; output bounded by the
+    * quasi-identifier domain, not the row count.
+    */
+  def kAnonymity(df: DataFrame, k: Int, quasiCols: Seq[String]): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
 }

@@ -810,6 +810,66 @@ object Similarity {
       .drop("graft_ne")
   }
 
+  /** Matryoshka truncation sweep (Kusupati et al. 2022): recall@k of
+    * exact search on the FIRST m dimensions against full-dimension
+    * ground truth, per m in `dims` — the table that tells you how few
+    * dims an MRL-style embedding can serve at (truncating is the
+    * cheapest ANN speedup there is: a prefix slice, no re-embedding,
+    * m/d of the flops and storage). Distances are exact scaled-BIGINT
+    * squared L2 through the codegen'd kernel; prefix distances come
+    * from in-row slices of the SAME scaled vectors, so the full-dim
+    * row of the output is recall 10000 by construction (a built-in
+    * harness self-check). One pair materialization feeds every m and
+    * the ground truth. Run on SAMPLED queries, like every recall eval.
+    * Output: (m_dims, n_hits, mean_recall_bp).
+    */
+  def matryoshkaRecall(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int, dims: Seq[Int],
+      scale: Double = 10000.0): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1) &&
+      dims == dims.sorted && dims.distinct == dims,
+      s"dims must be a non-empty ascending distinct positive list, got $dims")
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.functions.VecFunctions.register(spark)
+    def scaled(c: org.apache.spark.sql.Column) =
+      call_function("graft_scale_q", c, lit(scale))
+    val qx = broadcast(queries.select(col(idCol).as("query_id"),
+      scaled(col(vecCol)).as("qv")))
+    val cx = corpus.select(col(idCol).as("neighbor_id"),
+      scaled(col(vecCol)).as("nv"))
+    // one pair materialization feeds |dims| prefix rankings + the
+    // ground truth; release via CacheRegistry after the run
+    val pairs = CacheRegistry.persist(
+      qx.join(cx, col("query_id") =!= col("neighbor_id")))
+    val grid = dims.map(_.toLong).toDF("m_dims")
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    val exact = pairs.select(col("query_id"), col("neighbor_id"),
+        call_function("graft_sqdist", col("qv"), col("nv")).as("d2"))
+      .withColumn("rn", row_number().over(wEx)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val wM = Window.partitionBy(col("m_dims"), col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    val topk = pairs.crossJoin(broadcast(grid))
+      .select(col("m_dims"), col("query_id"), col("neighbor_id"),
+        call_function("graft_sqdist",
+          slice(col("qv"), lit(1), col("m_dims").cast("int")),
+          slice(col("nv"), lit(1), col("m_dims").cast("int"))).as("d2"))
+      .withColumn("rnk", row_number().over(wM)).filter(col("rnk") <= k)
+      .select(col("m_dims"), col("query_id"), col("neighbor_id"))
+    val hits = topk.join(broadcast(exact), Seq("query_id", "neighbor_id"))
+      .groupBy(col("m_dims")).agg(count(lit(1)).as("n_hits"))
+    val nq = queries.agg(count(lit(1)).as("graft_nq"))
+    grid.crossJoin(broadcast(nq))
+      .join(broadcast(hits), Seq("m_dims"), "left")
+      .select(col("m_dims"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(20000 * coalesce(n_hits, 0L) + $k * graft_nq) DIV " +
+          s"(2 * $k * graft_nq)").as("mean_recall_bp"))
+  }
+
   /** k-NN label propagation — auto-labeling by majority vote over each
     * query's exact cosine top-k (the standard weak-supervision step for
     * stratifying or filtering an unlabeled slice against a labeled

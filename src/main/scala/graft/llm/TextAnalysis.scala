@@ -1260,4 +1260,38 @@ object TextAnalysis {
         array_min(flatten(transform(col("graft_pa"),
           a => transform(col("graft_pb"), b => abs(a - b))))).as("min_gap"))
   }
+
+  /** Flesch reading-ease per document, in exact milli-points — the
+    * curation-side readability gate (grade-banding a corpus, or
+    * filtering machine-generated word salad that scores absurdly low).
+    * FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), computed as
+    * 206835 − HALF_UP(1015·W/S) − HALF_UP(84600·Syl/W) so both engines
+    * agree bit-for-bit.
+    *
+    * Counting rules (each the standard cheap proxy, pinned here):
+    * words = non-empty space-split tokens; sentences = runs of [.!?]
+    * when the text has any, else ceil(W/15) fixed-width units (15 ≈
+    * mean English sentence length — unpunctuated corpora still get a
+    * usable score instead of a degenerate W/1 blowup); syllables =
+    * [aeiouy]+ vowel groups in the lowercased text (the classic
+    * one-liner syllable estimate). Zero-word documents are dropped.
+    * Narrow per-row arithmetic — no shuffles at any corpus size.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    df.select(col(idCol).as("id"),
+        size(toks).cast("long").as("n_words"),
+        regexp_count(col(textCol), lit("[.!?]+")).cast("long")
+          .as("graft_punct"),
+        size(filter(split(lower(col(textCol)), "[^aeiouy]+"), s => s =!= lit("")))
+          .cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_sentences", expr(
+        "CASE WHEN graft_punct > 0 THEN graft_punct ELSE (n_words + 14) DIV 15 END"))
+      .withColumn("fre_milli", expr(
+        "206835 - (2 * 1015 * n_words + n_sentences) DIV (2 * n_sentences)" +
+          " - (2 * 84600 * n_syllables + n_words) DIV (2 * n_words)"))
+      .select(col("id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("fre_milli"))
+  }
 }

@@ -407,4 +407,74 @@ object EventAnalytics {
       .select(col(typeCol), col("dow"), col("n_events"),
         expr("(20000 * n_events + graft_tot) DIV (2 * graft_tot)").as("share_bp"))
   }
+
+  /** Daily burst report per event type: each PRESENT day's count
+    * against the trailing window of up to `trail` preceding present
+    * days (rows-based — absent days don't dilute the baseline, the
+    * convention monitoring systems use for sparse series). Emits every
+    * (type, day) with `rate_ratio_bp` = HALF_UP(10⁴ · n · trail_days /
+    * trail_sum) — >10000 means above trailing mean — NULL for the
+    * first day of a type (no baseline), plus `is_burst` at the
+    * caller's threshold. Integer-exact end to end.
+    *
+    * Scale shape: one map-side-combinable shuffle to the (type, day)
+    * daily table — |types|·|days| rows, tiny at any corpus size — then
+    * driver-free windows over it. The raw corpus is never windowed.
+    */
+  def burstDays(events: DataFrame, typeCol: String, tsCol: String,
+                trail: Int = 7, thresholdBp: Long = 30000L): DataFrame = {
+    require(trail >= 1, s"trail must be >= 1, got $trail")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(typeCol), to_date(col(tsCol)).as("day"))
+      .groupBy(col(typeCol), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(-trail, -1)
+    daily
+      .withColumn("trail_sum", sum(col("n_events")).over(w))
+      .withColumn("trail_days", count(lit(1)).over(w))
+      .withColumn("rate_ratio_bp", expr(
+        "CASE WHEN trail_days > 0 THEN " +
+          "(20000 * n_events * trail_days + trail_sum) DIV (2 * trail_sum) END"))
+      .withColumn("is_burst",
+        coalesce(col("rate_ratio_bp") >= thresholdBp, lit(false)))
+      .select(col(typeCol), col("day"), col("n_events"),
+        coalesce(col("trail_sum"), lit(0L)).as("trail_sum"),
+        col("trail_days"), col("rate_ratio_bp"), col("is_burst"))
+  }
+
+  /** CUSUM change-point per event type over its daily counts: with D
+    * present days and total T, the scaled cumulative sum at day k is
+    * Σ_{i≤k} (D·cᵢ − T) — integer-exact (the ×D clears the mean T/D) —
+    * and the estimated change point is the day maximizing |cusum|
+    * (ties → earliest day), the classic single-change-point estimator.
+    * Output (type, n_days, cp_day, cusum_at_cp, cusum_abs_max).
+    *
+    * Same scale shape as [[burstDays]]: everything after the one daily
+    * aggregation runs on the |types|·|days|-bounded table.
+    */
+  def cusumChangePoint(events: DataFrame, typeCol: String,
+                       tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(typeCol), to_date(col(tsCol)).as("day"))
+      .groupBy(col(typeCol), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val wAll = Window.partitionBy(col(typeCol))
+    val wCum = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPick = Window.partitionBy(col(typeCol))
+      .orderBy(col("cusum_abs").desc, col("day"))
+    daily
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n_events")).over(wAll))
+      .withColumn("cusum",
+        sum(col("n_events") * col("n_days") - col("total")).over(wCum))
+      .withColumn("cusum_abs", abs(col("cusum")))
+      .withColumn("graft_rn", row_number().over(wPick))
+      .filter(col("graft_rn") === 1)
+      .select(col(typeCol), col("n_days"), col("day").as("cp_day"),
+        col("cusum").as("cusum_at_cp"), col("cusum_abs").as("cusum_abs_max"))
+  }
 }

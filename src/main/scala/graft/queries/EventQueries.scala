@@ -398,6 +398,81 @@ object EventQueries {
              |FROM c JOIN t USING (event_type)
              |ORDER BY c.event_type, c.dow""".stripMargin)),
 
+    // ---- Daily burst report: each present day's count vs the trailing
+    // ≤7 present days (rows-based — absent days don't dilute the
+    // baseline); ratio in basis points, burst at ≥3× trailing mean.
+    // Everything past the one (type, day) aggregation runs on a
+    // |types|·|days|-bounded table.
+    "q213_event_bursts" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.burstDays(
+            table(s, dir, "events"), "event_type", "ts",
+            trail = 7, thresholdBp = 30000L)
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  CAST(count(*) AS BIGINT) AS n_events
+             |           FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, day, n_events,
+             |             CAST(coalesce(sum(n_events) OVER tw, 0) AS BIGINT) AS trail_sum,
+             |             CAST(count(*) OVER tw AS BIGINT) AS trail_days
+             |      FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+             |             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, day, n_events, trail_sum, trail_days,
+             |       CAST(CASE WHEN trail_days > 0
+             |            THEN (20000 * n_events * trail_days + trail_sum) // (2 * trail_sum)
+             |            END AS BIGINT) AS rate_ratio_bp,
+             |       coalesce(CASE WHEN trail_days > 0
+             |            THEN (20000 * n_events * trail_days + trail_sum) // (2 * trail_sum)
+             |            END >= 30000, false) AS is_burst
+             |FROM w ORDER BY event_type, day""".stripMargin)),
+
+    // ---- CUSUM single change-point per type: scaled cumulative sum
+    // Σ(D·cᵢ − T) over the daily counts (×D clears the mean exactly —
+    // no floats), change point = argmax |cusum|, ties → earliest day.
+    "q214_cusum_changepoint" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.cusumChangePoint(
+            table(s, dir, "events"), "event_type", "ts")
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  CAST(count(*) AS BIGINT) AS n_events
+             |           FROM events GROUP BY 1, 2),
+             |s AS (SELECT event_type, day, n_events,
+             |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+             |             CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS total
+             |      FROM d),
+             |c AS (SELECT event_type, day, n_days,
+             |             CAST(sum(n_events * n_days - total) OVER
+             |               (PARTITION BY event_type ORDER BY day
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum
+             |      FROM s),
+             |r AS (SELECT event_type, n_days, day, cusum, abs(cusum) AS cusum_abs,
+             |             row_number() OVER (PARTITION BY event_type
+             |               ORDER BY abs(cusum) DESC, day) AS rn
+             |      FROM c)
+             |SELECT event_type, n_days, day AS cp_day, cusum AS cusum_at_cp,
+             |       cusum_abs AS cusum_abs_max
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
+    // ---- Z-order layout locality: events mapped to (user bucket,
+    // day-of-month), z-values bit-interleaved, equal-width z-range
+    // buckets (the file stand-in) each reporting its (x, y) bounding
+    // rectangle — small rectangles in BOTH dims is exactly what
+    // parquet footer pruning sees under a z-ordered write. Exact bit
+    // arithmetic; narrow scan + one bounded aggregation.
+    "q218_zorder_layout" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(pmod(col("user_id"), lit(64)).as("x"),
+            (dayofmonth(col("ts")) - 1).as("y"))
+        graft.sources.ZOrderLayout.zOrderStats(ev, "x", "y",
+            bits = 6, nBuckets = 16)
+          .orderBy("bucket")
+      },
+      Some(zOrderOracle(bits = 6, nBuckets = 16))),
+
     // ---- First-order Markov next-event backtest: per source type, the
     // hit rate of "predict the modal next type" — ties in the model go
     // to the lexicographically smallest type on both engines.
@@ -553,6 +628,24 @@ object EventQueries {
              |            THEN epoch_us(c.conv_ts) - epoch_us(m.ts) END AS age_us
              |FROM c LEFT JOIN m ON m.conv_id = c.conv_id AND m.rn = 1
              |ORDER BY c.conv_id""".stripMargin)))
+
+  /** DuckDB oracle for [[graft.sources.ZOrderLayout.zOrderStats]] over
+    * events: the same bit-interleave unrolled as SQL shift/mask terms.
+    */
+  private def zOrderOracle(bits: Int, nBuckets: Int): String = {
+    val terms = (0 until bits).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val space = 1L << (2 * bits)
+    s"""WITH b AS (SELECT CAST(user_id % 64 AS BIGINT) AS x,
+       |                  CAST(day(ts) - 1 AS BIGINT) AS y FROM events),
+       |z AS (SELECT x, y, CAST($terms AS BIGINT) AS zval FROM b)
+       |SELECT (zval * $nBuckets) // $space AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       min(x) AS x_min, max(x) AS x_max,
+       |       min(y) AS y_min, max(y) AS y_max
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
 
   /** DuckDB oracle for [[graft.operators.GraphOps.labelPropagation]]:
     * `iters` unrolled synchronous rounds (each MATERIALIZED — the

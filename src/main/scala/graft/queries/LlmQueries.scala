@@ -28,6 +28,25 @@ object LlmQueries {
       |CAST(doc_id // 50 AS VARCHAR) || ' tail ' || CAST(doc_id % 3 AS VARCHAR)"""
       .stripMargin.replace("\n", " ")
 
+  /** q84's exact incremental-dedup oracle — shared by the per-call
+    * path (q84) and the persisted-index path (q219): probing the index
+    * must be row-identical to recomputing the reference keys.
+    */
+  private lazy val IncrementalDedupSql: String =
+    s"""WITH $shingleSql,
+    |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
+    |        FROM sh, (SELECT unnest(range(0, 8)) AS k) ks GROUP BY id, k),
+    |bands AS (SELECT id, k // 2 AS band, md5(string_agg(mh, ',' ORDER BY k)) AS bk
+    |          FROM sig GROUP BY id, k // 2),
+    |refb AS (SELECT DISTINCT band, bk FROM bands WHERE id % 3 = 0),
+    |nearids AS (SELECT DISTINCT b.id FROM bands b JOIN refb USING (band, bk)
+    |            WHERE b.id % 3 <> 0),
+    |refh AS (SELECT DISTINCT md5(t) AS h FROM m WHERE id % 3 = 0)
+    |SELECT m.id AS doc_id,
+    |  CAST(CASE WHEN md5(m.t) IN (SELECT h FROM refh) THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+    |  CAST(CASE WHEN m.id IN (SELECT id FROM nearids) THEN 1 ELSE 0 END AS BIGINT) AS near_dup
+    |FROM m WHERE m.id % 3 <> 0 ORDER BY doc_id""".stripMargin
+
   private def docsTpl(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"), tplCol.as("t"))
 
@@ -1178,19 +1197,39 @@ object LlmQueries {
             "doc_id", "t", shingleN = 3, numHashes = 8, rowsPerBand = 2)
           .orderBy("doc_id")
       },
-      Some(s"""WITH $shingleSql,
-              |sig AS (SELECT id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS mh
-              |        FROM sh, (SELECT unnest(range(0, 8)) AS k) ks GROUP BY id, k),
-              |bands AS (SELECT id, k // 2 AS band, md5(string_agg(mh, ',' ORDER BY k)) AS bk
-              |          FROM sig GROUP BY id, k // 2),
-              |refb AS (SELECT DISTINCT band, bk FROM bands WHERE id % 3 = 0),
-              |nearids AS (SELECT DISTINCT b.id FROM bands b JOIN refb USING (band, bk)
-              |            WHERE b.id % 3 <> 0),
-              |refh AS (SELECT DISTINCT md5(t) AS h FROM m WHERE id % 3 = 0)
-              |SELECT m.id AS doc_id,
-              |  CAST(CASE WHEN md5(m.t) IN (SELECT h FROM refh) THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
-              |  CAST(CASE WHEN m.id IN (SELECT id FROM nearids) THEN 1 ELSE 0 END AS BIGINT) AS near_dup
-              |FROM m WHERE m.id % 3 <> 0 ORDER BY doc_id""".stripMargin)),
+      Some(IncrementalDedupSql)),
+
+    // ---- The SAME incremental-dedup probe against the PERSISTED key
+    // index (distinct content hashes + LSH band composites bucketed
+    // over BucketedWarehouse, built from half the reference slice and
+    // the other half APPENDED via the idempotent anti-join fold):
+    // probing costs zero reference-corpus passes. The oracle is q84's:
+    // index probing must be row-identical to recomputing the keys.
+    "q219_dedup_indexed" -> QueryDef(
+      (s, dir) => {
+        val docs = docsTpl(s, dir)
+        val tag = Registry.contentTag(docs, "doc_id", "t")
+        val idx = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-didx-v1-$tag")
+        val marker = new java.io.File(idx, "_graft_appended")
+        if (!marker.isFile) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(idx)
+          Dedup.buildDedupIndex(docs.filter(col("doc_id") % 6 === 0),
+            "doc_id", "t", idx.toString, numBuckets = 8,
+            shingleN = 3, numHashes = 8, rowsPerBand = 2)
+          Dedup.appendToDedupIndex(docs.filter(col("doc_id") % 6 === 3),
+            "doc_id", "t", idx.toString)
+          java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+        }
+        Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 3 =!= 0),
+            "doc_id", "t", idx.toString)
+          .orderBy("doc_id")
+      },
+      Some(IncrementalDedupSql)),
 
     // ---- End-to-end near-dup removal: LSH pairs → connected components
     // → canonical keep decision per document. THE dedup user story in
@@ -2069,6 +2108,75 @@ object LlmQueries {
           .orderBy("query_id", "rnk")
       },
       Some(IvfAdcSql)),
+
+    // ---- Matryoshka truncation sweep: exact recall@5 of prefix-dim
+    // search (m ∈ {8,16,32,64}) vs full 64-dim ground truth — the
+    // serve-at-fewer-dims tuning table; the m=64 row is recall 10000
+    // by construction (harness self-check). One pair materialization
+    // feeds every m.
+    "q217_matryoshka_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+            queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+            k = 5, dims = Seq(8, 16, 32, 64))
+          .orderBy("m_dims")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+             |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS v
+             |           FROM embeddings),
+             |pd AS MATERIALIZED (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id, qa.i,
+             |             (qa.v - nb.v) * (qa.v - nb.v) AS sq
+             |      FROM q qa JOIN q nb ON nb.i = qa.i AND nb.vec_id <> qa.vec_id
+             |      WHERE qa.vec_id BETWEEN 10 AND 19),
+             |grid AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS m_dims),
+             |tr AS MATERIALIZED (SELECT g.m_dims, pd.query_id, pd.neighbor_id,
+             |             CAST(sum(sq) AS BIGINT) AS d2
+             |      FROM pd JOIN grid g ON pd.i <= g.m_dims GROUP BY 1, 2, 3),
+             |tk AS (SELECT m_dims, query_id, neighbor_id FROM
+             |       (SELECT m_dims, query_id, neighbor_id,
+             |               row_number() OVER (PARTITION BY m_dims, query_id
+             |                 ORDER BY d2, neighbor_id) AS rn FROM tr)
+             |       WHERE rn <= 5),
+             |fx AS MATERIALIZED (SELECT query_id, neighbor_id, CAST(sum(sq) AS BIGINT) AS d2
+             |      FROM pd GROUP BY 1, 2),
+             |ex AS (SELECT query_id, neighbor_id FROM
+             |       (SELECT query_id, neighbor_id,
+             |               row_number() OVER (PARTITION BY query_id
+             |                 ORDER BY d2, neighbor_id) AS rn FROM fx)
+             |       WHERE rn <= 5),
+             |hits AS (SELECT t.m_dims, CAST(count(*) AS BIGINT) AS n_hits
+             |         FROM tk t JOIN ex e ON e.query_id = t.query_id
+             |           AND e.neighbor_id = t.neighbor_id GROUP BY 1)
+             |SELECT g.m_dims, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |       CAST((20000 * coalesce(h.n_hits, 0) + 50) // 100 AS BIGINT) AS mean_recall_bp
+             |FROM grid g LEFT JOIN hits h ON h.m_dims = g.m_dims
+             |ORDER BY g.m_dims""".stripMargin)),
+
+    // ---- Flesch reading-ease in exact milli-points: words / sentence
+    // units / vowel-group syllables counted with pinned proxies
+    // (unpunctuated docs fall back to 15-word sentence units), HALF_UP
+    // integer formula on both engines. Narrow per-row arithmetic.
+    "q216_readability" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.readability(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+             |                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS np,
+             |                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+             |           FROM documents),
+             |s AS (SELECT doc_id, n_words,
+             |             CASE WHEN np > 0 THEN np
+             |                  ELSE (n_words + 14) // 15 END AS n_sentences,
+             |             n_syllables
+             |      FROM b WHERE n_words > 0)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |       206835 - (2 * 1015 * n_words + n_sentences) // (2 * n_sentences)
+             |              - (2 * 84600 * n_syllables + n_words) // (2 * n_words) AS fre_milli
+             |FROM s ORDER BY doc_id""".stripMargin)),
 
     // ---- Snapshot drift report: exact total-variation distance per
     // categorical column between the corpus and a refreshed snapshot

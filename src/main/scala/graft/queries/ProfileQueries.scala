@@ -203,5 +203,26 @@ object ProfileQueries {
              |p AS (SELECT a.source AS src_a, b.source AS src_b
              |      FROM seg2 a JOIN seg2 b ON a.seg = b.seg AND a.source < b.source)
              |SELECT src_a, src_b, count(*) AS n_shared_segments
-             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- k-anonymity audit: customers bucketed by the quasi
+    // identifiers (nation, segment, banded balance); every equivalence
+    // class smaller than 5 re-identifies its members — the suppression
+    // work list a privacy release review starts from.
+    "q215_k_anonymity" -> QueryDef(
+      (s, dir) => {
+        val c = Registry.table(s, dir, "customer")
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / 1000).cast("long"))
+        graft.llm.Profiling.kAnonymity(c, k = 5,
+            Seq("c_nationkey", "c_mktsegment", "bal_band"))
+          .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+             |                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |                  CAST(count(*) AS BIGINT) AS class_size
+             |           FROM customer GROUP BY 1, 2, 3)
+             |SELECT c_nationkey, c_mktsegment, bal_band, class_size
+             |FROM g WHERE class_size < 5
+             |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin)))
 }

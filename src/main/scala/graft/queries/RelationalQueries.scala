@@ -383,5 +383,28 @@ object RelationalQueries {
              |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
              |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
              |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- Blocked fuzzy record linkage over part names: exact-dup
+    // collapse first, then an equi-key blocked join on (first token,
+    // length band) — never a cartesian — with an edit-distance ≤ 3
+    // filter. The band probe is LOSSLESS within a token block
+    // (lev ≤ d ⇒ length diff ≤ d ⇒ adjacent bands), so the oracle is
+    // the plain within-block all-pairs formulation.
+    "q212_fuzzy_blocked_join" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Dedup.fuzzyBlockedPairs(table(s, dir, "part"), "p_name",
+            maxDist = 3)
+          .orderBy("block_tok", "val_a", "val_b")
+      },
+      Some("""WITH v AS (SELECT p_name AS v, CAST(count(*) AS BIGINT) AS n
+             |           FROM part WHERE p_name IS NOT NULL AND p_name <> ''
+             |           GROUP BY 1),
+             |t AS (SELECT v, n, string_split(v, ' ')[1] AS tok FROM v)
+             |SELECT a.tok AS block_tok, a.v AS val_a, b.v AS val_b,
+             |       CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist,
+             |       a.n AS n_a, b.n AS n_b
+             |FROM t a JOIN t b ON a.tok = b.tok AND a.v < b.v
+             |WHERE levenshtein(a.v, b.v) <= 3
+             |ORDER BY block_tok, val_a, val_b""".stripMargin)))
 }

@@ -1,0 +1,226 @@
+package graft
+
+import graft.llm.{Dedup, Profiling, Similarity, TextAnalysis}
+import graft.operators.EventAnalytics
+import graft.sources.ZOrderLayout
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 analytics batch: burst/CUSUM detectors, blocked fuzzy
+  * linkage, readability, k-anonymity, matryoshka recall, z-order
+  * layout — unit/property pins beyond the DuckDB oracle gate.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-analytics-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+
+  private def eventsDf(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_type", "d")
+      .select(col("event_type"), to_timestamp(col("d")).as("ts"))
+  }
+
+  test("burstDays flags a planted 4x spike and nothing else") {
+    // 8 quiet days at 10/day, then day 9 at 40
+    val rows = (1 to 8).flatMap(d =>
+      Seq.fill(10)(("a", f"2024-01-$d%02d 12:00:00"))) ++
+      Seq.fill(40)(("a", "2024-01-09 12:00:00"))
+    val out = EventAnalytics.burstDays(eventsDf(rows), "event_type", "ts",
+        trail = 7, thresholdBp = 30000L)
+      .orderBy("day").collect()
+    assert(out.length === 9)
+    assert(out.count(_.getAs[Boolean]("is_burst")) === 1)
+    val spike = out.last
+    assert(spike.getAs[Boolean]("is_burst"))
+    assert(spike.getAs[Long]("rate_ratio_bp") === 40000L) // 40 vs mean 10
+    assert(out.head.isNullAt(out.head.fieldIndex("rate_ratio_bp"))) // no baseline
+  }
+
+  test("cusumChangePoint lands on a planted level shift") {
+    // 10 days at 5/day then 10 days at 15/day: |cusum| of D·c−T peaks
+    // at the boundary (day 10)
+    val rows = (1 to 10).flatMap(d => Seq.fill(5)(("a", f"2024-01-$d%02d 08:00:00"))) ++
+      (11 to 20).flatMap(d => Seq.fill(15)(("a", f"2024-01-$d%02d 08:00:00")))
+    val out = EventAnalytics.cusumChangePoint(eventsDf(rows), "event_type", "ts")
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[java.sql.Date]("cp_day").toString === "2024-01-10")
+    assert(out.head.getAs[Long]("n_days") === 20L)
+    // at the boundary: 10 days of 20·5−200 = −100 each
+    assert(out.head.getAs[Long]("cusum_at_cp") === -1000L)
+  }
+
+  test("fuzzyBlockedPairs equals the unblocked within-token formulation") {
+    import spark.implicits._
+    // adversarial lengths around band boundaries: maxDist=2 → band
+    // width 5, so ("red bolt", len 8, band 1) vs ("red boltxy", len 10,
+    // band 2) is a true lev-2 pair that only the NEIGHBOR probe reaches
+    val names = Seq("red bolt", "red bolt", "red boltxy", "red colt",
+      "red wrench", "blue gear", "blue gears", "blue g", "zz zz", "w")
+    val df = names.toDF("name")
+    val blocked = Dedup.fuzzyBlockedPairs(df, "name", maxDist = 2)
+      .select("val_a", "val_b", "dist", "n_a", "n_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    // reference: all pairs of distinct values sharing the first token
+    val counts = names.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+    val distinct = counts.keys.toSeq.sorted
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- distinct; b <- distinct
+      if a < b && a.split(" ").head == b.split(" ").head
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong, counts(a), counts(b))).sortBy(t => (t._1, t._2))
+    assert(blocked === expected)
+    assert(expected.nonEmpty) // the fixture must actually exercise matches
+  }
+
+  test("readability: punctuated path vs 15-word fallback, exact values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat. the dog ran!"),        // 6 words, 2 sentences
+      (2L, Seq.fill(30)("go").mkString(" ")),   // no punct → 2 units
+      (3L, "   ")                               // zero words → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(out.length === 2)
+    val r1 = out.head
+    assert(r1.getAs[Long]("n_words") === 6L)
+    assert(r1.getAs[Long]("n_sentences") === 2L)
+    // syllables: e,a,a,e,o,a vowel groups = 6
+    assert(r1.getAs[Long]("n_syllables") === 6L)
+    // 206835 − HALF_UP(1015·6/2) − HALF_UP(84600·6/6) = 206835−3045−84600
+    assert(r1.getAs[Long]("fre_milli") === 206835L - 3045L - 84600L)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_sentences") === 2L) // ceil(30/15)
+  }
+
+  test("kAnonymity returns exactly the sub-k classes") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++
+      Seq.fill(1)(("b", 1))).toDF("seg", "band")
+    val out = Profiling.kAnonymity(df, k = 5, Seq("seg", "band"))
+      .orderBy("seg", "band").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(out === Seq(("a", 2, 2L), ("b", 1, 1L)))
+  }
+
+  test("matryoshkaRecall is 10000 bp at the full dimension") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.matryoshkaRecall(emb, "vec_id", "embedding",
+        queries = emb.filter(col("vec_id") < 5), k = 3, dims = Seq(16, 64))
+      .orderBy("m_dims").collect()
+    assert(out.length === 2)
+    assert(out.last.getAs[Long]("m_dims") === 64L)
+    assert(out.last.getAs[Long]("mean_recall_bp") === 10000L)
+    assert(out.head.getAs[Long]("mean_recall_bp") <= 10000L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  private def dedupCorpusDf = {
+    import spark.implicits._
+    // 40 docs over 8 templates → plenty of cross-slice dups
+    (0L until 40L).map(i =>
+      (i, s"tpl ${i % 8} alpha beta gamma delta tail ${i % 2}"))
+      .toDF("doc_id", "text")
+  }
+
+  test("dedupAgainstIndex equals dedupAgainst row for row") {
+    val docs = dedupCorpusDf
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx").toFile
+    dir.deleteOnExit()
+    val idx = s"$dir/idx"
+    Dedup.buildDedupIndex(ref, "doc_id", "text", idx, numBuckets = 4,
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val indexed = rows(Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx))
+    val perCall = rows(Dedup.dedupAgainst(batch, ref, "doc_id", "text",
+      shingleN = 3, numHashes = 8, rowsPerBand = 2))
+    assert(indexed === perCall)
+    assert(indexed.exists(_._2 == 1L), "fixture must plant exact dups")
+  }
+
+  test("appendToDedupIndex is idempotent and equals a full build") {
+    val docs = dedupCorpusDf
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx2").toFile
+    dir.deleteOnExit()
+    val (full, inc) = (s"$dir/full", s"$dir/inc")
+    Dedup.buildDedupIndex(ref, "doc_id", "text", full, 4, 3, 8, 2)
+    Dedup.buildDedupIndex(ref.filter(col("doc_id") % 6 === 0),
+      "doc_id", "text", inc, 4, 3, 8, 2)
+    Dedup.appendToDedupIndex(ref.filter(col("doc_id") % 6 === 3),
+      "doc_id", "text", inc)
+    // re-sending the same batch must be a no-op (anti-join fold)
+    Dedup.appendToDedupIndex(ref.filter(col("doc_id") % 6 === 3),
+      "doc_id", "text", inc)
+    def rows(idx: String) =
+      Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    assert(rows(full) === rows(inc))
+    // distinct-keys invariant: no duplicate hash rows after re-append
+    val h = spark.read.parquet(s"$inc/exact")
+    assert(h.count() === h.distinct().count())
+  }
+
+  test("zValue interleaves bits exactly") {
+    import spark.implicits._
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (63L, 63L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), ZOrderLayout.zValue(col("x"), col("y"), 6).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def ref(x: Long, y: Long) = (0 until 6).map(i =>
+      (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))).sum
+    out.foreach { case (x, y, z) => assert(z === ref(x, y), s"($x,$y)") }
+    assert(ref(63L, 63L) === 4095L)
+  }
+
+  test("writeZOrdered bounds every file's rectangle in BOTH dimensions") {
+    import spark.implicits._
+    // 64×64 grid, one row each — uniform worst case for a 1-D sort
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+    val df = grid.toDF("x", "y").repartition(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
+    dir.deleteOnExit()
+    val path = s"$dir/z"
+    ZOrderLayout.writeZOrdered(df, path, "x", "y", bits = 6, numFiles = 16)
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("x")) - min(col("x"))).as("xr"),
+        (max(col("y")) - min(col("y"))).as("yr"))
+      .collect()
+    assert(perFile.length === 16)
+    // a 1-D x-sort at 16 files gives yr = 63 in every file; z-order
+    // must bound BOTH ranges well below the full extent in every file
+    perFile.foreach { r =>
+      assert(r.getAs[Long]("xr") <= 31, s"file x-range too wide: $r")
+      assert(r.getAs[Long]("yr") <= 31, s"file y-range too wide: $r")
+    }
+  }
+}

@@ -689,6 +689,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("indexed dedup probes bucketed key tables without corpus-key shuffles") {
+    val p = planOf("q219_dedup_indexed")
+    // both persisted key tables must scan with their bucket spec
+    assert("Bucketed: true".r.findAllIn(p).size >= 2,
+      s"dedup index scans lost the bucket spec:\n$p")
+    assert(p.contains("graft_didx"), s"not reading the persisted index:\n$p")
+    // the index-side keys never reshuffle: no exchange partitioned on
+    // the content-hash or band-composite columns (at test scale AQE
+    // broadcasts the index tables; at corpus scale the bucket layout
+    // absorbs the SMJ requirement)
+    assert(!p.contains("Exchange hashpartitioning(h#"),
+      s"content-hash side re-shuffled:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(bk#"),
+      s"band-key side re-shuffled:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("indexed ANN scores from a bucket-pruned lists scan with no corpus pass") {
     val p = planOf("q211_ann_indexed")
     // the lists scan must prune to the buckets holding the probed
