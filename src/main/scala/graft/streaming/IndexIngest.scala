@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.llm.{Dedup, Retrieval}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming corpus ingestion against the PERSISTED indexes — the
+  * incremental-crawl loop as one `foreachBatch` pipeline: each arriving
+  * micro-batch is probed against the on-disk dedup index
+  * ([[graft.llm.Dedup.dedupAgainstIndex]] — zero reference-corpus
+  * passes), content already known is dropped, and the survivors' keys
+  * fold into the dedup index (idempotent anti-join append) plus,
+  * optionally, their postings into the BM25 index
+  * ([[graft.llm.Retrieval.appendToIndex]]) — so retrieval over the
+  * corpus is queryable WHILE it ingests.
+  *
+  * Restart semantics (the standard non-transactional `foreachBatch`
+  * story, stated honestly): a batch-id ledger in the dedup index dir
+  * makes replayed batch ids no-ops, so a crash-restart does not
+  * double-ingest a COMMITTED batch. Within an uncommitted batch the
+  * dedup-key append is idempotent by construction (anti-join fold);
+  * the BM25 postings append is not — a crash in the window between the
+  * postings append and the ledger write re-appends that batch's
+  * postings on replay. Exactly-once would need a transactional index
+  * store; the ledger narrows the window to one batch.
+  */
+object IndexIngest {
+
+  private val LedgerName = "_graft_ingest_ledger"
+
+  /** Process one micro-batch; returns the number of appended docs, or
+    * -1 when `batchId` is already in the ledger (replay after restart).
+    * Exposed for direct testing and for batch-mode backfills.
+    *
+    * `dropNear` drops band-key near-duplicates as well as exact
+    * content hits (the training-data default); `false` keeps near-dups
+    * (the archival default — exact copies only).
+    */
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
+                   textCol: String, dedupIndexDir: String,
+                   bm25IndexDir: Option[String],
+                   dropNear: Boolean = true): Long = {
+    val ledger = new java.io.File(dedupIndexDir, LedgerName)
+    if (committedIds(ledger).contains(batchId)) return -1L
+    val flags = Dedup.dedupAgainstIndex(batch, idCol, textCol, dedupIndexDir)
+    val keepIds = flags.filter(
+      if (dropNear) col("exact_dup") === 0 && col("near_dup") === 0
+      else col("exact_dup") === 0)
+      .select(col(idCol))
+    // bounded per-batch frame; two appends read it
+    val survivors = batch.join(keepIds, Seq(idCol)).persist()
+    val n = survivors.count()
+    if (n > 0) {
+      // postings first, ledger last — see restart semantics above
+      bm25IndexDir.foreach { dir =>
+        Retrieval.appendToIndex(survivors, idCol, textCol, dir)
+      }
+      Dedup.appendToDedupIndex(survivors, idCol, textCol, dedupIndexDir)
+    }
+    survivors.unpersist()
+    val out = new java.io.FileWriter(ledger, true)
+    try out.write(s"$batchId\n") finally out.close()
+    n
+  }
+
+  /** Start the streaming ingest: `docs` is a streaming frame carrying
+    * (idCol, textCol). The dedup index must already exist
+    * ([[graft.llm.Dedup.buildDedupIndex]], possibly over an empty
+    * seed); the BM25 index likewise when given.
+    */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+            dedupIndexDir: String, bm25IndexDir: Option[String],
+            checkpoint: String, dropNear: Boolean = true): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, dedupIndexDir,
+          bm25IndexDir, dropNear)
+        ()
+      }
+      .start()
+
+  private def committedIds(ledger: java.io.File): Set[Long] =
+    if (!ledger.isFile) Set.empty
+    else {
+      val src = scala.io.Source.fromFile(ledger)
+      try src.getLines().filter(_.nonEmpty).map(_.toLong).toSet
+      finally src.close()
+    }
+}

@@ -361,4 +361,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == Set(2L, 4L), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming index ingest dedups against and appends to the persisted indexes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toFile
+    dir.deleteOnExit()
+    val (didx, bidx, ck) = (s"$dir/didx", s"$dir/bidx", s"$dir/ck")
+    // seed corpus: both indexes pre-built, retrieval queryable from t0
+    val seed = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six")).toDF("doc_id", "text")
+    graft.llm.Dedup.buildDedupIndex(seed, "doc_id", "text", didx,
+      numBuckets = 4, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    graft.llm.Retrieval.buildIndex(seed, "doc_id", "text", bidx, numBuckets = 4)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.IndexIngest.start(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      didx, Some(bidx), ck)
+    try {
+      // batch 0: one exact dup of seed doc 0 (dropped) + one new doc
+      in.addData((10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "seven eight nine ten eleven twelve"))
+      q.processAllAvailable()
+      // batch 1: dup of the batch-0 ingest (the index already learned
+      // doc 11's keys) + one new doc
+      in.addData((12L, "seven eight nine ten eleven twelve"),
+        (13L, "unique thirteen sentence appears here now"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // retrieval sees exactly the survivors: 13 for its unique term,
+    // and ONLY 11 for the term both 11 and the dropped 12 carried
+    def ids(term: String) =
+      graft.llm.Retrieval.bm25TopKIndexed(spark, bidx, Seq(Seq(term)), k = 3)
+        .collect().map(_.getAs[Long]("id")).toSet
+    assert(ids("thirteen") === Set(13L))
+    assert(ids("seven") === Set(11L))
+    assert(ids("alpha") === Set(0L)) // the dup never re-entered
+    // replayed batch ids are ledger no-ops (crash-restart semantics)
+    assert(graft.streaming.IndexIngest.processBatch(
+      seed, 0L, "doc_id", "text", didx, Some(bidx)) === -1L)
+    assert(graft.streaming.IndexIngest.processBatch(
+      seed, 1L, "doc_id", "text", didx, Some(bidx)) === -1L)
+  }
 }
