@@ -216,6 +216,43 @@ object Curation {
       .toDF(groupCol, idCol, "toks", "bin", "fill_after")
   }
 
+  /** Stride-scheduled weighted interleave — the deterministic
+    * data-loader ORDER for a multi-source mixture (lottery/stride
+    * scheduling, Waldspurger 1995; what weighted interleaving in
+    * training loaders implements): each source's rows get a
+    * deterministic within-source shuffle rank (md5 of the id — the
+    * corpus-shuffle convention), and row i of source s is scheduled at
+    * integer virtual time vt = ⌈i·10⁶ / w_s⌉ (computed as
+    * (i·10⁶ + w_s − 1) DIV w_s — exact, no floats). Reading the output
+    * in (vt, source, src_rank) order yields the weighted round-robin:
+    * over any prefix, source s contributes ≈ w_s/Σw of the rows, with
+    * bounded (±1 per source) deviation — the property batch-level
+    * mixture sampling (q103) does NOT give you.
+    *
+    * Scale shape: one per-source rank window (per-key sort, no global
+    * window) + narrow arithmetic. The OUTPUT ORDER is the schedule;
+    * materializing it globally is an ordinary repartitionByRange sort
+    * on (vt, source) — scalable, unlike a global row_number.
+    * Sources missing from `weightsBp` are dropped (declare your
+    * mixture); weights must be positive.
+    */
+  def interleaveSchedule(df: DataFrame, srcCol: String, idCol: String,
+                         weightsBp: Map[String, Long]): DataFrame = {
+    require(weightsBp.nonEmpty && weightsBp.values.forall(_ > 0),
+      s"weightsBp must be non-empty positive, got $weightsBp")
+    val s = df.sparkSession
+    import s.implicits._
+    val w = weightsBp.toSeq.toDF(srcCol, "graft_w")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(srcCol), col(idCol))
+      .join(broadcast(w), Seq(srcCol))
+      .withColumn("src_rank", row_number().over(rankW).cast("long"))
+      .withColumn("vt", expr("(src_rank * 1000000 + graft_w - 1) DIV graft_w"))
+      .select(col(srcCol), col(idCol), col("src_rank"), col("vt"))
+  }
+
   /** Padding-waste report for length-bucketed batching: each document
     * lands in the smallest bucket that fits its token count (the
     * standard fixed-shape batching scheme), and the report says what

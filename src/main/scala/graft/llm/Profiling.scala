@@ -372,6 +372,40 @@ object Profiling {
     * One map-side-combinable count aggregation; output bounded by the
     * quasi-identifier domain, not the row count.
     */
+  /** Trimmed mean per group — the robust center monitoring dashboards
+    * want when a metric has fat tails: drop the lowest and highest
+    * `trimBp` (basis points, floor) of rows by value rank and average
+    * the rest, all in exact integers (values arrive as an integer
+    * column, e.g. cents; mean reported in milli-units, HALF_UP; rank
+    * ties broken by `idCol` so both engines agree). Output:
+    * (group, n_total, n_kept, kept_sum, trimmed_mean_milli).
+    *
+    * One per-group rank window (per-key sort) + one aggregation —
+    * never a global sort. Values may be negative: the mean uses the
+    * signed HALF_UP form.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
+                  idCol: String, trimBp: Long): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000,
+      s"trimBp must be in [0, 5000), got $trimBp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("graft_v"), col(idCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valCol).cast("long").as("graft_v"), col(idCol))
+      .withColumn("graft_rn", row_number().over(w).cast("long"))
+      .withColumn("n_total", count(lit(1)).over(wn))
+      .withColumn("graft_cut", expr(s"n_total * $trimBp DIV 10000"))
+      .filter(col("graft_rn") > col("graft_cut") &&
+        col("graft_rn") <= col("n_total") - col("graft_cut"))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_total")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        sum(col("graft_v")).as("kept_sum"))
+      .withColumn("trimmed_mean_milli", expr(
+        "CAST(sign(kept_sum) AS BIGINT) * " +
+          "((2000 * abs(kept_sum) + n_kept) DIV (2 * n_kept))"))
+  }
+
   def kAnonymity(df: DataFrame, k: Int, quasiCols: Seq[String]): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")

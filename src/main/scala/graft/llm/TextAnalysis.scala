@@ -1277,6 +1277,50 @@ object TextAnalysis {
     * one-liner syllable estimate). Zero-word documents are dropped.
     * Narrow per-row arithmetic — no shuffles at any corpus size.
     */
+  /** Rank-normalized quality blend — combining heterogeneous quality
+    * signals whose raw scales are incomparable (chars vs ratios vs
+    * model scores) by mapping each to its within-source percentile
+    * rank first, then averaging: the standard trick for building one
+    * composite quality index per document without hand-tuned scale
+    * constants, and normalizing WITHIN source keeps a verbose source
+    * from monopolizing the top of the blend. Signals here: raw length
+    * and distinct-token ratio; both normalized as
+    * HALF_UP(10⁴·(rank−1)/(n−1)) (row_number with doc-id tie-break —
+    * deterministic; a singleton source gets the neutral 5000), blended
+    * as the HALF_UP mean. Output: (id, src, len_bp, ttr_bp, blend_bp).
+    *
+    * Two per-source rank windows (per-key sorts) — no global windows,
+    * no floats.
+    */
+  def qualityBlend(df: DataFrame, idCol: String, textCol: String,
+                   srcCol: String): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val withToks = df.select(col(idCol).as("id"), col(srcCol).as("src"),
+        length(col(textCol)).cast("long").as("graft_len"),
+        size(array_distinct(toks)).cast("long").as("graft_dt"),
+        size(toks).cast("long").as("graft_nt"))
+      .filter(col("graft_nt") > 0)
+      .withColumn("graft_ttr",
+        expr("(20000 * graft_dt + graft_nt) DIV (2 * graft_nt)"))
+    def normed(sig: String, out: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col(sig), col("id"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      (df: DataFrame) => df
+        .withColumn("graft_rn", row_number().over(w).cast("long"))
+        .withColumn("graft_n", count(lit(1)).over(wn))
+        .withColumn(out, expr(
+          "CASE WHEN graft_n > 1 THEN " +
+            "(20000 * (graft_rn - 1) + (graft_n - 1)) DIV (2 * (graft_n - 1)) " +
+            "ELSE CAST(5000 AS BIGINT) END"))
+        .drop("graft_rn", "graft_n")
+    }
+    normed("graft_ttr", "ttr_bp")(normed("graft_len", "len_bp")(withToks))
+      .withColumn("blend_bp", expr("(len_bp + ttr_bp + 1) DIV 2"))
+      .select(col("id"), col("src"), col("len_bp"), col("ttr_bp"),
+        col("blend_bp"))
+  }
+
   def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
     df.select(col(idCol).as("id"),

@@ -456,6 +456,36 @@ object EventQueries {
              |       cusum_abs AS cusum_abs_max
              |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- 5%-trimmed mean of event value cents per type: the robust
+    // center for fat-tailed metrics — rank windows per type (per-key
+    // sorts, never global), trim counts floored, signed HALF_UP mean
+    // in milli-cents.
+    "q221_trimmed_mean" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.trimmedMean(
+            table(s, dir, "events")
+              .withColumn("cents", round(col("value") * 100).cast("long")),
+            "event_type", "cents", "event_id", trimBp = 500L)
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS (SELECT event_type, event_id,
+             |                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |r AS (SELECT event_type, c,
+             |             CAST(row_number() OVER (PARTITION BY event_type
+             |               ORDER BY c, event_id) AS BIGINT) AS rn,
+             |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |      FROM v),
+             |k AS (SELECT event_type, n, c FROM r
+             |      WHERE rn > n * 500 // 10000 AND rn <= n - n * 500 // 10000),
+             |g AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+             |             CAST(count(*) AS BIGINT) AS n_kept,
+             |             CAST(sum(c) AS BIGINT) AS kept_sum
+             |      FROM k GROUP BY 1)
+             |SELECT event_type, n_total, n_kept, kept_sum,
+             |       CAST(CAST(sign(kept_sum) AS BIGINT) *
+             |            ((2000 * abs(kept_sum) + n_kept) // (2 * n_kept)) AS BIGINT) AS trimmed_mean_milli
+             |FROM g ORDER BY event_type""".stripMargin)),
+
     // ---- Z-order layout locality: events mapped to (user bucket,
     // day-of-month), z-values bit-interleaved, equal-width z-range
     // buckets (the file stand-in) each reporting its (x, y) bounding

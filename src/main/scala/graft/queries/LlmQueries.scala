@@ -2109,6 +2109,63 @@ object LlmQueries {
       },
       Some(IvfAdcSql)),
 
+    // ---- Stride-scheduled weighted interleave: the deterministic
+    // data-loader order for a 3-source mixture (50/30/20) — reading in
+    // (vt, source) order gives every prefix the target mix with ±1
+    // deviation per source, which batch-level sampling can't promise.
+    "q220_interleave_schedule" -> QueryDef(
+      (s, dir) => {
+        Curation.interleaveSchedule(
+            table(s, dir, "documents")
+              .filter(col("source").isin("src0", "src1", "src2")),
+            "source", "doc_id",
+            Map("src0" -> 5000L, "src1" -> 3000L, "src2" -> 2000L))
+          .orderBy("vt", "source", "src_rank")
+      },
+      Some("""WITH d AS (SELECT source, doc_id FROM documents
+             |           WHERE source IN ('src0', 'src1', 'src2')),
+             |w AS (SELECT * FROM (VALUES ('src0', 5000), ('src1', 3000),
+             |                            ('src2', 2000)) v(source, w)),
+             |r AS (SELECT d.source, d.doc_id, CAST(w.w AS BIGINT) AS w,
+             |             CAST(row_number() OVER (PARTITION BY d.source
+             |               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) AS src_rank
+             |      FROM d JOIN w USING (source))
+             |SELECT source, doc_id, src_rank,
+             |       (src_rank * 1000000 + w - 1) // w AS vt
+             |FROM r ORDER BY vt, source, src_rank""".stripMargin)),
+
+    // ---- Rank-normalized quality blend: length and distinct-token
+    // ratio each mapped to within-source percentile rank (ties by doc
+    // id; singleton source → neutral 5000), HALF_UP-averaged into one
+    // composite — incomparable signal scales never touch each other.
+    "q222_quality_blend" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.qualityBlend(table(s, dir, "documents"),
+            "doc_id", "text", "source")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source AS src,
+             |                  CAST(length(text) AS BIGINT) AS len,
+             |                  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS dt,
+             |                  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt
+             |           FROM documents),
+             |b AS (SELECT doc_id, src, len, (20000 * dt + nt) // (2 * nt) AS ttr
+             |      FROM t WHERE nt > 0),
+             |r AS (SELECT doc_id, src,
+             |             CAST(row_number() OVER (PARTITION BY src ORDER BY len, doc_id) AS BIGINT) AS rl,
+             |             CAST(row_number() OVER (PARTITION BY src ORDER BY ttr, doc_id) AS BIGINT) AS rt,
+             |             CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS n
+             |      FROM b),
+             |nrm AS (SELECT doc_id, src,
+             |             CASE WHEN n > 1 THEN (20000 * (rl - 1) + (n - 1)) // (2 * (n - 1)) ELSE 5000 END AS len_bp,
+             |             CASE WHEN n > 1 THEN (20000 * (rt - 1) + (n - 1)) // (2 * (n - 1)) ELSE 5000 END AS ttr_bp
+             |      FROM r)
+             |SELECT doc_id, src, CAST(len_bp AS BIGINT) AS len_bp,
+             |       CAST(ttr_bp AS BIGINT) AS ttr_bp,
+             |       CAST((len_bp + ttr_bp + 1) // 2 AS BIGINT) AS blend_bp
+             |FROM nrm ORDER BY doc_id""".stripMargin)),
+
     // ---- Matryoshka truncation sweep: exact recall@5 of prefix-dim
     // search (m ∈ {8,16,32,64}) vs full 64-dim ground truth — the
     // serve-at-fewer-dims tuning table; the m=64 row is recall 10000

@@ -189,6 +189,67 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h.count() === h.distinct().count())
   }
 
+  test("interleaveSchedule keeps every prefix near the target mixture") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+    val out = graft.llm.Curation.interleaveSchedule(docs, "src", "id",
+        Map("s0" -> 5000L, "s1" -> 3000L, "s2" -> 2000L))
+      .orderBy("vt", "src", "src_rank")
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(out.length === 300)
+    // vt formula: row i of source s lands at ceil(i*1e6/w)
+    assert(out.find(_._1 == "s2").get._2 === 500L) // 1e6/2000
+    // stride property: any prefix holds each source within ±2 of its
+    // target share (the whole point vs batch-level sampling)
+    val running = scala.collection.mutable.Map("s0" -> 0L, "s1" -> 0L, "s2" -> 0L)
+    val target = Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+    out.zipWithIndex.foreach { case ((src, _), k) =>
+      running(src) += 1
+      // sources exhaust at different times (100 docs each); only check
+      // while all three still have supply
+      if (k < 199) target.foreach { case (s0, share) =>
+        val dev = math.abs(running(s0) - (k + 1) * share)
+        assert(dev <= 2.0, s"prefix ${k + 1}: $s0 at ${running(s0)} vs target ${(k + 1) * share}")
+      }
+    }
+  }
+
+  test("trimmedMean removes planted outliers exactly") {
+    import spark.implicits._
+    // 18 values of 100 + outliers 0 and 100000 → 5%·20 = 1 cut each side
+    val df = ((1L to 18L).map(i => ("a", 100L, i)) ++
+      Seq(("a", 0L, 19L), ("a", 100000L, 20L))).toDF("g", "v", "id")
+    val out = graft.llm.Profiling.trimmedMean(df, "g", "v", "id", trimBp = 500L)
+      .collect().head
+    assert(out.getAs[Long]("n_total") === 20L)
+    assert(out.getAs[Long]("n_kept") === 18L)
+    assert(out.getAs[Long]("kept_sum") === 1800L)
+    assert(out.getAs[Long]("trimmed_mean_milli") === 100000L) // 100.000
+  }
+
+  test("qualityBlend: singleton source is neutral, ranks are exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x y z"),          // src a: len rank by doc id
+      (2L, "a", "x x x x x"),
+      (3L, "b", "lone doc here")   // singleton source
+    ).toDF("doc_id", "src", "text2").select(col("doc_id"),
+      col("src"), col("text2").as("text"))
+    val out = graft.llm.TextAnalysis.qualityBlend(df, "doc_id", "text", "src")
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(3L).getAs[Long]("len_bp") === 5000L)
+    assert(byId(3L).getAs[Long]("ttr_bp") === 5000L)
+    assert(byId(3L).getAs[Long]("blend_bp") === 5000L)
+    // src a: doc 1 len 5 < doc 2 len 9 → len_bp 0 / 10000; ttr: doc 2
+    // (1 distinct of 5 → 2000bp) < doc 1 (3 of 3 → 10000bp)
+    assert(byId(1L).getAs[Long]("len_bp") === 0L)
+    assert(byId(2L).getAs[Long]("len_bp") === 10000L)
+    assert(byId(1L).getAs[Long]("ttr_bp") === 10000L)
+    assert(byId(2L).getAs[Long]("ttr_bp") === 0L)
+    assert(byId(1L).getAs[Long]("blend_bp") === 5000L)
+  }
+
   test("zValue interleaves bits exactly") {
     import spark.implicits._
     val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (63L, 63L))

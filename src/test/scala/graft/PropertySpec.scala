@@ -696,4 +696,119 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.CacheRegistry.releaseAll(spark)
     }
   }
+
+  test("trimmedMean matches a sequential reference on random groups incl. negatives") {
+    import spark.implicits._
+    val rnd = new Random(1097)
+    val rows = (0 until 25).flatMap { g =>
+      val n = 1 + rnd.nextInt(60)
+      (0 until n).map(i =>
+        (s"g$g", rnd.nextLong() % 100000L, (g * 1000 + i).toLong))
+    }
+    val trimBp = 700L
+    val got = graft.llm.Profiling.trimmedMean(
+        rows.toDF("g", "v", "id"), "g", "v", "id", trimBp)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(t => (t._2, t._3)).sortBy(identity)
+      val n = sorted.length.toLong
+      val cut = n * trimBp / 10000L
+      val kept = sorted.slice(cut.toInt, (n - cut).toInt).map(_._1)
+      val sum = kept.sum
+      val mean = math.signum(sum) *
+        ((2000L * math.abs(sum) + kept.length) / (2L * kept.length))
+      assert(got(g) === ((n, kept.length.toLong, sum, mean)), s"group $g")
+    }
+  }
+
+  test("burst/CUSUM detectors match sequential references on random daily series") {
+    import spark.implicits._
+    val rnd = new Random(4243)
+    // random sparse daily series per type: day-of-epoch → count
+    val series = (0 until 12).map { t =>
+      val days = (1 to 28).filter(_ => rnd.nextBoolean())
+      (s"t$t", days.map(d => d -> (1 + rnd.nextInt(20))))
+    }
+    val events = series.flatMap { case (tp, days) =>
+      days.flatMap { case (d, n) =>
+        (0 until n).map(_ => (tp,
+          java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")))
+      }
+    }.toDF("event_type", "ts")
+    // burstDays reference
+    val burst = graft.operators.EventAnalytics
+      .burstDays(events, "event_type", "ts", trail = 7, thresholdBp = 30000L)
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5), r.getBoolean(6))))
+      .toMap
+    series.foreach { case (tp, days) =>
+      if (days.nonEmpty) {
+        val ordered = days.sortBy(_._1)
+        ordered.zipWithIndex.foreach { case ((d, n), i) =>
+          val trail = ordered.slice(math.max(0, i - 7), i).map(_._2.toLong)
+          val ts = trail.sum
+          val ratio =
+            if (trail.isEmpty) -1L
+            else (20000L * n * trail.length + ts) / (2L * ts)
+          val key = (tp, f"2024-03-$d%02d")
+          assert(burst(key) === ((n.toLong, ts, trail.length.toLong, ratio,
+            ratio >= 30000L && ratio >= 0L)), s"burst $key")
+        }
+      }
+    }
+    // cusumChangePoint reference
+    val cp = graft.operators.EventAnalytics
+      .cusumChangePoint(events, "event_type", "ts")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDate(2).toString,
+        r.getLong(3), r.getLong(4))))
+      .toMap
+    series.foreach { case (tp, days) =>
+      if (days.nonEmpty) {
+        val ordered = days.sortBy(_._1)
+        val dd = ordered.length.toLong
+        val tot = ordered.map(_._2.toLong).sum
+        var acc = 0L
+        val cusums = ordered.map { case (d, n) => acc += n * dd - tot; (d, acc) }
+        val best = cusums.maxBy { case (d, c) => (math.abs(c), -d) }
+        assert(cp(tp) === ((dd, f"2024-03-${best._1}%02d", best._2,
+          math.abs(best._2))), s"cusum $tp")
+      }
+    }
+  }
+
+  test("fuzzyBlockedPairs is lossless vs all-pairs on random two-token names") {
+    import spark.implicits._
+    val rnd = new Random(777)
+    val firsts = Seq("red", "blue", "teal")
+    val alphabet = "abcd"
+    def word() = (0 until 1 + rnd.nextInt(9))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val names = (0 until 120).map(_ => s"${firsts(rnd.nextInt(3))} ${word()}")
+    val got = graft.llm.Dedup.fuzzyBlockedPairs(names.toDF("name"), "name", maxDist = 2)
+      .select("val_a", "val_b", "dist")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val distinct = names.distinct.sorted
+    val want = (for {
+      a <- distinct; b <- distinct
+      if a < b && a.split(" ").head == b.split(" ").head
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).sortBy(identity)
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
 }
