@@ -444,6 +444,47 @@ object EventAnalytics {
         col("trail_days"), col("rate_ratio_bp"), col("is_burst"))
   }
 
+  /** Benford first-digit profile per group — the classic
+    * fabricated-data / unit-mixup tripwire (Benford 1938; auditors'
+    * first test): counts of each first significant digit of the
+    * integer value column vs the Benford expectation, with the
+    * per-digit deviation in basis points. The expected shares are the
+    * standard integer bp table (3010, 1761, 1249, 969, 792, 669, 580,
+    * 512, 458 — log₁₀(1+1/d) rounded, summing to 10000), so the whole
+    * report is float-free. Values whose |v| is 0 carry no significant
+    * digit and are excluded. Output per (group, digit 1..9):
+    * (n, obs_bp, exp_bp, dev_bp) — zero-count digits included via the
+    * digit grid, so every group reports all 9 rows.
+    *
+    * One map-side-combinable count aggregation; everything after runs
+    * on a |groups|·9-bounded table.
+    */
+  def benfordProfile(df: DataFrame, groupCol: String,
+                     valCol: String): DataFrame = {
+    val expBp = Seq(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L,
+      5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+    val s = df.sparkSession
+    import s.implicits._
+    val grid = expBp.map { case (d, e) => (d.toLong, e) }.toDF("digit", "exp_bp")
+    val counts = df
+      .select(col(groupCol),
+        substring(abs(col(valCol).cast("long")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val groups = counts.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("graft_tot"))
+    groups.crossJoin(broadcast(grid))
+      .join(counts, Seq(groupCol, "digit"), "left")
+      .select(col(groupCol), col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr("(20000 * coalesce(n, 0L) + graft_tot) DIV (2 * graft_tot)")
+          .as("obs_bp"),
+        col("exp_bp"))
+      .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+  }
+
   /** CUSUM change-point per event type over its daily counts: with D
     * present days and total T, the scaled cumulative sum at day k is
     * Σ_{i≤k} (D·cᵢ − T) — integer-exact (the ×D clears the mean T/D) —

@@ -456,6 +456,36 @@ object EventQueries {
              |       cusum_abs AS cusum_abs_max
              |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
 
+    // ---- Benford first-digit profile of value cents per type: digit
+    // counts vs the integer-bp Benford table (fraud / unit-mixup
+    // tripwire). Uniform synthetic values deviate hard — that IS the
+    // report. Bounded |types|·9 output, one count aggregation.
+    "q223_benford_profile" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.benfordProfile(
+            table(s, dir, "events")
+              .withColumn("cents", round(col("value") * 100).cast("long")),
+            "event_type", "cents")
+          .orderBy("event_type", "digit")
+      },
+      Some("""WITH v AS (SELECT event_type,
+             |                  CAST(substr(CAST(abs(CAST(round(value * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |           FROM events),
+             |c AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+             |      FROM v WHERE digit >= 1 GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+             |g AS (SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969),
+             |                            (5, 792), (6, 669), (7, 580), (8, 512),
+             |                            (9, 458)) e(digit, exp_bp))
+             |SELECT t.event_type, CAST(g.digit AS BIGINT) AS digit,
+             |       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+             |       CAST((20000 * coalesce(c.n, 0) + t.tot) // (2 * t.tot) AS BIGINT) AS obs_bp,
+             |       CAST(g.exp_bp AS BIGINT) AS exp_bp,
+             |       CAST(abs((20000 * coalesce(c.n, 0) + t.tot) // (2 * t.tot) - g.exp_bp) AS BIGINT) AS dev_bp
+             |FROM t CROSS JOIN g
+             |LEFT JOIN c ON c.event_type = t.event_type AND c.digit = g.digit
+             |ORDER BY t.event_type, digit""".stripMargin)),
+
     // ---- 5%-trimmed mean of event value cents per type: the robust
     // center for fat-tailed metrics — rank windows per type (per-key
     // sorts, never global), trim counts floored, signed HALF_UP mean
