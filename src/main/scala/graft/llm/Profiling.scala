@@ -413,4 +413,112 @@ object Profiling {
       .agg(count(lit(1)).as("class_size"))
       .filter(col("class_size") < k)
   }
+
+  /** l-diversity audit — the companion check to [[kAnonymity]]: a
+    * k-anonymous equivalence class is still re-identifiable when every
+    * member shares the same sensitive value (Machanavajjhala et al.
+    * 2007). Reports each quasi-identifier class whose count of DISTINCT
+    * sensitive values falls below `l`, with the class size alongside.
+    * One hash aggregation over (quasi..., sensitive) then a
+    * classes-bounded rollup — no windows, no per-class sorts; NULL
+    * sensitive values are not counted as a diversity value (standard
+    * count-distinct semantics on both engines).
+    */
+  def lDiversity(df: DataFrame, l: Int, quasiCols: Seq[String],
+                 sensitiveCol: String): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("graft_n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("graft_n")).as("class_size"),
+        sum(when(col(sensitiveCol).isNotNull, 1L).otherwise(0L))
+          .as("n_sensitive"))
+      .select((quasiCols.map(col) :+
+        col("class_size").cast("long").as("class_size") :+
+        col("n_sensitive").cast("long").as("n_sensitive")): _*)
+      .filter(col("n_sensitive") < l)
+  }
+
+  /** Approximate functional-dependency profile over a fixed list of
+    * candidate (determinant → dependent) column pairs — the schema-
+    * inference primitive (Huhtala et al.'s TANE measures the same
+    * per-pair violation counts): for each pair, the number of distinct
+    * non-NULL determinant values, how many of them map to MORE than one
+    * distinct dependent value (FD violations), the worst fan-out, and
+    * whether the dependency holds exactly. Each pair costs one
+    * map-side-combinable (det, dep) aggregation plus a det-keyed
+    * rollup; pairs are independent, so Spark runs the |pairs| branches
+    * of the union concurrently. NULL dependents are ignored (count-
+    * distinct semantics), NULL determinants are excluded — identical
+    * on DuckDB.
+    */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "at least one candidate pair")
+    pairs.map { case (det, dep) =>
+      df.filter(col(det).isNotNull)
+        .groupBy(col(det), col(dep))
+        .agg(count(lit(1)).as("graft_n"))
+        .groupBy(col(det))
+        .agg(sum(when(col(dep).isNotNull, 1L).otherwise(0L)).as("graft_nb"))
+        .agg(count(lit(1)).as("n_dets"),
+          coalesce(sum(when(col("graft_nb") > 1L, 1L).otherwise(0L)), lit(0L))
+            .as("n_violating"),
+          coalesce(max(col("graft_nb")), lit(0L)).as("max_branch"))
+        .select(lit(det).as("det_col"), lit(dep).as("dep_col"),
+          col("n_dets"), col("n_violating"), col("max_branch"),
+          (col("n_violating") === 0L).cast("long").as("holds"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Median/MAD robust-outlier report per group, exact and fully
+    * integer, over a VALUE-COMPRESSED histogram: the only row-scale
+    * work is one map-side-combinable (group, value) count; the medians
+    * come from prefix sums over the |distinct values|-bounded histogram
+    * (cum ≥ ⌈n/2⌉ → lower median), so no per-row window ever sorts the
+    * raw table — the shape that survives a 100 TB group where
+    * `percentile` would shuffle every row into one reducer's sort.
+    * MAD = median of |v − median|; a row is an outlier when
+    * |v − median| > kNum · MAD (with MAD 0 that flags every value ≠
+    * median, the conventional degenerate reading). Returns per group:
+    * (n_rows, median, mad, n_outliers).
+    */
+  def madOutlierReport(df: DataFrame, groupCol: String, valCol: String,
+                       kNum: Long = 3L): DataFrame = {
+    require(kNum >= 1L, s"kNum must be >= 1, got $kNum")
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).cast("long").as("graft_v"))
+      .agg(count(lit(1)).as("graft_n"))
+    val tot = hist.groupBy(col(groupCol))
+      .agg(sum(col("graft_n")).as("graft_tot"))
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // lower median: smallest v whose cumulative count reaches ⌈n/2⌉
+    // (for integer cum, 2·cum ≥ n ⟺ cum ≥ ⌈n/2⌉ on both parities)
+    val med = hist.withColumn("graft_cum", sum(col("graft_n")).over(wv))
+      .join(tot, Seq(groupCol))
+      .filter(col("graft_cum") * 2 >= col("graft_tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("graft_v")).as("median"), first(col("graft_tot")).as("n_rows"))
+    val dev = hist.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol),
+        abs(col("graft_v") - col("median")).as("graft_d"))
+      .agg(sum(col("graft_n")).as("graft_n"))
+    val wd = Window.partitionBy(col(groupCol)).orderBy(col("graft_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev.withColumn("graft_cum", sum(col("graft_n")).over(wd))
+      .join(broadcast(med.select(col(groupCol), col("n_rows"))), Seq(groupCol))
+      .filter(col("graft_cum") * 2 >= col("n_rows"))
+      .groupBy(col(groupCol))
+      .agg(min(col("graft_d")).as("mad"))
+    val stats = med.join(broadcast(mad), Seq(groupCol))
+    hist.join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_rows")).as("n_rows"),
+        first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        coalesce(sum(when(
+          abs(col("graft_v") - col("median")) > lit(kNum) * col("mad"),
+          col("graft_n")).otherwise(0L)), lit(0L)).as("n_outliers"))
+  }
 }

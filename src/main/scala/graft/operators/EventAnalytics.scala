@@ -485,6 +485,40 @@ object EventAnalytics {
       .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
   }
 
+  /** Seasonal-naive forecast backtest — the capacity-planning baseline
+    * every fancier model must beat (Hyndman & Athanasopoulos, fpp3
+    * §5.2): forecast for day d is the observed count at day d−season
+    * on a DENSE per-group day grid (absent days count 0, so a quiet
+    * week genuinely predicts a quiet week). Emits one row per
+    * evaluable (group, day): actual n, forecast, |error| — all
+    * integer-exact. The only row-scale work is the (group, day) count
+    * aggregation (map-side combinable); the grid explode, lag window,
+    * and error columns all run on the |groups|·|days|-bounded daily
+    * table, so the lag's per-group sort never touches raw rows.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, groupCol: String, tsCol: String,
+                            season: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(season >= 1, s"season must be >= 1, got $season")
+    val daily = df
+      .select(col(groupCol).as("graft_g"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("graft_g"), col("day"))
+      .agg(count(lit(1)).as("graft_n"))
+    val grid = daily.groupBy(col("graft_g"))
+      .agg(min(col("day")).as("graft_d0"), max(col("day")).as("graft_d1"))
+      .select(col("graft_g"),
+        explode(expr("sequence(graft_d0, graft_d1)")).as("day"))
+    val w = Window.partitionBy(col("graft_g")).orderBy(col("day"))
+    grid.join(daily, Seq("graft_g", "day"), "left")
+      .select(col("graft_g"), col("day"),
+        coalesce(col("graft_n"), lit(0L)).as("n"))
+      .withColumn("forecast", lag(col("n"), season).over(w))
+      .filter(col("forecast").isNotNull)
+      .withColumn("abs_err", abs(col("n") - col("forecast")))
+      .select(col("graft_g").as(groupCol), col("day"), col("n"),
+        col("forecast"), col("abs_err"))
+  }
+
   /** CUSUM change-point per event type over its daily counts: with D
     * present days and total T, the scaled cumulative sum at day k is
     * Σ_{i≤k} (D·cᵢ − T) — integer-exact (the ×D clears the mean T/D) —

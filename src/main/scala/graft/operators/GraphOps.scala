@@ -417,4 +417,54 @@ object GraphOps {
       spark.sparkContext.parallelize(nodes.map(nd => Row(nd, rank(nd))).toSeq, 1),
       schema)
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    * scores every NON-adjacent node pair that shares at least one
+    * neighbor by (common-neighbor count, preferential-attachment
+    * degree product) and returns the deterministic top-k. Both scores
+    * are integer-exact; the ordering ties break on the pair itself.
+    *
+    * Scale shape: the wedge join through shared neighbors is the
+    * classic Θ(Σ deg(w)²) enumeration, so hub nodes are excluded as
+    * wedge CENTERS once their degree exceeds `maxDegree` — the
+    * standard production cap (a celebrity's followers are not all
+    * pairwise-likely links); hubs still count toward endpoint degrees
+    * and may themselves be endpoints. The anti-join that removes
+    * existing edges and the degree attachments are all key-equi joins
+    * on bounded frames; nothing all-pairs survives the cap.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     topK: Int, maxDegree: Long = 10000L): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(maxDegree >= 2L, s"maxDegree must be >= 2, got $maxDegree")
+    val und = CacheRegistry.persist(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct())
+    val adj = und.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = CacheRegistry.persist(
+      adj.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    val centers = adj.select(col("v").as("w"), col("u").as("x"))
+      .join(deg.select(col("u").as("w"), col("deg")), Seq("w"))
+      .filter(col("deg") <= maxDegree)
+      .select(col("w"), col("x"))
+    val wedges = centers.select(col("w"), col("x"))
+      .join(centers.select(col("w"), col("x").as("y")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    wedges
+      .join(und, wedges("x") === und("a") && wedges("y") === und("b"),
+        "left_anti")
+      .join(deg.select(col("u").as("x"), col("deg").as("graft_dx")), Seq("x"))
+      .join(deg.select(col("u").as("y"), col("deg").as("graft_dy")), Seq("y"))
+      .select(col("x").as("node_a"), col("y").as("node_b"),
+        col("common_neighbors"),
+        (col("graft_dx") * col("graft_dy")).as("pref_attachment"))
+      .orderBy(col("common_neighbors").desc, col("pref_attachment").desc,
+        col("node_a"), col("node_b"))
+      .limit(topK)
+  }
 }

@@ -486,6 +486,109 @@ object EventQueries {
              |LEFT JOIN c ON c.event_type = t.event_type AND c.digit = g.digit
              |ORDER BY t.event_type, digit""".stripMargin)),
 
+    // ---- Seasonal-naive backtest: forecast each day's event count per
+    // type with the count 7 days earlier on a dense day grid (absent
+    // days are real zeros); per-day integer |error|. The baseline any
+    // forecaster must beat.
+    "q225_seasonal_backtest" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.seasonalNaiveBacktest(
+            table(s, dir, "events"), "event_type", "ts", season = 7)
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  CAST(count(*) AS BIGINT) AS n
+             |           FROM events GROUP BY 1, 2),
+             |s AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+             |g AS (SELECT event_type,
+             |             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |      FROM s),
+             |f AS (SELECT g.event_type, g.day, coalesce(d.n, 0) AS n,
+             |             lag(coalesce(d.n, 0), 7) OVER
+             |               (PARTITION BY g.event_type ORDER BY g.day) AS forecast
+             |      FROM g LEFT JOIN d USING (event_type, day))
+             |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+             |       CAST(forecast AS BIGINT) AS forecast,
+             |       CAST(abs(n - forecast) AS BIGINT) AS abs_err
+             |FROM f WHERE forecast IS NOT NULL
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // ---- Median/MAD robust outlier report on value cents per type —
+    // exact integer medians from prefix sums over the value-compressed
+    // histogram (never a row-scale sort), outlier at |v−med| > 3·MAD.
+    "q226_mad_outliers" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.madOutlierReport(
+            table(s, dir, "events")
+              .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")),
+            "event_type", "cents", kNum = 3L)
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             |                  CAST(count(*) AS BIGINT) AS n
+             |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM h GROUP BY 1),
+             |c AS (SELECT h.*, CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v
+             |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+             |m AS (SELECT c.event_type, min(v) AS median, min(tot) AS n_rows
+             |      FROM c JOIN t USING (event_type)
+             |      WHERE cum * 2 >= tot GROUP BY 1),
+             |d AS (SELECT h.event_type, abs(h.v - m.median) AS dv,
+             |             CAST(sum(h.n) AS BIGINT) AS n
+             |      FROM h JOIN m USING (event_type) GROUP BY 1, 2),
+             |dc AS (SELECT d.*, CAST(sum(n) OVER (PARTITION BY event_type ORDER BY dv
+             |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+             |md AS (SELECT dc.event_type, min(dv) AS mad
+             |       FROM dc JOIN m USING (event_type)
+             |       WHERE cum * 2 >= n_rows GROUP BY 1)
+             |SELECT h.event_type, min(m.n_rows) AS n_rows, min(m.median) AS median,
+             |       min(md.mad) AS mad,
+             |       CAST(coalesce(sum(CASE WHEN abs(h.v - m.median) > 3 * md.mad
+             |                              THEN h.n ELSE 0 END), 0) AS BIGINT) AS n_outliers
+             |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Common-neighbor link prediction on the >20.4%-share
+    // transition graph (the q205 graph): non-adjacent type pairs ranked
+    // by shared neighbors then degree product — "which transition is
+    // missing". Hub wedge-centers capped (moot at 5 nodes, load-bearing
+    // at 100 TB).
+    "q227_link_prediction" -> QueryDef(
+      (s, dir) => {
+        val edges = graft.operators.EventAnalytics.transitionMatrix(
+            table(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+          .filter(col("p_bp") > 2040)
+        graft.operators.GraphOps.linkPrediction(
+            edges, "from_type", "to_type", topK = 20)
+          .orderBy("node_a", "node_b")
+      },
+      Some("""WITH s AS (SELECT user_id, event_type AS ft,
+             |                 lead(event_type) OVER
+             |                   (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+             |          FROM events),
+             |c AS (SELECT ft, tt, CAST(count(*) AS BIGINT) AS n
+             |      FROM s WHERE tt IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT ft, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY ft),
+             |p AS (SELECT c.ft, c.tt, (20000 * n + tot) // (2 * tot) AS p_bp
+             |      FROM c JOIN t USING (ft)),
+             |und AS MATERIALIZED (SELECT DISTINCT least(ft, tt) AS a, greatest(ft, tt) AS b
+             |       FROM p WHERE ft <> tt AND p_bp > 2040),
+             |adj AS (SELECT a AS u, b AS v FROM und
+             |        UNION ALL SELECT b, a FROM und),
+             |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+             |ctr AS (SELECT adj.v AS w, adj.u AS x FROM adj
+             |        JOIN deg ON deg.u = adj.v WHERE deg.deg <= 10000),
+             |wdg AS (SELECT c1.x, c2.x AS y, CAST(count(*) AS BIGINT) AS cn
+             |        FROM ctr c1 JOIN ctr c2 USING (w)
+             |        WHERE c1.x < c2.x GROUP BY 1, 2),
+             |nc AS (SELECT wdg.* FROM wdg WHERE NOT EXISTS
+             |        (SELECT 1 FROM und WHERE und.a = wdg.x AND und.b = wdg.y)),
+             |top AS (SELECT nc.x AS node_a, nc.y AS node_b, cn AS common_neighbors,
+             |               CAST(dx.deg * dy.deg AS BIGINT) AS pref_attachment
+             |        FROM nc JOIN deg dx ON dx.u = nc.x JOIN deg dy ON dy.u = nc.y
+             |        ORDER BY cn DESC, dx.deg * dy.deg DESC, nc.x, nc.y LIMIT 20)
+             |SELECT * FROM top ORDER BY node_a, node_b""".stripMargin)),
+
     // ---- 5%-trimmed mean of event value cents per type: the robust
     // center for fat-tailed metrics — rank windows per type (per-key
     // sorts, never global), trim counts floored, signed HALF_UP mean

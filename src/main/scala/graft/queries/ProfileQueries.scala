@@ -224,5 +224,57 @@ object ProfileQueries {
              |           FROM customer GROUP BY 1, 2, 3)
              |SELECT c_nationkey, c_mktsegment, bal_band, class_size
              |FROM g WHERE class_size < 5
-             |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin)))
+             |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin)),
+
+    // ---- Functional-dependency profile over candidate column pairs on
+    // events: event_id→user_id holds (keys determine everything),
+    // user_id→event_type and event_type→user_id fail with measured
+    // fan-outs. One two-level aggregation per pair, no count-distinct
+    // shuffle of raw rows.
+    "q224_fd_profile" -> QueryDef(
+      (s, dir) => {
+        Profiling.fdProfile(Registry.table(s, dir, "events"),
+            Seq(("event_id", "user_id"), ("event_type", "user_id"),
+              ("user_id", "event_type")))
+          .orderBy("det_col", "dep_col")
+      },
+      Some {
+        def branch(det: String, dep: String) =
+          s"""SELECT '$det' AS det_col, '$dep' AS dep_col,
+             |       CAST(count(*) AS BIGINT) AS n_dets,
+             |       CAST(coalesce(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating,
+             |       CAST(coalesce(max(nb), 0) AS BIGINT) AS max_branch,
+             |       CAST(CASE WHEN coalesce(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) = 0
+             |            THEN 1 ELSE 0 END AS BIGINT) AS holds
+             |FROM (SELECT $det, CAST(count(DISTINCT $dep) AS BIGINT) AS nb
+             |      FROM events WHERE $det IS NOT NULL GROUP BY 1) q""".stripMargin
+        Seq(branch("event_id", "user_id"), branch("event_type", "user_id"),
+          branch("user_id", "event_type"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) u ORDER BY det_col, dep_col")
+      }),
+
+    // ---- l-diversity audit on customer: quasi-identifier classes
+    // (nation, segment) whose members span fewer than 9 distinct
+    // account-balance bands — the k-anonymity companion (a uniform
+    // class leaks the sensitive value even when large).
+    "q228_l_diversity" -> QueryDef(
+      (s, dir) => {
+        val c = Registry.table(s, dir, "customer")
+          .withColumn("bal_band",
+            floor(col("c_acctbal") / 1000).cast("long"))
+        graft.llm.Profiling.lDiversity(c, l = 9,
+            Seq("c_nationkey", "c_mktsegment"), "bal_band")
+          .orderBy("c_nationkey", "c_mktsegment")
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+             |                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+             |           FROM customer),
+             |c AS (SELECT c_nationkey, c_mktsegment,
+             |             CAST(count(*) AS BIGINT) AS class_size,
+             |             CAST(count(DISTINCT bal_band) AS BIGINT) AS n_sensitive
+             |      FROM g GROUP BY 1, 2)
+             |SELECT c_nationkey, c_mktsegment, class_size, n_sensitive
+             |FROM c WHERE n_sensitive < 9
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)))
 }

@@ -284,4 +284,130 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("yr") <= 31, s"file y-range too wide: $r")
     }
   }
+
+  test("benfordProfile: all-digit-1 group hits 10000 bp with 9 rows") {
+    import spark.implicits._
+    val df = Seq.fill(7)(("a", 123L)).toDF("g", "v")
+    val out = EventAnalytics.benfordProfile(df, "g", "v")
+      .orderBy("digit").collect()
+    assert(out.length === 9) // zero-count digits present via the grid
+    val d1 = out.head
+    assert(d1.getAs[Long]("digit") === 1L)
+    assert(d1.getAs[Long]("n") === 7L)
+    assert(d1.getAs[Long]("obs_bp") === 10000L)
+    assert(d1.getAs[Long]("dev_bp") === 10000L - 3010L)
+    out.tail.foreach(r => assert(r.getAs[Long]("obs_bp") === 0L))
+    // negatives use |v|; zero carries no significant digit
+    val neg = EventAnalytics.benfordProfile(
+      Seq(("a", -9L), ("a", 0L)).toDF("g", "v"), "g", "v").collect()
+    assert(neg.map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n")))
+      .toMap.apply(9L) === 1L)
+    assert(neg.map(_.getAs[Long]("n")).sum === 1L)
+  }
+
+  test("madOutlierReport: exact lower medians, MAD, planted outlier") {
+    import spark.implicits._
+    val df = (Seq(1L, 1L, 2L, 3L, 100L).map(("a", _)) ++
+      Seq(1L, 2L, 3L, 4L).map(("b", _))).toDF("g", "v")
+    val out = Profiling.madOutlierReport(df, "g", "v", kNum = 3L)
+      .orderBy("g").collect()
+    val a = out.head
+    // median of {1,1,2,3,100} = 2; devs {1,1,0,1,98} → MAD 1; 100 flagged
+    assert(a.getAs[Long]("n_rows") === 5L)
+    assert(a.getAs[Long]("median") === 2L)
+    assert(a.getAs[Long]("mad") === 1L)
+    assert(a.getAs[Long]("n_outliers") === 1L)
+    val b = out.last
+    // even count: lower median of {1,2,3,4} = 2; devs {1,0,1,2} → MAD 1
+    assert(b.getAs[Long]("median") === 2L)
+    assert(b.getAs[Long]("mad") === 1L)
+    assert(b.getAs[Long]("n_outliers") === 0L)
+  }
+
+  test("madOutlierReport: MAD 0 flags every value off the median") {
+    import spark.implicits._
+    val df = Seq(5L, 5L, 5L, 9L).map(("a", _)).toDF("g", "v")
+    val r = Profiling.madOutlierReport(df, "g", "v").collect().head
+    assert(r.getAs[Long]("mad") === 0L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("fdProfile: holds/violations with NULL semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("k1"), Some("x")), (Some("k1"), Some("x")),
+      (Some("k2"), Some("y")), (Some("k2"), Some("z")), // violation
+      (Some("k3"), None), // all-NULL dep → 0 branches, not a violation
+      (None, Some("w"))   // NULL det excluded entirely
+    ).toDF("det", "dep")
+    val out = Profiling.fdProfile(df, Seq(("det", "dep"))).collect().head
+    assert(out.getAs[Long]("n_dets") === 3L)
+    assert(out.getAs[Long]("n_violating") === 1L)
+    assert(out.getAs[Long]("max_branch") === 2L)
+    assert(out.getAs[Long]("holds") === 0L)
+    val key = Profiling.fdProfile(
+      Seq(("a", 1L), ("b", 2L), ("a", 1L)).toDF("det", "dep"),
+      Seq(("det", "dep"))).collect().head
+    assert(key.getAs[Long]("holds") === 1L)
+    assert(key.getAs[Long]("n_violating") === 0L)
+  }
+
+  test("lDiversity reports exactly the sub-l classes with sizes") {
+    import spark.implicits._
+    val df = Seq(
+      ("q1", "s1"), ("q1", "s1"), ("q1", "s2"), // 2 distinct → fails l=3
+      ("q2", "s1"), ("q2", "s2"), ("q2", "s3")  // 3 distinct → passes
+    ).toDF("q", "s")
+    val out = Profiling.lDiversity(df, l = 3, Seq("q"), "s").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("q") === "q1")
+    assert(out.head.getAs[Long]("class_size") === 3L)
+    assert(out.head.getAs[Long]("n_sensitive") === 2L)
+  }
+
+  test("seasonalNaiveBacktest: lag-7 alignment with a zero-filled gap") {
+    // days 1..14 at 2/day, except day 3 absent (gap → 0) and day 10 at 5
+    val rows = (1 to 14).filterNot(_ == 3).flatMap { d =>
+      val k = if (d == 10) 5 else 2
+      Seq.fill(k)(("a", f"2024-01-$d%02d 09:00:00"))
+    }
+    val out = EventAnalytics.seasonalNaiveBacktest(
+        eventsDf(rows), "event_type", "ts", season = 7)
+      .orderBy("day").collect()
+    assert(out.length === 7) // days 8..14 evaluable
+    val byDay = out.map(r =>
+      r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n"), r.getAs[Long]("forecast"),
+          r.getAs[Long]("abs_err"))).toMap
+    // day 10's forecast is day 3's count — absent, so the DENSE grid
+    // supplies a real zero
+    assert(byDay("2024-01-10") === ((5L, 0L, 5L)))
+    assert(byDay("2024-01-08") === ((2L, 2L, 0L)))
+    assert(byDay("2024-01-14") === ((2L, 2L, 0L)))
+  }
+
+  test("linkPrediction: path and square graphs, hub cap semantics") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // path a-b-c: only non-adjacent pair (a,c), one common neighbor b
+    val path = Seq(("a", "b"), ("b", "c")).toDF("s", "d")
+    val p = GraphOps.linkPrediction(path, "s", "d", topK = 10).collect()
+    assert(p.length === 1)
+    assert(p.head.getAs[String]("node_a") === "a")
+    assert(p.head.getAs[String]("node_b") === "c")
+    assert(p.head.getAs[Long]("common_neighbors") === 1L)
+    assert(p.head.getAs[Long]("pref_attachment") === 1L)
+    // square a-b-c-d-a: diagonals (a,c) and (b,d), two common neighbors
+    val sq = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("s", "d")
+    val q = GraphOps.linkPrediction(sq, "s", "d", topK = 10)
+      .orderBy("node_a").collect()
+    assert(q.map(r => (r.getAs[String]("node_a"), r.getAs[String]("node_b"),
+      r.getAs[Long]("common_neighbors"))).toSeq ===
+      Seq(("a", "c", 2L), ("b", "d", 2L)))
+    // star: capping the hub center removes every wedge through it
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("s", "d")
+    assert(GraphOps.linkPrediction(star, "s", "d", 10, maxDegree = 2L)
+      .count() === 0L)
+    assert(GraphOps.linkPrediction(star, "s", "d", 10).count() === 3L)
+  }
 }
