@@ -319,6 +319,58 @@ object Similarity {
       .select(col("di"), col("dj"), col("n"), expr(covUExpr).as("cov_u"))
   }
 
+  /** Top principal direction of the embedding cloud via deterministic
+    * integer power iteration on the [[embedCovariance]] matrix — the
+    * first PCA component, the thing you inspect before whitening /
+    * dimensionality reduction (and the dominant-direction diagnostic
+    * for anisotropic embedding spaces, Mu et al. 2018's "all-but-the-
+    * top"). The distributed work is exactly the covariance pass (one
+    * map-side-combinable d²-cell aggregation over the corpus); the
+    * iteration itself runs on the driver over the d(d+1)/2-bounded
+    * cell table in BigInt — the PageRank-driver precedent: collecting
+    * a DIMENSIONALITY-bounded frame, never corpus rows.
+    *
+    * Determinism: start vector all-10000, `iters` fixed iterations of
+    * u = C·v followed by HALF_UP rescale to max|u| = 10000 (if u = 0
+    * the vector collapses to 0 and stays there), final global sign
+    * fixed so the lowest-indexed nonzero loading is positive. Every
+    * step is integer arithmetic an oracle replays bit-for-bit.
+    * Output: (dim, loading_bp) — loadings in [-10000, 10000].
+    */
+  def topEigenvector(df: DataFrame, vecCol: String, iters: Int = 8,
+                     scale: Double = 10000.0): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+    val spark = df.sparkSession
+    val cells = embedCovariance(df, vecCol, scale)
+      .select(col("di"), col("dj"), col("cov_u")).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, BigInt(r.getLong(2))))
+    // dims²-bounded collect (d ≤ 1448 ⇒ ≤ ~1M cells), the assignClusters
+    // codebook-guard pattern — never corpus-shaped
+    require(cells.nonEmpty && cells.length <= (1 << 20),
+      s"covariance must be dimension-bounded, got ${cells.length} cells")
+    val d = cells.iterator.map(_._2).max + 1
+    val C = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- 0 until d) C(i)(j) = BigInt(0)
+    cells.foreach { case (i, j, c) => C(i)(j) = c; C(j)(i) = c }
+    val S = BigInt(10000)
+    var v = Array.fill(d)(S)
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(d) { i =>
+        var acc = BigInt(0); var j = 0
+        while (j < d) { acc += C(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = u.iterator.map(_.abs).max
+      v = if (m == 0) u
+          else u.map(x => BigInt(x.signum) * ((2 * x.abs * S + m) / (2 * m)))
+    }
+    val firstNz = v.indexWhere(_ != 0)
+    if (firstNz >= 0 && v(firstNz) < 0) v = v.map(x => -x)
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq
+      .toDF("dim", "loading_bp")
+  }
+
   /** Apply per-dimension whitening — the normalization step between
     * [[dimStats]]/[[embedCovariance]] (which measure the embedding
     * space) and quantization/ANN indexing (which assume it is

@@ -256,6 +256,50 @@ object BridgeQueries {
              |  FROM documents WHERE doc_id % 17 = 0) t
              |ORDER BY source""".stripMargin)),
 
+    // ---- CSV manifest ingest with quarantine: the documents metadata
+    // rendered as a headerless CSV manifest, every 13th row corrupted
+    // (unparseable doc_id or truncated token count, alternating). The
+    // reader must type every parseable line and quarantine exactly the
+    // broken ones — same contract as the q199 JSONL path.
+    "q229_csv_ingest" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id", "lang", "source", "n_chars")
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-csvman-v1-$tag")
+        if (!fixture.exists()) {
+          docs.select(
+            when(col("doc_id") % 26 === 0, lit("TRUNCATED_ROW"))
+              .when(col("doc_id") % 13 === 0,
+                concat(lit("X"), col("doc_id").cast("string"), lit(","),
+                  col("lang"), lit(","), col("source"), lit(","),
+                  col("n_chars").cast("string")))
+              .otherwise(concat_ws(",", col("doc_id"), col("lang"),
+                col("source"), col("n_chars")))
+              .as("value"))
+            .write.mode("overwrite").option("compression", "gzip")
+            .text(fixture.toString)
+        }
+        val parsed = graft.sources.CsvCorpus.read(s, fixture.toString)
+        val cleanCounts = graft.sources.CsvCorpus.clean(parsed)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+        val corrupt = graft.sources.CsvCorpus.quarantine(parsed)
+          .agg(count(lit(1)).as("graft_n"))
+          .select(lit("_corrupt").as("source"), col("graft_n").as("n_docs"),
+            lit(0L).as("sum_chars"))
+        cleanCounts.union(corrupt).orderBy("source")
+      },
+      Some("""SELECT source, n_docs, sum_chars FROM (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |  FROM documents WHERE doc_id % 13 <> 0 GROUP BY source
+             |  UNION ALL
+             |  SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+             |  FROM documents WHERE doc_id % 13 = 0) t
+             |ORDER BY source""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

@@ -2166,6 +2166,59 @@ object LlmQueries {
              |       CAST((len_bp + ttr_bp + 1) // 2 AS BIGINT) AS blend_bp
              |FROM nrm ORDER BY doc_id""".stripMargin)),
 
+    // ---- Top principal direction via integer power iteration on the
+    // q136 covariance: 8 fixed HALF_UP-rescaled iterations, sign
+    // canonicalized — the dominant-direction diagnostic before
+    // whitening. Distributed work = the covariance pass; the iteration
+    // runs on the d²-bounded cell table (driver / unrolled
+    // MATERIALIZED levels in the oracle).
+    "q230_top_eigenvector" -> QueryDef(
+      (s, dir) => {
+        Similarity.topEigenvector(table(s, dir, "embeddings"), "embedding",
+            iters = 8)
+          .orderBy("dim")
+      },
+      Some {
+        val sb = new StringBuilder
+        sb.append(
+          """WITH e AS (SELECT list_transform(embedding,
+            |              x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS sv
+            |        FROM embeddings),
+            |t AS (SELECT sv, unnest(range(1, len(sv) + 1)) AS i FROM e),
+            |p AS (SELECT sv, i, unnest(range(i, len(sv) + 1)) AS j FROM t),
+            |c AS (SELECT CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+            |             sv[CAST(i AS INT)] AS xi, sv[CAST(j AS INT)] AS xj
+            |      FROM p),
+            |a AS (SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+            |             sum(xi) AS si, sum(xj) AS sj, sum(xi * xj) AS sij
+            |      FROM c GROUP BY di, dj),
+            |cov AS MATERIALIZED (SELECT di, dj,
+            |       CAST((CASE WHEN n * sij - si * sj < 0 THEN -1 ELSE 1 END) *
+            |            ((2 * abs(n * sij - si * sj) + 100 * n * n)
+            |              // (2 * 100 * n * n)) AS BIGINT) AS cov_u
+            |FROM a),
+            |m AS MATERIALIZED (SELECT di AS i, dj AS j, cov_u AS c FROM cov
+            |     UNION ALL SELECT dj, di, cov_u FROM cov WHERE di <> dj),
+            |v0 AS MATERIALIZED (SELECT DISTINCT di AS i, CAST(10000 AS BIGINT) AS v FROM cov)""".stripMargin)
+        for (k <- 1 to 8) {
+          sb.append(s""",
+            |u$k AS MATERIALIZED (SELECT m.i AS i, CAST(sum(m.c * v${k - 1}.v) AS BIGINT) AS u
+            |     FROM m JOIN v${k - 1} ON v${k - 1}.i = m.j GROUP BY m.i),
+            |s$k AS MATERIALIZED (SELECT max(abs(u)) AS mx FROM u$k),
+            |v$k AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN u
+            |     ELSE CAST(sign(u) AS BIGINT) *
+            |          CAST((2 * abs(u) * 10000 + mx) // (2 * mx) AS BIGINT) END AS v
+            |     FROM u$k, s$k)""".stripMargin)
+        }
+        sb.append(
+          """,
+            |sg AS (SELECT CASE WHEN (SELECT v FROM v8 WHERE v <> 0 ORDER BY i LIMIT 1) < 0
+            |              THEN -1 ELSE 1 END AS s)
+            |SELECT CAST(i AS BIGINT) AS dim, CAST(v * s AS BIGINT) AS loading_bp
+            |FROM v8, sg ORDER BY dim""".stripMargin)
+        sb.toString
+      }),
+
     // ---- Matryoshka truncation sweep: exact recall@5 of prefix-dim
     // search (m ∈ {8,16,32,64}) vs full 64-dim ground truth — the
     // serve-at-fewer-dims tuning table; the m=64 row is recall 10000

@@ -254,6 +254,23 @@ object ProfileQueries {
             "\n) u ORDER BY det_col, dep_col")
       }),
 
+    // ---- Dense global row ids in (n_chars, doc_id) order via
+    // range-repartition + zipWithIndex — the sample-id assignment that
+    // does NOT funnel the corpus through a single-partition
+    // row_number() window (the oracle's formulation, correct only at
+    // oracle scale).
+    "q231_global_ids" -> QueryDef(
+      (s, dir) => {
+        graft.operators.GlobalIds.withGlobalIds(
+            Registry.table(s, dir, "documents")
+              .select("doc_id", "n_chars"),
+            Seq("n_chars", "doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars,
+             |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS row_id
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- l-diversity audit on customer: quasi-identifier classes
     // (nation, segment) whose members span fewer than 9 distinct
     // account-balance bands — the k-anonymity companion (a uniform

@@ -786,4 +786,62 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
     graft.llm.CacheRegistry.releaseAll(spark)
   }
+
+  test("CsvCorpus quarantines bad casts and short rows, types the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-spec")
+    java.nio.file.Files.write(dir.resolve("m.csv"),
+      java.util.Arrays.asList(
+        "1,en,web,100", "2,de,book,2000",
+        "X3,en,web,50",   // doc_id fails the BIGINT cast
+        "TRUNCATED_ROW",  // wrong token count
+        "4,fr,web,notanint")) // n_chars fails the cast
+    val parsed = graft.sources.CsvCorpus.read(spark, dir.toString)
+    val clean = graft.sources.CsvCorpus.clean(parsed)
+      .orderBy("doc_id").collect()
+    assert(clean.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(clean.head.getString(2) === "web" && clean.head.getLong(3) === 100L)
+    val quar = graft.sources.CsvCorpus.quarantine(parsed)
+      .orderBy("raw_line").collect().map(_.getString(0)).toSeq
+    assert(quar === Seq("4,fr,web,notanint", "TRUNCATED_ROW", "X3,en,web,50"))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("topEigenvector: exact loadings on a planted direction; sign and collapse") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    // points along (-2, 1): cov ∝ [[4,−2],[−2,1]]; from v0=(1,1) the
+    // iteration lands on (10000, −5000) and the sign rule keeps dim0
+    // positive
+    val planted = Seq(1f, -1f, 2f, -2f, 3f, -3f)
+      .map(k => Tuple1(Array(-2f * k, 1f * k).toSeq)).toDF("embedding")
+    val out = Similarity.topEigenvector(planted, "embedding", iters = 8)
+      .orderBy("dim").collect().map(_.getLong(1)).toSeq
+    assert(out === Seq(10000L, -5000L))
+    // start vector orthogonal to the only eigen-direction: u = 0 on the
+    // first step and the documented collapse-to-zero behavior holds
+    val ortho = Seq(1f, -1f, 2f, -2f)
+      .map(k => Tuple1(Array(1f * k, -1f * k).toSeq)).toDF("embedding")
+    val z = Similarity.topEigenvector(ortho, "embedding", iters = 4)
+      .collect().map(_.getLong(1)).toSeq
+    assert(z === Seq(0L, 0L))
+  }
+
+  test("withGlobalIds equals the window row_number and is deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val df = (1 to 997).map(i => ((i * 7919) % 1000, i.toLong))
+      .toDF("k", "id").repartition(7)
+    def run() = graft.operators.GlobalIds
+      .withGlobalIds(df, Seq("k", "id"), numParts = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val a = run()
+    assert(a === run()) // deterministic across plans
+    val expect = df.withColumn("row_id",
+        row_number().over(Window.orderBy(col("k"), col("id"))) - 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), (r.getInt(2) - 0).toLong))
+      .sorted.toSeq
+    assert(a === expect)
+    assert(a.map(_._3).sorted.toSeq === (0L until 997L).toSeq)
+  }
 }
