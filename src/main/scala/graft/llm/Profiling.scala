@@ -471,6 +471,56 @@ object Profiling {
     }.reduce(_ unionAll _)
   }
 
+  /** Population Stability Index drift table between two populations of
+    * an integer metric — the model-monitoring standard (Σ (p_a−p_b)·
+    * ln(p_a/p_b) over fixed-width buckets), emitted per bucket so the
+    * drifting REGION is visible, not just the scalar. Deterministic
+    * engine-reproducible arithmetic: shares in HALF_UP basis points;
+    * the log-ratio expands to ln(n_a)+ln(N_b)−ln(n_b)−ln(N_a) with
+    * each ln once-rounded to integer micro-nats (the wordEntropy
+    * precedent), so the per-bucket contribution is an exact product
+    * delta_bp·lnratio_micro. Buckets empty on either side get a NULL
+    * contribution (the standard smoothing decision is the caller's;
+    * the bucket row still reports both counts so the mass is visible).
+    * Both inputs must be non-empty. Cost: one map-side-combinable
+    * bucket count per side; everything after runs on |buckets|-bounded
+    * frames. Bucketing floors (negative-safe via the explicit CASE —
+    * Spark DIV truncates, DuckDB // floors; the CASE makes them agree).
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, valCol: String,
+               bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val bucketExpr =
+      s"""CASE WHEN $valCol >= 0 THEN $valCol DIV $bucketWidth
+         |ELSE -((-$valCol + $bucketWidth - 1) DIV $bucketWidth) END"""
+        .stripMargin
+    def hist(df: DataFrame, out: String) = df
+      .filter(col(valCol).isNotNull)
+      .select(expr(bucketExpr).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    def lnr(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    val ha = hist(a, "n_a")
+    val hb = hist(b, "n_b")
+    val tots = ha.agg(sum(col("n_a")).as("graft_ta"))
+      .crossJoin(hb.agg(sum(col("n_b")).as("graft_tb")))
+    ha.join(hb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(tots))
+      .withColumn("pa_bp",
+        expr("(20000 * n_a + graft_ta) DIV (2 * graft_ta)"))
+      .withColumn("pb_bp",
+        expr("(20000 * n_b + graft_tb) DIV (2 * graft_tb)"))
+      .withColumn("psi_contrib", expr(
+        s"""CASE WHEN n_a > 0 AND n_b > 0 THEN
+           |  (pa_bp - pb_bp) * (${lnr("n_a")} + ${lnr("graft_tb")}
+           |                     - ${lnr("n_b")} - ${lnr("graft_ta")})
+           |ELSE CAST(NULL AS BIGINT) END""".stripMargin))
+      .select("bucket", "n_a", "n_b", "pa_bp", "pb_bp", "psi_contrib")
+  }
+
   /** Median/MAD robust-outlier report per group, exact and fully
     * integer, over a VALUE-COMPRESSED histogram: the only row-scale
     * work is one map-side-combinable (group, value) count; the medians

@@ -548,6 +548,45 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- PSI drift between the purchase and click value-cents
+    // distributions (10-unit buckets): per-bucket HALF_UP shares and
+    // exact integer contributions via once-rounded micro-nat logs —
+    // the model-monitoring drift table, region-resolved.
+    "q235_psi_drift" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        graft.llm.Profiling.psiDrift(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"),
+            "cents", bucketWidth = 1000L)
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |ha AS (SELECT c // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_a
+             |       FROM e WHERE event_type = 'purchase' GROUP BY 1),
+             |hb AS (SELECT c // 1000 AS bucket, CAST(count(*) AS BIGINT) AS n_b
+             |       FROM e WHERE event_type = 'click' GROUP BY 1),
+             |t AS (SELECT (SELECT CAST(sum(n_a) AS BIGINT) FROM ha) AS ta,
+             |             (SELECT CAST(sum(n_b) AS BIGINT) FROM hb) AS tb),
+             |j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+             |             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+             |      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+             |p AS (SELECT j.*, ta, tb,
+             |             (20000 * n_a + ta) // (2 * ta) AS pa_bp,
+             |             (20000 * n_b + tb) // (2 * tb) AS pb_bp
+             |      FROM j CROSS JOIN t)
+             |SELECT bucket, n_a, n_b, CAST(pa_bp AS BIGINT) AS pa_bp,
+             |       CAST(pb_bp AS BIGINT) AS pb_bp,
+             |       CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |         (pa_bp - pb_bp) *
+             |         (CAST(round(ln(CAST(n_a AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |          + CAST(round(ln(CAST(tb AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |          - CAST(round(ln(CAST(n_b AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |          - CAST(round(ln(CAST(ta AS DOUBLE)) * 1000000.0) AS BIGINT))
+             |       ELSE NULL END AS BIGINT) AS psi_contrib
+             |FROM p ORDER BY bucket""".stripMargin)),
+
     // ---- Common-neighbor link prediction on the >20.4%-share
     // transition graph (the q205 graph): non-adjacent type pairs ranked
     // by shared neighbors then degree product — "which transition is

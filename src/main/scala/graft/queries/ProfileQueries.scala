@@ -254,6 +254,67 @@ object ProfileQueries {
             "\n) u ORDER BY det_col, dep_col")
       }),
 
+    // ---- Declarative constraint suite on events (Deequ-shaped):
+    // completeness, key uniqueness, categorical domain, numeric range —
+    // violation COUNTS, each check one narrow aggregation. The in_set
+    // check deliberately omits 'error' so the report shows a real
+    // failure alongside passes.
+    "q233_constraint_report" -> QueryDef(
+      (s, dir) => {
+        import graft.llm.Checks
+        val ev = Registry.table(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        Checks.run(ev, Seq(
+            Checks.NotNull("user_id"),
+            Checks.Unique(Seq("event_id")),
+            Checks.InSet("event_type",
+              Seq("click", "purchase", "signup", "view")),
+            Checks.InRange("cents", 0L, 20000L)))
+          .orderBy("check_name")
+      },
+      Some("""SELECT check_name, n_violations,
+             |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+             |FROM (
+             |  SELECT 'not_null(user_id)' AS check_name,
+             |         CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 'unique(event_id)',
+             |         CAST(coalesce((SELECT sum(n - 1) FROM
+             |           (SELECT count(*) AS n FROM events GROUP BY event_id) g
+             |           WHERE n > 1), 0) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'in_set(event_type)',
+             |         CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL AND event_type
+             |           NOT IN ('click', 'purchase', 'signup', 'view') THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 'in_range(cents,0,20000)',
+             |         CAST(coalesce(sum(CASE WHEN c IS NOT NULL AND (c < 0 OR c > 20000)
+             |           THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events)
+             |) t ORDER BY check_name""".stripMargin)),
+
+    // ---- Per-column completeness/cardinality profile of events — the
+    // schema-registry snapshot summary; one narrow scan per column.
+    "q234_column_profile" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Checks.columnProfile(Registry.table(s, dir, "events"),
+            Seq("event_id", "user_id", "event_type", "value", "props"))
+          .orderBy("column_name")
+      },
+      Some {
+        def branch(c: String) =
+          s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+             |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+             |FROM events""".stripMargin
+        Seq("event_id", "user_id", "event_type", "value", "props")
+          .map(branch)
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) t ORDER BY column_name")
+      }),
+
     // ---- Dense global row ids in (n_chars, doc_id) order via
     // range-repartition + zipWithIndex — the sample-id assignment that
     // does NOT funnel the corpus through a single-partition

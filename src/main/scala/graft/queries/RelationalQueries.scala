@@ -406,5 +406,45 @@ object RelationalQueries {
              |       a.n AS n_a, b.n AS n_b
              |FROM t a JOIN t b ON a.tok = b.tok AND a.v < b.v
              |WHERE levenshtein(a.v, b.v) <= 3
-             |ORDER BY block_tok, val_a, val_b""".stripMargin)))
+             |ORDER BY block_tok, val_a, val_b""".stripMargin)),
+
+    // ---- CDC changelog apply (MERGE INTO as a transform): orders +
+    // a synthetic log with double-updates (latest wins), deletes, a
+    // same-seq update/delete tie (delete wins), and keyed inserts —
+    // one max_by aggregation, no window sort, no join back to base.
+    "q232_cdc_apply" -> QueryDef(
+      (s, dir) => {
+        val o = Registry.table(s, dir, "orders")
+        def tag(df: org.apache.spark.sql.DataFrame, seq: Long, op: String) =
+          df.withColumn("graft_seq", lit(seq)).withColumn("graft_op", lit(op))
+        val k = col("o_orderkey")
+        val changes = Seq(
+          tag(o.filter(k % 10 === 3)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0), 1L, "U"),
+          tag(o.filter(k % 10 === 3)
+            .withColumn("o_totalprice", col("o_totalprice") + 2.0), 3L, "U"),
+          tag(o.filter(k % 17 === 0 && k % 10 =!= 3), 2L, "D"),
+          tag(o.filter(k % 10 === 7)
+            .withColumn("o_totalprice", col("o_totalprice") + 9.0), 5L, "U"),
+          tag(o.filter(k % 10 === 7), 5L, "D"),
+          tag(o.filter(k % 10 === 1)
+            .withColumn("o_orderkey", -k), 1L, "I")
+        ).reduce(_ unionByName _)
+        graft.operators.CdcApply.applyChangelog(
+            o, changes, Seq("o_orderkey"), "graft_seq", "graft_op")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 2.0
+             |              ELSE o_totalprice END AS o_totalprice,
+             |         o_orderdate, o_orderpriority
+             |  FROM orders
+             |  WHERE NOT (o_orderkey % 17 = 0 AND o_orderkey % 10 <> 3)
+             |    AND o_orderkey % 10 <> 7
+             |  UNION ALL
+             |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 10 = 1
+             |) t ORDER BY o_orderkey""".stripMargin)))
 }

@@ -410,4 +410,84 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0L)
     assert(GraphOps.linkPrediction(star, "s", "d", 10).count() === 3L)
   }
+
+  test("applyChangelog: latest-wins, delete, same-seq tie, insert, untouched") {
+    import spark.implicits._
+    import graft.operators.CdcApply
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "payload")
+    val changes = Seq(
+      (1L, "a1", 1L, "U"), (1L, "a2", 3L, "U"), // double update → a2
+      (2L, "b", 2L, "D"),                       // delete
+      (3L, "c9", 5L, "U"), (3L, "c9", 5L, "D"), // tie → delete wins
+      (9L, "new", 1L, "I")                      // insert
+    ).toDF("k", "payload", "graft_seq", "graft_op")
+    val out = CdcApply.applyChangelog(base, changes, Seq("k"),
+        "graft_seq", "graft_op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((1L, "a2"), (4L, "d"), (9L, "new")))
+    // idempotence: applying an empty changelog is the identity
+    val empty = changes.filter(col("k") < 0)
+    val same = CdcApply.applyChangelog(base, empty, Seq("k"),
+        "graft_seq", "graft_op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(same === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("Checks.run counts violations per constraint with Deequ NULL rules") {
+    import spark.implicits._
+    import graft.llm.Checks
+    val df = Seq(
+      (Some(1L), Some("x"), Some(5L)),
+      (Some(1L), Some("x"), Some(50L)),  // dup key; 50 out of range
+      (None, Some("zz"), None),          // null key; zz not in set; NULL range passes
+      (Some(2L), None, Some(-1L))        // NULL set passes; -1 out of range
+    ).toDF("id", "cat", "v")
+    val out = Checks.run(df, Seq(
+        Checks.NotNull("id"), Checks.Unique(Seq("id")),
+        Checks.InSet("cat", Seq("x", "y")), Checks.InRange("v", 0L, 10L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("not_null(id)") === ((1L, 0L)))
+    assert(out("unique(id)") === ((1L, 0L)))   // one surplus duplicate of key 1
+    assert(out("in_set(cat)") === ((1L, 0L)))  // only zz
+    assert(out("in_range(v,0,10)") === ((2L, 0L))) // 50 and -1
+    val clean = Checks.run(df.filter(col("id") === 2L),
+      Seq(Checks.NotNull("id"))).collect().head
+    assert(clean.getLong(1) === 0L && clean.getLong(2) === 1L)
+  }
+
+  test("columnProfile reports rows/nulls/distinct per column") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (Some(1L), "b"), (None, "b"))
+      .toDF("id", "s")
+    val out = graft.llm.Checks.columnProfile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("id") === ((3L, 1L, 1L)))
+    assert(out("s") === ((3L, 0L, 2L)))
+  }
+
+  test("psiDrift: zero on identical distributions, signed on a shift") {
+    import spark.implicits._
+    import graft.llm.Profiling
+    val a = (Seq.fill(6)(5L) ++ Seq.fill(4)(15L)).toDF("v")
+    val same = Profiling.psiDrift(a, a, "v", 10L).collect()
+    assert(same.length === 2)
+    same.foreach(r => assert(r.getAs[Long]("psi_contrib") === 0L))
+    // b shifts mass upward; bucket 0 over-represented in a (positive
+    // delta, positive log-ratio → positive contribution), bucket 1
+    // likewise positive (PSI contributions are non-negative when both
+    // sides are present)
+    val b = (Seq.fill(2)(5L) ++ Seq.fill(8)(15L)).toDF("v")
+    val drift = Profiling.psiDrift(a, b, "v", 10L)
+      .orderBy("bucket").collect()
+    assert(drift.forall(_.getAs[Long]("psi_contrib") > 0L))
+    // one-sided bucket → NULL contribution, counts still reported
+    val c = Seq(25L).toDF("v")
+    val oneSided = Profiling.psiDrift(a.union(c), a, "v", 10L)
+      .orderBy("bucket").collect()
+    val last = oneSided.last
+    assert(last.getAs[Long]("n_b") === 0L)
+    assert(last.isNullAt(last.fieldIndex("psi_contrib")))
+  }
 }
