@@ -404,4 +404,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.streaming.IndexIngest.processBatch(
       seed, 1L, "doc_id", "text", didx, Some(bidx)) === -1L)
   }
+
+  test("streaming quantile monitor tracks per-key medians across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.QuantileMonitor
+    val in = MemoryStream[(String, Long)]
+    val mon = QuantileMonitor.quantiles(
+      in.toDF().toDF("k", "v"), "k", "v", probesBp = Seq(5000L), k = 128)
+    val q = mon.toDF().writeStream.format("memory").queryName("qmon")
+      .outputMode("update").start()
+    try {
+      // under k values → no compaction → the ladder holds every value
+      // and the probe is the EXACT HALF_UP-rank median
+      in.addData((1L to 50L).map(v => ("a", v)): _*)
+      q.processAllAvailable()
+      val after1 = spark.table("qmon")
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+      assert(after1 === Set(("a", 25L, 50L)))
+      in.addData(((51L to 100L).map(v => ("a", v)) :+ ("b", 7L)): _*)
+      q.processAllAvailable()
+      val latest = spark.table("qmon")
+        .groupBy("key").agg(org.apache.spark.sql.functions.max("n_rows"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(latest === Map("a" -> 100L, "b" -> 1L))
+      val aRows = spark.table("qmon").filter($"n_rows" === 100L)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      assert(aRows === Set(("a", 50L))) // exact: still under k, all retained
+    } finally q.stop()
+  }
+
+  test("streaming quantile monitor compacts yet conserves count and rank bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.QuantileMonitor
+    val in = MemoryStream[(String, Long)]
+    val mon = QuantileMonitor.quantiles(
+      in.toDF().toDF("k", "v"), "k", "v", probesBp = Seq(5000L), k = 8)
+    val q = mon.toDF().writeStream.format("memory").queryName("qmon2")
+      .outputMode("update").start()
+    try {
+      in.addData((1L to 60L).map(v => ("a", v)): _*)
+      q.processAllAvailable()
+      in.addData((61L to 120L).map(v => ("a", v)): _*)
+      q.processAllAvailable()
+      val last = spark.table("qmon2").filter($"n_rows" === 120L)
+        .collect().map(_.getLong(2))
+      assert(last.length === 1)
+      // weight conservation is exact (n_rows = 120 above); the k=8
+      // deterministic ladder's even-half bias bounds the median
+      // estimate within a levels·n/k rank envelope of 60
+      assert(last.head >= 20L && last.head <= 100L, s"median est ${last.head}")
+    } finally q.stop()
+  }
 }
