@@ -521,6 +521,116 @@ object Profiling {
       .select("bucket", "n_a", "n_b", "pa_bp", "pb_bp", "psi_contrib")
   }
 
+  /** Per-group equi-depth histogram boundaries — the optimizer
+    * statistic (equal-POPULATION buckets, where [[lengthHistogram]]'s
+    * equal-width buckets mislead on skew): bucket b's upper boundary
+    * is the smallest value whose cumulative count reaches ⌈b·n/B⌉.
+    * Exact, over the value-compressed histogram: the row-scale work is
+    * one map-side-combinable (group, value) count; the prefix-sum
+    * window runs per group over DISTINCT values only (for unbounded-
+    * cardinality columns at 100 TB use the KLL sketch instead — this
+    * is the exact-report path). Output per (group, bucket 1..B):
+    * (upper_value, target_rank, n_rows).
+    */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valCol: String,
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && nBuckets <= 4096,
+      s"nBuckets must be in [1, 4096], got $nBuckets")
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).cast("long").as("graft_v"))
+      .agg(count(lit(1)).as("graft_n"))
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("graft_cum", sum(col("graft_n")).over(wv))
+    val tot = hist.groupBy(col(groupCol))
+      .agg(sum(col("graft_n")).as("n_rows"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = (1 to nBuckets).map(_.toLong).toDF("bucket")
+    // target rank ⌈b·n/B⌉; boundary = min v with cum ≥ target — all on
+    // |groups|·B- and |groups|·|distinct|-bounded frames
+    tot.crossJoin(broadcast(buckets))
+      .withColumn("target_rank",
+        // ⌈b·n/B⌉ with POSITIVE operands only: Spark DIV truncates
+        // where DuckDB // floors, so the -(-x DIV B) ceil idiom is not
+        // portable — (x + B − 1) DIV B is, and is what the oracle uses
+        expr(s"(bucket * n_rows + ${nBuckets - 1}) DIV $nBuckets"))
+      .join(cum, Seq(groupCol))
+      .filter(col("graft_cum") >= col("target_rank"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(min(col("graft_v")).as("upper_value"),
+        first(col("target_rank")).as("target_rank"),
+        first(col("n_rows")).as("n_rows"))
+  }
+
+  /** Join-cardinality estimate WITHOUT running the join — the planning
+    * probe you run before committing a 100-TB shuffle: per-key count
+    * histograms on both sides meet on the key (a |distinct-keys|-sized
+    * join, not a row join), the exact output size is Σ n_a·n_b, and
+    * the top contributing keys show WHERE the explosion lives (the
+    * salting targets). Output: the `topN` keys by contribution
+    * (ties → smaller key) with the grand total riding on every row.
+    */
+  def joinSizeEstimate(a: DataFrame, keyColA: String,
+                       b: DataFrame, keyColB: String,
+                       topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val ca = a.filter(col(keyColA).isNotNull)
+      .groupBy(col(keyColA).as("join_key"))
+      .agg(count(lit(1)).as("n_a"))
+    val cb = b.filter(col(keyColB).isNotNull)
+      .groupBy(col(keyColB).as("join_key"))
+      .agg(count(lit(1)).as("n_b"))
+    val contrib = ca.join(cb, Seq("join_key"))
+      .withColumn("contrib", col("n_a") * col("n_b"))
+    val total = contrib.agg(
+      coalesce(sum(col("contrib")), lit(0L)).as("est_total"))
+    contrib.crossJoin(broadcast(total))
+      .orderBy(col("contrib").desc, col("join_key"))
+      .limit(topN)
+  }
+
+  /** Winsorized mean per group — clip to the [loBp, hiBp] percentile
+    * values, then average: the robust center that (unlike
+    * [[trimmedMean]]) keeps every row's vote, just bounded. Exact and
+    * fully integer over the value-compressed histogram (the
+    * [[madOutlierReport]] machinery): percentile values at rank
+    * ⌈φ·n⌉, clipped sum assembled from the histogram, mean in
+    * HALF_UP milli-units. Output per group:
+    * (n_rows, lo_value, hi_value, winsorized_mean_milli).
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, valCol: String,
+                     loBp: Long, hiBp: Long): DataFrame = {
+    require(loBp >= 0 && hiBp <= 10000 && loBp < hiBp,
+      s"need 0 <= loBp < hiBp <= 10000, got ($loBp, $hiBp)")
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).cast("long").as("graft_v"))
+      .agg(count(lit(1)).as("graft_n"))
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("graft_cum", sum(col("graft_n")).over(wv))
+      .join(hist.groupBy(col(groupCol)).agg(sum(col("graft_n")).as("n_rows")),
+        Seq(groupCol))
+    def rankValue(bp: Long, out: String) = cum
+      .filter(col("graft_cum") * 10000 >= lit(bp) * col("n_rows"))
+      .groupBy(col(groupCol))
+      .agg(min(col("graft_v")).as(out))
+    val bounds = rankValue(loBp, "lo_value")
+      .join(rankValue(hiBp, "hi_value"), Seq(groupCol))
+    hist.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("graft_c",
+        greatest(col("lo_value"), least(col("hi_value"), col("graft_v"))))
+      .groupBy(col(groupCol))
+      .agg(sum(col("graft_n")).as("n_rows"),
+        first(col("lo_value")).as("lo_value"),
+        first(col("hi_value")).as("hi_value"),
+        sum(col("graft_c") * col("graft_n")).as("graft_s"))
+      .withColumn("winsorized_mean_milli", expr(
+        """CAST(sign(graft_s) AS BIGINT) *
+          |((2000 * abs(graft_s) + n_rows) DIV (2 * n_rows))""".stripMargin))
+      .drop("graft_s")
+  }
+
   /** Median/MAD robust-outlier report per group, exact and fully
     * integer, over a VALUE-COMPRESSED histogram: the only row-scale
     * work is one map-side-combinable (group, value) count; the medians

@@ -548,6 +548,36 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Winsorized mean of value cents per type (clip at the exact
+    // 2.5%/97.5% percentile values, then HALF_UP milli-mean) — the
+    // robust center that keeps every row's vote, from the same
+    // value-compressed histogram as the MAD report.
+    "q238_winsorized_mean" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.winsorizedMean(
+            table(s, dir, "events")
+              .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")),
+            "event_type", "cents", loBp = 250L, hiBp = 9750L)
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             |                  CAST(count(*) AS BIGINT) AS n
+             |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT h.*, CAST(sum(n) OVER (PARTITION BY event_type ORDER BY v
+             |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+             |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_rows FROM h GROUP BY 1),
+             |lo AS (SELECT c.event_type, min(v) AS lo_value FROM c JOIN t USING (event_type)
+             |       WHERE cum * 10000 >= 250 * n_rows GROUP BY 1),
+             |hi AS (SELECT c.event_type, min(v) AS hi_value FROM c JOIN t USING (event_type)
+             |       WHERE cum * 10000 >= 9750 * n_rows GROUP BY 1)
+             |SELECT h.event_type, min(t.n_rows) AS n_rows, min(lo_value) AS lo_value,
+             |       min(hi_value) AS hi_value,
+             |       CAST(CAST(sign(sum(greatest(lo_value, least(hi_value, v)) * n)) AS BIGINT) *
+             |            ((2000 * abs(sum(greatest(lo_value, least(hi_value, v)) * n)) + min(t.n_rows))
+             |              // (2 * min(t.n_rows))) AS BIGINT) AS winsorized_mean_milli
+             |FROM h JOIN t USING (event_type) JOIN lo USING (event_type) JOIN hi USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- PSI drift between the purchase and click value-cents
     // distributions (10-unit buckets): per-bucket HALF_UP shares and
     // exact integer contributions via once-rounded micro-nat logs —

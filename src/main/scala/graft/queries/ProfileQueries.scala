@@ -254,6 +254,30 @@ object ProfileQueries {
             "\n) u ORDER BY det_col, dep_col")
       }),
 
+    // ---- Equi-depth (equal-population) histogram boundaries of
+    // document lengths per language — the optimizer statistic; exact
+    // ⌈b·n/B⌉-rank boundaries from the value-compressed histogram.
+    "q236_equidepth_histogram" -> QueryDef(
+      (s, dir) => {
+        Profiling.equiDepthHistogram(Registry.table(s, dir, "documents"),
+            "lang", "n_chars", nBuckets = 4)
+          .orderBy("lang", "bucket")
+      },
+      Some("""WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+             |                  CAST(count(*) AS BIGINT) AS n
+             |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+             |c AS (SELECT h.*, CAST(sum(n) OVER (PARTITION BY lang ORDER BY v
+             |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+             |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_rows FROM h GROUP BY 1),
+             |b AS (SELECT unnest(range(1, 5)) AS bucket),
+             |g AS (SELECT t.lang, CAST(b.bucket AS BIGINT) AS bucket, t.n_rows,
+             |             CAST((b.bucket * t.n_rows + 3) // 4 AS BIGINT) AS target_rank
+             |      FROM t CROSS JOIN b)
+             |SELECT g.lang, g.bucket, min(c.v) AS upper_value,
+             |       min(g.target_rank) AS target_rank, min(g.n_rows) AS n_rows
+             |FROM g JOIN c ON c.lang = g.lang AND c.cum >= g.target_rank
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- Declarative constraint suite on events (Deequ-shaped):
     // completeness, key uniqueness, categorical domain, numeric range —
     // violation COUNTS, each check one narrow aggregation. The in_set

@@ -408,6 +408,30 @@ object RelationalQueries {
              |WHERE levenshtein(a.v, b.v) <= 3
              |ORDER BY block_tok, val_a, val_b""".stripMargin)),
 
+    // ---- Join-size estimate WITHOUT the join: per-key histograms of
+    // orders.o_custkey × customer.c_custkey meet on a distinct-keys
+    // frame; exact Σ n_a·n_b plus the top contributing keys — the
+    // probe you run before committing a 100-TB shuffle (and the
+    // salting target list if it explodes).
+    "q237_join_size_estimate" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.joinSizeEstimate(
+            Registry.table(s, dir, "orders"), "o_custkey",
+            Registry.table(s, dir, "customer"), "c_custkey", topN = 15)
+          .orderBy("join_key")
+      },
+      Some("""WITH ca AS (SELECT o_custkey AS join_key, CAST(count(*) AS BIGINT) AS n_a
+             |            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+             |cb AS (SELECT c_custkey AS join_key, CAST(count(*) AS BIGINT) AS n_b
+             |       FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+             |j AS (SELECT ca.join_key, n_a, n_b,
+             |             CAST(n_a * n_b AS BIGINT) AS contrib
+             |      FROM ca JOIN cb USING (join_key)),
+             |t AS (SELECT CAST(coalesce(sum(contrib), 0) AS BIGINT) AS est_total FROM j),
+             |top AS (SELECT j.*, t.est_total FROM j CROSS JOIN t
+             |        ORDER BY contrib DESC, join_key LIMIT 15)
+             |SELECT * FROM top ORDER BY join_key""".stripMargin)),
+
     // ---- CDC changelog apply (MERGE INTO as a transform): orders +
     // a synthetic log with double-updates (latest wins), deletes, a
     // same-seq update/delete tie (delete wins), and keyed inserts —

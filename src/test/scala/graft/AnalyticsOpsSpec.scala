@@ -467,6 +467,44 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s") === ((3L, 0L, 2L)))
   }
 
+  test("equiDepthHistogram: exact ceil-rank boundaries on 1..10") {
+    import spark.implicits._
+    val df = (1L to 10L).map(("a", _)).toDF("g", "v")
+    val out = Profiling.equiDepthHistogram(df, "g", "v", nBuckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("upper_value"),
+        r.getAs[Long]("target_rank"))).toSeq
+    // targets ⌈b·10/4⌉ = 3,5,8,10 → boundaries 3,5,8,10
+    assert(out === Seq((1L, 3L, 3L), (2L, 5L, 5L), (3L, 8L, 8L),
+      (4L, 10L, 10L)))
+  }
+
+  test("joinSizeEstimate: exact total and tie-broken top keys") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 2L, 3L).toDF("ka")
+    val b = Seq(1L, 2L, 2L, 9L).toDF("kb")
+    val out = Profiling.joinSizeEstimate(a, "ka", b, "kb", topN = 1)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    // k1 and k2 both contribute 2; the tie breaks on the smaller key
+    assert(r.getAs[Long]("join_key") === 1L)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 1L)
+    assert(r.getAs[Long]("contrib") === 2L)
+    assert(r.getAs[Long]("est_total") === 4L) // k3/k9 never match
+  }
+
+  test("winsorizedMean clips at exact percentile values then averages") {
+    import spark.implicits._
+    val df = (1L to 10L).map(("a", _)).toDF("g", "v")
+    val r = Profiling.winsorizedMean(df, "g", "v", loBp = 2500L,
+      hiBp = 7500L).collect().head
+    assert(r.getAs[Long]("lo_value") === 3L) // rank ⌈2.5⌉ = 3
+    assert(r.getAs[Long]("hi_value") === 8L) // rank ⌈7.5⌉ = 8
+    // clipped: 3,3,3,4,5,6,7,8,8,8 → sum 55 → mean 5.5 → 5500 milli
+    assert(r.getAs[Long]("winsorized_mean_milli") === 5500L)
+  }
+
   test("psiDrift: zero on identical distributions, signed on a shift") {
     import spark.implicits._
     import graft.llm.Profiling
