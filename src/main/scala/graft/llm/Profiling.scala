@@ -590,6 +590,44 @@ object Profiling {
       .limit(topN)
   }
 
+  /** Inverse-probability-weighting calibration for hash-sampled
+    * telemetry: rows are "kept" when the first md5 hex byte of their id
+    * is below the stratum's threshold (the q54 deterministic-sampling
+    * idiom, rate = r/256), the IPW estimator scales the kept count
+    * back up (HALF_UP n_kept·256/r), and — because this is the
+    * CALIBRATION report — the estimate sits next to the true count
+    * with its relative error in basis points. Run it on a full drop
+    * before committing to a sampling rate; at steady state you ship
+    * only the sampled stream and the estimator column. One map-side-
+    * combinable aggregation; rates are per-stratum with a default,
+    * each in [1, 255] (256 = keep everything = nothing to estimate).
+    */
+  def ipwCalibration(df: DataFrame, idCol: String, strataCol: String,
+                     rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 1 && r <= 255),
+      s"rates must be in [1, 255] (n/256ths), got $rates default $defaultRate")
+    val thr = rates.foldLeft(lit(f"$defaultRate%02x")) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(f"$v%02x"))
+        .otherwise(acc)
+    }
+    val rateN = rates.foldLeft(lit(defaultRate.toLong)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v.toLong))
+        .otherwise(acc)
+    }
+    df.select(col(strataCol),
+        when(substring(md5(col(idCol).cast("string")), 1, 2) < thr, 1L)
+          .otherwise(0L).as("graft_smp"),
+        rateN.as("graft_r"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("graft_smp")).as("n_sampled"),
+        min(col("graft_r")).as("rate_n256"))
+      .withColumn("est_total", expr(
+        "(2 * n_sampled * 256 + rate_n256) DIV (2 * rate_n256)"))
+      .withColumn("err_bp", expr(
+        "(2 * 10000 * abs(est_total - n_true) + n_true) DIV (2 * n_true)"))
+  }
+
   /** Winsorized mean per group — clip to the [loBp, hiBp] percentile
     * values, then average: the robust center that (unlike
     * [[trimmedMean]]) keeps every row's vote, just bounded. Exact and

@@ -485,6 +485,76 @@ object EventAnalytics {
       .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
   }
 
+  /** Top user-journey trigrams: consecutive state triples per key in
+    * time order, counted corpus-wide, deterministic top-k (count desc,
+    * then the triple) — the "what do users actually do" sequence
+    * report one step deeper than the [[transitionMatrix]] bigrams.
+    * One per-key window sort (each key's own events, never a global
+    * sort) feeding a map-side-combinable triple count; the top-k is a
+    * TakeOrdered over the |distinct triples|-bounded count table.
+    */
+  def pathTrigrams(df: DataFrame, keyCol: String, tsCol: String,
+                   stateCol: String, idCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0, s"topK must be positive, got $topK")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.select(col(keyCol), col(tsCol), col(idCol),
+        col(stateCol).as("s1"),
+        lead(col(stateCol), 1).over(w).as("s2"),
+        lead(col(stateCol), 2).over(w).as("s3"))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topK)
+  }
+
+  /** First-touch conversion latency quantiles: per key, the seconds
+    * from its FIRST `fromState` event to its first `toState` event at
+    * or after it; exact quantiles of those gaps from the
+    * value-compressed gap histogram (the madOutlierReport rank idiom:
+    * probe value = smallest gap whose cumulative count reaches
+    * ⌈φ·n⌉). Row-scale work: two filtered min-aggregations and one
+    * key-equi join; the quantile window runs over DISTINCT gap values
+    * only. Output per probe: (q_bp, gap_seconds, n_pairs).
+    */
+  def conversionLatency(df: DataFrame, keyCol: String, tsCol: String,
+                        stateCol: String, fromState: String,
+                        toState: String, probesBp: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probesBp.nonEmpty && probesBp.forall(p => p >= 0 && p <= 10000),
+      s"probes must be bp in [0, 10000], got $probesBp")
+    val f = df.filter(col(stateCol) === fromState)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("graft_f"))
+    val gaps = df.filter(col(stateCol) === toState)
+      .join(f, Seq(keyCol))
+      .filter(col(tsCol) >= col("graft_f"))
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("graft_t"),
+        first(col("graft_f")).as("graft_f"))
+      // whole seconds of the µs DIFFERENCE (non-negative → trunc ≡
+      // floor ≡ DuckDB's epoch_us diff // 1e6); per-operand
+      // unix_timestamp would floor each side before subtracting
+      .select(expr(
+        "(unix_micros(graft_t) - unix_micros(graft_f)) DIV 1000000")
+        .as("gap_s"))
+    val hist = gaps.groupBy(col("gap_s")).agg(count(lit(1)).as("graft_n"))
+    val tot = hist.agg(sum(col("graft_n")).as("n_pairs"))
+    // single-group prefix sum over DISTINCT gaps (bounded by the gap
+    // cardinality, not the corpus)
+    val wv = Window.orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("graft_cum", sum(col("graft_n")).over(wv))
+      .crossJoin(broadcast(tot))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probes = probesBp.toDF("q_bp")
+    broadcast(probes).crossJoin(cum)
+      .filter(col("graft_cum") * 10000 >= col("q_bp") * col("n_pairs"))
+      .groupBy(col("q_bp"))
+      .agg(min(col("gap_s")).as("gap_seconds"),
+        first(col("n_pairs")).as("n_pairs"))
+  }
+
   /** Seasonal-naive forecast backtest — the capacity-planning baseline
     * every fancier model must beat (Hyndman & Athanasopoulos, fpp3
     * §5.2): forecast for day d is the observed count at day d−season

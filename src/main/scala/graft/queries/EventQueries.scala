@@ -548,6 +548,123 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- SCD2 dimension lookup: a 3-epoch rate history keyed on
+    // event_type (epochs cut 10/20 days after the corpus min day)
+    // joined valid-at each event's timestamp — the price/config
+    // history join; broadcast dim, key equi-join + residual interval.
+    "q239_scd2_lookup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = table(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        val m = ev.agg(min(to_date(col("ts"))).as("graft_d0"))
+        val epochs = Seq((1L, 0, 10), (2L, 10, 20), (3L, 20, 100000))
+          .toDF("epoch_id", "graft_off_from", "graft_off_to")
+        val dim = ev.select(col("event_type")).distinct()
+          .crossJoin(broadcast(m)).crossJoin(broadcast(epochs))
+          .select(col("event_type"), col("epoch_id"),
+            to_timestamp(expr("date_add(graft_d0, graft_off_from)"))
+              .as("valid_from"),
+            to_timestamp(expr("date_add(graft_d0, graft_off_to)"))
+              .as("valid_to"),
+            (col("epoch_id") * 1000 + length(col("event_type")))
+              .as("rate_milli"))
+        graft.operators.Scd2.lookup(ev, dim, "event_type", "ts",
+            "valid_from", "valid_to")
+          .groupBy(col("event_type"), col("epoch_id"), col("rate_milli"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+          .orderBy("event_type", "epoch_id")
+      },
+      Some("""WITH m AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+             |e AS (SELECT event_type, ts,
+             |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |j AS (SELECT e.event_type, e.cents,
+             |             CASE WHEN ts < d0 + INTERVAL 10 DAY THEN 1
+             |                  WHEN ts < d0 + INTERVAL 20 DAY THEN 2
+             |                  ELSE 3 END AS epoch_id
+             |      FROM e CROSS JOIN m)
+             |SELECT event_type, CAST(epoch_id AS BIGINT) AS epoch_id,
+             |       CAST(epoch_id * 1000 + strlen(event_type) AS BIGINT) AS rate_milli,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM j GROUP BY j.event_type, j.epoch_id
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Top user-journey trigrams (one step past the bigram
+    // transition matrix): per-user time-ordered state triples, counted
+    // corpus-wide, deterministic top-25.
+    "q240_path_trigrams" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.pathTrigrams(
+            table(s, dir, "events"), "user_id", "ts", "event_type",
+            "event_id", topK = 25)
+          .orderBy("s1", "s2", "s3")
+      },
+      Some("""WITH s AS (SELECT user_id, event_type AS s1,
+             |                 lead(event_type, 1) OVER w AS s2,
+             |                 lead(event_type, 2) OVER w AS s3
+             |          FROM events
+             |          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |c AS (SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+             |      FROM s WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1, 2, 3),
+             |top AS (SELECT * FROM c ORDER BY n DESC, s1, s2, s3 LIMIT 25)
+             |SELECT * FROM top ORDER BY s1, s2, s3""".stripMargin)),
+
+    // ---- First-touch view→purchase conversion latency quantiles —
+    // exact ranks over the value-compressed gap histogram.
+    "q241_conversion_latency" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.conversionLatency(
+            table(s, dir, "events"), "user_id", "ts", "event_type",
+            fromState = "view", toState = "purchase",
+            probesBp = Seq(2500L, 5000L, 7500L, 9000L))
+          .orderBy("q_bp")
+      },
+      Some("""WITH f AS (SELECT user_id, min(ts) AS tf FROM events
+             |           WHERE event_type = 'view' GROUP BY 1),
+             |t AS (SELECT e.user_id, min(e.ts) AS tt, min(f.tf) AS tf
+             |      FROM events e JOIN f USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts >= f.tf GROUP BY 1),
+             |g AS (SELECT (epoch_us(tt) - epoch_us(tf)) // 1000000 AS gap_s FROM t),
+             |h AS (SELECT gap_s, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+             |c AS (SELECT h.*, CAST(sum(n) OVER (ORDER BY gap_s
+             |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_pairs FROM h),
+             |p AS (SELECT unnest([2500, 5000, 7500, 9000]) AS q_bp)
+             |SELECT CAST(p.q_bp AS BIGINT) AS q_bp,
+             |       CAST(min(c.gap_s) AS BIGINT) AS gap_seconds,
+             |       min(tot.n_pairs) AS n_pairs
+             |FROM p CROSS JOIN tot JOIN c ON c.cum * 10000 >= p.q_bp * tot.n_pairs
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- IPW sampling calibration: deterministic md5-prefix sampling
+    // (purchase at 64/256, everything else 32/256), the inverse-
+    // probability estimate vs the true count, relative error in bp —
+    // the report you run before trusting a sampled telemetry stream.
+    "q242_ipw_totals" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.ipwCalibration(
+            table(s, dir, "events"), "event_id", "event_type",
+            Map("purchase" -> 64), defaultRate = 32)
+          .orderBy("event_type")
+      },
+      Some("""WITH s AS (SELECT event_type,
+             |             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+             |                    CASE WHEN event_type = 'purchase' THEN '40' ELSE '20' END
+             |                  THEN 1 ELSE 0 END AS smp,
+             |             CASE WHEN event_type = 'purchase' THEN 64 ELSE 32 END AS r
+             |           FROM events),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true,
+             |             CAST(sum(smp) AS BIGINT) AS n_sampled,
+             |             CAST(min(r) AS BIGINT) AS rate_n256
+             |      FROM s GROUP BY 1),
+             |e AS (SELECT a.*, CAST((2 * n_sampled * 256 + rate_n256)
+             |                       // (2 * rate_n256) AS BIGINT) AS est_total FROM a)
+             |SELECT event_type, n_true, n_sampled, rate_n256, est_total,
+             |       CAST((2 * 10000 * abs(est_total - n_true) + n_true)
+             |            // (2 * n_true) AS BIGINT) AS err_bp
+             |FROM e ORDER BY event_type""".stripMargin)),
+
     // ---- Winsorized mean of value cents per type (clip at the exact
     // 2.5%/97.5% percentile values, then HALF_UP milli-mean) — the
     // robust center that keeps every row's vote, from the same

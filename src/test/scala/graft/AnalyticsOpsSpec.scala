@@ -467,6 +467,80 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s") === ((3L, 0L, 2L)))
   }
 
+  test("Scd2.lookup picks the valid-at version; no-match keeps NULLs") {
+    import spark.implicits._
+    import graft.operators.Scd2
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val fact = Seq((1L, "k", t(5)), (2L, "k", t(15)), (3L, "k", t(99)),
+      (4L, "z", t(5))).toDF("id", "key", "ts")
+    val dim = Seq(("k", t(0), t(10), 100L), ("k", t(10), t(20), 200L))
+      .toDF("key", "vf", "vt", "rate")
+    val out = Scd2.lookup(fact, dim, "key", "ts", "vf", "vt")
+      .select("id", "rate").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // boundary t(10) belongs to the SECOND interval (half-open); facts
+    // past the last version and unknown keys survive with NULL payload
+    assert(out.toSeq === Seq((1L, 100L), (2L, 200L), (3L, -1L), (4L, -1L)))
+  }
+
+  test("pathTrigrams counts ordered triples with deterministic top-k") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq(
+      (1L, t(1), "a", 1L), (1L, t(2), "b", 2L), (1L, t(3), "c", 3L),
+      (1L, t(4), "a", 4L), // user1: abc, bca
+      (2L, t(1), "a", 5L), (2L, t(2), "b", 6L), (2L, t(3), "c", 7L)
+    ).toDF("u", "ts", "s", "id")
+    val out = EventAnalytics.pathTrigrams(ev, "u", "ts", "s", "id", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(out === Set(("a", "b", "c", 2L), ("b", "c", "a", 1L)))
+  }
+
+  test("conversionLatency: exact rank quantiles over first-touch gaps") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    // gaps (seconds): u1 60, u2 120, u3 300; u4 converts BEFORE first
+    // view → excluded; u5 never converts
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(1), "buy"),
+      (2L, t(0), "view"), (2L, t(2), "buy"),
+      (3L, t(0), "view"), (3L, t(5), "buy"),
+      (4L, t(9), "view"), (4L, t(1), "buy"),
+      (5L, t(0), "view")
+    ).toDF("u", "ts", "s")
+    val out = EventAnalytics.conversionLatency(ev, "u", "ts", "s",
+        "view", "buy", probesBp = Seq(5000L, 10000L))
+      .orderBy("q_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // n=3 gaps {60,120,300}: median target ⌈1.5⌉=2 → 120; max → 300
+    assert(out === Seq((5000L, 120L, 3L), (10000L, 300L, 3L)))
+  }
+
+  test("ipwCalibration: estimator math exact, sampling deterministic") {
+    import spark.implicits._
+    val df = (1L to 512L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val out = Profiling.ipwCalibration(df, "id", "g",
+        Map("a" -> 64), defaultRate = 32)
+      .orderBy("g").collect()
+    out.foreach { r =>
+      val (nTrue, nSmp, rate, est, err) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nTrue === 256L)
+      assert(rate === (if (r.getString(0) == "a") 64L else 32L))
+      assert(est === (2 * nSmp * 256 + rate) / (2 * rate)) // HALF_UP replay
+      assert(err === (2 * 10000 * math.abs(est - nTrue) + nTrue) / (2 * nTrue))
+      // md5-prefix sampling actually thins: kept strictly between 0 and all
+      assert(nSmp > 0L && nSmp < nTrue)
+    }
+    // determinism: same input → same kept counts
+    val again = Profiling.ipwCalibration(df, "id", "g",
+        Map("a" -> 64), defaultRate = 32)
+      .orderBy("g").collect().map(_.getLong(2)).toSeq
+    assert(again === out.map(_.getLong(2)).toSeq)
+  }
+
   test("equiDepthHistogram: exact ceil-rank boundaries on 1..10") {
     import spark.implicits._
     val df = (1L to 10L).map(("a", _)).toDF("g", "v")

@@ -771,4 +771,60 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
     spark.catalog.clearCache()
   }
+
+  test("global row ids never funnel through a single-partition exchange") {
+    // the op's whole reason to exist: the window formulation would show
+    // Exchange SinglePartition feeding a Sort+Window over every row
+    val df = graft.operators.GlobalIds.withGlobalIds(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"),
+      Seq("n_chars", "doc_id"), numParts = 4)
+    // the range shuffle lives inside the RDD lineage (createDataFrame
+    // hides it from the SQL plan), so pin the property behaviorally:
+    // ids are assigned per partition, in parallel, as CONTIGUOUS
+    // ascending ranges — the exact thing a single-partition window
+    // cannot do without funneling every row through one task
+    val parts = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      val ids = it.map(_.getLong(2)).toArray
+      if (ids.isEmpty) Iterator.empty
+      else Iterator((i, ids.min, ids.max, ids.length.toLong))
+    }.collect().sortBy(_._1)
+    assert(parts.length > 1, s"global ids collapsed to one partition: ${parts.toSeq}")
+    val n = parts.map(_._4).sum
+    var next = 0L
+    parts.foreach { case (_, lo, hi, cnt) =>
+      assert(lo === next && hi === next + cnt - 1,
+        s"non-contiguous id range in ${parts.toSeq}")
+      next += cnt
+    }
+    assert(next === n)
+  }
+
+  test("CDC apply is one key shuffle with map-side combine and no window sort") {
+    val p = planOf("q232_cdc_apply")
+    assert(!p.contains("Window"), s"CDC apply acquired a window sort:\n$p")
+    assert(p.contains("partial"), s"max_by lost map-side combine:\n$p")
+    // one shuffle for the key agg (+ the presentation orderBy range
+    // exchange, which hashExchanges does not count)
+    assert(hashExchanges(p) <= 1, s"CDC apply acquired extra shuffles:\n$p")
+  }
+
+  test("constraint suite branches stay narrow partial aggregations") {
+    val p = planOf("q233_constraint_report")
+    assert(p.contains("partial"), s"checks lost map-side combine:\n$p")
+    // only the unique() check shuffles raw keys; scalar checks reduce
+    // to 1-row partial aggs
+    assert(hashExchanges(p) <= 2, s"checks acquired extra shuffles:\n$p")
+  }
+
+  test("MAD report windows run over the value-compressed histogram only") {
+    val p = planOf("q226_mad_outliers")
+    // every Window must sit above the (group,value) histogram agg, so
+    // no Window may consume a raw-scan exchange: all window sorts are
+    // keyed by group over histogram frames; nothing is single-partition
+    assert(!p.contains("SinglePartition"),
+      s"histogram quantile degraded to single partition:\n$p")
+    assert(p.contains("partial"), s"histogram agg lost map-side combine:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
 }
