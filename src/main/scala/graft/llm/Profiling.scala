@@ -590,6 +590,43 @@ object Profiling {
       .limit(topN)
   }
 
+  /** Hill tail-index estimate per group — the power-law heaviness
+    * gauge for size distributions (document lengths, file sizes, key
+    * frequencies): over the top k order statistics x₍₁₎ ≥ … ≥ x₍ₖ₎,
+    * Hill = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎); small Hill ⇒ light tail, and
+    * 1/Hill estimates the Pareto α (the "how bad can the biggest shard
+    * get" number). Deterministic integers: each ln once-rounded to
+    * micro-nats (the wordEntropy idiom) on values ranked by
+    * (value desc, id) — total order, engine-identical — and the mean
+    * HALF_UP. Groups with fewer than k+1 positive values are omitted
+    * (no tail to estimate). One per-group rank window (per-key sort)
+    * over positive values only; everything after runs on k-bounded
+    * frames. Output: (group, k, hill_micro).
+    */
+  def hillTailIndex(df: DataFrame, groupCol: String, valCol: String,
+                    idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol).desc, col(idCol))
+    def lnr(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    val ranked = df
+      .filter(col(valCol).isNotNull && col(valCol) > 0)
+      .withColumn("graft_rk", row_number().over(w).cast("long"))
+      .filter(col("graft_rk") <= k + 1)
+      .withColumn("graft_ln", expr(lnr(valCol)))
+    ranked.groupBy(col(groupCol))
+      .agg(sum(when(col("graft_rk") <= k, col("graft_ln")).otherwise(0L))
+          .as("graft_top"),
+        sum(when(col("graft_rk") === k + 1, col("graft_ln")).otherwise(0L))
+          .as("graft_ref"),
+        max(col("graft_rk")).as("graft_maxrk"))
+      .filter(col("graft_maxrk") === k + 1)
+      .select(col(groupCol), lit(k.toLong).as("k"),
+        expr(s"(2 * (graft_top - $k * graft_ref) + $k) DIV (2 * $k)")
+          .as("hill_micro"))
+  }
+
   /** Inverse-probability-weighting calibration for hash-sampled
     * telemetry: rows are "kept" when the first md5 hex byte of their id
     * is below the stratum's threshold (the q54 deterministic-sampling

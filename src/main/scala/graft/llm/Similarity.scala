@@ -319,6 +319,61 @@ object Similarity {
       .select(col("di"), col("dj"), col("n"), expr(covUExpr).as("cov_u"))
   }
 
+  /** Spearman rank-correlation matrix between embedding dimensions —
+    * the MONOTONE-dependence companion to [[embedCovariance]] (Pearson
+    * on ranks; robust to the heavy tails and nonlinear warps real
+    * embedding dims carry). Fully integer and engine-reproducible:
+    * values quantize through `graft_scale_q` and rank by (scaled
+    * value, id) — a total order, so ties break identically on any
+    * engine — then the tie-free formula ρ = 1 − 6·Σd²/(n(n²−1)) is an
+    * exact rational, emitted as HALF_UP milli. (With the (v, id)
+    * tie-break, equal values get consecutive distinct ranks instead of
+    * averaged ranks — the deterministic convention; document, don't
+    * average.)
+    *
+    * Scale shape: one per-dim rank window (a per-key sort, D keys —
+    * the honest cost of ranks), one id-keyed collect of each row's
+    * D-length rank vector, then the q136-style IN-ROW upper-triangle
+    * expansion (×D(D−1)/2 row blowup) into a map-side-combinable sum.
+    * Divisor n(n²−1) runs in decimal(38,0): BIGINT overflows at
+    * n ≈ 2.1e6 rows. Output: (di, dj, n, spearman_milli) for i < j.
+    */
+  def spearmanMatrix(df: DataFrame, idCol: String, vecCol: String,
+                     scale: Double = 10000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VecFunctions.register(df.sparkSession)
+    val ex = df.select(col(idCol).as("graft_id"),
+      posexplode(call_function("graft_scale_q", col(vecCol), lit(scale)))
+        .as(Seq("graft_dim", "graft_x")))
+    val w = Window.partitionBy(col("graft_dim"))
+      .orderBy(col("graft_x"), col("graft_id"))
+    val ranked = ex.withColumn("graft_r", row_number().over(w).cast("long"))
+    val vecs = ranked.groupBy(col("graft_id"))
+      .agg(array_sort(collect_list(struct(col("graft_dim"), col("graft_r"))))
+        .as("graft_rv"))
+      .select(expr("transform(graft_rv, e -> e.graft_r)").as("rv"))
+    vecs.select(explode(expr(
+        """flatten(transform(sequence(1, size(rv) - 1), i ->
+          |  transform(sequence(i + 1, size(rv)), j -> struct(
+          |    CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+          |    (element_at(rv, i) - element_at(rv, j)) *
+          |    (element_at(rv, i) - element_at(rv, j)) AS d2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.di").as("di"), col("p.dj").as("dj"),
+        col("p.d2").as("d2"))
+      .groupBy(col("di"), col("dj"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("graft_s"))
+      .select(col("di"), col("dj"), col("n"), expr(
+        """CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * n * n - n - 6 * graft_s < 0
+          |  THEN -1 ELSE 1 END *
+          |  ((2000 * abs(CAST(n AS DECIMAL(38,0)) * n * n - n - 6 * graft_s)
+          |      + (CAST(n AS DECIMAL(38,0)) * n * n - n))
+          |    DIV (2 * (CAST(n AS DECIMAL(38,0)) * n * n - n))) AS BIGINT)"""
+          .stripMargin).as("spearman_milli"))
+  }
+
   /** Top principal direction of the embedding cloud via deterministic
     * integer power iteration on the [[embedCovariance]] matrix — the
     * first PCA component, the thing you inspect before whitening /

@@ -485,6 +485,32 @@ object EventAnalytics {
       .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
   }
 
+  /** Engaged time per (key, day) — the session-duration metric product
+    * analytics actually reports: sum over consecutive same-day event
+    * pairs of min(gap, idleCap) seconds, so staring at a tab for an
+    * hour counts idleCap, not 3600 (the standard idle-capped
+    * formulation). Whole seconds of the µs gap (floor); the lead
+    * window partitions by (key, day) — per-key-day sorts, never
+    * global. Output: (key, day, n_events, engaged_seconds).
+    */
+  def engagedTime(df: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, idleCapS: Long = 300L): DataFrame = {
+    require(idleCapS >= 1L, s"idleCapS must be >= 1, got $idleCapS")
+    df.select(col(keyCol), col(tsCol), col(idCol),
+        to_date(col(tsCol)).as("day"))
+      .withColumn("graft_gap", expr(
+        s"(unix_micros(lead($tsCol, 1) OVER (PARTITION BY $keyCol, day " +
+          s"ORDER BY $tsCol, $idCol)) - unix_micros($tsCol)) DIV 1000000"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        // guard the NULL explicitly: least() IGNORES NULLs (on Spark
+        // AND DuckDB), so an unguarded least(gap, cap) would credit
+        // every day's LAST event a full idleCap of phantom engagement
+        coalesce(sum(when(col("graft_gap").isNotNull,
+          least(col("graft_gap"), lit(idleCapS))).otherwise(0L)), lit(0L))
+          .as("engaged_seconds"))
+  }
+
   /** Top user-journey trigrams: consecutive state triples per key in
     * time order, counted corpus-wide, deterministic top-k (count desc,
     * then the triple) — the "what do users actually do" sequence

@@ -548,6 +548,25 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Idle-capped engaged time per (user, day): Σ min(gap, 300 s)
+    // over consecutive same-day events — the session-duration metric,
+    // per-key-day windows only.
+    "q245_engaged_time" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.engagedTime(
+            table(s, dir, "events"), "user_id", "ts", "event_id",
+            idleCapS = 300L)
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id, CAST(ts AS DATE) AS day FROM events),
+             |g AS (SELECT e.*, (epoch_us(lead(ts) OVER (PARTITION BY user_id, day
+             |                     ORDER BY ts, event_id)) - epoch_us(ts)) // 1000000 AS gap
+             |      FROM e)
+             |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(coalesce(sum(CASE WHEN gap IS NULL THEN 0
+             |                              ELSE least(gap, 300) END), 0) AS BIGINT) AS engaged_seconds
+             |FROM g GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin)),
+
     // ---- SCD2 dimension lookup: a 3-epoch rate history keyed on
     // event_type (epochs cut 10/20 days after the corpus min day)
     // joined valid-at each event's timestamp — the price/config

@@ -2166,6 +2166,35 @@ object LlmQueries {
              |       CAST((len_bp + ttr_bp + 1) // 2 AS BIGINT) AS blend_bp
              |FROM nrm ORDER BY doc_id""".stripMargin)),
 
+    // ---- Spearman rank-correlation matrix between embedding dims:
+    // ranks by (scaled value, id) — a total order both engines share —
+    // then the exact rational 1 − 6Σd²/(n(n²−1)) in HALF_UP milli;
+    // the monotone-dependence companion to the q136 covariance.
+    "q243_spearman_matrix" -> QueryDef(
+      (s, dir) => {
+        Similarity.spearmanMatrix(table(s, dir, "embeddings"),
+            "vec_id", "embedding")
+          .orderBy("di", "dj")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding,
+             |              x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS sv
+             |        FROM embeddings),
+             |x AS (SELECT vec_id, sv, unnest(range(1, len(sv) + 1)) AS d FROM e),
+             |v AS (SELECT vec_id, CAST(d - 1 AS BIGINT) AS dim,
+             |             sv[CAST(d AS INT)] AS xsc FROM x),
+             |r AS (SELECT vec_id, dim, CAST(row_number() OVER
+             |        (PARTITION BY dim ORDER BY xsc, vec_id) AS BIGINT) AS rk FROM v),
+             |p AS (SELECT a.dim AS di, b.dim AS dj,
+             |             (a.rk - b.rk) * (a.rk - b.rk) AS d2
+             |      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.dim < b.dim),
+             |s AS (SELECT di, dj, CAST(count(*) AS BIGINT) AS n, sum(d2) AS sd
+             |      FROM p GROUP BY 1, 2)
+             |SELECT di, dj, n,
+             |       CAST(CASE WHEN n*n*n - n - 6*sd < 0 THEN -1 ELSE 1 END *
+             |            ((2000 * abs(n*n*n - n - 6*sd) + (n*n*n - n))
+             |              // (2 * (n*n*n - n))) AS BIGINT) AS spearman_milli
+             |FROM s ORDER BY di, dj""".stripMargin)),
+
     // ---- Top principal direction via integer power iteration on the
     // q136 covariance: 8 fixed HALF_UP-rescaled iterations, sign
     // canonicalized — the dominant-direction diagnostic before

@@ -356,6 +356,32 @@ object ProfileQueries {
              |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS row_id
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Hill tail-index of document lengths per language (top-20
+    // order statistics, once-rounded micro-nat logs): the power-law
+    // heaviness gauge — 1/Hill ≈ Pareto α, the "how bad does the
+    // biggest shard get" number.
+    "q244_hill_tail" -> QueryDef(
+      (s, dir) => {
+        Profiling.hillTailIndex(Registry.table(s, dir, "documents"),
+            "lang", "n_chars", "doc_id", k = 20)
+          .orderBy("lang")
+      },
+      Some("""WITH v AS (SELECT lang, n_chars, doc_id,
+             |                  row_number() OVER (PARTITION BY lang
+             |                    ORDER BY n_chars DESC, doc_id) AS rk
+             |           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+             |t AS (SELECT lang, rk,
+             |             CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnv
+             |      FROM v WHERE rk <= 21),
+             |a AS (SELECT lang,
+             |             CAST(sum(CASE WHEN rk <= 20 THEN lnv ELSE 0 END) AS BIGINT) AS top,
+             |             CAST(sum(CASE WHEN rk = 21 THEN lnv ELSE 0 END) AS BIGINT) AS ref,
+             |             max(rk) AS mx
+             |      FROM t GROUP BY 1)
+             |SELECT lang, CAST(20 AS BIGINT) AS k,
+             |       CAST((2 * (top - 20 * ref) + 20) // 40 AS BIGINT) AS hill_micro
+             |FROM a WHERE mx = 21 ORDER BY lang""".stripMargin)),
+
     // ---- l-diversity audit on customer: quasi-identifier classes
     // (nation, segment) whose members span fewer than 9 distinct
     // account-balance bands — the k-anonymity companion (a uniform

@@ -467,6 +467,56 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s") === ((3L, 0L, 2L)))
   }
 
+  test("spearmanMatrix: monotone pair is +1000, anti-monotone is -1000") {
+    import spark.implicits._
+    val vecs = (1 to 6).map(k =>
+      (k.toLong, Seq(k.toFloat, (k * k).toFloat, (-k).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.spearmanMatrix(vecs, "vec_id", "embedding")
+      .orderBy("di", "dj").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    // dim1 = k² is a monotone warp of dim0 → rank-perfect; dim2 = −k
+    // reverses every rank
+    assert(out((0L, 1L)) === 1000L)
+    assert(out((0L, 2L)) === -1000L)
+    assert(out((1L, 2L)) === -1000L)
+  }
+
+  test("hillTailIndex replays the once-rounded log formula; short groups omitted") {
+    import spark.implicits._
+    val a = (1 to 21).map(i => ("a", (1000 / i).toLong, i.toLong)) // Pareto-ish
+    val b = (1 to 20).map(i => ("b", 100L, 100L + i))              // only 20 rows
+    val df = (a ++ b).toDF("g", "v", "id")
+    val out = Profiling.hillTailIndex(df, "g", "v", "id", k = 20).collect()
+    assert(out.length === 1 && out.head.getString(0) === "a")
+    def lnr(x: Long) = math.round(math.log(x.toDouble) * 1000000.0)
+    val sorted = a.map(_._2).sortBy(-_)
+    val top = sorted.take(20).map(lnr).sum
+    val ref = lnr(sorted(20))
+    assert(out.head.getAs[Long]("hill_micro") ===
+      (2 * (top - 20 * ref) + 20) / 40)
+  }
+
+  test("engagedTime caps idle gaps and never crosses the day boundary") {
+    import spark.implicits._
+    def t(day: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:${sec / 60}%02d:${sec % 60}%02d")
+    val ev = Seq(
+      (1L, t(1, 0), 1L), (1L, t(1, 100), 2L), (1L, t(1, 500), 3L),
+      (1L, t(2, 0), 4L), // next day: no gap credit across midnight
+      (2L, t(1, 0), 5L)  // singleton: zero engaged time
+    ).toDF("u", "ts", "id")
+    val out = EventAnalytics.engagedTime(ev, "u", "ts", "id", idleCapS = 300L)
+      .orderBy("u", "day").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toString,
+        r.getLong(2), r.getLong(3))).toSeq
+    // gaps 100 and 400→capped 300 → 400 engaged seconds on day 1
+    assert(out === Seq(
+      (1L, "2024-01-01", 3L, 400L),
+      (1L, "2024-01-02", 1L, 0L),
+      (2L, "2024-01-01", 1L, 0L)))
+  }
+
   test("Scd2.lookup picks the valid-at version; no-match keeps NULLs") {
     import spark.implicits._
     import graft.operators.Scd2
