@@ -588,4 +588,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sha(f) == sha(files2(shard)), s"shard $shard bytes drifted on re-run")
     }
   }
+
+  test("Quality gate passes the real documents table and fails a corrupted copy") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cleanIn = tmp() + "/docs"
+    docs.write.parquet(cleanIn)
+    val (report, profile) = Quality.run(spark, cleanIn, tmp())
+    val rep = report.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep.size === Quality.documentChecks.size)
+    assert(rep.values.forall { case (v, p) => v == 0L && p == 1L },
+      s"clean snapshot should pass every check: $rep")
+    val prof = profile.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prof("doc_id") === 0L) // no nulls anywhere in the contract cols
+    // corrupt it: duplicate one doc_id, null one lang
+    val broken = docs.limit(1).withColumn("lang", lit(null: String))
+      .unionByName(docs)
+    val brokenIn = tmp() + "/docs"
+    broken.write.parquet(brokenIn)
+    val (report2, _) = Quality.run(spark, brokenIn, tmp())
+    val rep2 = report2.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep2("unique(doc_id)") === ((1L, 0L)))
+    assert(rep2("not_null(lang)") === ((1L, 0L)))
+    assert(rep2("not_null(text)")._2 === 1L) // untouched columns still pass
+  }
 }

@@ -772,6 +772,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("SCD2 lookup broadcasts the dimension history (no sort-merge join)") {
+    val p = planOf("q239_scd2_lookup")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"SCD2 dim join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SCD2 degraded to SMJ:\n$p")
+  }
+
+  test("path trigrams ride ONE per-key window then a partial triple count") {
+    val p = planOf("q240_path_trigrams")
+    assert("Window".r.findAllIn(p).toSet.size >= 1)
+    assert(p.contains("partial"), s"triple count lost map-side combine:\n$p")
+    // one shuffle for the per-user window, one for the triple agg
+    assert(hashExchanges(p) <= 2, s"trigrams acquired extra shuffles:\n$p")
+    assert(p.contains("TakeOrdered"), s"top-k degraded to a global sort:\n$p")
+  }
+
   test("global row ids never funnel through a single-partition exchange") {
     // the op's whole reason to exist: the window formulation would show
     // Exchange SinglePartition feeding a Sort+Window over every row

@@ -405,6 +405,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       seed, 1L, "doc_id", "text", didx, Some(bidx)) === -1L)
   }
 
+  test("streaming snapshot maintainer folds CDC batches into versioned parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SnapshotMaintainer
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    SnapshotMaintainer.init(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "payload"), dir)
+    assert(SnapshotMaintainer.currentVersion(dir) === 0L)
+    val in = MemoryStream[(Long, String, Long, String)]
+    val q = SnapshotMaintainer.start(
+      in.toDF().toDF("k", "payload", "seq", "op"), dir, Seq("k"),
+      "seq", "op",
+      java.nio.file.Files.createTempDirectory("graft-snap-ckpt").toString)
+    try {
+      in.addData((1L, "a2", 1L, "U"), (3L, "c", 1L, "I"))
+      q.processAllAvailable()
+      assert(SnapshotMaintainer.currentVersion(dir) === 1L)
+      val v1 = SnapshotMaintainer.snapshot(spark, dir)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(v1 === Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+      in.addData((2L, "b", 2L, "D"))
+      q.processAllAvailable()
+      assert(SnapshotMaintainer.currentVersion(dir) === 2L)
+      val v2 = SnapshotMaintainer.snapshot(spark, dir)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(v2 === Seq((1L, "a2"), (3L, "c")))
+      // time travel: v1 still intact on disk
+      val old = spark.read.parquet(s"$dir/v1")
+        .orderBy("k").collect().map(_.getLong(0)).toSeq
+      assert(old === Seq(1L, 2L, 3L))
+      // replayed committed batch is a ledger no-op
+      assert(SnapshotMaintainer.processBatch(
+        Seq((9L, "x", 9L, "I")).toDF("k", "payload", "seq", "op"),
+        0L, dir, Seq("k"), "seq", "op") === -1L)
+      assert(SnapshotMaintainer.currentVersion(dir) === 2L)
+    } finally q.stop()
+  }
+
   test("streaming quantile monitor tracks per-key medians across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
