@@ -590,6 +590,31 @@ object Profiling {
       .limit(topN)
   }
 
+  /** Leave-one-out target encoding — the ML feature that replaces a
+    * categorical with the mean target of its OTHER members, the
+    * standard leak-free form ((Σ_cat − own)/(n_cat − 1)): computing it
+    * WITH self-inclusion leaks the row's own label into its feature.
+    * Exact HALF_UP milli; singleton categories encode NULL (no other
+    * members — impute downstream, don't fabricate). One category
+    * aggregation broadcast-joined back onto the rows: no window, no
+    * per-category sort, category cardinality-bounded stats frame.
+    * Output: input row id + category + (n_cat, loo_mean_milli).
+    */
+  def targetEncoding(df: DataFrame, idCol: String, catCol: String,
+                     valCol: String): DataFrame = {
+    val stats = df.filter(col(valCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(sum(col(valCol).cast("long")).as("graft_sum"),
+        count(lit(1)).as("n_cat"))
+    df.join(broadcast(stats), Seq(catCol), "left")
+      .select(col(idCol), col(catCol), col("n_cat"),
+        when(col("n_cat") > 1L and col(valCol).isNotNull, expr(
+          s"""CAST(sign(graft_sum - CAST($valCol AS BIGINT)) AS BIGINT) *
+             |((2000 * abs(graft_sum - CAST($valCol AS BIGINT)) + (n_cat - 1))
+             |  DIV (2 * (n_cat - 1)))""".stripMargin))
+          .as("loo_mean_milli"))
+  }
+
   /** Hill tail-index estimate per group — the power-law heaviness
     * gauge for size distributions (document lengths, file sizes, key
     * frequencies): over the top k order statistics x₍₁₎ ≥ … ≥ x₍ₖ₎,

@@ -485,6 +485,83 @@ object EventAnalytics {
       .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
   }
 
+  /** Ordinary-least-squares trend of daily counts per group — the
+    * "is this metric growing" number: slope over (day index x, daily
+    * count y) as the exact rational (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²),
+    * emitted in HALF_UP milli-counts-per-day. x is the day offset from
+    * the group's first PRESENT day over the dense grid (absent days
+    * count 0 — a metric that stops emitting is a falling trend, not a
+    * missing one). All sums are exact integers; one daily count
+    * aggregation, then |groups|·|days|-bounded arithmetic. Groups with
+    * a single day are omitted (no slope). Output:
+    * (group, n_days, slope_milli).
+    */
+  def dailyTrend(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(groupCol).as("graft_g"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("graft_g"), col("day"))
+      .agg(count(lit(1)).as("graft_n"))
+    val grid = daily.groupBy(col("graft_g"))
+      .agg(min(col("day")).as("graft_d0"), max(col("day")).as("graft_d1"))
+      .select(col("graft_g"), col("graft_d0"),
+        explode(expr("sequence(graft_d0, graft_d1)")).as("day"))
+    grid.join(daily, Seq("graft_g", "day"), "left")
+      .select(col("graft_g"),
+        datediff(col("day"), col("graft_d0")).cast("long").as("graft_x"),
+        coalesce(col("graft_n"), lit(0L)).as("graft_y"))
+      .groupBy(col("graft_g"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("graft_x")).as("graft_sx"),
+        sum(col("graft_y")).as("graft_sy"),
+        sum(col("graft_x") * col("graft_y")).as("graft_sxy"),
+        sum(col("graft_x") * col("graft_x")).as("graft_sxx"))
+      .filter(col("n_days") >= 2)
+      .withColumn("slope_milli", expr(
+        """CAST(sign(n_days * graft_sxy - graft_sx * graft_sy) AS BIGINT) *
+          |((2000 * abs(n_days * graft_sxy - graft_sx * graft_sy)
+          |    + (n_days * graft_sxx - graft_sx * graft_sx))
+          |  DIV (2 * (n_days * graft_sxx - graft_sx * graft_sx)))"""
+          .stripMargin))
+      .select(col("graft_g").as(groupCol), col("n_days"), col("slope_milli"))
+  }
+
+  /** Mann–Kendall trend statistic S per group — the nonparametric
+    * companion to [[dailyTrend]] (no linearity assumption, immune to
+    * outlier days): S = Σ_{i<j} sign(yⱼ − yᵢ) over day-ordered daily
+    * counts on the dense grid; S near +n(n−1)/2 ⇒ monotone rise. Exact
+    * integer by construction. The pair join is |days|² per group —
+    * bounded by the CALENDAR, not the corpus (a year is 66k pairs) —
+    * after the one row-scale daily count. Output:
+    * (group, n_days, s_stat, n_pairs).
+    */
+  def mannKendall(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(groupCol).as("graft_g"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("graft_g"), col("day"))
+      .agg(count(lit(1)).as("graft_n"))
+    val grid = daily.groupBy(col("graft_g"))
+      .agg(min(col("day")).as("graft_d0"), max(col("day")).as("graft_d1"))
+      .select(col("graft_g"), explode(expr("sequence(graft_d0, graft_d1)"))
+        .as("day"))
+    val dense = grid.join(daily, Seq("graft_g", "day"), "left")
+      .select(col("graft_g"), col("day"),
+        coalesce(col("graft_n"), lit(0L)).as("graft_y"))
+    val a = dense.select(col("graft_g"), col("day").as("graft_di"),
+      col("graft_y").as("graft_yi"))
+    val b = dense.select(col("graft_g"), col("day").as("graft_dj"),
+      col("graft_y").as("graft_yj"))
+    a.join(b, Seq("graft_g"))
+      .filter(col("graft_di") < col("graft_dj"))
+      .groupBy(col("graft_g"))
+      .agg(coalesce(sum(signum(col("graft_yj") - col("graft_yi"))
+          .cast("long")), lit(0L)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+      .join(dense.groupBy(col("graft_g")).agg(count(lit(1)).as("n_days")),
+        Seq("graft_g"))
+      .select(col("graft_g").as(groupCol), col("n_days"), col("s_stat"),
+        col("n_pairs"))
+  }
+
   /** Engaged time per (key, day) — the session-duration metric product
     * analytics actually reports: sum over consecutive same-day event
     * pairs of min(gap, idleCap) seconds, so staring at a tab for an

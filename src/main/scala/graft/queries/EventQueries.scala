@@ -548,6 +548,85 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Leave-one-out target encoding of event_type by value cents —
+    // the leak-free categorical feature ((Σ−own)/(n−1), HALF_UP milli);
+    // singleton categories encode NULL.
+    "q246_target_encoding" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.targetEncoding(
+            table(s, dir, "events")
+              .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")),
+            "event_id", "event_type", "cents")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |s AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS sm,
+             |             CAST(count(*) AS BIGINT) AS n_cat
+             |      FROM e WHERE cents IS NOT NULL GROUP BY 1)
+             |SELECT e.event_id, e.event_type, s.n_cat,
+             |       CASE WHEN s.n_cat > 1 AND e.cents IS NOT NULL THEN
+             |         CAST(CAST(sign(sm - cents) AS BIGINT) *
+             |              ((2000 * abs(sm - cents) + (n_cat - 1))
+             |                // (2 * (n_cat - 1))) AS BIGINT)
+             |       ELSE NULL END AS loo_mean_milli
+             |FROM e LEFT JOIN s USING (event_type) ORDER BY event_id""".stripMargin)),
+
+    // ---- OLS slope of daily counts per type (dense grid, zeros real)
+    // in milli-counts/day — the "is this metric growing" number, exact
+    // integer sums.
+    "q247_daily_trend" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.dailyTrend(
+            table(s, dir, "events"), "event_type", "ts")
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+             |s0 AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+             |g AS (SELECT event_type, d0,
+             |             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |      FROM s0),
+             |v AS (SELECT g.event_type,
+             |             CAST(date_diff('day', g.d0, g.day) AS BIGINT) AS x,
+             |             coalesce(d.n, 0) AS y
+             |      FROM g LEFT JOIN d USING (event_type, day)),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |             CAST(sum(x * y) AS BIGINT) AS sxy,
+             |             CAST(sum(x * x) AS BIGINT) AS sxx
+             |      FROM v GROUP BY 1)
+             |SELECT event_type, n_days,
+             |       CAST(CAST(sign(n_days * sxy - sx * sy) AS BIGINT) *
+             |            ((2000 * abs(n_days * sxy - sx * sy) + (n_days * sxx - sx * sx))
+             |              // (2 * (n_days * sxx - sx * sx))) AS BIGINT) AS slope_milli
+             |FROM a WHERE n_days >= 2 ORDER BY event_type""".stripMargin)),
+
+    // ---- Mann–Kendall S per type over the dense daily counts — the
+    // nonparametric trend test, exact integer; |days|²-bounded pairs.
+    "q248_mann_kendall" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.mannKendall(
+            table(s, dir, "events"), "event_type", "ts")
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+             |s0 AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+             |g AS (SELECT event_type,
+             |             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |      FROM s0),
+             |v AS (SELECT g.event_type, g.day, coalesce(d.n, 0) AS y
+             |      FROM g LEFT JOIN d USING (event_type, day)),
+             |p AS (SELECT a.event_type, CAST(sign(b.y - a.y) AS BIGINT) AS sg
+             |      FROM v a JOIN v b ON a.event_type = b.event_type AND a.day < b.day),
+             |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM v GROUP BY 1)
+             |SELECT p.event_type, t.n_days,
+             |       CAST(coalesce(sum(sg), 0) AS BIGINT) AS s_stat,
+             |       CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM p JOIN t USING (event_type)
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     // ---- Idle-capped engaged time per (user, day): Σ min(gap, 300 s)
     // over consecutive same-day events — the session-duration metric,
     // per-key-day windows only.

@@ -467,6 +467,52 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s") === ((3L, 0L, 2L)))
   }
 
+  test("targetEncoding: leak-free LOO means, singleton NULL, signed math") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 7L), (5L, "c", 0L), (6L, "c", -10L))
+      .toDF("id", "cat", "v")
+    val out = Profiling.targetEncoding(df, "id", "cat", "v")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out(1L) === Some(25000L)) // (20+30)/2
+    assert(out(2L) === Some(20000L))
+    assert(out(3L) === Some(15000L))
+    assert(out(4L) === None)          // singleton: no other members
+    assert(out(5L) === Some(-10000L)) // signed HALF_UP
+    assert(out(6L) === Some(0L))
+  }
+
+  test("dailyTrend: exact unit slope on a planted linear ramp") {
+    // counts 1..5 over five consecutive days → slope exactly 1/day
+    val rows = (1 to 5).flatMap(d =>
+      Seq.fill(d)(("a", f"2024-02-$d%02d 12:00:00")))
+    val out = EventAnalytics.dailyTrend(eventsDf(rows), "event_type", "ts")
+      .collect().head
+    assert(out.getAs[Long]("n_days") === 5L)
+    assert(out.getAs[Long]("slope_milli") === 1000L)
+    // a single-day group has no slope and is omitted
+    val one = EventAnalytics.dailyTrend(
+      eventsDf(Seq(("b", "2024-02-01 09:00:00"))), "event_type", "ts")
+    assert(one.count() === 0L)
+  }
+
+  test("mannKendall: rising ramp scores +n_pairs, flat scores zero") {
+    val rise = (1 to 4).flatMap(d =>
+      Seq.fill(d)(("a", f"2024-02-$d%02d 12:00:00")))
+    val r = EventAnalytics.mannKendall(eventsDf(rise), "event_type", "ts")
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Long]("s_stat") === 6L) // strictly rising: every pair +1
+    val flat = (1 to 4).flatMap(d =>
+      Seq.fill(3)(("a", f"2024-02-$d%02d 12:00:00")))
+    val f = EventAnalytics.mannKendall(eventsDf(flat), "event_type", "ts")
+      .collect().head
+    assert(f.getAs[Long]("s_stat") === 0L)
+  }
+
   test("spearmanMatrix: monotone pair is +1000, anti-monotone is -1000") {
     import spark.implicits._
     val vecs = (1 to 6).map(k =>
