@@ -375,6 +375,48 @@ object Curation {
         expr("base + IF(rk <= graft_left, 1L, 0L)").as("planned_tokens"))
   }
 
+  /** Neyman (minimum-variance) sample allocation across strata: the
+    * statistically optimal budget split n_h ∝ N_h·σ_h — sample noisy
+    * strata more, uniform strata barely — the design step before a
+    * stratified quality-eval or labeling run. Integer-deterministic
+    * via the [[temperatureMixture]] machinery: N_h·σ_h = √(N·Σx² −
+    * (Σx)²) exactly, taken as floor-sqrt (the q191 isqrt precedent;
+    * exact while the discriminant < 2^52 — eval-scale, hash-sample
+    * upstream beyond that), then largest-remainder rounding so the
+    * allocations sum EXACTLY to the budget. Zero-variance strata get
+    * weight 0 (nothing to learn from more of the same); all-zero
+    * weights degrade to the guarded divisor like the mixture plan.
+    * Output: (stratum, n_rows, neyman_weight, share_bp, allocated).
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val n = CacheRegistry.persist(df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valCol).cast("long")).as("graft_sx"),
+        sum(col(valCol).cast("long") * col(valCol).cast("long"))
+          .as("graft_sxx"))
+      .withColumn("neyman_weight", expr(
+        """CAST(floor(sqrt(CAST(n_rows * graft_sxx -
+          |  graft_sx * graft_sx AS DOUBLE))) AS BIGINT)""".stripMargin)))
+    val tot = n.agg(sum(col("neyman_weight")).as("graft_tw"))
+    val based = n.crossJoin(broadcast(tot))
+      .withColumn("graft_tw", greatest(col("graft_tw"), lit(1L)))
+      .withColumn("base", expr(s"(${budget}L * neyman_weight) DIV graft_tw"))
+      .withColumn("rem", expr(s"(${budget}L * neyman_weight) % graft_tw"))
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("graft_left"))
+    based
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col(strataCol))).cast("long"))
+      .crossJoin(broadcast(leftover))
+      .select(col(strataCol), col("n_rows"), col("neyman_weight"),
+        expr("(20000 * neyman_weight + graft_tw) DIV (2 * graft_tw)")
+          .as("share_bp"),
+        expr("base + IF(rk <= graft_left, 1L, 0L)").as("allocated"))
+  }
+
   /** Exact ROC-AUC of the hashed quality classifier against the Gopher
     * rule battery: the Mann–Whitney U statistic over integer scores
     * with midrank tie handling, in HALF_UP basis points — the one-

@@ -548,6 +548,42 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Neyman minimum-variance allocation of a 1000-row labeling
+    // budget across event types by value-cents spread: n_h ∝ N_h·σ_h
+    // via exact integer discriminants, isqrt, largest-remainder —
+    // allocations sum EXACTLY to the budget.
+    "q249_neyman_allocation" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Curation.neymanAllocation(
+            table(s, dir, "events")
+              .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")),
+            "event_type", "cents", budget = 1000L)
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+             |           FROM events WHERE value IS NOT NULL),
+             |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             |             CAST(sum(c) AS BIGINT) AS sx,
+             |             CAST(sum(c * c) AS BIGINT) AS sxx
+             |      FROM e GROUP BY 1),
+             |w AS (SELECT event_type, n_rows,
+             |             CAST(floor(sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+             |               AS neyman_weight
+             |      FROM n),
+             |t AS (SELECT greatest(CAST(sum(neyman_weight) AS BIGINT), 1) AS tw FROM w),
+             |b AS (SELECT event_type, n_rows, neyman_weight,
+             |             (1000 * neyman_weight) // tw AS base,
+             |             (1000 * neyman_weight) % tw AS rem
+             |      FROM w CROSS JOIN t),
+             |lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+             |r AS (SELECT b.*, CAST(row_number() OVER (ORDER BY rem DESC, event_type)
+             |               AS BIGINT) AS rk FROM b)
+             |SELECT r.event_type, r.n_rows, r.neyman_weight,
+             |       (20000 * r.neyman_weight + t.tw) // (2 * t.tw) AS share_bp,
+             |       CAST(r.base + CASE WHEN r.rk <= lo.leftover THEN 1 ELSE 0 END
+             |         AS BIGINT) AS allocated
+             |FROM r CROSS JOIN lo CROSS JOIN t ORDER BY r.event_type""".stripMargin)),
+
     // ---- Leave-one-out target encoding of event_type by value cents —
     // the leak-free categorical feature ((Σ−own)/(n−1), HALF_UP milli);
     // singleton categories encode NULL.

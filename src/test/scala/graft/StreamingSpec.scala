@@ -443,6 +443,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("partitioned snapshot rewrites ONLY touched partitions per batch") {
+    import spark.implicits._
+    import graft.streaming.PartitionedSnapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-psnap").toString
+    val base = (1L to 20L).map(k => (k, s"p$k")).toDF("k", "payload")
+    PartitionedSnapshot.init(base, dir, Seq("k"), parts = 4)
+    assert(PartitionedSnapshot.partCount(dir) === 4)
+    assert(PartitionedSnapshot.snapshot(spark, dir).count() === 20L)
+    // one updated key → exactly ONE partition rewritten; the other
+    // three keep their v0 directories as the current version
+    val b0 = Seq((7L, "p7x", 1L, "U")).toDF("k", "payload", "seq", "op")
+    assert(PartitionedSnapshot.processBatch(b0, 0L, dir,
+      Seq("k"), "seq", "op") === 1)
+    val vs = PartitionedSnapshot.currentVersions(dir)
+    assert(vs.values.count(_ == 1L) === 1 && vs.values.count(_ == 0L) === 3,
+      s"expected one bumped partition: $vs")
+    val snap = PartitionedSnapshot.snapshot(spark, dir)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snap.length === 20 && snap.contains((7L, "p7x")))
+    assert(!snap.contains((7L, "p7")))
+    // replayed batch: per-partition ledger makes it a no-op
+    assert(PartitionedSnapshot.processBatch(b0, 0L, dir,
+      Seq("k"), "seq", "op") === 0)
+    // delete + insert in one batch across partitions
+    val b1 = Seq((3L, "p3", 2L, "D"), (99L, "new", 2L, "I"))
+      .toDF("k", "payload", "seq", "op")
+    assert(PartitionedSnapshot.processBatch(b1, 1L, dir,
+      Seq("k"), "seq", "op") >= 1)
+    val snap2 = PartitionedSnapshot.snapshot(spark, dir)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(!snap2.contains(3L) && snap2.contains(99L))
+    assert(snap2.length === 20) // 20 − deleted + inserted
+  }
+
   test("streaming quantile monitor tracks per-key medians across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
