@@ -590,6 +590,119 @@ object Profiling {
       .limit(topN)
   }
 
+  /** Chi-square independence table between two categoricals — the
+    * "are these associated" test behind every segmentation claim.
+    * Per cell: observed O, and the contribution (O·T − R·C)²/(T·R·C)
+    * in HALF_UP micro-units (χ² = the sum; per-cell once-rounded like
+    * every *_micro column in this library) — emitted PER CELL so the
+    * driving cells are visible, not just the statistic. All products
+    * run in decimal(38,0): (O·T − R·C)² alone passes BIGINT at modest
+    * corpus sizes. One (a, b) count aggregation; marginals and cells
+    * are |A|·|B|-bounded.
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = CacheRegistry.persist(df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("o")))
+    val ra = cells.groupBy(col(aCol)).agg(sum(col("o")).as("graft_r"))
+    val cb = cells.groupBy(col(bCol)).agg(sum(col("o")).as("graft_c"))
+    val tot = cells.agg(sum(col("o")).as("graft_t"))
+    cells.join(broadcast(ra), Seq(aCol))
+      .join(broadcast(cb), Seq(bCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib_micro", expr(
+        """CAST(((2000000 * (CAST(o AS DECIMAL(38,0)) * graft_t - CAST(graft_r AS DECIMAL(38,0)) * graft_c)
+          |        * (CAST(o AS DECIMAL(38,0)) * graft_t - CAST(graft_r AS DECIMAL(38,0)) * graft_c))
+          |       + (CAST(graft_t AS DECIMAL(38,0)) * graft_r * graft_c))
+          |  DIV (2 * CAST(graft_t AS DECIMAL(38,0)) * graft_r * graft_c) AS BIGINT)"""
+          .stripMargin))
+      .select(col(aCol), col(bCol), col("o"), col("contrib_micro"))
+  }
+
+  /** Gini coefficient of a non-negative integer metric per group —
+    * the inequality number for corpus-balance reports ("80% of tokens
+    * come from 3% of sources"): G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx)
+    * over ascending-sorted values, exact over the VALUE-COMPRESSED
+    * histogram (a run of c equal values v after P predecessors
+    * contributes v·(c·P + c(c+1)/2) to Σ i·x₍ᵢ₎ — no row-scale sort).
+    * HALF_UP basis points; zero-sum groups are omitted (inequality of
+    * nothing). decimal(38,0) throughout: i·x reaches n·max(x).
+    */
+  def giniCoefficient(df: DataFrame, groupCol: String,
+                      valCol: String): DataFrame = {
+    val hist = df
+      .filter(col(valCol).isNotNull && col(valCol) >= 0)
+      .groupBy(col(groupCol), col(valCol).cast("long").as("graft_v"))
+      .agg(count(lit(1)).as("graft_c"))
+    val wv = Window.partitionBy(col(groupCol)).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("graft_p",
+        sum(col("graft_c")).over(wv) - col("graft_c"))
+      // triangular number in INTEGER division (exact: c(c+1) is even) —
+      // decimal "/" would go fractional on Spark and float on DuckDB
+      .withColumn("graft_tri", expr("(graft_c * (graft_c + 1)) DIV 2"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("graft_c")).as("n_rows"),
+        sum(col("graft_v").cast("decimal(38,0)") * col("graft_c"))
+          .cast("decimal(38,0)").as("graft_sx"),
+        sum(col("graft_v").cast("decimal(38,0)") *
+          (col("graft_c").cast("decimal(38,0)") * col("graft_p") +
+            col("graft_tri")))
+          .cast("decimal(38,0)").as("graft_si"))
+      .filter(col("graft_sx") > 0)
+      .select(col(groupCol), col("n_rows"), expr(
+        """CAST((20000 * abs(2 * graft_si - (n_rows + 1) * graft_sx)
+          |       + (CAST(n_rows AS DECIMAL(38,0)) * graft_sx))
+          |  DIV (2 * CAST(n_rows AS DECIMAL(38,0)) * graft_sx) AS BIGINT)"""
+          .stripMargin).as("gini_bp"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-shift test that needs no bucketing choice (the PSI
+    * companion): D = max over values of |F_a − F_b|, computed on the
+    * merged value-compressed histograms by cross-multiplication
+    * (|cumA·n_b − cumB·n_a| — no division until the final HALF_UP bp),
+    * so it is exact at any size. Reports D and the value where the
+    * CDFs diverge most (ties → smallest value) — the split point worth
+    * inspecting. Both inputs must be non-empty. One count aggregation
+    * per side; the merge and prefix sums run over distinct values.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, valCol: String): DataFrame = {
+    def hist(df: DataFrame, out: String) = df
+      .filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("long").as("graft_v"))
+      .agg(count(lit(1)).as(out))
+    val merged = hist(a, "graft_ca").join(hist(b, "graft_cb"),
+        Seq("graft_v"), "full_outer")
+      .select(col("graft_v"),
+        coalesce(col("graft_ca"), lit(0L)).as("graft_ca"),
+        coalesce(col("graft_cb"), lit(0L)).as("graft_cb"))
+    val wv = Window.orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("graft_cuma", sum(col("graft_ca")).over(wv))
+      .withColumn("graft_cumb", sum(col("graft_cb")).over(wv))
+    val tots = merged.agg(sum(col("graft_ca")).as("n_a"),
+      sum(col("graft_cb")).as("n_b"))
+    val scored = CacheRegistry.persist(cum.crossJoin(broadcast(tots))
+      .withColumn("graft_d", abs(
+        col("graft_cuma").cast("decimal(38,0)") * col("n_b") -
+          col("graft_cumb").cast("decimal(38,0)") * col("n_a"))
+        .cast("decimal(38,0)")))
+    val dm = scored.agg(max(col("graft_d")).as("graft_dm"))
+    scored.crossJoin(broadcast(dm))
+      .filter(col("graft_d") === col("graft_dm"))
+      .groupBy(col("n_a"), col("n_b"), col("graft_dm"))
+      .agg(min(col("graft_v")).as("at_value"))
+      .select(col("n_a"), col("n_b"),
+        expr("""CAST((20000 * graft_dm + CAST(n_a AS DECIMAL(38,0)) * n_b)
+                |  DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+          .stripMargin).as("ks_bp"),
+        col("at_value"))
+  }
+
   /** Leave-one-out target encoding — the ML feature that replaces a
     * categorical with the mean target of its OTHER members, the
     * standard leak-free form ((Σ_cat − own)/(n_cat − 1)): computing it

@@ -548,6 +548,100 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Chi-square independence cells for event_type × day-of-week:
+    // per-cell observed count and (OT−RC)²/(TRC) contribution in
+    // HALF_UP micro — the association test with its driving cells
+    // visible.
+    "q250_chi_square" -> QueryDef(
+      (s, dir) => {
+        // Spark dayofweek is 1-based (Sunday=1), DuckDB's is 0-based —
+        // the q195 dowProfile convention: shift to 0-based here
+        graft.llm.Profiling.chiSquareCells(
+            table(s, dir, "events")
+              .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long")),
+            "event_type", "dow")
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH c AS (SELECT event_type AS a, CAST(dayofweek(ts) AS BIGINT) AS b,
+             |                  CAST(count(*) AS BIGINT) AS o
+             |           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT a, CAST(sum(o) AS BIGINT) AS rr FROM c GROUP BY 1),
+             |cc AS (SELECT b, CAST(sum(o) AS BIGINT) AS ccol FROM c GROUP BY 1),
+             |t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM c)
+             |SELECT c.a AS event_type, c.b AS dow, c.o,
+             |       CAST(((2000000 * (CAST(o AS HUGEINT) * tt - CAST(rr AS HUGEINT) * ccol)
+             |                      * (CAST(o AS HUGEINT) * tt - CAST(rr AS HUGEINT) * ccol))
+             |             + (CAST(tt AS HUGEINT) * rr * ccol))
+             |         // (2 * CAST(tt AS HUGEINT) * rr * ccol) AS BIGINT) AS contrib_micro
+             |FROM c JOIN r USING (a) JOIN cc USING (b) CROSS JOIN t
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    // ---- Gini coefficient of value cents per type — the inequality
+    // number, exact over the value-compressed histogram (no row sort).
+    "q251_gini" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.giniCoefficient(
+            table(s, dir, "events")
+              .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")),
+            "event_type", "cents")
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             |                  CAST(count(*) AS BIGINT) AS c
+             |           FROM events
+             |           WHERE value IS NOT NULL AND round(value * 100) >= 0
+             |           GROUP BY 1, 2),
+             |w AS (SELECT h.*, CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+             |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - c AS p FROM h),
+             |a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+             |             sum(CAST(v AS HUGEINT) * c) AS sx,
+             |             sum(CAST(v AS HUGEINT) *
+             |                 (CAST(c AS HUGEINT) * p + (c * (c + 1)) // 2)) AS si
+             |      FROM w GROUP BY 1)
+             |SELECT event_type, n_rows,
+             |       CAST((20000 * abs(2 * si - (n_rows + 1) * sx)
+             |             + (CAST(n_rows AS HUGEINT) * sx))
+             |         // (2 * CAST(n_rows AS HUGEINT) * sx) AS BIGINT) AS gini_bp
+             |FROM a WHERE sx > 0 ORDER BY event_type""".stripMargin)),
+
+    // ---- Exact two-sample KS between the purchase and click cents
+    // distributions — the bucketing-free companion to the q235 PSI;
+    // cross-multiplied (division only at the final bp), with the
+    // max-divergence value reported.
+    "q252_ks_test" -> QueryDef(
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        graft.llm.Profiling.ksStatistic(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "click"), "cents")
+          .orderBy("n_a")
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+             |           FROM events WHERE value IS NOT NULL),
+             |ha AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM e
+             |       WHERE event_type = 'purchase' GROUP BY 1),
+             |hb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM e
+             |       WHERE event_type = 'click' GROUP BY 1),
+             |m AS (SELECT coalesce(ha.v, hb.v) AS v, coalesce(ca, 0) AS ca,
+             |             coalesce(cb, 0) AS cb
+             |      FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+             |c AS (SELECT m.*, CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cua,
+             |             CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cub
+             |      FROM m),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM m),
+             |s AS (SELECT c.v, abs(CAST(cua AS HUGEINT) * t.n_b -
+             |                      CAST(cub AS HUGEINT) * t.n_a) AS d,
+             |             t.n_a, t.n_b
+             |      FROM c CROSS JOIN t),
+             |dm AS (SELECT max(d) AS dmx FROM s)
+             |SELECT s.n_a, s.n_b,
+             |       CAST((20000 * dm.dmx + CAST(s.n_a AS HUGEINT) * s.n_b)
+             |         // (2 * CAST(s.n_a AS HUGEINT) * s.n_b) AS BIGINT) AS ks_bp,
+             |       min(s.v) AS at_value
+             |FROM s CROSS JOIN dm WHERE s.d = dm.dmx
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // ---- Neyman minimum-variance allocation of a 1000-row labeling
     // budget across event types by value-cents spread: n_h ∝ N_h·σ_h
     // via exact integer discriminants, isqrt, largest-remainder —

@@ -467,6 +467,46 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s") === ((3L, 0L, 2L)))
   }
 
+  test("chiSquareCells: zero under independence, exact under association") {
+    import spark.implicits._
+    val indep = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val z = Profiling.chiSquareCells(indep.toDF("u", "v"), "u", "v")
+      .collect()
+    assert(z.length === 4)
+    z.foreach(r => assert(r.getAs[Long]("contrib_micro") === 0L))
+    // perfect association: O=20,T=40,R=C=20 → cell χ² = 400²/16000 = 10
+    val dep = Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("b", "y"))
+    val d = Profiling.chiSquareCells(dep.toDF("u", "v"), "u", "v")
+      .collect()
+    assert(d.length === 2)
+    d.foreach(r => assert(r.getAs[Long]("contrib_micro") === 10000000L))
+  }
+
+  test("giniCoefficient: equality is 0, one-holder concentration is exact") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(("eq", 7L)) ++
+      Seq(("conc", 0L), ("conc", 0L), ("conc", 0L), ("conc", 100L)))
+      .toDF("g", "v")
+    val out = Profiling.giniCoefficient(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("eq") === 0L)
+    assert(out("conc") === 7500L) // (2·4X − 5X)/(4X) = 3/4
+  }
+
+  test("ksStatistic: zero on identical samples, 10000 bp on disjoint ones") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val same = Profiling.ksStatistic(a, a, "v").collect().head
+    assert(same.getAs[Long]("ks_bp") === 0L)
+    val b = Seq(10L, 20L).toDF("v")
+    val dis = Profiling.ksStatistic(a, b, "v").collect().head
+    assert(dis.getAs[Long]("n_a") === 3L && dis.getAs[Long]("n_b") === 2L)
+    assert(dis.getAs[Long]("ks_bp") === 10000L)
+    assert(dis.getAs[Long]("at_value") === 3L) // CDFs fully apart at a's max
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("targetEncoding: leak-free LOO means, singleton NULL, signed math") {
     import spark.implicits._
     val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
