@@ -811,4 +811,97 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
     assert(want.nonEmpty)
   }
+
+  test("madOutlierReport matches a sorted-array reference on random groups") {
+    import spark.implicits._
+    val rnd = new Random(91)
+    val rows = (0 until 30).flatMap { g =>
+      val n = 1 + rnd.nextInt(40)
+      (0 until n).map(_ => (s"g$g", (rnd.nextInt(200) - 50).toLong))
+    }
+    val got = graft.llm.Profiling
+      .madOutlierReport(rows.toDF("g", "v"), "g", "v", kNum = 3L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length - 1) / 2) // rank ⌈n/2⌉, 1-indexed
+    }
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.map(_._2)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      g -> ((vs.length.toLong, med, mad,
+        vs.count(v => math.abs(v - med) > 3 * mad).toLong))
+    }
+    assert(got === want)
+  }
+
+  test("equiDepthHistogram boundaries equal sorted-rank reference on random data") {
+    import spark.implicits._
+    val rnd = new Random(92)
+    val rows = (0 until 20).flatMap { g =>
+      val n = 1 + rnd.nextInt(50)
+      (0 until n).map(_ => (s"g$g", rnd.nextInt(30).toLong))
+    }
+    val B = 5
+    val got = graft.llm.Profiling
+      .equiDepthHistogram(rows.toDF("g", "v"), "g", "v", nBuckets = B)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Long]("upper_value")).toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val s = rs.map(_._2).sorted
+      (1 to B).map { b =>
+        val rank = (b.toLong * s.length + B - 1) / B // ⌈b·n/B⌉
+        (g, b.toLong) -> s((rank - 1).toInt)
+      }
+    }
+    assert(got === want)
+  }
+
+  test("ksStatistic matches the brute-force max CDF gap on random samples") {
+    import spark.implicits._
+    val rnd = new Random(93)
+    val a = (0 until 80).map(_ => rnd.nextInt(25).toLong)
+    val b = (0 until 60).map(_ => 5L + rnd.nextInt(25))
+    val got = graft.llm.Profiling
+      .ksStatistic(a.toDF("v"), b.toDF("v"), "v").collect().head
+    val values = (a ++ b).distinct.sorted
+    val gaps = values.map { v =>
+      val fa = a.count(_ <= v).toLong * b.length
+      val fb = b.count(_ <= v).toLong * a.length
+      (math.abs(fa - fb), v)
+    }
+    val dMax = gaps.map(_._1).max
+    val atV = gaps.filter(_._1 == dMax).map(_._2).min
+    val den = a.length.toLong * b.length
+    assert(got.getAs[Long]("ks_bp") === (20000 * dMax + den) / (2 * den))
+    assert(got.getAs[Long]("at_value") === atV)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("applyChangelog matches a last-writer-wins map fold on random logs") {
+    import spark.implicits._
+    val rnd = new Random(94)
+    val base = (1L to 60L).map(k => (k, s"base$k"))
+    // random changelog: unique (key, seq) pairs, ops weighted to upserts
+    val changes = (0 until 200).map { i =>
+      val k = 1L + rnd.nextInt(80) // keys beyond base → inserts
+      val op = if (rnd.nextInt(4) == 0) "D" else "U"
+      (k, s"p$i", i.toLong, op)
+    }
+    val got = graft.operators.CdcApply.applyChangelog(
+        base.toDF("k", "payload"),
+        changes.toDF("k", "payload", "seq", "op"), Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = changes.groupBy(_._1).map { case (k, cs) =>
+      val last = cs.maxBy(_._3)
+      k -> (if (last._4 == "D") None else Some(last._2))
+    }
+    val expect = (base.map { case (k, p) =>
+      k -> want.getOrElse(k, Some(p))
+    } ++ want.filterNot { case (k, _) => base.exists(_._1 == k) }.toSeq)
+      .collect { case (k, Some(p)) => k -> p }.toMap
+    assert(got === expect)
+  }
 }
