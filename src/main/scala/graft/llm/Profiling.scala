@@ -590,6 +590,65 @@ object Profiling {
       .limit(topN)
   }
 
+  /** Empirical-Bayes smoothed per-key rates — the CTR-smoothing
+    * standard: a key with 2 trials shouldn't report 0 bp or 10000 bp,
+    * so each key's rate shrinks toward the GLOBAL rate with prior
+    * strength `s` pseudo-trials: smoothed = (x·10⁴ + s·global_bp)
+    * /(n + s), all HALF_UP integers (the global rate is itself a
+    * once-rounded bp — documented, deterministic). Two aggregations
+    * (global 1-row + per-key, both map-side combinable), the global
+    * riding as a broadcast. Output per key:
+    * (key, n, x, raw_bp, smoothed_bp).
+    */
+  def smoothedRates(df: DataFrame, keyCol: String, flagCol: String,
+                    priorStrength: Long): DataFrame = {
+    require(priorStrength >= 1L, s"priorStrength >= 1, got $priorStrength")
+    val base = df.filter(col(flagCol).isNotNull)
+      .select(col(keyCol), col(flagCol).cast("long").as("graft_f"))
+    val global = base.agg(count(lit(1)).as("graft_t"),
+        sum(col("graft_f")).as("graft_x"))
+      .select(expr("(20000 * graft_x + graft_t) DIV (2 * graft_t)")
+        .as("graft_gbp"))
+    base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("graft_f")).as("x"))
+      .crossJoin(broadcast(global))
+      .select(col(keyCol), col("n"), col("x"),
+        expr("(20000 * x + n) DIV (2 * n)").as("raw_bp"),
+        expr(s"""(2 * (10000 * x + $priorStrength * graft_gbp)
+                |   + (n + $priorStrength))
+                |DIV (2 * (n + $priorStrength))""".stripMargin)
+          .as("smoothed_bp"))
+  }
+
+  /** Affinity index per (key, category) — the "index vs population"
+    * number marketing/segmentation reports lead with: how over- or
+    * under-represented category c is within key k's rows vs the whole
+    * population, index = (share within key)/(global share), in HALF_UP
+    * milli (1000 = neutral). Cross-multiplied — x_kc·T·1000 /
+    * (n_k·X_c) — so the only rounding is the final HALF_UP. One
+    * (key, cat) count; marginals broadcast back. Output:
+    * (key, cat, n_key, x, index_milli).
+    */
+  def affinityIndex(df: DataFrame, keyCol: String,
+                    catCol: String): DataFrame = {
+    val cells = CacheRegistry.persist(df
+      .filter(col(keyCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).as("x")))
+    val perKey = cells.groupBy(col(keyCol)).agg(sum(col("x")).as("n_key"))
+    val perCat = cells.groupBy(col(catCol)).agg(sum(col("x")).as("graft_xc"))
+    val tot = cells.agg(sum(col("x")).as("graft_t"))
+    // perKey is KEY-cardinality (unbounded at scale) → plain key join;
+    // only the category marginals and the 1-row total broadcast
+    cells.join(perKey, Seq(keyCol))
+      .join(broadcast(perCat), Seq(catCol))
+      .crossJoin(broadcast(tot))
+      .select(col(keyCol), col(catCol), col("n_key"), col("x"),
+        expr("""(2000 * x * graft_t + n_key * graft_xc)
+                | DIV (2 * n_key * graft_xc)""".stripMargin)
+          .as("index_milli"))
+  }
+
   /** Chi-square independence table between two categoricals — the
     * "are these associated" test behind every segmentation claim.
     * Per cell: observed O, and the contribution (O·T − R·C)²/(T·R·C)

@@ -485,6 +485,59 @@ object EventAnalytics {
       .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
   }
 
+  /** Autocorrelation of daily counts per group at lags 1..maxLag — the
+    * seasonality detector behind the seasonal-naive choice (a lag-7
+    * peak SAYS weekly): exact Pearson correlation between the dense
+    * series and its k-shifted self over the overlapping days, integer
+    * sums throughout, the one irrational step (√(varx·vary)) taken as
+    * floor-sqrt of the exact integer product (the q249 isqrt
+    * precedent) before the HALF_UP milli divide. Zero-variance
+    * overlaps emit NULL. The lag join runs on the |groups|·|days|
+    * daily table against itself — calendar-bounded, after the one
+    * row-scale daily count. Output per (group, lag):
+    * (n_overlap, r_milli).
+    */
+  def autocorrelation(df: DataFrame, groupCol: String, tsCol: String,
+                      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, s"maxLag in [1,366], got $maxLag")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df
+      .select(col(groupCol).as("graft_g"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("graft_g"), col("day"))
+      .agg(count(lit(1)).as("graft_n"))
+    val grid = daily.groupBy(col("graft_g"))
+      .agg(min(col("day")).as("graft_d0"), max(col("day")).as("graft_d1"))
+      .select(col("graft_g"),
+        explode(expr("sequence(graft_d0, graft_d1)")).as("day"))
+    val dense = graft.llm.CacheRegistry.persist(
+      grid.join(daily, Seq("graft_g", "day"), "left")
+        .select(col("graft_g"), col("day"),
+          coalesce(col("graft_n"), lit(0L)).as("y")))
+    val lags = (1 to maxLag).map(_.toLong).toDF("lag")
+    dense.crossJoin(broadcast(lags))
+      .withColumn("graft_dj", expr("date_add(day, CAST(lag AS INT))"))
+      .join(dense.select(col("graft_g"), col("day").as("graft_dj"),
+        col("y").as("graft_yj")), Seq("graft_g", "graft_dj"))
+      .groupBy(col("graft_g"), col("lag"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(col("y")).as("graft_si"), sum(col("graft_yj")).as("graft_sj"),
+        sum(col("y") * col("graft_yj")).as("graft_sij"),
+        sum(col("y") * col("y")).as("graft_sii"),
+        sum(col("graft_yj") * col("graft_yj")).as("graft_sjj"))
+      .withColumn("graft_num",
+        expr("n_overlap * graft_sij - graft_si * graft_sj"))
+      .withColumn("graft_den", expr(
+        """CAST(floor(sqrt(CAST((n_overlap * graft_sii - graft_si * graft_si)
+          |  * (n_overlap * graft_sjj - graft_sj * graft_sj) AS DOUBLE))) AS BIGINT)"""
+          .stripMargin))
+      .select(col("graft_g").as(groupCol), col("lag"), col("n_overlap"),
+        when(col("graft_den") > 0, expr(
+          """CAST(sign(graft_num) AS BIGINT) *
+            |((2000 * abs(graft_num) + graft_den) DIV (2 * graft_den))"""
+            .stripMargin)).as("r_milli"))
+  }
+
   /** Ordinary-least-squares trend of daily counts per group — the
     * "is this metric growing" number: slope over (day index x, daily
     * count y) as the exact rational (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²),

@@ -548,6 +548,91 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Autocorrelation of daily counts per type at lags 1..7 — the
+    // seasonality detector (a lag-7 peak says weekly); exact integer
+    // Pearson with the one floor-sqrt, NULL on zero-variance overlaps.
+    "q253_autocorrelation" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.autocorrelation(
+            table(s, dir, "events"), "event_type", "ts", maxLag = 7)
+          .orderBy("event_type", "lag")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+             |s0 AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+             |g AS (SELECT event_type,
+             |             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |      FROM s0),
+             |v AS (SELECT g.event_type, g.day, coalesce(d.n, 0) AS y
+             |      FROM g LEFT JOIN d USING (event_type, day)),
+             |l AS (SELECT unnest(range(1, 8)) AS lag),
+             |p AS (SELECT a.event_type, CAST(l.lag AS BIGINT) AS lag,
+             |             a.y AS yi, b.y AS yj
+             |      FROM v a CROSS JOIN l
+             |      JOIN v b ON b.event_type = a.event_type
+             |              AND b.day = a.day + CAST(l.lag AS INTEGER)),
+             |a2 AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_overlap,
+             |              CAST(sum(yi) AS BIGINT) AS si, CAST(sum(yj) AS BIGINT) AS sj,
+             |              CAST(sum(yi * yj) AS BIGINT) AS sij,
+             |              CAST(sum(yi * yi) AS BIGINT) AS sii,
+             |              CAST(sum(yj * yj) AS BIGINT) AS sjj
+             |       FROM p GROUP BY 1, 2),
+             |q AS (SELECT a2.*, n_overlap * sij - si * sj AS num,
+             |             CAST(floor(sqrt(CAST((n_overlap * sii - si * si)
+             |               * (n_overlap * sjj - sj * sj) AS DOUBLE))) AS BIGINT) AS den
+             |      FROM a2)
+             |SELECT event_type, lag, n_overlap,
+             |       CAST(CASE WHEN den > 0 THEN CAST(sign(num) AS BIGINT) *
+             |              ((2000 * abs(num) + den) // (2 * den))
+             |            ELSE NULL END AS BIGINT) AS r_milli
+             |FROM q ORDER BY event_type, lag""".stripMargin)),
+
+    // ---- Empirical-Bayes smoothed per-user error rates (prior
+    // strength 20 pseudo-trials toward the global rate) — the
+    // CTR-smoothing standard; 2-trial users stop reporting 0/10000 bp.
+    "q254_smoothed_rates" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.smoothedRates(
+            table(s, dir, "events")
+              .withColumn("is_err",
+                (col("event_type") === "error").cast("long")),
+            "user_id", "is_err", priorStrength = 20L)
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (SELECT user_id,
+             |                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS f
+             |           FROM events),
+             |g AS (SELECT CAST((20000 * sum(f) + count(*)) // (2 * count(*)) AS BIGINT) AS gbp
+             |      FROM b),
+             |k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |             CAST(sum(f) AS BIGINT) AS x FROM b GROUP BY 1)
+             |SELECT user_id, n, x,
+             |       CAST((20000 * x + n) // (2 * n) AS BIGINT) AS raw_bp,
+             |       CAST((2 * (10000 * x + 20 * gbp) + (n + 20))
+             |            // (2 * (n + 20)) AS BIGINT) AS smoothed_bp
+             |FROM k CROSS JOIN g ORDER BY user_id""".stripMargin)),
+
+    // ---- Affinity index per (user, type): share-within-user over
+    // global share in milli (1000 = neutral) — the over/under-
+    // representation number, cross-multiplied so only the final
+    // HALF_UP rounds.
+    "q255_affinity_index" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.affinityIndex(
+            table(s, dir, "events"), "user_id", "event_type")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS x
+             |           FROM events GROUP BY 1, 2),
+             |k AS (SELECT user_id, CAST(sum(x) AS BIGINT) AS n_key FROM c GROUP BY 1),
+             |t AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS xc FROM c GROUP BY 1),
+             |tt AS (SELECT CAST(sum(x) AS BIGINT) AS tot FROM c)
+             |SELECT c.user_id, c.event_type, k.n_key, c.x,
+             |       CAST((2000 * x * tot + n_key * xc)
+             |            // (2 * n_key * xc) AS BIGINT) AS index_milli
+             |FROM c JOIN k USING (user_id) JOIN t USING (event_type) CROSS JOIN tt
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     // ---- Chi-square independence cells for event_type × day-of-week:
     // per-cell observed count and (OT−RC)²/(TRC) contribution in
     // HALF_UP micro — the association test with its driving cells

@@ -467,6 +467,56 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s") === ((3L, 0L, 2L)))
   }
 
+  test("autocorrelation: alternating series is -1000 at lag 1, +1000 at lag 2") {
+    val rows = (1 to 8).flatMap { d =>
+      val k = if (d % 2 == 1) 2 else 1
+      Seq.fill(k)(("a", f"2024-03-$d%02d 10:00:00"))
+    }
+    val out = EventAnalytics.autocorrelation(eventsDf(rows), "event_type",
+        "ts", maxLag = 2)
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === Seq((1L, 7L, -1000L), (2L, 6L, 1000L)))
+    // constant series: zero variance → NULL r
+    val const = (1 to 5).flatMap(d =>
+      Seq.fill(3)(("b", f"2024-03-$d%02d 10:00:00")))
+    val c = EventAnalytics.autocorrelation(eventsDf(const), "event_type",
+      "ts", maxLag = 1).collect().head
+    assert(c.isNullAt(c.fieldIndex("r_milli")))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("smoothedRates shrinks small keys toward the global rate exactly") {
+    import spark.implicits._
+    val df = (Seq.fill(2)(("a", 1L)) ++ Seq.fill(4)(("b", 0L)) ++
+      Seq(("c", 1L), ("c", 0L), ("c", 1L), ("c", 0L))).toDF("k", "f")
+    val out = Profiling.smoothedRates(df, "k", "f", priorStrength = 20L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // global: 4/10 → 4000 bp
+    assert(out("a") === ((2L, 2L, 10000L, (2 * (20000 + 20 * 4000) + 22) / 44)))
+    assert(out("b")._4 === (2 * (0 + 20 * 4000) + 24) / 48)
+    assert(out("c")._3 === 5000L) // raw stays exact
+    // shrinkage direction: a pulls DOWN toward 4000, b pulls UP
+    assert(out("a")._4 < 10000L && out("a")._4 > 4000L)
+    assert(out("b")._4 > 0L && out("b")._4 < 4000L)
+  }
+
+  test("affinityIndex: exact cross-multiplied over/under-representation") {
+    import spark.implicits._
+    val df = (Seq.fill(3)((1L, "x")) ++ Seq((1L, "y")) ++
+      Seq((2L, "x")) ++ Seq.fill(3)((2L, "y"))).toDF("u", "c")
+    val out = Profiling.affinityIndex(df, "u", "c")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.getAs[Long]("index_milli")).toMap
+    // u1 is 75% x vs 50% global → 1500; y mirror → 500
+    assert(out((1L, "x")) === 1500L)
+    assert(out((1L, "y")) === 500L)
+    assert(out((2L, "x")) === 500L)
+    assert(out((2L, "y")) === 1500L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("chiSquareCells: zero under independence, exact under association") {
     import spark.implicits._
     val indep = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
