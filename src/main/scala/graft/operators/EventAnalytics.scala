@@ -485,6 +485,49 @@ object EventAnalytics {
       .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
   }
 
+  /** Multiwindow SLO burn-rate report (the SRE-workbook alert): per
+    * (group, hour), the error-budget burn rate over the last hour and
+    * over the trailing `longHours` hours, in HALF_UP milli-multiples
+    * of the budget (1000 = burning exactly at budget), and the alert
+    * flag — fast burn AND slow burn both over their thresholds, the
+    * standard two-window rule that ignores blips and catches fires.
+    * burn = err_rate/budget = 10⁴·e/(n·budgetBp), cross-multiplied so
+    * only the final milli rounds. The long window is a RANGE window
+    * over the integer hour index (missing hours genuinely absent from
+    * the trailing sums — range, not rows). One (group, hour)
+    * aggregation; windows run per group over hour-bounded frames.
+    * Output: (group, hour_idx, n, e, burn1_milli, burnl_milli, alert).
+    */
+  def sloBurn(df: DataFrame, groupCol: String, tsCol: String,
+              flagCol: String, budgetBp: Long = 500L, longHours: Int = 6,
+              fastThresholdMilli: Long = 14400L,
+              slowThresholdMilli: Long = 6000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetBp >= 1 && budgetBp <= 10000, s"budgetBp bad: $budgetBp")
+    require(longHours >= 2, s"longHours must be >= 2, got $longHours")
+    val hourly = df
+      .select(col(groupCol).as("graft_g"),
+        expr(s"unix_micros($tsCol) DIV 3600000000").as("hour_idx"),
+        col(flagCol).cast("long").as("graft_f"))
+      .groupBy(col("graft_g"), col("hour_idx"))
+      .agg(count(lit(1)).as("n"), sum(col("graft_f")).as("e"))
+    val w = Window.partitionBy(col("graft_g")).orderBy(col("hour_idx"))
+      .rangeBetween(-(longHours - 1).toLong, 0L)
+    hourly
+      .withColumn("graft_nl", sum(col("n")).over(w))
+      .withColumn("graft_el", sum(col("e")).over(w))
+      .withColumn("burn1_milli", expr(
+        s"(2 * 10000000 * e + n * $budgetBp) DIV (2 * n * $budgetBp)"))
+      .withColumn("burnl_milli", expr(
+        s"""(2 * 10000000 * graft_el + graft_nl * $budgetBp)
+           | DIV (2 * graft_nl * $budgetBp)""".stripMargin))
+      .withColumn("alert",
+        (col("burn1_milli") >= fastThresholdMilli &&
+          col("burnl_milli") >= slowThresholdMilli).cast("long"))
+      .select(col("graft_g").as(groupCol), col("hour_idx"), col("n"),
+        col("e"), col("burn1_milli"), col("burnl_milli"), col("alert"))
+  }
+
   /** Autocorrelation of daily counts per group at lags 1..maxLag — the
     * seasonality detector behind the seasonal-naive choice (a lag-7
     * peak SAYS weekly): exact Pearson correlation between the dense

@@ -548,6 +548,37 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Multiwindow SLO burn rate per (type, hour): share of
+    // high-value events (> 200.00) against a 5% budget, 1h fast burn +
+    // trailing-6h slow burn (RANGE window — absent hours truly
+    // absent), alert on the 14.4×/6× two-window rule.
+    "q256_slo_burn" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.sloBurn(
+            table(s, dir, "events")
+              .withColumn("is_hi",
+                (expr("CAST(round(value * 100) AS BIGINT)") > 20000L)
+                  .cast("long")),
+            "event_type", "ts", "is_hi", budgetBp = 500L, longHours = 6)
+          .orderBy("event_type", "hour_idx")
+      },
+      Some("""WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             |                  CAST(count(*) AS BIGINT) AS n,
+             |                  CAST(sum(CASE WHEN round(value * 100) > 20000
+             |                           THEN 1 ELSE 0 END) AS BIGINT) AS e
+             |           FROM events GROUP BY 1, 2),
+             |w AS (SELECT h.*, CAST(sum(n) OVER win AS BIGINT) AS nl,
+             |             CAST(sum(e) OVER win AS BIGINT) AS el
+             |      FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hour_idx
+             |                            RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)),
+             |q AS (SELECT event_type, CAST(hour_idx AS BIGINT) AS hour_idx, n, e,
+             |             CAST((2 * 10000000 * e + n * 500) // (2 * n * 500) AS BIGINT) AS burn1_milli,
+             |             CAST((2 * 10000000 * el + nl * 500) // (2 * nl * 500) AS BIGINT) AS burnl_milli
+             |      FROM w)
+             |SELECT q.*, CAST(CASE WHEN burn1_milli >= 14400 AND burnl_milli >= 6000
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS alert
+             |FROM q ORDER BY event_type, hour_idx""".stripMargin)),
+
     // ---- Autocorrelation of daily counts per type at lags 1..7 — the
     // seasonality detector (a lag-7 peak says weekly); exact integer
     // Pearson with the one floor-sqrt, NULL on zero-variance overlaps.

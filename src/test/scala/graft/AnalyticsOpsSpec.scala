@@ -467,6 +467,26 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s") === ((3L, 0L, 2L)))
   }
 
+  test("sloBurn: two-window rule ignores a blip, fires on sustained burn") {
+    import spark.implicits._
+    // 6 quiet hours (20 ok events each), then 2 hours fully burning
+    val rows = (0 to 5).flatMap(h => Seq.fill(20)(("svc", h, 0L))) ++
+      (6 to 7).flatMap(h => Seq.fill(20)(("svc", h, 1L)))
+    val df = rows.toDF("g", "h", "is_hi")
+      .withColumn("ts", expr("timestamp_micros(h * 3600000000)"))
+    val out = EventAnalytics.sloBurn(df, "g", "ts", "is_hi",
+        budgetBp = 500L, longHours = 6)
+      .orderBy("hour_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val byHour = out.map(t => t._1 -> t).toMap
+    // first hot hour: fast burn 20x budget but the 6h window is still
+    // diluted (20/120 errors → 3333 milli) → NO alert (it's a blip)
+    assert(byHour(6L) === ((6L, 20000L, 3333L, 0L)))
+    // second hot hour: 40/120 over the window → 6667 ≥ 6000 → alert
+    assert(byHour(7L) === ((7L, 20000L, 6667L, 1L)))
+    assert(byHour(5L)._4 === 0L)
+  }
+
   test("autocorrelation: alternating series is -1000 at lag 1, +1000 at lag 2") {
     val rows = (1 to 8).flatMap { d =>
       val k = if (d % 2 == 1) 2 else 1
