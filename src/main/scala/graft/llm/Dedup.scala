@@ -1613,7 +1613,7 @@ object Dedup {
     (spark.table(eName), spark.table(bName))
   }
 
-  private def readDedupManifest(indexDir: String): (Int, Int, Int, Int) = {
+  private[graft] def readDedupManifest(indexDir: String): (Int, Int, Int, Int) = {
     val mf = new java.io.File(indexDir, DedupManifestName)
     require(mf.isFile,
       s"no dedup-index manifest at $indexDir — run buildDedupIndex first")

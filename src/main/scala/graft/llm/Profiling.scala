@@ -202,7 +202,11 @@ object Profiling {
     * point this at a free-text column.
     *
     * Output: (column, n_values, tot_a, tot_b, tv_bp, top_value,
-    * top_delta_bp), one row per requested column.
+    * top_delta_bp), one row per requested column. NOTE the scale of
+    * `top_delta_bp`: it is the top value's CONTRIBUTION to tv_bp —
+    * HALF of its raw share delta (a value going 0% → 100% reports
+    * 5000, matching tv_bp's half-sum convention) — so the two columns
+    * are directly comparable; threshold accordingly.
     */
   def categoricalDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.size <= 32,
@@ -361,17 +365,6 @@ object Profiling {
           |END""".stripMargin))
   }
 
-  /** k-anonymity audit over quasi-identifier columns (the release gate
-    * privacy reviews run before publishing microdata — Sweeney 2002):
-    * rows grouped into equivalence classes on the quasi identifiers;
-    * any class smaller than `k` re-identifies its members and must be
-    * suppressed or generalized. Returns the RISKY classes only
-    * (quasi cols + class_size < k). Derived identifiers (banded
-    * balances, truncated zips) are the caller's withColumn upstream.
-    *
-    * One map-side-combinable count aggregation; output bounded by the
-    * quasi-identifier domain, not the row count.
-    */
   /** Trimmed mean per group — the robust center monitoring dashboards
     * want when a metric has fat tails: drop the lowest and highest
     * `trimBp` (basis points, floor) of rows by value rank and average
@@ -406,6 +399,17 @@ object Profiling {
           "((2000 * abs(kept_sum) + n_kept) DIV (2 * n_kept))"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns (the release gate
+    * privacy reviews run before publishing microdata — Sweeney 2002):
+    * rows grouped into equivalence classes on the quasi identifiers;
+    * any class smaller than `k` re-identifies its members and must be
+    * suppressed or generalized. Returns the RISKY classes only
+    * (quasi cols + class_size < k). Derived identifiers (banded
+    * balances, truncated zips) are the caller's withColumn upstream.
+    *
+    * One map-side-combinable count aggregation; output bounded by the
+    * quasi-identifier domain, not the row count.
+    */
   def kAnonymity(df: DataFrame, k: Int, quasiCols: Seq[String]): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")

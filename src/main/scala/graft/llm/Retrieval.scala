@@ -263,6 +263,7 @@ object Retrieval {
     */
   private val ManifestName = "_graft_index_manifest"
   private val IndexVersion = 2
+  private val PendingName = "_graft_append_pending"
 
   /** Materialize the BM25 token index ONCE as bucketed parquet under
     * `indexDir`, so later [[bm25TopKIndexed]] calls score without
@@ -313,12 +314,13 @@ object Retrieval {
     */
   def indexExists(indexDir: String): Boolean = {
     val mf = new java.io.File(indexDir, ManifestName)
-    mf.isFile && {
-      val props = new java.util.Properties()
-      val in = new java.io.FileInputStream(mf)
-      try props.load(in) finally in.close()
-      props.getProperty("version") == IndexVersion.toString
-    }
+    mf.isFile &&
+      !new java.io.File(indexDir, PendingName).exists() && {
+        val props = new java.util.Properties()
+        val in = new java.io.FileInputStream(mf)
+        try props.load(in) finally in.close()
+        props.getProperty("version") == IndexVersion.toString
+      }
   }
 
   /** Fold an append batch into a persisted index WITHOUT touching the
@@ -340,6 +342,17 @@ object Retrieval {
     val spark = docs.sparkSession
     val (postings0, terms0, stats0) = openIndex(spark, indexDir)
     val nb = readManifest(indexDir)
+    // crash fence: an append is a multi-step mutation (postings append,
+    // terms swap, stats overwrite) with no transaction — a crash
+    // mid-way would otherwise leave a manifest-valid index that scores
+    // silently wrong (missing df_t, stale avdl). The pending marker
+    // turns that window into a DETECTABLE invalid state: indexExists()
+    // is false while it is present, so cached fixtures and IndexIngest
+    // rebuild instead of reusing a torn index.
+    val pending = new java.io.File(indexDir, PendingName)
+    require(!pending.exists(),
+      s"index at $indexDir has an interrupted append — rebuild it")
+    java.nio.file.Files.createFile(pending.toPath)
     val (pName, tName) = tableNames(indexDir)
     val (tf, dl, _, termDf) =
       tokenIndex(docs.select(col(idCol).cast("long").as(idCol), col(textCol)),
@@ -370,6 +383,8 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$indexDir/stats")
     // the postings handle is unused but keeps the signature honest
     locally { val _ = (postings0, stats0) }
+    // every step landed — clear the fence; this is the commit point
+    java.nio.file.Files.delete(pending.toPath)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

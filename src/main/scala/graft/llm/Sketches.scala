@@ -269,6 +269,56 @@ object Sketches {
   // Deterministic quantile sketch (KLL/MRL-style, fixed schedule)
   // ------------------------------------------------------------------
 
+  /** THE deterministic MRL compaction schedule, shared verbatim by the
+    * batch sketch below and the streaming
+    * [[graft.streaming.QuantileMonitor]] — one implementation so a
+    * schedule change can never silently break their equivalence:
+    * when a level reaches k items, its sorted EVEN-indexed half
+    * promotes with doubled weight and an odd leftover (the max) stays,
+    * conserving total weight exactly.
+    */
+  private[graft] object KllLadder {
+    type Ladder =
+      scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Long]]
+
+    def empty(): Ladder = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+
+    def insert(ladder: Ladder, v: Long, k: Int): Unit = {
+      ladder(0) += v
+      var lvl = 0
+      while (ladder(lvl).length >= k) {
+        // input arrives value-sorted in both users, and promotions
+        // append ascending, so buffers are near-sorted; the defensive
+        // sort is O(k log k) on a tiny buffer
+        val sorted = ladder(lvl).sorted
+        val pairs = sorted.length / 2
+        if (lvl + 1 >= ladder.length)
+          ladder += scala.collection.mutable.ArrayBuffer.empty[Long]
+        var i = 0
+        while (i < 2 * pairs) { ladder(lvl + 1) += sorted(i); i += 2 }
+        ladder(lvl).clear()
+        if (sorted.length > 2 * pairs) ladder(lvl) += sorted.last
+        lvl += 1
+      }
+    }
+
+    /** HALF_UP-rank probe over weighted (value, weight) state. */
+    def probe(items: Array[(Long, Long)], n: Long, bp: Long): Long = {
+      val target = math.max(1L, (2L * bp * n + 10000L) / 20000L)
+      var cum = 0L
+      var est = items.last._1
+      var i = 0
+      var found = false
+      while (i < items.length && !found) {
+        cum += items(i)._2
+        if (cum >= target) { est = items(i)._1; found = true }
+        i += 1
+      }
+      est
+    }
+  }
+
   /** Deterministic mergeable quantile sketch over a BIGINT column —
     * the distributed-percentile answer that does NOT need a full sort
     * per cut (unlike the exact `groupQuantiles`, whose global
@@ -336,30 +386,11 @@ object Sketches {
         }
         def open(p: Int): Unit = {
           pid = p; n = 0L
-          ladder = scala.collection.mutable.ArrayBuffer(
-            scala.collection.mutable.ArrayBuffer.empty[Long])
+          ladder = KllLadder.empty()
         }
         def insert(v: Long): Unit = {
           n += 1
-          ladder(0) += v
-          var lvl = 0
-          while (ladder(lvl).length >= k) {
-            // input arrives value-sorted, and promotions append in
-            // ascending order, so each buffer is already sorted; the
-            // defensive sort is O(k log k) on a tiny buffer
-            val buf = ladder(lvl)
-            val sorted = buf.sorted
-            val pairs = sorted.length / 2
-            if (lvl + 1 >= ladder.length)
-              ladder += scala.collection.mutable.ArrayBuffer.empty[Long]
-            var i = 0
-            while (i < 2 * pairs) { ladder(lvl + 1) += sorted(i); i += 2 }
-            buf.clear()
-            // odd leftover (the max) stays at this level: total weight
-            // remains exactly n
-            if (sorted.length > 2 * pairs) buf += sorted.last
-            lvl += 1
-          }
+          KllLadder.insert(ladder, v, k)
         }
         it.foreach { case (p, v) =>
           if (p != pid) { flush(); open(p) }
@@ -382,19 +413,7 @@ object Sketches {
       .sortBy(_._1)
     val rows = probesBp.map { bp =>
       if (n == 0L) (bp, 0L, 0L)
-      else {
-        val target = math.max(1L, (2L * bp * n + 10000L) / 20000L)
-        var cum = 0L
-        var est = items.last._1
-        var i = 0
-        var found = false
-        while (i < items.length && !found) {
-          cum += items(i)._2
-          if (cum >= target) { est = items(i)._1; found = true }
-          i += 1
-        }
-        (bp, est, n)
-      }
+      else (bp, KllLadder.probe(items, n, bp), n)
     }
     rows.toDF("q_bp", "est_value", "n_rows")
   }

@@ -1261,22 +1261,6 @@ object TextAnalysis {
           a => transform(col("graft_pb"), b => abs(a - b))))).as("min_gap"))
   }
 
-  /** Flesch reading-ease per document, in exact milli-points — the
-    * curation-side readability gate (grade-banding a corpus, or
-    * filtering machine-generated word salad that scores absurdly low).
-    * FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), computed as
-    * 206835 − HALF_UP(1015·W/S) − HALF_UP(84600·Syl/W) so both engines
-    * agree bit-for-bit.
-    *
-    * Counting rules (each the standard cheap proxy, pinned here):
-    * words = non-empty space-split tokens; sentences = runs of [.!?]
-    * when the text has any, else ceil(W/15) fixed-width units (15 ≈
-    * mean English sentence length — unpunctuated corpora still get a
-    * usable score instead of a degenerate W/1 blowup); syllables =
-    * [aeiouy]+ vowel groups in the lowercased text (the classic
-    * one-liner syllable estimate). Zero-word documents are dropped.
-    * Narrow per-row arithmetic — no shuffles at any corpus size.
-    */
   /** Rank-normalized quality blend — combining heterogeneous quality
     * signals whose raw scales are incomparable (chars vs ratios vs
     * model scores) by mapping each to its within-source percentile
@@ -1321,6 +1305,22 @@ object TextAnalysis {
         col("blend_bp"))
   }
 
+  /** Flesch reading-ease per document, in exact milli-points — the
+    * curation-side readability gate (grade-banding a corpus, or
+    * filtering machine-generated word salad that scores absurdly low).
+    * FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W), computed as
+    * 206835 − HALF_UP(1015·W/S) − HALF_UP(84600·Syl/W) so both engines
+    * agree bit-for-bit.
+    *
+    * Counting rules (each the standard cheap proxy, pinned here):
+    * words = non-empty space-split tokens; sentences = runs of [.!?]
+    * when the text has any, else ceil(W/15) fixed-width units (15 ≈
+    * mean English sentence length — unpunctuated corpora still get a
+    * usable score instead of a degenerate W/1 blowup); syllables =
+    * [aeiouy]+ vowel groups in the lowercased text (the classic
+    * one-liner syllable estimate). Zero-word documents are dropped.
+    * Narrow per-row arithmetic — no shuffles at any corpus size.
+    */
   def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
     df.select(col(idCol).as("id"),

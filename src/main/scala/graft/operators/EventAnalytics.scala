@@ -505,9 +505,16 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     require(budgetBp >= 1 && budgetBp <= 10000, s"budgetBp bad: $budgetBp")
     require(longHours >= 2, s"longHours must be >= 2, got $longHours")
+    // FLOOR hour bucketing (negative-safe CASE, the psiDrift idiom):
+    // Spark DIV truncates toward zero, so a bare DIV would merge the
+    // 1969-12-31 23:xx bucket into hour 0 and diverge from the
+    // oracle's floor //
     val hourly = df
       .select(col(groupCol).as("graft_g"),
-        expr(s"unix_micros($tsCol) DIV 3600000000").as("hour_idx"),
+        expr(s"""CASE WHEN unix_micros($tsCol) >= 0
+                 |THEN unix_micros($tsCol) DIV 3600000000
+                 |ELSE -((-unix_micros($tsCol) + 3599999999) DIV 3600000000)
+                 |END""".stripMargin).as("hour_idx"),
         col(flagCol).cast("long").as("graft_f"))
       .groupBy(col("graft_g"), col("hour_idx"))
       .agg(count(lit(1)).as("n"), sum(col("graft_f")).as("e"))
@@ -545,18 +552,9 @@ object EventAnalytics {
     require(maxLag >= 1 && maxLag <= 366, s"maxLag in [1,366], got $maxLag")
     val spark = df.sparkSession
     import spark.implicits._
-    val daily = df
-      .select(col(groupCol).as("graft_g"), to_date(col(tsCol)).as("day"))
-      .groupBy(col("graft_g"), col("day"))
-      .agg(count(lit(1)).as("graft_n"))
-    val grid = daily.groupBy(col("graft_g"))
-      .agg(min(col("day")).as("graft_d0"), max(col("day")).as("graft_d1"))
-      .select(col("graft_g"),
-        explode(expr("sequence(graft_d0, graft_d1)")).as("day"))
     val dense = graft.llm.CacheRegistry.persist(
-      grid.join(daily, Seq("graft_g", "day"), "left")
-        .select(col("graft_g"), col("day"),
-          coalesce(col("graft_n"), lit(0L)).as("y")))
+      denseDailyCounts(df, groupCol, tsCol)
+        .select(col("graft_g"), col("day"), col("y")))
     val lags = (1 to maxLag).map(_.toLong).toDF("lag")
     dense.crossJoin(broadcast(lags))
       .withColumn("graft_dj", expr("date_add(day, CAST(lag AS INT))"))
@@ -593,18 +591,10 @@ object EventAnalytics {
     * (group, n_days, slope_milli).
     */
   def dailyTrend(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
-    val daily = df
-      .select(col(groupCol).as("graft_g"), to_date(col(tsCol)).as("day"))
-      .groupBy(col("graft_g"), col("day"))
-      .agg(count(lit(1)).as("graft_n"))
-    val grid = daily.groupBy(col("graft_g"))
-      .agg(min(col("day")).as("graft_d0"), max(col("day")).as("graft_d1"))
-      .select(col("graft_g"), col("graft_d0"),
-        explode(expr("sequence(graft_d0, graft_d1)")).as("day"))
-    grid.join(daily, Seq("graft_g", "day"), "left")
+    denseDailyCounts(df, groupCol, tsCol)
       .select(col("graft_g"),
         datediff(col("day"), col("graft_d0")).cast("long").as("graft_x"),
-        coalesce(col("graft_n"), lit(0L)).as("graft_y"))
+        col("y").as("graft_y"))
       .groupBy(col("graft_g"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("graft_x")).as("graft_sx"),
@@ -631,17 +621,8 @@ object EventAnalytics {
     * (group, n_days, s_stat, n_pairs).
     */
   def mannKendall(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
-    val daily = df
-      .select(col(groupCol).as("graft_g"), to_date(col(tsCol)).as("day"))
-      .groupBy(col("graft_g"), col("day"))
-      .agg(count(lit(1)).as("graft_n"))
-    val grid = daily.groupBy(col("graft_g"))
-      .agg(min(col("day")).as("graft_d0"), max(col("day")).as("graft_d1"))
-      .select(col("graft_g"), explode(expr("sequence(graft_d0, graft_d1)"))
-        .as("day"))
-    val dense = grid.join(daily, Seq("graft_g", "day"), "left")
-      .select(col("graft_g"), col("day"),
-        coalesce(col("graft_n"), lit(0L)).as("graft_y"))
+    val dense = denseDailyCounts(df, groupCol, tsCol)
+      .select(col("graft_g"), col("day"), col("y").as("graft_y"))
     val a = dense.select(col("graft_g"), col("day").as("graft_di"),
       col("graft_y").as("graft_yi"))
     val b = dense.select(col("graft_g"), col("day").as("graft_dj"),
@@ -765,22 +746,35 @@ object EventAnalytics {
     * and error columns all run on the |groups|·|days|-bounded daily
     * table, so the lag's per-group sort never touches raw rows.
     */
-  def seasonalNaiveBacktest(df: DataFrame, groupCol: String, tsCol: String,
-                            season: Int = 7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(season >= 1, s"season must be >= 1, got $season")
+  /** Dense per-group daily counts on the group's own calendar span —
+    * the shared densification every daily-series operator here uses
+    * (seasonal-naive, OLS trend, Mann–Kendall, autocorrelation), so
+    * the convention (UTC to_date, absent days are REAL zeros, span =
+    * [first present day, last present day]) lives in exactly one
+    * place. Returns (graft_g, graft_d0, day, y).
+    */
+  private def denseDailyCounts(df: DataFrame, groupCol: String,
+                               tsCol: String): DataFrame = {
     val daily = df
       .select(col(groupCol).as("graft_g"), to_date(col(tsCol)).as("day"))
       .groupBy(col("graft_g"), col("day"))
       .agg(count(lit(1)).as("graft_n"))
     val grid = daily.groupBy(col("graft_g"))
       .agg(min(col("day")).as("graft_d0"), max(col("day")).as("graft_d1"))
-      .select(col("graft_g"),
+      .select(col("graft_g"), col("graft_d0"),
         explode(expr("sequence(graft_d0, graft_d1)")).as("day"))
-    val w = Window.partitionBy(col("graft_g")).orderBy(col("day"))
     grid.join(daily, Seq("graft_g", "day"), "left")
-      .select(col("graft_g"), col("day"),
-        coalesce(col("graft_n"), lit(0L)).as("n"))
+      .select(col("graft_g"), col("graft_d0"), col("day"),
+        coalesce(col("graft_n"), lit(0L)).as("y"))
+  }
+
+  def seasonalNaiveBacktest(df: DataFrame, groupCol: String, tsCol: String,
+                            season: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(season >= 1, s"season must be >= 1, got $season")
+    val w = Window.partitionBy(col("graft_g")).orderBy(col("day"))
+    denseDailyCounts(df, groupCol, tsCol)
+      .select(col("graft_g"), col("day"), col("y").as("n"))
       .withColumn("forecast", lag(col("n"), season).over(w))
       .filter(col("forecast").isNotNull)
       .withColumn("abs_err", abs(col("n") - col("forecast")))

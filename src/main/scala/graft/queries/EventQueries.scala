@@ -1329,11 +1329,11 @@ object EventQueries {
     val terms = (0 until bits).map(i =>
       s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
-    val space = 1L << (2 * bits)
+    val width = math.max(1L, (1L << (2 * bits)) / nBuckets)
     s"""WITH b AS (SELECT CAST(user_id % 64 AS BIGINT) AS x,
        |                  CAST(day(ts) - 1 AS BIGINT) AS y FROM events),
        |z AS (SELECT x, y, CAST($terms AS BIGINT) AS zval FROM b)
-       |SELECT (zval * $nBuckets) // $space AS bucket,
+       |SELECT zval // $width AS bucket,
        |       CAST(count(*) AS BIGINT) AS n_rows,
        |       min(x) AS x_min, max(x) AS x_max,
        |       min(y) AS y_min, max(y) AS y_max

@@ -37,19 +37,6 @@ object Registry {
     depthSample(df, name)
   }
 
-  /** Depth-compare subsampling (dev/CI knob, unset in the driver's gate).
-    *
-    * `GRAFT_DEPTH_SAMPLE=<hex digit>` keeps only the rows of the two
-    * pair-feeding tables whose key's md5 starts with a hex digit <= the
-    * given one — e.g. `0` keeps ~1/16 of docs and so ~1/256 (≈0.4%) of
-    * doc pairs. The predicate is expressible verbatim in DuckDB
-    * (`substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= '0'`), so the
-    * quadratic pair-generating oracles — infeasible for DuckDB at sf0.1
-    * in full — can be cross-checked at that scale on a deterministic
-    * subsample with BOTH engines seeing exactly the same input rows
-    * (which also keeps holistic operators like connected-components
-    * comparable, where filtering output pairs would not).
-    */
   /** Short content fingerprint for /tmp fixture-cache keys. Cache dirs
     * for CONTENT-DERIVED fixtures (a BM25/ANN index, a JSONL dump of
     * the docs) must be keyed by what the corpus HOLDS, not how many
@@ -75,6 +62,19 @@ object Registry {
 
   private val sampleKeys = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
 
+  /** Depth-compare subsampling (dev/CI knob, unset in the driver's gate).
+    *
+    * `GRAFT_DEPTH_SAMPLE=<hex digit>` keeps only the rows of the two
+    * pair-feeding tables whose key's md5 starts with a hex digit <= the
+    * given one — e.g. `0` keeps ~1/16 of docs and so ~1/256 (≈0.4%) of
+    * doc pairs. The predicate is expressible verbatim in DuckDB
+    * (`substr(md5(CAST(doc_id AS VARCHAR)),1,1) <= '0'`), so the
+    * quadratic pair-generating oracles — infeasible for DuckDB at sf0.1
+    * in full — can be cross-checked at that scale on a deterministic
+    * subsample with BOTH engines seeing exactly the same input rows
+    * (which also keeps holistic operators like connected-components
+    * comparable, where filtering output pairs would not).
+    */
   private def depthSample(df: DataFrame, name: String): DataFrame =
     depthSample(df, name, sys.env.get("GRAFT_DEPTH_SAMPLE"))
 

@@ -45,11 +45,17 @@ object ZOrderLayout {
     */
   def zOrderStats(df: DataFrame, xCol: String, yCol: String, bits: Int,
                   nBuckets: Int): DataFrame = {
-    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val space = 1L << (2 * bits)
+    require(nBuckets >= 1 && nBuckets <= space,
+      s"nBuckets must be in [1, 2^(2*bits)], got $nBuckets")
+    // bucket by interval WIDTH, not zval*nBuckets DIV space: at bits=31
+    // zval*nBuckets overflows Long. When nBuckets divides the space
+    // (every power-of-two choice) the two are identical; otherwise the
+    // last interval is slightly wider — a report, not a contract
+    val width = math.max(1L, space / nBuckets)
     df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .withColumn("zval", zValue(col("x"), col("y"), bits))
-      .withColumn("bucket", expr(s"(zval * $nBuckets) DIV $space"))
+      .withColumn("bucket", expr(s"zval DIV $width"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),

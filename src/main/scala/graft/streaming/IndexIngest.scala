@@ -43,13 +43,33 @@ object IndexIngest {
                    dropNear: Boolean = true): Long = {
     val ledger = new java.io.File(dedupIndexDir, LedgerName)
     if (committedIds(ledger).contains(batchId)) return -1L
-    val flags = Dedup.dedupAgainstIndex(batch, idCol, textCol, dedupIndexDir)
+    // collapse the batch against ITSELF first: the index probe only
+    // knows COMMITTED content, so two copies arriving in the same
+    // micro-batch would otherwise both pass the probe and ingest
+    // permanently. Near mode runs the full dedupCorpus (exact collapse
+    // + LSH→CC) with the INDEX's own manifest parameters; exact mode
+    // keeps the min-id row per text hash.
+    val withinKeep =
+      if (dropNear) {
+        val (_, shingleN, numHashes, rowsPerBand) =
+          Dedup.readDedupManifest(dedupIndexDir)
+        Dedup.dedupCorpus(batch, idCol, textCol, shingleN, numHashes,
+            rowsPerBand)
+          .filter(col("kept") === 1L)
+          .select(col("doc_id").as(idCol))
+      } else {
+        batch.groupBy(md5(col(textCol)).as("graft_h"))
+          .agg(min(col(idCol)).as(idCol))
+          .select(col(idCol))
+      }
+    val collapsed = batch.join(withinKeep, Seq(idCol), "left_semi")
+    val flags = Dedup.dedupAgainstIndex(collapsed, idCol, textCol, dedupIndexDir)
     val keepIds = flags.filter(
       if (dropNear) col("exact_dup") === 0 && col("near_dup") === 0
       else col("exact_dup") === 0)
       .select(col(idCol))
     // bounded per-batch frame; two appends read it
-    val survivors = batch.join(keepIds, Seq(idCol)).persist()
+    val survivors = collapsed.join(keepIds, Seq(idCol)).persist()
     val n = survivors.count()
     if (n > 0) {
       // postings first, ledger last — see restart semantics above
@@ -59,6 +79,9 @@ object IndexIngest {
       Dedup.appendToDedupIndex(survivors, idCol, textCol, dedupIndexDir)
     }
     survivors.unpersist()
+    // the within-batch dedupCorpus registers micro-batch-sized caches;
+    // release them per batch or a long-running stream accumulates them
+    graft.llm.CacheRegistry.releaseAll(batch.sparkSession)
     val out = new java.io.FileWriter(ledger, true)
     try out.write(s"$batchId\n") finally out.close()
     n

@@ -30,15 +30,34 @@ object PartitionedSnapshot {
   private def partExpr(keyCols: Seq[String], parts: Int) =
     pmod(hash(keyCols.map(col): _*), lit(parts))
 
-  /** Initialize: split the base into P partition dirs at version 0. */
+  /** Initialize: split the base into P partition dirs at version 0 —
+    * ONE pass over the base (a partitionBy write into staging, then a
+    * directory move per partition), not a filter-scan per partition;
+    * row-less partitions get an explicit empty v0 so every partition
+    * path always exists.
+    */
   def init(base: DataFrame, dir: String, keyCols: Seq[String],
            parts: Int): Unit = {
     require(parts >= 1 && parts <= 65536, s"parts must be in [1, 65536]")
-    val withPart = base.withColumn("graft_part", partExpr(keyCols, parts))
+    val spark = base.sparkSession
+    val staging = s"$dir/_graft_init_staging"
+    base.withColumn("graft_part", partExpr(keyCols, parts))
+      .write.mode("overwrite").partitionBy("graft_part").parquet(staging)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
     (0 until parts).foreach { p =>
-      withPart.filter(col("graft_part") === p).drop("graft_part")
-        .write.mode("overwrite").parquet(s"$dir/part=$p/v0")
+      val src = new java.io.File(s"$staging/graft_part=$p")
+      val dst = new java.io.File(s"$dir/part=$p/v0")
+      if (src.isDirectory) {
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(src.toPath, dst.toPath)
+      } else empty.write.mode("overwrite").parquet(dst.toString)
     }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(staging))
     val out = new java.io.FileWriter(ledgerFile(dir), false)
     try out.write(s"# parts $parts\n") finally out.close()
   }
@@ -65,12 +84,14 @@ object PartitionedSnapshot {
     (0 until partCount(dir)).map(p => p -> committed.getOrElse(p, 0L)).toMap
   }
 
-  /** The current snapshot: union of every partition's latest version. */
-  def snapshot(spark: SparkSession, dir: String): DataFrame = {
-    val paths = currentVersions(dir).toSeq.sortBy(_._1)
-      .map { case (p, v) => s"$dir/part=$p/v$v" }
-    spark.read.parquet(paths: _*)
-  }
+  /** The current snapshot: union of every partition's latest version.
+    * Each leaf dir is read separately (unionByName) — a multi-path
+    * read would base-path-infer `part=` as a phantom partition column.
+    */
+  def snapshot(spark: SparkSession, dir: String): DataFrame =
+    currentVersions(dir).toSeq.sortBy(_._1)
+      .map { case (p, v) => spark.read.parquet(s"$dir/part=$p/v$v") }
+      .reduce(_ unionByName _)
 
   /** Apply one changelog batch; rewrites only touched, un-committed
     * partitions. Returns the number of partitions rewritten (0 on a

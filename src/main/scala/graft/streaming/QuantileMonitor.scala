@@ -28,52 +28,34 @@ object QuantileMonitor {
   case class QuantileRow(key: String, q_bp: Long, est_value: Long,
                          n_rows: Long)
 
+  // both methods delegate to the SHARED graft.llm.Sketches.KllLadder
+  // core — the batch sketch and this monitor must compact identically,
+  // so there is exactly one implementation of the schedule
+
   private[streaming] def insertAll(st: LadderState, vs: Seq[Long],
                                    k: Int): LadderState = {
-    val ladder = scala.collection.mutable.ArrayBuffer(
+    import graft.llm.Sketches.KllLadder
+    val ladder: KllLadder.Ladder = scala.collection.mutable.ArrayBuffer(
       st.levels.map(l => scala.collection.mutable.ArrayBuffer(l: _*)): _*)
     if (ladder.isEmpty)
       ladder += scala.collection.mutable.ArrayBuffer.empty[Long]
     var n = st.n
     vs.sorted.foreach { v =>
       n += 1
-      ladder(0) += v
-      var lvl = 0
-      while (ladder(lvl).length >= k) {
-        val sorted = ladder(lvl).sorted
-        val pairs = sorted.length / 2
-        if (lvl + 1 >= ladder.length)
-          ladder += scala.collection.mutable.ArrayBuffer.empty[Long]
-        var i = 0
-        while (i < 2 * pairs) { ladder(lvl + 1) += sorted(i); i += 2 }
-        ladder(lvl).clear()
-        if (sorted.length > 2 * pairs) ladder(lvl) += sorted.last
-        lvl += 1
-      }
+      KllLadder.insert(ladder, v, k)
     }
     LadderState(n, ladder.map(_.toSeq).toSeq)
   }
 
   private[streaming] def probe(st: LadderState, probesBp: Seq[Long])
       : Seq[(Long, Long, Long)] = {
+    import graft.llm.Sketches.KllLadder
     val items = st.levels.zipWithIndex
       .flatMap { case (buf, lvl) => buf.map(v => (v, 1L << lvl)) }
-      .sortBy(_._1)
+      .sortBy(_._1).toArray
     probesBp.map { bp =>
       if (st.n == 0L || items.isEmpty) (bp, 0L, 0L)
-      else {
-        val target = math.max(1L, (2L * bp * st.n + 10000L) / 20000L)
-        var cum = 0L
-        var est = items.last._1
-        var i = 0
-        var found = false
-        while (i < items.length && !found) {
-          cum += items(i)._2
-          if (cum >= target) { est = items(i)._1; found = true }
-          i += 1
-        }
-        (bp, est, st.n)
-      }
+      else (bp, KllLadder.probe(items, st.n, bp), st.n)
     }
   }
 

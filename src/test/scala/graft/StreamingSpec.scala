@@ -403,6 +403,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       seed, 0L, "doc_id", "text", didx, Some(bidx)) === -1L)
     assert(graft.streaming.IndexIngest.processBatch(
       seed, 1L, "doc_id", "text", didx, Some(bidx)) === -1L)
+    // WITHIN-batch duplicates: two copies of the same new text in ONE
+    // batch must collapse to the min-id copy before ingesting — the
+    // index probe alone can't see them (neither is committed yet)
+    val dupBatch = Seq(
+      (21L, "fresh words never indexed before today"),
+      (20L, "fresh words never indexed before today"),
+      (22L, "another brand new unique document body")).toDF("doc_id", "text")
+    assert(graft.streaming.IndexIngest.processBatch(
+      dupBatch, 9L, "doc_id", "text", didx, Some(bidx)) === 2L)
+    assert(ids("fresh") === Set(20L))
+    assert(ids("brand") === Set(22L))
   }
 
   test("streaming snapshot maintainer folds CDC batches into versioned parquet") {
@@ -475,6 +486,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("k").collect().map(_.getLong(0)).toSeq
     assert(!snap2.contains(3L) && snap2.contains(99L))
     assert(snap2.length === 20) // 20 − deleted + inserted
+    // no phantom partition-inference column from the multi-path read
+    assert(PartitionedSnapshot.snapshot(spark, dir).columns.toSeq ===
+      Seq("k", "payload"))
+    // empty partitions (3 keys over 8 parts) still init readable v0 dirs
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-psnap2").toString
+    PartitionedSnapshot.init(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "payload"),
+      dir2, Seq("k"), parts = 8)
+    assert(PartitionedSnapshot.snapshot(spark, dir2).count() === 3L)
+    assert(PartitionedSnapshot.currentVersions(dir2).size === 8)
   }
 
   test("streaming quantile monitor tracks per-key medians across batches") {
