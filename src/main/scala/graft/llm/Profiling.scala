@@ -653,6 +653,32 @@ object Profiling {
           .as("index_milli"))
   }
 
+  /** Shannon entropy of a categorical distribution per key, in integer
+    * micro-nats — the behavioral-diversity score (a user who only ever
+    * clicks scores 0; one spread over every event type scores ln K):
+    * H = ln n − (1/n)·Σ c·ln c with each ln once-rounded to micro-nats
+    * (the wordEntropy idiom) and the division HALF_UP — deterministic
+    * on both engines. One (key, cat) count then a key rollup, both
+    * map-side combinable. Output: (key, n_rows, n_distinct,
+    * entropy_micro).
+    */
+  def groupEntropy(df: DataFrame, keyCol: String,
+                   catCol: String): DataFrame = {
+    def lnr(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    df.filter(col(keyCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).as("graft_c"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("graft_c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("graft_c") * expr(lnr("graft_c"))).as("graft_s"))
+      .select(col(keyCol), col("n_rows"), col("n_distinct"),
+        (expr(lnr("n_rows")) -
+          expr("(2 * graft_s + n_rows) DIV (2 * n_rows)"))
+          .as("entropy_micro"))
+  }
+
   /** Chi-square independence table between two categoricals — the
     * "are these associated" test behind every segmentation claim.
     * Per cell: observed O, and the contribution (O·T − R·C)²/(T·R·C)

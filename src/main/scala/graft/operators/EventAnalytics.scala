@@ -485,6 +485,77 @@ object EventAnalytics {
       .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
   }
 
+  /** Inter-event timing statistics per group — burstiness profiling:
+    * over consecutive-event gaps (whole seconds of the µs diff),
+    * the arrival rate per hour and the squared coefficient of
+    * variation CV² = (n·Σg² − (Σg)²)/(Σg)² in HALF_UP basis points —
+    * CV² = 10000 is a Poisson process, far above means bursty, far
+    * below means metronomic. Everything integer-exact (sums in
+    * decimal(38,0): Σg² alone passes BIGINT on month-long spans at
+    * corpus scale); groups with Σg = 0 (all gaps zero) report NULLs.
+    * One per-key lag window (per-key sort), then a key rollup.
+    * Output: (group, n_gaps, rate_per_hour_milli, cv2_bp).
+    */
+  def interEventStats(df: DataFrame, groupCol: String, tsCol: String,
+                      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(tsCol), col(idCol))
+    df.select(col(groupCol), col(tsCol), col(idCol))
+      .withColumn("graft_gap", expr(
+        s"(unix_micros($tsCol) - unix_micros(lag($tsCol, 1) OVER " +
+          s"(PARTITION BY $groupCol ORDER BY $tsCol, $idCol))) DIV 1000000"))
+      .filter(col("graft_gap").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("graft_gap").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("graft_sg"),
+        sum(col("graft_gap").cast("decimal(38,0)") * col("graft_gap"))
+          .cast("decimal(38,0)").as("graft_sgg"))
+      .select(col(groupCol), col("n_gaps"),
+        when(col("graft_sg") > 0, expr(
+          """CAST((2 * 3600000 * CAST(n_gaps AS DECIMAL(38,0)) + graft_sg)
+            |  DIV (2 * graft_sg) AS BIGINT)""".stripMargin))
+          .as("rate_per_hour_milli"),
+        when(col("graft_sg") > 0, expr(
+          """CAST((20000 * (CAST(n_gaps AS DECIMAL(38,0)) * graft_sgg
+            |                - graft_sg * graft_sg)
+            |       + graft_sg * graft_sg)
+            |  DIV (2 * graft_sg * graft_sg) AS BIGINT)""".stripMargin))
+          .as("cv2_bp"))
+  }
+
+  /** DAU/MAU stickiness — the engagement ratio every growth report
+    * leads with: per calendar day, the distinct users active THAT day
+    * over the distinct users active in the trailing `windowDays`
+    * (28 = the industry convention), HALF_UP basis points. The MAU
+    * side expands presence days ×windowDays via a bounded
+    * calendar-interval join (presence is already distinct (user, day)
+    * — the multiplier is the CALENDAR window, never the event count);
+    * early days report over their partial window, the standard
+    * reading. Output per day: (day, dau, mau, stickiness_bp).
+    */
+  def stickiness(df: DataFrame, userCol: String, tsCol: String,
+                 windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 2, s"windowDays must be >= 2, got $windowDays")
+    val presence = graft.llm.CacheRegistry.persist(df
+      .select(col(userCol).as("graft_u"), to_date(col(tsCol)).as("day"))
+      .distinct())
+    val dau = presence.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val grid = presence.agg(min(col("day")).as("graft_d0"),
+        max(col("day")).as("graft_d1"))
+      .select(explode(expr("sequence(graft_d0, graft_d1)")).as("day"))
+    val mau = grid
+      .join(presence.select(col("graft_u"), col("day").as("graft_p")),
+        col("graft_p") <= col("day") &&
+          col("graft_p") >= date_sub(col("day"), windowDays - 1))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("graft_u")).as("mau"))
+    dau.join(mau, Seq("day"))
+      .withColumn("stickiness_bp",
+        expr("(20000 * dau + mau) DIV (2 * mau)"))
+  }
+
   /** Multiwindow SLO burn-rate report (the SRE-workbook alert): per
     * (group, hour), the error-budget burn rate over the last hour and
     * over the trailing `longHours` hours, in HALF_UP milli-multiples

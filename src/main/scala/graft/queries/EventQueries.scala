@@ -548,6 +548,77 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Behavioral diversity: Shannon entropy of each user's
+    // event-type mix in exact micro-nats (once-rounded logs) — 0 for
+    // single-minded users, ln K for uniform explorers.
+    "q257_behavior_entropy" -> QueryDef(
+      (s, dir) => {
+        graft.llm.Profiling.groupEntropy(
+            table(s, dir, "events"), "user_id", "event_type")
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+             |           FROM events
+             |           WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+             |           GROUP BY 1, 2),
+             |a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_rows,
+             |             CAST(count(*) AS BIGINT) AS n_distinct,
+             |             CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+             |      FROM c GROUP BY 1)
+             |SELECT user_id, n_rows, n_distinct,
+             |       CAST(CAST(round(ln(CAST(n_rows AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |            - (2 * s + n_rows) // (2 * n_rows) AS BIGINT) AS entropy_micro
+             |FROM a ORDER BY user_id""".stripMargin)),
+
+    // ---- Inter-event burstiness per type: arrival rate per hour and
+    // CV² of gaps in bp (10000 = Poisson; above = bursty) — exact
+    // integer sums, floor-second gaps.
+    "q258_burstiness" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.interEventStats(
+            table(s, dir, "events"), "event_type", "ts", "event_id")
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type,
+             |                  (epoch_us(ts) - epoch_us(lag(ts) OVER
+             |                    (PARTITION BY event_type ORDER BY ts, event_id)))
+             |                  // 1000000 AS gap
+             |           FROM events),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             |             sum(CAST(gap AS HUGEINT)) AS sg,
+             |             sum(CAST(gap AS HUGEINT) * gap) AS sgg
+             |      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n_gaps,
+             |       CAST(CASE WHEN sg > 0 THEN
+             |         (2 * 3600000 * CAST(n_gaps AS HUGEINT) + sg) // (2 * sg)
+             |       ELSE NULL END AS BIGINT) AS rate_per_hour_milli,
+             |       CAST(CASE WHEN sg > 0 THEN
+             |         (20000 * (CAST(n_gaps AS HUGEINT) * sgg - sg * sg) + sg * sg)
+             |           // (2 * sg * sg)
+             |       ELSE NULL END AS BIGINT) AS cv2_bp
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // ---- DAU/MAU-28 stickiness per day — the growth-engagement ratio;
+    // calendar-interval presence join, partial early windows reported
+    // as-is.
+    "q259_stickiness" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.stickiness(
+            table(s, dir, "events"), "user_id", "ts", windowDays = 28)
+          .orderBy("day")
+      },
+      Some("""WITH p AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+             |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM p GROUP BY 1),
+             |s0 AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+             |g AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |      FROM s0),
+             |m AS (SELECT g.day, CAST(count(DISTINCT p.u) AS BIGINT) AS mau
+             |      FROM g JOIN p ON p.day <= g.day AND p.day >= g.day - 27
+             |      GROUP BY 1)
+             |SELECT d.day, d.dau, m.mau,
+             |       CAST((20000 * dau + mau) // (2 * mau) AS BIGINT) AS stickiness_bp
+             |FROM d JOIN m USING (day) ORDER BY day""".stripMargin)),
+
     // ---- Multiwindow SLO burn rate per (type, hour): share of
     // high-value events (> 200.00) against a 5% budget, 1h fast burn +
     // trailing-6h slow burn (RANGE window — absent hours truly

@@ -467,6 +467,51 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s") === ((3L, 0L, 2L)))
   }
 
+  test("groupEntropy: zero for single-minded keys, ln2 for a 50/50 mix") {
+    import spark.implicits._
+    val df = (Seq.fill(5)((1L, "click")) ++
+      Seq.fill(2)((2L, "click")) ++ Seq.fill(2)((2L, "buy"))).toDF("u", "c")
+    val out = Profiling.groupEntropy(df, "u", "c")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((5L, 1L, 0L)))
+    assert(out(2L) === ((4L, 2L, 693147L))) // ln 2 in micro-nats
+  }
+
+  test("interEventStats: metronomic CV2 is 0, planted burst is exact") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val even = Seq(0, 60, 120, 180).zipWithIndex
+      .map { case (s, i) => ("m", t(s), i.toLong) }
+    val burst = Seq(0, 0, 0, 180).zipWithIndex
+      .map { case (s, i) => ("b", t(s), (10 + i).toLong) }
+    val out = EventAnalytics.interEventStats(
+        (even ++ burst).toDF("g", "ts", "id"), "g", "ts", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("m") === ((3L, 60000L, 0L))) // 60/hour, zero variance
+    // gaps {0,0,180}: CV² = (3·32400 − 32400)/32400 = 2 → 20000 bp
+    assert(out("b") === ((3L, 60000L, 20000L)))
+  }
+
+  test("stickiness: exact DAU over windowed MAU with partial early windows") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-04-01 10:00:00"), (1L, "2024-04-03 10:00:00"),
+      (2L, "2024-04-02 10:00:00"))
+      .toDF("u", "d")
+      .select(col("u"), to_timestamp(col("d")).as("ts"))
+    val out = EventAnalytics.stickiness(ev, "u", "ts", windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date](0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(out === Seq(
+      ("2024-04-01", 1L, 1L, 10000L), // partial window: only itself
+      ("2024-04-02", 1L, 2L, 5000L),
+      ("2024-04-03", 1L, 2L, 5000L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("sloBurn: two-window rule ignores a blip, fires on sustained burn") {
     import spark.implicits._
     // 6 quiet hours (20 ok events each), then 2 hours fully burning
