@@ -88,4 +88,51 @@ class ChainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.getString(5).contains("fox"), s"rank-1 text: ${top.getString(5)}")
     graft.llm.CacheRegistry.releaseAll(spark)
   }
+
+  test("ImportJsonl → Quality gate → SnapshotMaintainer → Diff (write-audit-publish)") {
+    import spark.implicits._
+    // 1. a JSONL drop with one malformed line
+    val drop = Files.createTempDirectory("graft-wap-drop")
+    val lines = (1L to 30L).map(i =>
+      s"""{"doc_id": $i, "text": "document number $i body", "lang": "en", "source": "web"}""") :+
+      """{"doc_id": 31, TRUNCATED"""
+    Files.write(drop.resolve("d.jsonl"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+    val imp = Files.createTempDirectory("graft-wap-import").toString
+    val (nClean, nBad) = ImportJsonl.run(spark, drop.toString, imp)
+    assert(nClean === 30L && nBad === 1L)
+
+    // 2. audit: the imported snapshot passes the documents contract
+    // (n_chars is derived here — the manifest column the gate checks)
+    val docs = spark.read.parquet(s"$imp/documents")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val audited = Files.createTempDirectory("graft-wap-docs").toString + "/d"
+    docs.write.parquet(audited)
+    val (report, _) = Quality.run(spark, audited,
+      Files.createTempDirectory("graft-wap-q").toString)
+    assert(report.filter(col("passed") === 0L).count() === 0L,
+      "imported drop must pass the contract gate before publishing")
+
+    // 3. publish: init the versioned store, then fold a CDC batch
+    val store = Files.createTempDirectory("graft-wap-store").toString
+    graft.streaming.SnapshotMaintainer.init(
+      spark.read.parquet(audited), store)
+    val changes = Seq(
+      (5L, "document number 5 REVISED", "en", "web", 24L, 1L, "U"),
+      (7L, "", "en", "web", 0L, 1L, "D"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "graft_seq",
+        "graft_op")
+    assert(graft.streaming.SnapshotMaintainer.processBatch(
+      changes, 0L, store, Seq("doc_id"), "graft_seq", "graft_op") === 1L)
+
+    // 4. the Diff main explains the publish: 1 changed, 1 removed,
+    // 28 unchanged — and time travel still reads v0
+    val diffOut = Files.createTempDirectory("graft-wap-diff").toString
+    val summary = Diff.run(spark, s"$store/v0", s"$store/v1", diffOut)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary === Map("changed" -> 1L, "removed" -> 1L,
+      "unchanged" -> 28L))
+    assert(spark.read.parquet(s"$store/v0").count() === 30L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
 }
