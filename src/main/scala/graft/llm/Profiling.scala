@@ -653,6 +653,32 @@ object Profiling {
           .as("index_milli"))
   }
 
+  /** 2-D skyline (Pareto frontier, both dimensions MAXIMIZED) — the
+    * classic database operator (Börzsönyi et al. 2001) for "best
+    * tradeoff" queries: a row survives iff no other row is ≥ in both
+    * dimensions and > in at least one. Equal-point duplicates all
+    * survive (neither dominates). The sweep runs entirely on the
+    * VALUE-COMPRESSED x table: per distinct x keep max y, then a
+    * prefix-max over x descending — a point is on the frontier iff its
+    * y equals its x-group's max AND strictly exceeds every
+    * greater-x group's max. The one unpartitioned window orders
+    * DISTINCT x values only (the conversionLatency precedent — bounded
+    * by value cardinality, never rows); the row-scale work is one
+    * (x) max aggregation and one semi-join back.
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val mx = base.groupBy(col(xCol)).agg(max(col(yCol)).as("graft_my"))
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = mx
+      .withColumn("graft_prev", max(col("graft_my")).over(w))
+      .filter(col("graft_prev").isNull ||
+        col("graft_my") > col("graft_prev"))
+      .select(col(xCol), col("graft_my").as(yCol))
+    base.join(frontier, Seq(xCol, yCol), "left_semi")
+  }
+
   /** Shannon entropy of a categorical distribution per key, in integer
     * micro-nats — the behavioral-diversity score (a user who only ever
     * clicks scores 0; one spread over every event type scores ln K):

@@ -485,6 +485,28 @@ object EventAnalytics {
       .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
   }
 
+  /** Largest silent gap per group — the outage detector: the maximum
+    * inter-event gap in whole seconds and WHEN it started (ties → the
+    * earliest start), via one per-key lag window and a
+    * map-side-combinable max_by — no per-group sort of gaps. Output:
+    * (group, n_gaps, max_gap_s, gap_start).
+    */
+  def maxGapReport(df: DataFrame, groupCol: String, tsCol: String,
+                   idCol: String): DataFrame = {
+    df.select(col(groupCol), col(tsCol), col(idCol))
+      .withColumn("graft_prev", expr(
+        s"lag($tsCol, 1) OVER (PARTITION BY $groupCol ORDER BY $tsCol, $idCol)"))
+      .filter(col("graft_prev").isNotNull)
+      .withColumn("graft_gap", expr(
+        s"(unix_micros($tsCol) - unix_micros(graft_prev)) DIV 1000000"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("graft_gap")).as("max_gap_s"),
+        max_by(col("graft_prev"),
+          struct(col("graft_gap"), expr("-unix_micros(graft_prev)")))
+          .as("gap_start"))
+  }
+
   /** Inter-event timing statistics per group — burstiness profiling:
     * over consecutive-event gaps (whole seconds of the µs diff),
     * the arrival rate per hour and the squared coefficient of

@@ -548,6 +548,28 @@ object EventQueries {
              |FROM h JOIN m USING (event_type) JOIN md USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Largest silent gap per type and when it started — the
+    // outage report; one lag window + a max_by, earliest-start ties.
+    "q260_max_gap" -> QueryDef(
+      (s, dir) => {
+        graft.operators.EventAnalytics.maxGapReport(
+            table(s, dir, "events"), "event_type", "ts", "event_id")
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, ts, lag(ts) OVER
+             |             (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+             |           FROM events),
+             |h AS (SELECT event_type,
+             |             (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap, prev
+             |      FROM g WHERE prev IS NOT NULL),
+             |r AS (SELECT h.*, row_number() OVER (PARTITION BY event_type
+             |               ORDER BY gap DESC, prev) AS rn,
+             |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_gaps
+             |      FROM h)
+             |SELECT event_type, n_gaps, CAST(gap AS BIGINT) AS max_gap_s,
+             |       prev AS gap_start
+             |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+
     // ---- Behavioral diversity: Shannon entropy of each user's
     // event-type mix in exact micro-nats (once-rounded logs) — 0 for
     // single-minded users, ln K for uniform explorers.

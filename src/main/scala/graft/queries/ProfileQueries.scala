@@ -356,6 +356,33 @@ object ProfileQueries {
              |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS row_id
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- 2-D skyline of documents on (length, vocabulary size): the
+    // Pareto frontier of "long AND lexically rich" — the classic
+    // best-tradeoff operator, swept on the value-compressed length
+    // table.
+    "q261_skyline" -> QueryDef(
+      (s, dir) => {
+        val b = Registry.table(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            size(array_distinct(filter(split(col("text"), " "),
+              t => t =!= lit("")))).cast("long").as("n_types"))
+        graft.llm.Profiling.skyline2D(b, "n_chars", "n_types")
+          .select("doc_id", "n_chars", "n_types")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             |                  CAST(len(list_distinct(list_filter(
+             |                    string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_types
+             |           FROM documents),
+             |mx AS (SELECT n_chars, max(n_types) AS my FROM b GROUP BY 1),
+             |f AS (SELECT mx.*, max(my) OVER (ORDER BY n_chars DESC
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+             |      FROM mx),
+             |k AS (SELECT n_chars, my FROM f WHERE prev IS NULL OR my > prev)
+             |SELECT b.doc_id, b.n_chars, b.n_types
+             |FROM b JOIN k ON b.n_chars = k.n_chars AND b.n_types = k.my
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- Hill tail-index of document lengths per language (top-20
     // order statistics, once-rounded micro-nat logs): the power-law
     // heaviness gauge — 1/Hill ≈ Pareto α, the "how bad does the

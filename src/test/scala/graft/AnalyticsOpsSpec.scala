@@ -467,6 +467,28 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("s") === ((3L, 0L, 2L)))
   }
 
+  test("maxGapReport finds the widest silence and its earliest start") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq((0, 1L), (60, 2L), (300, 3L), (310, 4L), (550, 5L))
+      .map { case (s, i) => ("a", t(s), i) }.toDF("g", "ts", "id")
+    val r = EventAnalytics.maxGapReport(ev, "g", "ts", "id").collect().head
+    // gaps 60, 240, 10, 240: max 240, tied — the EARLIEST start (t=60)
+    assert(r.getAs[Long]("n_gaps") === 4L)
+    assert(r.getAs[Long]("max_gap_s") === 240L)
+    assert(r.getAs[java.sql.Timestamp]("gap_start") === t(60))
+  }
+
+  test("skyline2D keeps exactly the non-dominated points, duplicates intact") {
+    import spark.implicits._
+    val pts = Seq((1L, 10L, 1L), (2L, 5L, 5L), (3L, 1L, 10L),
+      (4L, 5L, 4L), (5L, 10L, 1L)).toDF("id", "x", "y")
+    val out = Profiling.skyline2D(pts, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // (5,4) is dominated by (5,5); the duplicate (10,1) points both stay
+    assert(out === Set(1L, 2L, 3L, 5L))
+  }
+
   test("groupEntropy: zero for single-minded keys, ln2 for a 50/50 mix") {
     import spark.implicits._
     val df = (Seq.fill(5)((1L, "click")) ++
