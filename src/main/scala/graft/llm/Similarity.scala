@@ -426,6 +426,49 @@ object Similarity {
       .toDF("dim", "loading_bp")
   }
 
+  /** Project every embedding onto the [[topEigenvector]] direction and
+    * report how much of its energy lies OFF that axis — the per-row
+    * companion to the dominant-direction diagnostic (Mu et al.'s
+    * all-but-the-top: rows with tiny residuals are "the common
+    * direction" and carry little discriminative signal). Integer-exact
+    * end to end: dot = Σ xᵢ·vᵢ over the scaled ints and the signed
+    * loadings, norm² likewise, and residual_micro = HALF_UP(10⁶·
+    * (norm²·|v|² − dot²)/(norm²·|v|²)) — the off-axis energy fraction
+    * — computed in decimal(38,0) (norm²·|v|² overflows BIGINT at
+    * realistic magnitudes). Zero-norm rows report NULL. The loading
+    * vector rides as a literal in the task closure (the assignClusters
+    * centroid-literal pattern): the projection pass is a narrow
+    * codegen'd scan, zero shuffles. Output: (id, dot, norm2,
+    * residual_micro).
+    */
+  def pcaProjection(df: DataFrame, idCol: String, vecCol: String,
+                    iters: Int = 8, scale: Double = 10000.0): DataFrame = {
+    val v = topEigenvector(df, vecCol, iters, scale)
+      .orderBy("dim").collect().map(_.getLong(1))
+    VecFunctions.register(df.sparkSession)
+    val vLit = typedLit(v.toSeq)
+    df.select(col(idCol).as("id"),
+        call_function("graft_scale_q", col(vecCol), lit(scale)).as("graft_sv"))
+      .withColumn("graft_v", vLit)
+      .withColumn("dot", expr(
+        """aggregate(zip_with(graft_sv, graft_v, (a, b) -> a * b),
+          |CAST(0 AS BIGINT), (acc, e) -> acc + e)""".stripMargin))
+      .withColumn("norm2", expr(
+        """aggregate(graft_sv, CAST(0 AS BIGINT),
+          |(acc, e) -> acc + e * e)""".stripMargin))
+      .withColumn("graft_v2", expr(
+        """aggregate(graft_v, CAST(0 AS BIGINT),
+          |(acc, e) -> acc + e * e)""".stripMargin))
+      .withColumn("residual_micro", expr(
+        """CASE WHEN norm2 > 0 AND graft_v2 > 0 THEN
+          |CAST((2000000 * (CAST(norm2 AS DECIMAL(38,0)) * graft_v2
+          |                 - CAST(dot AS DECIMAL(38,0)) * dot)
+          |      + (CAST(norm2 AS DECIMAL(38,0)) * graft_v2))
+          |  DIV (2 * CAST(norm2 AS DECIMAL(38,0)) * graft_v2) AS BIGINT)
+          |ELSE CAST(NULL AS BIGINT) END""".stripMargin))
+      .select(col("id"), col("dot"), col("norm2"), col("residual_micro"))
+  }
+
   /** Apply per-dimension whitening — the normalization step between
     * [[dimStats]]/[[embedCovariance]] (which measure the embedding
     * space) and quantization/ANN indexing (which assume it is

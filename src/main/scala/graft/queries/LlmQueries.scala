@@ -2248,6 +2248,71 @@ object LlmQueries {
         sb.toString
       }),
 
+    // ---- PCA projection/residual per embedding: dot with the q230
+    // signed eigenvector and the off-axis energy fraction in micro —
+    // the all-but-the-top per-row diagnostic; loading vector rides as
+    // a literal (zero-shuffle projection scan).
+    "q262_pca_projection" -> QueryDef(
+      (s, dir) => {
+        Similarity.pcaProjection(table(s, dir, "embeddings"),
+            "vec_id", "embedding", iters = 8)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id")
+      },
+      Some {
+        val sb = new StringBuilder
+        sb.append(
+          """WITH e AS (SELECT vec_id, list_transform(embedding,
+            |              x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS sv
+            |        FROM embeddings),
+            |t AS (SELECT sv, unnest(range(1, len(sv) + 1)) AS i FROM e),
+            |p AS (SELECT sv, i, unnest(range(i, len(sv) + 1)) AS j FROM t),
+            |c AS (SELECT CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+            |             sv[CAST(i AS INT)] AS xi, sv[CAST(j AS INT)] AS xj
+            |      FROM p),
+            |a AS (SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+            |             sum(xi) AS si, sum(xj) AS sj, sum(xi * xj) AS sij
+            |      FROM c GROUP BY di, dj),
+            |cov AS MATERIALIZED (SELECT di, dj,
+            |       CAST((CASE WHEN n * sij - si * sj < 0 THEN -1 ELSE 1 END) *
+            |            ((2 * abs(n * sij - si * sj) + 100 * n * n)
+            |              // (2 * 100 * n * n)) AS BIGINT) AS cov_u
+            |FROM a),
+            |m AS MATERIALIZED (SELECT di AS i, dj AS j, cov_u AS c FROM cov
+            |     UNION ALL SELECT dj, di, cov_u FROM cov WHERE di <> dj),
+            |v0 AS MATERIALIZED (SELECT DISTINCT di AS i, CAST(10000 AS BIGINT) AS v FROM cov)""".stripMargin)
+        for (k <- 1 to 8) {
+          sb.append(s""",
+            |u$k AS MATERIALIZED (SELECT m.i AS i, CAST(sum(m.c * v${k - 1}.v) AS BIGINT) AS u
+            |     FROM m JOIN v${k - 1} ON v${k - 1}.i = m.j GROUP BY m.i),
+            |s$k AS MATERIALIZED (SELECT max(abs(u)) AS mx FROM u$k),
+            |v$k AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN u
+            |     ELSE CAST(sign(u) AS BIGINT) *
+            |          CAST((2 * abs(u) * 10000 + mx) // (2 * mx) AS BIGINT) END AS v
+            |     FROM u$k, s$k)""".stripMargin)
+        }
+        sb.append(
+          """,
+            |sg AS (SELECT CASE WHEN (SELECT v FROM v8 WHERE v <> 0 ORDER BY i LIMIT 1) < 0
+            |              THEN -1 ELSE 1 END AS s),
+            |vs AS MATERIALIZED (SELECT i, CAST(v * s AS BIGINT) AS v FROM v8, sg),
+            |vv AS (SELECT CAST(sum(v * v) AS BIGINT) AS v2 FROM vs),
+            |x AS (SELECT vec_id, sv, unnest(range(1, len(sv) + 1)) AS d FROM e),
+            |xv AS (SELECT vec_id, CAST(d - 1 AS BIGINT) AS dim,
+            |              sv[CAST(d AS INT)] AS xi FROM x),
+            |pr AS (SELECT xv.vec_id, CAST(sum(xi * vs.v) AS BIGINT) AS dot,
+            |              CAST(sum(xi * xi) AS BIGINT) AS norm2
+            |       FROM xv JOIN vs ON vs.i = xv.dim GROUP BY 1)
+            |SELECT pr.vec_id, dot, norm2,
+            |       CAST(CASE WHEN norm2 > 0 AND v2 > 0 THEN
+            |         (2000000 * (CAST(norm2 AS HUGEINT) * v2 - CAST(dot AS HUGEINT) * dot)
+            |          + (CAST(norm2 AS HUGEINT) * v2))
+            |           // (2 * CAST(norm2 AS HUGEINT) * v2)
+            |       ELSE NULL END AS BIGINT) AS residual_micro
+            |FROM pr CROSS JOIN vv ORDER BY vec_id""".stripMargin)
+        sb.toString
+      }),
+
     // ---- Matryoshka truncation sweep: exact recall@5 of prefix-dim
     // search (m ∈ {8,16,32,64}) vs full 64-dim ground truth — the
     // serve-at-fewer-dims tuning table; the m=64 row is recall 10000

@@ -826,6 +826,23 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z === Seq(0L, 0L))
   }
 
+  test("pcaProjection: on-axis rows residual 0, orthogonal rows 10^6") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    // cloud along (-2, 1): v = (10000, -5000); a point ON the axis has
+    // zero off-axis energy, one orthogonal to it has all of it
+    val pts = (Seq(1f, -1f, 2f, -2f, 3f, -3f)
+      .zipWithIndex.map { case (k, i) =>
+        (i.toLong, Seq(-2f * k, 1f * k)) } :+
+      (99L, Seq(1f, 2f))) // ⟂ to (-2,1) after scaling
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pcaProjection(pts, "vec_id", "embedding", iters = 8)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    (0L to 5L).foreach(i => assert(out(i) === 0L, s"row $i off-axis"))
+    assert(out(99L) === 1000000L)
+  }
+
   test("withGlobalIds equals the window row_number and is deterministic") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
