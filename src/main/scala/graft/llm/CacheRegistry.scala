@@ -44,4 +44,35 @@ object CacheRegistry {
       try df.unpersist() catch { case _: Throwable => () }
     }
   }
+
+  /** Identity snapshot of the handles currently registered for the
+    * session — pair with [[releaseDelta]] so a long-running caller (a
+    * streaming micro-batch loop) can release ONLY the caches its own
+    * work registered, without unpersisting co-resident jobs' frames.
+    */
+  def snapshot(spark: SparkSession): java.util.Set[DataFrame] = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    val q = reg.get(spark)
+    if (q != null) q.forEach { df => s.add(df); () }
+    s
+  }
+
+  /** Unpersist and deregister every handle added AFTER `before` (a
+    * [[snapshot]] taken by the same caller). Handles present in the
+    * snapshot — other operators' live caches — are left untouched.
+    */
+  def releaseDelta(spark: SparkSession, before: java.util.Set[DataFrame]): Unit = {
+    val q = reg.get(spark)
+    if (q != null) {
+      val it = q.iterator()
+      while (it.hasNext) {
+        val df = it.next()
+        if (!before.contains(df)) {
+          try df.unpersist() catch { case _: Throwable => () }
+          it.remove()
+        }
+      }
+    }
+  }
 }

@@ -41,7 +41,11 @@ object Checks {
     val label = s"in_set($column)"
   }
 
-  /** Non-NULL values (cast to BIGINT) must lie in [lo, hi]. */
+  /** Non-NULL values (try_cast to BIGINT) must lie in [lo, hi]. A
+    * non-NULL value whose cast FAILS (a non-numeric string) is a
+    * violation — it certainly isn't in the range, and counting it here
+    * keeps it from slipping through the NotNull/InRange seam invisibly.
+    */
   final case class InRange(column: String, lo: Long, hi: Long) extends Check {
     val label = s"in_range($column,$lo,$hi)"
   }
@@ -67,9 +71,11 @@ object Checks {
             col(column).isNotNull && !col(column).isin(values: _*),
             1L).otherwise(0L)), lit(0L)).as("n_violations"))
         case InRange(column, lo, hi) =>
+          // try_cast (never throws under ANSI): NULL cast of a non-NULL
+          // value = unparseable = a violation, not an invisible row
+          val c = expr(s"try_cast(`$column` AS BIGINT)")
           df.agg(coalesce(sum(when(
-            col(column).isNotNull &&
-              (col(column).cast("long") < lo || col(column).cast("long") > hi),
+            col(column).isNotNull && (c.isNull || c < lo || c > hi),
             1L).otherwise(0L)), lit(0L)).as("n_violations"))
       }
       viol.select(lit(c.label).as("check_name"), col("n_violations"),

@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   * Semantics: the changelog carries the SAME payload columns as the
   * base plus a sequence column (monotone per key: commit timestamp /
   * LSN) and an op column with values `I`/`U` (upsert) or `D` (delete).
-  * Per key, the highest (seq, op-rank) entry wins — op-rank makes a
-  * DELETE beat an upsert at the SAME sequence number, the conservative
-  * reading of a tie (ties should not happen in a well-formed log; the
-  * rank makes them deterministic instead of plan-dependent). Base rows
-  * participate as upserts at sequence −∞, so an untouched key survives
-  * unchanged and a changed key never needs a join back to base.
+  * Per key, the highest (seq, op-rank, payload-hash) entry wins —
+  * op-rank makes a DELETE beat an upsert at the SAME sequence number,
+  * the conservative reading of a tie, and the trailing xxhash64 over
+  * the payload makes even two DIFFERENT upserts at the same (key, seq)
+  * resolve to one engine-independent winner (the highest-hash payload —
+  * arbitrary, but deterministic; ties should not happen in a well-
+  * formed log, and when they do the result must not be plan-dependent).
+  * Base rows participate as upserts at sequence −∞, so an untouched key
+  * survives unchanged and a changed key never needs a join back to
+  * base.
   *
   * Scale shape: ONE shuffle, keyed on the primary key, aggregating
   * with `max_by(payload, (seq, rank))` — O(1) state per key and
@@ -44,7 +48,8 @@ object CdcApply {
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(
         struct((payload.map(col) :+ col(opCol).as("graft_op")): _*),
-        struct(col(seqCol), rank.as("graft_rank"))).as("graft_w"))
+        struct(col(seqCol), rank.as("graft_rank"),
+          xxhash64(payload.map(col): _*).as("graft_tb"))).as("graft_w"))
     winner
       .filter(col("graft_w.graft_op") =!= "D")
       .select(payload.map(c => col(s"graft_w.$c").as(c)): _*)

@@ -44,19 +44,28 @@ object Registry {
     * documents/embeddings tables at sf0.001 and sf0.01, so a
     * count-keyed cache built at one scale factor silently serves the
     * other one wrong bytes. md5 over (total count + the first 10 rows
-    * by key, JSON-encoded) — two scans, both cheap, and any content
-    * change in the head or any cardinality change rolls the key.
-    * (Fixtures synthesized purely from ids — the carve slot images —
-    * stay count-keyed: their bytes don't depend on corpus content.)
+    * by key, JSON-encoded + an order-independent whole-table xxhash64
+    * xor) — two cheap scans, and ANY content change rolls the key: the
+    * head rows catch it cheaply for human diffing, the bit_xor digest
+    * catches tail-only edits the head would miss (without it two
+    * corpora sharing count and head silently reused each other's /tmp
+    * fixtures). (Fixtures synthesized purely from ids — the carve slot
+    * images — stay count-keyed: their bytes don't depend on corpus
+    * content.)
     */
   def contentTag(df: DataFrame, keyCol: String, cols: String*): String = {
-    import org.apache.spark.sql.functions.{col, struct, to_json}
+    import org.apache.spark.sql.functions.{col, expr, struct, to_json, xxhash64}
     val head = df.orderBy(col(keyCol)).limit(10)
       .select(to_json(struct((keyCol +: cols).map(col): _*)).as("j"))
       .collect().map(_.getString(0)).mkString("\n")
-    val n = df.count()
+    val sums = df
+      .select(xxhash64((keyCol +: cols).map(col): _*).as("graft_h"))
+      .agg(expr("count(1)").as("n"),
+        expr("coalesce(bit_xor(graft_h), 0L)").as("x"))
+      .head()
+    val (n, x) = (sums.getLong(0), sums.getLong(1))
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$n\n$head".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(s"$n\n$x\n$head".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"$b%02x").mkString
   }
 

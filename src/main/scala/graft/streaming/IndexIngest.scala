@@ -18,16 +18,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Restart semantics (the standard non-transactional `foreachBatch`
   * story, stated honestly): a batch-id ledger in the dedup index dir
   * makes replayed batch ids no-ops, so a crash-restart does not
-  * double-ingest a COMMITTED batch. Within an uncommitted batch the
-  * dedup-key append is idempotent by construction (anti-join fold);
-  * the BM25 postings append is not — a crash in the window between the
-  * postings append and the ledger write re-appends that batch's
-  * postings on replay. Exactly-once would need a transactional index
-  * store; the ledger narrows the window to one batch.
+  * double-ingest a COMMITTED batch. Within an uncommitted batch every
+  * step is replay-safe: the dedup-key append is idempotent by
+  * construction (anti-join fold), and the BM25 postings append — which
+  * is NOT naturally idempotent — is fenced by its own per-batch
+  * sub-ledger in the BM25 index dir, written right after the postings
+  * land, so a crash between the postings append and the main ledger
+  * write makes the replay SKIP the postings step instead of
+  * double-counting tf/df/N. The one remaining hard failure is a crash
+  * DURING [[graft.llm.Retrieval.appendToIndex]] itself: that trips the
+  * index's `_graft_append_pending` fence (the index is torn — missing
+  * df_t / stale avdl), every replay of the batch then throws, and the
+  * stream CANNOT make progress until the BM25 index is rebuilt
+  * ([[graft.llm.Retrieval.buildIndex]] over the corpus) — a detectable
+  * stop, by design, rather than silent wrong scores. Exactly-once
+  * would need a transactional index store.
   */
 object IndexIngest {
 
   private val LedgerName = "_graft_ingest_ledger"
+  private val Bm25LedgerName = "_graft_ingest_bm25_ledger"
 
   /** Process one micro-batch; returns the number of appended docs, or
     * -1 when `batchId` is already in the ledger (replay after restart).
@@ -43,6 +53,9 @@ object IndexIngest {
                    dropNear: Boolean = true): Long = {
     val ledger = new java.io.File(dedupIndexDir, LedgerName)
     if (committedIds(ledger).contains(batchId)) return -1L
+    // release only the caches THIS batch registers — releaseAll would
+    // unpersist every co-resident job's frames on each micro-batch
+    val cacheMark = graft.llm.CacheRegistry.snapshot(batch.sparkSession)
     // collapse the batch against ITSELF first: the index probe only
     // knows COMMITTED content, so two copies arriving in the same
     // micro-batch would otherwise both pass the probe and ingest
@@ -72,19 +85,31 @@ object IndexIngest {
     val survivors = collapsed.join(keepIds, Seq(idCol)).persist()
     val n = survivors.count()
     if (n > 0) {
-      // postings first, ledger last — see restart semantics above
+      // postings first (fenced by the per-batch sub-ledger so a replay
+      // after a post-append crash skips this step), dedup keys next
+      // (idempotent anti-join), main ledger last — see restart
+      // semantics above
       bm25IndexDir.foreach { dir =>
-        Retrieval.appendToIndex(survivors, idCol, textCol, dir)
+        val subLedger = new java.io.File(dir, Bm25LedgerName)
+        if (!committedIds(subLedger).contains(batchId)) {
+          Retrieval.appendToIndex(survivors, idCol, textCol, dir)
+          appendLine(subLedger, batchId)
+        }
       }
       Dedup.appendToDedupIndex(survivors, idCol, textCol, dedupIndexDir)
     }
     survivors.unpersist()
     // the within-batch dedupCorpus registers micro-batch-sized caches;
-    // release them per batch or a long-running stream accumulates them
-    graft.llm.CacheRegistry.releaseAll(batch.sparkSession)
+    // release THOSE per batch (a long-running stream would accumulate
+    // them) without touching caches other operators registered
+    graft.llm.CacheRegistry.releaseDelta(batch.sparkSession, cacheMark)
+    appendLine(ledger, batchId)
+    n
+  }
+
+  private def appendLine(ledger: java.io.File, batchId: Long): Unit = {
     val out = new java.io.FileWriter(ledger, true)
     try out.write(s"$batchId\n") finally out.close()
-    n
   }
 
   /** Start the streaming ingest: `docs` is a streaming frame carrying

@@ -434,6 +434,36 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(same === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
+  test("applyChangelog same-(key,seq) upsert tie resolves by payload hash, plan-independently") {
+    import spark.implicits._
+    import graft.operators.CdcApply
+    val base = Seq((0L, "z")).toDF("k", "payload")
+    val changes = Seq((1L, "p", 4L, "U"), (1L, "q", 4L, "U"))
+      .toDF("k", "payload", "graft_seq", "graft_op")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      CdcApply.applyChangelog(base, c, Seq("k"), "graft_seq", "graft_op")
+        .filter(col("k") === 1L).collect().map(_.getString(1)).toSeq
+    val a = run(changes)
+    // different physical plan (reversed input order, one partition) must
+    // surface the SAME winner: the max-xxhash64 payload
+    val b = run(changes.orderBy(col("payload").desc).repartition(1))
+    assert(a.length === 1 && a === b, s"tie winner plan-dependent: $a vs $b")
+    val expected = Seq("p", "q").maxBy(p =>
+      Seq((1L, p, 4L, "U")).toDF("k", "payload", "graft_seq", "graft_op")
+        .select(xxhash64(col("k"), col("payload"))).head().getLong(0))
+    assert(a.head === expected)
+  }
+
+  test("Checks.InRange counts unparseable non-NULL values as violations") {
+    import spark.implicits._
+    import graft.llm.Checks
+    val df = Seq(Some("5"), Some("oops"), None, Some("99")).toDF("v")
+    val out = Checks.run(df, Seq(Checks.InRange("v", 0L, 10L)))
+      .collect().head
+    // "oops" (cast-null) and "99" (out of range) violate; NULL passes
+    assert(out.getLong(1) === 2L, s"got ${out.getLong(1)} violations")
+  }
+
   test("Checks.run counts violations per constraint with Deequ NULL rules") {
     import spark.implicits._
     import graft.llm.Checks

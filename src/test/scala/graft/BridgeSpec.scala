@@ -176,4 +176,20 @@ class BridgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = CarvedText.documentsWithStrings(spark, payloadDir)
     assert(all.count() == nSlots)
   }
+
+  test("contentTag rolls the fixture-cache key on tail-only content changes") {
+    import spark.implicits._
+    import graft.queries.Registry
+    val base = (1L to 40L).map(i => (i, s"text $i"))
+    val a = base.toDF("doc_id", "text")
+    // same count, same first-10-by-key head, different TAIL content —
+    // head-only fingerprints collide here; the whole-table digest must not
+    val b = base.map { case (i, t) => (i, if (i == 40L) "changed" else t) }
+      .toDF("doc_id", "text")
+    assert(Registry.contentTag(a, "doc_id", "text") !=
+      Registry.contentTag(b, "doc_id", "text"))
+    // row order must not matter (xor digest is commutative)
+    assert(Registry.contentTag(a.orderBy(col("doc_id").desc).repartition(3),
+      "doc_id", "text") === Registry.contentTag(a, "doc_id", "text"))
+  }
 }

@@ -132,6 +132,23 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("releaseDelta releases only caches registered after the snapshot") {
+    import spark.implicits._
+    val resident = CacheRegistry.persist((1L to 5L).toDF("a"))
+    resident.count()
+    val mark = CacheRegistry.snapshot(spark)
+    val mine = CacheRegistry.persist(spark.range(1, 6).toDF("b").filter(col("b") > 0))
+    mine.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == 2)
+    CacheRegistry.releaseDelta(spark, mark)
+    // the co-resident cache survives; only the post-snapshot one is gone
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      "releaseDelta must not unpersist caches registered before the snapshot")
+    assert(resident.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    CacheRegistry.releaseAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("minhashAgreement leaves no persisted RDDs after releaseAll") {
     import spark.implicits._
     val docs = (1L to 30L).map(i => (i, if (i % 3 == 0) "a b c d e f g" else s"u$i v$i w$i x$i y$i"))

@@ -416,6 +416,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids("brand") === Set(22L))
   }
 
+  test("index ingest replay after a post-postings crash does not double BM25 postings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toFile
+    dir.deleteOnExit()
+    val (didx, bidx) = (s"$dir/didx", s"$dir/bidx")
+    val seed = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    graft.llm.Dedup.buildDedupIndex(seed, "doc_id", "text", didx,
+      numBuckets = 2, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    graft.llm.Retrieval.buildIndex(seed, "doc_id", "text", bidx, numBuckets = 2)
+    val batch = Seq((5L, "replay target document body words")).toDF("doc_id", "text")
+    assert(graft.streaming.IndexIngest.processBatch(
+      batch, 7L, "doc_id", "text", didx, Some(bidx)) === 1L)
+    def score() = graft.llm.Retrieval
+      .bm25TopKIndexed(spark, bidx, Seq(Seq("replay")), k = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("score_bp"))).toSeq
+    val before = score()
+    assert(before.map(_._1) === Seq(5L))
+    // simulate the crash window: postings + BM25 sub-ledger landed, but
+    // the MAIN ledger write never happened → foreachBatch replays 7
+    val ledger = new java.io.File(didx, "_graft_ingest_ledger")
+    val lines = scala.io.Source.fromFile(ledger).getLines().toSeq
+    java.nio.file.Files.write(ledger.toPath,
+      lines.filterNot(_ == "7").mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // replay: dedup probe now flags doc 5 as known → 0 survivors; even
+    // if it had survivors, the BM25 sub-ledger skips the postings step
+    val n = graft.streaming.IndexIngest.processBatch(
+      batch, 7L, "doc_id", "text", didx, Some(bidx))
+    assert(n === 0L, s"replayed batch re-ingested $n docs")
+    assert(score() === before, "replay must not change BM25 postings/stats")
+  }
+
   test("streaming snapshot maintainer folds CDC batches into versioned parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
