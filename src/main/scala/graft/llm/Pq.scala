@@ -135,6 +135,88 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_dist"))
   }
 
+  /** ADC top-k with an exact re-rank stage — the standard serving path
+    * every production ANN deployment runs (FAISS's refine step): ADC
+    * lookups nominate `kCand` candidates per query (cheap, compressed,
+    * lossy), then ONLY those candidates are scored with the exact
+    * scaled-BIGINT squared-L2 against the raw vectors and the top `k`
+    * by exact distance return. Recall@k is bounded below by plain
+    * ADC@k (the re-rank permutes a SUPERSET of the ADC top-k by the
+    * true metric: any true neighbor ADC put in its top-k is still in
+    * the top-kCand, and re-ranking surfaces it — plus any it buried
+    * between rank k and kCand).
+    *
+    * Scale shape: the candidate set is |queries|·kCand rows by
+    * construction, so the join back to the raw vectors BROADCASTS the
+    * candidates into the corpus scan — the corpus side never shuffles;
+    * the only wide op is the per-query top-k window over ≤ kCand rows
+    * per query. Ties → (d2, neighbor_id), same as the exact arm of
+    * [[adcRecall]]. Output: (query_id, neighbor_id, rnk, d2).
+    */
+  def adcTopKReranked(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, queries: DataFrame, k: Int, kCand: Int,
+      m: Int = 8, scale: Double = 10000.0): DataFrame = {
+    require(k > 0 && kCand >= k,
+      s"need kCand >= k >= 1, got k=$k kCand=$kCand")
+    val spark = corpus.sparkSession
+    val cand = adcTopK(corpus, idCol, vecCol, codebook, queries, kCand, m, scale)
+      .select(col("query_id"), col("neighbor_id"))
+    val qx = queries.select(col(idCol).as("query_id"),
+      scaledVec(spark, vecCol, scale).as("qv"))
+    val cx = corpus.select(col(idCol).as("neighbor_id"),
+      scaledVec(spark, vecCol, scale).as("nv"))
+    // candidates ⋈ query vectors is (|queries|·kCand)-bounded — ride it
+    // into the corpus scan as a broadcast; the corpus never moves
+    val probe = broadcast(cand.join(qx, Seq("query_id")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    cx.join(probe, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("graft_sqdist", col("qv"), col("nv")).as("d2"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d2"))
+  }
+
+  /** Side-by-side recall@k of plain ADC and ADC+exact-re-rank against
+    * the exact ground truth — the table that justifies (or sizes) the
+    * re-rank stage: per query, the overlap of each ranking's top-k with
+    * the exact scaled-BIGINT top-k, in HALF_UP basis points. By the
+    * superset argument on [[adcTopKReranked]], rr_recall_bp ≥
+    * adc_recall_bp row-by-row. Output: (query_id, n_adc, n_rr,
+    * adc_recall_bp, rr_recall_bp).
+    */
+  def rerankRecall(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, queries: DataFrame, k: Int, kCand: Int,
+      m: Int = 8, scale: Double = 10000.0): DataFrame = {
+    val spark = corpus.sparkSession
+    val approx = adcTopK(corpus, idCol, vecCol, codebook, queries, k, m, scale)
+      .select(col("query_id"), col("neighbor_id"))
+    val rr = adcTopKReranked(corpus, idCol, vecCol, codebook, queries, k, kCand,
+        m, scale)
+      .select(col("query_id"), col("neighbor_id"))
+    val qx = broadcast(queries.select(col(idCol).as("query_id"),
+      scaledVec(spark, vecCol, scale).as("qv")))
+    val cx = corpus.select(col(idCol).as("neighbor_id"),
+      scaledVec(spark, vecCol, scale).as("nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    val exact = qx.join(cx, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("graft_sqdist", col("qv"), col("nv")).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    def overlap(got: DataFrame, name: String) =
+      exact.join(got, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    queries.select(col(idCol).as("query_id"))
+      .join(overlap(approx, "n_adc"), Seq("query_id"), "left")
+      .join(overlap(rr, "n_rr"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_adc"), lit(0L)).as("n_adc"),
+        coalesce(col("n_rr"), lit(0L)).as("n_rr"))
+      .withColumn("adc_recall_bp", expr(s"(20000 * n_adc + $k) div (2 * $k)"))
+      .withColumn("rr_recall_bp", expr(s"(20000 * n_rr + $k) div (2 * $k)"))
+  }
+
   /** Recall@k of ADC against the exact integer squared-L2 top-k — the
     * evaluation every ANN deployment runs before trusting compressed
     * search. Both rankings use the same scaled-BIGINT metric and the

@@ -1851,6 +1851,111 @@ object LlmQueries {
              |FROM (SELECT vec_id FROM embeddings WHERE vec_id BETWEEN 20 AND 29) qq
              |LEFT JOIN ov ON ov.query_id = qq.vec_id ORDER BY query_id""".stripMargin)),
 
+    // ---- ADC + exact re-rank (FAISS's refine step): ADC nominates 20
+    // candidates per query, only those join back to the raw vectors for
+    // exact scaled-L2, top-5 by the true metric returns. The candidate
+    // set is |queries|·kCand-bounded, so the join-back broadcasts.
+    "q263_adc_rerank" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Pq.adcTopKReranked(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 16),
+            emb.filter(col("vec_id") >= 20 && col("vec_id") < 30),
+            k = 5, kCand = 20)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |           FROM embeddings),
+             |v AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
+             |cb AS (SELECT vec_id AS code, sub, j, qv FROM v WHERE vec_id < 16),
+             |d AS (SELECT v.vec_id, v.sub, cb.code, sum((v.qv - cb.qv) * (v.qv - cb.qv)) AS dist
+             |      FROM v JOIN cb ON cb.sub = v.sub AND cb.j = v.j GROUP BY 1, 2, 3),
+             |a AS (SELECT vec_id, sub, code FROM
+             |      (SELECT vec_id, sub, code,
+             |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d)
+             |      WHERE rn = 1),
+             |adc AS (SELECT dq.vec_id AS query_id, a.vec_id AS neighbor_id, sum(dq.dist) AS adc_dist
+             |        FROM d dq JOIN a ON a.sub = dq.sub AND a.code = dq.code
+             |        WHERE dq.vec_id BETWEEN 20 AND 29 AND a.vec_id <> dq.vec_id
+             |        GROUP BY 1, 2),
+             |cand AS (SELECT query_id, neighbor_id FROM
+             |         (SELECT query_id, neighbor_id,
+             |                 row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+             |          FROM adc) WHERE rnk <= 20),
+             |ex AS (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+             |              CAST(sum((qa.qv - nb.qv) * (qa.qv - nb.qv)) AS BIGINT) AS d2
+             |       FROM q qa JOIN q nb ON nb.i = qa.i
+             |       WHERE qa.vec_id BETWEEN 20 AND 29 GROUP BY 1, 2),
+             |rr AS (SELECT c.query_id, c.neighbor_id, ex.d2,
+             |              row_number() OVER (PARTITION BY c.query_id ORDER BY ex.d2, c.neighbor_id) AS rnk
+             |       FROM cand c JOIN ex ON ex.query_id = c.query_id AND ex.neighbor_id = c.neighbor_id)
+             |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, d2
+             |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- Side-by-side recall@5: plain ADC vs ADC+re-rank against the
+    // exact top-5 — the table that sizes the refine stage (rr >= adc
+    // per query by the candidate-superset argument).
+    "q264_rerank_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Pq.rerankRecall(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id") < 16),
+            emb.filter(col("vec_id") >= 20 && col("vec_id") < 30),
+            k = 5, kCand = 20)
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |           FROM embeddings),
+             |v AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
+             |cb AS (SELECT vec_id AS code, sub, j, qv FROM v WHERE vec_id < 16),
+             |d AS (SELECT v.vec_id, v.sub, cb.code, sum((v.qv - cb.qv) * (v.qv - cb.qv)) AS dist
+             |      FROM v JOIN cb ON cb.sub = v.sub AND cb.j = v.j GROUP BY 1, 2, 3),
+             |a AS (SELECT vec_id, sub, code FROM
+             |      (SELECT vec_id, sub, code,
+             |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d)
+             |      WHERE rn = 1),
+             |adc AS MATERIALIZED (SELECT dq.vec_id AS query_id, a.vec_id AS neighbor_id, sum(dq.dist) AS adc_dist
+             |        FROM d dq JOIN a ON a.sub = dq.sub AND a.code = dq.code
+             |        WHERE dq.vec_id BETWEEN 20 AND 29 AND a.vec_id <> dq.vec_id
+             |        GROUP BY 1, 2),
+             |apx AS (SELECT query_id, neighbor_id FROM
+             |        (SELECT query_id, neighbor_id,
+             |                row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+             |         FROM adc) WHERE rnk <= 5),
+             |cand AS (SELECT query_id, neighbor_id FROM
+             |         (SELECT query_id, neighbor_id,
+             |                 row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+             |          FROM adc) WHERE rnk <= 20),
+             |ex AS MATERIALIZED (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+             |              CAST(sum((qa.qv - nb.qv) * (qa.qv - nb.qv)) AS BIGINT) AS d2
+             |       FROM q qa JOIN q nb ON nb.i = qa.i AND nb.vec_id <> qa.vec_id
+             |       WHERE qa.vec_id BETWEEN 20 AND 29 GROUP BY 1, 2),
+             |rrtop AS (SELECT query_id, neighbor_id FROM
+             |          (SELECT c.query_id, c.neighbor_id,
+             |                  row_number() OVER (PARTITION BY c.query_id ORDER BY ex.d2, c.neighbor_id) AS rnk
+             |           FROM cand c JOIN ex ON ex.query_id = c.query_id AND ex.neighbor_id = c.neighbor_id)
+             |          WHERE rnk <= 5),
+             |ext AS (SELECT query_id, neighbor_id FROM
+             |        (SELECT query_id, neighbor_id,
+             |                row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+             |         FROM ex) WHERE rn <= 5),
+             |oa AS (SELECT e.query_id, count(*) AS n FROM ext e
+             |       JOIN apx x ON x.query_id = e.query_id AND x.neighbor_id = e.neighbor_id
+             |       GROUP BY 1),
+             |orr AS (SELECT e.query_id, count(*) AS n FROM ext e
+             |        JOIN rrtop x ON x.query_id = e.query_id AND x.neighbor_id = e.neighbor_id
+             |        GROUP BY 1)
+             |SELECT qq.vec_id AS query_id,
+             |       CAST(coalesce(oa.n, 0) AS BIGINT) AS n_adc,
+             |       CAST(coalesce(orr.n, 0) AS BIGINT) AS n_rr,
+             |       CAST((20000 * coalesce(oa.n, 0) + 5) // 10 AS BIGINT) AS adc_recall_bp,
+             |       CAST((20000 * coalesce(orr.n, 0) + 5) // 10 AS BIGINT) AS rr_recall_bp
+             |FROM (SELECT vec_id FROM embeddings WHERE vec_id BETWEEN 20 AND 29) qq
+             |LEFT JOIN oa ON oa.query_id = qq.vec_id
+             |LEFT JOIN orr ON orr.query_id = qq.vec_id ORDER BY query_id""".stripMargin)),
+
     // ---- BPE merge step: corpus-weighted adjacent char-pair counts
     // over the word vocabulary — the inner loop of tokenizer training.
     "q120_bpe_merge_step" -> QueryDef(

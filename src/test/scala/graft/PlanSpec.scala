@@ -723,6 +723,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("ADC re-rank joins the bounded candidate set back as a broadcast") {
+    val p = planOf("q263_adc_rerank")
+    // the |queries|·kCand candidate frame rides into the raw-vector
+    // scan as a broadcast — the corpus side must never sort-merge
+    assert(p.contains("BroadcastHashJoin"), s"re-rank join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"re-rank degraded to SMJ:\n$p")
+    // ADC top-kCand window + re-rank top-k window are the only wide ops
+    assert(hashExchanges(p) <= 2, s"re-rank acquired extra shuffles:\n$p")
+  }
+
   test("shard plan is the per-source prefix-sum window plus one partial agg") {
     val p = planOf("q181_shard_plan")
     assert(hashExchanges(p) <= 2, s"shard plan acquired extra shuffles:\n$p")

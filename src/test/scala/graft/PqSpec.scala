@@ -95,6 +95,44 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(10L, 11L), s"expected only list-0 members, got $got")
   }
 
+  test("adcTopKReranked surfaces the true neighbor ADC buried in a code-cell tie") {
+    val cb = vecs(0L -> Seq(0f, 0f, 0f, 0f), 1L -> Seq(1f, 1f, 1f, 1f))
+    // both corpus points land in code cell 0 → IDENTICAL ADC distance;
+    // ADC ties break to the lower id (10), but the true NN of the query
+    // (0.15,…) is 11 at (0.1,…) — only the exact re-rank can see that
+    val corpus = vecs(10L -> Seq(0.4f, 0.4f, 0.4f, 0.4f),
+      11L -> Seq(0.1f, 0.1f, 0.1f, 0.1f))
+    val queries = vecs(20L -> Seq(0.15f, 0.15f, 0.15f, 0.15f))
+    val adc = Pq.adcTopK(corpus, "id", "v", cb, queries, k = 1, m = 2)
+      .collect().map(_.getLong(1))
+    assert(adc.toSeq == Seq(10L), "precondition: ADC tie must pick the lower id")
+    val rr = Pq.adcTopKReranked(corpus, "id", "v", cb, queries,
+        k = 1, kCand = 2, m = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // exact d2 of (0.15 vs 0.1) per dim = (500)^2 scaled, 4 dims
+    assert(rr.toSeq == Seq((11L, 4L * 500L * 500L)))
+  }
+
+  test("rerankRecall never reports re-rank recall below ADC recall") {
+    val cb = vecs(0L -> Seq(0f, 0f, 0f, 0f), 1L -> Seq(1f, 1f, 1f, 1f))
+    val corpus = vecs((10L to 19L).map(i =>
+      i -> Seq.fill(4)((i % 7) * 0.13f + (i % 3) * 0.21f)): _*)
+    val queries = vecs(30L -> Seq(0.2f, 0.2f, 0.2f, 0.2f),
+      31L -> Seq(0.9f, 0.9f, 0.9f, 0.9f))
+    val got = Pq.rerankRecall(corpus, "id", "v", cb, queries,
+        k = 3, kCand = 8, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, adcBp, rrBp) =>
+      assert(rrBp >= adcBp, s"query $q: rerank recall $rrBp < ADC $adcBp")
+    }
+    // kCand = |corpus| ⇒ the re-rank IS the exact ranking ⇒ recall 10000
+    val full = Pq.rerankRecall(corpus, "id", "v", cb, queries,
+        k = 3, kCand = 10, m = 2)
+      .collect().map(_.getLong(4))
+    assert(full.forall(_ == 10000L), s"full-candidate re-rank must be exact: ${full.toSeq}")
+  }
+
   test("bpePairCounts weights pairs by word frequency and breaks count ties by pair") {
     import spark.implicits._
     val df = Seq("ab ab abc", "ab x").toDF("text") // 'ab' x3, 'abc' x1: ab->4, bc->1; 'x' filtered
