@@ -1533,15 +1533,43 @@ object Dedup {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** True when `indexDir` holds a complete current-version dedup index. */
+  private val DedupPendingName = "_graft_compact_pending"
+
+  /** True when `indexDir` holds a complete current-version dedup index
+    * (a tripped compaction fence reads as absent → rebuild).
+    */
   def dedupIndexExists(indexDir: String): Boolean = {
     val mf = new java.io.File(indexDir, DedupManifestName)
-    mf.isFile && {
-      val props = new java.util.Properties()
-      val in = new java.io.FileInputStream(mf)
-      try props.load(in) finally in.close()
-      props.getProperty("version") == DedupIndexVersion.toString
-    }
+    mf.isFile &&
+      !new java.io.File(indexDir, DedupPendingName).exists() && {
+        val props = new java.util.Properties()
+        val in = new java.io.FileInputStream(mf)
+        try props.load(in) finally in.close()
+        props.getProperty("version") == DedupIndexVersion.toString
+      }
+  }
+
+  /** Compact an append-grown dedup index: rewrite the exact-hash and
+    * band-key tables to ONE file per bucket (each [[appendToDedupIndex]]
+    * adds a file per bucket). Probe results are row-identical before
+    * and after (OpsSpec); the swap window is fenced — a crash mid-
+    * compact makes [[dedupIndexExists]] false instead of leaving a torn
+    * index that silently misses duplicates.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Unit = {
+    val (nb, _, _, _) = readDedupManifest(indexDir)
+    openDedupIndex(spark, indexDir)
+    val pending = new java.io.File(indexDir, DedupPendingName)
+    require(!pending.exists(),
+      s"dedup index at $indexDir has an interrupted compact — rebuild it")
+    java.nio.file.Files.createFile(pending.toPath)
+    val (eName, bName) = dedupTableNames(indexDir)
+    graft.sources.BucketedWarehouse.compactBucketedPath(
+      spark, eName, s"$indexDir/exact", Seq("h"), nb)
+    graft.sources.BucketedWarehouse.compactBucketedPath(
+      spark, bName, s"$indexDir/bands", Seq("bk"), nb)
+    java.nio.file.Files.delete(pending.toPath)
   }
 
   /** Fold a batch's keys into the persisted index: only keys NOT

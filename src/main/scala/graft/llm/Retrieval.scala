@@ -392,6 +392,31 @@ object Retrieval {
     f.delete()
   }
 
+  /** Compact an append-grown index: rewrite the postings and terms
+    * tables to ONE file per bucket (each [[appendToIndex]] adds a file
+    * per bucket; scans union them and read-side latency degrades
+    * linearly in append count). Reads are row-identical before and
+    * after — same rows, same bucket spec — pinned by OpsSpec. The
+    * multi-step rewrite is fenced with the same pending marker as
+    * appends: a crash mid-compact leaves a DETECTABLY invalid index
+    * (indexExists false → rebuild), never silently wrong scores.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): Unit = {
+    val nb = readManifest(indexDir)
+    openIndex(spark, indexDir)
+    val pending = new java.io.File(indexDir, PendingName)
+    require(!pending.exists(),
+      s"index at $indexDir has an interrupted append/compact — rebuild it")
+    java.nio.file.Files.createFile(pending.toPath)
+    val (pName, tName) = tableNames(indexDir)
+    graft.sources.BucketedWarehouse.compactBucketedPath(
+      spark, pName, s"$indexDir/postings", Seq("tok"), nb)
+    graft.sources.BucketedWarehouse.compactBucketedPath(
+      spark, tName, s"$indexDir/terms", Seq("tok"), nb)
+    java.nio.file.Files.delete(pending.toPath)
+  }
+
   private def readManifest(indexDir: String): Int = {
     val mf = new java.io.File(indexDir, ManifestName)
     require(mf.isFile, s"no index manifest at $indexDir — run buildIndex first")

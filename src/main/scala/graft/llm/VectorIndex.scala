@@ -91,13 +91,37 @@ object VectorIndex {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** True when `indexDir` holds a complete CURRENT-version index. */
+  private val PendingName = "_graft_compact_pending"
+
+  /** True when `indexDir` holds a complete CURRENT-version index (a
+    * tripped compaction fence reads as absent → rebuild).
+    */
   def indexExists(indexDir: String): Boolean = {
     val mf = new java.io.File(indexDir, ManifestName)
-    mf.isFile && {
-      val props = loadProps(mf)
-      props.getProperty("version") == IndexVersion.toString
-    }
+    mf.isFile &&
+      !new java.io.File(indexDir, PendingName).exists() && {
+        val props = loadProps(mf)
+        props.getProperty("version") == IndexVersion.toString
+      }
+  }
+
+  /** Compact an append-grown IVF-PQ index: rewrite the lists table to
+    * ONE file per bucket (each [[appendToIndex]] adds a file per
+    * bucket, so probe-read file counts grow with every ingest batch).
+    * Search results are row-identical before and after (OpsSpec); the
+    * swap window is fenced — a crash mid-compact makes [[indexExists]]
+    * false instead of leaving a torn lists table.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val (nb, _, _) = readManifest(indexDir)
+    openLists(spark, indexDir)
+    val pending = new java.io.File(indexDir, PendingName)
+    require(!pending.exists(),
+      s"vector index at $indexDir has an interrupted compact — rebuild it")
+    java.nio.file.Files.createFile(pending.toPath)
+    graft.sources.BucketedWarehouse.compactBucketedPath(
+      spark, listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), nb)
+    java.nio.file.Files.delete(pending.toPath)
   }
 
   /** Encode an append batch against the PERSISTED quantizers and append

@@ -96,6 +96,47 @@ object BucketedWarehouse {
       .saveAsTable(name)
   }
 
+  /** Rewrite an external bucketed table so each bucket holds ONE file
+    * again — the maintenance pass for append-grown indexes (every
+    * [[appendBucketedPath]] adds a file per bucket; under continuous
+    * ingest the read-side file count grows without bound, the first
+    * operational cliff a real deployment hits). The rewrite stages into
+    * `<path>_compact` (a full bucketed write of the CURRENT table —
+    * same key columns, same bucket count, so reads are row-identical),
+    * then swaps directories; the caller must have the table registered
+    * (openIndex / registerExternal) and should fence the swap window
+    * with its index's pending marker. The staged dir from an earlier
+    * interrupted attempt is discarded — it may be partial.
+    */
+  def compactBucketedPath(spark: SparkSession, name: String, path: String,
+                          keyCols: Seq[String], numBuckets: Int): Unit = {
+    require(spark.catalog.tableExists(name),
+      s"compact target $name not registered — open the index first")
+    val stagedName = s"${name}_compact"
+    val stagedPath = s"${path}_compact"
+    deleteRecursively(new java.io.File(stagedPath))
+    // read the FILES, not the catalog table: reading the bucketed table
+    // makes the planner drop writeBucketedPath's repartition as
+    // redundant ("Bucketed: false (disabled by query planner)", no
+    // Exchange), so write tasks fall on FILE-SPLIT boundaries and a
+    // task holding two buckets' rows emits two files — the exact
+    // many-files state compaction exists to undo. A plain parquet scan
+    // reports unknown partitioning, the repartition survives, and each
+    // bucket lands in ONE file.
+    writeBucketedPath(spark.read.parquet(path), stagedName, stagedPath,
+      keyCols, numBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS `$stagedName`")
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    deleteRecursively(new java.io.File(path))
+    java.nio.file.Files.move(new java.io.File(stagedPath).toPath,
+      new java.io.File(path).toPath)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Re-register an external bucketed table written by
     * [[writeBucketedPath]] in a NEW session: a `CREATE TABLE ... USING
     * parquet CLUSTERED BY ... LOCATION` DDL carrying the original

@@ -615,4 +615,74 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep2("not_null(lang)") === ((1L, 0L)))
     assert(rep2("not_null(text)")._2 === 1L) // untouched columns still pass
   }
+
+  test("index compaction restores one file per bucket with row-identical reads") {
+    import graft.llm.{Dedup, Retrieval, VectorIndex}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = tmp()
+    val nb = 4
+
+    // ---- BM25: build from one third, append the other two thirds
+    val bidx = s"$base/bidx"
+    Retrieval.buildIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", bidx, nb)
+    Retrieval.appendToIndex(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", bidx)
+    Retrieval.appendToIndex(docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", bidx)
+    def bm25() = Retrieval.bm25TopKIndexed(spark, bidx, Seq(Seq("the"), Seq("a", "of")), k = 5)
+      .orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    val bmBefore = bm25()
+    assert(Compact.dataFileCount(s"$bidx/postings") > nb, "appends should grow file count")
+    Retrieval.compactIndex(spark, bidx)
+    assert(Compact.dataFileCount(s"$bidx/postings") === nb)
+    assert(Compact.dataFileCount(s"$bidx/terms") === nb)
+    assert(Retrieval.indexExists(bidx), "compaction must clear its fence")
+    assert(bm25() === bmBefore, "bm25 results changed across compaction")
+
+    // ---- dedup keys
+    val didx = s"$base/didx"
+    Dedup.buildDedupIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+      didx, nb, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    Dedup.appendToDedupIndex(docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", didx)
+    Dedup.appendToDedupIndex(docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", didx)
+    def flags() = Dedup.dedupAgainstIndex(docs.limit(40), "doc_id", "text", didx)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val dBefore = flags()
+    assert(Compact.dataFileCount(s"$didx/exact") > nb)
+    Dedup.compactDedupIndex(spark, didx)
+    assert(Compact.dataFileCount(s"$didx/exact") === nb)
+    assert(Compact.dataFileCount(s"$didx/bands") === nb)
+    assert(Dedup.dedupIndexExists(didx))
+    assert(flags() === dBefore, "dedup probe changed across compaction")
+
+    // ---- IVF-PQ lists
+    val vidx = s"$base/vidx"
+    VectorIndex.buildIndex(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      coarse = emb.filter(col("vec_id") < 8), codebook = emb.filter(col("vec_id") < 16),
+      indexDir = vidx, numBuckets = nb)
+    VectorIndex.appendToIndex(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", vidx)
+    val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 14)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    def ann() = VectorIndex.annTopKIndexed(spark, vidx, probes, k = 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val vBefore = ann()
+    val vFilesBefore = Compact.dataFileCount(s"$vidx/lists")
+    assert(vFilesBefore > nb)
+    VectorIndex.compactIndex(spark, vidx)
+    // ≤ nb: an EMPTY bucket writes no file (8 distinct cent_ids over 4
+    // buckets can leave one bucket unpopulated)
+    val vFilesAfter = Compact.dataFileCount(s"$vidx/lists")
+    assert(vFilesAfter <= nb && vFilesAfter < vFilesBefore,
+      s"lists: $vFilesBefore files -> $vFilesAfter, want <= $nb")
+    assert(VectorIndex.indexExists(vidx))
+    assert(ann() === vBefore, "ANN results changed across compaction")
+
+    // a tripped fence reads as an absent index (detectable, not silent)
+    val fence = new java.io.File(vidx, "_graft_compact_pending")
+    java.nio.file.Files.createFile(fence.toPath)
+    assert(!VectorIndex.indexExists(vidx))
+    java.nio.file.Files.delete(fence.toPath)
+  }
 }
