@@ -659,24 +659,52 @@ object Profiling {
     * dimensions and > in at least one. Equal-point duplicates all
     * survive (neither dominates). The sweep runs entirely on the
     * VALUE-COMPRESSED x table: per distinct x keep max y, then a
-    * prefix-max over x descending — a point is on the frontier iff its
-    * y equals its x-group's max AND strictly exceeds every
-    * greater-x group's max. The one unpartitioned window orders
-    * DISTINCT x values only (the conversionLatency precedent — bounded
-    * by value cardinality, never rows); the row-scale work is one
-    * (x) max aggregation and one semi-join back.
+    * partition-local pre-frontier (the block pass of the classic
+    * block-nested-loop skyline) before the global prefix-max over x
+    * descending — a point is on the frontier iff its y equals its
+    * x-group's max AND strictly exceeds every greater-x group's max.
+    * The pre-frontier makes the one unpartitioned window safe even for
+    * CONTINUOUS-valued x (where value compression alone would funnel
+    * ~n distinct values into a single task): each partition first drops
+    * its internally-dominated x-groups — sound because a locally
+    * dominated group is dominated by the same witness globally, and a
+    * global frontier point beats every greater-x group everywhere, so
+    * it survives its own partition's pass — and only the surviving
+    * per-partition frontiers (≤ frontier size × partitions rows) reach
+    * the global sweep. The row-scale work is one (x) max aggregation
+    * and one semi-join back.
     */
   def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val mx = base.groupBy(col(xCol)).agg(max(col(yCol)).as("graft_my"))
     val w = Window.orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = mx
+    val frontier = skylinePrefrontier(mx, xCol)
       .withColumn("graft_prev", max(col("graft_my")).over(w))
       .filter(col("graft_prev").isNull ||
         col("graft_my") > col("graft_prev"))
       .select(col(xCol), col("graft_my").as(yCol))
     base.join(frontier, Seq(xCol, yCol), "left_semi")
+  }
+
+  /** The partition-local block pass: within each partition (pinned via
+    * spark_partition_id so the filter is reproducible on the plan's
+    * actual layout), drop every x-group whose max-y is ≤ some
+    * greater-x group's max-y IN THE SAME PARTITION — the same strict
+    * dominance test the global sweep applies, on a subset of the
+    * witnesses, so the survivors are a superset of the true frontier.
+    * The pid-keyed window is perfectly balanced by construction.
+    */
+  private[graft] def skylinePrefrontier(mx: DataFrame,
+                                        xCol: String): DataFrame = {
+    val wLocal = Window.partitionBy(col("graft_pid"))
+      .orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mx.withColumn("graft_pid", spark_partition_id())
+      .withColumn("graft_lprev", max(col("graft_my")).over(wLocal))
+      .filter(col("graft_lprev").isNull ||
+        col("graft_my") > col("graft_lprev"))
+      .drop("graft_pid", "graft_lprev")
   }
 
   /** Shannon entropy of a categorical distribution per key, in integer

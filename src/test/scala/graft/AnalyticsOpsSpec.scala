@@ -519,6 +519,28 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Set(1L, 2L, 3L, 5L))
   }
 
+  test("skyline prefrontier shrinks high-cardinality x and preserves the exact frontier") {
+    import spark.implicits._
+    // continuous-ish x: every x distinct (value compression is a no-op),
+    // y mostly increasing with noise — frontier is small, mx is huge
+    val pts = (1L to 4000L).map(i => (i, i, (i * 7 + (i * i) % 97) % 3000))
+      .toDF("id", "x", "y").repartition(8)
+    val base = pts.select(col("x"), col("y"))
+    val mx = base.groupBy(col("x")).agg(max(col("y")).as("graft_my"))
+    val kept = Profiling.skylinePrefrontier(mx, "x").count()
+    assert(kept < 4000L / 4,
+      s"pre-frontier kept $kept of 4000 distinct x — the block pass is not shrinking")
+    // the full operator still matches the brute-force frontier
+    val got = Profiling.skyline2D(pts, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, x2, y2) =>
+        (x2 >= x && y2 >= y) && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    assert(got === brute)
+  }
+
   test("groupEntropy: zero for single-minded keys, ln2 for a 50/50 mix") {
     import spark.implicits._
     val df = (Seq.fill(5)((1L, "click")) ++
