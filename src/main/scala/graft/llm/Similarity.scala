@@ -394,11 +394,48 @@ object Similarity {
     */
   def topEigenvector(df: DataFrame, vecCol: String, iters: Int = 8,
                      scale: Double = 10000.0): DataFrame = {
-    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     val spark = df.sparkSession
+    import spark.implicits._
+    eigenvectorChain(df, vecCol, 1, iters, scale).head
+      .zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("dim", "loading_bp")
+  }
+
+  /** Top-r principal directions via power iteration WITH DEFLATION —
+    * the subspace form of [[topEigenvector]] (Mu et al.'s
+    * all-but-the-top removes the top r directions, not just one; PCA
+    * whitening wants the same chain). After each component the
+    * covariance is deflated by the classic Hotelling step
+    * C' = C − (vᵀCv)·v·vᵀ/(vᵀv)², every entry once-rounded signed
+    * HALF_UP — fully integer, so an oracle replays the chain
+    * bit-for-bit (the rounded deflation makes later components exact
+    * under REPLAY rather than exactly orthogonal; determinism is the
+    * contract, orthogonality holds to rounding error). Distributed
+    * work: the ONE covariance pass; the r·iters iteration runs on the
+    * d²-bounded cell table in driver BigInt.
+    * Output: (component 1..r, dim, loading_bp).
+    */
+  def topEigenvectors(df: DataFrame, vecCol: String, r: Int,
+                      iters: Int = 8, scale: Double = 10000.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    eigenvectorChain(df, vecCol, r, iters, scale).zipWithIndex.flatMap {
+      case (v, c) => v.zipWithIndex.map { case (x, i) =>
+        ((c + 1).toLong, i.toLong, x) }
+    }.toSeq.toDF("component", "dim", "loading_bp")
+  }
+
+  /** The shared driver core: collect the covariance cells once, then r
+    * rounds of (power-iterate, sign-fix, deflate). Exposed package-
+    * private so the projection operators reuse the exact same chain.
+    */
+  private[graft] def eigenvectorChain(df: DataFrame, vecCol: String, r: Int,
+      iters: Int, scale: Double): Seq[Array[Long]] = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+    require(r >= 1 && r <= 64, s"r must be in [1,64], got $r")
     val cells = embedCovariance(df, vecCol, scale)
       .select(col("di"), col("dj"), col("cov_u")).collect()
-      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, BigInt(r.getLong(2))))
+      .map(row => (row.getLong(0).toInt, row.getLong(1).toInt, BigInt(row.getLong(2))))
     // dims²-bounded collect (d ≤ 1448 ⇒ ≤ ~1M cells), the assignClusters
     // codebook-guard pattern — never corpus-shaped
     require(cells.nonEmpty && cells.length <= (1 << 20),
@@ -408,22 +445,37 @@ object Similarity {
     for (i <- 0 until d; j <- 0 until d) C(i)(j) = BigInt(0)
     cells.foreach { case (i, j, c) => C(i)(j) = c; C(j)(i) = c }
     val S = BigInt(10000)
-    var v = Array.fill(d)(S)
-    for (_ <- 1 to iters) {
-      val u = Array.tabulate(d) { i =>
-        var acc = BigInt(0); var j = 0
-        while (j < d) { acc += C(i)(j) * v(j); j += 1 }
+    def halfUpSigned(x: BigInt, m: BigInt): BigInt =
+      BigInt(x.signum) * ((2 * x.abs + m) / (2 * m))
+    (1 to r).map { _ =>
+      var v = Array.fill(d)(S)
+      for (_ <- 1 to iters) {
+        val u = Array.tabulate(d) { i =>
+          var acc = BigInt(0); var j = 0
+          while (j < d) { acc += C(i)(j) * v(j); j += 1 }
+          acc
+        }
+        val m = u.iterator.map(_.abs).max
+        v = if (m == 0) u
+            else u.map(x => BigInt(x.signum) * ((2 * x.abs * S + m) / (2 * m)))
+      }
+      val firstNz = v.indexWhere(_ != 0)
+      if (firstNz >= 0 && v(firstNz) < 0) v = v.map(x => -x)
+      // Hotelling deflation: C -= (vᵀCv)·v·vᵀ/(vᵀv)², each cell signed
+      // HALF_UP — den² and num·vᵢ·vⱼ are exact BigInt (HUGEINT-sized)
+      val num = {
+        var acc = BigInt(0)
+        for (i <- 0 until d; j <- 0 until d) acc += v(i) * C(i)(j) * v(j)
         acc
       }
-      val m = u.iterator.map(_.abs).max
-      v = if (m == 0) u
-          else u.map(x => BigInt(x.signum) * ((2 * x.abs * S + m) / (2 * m)))
+      val den = v.iterator.map(x => x * x).sum
+      if (den != 0) {
+        val den2 = den * den
+        for (i <- 0 until d; j <- 0 until d)
+          C(i)(j) -= halfUpSigned(num * v(i) * v(j), den2)
+      }
+      v.map(_.toLong)
     }
-    val firstNz = v.indexWhere(_ != 0)
-    if (firstNz >= 0 && v(firstNz) < 0) v = v.map(x => -x)
-    import spark.implicits._
-    v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq
-      .toDF("dim", "loading_bp")
   }
 
   /** Project every embedding onto the [[topEigenvector]] direction and
@@ -467,6 +519,50 @@ object Similarity {
           |  DIV (2 * CAST(norm2 AS DECIMAL(38,0)) * graft_v2) AS BIGINT)
           |ELSE CAST(NULL AS BIGINT) END""".stripMargin))
       .select(col("id"), col("dot"), col("norm2"), col("residual_micro"))
+  }
+
+  /** Per-row energy decomposition over the top-r PCA SUBSPACE — the
+    * r > 1 extension of [[pcaProjection]] (Mu et al.'s all-but-the-top
+    * removes a subspace, so the diagnostic needs per-component
+    * energies, not one axis). For each row: e_c = HALF_UP(10⁶ ·
+    * dot_c² / (norm²·|v_c|²)) per component c of the
+    * [[eigenvectorChain]], and off_micro = 10⁶ − Σ e_c — the energy
+    * outside the subspace (up to per-component HALF_UP rounding and
+    * the chain's rounded-deflation near-orthogonality; tiny negatives
+    * are possible and documented rather than clamped). Zero-norm rows
+    * report NULLs. The loading vectors ride as literals — the
+    * projection pass is a narrow zero-shuffle scan. Output: (id,
+    * e1_micro..e{r}_micro, off_micro).
+    */
+  def pcaSubspaceResidual(df: DataFrame, idCol: String, vecCol: String,
+                          r: Int, iters: Int = 8,
+                          scale: Double = 10000.0): DataFrame = {
+    val chain = eigenvectorChain(df, vecCol, r, iters, scale)
+    VecFunctions.register(df.sparkSession)
+    var out = df.select(col(idCol).as("id"),
+        call_function("graft_scale_q", col(vecCol), lit(scale)).as("graft_sv"))
+      .withColumn("norm2", expr(
+        "aggregate(graft_sv, CAST(0 AS BIGINT), (acc, e) -> acc + e * e)"))
+    chain.zipWithIndex.foreach { case (v, ci) =>
+      val c = ci + 1
+      val v2 = v.iterator.map(x => x * x).sum // ≤ d·S² = 6.4e9 at d=64
+      out = out
+        .withColumn(s"graft_v$c", typedLit(v.toSeq))
+        .withColumn(s"graft_dot$c", expr(
+          s"""aggregate(zip_with(graft_sv, graft_v$c, (a, b) -> a * b),
+             |CAST(0 AS BIGINT), (acc, e) -> acc + e)""".stripMargin))
+        .withColumn(s"e${c}_micro", expr(
+          s"""CASE WHEN norm2 > 0 AND ${v2}L > 0 THEN
+             |CAST((2000000 * CAST(graft_dot$c AS DECIMAL(38,0)) * graft_dot$c
+             |      + (CAST(norm2 AS DECIMAL(38,0)) * ${v2}L))
+             |  DIV (2 * CAST(norm2 AS DECIMAL(38,0)) * ${v2}L) AS BIGINT)
+             |ELSE CAST(NULL AS BIGINT) END""".stripMargin))
+    }
+    val off = (1 to r).map(c => col(s"e${c}_micro"))
+      .foldLeft(lit(1000000L).cast("long"))(_ - _)
+    out.withColumn("off_micro", off)
+      .select((col("id") +: (1 to r).map(c => col(s"e${c}_micro"))) :+
+        col("off_micro"): _*)
   }
 
   /** Apply per-dimension whitening — the normalization step between

@@ -95,6 +95,71 @@ object LlmQueries {
       |      FROM sc) r
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
+  /** Unrolled power-iteration + Hotelling-deflation oracle chain for
+    * the top-r PCA queries (q265/q266): the q230 covariance prelude,
+    * then per component 8 MATERIALIZED iteration levels, the sign fix
+    * (vs1..vs{r}), and between components the integer deflation
+    * C -= HALF_UP_signed((vᵀCv)·vᵢ·vⱼ / (vᵀv)²) in HUGEINT — the
+    * exact arithmetic [[graft.llm.Similarity.eigenvectorChain]] runs
+    * in driver BigInt. Returns the WITH-block up to vs{r}; callers
+    * append their final SELECT (or further CTEs after a comma).
+    */
+  private def pcaChainSql(r: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |              x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS sv
+        |        FROM embeddings),
+        |t AS (SELECT sv, unnest(range(1, len(sv) + 1)) AS i FROM e),
+        |p AS (SELECT sv, i, unnest(range(i, len(sv) + 1)) AS j FROM t),
+        |c AS (SELECT CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+        |             sv[CAST(i AS INT)] AS xi, sv[CAST(j AS INT)] AS xj
+        |      FROM p),
+        |a AS (SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+        |             sum(xi) AS si, sum(xj) AS sj, sum(xi * xj) AS sij
+        |      FROM c GROUP BY di, dj),
+        |cov AS MATERIALIZED (SELECT di, dj,
+        |       CAST((CASE WHEN n * sij - si * sj < 0 THEN -1 ELSE 1 END) *
+        |            ((2 * abs(n * sij - si * sj) + 100 * n * n)
+        |              // (2 * 100 * n * n)) AS BIGINT) AS cov_u
+        |FROM a),
+        |m1 AS MATERIALIZED (SELECT di AS i, dj AS j, cov_u AS c FROM cov
+        |     UNION ALL SELECT dj, di, cov_u FROM cov WHERE di <> dj),
+        |v1_0 AS MATERIALIZED (SELECT DISTINCT di AS i, CAST(10000 AS BIGINT) AS v FROM cov)""".stripMargin)
+    for (comp <- 1 to r) {
+      for (k <- 1 to 8) {
+        sb.append(s""",
+          |u${comp}_$k AS MATERIALIZED (SELECT m$comp.i AS i,
+          |     CAST(sum(m$comp.c * v${comp}_${k - 1}.v) AS BIGINT) AS u
+          |     FROM m$comp JOIN v${comp}_${k - 1} ON v${comp}_${k - 1}.i = m$comp.j GROUP BY m$comp.i),
+          |s${comp}_$k AS MATERIALIZED (SELECT max(abs(u)) AS mx FROM u${comp}_$k),
+          |v${comp}_$k AS MATERIALIZED (SELECT i, CASE WHEN mx = 0 THEN u
+          |     ELSE CAST(sign(u) AS BIGINT) *
+          |          CAST((2 * abs(u) * 10000 + mx) // (2 * mx) AS BIGINT) END AS v
+          |     FROM u${comp}_$k, s${comp}_$k)""".stripMargin)
+      }
+      sb.append(s""",
+        |sg$comp AS (SELECT CASE WHEN (SELECT v FROM v${comp}_8 WHERE v <> 0 ORDER BY i LIMIT 1) < 0
+        |              THEN -1 ELSE 1 END AS s),
+        |vs$comp AS MATERIALIZED (SELECT i, CAST(v * s AS BIGINT) AS v FROM v${comp}_8, sg$comp)""".stripMargin)
+      if (comp < r) {
+        sb.append(s""",
+          |num$comp AS MATERIALIZED (SELECT CAST(sum(CAST(m$comp.c AS HUGEINT) * a.v * b.v) AS HUGEINT) AS num
+          |     FROM m$comp JOIN vs$comp a ON a.i = m$comp.i JOIN vs$comp b ON b.i = m$comp.j),
+          |den$comp AS MATERIALIZED (SELECT CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS den FROM vs$comp),
+          |m${comp + 1} AS MATERIALIZED (SELECT m$comp.i AS i, m$comp.j AS j,
+          |     CASE WHEN den = 0 THEN m$comp.c
+          |     ELSE CAST(m$comp.c - (CASE WHEN num * a.v * b.v < 0 THEN -1 ELSE 1 END) *
+          |          CAST((2 * abs(num * a.v * b.v) + den * den) // (2 * den * den) AS HUGEINT) AS BIGINT)
+          |     END AS c
+          |     FROM m$comp JOIN vs$comp a ON a.i = m$comp.i JOIN vs$comp b ON b.i = m$comp.j,
+          |          num$comp, den$comp),
+          |v${comp + 1}_0 AS (SELECT i, CAST(10000 AS BIGINT) AS v FROM vs$comp)""".stripMargin)
+      }
+    }
+    sb.toString
+  }
+
   /** q127's exact IVF-ADC oracle — shared by the per-call path
     * (q127) and the persisted-index path (q211): the index must be
     * row-identical to recomputing assignment + codes from scratch.
@@ -2417,6 +2482,65 @@ object LlmQueries {
             |FROM pr CROSS JOIN vv ORDER BY vec_id""".stripMargin)
         sb.toString
       }),
+
+    // ---- Top-2 principal directions via power iteration + Hotelling
+    // deflation (all-but-the-top needs the SUBSPACE, not one axis):
+    // after component 1, C -= (vᵀCv)·v·vᵀ/(vᵀv)² once-rounded signed
+    // HALF_UP, then the same 8 iterations on the deflated matrix —
+    // every step integer, replayed level-by-level by the oracle.
+    "q265_pca_top2" -> QueryDef(
+      (s, dir) => {
+        Similarity.topEigenvectors(table(s, dir, "embeddings"), "embedding",
+            r = 2, iters = 8)
+          .orderBy("component", "dim")
+      },
+      Some(pcaChainSql(2) +
+        """
+          |SELECT component, dim, loading_bp FROM (
+          |  SELECT CAST(1 AS BIGINT) AS component, CAST(i AS BIGINT) AS dim,
+          |         CAST(v AS BIGINT) AS loading_bp FROM vs1
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), CAST(i AS BIGINT), CAST(v AS BIGINT) FROM vs2
+          |) t ORDER BY component, dim""".stripMargin)),
+
+    // ---- Per-row energy split over the top-2 PCA subspace: e_c =
+    // HALF_UP(10⁶·dot_c²/(norm²·|v_c|²)) per component, off = 10⁶ −
+    // e1 − e2 — the all-but-the-top subspace diagnostic (loadings ride
+    // as literals; the projection scan is zero-shuffle).
+    "q266_pca_subspace_residual" -> QueryDef(
+      (s, dir) => {
+        Similarity.pcaSubspaceResidual(table(s, dir, "embeddings"),
+            "vec_id", "embedding", r = 2, iters = 8)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("vec_id")
+      },
+      Some(pcaChainSql(2) +
+        """,
+          |vv1 AS (SELECT CAST(sum(v * v) AS BIGINT) AS v2 FROM vs1),
+          |vv2 AS (SELECT CAST(sum(v * v) AS BIGINT) AS v2 FROM vs2),
+          |x AS (SELECT vec_id, sv, unnest(range(1, len(sv) + 1)) AS d FROM e),
+          |xv AS (SELECT vec_id, CAST(d - 1 AS BIGINT) AS dim,
+          |              sv[CAST(d AS INT)] AS xi FROM x),
+          |pr1 AS MATERIALIZED (SELECT xv.vec_id, CAST(sum(xi * vs1.v) AS BIGINT) AS dot,
+          |              CAST(sum(xi * xi) AS BIGINT) AS norm2
+          |       FROM xv JOIN vs1 ON vs1.i = xv.dim GROUP BY 1),
+          |pr2 AS MATERIALIZED (SELECT xv.vec_id, CAST(sum(xi * vs2.v) AS BIGINT) AS dot
+          |       FROM xv JOIN vs2 ON vs2.i = xv.dim GROUP BY 1),
+          |en AS (SELECT pr1.vec_id,
+          |       CASE WHEN pr1.norm2 > 0 AND vv1.v2 > 0 THEN
+          |         CAST((2000000 * CAST(pr1.dot AS HUGEINT) * pr1.dot
+          |               + CAST(pr1.norm2 AS HUGEINT) * vv1.v2)
+          |           // (2 * CAST(pr1.norm2 AS HUGEINT) * vv1.v2) AS BIGINT)
+          |       ELSE NULL END AS e1_micro,
+          |       CASE WHEN pr1.norm2 > 0 AND vv2.v2 > 0 THEN
+          |         CAST((2000000 * CAST(pr2.dot AS HUGEINT) * pr2.dot
+          |               + CAST(pr1.norm2 AS HUGEINT) * vv2.v2)
+          |           // (2 * CAST(pr1.norm2 AS HUGEINT) * vv2.v2) AS BIGINT)
+          |       ELSE NULL END AS e2_micro
+          |       FROM pr1 JOIN pr2 ON pr2.vec_id = pr1.vec_id, vv1, vv2)
+          |SELECT vec_id, e1_micro, e2_micro,
+          |       CAST(1000000 - e1_micro - e2_micro AS BIGINT) AS off_micro
+          |FROM en ORDER BY vec_id""".stripMargin)),
 
     // ---- Matryoshka truncation sweep: exact recall@5 of prefix-dim
     // search (m ∈ {8,16,32,64}) vs full 64-dim ground truth — the

@@ -843,6 +843,48 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(99L) === 1000000L)
   }
 
+  test("topEigenvectors: deflation recovers the second planted direction") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    // two orthogonal planted directions with distinct variances:
+    // strong along (1, 0, 0, 0), weaker along (0, 0, 1, 0)
+    val pts = (Seq(5f, -5f, 4f, -4f, 3f, -3f).map(k => Seq(k, 0f, 0f, 0f)) ++
+      Seq(2f, -2f, 1f, -1f).map(k => Seq(0f, 0f, k, 0f)))
+      .map(Tuple1(_)).toDF("embedding")
+    val out = Similarity.topEigenvectors(pts, "embedding", r = 2, iters = 8)
+      .orderBy("component", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val c1 = out.filter(_._1 == 1L).map(_._3).toSeq
+    val c2 = out.filter(_._1 == 2L).map(_._3).toSeq
+    // component 1 = the strong axis (dim 0), component 2 = the weak
+    // axis (dim 2) — deflation removed the first direction
+    assert(c1(0) === 10000L && c1(2).abs < 500L, s"c1 = $c1")
+    assert(c2(2) === 10000L && c2(0).abs < 500L, s"c2 = $c2")
+    // component 1 must equal the single-vector operator exactly
+    val single = Similarity.topEigenvector(pts, "embedding", iters = 8)
+      .orderBy("dim").collect().map(_.getLong(1)).toSeq
+    assert(c1 === single)
+  }
+
+  test("pcaSubspaceResidual: in-subspace rows near 0, out-of-subspace rows near 10^6") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val pts = ((Seq(5f, -5f, 4f, -4f).map(k => Seq(k, 0f, 0f, 0f)) ++
+      Seq(2f, -2f, 1f, -1f).map(k => Seq(0f, 0f, k, 0f)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+      (99L, Seq(0f, 3f, 0f, 0f))) // ⟂ to both components
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pcaSubspaceResidual(pts, "vec_id", "embedding",
+        r = 2, iters = 8)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) Long.MinValue else r.getLong(3))).toMap
+    // tolerance: with 8 points the rounded deflation leaves component 2
+    // a ~1-2% stray loading on dim 0, so in-subspace energy is ≥ ~97%
+    (0L to 7L).foreach(i =>
+      assert(out(i).abs <= 50000L, s"row $i off-subspace ${out(i)}"))
+    assert(out(99L) >= 950000L, s"orthogonal row kept energy: ${out(99L)}")
+  }
+
   test("withGlobalIds equals the window row_number and is deterministic") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
