@@ -1100,6 +1100,87 @@ object TextAnalysis {
       .withColumn("pred_keep", (col("score") >= 0L).cast("long"))
   }
 
+  /** Multinomial Naive Bayes TRAINER over hashed token features — the
+    * missing half of the classifier story (the library evaluated
+    * classifiers — q122 scoring, q157 calibration, q189 AUC — but never
+    * trained one distributed). The standard distillation move a 100-TB
+    * pipeline runs: fit a cheap generative model to an expensive
+    * labeler's verdicts (here any 0/1 `labelCol`, e.g. the Gopher rule
+    * battery), then score the corpus with the model instead of the
+    * labeler.
+    *
+    * Training IS aggregation — the NB sufficient statistics are one
+    * map-side-combinable (bucket, class) token count — so the trainer
+    * is a single shuffle of vocabulary-bounded width regardless of
+    * corpus size. Per bucket b with Laplace α = 1:
+    * ll(c, b) = ln((count(c,b) + 1)/(tot(c) + B)) and the emitted
+    * discriminative weight w = ll(1,b) − ll(0,b), every ln
+    * once-rounded to integer micro-nats (the lmScore idiom) so the
+    * model replays exactly on any engine. Buckets are the q122 md5
+    * hash (`md5(tok) first-12-hex % B`) — no vocabulary ships.
+    * Output: (bucket 0..nBuckets−1, c_pos, c_neg, w_micro), absent
+    * buckets present with zero counts.
+    */
+  def nbTrainWeights(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536, s"nBuckets $nBuckets out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(col(labelCol).cast("long").as("graft_y"),
+        explode(split(col(textCol), " ")).as("graft_tok"))
+      .filter(length(col("graft_tok")) > 0)
+      .withColumn("bucket",
+        conv(substring(md5(col("graft_tok")), 1, 12), 16, 10)
+          .cast("long") % nBuckets)
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("graft_y") === 1L, 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("graft_y") === 0L, 1L).otherwise(0L)).as("c_neg"))
+    val tot = counts.agg(
+      coalesce(sum(col("c_pos")), lit(0L)).as("graft_tp"),
+      coalesce(sum(col("c_neg")), lit(0L)).as("graft_tn"))
+    def lnr(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    (0L until nBuckets.toLong).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("c_pos"), lit(0L)).as("c_pos"),
+        coalesce(col("c_neg"), lit(0L)).as("c_neg"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("c_pos"), col("c_neg"),
+        expr(s"(${lnr("c_pos + 1")} - ${lnr(s"graft_tp + $nBuckets")}) - " +
+          s"(${lnr("c_neg + 1")} - ${lnr(s"graft_tn + $nBuckets")})")
+          .as("w_micro"))
+  }
+
+  /** Score documents with a trained [[nbTrainWeights]] model: per doc,
+    * the NB log-odds in micro-nats = biasMicro (the log prior ratio;
+    * 0 drops it — rank/AUC invariant) + Σ over token OCCURRENCES of
+    * the token's bucket weight. The weight table is bounded
+    * (`nBuckets` rows) and rides as a literal — scoring is a narrow
+    * zero-shuffle codegen scan, the hashedClassifier shape with
+    * trained weights in the literal slot. Output: (id, score_micro,
+    * pred_keep = score ≥ 0).
+    */
+  def nbScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, nBuckets: Int = 64,
+      biasMicro: Long = 0L): DataFrame = {
+    val w = weights.select(col("bucket"), col("w_micro")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(w.length == nBuckets && w.map(_._1).toSeq == (0L until nBuckets.toLong),
+      s"weights must cover buckets 0..${nBuckets - 1} exactly, got ${w.length} rows")
+    val wLit = typedLit(w.map(_._2).toSeq)
+    val perTok = transform(
+      filter(split(col(textCol), " "), t => t =!= lit("")),
+      t => element_at(wLit,
+        (conv(substring(md5(t), 1, 12), 16, 10).cast("long") % nBuckets)
+          .cast("int") + 1))
+    df.select(col(idCol).as("id"),
+        (aggregate(perTok, lit(0L), (acc, v) => acc + v) + lit(biasMicro))
+          .as("score_micro"))
+      .withColumn("pred_keep", (col("score_micro") >= 0L).cast("long"))
+  }
+
   /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
     * corpus's adjacent-token co-occurrence graph — undirected (both
     * orientations emitted, weights = corpus bigram counts), self-

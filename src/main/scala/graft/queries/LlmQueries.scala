@@ -160,6 +160,39 @@ object LlmQueries {
     sb.toString
   }
 
+  /** Shared Naive-Bayes training chain (q267/q268): a keyword-seeded
+    * topic label (does the document mention "vector" — the bootstrap
+    * pattern: seed a topical slice with keywords, train a classifier
+    * to generalize it), the md5 80/20 split, train-split
+    * hashed-token class counts, and the Laplace-smoothed micro-nat
+    * weight table `wt` — exactly
+    * [[graft.llm.TextAnalysis.nbTrainWeights]]'s arithmetic. Callers
+    * append a final SELECT (or more CTEs after a comma).
+    */
+  private def lnrSql(x: String): String =
+    s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
+  private val NbTrainSql: String =
+    s"""WITH g AS (SELECT doc_id, CAST(list_contains(string_split(text, ' '), 'vector') AS BIGINT) AS keep FROM documents),
+       |sp AS (SELECT doc_id,
+       |              CAST('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 AS pct
+       |       FROM documents),
+       |tt AS (SELECT d.doc_id, unnest(list_filter(string_split(d.text, ' '), t -> t <> '')) AS tok
+       |       FROM documents d JOIN sp USING (doc_id) WHERE sp.pct < 80),
+       |bt AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS bucket FROM tt),
+       |cnt AS (SELECT bucket, CAST(sum(keep) AS BIGINT) AS c_pos,
+       |               CAST(sum(1 - keep) AS BIGINT) AS c_neg
+       |        FROM bt JOIN g USING (doc_id) GROUP BY bucket),
+       |tot AS (SELECT CAST(coalesce(sum(c_pos), 0) AS BIGINT) AS tp,
+       |               CAST(coalesce(sum(c_neg), 0) AS BIGINT) AS tn FROM cnt),
+       |grid AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS bucket),
+       |wt AS MATERIALIZED (SELECT grid.bucket,
+       |              CAST(COALESCE(c_pos, 0) AS BIGINT) AS c_pos,
+       |              CAST(COALESCE(c_neg, 0) AS BIGINT) AS c_neg,
+       |              CAST((${lnrSql("COALESCE(c_pos, 0) + 1")} - ${lnrSql("tp + 64")})
+       |                 - (${lnrSql("COALESCE(c_neg, 0) + 1")} - ${lnrSql("tn + 64")}) AS BIGINT) AS w_micro
+       |       FROM grid LEFT JOIN cnt USING (bucket), tot)""".stripMargin
+
   /** q127's exact IVF-ADC oracle — shared by the per-call path
     * (q127) and the persisted-index path (q211): the index must be
     * row-identical to recomputing assignment + codes from scratch.
@@ -4162,6 +4195,75 @@ object LlmQueries {
              |            ELSE CAST((20000 * (r2 - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
              |                      // (4 * n_pos * n_neg) AS BIGINT) END AS auc_bp
              |FROM a""".stripMargin)),
+
+    // ---- Naive Bayes TRAINING (keyword-seeded topic distillation:
+    // fit the generative model to the mentions-"vector" label on the
+    // md5-80% split). Training is one (bucket, class) token count;
+    // weights are once-rounded micro-nat log-likelihood ratios.
+    "q267_nb_train" -> QueryDef(
+      (s, dir) => {
+        val labeled = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            array_contains(split(col("text"), " "), "vector")
+              .cast("long").as("keep"))
+        TextAnalysis.nbTrainWeights(
+            Curation.assignSplit(labeled, "doc_id", "nb", 80, 20)
+              .filter(col("split") === "train"),
+            "doc_id", "text", "keep")
+          .orderBy("bucket")
+      },
+      Some(NbTrainSql +
+        """
+          |SELECT bucket, c_pos, c_neg, w_micro FROM wt ORDER BY bucket""".stripMargin)),
+
+    // ---- The trained model scoring the HELD-OUT split, judged by
+    // exact Mann-Whitney AUC against the seed labels — the full
+    // train -> score -> evaluate chain, integer end to end.
+    "q268_nb_auc" -> QueryDef(
+      (s, dir) => {
+        val labeled = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            array_contains(split(col("text"), " "), "vector")
+              .cast("long").as("keep"))
+        val withSplit = Curation.assignSplit(labeled, "doc_id", "nb", 80, 20)
+        val weights = TextAnalysis.nbTrainWeights(
+          withSplit.filter(col("split") === "train"), "doc_id", "text", "keep")
+        val scored = TextAnalysis.nbScore(
+          withSplit.filter(col("split") =!= "train"), "doc_id", "text", weights)
+        Curation.aucFromScores(
+          scored.join(labeled.select(col("doc_id").as("id"), col("keep")),
+            Seq("id")),
+          "score_micro", "keep")
+      },
+      Some(NbTrainSql +
+        """,
+          |vt AS (SELECT d.doc_id, unnest(list_filter(string_split(d.text, ' '), t -> t <> '')) AS tok
+          |       FROM documents d JOIN sp USING (doc_id) WHERE sp.pct >= 80),
+          |vb AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS bucket FROM vt),
+          |vsum AS (SELECT vb.doc_id, CAST(sum(wt.w_micro) AS BIGINT) AS s
+          |         FROM vb JOIN wt USING (bucket) GROUP BY 1),
+          |sc AS (SELECT d.doc_id, CAST(COALESCE(vsum.s, 0) AS BIGINT) AS score
+          |       FROM (SELECT doc_id FROM documents JOIN sp USING (doc_id)
+          |             WHERE sp.pct >= 80) d
+          |       LEFT JOIN vsum USING (doc_id)),
+          |j AS (SELECT sc.score, g.keep FROM sc JOIN g USING (doc_id)),
+          |bs AS (SELECT score, CAST(count(*) AS BIGINT) AS c,
+          |              CAST(sum(keep) AS BIGINT) AS p
+          |       FROM j GROUP BY 1),
+          |r AS (SELECT score, c, p,
+          |             CAST(COALESCE(sum(c) OVER (ORDER BY score
+          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |               AS BIGINT) AS cum
+          |      FROM bs),
+          |a AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+          |             CAST(sum(c - p) AS BIGINT) AS n_neg,
+          |             CAST(sum(p * (2 * cum + c + 1)) AS BIGINT) AS r2
+          |      FROM r)
+          |SELECT n_pos, n_neg,
+          |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(-1 AS BIGINT)
+          |            ELSE CAST((20000 * (r2 - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
+          |                      // (4 * n_pos * n_neg) AS BIGINT) END AS auc_bp
+          |FROM a""".stripMargin)),
 
     // ---- Johnson–Lindenstrauss ±1 reduction to 8 dims: deterministic
     // Achlioptas sign matrix from md5("j:i"), exact integer projections

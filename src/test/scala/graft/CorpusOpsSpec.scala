@@ -843,6 +843,40 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(99L) === 1000000L)
   }
 
+  test("nbTrainWeights/nbScore: hand-checked Laplace counts, weights, and scoring") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val docs = Seq((1L, "a a b", 1L), (2L, "b c", 0L)).toDF("id", "text", "y")
+    val nb = 4
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % nb).toInt
+    }
+    def lnr(x: Long): Long = math.round(math.log(x.toDouble) * 1000000.0)
+    val w = TextAnalysis.nbTrainWeights(docs, "id", "text", "y", nb)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // class totals: pos tokens = 3 (a a b), neg = 2 (b c)
+    val cPos = Array.fill(nb)(0L); val cNeg = Array.fill(nb)(0L)
+    Seq("a", "a", "b").foreach(t => cPos(bucket(t)) += 1)
+    Seq("b", "c").foreach(t => cNeg(bucket(t)) += 1)
+    (0 until nb).foreach { b =>
+      assert(w(b)._1 === cPos(b) && w(b)._2 === cNeg(b), s"bucket $b counts")
+      val expect = (lnr(cPos(b) + 1) - lnr(3L + nb)) -
+        (lnr(cNeg(b) + 1) - lnr(2L + nb))
+      assert(w(b)._3 === expect, s"bucket $b weight")
+    }
+    // scoring: per-OCCURRENCE weight sum + bias; empty text scores bias
+    val model = TextAnalysis.nbTrainWeights(docs, "id", "text", "y", nb)
+    val got = TextAnalysis.nbScore(
+        Seq((7L, "a c"), (8L, "")).toDF("id", "text"),
+        "id", "text", model, nb, biasMicro = 11L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) === w(bucket("a"))._3 + w(bucket("c"))._3 + 11L)
+    assert(got(8L) === 11L)
+  }
+
   test("topEigenvectors: deflation recovers the second planted direction") {
     import spark.implicits._
     import graft.llm.Similarity
