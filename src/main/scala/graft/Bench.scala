@@ -135,6 +135,43 @@ object Bench {
       (denseRuns.map(_._1).min, denseRuns.head._2,
         Seq(scanOnce(), scanOnce(), scanOnce()))
     } else (0.0, 0L, Nil)
+
+    // Z-order payoff pair: the SAME two-predicate window count against
+    // the events table written (a) in insertion order and (b) z-ordered
+    // on (user bucket, cents) — the relayout's whole point is that (b)
+    // skips most row groups on parquet min/max footer stats while (a)
+    // reads everything. Layouts are built untimed; the timed region is
+    // the filtered count, best of 3 (the BucketingSpec footer-stats
+    // test proves the pruning; this measures what it buys).
+    val (zPlainSec, zOrderSec) = if (!only.exists(_.nonEmpty)) {
+      import org.apache.spark.sql.functions._
+      val zDir = java.nio.file.Files.createTempDirectory("graft-bench-zorder").toString
+      // 50x-replicated events (~5M rows): at sf0.1 the raw table is 2 MB
+      // and task scheduling dominates any layout effect; the amplified
+      // shape gives min/max skipping real row groups to skip (the
+      // scan_only precedent — the bench synthesizes its measurement
+      // shape at a size where the operator, not overhead, is measured)
+      val ev = graft.queries.Registry.table(spark, sfDir, "events")
+        .crossJoin(spark.range(50).toDF("graft_rep"))
+        .select(pmod(col("user_id") * 50 + col("graft_rep"), lit(4096)).as("x"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("y"),
+          col("event_id"))
+      ev.repartition(64).write.mode("overwrite").parquet(s"$zDir/plain")
+      graft.sources.ZOrderLayout.writeZOrdered(ev, s"$zDir/zorder", "x", "y",
+        bits = 15, numFiles = 64)
+      def timeWindow(path: String): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          spark.read.parquet(path)
+            .filter(col("x").between(100L, 160L) && col("y").between(5000L, 5800L))
+            .count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up (codegen + footer cache)
+        Seq(once(), once(), once()).min
+      }
+      (timeWindow(s"$zDir/plain"), timeWindow(s"$zDir/zorder"))
+    } else (0.0, 0.0)
     // Each query runs N times and reports the min (criterion-style
     // steady state): run 1 absorbs first-touch costs the sf0.001 warm-up
     // cannot — page-cache-cold sf0.1 parquet reads and AQE-replanned
@@ -198,6 +235,7 @@ object Bench {
       s""""calibration_sec":$calibrationSec,""" +
       s""""scan_only_mibps":$scanMibps,"scan_only_sec":$scanSec,""" +
       s""""scan_only_samples":$samplesJson,""" +
+      s""""zorder_plain_sec":$zPlainSec,"zorder_zorder_sec":$zOrderSec,""" +
       s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -87,4 +87,67 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("DROP TABLE IF EXISTS b_l")
     }
   }
+
+  /** Per-row-group [min, max] of a BIGINT column straight from the
+    * parquet footers — what min/max data skipping actually reads.
+    */
+  private def rowGroupRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toURI), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(sys.error(s"no column $column in ${f.getName}"))
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[Number].longValue(),
+            st.genericGetMax.asInstanceOf[Number].longValue())
+        } finally r.close()
+      }
+  }
+
+  test("z-order relayout tightens parquet row-group min/max stats and prunes windows") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-zorder-proof").toString
+    // 60k points on a 512x512 grid in insertion order: each written file
+    // spans nearly the whole y range, so footer stats prune nothing
+    val df = (0L until 60000L)
+      .map(i => (i, i % 512L, (i * 131) % 512L))
+      .toDF("id", "x", "y")
+    df.repartition(16).write.parquet(s"$tmp/plain")
+    graft.sources.ZOrderLayout.writeZOrdered(df, s"$tmp/zorder", "x", "y",
+      bits = 9, numFiles = 16)
+    // same rows both ways (the relayout is a permutation)
+    val window = (d: org.apache.spark.sql.DataFrame) => d
+      .filter(col("x").between(100L, 131L) && col("y").between(200L, 231L))
+    val plainDf = spark.read.parquet(s"$tmp/plain")
+    val zDf = spark.read.parquet(s"$tmp/zorder")
+    assert(window(zDf).count() === window(plainDf).count())
+    def avgSpan(rs: Seq[(Long, Long)]): Double =
+      rs.map { case (lo, hi) => (hi - lo).toDouble }.sum / rs.size
+    // footer proof: the z-ordered row groups bound BOTH dimensions;
+    // the insertion order bounds neither (x cycles through 0..511 in
+    // every file slice)
+    val plainY = rowGroupRanges(s"$tmp/plain", "y")
+    val zY = rowGroupRanges(s"$tmp/zorder", "y")
+    val zX = rowGroupRanges(s"$tmp/zorder", "x")
+    assert(avgSpan(zY) < avgSpan(plainY) / 2,
+      s"y spans did not tighten: plain ${avgSpan(plainY)}, z ${avgSpan(zY)}")
+    assert(avgSpan(zX) < 512 / 2, s"x spans unbounded: ${avgSpan(zX)}")
+    // pruning proof: row groups whose [min,max] intersects the window
+    // in BOTH dims — what a min/max-skipping reader must touch
+    def touches(xs: Seq[(Long, Long)], ys: Seq[(Long, Long)]): Int =
+      xs.zip(ys).count { case ((xlo, xhi), (ylo, yhi)) =>
+        xhi >= 100L && xlo <= 131L && yhi >= 200L && ylo <= 231L }
+    val plainTouch = touches(rowGroupRanges(s"$tmp/plain", "x"), plainY)
+    val zTouch = touches(zX, zY)
+    assert(plainTouch == plainY.size,
+      s"precondition: insertion order should prune nothing, touched $plainTouch/${plainY.size}")
+    assert(zTouch * 4 <= zY.size,
+      s"z-order should prune >= 3/4 of row groups, touched $zTouch/${zY.size}")
+  }
 }
