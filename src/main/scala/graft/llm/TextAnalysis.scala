@@ -1181,6 +1181,100 @@ object TextAnalysis {
       .withColumn("pred_keep", (col("score_micro") >= 0L).cast("long"))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer SEEDING — the second
+    * of the two tokenizer families real pipelines ship (BPE trains by
+    * merges, q120/q171; unigram trains by pruning a substring
+    * candidate pool under a unigram language model, Kudo 2018). This
+    * is the deterministic initialization round: candidate pieces =
+    * every word substring of length ≤ `maxPiece`, scored by corpus
+    * occurrence count (occurrences weighted by word frequency,
+    * overlaps counted); the vocabulary keeps ALL single characters
+    * (coverage guarantee — Viterbi segmentation can never dead-end)
+    * plus the top (vocabSize − #chars) multi-character pieces by
+    * (count desc, piece asc). Piece cost = −ln p in once-rounded
+    * integer micro-nats: cost = lnr(Σ cnt over selected) − lnr(cnt).
+    *
+    * Scale shape: word vocabulary = one count aggregation; substring
+    * expansion is in-row over the VOCABULARY (≤ len·maxPiece pieces
+    * per distinct word, never per corpus row); the top-K is a
+    * distributed TakeOrdered. Output: (piece, cnt, cost_micro).
+    */
+  def unigramSeedVocab(df: DataFrame, textCol: String, vocabSize: Int = 48,
+                       maxPiece: Int = 4): DataFrame = {
+    require(vocabSize >= 1 && maxPiece >= 1, "vocabSize and maxPiece must be >= 1")
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val subs = CacheRegistry.persist(words
+      .select(col("f"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  transform(sequence(i, least(i + ${maxPiece - 1}, length(w))), k ->
+           |    substring(w, i, k - i + 1))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt")))
+    val chars = subs.filter(length(col("piece")) === 1)
+    // alphabet-bounded count (driver scalar, like a codebook size)
+    val nChars = chars.count()
+    val kMulti = math.max(0L, vocabSize.toLong - nChars).toInt
+    val sel = CacheRegistry.persist(chars.unionAll(
+      subs.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(kMulti)))
+    val tot = sel.agg(sum(col("cnt")).as("graft_t"))
+    def lnr(x: String) =
+      s"CAST(round(ln(CAST($x AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    sel.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        expr(s"${lnr("graft_t")} - ${lnr("cnt")}").as("cost_micro"))
+  }
+
+  /** Viterbi-segment every document against a [[unigramSeedVocab]]
+    * vocabulary and report per-doc tokenizer fertility — the number
+    * every tokenizer evaluation leads with (pieces per word; lower =
+    * better compression). The DP per word runs IN-ROW with the
+    * vocabulary riding as a map literal: state at position p is ONE
+    * BIGINT key = best_cost_micro·10⁵ + best_n_pieces (n ≤ word length
+    * ≪ 10⁵, so integer `min` over keys IS the lexicographic
+    * (cost, pieces) minimum, and extending a segmentation by piece s
+    * is just key + cost(s)·10⁵ + 1) — zero shuffles, no UDF, and the
+    * same arithmetic replays level-by-level in SQL. Single-character
+    * coverage makes the DP total for any word over the training
+    * alphabet; a word containing an UNSEEN character yields NULL
+    * totals for its document (scoring corpus must share the training
+    * alphabet — the SentencePiece byte-fallback analog is out of
+    * scope). Output: (id, n_words, n_pieces, cost_micro,
+    * fertility_bp = HALF_UP(10⁴·pieces/words); NULLs when no words).
+    */
+  def unigramFertility(df: DataFrame, idCol: String, textCol: String,
+                       vocab: DataFrame, maxPiece: Int = 4): DataFrame = {
+    val vm = vocab.select(col("piece"), col("cost_micro")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(vm.nonEmpty && vm.size <= 65536,
+      s"vocab must be a bounded piece table, got ${vm.size} entries")
+    val vmap = typedLit(vm)
+    val dpKey =
+      s"""aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
+         |  (acc, p) -> concat(acc, array(
+         |    array_min(filter(transform(sequence(1, $maxPiece), j ->
+         |      CASE WHEN j <= p AND element_at(graft_vm, substring(w, p - j + 1, j)) IS NOT NULL
+         |           THEN element_at(acc, p - j + 1)
+         |                + element_at(graft_vm, substring(w, p - j + 1, j)) * 100000L + 1L
+         |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)))),
+         |  acc -> element_at(acc, -1))""".stripMargin
+    df.select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), w => w =!= lit("")).as("graft_ws"))
+      .withColumn("graft_vm", vmap)
+      .withColumn("graft_keys", expr(
+        s"transform(graft_ws, w -> $dpKey)"))
+      .select(col("id"),
+        size(col("graft_ws")).cast("long").as("n_words"),
+        expr("aggregate(graft_keys, CAST(0 AS BIGINT), (a, k) -> a + k % 100000L)")
+          .as("n_pieces"),
+        expr("aggregate(graft_keys, CAST(0 AS BIGINT), (a, k) -> a + k DIV 100000L)")
+          .as("cost_micro"))
+      .withColumn("fertility_bp", expr(
+        "CASE WHEN n_words > 0 THEN (20000 * n_pieces + n_words) DIV (2 * n_words) END"))
+  }
+
   /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
     * corpus's adjacent-token co-occurrence graph — undirected (both
     * orientations emitted, weights = corpus bigram counts), self-

@@ -193,6 +193,34 @@ object LlmQueries {
        |                 - (${lnrSql("COALESCE(c_neg, 0) + 1")} - ${lnrSql("tn + 64")}) AS BIGINT) AS w_micro
        |       FROM grid LEFT JOIN cnt USING (bucket), tot)""".stripMargin
 
+  /** Shared unigram-LM vocabulary chain (q269/q270): frequency-weighted
+    * substring candidate counts (length ≤ 4, overlaps counted), the
+    * all-chars + top-multi selection, and micro-nat costs — exactly
+    * [[graft.llm.TextAnalysis.unigramSeedVocab]]'s arithmetic. Ends at
+    * the `voc` CTE (the `wo` word-occurrence CTE is reusable); callers
+    * append a final SELECT or more CTEs after a comma.
+    */
+  private val UnigramVocabSql: String =
+    s"""WITH wo AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |           FROM documents),
+       |wv AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM wo GROUP BY w),
+       |sx AS (SELECT w, f, unnest(range(1, strlen(w) + 1)) AS i FROM wv),
+       |sy AS (SELECT w, f, i, unnest(range(i, least(i + 3, strlen(w)) + 1)) AS k FROM sx),
+       |cnts AS (SELECT substr(w, CAST(i AS INT), CAST(k - i + 1 AS INT)) AS piece,
+       |                CAST(sum(f) AS BIGINT) AS cnt
+       |         FROM sy GROUP BY 1),
+       |ch AS (SELECT piece, cnt FROM cnts WHERE strlen(piece) = 1),
+       |nch AS (SELECT count(*) AS n FROM ch),
+       |mu AS (SELECT r.piece, r.cnt FROM (
+       |         SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |         FROM cnts WHERE strlen(piece) > 1) r, nch
+       |       WHERE r.rk <= 48 - nch.n),
+       |sel AS (SELECT * FROM ch UNION ALL SELECT * FROM mu),
+       |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM sel),
+       |voc AS MATERIALIZED (SELECT piece, cnt,
+       |       CAST(${lnrSql("t")} - ${lnrSql("cnt")} AS BIGINT) AS cost_micro
+       |       FROM sel, tt)""".stripMargin
+
   /** q127's exact IVF-ADC oracle — shared by the per-call path
     * (q127) and the persisted-index path (q211): the index must be
     * row-identical to recomputing assignment + codes from scratch.
@@ -4264,6 +4292,78 @@ object LlmQueries {
           |            ELSE CAST((20000 * (r2 - n_pos * (n_pos + 1)) + 2 * n_pos * n_neg)
           |                      // (4 * n_pos * n_neg) AS BIGINT) END AS auc_bp
           |FROM a""".stripMargin)),
+
+    // ---- Unigram-LM tokenizer seeding (Kudo 2018's init round): all
+    // word substrings <= 4 chars scored by frequency-weighted
+    // occurrence count; vocab = every single char + top multi-char
+    // pieces; costs = -ln p in once-rounded micro-nats.
+    "q269_unigram_vocab" -> QueryDef(
+      (s, dir) => {
+        TextAnalysis.unigramSeedVocab(table(s, dir, "documents"), "text",
+            vocabSize = 48, maxPiece = 4)
+          .orderBy("piece")
+      },
+      Some(UnigramVocabSql +
+        """
+          |SELECT piece, cnt, cost_micro FROM voc ORDER BY piece""".stripMargin)),
+
+    // ---- Viterbi segmentation fertility per doc against the q269
+    // vocabulary: the in-row DP state is ONE BIGINT (cost*1e5 + pieces)
+    // so integer min IS the lexicographic (cost, pieces) optimum — the
+    // oracle replays the DP as 12 unrolled position levels.
+    "q270_unigram_fertility" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val vocab = TextAnalysis.unigramSeedVocab(docs, "text",
+          vocabSize = 48, maxPiece = 4)
+        // words longer than the oracle's 12 unrolled DP levels are
+        // filtered on BOTH engines (corpus max is 8 — a no-op guard)
+        val filtered = docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            w => w =!= lit("") && length(w) <= 12), " ").as("text"))
+        TextAnalysis.unigramFertility(filtered, "doc_id", "text", vocab,
+            maxPiece = 4)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(UnigramVocabSql + {
+        val sb = new StringBuilder
+        sb.append(s""",
+          |wd AS (SELECT DISTINCT w FROM wo WHERE strlen(w) <= 12),
+          |d0 AS (SELECT w, CAST(0 AS BIGINT) AS key FROM wd)""".stripMargin)
+        for (p <- 1 to 12) {
+          val branches = (1 to math.min(4, p)).map { j =>
+            s"""SELECT prev.w, prev.key + v.cost_micro * 100000 + 1 AS key
+               |      FROM d${p - j} prev JOIN voc v
+               |        ON strlen(prev.w) >= $p AND v.piece = substr(prev.w, ${p - j + 1}, $j)""".stripMargin
+          }.mkString("\n      UNION ALL\n      ")
+          sb.append(s""",
+            |d$p AS MATERIALIZED (SELECT w, min(key) AS key FROM (
+            |      $branches
+            |) b$p GROUP BY w)""".stripMargin)
+        }
+        sb.append(s""",
+          |best AS (SELECT u.w, u.key FROM (
+          |      ${(1 to 12).map(p => s"SELECT w, key, $p AS p FROM d$p").mkString("\n      UNION ALL\n      ")}
+          |) u WHERE p = strlen(u.w)),
+          |dt AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          |              t -> t <> '' AND strlen(t) <= 12)) AS w
+          |       FROM documents),
+          |agg AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |               CAST(sum(best.key % 100000) AS BIGINT) AS n_pieces,
+          |               CAST(sum(best.key // 100000) AS BIGINT) AS cost_micro
+          |        FROM dt JOIN best ON best.w = dt.w GROUP BY 1)
+          |SELECT d.doc_id,
+          |       CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+          |       CAST(COALESCE(agg.n_pieces, 0) AS BIGINT) AS n_pieces,
+          |       CAST(COALESCE(agg.cost_micro, 0) AS BIGINT) AS cost_micro,
+          |       CAST(CASE WHEN COALESCE(agg.n_words, 0) > 0
+          |            THEN (20000 * agg.n_pieces + agg.n_words) // (2 * agg.n_words)
+          |            END AS BIGINT) AS fertility_bp
+          |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)
+        sb.toString
+      })),
 
     // ---- Johnson–Lindenstrauss ±1 reduction to 8 dims: deterministic
     // Achlioptas sign matrix from md5("j:i"), exact integer projections

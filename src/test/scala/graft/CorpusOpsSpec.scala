@@ -877,6 +877,47 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(8L) === 11L)
   }
 
+  test("unigramSeedVocab: frequency-weighted substring counts, chars always kept") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // words: ab (f=2), b (f=1) → counts a:2, b:3, ab:2
+    val docs = Seq("ab ab b").toDF("text")
+    val got = TextAnalysis.unigramSeedVocab(docs, "text", vocabSize = 3,
+        maxPiece = 4)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def lnr(x: Long) = math.round(math.log(x.toDouble) * 1000000.0)
+    val t = 7L
+    assert(got.toSeq === Seq(
+      ("a", 2L, lnr(t) - lnr(2L)),
+      ("ab", 2L, lnr(t) - lnr(2L)),
+      ("b", 3L, lnr(t) - lnr(3L))))
+    // vocabSize smaller than the alphabet still keeps every char
+    val tiny = TextAnalysis.unigramSeedVocab(docs, "text", vocabSize = 1,
+      maxPiece = 4).collect().map(_.getString(0)).toSet
+    assert(tiny === Set("a", "b"))
+  }
+
+  test("unigramFertility: Viterbi picks the min-cost segmentation, ties to fewer pieces") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val vocab = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("ab", 1L, 25L))
+      .toDF("piece", "cnt", "cost_micro")
+    val docs = Seq((1L, "ab aab"), (2L, ""), (3L, "ab zb")).toDF("id", "text")
+    val got = TextAnalysis.unigramFertility(docs, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (
+        r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // "ab": {a,b}=30µ/2p vs {ab}=25µ/1p → 25/1; "aab": {a,ab}=35µ/2p
+    assert(got(1L) === ((2L, 3L, 60L, 15000L)))
+    // no words → zero counts, NULL fertility
+    assert(got(2L) === ((0L, 0L, 0L, -1L)))
+    // unseen char 'z' → NULL totals for the whole doc (documented)
+    assert(got(3L) === ((2L, -1L, -1L, -1L)))
+  }
+
   test("topEigenvectors: deflation recovers the second planted direction") {
     import spark.implicits._
     import graft.llm.Similarity
