@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Host-normalized cross-round bench comparison.
+
+Reads two BENCH_FULL-style JSON files (the one-line graft.Bench
+contract) and emits the per-query regression table BENCH_NOTES used to
+hand-write, with every ratio divided by the calibration ratio so host
+drift (this machine is shared; the fixed single-threaded calibration
+kernel swung 2x across rounds on identical code) is separated from
+real regressions. Dev tool only — not part of the shipped library.
+
+Usage: bench_report.py <old_bench.json> <new_bench.json> [threshold=1.5] [min_sec=0.5]
+"""
+import json
+import statistics
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(old_path, new_path, threshold=1.5, min_sec=0.5):
+    old, new = load(old_path), load(new_path)
+    cal_old = old.get("calibration_sec")
+    cal_new = new.get("calibration_sec")
+    norm = (cal_new / cal_old) if cal_old and cal_new else 1.0
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(qo) & set(qn))
+    rows = []
+    for q in shared:
+        if qo[q] <= 0:
+            continue
+        raw = qn[q] / qo[q]
+        rows.append((q, qo[q], qn[q], raw, raw / norm))
+    adj = [r[4] for r in rows]
+    print(f"# Bench comparison: {old_path} -> {new_path}")
+    print()
+    print(f"- calibration_sec: {cal_old} -> {cal_new} "
+          f"(host factor {norm:.3f}; adjusted ratio = raw / host factor)")
+    print(f"- shared queries: {len(rows)}; new-only: "
+          f"{sorted(set(qn) - set(qo))[:8]}{'...' if len(set(qn) - set(qo)) > 8 else ''}")
+    if rows:
+        print(f"- median adjusted ratio: {statistics.median(adj):.3f}")
+        tot_old = sum(r[1] for r in rows)
+        tot_new = sum(r[2] for r in rows)
+        print(f"- shared-suite total: {tot_old:.1f}s -> {tot_new:.1f}s "
+              f"(adjusted {tot_new / tot_old / norm:.3f}x)")
+    for label, extra in [("scan_only_sec", "scan_only_mibps"),
+                         ("jpeg_dense_sec", None),
+                         ("zorder_plain_sec", None),
+                         ("zorder_zorder_sec", None)]:
+        if label in old and label in new:
+            line = f"- {label}: {old[label]:.3f} -> {new[label]:.3f}"
+            if extra and extra in new:
+                line += f" ({extra} {old.get(extra, 0):.0f} -> {new[extra]:.0f})"
+            print(line)
+    print()
+    reg = [r for r in rows if r[4] > threshold and r[2] > min_sec]
+    win = [r for r in rows if r[4] < 1 / threshold and r[1] > min_sec]
+    print(f"## Regressions (adjusted > {threshold}x and new > {min_sec}s): {len(reg)}")
+    print()
+    if reg:
+        print("| query | old s | new s | raw | adjusted |")
+        print("|---|---|---|---|---|")
+        for q, o, n, raw, a in sorted(reg, key=lambda r: -r[4]):
+            print(f"| {q} | {o:.2f} | {n:.2f} | {raw:.2f}x | {a:.2f}x |")
+        print()
+    print(f"## Wins (adjusted < {1/threshold:.2f}x and old > {min_sec}s): {len(win)}")
+    print()
+    if win:
+        print("| query | old s | new s | raw | adjusted |")
+        print("|---|---|---|---|---|")
+        for q, o, n, raw, a in sorted(win, key=lambda r: r[4]):
+            print(f"| {q} | {o:.2f} | {n:.2f} | {raw:.2f}x | {a:.2f}x |")
+        print()
+    drift = sorted(rows, key=lambda r: -r[4])[:5]
+    print("## Largest adjusted drifts (context, any size)")
+    print()
+    print("| query | old s | new s | raw | adjusted |")
+    print("|---|---|---|---|---|")
+    for q, o, n, raw, a in drift:
+        print(f"| {q} | {o:.3f} | {n:.3f} | {raw:.2f}x | {a:.2f}x |")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2],
+         float(sys.argv[3]) if len(sys.argv) > 3 else 1.5,
+         float(sys.argv[4]) if len(sys.argv) > 4 else 0.5)
