@@ -172,6 +172,39 @@ object Bench {
       }
       (timeWindow(s"$zDir/plain"), timeWindow(s"$zDir/zorder"))
     } else (0.0, 0.0)
+
+    // Compaction payoff pair: the SAME indexed BM25 probe against a
+    // BM25 index grown by 8 appends (9 files per bucket) and after
+    // graft.Compact rewrites it to 1 file per bucket — measures the
+    // read-side latency an appended index bleeds and compaction
+    // restores. Build/append/compact are untimed; results are
+    // row-identical by the OpsSpec pin, so only layout is measured.
+    val (cmpAppendedSec, cmpCompactedSec) = if (!only.exists(_.nonEmpty)) {
+      import org.apache.spark.sql.functions._
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-compact")
+        .toString + "/bidx"
+      val docs = graft.queries.Registry.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      graft.llm.Retrieval.buildIndex(docs.filter(col("doc_id") % 9 === 0),
+        "doc_id", "text", idxDir, numBuckets = 8)
+      (1 to 8).foreach { k =>
+        graft.llm.Retrieval.appendToIndex(docs.filter(col("doc_id") % 9 === k),
+          "doc_id", "text", idxDir)
+      }
+      def timeProbe(): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.llm.Retrieval.bm25TopKIndexed(spark, idxDir,
+            Seq(Seq("the", "data"), Seq("a", "of", "query")), k = 10).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up
+        Seq(once(), once(), once()).min
+      }
+      val before = timeProbe()
+      graft.llm.Retrieval.compactIndex(spark, idxDir)
+      (before, timeProbe())
+    } else (0.0, 0.0)
     // Each query runs N times and reports the min (criterion-style
     // steady state): run 1 absorbs first-touch costs the sf0.001 warm-up
     // cannot — page-cache-cold sf0.1 parquet reads and AQE-replanned
@@ -236,6 +269,7 @@ object Bench {
       s""""scan_only_mibps":$scanMibps,"scan_only_sec":$scanSec,""" +
       s""""scan_only_samples":$samplesJson,""" +
       s""""zorder_plain_sec":$zPlainSec,"zorder_zorder_sec":$zOrderSec,""" +
+      s""""bm25_appended_sec":$cmpAppendedSec,"bm25_compacted_sec":$cmpCompactedSec,""" +
       s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
     spark.stop()
   }
