@@ -1662,6 +1662,51 @@ object Dedup {
     (s"graft_didx_${tag}_exact", s"graft_didx_${tag}_bands")
   }
 
+  /** Exact duplicated-SPAN profile (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr signal, in
+    * its hash-join form): every k-token sliding window of every
+    * document is hashed, and a span is DUPLICATED when its hash occurs
+    * in ≥ 2 distinct documents — the signal that catches boilerplate
+    * and quotation reuse exact-document and near-doc dedup both miss.
+    * Emitted per document: total spans, duplicated spans, and the
+    * duplicated fraction in HALF_UP bp (the removal-targeting number).
+    *
+    * Scale shape: the span table is O(total tokens) rows (in-row
+    * window expansion, no pair join anywhere); distinct (hash, doc)
+    * then the per-hash doc count are two map-side-combinable
+    * aggregations keyed on the hash — a boilerplate span that appears
+    * a billion times is ONE group, not a pair explosion; the flag
+    * rides back to spans on the same hash key. Docs shorter than k
+    * tokens report zero spans (NULL fraction).
+    * Output: (id, n_spans, n_dup_spans, dup_bp).
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spans = CacheRegistry.persist(df
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), t => t =!= lit("")).as("graft_ws"))
+      .select(col("id"), explode(expr(
+        s"""CASE WHEN size(graft_ws) >= $k THEN
+           |  transform(sequence(0, size(graft_ws) - $k),
+           |    i -> md5(concat_ws(' ', slice(graft_ws, i + 1, $k))))
+           |ELSE array() END""".stripMargin)).as("graft_h")))
+    val dupGrams = spans.select(col("graft_h"), col("id")).distinct()
+      .groupBy(col("graft_h")).agg(count(lit(1)).as("graft_nd"))
+      .filter(col("graft_nd") >= 2)
+      .select(col("graft_h"), lit(1L).as("graft_dup"))
+    val per = spans.join(dupGrams, Seq("graft_h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(col("graft_dup")), lit(0L)).as("n_dup_spans"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_bp", expr(
+        "CASE WHEN n_spans > 0 THEN (20000 * n_dup_spans + n_spans) DIV (2 * n_spans) END"))
+  }
+
   /** Blocked fuzzy record linkage: near-identical short strings (names,
     * titles, product labels) matched by edit distance WITHOUT the
     * all-pairs cross join. Two scale levers, both standard linkage

@@ -149,6 +149,38 @@ object Retrieval {
         col("score_bp"), col("dot"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    * ranked candidate lists — the standard HYBRID-retrieval merge
+    * (sparse BM25 arm + dense ANN arm): each list contributes
+    * HALF_UP(10⁶ / (kRrf + rank)) for every candidate it ranked, 0
+    * where absent, and candidates re-rank by the summed score. Rank
+    * fusion needs no score calibration between arms — exactly why
+    * serving stacks use it — and the once-rounded integer contributions
+    * make the fused ranking engine-exact (ties → lowest id).
+    *
+    * Both inputs carry (qid, id, rnk) and are per-query BOUNDED
+    * (top-k lists), so the full-outer join and the per-query re-rank
+    * window run on ≤ 2·|list| rows per query at any corpus size.
+    * Output: (qid, rrf_rnk, id, rrf_micro, rnk_a, rnk_b) — arm ranks
+    * NULL where the arm missed the candidate.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
+    require(k > 0 && kRrf >= 0, s"need k >= 1 and kRrf >= 0, got k=$k kRrf=$kRrf")
+    def contrib(rnk: String): org.apache.spark.sql.Column = expr(
+      s"CASE WHEN $rnk IS NULL THEN 0L " +
+        s"ELSE (2000000 + ($kRrf + $rnk)) DIV (2 * ($kRrf + $rnk)) END")
+    val ja = a.select(col("qid"), col("id"), col("rnk").cast("long").as("rnk_a"))
+    val jb = b.select(col("qid"), col("id"), col("rnk").cast("long").as("rnk_b"))
+    ja.join(jb, Seq("qid", "id"), "full_outer")
+      .withColumn("rrf_micro", contrib("rnk_a") + contrib("rnk_b"))
+      .withColumn("rrf_rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf_micro").desc, col("id"))).cast("long"))
+      .filter(col("rrf_rnk") <= k)
+      .select(col("qid"), col("rrf_rnk"), col("id"), col("rrf_micro"),
+        col("rnk_a"), col("rnk_b"))
+  }
+
   /** Normalize caller queries: project, dedup (a repeated (qid, term)
     * row would silently double that term's contribution), resolve dfs.
     */

@@ -1275,6 +1275,39 @@ object TextAnalysis {
         "CASE WHEN n_words > 0 THEN (20000 * n_pieces + n_words) DIV (2 * n_words) END"))
   }
 
+  /** PII redaction — the compliance pass every published training
+    * corpus runs (emails, IPv4 addresses, phone-shaped digit runs
+    * replaced with typed placeholders, counts reported per doc for the
+    * audit trail). Three regexp_replace stages applied IN ORDER
+    * (emails, then IPv4, then phones — phones last because the digit-
+    * run pattern would otherwise eat dotted IPs), each count taken on
+    * that stage's input, so the pipeline is deterministic and the
+    * patterns stay in the RE2 ∩ java.util.regex common subset (no
+    * lookarounds/backrefs) for engine-exact replay. A pure narrow
+    * zero-shuffle scan. This is span REDACTION, not the artefact
+    * EXTRACTORS ([[graft.artefacts.Artefacts]] keeps the reference's
+    * normalization/plausibility semantics for forensics; redaction
+    * wants recall over precision). Output: (id, text_redacted,
+    * n_emails, n_ipv4, n_phones).
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phonePat = "\\+?\\d[\\d() .-]{6,}\\d"
+    def nMatches(c: String, pat: String) =
+      size(expr(s"regexp_extract_all($c, '${pat.replace("\\", "\\\\")}', 0)"))
+        .cast("long")
+    df.select(col(idCol).as("id"), col(textCol).as("graft_t0"))
+      .withColumn("n_emails", nMatches("graft_t0", emailPat))
+      .withColumn("graft_t1", regexp_replace(col("graft_t0"), emailPat, "<EMAIL>"))
+      .withColumn("n_ipv4", nMatches("graft_t1", ipv4Pat))
+      .withColumn("graft_t2", regexp_replace(col("graft_t1"), ipv4Pat, "<IP>"))
+      .withColumn("n_phones", nMatches("graft_t2", phonePat))
+      .select(col("id"),
+        regexp_replace(col("graft_t2"), phonePat, "<PHONE>").as("text_redacted"),
+        col("n_emails"), col("n_ipv4"), col("n_phones"))
+  }
+
   /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
     * corpus's adjacent-token co-occurrence graph — undirected (both
     * orientations emitted, weights = corpus bigram counts), self-

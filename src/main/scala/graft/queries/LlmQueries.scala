@@ -4365,6 +4365,162 @@ object LlmQueries {
         sb.toString
       })),
 
+    // ---- Hybrid retrieval via reciprocal-rank fusion: per query (docs
+    // 10..19), the BM25 top-10 (query terms = the doc's 3 smallest
+    // distinct tokens) fused with the exact-cosine top-10 over the
+    // aligned embeddings by RRF-60 — rank fusion needs no cross-arm
+    // score calibration, which is why hybrid stacks serve it.
+    "q271_rrf_fusion" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val qt = docs.filter(col("doc_id").between(10, 19))
+          .select(col("doc_id").as("qid"),
+            explode(slice(array_sort(array_distinct(
+              filter(split(col("text"), " "), t => t =!= lit("")))), 1, 3))
+              .as("tok"))
+        val sparse = Retrieval.bm25TopKFor(docs, "doc_id", "text", qt, k = 10)
+          .select(col("qid"), col("id"), col("rnk"))
+        val dense = Similarity.cosineTopK(emb, "vec_id", "embedding",
+            emb.filter(col("vec_id").between(10, 19)), 10)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+            col("rank").cast("long").as("rnk"))
+        Retrieval.rrfFuse(sparse, dense, k = 10)
+          .select(col("qid"), col("rrf_rnk"), col("id"), col("rrf_micro"),
+            col("rnk_a").as("bm25_rnk"), col("rnk_b").as("cos_rnk"))
+          .orderBy("qid", "rrf_rnk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |tf AS MATERIALIZED (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+             |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |      FROM tf GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |              (2000 * CAST(sum(dl) AS BIGINT) + count(*)) // (2 * count(*)) AS avdl_m
+             |       FROM dl),
+             |tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+             |qt AS (SELECT doc_id AS qid,
+             |              unnest(list_slice(list_sort(list_distinct(
+             |                list_filter(string_split(text, ' '), t -> t <> ''))), 1, 3)) AS tok
+             |       FROM documents WHERE doc_id BETWEEN 10 AND 19),
+             |q AS (SELECT DISTINCT qt.qid, qt.tok, tdf.df_t FROM qt JOIN tdf USING (tok)),
+             |sc AS (SELECT q.qid, tf.doc_id,
+             |              CAST(sum(
+             |                (2 * ((20000 * (2 * st.n_docs - 2 * q.df_t + 1) + (2 * q.df_t + 1))
+             |                      // (2 * (2 * q.df_t + 1)))
+             |                   * ((20000 * 44 * st.avdl_m * tf.tf
+             |                       + (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000))
+             |                      // (2 * (20 * st.avdl_m * tf.tf + 6 * st.avdl_m + 18 * dl.dl * 1000)))
+             |                 + 10000) // 20000) AS BIGINT) AS score_bp
+             |       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+             |       GROUP BY 1, 2),
+             |ca AS (SELECT qid, doc_id AS id, CAST(rnk AS BIGINT) AS rnk_a FROM
+             |       (SELECT qid, doc_id, score_bp,
+             |               row_number() OVER (PARTITION BY qid
+             |                 ORDER BY score_bp DESC, doc_id) AS rnk FROM sc) r
+             |       WHERE rnk <= 10),
+             |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |d AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+             |             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+             |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id BETWEEN 10 AND 19
+             |        AND a.vec_id <> b.vec_id
+             |      GROUP BY 1, 2),
+             |cos AS (SELECT qid, id, dp / (na.nrm * nb.nrm) AS score
+             |        FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = id
+             |        WHERE nb.nrm <> 0),
+             |cb AS (SELECT qid, id, CAST(rnk AS BIGINT) AS rnk_b FROM
+             |       (SELECT qid, id,
+             |               row_number() OVER (PARTITION BY qid
+             |                 ORDER BY score DESC, id) AS rnk FROM cos) r
+             |       WHERE rnk <= 10),
+             |f AS (SELECT qid, id, ca.rnk_a, cb.rnk_b,
+             |             (CASE WHEN ca.rnk_a IS NULL THEN 0
+             |                   ELSE (2000000 + (60 + ca.rnk_a)) // (2 * (60 + ca.rnk_a)) END
+             |              + CASE WHEN cb.rnk_b IS NULL THEN 0
+             |                     ELSE (2000000 + (60 + cb.rnk_b)) // (2 * (60 + cb.rnk_b)) END)
+             |               AS rrf_micro
+             |      FROM ca FULL JOIN cb USING (qid, id))
+             |SELECT qid, CAST(rrf_rnk AS BIGINT) AS rrf_rnk, id,
+             |       CAST(rrf_micro AS BIGINT) AS rrf_micro,
+             |       rnk_a AS bm25_rnk, rnk_b AS cos_rnk
+             |FROM (SELECT qid, id, rnk_a, rnk_b, rrf_micro,
+             |             row_number() OVER (PARTITION BY qid
+             |               ORDER BY rrf_micro DESC, id) AS rrf_rnk FROM f) t
+             |WHERE rrf_rnk <= 10 ORDER BY qid, rrf_rnk""".stripMargin)),
+
+    // ---- Exact duplicated-span profile (Lee et al. 2022 ExactSubstr,
+    // hash-join form): per doc, how many of its 5-token sliding spans
+    // occur in >= 2 distinct docs — the boilerplate/quotation signal
+    // doc-level dedup misses. Hash-keyed aggregations only, no pair
+    // join anywhere.
+    "q272_duplicated_spans" -> QueryDef(
+      (s, dir) => {
+        Dedup.duplicatedSpans(table(s, dir, "documents"), "doc_id", "text",
+            k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |                 list_filter(string_split(text, ' '), t -> t <> '') AS ws
+             |          FROM documents),
+             |sp AS MATERIALIZED (SELECT doc_id,
+             |            md5(array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 5 AS INT)), ' ')) AS h
+             |      FROM (SELECT doc_id, ws,
+             |                   unnest(range(0, greatest(len(ws) - 5 + 1, 0))) AS i
+             |            FROM w)),
+             |g AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+             |                     FROM sp GROUP BY h) t WHERE nd >= 2),
+             |per AS (SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |               CAST(sum(CASE WHEN g.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+             |        FROM sp LEFT JOIN g ON g.h = sp.h GROUP BY 1)
+             |SELECT d.doc_id,
+             |       CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+             |       CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_spans,
+             |       CAST(CASE WHEN per.n_spans > 0
+             |            THEN (20000 * per.n_dup + per.n_spans) // (2 * per.n_spans)
+             |            END AS BIGINT) AS dup_bp
+             |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- PII redaction over deterministically-injected contact info
+    // (the synthetic corpus carries none): emails -> <EMAIL>, IPv4 ->
+    // <IP>, phone runs -> <PHONE>, in that order, with per-stage
+    // counts for the audit trail. Pure regex pipeline, zero shuffles.
+    "q273_pii_redact" -> QueryDef(
+      (s, dir) => {
+        val pii = table(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7")).as("text"))
+        TextAnalysis.redactPii(pii, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+             |    '@example.com or +1 (555) 010-' ||
+             |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t0
+             |  FROM documents),
+             |s1 AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+             |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+             |  FROM p),
+             |s2 AS (SELECT doc_id, n_emails,
+             |    CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS BIGINT) AS n_ipv4,
+             |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+             |  FROM s1),
+             |s3 AS (SELECT doc_id, n_emails, n_ipv4,
+             |    CAST(len(regexp_extract_all(t2, '\+?\d[\d() .-]{6,}\d', 0)) AS BIGINT) AS n_phones,
+             |    regexp_replace(t2, '\+?\d[\d() .-]{6,}\d', '<PHONE>', 'g') AS t3
+             |  FROM s2)
+             |SELECT doc_id, t3 AS text_redacted, n_emails, n_ipv4, n_phones
+             |FROM s3 ORDER BY doc_id""".stripMargin)),
+
     // ---- Johnson–Lindenstrauss ±1 reduction to 8 dims: deterministic
     // Achlioptas sign matrix from md5("j:i"), exact integer projections
     // and norms over the milli-quantized embeddings — shuffle-free.

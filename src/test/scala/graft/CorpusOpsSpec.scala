@@ -918,6 +918,37 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) === ((2L, -1L, -1L, -1L)))
   }
 
+  test("duplicatedSpans flags only cross-doc k-gram repeats; short docs report no spans") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f"), // spans: abc bcd cde def
+      (2L, "x b c d y"),   // spans: xbc bcd cdy — shares ONLY "b c d"
+      (3L, "p q")          // shorter than k → zero spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (
+        r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) === ((4L, 1L, 2500L)))
+    assert(got(2L) === ((3L, 1L, 3333L)))
+    assert(got(3L) === ((0L, 0L, -1L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("redactPii replaces emails, IPs, then phones, counting each stage") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "mail bob.smith@corp.example.org now call +1 (555) 010-9988 via 192.168.0.1 ok"),
+      (2L, "clean text only")).toDF("id", "text")
+    val got = TextAnalysis.redactPii(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === (("mail <EMAIL> now call <PHONE> via <IP> ok", 1L, 1L, 1L)))
+    assert(got(2L) === (("clean text only", 0L, 0L, 0L)))
+  }
+
   test("topEigenvectors: deflation recovers the second planted direction") {
     import spark.implicits._
     import graft.llm.Similarity

@@ -289,4 +289,25 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_._1).distinct == Seq(0L))
     spark.catalog.clearCache()
   }
+
+  test("rrfFuse: arm overlap dominates, absent arms contribute zero, ties to lowest id") {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    val a = Seq((0L, 100L, 1L), (0L, 200L, 2L)).toDF("qid", "id", "rnk")
+    val b = Seq((0L, 200L, 1L), (0L, 300L, 2L)).toDF("qid", "id", "rnk")
+    val got = Retrieval.rrfFuse(a, b, k = 3)
+      .orderBy("rrf_rnk").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    // HALF_UP(1e6/61) = 16393, HALF_UP(1e6/62) = 16129
+    assert(got.toSeq === Seq(
+      (200L, 16129L + 16393L), // both arms
+      (100L, 16393L),          // A-only rank 1
+      (300L, 16129L)))         // B-only rank 2
+    // exact tie on score → lowest id first
+    val t1 = Seq((1L, 7L, 1L)).toDF("qid", "id", "rnk")
+    val t2 = Seq((1L, 5L, 1L)).toDF("qid", "id", "rnk")
+    val tie = Retrieval.rrfFuse(t1, t2, k = 2)
+      .orderBy("rrf_rnk").collect().map(_.getLong(2)).toSeq
+    assert(tie === Seq(5L, 7L))
+  }
 }
