@@ -54,7 +54,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object VectorIndex {
 
   private val ManifestName = "_graft_vindex_manifest"
-  private val IndexVersion = 1
+  // v2 adds the refine sidecar: each lists row also carries its scaled
+  // raw vector (`sv`), so the serving path can re-rank ADC candidates
+  // with exact distances without a second store — FAISS's
+  // IndexRefineFlat layout. Storage honesty: the sidecar costs what raw
+  // vectors cost; the PQ codes still pay for themselves because plain
+  // ADC search ([[annTopKIndexed]]) projects only (cent_id, id, codes)
+  // — parquet column pruning never reads `sv` — and the re-rank path
+  // reads it only for the PROBED buckets' rows.
+  private val IndexVersion = 2
 
   /** Materialize the IVF-PQ index under `indexDir`. `coarse` and
     * `codebook` follow [[Pq.ivfAdcTopK]]'s contract: bounded vector
@@ -186,6 +194,63 @@ object VectorIndex {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("adc_dist"))
   }
 
+  /** ANN top-k from the persisted index WITH the exact re-rank stage —
+    * the full production serving path (FAISS IndexRefineFlat): ADC
+    * lookups over the bucket-pruned lists scan nominate `kCand`
+    * candidates per query, the `sv` refine vectors ride along from the
+    * SAME pruned scan (read only for the probed buckets — the unprobed
+    * corpus never touches the wide column), exact scaled-BIGINT
+    * squared-L2 re-scores the kCand survivors, and the top `k` by the
+    * true metric return. Recall@k ≥ the
+    * plain [[annTopKIndexed]]@k by the candidate-superset argument.
+    * Two per-query-bounded windows; zero corpus passes. Output:
+    * (query_id, neighbor_id, rnk, d2).
+    */
+  def annTopKRerankedIndexed(spark: SparkSession, indexDir: String,
+                             queries: Seq[(Long, Array[Float])], k: Int,
+                             kCand: Int, nProbe: Int): DataFrame = {
+    require(k > 0 && kCand >= k, s"need kCand >= k >= 1, got k=$k kCand=$kCand")
+    require(nProbe > 0, "nProbe must be positive")
+    require(queries.nonEmpty && queries.length <= 4096,
+      s"queries must be a bounded literal probe batch (1..4096), got ${queries.length}")
+    VecFunctions.register(spark)
+    val (_, m, scale) = readManifest(indexDir)
+    val (cents, cb) = readQuantizers(spark, indexDir)
+    val centsFlat = cents.flatMap(_._2)
+    val cids = cents.map(_._1)
+    val cbFlat = flattenCodebook(cb.map(_._2), m, scale)
+    val probeRows = queries.flatMap { case (qid, vec) =>
+      val ranked = VecKernels.cosRank(
+        new GenericArrayData(vec), centsFlat, cids).toLongArray()
+      val dt = VecKernels.pqDistTable(
+        VecKernels.scaleQ(new GenericArrayData(vec), scale), cbFlat, m)
+        .toLongArray()
+      val qv = VecKernels.scaleQ(new GenericArrayData(vec), scale).toLongArray()
+      ranked.take(nProbe).map(centId => (qid, centId, dt, qv))
+    }
+    val probeCents = probeRows.map(_._2).distinct.sorted
+    import spark.implicits._
+    val qProbes = probeRows.toDF("query_id", "cent_id", "graft_dt", "graft_qv")
+    val lists = openLists(spark, indexDir)
+      .filter(col("cent_id").isin(probeCents: _*))
+    val adc = call_function("graft_adc", col("graft_dt"), col("codes"), lit(m))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val cand = broadcast(qProbes).join(lists, Seq("cent_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        adc.as("adc_dist"), col("graft_qv"), col("sv"))
+      .withColumn("graft_crnk", row_number().over(wAdc))
+      .filter(col("graft_crnk") <= kCand)
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        call_function("graft_sqdist", col("graft_qv"), col("sv")).as("d2"))
+      .withColumn("rnk", row_number().over(wEx).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d2"))
+  }
+
   /** The bucket-spec-carrying lists frame (re-registering the external
     * table in this session's catalog if absent).
     */
@@ -193,15 +258,16 @@ object VectorIndex {
     val (nb, _, _) = readManifest(indexDir)
     graft.sources.BucketedWarehouse.registerExternal(spark,
       listsTableName(indexDir), s"$indexDir/lists",
-      "cent_id BIGINT, id BIGINT, codes ARRAY<BIGINT>", Seq("cent_id"), nb)
+      "cent_id BIGINT, id BIGINT, codes ARRAY<BIGINT>, sv ARRAY<BIGINT>",
+      Seq("cent_id"), nb)
     spark.table(listsTableName(indexDir))
   }
 
   // ------------------------------------------------------------------
 
-  /** (cent_id, id, codes): the one corpus pass — assignment + encoding
-    * fused in a single narrow codegen'd scan, exactly ivfAdcTopK's
-    * corpus side.
+  /** (cent_id, id, codes, sv): the one corpus pass — assignment,
+    * encoding, and the scaled refine sidecar fused in a single narrow
+    * codegen'd scan, exactly ivfAdcTopK's corpus side plus `sv`.
     */
   private def encodeLists(corpus: DataFrame, idCol: String, vecCol: String,
                           cents: Array[(Long, Array[Float])],
@@ -212,13 +278,13 @@ object VectorIndex {
     val centsFlat = cents.flatMap(_._2)
     val cids = cents.map(_._1)
     val cbFlat = flattenCodebook(cb.map(_._2), m, scale)
+    val sv = call_function("graft_scale_q", col(vecCol), lit(scale))
     corpus.select(
       element_at(call_function("graft_cos_rank", col(vecCol),
         typedLit(centsFlat), typedLit(cids)), 1).as("cent_id"),
       col(idCol).cast("long").as("id"),
-      call_function("graft_pq_codes",
-        call_function("graft_scale_q", col(vecCol), lit(scale)),
-        typedLit(cbFlat), lit(m)).as("codes"))
+      call_function("graft_pq_codes", sv, typedLit(cbFlat), lit(m)).as("codes"),
+      sv.as("sv"))
   }
 
   /** Bounded (id, vec) table collected ascending-id — the quantizer

@@ -283,12 +283,13 @@ object LlmQueries {
   private def annIndexDir(s: SparkSession, dir: String, emb: DataFrame): String = {
     val tag = Registry.contentTag(emb, "vec_id", "embedding")
     val idx = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-annidx-v2-$tag")
+      sys.props("java.io.tmpdir"), s"graft-annidx-v3-$tag")
     // marker AFTER the append — a crash between build and append would
     // otherwise leave a manifest-complete half-index reused forever
-    // (the q210 marker convention)
+    // (the q210 marker convention); the indexExists check additionally
+    // rebuilds a cached dir whose layout VERSION is stale
     val marker = new java.io.File(idx, "_graft_appended")
-    if (!marker.isFile) {
+    if (!marker.isFile || !VectorIndex.indexExists(idx.toString)) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete()
@@ -2339,6 +2340,66 @@ object LlmQueries {
           .orderBy("query_id", "rnk")
       },
       Some(IvfAdcSql)),
+
+    // ---- The persisted-index serving path WITH the refine stage:
+    // ADC candidates (kCand=15) from the bucket-pruned lists scan,
+    // re-scored exactly against the v2 index's scaled refine sidecar,
+    // top-5 by true distance — FAISS IndexRefineFlat over parquet.
+    "q274_ann_indexed_rerank" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val idx = annIndexDir(s, dir, emb)
+        val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        VectorIndex.annTopKRerankedIndexed(s, idx, probes, k = 5,
+            kCand = 15, nProbe = 2)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |cc AS (SELECT a.vec_id AS id, k.vec_id AS cent_id, sum(CAST(a.v AS DOUBLE) * CAST(k.v AS DOUBLE)) AS dp
+             |       FROM e a JOIN e k ON k.i = a.i AND k.vec_id < 8 GROUP BY 1, 2),
+             |cs AS (SELECT id, cent_id, dp / (na.nrm * nk.nrm) AS c
+             |       FROM cc JOIN n na ON na.vec_id = id JOIN n nk ON nk.vec_id = cent_id),
+             |asg AS (SELECT id, cent_id FROM
+             |        (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn FROM cs)
+             |        WHERE rn = 1),
+             |probe AS (SELECT id AS query_id, cent_id FROM
+             |          (SELECT id, cent_id, row_number() OVER (PARTITION BY id ORDER BY c DESC, cent_id) AS rn
+             |           FROM cs WHERE id BETWEEN 10 AND 19)
+             |          WHERE rn <= 2),
+             |q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+             |             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+             |      FROM embeddings),
+             |pv AS (SELECT vec_id, i // 8 AS sub, i % 8 AS j, qv FROM q),
+             |pcb AS (SELECT vec_id AS code, sub, j, qv FROM pv WHERE vec_id < 16),
+             |pd AS MATERIALIZED (SELECT pv.vec_id, pv.sub, pcb.code, sum((pv.qv - pcb.qv) * (pv.qv - pcb.qv)) AS dist
+             |       FROM pv JOIN pcb ON pcb.sub = pv.sub AND pcb.j = pv.j GROUP BY 1, 2, 3),
+             |pa AS (SELECT vec_id, sub, code FROM
+             |       (SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM pd)
+             |       WHERE rn = 1),
+             |cand AS (SELECT p.query_id, ag.id AS neighbor_id FROM probe p
+             |         JOIN asg ag ON ag.cent_id = p.cent_id AND ag.id <> p.query_id),
+             |adc AS MATERIALIZED (SELECT c2.query_id, c2.neighbor_id, CAST(sum(dq.dist) AS BIGINT) AS adc_dist
+             |        FROM cand c2 JOIN pa ON pa.vec_id = c2.neighbor_id
+             |        JOIN pd dq ON dq.vec_id = c2.query_id AND dq.sub = pa.sub AND dq.code = pa.code
+             |        GROUP BY 1, 2),
+             |ck AS (SELECT query_id, neighbor_id FROM
+             |       (SELECT query_id, neighbor_id,
+             |               row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+             |        FROM adc) WHERE rnk <= 15),
+             |ex AS (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+             |              CAST(sum((qa.qv - nb.qv) * (qa.qv - nb.qv)) AS BIGINT) AS d2
+             |       FROM q qa JOIN q nb ON nb.i = qa.i
+             |       WHERE qa.vec_id BETWEEN 10 AND 19 GROUP BY 1, 2),
+             |rr AS (SELECT c.query_id, c.neighbor_id, ex.d2,
+             |              row_number() OVER (PARTITION BY c.query_id ORDER BY ex.d2, c.neighbor_id) AS rnk
+             |       FROM ck c JOIN ex ON ex.query_id = c.query_id AND ex.neighbor_id = c.neighbor_id)
+             |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, d2
+             |FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- Stride-scheduled weighted interleave: the deterministic
     // data-loader order for a 3-source mixture (50/30/20) — reading in

@@ -100,6 +100,44 @@ class VectorIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"indexed ANN degraded to SMJ:\n$p")
   }
 
+  test("indexed re-rank matches exact within-probe ranking; plain search never reads sv") {
+    val e = emb
+    val dir = tmpDir("rerank")
+    VectorIndex.buildIndex(e, "vec_id", "embedding",
+      coarse = e.filter(col("vec_id") < 8),
+      codebook = e.filter(col("vec_id") < 16),
+      dir, numBuckets = 8)
+    val p = probes(e)
+    // kCand large enough to cover every candidate in the probed lists:
+    // the re-rank IS the exact ranking over the probe set, so it must
+    // equal brute-force exact top-k RESTRICTED to the probed candidates
+    val rr = rows(VectorIndex.annTopKRerankedIndexed(spark, dir, p,
+      k = 5, kCand = 1000, nProbe = 8))
+    import spark.implicits._
+    graft.functions.VecFunctions.register(spark)
+    val qdf = p.toDF("query_id", "qvec")
+    val exact = rows(e.select(col("vec_id").as("neighbor_id"),
+        call_function("graft_scale_q", col("embedding"), lit(10000.0)).as("nv"))
+      .crossJoin(broadcast(qdf.select(col("query_id"),
+        call_function("graft_scale_q", col("qvec"), lit(10000.0)).as("qv"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("graft_sqdist", col("qv"), col("nv")).as("d2"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("neighbor_id"))).cast("int"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("d2")))
+    assert(rr === exact, "nProbe=8 (all lists) + unbounded kCand must equal exact top-k")
+    // column pruning: the NON-refined path must not read the sv sidecar
+    val plain = VectorIndex.annTopKIndexed(spark, dir, p, 5, 2)
+    plain.collect()
+    val plan = plain.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("sv")),
+      s"plain indexed search reads the refine sidecar:\n$plan")
+  }
+
   test("manifest and probe-batch guards") {
     val e = emb
     val missing = intercept[IllegalArgumentException] {
