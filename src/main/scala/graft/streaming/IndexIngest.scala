@@ -46,11 +46,22 @@ object IndexIngest {
     * `dropNear` drops band-key near-duplicates as well as exact
     * content hits (the training-data default); `false` keeps near-dups
     * (the archival default — exact copies only).
+    *
+    * `compactEvery` > 0 runs [[graft.llm.Dedup.compactDedupIndex]] /
+    * [[graft.llm.Retrieval.compactIndex]] after every N COMMITTED
+    * batches (each append adds a file per bucket; without maintenance
+    * a long-running stream degrades its own read path without bound —
+    * the graft.Compact pass, self-administered). Compaction runs after
+    * the ledger commit, so a crash mid-compact never loses the batch:
+    * it trips the index's pending fence and the NEXT batch fails
+    * loudly (rebuild the index, restart the stream) instead of serving
+    * from a torn layout.
     */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
                    textCol: String, dedupIndexDir: String,
                    bm25IndexDir: Option[String],
-                   dropNear: Boolean = true): Long = {
+                   dropNear: Boolean = true,
+                   compactEvery: Int = 0): Long = {
     val ledger = new java.io.File(dedupIndexDir, LedgerName)
     if (committedIds(ledger).contains(batchId)) return -1L
     // release only the caches THIS batch registers — releaseAll would
@@ -104,6 +115,10 @@ object IndexIngest {
     // them) without touching caches other operators registered
     graft.llm.CacheRegistry.releaseDelta(batch.sparkSession, cacheMark)
     appendLine(ledger, batchId)
+    if (compactEvery > 0 && committedIds(ledger).size % compactEvery == 0) {
+      Dedup.compactDedupIndex(batch.sparkSession, dedupIndexDir)
+      bm25IndexDir.foreach(Retrieval.compactIndex(batch.sparkSession, _))
+    }
     n
   }
 
@@ -119,12 +134,13 @@ object IndexIngest {
     */
   def start(docs: DataFrame, idCol: String, textCol: String,
             dedupIndexDir: String, bm25IndexDir: Option[String],
-            checkpoint: String, dropNear: Boolean = true): StreamingQuery =
+            checkpoint: String, dropNear: Boolean = true,
+            compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, dedupIndexDir,
-          bm25IndexDir, dropNear)
+          bm25IndexDir, dropNear, compactEvery)
         ()
       }
       .start()

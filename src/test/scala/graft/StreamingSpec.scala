@@ -448,6 +448,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(score() === before, "replay must not change BM25 postings/stats")
   }
 
+  test("index ingest self-compacts every N batches; probes unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-compact").toFile
+    dir.deleteOnExit()
+    val (didx, bidx) = (s"$dir/didx", s"$dir/bidx")
+    val nb = 2
+    graft.llm.Dedup.buildDedupIndex(
+      Seq((0L, "seed words alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", didx, nb, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    graft.llm.Retrieval.buildIndex(
+      Seq((0L, "seed words alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", bidx, nb)
+    def files(d: String) = graft.Compact.dataFileCount(d)
+    (1 to 4).foreach { b =>
+      val batch = Seq((b * 10L, s"unique batch $b body text number$b"))
+        .toDF("doc_id", "text")
+      graft.streaming.IndexIngest.processBatch(batch, b.toLong, "doc_id",
+        "text", didx, Some(bidx), dropNear = true, compactEvery = 2)
+      // after each EVEN committed batch the tables are back to one file
+      // per (non-empty) bucket; odd batches leave the appended files
+      if (b % 2 == 0) {
+        assert(files(s"$bidx/postings") <= nb, s"batch $b left ${files(s"$bidx/postings")} postings files")
+        assert(files(s"$didx/exact") <= nb)
+      }
+    }
+    // everything ingested exactly once and queryable after compactions
+    (1 to 4).foreach { b =>
+      val got = graft.llm.Retrieval.bm25TopKIndexed(spark, bidx,
+          Seq(Seq(s"number$b")), k = 3)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got === Set(b * 10L), s"batch $b content lost: $got")
+    }
+  }
+
   test("streaming snapshot maintainer folds CDC batches into versioned parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
