@@ -86,6 +86,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * labeled query, the `k` most-similar corpus vectors whose label
+    * DIFFERS — the near-the-margin negatives that make a triplet/
+    * InfoNCE batch informative (random negatives are trivially far;
+    * the hardest ones carry the gradient). Same Q×N brute-force
+    * contract and (score desc, id) ordering as [[cosineTopK]], with
+    * the label disagreement as an extra join predicate; at scale run
+    * it over ANN candidates instead (compose with the IVF lists).
+    * Zero-norm corpus rows are excluded (NaN guard, as everywhere).
+    * Output: (query_id, query_label, neighbor_id, neighbor_label,
+    * rank, score).
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    VecFunctions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("query_label"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast("long").as("neighbor_label"), col(vecCol).as("nv"),
+        norm(col(vecCol)).as("nn"))
+      .filter(col("nn") =!= 0.0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic ±1 hyperplane component for (plane j, dim i): the low
     * bit of md5(j || ':' || i) — computed on the driver (the plane
     * matrix is nPlanes×64 constants) with the same md5 the SQL engines

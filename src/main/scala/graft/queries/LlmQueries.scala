@@ -654,6 +654,39 @@ object LlmQueries {
              |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, round(score, 4) AS score
              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- Hard-negative mining: per labeled query, the 3 most-similar
+    // corpus vectors with a DIFFERENT label — the near-the-margin
+    // negatives a contrastive batch needs (random negatives are
+    // trivially far and carry no gradient).
+    "q275_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+            emb.filter(col("vec_id") < 10), k = 3)
+          .select(col("query_id"), col("query_label"), col("neighbor_id"),
+            col("neighbor_label"), col("rank").as("rnk"),
+            round(col("score"), 4).as("score"))
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+             |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+             |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+             |      GROUP BY 1, 2),
+             |sc AS (SELECT query_id, la.label AS query_label, neighbor_id,
+             |              nb2.label AS neighbor_label, dp / (na.nrm * nb.nrm) AS score
+             |       FROM d JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = neighbor_id
+             |       JOIN lb la ON la.vec_id = query_id JOIN lb nb2 ON nb2.vec_id = neighbor_id
+             |       WHERE nb.nrm <> 0 AND la.label <> nb2.label),
+             |r AS (SELECT query_id, query_label, neighbor_id, neighbor_label, score,
+             |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, query_label, neighbor_id, neighbor_label,
+             |       CAST(rnk AS INT) AS rnk, round(score, 4) AS score
+             |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
     // ---- LSH-bucketed ANN (sign random projections, md5-seeded planes)
     "q35_ann_lsh_bucketed" -> QueryDef(
       (s, dir) => {
