@@ -181,6 +181,42 @@ object Retrieval {
         col("rnk_a"), col("rnk_b"))
   }
 
+  /** Ranking-quality metrics per query — the eval table every
+    * retrieval change is judged by: over the top-`k` of a ranked
+    * candidate list and a (qid, id) relevance set, emit hits@k, the
+    * first relevant rank, reciprocal rank in HALF_UP micro
+    * (MRR = its mean), and precision@k in HALF_UP bp. Integer-exact —
+    * no graded-gain logs, so the numbers replay on any engine. Queries
+    * with NO relevant candidate in the top-k emit first_rel_rank NULL
+    * and rr_micro 0 (the MRR convention); queries absent from `ranked`
+    * entirely still appear (all-zero row) so the mean divides by
+    * |queries|, not |queries that returned something|.
+    *
+    * Both inputs are per-query bounded (a top-k list and a labeled
+    * relevance set), so the join and the per-query aggregate are
+    * broadcast-sized at any corpus scale. Output: (qid, n_rel_in_k,
+    * first_rel_rank, rr_micro, prec_bp).
+    */
+  def rankingMetrics(ranked: DataFrame, relevant: DataFrame,
+                     queries: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val topk = ranked.select(col("qid"), col("id"), col("rnk").cast("long").as("rnk"))
+      .filter(col("rnk") <= k)
+    val rel = relevant.select(col("qid"), col("id")).distinct()
+    val per = topk.join(rel, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_rel_in_k"), min(col("rnk")).as("first_rel_rank"))
+    queries.select(col("qid")).distinct()
+      .join(per, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel_in_k"), lit(0L)).as("n_rel_in_k"),
+        col("first_rel_rank"))
+      .withColumn("rr_micro", expr(
+        """CASE WHEN first_rel_rank IS NULL THEN 0L
+          |ELSE (2000000 + first_rel_rank) DIV (2 * first_rel_rank) END""".stripMargin))
+      .withColumn("prec_bp", expr(s"(20000 * n_rel_in_k + $k) DIV (2 * $k)"))
+  }
+
   /** Normalize caller queries: project, dedup (a repeated (qid, term)
     * row would silently double that term's contribution), resolve dfs.
     */

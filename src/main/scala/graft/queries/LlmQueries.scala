@@ -687,6 +687,56 @@ object LlmQueries {
              |       CAST(rnk AS INT) AS rnk, round(score, 4) AS score
              |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- Retrieval-eval metrics: the exact-cosine top-10 judged
+    // against same-label relevance — hits@10, first relevant rank,
+    // reciprocal rank (micro), precision@10 (bp), all integer-exact;
+    // queries with no relevant hit report rr 0 (the MRR convention).
+    "q276_ranking_metrics" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val ranked = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+            col("rank").as("rnk"))
+        val rel = q.select(col("vec_id").as("qid"),
+            col("label").cast("long").as("ql"))
+          .join(emb.select(col("vec_id").as("id"),
+            col("label").cast("long").as("nl")), col("ql") === col("nl"))
+          .filter(col("qid") =!= col("id"))
+          .select(col("qid"), col("id"))
+        Retrieval.rankingMetrics(ranked, rel,
+            q.select(col("vec_id").as("qid")), k = 10)
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |d AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+             |             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+             |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+             |      GROUP BY 1, 2),
+             |sc AS (SELECT qid, id, dp / (na.nrm * nb.nrm) AS score
+             |       FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = id
+             |       WHERE nb.nrm <> 0),
+             |r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+             |      FROM sc),
+             |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+             |per AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS n_rel_in_k,
+             |               CAST(min(r.rnk) AS BIGINT) AS first_rel_rank
+             |        FROM r JOIN lb lq ON lq.vec_id = r.qid
+             |        JOIN lb ln2 ON ln2.vec_id = r.id
+             |        WHERE r.rnk <= 10 AND lq.label = ln2.label
+             |        GROUP BY 1)
+             |SELECT q.vec_id AS qid,
+             |       CAST(COALESCE(per.n_rel_in_k, 0) AS BIGINT) AS n_rel_in_k,
+             |       per.first_rel_rank,
+             |       CAST(CASE WHEN per.first_rel_rank IS NULL THEN 0
+             |            ELSE (2000000 + per.first_rel_rank) // (2 * per.first_rel_rank)
+             |            END AS BIGINT) AS rr_micro,
+             |       CAST((20000 * COALESCE(per.n_rel_in_k, 0) + 10) // 20 AS BIGINT) AS prec_bp
+             |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+             |LEFT JOIN per ON per.qid = q.vec_id
+             |ORDER BY qid""".stripMargin)),
+
     // ---- LSH-bucketed ANN (sign random projections, md5-seeded planes)
     "q35_ann_lsh_bucketed" -> QueryDef(
       (s, dir) => {

@@ -290,6 +290,26 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("rankingMetrics: MRR conventions — no-hit rr 0, absent queries still reported") {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    val ranked = Seq(
+      (0L, 5L, 1L), (0L, 6L, 2L), (0L, 7L, 3L), // rel at ranks 2, 3
+      (1L, 8L, 1L), (1L, 9L, 2L)                // no relevant hit
+    ).toDF("qid", "id", "rnk")
+    val rel = Seq((0L, 6L), (0L, 7L), (1L, 99L), (2L, 1L)).toDF("qid", "id")
+    val queries = Seq(0L, 1L, 2L).toDF("qid") // 2 never returned anything
+    val got = Retrieval.rankingMetrics(ranked, rel, queries, k = 2)
+      .collect().map(r => r.getLong(0) -> (
+        r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // k=2: qid 0 sees rel only at rank 2 → 1 hit, rr = 1e6/2
+    assert(got(0L) === ((1L, 2L, 500000L, 5000L)))
+    assert(got(1L) === ((0L, -1L, 0L, 0L)))
+    assert(got(2L) === ((0L, -1L, 0L, 0L)))
+  }
+
   test("rrfFuse: arm overlap dominates, absent arms contribute zero, ties to lowest id") {
     import spark.implicits._
     import graft.llm.Retrieval
