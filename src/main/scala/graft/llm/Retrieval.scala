@@ -217,6 +217,47 @@ object Retrieval {
       .withColumn("prec_bp", expr(s"(20000 * n_rel_in_k + $k) DIV (2 * $k)"))
   }
 
+  /** Binary-relevance nDCG@k — the position-weighted companion to
+    * [[rankingMetrics]]: DCG = Σ over relevant ranks of the discount
+    * 10⁶/log₂(rank+1), IDCG = the best achievable (all relevant items
+    * packed at the top, capped at min(n_relevant, k)), ndcg_bp =
+    * HALF_UP(10⁴·DCG/IDCG). The k discounts are per-rank CONSTANTS —
+    * once-rounded to micro on the driver (`round(1e6·ln 2/ln(r+1))`)
+    * and replayed verbatim by the oracle — so the sums and the final
+    * ratio are integer-exact. Queries with no relevant item in
+    * `relevant` AT ALL emit NULL ndcg (undefined), with zero hits
+    * reporting 0. Bounded inputs, broadcast-sized work (see
+    * rankingMetrics). Output: (qid, dcg_micro, idcg_micro, ndcg_bp).
+    */
+  def ndcgAtK(ranked: DataFrame, relevant: DataFrame, queries: DataFrame,
+              k: Int): DataFrame = {
+    require(k > 0 && k <= 1000, s"k must be in [1,1000], got $k")
+    val disc = (1 to k).map(r =>
+      math.round(1e6 * math.log(2.0) / math.log(r + 1.0)))
+    val dLit = typedLit(disc)
+    val rel = relevant.select(col("qid"), col("id")).distinct()
+    val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).as("graft_nrel"))
+    val dcg = ranked.select(col("qid"), col("id"), col("rnk").cast("int").as("rnk"))
+      .filter(col("rnk") <= k)
+      .join(rel, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(sum(element_at(dLit, col("rnk"))).as("dcg_micro"))
+    queries.select(col("qid")).distinct()
+      .join(nRel, Seq("qid"), "left")
+      .join(dcg, Seq("qid"), "left")
+      .withColumn("graft_disc", dLit)
+      .select(col("qid"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        expr(s"""CASE WHEN graft_nrel IS NULL THEN CAST(NULL AS BIGINT)
+                |ELSE aggregate(slice(graft_disc, 1,
+                |       CAST(LEAST(graft_nrel, $k) AS INT)),
+                |     0L, (a, x) -> a + x) END""".stripMargin).as("idcg_micro"))
+      .withColumn("ndcg_bp", expr(
+        """CASE WHEN idcg_micro IS NULL THEN CAST(NULL AS BIGINT)
+          |ELSE (20000 * dcg_micro + idcg_micro) DIV (2 * idcg_micro) END"""
+          .stripMargin))
+  }
+
   /** Normalize caller queries: project, dedup (a repeated (qid, term)
     * row would silently double that term's contribution), resolve dfs.
     */

@@ -737,6 +737,66 @@ object LlmQueries {
              |LEFT JOIN per ON per.qid = q.vec_id
              |ORDER BY qid""".stripMargin)),
 
+    // ---- Binary nDCG@10 over the same eval chain as q276: per-rank
+    // discounts 10^6/log2(r+1) once-rounded on the driver and replayed
+    // verbatim by the oracle — position-weighted ranking quality,
+    // integer-exact end to end.
+    "q277_ndcg" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        val ranked = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("id"),
+            col("rank").as("rnk"))
+        val rel = q.select(col("vec_id").as("qid"),
+            col("label").cast("long").as("ql"))
+          .join(emb.select(col("vec_id").as("id"),
+            col("label").cast("long").as("nl")), col("ql") === col("nl"))
+          .filter(col("qid") =!= col("id"))
+          .select(col("qid"), col("id"))
+        Retrieval.ndcgAtK(ranked, rel, q.select(col("vec_id").as("qid")),
+            k = 10)
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(CAST(v AS DOUBLE) * v)) AS nrm FROM e GROUP BY vec_id),
+             |d AS (SELECT a.vec_id AS qid, b.vec_id AS id,
+             |             sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dp
+             |      FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+             |      GROUP BY 1, 2),
+             |sc AS (SELECT qid, id, dp / (na.nrm * nb.nrm) AS score
+             |       FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = id
+             |       WHERE nb.nrm <> 0),
+             |r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk
+             |      FROM sc),
+             |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+             |disc AS (SELECT CAST(g.r AS BIGINT) AS rnk,
+             |                CAST(round(1000000.0 * ln(2) / ln(g.r + 1)) AS BIGINT) AS w
+             |         FROM (SELECT unnest(range(1, 11)) AS r) g),
+             |dcg AS (SELECT r.qid, CAST(sum(disc.w) AS BIGINT) AS dcg
+             |        FROM r JOIN lb lq ON lq.vec_id = r.qid
+             |        JOIN lb ln2 ON ln2.vec_id = r.id
+             |        JOIN disc ON disc.rnk = r.rnk
+             |        WHERE r.rnk <= 10 AND lq.label = ln2.label
+             |        GROUP BY 1),
+             |nrel AS (SELECT lq.vec_id AS qid, CAST(count(*) AS BIGINT) AS nrel
+             |         FROM (SELECT vec_id, label FROM lb WHERE vec_id < 10) lq
+             |         JOIN lb ln2 ON ln2.label = lq.label AND ln2.vec_id <> lq.vec_id
+             |         GROUP BY 1),
+             |idcg AS (SELECT nrel.qid, CAST(sum(disc.w) AS BIGINT) AS idcg
+             |         FROM nrel JOIN disc ON disc.rnk <= least(nrel.nrel, 10)
+             |         GROUP BY 1)
+             |SELECT q.vec_id AS qid,
+             |       CAST(COALESCE(dcg.dcg, 0) AS BIGINT) AS dcg_micro,
+             |       idcg.idcg AS idcg_micro,
+             |       CAST(CASE WHEN idcg.idcg IS NULL THEN NULL
+             |            ELSE (20000 * COALESCE(dcg.dcg, 0) + idcg.idcg) // (2 * idcg.idcg)
+             |            END AS BIGINT) AS ndcg_bp
+             |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+             |LEFT JOIN dcg ON dcg.qid = q.vec_id
+             |LEFT JOIN idcg ON idcg.qid = q.vec_id
+             |ORDER BY qid""".stripMargin)),
+
     // ---- LSH-bucketed ANN (sign random projections, md5-seeded planes)
     "q35_ann_lsh_bucketed" -> QueryDef(
       (s, dir) => {

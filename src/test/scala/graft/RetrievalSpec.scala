@@ -310,6 +310,25 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) === ((0L, -1L, 0L, 0L)))
   }
 
+  test("ndcgAtK: hand-checked discounts, ideal packing, NULL when nothing is relevant") {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    val w = (1 to 3).map(r => math.round(1e6 * math.log(2.0) / math.log(r + 1.0)))
+    val ranked = Seq((0L, 5L, 1L), (0L, 6L, 2L), (0L, 7L, 3L),
+      (1L, 5L, 1L)).toDF("qid", "id", "rnk")
+    val rel = Seq((0L, 5L), (0L, 7L)).toDF("qid", "id") // ranks 1 and 3
+    val got = Retrieval.ndcgAtK(ranked, rel, Seq(0L, 1L).toDF("qid"), k = 3)
+      .collect().map(r => r.getLong(0) -> (
+        r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val dcg = w(0) + w(2)
+    val idcg = w(0) + w(1)
+    assert(got(0L) === ((dcg, idcg, (20000L * dcg + idcg) / (2 * idcg))))
+    // qid 1 has NO relevant item anywhere → nDCG undefined (NULL)
+    assert(got(1L) === ((0L, -1L, -1L)))
+  }
+
   test("rrfFuse: arm overlap dominates, absent arms contribute zero, ties to lowest id") {
     import spark.implicits._
     import graft.llm.Retrieval
