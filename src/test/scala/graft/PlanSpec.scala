@@ -733,6 +733,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashExchanges(p) <= 2, s"re-rank acquired extra shuffles:\n$p")
   }
 
+  test("duplicated-span profile is hash-keyed aggregation only — no pair join") {
+    val p = planOf("q272_duplicated_spans")
+    // the ExactSubstr signal must never materialize doc pairs: spans
+    // group on their hash (boilerplate seen a billion times = ONE
+    // group), flags ride back on the same key
+    assert(!p.contains("CartesianProduct"), s"span profile went all-pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"span profile degraded to SMJ:\n$p")
+    assert(p.contains("partial_"), s"span counts lost map-side combine:\n$p")
+    assert(hashExchanges(p) <= 4, s"span profile acquired extra shuffles:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
+  test("NB training is one vocabulary-bounded shuffle with map-side combine") {
+    val p = planOf("q267_nb_train")
+    // training IS aggregation: the (bucket, class) count is the only
+    // corpus-sized shuffle; totals and the bucket grid broadcast
+    assert(p.contains("partial_"), s"NB counts lost map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"grid/totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"NB train degraded to SMJ:\n$p")
+    assert(hashExchanges(p) <= 2, s"NB train acquired extra shuffles:\n$p")
+  }
+
+  test("unigram fertility scoring is a zero-shuffle scan (vocab rides as a literal)") {
+    val p = planOf("q270_unigram_fertility")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"fertility scan acquired a shuffle:\n$p")
+  }
+
   test("shard plan is the per-source prefix-sum window plus one partial agg") {
     val p = planOf("q181_shard_plan")
     assert(hashExchanges(p) <= 2, s"shard plan acquired extra shuffles:\n$p")
