@@ -504,8 +504,14 @@ object Retrieval {
   /** Compact an append-grown index: rewrite the postings and terms
     * tables to ONE file per bucket (each [[appendToIndex]] adds a file
     * per bucket; scans union them and read-side latency degrades
-    * linearly in append count). Reads are row-identical before and
-    * after — same rows, same bucket spec — pinned by OpsSpec. The
+    * linearly in append count). With no pending deletes, reads are
+    * row-identical before and after — same rows, same bucket spec —
+    * pinned by OpsSpec. With tombstones ([[deleteFromIndex]]), this is
+    * also the MERGE that makes deletes physical: deleted postings are
+    * dropped in the rewrite, the vocabulary and corpus stats are
+    * recomputed from the surviving postings, and the tombstone table
+    * clears — afterwards the index is bit-identical to a rebuild over
+    * the remaining corpus (pinned by the q278/q279 oracle pair). The
     * multi-step rewrite is fenced with the same pending marker as
     * appends: a crash mid-compact leaves a DETECTABLY invalid index
     * (indexExists false → rebuild), never silently wrong scores.
@@ -519,10 +525,30 @@ object Retrieval {
       s"index at $indexDir has an interrupted append/compact — rebuild it")
     java.nio.file.Files.createFile(pending.toPath)
     val (pName, tName) = tableNames(indexDir)
-    graft.sources.BucketedWarehouse.compactBucketedPath(
-      spark, pName, s"$indexDir/postings", Seq("tok"), nb)
-    graft.sources.BucketedWarehouse.compactBucketedPath(
-      spark, tName, s"$indexDir/terms", Seq("tok"), nb)
+    tombstones(spark, indexDir) match {
+      case None =>
+        graft.sources.BucketedWarehouse.compactBucketedPath(
+          spark, pName, s"$indexDir/postings", Seq("tok"), nb)
+        graft.sources.BucketedWarehouse.compactBucketedPath(
+          spark, tName, s"$indexDir/terms", Seq("tok"), nb)
+      case Some(ts) =>
+        // physical delete: the postings rewrite ALSO filters, then the
+        // vocabulary and stats recompute from the surviving postings —
+        // one extra pass each over the already-compacted files
+        graft.sources.BucketedWarehouse.rewriteBucketedPath(
+          spark.read.parquet(s"$indexDir/postings")
+            .join(broadcast(ts), Seq("id"), "left_anti"),
+          spark, pName, s"$indexDir/postings", Seq("tok"), nb)
+        val livePostings = spark.read.parquet(s"$indexDir/postings")
+        graft.sources.BucketedWarehouse.rewriteBucketedPath(
+          livePostings.groupBy(col("tok")).agg(count(lit(1)).as("df_t")),
+          spark, tName, s"$indexDir/terms", Seq("tok"), nb)
+        livePostings.select(col("id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("l_tot"))
+          .write.mode("overwrite").parquet(s"$indexDir/stats")
+        deleteRecursively(new java.io.File(indexDir, TombstoneDir))
+    }
     java.nio.file.Files.delete(pending.toPath)
   }
 
@@ -580,7 +606,10 @@ object Retrieval {
     * query's terms are read, the broadcast query join filters them to
     * exact matches, and the single shuffle is the (qid, id) aggregation
     * of the matched postings. Row-identical to [[bm25TopKFor]] on the
-    * same corpus (pinned by the oracle gate).
+    * same corpus (pinned by the oracle gate). Tombstoned docs
+    * ([[deleteFromIndex]]) are excluded from candidates before the
+    * top-k window (a broadcast anti-join — tombstones are bounded
+    * between compactions).
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, queries: Seq[Seq[String]],
@@ -598,6 +627,45 @@ object Retrieval {
       .join(broadcast(queryTerms), Seq("tok"))
     val joined = postings.filter(col("tok").isin(toks: _*))
       .join(broadcast(resolved), Seq("tok"))
-    rankTopK(scorePostings(joined, stats), k)
+    val live = tombstones(spark, indexDir) match {
+      case Some(ts) => joined.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => joined
+    }
+    rankTopK(scorePostings(live, stats), k)
+  }
+
+  // ------------------------------------------------------------------
+  // Deletes (takedowns): the Lucene tombstone pattern
+  // ------------------------------------------------------------------
+
+  private val TombstoneDir = "tombstones"
+
+  /** Delete documents from the index WITHOUT rewriting it — the
+    * takedown/compliance path. Ids append to a tombstone table;
+    * [[bm25TopKIndexed]] anti-joins candidates against it, so deleted
+    * docs stop being SERVED immediately. Corpus statistics (df, avdl,
+    * N) stay stale until the next [[compactIndex]] physically drops the
+    * postings and recomputes them — exactly Lucene's delete-then-merge
+    * semantics: results never contain a deleted doc, scores drift by
+    * the stale stats until merge, and the merge restores exactness.
+    * Idempotent (re-deleting an id is a no-op at read time; compaction
+    * dedups the tombstone list).
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "at least one id to delete")
+    import spark.implicits._
+    ids.toDF("id").write.mode("append")
+      .parquet(s"$indexDir/$TombstoneDir")
+  }
+
+  /** The tombstone id table, when any deletes are pending. */
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String): Option[DataFrame] = {
+    val dir = new java.io.File(indexDir, TombstoneDir)
+    if (dir.isDirectory &&
+        Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+      Some(spark.read.parquet(dir.toString).select(col("id")).distinct())
+    else None
   }
 }

@@ -274,6 +274,60 @@ object LlmQueries {
     idx.toString
   }
 
+  /** Tombstone-delete fixtures: a fresh BM25 index (NOT the shared
+    * q202 fixture — deletes mutate it) with every doc_id % 10 == 3
+    * tombstoned. `compacted = false` is the Lucene pre-merge serving
+    * state (deleted docs excluded, corpus stats stale); `true` runs
+    * compactIndex so the deletes are physical and the index equals a
+    * rebuild over the survivors. Two separate cached dirs so both
+    * states persist across invocations.
+    */
+  private def bm25DeleteIndexDir(s: SparkSession, dir: String,
+                                 docs: DataFrame,
+                                 compacted: Boolean): String = {
+    val tag = Registry.contentTag(docs, "doc_id", "text")
+    val stage = if (compacted) "c" else "p"
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-bm25del-$stage-v1-$tag")
+    val marker = new java.io.File(idx, "_graft_ready")
+    if (!marker.isFile || !Retrieval.indexExists(idx.toString)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(idx)
+      Retrieval.buildIndex(docs, "doc_id", "text", idx.toString, numBuckets = 8)
+      val ids = docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSeq
+      Retrieval.deleteFromIndex(s, idx.toString, ids)
+      if (compacted) Retrieval.compactIndex(s, idx.toString)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    idx.toString
+  }
+
+  /** q278's oracle: the q202 scoring with FULL-corpus (stale)
+    * statistics but deleted docs excluded from candidates — Lucene's
+    * delete-before-merge semantics, verbatim.
+    */
+  private val DeletePendingBm25Sql: String = {
+    val out = ExplicitBm25Sql.replace(
+      "CROSS JOIN st\n       GROUP BY 1, 2)",
+      "CROSS JOIN st\n       WHERE tf.doc_id % 10 <> 3\n       GROUP BY 1, 2)")
+    require(out != ExplicitBm25Sql, "delete-filter injection failed")
+    out
+  }
+
+  /** q279's oracle: the q202 scoring recomputed over the surviving
+    * corpus — what a post-merge (compacted) index must equal.
+    */
+  private val DeleteCompactedBm25Sql: String = {
+    val out = ExplicitBm25Sql.replace(
+      "FROM documents", "FROM documents WHERE doc_id % 10 <> 3")
+    require(out != ExplicitBm25Sql, "survivor-filter injection failed")
+    out
+  }
+
   /** Deterministic per-corpus-size IVF-PQ vector index dir (the
     * bm25IndexDir convention): built once from the even vec_ids, the odd
     * half APPENDED — so every q211 run also proves appendToIndex lands
@@ -4983,6 +5037,34 @@ object LlmQueries {
           .orderBy("qid", "rnk")
       },
       Some(ExplicitBm25Sql)),
+
+    // ---- Tombstoned deletes, pre-merge (Lucene semantics): deleted
+    // docs never appear in results, corpus stats stay stale until
+    // compaction — the takedown path that needs no index rewrite.
+    "q278_bm25_delete" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val idx = bm25DeleteIndexDir(s, dir, docs, compacted = false)
+        Retrieval.bm25TopKIndexed(s, idx,
+            ExplicitProbeTerms.map(_._2), k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("qid", "rnk")
+      },
+      Some(DeletePendingBm25Sql)),
+
+    // ---- The same index after compaction applies the tombstones:
+    // postings physically dropped, vocabulary and stats recomputed —
+    // must be bit-identical to a rebuild over the surviving corpus.
+    "q279_bm25_delete_compacted" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val idx = bm25DeleteIndexDir(s, dir, docs, compacted = true)
+        Retrieval.bm25TopKIndexed(s, idx,
+            ExplicitProbeTerms.map(_._2), k = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("qid", "rnk")
+      },
+      Some(DeleteCompactedBm25Sql)),
 
     // ---- Source-diversified retrieval: the q198 probes with at most 2
     // survivors per (query, source) before the global top-5 — no

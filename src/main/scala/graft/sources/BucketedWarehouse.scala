@@ -109,12 +109,7 @@ object BucketedWarehouse {
     * interrupted attempt is discarded — it may be partial.
     */
   def compactBucketedPath(spark: SparkSession, name: String, path: String,
-                          keyCols: Seq[String], numBuckets: Int): Unit = {
-    require(spark.catalog.tableExists(name),
-      s"compact target $name not registered — open the index first")
-    val stagedName = s"${name}_compact"
-    val stagedPath = s"${path}_compact"
-    deleteRecursively(new java.io.File(stagedPath))
+                          keyCols: Seq[String], numBuckets: Int): Unit =
     // read the FILES, not the catalog table: reading the bucketed table
     // makes the planner drop writeBucketedPath's repartition as
     // redundant ("Bucketed: false (disabled by query planner)", no
@@ -123,8 +118,26 @@ object BucketedWarehouse {
     // many-files state compaction exists to undo. A plain parquet scan
     // reports unknown partitioning, the repartition survives, and each
     // bucket lands in ONE file.
-    writeBucketedPath(spark.read.parquet(path), stagedName, stagedPath,
+    rewriteBucketedPath(spark.read.parquet(path), spark, name, path,
       keyCols, numBuckets)
+
+  /** [[compactBucketedPath]]'s stage-write + directory-swap core for an
+    * ARBITRARY source frame — what a compaction that also APPLIES a
+    * filter (tombstoned deletes) feeds. `df` must not read the catalog
+    * table `name` itself (read the parquet files — see above), and
+    * must be derivable after the swap only from what it materializes:
+    * the staged write is eager, so by swap time the old files are no
+    * longer needed.
+    */
+  def rewriteBucketedPath(df: DataFrame, spark: SparkSession, name: String,
+                          path: String, keyCols: Seq[String],
+                          numBuckets: Int): Unit = {
+    require(spark.catalog.tableExists(name),
+      s"compact target $name not registered — open the index first")
+    val stagedName = s"${name}_compact"
+    val stagedPath = s"${path}_compact"
+    deleteRecursively(new java.io.File(stagedPath))
+    writeBucketedPath(df, stagedName, stagedPath, keyCols, numBuckets)
     spark.sql(s"DROP TABLE IF EXISTS `$stagedName`")
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     deleteRecursively(new java.io.File(path))

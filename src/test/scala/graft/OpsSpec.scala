@@ -685,4 +685,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!VectorIndex.indexExists(vidx))
     java.nio.file.Files.delete(fence.toPath)
   }
+
+  test("BM25 tombstone deletes: immediate exclusion, compaction makes them physical") {
+    import graft.llm.Retrieval
+    import spark.implicits._
+    val idx = tmp() + "/bidx"
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple dates elderberry"),
+      (3L, "apple banana fig")).toDF("doc_id", "text")
+    Retrieval.buildIndex(docs, "doc_id", "text", idx, numBuckets = 2)
+    def hits() = Retrieval.bm25TopKIndexed(spark, idx, Seq(Seq("apple")), k = 3)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(hits() === Set(1L, 2L, 3L))
+    Retrieval.deleteFromIndex(spark, idx, Seq(2L))
+    // served immediately without a rewrite; re-delete is harmless
+    assert(hits() === Set(1L, 3L))
+    Retrieval.deleteFromIndex(spark, idx, Seq(2L))
+    assert(hits() === Set(1L, 3L))
+    // compaction drops the postings physically and clears tombstones;
+    // the result then equals a rebuild over the survivors EXACTLY
+    Retrieval.compactIndex(spark, idx)
+    assert(!new java.io.File(idx, "tombstones").exists(), "tombstones must clear")
+    val rebuilt = tmp() + "/bidx2"
+    Retrieval.buildIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") =!= 2L),
+      "doc_id", "text", rebuilt, numBuckets = 2)
+    def rows(d: String) = Retrieval.bm25TopKIndexed(spark, d, Seq(Seq("apple")), k = 3)
+      .orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    assert(rows(idx) === rows(rebuilt),
+      "compacted-after-delete index must equal a rebuild over the survivors")
+  }
 }
