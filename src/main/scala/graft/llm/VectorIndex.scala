@@ -116,9 +116,14 @@ object VectorIndex {
   /** Compact an append-grown IVF-PQ index: rewrite the lists table to
     * ONE file per bucket (each [[appendToIndex]] adds a file per
     * bucket, so probe-read file counts grow with every ingest batch).
-    * Search results are row-identical before and after (OpsSpec); the
-    * swap window is fenced — a crash mid-compact makes [[indexExists]]
-    * false instead of leaving a torn lists table.
+    * With no pending deletes, search results are row-identical before
+    * and after (OpsSpec); with tombstones ([[deleteFromIndex]]) the
+    * rewrite also drops the deleted rows and clears the tombstone
+    * table — unlike BM25, ADC carries no corpus statistics, so results
+    * are already exact BEFORE the merge; compaction only reclaims
+    * space and read latency. The swap window is fenced — a crash
+    * mid-compact makes [[indexExists]] false instead of leaving a torn
+    * lists table.
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
     val (nb, _, _) = readManifest(indexDir)
@@ -127,9 +132,58 @@ object VectorIndex {
     require(!pending.exists(),
       s"vector index at $indexDir has an interrupted compact — rebuild it")
     java.nio.file.Files.createFile(pending.toPath)
-    graft.sources.BucketedWarehouse.compactBucketedPath(
-      spark, listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), nb)
+    tombstones(spark, indexDir) match {
+      case None =>
+        graft.sources.BucketedWarehouse.compactBucketedPath(
+          spark, listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), nb)
+      case Some(ts) =>
+        graft.sources.BucketedWarehouse.rewriteBucketedPath(
+          spark.read.parquet(s"$indexDir/lists")
+            .join(broadcast(ts), Seq("id"), "left_anti"),
+          spark, listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), nb)
+        deleteRecursively(new java.io.File(indexDir, TombstoneDir))
+    }
     java.nio.file.Files.delete(pending.toPath)
+  }
+
+  private val TombstoneDir = "tombstones"
+
+  /** Delete vectors from the index without rewriting it — the takedown
+    * path, [[graft.llm.Retrieval.deleteFromIndex]]'s twin. Ids append
+    * to a tombstone table; both search paths anti-join candidates
+    * against it, so deleted vectors stop being served immediately, and
+    * — because ADC scoring has no corpus-level statistics — results
+    * are EXACTLY those of a rebuild over the survivors even before
+    * [[compactIndex]] makes the deletes physical.
+    */
+  def deleteFromIndex(spark: SparkSession, indexDir: String,
+                      ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "at least one id to delete")
+    import spark.implicits._
+    ids.toDF("id").write.mode("append")
+      .parquet(s"$indexDir/$TombstoneDir")
+  }
+
+  private def tombstones(spark: SparkSession,
+                         indexDir: String): Option[DataFrame] = {
+    val dir = new java.io.File(indexDir, TombstoneDir)
+    if (dir.isDirectory &&
+        Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+      Some(spark.read.parquet(dir.toString).select(col("id")).distinct())
+    else None
+  }
+
+  /** Anti-join the (bounded-between-compactions) tombstones, if any. */
+  private def withoutTombstones(spark: SparkSession, indexDir: String,
+                                lists: DataFrame): DataFrame =
+    tombstones(spark, indexDir) match {
+      case Some(ts) => lists.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => lists
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** Encode an append batch against the PERSISTED quantizers and append
@@ -181,8 +235,8 @@ object VectorIndex {
     val probeCents = probeRows.map(_._2).distinct.sorted
     import spark.implicits._
     val qProbes = probeRows.toDF("query_id", "cent_id", "graft_dt")
-    val lists = openLists(spark, indexDir)
-      .filter(col("cent_id").isin(probeCents: _*))
+    val lists = withoutTombstones(spark, indexDir,
+      openLists(spark, indexDir).filter(col("cent_id").isin(probeCents: _*)))
     val adc = call_function("graft_adc", col("graft_dt"), col("codes"), lit(m))
     val scored = broadcast(qProbes).join(lists, Seq("cent_id"))
       .filter(col("query_id") =!= col("id"))
@@ -231,8 +285,8 @@ object VectorIndex {
     val probeCents = probeRows.map(_._2).distinct.sorted
     import spark.implicits._
     val qProbes = probeRows.toDF("query_id", "cent_id", "graft_dt", "graft_qv")
-    val lists = openLists(spark, indexDir)
-      .filter(col("cent_id").isin(probeCents: _*))
+    val lists = withoutTombstones(spark, indexDir,
+      openLists(spark, indexDir).filter(col("cent_id").isin(probeCents: _*)))
     val adc = call_function("graft_adc", col("graft_dt"), col("codes"), lit(m))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))

@@ -328,6 +328,47 @@ object LlmQueries {
     out
   }
 
+  /** q280's oracle: the q211 IVF-ADC scoring with tombstoned vectors
+    * (vec_id % 10 == 7) excluded from candidates — unlike BM25, ADC
+    * carries no corpus statistics, so the pre-merge result is ALREADY
+    * exactly a rebuild over the survivors.
+    */
+  private val DeleteIvfAdcSql: String = {
+    val out = IvfAdcSql.replace(
+      "JOIN asg ag ON ag.cent_id = p.cent_id AND ag.id <> p.query_id",
+      "JOIN asg ag ON ag.cent_id = p.cent_id AND ag.id <> p.query_id AND ag.id % 10 <> 7")
+    require(out != IvfAdcSql, "delete-filter injection failed")
+    out
+  }
+
+  /** Tombstone-delete ANN fixture: the annIndexDir build with every
+    * vec_id % 10 == 7 deleted afterwards (cached separately — deletes
+    * mutate the index).
+    */
+  private def annDeleteIndexDir(s: SparkSession, dir: String,
+                                emb: DataFrame): String = {
+    val tag = Registry.contentTag(emb, "vec_id", "embedding")
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-anndel-v1-$tag")
+    val marker = new java.io.File(idx, "_graft_ready")
+    if (!marker.isFile || !VectorIndex.indexExists(idx.toString)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(idx)
+      VectorIndex.buildIndex(emb, "vec_id", "embedding",
+        coarse = emb.filter(col("vec_id") < 8),
+        codebook = emb.filter(col("vec_id") < 16),
+        idx.toString, numBuckets = 8)
+      val ids = emb.filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+      VectorIndex.deleteFromIndex(s, idx.toString, ids)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    idx.toString
+  }
+
   /** Deterministic per-corpus-size IVF-PQ vector index dir (the
     * bm25IndexDir convention): built once from the even vec_ids, the odd
     * half APPENDED — so every q211 run also proves appendToIndex lands
@@ -2537,6 +2578,24 @@ object LlmQueries {
           .orderBy("query_id", "rnk")
       },
       Some(IvfAdcSql)),
+
+    // ---- Tombstoned vector deletes: the q211 probes against an index
+    // with vec_id % 10 == 7 deleted — excluded immediately via the
+    // broadcast anti-join, and (no corpus stats in ADC) already exactly
+    // a rebuild over the survivors even before compaction.
+    "q280_ann_delete" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val idx = annDeleteIndexDir(s, dir, emb)
+        val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        VectorIndex.annTopKIndexed(s, idx, probes, k = 5, nProbe = 2)
+          .orderBy("query_id", "rnk")
+      },
+      Some(DeleteIvfAdcSql)),
 
     // ---- The persisted-index serving path WITH the refine stage:
     // ADC candidates (kCand=15) from the bucket-pruned lists scan,

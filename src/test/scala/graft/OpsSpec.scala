@@ -686,6 +686,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.delete(fence.toPath)
   }
 
+  test("ANN tombstone deletes: immediate exact exclusion, compaction reclaims the rows") {
+    import graft.llm.VectorIndex
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val coarse = emb.filter(col("vec_id") < 8)
+    val cb = emb.filter(col("vec_id") < 16)
+    val idx = tmp() + "/vidx"
+    val surv = tmp() + "/vidx2"
+    VectorIndex.buildIndex(emb, "vec_id", "embedding", coarse, cb, idx, 4)
+    VectorIndex.buildIndex(emb.filter(col("vec_id") % 10 =!= 7),
+      "vec_id", "embedding", coarse, cb, surv, 4)
+    val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 14)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    def rows(d: String) = VectorIndex.annTopKIndexed(spark, d, probes, 5, 2)
+      .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+    val deleted = emb.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSeq
+    VectorIndex.deleteFromIndex(spark, idx, deleted)
+    // pre-merge results ALREADY equal a rebuild over the survivors
+    // (no corpus stats in ADC scoring)
+    assert(rows(idx) === rows(surv))
+    VectorIndex.compactIndex(spark, idx)
+    assert(!new java.io.File(idx, "tombstones").exists(), "tombstones must clear")
+    assert(rows(idx) === rows(surv), "post-merge results changed")
+  }
+
   test("BM25 tombstone deletes: immediate exclusion, compaction makes them physical") {
     import graft.llm.Retrieval
     import spark.implicits._
