@@ -1576,6 +1576,13 @@ object Dedup {
     * already present append (bucketed left-anti probes — batch-sized
     * work), so the distinct-keys invariant survives any append order
     * and re-sending a batch is idempotent.
+    *
+    * No doc-level DELETE exists for this index BY DESIGN (unlike the
+    * BM25/IVF tombstone paths): the tables are content-addressed
+    * distinct key SETS shared across documents — removing one doc's
+    * keys would also stop catching every OTHER doc with the same
+    * content. A takedown that must forget content entirely (the hash
+    * itself is the "data") rebuilds from the surviving corpus.
     */
   def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
                          indexDir: String): Unit = {

@@ -23,9 +23,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * construction (anti-join fold), and the BM25 postings append — which
   * is NOT naturally idempotent — is fenced by its own per-batch
   * sub-ledger in the BM25 index dir, written right after the postings
-  * land, so a crash between the postings append and the main ledger
-  * write makes the replay SKIP the postings step instead of
-  * double-counting tf/df/N. The one remaining hard failure is a crash
+  * land, so a crash anywhere between the sub-ledger line and the main
+  * ledger write makes the replay SKIP the postings step instead of
+  * double-counting tf/df/N. (The double-append window is thereby
+  * narrowed from "postings → main ledger commit" to the instant
+  * between the postings append finishing and its sub-ledger line
+  * landing — nonzero, stated honestly; closing it entirely needs a
+  * transactional index store.) The one remaining hard failure is a crash
   * DURING [[graft.llm.Retrieval.appendToIndex]] itself: that trips the
   * index's `_graft_append_pending` fence (the index is torn — missing
   * df_t / stale avdl), every replay of the batch then throws, and the
