@@ -158,11 +158,12 @@ object Retrieval {
     * serving stacks use it — and the once-rounded integer contributions
     * make the fused ranking engine-exact (ties → lowest id).
     *
-    * Both inputs carry (qid, id, rnk) and are per-query BOUNDED
-    * (top-k lists), so the full-outer join and the per-query re-rank
-    * window run on ≤ 2·|list| rows per query at any corpus size.
-    * Output: (qid, rrf_rnk, id, rrf_micro, rnk_a, rnk_b) — arm ranks
-    * NULL where the arm missed the candidate.
+    * Both inputs carry (qid, id, rnk), must hold ONE row per (qid, id)
+    * (what a top-k list is — a duplicated candidate would double its
+    * contribution), and are per-query BOUNDED, so the full-outer join
+    * and the per-query re-rank window run on ≤ 2·|list| rows per query
+    * at any corpus size. Output: (qid, rrf_rnk, id, rrf_micro, rnk_a,
+    * rnk_b) — arm ranks NULL where the arm missed the candidate.
     */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
     require(k > 0 && kRrf >= 0, s"need k >= 1 and kRrf >= 0, got k=$k kRrf=$kRrf")

@@ -904,4 +904,32 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect { case (k, Some(p)) => k -> p }.toMap
     assert(got === expect)
   }
+
+  test("duplicatedSpans matches a brute-force span map on random small docs") {
+    import spark.implicits._
+    val rnd = new Random(57)
+    val vocab = Vector("a", "b", "c", "d")
+    val k = 3
+    val docs = (1L to 50L).map { i =>
+      val n = rnd.nextInt(10) // 0..9 tokens: includes the under-k edge
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = graft.llm.Dedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: every k-token window as a plain string, cross-doc sets
+    val spans = docs.map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      id -> (if (ws.length >= k) ws.sliding(k).map(_.mkString(" ")).toSeq
+             else Seq.empty)
+    }
+    val byGram = spans.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    spans.foreach { case (id, ss) =>
+      val dup = ss.count(g => byGram(g) >= 2)
+      assert(got(id) === ((ss.size.toLong, dup.toLong)),
+        s"doc $id: got ${got(id)}, want (${ss.size}, $dup)")
+    }
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
 }
