@@ -156,4 +156,53 @@ object IndexIngest {
       try src.getLines().filter(_.nonEmpty).map(_.toLong).toSet
       finally src.close()
     }
+
+  private val DeleteLedgerName = "_graft_takedown_ledger"
+
+  /** Process one TAKEDOWN micro-batch — the delete-side twin of
+    * [[processBatch]]: each arriving doc id tombstones in the BM25
+    * index (and optionally the vector index); returns the id count, or
+    * -1 on a replayed batch. Tombstone appends are idempotent at read
+    * time (the query-side anti-join dedups ids), so the ledger here
+    * only saves replay work — there is no double-count hazard at all
+    * on this path. Deletes do NOT touch the dedup index by design (its
+    * content-addressed key sets are shared across documents — see
+    * [[graft.llm.Dedup.appendToDedupIndex]]). `compactEvery` > 0 runs
+    * the physical merge after every N committed takedown batches.
+    */
+  def processDeleteBatch(batch: DataFrame, batchId: Long, idCol: String,
+                         bm25IndexDir: String,
+                         annIndexDir: Option[String] = None,
+                         compactEvery: Int = 0): Long = {
+    val spark = batch.sparkSession
+    val ledger = new java.io.File(bm25IndexDir, DeleteLedgerName)
+    if (committedIds(ledger).contains(batchId)) return -1L
+    val ids = batch.select(col(idCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (ids.nonEmpty) {
+      Retrieval.deleteFromIndex(spark, bm25IndexDir, ids)
+      annIndexDir.foreach(graft.llm.VectorIndex.deleteFromIndex(spark, _, ids))
+    }
+    appendLine(ledger, batchId)
+    if (compactEvery > 0 && committedIds(ledger).size % compactEvery == 0) {
+      Retrieval.compactIndex(spark, bm25IndexDir)
+      annIndexDir.foreach(graft.llm.VectorIndex.compactIndex(spark, _))
+    }
+    ids.length.toLong
+  }
+
+  /** Start the streaming takedown: `ids` is a streaming frame carrying
+    * the doc ids to delete.
+    */
+  def startDeletes(ids: DataFrame, idCol: String, bm25IndexDir: String,
+                   annIndexDir: Option[String], checkpoint: String,
+                   compactEvery: Int = 0): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDeleteBatch(batch, batchId, idCol, bm25IndexDir,
+          annIndexDir, compactEvery)
+        ()
+      }
+      .start()
 }

@@ -482,6 +482,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming takedown batches tombstone the indexes, ledger makes replays no-ops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-takedown").toFile
+    dir.deleteOnExit()
+    val bidx = s"$dir/bidx"
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry"),
+      (3L, "apple dates")).toDF("doc_id", "text")
+    graft.llm.Retrieval.buildIndex(docs, "doc_id", "text", bidx, numBuckets = 2)
+    def hits() = graft.llm.Retrieval
+      .bm25TopKIndexed(spark, bidx, Seq(Seq("apple")), k = 3)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(hits() === Set(1L, 2L, 3L))
+    val b0 = Seq(2L).toDF("doc_id")
+    assert(graft.streaming.IndexIngest.processDeleteBatch(
+      b0, 0L, "doc_id", bidx) === 1L)
+    assert(hits() === Set(1L, 3L))
+    // replayed batch id → ledger no-op
+    assert(graft.streaming.IndexIngest.processDeleteBatch(
+      b0, 0L, "doc_id", bidx) === -1L)
+    // compactEvery=1: the next batch's merge makes deletes physical
+    assert(graft.streaming.IndexIngest.processDeleteBatch(
+      Seq(3L).toDF("doc_id"), 1L, "doc_id", bidx, compactEvery = 1) === 1L)
+    assert(!new java.io.File(bidx, "tombstones").exists(),
+      "compaction must clear tombstones")
+    assert(hits() === Set(1L))
+  }
+
   test("streaming snapshot maintainer folds CDC batches into versioned parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
