@@ -177,8 +177,15 @@ object IndexIngest {
     val spark = batch.sparkSession
     val ledger = new java.io.File(bm25IndexDir, DeleteLedgerName)
     if (committedIds(ledger).contains(batchId)) return -1L
+    // takedown batches are compliance lists — bounded by nature; the
+    // limit+require turns a mis-wired corpus-sized stream into a clear
+    // error instead of a driver OOM (the codebook-guard pattern)
+    val maxIds = 1000000
     val ids = batch.select(col(idCol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .limit(maxIds + 1).collect().map(_.getLong(0)).toSeq
+    require(ids.length <= maxIds,
+      s"takedown batch exceeds $maxIds distinct ids — this is a bounded " +
+        "compliance path; split the batch or rebuild the index instead")
     if (ids.nonEmpty) {
       Retrieval.deleteFromIndex(spark, bm25IndexDir, ids)
       annIndexDir.foreach(graft.llm.VectorIndex.deleteFromIndex(spark, _, ids))
