@@ -143,6 +143,13 @@ object Bench {
     // reads everything. Layouts are built untimed; the timed region is
     // the filtered count, best of 3 (the BucketingSpec footer-stats
     // test proves the pruning; this measures what it buys).
+    // bench fixtures land in temp dirs that MUST be removed afterwards —
+    // the z-order pair alone writes ~2×5M rows of parquet, and repeated
+    // bench runs would otherwise leak disk without bound
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete()
+    }
     val (zPlainSec, zOrderSec) = if (!only.exists(_.nonEmpty)) {
       import org.apache.spark.sql.functions._
       val zDir = java.nio.file.Files.createTempDirectory("graft-bench-zorder").toString
@@ -170,7 +177,8 @@ object Bench {
         once() // warm-up (codegen + footer cache)
         Seq(once(), once(), once()).min
       }
-      (timeWindow(s"$zDir/plain"), timeWindow(s"$zDir/zorder"))
+      try (timeWindow(s"$zDir/plain"), timeWindow(s"$zDir/zorder"))
+      finally deleteRecursively(new java.io.File(zDir))
     } else (0.0, 0.0)
 
     // Compaction payoff pair: the SAME indexed BM25 probe against a
@@ -181,8 +189,9 @@ object Bench {
     // row-identical by the OpsSpec pin, so only layout is measured.
     val (cmpAppendedSec, cmpCompactedSec) = if (!only.exists(_.nonEmpty)) {
       import org.apache.spark.sql.functions._
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-compact")
-        .toString + "/bidx"
+      val cmpRoot = java.nio.file.Files.createTempDirectory("graft-bench-compact")
+        .toString
+      val idxDir = cmpRoot + "/bidx"
       val docs = graft.queries.Registry.table(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
       graft.llm.Retrieval.buildIndex(docs.filter(col("doc_id") % 9 === 0),
@@ -201,9 +210,11 @@ object Bench {
         once() // warm-up
         Seq(once(), once(), once()).min
       }
-      val before = timeProbe()
-      graft.llm.Retrieval.compactIndex(spark, idxDir)
-      (before, timeProbe())
+      try {
+        val before = timeProbe()
+        graft.llm.Retrieval.compactIndex(spark, idxDir)
+        (before, timeProbe())
+      } finally deleteRecursively(new java.io.File(cmpRoot))
     } else (0.0, 0.0)
     // Each query runs N times and reports the min (criterion-style
     // steady state): run 1 absorbs first-touch costs the sf0.001 warm-up

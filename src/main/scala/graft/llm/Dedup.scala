@@ -1007,7 +1007,9 @@ object Dedup {
     *
     * Dispatch probes are bounded driver actions (the
     * [[connectedComponents]] edge-count precedent): the vocabulary
-    * count is capped by `limit(max+1)`, and the pair-loop budget
+    * count is a full `count()` over the persisted dfreq — the same
+    * aggregation both regimes consume, so the probe doubles as the
+    * cache materialization pass — and the pair-loop budget
     * D²·width ≤ opsPerCore · defaultParallelism keeps the dense path
     * off corpora whose distinct-text count would make the quadratic
     * loop slower than the sparse plan at the session's actual core
@@ -1026,9 +1028,13 @@ object Dedup {
     val dfreq = CacheRegistry.persist(
       toks.groupBy(col("tok")).agg(count(lit(1)).as("graft_df")))
     val vocabMax = denseVocabMax(spark)
-    val vocabN = dfreq.limit(vocabMax + 1).count()
-    val width = math.max(((vocabN + 63) / 64).toInt, 1).toLong
-    if (densePathEligible(spark, vocabN, vocabMax, texts.count(), width))
+    // full count (not limit(max+1)): both regimes consume dfreq, and a
+    // full count materializes its cache completely — see
+    // [[weightedJaccardJoin]]'s dispatch note
+    val nTexts = texts.count()
+    val vocabN = dfreq.count()
+    val width = math.max((vocabN + 63) / 64, 1L)
+    if (densePathEligible(spark, vocabN, vocabMax, nTexts, width))
       denseJaccardDistinct(texts, toks, dfreq, vocabN.toInt, thresholdBp)
     else prefixJaccardDistinct(texts, toks, dfreq, thresholdBp)
   }
@@ -1211,9 +1217,10 @@ object Dedup {
     val dfreq = CacheRegistry.persist(
       toks.groupBy(col("tok")).agg(count(lit(1)).as("graft_df")))
     val vocabMax = denseVocabMax(spark)
-    val vocabN = dfreq.limit(vocabMax + 1).count()
-    val width = math.max(((vocabN + 63) / 64).toInt, 1).toLong
-    if (densePathEligible(spark, vocabN, vocabMax, texts.count(), width))
+    val nTexts = texts.count()
+    val vocabN = dfreq.count()
+    val width = math.max((vocabN + 63) / 64, 1L)
+    if (densePathEligible(spark, vocabN, vocabMax, nTexts, width))
       denseContainmentDistinct(texts, toks, dfreq, vocabN.toInt, thresholdBp)
     else prefixContainmentDistinct(texts, toks, dfreq, thresholdBp)
   }
@@ -1358,9 +1365,17 @@ object Dedup {
     // ≤ vocabN, hence vocabN as the budget's per-pair unit.
     val spark = df.sparkSession
     val vocabMax = denseVocabMax(spark)
+    // full count, not limit(max+1).count(): the probe's aggregation IS
+    // dfreq (needed by both regimes), so a full count materializes the
+    // persisted frame COMPLETELY — a limited count populates only the
+    // partitions the incremental CollectLimit touched, and every
+    // downstream dfreq consumer re-ran the missing ones (the r10 bench
+    // flagged the two extra probe jobs on q151). texts is materialized
+    // first so the dfreq scan reads it from cache.
     val dfreqP = CacheRegistry.persist(dfreq)
-    val vocabN = dfreqP.limit(vocabMax + 1).count()
-    val dense = densePathEligible(spark, vocabN, vocabMax, texts.count(),
+    val nTexts = texts.count()
+    val vocabN = dfreqP.count()
+    val dense = densePathEligible(spark, vocabN, vocabMax, nTexts,
       math.max(vocabN, 1L))
     // per text: (tok, w) in rarity order, total weight W, and the
     // TOKEN-SORTED parallel (tokens, weights) arrays for the merge-walk

@@ -524,6 +524,18 @@ object Retrieval {
     val pending = new java.io.File(indexDir, PendingName)
     require(!pending.exists(),
       s"index at $indexDir has an interrupted append/compact — rebuild it")
+    // every doc tombstoned → n_docs=0 would make openIndex's avdl
+    // divide by zero and later probes silently score NULL; an empty
+    // index is not a servable state — fail BEFORE the fence goes up
+    // (nothing is mutated, so the index stays valid and serving)
+    tombstones(spark, indexDir).foreach { ts =>
+      val anySurvivor = spark.read.parquet(s"$indexDir/postings")
+        .join(broadcast(ts), Seq("id"), "left_anti").limit(1).count()
+      require(anySurvivor > 0,
+        s"compactIndex at $indexDir would leave zero surviving docs — " +
+          "an empty BM25 index cannot serve scores; drop the index dir " +
+          "and rebuild when content exists")
+    }
     java.nio.file.Files.createFile(pending.toPath)
     val (pName, tName) = tableNames(indexDir)
     tombstones(spark, indexDir) match {

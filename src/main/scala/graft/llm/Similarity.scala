@@ -94,16 +94,33 @@ object Similarity {
     * contract and (score desc, id) ordering as [[cosineTopK]], with
     * the label disagreement as an extra join predicate; at scale run
     * it over ANN candidates instead (compose with the IVF lists).
-    * Zero-norm corpus rows are excluded (NaN guard, as everywhere).
-    * Output: (query_id, query_label, neighbor_id, neighbor_label,
-    * rank, score).
+    * The contract is ENFORCED the same way cosineTopK enforces it: a
+    * limit-bounded count of the query frame rides into the query-side
+    * norm column and raises the contract error in-plan when the query
+    * side exceeds `maxQueries` — an oversized frame errors instead of
+    * OOMing the broadcast. Zero-norm corpus rows are excluded (NaN
+    * guard, as everywhere). Output: (query_id, query_label,
+    * neighbor_id, neighbor_label, rank, score).
     */
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
-                    labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+                    labelCol: String, queries: DataFrame, k: Int,
+                    maxQueries: Long = 100000L): DataFrame = {
+    require(maxQueries > 0 && maxQueries < Int.MaxValue,
+      s"maxQueries must be in (0, Int.MaxValue), got $maxQueries")
     VecFunctions.register(corpus.sparkSession)
+    val nq = broadcast(queries.limit(maxQueries.toInt + 1)
+      .select(count(lit(1)).as("graft_nq")))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(labelCol).cast("long").as("query_label"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn")))
+      norm(col(vecCol)).as("graft_qn0"))
+      .crossJoin(nq)
+      .select(col("query_id"), col("query_label"), col("qv"),
+        when(col("graft_nq") <= maxQueries, col("graft_qn0"))
+          .otherwise(raise_error(lit(
+            s"hardNegatives query side exceeds $maxQueries rows — brute force is " +
+              "Q×N by contract; mine over ANN candidates for large query sets"))
+            .cast("double"))
+          .as("qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(labelCol).cast("long").as("neighbor_label"), col(vecCol).as("nv"),
         norm(col(vecCol)).as("nn"))

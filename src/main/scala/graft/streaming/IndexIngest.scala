@@ -181,8 +181,16 @@ object IndexIngest {
     // limit+require turns a mis-wired corpus-sized stream into a clear
     // error instead of a driver OOM (the codebook-guard pattern)
     val maxIds = 1000000
-    val ids = batch.select(col(idCol).cast("long")).distinct()
-      .limit(maxIds + 1).collect().map(_.getLong(0)).toSeq
+    // NULL / uncastable ids would surface as null cells and getLong
+    // would NPE the takedown stream — fail with a compliance-path
+    // message instead (a takedown list with unparseable ids is a
+    // mis-wired feed, not a skippable row)
+    val rawIds = batch.select(col(idCol).cast("long").as("graft_id"))
+      .distinct().limit(maxIds + 1).collect()
+    require(rawIds.forall(!_.isNullAt(0)),
+      s"takedown batch contains NULL or non-numeric '$idCol' values — " +
+        "every takedown id must cast to BIGINT; fix the feed")
+    val ids = rawIds.map(_.getLong(0)).toSeq
     require(ids.length <= maxIds,
       s"takedown batch exceeds $maxIds distinct ids — this is a bounded " +
         "compliance path; split the batch or rebuild the index instead")

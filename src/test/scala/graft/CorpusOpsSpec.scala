@@ -634,6 +634,26 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok.count() == 4L) // 2 queries × top-2
   }
 
+  test("hardNegatives enforces the same bounded-query-side contract as cosineTopK") {
+    import spark.implicits._
+    val emb = (1L to 5L).map(i => (i, i % 2, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    // lazy construction, in-plan raise at execution — guard parity with
+    // cosineTopK (an oversized query frame errors, never OOMs the
+    // broadcast)
+    val over = graft.llm.Similarity.hardNegatives(emb, "vec_id", "embedding",
+      "label", emb, 2, maxQueries = 3L)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] { over.collect() }
+    assert(messages(e).exists(_.contains("by contract")),
+      s"expected the Q×N contract failure, got: $e")
+    // within contract: results unchanged by the guard column
+    val ok = graft.llm.Similarity.hardNegatives(emb, "vec_id", "embedding",
+      "label", emb.limit(2), 1)
+    assert(ok.count() == 2L) // 2 queries × top-1 opposite-label neighbor
+  }
+
   test("embedCovariance divisor survives n beyond the BIGINT 200·n² overflow point") {
     // n = 3e9 rows: 200·n² ≈ 1.8e21 overflows BIGINT; the decimal-promoted
     // expression must still divide exactly. sij chosen so n·sij = 5·100·n².
