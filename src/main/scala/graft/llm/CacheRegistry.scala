@@ -17,7 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CacheRegistry {
   private val reg = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, AnyRef)]]()
+
+  // The ambient owner for scoped release: registrations made while a
+  // [[scoped]] block runs on this thread are tagged with its token, so
+  // the block's exit releases ONLY its own work — an identity snapshot
+  // of the shared queue (the previous mechanism) also swept caches a
+  // concurrently-running stream/job registered during the block.
+  private val currentOwner = new ThreadLocal[AnyRef]
 
   /** Persist `df` (default storage level) and track the handle.
     * IDEMPOTENT by logical plan: composed operators re-persist shared
@@ -32,7 +39,8 @@ object CacheRegistry {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       df.persist()
       reg.computeIfAbsent(df.sparkSession,
-        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, AnyRef)]())
+        .add((df, currentOwner.get()))
     }
     df
   }
@@ -40,35 +48,37 @@ object CacheRegistry {
   /** Unpersist every handle registered for the session. */
   def releaseAll(spark: SparkSession): Unit = {
     val q = reg.remove(spark)
-    if (q != null) q.forEach { df =>
+    if (q != null) q.forEach { case (df, _) =>
       try df.unpersist() catch { case _: Throwable => () }
     }
   }
 
-  /** Identity snapshot of the handles currently registered for the
-    * session — pair with [[releaseDelta]] so a long-running caller (a
-    * streaming micro-batch loop) can release ONLY the caches its own
-    * work registered, without unpersisting co-resident jobs' frames.
+  /** Run `body` with every [[persist]] on THIS thread tagged to a fresh
+    * owner token, then unpersist exactly those handles — the streaming
+    * micro-batch pattern: a long-running foreachBatch loop releases the
+    * caches its own operators registered, never a co-resident job's
+    * (whose registrations carry a different owner, or none). Nested
+    * scopes stack: the inner scope's releases don't touch the outer's.
     */
-  def snapshot(spark: SparkSession): java.util.Set[DataFrame] = {
-    val s = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
-    val q = reg.get(spark)
-    if (q != null) q.forEach { df => s.add(df); () }
-    s
+  def scoped[T](spark: SparkSession)(body: => T): T = {
+    val tok = new Object
+    val prev = currentOwner.get()
+    currentOwner.set(tok)
+    try body
+    finally {
+      currentOwner.set(prev)
+      releaseOwned(spark, tok)
+    }
   }
 
-  /** Unpersist and deregister every handle added AFTER `before` (a
-    * [[snapshot]] taken by the same caller). Handles present in the
-    * snapshot — other operators' live caches — are left untouched.
-    */
-  def releaseDelta(spark: SparkSession, before: java.util.Set[DataFrame]): Unit = {
+  /** Unpersist and deregister every handle tagged with `owner`. */
+  private def releaseOwned(spark: SparkSession, owner: AnyRef): Unit = {
     val q = reg.get(spark)
     if (q != null) {
       val it = q.iterator()
       while (it.hasNext) {
-        val df = it.next()
-        if (!before.contains(df)) {
+        val (df, tag) = it.next()
+        if (tag eq owner) {
           try df.unpersist() catch { case _: Throwable => () }
           it.remove()
         }

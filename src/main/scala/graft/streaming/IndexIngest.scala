@@ -68,56 +68,57 @@ object IndexIngest {
                    compactEvery: Int = 0): Long = {
     val ledger = new java.io.File(dedupIndexDir, LedgerName)
     if (committedIds(ledger).contains(batchId)) return -1L
-    // release only the caches THIS batch registers — releaseAll would
-    // unpersist every co-resident job's frames on each micro-batch
-    val cacheMark = graft.llm.CacheRegistry.snapshot(batch.sparkSession)
-    // collapse the batch against ITSELF first: the index probe only
-    // knows COMMITTED content, so two copies arriving in the same
-    // micro-batch would otherwise both pass the probe and ingest
-    // permanently. Near mode runs the full dedupCorpus (exact collapse
-    // + LSH→CC) with the INDEX's own manifest parameters; exact mode
-    // keeps the min-id row per text hash.
-    val withinKeep =
-      if (dropNear) {
-        val (_, shingleN, numHashes, rowsPerBand) =
-          Dedup.readDedupManifest(dedupIndexDir)
-        Dedup.dedupCorpus(batch, idCol, textCol, shingleN, numHashes,
-            rowsPerBand)
-          .filter(col("kept") === 1L)
-          .select(col("doc_id").as(idCol))
-      } else {
-        batch.groupBy(md5(col(textCol)).as("graft_h"))
-          .agg(min(col(idCol)).as(idCol))
-          .select(col(idCol))
-      }
-    val collapsed = batch.join(withinKeep, Seq(idCol), "left_semi")
-    val flags = Dedup.dedupAgainstIndex(collapsed, idCol, textCol, dedupIndexDir)
-    val keepIds = flags.filter(
-      if (dropNear) col("exact_dup") === 0 && col("near_dup") === 0
-      else col("exact_dup") === 0)
-      .select(col(idCol))
-    // bounded per-batch frame; two appends read it
-    val survivors = collapsed.join(keepIds, Seq(idCol)).persist()
-    val n = survivors.count()
-    if (n > 0) {
-      // postings first (fenced by the per-batch sub-ledger so a replay
-      // after a post-append crash skips this step), dedup keys next
-      // (idempotent anti-join), main ledger last — see restart
-      // semantics above
-      bm25IndexDir.foreach { dir =>
-        val subLedger = new java.io.File(dir, Bm25LedgerName)
-        if (!committedIds(subLedger).contains(batchId)) {
-          Retrieval.appendToIndex(survivors, idCol, textCol, dir)
-          appendLine(subLedger, batchId)
+    // the batch's operator caches are released when the scope exits —
+    // owner-tagged, so ONLY this batch's registrations go (releaseAll
+    // would unpersist every co-resident job's frames on each
+    // micro-batch; an identity snapshot would sweep frames a
+    // concurrent stream registered during this batch)
+    val n = graft.llm.CacheRegistry.scoped(batch.sparkSession) {
+      // collapse the batch against ITSELF first: the index probe only
+      // knows COMMITTED content, so two copies arriving in the same
+      // micro-batch would otherwise both pass the probe and ingest
+      // permanently. Near mode runs the full dedupCorpus (exact collapse
+      // + LSH→CC) with the INDEX's own manifest parameters; exact mode
+      // keeps the min-id row per text hash.
+      val withinKeep =
+        if (dropNear) {
+          val (_, shingleN, numHashes, rowsPerBand) =
+            Dedup.readDedupManifest(dedupIndexDir)
+          Dedup.dedupCorpus(batch, idCol, textCol, shingleN, numHashes,
+              rowsPerBand)
+            .filter(col("kept") === 1L)
+            .select(col("doc_id").as(idCol))
+        } else {
+          batch.groupBy(md5(col(textCol)).as("graft_h"))
+            .agg(min(col(idCol)).as(idCol))
+            .select(col(idCol))
         }
+      val collapsed = batch.join(withinKeep, Seq(idCol), "left_semi")
+      val flags = Dedup.dedupAgainstIndex(collapsed, idCol, textCol, dedupIndexDir)
+      val keepIds = flags.filter(
+        if (dropNear) col("exact_dup") === 0 && col("near_dup") === 0
+        else col("exact_dup") === 0)
+        .select(col(idCol))
+      // bounded per-batch frame; two appends read it
+      val survivors = collapsed.join(keepIds, Seq(idCol)).persist()
+      val kept = survivors.count()
+      if (kept > 0) {
+        // postings first (fenced by the per-batch sub-ledger so a replay
+        // after a post-append crash skips this step), dedup keys next
+        // (idempotent anti-join), main ledger last — see restart
+        // semantics above
+        bm25IndexDir.foreach { dir =>
+          val subLedger = new java.io.File(dir, Bm25LedgerName)
+          if (!committedIds(subLedger).contains(batchId)) {
+            Retrieval.appendToIndex(survivors, idCol, textCol, dir)
+            appendLine(subLedger, batchId)
+          }
+        }
+        Dedup.appendToDedupIndex(survivors, idCol, textCol, dedupIndexDir)
       }
-      Dedup.appendToDedupIndex(survivors, idCol, textCol, dedupIndexDir)
-    }
-    survivors.unpersist()
-    // the within-batch dedupCorpus registers micro-batch-sized caches;
-    // release THOSE per batch (a long-running stream would accumulate
-    // them) without touching caches other operators registered
-    graft.llm.CacheRegistry.releaseDelta(batch.sparkSession, cacheMark)
+      survivors.unpersist()
+      kept
+    } // scope exit releases this batch's operator caches
     appendLine(ledger, batchId)
     if (compactEvery > 0 && committedIds(ledger).size % compactEvery == 0) {
       Dedup.compactDedupIndex(batch.sparkSession, dedupIndexDir)

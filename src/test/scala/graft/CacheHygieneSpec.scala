@@ -132,18 +132,28 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
-  test("releaseDelta releases only caches registered after the snapshot") {
+  test("scoped releases only the scope's own registrations") {
     import spark.implicits._
     val resident = CacheRegistry.persist((1L to 5L).toDF("a"))
     resident.count()
-    val mark = CacheRegistry.snapshot(spark)
-    val mine = CacheRegistry.persist(spark.range(1, 6).toDF("b").filter(col("b") > 0))
-    mine.count()
-    assert(spark.sparkContext.getPersistentRDDs.size == 2)
-    CacheRegistry.releaseDelta(spark, mark)
-    // the co-resident cache survives; only the post-snapshot one is gone
-    assert(spark.sparkContext.getPersistentRDDs.size == 1,
-      "releaseDelta must not unpersist caches registered before the snapshot")
+    CacheRegistry.scoped(spark) {
+      val mine = CacheRegistry.persist(
+        spark.range(1, 6).toDF("b").filter(col("b") > 0))
+      mine.count()
+      // a registration made DURING the scope by other (unscoped) work —
+      // the case an identity snapshot of the shared queue would sweep
+      val other = new Thread(() => {
+        CacheRegistry.persist(
+          spark.range(1, 7).toDF("c").filter(col("c") > 0)).count()
+        ()
+      })
+      other.start(); other.join()
+      assert(spark.sparkContext.getPersistentRDDs.size == 3)
+    }
+    // only the scope's own cache is gone; the co-resident frames —
+    // including the one registered concurrently mid-scope — survive
+    assert(spark.sparkContext.getPersistentRDDs.size == 2,
+      "scoped must release exactly its own registrations")
     assert(resident.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
     CacheRegistry.releaseAll(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
