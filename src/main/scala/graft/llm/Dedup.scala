@@ -1513,7 +1513,8 @@ object Dedup {
   // ------------------------------------------------------------------
 
   private val DedupManifestName = "_graft_dedup_index_manifest"
-  private val DedupIndexVersion = 1
+  private val DedupIndexVersion = 2
+  private val DedupTombstoneDir = "tombstones"
 
   /** Persist the reference corpus' dedup keys ONCE — the incremental-
     * crawl shape: [[dedupAgainst]] recomputes the reference side's
@@ -1526,6 +1527,15 @@ object Dedup {
     *  - `bands` (bk): distinct `band:band_key` composites (single-
     *    column join key — the bucketed side never reshuffles), bucketed
     *    by `bk`;
+    *  - `docs_exact` (id, h) / `docs_bands` (id, bk): the doc→key
+    *    SIDECARS (version 2) — which document contributed which key,
+    *    bucketed by the key so key-side probes prune. The key tables
+    *    are content-addressed SETS shared across documents, so a
+    *    doc-level takedown ([[deleteFromDedupIndex]]) cannot know which
+    *    keys to drop without them: a key dies only when its LAST
+    *    referencing doc is deleted, and the sidecars are what make that
+    *    refcount answerable without a corpus rebuild. Doc ids are
+    *    stored BIGINT (the BM25 manifest convention);
     *  - a manifest pinning (version, numBuckets, shingleN, numHashes,
     *    rowsPerBand) — probing with different shingle/hash geometry
     *    than the index was built with would silently miss everything.
@@ -1534,13 +1544,21 @@ object Dedup {
                       indexDir: String, numBuckets: Int, shingleN: Int,
                       numHashes: Int, rowsPerBand: Int): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
-    val (eName, bName) = dedupTableNames(indexDir)
+    val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
+    val docs = ref.select(col(idCol).cast("long").as("id"), col(textCol))
     graft.sources.BucketedWarehouse.writeBucketedPath(
-      ref.select(md5(col(textCol)).as("h")).distinct(),
+      docs.select(md5(col(textCol)).as("h")).distinct(),
       eName, s"$indexDir/exact", Seq("h"), numBuckets)
     graft.sources.BucketedWarehouse.writeBucketedPath(
-      refBandComposite(ref, idCol, textCol, shingleN, numHashes, rowsPerBand),
+      docBandComposite(docs, "id", textCol, shingleN, numHashes, rowsPerBand)
+        .select(col("bk")).distinct(),
       bName, s"$indexDir/bands", Seq("bk"), numBuckets)
+    graft.sources.BucketedWarehouse.writeBucketedPath(
+      docs.select(col("id"), md5(col(textCol)).as("h")),
+      deName, s"$indexDir/docs_exact", Seq("h"), numBuckets)
+    graft.sources.BucketedWarehouse.writeBucketedPath(
+      docBandComposite(docs, "id", textCol, shingleN, numHashes, rowsPerBand),
+      dbName, s"$indexDir/docs_bands", Seq("bk"), numBuckets)
     val mf = new java.io.File(indexDir, DedupManifestName)
     java.nio.file.Files.write(mf.toPath,
       (s"version=$DedupIndexVersion\nnumBuckets=$numBuckets\n" +
@@ -1564,12 +1582,23 @@ object Dedup {
       }
   }
 
-  /** Compact an append-grown dedup index: rewrite the exact-hash and
-    * band-key tables to ONE file per bucket (each [[appendToDedupIndex]]
-    * adds a file per bucket). Probe results are row-identical before
-    * and after (OpsSpec); the swap window is fenced — a crash mid-
-    * compact makes [[dedupIndexExists]] false instead of leaving a torn
-    * index that silently misses duplicates.
+  /** Compact an append-grown dedup index: rewrite every table to ONE
+    * file per bucket (each [[appendToDedupIndex]] adds a file per
+    * bucket). The sidecars are deduplicated (replayed uncommitted
+    * batches can append the same (id, key) row twice) and the key
+    * tables are RECOMPUTED from them — in the healthy case that is
+    * row-identical to compact-in-place (the key sets equal the
+    * sidecars' distinct keys by construction, pinned by OpsSpec), and
+    * after a torn append (a crash between the bands and exact steps)
+    * it converges the key tables back to the sidecar truth. With
+    * pending tombstones ([[deleteFromDedupIndex]]) this is also the
+    * merge that makes doc-level deletes physical: tombstoned docs'
+    * sidecar rows drop, the key tables recompute from the surviving
+    * rows (a key dies exactly when its last referencing doc died), and
+    * the tombstone list clears — afterwards the index equals a rebuild
+    * over the surviving corpus. The swap window is fenced — a crash
+    * mid-compact makes [[dedupIndexExists]] false instead of leaving a
+    * torn index that silently misses duplicates.
     */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String): Unit = {
@@ -1579,40 +1608,109 @@ object Dedup {
     require(!pending.exists(),
       s"dedup index at $indexDir has an interrupted compact — rebuild it")
     java.nio.file.Files.createFile(pending.toPath)
-    val (eName, bName) = dedupTableNames(indexDir)
-    graft.sources.BucketedWarehouse.compactBucketedPath(
+    val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
+    val survivorFilter: DataFrame => DataFrame =
+      dedupTombstones(spark, indexDir) match {
+        case Some(ts) => df => df.join(broadcast(ts), Seq("id"), "left_anti")
+        case None => identity
+      }
+    graft.sources.BucketedWarehouse.rewriteBucketedPath(
+      survivorFilter(spark.read.parquet(s"$indexDir/docs_exact")).distinct(),
+      spark, deName, s"$indexDir/docs_exact", Seq("h"), nb)
+    graft.sources.BucketedWarehouse.rewriteBucketedPath(
+      survivorFilter(spark.read.parquet(s"$indexDir/docs_bands")).distinct(),
+      spark, dbName, s"$indexDir/docs_bands", Seq("bk"), nb)
+    // key tables from the compacted sidecars: bucketed by the same key,
+    // so the distinct is bucket-local work
+    graft.sources.BucketedWarehouse.rewriteBucketedPath(
+      spark.read.parquet(s"$indexDir/docs_exact").select(col("h")).distinct(),
       spark, eName, s"$indexDir/exact", Seq("h"), nb)
-    graft.sources.BucketedWarehouse.compactBucketedPath(
+    graft.sources.BucketedWarehouse.rewriteBucketedPath(
+      spark.read.parquet(s"$indexDir/docs_bands").select(col("bk")).distinct(),
       spark, bName, s"$indexDir/bands", Seq("bk"), nb)
+    deleteRecursivelyDedup(new java.io.File(indexDir, DedupTombstoneDir))
     java.nio.file.Files.delete(pending.toPath)
   }
 
+  private def deleteRecursivelyDedup(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursivelyDedup))
+    f.delete()
+  }
+
+  /** Delete documents from the dedup index WITHOUT rewriting it — the
+    * takedown/compliance path, closing the loop the content-addressed
+    * key tables used to force onto a full rebuild. Ids append to a
+    * tombstone table; [[dedupAgainstIndex]] excludes DEAD keys — keys
+    * whose every referencing doc is tombstoned, answered precisely from
+    * the doc→key sidecars — so purged content stops matching
+    * immediately (stronger than the BM25 path's stale-stats interim:
+    * the dedup probe has no corpus statistics to go stale). A key some
+    * SURVIVING doc also contributed keeps matching, which is correct —
+    * the content is still in the corpus. [[compactDedupIndex]] makes
+    * the deletes physical and clears the tombstones. Idempotent at
+    * read time; bounded compliance lists by nature.
+    */
+  def deleteFromDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "at least one id to delete")
+    readDedupManifest(indexDir) // fail fast on a non-index dir
+    import spark.implicits._
+    ids.toDF("id").write.mode("append")
+      .parquet(s"$indexDir/$DedupTombstoneDir")
+  }
+
+  /** The pending tombstone ids, when any doc-level deletes await merge. */
+  private def dedupTombstones(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String): Option[DataFrame] = {
+    val dir = new java.io.File(indexDir, DedupTombstoneDir)
+    if (dir.isDirectory &&
+        Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+      Some(spark.read.parquet(dir.toString).select(col("id")).distinct())
+    else None
+  }
+
   /** Fold a batch's keys into the persisted index: only keys NOT
-    * already present append (bucketed left-anti probes — batch-sized
-    * work), so the distinct-keys invariant survives any append order
-    * and re-sending a batch is idempotent.
+    * already present append to the key tables (bucketed left-anti
+    * probes — batch-sized work), so the distinct-keys invariant
+    * survives any append order and re-sending a batch is idempotent;
+    * the doc→key sidecar rows append unconditionally (a doc references
+    * its keys whether or not another doc already contributed them —
+    * that reference IS what [[deleteFromDedupIndex]] refcounts).
+    * Replaying an UNCOMMITTED batch can append the same sidecar rows
+    * twice; every sidecar consumer treats them as a set, and
+    * [[compactDedupIndex]] deduplicates physically.
     *
-    * No doc-level DELETE exists for this index BY DESIGN (unlike the
-    * BM25/IVF tombstone paths): the tables are content-addressed
-    * distinct key SETS shared across documents — removing one doc's
-    * keys would also stop catching every OTHER doc with the same
-    * content. A takedown that must forget content entirely (the hash
-    * itself is the "data") rebuilds from the surviving corpus.
+    * Append order: bands (sidecar, then keys) BEFORE exact. A crash
+    * between the two steps makes the replay's probe see the band keys
+    * and flag the doc near-dup — conservative for ingest (the doc is
+    * withheld; an exact copy arriving later still hits every band
+    * key), where the reverse order silently dropped the doc as an
+    * exact dup with its band keys never landing, degrading near-dup
+    * recall for the rest of the index's life.
     */
   def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
                          indexDir: String): Unit = {
     val spark = docs.sparkSession
     val (nb, shingleN, numHashes, rowsPerBand) = readDedupManifest(indexDir)
-    val (exact, bands) = openDedupIndex(spark, indexDir)
-    val (eName, bName) = dedupTableNames(indexDir)
+    val (exact, bands, _, _) = openDedupIndex(spark, indexDir)
+    val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
+    val typed = docs.select(col(idCol).cast("long").as("id"), col(textCol))
+    val batchBands = CacheRegistry.persist(
+      docBandComposite(typed, "id", textCol, shingleN, numHashes, rowsPerBand))
     graft.sources.BucketedWarehouse.appendBucketedPath(
-      docs.select(md5(col(textCol)).as("h")).distinct()
-        .join(exact, Seq("h"), "left_anti"),
-      eName, s"$indexDir/exact", Seq("h"), nb)
+      batchBands, dbName, s"$indexDir/docs_bands", Seq("bk"), nb)
     graft.sources.BucketedWarehouse.appendBucketedPath(
-      refBandComposite(docs, idCol, textCol, shingleN, numHashes, rowsPerBand)
+      batchBands.select(col("bk")).distinct()
         .join(bands, Seq("bk"), "left_anti"),
       bName, s"$indexDir/bands", Seq("bk"), nb)
+    graft.sources.BucketedWarehouse.appendBucketedPath(
+      typed.select(col("id"), md5(col(textCol)).as("h")),
+      deName, s"$indexDir/docs_exact", Seq("h"), nb)
+    graft.sources.BucketedWarehouse.appendBucketedPath(
+      typed.select(md5(col(textCol)).as("h")).distinct()
+        .join(exact, Seq("h"), "left_anti"),
+      eName, s"$indexDir/exact", Seq("h"), nb)
   }
 
   /** [[dedupAgainst]] from the PERSISTED index — per new doc, the exact
@@ -1621,12 +1719,38 @@ object Dedup {
     * the corpus-sized index tables never move. Row-identical to
     * [[dedupAgainst]] on the same reference corpus + geometry (pinned
     * by the oracle gate).
+    *
+    * With pending doc-level tombstones ([[deleteFromDedupIndex]]) the
+    * probe excludes DEAD keys precisely: a key is dead when every doc
+    * referencing it is tombstoned — answered from the sidecars with
+    * work bounded by the takedown's own key set (the dead-candidate
+    * keys are the deleted docs' keys; checking for a surviving
+    * reference probes the key-bucketed sidecar with that bounded set
+    * riding as a broadcast, so the corpus-sized sidecar never
+    * shuffles). Equivalent to [[dedupAgainst]] over the surviving
+    * corpus, before any compaction.
     */
   def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
                         indexDir: String): DataFrame = {
     val spark = newDocs.sparkSession
     val (_, shingleN, numHashes, rowsPerBand) = readDedupManifest(indexDir)
-    val (exact, bands) = openDedupIndex(spark, indexDir)
+    val (exact0, bands0, docsExact, docsBands) = openDedupIndex(spark, indexDir)
+    val (exact, bands) = dedupTombstones(spark, indexDir) match {
+      case Some(ts) =>
+        def dead(sidecar: DataFrame, keyCol: String): DataFrame = {
+          // keys the deleted docs referenced — bounded by the takedown
+          val cand = sidecar.join(broadcast(ts), Seq("id"))
+            .select(col(keyCol)).distinct()
+          // of those, keys some SURVIVING doc also references
+          val live = sidecar.join(broadcast(cand), Seq(keyCol), "left_semi")
+            .join(broadcast(ts), Seq("id"), "left_anti")
+            .select(col(keyCol)).distinct()
+          cand.join(live, Seq(keyCol), "left_anti")
+        }
+        (exact0.join(broadcast(dead(docsExact, "h")), Seq("h"), "left_anti"),
+          bands0.join(broadcast(dead(docsBands, "bk")), Seq("bk"), "left_anti"))
+      case None => (exact0, bands0)
+    }
     val newBands = bandKeys(
       minHashSignatures(shingles(newDocs, idCol, textCol, shingleN), numHashes),
       rowsPerBand)
@@ -1643,24 +1767,34 @@ object Dedup {
         coalesce(col("graft_near"), lit(0L)).as("near_dup"))
   }
 
-  /** Distinct single-column band composites for a corpus slice. */
-  private def refBandComposite(df: DataFrame, idCol: String, textCol: String,
+  /** Per-doc distinct single-column band composites for a corpus slice
+    * — the sidecar shape; `.select("bk").distinct()` recovers the key-
+    * table shape.
+    */
+  private def docBandComposite(df: DataFrame, idCol: String, textCol: String,
                                shingleN: Int, numHashes: Int,
                                rowsPerBand: Int): DataFrame =
     bandKeys(minHashSignatures(shingles(df, idCol, textCol, shingleN), numHashes),
       rowsPerBand)
-      .select(concat_ws(":", col("band"), col("band_key")).as("bk"))
+      .select(col("id"),
+        concat_ws(":", col("band"), col("band_key")).as("bk"))
       .distinct()
 
   private def openDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                             indexDir: String): (DataFrame, DataFrame) = {
+                             indexDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (nb, _, _, _) = readDedupManifest(indexDir)
-    val (eName, bName) = dedupTableNames(indexDir)
+    val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
     graft.sources.BucketedWarehouse.registerExternal(spark, eName,
       s"$indexDir/exact", "h STRING", Seq("h"), nb)
     graft.sources.BucketedWarehouse.registerExternal(spark, bName,
       s"$indexDir/bands", "bk STRING", Seq("bk"), nb)
-    (spark.table(eName), spark.table(bName))
+    graft.sources.BucketedWarehouse.registerExternal(spark, deName,
+      s"$indexDir/docs_exact", "id BIGINT, h STRING", Seq("h"), nb)
+    graft.sources.BucketedWarehouse.registerExternal(spark, dbName,
+      s"$indexDir/docs_bands", "id BIGINT, bk STRING", Seq("bk"), nb)
+    (spark.table(eName), spark.table(bName),
+      spark.table(deName), spark.table(dbName))
   }
 
   private[graft] def readDedupManifest(indexDir: String): (Int, Int, Int, Int) = {
@@ -1676,12 +1810,14 @@ object Dedup {
       props.getProperty("numHashes").toInt, props.getProperty("rowsPerBand").toInt)
   }
 
-  private def dedupTableNames(indexDir: String): (String, String) = {
+  private def dedupTableNames(indexDir: String)
+      : (String, String, String, String) = {
     val canon = new java.io.File(indexDir).getAbsolutePath
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val tag = md.take(6).map(b => f"$b%02x").mkString
-    (s"graft_didx_${tag}_exact", s"graft_didx_${tag}_bands")
+    (s"graft_didx_${tag}_exact", s"graft_didx_${tag}_bands",
+      s"graft_didx_${tag}_dexact", s"graft_didx_${tag}_dbands")
   }
 
   /** Exact duplicated-SPAN profile (the Lee et al. 2022 "Deduplicating

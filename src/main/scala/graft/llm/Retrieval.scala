@@ -448,7 +448,28 @@ object Retrieval {
     * additive when ids are disjoint.
     */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-                    indexDir: String): Unit = {
+                    indexDir: String): Unit =
+    appendToIndex(docs, idCol, textCol, indexDir, None)
+
+  /** [[appendToIndex]] with the append COMMITTED TO A LEDGER as part of
+    * the fence-clear sequence — the streaming-ingest form
+    * ([[graft.streaming.IndexIngest]]'s per-batch BM25 sub-ledger).
+    * `commitLedger = Some((ledgerFile, batchId))` makes the ordering:
+    * data steps → ledger line (fsync'd) → fence clear. A replay that
+    * finds `batchId` in the ledger therefore KNOWS every data step
+    * landed and skips the append — the silent double-append window the
+    * ledger-after-return ordering had (crash between the append's
+    * commit point and the caller's ledger write re-appended one batch's
+    * postings on replay) does not exist: a crash before the ledger line
+    * trips the pending fence (detectable stop → rebuild), a crash after
+    * it is replay-skipped, and [[clearCompletedAppendFence]] clears the
+    * provably-stale fence the post-ledger crash leaves behind (the
+    * fence file carries the batch id precisely so the replay can prove
+    * whose completed append it fences).
+    */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+                    indexDir: String,
+                    commitLedger: Option[(java.io.File, Long)]): Unit = {
     val spark = docs.sparkSession
     val (postings0, terms0, stats0) = openIndex(spark, indexDir)
     val nb = readManifest(indexDir)
@@ -462,7 +483,9 @@ object Retrieval {
     val pending = new java.io.File(indexDir, PendingName)
     require(!pending.exists(),
       s"index at $indexDir has an interrupted append — rebuild it")
-    java.nio.file.Files.createFile(pending.toPath)
+    java.nio.file.Files.write(pending.toPath,
+      commitLedger.map(_._2.toString).getOrElse("")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val (pName, tName) = tableNames(indexDir)
     val (tf, dl, _, termDf) =
       tokenIndex(docs.select(col(idCol).cast("long").as(idCol), col(textCol)),
@@ -493,8 +516,57 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$indexDir/stats")
     // the postings handle is unused but keeps the signature honest
     locally { val _ = (postings0, stats0) }
-    // every step landed — clear the fence; this is the commit point
+    // every data step landed — record the commit in the caller's ledger
+    // (fsync'd: the line must be durable BEFORE the fence clears, or a
+    // crash between the two could leave a fence with no ledger proof),
+    // then clear the fence; the ledger line is the commit point when
+    // one is given, the fence delete otherwise
+    crashPoint(spark, "bm25_append_before_ledger")
+    commitLedger.foreach { case (ledger, id) => appendLineSync(ledger, id) }
+    crashPoint(spark, "bm25_append_after_ledger")
     java.nio.file.Files.delete(pending.toPath)
+  }
+
+  /** Clear a pending-append fence that a crash AFTER the ledger commit
+    * left behind: the fence file carries the batch id of the append
+    * that wrote it (see [[appendToIndex]]'s commitLedger form), so a
+    * fence whose content equals `batchId` — which the caller has
+    * already found in its ledger — fences a COMPLETED append and is
+    * safe to remove. Any other fence (empty, or another batch's id)
+    * marks a genuinely torn index and is left in place. Returns true
+    * when a fence was cleared.
+    */
+  def clearCompletedAppendFence(indexDir: String, batchId: Long): Boolean = {
+    val pending = new java.io.File(indexDir, PendingName)
+    pending.isFile && {
+      val content = new String(
+        java.nio.file.Files.readAllBytes(pending.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      content == batchId.toString && pending.delete()
+    }
+  }
+
+  /** Append one ledger line and fsync — the durability the commit
+    * ordering in [[appendToIndex]] depends on. Format matches
+    * [[graft.streaming.IndexIngest]]'s ledgers: one decimal id per line.
+    */
+  private def appendLineSync(ledger: java.io.File, id: Long): Unit = {
+    val out = new java.io.FileOutputStream(ledger, true)
+    try {
+      out.write(s"$id\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.flush()
+      out.getFD.sync()
+    } finally out.close()
+  }
+
+  /** Test-only crash injection: throws when the session conf
+    * `graft.test.crashPoint` names this point. Production sessions
+    * never set it; the streaming crash-window specs do.
+    */
+  private def crashPoint(spark: org.apache.spark.sql.SparkSession,
+                         point: String): Unit = {
+    if (spark.conf.get("graft.test.crashPoint", "") == point)
+      throw new RuntimeException(s"injected crash at $point")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -328,6 +328,70 @@ object LlmQueries {
     out
   }
 
+  /** q281's oracle: the q84 incremental-dedup scoring with the
+    * reference restricted to the SURVIVING slice — every reference doc
+    * in an EVEN template group (doc_id div 50) is tombstoned, so those
+    * groups lose their entire reference and their batch docs must flip
+    * near_dup 1→0 (a delete set that leaves every group partially
+    * covered would not change any probe answer and prove nothing).
+    * Expected to hold at BOTH stages: pending (tombstones live — the
+    * sidecar dead-key exclusion is precise, not stale) and compacted
+    * (deletes physical). The cross-joined stage column asserts exactly
+    * that.
+    */
+  // lazy like IncrementalDedupSql: a strict val here would force that
+  // chain before `shingleSql` initializes and bake "WITH null," in
+  private lazy val DedupDeleteSql: String = {
+    val survivors = IncrementalDedupSql.replace(
+      "WHERE id % 3 = 0", "WHERE id % 3 = 0 AND (id // 50) % 2 = 1")
+    require(survivors != IncrementalDedupSql, "survivor-filter injection failed")
+    val staged = survivors
+      .replace("SELECT m.id AS doc_id,",
+        "SELECT st.stage, m.id AS doc_id,")
+      .replace("FROM m WHERE m.id % 3 <> 0 ORDER BY doc_id",
+        "FROM m CROSS JOIN (SELECT 'compacted' AS stage " +
+          "UNION ALL SELECT 'pending') st " +
+          "WHERE m.id % 3 <> 0 ORDER BY stage, doc_id")
+    require(staged != survivors, "stage injection failed")
+    staged
+  }
+
+  /** Doc-level dedup-index delete fixtures: the q219-style index built
+    * from the doc_id % 3 == 0 reference slice, with every reference doc
+    * in an even template group tombstoned
+    * ([[graft.llm.Dedup.deleteFromDedupIndex]]) — group-complete
+    * deletes, so the probe answer actually changes. `compacted = false`
+    * probes through the sidecar dead-key exclusion; `true` runs
+    * compactDedupIndex so the deletes are physical. Two cached dirs so
+    * both states persist across invocations.
+    */
+  private def dedupDeleteIndexDir(s: SparkSession, dir: String,
+                                  docs: DataFrame,
+                                  compacted: Boolean): String = {
+    val tag = Registry.contentTag(docs, "doc_id", "t")
+    val stage = if (compacted) "c" else "p"
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-didxdel-$stage-v1-$tag")
+    val marker = new java.io.File(idx, "_graft_ready")
+    if (!marker.isFile || !Dedup.dedupIndexExists(idx.toString)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(idx)
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "t", idx.toString, numBuckets = 8,
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      val ids = docs
+        .filter(col("doc_id") % 3 === 0 && expr("doc_id div 50") % 2 === 0)
+        .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSeq
+      Dedup.deleteFromDedupIndex(s, idx.toString, ids)
+      if (compacted) Dedup.compactDedupIndex(s, idx.toString)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    idx.toString
+  }
+
   /** q280's oracle: the q211 IVF-ADC scoring with tombstoned vectors
     * (vec_id % 10 == 7) excluded from candidates — unlike BM25, ADC
     * carries no corpus statistics, so the pre-merge result is ALREADY
@@ -1575,9 +1639,9 @@ object LlmQueries {
         val docs = docsTpl(s, dir)
         val tag = Registry.contentTag(docs, "doc_id", "t")
         val idx = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft-didx-v1-$tag")
+          sys.props("java.io.tmpdir"), s"graft-didx-v2-$tag")
         val marker = new java.io.File(idx, "_graft_appended")
-        if (!marker.isFile) {
+        if (!marker.isFile || !Dedup.dedupIndexExists(idx.toString)) {
           def rm(f: java.io.File): Unit = {
             if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
             f.delete()
@@ -5124,6 +5188,30 @@ object LlmQueries {
           .orderBy("qid", "rnk")
       },
       Some(DeleteCompactedBm25Sql)),
+
+    // ---- Doc-level dedup-index takedown: the q219 probe against an
+    // index with half its reference slice tombstoned, at BOTH stages —
+    // tombstones pending (dead keys excluded precisely via the doc→key
+    // sidecars) and after compaction (deletes physical, key tables
+    // recomputed from surviving sidecar rows). Both stages must equal
+    // recomputing the keys over the SURVIVING reference — the rebuild
+    // equivalence that closes the compliance loop the content-addressed
+    // key tables used to force onto a full rebuild.
+    "q281_dedup_index_delete" -> QueryDef(
+      (s, dir) => {
+        val docs = docsTpl(s, dir)
+        val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        val pend = Dedup.dedupAgainstIndex(batch, "doc_id", "t",
+            dedupDeleteIndexDir(s, dir, docs, compacted = false))
+          .withColumn("stage", lit("pending"))
+        val comp = Dedup.dedupAgainstIndex(batch, "doc_id", "t",
+            dedupDeleteIndexDir(s, dir, docs, compacted = true))
+          .withColumn("stage", lit("compacted"))
+        pend.unionByName(comp)
+          .select(col("stage"), col("doc_id"), col("exact_dup"), col("near_dup"))
+          .orderBy("stage", "doc_id")
+      },
+      Some(DedupDeleteSql)),
 
     // ---- Source-diversified retrieval: the q198 probes with at most 2
     // survivors per (query, source) before the global top-5 — no

@@ -18,22 +18,31 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Restart semantics (the standard non-transactional `foreachBatch`
   * story, stated honestly): a batch-id ledger in the dedup index dir
   * makes replayed batch ids no-ops, so a crash-restart does not
-  * double-ingest a COMMITTED batch. Within an uncommitted batch every
-  * step is replay-safe: the dedup-key append is idempotent by
-  * construction (anti-join fold), and the BM25 postings append — which
-  * is NOT naturally idempotent — is fenced by its own per-batch
-  * sub-ledger in the BM25 index dir, written right after the postings
-  * land, so a crash anywhere between the sub-ledger line and the main
-  * ledger write makes the replay SKIP the postings step instead of
-  * double-counting tf/df/N. (The double-append window is thereby
-  * narrowed from "postings → main ledger commit" to the instant
-  * between the postings append finishing and its sub-ledger line
-  * landing — nonzero, stated honestly; closing it entirely needs a
-  * transactional index store.) The one remaining hard failure is a crash
-  * DURING [[graft.llm.Retrieval.appendToIndex]] itself: that trips the
-  * index's `_graft_append_pending` fence (the index is torn — missing
-  * df_t / stale avdl), every replay of the batch then throws, and the
-  * stream CANNOT make progress until the BM25 index is rebuilt
+  * double-ingest a COMMITTED batch. Within an uncommitted batch:
+  *
+  *  - The BM25 postings append — NOT naturally idempotent — commits
+  *    through its per-batch sub-ledger written INSIDE
+  *    [[graft.llm.Retrieval.appendToIndex]], after every data step and
+  *    before the pending fence clears. There is NO crash point that
+  *    silently double-counts tf/df/N: a crash before the sub-ledger
+  *    line trips the fence (detectable stop → rebuild), a crash after
+  *    it is replay-skipped and the provably-stale fence cleared
+  *    ([[graft.llm.Retrieval.clearCompletedAppendFence]]).
+  *  - The dedup-key TABLE appends are idempotent by construction
+  *    (anti-join folds), but the exact-hash and band-key appends are
+  *    two steps with a window between them: a crash after the bands
+  *    land but before the exact hashes do makes the replay's probe
+  *    flag the doc near-dup and drop it — conservative (content is
+  *    withheld, never double-served), because bands append FIRST: an
+  *    exact copy arriving later still hits every band key. The doc→key
+  *    sidecars make compaction recompute the key tables from the
+  *    sidecar rows, which converges the tables to the sidecar truth.
+  *
+  * The one remaining hard failure is a crash DURING a data step of
+  * [[graft.llm.Retrieval.appendToIndex]]: that trips the index's
+  * `_graft_append_pending` fence (the index is torn — missing df_t /
+  * stale avdl), every replay of the batch then throws, and the stream
+  * CANNOT make progress until the BM25 index is rebuilt
   * ([[graft.llm.Retrieval.buildIndex]] over the corpus) — a detectable
   * stop, by design, rather than silent wrong scores. Exactly-once
   * would need a transactional index store.
@@ -68,6 +77,17 @@ object IndexIngest {
                    compactEvery: Int = 0): Long = {
     val ledger = new java.io.File(dedupIndexDir, LedgerName)
     if (committedIds(ledger).contains(batchId)) return -1L
+    // replay after a crash between the BM25 sub-ledger commit and the
+    // append's fence clear: the append provably completed (the ledger
+    // line lands strictly after every data step) — clear the stale
+    // fence before any probe opens the index. Done up front because
+    // the replay may collapse to zero survivors and never reach the
+    // append branch. A fence carrying any OTHER content marks a
+    // genuinely torn index and stays (detectable stop → rebuild).
+    bm25IndexDir.foreach { dir =>
+      if (committedIds(new java.io.File(dir, Bm25LedgerName)).contains(batchId))
+        Retrieval.clearCompletedAppendFence(dir, batchId)
+    }
     // the batch's operator caches are released when the scope exits —
     // owner-tagged, so ONLY this batch's registrations go (releaseAll
     // would unpersist every co-resident job's frames on each
@@ -110,8 +130,12 @@ object IndexIngest {
         bm25IndexDir.foreach { dir =>
           val subLedger = new java.io.File(dir, Bm25LedgerName)
           if (!committedIds(subLedger).contains(batchId)) {
-            Retrieval.appendToIndex(survivors, idCol, textCol, dir)
-            appendLine(subLedger, batchId)
+            // the sub-ledger line is written INSIDE the append, after
+            // every data step and before the fence clears — so a replay
+            // that finds the id in the ledger knows the postings landed
+            // exactly once (no crash point silently double-appends)
+            Retrieval.appendToIndex(survivors, idCol, textCol, dir,
+              Some((subLedger, batchId)))
           }
         }
         Dedup.appendToDedupIndex(survivors, idCol, textCol, dedupIndexDir)
@@ -162,19 +186,24 @@ object IndexIngest {
 
   /** Process one TAKEDOWN micro-batch — the delete-side twin of
     * [[processBatch]]: each arriving doc id tombstones in the BM25
-    * index (and optionally the vector index); returns the id count, or
-    * -1 on a replayed batch. Tombstone appends are idempotent at read
-    * time (the query-side anti-join dedups ids), so the ledger here
-    * only saves replay work — there is no double-count hazard at all
-    * on this path. Deletes do NOT touch the dedup index by design (its
-    * content-addressed key sets are shared across documents — see
-    * [[graft.llm.Dedup.appendToDedupIndex]]). `compactEvery` > 0 runs
-    * the physical merge after every N committed takedown batches.
+    * index (and optionally the vector and dedup indexes); returns the
+    * id count, or -1 on a replayed batch. Tombstone appends are
+    * idempotent at read time (the query-side anti-join dedups ids), so
+    * the ledger here only saves replay work — there is no double-count
+    * hazard at all on this path. `dedupIndexDir` extends the takedown
+    * to the dedup index via its doc→key sidecars
+    * ([[graft.llm.Dedup.deleteFromDedupIndex]]): keys whose last
+    * referencing doc is deleted stop matching immediately, so content
+    * purged from the corpus can be RE-INGESTED later instead of being
+    * silently dropped as a duplicate of a document that no longer
+    * exists. `compactEvery` > 0 runs the physical merges after every N
+    * committed takedown batches.
     */
   def processDeleteBatch(batch: DataFrame, batchId: Long, idCol: String,
                          bm25IndexDir: String,
                          annIndexDir: Option[String] = None,
-                         compactEvery: Int = 0): Long = {
+                         compactEvery: Int = 0,
+                         dedupIndexDir: Option[String] = None): Long = {
     val spark = batch.sparkSession
     val ledger = new java.io.File(bm25IndexDir, DeleteLedgerName)
     if (committedIds(ledger).contains(batchId)) return -1L
@@ -198,11 +227,13 @@ object IndexIngest {
     if (ids.nonEmpty) {
       Retrieval.deleteFromIndex(spark, bm25IndexDir, ids)
       annIndexDir.foreach(graft.llm.VectorIndex.deleteFromIndex(spark, _, ids))
+      dedupIndexDir.foreach(Dedup.deleteFromDedupIndex(spark, _, ids))
     }
     appendLine(ledger, batchId)
     if (compactEvery > 0 && committedIds(ledger).size % compactEvery == 0) {
       Retrieval.compactIndex(spark, bm25IndexDir)
       annIndexDir.foreach(graft.llm.VectorIndex.compactIndex(spark, _))
+      dedupIndexDir.foreach(Dedup.compactDedupIndex(spark, _))
     }
     ids.length.toLong
   }
@@ -212,12 +243,13 @@ object IndexIngest {
     */
   def startDeletes(ids: DataFrame, idCol: String, bm25IndexDir: String,
                    annIndexDir: Option[String], checkpoint: String,
-                   compactEvery: Int = 0): StreamingQuery =
+                   compactEvery: Int = 0,
+                   dedupIndexDir: Option[String] = None): StreamingQuery =
     ids.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDeleteBatch(batch, batchId, idCol, bm25IndexDir,
-          annIndexDir, compactEvery)
+          annIndexDir, compactEvery, dedupIndexDir)
         ()
       }
       .start()

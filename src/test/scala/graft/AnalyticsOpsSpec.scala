@@ -189,6 +189,50 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h.count() === h.distinct().count())
   }
 
+  test("deleteFromDedupIndex: dead keys stop matching, shared keys survive, compact equals rebuild") {
+    import spark.implicits._
+    // reference: docs 0/1 share one exact text (shared key must SURVIVE
+    // deleting doc 0); doc 2 is the sole owner of its content (its keys
+    // must die); doc 3 stays untouched
+    val ref = Seq(
+      (0L, "shared body alpha beta gamma delta epsilon"),
+      (1L, "shared body alpha beta gamma delta epsilon"),
+      (2L, "solitary content zeta eta theta iota kappa"),
+      (3L, "untouched words lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "shared body alpha beta gamma delta epsilon"), // dup of survivor 1
+      (11L, "solitary content zeta eta theta iota kappa"), // dup of DELETED 2
+      (12L, "novel text rho sigma tau upsilon phi chi"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-didxdel").toFile
+    dir.deleteOnExit()
+    val (idx, rebuilt) = (s"$dir/idx", s"$dir/rebuilt")
+    Dedup.buildDedupIndex(ref, "doc_id", "text", idx, numBuckets = 4,
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    Dedup.deleteFromDedupIndex(spark, idx, Seq(0L, 2L))
+    def rows(d: String) =
+      Dedup.dedupAgainstIndex(batch, "doc_id", "text", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // PENDING stage: doc 1 still owns the shared key → 10 stays a dup;
+    // doc 2's keys are dead → 11 is clean; novel doc unaffected
+    val expected = Seq((10L, 1L, 1L), (11L, 0L, 0L), (12L, 0L, 0L))
+    assert(rows(idx) === expected, "pending-tombstone probe")
+    // COMPACTED stage: physical merge equals a rebuild over survivors
+    Dedup.compactDedupIndex(spark, idx)
+    assert(rows(idx) === expected, "compacted probe")
+    Dedup.buildDedupIndex(ref.filter(col("doc_id").isin(1L, 3L)),
+      "doc_id", "text", rebuilt, numBuckets = 4,
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    assert(rows(idx) === rows(rebuilt), "compact must equal rebuild over survivors")
+    // the tombstone list cleared and the key tables physically shrank
+    assert(!new java.io.File(idx, "tombstones").exists())
+    val exact = spark.read.parquet(s"$idx/exact").collect().map(_.getString(0)).toSet
+    val rebuiltExact = spark.read.parquet(s"$rebuilt/exact").collect().map(_.getString(0)).toSet
+    assert(exact === rebuiltExact, "exact key set must equal the rebuild's")
+  }
+
   test("interleaveSchedule keeps every prefix near the target mixture") {
     import spark.implicits._
     val docs = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")

@@ -1,5 +1,6 @@
 package graft
 
+import graft.llm.{Dedup, Retrieval}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -448,6 +449,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(score() === before, "replay must not change BM25 postings/stats")
   }
 
+  test("append crash AFTER the sub-ledger commit replays without double-counting") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-after").toFile
+    dir.deleteOnExit()
+    val (didx, bidx, ctrl) = (s"$dir/didx", s"$dir/bidx", s"$dir/ctrl")
+    val seed = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batch = Seq((5L, "crashy document body words here")).toDF("doc_id", "text")
+    graft.llm.Dedup.buildDedupIndex(seed, "doc_id", "text", didx,
+      numBuckets = 2, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    graft.llm.Retrieval.buildIndex(seed, "doc_id", "text", bidx, numBuckets = 2)
+    // crash in the instant between the sub-ledger line landing and the
+    // pending fence clearing — under the old ledger-after-return
+    // ordering this exact window double-appended the batch's postings
+    // on replay
+    spark.conf.set("graft.test.crashPoint", "bm25_append_after_ledger")
+    val e = intercept[RuntimeException] {
+      graft.streaming.IndexIngest.processBatch(
+        batch, 3L, "doc_id", "text", didx, Some(bidx))
+    }
+    assert(e.getMessage.contains("injected crash"), s"got $e")
+    spark.conf.set("graft.test.crashPoint", "")
+    // the fence is still up (crash before its clear) but the ledger
+    // proves the append completed — the replay must clear it, skip the
+    // postings, and commit the batch exactly once
+    assert(!graft.llm.Retrieval.indexExists(bidx), "fence must be up after the crash")
+    val n = graft.streaming.IndexIngest.processBatch(
+      batch, 3L, "doc_id", "text", didx, Some(bidx))
+    assert(n === 1L, s"replay committed $n docs")
+    assert(graft.llm.Retrieval.indexExists(bidx), "replay must clear the stale fence")
+    // postings/stats equal an index built once over seed ∪ batch
+    graft.llm.Retrieval.buildIndex(seed.unionAll(batch), "doc_id", "text",
+      ctrl, numBuckets = 2)
+    def probe(d: String) = graft.llm.Retrieval
+      .bm25TopKIndexed(spark, d, Seq(Seq("crashy"), Seq("alpha")), k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Long]("score_bp"))).sortBy(x => (x._1, x._2)).toSeq
+    assert(probe(bidx) === probe(ctrl),
+      "post-replay index must equal a single-append build (no double counts)")
+  }
+
+  test("append crash BEFORE the sub-ledger commit is a detectable stop, not a double count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash-before").toFile
+    dir.deleteOnExit()
+    val (didx, bidx) = (s"$dir/didx", s"$dir/bidx")
+    val seed = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batch = Seq((5L, "torn append document body")).toDF("doc_id", "text")
+    graft.llm.Dedup.buildDedupIndex(seed, "doc_id", "text", didx,
+      numBuckets = 2, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    graft.llm.Retrieval.buildIndex(seed, "doc_id", "text", bidx, numBuckets = 2)
+    spark.conf.set("graft.test.crashPoint", "bm25_append_before_ledger")
+    intercept[RuntimeException] {
+      graft.streaming.IndexIngest.processBatch(
+        batch, 4L, "doc_id", "text", didx, Some(bidx))
+    }
+    spark.conf.set("graft.test.crashPoint", "")
+    // data steps landed but the commit record didn't: the replay cannot
+    // prove the append completed, so it must fail LOUDLY on the fence
+    // (rebuild the index) — never silently re-append the postings
+    assert(!graft.llm.Retrieval.indexExists(bidx))
+    val e = intercept[Exception] {
+      graft.streaming.IndexIngest.processBatch(
+        batch, 4L, "doc_id", "text", didx, Some(bidx))
+    }
+    assert(e.getMessage.contains("interrupted append"),
+      s"expected the torn-index fence error, got $e")
+  }
+
   test("index ingest self-compacts every N batches; probes unchanged") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-compact").toFile
@@ -507,6 +576,96 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(bidx, "tombstones").exists(),
       "compaction must clear tombstones")
     assert(hits() === Set(1L))
+  }
+
+  test("soak: interleaved ingest + takedown + self-compaction equals rebuilds over survivors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak").toFile
+    dir.deleteOnExit()
+    val (didx, bidx) = (s"$dir/didx", s"$dir/bidx")
+    // every doc gets a globally-unique lead token so BM25 probes can
+    // target it; every token is parameterized by i, so distinct docs
+    // share ZERO shingles (mutually non-near-dup except where planted)
+    def text(i: Long) = s"tok$i alpha$i beta$i gamma$i delta$i epsilon$i"
+    val corpus = scala.collection.mutable.LinkedHashMap(
+      0L -> text(0), 1L -> text(1))
+    Dedup.buildDedupIndex(corpus.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", didx, numBuckets = 2,
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    Retrieval.buildIndex(corpus.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", bidx, numBuckets = 2)
+    var ingestBatch = 0L
+    var takedownBatch = 0L
+    def ingest(rows: (Long, String)*): Long = {
+      ingestBatch += 1
+      graft.streaming.IndexIngest.processBatch(rows.toDF("doc_id", "text"),
+        ingestBatch, "doc_id", "text", didx, Some(bidx), dropNear = true,
+        compactEvery = 2)
+    }
+    def takedown(ids: Long*): Long = {
+      takedownBatch += 1
+      ids.foreach(corpus.remove)
+      graft.streaming.IndexIngest.processDeleteBatch(ids.toDF("doc_id"),
+        takedownBatch, "doc_id", bidx, None, compactEvery = 2, Some(didx))
+    }
+    // the q279/q281 equivalences, LOOPED: after every step the dedup
+    // probe must equal dedupAgainst over the survivors (precise at all
+    // times); after every compaction the BM25 probes must equal a
+    // from-scratch rebuild (between takedown and compaction BM25 stats
+    // are Lucene-stale — only exclusion is checked there)
+    val probeTexts = (0L to 8L).map(i => (100L + i, text(i))).toDF("doc_id", "text")
+    def assertDedup(tag: String): Unit = {
+      val got = Dedup.dedupAgainstIndex(probeTexts, "doc_id", "text", didx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val want = Dedup.dedupAgainst(probeTexts,
+          corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+          shingleN = 3, numHashes = 8, rowsPerBand = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got === want, s"[$tag] dedup probe != survivors recompute")
+    }
+    def assertBm25Rebuild(tag: String): Unit = {
+      val ctrl = s"$dir/ctrl-$tag"
+      Retrieval.buildIndex(corpus.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", ctrl, numBuckets = 2)
+      val terms = corpus.keys.map(i => Seq(s"tok$i")).toSeq
+      def probe(d: String) = Retrieval.bm25TopKIndexed(spark, d, terms, k = 3)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+          r.getAs[Long]("score_bp"))).sortBy(x => (x._1, x._2)).toSeq
+      assert(probe(bidx) === probe(ctrl), s"[$tag] BM25 probe != rebuild")
+    }
+    def record(rows: (Long, String)*): Unit =
+      rows.foreach { case (i, t) => corpus(i) = t }
+
+    assert(ingest(10L -> text(10), 11L -> text(11)) === 2L)
+    record(10L -> text(10), 11L -> text(11))
+    assertDedup("b1")
+    // b2: one dup of committed content dropped, one novel kept;
+    // ingest count hits 2 → self-compaction of both indexes
+    assert(ingest(12L -> text(10), 13L -> text(13)) === 1L)
+    record(13L -> text(13))
+    assertDedup("b2"); assertBm25Rebuild("b2")
+    // t1: take down doc 10 — BM25 excludes it immediately; the dedup
+    // index forgets its content (no surviving referent)
+    assert(takedown(10L) === 1L)
+    assertDedup("t1")
+    assert(!Retrieval.bm25TopKIndexed(spark, bidx, Seq(Seq("tok10")), k = 3)
+      .collect().map(_.getAs[Long]("id")).contains(10L))
+    // b3: RE-INGEST the taken-down content — must survive precisely
+    // because the takedown reached the dedup index
+    assert(ingest(14L -> text(10), 15L -> text(15)) === 2L,
+      "re-ingest of purged content must pass the dedup probe")
+    record(14L -> text(10), 15L -> text(15))
+    assertDedup("b3")
+    // t2: second takedown → takedown count hits 2 → compaction makes
+    // every pending delete physical; BM25 equals a rebuild again
+    assert(takedown(13L) === 1L)
+    assertDedup("t2"); assertBm25Rebuild("t2")
+    // b4: ingest count hits 4 → another self-compaction cycle
+    assert(ingest(16L -> text(16), 17L -> text(17)) === 2L)
+    record(16L -> text(16), 17L -> text(17))
+    assertDedup("b4"); assertBm25Rebuild("b4")
   }
 
   test("streaming snapshot maintainer folds CDC batches into versioned parquet") {
