@@ -1238,24 +1238,45 @@ object TextAnalysis {
     * is just key + cost(s)·10⁵ + 1) — zero shuffles, no UDF, and the
     * same arithmetic replays level-by-level in SQL. Single-character
     * coverage makes the DP total for any word over the training
-    * alphabet; a word containing an UNSEEN character yields NULL
-    * totals for its document (scoring corpus must share the training
-    * alphabet — the SentencePiece byte-fallback analog is out of
-    * scope). Output: (id, n_words, n_pieces, cost_micro,
-    * fertility_bp = HALF_UP(10⁴·pieces/words); NULLs when no words).
+    * alphabet. An UNSEEN character (alphabet drift — scoring a corpus
+    * the vocab wasn't trained on): with `unkCostMicro = None` the
+    * word's key is NULL and the document's totals NULL with it
+    * (same-corpus eval, the strict default); with `Some(c)` the
+    * character segments as its own piece at escape cost `c` micro-nats
+    * — the SentencePiece byte-fallback analog, making cross-corpus
+    * scoring total (pick c above the trained piece costs so fallback
+    * never outbids a real piece). Output: (id, n_words, n_pieces,
+    * cost_micro, fertility_bp = HALF_UP(10⁴·pieces/words); NULLs when
+    * no words).
     */
   def unigramFertility(df: DataFrame, idCol: String, textCol: String,
-                       vocab: DataFrame, maxPiece: Int = 4): DataFrame = {
+                       vocab: DataFrame, maxPiece: Int = 4,
+                       unkCostMicro: Option[Long] = None): DataFrame = {
     val vm = vocab.select(col("piece"), col("cost_micro")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(vm.nonEmpty && vm.size <= 65536,
       s"vocab must be a bounded piece table, got ${vm.size} entries")
+    unkCostMicro.foreach(c => require(c >= 0 && c < Long.MaxValue / 100000L,
+      s"unkCostMicro must be a sane micro-nat cost, got $c"))
     val vmap = typedLit(vm)
+    // with byte-fallback the j=1 branch is unconditional: an unseen
+    // char coalesces to the escape cost instead of NULLing the key
+    val oneChar = unkCostMicro match {
+      case Some(c) =>
+        s"""CASE WHEN j = 1
+           |     THEN element_at(acc, p)
+           |          + coalesce(element_at(graft_vm, substring(w, p, 1)), ${c}L) * 100000L + 1L""".stripMargin
+      case None =>
+        s"""CASE WHEN j = 1 AND element_at(graft_vm, substring(w, p, 1)) IS NOT NULL
+           |     THEN element_at(acc, p)
+           |          + element_at(graft_vm, substring(w, p, 1)) * 100000L + 1L""".stripMargin
+    }
     val dpKey =
       s"""aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
          |  (acc, p) -> concat(acc, array(
          |    array_min(filter(transform(sequence(1, $maxPiece), j ->
-         |      CASE WHEN j <= p AND element_at(graft_vm, substring(w, p - j + 1, j)) IS NOT NULL
+         |      $oneChar
+         |           WHEN j > 1 AND j <= p AND element_at(graft_vm, substring(w, p - j + 1, j)) IS NOT NULL
          |           THEN element_at(acc, p - j + 1)
          |                + element_at(graft_vm, substring(w, p - j + 1, j)) * 100000L + 1L
          |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)))),
@@ -1274,6 +1295,131 @@ object TextAnalysis {
       .withColumn("fertility_bp", expr(
         "CASE WHEN n_words > 0 THEN (20000 * n_pieces + n_words) DIV (2 * n_words) END"))
   }
+
+  /** Unigram-LM EM TRAINING (the Kudo 2018 loop [[unigramSeedVocab]]
+    * only initializes): seed an over-sized candidate pool
+    * (`vocabSize · seedMultiplier`), then for a fixed deterministic
+    * number of rounds (1) E-step — Viterbi-segment every distinct word
+    * under the current piece costs and take the frequency-weighted
+    * piece counts of the best segmentations (hard EM: the Viterbi path
+    * stands in for the forward-backward expectations — deterministic
+    * and integer-exact where the soft posteriors are not), (2) prune —
+    * keep every single-character piece (the coverage guarantee) plus
+    * the top multi-character pieces by (count desc, piece asc), the
+    * cap shrinking linearly from the seed surplus to the target so the
+    * pool anneals instead of cliff-dropping, and (3) M-step — re-cost
+    * the survivors as once-rounded micro-nats of their count share,
+    * cost = lnr(Σ greatest(cnt,1)) − lnr(greatest(cnt,1)) (the
+    * greatest() floor keeps unused-but-kept chars finite).
+    *
+    * The CANONICAL Viterbi segmentation (what makes the E-step replay
+    * level-by-level in SQL): the DP state is the q270 BIGINT key
+    * (cost_micro·10⁵ + n_pieces, integer min = lexicographic optimum)
+    * computed over SUFFIXES, and the path is recovered WITHOUT
+    * backpointers — position p takes the SMALLEST j whose piece is in
+    * vocab and satisfies e(p) = cost·10⁵ + 1 + e(p+j), which is a
+    * per-position local test against the suffix array, so the whole
+    * segmentation (DP, argmin, walk) runs IN-ROW per distinct word
+    * with the vocabulary riding as a map literal — zero shuffles
+    * beyond the word-count and piece-count aggregations.
+    *
+    * Scale shape: each round is ONE distributed pass over the DISTINCT
+    * word frame (corpus tokens collapse first — the bpeTrain
+    * judgment) plus a vocabulary-bounded driver collect for the prune/
+    * re-cost (≤ 65536 pieces, the [[unigramFertility]] contract); the
+    * seed substring expansion is [[unigramSeedVocab]]'s. Output:
+    * (piece, cnt, cost_micro) — cnt is the final E-step count (0 for
+    * kept-but-unused chars).
+    */
+  def unigramTrainVocab(df: DataFrame, textCol: String, vocabSize: Int = 48,
+                        maxPiece: Int = 4, iters: Int = 2,
+                        seedMultiplier: Int = 2): DataFrame = {
+    require(vocabSize >= 1 && maxPiece >= 1, "vocabSize and maxPiece must be >= 1")
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    require(seedMultiplier >= 1, s"seedMultiplier must be >= 1, got $seedMultiplier")
+    val spark = df.sparkSession
+    val words = CacheRegistry.persist(df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f")))
+    val seed = unigramSeedVocab(df, textCol, vocabSize * seedMultiplier, maxPiece)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(seed.nonEmpty && seed.length <= 65536,
+      s"vocab must stay bounded, got ${seed.length} seed pieces")
+    val nChars = seed.count(_._1.length == 1)
+    implicit val utf8: Ordering[String] = graft.core.Utf8Order.stringOrdering
+    def lnr(x: Long): Long =
+      new java.math.BigDecimal(math.log(x.toDouble) * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    var vocab: Seq[(String, Long, Long)] = seed.toSeq
+    for (r <- 1 to iters) {
+      // E-step: one distributed pass — per distinct word, the canonical
+      // Viterbi pieces under the current costs, count-weighted by f
+      val vm = typedLit(vocab.map(v => v._1 -> v._3).toMap)
+      val counts = withViterbiPieces(
+          words.withColumn("graft_vm", vm), "w", maxPiece)
+        .select(col("f"), explode(col("graft_ps")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      // prune: chars always survive; multi cap anneals linearly down to
+      // the target (the seed surplus vocabSize·(mult−1) is corpus-
+      // independent, so the cap formula replays as literal arithmetic)
+      val cap = (vocabSize - nChars) +
+        (vocabSize.toLong * (seedMultiplier - 1) * (iters - r) / iters).toInt
+      val counted = vocab.map { case (p, _, _) => (p, counts.getOrElse(p, 0L)) }
+      val kept = counted.filter(_._1.length == 1) ++
+        counted.filter(_._1.length > 1)
+          .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(implicitly, utf8))
+          .take(math.max(cap, 0))
+      // M-step: micro-nat costs from the kept counts
+      val t = kept.map { case (_, c) => math.max(c, 1L) }.sum
+      vocab = kept.map { case (p, c) => (p, c, lnr(t) - lnr(math.max(c, 1L))) }
+    }
+    import spark.implicits._
+    vocab.toDF("piece", "cnt", "cost_micro")
+  }
+
+  /** The canonical in-row Viterbi segmentation: adds `graft_ps`
+    * (ARRAY<STRING> — the best segmentation's pieces for word column
+    * `w`), with the piece→cost map riding in column `graft_vm`. Three
+    * in-row stages, each its own column so the optimizer never inlines
+    * one aggregate into the next's per-element lambda — the suffix key
+    * array e (index m+1 = best key for the last m chars), the per-
+    * position smallest optimal piece length j*, and the greedy walk
+    * from position 0 — all BIGINT-key arithmetic, replayable level-by-
+    * level in SQL (the q270 key packing; see [[unigramTrainVocab]]).
+    * Requires every character of `w` to be in the vocabulary (the
+    * trainer's coverage invariant).
+    */
+  private def withViterbiPieces(df: DataFrame, w: String,
+                                maxPiece: Int): DataFrame =
+    df.withColumn("graft_e", expr(
+        s"""aggregate(sequence(1, length($w)), array(CAST(0 AS BIGINT)),
+           |  (acc, m) -> concat(acc, array(
+           |    array_min(filter(transform(sequence(1, $maxPiece), j ->
+           |      CASE WHEN j <= m
+           |                AND element_at(graft_vm, substring($w, length($w) - m + 1, j)) IS NOT NULL
+           |           THEN element_at(acc, m - j + 1)
+           |                + element_at(graft_vm, substring($w, length($w) - m + 1, j)) * 100000L + 1L
+           |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)))))""".stripMargin))
+      .withColumn("graft_js", expr(
+        s"""transform(sequence(0, length($w) - 1), p ->
+           |  element_at(filter(transform(sequence(1, $maxPiece), j ->
+           |    CASE WHEN j <= length($w) - p
+           |              AND element_at(graft_vm, substring($w, p + 1, j)) IS NOT NULL
+           |              AND element_at(graft_e, length($w) - p + 1) =
+           |                  element_at(graft_e, length($w) - p - j + 1)
+           |                  + element_at(graft_vm, substring($w, p + 1, j)) * 100000L + 1L
+           |         THEN j ELSE CAST(NULL AS INT) END), x -> x IS NOT NULL), 1))""".stripMargin))
+      .withColumn("graft_ps", expr(
+        s"""aggregate(sequence(1, length($w)),
+           |  struct(CAST(0 AS INT) AS p, CAST(array() AS ARRAY<STRING>) AS ps),
+           |  (st, x) -> CASE WHEN st.p >= length($w) THEN st
+           |    ELSE struct(
+           |      CAST(st.p + element_at(graft_js, st.p + 1) AS INT) AS p,
+           |      concat(st.ps, array(substring($w, st.p + 1,
+           |        element_at(graft_js, st.p + 1)))) AS ps) END,
+           |  st -> st.ps)""".stripMargin))
 
   /** PII redaction — the compliance pass every published training
     * corpus runs (emails, IPv4 addresses, phone-shaped digit runs

@@ -221,6 +221,217 @@ object LlmQueries {
        |       CAST(${lnrSql("t")} - ${lnrSql("cnt")} AS BIGINT) AS cost_micro
        |       FROM sel, tt)""".stripMargin
 
+  /** q284's oracle: the q270 unrolled forward Viterbi DP, with the
+    * j = 1 branch LEFT-joined so an unseen character COALESCEs to the
+    * 10⁷-micro-nat escape cost (the byte-fallback analog), over the
+    * drifted corpus (every 'a' uppercased) and the ORIGINAL-corpus
+    * vocabulary.
+    */
+  private lazy val UnigramFallbackSql: String = UnigramVocabSql + {
+    val unk = 10000000L
+    val sb = new StringBuilder
+    sb.append(s""",
+      |dt AS (SELECT doc_id, unnest(list_filter(
+      |              string_split(replace(text, 'a', 'A'), ' '),
+      |              t -> t <> '' AND strlen(t) <= 12)) AS w
+      |       FROM documents),
+      |wd AS (SELECT DISTINCT w FROM dt),
+      |d0 AS (SELECT w, CAST(0 AS BIGINT) AS key FROM wd)""".stripMargin)
+    for (p <- 1 to 12) {
+      val one =
+        s"""SELECT prev.w, prev.key + COALESCE(v.cost_micro, $unk) * 100000 + 1 AS key
+           |      FROM d${p - 1} prev LEFT JOIN voc v ON v.piece = substr(prev.w, $p, 1)
+           |      WHERE strlen(prev.w) >= $p""".stripMargin
+      val multi = (2 to math.min(4, p)).map { j =>
+        s"""SELECT prev.w, prev.key + v.cost_micro * 100000 + 1 AS key
+           |      FROM d${p - j} prev JOIN voc v
+           |        ON strlen(prev.w) >= $p AND v.piece = substr(prev.w, ${p - j + 1}, $j)""".stripMargin
+      }
+      val branches = (one +: multi).mkString("\n      UNION ALL\n      ")
+      sb.append(s""",
+        |d$p AS MATERIALIZED (SELECT w, min(key) AS key FROM (
+        |      $branches
+        |) b$p GROUP BY w)""".stripMargin)
+    }
+    sb.append(s""",
+      |best AS (SELECT u.w, u.key FROM (
+      |      ${(1 to 12).map(p => s"SELECT w, key, $p AS p FROM d$p").mkString("\n      UNION ALL\n      ")}
+      |) u WHERE p = strlen(u.w)),
+      |agg AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |               CAST(sum(best.key % 100000) AS BIGINT) AS n_pieces,
+      |               CAST(sum(best.key // 100000) AS BIGINT) AS cost_micro
+      |        FROM dt JOIN best ON best.w = dt.w GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+      |       CAST(COALESCE(agg.n_pieces, 0) AS BIGINT) AS n_pieces,
+      |       CAST(COALESCE(agg.cost_micro, 0) AS BIGINT) AS cost_micro,
+      |       CAST(CASE WHEN COALESCE(agg.n_words, 0) > 0
+      |            THEN (20000 * agg.n_pieces + agg.n_words) // (2 * agg.n_words)
+      |            END AS BIGINT) AS fertility_bp
+      |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin)
+    sb.toString
+  }
+
+  /** Unigram EM-training oracle machinery (q282/q283) — replays
+    * [[graft.llm.TextAnalysis.unigramTrainVocab]] level-by-level: the
+    * seed pool at an arbitrary size, then per EM round the suffix-DP
+    * (12 unrolled MATERIALIZED levels, the q270 convention), the
+    * smallest-optimal-j table, the canonical greedy walk (12 more
+    * levels), frequency-weighted piece counts, the annealed prune, and
+    * the micro-nat re-cost — all integer arithmetic and UTF-8-binary
+    * tie-breaks, so the trained vocabulary hash-matches exactly.
+    */
+  private def unigramEmBaseSql(seedSize: Int): String =
+    s"""WITH docsf AS MATERIALIZED (SELECT doc_id,
+       |       array_to_string(list_filter(string_split(text, ' '),
+       |         t -> t <> '' AND strlen(t) <= 12), ' ') AS text
+       |     FROM documents),
+       |wo AS (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+       |       FROM docsf),
+       |wv AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM wo GROUP BY w),
+       |wd AS (SELECT w FROM wv),
+       |sx AS (SELECT w, f, unnest(range(1, strlen(w) + 1)) AS i FROM wv),
+       |sy AS (SELECT w, f, i, unnest(range(i, least(i + 3, strlen(w)) + 1)) AS k FROM sx),
+       |cnts AS (SELECT substr(w, CAST(i AS INT), CAST(k - i + 1 AS INT)) AS piece,
+       |                CAST(sum(f) AS BIGINT) AS cnt
+       |         FROM sy GROUP BY 1),
+       |ch AS (SELECT piece, cnt FROM cnts WHERE strlen(piece) = 1),
+       |nch AS (SELECT count(*) AS n FROM ch),
+       |mu0 AS (SELECT r.piece, r.cnt FROM (
+       |         SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |         FROM cnts WHERE strlen(piece) > 1) r, nch
+       |       WHERE r.rk <= $seedSize - nch.n),
+       |sel0 AS (SELECT * FROM ch UNION ALL SELECT * FROM mu0),
+       |tt0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM sel0),
+       |v0 AS MATERIALIZED (SELECT piece, cnt,
+       |     CAST(${lnrSql("t")} - ${lnrSql("cnt")} AS BIGINT) AS cost_micro
+       |     FROM sel0, tt0)""".stripMargin
+
+  /** Suffix-DP levels over `wd` under vocabulary CTE `voc`: tables
+    * e{pfx}{m} (best BIGINT key for the last m chars) for m = 0..12,
+    * unioned as eu{pfx} (w, m, key). Appended fragment (leading comma).
+    */
+  private def unigramSuffixChainSql(pfx: String, voc: String): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+      |e${pfx}0 AS (SELECT w, CAST(0 AS BIGINT) AS key FROM wd)""".stripMargin)
+    for (m <- 1 to 12) {
+      val branches = (1 to math.min(4, m)).map { j =>
+        s"""SELECT prev.w, prev.key + v.cost_micro * 100000 + 1 AS key
+           |      FROM e$pfx${m - j} prev JOIN $voc v
+           |        ON strlen(prev.w) >= $m
+           |       AND v.piece = substr(prev.w, CAST(strlen(prev.w) - $m + 1 AS INT), $j)""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      sb.append(s""",
+        |e$pfx$m AS MATERIALIZED (SELECT w, min(key) AS key FROM (
+        |      $branches
+        |) b$pfx$m GROUP BY w)""".stripMargin)
+    }
+    sb.append(s""",
+      |eu$pfx AS MATERIALIZED (
+      |      ${(0 to 12).map(m => s"SELECT w, CAST($m AS BIGINT) AS m, key FROM e$pfx$m")
+             .mkString("\n      UNION ALL\n      ")})""".stripMargin)
+    sb.toString
+  }
+
+  /** One EM round: E-step (suffix chain under v{r-1}, smallest-
+    * optimal-j table, canonical walk, frequency-weighted counts),
+    * annealed prune, micro-nat re-cost → CTE v{r}. `extra` is the
+    * round's multi-piece surplus over the target (corpus-independent —
+    * the seed surplus is vocabSize·(mult−1), so nch cancels).
+    */
+  private def unigramEmRoundSql(r: Int, vocabSize: Int, extra: Long): String = {
+    val prevVoc = s"v${r - 1}"
+    val sb = new StringBuilder
+    sb.append(unigramSuffixChainSql(s"m$r", prevVoc))
+    sb.append(s""",
+      |js$r AS MATERIALIZED (SELECT w, p, min(j) AS j FROM (
+      |      SELECT a.w, strlen(a.w) - a.m AS p, jj.j
+      |      FROM eum$r a
+      |      JOIN (VALUES (1), (2), (3), (4)) jj(j) ON jj.j <= a.m
+      |      JOIN eum$r b ON b.w = a.w AND b.m = a.m - jj.j
+      |      JOIN $prevVoc v
+      |        ON v.piece = substr(a.w, CAST(strlen(a.w) - a.m + 1 AS INT), CAST(jj.j AS INT))
+      |      WHERE a.m >= 1 AND a.key = b.key + v.cost_micro * 100000 + 1
+      |) cj$r GROUP BY w, p)""".stripMargin)
+    sb.append(s""",
+      |wk${r}_0 AS (SELECT w, CAST(0 AS BIGINT) AS pos FROM wd)""".stripMargin)
+    for (k <- 1 to 12) {
+      sb.append(s""",
+        |wk${r}_$k AS MATERIALIZED (SELECT pr.w, pr.pos + js.j AS pos,
+        |      substr(pr.w, CAST(pr.pos + 1 AS INT), CAST(js.j AS INT)) AS piece
+        |      FROM wk${r}_${k - 1} pr JOIN js$r js ON js.w = pr.w AND js.p = pr.pos
+        |      WHERE pr.pos < strlen(pr.w))""".stripMargin)
+    }
+    sb.append(s""",
+      |pc$r AS (${(1 to 12).map(k => s"SELECT w, piece FROM wk${r}_$k")
+           .mkString("\n      UNION ALL\n      ")}),
+      |cn$r AS MATERIALIZED (SELECT p.piece, CAST(sum(wv.f) AS BIGINT) AS cnt
+      |      FROM pc$r p JOIN wv USING (w) GROUP BY p.piece),
+      |cd$r AS (SELECT v.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      |      FROM $prevVoc v LEFT JOIN cn$r c USING (piece)),
+      |kp$r AS (SELECT piece, cnt FROM cd$r WHERE strlen(piece) = 1
+      |      UNION ALL
+      |      SELECT piece, cnt FROM (
+      |        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+      |        FROM cd$r WHERE strlen(piece) > 1) rr$r, nch
+      |      WHERE rr$r.rk <= ($vocabSize - nch.n) + $extra),
+      |tt$r AS (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS t FROM kp$r),
+      |v$r AS MATERIALIZED (SELECT piece, cnt,
+      |      CAST(${lnrSql("t")} - ${lnrSql("greatest(cnt, 1)")} AS BIGINT) AS cost_micro
+      |      FROM kp$r, tt$r)""".stripMargin)
+    sb.toString
+  }
+
+  /** Corpus-total fertility under the vocab a suffix chain `pfx` was
+    * built with: one SELECT arm for the q283 union. Word totals come
+    * from the full-word suffix keys (m = strlen), weighted by corpus
+    * frequency — identical to summing per-doc fertility rows.
+    */
+  private def unigramTotalsArmSql(pfx: String, kind: String): String =
+    s"""SELECT vocab_kind, n_words, n_pieces, cost_micro,
+       |       CAST((20000 * n_pieces + n_words) // (2 * n_words) AS BIGINT) AS fertility_bp
+       |FROM (SELECT '$kind' AS vocab_kind,
+       |             CAST(sum(wv.f) AS BIGINT) AS n_words,
+       |             CAST(sum(wv.f * (bw.key % 100000)) AS BIGINT) AS n_pieces,
+       |             CAST(sum(wv.f * (bw.key // 100000)) AS BIGINT) AS cost_micro
+       |      FROM (SELECT w, key FROM eu$pfx WHERE m = strlen(w)) bw
+       |      JOIN wv USING (w)) a$pfx""".stripMargin
+
+  /** q282's full oracle: seed-96 pool, two EM rounds, trained vocab. */
+  private def unigramEmVocabSql: String =
+    unigramEmBaseSql(96) +
+      unigramEmRoundSql(1, 48, 24L) +
+      unigramEmRoundSql(2, 48, 0L) +
+      """
+        |SELECT piece, cnt, cost_micro FROM v2 ORDER BY piece""".stripMargin
+
+  /** q283's full oracle: the q282 chain, the plain seed-48 vocab, and
+    * the corpus-total fertility of both — the EM payoff table.
+    */
+  private def unigramEmFertilitySql: String =
+    unigramEmBaseSql(96) +
+      unigramEmRoundSql(1, 48, 24L) +
+      unigramEmRoundSql(2, 48, 0L) +
+      s""",
+        |mu48 AS (SELECT r.piece, r.cnt FROM (
+        |         SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        |         FROM cnts WHERE strlen(piece) > 1) r, nch
+        |       WHERE r.rk <= 48 - nch.n),
+        |sel48 AS (SELECT * FROM ch UNION ALL SELECT * FROM mu48),
+        |tt48 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM sel48),
+        |v48 AS MATERIALIZED (SELECT piece, cnt,
+        |     CAST(${lnrSql("t")} - ${lnrSql("cnt")} AS BIGINT) AS cost_micro
+        |     FROM sel48, tt48)""".stripMargin +
+      unigramSuffixChainSql("fs", "v48") +
+      unigramSuffixChainSql("ft", "v2") +
+      s"""
+        |${unigramTotalsArmSql("fs", "seed")}
+        |UNION ALL
+        |${unigramTotalsArmSql("ft", "trained")}
+        |ORDER BY vocab_kind""".stripMargin
+
   /** q127's exact IVF-ADC oracle — shared by the per-call path
     * (q127) and the persisted-index path (q211): the index must be
     * row-identical to recomputing assignment + codes from scratch.
@@ -5212,6 +5423,77 @@ object LlmQueries {
           .orderBy("stage", "doc_id")
       },
       Some(DedupDeleteSql)),
+
+    // ---- Unigram-LM EM TRAINING (Kudo 2018's loop; q269 was only the
+    // init round): seed a 2× candidate pool, two hard-EM rounds
+    // (Viterbi E-step over distinct words — suffix DP + canonical
+    // smallest-j walk, all in-row — annealed prune, micro-nat re-cost).
+    // The oracle replays every level: 12 suffix-DP CTEs + the j* table
+    // + 12 walk CTEs per round, then the prune/re-cost arithmetic.
+    "q282_unigram_em_vocab" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val filtered = docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            w => w =!= lit("") && length(w) <= 12), " ").as("text"))
+        TextAnalysis.unigramTrainVocab(filtered, "text", vocabSize = 48,
+            maxPiece = 4, iters = 2, seedMultiplier = 2)
+          .orderBy("piece")
+      },
+      Some(unigramEmVocabSql)),
+
+    // ---- The EM payoff, measured: corpus-total Viterbi fertility and
+    // segmentation cost under the plain seed-48 vocabulary vs the
+    // EM-trained 48 — the trained row must carry the lower (or equal)
+    // totals, and the oracle pins both rows exactly.
+    "q283_unigram_em_fertility" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val filtered = docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            w => w =!= lit("") && length(w) <= 12), " ").as("text"))
+        val seed = TextAnalysis.unigramSeedVocab(filtered, "text",
+          vocabSize = 48, maxPiece = 4)
+        val trained = TextAnalysis.unigramTrainVocab(filtered, "text",
+          vocabSize = 48, maxPiece = 4, iters = 2, seedMultiplier = 2)
+        def arm(vocab: org.apache.spark.sql.DataFrame, kind: String) =
+          TextAnalysis.unigramFertility(filtered, "doc_id", "text", vocab,
+              maxPiece = 4)
+            .agg(sum(col("n_words")).as("n_words"),
+              sum(col("n_pieces")).as("n_pieces"),
+              sum(col("cost_micro")).as("cost_micro"))
+            .select(lit(kind).as("vocab_kind"), col("n_words"),
+              col("n_pieces"), col("cost_micro"),
+              expr("(20000 * n_pieces + n_words) DIV (2 * n_words)")
+                .as("fertility_bp"))
+        arm(seed, "seed").unionAll(arm(trained, "trained"))
+          .orderBy("vocab_kind")
+      },
+      Some(unigramEmFertilitySql)),
+
+    // ---- Byte-fallback fertility (the SentencePiece escape analog):
+    // scoring a corpus with ALPHABET DRIFT (every 'a' uppercased —
+    // 'A' is outside the training alphabet) stays total, each unseen
+    // char segmenting as its own piece at the escape cost, where the
+    // strict q270 semantics would NULL every drifted document.
+    "q284_unigram_fertility_fallback" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val filtered = docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            w => w =!= lit("") && length(w) <= 12), " ").as("text"))
+        // vocab trained on the ORIGINAL corpus (the q269 chain); only
+        // the scoring corpus drifts
+        val vocab = TextAnalysis.unigramSeedVocab(docs, "text",
+          vocabSize = 48, maxPiece = 4)
+        val drifted = filtered.select(col("doc_id"),
+          regexp_replace(col("text"), "a", "A").as("text"))
+        TextAnalysis.unigramFertility(drifted, "doc_id", "text", vocab,
+            maxPiece = 4, unkCostMicro = Some(10000000L))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(UnigramFallbackSql)),
 
     // ---- Source-diversified retrieval: the q198 probes with at most 2
     // survivors per (query, source) before the global top-5 — no

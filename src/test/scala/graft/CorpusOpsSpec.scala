@@ -938,6 +938,60 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) === ((2L, -1L, -1L, -1L)))
   }
 
+  test("unigramFertility byte-fallback: unseen chars segment at the escape cost") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val vocab = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("ab", 1L, 25L))
+      .toDF("piece", "cnt", "cost_micro")
+    val docs = Seq((1L, "ab zb"), (2L, "zz")).toDF("id", "text")
+    val got = TextAnalysis.unigramFertility(docs, "id", "text", vocab,
+        maxPiece = 4, unkCostMicro = Some(1000L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // "ab"={ab}:25µ/1p; "zb"={z@1000,b@20}:1020µ/2p → totals 1045µ/3p
+    assert(got(1L) === ((2L, 3L, 1045L, 15000L)))
+    // all-unseen word still totals: 2 escapes
+    assert(got(2L) === ((1L, 2L, 2000L, 20000L)))
+  }
+
+  test("unigramTrainVocab: EM keeps the used pieces and beats the seed's fertility") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // a corpus whose RAW substring counts favor overlapping fragments
+    // (the seed's weakness) but whose Viterbi segmentations reuse the
+    // true morphemes: stems walk/talk + suffixes er/ed/ing
+    val words = Seq("walker", "walked", "walking", "talker", "talked",
+      "talking", "walk", "talk")
+    val docs = Seq.fill(20)(words.mkString(" ")).toDF("text")
+    val trained = TextAnalysis.unigramTrainVocab(docs, "text",
+      vocabSize = 16, maxPiece = 4, iters = 2, seedMultiplier = 2)
+    val pieces = trained.collect().map(_.getString(0)).toSet
+    // coverage: every corpus character survives training
+    val chars = words.flatMap(_.toSeq).map(_.toString).toSet
+    assert(chars.subsetOf(pieces), s"missing chars: ${chars -- pieces}")
+    // the final vocab honors the target size: chars + capped multis
+    assert(trained.count() === 16L)
+    // the trained vocab segments the corpus at LOWER total cost and no
+    // more pieces than the same-size seed vocab (the EM payoff)
+    val seed = TextAnalysis.unigramSeedVocab(docs, "text",
+      vocabSize = 16, maxPiece = 4)
+    def totals(v: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val ids = docs.withColumn("id",
+        org.apache.spark.sql.functions.lit(1L))
+      val r = TextAnalysis.unigramFertility(ids, "id", "text", v)
+        .agg(org.apache.spark.sql.functions.sum("n_pieces"),
+          org.apache.spark.sql.functions.sum("cost_micro")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (seedP, _) = totals(seed)
+    val (trainP, _) = totals(trained)
+    assert(trainP <= seedP,
+      s"EM fertility must not regress: seed=$seedP trained=$trainP")
+    assert(trainP < seedP,
+      s"EM must measurably beat the seed on this corpus: seed=$seedP trained=$trainP")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("duplicatedSpans flags only cross-doc k-gram repeats; short docs report no spans") {
     import spark.implicits._
     import graft.llm.Dedup
