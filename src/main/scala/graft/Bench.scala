@@ -216,6 +216,30 @@ object Bench {
         (before, timeProbe())
       } finally deleteRecursively(new java.io.File(cmpRoot))
     } else (0.0, 0.0)
+
+    // Re-rank payoff pair at the PRODUCTION PQ shape (m=16 subspaces,
+    // 256-entry codebook — q285 sizes recall over kCand; this measures
+    // what the refine stage costs): plain ADC top-5 vs ADC+exact
+    // re-rank at the kCand=25 recall-saturation point from the q285
+    // table, 10 queries, best of 3.
+    val (rrAdcSec, rrRerankSec) = if (!only.exists(_.nonEmpty)) {
+      import org.apache.spark.sql.functions._
+      val emb = graft.queries.Registry.table(spark, sfDir, "embeddings")
+      val cb = emb.filter(col("vec_id") < 256)
+      val qs = emb.filter(col("vec_id").between(300, 309))
+      def time(f: () => Long): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up
+        Seq(once(), once(), once()).min
+      }
+      val adcSec = time(() => graft.llm.Pq.adcTopK(
+        emb, "vec_id", "embedding", cb, qs, k = 5, m = 16).count())
+      val rrSec = time(() => graft.llm.Pq.adcTopKReranked(
+        emb, "vec_id", "embedding", cb, qs, k = 5, kCand = 25, m = 16).count())
+      (adcSec, rrSec)
+    } else (0.0, 0.0)
     // Each query runs N times and reports the min (criterion-style
     // steady state): run 1 absorbs first-touch costs the sf0.001 warm-up
     // cannot — page-cache-cold sf0.1 parquet reads and AQE-replanned
@@ -281,6 +305,7 @@ object Bench {
       s""""scan_only_samples":$samplesJson,""" +
       s""""zorder_plain_sec":$zPlainSec,"zorder_zorder_sec":$zOrderSec,""" +
       s""""bm25_appended_sec":$cmpAppendedSec,"bm25_compacted_sec":$cmpCompactedSec,""" +
+      s""""rerank_adc_sec":$rrAdcSec,"rerank_refined_sec":$rrRerankSec,""" +
       s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
     spark.stop()
   }

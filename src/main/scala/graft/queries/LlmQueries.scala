@@ -432,6 +432,65 @@ object LlmQueries {
         |${unigramTotalsArmSql("ft", "trained")}
         |ORDER BY vocab_kind""".stripMargin
 
+  /** q285's oracle: the q264 recall arithmetic at the production PQ
+    * shape (m=16, 256-entry codebook, queries 300–309), with one
+    * result row per swept kCand — totals over the query set, HALF_UP
+    * basis points over 10·k slots.
+    */
+  private val RerankSizingSql: String = {
+    val arms = Seq(5, 10, 25, 50).map { kc =>
+      s"""SELECT CAST($kc AS BIGINT) AS k_cand,
+         |       (SELECT n FROM na) AS n_adc,
+         |       CAST(count(*) AS BIGINT) AS n_rr,
+         |       CAST((20000 * (SELECT n FROM na) + 50) // 100 AS BIGINT) AS adc_recall_bp,
+         |       CAST((20000 * count(*) + 50) // 100 AS BIGINT) AS rr_recall_bp
+         |FROM ext e JOIN (
+         |      SELECT c.query_id, c.neighbor_id FROM (
+         |        SELECT query_id, neighbor_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY adc_dist, neighbor_id) AS rnk FROM adc) c
+         |      JOIN ex ON ex.query_id = c.query_id AND ex.neighbor_id = c.neighbor_id
+         |      WHERE c.rnk <= $kc
+         |      QUALIFY row_number() OVER (PARTITION BY c.query_id
+         |                ORDER BY ex.d2, c.neighbor_id) <= 5
+         |) rr ON rr.query_id = e.query_id AND rr.neighbor_id = e.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000.0) AS BIGINT) AS qv
+       |           FROM embeddings),
+       |v AS (SELECT vec_id, i // 4 AS sub, i % 4 AS j, qv FROM q),
+       |cb AS (SELECT vec_id AS code, sub, j, qv FROM v WHERE vec_id < 256),
+       |d AS MATERIALIZED (SELECT v.vec_id, v.sub, cb.code,
+       |      sum((v.qv - cb.qv) * (v.qv - cb.qv)) AS dist
+       |      FROM v JOIN cb ON cb.sub = v.sub AND cb.j = v.j GROUP BY 1, 2, 3),
+       |a AS (SELECT vec_id, sub, code FROM
+       |      (SELECT vec_id, sub, code,
+       |              row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d)
+       |      WHERE rn = 1),
+       |adc AS MATERIALIZED (SELECT dq.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |        sum(dq.dist) AS adc_dist
+       |        FROM d dq JOIN a ON a.sub = dq.sub AND a.code = dq.code
+       |        WHERE dq.vec_id BETWEEN 300 AND 309 AND a.vec_id <> dq.vec_id
+       |        GROUP BY 1, 2),
+       |ex AS MATERIALIZED (SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+       |              CAST(sum((qa.qv - nb.qv) * (qa.qv - nb.qv)) AS BIGINT) AS d2
+       |       FROM q qa JOIN q nb ON nb.i = qa.i AND nb.vec_id <> qa.vec_id
+       |       WHERE qa.vec_id BETWEEN 300 AND 309 GROUP BY 1, 2),
+       |ext AS (SELECT query_id, neighbor_id FROM
+       |        (SELECT query_id, neighbor_id,
+       |                row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+       |         FROM ex) WHERE rn <= 5),
+       |apx AS (SELECT query_id, neighbor_id FROM
+       |        (SELECT query_id, neighbor_id,
+       |                row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+       |         FROM adc) WHERE rnk <= 5),
+       |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ext e
+       |       JOIN apx x ON x.query_id = e.query_id AND x.neighbor_id = e.neighbor_id)
+       |SELECT * FROM (
+       |$arms
+       |) u ORDER BY k_cand""".stripMargin
+  }
+
   /** q127's exact IVF-ADC oracle — shared by the per-call path
     * (q127) and the persisted-index path (q211): the index must be
     * row-identical to recomputing assignment + codes from scratch.
@@ -2595,6 +2654,28 @@ object LlmQueries {
              |FROM (SELECT vec_id FROM embeddings WHERE vec_id BETWEEN 20 AND 29) qq
              |LEFT JOIN oa ON oa.query_id = qq.vec_id
              |LEFT JOIN orr ON orr.query_id = qq.vec_id ORDER BY query_id""".stripMargin)),
+
+    // ---- Re-rank SIZING at a production-shaped PQ (m=16 subspaces of
+    // 4 dims, 256-entry codebook — q263/q264 used a deliberately crude
+    // 16-entry book to make the recall gap visible): recall@5 of plain
+    // ADC vs ADC+exact-re-rank, swept over the candidate budget kCand ∈
+    // {5, 10, 25, 50}, totaled over 10 queries — the table that picks
+    // kCand for a deployment instead of guessing it.
+    "q285_rerank_sizing" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 256)
+        val qs = emb.filter(col("vec_id").between(300, 309))
+        Seq(5, 10, 25, 50).map { kc =>
+          Pq.rerankRecall(emb, "vec_id", "embedding", cb, qs,
+              k = 5, kCand = kc, m = 16)
+            .agg(sum(col("n_adc")).as("n_adc"), sum(col("n_rr")).as("n_rr"))
+            .select(lit(kc.toLong).as("k_cand"), col("n_adc"), col("n_rr"),
+              expr("(20000 * n_adc + 50) DIV 100").as("adc_recall_bp"),
+              expr("(20000 * n_rr + 50) DIV 100").as("rr_recall_bp"))
+        }.reduce(_.unionAll(_)).orderBy("k_cand")
+      },
+      Some(RerankSizingSql)),
 
     // ---- BPE merge step: corpus-weighted adjacent char-pair counts
     // over the word vocabulary — the inner loop of tokenizer training.
