@@ -452,6 +452,74 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unigramTrainVocab matches a brute-force-enumeration EM reference on random corpora") {
+    import graft.llm.TextAnalysis
+    import spark.implicits._
+    val rnd = new Random(47)
+    def lnr(x: Long): Long =
+      new java.math.BigDecimal(math.log(x.toDouble) * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    for (trial <- 0 until 3) {
+      val maxPiece = 3 + (trial % 2)
+      def word(): String =
+        (0 until 1 + rnd.nextInt(7)).map(_ => "abc".charAt(rnd.nextInt(3))).mkString
+      val words = (0 until 8 + rnd.nextInt(8)).map(_ => word()).distinct
+      val docs = (0 until 10).map(_ =>
+        (0 until 2 + rnd.nextInt(6)).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" "))
+      val (vocabSize, mult, iters) = (8, 2, 2)
+      // reference E-step: enumerate EVERY segmentation, min BIGINT key,
+      // tie → lexicographically smallest piece-length sequence (what
+      // the operator's smallest-j greedy walk produces by construction)
+      def canonicalPieces(w: String, costs: Map[String, Long]): List[String] = {
+        def segs(s: String): List[List[String]] =
+          if (s.isEmpty) List(Nil)
+          else (1 to math.min(maxPiece, s.length)).toList.flatMap { j =>
+            val p = s.substring(0, j)
+            if (costs.contains(p)) segs(s.substring(j)).map(p :: _) else Nil
+          }
+        val all = segs(w)
+        assert(all.nonEmpty, s"word $w must be coverable")
+        val key = (ps: List[String]) => ps.map(costs(_) * 100000L + 1L).sum
+        val best = all.map(key).min
+        all.filter(key(_) == best)
+          .minBy(_.map(_.length))(Ordering.Implicits.seqOrdering[List, Int])
+      }
+      val freqs = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      // reference seed = the (already oracle-pinned) distributed seed
+      var ref = TextAnalysis.unigramSeedVocab(docs.toDF("text"), "text",
+          vocabSize * mult, maxPiece)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val nChars = ref.count(_._1.length == 1)
+      implicit val utf8: Ordering[String] = graft.core.Utf8Order.stringOrdering
+      for (r <- 1 to iters) {
+        val costs = ref.map(v => v._1 -> v._3).toMap
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        freqs.foreach { case (w, f) =>
+          canonicalPieces(w, costs).foreach(p =>
+            counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        val cap = (vocabSize - nChars) +
+          (vocabSize.toLong * (mult - 1) * (iters - r) / iters).toInt
+        val counted = ref.map { case (p, _, _) => (p, counts.getOrElse(p, 0L)) }
+        val kept = counted.filter(_._1.length == 1) ++
+          counted.filter(_._1.length > 1)
+            .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(implicitly, utf8))
+            .take(math.max(cap, 0))
+        val t = kept.map { case (_, c) => math.max(c, 1L) }.sum
+        ref = kept.map { case (p, c) => (p, c, lnr(t) - lnr(math.max(c, 1L))) }
+      }
+      val got = TextAnalysis.unigramTrainVocab(docs.toDF("text"), "text",
+          vocabSize, maxPiece, iters, mult)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._1)(utf8)
+      assert(got == ref.sortBy(_._1)(utf8),
+        s"trial $trial maxPiece $maxPiece:\n got $got\nwant ${ref.sortBy(_._1)(utf8)}")
+      graft.llm.CacheRegistry.releaseAll(spark)
+    }
+  }
+
   test("containmentJoin matches a set-intersection reference on random corpora") {
     import spark.implicits._
     val rnd = new Random(31)
