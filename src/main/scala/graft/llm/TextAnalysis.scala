@@ -1388,24 +1388,51 @@ object TextAnalysis {
     * position smallest optimal piece length j*, and the greedy walk
     * from position 0 — all BIGINT-key arithmetic, replayable level-by-
     * level in SQL (the q270 key packing; see [[unigramTrainVocab]]).
-    * Requires every character of `w` to be in the vocabulary (the
-    * trainer's coverage invariant).
+    * With `unkCostMicro = None`, a word containing a character outside
+    * the vocabulary gets a NULL full-word key (callers filter on
+    * `element_at(graft_e, length(w) + 1) IS NOT NULL`); with `Some(c)`
+    * the j = 1 branch coalesces unseen characters to the escape cost
+    * (the [[unigramFertility]] byte-fallback analog), making the
+    * segmentation total.
     */
-  private def withViterbiPieces(df: DataFrame, w: String,
-                                maxPiece: Int): DataFrame =
+  private def withViterbiPieces(df: DataFrame, w: String, maxPiece: Int,
+                                unkCostMicro: Option[Long] = None): DataFrame = {
+    // the j = 1 leg of the suffix DP / argmin, fallback-aware: cost of
+    // the single char at suffix start (position len−m, 0-based p)
+    def oneCost(start: String) = unkCostMicro match {
+      case Some(c) => s"coalesce(element_at(graft_vm, substring($w, $start, 1)), ${c}L)"
+      case None => s"element_at(graft_vm, substring($w, $start, 1))"
+    }
+    // the fold's buffer takes the ZERO's type, and a bare
+    // array(CAST(0 AS BIGINT)) is containsNull=false — a lie once an
+    // uncoverable suffix appends a NULL key, which lets the optimizer
+    // constant-fold callers' `element_at(graft_e, …) IS NOT NULL`
+    // filters to TRUE. The DDL cast declares the honest element
+    // nullability (ARRAY<BIGINT> is containsNull=true).
     df.withColumn("graft_e", expr(
-        s"""aggregate(sequence(1, length($w)), array(CAST(0 AS BIGINT)),
+        s"""aggregate(sequence(1, length($w)),
+           |  CAST(array(CAST(0 AS BIGINT)) AS ARRAY<BIGINT>),
            |  (acc, m) -> concat(acc, array(
            |    array_min(filter(transform(sequence(1, $maxPiece), j ->
-           |      CASE WHEN j <= m
+           |      CASE WHEN j = 1
+           |           THEN element_at(acc, m) + ${oneCost(s"length($w) - m + 1")} * 100000L + 1L
+           |           WHEN j > 1 AND j <= m
            |                AND element_at(graft_vm, substring($w, length($w) - m + 1, j)) IS NOT NULL
            |           THEN element_at(acc, m - j + 1)
            |                + element_at(graft_vm, substring($w, length($w) - m + 1, j)) * 100000L + 1L
            |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)))))""".stripMargin))
       .withColumn("graft_js", expr(
+        // try_element_at: an uncoverable position (unseen char, no
+        // fallback) has an EMPTY candidate list — NULL, not an ANSI
+        // index error (callers filter uncoverable words on graft_e)
         s"""transform(sequence(0, length($w) - 1), p ->
-           |  element_at(filter(transform(sequence(1, $maxPiece), j ->
-           |    CASE WHEN j <= length($w) - p
+           |  try_element_at(filter(transform(sequence(1, $maxPiece), j ->
+           |    CASE WHEN j = 1
+           |              AND element_at(graft_e, length($w) - p + 1) =
+           |                  element_at(graft_e, length($w) - p)
+           |                  + ${oneCost("p + 1")} * 100000L + 1L
+           |         THEN j
+           |         WHEN j > 1 AND j <= length($w) - p
            |              AND element_at(graft_vm, substring($w, p + 1, j)) IS NOT NULL
            |              AND element_at(graft_e, length($w) - p + 1) =
            |                  element_at(graft_e, length($w) - p - j + 1)
@@ -1420,6 +1447,42 @@ object TextAnalysis {
            |      concat(st.ps, array(substring($w, st.p + 1,
            |        element_at(graft_js, st.p + 1)))) AS ps) END,
            |  st -> st.ps)""".stripMargin))
+  }
+
+  /** TOKENIZE with a trained unigram vocabulary — the serving side of
+    * [[unigramTrainVocab]] (fertility only COUNTS; a training pipeline
+    * needs the actual piece sequence per document). Emits one row per
+    * piece of the canonical Viterbi segmentation: (id, word_idx,
+    * piece_idx, piece), both indexes 0-based.
+    *
+    * Scale shape: the DP + walk run once per DISTINCT word (vocab as a
+    * map literal, zero shuffles), and the segmentations join back to
+    * the corpus tokens by word — corpus-sized work is the token
+    * explode and one join, never per-token DP. With `unkCostMicro =
+    * None`, words containing characters outside the vocabulary emit NO
+    * rows (their full-word key is NULL — filtered explicitly, never a
+    * NULL piece); pass `Some(c)` for total cross-corpus encoding with
+    * unseen characters as single-char escape pieces.
+    */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, maxPiece: Int = 4,
+                    unkCostMicro: Option[Long] = None): DataFrame = {
+    val vm = vocab.select(col("piece"), col("cost_micro")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(vm.nonEmpty && vm.size <= 65536,
+      s"vocab must be a bounded piece table, got ${vm.size} entries")
+    val words = df.select(col(idCol).as("id"),
+      posexplode(filter(split(col(textCol), " "), w => w =!= lit("")))
+        .as(Seq("word_idx", "w")))
+    val segmented = withViterbiPieces(
+        words.select(col("w")).distinct().withColumn("graft_vm", typedLit(vm)),
+        "w", maxPiece, unkCostMicro)
+      .filter(expr("element_at(graft_e, length(w) + 1) IS NOT NULL"))
+      .select(col("w"), posexplode(col("graft_ps")).as(Seq("piece_idx", "piece")))
+    words.join(segmented, Seq("w"))
+      .select(col("id"), col("word_idx").cast("long").as("word_idx"),
+        col("piece_idx").cast("long").as("piece_idx"), col("piece"))
+  }
 
   /** PII redaction — the compliance pass every published training
     * corpus runs (emails, IPv4 addresses, phone-shaped digit runs

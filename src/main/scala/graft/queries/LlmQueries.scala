@@ -335,6 +335,40 @@ object LlmQueries {
     sb.toString
   }
 
+  /** The smallest-optimal-j table + canonical greedy walk under
+    * vocabulary CTE `voc`, reading the suffix chain `eu{pfx}`: emits
+    * js{pfx}, wk{pfx}_0..12, and pc{pfx} (w, piece_idx 0-based, piece)
+    * — one row per piece of every word's canonical segmentation.
+    * Appended fragment (leading comma).
+    */
+  private def unigramWalkSql(pfx: String, voc: String): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+      |js$pfx AS MATERIALIZED (SELECT w, p, min(j) AS j FROM (
+      |      SELECT a.w, strlen(a.w) - a.m AS p, jj.j
+      |      FROM eu$pfx a
+      |      JOIN (VALUES (1), (2), (3), (4)) jj(j) ON jj.j <= a.m
+      |      JOIN eu$pfx b ON b.w = a.w AND b.m = a.m - jj.j
+      |      JOIN $voc v
+      |        ON v.piece = substr(a.w, CAST(strlen(a.w) - a.m + 1 AS INT), CAST(jj.j AS INT))
+      |      WHERE a.m >= 1 AND a.key = b.key + v.cost_micro * 100000 + 1
+      |) cj$pfx GROUP BY w, p)""".stripMargin)
+    sb.append(s""",
+      |wk${pfx}_0 AS (SELECT w, CAST(0 AS BIGINT) AS pos FROM wd)""".stripMargin)
+    for (k <- 1 to 12) {
+      sb.append(s""",
+        |wk${pfx}_$k AS MATERIALIZED (SELECT pr.w, pr.pos + js.j AS pos,
+        |      substr(pr.w, CAST(pr.pos + 1 AS INT), CAST(js.j AS INT)) AS piece
+        |      FROM wk${pfx}_${k - 1} pr JOIN js$pfx js ON js.w = pr.w AND js.p = pr.pos
+        |      WHERE pr.pos < strlen(pr.w))""".stripMargin)
+    }
+    sb.append(s""",
+      |pc$pfx AS (${(1 to 12).map(k =>
+             s"SELECT w, CAST(${k - 1} AS BIGINT) AS piece_idx, piece FROM wk${pfx}_$k")
+           .mkString("\n      UNION ALL\n      ")})""".stripMargin)
+    sb.toString
+  }
+
   /** One EM round: E-step (suffix chain under v{r-1}, smallest-
     * optimal-j table, canonical walk, frequency-weighted counts),
     * annealed prune, micro-nat re-cost → CTE v{r}. `extra` is the
@@ -345,30 +379,10 @@ object LlmQueries {
     val prevVoc = s"v${r - 1}"
     val sb = new StringBuilder
     sb.append(unigramSuffixChainSql(s"m$r", prevVoc))
+    sb.append(unigramWalkSql(s"m$r", prevVoc))
     sb.append(s""",
-      |js$r AS MATERIALIZED (SELECT w, p, min(j) AS j FROM (
-      |      SELECT a.w, strlen(a.w) - a.m AS p, jj.j
-      |      FROM eum$r a
-      |      JOIN (VALUES (1), (2), (3), (4)) jj(j) ON jj.j <= a.m
-      |      JOIN eum$r b ON b.w = a.w AND b.m = a.m - jj.j
-      |      JOIN $prevVoc v
-      |        ON v.piece = substr(a.w, CAST(strlen(a.w) - a.m + 1 AS INT), CAST(jj.j AS INT))
-      |      WHERE a.m >= 1 AND a.key = b.key + v.cost_micro * 100000 + 1
-      |) cj$r GROUP BY w, p)""".stripMargin)
-    sb.append(s""",
-      |wk${r}_0 AS (SELECT w, CAST(0 AS BIGINT) AS pos FROM wd)""".stripMargin)
-    for (k <- 1 to 12) {
-      sb.append(s""",
-        |wk${r}_$k AS MATERIALIZED (SELECT pr.w, pr.pos + js.j AS pos,
-        |      substr(pr.w, CAST(pr.pos + 1 AS INT), CAST(js.j AS INT)) AS piece
-        |      FROM wk${r}_${k - 1} pr JOIN js$r js ON js.w = pr.w AND js.p = pr.pos
-        |      WHERE pr.pos < strlen(pr.w))""".stripMargin)
-    }
-    sb.append(s""",
-      |pc$r AS (${(1 to 12).map(k => s"SELECT w, piece FROM wk${r}_$k")
-           .mkString("\n      UNION ALL\n      ")}),
       |cn$r AS MATERIALIZED (SELECT p.piece, CAST(sum(wv.f) AS BIGINT) AS cnt
-      |      FROM pc$r p JOIN wv USING (w) GROUP BY p.piece),
+      |      FROM pcm$r p JOIN wv USING (w) GROUP BY p.piece),
       |cd$r AS (SELECT v.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
       |      FROM $prevVoc v LEFT JOIN cn$r c USING (piece)),
       |kp$r AS (SELECT piece, cnt FROM cd$r WHERE strlen(piece) = 1
@@ -406,6 +420,25 @@ object LlmQueries {
       unigramEmRoundSql(2, 48, 0L) +
       """
         |SELECT piece, cnt, cost_micro FROM v2 ORDER BY piece""".stripMargin
+
+  /** q286's full oracle: the q282 training chain, then the canonical
+    * segmentation of every corpus token under the TRAINED vocabulary —
+    * one row per emitted piece, doc-ordered.
+    */
+  private def unigramEncodeSql: String =
+    unigramEmBaseSql(96) +
+      unigramEmRoundSql(1, 48, 24L) +
+      unigramEmRoundSql(2, 48, 0L) +
+      unigramSuffixChainSql("en", "v2") +
+      unigramWalkSql("en", "v2") +
+      s""",
+        |dt AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS word_idx, unnest(ws) AS w
+        |       FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |             FROM docsf) dws)
+        |SELECT dt.doc_id, CAST(dt.word_idx AS BIGINT) AS word_idx,
+        |       pc.piece_idx, pc.piece
+        |FROM dt JOIN pcen pc ON pc.w = dt.w
+        |ORDER BY doc_id, word_idx, piece_idx""".stripMargin
 
   /** q283's full oracle: the q282 chain, the plain seed-48 vocab, and
     * the corpus-total fertility of both — the EM payoff table.
@@ -5551,6 +5584,26 @@ object LlmQueries {
           .orderBy("vocab_kind")
       },
       Some(unigramEmFertilitySql)),
+
+    // ---- TOKENIZE the corpus with the q282-trained vocabulary — the
+    // serving side of the trainer (q283 only counts; a pipeline needs
+    // the piece sequences). One row per piece of every token's
+    // canonical Viterbi segmentation; DP + walk run once per DISTINCT
+    // word and join back, so corpus-sized work is one explode + join.
+    "q286_unigram_encode" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val filtered = docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            w => w =!= lit("") && length(w) <= 12), " ").as("text"))
+        val trained = TextAnalysis.unigramTrainVocab(filtered, "text",
+          vocabSize = 48, maxPiece = 4, iters = 2, seedMultiplier = 2)
+        TextAnalysis.unigramEncode(filtered, "doc_id", "text", trained,
+            maxPiece = 4)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "word_idx", "piece_idx")
+      },
+      Some(unigramEncodeSql)),
 
     // ---- Byte-fallback fertility (the SentencePiece escape analog):
     // scoring a corpus with ALPHABET DRIFT (every 'a' uppercased —

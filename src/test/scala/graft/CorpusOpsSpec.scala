@@ -954,6 +954,25 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) === ((1L, 2L, 2000L, 20000L)))
   }
 
+  test("unigramEncode emits the canonical segmentation; unseen words drop or escape") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val vocab = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("ab", 1L, 25L))
+      .toDF("piece", "cnt", "cost_micro")
+    val docs = Seq((1L, "ab aab zb")).toDF("id", "text")
+    def rows(unk: Option[Long]) =
+      TextAnalysis.unigramEncode(docs, "id", "text", vocab, maxPiece = 4, unk)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    // strict mode: "ab"→[ab] (25µ beats a+b=30µ), "aab"→[a,ab]
+    // (smallest-j among the optimal: a|ab — 35µ/2p beats ab|b 45µ and
+    // a|a|b 40µ/3p), "zb" has an unseen char → NO rows, never NULLs
+    assert(rows(None) === Seq((0L, 0L, "ab"), (1L, 0L, "a"), (1L, 1L, "ab")))
+    // fallback mode: "zb" → [z@escape, b]
+    assert(rows(Some(1000L)) === Seq((0L, 0L, "ab"), (1L, 0L, "a"),
+      (1L, 1L, "ab"), (2L, 0L, "z"), (2L, 1L, "b")))
+  }
+
   test("unigramTrainVocab: EM keeps the used pieces and beats the seed's fertility") {
     import spark.implicits._
     import graft.llm.TextAnalysis
