@@ -1409,7 +1409,15 @@ object TextAnalysis {
     // constant-fold callers' `element_at(graft_e, …) IS NOT NULL`
     // filters to TRUE. The DDL cast declares the honest element
     // nullability (ARRAY<BIGINT> is containsNull=true).
-    df.withColumn("graft_e", expr(
+    //
+    // explode(array(...)) barrier (the denseJaccardDistinct idiom): the
+    // DP rides through a 1-element Generate, so callers' filters and a
+    // downstream posexplode's implicit IsNotNull/size constraints bind
+    // to the Generate's OUTPUT attribute instead of inlining the whole
+    // chain — without it, a filter over this column pushed below the
+    // caller's distinct() and re-evaluated the interpreted DP once per
+    // CORPUS TOKEN (measured: q286 496 s → ~2 s at sf0.1).
+    df.withColumn("graft_e", explode(array(expr(
         s"""aggregate(sequence(1, length($w)),
            |  CAST(array(CAST(0 AS BIGINT)) AS ARRAY<BIGINT>),
            |  (acc, m) -> concat(acc, array(
@@ -1420,7 +1428,7 @@ object TextAnalysis {
            |                AND element_at(graft_vm, substring($w, length($w) - m + 1, j)) IS NOT NULL
            |           THEN element_at(acc, m - j + 1)
            |                + element_at(graft_vm, substring($w, length($w) - m + 1, j)) * 100000L + 1L
-           |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)))))""".stripMargin))
+           |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)))))""".stripMargin))))
       .withColumn("graft_js", expr(
         // try_element_at: an uncoverable position (unseen char, no
         // fallback) has an EMPTY candidate list — NULL, not an ANSI
