@@ -1607,6 +1607,18 @@ object Dedup {
     val pending = new java.io.File(indexDir, DedupPendingName)
     require(!pending.exists(),
       s"dedup index at $indexDir has an interrupted compact — rebuild it")
+    // tombstones covering EVERY doc would rewrite the sidecars empty
+    // and the key-table recompute would then fail reading a fileless
+    // parquet dir mid-compact (fence up, rebuild forced) — refuse
+    // BEFORE the fence goes up instead, like the BM25 analog (nothing
+    // is mutated, the index stays valid and serving)
+    dedupTombstones(spark, indexDir).foreach { ts =>
+      val anySurvivor = spark.read.parquet(s"$indexDir/docs_exact")
+        .join(broadcast(ts), Seq("id"), "left_anti").limit(1).count()
+      require(anySurvivor > 0,
+        s"compactDedupIndex at $indexDir would leave zero surviving docs — " +
+          "drop the index dir and rebuild when content exists")
+    }
     java.nio.file.Files.createFile(pending.toPath)
     val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
     val survivorFilter: DataFrame => DataFrame =

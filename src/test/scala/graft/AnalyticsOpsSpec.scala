@@ -231,6 +231,13 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = spark.read.parquet(s"$idx/exact").collect().map(_.getString(0)).toSet
     val rebuiltExact = spark.read.parquet(s"$rebuilt/exact").collect().map(_.getString(0)).toSet
     assert(exact === rebuiltExact, "exact key set must equal the rebuild's")
+    // tombstoning EVERY surviving doc: compaction refuses loudly BEFORE
+    // the fence goes up — the index stays valid and keeps serving
+    Dedup.deleteFromDedupIndex(spark, idx, Seq(1L, 3L))
+    val e = intercept[IllegalArgumentException] { Dedup.compactDedupIndex(spark, idx) }
+    assert(e.getMessage.contains("zero surviving docs"), s"got $e")
+    assert(Dedup.dedupIndexExists(idx), "refused compact must leave the index valid")
+    rows(idx) // still probe-able (all keys now dead → all clean)
   }
 
   test("interleaveSchedule keeps every prefix near the target mixture") {
