@@ -1446,7 +1446,11 @@ object TextAnalysis {
            |                  element_at(graft_e, length($w) - p - j + 1)
            |                  + element_at(graft_vm, substring($w, p + 1, j)) * 100000L + 1L
            |         THEN j ELSE CAST(NULL AS INT) END), x -> x IS NOT NULL), 1))""".stripMargin))
-      .withColumn("graft_ps", expr(
+      // the walk rides through the same barrier: a downstream
+      // posexplode's implicit IsNotNull/size constraints would
+      // otherwise inline the whole walk aggregate into a Filter and
+      // evaluate it twice per word
+      .withColumn("graft_ps", explode(array(expr(
         s"""aggregate(sequence(1, length($w)),
            |  struct(CAST(0 AS INT) AS p, CAST(array() AS ARRAY<STRING>) AS ps),
            |  (st, x) -> CASE WHEN st.p >= length($w) THEN st
@@ -1454,7 +1458,7 @@ object TextAnalysis {
            |      CAST(st.p + element_at(graft_js, st.p + 1) AS INT) AS p,
            |      concat(st.ps, array(substring($w, st.p + 1,
            |        element_at(graft_js, st.p + 1)))) AS ps) END,
-           |  st -> st.ps)""".stripMargin))
+           |  st -> st.ps)""".stripMargin))))
   }
 
   /** TOKENIZE with a trained unigram vocabulary — the serving side of

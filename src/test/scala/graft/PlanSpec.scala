@@ -882,4 +882,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
     spark.catalog.clearCache()
   }
+
+  test("unigramEncode keeps the Viterbi DP above the distinct (the 496s pushdown pin)") {
+    import spark.implicits._
+    val vocab = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("ab", 1L, 25L))
+      .toDF("piece", "cnt", "cost_micro")
+    val docs = Seq((1L, "ab aab ab b a ab")).toDF("id", "text")
+    val df = graft.llm.TextAnalysis.unigramEncode(docs, "id", "text", vocab, 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the uncoverable-word filter (and the posexplode's implicit
+    // constraints) must bind to the DP Generates' OUTPUT attributes
+    // (graft_e#N / graft_ps#N) — a Filter that inlines a DP fold
+    // WITHOUT referencing them means the optimizer pushed it below
+    // the barrier/distinct and the interpreted chain re-runs once per
+    // corpus TOKEN (measured 496 s at sf0.1 before the barrier)
+    val offenders = "Filter [^\\n]*aggregate\\(sequence\\(1, length[^\\n]*".r
+      .findAllIn(p).filterNot(f =>
+        f.contains("graft_e#") || f.contains("graft_ps#")).toSeq
+    assert(offenders.isEmpty,
+      s"Viterbi DP inlined into a pushed-down Filter condition:\n$offenders")
+    // the barrier Generates are present
+    assert(p.contains("Generate explode"),
+      s"explode-array barrier missing from the encode plan:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
 }
