@@ -1540,12 +1540,26 @@ object Dedup {
     *    rowsPerBand) — probing with different shingle/hash geometry
     *    than the index was built with would silently miss everything.
     */
+  /** The index stores BIGINT doc ids (the BM25 manifest convention). A
+    * NULL-producing id cast would silently collapse every doc into ONE
+    * minhash group (band keys over the union of all shingles — near-dup
+    * recall destroyed) and write sidecar rows no takedown can ever
+    * match, so the cast raises the contract error IN-PLAN instead —
+    * the hardNegatives guard idiom, no driver-side sampling pass.
+    */
+  private def requiredLongId(idCol: String): org.apache.spark.sql.Column =
+    when(col(idCol).cast("long").isNotNull, col(idCol).cast("long"))
+      .otherwise(raise_error(lit(
+        s"dedup index requires non-NULL '$idCol' values castable to BIGINT — " +
+          "map string/UUID ids to numeric ids upstream")).cast("long"))
+      .as("id")
+
   def buildDedupIndex(ref: DataFrame, idCol: String, textCol: String,
                       indexDir: String, numBuckets: Int, shingleN: Int,
                       numHashes: Int, rowsPerBand: Int): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
     val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
-    val docs = ref.select(col(idCol).cast("long").as("id"), col(textCol))
+    val docs = ref.select(requiredLongId(idCol), col(textCol))
     graft.sources.BucketedWarehouse.writeBucketedPath(
       docs.select(md5(col(textCol)).as("h")).distinct(),
       eName, s"$indexDir/exact", Seq("h"), numBuckets)
@@ -1707,7 +1721,20 @@ object Dedup {
     val (nb, shingleN, numHashes, rowsPerBand) = readDedupManifest(indexDir)
     val (exact, bands, _, _) = openDedupIndex(spark, indexDir)
     val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
-    val typed = docs.select(col(idCol).cast("long").as("id"), col(textCol))
+    val typed = docs.select(requiredLongId(idCol), col(textCol))
+    // re-using a tombstoned id would retro-tombstone the NEW content:
+    // the fresh sidecar rows carry an id the probe's dead-key test
+    // treats as deleted and the next compaction physically drops, so a
+    // LIVE doc would silently lose its dedup keys forever. Reject
+    // loudly — compaction clears the tombstones and frees the ids.
+    dedupTombstones(spark, indexDir).foreach { ts =>
+      val clash = typed.select(col("id"))
+        .join(broadcast(ts), Seq("id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"appendToDedupIndex at $indexDir: the batch re-uses doc ids with " +
+          "pending tombstones — run compactDedupIndex first (making the " +
+          "deletes physical) or assign fresh ids")
+    }
     val batchBands = CacheRegistry.persist(
       docBandComposite(typed, "id", textCol, shingleN, numHashes, rowsPerBand))
     graft.sources.BucketedWarehouse.appendBucketedPath(

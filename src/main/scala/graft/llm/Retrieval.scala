@@ -534,7 +534,10 @@ object Retrieval {
     * already found in its ledger — fences a COMPLETED append and is
     * safe to remove. Any other fence (empty, or another batch's id)
     * marks a genuinely torn index and is left in place. Returns true
-    * when a fence was cleared.
+    * when a fence was cleared; a fence that provably SHOULD clear but
+    * cannot be deleted throws (silently returning false would leave a
+    * healthy index behind a permanent fence, every later batch dying
+    * with the misleading torn-index error).
     */
   def clearCompletedAppendFence(indexDir: String, batchId: Long): Boolean = {
     val pending = new java.io.File(indexDir, PendingName)
@@ -542,7 +545,15 @@ object Retrieval {
       val content = new String(
         java.nio.file.Files.readAllBytes(pending.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim
-      content == batchId.toString && pending.delete()
+      content == batchId.toString && {
+        val cleared = pending.delete()
+        if (!cleared && pending.exists())
+          throw new IllegalStateException(
+            s"cannot delete the stale append fence $pending of COMPLETED " +
+              s"batch $batchId; the index data is intact, so fix filesystem " +
+              "permissions and remove the fence file manually")
+        cleared || !pending.exists()
+      }
     }
   }
 

@@ -240,6 +240,67 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows(idx) // still probe-able (all keys now dead → all clean)
   }
 
+  test("dedup index fails fast on NULL doc ids instead of collapsing groups") {
+    import spark.implicits._
+    // a NULL id would silently merge every doc into ONE minhash group
+    // (band keys over the union of all shingles) and write sidecar rows
+    // no takedown can match — the in-plan guard must raise instead
+    val bad = Seq((java.lang.Long.valueOf(1L), "alpha beta gamma delta"),
+      (null.asInstanceOf[java.lang.Long], "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-null").toFile
+    dir.deleteOnExit()
+    val e = intercept[Exception] {
+      Dedup.buildDedupIndex(bad, "doc_id", "text", s"$dir/idx",
+        numBuckets = 2, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    }
+    assert(e.getMessage.contains("castable to BIGINT") ||
+      Option(e.getCause).exists(_.getMessage.contains("castable to BIGINT")),
+      s"expected the id-contract error, got $e")
+    // append path carries the same guard
+    val ok = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(ok, "doc_id", "text", s"$dir/idx2",
+      numBuckets = 2, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    val e2 = intercept[Exception] {
+      Dedup.appendToDedupIndex(bad, "doc_id", "text", s"$dir/idx2")
+    }
+    assert(e2.getMessage.contains("castable to BIGINT") ||
+      Option(e2.getCause).exists(_.getMessage.contains("castable to BIGINT")),
+      s"expected the id-contract error, got $e2")
+  }
+
+  test("appendToDedupIndex rejects re-used ids with pending tombstones") {
+    import spark.implicits._
+    val ref = Seq((0L, "original content alpha beta gamma"),
+      (1L, "second document delta epsilon zeta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-reuse").toFile
+    dir.deleteOnExit()
+    val idx = s"$dir/idx"
+    Dedup.buildDedupIndex(ref, "doc_id", "text", idx, numBuckets = 2,
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    Dedup.deleteFromDedupIndex(spark, idx, Seq(0L))
+    // re-using the tombstoned id would retro-tombstone the NEW content
+    // (its sidecar rows read as dead, compaction drops them) — reject
+    val reuse = Seq((0L, "brand new replacement text eta theta"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToDedupIndex(reuse, "doc_id", "text", idx)
+    }
+    assert(e.getMessage.contains("pending tombstones"), s"got $e")
+    // fresh ids append fine while the tombstone is pending
+    Dedup.appendToDedupIndex(
+      Seq((5L, "fresh id content iota kappa lambda")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // after compaction the deletes are physical and the id is free again
+    Dedup.compactDedupIndex(spark, idx)
+    Dedup.appendToDedupIndex(reuse, "doc_id", "text", idx)
+    val flags = Dedup.dedupAgainstIndex(
+        Seq((90L, "brand new replacement text eta theta")).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(flags === Seq((90L, 1L)), "re-ingested content must match after compact")
+  }
+
   test("interleaveSchedule keeps every prefix near the target mixture") {
     import spark.implicits._
     val docs = (0L until 300L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
