@@ -18,7 +18,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   * All operators avoid UDFs where a built-in expression exists; the only
   * shuffles are the groupBys/joins inherent to the semantics.
   */
-object Dedup {
+object Dedup extends PersistedIndex {
 
   /** Exact duplicate groups by content hash: (content_hash, n_docs,
     * keep_id) — keep_id = min id, the canonical survivor.
@@ -1512,9 +1512,11 @@ object Dedup {
   // Persisted dedup index over BucketedWarehouse
   // ------------------------------------------------------------------
 
-  private val DedupManifestName = "_graft_dedup_index_manifest"
-  private val DedupIndexVersion = 2
-  private val DedupTombstoneDir = "tombstones"
+  override protected def manifestName: String = "_graft_dedup_index_manifest"
+  override protected def indexVersion: Int = 2
+  override protected def pendingName: String = "_graft_compact_pending"
+  override protected def indexKind: String = "dedup index"
+  override protected def buildHint: String = "run buildDedupIndex first"
 
   /** Persist the reference corpus' dedup keys ONCE — the incremental-
     * crawl shape: [[dedupAgainst]] recomputes the reference side's
@@ -1573,28 +1575,15 @@ object Dedup {
     graft.sources.BucketedWarehouse.writeBucketedPath(
       docBandComposite(docs, "id", textCol, shingleN, numHashes, rowsPerBand),
       dbName, s"$indexDir/docs_bands", Seq("bk"), numBuckets)
-    val mf = new java.io.File(indexDir, DedupManifestName)
-    java.nio.file.Files.write(mf.toPath,
-      (s"version=$DedupIndexVersion\nnumBuckets=$numBuckets\n" +
-        s"shingleN=$shingleN\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeManifest(indexDir, Seq("numBuckets" -> numBuckets.toString,
+      "shingleN" -> shingleN.toString, "numHashes" -> numHashes.toString,
+      "rowsPerBand" -> rowsPerBand.toString))
   }
-
-  private val DedupPendingName = "_graft_compact_pending"
 
   /** True when `indexDir` holds a complete current-version dedup index
-    * (a tripped compaction fence reads as absent → rebuild).
+    * (a tripped mutation fence reads as absent → rebuild).
     */
-  def dedupIndexExists(indexDir: String): Boolean = {
-    val mf = new java.io.File(indexDir, DedupManifestName)
-    mf.isFile &&
-      !new java.io.File(indexDir, DedupPendingName).exists() && {
-        val props = new java.util.Properties()
-        val in = new java.io.FileInputStream(mf)
-        try props.load(in) finally in.close()
-        props.getProperty("version") == DedupIndexVersion.toString
-      }
-  }
+  def dedupIndexExists(indexDir: String): Boolean = indexExists(indexDir)
 
   /** Compact an append-grown dedup index: rewrite every table to ONE
     * file per bucket (each [[appendToDedupIndex]] adds a file per
@@ -1618,25 +1607,20 @@ object Dedup {
                         indexDir: String): Unit = {
     val (nb, _, _, _) = readDedupManifest(indexDir)
     openDedupIndex(spark, indexDir)
-    val pending = new java.io.File(indexDir, DedupPendingName)
-    require(!pending.exists(),
-      s"dedup index at $indexDir has an interrupted compact — rebuild it")
+    requireNoFence(indexDir, "append/compact")
     // tombstones covering EVERY doc would rewrite the sidecars empty
     // and the key-table recompute would then fail reading a fileless
     // parquet dir mid-compact (fence up, rebuild forced) — refuse
     // BEFORE the fence goes up instead, like the BM25 analog (nothing
     // is mutated, the index stays valid and serving)
-    dedupTombstones(spark, indexDir).foreach { ts =>
-      val anySurvivor = spark.read.parquet(s"$indexDir/docs_exact")
-        .join(broadcast(ts), Seq("id"), "left_anti").limit(1).count()
-      require(anySurvivor > 0,
-        s"compactDedupIndex at $indexDir would leave zero surviving docs — " +
-          "drop the index dir and rebuild when content exists")
-    }
-    java.nio.file.Files.createFile(pending.toPath)
+    requireSurvivors(spark, indexDir,
+      spark.read.parquet(s"$indexDir/docs_exact"),
+      s"compactDedupIndex at $indexDir would leave zero surviving docs — " +
+        "drop the index dir and rebuild when content exists")
+    raiseFence(indexDir, "")
     val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
     val survivorFilter: DataFrame => DataFrame =
-      dedupTombstones(spark, indexDir) match {
+      tombstoneIds(spark, indexDir) match {
         case Some(ts) => df => df.join(broadcast(ts), Seq("id"), "left_anti")
         case None => identity
       }
@@ -1654,14 +1638,8 @@ object Dedup {
     graft.sources.BucketedWarehouse.rewriteBucketedPath(
       spark.read.parquet(s"$indexDir/docs_bands").select(col("bk")).distinct(),
       spark, bName, s"$indexDir/bands", Seq("bk"), nb)
-    deleteRecursivelyDedup(new java.io.File(indexDir, DedupTombstoneDir))
-    java.nio.file.Files.delete(pending.toPath)
-  }
-
-  private def deleteRecursivelyDedup(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursivelyDedup))
-    f.delete()
+    clearTombstones(indexDir)
+    clearFence(indexDir)
   }
 
   /** Delete documents from the dedup index WITHOUT rewriting it — the
@@ -1679,21 +1657,8 @@ object Dedup {
     */
   def deleteFromDedupIndex(spark: org.apache.spark.sql.SparkSession,
                            indexDir: String, ids: Seq[Long]): Unit = {
-    require(ids.nonEmpty, "at least one id to delete")
     readDedupManifest(indexDir) // fail fast on a non-index dir
-    import spark.implicits._
-    ids.toDF("id").write.mode("append")
-      .parquet(s"$indexDir/$DedupTombstoneDir")
-  }
-
-  /** The pending tombstone ids, when any doc-level deletes await merge. */
-  private def dedupTombstones(spark: org.apache.spark.sql.SparkSession,
-                              indexDir: String): Option[DataFrame] = {
-    val dir = new java.io.File(indexDir, DedupTombstoneDir)
-    if (dir.isDirectory &&
-        Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
-      Some(spark.read.parquet(dir.toString).select(col("id")).distinct())
-    else None
+    appendTombstoneIds(spark, indexDir, ids)
   }
 
   /** Fold a batch's keys into the persisted index: only keys NOT
@@ -1727,7 +1692,7 @@ object Dedup {
     // treats as deleted and the next compaction physically drops, so a
     // LIVE doc would silently lose its dedup keys forever. Reject
     // loudly — compaction clears the tombstones and frees the ids.
-    dedupTombstones(spark, indexDir).foreach { ts =>
+    tombstoneIds(spark, indexDir).foreach { ts =>
       val clash = typed.select(col("id"))
         .join(broadcast(ts), Seq("id"), "left_semi").limit(1).count()
       require(clash == 0L,
@@ -1774,7 +1739,7 @@ object Dedup {
     val spark = newDocs.sparkSession
     val (_, shingleN, numHashes, rowsPerBand) = readDedupManifest(indexDir)
     val (exact0, bands0, docsExact, docsBands) = openDedupIndex(spark, indexDir)
-    val (exact, bands) = dedupTombstones(spark, indexDir) match {
+    val (exact, bands) = tombstoneIds(spark, indexDir) match {
       case Some(ts) =>
         def dead(sidecar: DataFrame, keyCol: String): DataFrame = {
           // keys the deleted docs referenced — bounded by the takedown
@@ -1837,24 +1802,14 @@ object Dedup {
   }
 
   private[graft] def readDedupManifest(indexDir: String): (Int, Int, Int, Int) = {
-    val mf = new java.io.File(indexDir, DedupManifestName)
-    require(mf.isFile,
-      s"no dedup-index manifest at $indexDir — run buildDedupIndex first")
-    val props = new java.util.Properties()
-    val in = new java.io.FileInputStream(mf)
-    try props.load(in) finally in.close()
-    require(props.getProperty("version") == DedupIndexVersion.toString,
-      s"index version ${props.getProperty("version")} != $DedupIndexVersion — rebuild")
+    val props = readManifestProps(indexDir)
     (props.getProperty("numBuckets").toInt, props.getProperty("shingleN").toInt,
       props.getProperty("numHashes").toInt, props.getProperty("rowsPerBand").toInt)
   }
 
   private def dedupTableNames(indexDir: String)
       : (String, String, String, String) = {
-    val canon = new java.io.File(indexDir).getAbsolutePath
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val tag = md.take(6).map(b => f"$b%02x").mkString
+    val tag = tableTag(indexDir)
     (s"graft_didx_${tag}_exact", s"graft_didx_${tag}_bands",
       s"graft_didx_${tag}_dexact", s"graft_didx_${tag}_dbands")
   }

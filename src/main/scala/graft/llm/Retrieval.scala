@@ -31,7 +31,7 @@ import org.apache.spark.sql.DataFrame
   * `avdl_milli · max_tf < 1.0e13` — e.g. a 10k-token average corpus
   * with per-doc term frequencies up to 10^6.
   */
-object Retrieval {
+object Retrieval extends PersistedIndex {
 
   /** BM25 top-k retrieval: build `nQueries` probe queries of
     * `termsPerQuery` terms each from the corpus's highest-df terms
@@ -371,9 +371,11 @@ object Retrieval {
     * open — so incremental appends can fold a batch in without a
     * corpus pass.
     */
-  private val ManifestName = "_graft_index_manifest"
-  private val IndexVersion = 2
-  private val PendingName = "_graft_append_pending"
+  override protected def manifestName: String = "_graft_index_manifest"
+  override protected def indexVersion: Int = 2
+  override protected def pendingName: String = "_graft_append_pending"
+  override protected def indexKind: String = "index"
+  override protected def buildHint: String = "run buildIndex first"
 
   /** Materialize the BM25 token index ONCE as bucketed parquet under
     * `indexDir`, so later [[bm25TopKIndexed]] calls score without
@@ -412,25 +414,7 @@ object Retrieval {
       tName, s"$indexDir/terms", Seq("tok"), numBuckets)
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
-    val mf = new java.io.File(indexDir, ManifestName)
-    java.nio.file.Files.write(mf.toPath,
-      s"version=$IndexVersion\nnumBuckets=$numBuckets\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  }
-
-  /** True when `indexDir` holds a complete CURRENT-version index (a
-    * stale-version manifest reads as absent, so fixture caches rebuild
-    * instead of erroring).
-    */
-  def indexExists(indexDir: String): Boolean = {
-    val mf = new java.io.File(indexDir, ManifestName)
-    mf.isFile &&
-      !new java.io.File(indexDir, PendingName).exists() && {
-        val props = new java.util.Properties()
-        val in = new java.io.FileInputStream(mf)
-        try props.load(in) finally in.close()
-        props.getProperty("version") == IndexVersion.toString
-      }
+    writeManifest(indexDir, Seq("numBuckets" -> numBuckets.toString))
   }
 
   /** Fold an append batch into a persisted index WITHOUT touching the
@@ -480,12 +464,8 @@ object Retrieval {
     // turns that window into a DETECTABLE invalid state: indexExists()
     // is false while it is present, so cached fixtures and IndexIngest
     // rebuild instead of reusing a torn index.
-    val pending = new java.io.File(indexDir, PendingName)
-    require(!pending.exists(),
-      s"index at $indexDir has an interrupted append — rebuild it")
-    java.nio.file.Files.write(pending.toPath,
-      commitLedger.map(_._2.toString).getOrElse("")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    requireNoFence(indexDir, "append")
+    raiseFence(indexDir, commitLedger.map(_._2.toString).getOrElse(""))
     val (pName, tName) = tableNames(indexDir)
     val (tf, dl, _, termDf) =
       tokenIndex(docs.select(col(idCol).cast("long").as(idCol), col(textCol)),
@@ -524,65 +504,7 @@ object Retrieval {
     crashPoint(spark, "bm25_append_before_ledger")
     commitLedger.foreach { case (ledger, id) => appendLineSync(ledger, id) }
     crashPoint(spark, "bm25_append_after_ledger")
-    java.nio.file.Files.delete(pending.toPath)
-  }
-
-  /** Clear a pending-append fence that a crash AFTER the ledger commit
-    * left behind: the fence file carries the batch id of the append
-    * that wrote it (see [[appendToIndex]]'s commitLedger form), so a
-    * fence whose content equals `batchId` — which the caller has
-    * already found in its ledger — fences a COMPLETED append and is
-    * safe to remove. Any other fence (empty, or another batch's id)
-    * marks a genuinely torn index and is left in place. Returns true
-    * when a fence was cleared; a fence that provably SHOULD clear but
-    * cannot be deleted throws (silently returning false would leave a
-    * healthy index behind a permanent fence, every later batch dying
-    * with the misleading torn-index error).
-    */
-  def clearCompletedAppendFence(indexDir: String, batchId: Long): Boolean = {
-    val pending = new java.io.File(indexDir, PendingName)
-    pending.isFile && {
-      val content = new String(
-        java.nio.file.Files.readAllBytes(pending.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      content == batchId.toString && {
-        val cleared = pending.delete()
-        if (!cleared && pending.exists())
-          throw new IllegalStateException(
-            s"cannot delete the stale append fence $pending of COMPLETED " +
-              s"batch $batchId; the index data is intact, so fix filesystem " +
-              "permissions and remove the fence file manually")
-        cleared || !pending.exists()
-      }
-    }
-  }
-
-  /** Append one ledger line and fsync — the durability the commit
-    * ordering in [[appendToIndex]] depends on. Format matches
-    * [[graft.streaming.IndexIngest]]'s ledgers: one decimal id per line.
-    */
-  private def appendLineSync(ledger: java.io.File, id: Long): Unit = {
-    val out = new java.io.FileOutputStream(ledger, true)
-    try {
-      out.write(s"$id\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.flush()
-      out.getFD.sync()
-    } finally out.close()
-  }
-
-  /** Test-only crash injection: throws when the session conf
-    * `graft.test.crashPoint` names this point. Production sessions
-    * never set it; the streaming crash-window specs do.
-    */
-  private def crashPoint(spark: org.apache.spark.sql.SparkSession,
-                         point: String): Unit = {
-    if (spark.conf.get("graft.test.crashPoint", "") == point)
-      throw new RuntimeException(s"injected crash at $point")
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
+    clearFence(indexDir)
   }
 
   /** Compact an append-grown index: rewrite the postings and terms
@@ -604,24 +526,19 @@ object Retrieval {
                    indexDir: String): Unit = {
     val nb = readManifest(indexDir)
     openIndex(spark, indexDir)
-    val pending = new java.io.File(indexDir, PendingName)
-    require(!pending.exists(),
-      s"index at $indexDir has an interrupted append/compact — rebuild it")
+    requireNoFence(indexDir, "append/compact")
     // every doc tombstoned → n_docs=0 would make openIndex's avdl
     // divide by zero and later probes silently score NULL; an empty
     // index is not a servable state — fail BEFORE the fence goes up
     // (nothing is mutated, so the index stays valid and serving)
-    tombstones(spark, indexDir).foreach { ts =>
-      val anySurvivor = spark.read.parquet(s"$indexDir/postings")
-        .join(broadcast(ts), Seq("id"), "left_anti").limit(1).count()
-      require(anySurvivor > 0,
-        s"compactIndex at $indexDir would leave zero surviving docs — " +
-          "an empty BM25 index cannot serve scores; drop the index dir " +
-          "and rebuild when content exists")
-    }
-    java.nio.file.Files.createFile(pending.toPath)
+    requireSurvivors(spark, indexDir,
+      spark.read.parquet(s"$indexDir/postings"),
+      s"compactIndex at $indexDir would leave zero surviving docs — " +
+        "an empty BM25 index cannot serve scores; drop the index dir " +
+        "and rebuild when content exists")
+    raiseFence(indexDir, "")
     val (pName, tName) = tableNames(indexDir)
-    tombstones(spark, indexDir) match {
+    tombstoneIds(spark, indexDir) match {
       case None =>
         graft.sources.BucketedWarehouse.compactBucketedPath(
           spark, pName, s"$indexDir/postings", Seq("tok"), nb)
@@ -643,21 +560,13 @@ object Retrieval {
           .agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("dl")), lit(0L)).as("l_tot"))
           .write.mode("overwrite").parquet(s"$indexDir/stats")
-        deleteRecursively(new java.io.File(indexDir, TombstoneDir))
+        clearTombstones(indexDir)
     }
-    java.nio.file.Files.delete(pending.toPath)
+    clearFence(indexDir)
   }
 
-  private def readManifest(indexDir: String): Int = {
-    val mf = new java.io.File(indexDir, ManifestName)
-    require(mf.isFile, s"no index manifest at $indexDir — run buildIndex first")
-    val props = new java.util.Properties()
-    val in = new java.io.FileInputStream(mf)
-    try props.load(in) finally in.close()
-    require(props.getProperty("version") == IndexVersion.toString,
-      s"index version ${props.getProperty("version")} != $IndexVersion — rebuild")
-    props.getProperty("numBuckets").toInt
-  }
+  private def readManifest(indexDir: String): Int =
+    readManifestProps(indexDir).getProperty("numBuckets").toInt
 
   private def statsRaw(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): DataFrame =
@@ -667,10 +576,7 @@ object Retrieval {
     * session attaches to the same name, and two indexes coexist.
     */
   private def tableNames(indexDir: String): (String, String) = {
-    val canon = new java.io.File(indexDir).getAbsolutePath
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val tag = md.take(6).map(b => f"$b%02x").mkString
+    val tag = tableTag(indexDir)
     (s"graft_idx_${tag}_postings", s"graft_idx_${tag}_terms")
   }
 
@@ -723,18 +629,12 @@ object Retrieval {
       .join(broadcast(queryTerms), Seq("tok"))
     val joined = postings.filter(col("tok").isin(toks: _*))
       .join(broadcast(resolved), Seq("tok"))
-    val live = tombstones(spark, indexDir) match {
-      case Some(ts) => joined.join(broadcast(ts), Seq("id"), "left_anti")
-      case None => joined
-    }
-    rankTopK(scorePostings(live, stats), k)
+    rankTopK(scorePostings(withoutTombstoned(spark, indexDir, joined), stats), k)
   }
 
   // ------------------------------------------------------------------
   // Deletes (takedowns): the Lucene tombstone pattern
   // ------------------------------------------------------------------
-
-  private val TombstoneDir = "tombstones"
 
   /** Delete documents from the index WITHOUT rewriting it — the
     * takedown/compliance path. Ids append to a tombstone table;
@@ -748,20 +648,6 @@ object Retrieval {
     * dedups the tombstone list).
     */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
-                      indexDir: String, ids: Seq[Long]): Unit = {
-    require(ids.nonEmpty, "at least one id to delete")
-    import spark.implicits._
-    ids.toDF("id").write.mode("append")
-      .parquet(s"$indexDir/$TombstoneDir")
-  }
-
-  /** The tombstone id table, when any deletes are pending. */
-  private def tombstones(spark: org.apache.spark.sql.SparkSession,
-                         indexDir: String): Option[DataFrame] = {
-    val dir = new java.io.File(indexDir, TombstoneDir)
-    if (dir.isDirectory &&
-        Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
-      Some(spark.read.parquet(dir.toString).select(col("id")).distinct())
-    else None
-  }
+                      indexDir: String, ids: Seq[Long]): Unit =
+    appendTombstoneIds(spark, indexDir, ids)
 }

@@ -51,9 +51,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * snapshotDiff's `added` class). When [[Similarity.ivfIncrementalStats]]
   * flags codebook drift past threshold, rebuild instead.
   */
-object VectorIndex {
+object VectorIndex extends PersistedIndex {
 
-  private val ManifestName = "_graft_vindex_manifest"
+  override protected def manifestName: String = "_graft_vindex_manifest"
+  override protected def indexKind: String = "vector index"
+  override protected def buildHint: String = "run buildIndex first"
+  // the compact fence predates the round-12 append fence; both
+  // mutations share the one pending file (the BM25 convention)
+  override protected def pendingName: String = "_graft_compact_pending"
   // v2 adds the refine sidecar: each lists row also carries its scaled
   // raw vector (`sv`), so the serving path can re-rank ADC candidates
   // with exact distances without a second store — FAISS's
@@ -62,7 +67,7 @@ object VectorIndex {
   // ADC search ([[annTopKIndexed]]) projects only (cent_id, id, codes)
   // — parquet column pruning never reads `sv` — and the re-rank path
   // reads it only for the PROBED buckets' rows.
-  private val IndexVersion = 2
+  override protected def indexVersion: Int = 2
 
   /** Materialize the IVF-PQ index under `indexDir`. `coarse` and
     * `codebook` follow [[Pq.ivfAdcTopK]]'s contract: bounded vector
@@ -93,24 +98,8 @@ object VectorIndex {
     graft.sources.BucketedWarehouse.writeBucketedPath(
       encodeLists(corpus, idCol, vecCol, cents, cb, m, scale),
       listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), numBuckets)
-    val mf = new java.io.File(indexDir, ManifestName)
-    java.nio.file.Files.write(mf.toPath,
-      s"version=$IndexVersion\nnumBuckets=$numBuckets\nm=$m\nscale=$scale\n"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  }
-
-  private val PendingName = "_graft_compact_pending"
-
-  /** True when `indexDir` holds a complete CURRENT-version index (a
-    * tripped compaction fence reads as absent → rebuild).
-    */
-  def indexExists(indexDir: String): Boolean = {
-    val mf = new java.io.File(indexDir, ManifestName)
-    mf.isFile &&
-      !new java.io.File(indexDir, PendingName).exists() && {
-        val props = loadProps(mf)
-        props.getProperty("version") == IndexVersion.toString
-      }
+    writeManifest(indexDir, Seq("numBuckets" -> numBuckets.toString,
+      "m" -> m.toString, "scale" -> scale.toString))
   }
 
   /** Compact an append-grown IVF-PQ index: rewrite the lists table to
@@ -128,11 +117,16 @@ object VectorIndex {
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
     val (nb, _, _) = readManifest(indexDir)
     openLists(spark, indexDir)
-    val pending = new java.io.File(indexDir, PendingName)
-    require(!pending.exists(),
-      s"vector index at $indexDir has an interrupted compact — rebuild it")
-    java.nio.file.Files.createFile(pending.toPath)
-    tombstones(spark, indexDir) match {
+    requireNoFence(indexDir, "append/compact")
+    // tombstones covering EVERY vector would rewrite the lists empty —
+    // not a servable state; refuse BEFORE the fence goes up (the BM25 /
+    // dedup convention: nothing mutates, the index keeps serving)
+    requireSurvivors(spark, indexDir,
+      spark.read.parquet(s"$indexDir/lists"),
+      s"compactIndex at $indexDir would leave zero surviving vectors — " +
+        "drop the index dir and rebuild when content exists")
+    raiseFence(indexDir, "")
+    tombstoneIds(spark, indexDir) match {
       case None =>
         graft.sources.BucketedWarehouse.compactBucketedPath(
           spark, listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), nb)
@@ -141,12 +135,10 @@ object VectorIndex {
           spark.read.parquet(s"$indexDir/lists")
             .join(broadcast(ts), Seq("id"), "left_anti"),
           spark, listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), nb)
-        deleteRecursively(new java.io.File(indexDir, TombstoneDir))
+        clearTombstones(indexDir)
     }
-    java.nio.file.Files.delete(pending.toPath)
+    clearFence(indexDir)
   }
-
-  private val TombstoneDir = "tombstones"
 
   /** Delete vectors from the index without rewriting it — the takedown
     * path, [[graft.llm.Retrieval.deleteFromIndex]]'s twin. Ids append
@@ -157,34 +149,8 @@ object VectorIndex {
     * [[compactIndex]] makes the deletes physical.
     */
   def deleteFromIndex(spark: SparkSession, indexDir: String,
-                      ids: Seq[Long]): Unit = {
-    require(ids.nonEmpty, "at least one id to delete")
-    import spark.implicits._
-    ids.toDF("id").write.mode("append")
-      .parquet(s"$indexDir/$TombstoneDir")
-  }
-
-  private def tombstones(spark: SparkSession,
-                         indexDir: String): Option[DataFrame] = {
-    val dir = new java.io.File(indexDir, TombstoneDir)
-    if (dir.isDirectory &&
-        Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
-      Some(spark.read.parquet(dir.toString).select(col("id")).distinct())
-    else None
-  }
-
-  /** Anti-join the (bounded-between-compactions) tombstones, if any. */
-  private def withoutTombstones(spark: SparkSession, indexDir: String,
-                                lists: DataFrame): DataFrame =
-    tombstones(spark, indexDir) match {
-      case Some(ts) => lists.join(broadcast(ts), Seq("id"), "left_anti")
-      case None => lists
-    }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+                      ids: Seq[Long]): Unit =
+    appendTombstoneIds(spark, indexDir, ids)
 
   /** Encode an append batch against the PERSISTED quantizers and append
     * its rows bucket-aligned — batch-sized work, zero touches of the
@@ -235,7 +201,7 @@ object VectorIndex {
     val probeCents = probeRows.map(_._2).distinct.sorted
     import spark.implicits._
     val qProbes = probeRows.toDF("query_id", "cent_id", "graft_dt")
-    val lists = withoutTombstones(spark, indexDir,
+    val lists = withoutTombstoned(spark, indexDir,
       openLists(spark, indexDir).filter(col("cent_id").isin(probeCents: _*)))
     val adc = call_function("graft_adc", col("graft_dt"), col("codes"), lit(m))
     val scored = broadcast(qProbes).join(lists, Seq("cent_id"))
@@ -285,7 +251,7 @@ object VectorIndex {
     val probeCents = probeRows.map(_._2).distinct.sorted
     import spark.implicits._
     val qProbes = probeRows.toDF("query_id", "cent_id", "graft_dt", "graft_qv")
-    val lists = withoutTombstones(spark, indexDir,
+    val lists = withoutTombstoned(spark, indexDir,
       openLists(spark, indexDir).filter(col("cent_id").isin(probeCents: _*)))
     val adc = call_function("graft_adc", col("graft_dt"), col("codes"), lit(m))
     val wAdc = Window.partitionBy(col("query_id"))
@@ -375,19 +341,8 @@ object VectorIndex {
     out
   }
 
-  private def loadProps(mf: java.io.File): java.util.Properties = {
-    val props = new java.util.Properties()
-    val in = new java.io.FileInputStream(mf)
-    try props.load(in) finally in.close()
-    props
-  }
-
   private def readManifest(indexDir: String): (Int, Int, Double) = {
-    val mf = new java.io.File(indexDir, ManifestName)
-    require(mf.isFile, s"no vector-index manifest at $indexDir — run buildIndex first")
-    val props = loadProps(mf)
-    require(props.getProperty("version") == IndexVersion.toString,
-      s"index version ${props.getProperty("version")} != $IndexVersion — rebuild")
+    val props = readManifestProps(indexDir)
     (props.getProperty("numBuckets").toInt, props.getProperty("m").toInt,
       props.getProperty("scale").toDouble)
   }
@@ -395,10 +350,6 @@ object VectorIndex {
   /** Deterministic per-path catalog name (two indexes coexist; a fresh
     * session re-attaches by path).
     */
-  private def listsTableName(indexDir: String): String = {
-    val canon = new java.io.File(indexDir).getAbsolutePath
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    s"graft_vidx_${md.take(6).map(b => f"$b%02x").mkString}_lists"
-  }
+  private def listsTableName(indexDir: String): String =
+    s"graft_vidx_${tableTag(indexDir)}_lists"
 }
