@@ -157,14 +157,38 @@ object VectorIndex extends PersistedIndex {
     * already-indexed corpus. Batch ids MUST be new (see class doc).
     */
   def appendToIndex(batch: DataFrame, idCol: String, vecCol: String,
-                    indexDir: String): Unit = {
+                    indexDir: String): Unit =
+    appendToIndex(batch, idCol, vecCol, indexDir, None)
+
+  /** [[appendToIndex]] with the append COMMITTED TO A LEDGER as part of
+    * the fence-clear sequence — the streaming-ingest form, mirroring
+    * [[Retrieval.appendToIndex]]'s contract exactly. The bucketed
+    * append is NOT idempotent (a replayed batch would double-append its
+    * PQ codes into the lists, silently duplicating every ANN candidate
+    * it contributed), so the ordering is: data step → ledger line
+    * (fsync'd) → fence clear. A replay that finds `batchId` in the
+    * ledger KNOWS the rows landed exactly once and skips the append; a
+    * crash before the line trips the fence (detectable stop → rebuild);
+    * a crash after it leaves a provably-stale fence
+    * [[clearCompletedAppendFence]] removes. The ledger-less form uses
+    * the fence alone (commit point = the fence clear).
+    */
+  def appendToIndex(batch: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String,
+                    commitLedger: Option[(java.io.File, Long)]): Unit = {
     val spark = batch.sparkSession
     val (nb, m, scale) = readManifest(indexDir)
     openLists(spark, indexDir) // re-registers the table in a fresh session
     val (cents, cb) = readQuantizers(spark, indexDir)
+    requireNoFence(indexDir, "append/compact")
+    raiseFence(indexDir, commitLedger.map(_._2.toString).getOrElse(""))
     graft.sources.BucketedWarehouse.appendBucketedPath(
       encodeLists(batch, idCol, vecCol, cents, cb, m, scale),
       listsTableName(indexDir), s"$indexDir/lists", Seq("cent_id"), nb)
+    crashPoint(spark, "ann_append_before_ledger")
+    commitLedger.foreach { case (ledger, id) => appendLineSync(ledger, id) }
+    crashPoint(spark, "ann_append_after_ledger")
+    clearFence(indexDir)
   }
 
   /** ANN top-k from the PERSISTED index — [[Pq.ivfAdcTopK]]'s scoring,

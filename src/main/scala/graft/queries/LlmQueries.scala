@@ -736,6 +736,65 @@ object LlmQueries {
     idx.toString
   }
 
+  /** ANN index staged through the STREAMING ingest path — the same
+    * final survivor set as [[annDeleteIndexDir]] (everything except
+    * vec_id % 10 == 7) arrived at via [[graft.streaming.IndexIngest]]:
+    * seed build over the even vec_ids, the odd half ingested in two
+    * micro-batches (each a fenced, sub-ledgered
+    * `VectorIndex.appendToIndex` behind the dedup probe — every doc
+    * carries a unique synthetic text so nothing dedups away), a
+    * mid-stream self-compaction after batch 2 (`compactEvery = 2`
+    * merges the append-grown files of all three indexes), a takedown
+    * micro-batch tombstoning vec_id % 10 == 7 across BM25 + ANN, and a
+    * final compaction (`compactEvery = 1`) making the deletes
+    * physical. The q280 oracle must hold bit-for-bit over an index
+    * that never saw a monolithic build+delete — the metamorphic pin on
+    * the whole streaming ANN lifecycle.
+    */
+  private def annIngestIndexDir(s: SparkSession, dir: String,
+                                emb: DataFrame): String = {
+    val tag = Registry.contentTag(emb, "vec_id", "embedding")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-anning-v1-$tag")
+    val (didx, bidx, aidx) =
+      (s"$root/didx", s"$root/bidx", s"$root/aidx")
+    val marker = new java.io.File(root, "_graft_ingested")
+    if (!marker.isFile || !VectorIndex.indexExists(aidx)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(root)
+      root.mkdirs()
+      val docs = emb.select(col("vec_id"),
+        concat_ws(" ", Seq("a", "b", "c", "d").map(sfx =>
+          concat(lit("v"), col("vec_id"), lit(sfx))): _*).as("text"),
+        col("embedding"))
+      val seed = docs.filter(col("vec_id") % 2 === 0)
+      Dedup.buildDedupIndex(seed, "vec_id", "text", didx, numBuckets = 8,
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      Retrieval.buildIndex(seed, "vec_id", "text", bidx, numBuckets = 8)
+      VectorIndex.buildIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding",
+        coarse = emb.filter(col("vec_id") < 8),
+        codebook = emb.filter(col("vec_id") < 16),
+        aidx, numBuckets = 8)
+      graft.streaming.IndexIngest.processBatch(
+        docs.filter(col("vec_id") % 4 === 1), 1L, "vec_id", "text",
+        didx, Some(bidx), dropNear = true, compactEvery = 2,
+        annIndexDir = Some(aidx), vecCol = Some("embedding"))
+      graft.streaming.IndexIngest.processBatch(
+        docs.filter(col("vec_id") % 4 === 3), 2L, "vec_id", "text",
+        didx, Some(bidx), dropNear = true, compactEvery = 2,
+        annIndexDir = Some(aidx), vecCol = Some("embedding"))
+      graft.streaming.IndexIngest.processDeleteBatch(
+        emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")),
+        0L, "vec_id", bidx, Some(aidx), compactEvery = 1)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    aidx
+  }
+
   /** Deterministic per-corpus-size IVF-PQ vector index dir (the
     * bm25IndexDir convention): built once from the even vec_ids, the odd
     * half APPENDED — so every q211 run also proves appendToIndex lands
@@ -2976,6 +3035,26 @@ object LlmQueries {
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val idx = annDeleteIndexDir(s, dir, emb)
+        val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        VectorIndex.annTopKIndexed(s, idx, probes, k = 5, nProbe = 2)
+          .orderBy("query_id", "rnk")
+      },
+      Some(DeleteIvfAdcSql)),
+
+    // ---- Streaming ANN ingest: the SAME survivor scoring as q280, but
+    // the index was staged through IndexIngest — seed build, two
+    // fenced+sub-ledgered append micro-batches behind the dedup probe,
+    // a mid-stream self-compaction, a takedown batch, and a final
+    // compaction making the deletes physical. Bit-equality with the
+    // monolithic build+delete pins the whole streaming ANN lifecycle.
+    "q287_ann_ingest_lifecycle" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val idx = annIngestIndexDir(s, dir, emb)
         val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
           .select(col("vec_id").cast("long"), col("embedding"))
           .collect()

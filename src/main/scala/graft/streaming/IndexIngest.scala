@@ -12,22 +12,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * passes), content already known is dropped, and the survivors' keys
   * fold into the dedup index (idempotent anti-join append) plus,
   * optionally, their postings into the BM25 index
-  * ([[graft.llm.Retrieval.appendToIndex]]) — so retrieval over the
-  * corpus is queryable WHILE it ingests.
+  * ([[graft.llm.Retrieval.appendToIndex]]) and their embeddings into
+  * the IVF-PQ vector index ([[graft.llm.VectorIndex.appendToIndex]],
+  * `annIndexDir` + `vecCol`) — the full crawl→embed→serve loop: all
+  * three serving paths are queryable WHILE the corpus ingests.
   *
   * Restart semantics (the standard non-transactional `foreachBatch`
   * story, stated honestly): a batch-id ledger in the dedup index dir
   * makes replayed batch ids no-ops, so a crash-restart does not
   * double-ingest a COMMITTED batch. Within an uncommitted batch:
   *
-  *  - The BM25 postings append — NOT naturally idempotent — commits
-  *    through its per-batch sub-ledger written INSIDE
-  *    [[graft.llm.Retrieval.appendToIndex]], after every data step and
-  *    before the pending fence clears. There is NO crash point that
-  *    silently double-counts tf/df/N: a crash before the sub-ledger
-  *    line trips the fence (detectable stop → rebuild), a crash after
-  *    it is replay-skipped and the provably-stale fence cleared
-  *    ([[graft.llm.Retrieval.clearCompletedAppendFence]]).
+  *  - The BM25 postings append and the ANN lists append — NEITHER
+  *    naturally idempotent — commit through per-batch sub-ledgers
+  *    written INSIDE [[graft.llm.Retrieval.appendToIndex]] /
+  *    [[graft.llm.VectorIndex.appendToIndex]], after every data step
+  *    and before the pending fence clears. There is NO crash point
+  *    that silently double-counts tf/df/N or double-appends PQ codes:
+  *    a crash before the sub-ledger line trips the fence (detectable
+  *    stop → rebuild), a crash after it is replay-skipped and the
+  *    provably-stale fence cleared (`clearCompletedAppendFence`).
   *  - The dedup-key TABLE appends are idempotent by construction
   *    (anti-join folds), but the exact-hash and band-key appends are
   *    two steps with a window between them: a crash after the bands
@@ -39,18 +42,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    sidecar rows, which converges the tables to the sidecar truth.
   *
   * The one remaining hard failure is a crash DURING a data step of
-  * [[graft.llm.Retrieval.appendToIndex]]: that trips the index's
-  * `_graft_append_pending` fence (the index is torn — missing df_t /
-  * stale avdl), every replay of the batch then throws, and the stream
-  * CANNOT make progress until the BM25 index is rebuilt
-  * ([[graft.llm.Retrieval.buildIndex]] over the corpus) — a detectable
-  * stop, by design, rather than silent wrong scores. Exactly-once
-  * would need a transactional index store.
+  * [[graft.llm.Retrieval.appendToIndex]] or
+  * [[graft.llm.VectorIndex.appendToIndex]]: that trips the index's
+  * pending fence (the index is torn — missing df_t / stale avdl /
+  * half-landed lists files), every replay of the batch then throws,
+  * and the stream CANNOT make progress until that index is rebuilt
+  * over the corpus — a detectable stop, by design, rather than silent
+  * wrong scores. Exactly-once would need a transactional index store.
   */
 object IndexIngest {
 
   private val LedgerName = "_graft_ingest_ledger"
   private val Bm25LedgerName = "_graft_ingest_bm25_ledger"
+  private val AnnLedgerName = "_graft_ingest_ann_ledger"
 
   /** Process one micro-batch; returns the number of appended docs, or
     * -1 when `batchId` is already in the ledger (replay after restart).
@@ -74,10 +78,14 @@ object IndexIngest {
                    textCol: String, dedupIndexDir: String,
                    bm25IndexDir: Option[String],
                    dropNear: Boolean = true,
-                   compactEvery: Int = 0): Long = {
+                   compactEvery: Int = 0,
+                   annIndexDir: Option[String] = None,
+                   vecCol: Option[String] = None): Long = {
+    require(annIndexDir.isEmpty || vecCol.nonEmpty,
+      "annIndexDir requires vecCol — the batch column holding the embeddings")
     val ledger = new java.io.File(dedupIndexDir, LedgerName)
     if (committedIds(ledger).contains(batchId)) return -1L
-    // replay after a crash between the BM25 sub-ledger commit and the
+    // replay after a crash between a sub-ledger commit and that
     // append's fence clear: the append provably completed (the ledger
     // line lands strictly after every data step) — clear the stale
     // fence before any probe opens the index. Done up front because
@@ -87,6 +95,10 @@ object IndexIngest {
     bm25IndexDir.foreach { dir =>
       if (committedIds(new java.io.File(dir, Bm25LedgerName)).contains(batchId))
         Retrieval.clearCompletedAppendFence(dir, batchId)
+    }
+    annIndexDir.foreach { dir =>
+      if (committedIds(new java.io.File(dir, AnnLedgerName)).contains(batchId))
+        graft.llm.VectorIndex.clearCompletedAppendFence(dir, batchId)
     }
     // the batch's operator caches are released when the scope exits —
     // owner-tagged, so ONLY this batch's registrations go (releaseAll
@@ -138,6 +150,15 @@ object IndexIngest {
               Some((subLedger, batchId)))
           }
         }
+        // ANN: same fence + in-append sub-ledger contract — a replayed
+        // batch must never double-append its PQ codes into the lists
+        annIndexDir.foreach { dir =>
+          val subLedger = new java.io.File(dir, AnnLedgerName)
+          if (!committedIds(subLedger).contains(batchId)) {
+            graft.llm.VectorIndex.appendToIndex(survivors, idCol,
+              vecCol.get, dir, Some((subLedger, batchId)))
+          }
+        }
         Dedup.appendToDedupIndex(survivors, idCol, textCol, dedupIndexDir)
       }
       survivors.unpersist()
@@ -147,6 +168,8 @@ object IndexIngest {
     if (compactEvery > 0 && committedIds(ledger).size % compactEvery == 0) {
       Dedup.compactDedupIndex(batch.sparkSession, dedupIndexDir)
       bm25IndexDir.foreach(Retrieval.compactIndex(batch.sparkSession, _))
+      annIndexDir.foreach(
+        graft.llm.VectorIndex.compactIndex(batch.sparkSession, _))
     }
     n
   }
@@ -164,12 +187,14 @@ object IndexIngest {
   def start(docs: DataFrame, idCol: String, textCol: String,
             dedupIndexDir: String, bm25IndexDir: Option[String],
             checkpoint: String, dropNear: Boolean = true,
-            compactEvery: Int = 0): StreamingQuery =
+            compactEvery: Int = 0,
+            annIndexDir: Option[String] = None,
+            vecCol: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, dedupIndexDir,
-          bm25IndexDir, dropNear, compactEvery)
+          bm25IndexDir, dropNear, compactEvery, annIndexDir, vecCol)
         ()
       }
       .start()

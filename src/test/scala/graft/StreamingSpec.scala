@@ -517,6 +517,92 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the torn-index fence error, got $e")
   }
 
+  // deterministic 8-dim embedding per doc id (m=8 → dsub=1)
+  private def testVec(i: Long): Array[Float] =
+    Array.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat)
+
+  private def annFixture(dirTag: String) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(dirTag).toFile
+    dir.deleteOnExit()
+    val (didx, aidx) = (s"$dir/didx", s"$dir/aidx")
+    val seed = Seq((0L, "alpha beta gamma", testVec(0)),
+      (1L, "delta epsilon zeta", testVec(1))).toDF("doc_id", "text", "vec")
+    val quant = Seq((0L, testVec(100)), (1L, testVec(101)))
+      .toDF("doc_id", "vec")
+    val codebook = (0L until 4L).map(c => (c, testVec(200 + c)))
+      .toDF("doc_id", "vec")
+    graft.llm.Dedup.buildDedupIndex(seed, "doc_id", "text", didx,
+      numBuckets = 2, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    graft.llm.VectorIndex.buildIndex(seed, "doc_id", "vec", quant, codebook,
+      aidx, numBuckets = 2)
+    (dir, didx, aidx, seed, quant, codebook)
+  }
+
+  test("ANN append crash AFTER the sub-ledger commit replays without double-appending") {
+    import spark.implicits._
+    val (dir, didx, aidx, seed, quant, codebook) = annFixture("graft-ann-after")
+    val batch = Seq((5L, "crashy vector document body", testVec(5)))
+      .toDF("doc_id", "text", "vec")
+    // crash between the ANN sub-ledger line landing and the fence
+    // clearing — without the in-append ledger this exact window
+    // double-appended the batch's PQ codes on replay
+    spark.conf.set("graft.test.crashPoint", "ann_append_after_ledger")
+    val e = intercept[RuntimeException] {
+      graft.streaming.IndexIngest.processBatch(batch, 3L, "doc_id", "text",
+        didx, None, annIndexDir = Some(aidx), vecCol = Some("vec"))
+    }
+    assert(e.getMessage.contains("injected crash"), s"got $e")
+    spark.conf.set("graft.test.crashPoint", "")
+    assert(!graft.llm.VectorIndex.indexExists(aidx),
+      "fence must be up after the crash")
+    // replay: ledger proves the append completed — clear the fence,
+    // skip the lists append, commit the batch exactly once
+    val n = graft.streaming.IndexIngest.processBatch(batch, 3L, "doc_id",
+      "text", didx, None, annIndexDir = Some(aidx), vecCol = Some("vec"))
+    assert(n === 0L || n === 1L, s"replay committed $n docs")
+    assert(graft.llm.VectorIndex.indexExists(aidx),
+      "replay must clear the stale fence")
+    // lists equal an index built once over seed ∪ batch — a double
+    // append would duplicate doc 5's candidate rows
+    val ctrl = s"$dir/ctrl"
+    graft.llm.VectorIndex.buildIndex(seed.unionAll(batch.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("vec"))),
+      "doc_id", "vec", quant, codebook, ctrl, numBuckets = 2)
+    val probes = Seq((90L, testVec(5)), (91L, testVec(0)))
+    def probe(d: String) = graft.llm.VectorIndex
+      .annTopKIndexed(spark, d, probes, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(probe(aidx) === probe(ctrl),
+      "post-replay ANN index must equal a single-append build")
+  }
+
+  test("ANN append crash BEFORE the sub-ledger commit is a detectable stop") {
+    import spark.implicits._
+    val (_, didx, aidx, _, _, _) = annFixture("graft-ann-before")
+    val batch = Seq((5L, "torn vector append body", testVec(5)))
+      .toDF("doc_id", "text", "vec")
+    spark.conf.set("graft.test.crashPoint", "ann_append_before_ledger")
+    intercept[RuntimeException] {
+      graft.streaming.IndexIngest.processBatch(batch, 4L, "doc_id", "text",
+        didx, None, annIndexDir = Some(aidx), vecCol = Some("vec"))
+    }
+    spark.conf.set("graft.test.crashPoint", "")
+    // lists rows landed but the commit record didn't: the replay cannot
+    // prove the append completed — it must fail LOUDLY on the fence
+    // (rebuild the index), never silently re-append the PQ codes
+    assert(!graft.llm.VectorIndex.indexExists(aidx))
+    val e = intercept[Exception] {
+      graft.streaming.IndexIngest.processBatch(batch, 4L, "doc_id", "text",
+        didx, None, annIndexDir = Some(aidx), vecCol = Some("vec"))
+    }
+    assert(e.getMessage.contains("interrupted append"),
+      s"expected the torn-index fence error, got $e")
+  }
+
   test("index ingest self-compacts every N batches; probes unchanged") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-compact").toFile
@@ -582,31 +668,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-soak").toFile
     dir.deleteOnExit()
-    val (didx, bidx) = (s"$dir/didx", s"$dir/bidx")
+    val (didx, bidx, aidx) = (s"$dir/didx", s"$dir/bidx", s"$dir/aidx")
     // every doc gets a globally-unique lead token so BM25 probes can
     // target it; every token is parameterized by i, so distinct docs
-    // share ZERO shingles (mutually non-near-dup except where planted)
+    // share ZERO shingles (mutually non-near-dup except where planted);
+    // every doc ALSO carries a deterministic embedding of its doc id so
+    // the ANN index stages through the same ingest/takedown/compaction
     def text(i: Long) = s"tok$i alpha$i beta$i gamma$i delta$i epsilon$i"
+    def full(rows: (Long, String)*) =
+      rows.map { case (i, t) => (i, t, testVec(i)) }.toDF("doc_id", "text", "vec")
     val corpus = scala.collection.mutable.LinkedHashMap(
       0L -> text(0), 1L -> text(1))
+    val quant = Seq((0L, testVec(100)), (1L, testVec(101)))
+      .toDF("doc_id", "vec")
+    val codebook = (0L until 4L).map(c => (c, testVec(200 + c)))
+      .toDF("doc_id", "vec")
     Dedup.buildDedupIndex(corpus.toSeq.toDF("doc_id", "text"),
       "doc_id", "text", didx, numBuckets = 2,
       shingleN = 3, numHashes = 8, rowsPerBand = 2)
     Retrieval.buildIndex(corpus.toSeq.toDF("doc_id", "text"),
       "doc_id", "text", bidx, numBuckets = 2)
+    graft.llm.VectorIndex.buildIndex(full(corpus.toSeq: _*), "doc_id", "vec",
+      quant, codebook, aidx, numBuckets = 2)
     var ingestBatch = 0L
     var takedownBatch = 0L
     def ingest(rows: (Long, String)*): Long = {
       ingestBatch += 1
-      graft.streaming.IndexIngest.processBatch(rows.toDF("doc_id", "text"),
+      graft.streaming.IndexIngest.processBatch(full(rows: _*),
         ingestBatch, "doc_id", "text", didx, Some(bidx), dropNear = true,
-        compactEvery = 2)
+        compactEvery = 2, annIndexDir = Some(aidx), vecCol = Some("vec"))
     }
     def takedown(ids: Long*): Long = {
       takedownBatch += 1
       ids.foreach(corpus.remove)
       graft.streaming.IndexIngest.processDeleteBatch(ids.toDF("doc_id"),
-        takedownBatch, "doc_id", bidx, None, compactEvery = 2, Some(didx))
+        takedownBatch, "doc_id", bidx, Some(aidx), compactEvery = 2, Some(didx))
     }
     // the q279/q281 equivalences, LOOPED: after every step the dedup
     // probe must equal dedupAgainst over the survivors (precise at all
@@ -635,21 +731,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getAs[Long]("score_bp"))).sortBy(x => (x._1, x._2)).toSeq
       assert(probe(bidx) === probe(ctrl), s"[$tag] BM25 probe != rebuild")
     }
+    // ANN has no corpus statistics, so (unlike BM25 between takedown
+    // and merge) the probe must equal a from-scratch rebuild over the
+    // survivors at EVERY step, tombstones pending or compacted
+    def assertAnnRebuild(tag: String): Unit = {
+      val ctrl = s"$dir/actrl-$tag"
+      graft.llm.VectorIndex.buildIndex(full(corpus.toSeq: _*), "doc_id",
+        "vec", quant, codebook, ctrl, numBuckets = 2)
+      val probes = (0L to 8L).map(i => (500L + i, testVec(i)))
+      def probe(d: String) = graft.llm.VectorIndex
+        .annTopKIndexed(spark, d, probes, k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._3)).toSeq
+      assert(probe(aidx) === probe(ctrl), s"[$tag] ANN probe != rebuild")
+    }
     def record(rows: (Long, String)*): Unit =
       rows.foreach { case (i, t) => corpus(i) = t }
 
     assert(ingest(10L -> text(10), 11L -> text(11)) === 2L)
     record(10L -> text(10), 11L -> text(11))
-    assertDedup("b1")
+    assertDedup("b1"); assertAnnRebuild("b1")
     // b2: one dup of committed content dropped, one novel kept;
-    // ingest count hits 2 → self-compaction of both indexes
+    // ingest count hits 2 → self-compaction of all three indexes
     assert(ingest(12L -> text(10), 13L -> text(13)) === 1L)
     record(13L -> text(13))
-    assertDedup("b2"); assertBm25Rebuild("b2")
-    // t1: take down doc 10 — BM25 excludes it immediately; the dedup
-    // index forgets its content (no surviving referent)
+    assertDedup("b2"); assertBm25Rebuild("b2"); assertAnnRebuild("b2")
+    // t1: take down doc 10 — BM25 and ANN exclude it immediately; the
+    // dedup index forgets its content (no surviving referent)
     assert(takedown(10L) === 1L)
-    assertDedup("t1")
+    assertDedup("t1"); assertAnnRebuild("t1")
     assert(!Retrieval.bm25TopKIndexed(spark, bidx, Seq(Seq("tok10")), k = 3)
       .collect().map(_.getAs[Long]("id")).contains(10L))
     // b3: RE-INGEST the taken-down content — must survive precisely
@@ -657,15 +767,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ingest(14L -> text(10), 15L -> text(15)) === 2L,
       "re-ingest of purged content must pass the dedup probe")
     record(14L -> text(10), 15L -> text(15))
-    assertDedup("b3")
+    assertDedup("b3"); assertAnnRebuild("b3")
     // t2: second takedown → takedown count hits 2 → compaction makes
     // every pending delete physical; BM25 equals a rebuild again
     assert(takedown(13L) === 1L)
-    assertDedup("t2"); assertBm25Rebuild("t2")
+    assertDedup("t2"); assertBm25Rebuild("t2"); assertAnnRebuild("t2")
     // b4: ingest count hits 4 → another self-compaction cycle
     assert(ingest(16L -> text(16), 17L -> text(17)) === 2L)
     record(16L -> text(16), 17L -> text(17))
-    assertDedup("b4"); assertBm25Rebuild("b4")
+    assertDedup("b4"); assertBm25Rebuild("b4"); assertAnnRebuild("b4")
   }
 
   test("streaming snapshot maintainer folds CDC batches into versioned parquet") {
