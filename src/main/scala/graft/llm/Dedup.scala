@@ -1661,6 +1661,10 @@ object Dedup extends PersistedIndex {
     appendTombstoneIds(spark, indexDir, ids)
   }
 
+  private val StagingDirName = "_graft_staging_append"
+  // the four live table subdirs, in the (arbitrary but fixed) move order
+  private val DedupTableDirs = Seq("docs_bands", "bands", "docs_exact", "exact")
+
   /** Fold a batch's keys into the persisted index: only keys NOT
     * already present append to the key tables (bucketed left-anti
     * probes — batch-sized work), so the distinct-keys invariant
@@ -1668,24 +1672,40 @@ object Dedup extends PersistedIndex {
     * the doc→key sidecar rows append unconditionally (a doc references
     * its keys whether or not another doc already contributed them —
     * that reference IS what [[deleteFromDedupIndex]] refcounts).
-    * Replaying an UNCOMMITTED batch can append the same sidecar rows
-    * twice; every sidecar consumer treats them as a set, and
-    * [[compactDedupIndex]] deduplicates physically.
-    *
-    * Append order: bands (sidecar, then keys) BEFORE exact. A crash
-    * between the two steps makes the replay's probe see the band keys
-    * and flag the doc near-dup — conservative for ingest (the doc is
-    * withheld; an exact copy arriving later still hits every band
-    * key), where the reverse order silently dropped the doc as an
-    * exact dup with its band keys never landing, degrading near-dup
-    * recall for the rest of the index's life.
     */
   def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
-                         indexDir: String): Unit = {
+                         indexDir: String): Unit =
+    appendToDedupIndex(docs, idCol, textCol, indexDir, None)
+
+  /** [[appendToDedupIndex]] as an ATOMIC STAGED COMMIT, optionally
+    * ledgered (the streaming-ingest form; `commitLedger` follows
+    * [[Retrieval.appendToIndex]]'s contract exactly). The four table
+    * appends (two sidecars, two key tables) used to land directly in
+    * the live directories as sequential steps, leaving a window where
+    * a crash published a doc's band keys but not its exact hash —
+    * conservative (replays withheld the doc) but lossy. Now every
+    * append is STAGED first: all four frames write as bucketed tables
+    * under `_graft_staging_append/` (the expensive, crash-harmless
+    * part — the live index never changes), and only then does the
+    * fenced commit run: fence up (carrying the batch id) → staged part
+    * files MOVE into the live dirs (metadata renames; bucket ids ride
+    * in the file names so the bucketed scans attribute them correctly)
+    * → ledger line (fsync'd) → fence clear → staging removed. A replay
+    * therefore finds exactly one of: no fence (staging crash — the
+    * live index is untouched, redo from scratch), a fence carrying its
+    * batch id with the ledger line absent (mid-move crash —
+    * [[resumeStagedAppend]] finishes moving the REMAINING staged files
+    * and commits; each file is either still staged or already live, so
+    * the resume is exact), or the ledger line present (append complete
+    * — skip, and [[clearCompletedAppendFence]] removes the stale
+    * fence). No kill point drops or double-serves content.
+    */
+  def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                         indexDir: String,
+                         commitLedger: Option[(java.io.File, Long)]): Unit = {
     val spark = docs.sparkSession
     val (nb, shingleN, numHashes, rowsPerBand) = readDedupManifest(indexDir)
     val (exact, bands, _, _) = openDedupIndex(spark, indexDir)
-    val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
     val typed = docs.select(requiredLongId(idCol), col(textCol))
     // re-using a tombstoned id would retro-tombstone the NEW content:
     // the fresh sidecar rows carry an id the probe's dead-key test
@@ -1700,22 +1720,104 @@ object Dedup extends PersistedIndex {
           "pending tombstones — run compactDedupIndex first (making the " +
           "deletes physical) or assign fresh ids")
     }
+    requireNoFence(indexDir, "append/compact")
+    // stage: the full batch-sized compute, written OUTSIDE the live
+    // dirs — a crash anywhere in here leaves the index untouched.
+    // Stale staging from such a crash is discarded (it may be partial)
+    val staging = new java.io.File(indexDir, StagingDirName)
+    deleteRecursively(staging)
     val batchBands = CacheRegistry.persist(
       docBandComposite(typed, "id", textCol, shingleN, numHashes, rowsPerBand))
-    graft.sources.BucketedWarehouse.appendBucketedPath(
-      batchBands, dbName, s"$indexDir/docs_bands", Seq("bk"), nb)
-    graft.sources.BucketedWarehouse.appendBucketedPath(
-      batchBands.select(col("bk")).distinct()
-        .join(bands, Seq("bk"), "left_anti"),
-      bName, s"$indexDir/bands", Seq("bk"), nb)
-    graft.sources.BucketedWarehouse.appendBucketedPath(
-      typed.select(col("id"), md5(col(textCol)).as("h")),
-      deName, s"$indexDir/docs_exact", Seq("h"), nb)
-    graft.sources.BucketedWarehouse.appendBucketedPath(
-      typed.select(md5(col(textCol)).as("h")).distinct()
-        .join(exact, Seq("h"), "left_anti"),
-      eName, s"$indexDir/exact", Seq("h"), nb)
+    val frames = Map(
+      "docs_bands" -> (batchBands, Seq("bk")),
+      "bands" -> (batchBands.select(col("bk")).distinct()
+        .join(bands, Seq("bk"), "left_anti"), Seq("bk")),
+      "docs_exact" -> (typed.select(col("id"), md5(col(textCol)).as("h")),
+        Seq("h")),
+      "exact" -> (typed.select(md5(col(textCol)).as("h")).distinct()
+        .join(exact, Seq("h"), "left_anti"), Seq("h")))
+    DedupTableDirs.foreach { sub =>
+      val (frame, keys) = frames(sub)
+      graft.sources.BucketedWarehouse.writeBucketedPath(frame,
+        stagingTableName(indexDir, sub), s"$staging/$sub", keys, nb)
+    }
+    crashPoint(spark, "dedup_append_before_fence")
+    // commit: fence → moves → ledger → fence clear (the BM25 ordering)
+    raiseFence(indexDir, commitLedger.map(_._2.toString).getOrElse(""))
+    moveStagedFiles(spark, indexDir, staging)
+    crashPoint(spark, "dedup_append_before_ledger")
+    commitLedger.foreach { case (ledger, id) => appendLineSync(ledger, id) }
+    crashPoint(spark, "dedup_append_after_ledger")
+    clearFence(indexDir)
+    dropStagingTables(spark, indexDir)
+    deleteRecursively(staging)
   }
+
+  /** Finish a staged append a crash interrupted MID-MOVE: when the
+    * fence carries `batchId` and its staging directory is still
+    * present, every staged part file is either already live or still
+    * staged — moving the remainder completes the original append
+    * exactly, after which the ledger line and fence clear commit it.
+    * Returns true when a pending append was resumed. MUST run before
+    * any probe of the index for the same batch (the half-moved state
+    * is what the probe must never see). A fence carrying any other
+    * content is left alone (genuinely torn index → the next mutation
+    * fails loudly).
+    */
+  def resumeStagedAppend(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, batchId: Long,
+                         ledger: java.io.File): Boolean = {
+    val pending = pendingFile(indexDir)
+    val staging = new java.io.File(indexDir, StagingDirName)
+    pending.isFile && staging.isDirectory && {
+      val content = new String(
+        java.nio.file.Files.readAllBytes(pending.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      content == batchId.toString && {
+        moveStagedFiles(spark, indexDir, staging)
+        appendLineSync(ledger, batchId)
+        clearFence(indexDir)
+        dropStagingTables(spark, indexDir)
+        deleteRecursively(staging)
+        true
+      }
+    }
+  }
+
+  /** Move every staged data file into its live table dir. File names
+    * carry the bucket id (`..._00003.c000...`), so the bucketed scans
+    * attribute moved files to the right buckets; names are unique
+    * (task UUIDs), so moves never collide with earlier appends.
+    */
+  private def moveStagedFiles(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              staging: java.io.File): Unit = {
+    DedupTableDirs.zipWithIndex.foreach { case (sub, i) =>
+      val src = new java.io.File(staging, sub)
+      Option(src.listFiles()).foreach(_.filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(s"$indexDir/$sub", f.getName).toPath)
+        })
+      if (i == 0) crashPoint(spark, "dedup_append_mid_move")
+    }
+    // the moves happen behind the catalog's back (unlike a saveAsTable
+    // append, which invalidates it) — drop the cached file listings or
+    // this session's probes keep reading the pre-append table state
+    val (eName, bName, deName, dbName) = dedupTableNames(indexDir)
+    Seq(eName, bName, deName, dbName).foreach { n =>
+      if (spark.catalog.tableExists(n)) spark.catalog.refreshTable(n)
+    }
+  }
+
+  private def stagingTableName(indexDir: String, sub: String): String =
+    s"graft_didx_${tableTag(indexDir)}_stage_$sub"
+
+  private def dropStagingTables(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String): Unit =
+    DedupTableDirs.foreach { sub =>
+      spark.sql(s"DROP TABLE IF EXISTS `${stagingTableName(indexDir, sub)}`")
+    }
 
   /** [[dedupAgainst]] from the PERSISTED index — per new doc, the exact
     * content-hash hit and the LSH band-key hit, with ZERO reference-

@@ -31,15 +31,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    a crash before the sub-ledger line trips the fence (detectable
   *    stop → rebuild), a crash after it is replay-skipped and the
   *    provably-stale fence cleared (`clearCompletedAppendFence`).
-  *  - The dedup-key TABLE appends are idempotent by construction
-  *    (anti-join folds), but the exact-hash and band-key appends are
-  *    two steps with a window between them: a crash after the bands
-  *    land but before the exact hashes do makes the replay's probe
-  *    flag the doc near-dup and drop it — conservative (content is
-  *    withheld, never double-served), because bands append FIRST: an
-  *    exact copy arriving later still hits every band key. The doc→key
-  *    sidecars make compaction recompute the key tables from the
-  *    sidecar rows, which converges the tables to the sidecar truth.
+  *  - The dedup append is an ATOMIC STAGED COMMIT
+  *    ([[graft.llm.Dedup.appendToDedupIndex]]'s commitLedger form):
+  *    all four tables (two sidecars, two key tables) stage OUTSIDE the
+  *    live dirs, then a fenced move → sub-ledger line → fence clear
+  *    publishes them. A crash while staging leaves the index untouched
+  *    (redo), a crash mid-move is resumed exactly
+  *    ([[graft.llm.Dedup.resumeStagedAppend]], run up front so the
+  *    probe never sees a half-published key set), and a crash after
+  *    the ledger line is replay-skipped — no kill point drops or
+  *    double-serves content. Compaction additionally converges the key
+  *    tables to the sidecar truth (replayed-row dedup).
   *
   * The one remaining hard failure is a crash DURING a data step of
   * [[graft.llm.Retrieval.appendToIndex]] or
@@ -55,6 +57,7 @@ object IndexIngest {
   private val LedgerName = "_graft_ingest_ledger"
   private val Bm25LedgerName = "_graft_ingest_bm25_ledger"
   private val AnnLedgerName = "_graft_ingest_ann_ledger"
+  private val DedupLedgerName = "_graft_ingest_dedup_ledger"
 
   /** Process one micro-batch; returns the number of appended docs, or
     * -1 when `batchId` is already in the ledger (replay after restart).
@@ -100,6 +103,17 @@ object IndexIngest {
       if (committedIds(new java.io.File(dir, AnnLedgerName)).contains(batchId))
         graft.llm.VectorIndex.clearCompletedAppendFence(dir, batchId)
     }
+    // dedup: same post-ledger handling, PLUS the mid-move resume — a
+    // crash between the staged-append's file moves leaves the fence up
+    // with the staging dir intact; completing the moves BEFORE the
+    // probe runs is what keeps the probe from ever seeing (and acting
+    // on) a half-published key set
+    val dedupSubLedger = new java.io.File(dedupIndexDir, DedupLedgerName)
+    if (committedIds(dedupSubLedger).contains(batchId))
+      Dedup.clearCompletedAppendFence(dedupIndexDir, batchId)
+    else
+      Dedup.resumeStagedAppend(batch.sparkSession, dedupIndexDir, batchId,
+        dedupSubLedger)
     // the batch's operator caches are released when the scope exits —
     // owner-tagged, so ONLY this batch's registrations go (releaseAll
     // would unpersist every co-resident job's frames on each
@@ -159,7 +173,9 @@ object IndexIngest {
               vecCol.get, dir, Some((subLedger, batchId)))
           }
         }
-        Dedup.appendToDedupIndex(survivors, idCol, textCol, dedupIndexDir)
+        if (!committedIds(dedupSubLedger).contains(batchId))
+          Dedup.appendToDedupIndex(survivors, idCol, textCol, dedupIndexDir,
+            Some((dedupSubLedger, batchId)))
       }
       survivors.unpersist()
       kept

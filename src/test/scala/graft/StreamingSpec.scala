@@ -603,6 +603,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the torn-index fence error, got $e")
   }
 
+  test("staged dedup append: no kill point drops or double-serves content") {
+    import spark.implicits._
+    val seedRows = Seq((0L, "seed alpha beta gamma delta epsilon"))
+    val batchRows = Seq((5L, "novel zeta eta theta iota kappa"))
+    // probe: an exact copy of each doc (must flag exact_dup=1 iff the
+    // content is served) plus a never-seen text (must stay clean)
+    val probeRows = Seq((90L, seedRows.head._2), (91L, batchRows.head._2),
+      (92L, "unrelated lambda mu nu xi omicron"))
+    def flags(idx: String) =
+      Dedup.dedupAgainstIndex(probeRows.toDF("doc_id", "text"),
+          "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // control: the index a crash-free ingest of the batch produces
+    val ctrlDir = java.nio.file.Files.createTempDirectory("graft-dsa-ctrl").toFile
+    ctrlDir.deleteOnExit()
+    val ctrl = s"$ctrlDir/idx"
+    Dedup.buildDedupIndex((seedRows ++ batchRows).toDF("doc_id", "text"),
+      "doc_id", "text", ctrl, numBuckets = 2,
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    val want = flags(ctrl)
+    assert(want === Seq((90L, 1L, 1L), (91L, 1L, 1L), (92L, 0L, 0L)))
+    for (point <- Seq("dedup_append_before_fence", "dedup_append_mid_move",
+        "dedup_append_before_ledger", "dedup_append_after_ledger")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-dsa").toFile
+      dir.deleteOnExit()
+      val didx = s"$dir/didx"
+      Dedup.buildDedupIndex(seedRows.toDF("doc_id", "text"), "doc_id", "text",
+        didx, numBuckets = 2, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      spark.conf.set("graft.test.crashPoint", point)
+      val e = intercept[RuntimeException] {
+        graft.streaming.IndexIngest.processBatch(
+          batchRows.toDF("doc_id", "text"), 7L, "doc_id", "text", didx, None)
+      }
+      assert(e.getMessage.contains("injected crash"), s"[$point] got $e")
+      spark.conf.set("graft.test.crashPoint", "")
+      // pre-fence crash leaves a VALID index (staging is invisible);
+      // the fenced windows leave a detectably-pending one
+      if (point == "dedup_append_before_fence")
+        assert(Dedup.dedupIndexExists(didx), s"[$point] index must stay valid")
+      else
+        assert(!Dedup.dedupIndexExists(didx), s"[$point] fence must be up")
+      // the replay must converge to exactly the crash-free outcome:
+      // content served once — never dropped, never doubled
+      val n = graft.streaming.IndexIngest.processBatch(
+        batchRows.toDF("doc_id", "text"), 7L, "doc_id", "text", didx, None)
+      assert(n >= 0L, s"[$point] replay must commit, got $n")
+      assert(Dedup.dedupIndexExists(didx), s"[$point] replay must clear the fence")
+      assert(flags(didx) === want, s"[$point] probe != crash-free control")
+      // key tables keep the distinct-keys invariant (no doubled rows)
+      val h = spark.read.parquet(s"$didx/exact")
+      assert(h.count() === h.distinct().count(), s"[$point] doubled exact keys")
+      val b = spark.read.parquet(s"$didx/bands")
+      assert(b.count() === b.distinct().count(), s"[$point] doubled band keys")
+      // a third run is a main-ledger no-op
+      assert(graft.streaming.IndexIngest.processBatch(
+        batchRows.toDF("doc_id", "text"), 7L, "doc_id", "text", didx, None) === -1L)
+    }
+  }
+
   test("index ingest self-compacts every N batches; probes unchanged") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-compact").toFile
