@@ -973,6 +973,47 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, "ab"), (2L, 0L, "z"), (2L, 1L, "b")))
   }
 
+  test("unigramEncode at the 65,536-piece vocab guard boundary") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // the full guard-limit vocabulary: 26 single chars (coverage) plus
+    // 65,510 four-char pieces — the size the ≤65,536 contract admits
+    // but the shipped tests only exercised at ≤96. The hazard class is
+    // plan-size/codegen blowup from the map literal, so the assertion
+    // IS that the plan compiles and the encode returns exact rows in
+    // one run (the literal rides as ONE complex-typed Literal, not
+    // per-entry codegen)
+    val chars = ('a' to 'z').map(c => (c.toString, 1L, 4000L))
+    val multis = (0 until (65536 - 26)).map { i =>
+      val s = new StringBuilder
+      var v = i
+      (0 until 4).foreach { _ => s.append(('a' + v % 26).toChar); v /= 26 }
+      (s.toString, 1L, 500L)
+    }
+    val vocab = (chars ++ multis).toDF("piece", "cnt", "cost_micro")
+    assert(vocab.count() === 65536L)
+    // "aaaa" is multi piece i=0; "baaa" is i=1; "az" must fall back to
+    // two singles (no 2-char pieces in this vocab)
+    val docs = Seq((1L, "aaaa baaa az")).toDF("id", "text")
+    val t0 = System.nanoTime()
+    val got = TextAnalysis.unigramEncode(docs, "id", "text", vocab,
+        maxPiece = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got === Seq((0L, 0L, "aaaa"), (1L, 0L, "baaa"),
+      (2L, 0L, "a"), (2L, 1L, "z")))
+    // one boundary-size encode must stay interactive — a plan-size
+    // pathology would show up as minutes, not seconds
+    assert(sec < 120.0, s"boundary encode took $sec s — literal path degraded")
+    // one entry past the boundary fails the contract loudly
+    val over = (chars ++ multis :+ (("zzzz9", 1L, 500L))).toDF("piece", "cnt", "cost_micro")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramEncode(docs, "id", "text", over, maxPiece = 4)
+    }
+    assert(e.getMessage.contains("bounded"), s"got $e")
+  }
+
   test("unigramTrainVocab: EM keeps the used pieces and beats the seed's fertility") {
     import spark.implicits._
     import graft.llm.TextAnalysis
