@@ -1379,6 +1379,152 @@ object TextAnalysis {
     vocab.toDF("piece", "cnt", "cost_micro")
   }
 
+  /** Unigram-LM SOFT-EM training — the forward-backward E-step Kudo
+    * 2018 actually prescribes, where [[unigramTrainVocab]] substitutes
+    * hard Viterbi counts: each EM round credits every piece with its
+    * POSTERIOR expected count over ALL segmentations of every word,
+    * not just the single best path. That is the property subword-
+    * regularization pipelines train unigram LMs for — pieces that
+    * appear only in near-optimal segmentations keep probability mass
+    * and survive pruning where hard counts starve them to zero.
+    *
+    * The integer-exact replay discipline (the hard trainer's whole
+    * point) survives via a bounded-precision log-sum-exp contract:
+    *
+    *  - masses live in negative-log integer MICRO-NATS; combining two,
+    *    `lse(a, b) = least(a,b) − round(10⁶·ln(1 + exp(−|a−b|/10⁶)))`
+    *    — the correction term once-rounded per pairwise combine, and
+    *    candidate branches folded in ascending piece-length order
+    *    (associativity is given up deliberately; the fixed fold order
+    *    IS the rounding contract any engine replays bit-for-bit);
+    *  - per distinct word, the prefix mass chain F, the suffix chain
+    *    B, and the partition mass Z = F(len) are in-row array folds
+    *    (zero shuffles — the q270 suffix-DP shape with lse for min);
+    *    the piece occupying [p+1, p+j] gets posterior weight
+    *    `round(10⁶·exp(−(F(p) + cost + B(len−p−j) − Z)/10⁶))` — a
+    *    HALF_UP micro-probability — and contributes f·weight to its
+    *    count;
+    *  - prune and M-step are [[unigramTrainVocab]]'s verbatim, over
+    *    the micro-scaled counts (the 10⁶ factor cancels in the count
+    *    share, so costs stay plain micro-nats).
+    *
+    * Scale shape identical to the hard trainer: one distributed pass
+    * over DISTINCT words per round plus a vocabulary-bounded driver
+    * prune/re-cost. Training corpora keep every character in vocab
+    * (seed + prune coverage guarantee), so F/B are total — no
+    * byte-fallback needed inside the loop. Output:
+    * (piece, cnt_micro, cost_micro).
+    */
+  def unigramTrainVocabSoft(df: DataFrame, textCol: String,
+                            vocabSize: Int = 48, maxPiece: Int = 4,
+                            iters: Int = 2,
+                            seedMultiplier: Int = 2): DataFrame = {
+    require(vocabSize >= 1 && maxPiece >= 1, "vocabSize and maxPiece must be >= 1")
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    require(seedMultiplier >= 1, s"seedMultiplier must be >= 1, got $seedMultiplier")
+    val spark = df.sparkSession
+    val words = CacheRegistry.persist(df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f")))
+    val seed = unigramSeedVocab(df, textCol, vocabSize * seedMultiplier, maxPiece)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(seed.nonEmpty && seed.length <= 65536,
+      s"vocab must stay bounded, got ${seed.length} seed pieces")
+    val nChars = seed.count(_._1.length == 1)
+    implicit val utf8: Ordering[String] = graft.core.Utf8Order.stringOrdering
+    def lnr(x: Long): Long =
+      new java.math.BigDecimal(math.log(x.toDouble) * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    var vocab: Seq[(String, Long, Long)] = seed.toSeq
+    for (r <- 1 to iters) {
+      // E-step: one distributed pass — per distinct word, posterior
+      // piece weights from the F/B mass chains, count-weighted by f
+      val vm = typedLit(vocab.map(v => v._1 -> v._3).toMap)
+      val counts = withSoftPosteriors(
+          words.withColumn("graft_vm", vm), "w", maxPiece)
+        .groupBy(col("piece")).agg(sum(col("graft_cm")).as("cnt"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      // prune + M-step: identical to the hard trainer (annealed cap,
+      // chars always survive, micro-nat costs from the count share)
+      val cap = (vocabSize - nChars) +
+        (vocabSize.toLong * (seedMultiplier - 1) * (iters - r) / iters).toInt
+      val counted = vocab.map { case (p, _, _) => (p, counts.getOrElse(p, 0L)) }
+      val kept = counted.filter(_._1.length == 1) ++
+        counted.filter(_._1.length > 1)
+          .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(implicitly, utf8))
+          .take(math.max(cap, 0))
+      val t = kept.map { case (_, c) => math.max(c, 1L) }.sum
+      vocab = kept.map { case (p, c) => (p, c, lnr(t) - lnr(math.max(c, 1L))) }
+    }
+    import spark.implicits._
+    vocab.toDF("piece", "cnt_micro", "cost_micro")
+  }
+
+  /** The once-rounded pairwise log-sum-exp over negative-log micro-nat
+    * masses — [[unigramTrainVocabSoft]]'s rounding contract, as a SQL
+    * fragment over two BIGINT expressions (NULL = absent branch).
+    */
+  private def lse2Sql(a: String, b: String): String =
+    s"""CASE WHEN ($a) IS NULL THEN ($b) WHEN ($b) IS NULL THEN ($a)
+       |ELSE least($a, $b) - CAST(round(1000000.0 * ln(1.0 + exp(
+       |  -CAST(greatest($a, $b) - least($a, $b) AS DOUBLE) / 1000000.0))) AS BIGINT) END"""
+      .stripMargin
+
+  /** Per-word posterior piece weights for the soft E-step: input rows
+    * carry (`w`, f, graft_vm); output rows are (piece, graft_cm) — one
+    * per (position, piece-length) slot whose piece is in vocab, with
+    * graft_cm = f · round(10⁶·posterior). Three in-row stages behind
+    * the explode-array optimizer barrier (the withViterbiPieces
+    * discipline): the prefix mass chain F (index p+1 = mass of the
+    * first p chars), the suffix chain B, then the flattened posterior
+    * slots. Branch folds run in ascending piece-length order — the
+    * documented lse rounding contract.
+    */
+  private def withSoftPosteriors(df: DataFrame, w: String,
+                                 maxPiece: Int): DataFrame = {
+    val fold = (cands: String) =>
+      s"""aggregate($cands, CAST(NULL AS BIGINT),
+         |  (lacc, lx) -> ${lse2Sql("lacc", "lx")})""".stripMargin
+    val fExpr =
+      s"""aggregate(sequence(1, length($w)),
+         |  CAST(array(CAST(0 AS BIGINT)) AS ARRAY<BIGINT>),
+         |  (acc, p) -> concat(acc, array(
+         |    ${fold(s"""filter(transform(sequence(1, $maxPiece), j ->
+         |      CASE WHEN j <= p AND element_at(graft_vm, substring($w, p - j + 1, j)) IS NOT NULL
+         |           THEN element_at(acc, p - j + 1)
+         |                + element_at(graft_vm, substring($w, p - j + 1, j))
+         |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)""")})))""".stripMargin
+    val bExpr =
+      s"""aggregate(sequence(1, length($w)),
+         |  CAST(array(CAST(0 AS BIGINT)) AS ARRAY<BIGINT>),
+         |  (acc, m) -> concat(acc, array(
+         |    ${fold(s"""filter(transform(sequence(1, $maxPiece), j ->
+         |      CASE WHEN j <= m AND element_at(graft_vm, substring($w, length($w) - m + 1, j)) IS NOT NULL
+         |           THEN element_at(acc, m - j + 1)
+         |                + element_at(graft_vm, substring($w, length($w) - m + 1, j))
+         |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)""")})))""".stripMargin
+    val slots =
+      s"""filter(flatten(transform(sequence(0, length($w) - 1), p ->
+         |  transform(sequence(1, $maxPiece), j ->
+         |    CASE WHEN j <= length($w) - p
+         |              AND element_at(graft_vm, substring($w, p + 1, j)) IS NOT NULL
+         |         THEN named_struct(
+         |           'piece', substring($w, p + 1, j),
+         |           'wm', CAST(round(1000000.0 * exp(-CAST(
+         |             element_at(graft_f, p + 1)
+         |             + element_at(graft_vm, substring($w, p + 1, j))
+         |             + element_at(graft_b, length($w) - p - j + 1)
+         |             - element_at(graft_f, length($w) + 1) AS DOUBLE) / 1000000.0)) AS BIGINT))
+         |         ELSE CAST(NULL AS STRUCT<piece: STRING, wm: BIGINT>) END))),
+         |  x -> x IS NOT NULL)""".stripMargin
+    df.withColumn("graft_f", explode(array(expr(fExpr))))
+      .withColumn("graft_b", explode(array(expr(bExpr))))
+      .select(col("f"), explode(expr(slots)).as("graft_pw"))
+      .select(col("graft_pw.piece").as("piece"),
+        (col("f") * col("graft_pw.wm")).as("graft_cm"))
+  }
+
   /** The canonical in-row Viterbi segmentation: adds `graft_ps`
     * (ARRAY<STRING> — the best segmentation's pieces for word column
     * `w`), with the piece→cost map riding in column `graft_vm`. Three

@@ -398,6 +398,124 @@ object LlmQueries {
     sb.toString
   }
 
+  /** The soft-EM pairwise log-sum-exp over negative-log micro-nat
+    * masses — [[graft.llm.TextAnalysis.unigramTrainVocabSoft]]'s
+    * rounding contract, replayed verbatim: correction once-rounded per
+    * combine, NULL = absent branch.
+    */
+  private def lse2OracleSql(a: String, b: String): String =
+    s"""CASE WHEN ($a) IS NULL THEN ($b) WHEN ($b) IS NULL THEN ($a)
+       |ELSE least($a, $b) - CAST(round(1000000.0 * ln(1.0 + exp(
+       |  -CAST(greatest($a, $b) - least($a, $b) AS DOUBLE) / 1000000.0))) AS BIGINT) END"""
+      .stripMargin
+
+  /** Soft-EM mass chain: levels z{pfx}0..12 of the prefix (F) or
+    * suffix (B) negative-log masses under vocabulary CTE `voc`, the
+    * lse2 fold applied in ascending piece-length order (branch j LEFT
+    * JOINs level m−j and the vocab row for its piece; a missing vocab
+    * row nulls the branch, exactly the Spark filter). Unioned as
+    * zu{pfx} (w, m, key). Appended fragment (leading comma).
+    */
+  private def unigramSoftChainSql(pfx: String, voc: String,
+                                  prefix: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+      |z${pfx}0 AS (SELECT w, CAST(0 AS BIGINT) AS key FROM wd)""".stripMargin)
+    for (m <- 1 to 12) {
+      val joins = (1 to math.min(4, m)).map { j =>
+        val pieceExpr =
+          if (prefix) s"substr(wd.w, ${m - j + 1}, $j)"
+          else s"substr(wd.w, CAST(strlen(wd.w) - $m + 1 AS INT), $j)"
+        s"""      LEFT JOIN z$pfx${m - j} p$j ON p$j.w = wd.w
+           |      LEFT JOIN $voc v$j ON v$j.piece = $pieceExpr""".stripMargin
+      }.mkString("\n")
+      val fold = (1 to math.min(4, m))
+        .map(j => s"(p$j.key + v$j.cost_micro)")
+        .reduceLeft(lse2OracleSql)
+      sb.append(s""",
+        |z$pfx$m AS MATERIALIZED (SELECT wd.w, $fold AS key
+        |      FROM wd
+        |$joins
+        |      WHERE strlen(wd.w) >= $m)""".stripMargin)
+    }
+    sb.append(s""",
+      |zu$pfx AS MATERIALIZED (
+      |      ${(0 to 12).map(m => s"SELECT w, CAST($m AS BIGINT) AS m, key FROM z$pfx$m")
+             .mkString("\n      UNION ALL\n      ")})""".stripMargin)
+    sb.toString
+  }
+
+  /** One SOFT-EM round: F/B mass chains under the previous vocab, the
+    * posterior slot weights round(10⁶·exp(−(F(p)+cost+B−Z)/10⁶)),
+    * frequency-weighted micro counts, then the trainer's annealed
+    * prune + micro-nat re-cost → CTE sv{r}. Mirrors unigramEmRoundSql
+    * with posterior expectations for Viterbi counts.
+    */
+  private def unigramSoftRoundSql(r: Int, vocabSize: Int, extra: Long): String = {
+    val prevVoc = if (r == 1) "v0" else s"sv${r - 1}"
+    val sb = new StringBuilder
+    sb.append(unigramSoftChainSql(s"f$r", prevVoc, prefix = true))
+    sb.append(unigramSoftChainSql(s"b$r", prevVoc, prefix = false))
+    sb.append(s""",
+      |sp$r AS MATERIALIZED (
+      |      SELECT pos.w,
+      |             substr(pos.w, CAST(pos.p + 1 AS INT), CAST(jj.j AS INT)) AS piece,
+      |             CAST(round(1000000.0 * exp(-CAST(
+      |               fa.key + v.cost_micro + bb.key - zz.key
+      |             AS DOUBLE) / 1000000.0)) AS BIGINT) AS wm
+      |      FROM (SELECT w, unnest(range(0, strlen(w))) AS p FROM wd) pos
+      |      JOIN (VALUES (1), (2), (3), (4)) jj(j) ON jj.j <= strlen(pos.w) - pos.p
+      |      JOIN $prevVoc v
+      |        ON v.piece = substr(pos.w, CAST(pos.p + 1 AS INT), CAST(jj.j AS INT))
+      |      JOIN zuf$r fa ON fa.w = pos.w AND fa.m = pos.p
+      |      JOIN zub$r bb ON bb.w = pos.w AND bb.m = strlen(pos.w) - pos.p - jj.j
+      |      JOIN zuf$r zz ON zz.w = pos.w AND zz.m = strlen(pos.w)),
+      |scn$r AS MATERIALIZED (SELECT p.piece, CAST(sum(wv.f * p.wm) AS BIGINT) AS cnt
+      |      FROM sp$r p JOIN wv USING (w) GROUP BY p.piece),
+      |scd$r AS (SELECT v.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      |      FROM $prevVoc v LEFT JOIN scn$r c USING (piece)),
+      |skp$r AS (SELECT piece, cnt FROM scd$r WHERE strlen(piece) = 1
+      |      UNION ALL
+      |      SELECT piece, cnt FROM (
+      |        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+      |        FROM scd$r WHERE strlen(piece) > 1) srr$r, nch
+      |      WHERE srr$r.rk <= ($vocabSize - nch.n) + $extra),
+      |stt$r AS (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS t FROM skp$r),
+      |sv$r AS MATERIALIZED (SELECT piece, cnt,
+      |      CAST(${lnrSql("t")} - ${lnrSql("greatest(cnt, 1)")} AS BIGINT) AS cost_micro
+      |      FROM skp$r, stt$r)""".stripMargin)
+    sb.toString
+  }
+
+  /** q288's full oracle: seed-96 pool, two SOFT-EM rounds, trained
+    * vocab with posterior micro counts.
+    */
+  private def unigramSoftVocabSql: String =
+    unigramEmBaseSql(96) +
+      unigramSoftRoundSql(1, 48, 24L) +
+      unigramSoftRoundSql(2, 48, 0L) +
+      """
+        |SELECT piece, cnt AS cnt_micro, cost_micro FROM sv2 ORDER BY piece""".stripMargin
+
+  /** q289's full oracle: both trainers (hard v2, soft sv2) on the q282
+    * corpus, then corpus-total VITERBI fertility under each — the
+    * soft-vs-hard payoff table (serving always segments by Viterbi;
+    * only training differs).
+    */
+  private def unigramSoftFertilitySql: String =
+    unigramEmBaseSql(96) +
+      unigramEmRoundSql(1, 48, 24L) +
+      unigramEmRoundSql(2, 48, 0L) +
+      unigramSoftRoundSql(1, 48, 24L) +
+      unigramSoftRoundSql(2, 48, 0L) +
+      unigramSuffixChainSql("fh", "v2") +
+      unigramSuffixChainSql("fo", "sv2") +
+      s"""
+        |${unigramTotalsArmSql("fh", "hard")}
+        |UNION ALL
+        |${unigramTotalsArmSql("fo", "soft")}
+        |ORDER BY vocab_kind""".stripMargin
+
   /** Corpus-total fertility under the vocab a suffix chain `pfx` was
     * built with: one SELECT arm for the q283 union. Word totals come
     * from the full-word suffix keys (m = strlen), weighted by corpus
@@ -5663,6 +5781,55 @@ object LlmQueries {
           .orderBy("vocab_kind")
       },
       Some(unigramEmFertilitySql)),
+
+    // ---- SOFT-EM unigram training (Kudo 2018's actual E-step, where
+    // q282 is the hard-Viterbi stand-in): posterior piece expectations
+    // over ALL segmentations via forward/backward mass chains in
+    // once-rounded micro-nat log-sum-exp — the oracle replays every
+    // level of both chains, the posterior slot weights, and the
+    // prune/re-cost arithmetic, so the trained vocab hash-matches.
+    "q288_unigram_soft_vocab" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val filtered = docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            w => w =!= lit("") && length(w) <= 12), " ").as("text"))
+        TextAnalysis.unigramTrainVocabSoft(filtered, "text", vocabSize = 48,
+            maxPiece = 4, iters = 2, seedMultiplier = 2)
+          .orderBy("piece")
+      },
+      Some(unigramSoftVocabSql)),
+
+    // ---- The soft-vs-hard payoff, measured: corpus-total Viterbi
+    // fertility under the hard-EM and soft-EM vocabularies trained on
+    // the same corpus at the same size (serving always segments by
+    // Viterbi; only the training counts differ). The soft arm must not
+    // regress the hard arm's fertility — pinned by CorpusOpsSpec; the
+    // oracle pins both rows exactly.
+    "q289_unigram_soft_fertility" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val filtered = docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            w => w =!= lit("") && length(w) <= 12), " ").as("text"))
+        val hard = TextAnalysis.unigramTrainVocab(filtered, "text",
+          vocabSize = 48, maxPiece = 4, iters = 2, seedMultiplier = 2)
+        val soft = TextAnalysis.unigramTrainVocabSoft(filtered, "text",
+          vocabSize = 48, maxPiece = 4, iters = 2, seedMultiplier = 2)
+        def arm(vocab: org.apache.spark.sql.DataFrame, kind: String) =
+          TextAnalysis.unigramFertility(filtered, "doc_id", "text", vocab,
+              maxPiece = 4)
+            .agg(sum(col("n_words")).as("n_words"),
+              sum(col("n_pieces")).as("n_pieces"),
+              sum(col("cost_micro")).as("cost_micro"))
+            .select(lit(kind).as("vocab_kind"), col("n_words"),
+              col("n_pieces"), col("cost_micro"),
+              expr("(20000 * n_pieces + n_words) DIV (2 * n_words)")
+                .as("fertility_bp"))
+        arm(hard, "hard").unionAll(arm(soft, "soft"))
+          .orderBy("vocab_kind")
+      },
+      Some(unigramSoftFertilitySql)),
 
     // ---- TOKENIZE the corpus with the q282-trained vocabulary — the
     // serving side of the trainer (q283 only counts; a pipeline needs

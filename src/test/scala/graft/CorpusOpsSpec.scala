@@ -1014,6 +1014,110 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("bounded"), s"got $e")
   }
 
+  test("unigramTrainVocabSoft matches an exact driver replica of the lse contract") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val words = Seq("walker", "walked", "walking", "talker", "talked",
+      "talking", "walk", "talk")
+    val docs = Seq.fill(20)(words.mkString(" ")).toDF("text")
+    val (vocabSize, maxPiece, iters, mult) = (16, 4, 2, 2)
+    val got = TextAnalysis.unigramTrainVocabSoft(docs, "text", vocabSize,
+        maxPiece, iters, mult)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // ---- driver replica of the documented arithmetic, bit for bit:
+    // lse fold in ascending-j order, once-rounded correction, HALF_UP
+    // posterior micro-weights, the trainer's prune/anneal/re-cost
+    def lse2(a: Long, b: Long): Long = {
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      lo - math.round(1000000.0 *
+        math.log(1.0 + math.exp(-(hi - lo).toDouble / 1000000.0)))
+    }
+    def lnr(x: Long): Long =
+      new java.math.BigDecimal(math.log(x.toDouble) * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def masses(word: String, vm: Map[String, Long], suffix: Boolean): Array[Long] = {
+      val n = word.length
+      val arr = new Array[Long](n + 1)
+      for (m <- 1 to n) {
+        val cands = (1 to maxPiece).flatMap { j =>
+          if (j <= m) {
+            val piece = if (!suffix) word.substring(m - j, m)
+              else word.substring(n - m, n - m + j)
+            vm.get(piece).map(c => arr(m - j) + c)
+          } else None
+        }
+        arr(m) = cands.reduceLeft(lse2)
+      }
+      arr
+    }
+    val wordFreqs = Seq.fill(20)(words).flatten
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val seed = TextAnalysis.unigramSeedVocab(docs, "text",
+        vocabSize * mult, maxPiece)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val nChars = seed.keys.count(_.length == 1)
+    var vocab: Seq[(String, Long, Long)] =
+      seed.toSeq.map { case (p, c) => (p, 0L, c) }
+    for (r <- 1 to iters) {
+      val vm = vocab.map(v => v._1 -> v._3).toMap
+      val counts = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      for ((word, f) <- wordFreqs) {
+        val fArr = masses(word, vm, suffix = false)
+        val bArr = masses(word, vm, suffix = true)
+        val n = word.length
+        for (p <- 0 until n; j <- 1 to math.min(maxPiece, n - p)) {
+          val piece = word.substring(p, p + j)
+          vm.get(piece).foreach { c =>
+            val wm = math.round(1000000.0 * math.exp(
+              -(fArr(p) + c + bArr(n - p - j) - fArr(n)).toDouble / 1000000.0))
+            counts(piece) += f * wm
+          }
+        }
+      }
+      val cap = (vocabSize - nChars) +
+        (vocabSize.toLong * (mult - 1) * (iters - r) / iters).toInt
+      val counted = vocab.map { case (p, _, _) => (p, counts(p)) }
+      val kept = counted.filter(_._1.length == 1) ++
+        counted.filter(_._1.length > 1)
+          .sortBy { case (p, c) => (-c, p) }.take(math.max(cap, 0))
+      val t = kept.map { case (_, c) => math.max(c, 1L) }.sum
+      vocab = kept.map { case (p, c) => (p, c, lnr(t) - lnr(math.max(c, 1L))) }
+    }
+    val want = vocab.sortBy(_._1)
+    assert(got === want, "soft-EM output must replay the lse contract exactly")
+    // posteriors did real work: some piece carries fractional mass (a
+    // count NOT divisible by 1e6 — hard Viterbi counts always are)
+    assert(got.exists(v => v._2 % 1000000L != 0L),
+      "expected fractional posterior mass somewhere in the vocabulary")
+  }
+
+  test("unigramTrainVocabSoft meets or beats hard-EM fertility (the soft payoff)") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // the morpheme corpus where hard Viterbi counts starve pieces that
+    // only appear in near-optimal segmentations — posterior mass is
+    // exactly what keeps them alive through pruning
+    val words = Seq("walker", "walked", "walking", "talker", "talked",
+      "talking", "walk", "talk")
+    val docs = Seq.fill(20)(words.mkString(" "))
+      .toDF("text").withColumn("id", org.apache.spark.sql.functions.lit(1L))
+    def totals(v: org.apache.spark.sql.DataFrame): Long =
+      TextAnalysis.unigramFertility(docs, "id", "text", v)
+        .agg(org.apache.spark.sql.functions.sum("n_pieces")).head().getLong(0)
+    val hard = TextAnalysis.unigramTrainVocab(docs, "text",
+      vocabSize = 16, maxPiece = 4, iters = 2, seedMultiplier = 2)
+    val soft = TextAnalysis.unigramTrainVocabSoft(docs, "text",
+      vocabSize = 16, maxPiece = 4, iters = 2, seedMultiplier = 2)
+    assert(soft.count() === 16L)
+    val (hardP, softP) = (totals(hard), totals(soft))
+    assert(softP <= hardP,
+      s"soft-EM fertility must not regress hard: hard=$hardP soft=$softP")
+    assert(softP < hardP,
+      "fixture must show the payoff (soft strictly beats hard here)")
+  }
+
   test("unigramTrainVocab: EM keeps the used pieces and beats the seed's fertility") {
     import spark.implicits._
     import graft.llm.TextAnalysis
