@@ -724,6 +724,77 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits() === Set(1L))
   }
 
+  test("100k-id takedown batch: probes stay broadcast-bounded before and after compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-takedown-100k").toFile
+    dir.deleteOnExit()
+    val (bidx, didx, aidx) = (s"$dir/bidx", s"$dir/didx", s"$dir/aidx")
+    // 200 docs; ids offset to 1e6 so most of the 100k takedown ids are
+    // absent (the realistic compliance-list shape: a global purge list
+    // intersected with one index's corpus)
+    val docs = (0L until 200L)
+      .map(i => (1000000L + i, s"tok$i common filler words body", testVec(i)))
+      .toDF("doc_id", "text", "vec")
+    Retrieval.buildIndex(docs, "doc_id", "text", bidx, numBuckets = 4)
+    Dedup.buildDedupIndex(docs, "doc_id", "text", didx, numBuckets = 4,
+      shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    graft.llm.VectorIndex.buildIndex(docs, "doc_id", "vec",
+      Seq((0L, testVec(100)), (1L, testVec(101))).toDF("doc_id", "vec"),
+      (0L until 4L).map(c => (c, testVec(200 + c))).toDF("doc_id", "vec"),
+      aidx, numBuckets = 4)
+    // the batch: 99,950 absent ids + the first 50 corpus docs
+    val ids = ((0L until 99950L) ++ (1000000L until 1000050L)).toDF("doc_id")
+    assert(graft.streaming.IndexIngest.processDeleteBatch(
+      ids, 0L, "doc_id", bidx, Some(aidx), 0, Some(didx)) === 100000L)
+    def bm25Probe() = Retrieval.bm25TopKIndexed(spark, bidx,
+      Seq(Seq("common")), k = 200)
+    def annProbe() = graft.llm.VectorIndex.annTopKIndexed(spark, aidx,
+      Seq((1L, testVec(60))), k = 5, nProbe = 2)
+    // PENDING stage: the 100k-row tombstone table rides as a BROADCAST
+    // anti-join — the corpus-sized postings/lists never reshuffle for it
+    val bp = bm25Probe()
+    val bm25Pending = bp.collect().map(_.getAs[Long]("id")).toSet
+    val bpPlan = bp.queryExecution.executedPlan.toString
+    assert(bpPlan.contains("BroadcastHashJoin") && bpPlan.contains("LeftAnti"),
+      s"tombstone exclusion must be a broadcast anti-join:\n$bpPlan")
+    assert(!bpPlan.contains("SortMergeJoin"),
+      s"takedown probe acquired a corpus reshuffle:\n$bpPlan")
+    // the postings scan stays bucket-pruned UNDER the anti-join — the
+    // 100k tombstones shuffle only themselves (their own distinct),
+    // never the corpus-sized postings
+    assert(bpPlan.contains("SelectedBucketsCount: 1 out of 4"),
+      s"postings scan lost bucket pruning under the tombstone join:\n$bpPlan")
+    assert(bm25Pending === (1000050L until 1000200L).toSet,
+      "pending-stage probe must exclude exactly the deleted docs")
+    val ap = annProbe()
+    val apPlan = ap.queryExecution.executedPlan.toString
+    assert(apPlan.contains("BroadcastHashJoin") && apPlan.contains("LeftAnti"),
+      s"ANN tombstone exclusion must be a broadcast anti-join:\n$apPlan")
+    assert(ap.collect().map(_.getLong(1)).toSet
+        .intersect((1000000L until 1000050L).toSet).isEmpty,
+      "ANN probe served a deleted vector")
+    // dedup probe: purged docs' keys die via the sidecar refcount; an
+    // exact copy of deleted content must come back clean
+    val probeDocs = Seq((5L, "tok0 common filler words body"),
+      (6L, "tok60 common filler words body")).toDF("doc_id", "text")
+    val dFlags = Dedup.dedupAgainstIndex(probeDocs, "doc_id", "text", didx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dFlags === Map(5L -> 0L, 6L -> 1L),
+      s"dedup dead-key exclusion wrong at 100k ids: $dFlags")
+    // COMPACTED stage: deletes physical, tombstones cleared, same rows
+    Retrieval.compactIndex(spark, bidx)
+    graft.llm.VectorIndex.compactIndex(spark, aidx)
+    Dedup.compactDedupIndex(spark, didx)
+    assert(!new java.io.File(bidx, "tombstones").exists())
+    val bpc = bm25Probe()
+    assert(bpc.collect().map(_.getAs[Long]("id")).toSet ===
+      (1000050L until 1000200L).toSet, "compacted probe changed the answer")
+    assert(!bpc.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    assert(Dedup.dedupAgainstIndex(probeDocs, "doc_id", "text", didx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      Map(5L -> 0L, 6L -> 1L))
+  }
+
   test("soak: interleaved ingest + takedown + self-compaction equals rebuilds over survivors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-soak").toFile
