@@ -217,6 +217,46 @@ object Bench {
       } finally deleteRecursively(new java.io.File(cmpRoot))
     } else (0.0, 0.0)
 
+    // Mega-cluster skew pair: thresholdSweep and clusterProvenance on a
+    // synthetic where ONE boilerplate text covers 30% of the documents
+    // table — the duplication shape a crawl-heavy corpus actually has.
+    // The sweep's CC input is duplication-invariant (copy-weighted text
+    // reps, PlanSpec pin), so this measures that the pair/CC family
+    // degrades gracefully instead of paying n²/2 same-text edges; the
+    // provenance pass exercises the maxPerGroup output cap on the same
+    // skew. Best of 3 after one warm-up, caches released per run.
+    val (skewSweepSec, skewProvSec) = if (!only.exists(_.nonEmpty)) {
+      import org.apache.spark.sql.functions._
+      val mega = "the mega cluster boilerplate text that floods a " +
+        "crawl heavy corpus with identical copies"
+      val skewed = graft.queries.Registry.table(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 < 3, lit(mega))
+            .otherwise(col("text")).as("text"))
+      def time(f: () => Unit): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          f()
+          val sec = (System.nanoTime() - t0) / 1e9
+          graft.llm.CacheRegistry.releaseAll(spark)
+          spark.catalog.clearCache()
+          sec
+        }
+        once() // warm-up
+        Seq(once(), once(), once()).min
+      }
+      val sweepSec = time { () =>
+        graft.llm.Dedup.thresholdSweep(skewed, "doc_id", "text",
+          Seq(8000L, 9600L)).count(); ()
+      }
+      val provSec = time { () =>
+        graft.llm.Dedup.clusterProvenance(
+          skewed.select(col("doc_id").as("id"), md5(col("text")).as("comp")),
+          "id", "comp", maxPerGroup = 5).count(); ()
+      }
+      (sweepSec, provSec)
+    } else (0.0, 0.0)
+
     // Re-rank payoff pair at the PRODUCTION PQ shape (m=16 subspaces,
     // 256-entry codebook — q285 sizes recall over kCand; this measures
     // what the refine stage costs): plain ADC top-5 vs ADC+exact
@@ -306,6 +346,7 @@ object Bench {
       s""""zorder_plain_sec":$zPlainSec,"zorder_zorder_sec":$zOrderSec,""" +
       s""""bm25_appended_sec":$cmpAppendedSec,"bm25_compacted_sec":$cmpCompactedSec,""" +
       s""""rerank_adc_sec":$rrAdcSec,"rerank_refined_sec":$rrRerankSec,""" +
+      s""""skew_sweep_sec":$skewSweepSec,"skew_provenance_sec":$skewProvSec,""" +
       s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
     spark.stop()
   }

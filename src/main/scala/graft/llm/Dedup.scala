@@ -1491,14 +1491,24 @@ object Dedup extends PersistedIndex {
   def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
                      thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
-    val pairs = CacheRegistry.persist(
-      jaccardJoin(df, idCol, textCol, thresholds.min)
-        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union")))
+    val (edges, classes) = sweepEdges(df, idCol, textCol, thresholds.min)
+    val pairs = CacheRegistry.persist(edges)
+    val weights = classes.select(col("rep").as("graft_node"),
+      col("graft_copies"))
     thresholds.sorted.map { t =>
       val p = pairs.filter(lit(10000L) * col("n_inter") >= lit(t) * col("n_union"))
-      val cc = connectedComponents(p, "id_a", "id_b")
-      val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("graft_sz"))
-      sizes.agg(
+      val cc = connectedComponents(p, "rep_a", "rep_b")
+      // component size in DOCS = Σ copies over its member texts; texts
+      // with ≥ 2 copies and no qualifying cross-text edge are clusters
+      // of exact duplicates all by themselves
+      val compSizes = cc.join(weights, cc("id") === weights("graft_node"))
+        .groupBy(col("comp")).agg(sum(col("graft_copies")).as("graft_sz"))
+        .select(col("graft_sz"))
+      val loners = weights.filter(col("graft_copies") >= 2)
+        .join(cc.select(col("id").as("graft_node")), Seq("graft_node"),
+          "left_anti")
+        .select(col("graft_copies").as("graft_sz"))
+      compSizes.unionAll(loners).agg(
           coalesce(sum(col("graft_sz")), lit(0L)).as("n_docs_clustered"),
           count(lit(1)).as("n_clusters"),
           coalesce(max(col("graft_sz")), lit(0L)).as("max_cluster"))
@@ -1506,6 +1516,35 @@ object Dedup extends PersistedIndex {
           col("n_clusters"), col("max_cluster"),
           (col("n_docs_clustered") - col("n_clusters")).as("n_removable"))
     }.reduce(_.union(_))
+  }
+
+  /** [[thresholdSweep]]'s CC input — the round-12 skew shield, exposed
+    * package-private so the mitigation is PINNABLE: one edge per
+    * verified cross-text pair, endpoints the text classes' REP doc ids
+    * (min id per class), with (n_inter, n_union) riding along for the
+    * per-threshold exact re-filter. An n-copy text is ONE weighted CC
+    * node here — previously the sweep fed doc-level pairs whose
+    * same-text expansion put n²/2 edges through connected components,
+    * so a mega-cluster corpus (one text in 30% of docs) paid a
+    * quadratic CC for statistics that only need the text graph. Edge
+    * count is now DUPLICATION-INVARIANT (pinned by PlanSpec), and the
+    * sweep's output is row-identical: a component's doc count equals
+    * the copy-weight sum of its texts, and same-text-only classes
+    * surface as loner clusters.
+    */
+  private[graft] def sweepEdges(df: DataFrame, idCol: String, textCol: String,
+                                minThresholdBp: Long)
+      : (DataFrame, DataFrame) = {
+    val (texts, membership) = canonicalTexts(df, idCol, textCol)
+    val classes = CacheRegistry.persist(membership.groupBy(col("graft_tidl"))
+      .agg(min(col("graft_did")).as("rep"), count(lit(1)).as("graft_copies")))
+    val edges = jaccardJoinDistinct(texts, minThresholdBp)
+      .join(classes.select(col("graft_tidl").as("tidl_a"),
+        col("rep").as("rep_a")), Seq("tidl_a"))
+      .join(classes.select(col("graft_tidl").as("tidl_b"),
+        col("rep").as("rep_b")), Seq("tidl_b"))
+      .select(col("rep_a"), col("rep_b"), col("n_inter"), col("n_union"))
+    (edges, classes)
   }
 
   // ------------------------------------------------------------------

@@ -883,6 +883,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("thresholdSweep CC input is duplication-invariant (the mega-cluster skew shield)") {
+    import spark.implicits._
+    // one boilerplate text floods the corpus; the sweep's CC must see
+    // it as ONE weighted node — the doc-level formulation fed n²/2
+    // same-text edges through connected components (44,850 at n=300,
+    // ~4.5e15 at a 100-TB 30%-duplication corpus)
+    def corpus(copies: Int) =
+      ((0 until copies).map(i => (1000L + i, "mega cluster boilerplate text")) ++
+        Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "p q r s")))
+        .toDF("doc_id", "text")
+    def edgeCount(copies: Int): Long = {
+      val (edges, _) = graft.llm.Dedup.sweepEdges(
+        corpus(copies), "doc_id", "text", 5000L)
+      val n = edges.count()
+      graft.llm.CacheRegistry.releaseAll(spark)
+      spark.catalog.clearCache()
+      n
+    }
+    val (e3, e300) = (edgeCount(3), edgeCount(300))
+    assert(e3 === 1L, s"fixture must plant exactly the (1,2) cross-text edge, got $e3")
+    assert(e300 === e3,
+      s"sweep CC edges grew with duplication: $e3 -> $e300 — the skew shield regressed")
+    // and the stats still count DOCS: the mega class surfaces at its
+    // full copy weight without ever becoming edges
+    val got = graft.llm.Dedup.thresholdSweep(corpus(300), "doc_id", "text",
+        Seq(5000L)).collect().head
+    assert(got.getAs[Long]("max_cluster") === 300L)
+    assert(got.getAs[Long]("n_docs_clustered") === 302L)
+    assert(got.getAs[Long]("n_clusters") === 2L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("unigramEncode keeps the Viterbi DP above the distinct (the 496s pushdown pin)") {
     import spark.implicits._
     val vocab = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("ab", 1L, 25L))
