@@ -46,11 +46,22 @@ object Dedup extends PersistedIndex {
     val byComp = Window.partitionBy(col(compCol))
     // distinct: a membership frame built with duplicate (id, cluster)
     // rows would otherwise emit self-links (keep_id == dup_id) and
-    // shift ranks past the cap
+    // shift ranks past the cap.
+    //
+    // Skew shape (the mega-cluster rule): the rank filter sits directly
+    // on the row_number window, so WindowGroupLimit prunes every INPUT
+    // partition to its (cap+1) smallest ids per cluster BEFORE the
+    // shuffle — a 10M-copy boilerplate class contributes
+    // O(partitions·cap) rows to the sort, never its full membership.
+    // The representative is then min over the CAPPED frame (rank 1 is
+    // the global min by construction), on the same partitioning and
+    // sort, instead of a min().over() that buffered the ENTIRE cluster
+    // in one window group.
     clusters.select(col(idCol), col(compCol)).distinct()
       .withColumn("graft_rn", row_number().over(byComp.orderBy(col(idCol))))
+      .filter(col("graft_rn") <= maxPerGroup + 1)
       .withColumn("graft_keep", min(col(idCol)).over(byComp))
-      .filter(col("graft_rn") > 1 && col("graft_rn") <= maxPerGroup + 1)
+      .filter(col("graft_rn") > 1)
       .select(col("graft_keep").as("keep_id"), col(idCol).as("dup_id"),
         (col("graft_rn") - 1).cast("long").as("dup_rank"))
   }
@@ -950,25 +961,68 @@ object Dedup extends PersistedIndex {
         greatest(col("graft_d1"), col("graft_d2")).as("id_b") +:
         payload.map(col): _*)
 
+  /** In-row expansions above this many ids chunk + redistribute: the
+    * bound on per-row materialized pair arrays (≤ C² structs).
+    */
+  private val SameTextChunk = 512
+
   /** Same-text doc pairs: similarity = 1 by construction, inter = union
     * = the class's per-text value (`perText`: graft_tidl → graft_v).
     * One shuffle (groupBy tid) + in-row pair expansion, not a self-join.
     * Output columns named (outInter, outUnion, outBp).
+    *
+    * Skew shape (the mega-cluster rule): the OUTPUT is inherently
+    * n²/2 rows per n-copy class — that is the pair-join contract — but
+    * it must not materialize as ONE in-row array in one task (a 30%-
+    * duplication class at corpus scale is a task OOM, not a row set).
+    * Classes wider than [[SameTextChunk]] ids explode into (ci ≤ cj)
+    * CHUNK-pair rows first — each expanding at most C² pairs — and
+    * those rows round-robin across the cluster before expanding, so
+    * both memory and CPU spread. Ordinary classes (the overwhelming
+    * majority — one chunk) keep the zero-extra-shuffle direct path;
+    * the sorted ids + chunk ordering preserve id_a < id_b exactly.
     */
   private def sameTextPairs(membership: DataFrame, perText: DataFrame,
-      outInter: String, outUnion: String, outBp: String): DataFrame =
-    membership.join(perText, Seq("graft_tidl"))
+      outInter: String, outUnion: String, outBp: String): DataFrame = {
+    val c = SameTextChunk
+    val spark = membership.sparkSession
+    val cp = membership.join(perText, Seq("graft_tidl"))
       .groupBy(col("graft_tidl"))
       .agg(sort_array(collect_list(col("graft_did"))).as("ids"),
         first(col("graft_v")).as("graft_v"))
       .filter(size(col("ids")) >= 2)
+      .withColumn("graft_nc", expr(s"CAST(ceil(size(ids) / $c.0) AS INT)"))
+      .select(col("graft_v"), col("graft_nc"), col("ids"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, graft_nc - 1),
+             |  ci -> transform(sequence(ci, graft_nc - 1),
+             |    cj -> struct(ci, cj))))""".stripMargin)).as("cp"))
+      .select(col("graft_v"), col("graft_nc"),
+        expr(s"slice(ids, cp.ci * $c + 1, $c)").as("graft_l"),
+        expr(s"slice(ids, cp.cj * $c + 1, $c)").as("graft_r"),
+        (col("cp.ci") === col("cp.cj")).as("graft_same"))
+    // within a chunk: ordered pairs; across chunks: full cross product
+    // (sorted ids + ci < cj ⇒ every left id < every right id); a
+    // trailing 1-id chunk pairs only across (the ELSE arm drops it)
+    def expand(rows: DataFrame): DataFrame = rows
       .select(col("graft_v"), explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  i -> transform(sequence(i + 1, size(ids) - 1),
-          |    j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin)).as("p"))
+        s"""CASE
+           |  WHEN graft_same AND size(graft_l) >= 2 THEN
+           |    flatten(transform(sequence(0, size(graft_l) - 2),
+           |      i -> transform(sequence(i + 1, size(graft_l) - 1),
+           |        j -> struct(graft_l[i] AS id_a, graft_l[j] AS id_b))))
+           |  WHEN NOT graft_same THEN
+           |    flatten(transform(graft_l,
+           |      a -> transform(graft_r, b -> struct(a AS id_a, b AS id_b))))
+           |  ELSE array()
+           |END""".stripMargin)).as("p"))
+    expand(cp.filter(col("graft_nc") === 1))
+      .unionAll(expand(cp.filter(col("graft_nc") > 1)
+        .repartition(spark.sessionState.conf.numShufflePartitions)))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("graft_v").as(outInter), col("graft_v").as(outUnion),
         lit(10000L).as(outBp))
+  }
 
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
       thresholdBp: Long): DataFrame = {

@@ -916,6 +916,59 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("clusterProvenance prunes mega-clusters before the shuffle (WindowGroupLimit)") {
+    import spark.implicits._
+    // one mega cluster (30% shape) + small clusters: the rank filter
+    // must ride the row_number window as a group limit, pruning each
+    // INPUT partition to cap+1 rows per cluster BEFORE the exchange —
+    // and the representative min must run over the CAPPED frame, not a
+    // second whole-cluster window buffer
+    val clusters = ((0L until 3000L).map(i => (i, "mega")) ++
+      Seq((9000L, "b"), (9001L, "b"), (9002L, "c")))
+      .toDF("id", "comp")
+    val df = graft.llm.Dedup.clusterProvenance(clusters, "id", "comp",
+      maxPerGroup = 5)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(rows === ((1L to 5L).map(i => (0L, i, i)) :+ ((9000L, 9001L, 1L))),
+      s"got $rows")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank cap lost the group-limit pushdown:\n$p")
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(p).nonEmpty,
+      s"group limit must prune pre-shuffle (Partial mode):\n$p")
+    // two exchanges total — the input distinct's (id, comp) agg and the
+    // comp-keyed rank window; the min window must REUSE the rank
+    // window's partitioning instead of adding a whole-cluster buffer
+    assert(hashExchanges(p) <= 2, s"provenance acquired extra shuffles:\n$p")
+    assert(!p.contains("SinglePartition"), s"provenance degraded:\n$p")
+  }
+
+  test("same-text pair expansion chunks + spreads mega classes (the OOM shield)") {
+    import spark.implicits._
+    // 1,100 copies of one text (crosses the 512-id chunk twice) + one
+    // near-dup pair: the doc-pair output is exactly C(1100,2) + the
+    // cross pair, and the expansion plan carries the round-robin
+    // redistribution branch for wide classes
+    val docs = ((0L until 1100L).map(i => (i, "mega text body alpha beta")) ++
+      Seq((5000L, "a b c d"), (5001L, "b c d e")))
+      .toDF("doc_id", "text")
+    val df = graft.llm.Dedup.jaccardJoin(docs, "doc_id", "text", 5000L)
+    val rows = df.collect()
+    val same = rows.filter(_.getAs[Long]("jaccard_bp") == 10000L)
+    assert(same.length === 1100 * 1099 / 2, s"got ${same.length} same-text pairs")
+    assert(rows.length === same.length + 1)
+    // ordering + distinctness survive the chunked path
+    assert(same.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(same.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).distinct.length
+      === same.length)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RoundRobinPartitioning"),
+      s"wide-class expansion lost its redistribution branch:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("unigramEncode keeps the Viterbi DP above the distinct (the 496s pushdown pin)") {
     import spark.implicits._
     val vocab = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("ab", 1L, 25L))
