@@ -1481,29 +1481,43 @@ object TextAnalysis {
     * slots. Branch folds run in ascending piece-length order — the
     * documented lse rounding contract.
     */
+  /** The lse2 left-fold over a candidate array in ascending piece-
+    * length order — the shared mass-combine used by the soft E-step's
+    * F/B chains and the sampled-walk suffix chain.
+    */
+  private def lseFoldSql(cands: String): String =
+    s"""aggregate($cands, CAST(NULL AS BIGINT),
+       |  (lacc, lx) -> ${lse2Sql("lacc", "lx")})""".stripMargin
+
+  /** Suffix mass chain B as an in-row SQL aggregate: index m+1 = the
+    * negative-log micro-nat mass of ALL segmentations of the last m
+    * chars of word column `w`, with the piece→cost map riding in
+    * `graft_vm`. Branch folds run in ascending piece-length order (the
+    * documented lse rounding contract). Shared by
+    * [[withSoftPosteriors]] and [[unigramEncodeSampled]].
+    */
+  private def suffixMassExpr(w: String, maxPiece: Int): String =
+    s"""aggregate(sequence(1, length($w)),
+       |  CAST(array(CAST(0 AS BIGINT)) AS ARRAY<BIGINT>),
+       |  (acc, m) -> concat(acc, array(
+       |    ${lseFoldSql(s"""filter(transform(sequence(1, $maxPiece), j ->
+       |      CASE WHEN j <= m AND element_at(graft_vm, substring($w, length($w) - m + 1, j)) IS NOT NULL
+       |           THEN element_at(acc, m - j + 1)
+       |                + element_at(graft_vm, substring($w, length($w) - m + 1, j))
+       |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)""")})))""".stripMargin
+
   private def withSoftPosteriors(df: DataFrame, w: String,
                                  maxPiece: Int): DataFrame = {
-    val fold = (cands: String) =>
-      s"""aggregate($cands, CAST(NULL AS BIGINT),
-         |  (lacc, lx) -> ${lse2Sql("lacc", "lx")})""".stripMargin
     val fExpr =
       s"""aggregate(sequence(1, length($w)),
          |  CAST(array(CAST(0 AS BIGINT)) AS ARRAY<BIGINT>),
          |  (acc, p) -> concat(acc, array(
-         |    ${fold(s"""filter(transform(sequence(1, $maxPiece), j ->
+         |    ${lseFoldSql(s"""filter(transform(sequence(1, $maxPiece), j ->
          |      CASE WHEN j <= p AND element_at(graft_vm, substring($w, p - j + 1, j)) IS NOT NULL
          |           THEN element_at(acc, p - j + 1)
          |                + element_at(graft_vm, substring($w, p - j + 1, j))
          |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)""")})))""".stripMargin
-    val bExpr =
-      s"""aggregate(sequence(1, length($w)),
-         |  CAST(array(CAST(0 AS BIGINT)) AS ARRAY<BIGINT>),
-         |  (acc, m) -> concat(acc, array(
-         |    ${fold(s"""filter(transform(sequence(1, $maxPiece), j ->
-         |      CASE WHEN j <= m AND element_at(graft_vm, substring($w, length($w) - m + 1, j)) IS NOT NULL
-         |           THEN element_at(acc, m - j + 1)
-         |                + element_at(graft_vm, substring($w, length($w) - m + 1, j))
-         |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)""")})))""".stripMargin
+    val bExpr = suffixMassExpr(w, maxPiece)
     val slots =
       s"""filter(flatten(transform(sequence(0, length($w) - 1), p ->
          |  transform(sequence(1, $maxPiece), j ->
@@ -1640,6 +1654,121 @@ object TextAnalysis {
     words.join(segmented, Seq("w"))
       .select(col("id"), col("word_idx").cast("long").as("word_idx"),
         col("piece_idx").cast("long").as("piece_idx"), col("piece"))
+  }
+
+  /** SAMPLED tokenization with a trained unigram vocabulary — subword
+    * regularization's serving side (Kudo 2018 §3.2: training sees a
+    * DIFFERENT segmentation of each occurrence, drawn from the
+    * α-annealed posterior p(seg|w)^α, instead of the one canonical
+    * Viterbi split [[unigramEncode]] emits). Forward-filtering
+    * backward-sampling over the segmentation lattice: the suffix mass
+    * chain B (all-segmentations masses under costs pre-scaled by
+    * α = alphaNum/alphaDen, HALF_UP micro-nats) prices every branch,
+    * and the walk from position 0 picks piece length j with
+    * probability ∝ exp(−(cost'(piece) + B[rest-after-j] − B[rest])) —
+    * so the draw is EXACTLY p^α over whole segmentations, not a local
+    * heuristic. Branch weights round once to micro-units and clamp to
+    * ≥ 1 (a documented contract: no representable branch is ever
+    * unreachable), the per-step uniform is the 48-bit md5 of
+    * (seed, id, word_idx, step) mod 10⁶ — deterministic, engine-exact,
+    * and different per OCCURRENCE, which is the whole point of the
+    * regularizer — and the pick is the smallest j whose cumulative
+    * weight (ascending-j order) strictly exceeds u·total/10⁶. All
+    * integer comparisons after the once-rounded exp.
+    *
+    * Scale shape: the B chain and the position×piece-length weight
+    * table build once per DISTINCT word (in-row aggregates behind the
+    * explode-array optimizer barrier — the [[withViterbiPieces]]
+    * discipline); occurrences join back by word and pay only the
+    * O(len·maxPiece) integer walk per token — narrow, zero extra
+    * shuffles. Words containing characters outside the vocabulary emit
+    * no rows (the [[unigramEncode]] no-fallback semantics). Output:
+    * (id, word_idx, piece_idx, piece), indexes 0-based.
+    */
+  def unigramEncodeSampled(df: DataFrame, idCol: String, textCol: String,
+                           vocab: DataFrame, maxPiece: Int = 4,
+                           alphaNum: Long = 1L, alphaDen: Long = 1L,
+                           seed: String = "sr1"): DataFrame = {
+    require(alphaNum >= 1L && alphaDen >= 1L,
+      s"alpha must be a positive rational, got $alphaNum/$alphaDen")
+    require(seed.matches("[A-Za-z0-9_.-]+"),
+      s"seed rides into a SQL literal — [A-Za-z0-9_.-]+ only, got '$seed'")
+    val vm0 = vocab.select(col("piece"), col("cost_micro")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(vm0.nonEmpty && vm0.size <= 65536,
+      s"vocab must be a bounded piece table, got ${vm0.size} entries")
+    // α-anneal the costs BEFORE the chain (sampling from p^α ≡ masses
+    // under α·cost), one HALF_UP rounding per piece
+    val vm = vm0.map { case (p, c) =>
+      p -> ((2L * alphaNum * c + alphaDen) / (2L * alphaDen)) }
+    val words = df.select(col(idCol).as("id"),
+      posexplode(filter(split(col(textCol), " "), w => w =!= lit("")))
+        .as(Seq("word_idx", "w")))
+    val perWord = words.select(col("w")).distinct()
+      .withColumn("graft_vm", typedLit(vm))
+      // barrier (the withViterbiPieces discipline): the chain and the
+      // weight table ride through 1-element Generates so callers'
+      // filters bind to the OUTPUT attribute instead of inlining the
+      // interpreted aggregates below the distinct()
+      .withColumn("graft_b", explode(array(expr(suffixMassExpr("w", maxPiece)))))
+      .filter(expr("element_at(graft_b, length(w) + 1) IS NOT NULL"))
+      .withColumn("graft_wt", explode(array(expr(sampleWeightsExpr("w", maxPiece)))))
+      .select(col("w"), col("graft_wt"))
+    words.join(perWord, Seq("w"))
+      .withColumn("graft_ps",
+        explode(array(expr(sampledWalkExpr("w", maxPiece, seed)))))
+      .select(col("id"), col("word_idx").cast("long").as("word_idx"),
+        posexplode(col("graft_ps")).as(Seq("piece_idx", "piece")))
+      .select(col("id"), col("word_idx"),
+        col("piece_idx").cast("long").as("piece_idx"), col("piece"))
+  }
+
+  /** The position × piece-length branch-weight table for
+    * [[unigramEncodeSampled]]: element [p+1][j] = greatest(1,
+    * round(10⁶·exp(−(cost'(piece) + B[rest−j] − B[rest])))) when the
+    * piece starting at 0-based position p with length j is in vocab
+    * and its remainder is coverable, else NULL. Reads `graft_b` /
+    * `graft_vm`.
+    */
+  private def sampleWeightsExpr(w: String, maxPiece: Int): String =
+    s"""transform(sequence(0, length($w) - 1), p ->
+       |  transform(sequence(1, $maxPiece), j ->
+       |    CASE WHEN j <= length($w) - p
+       |              AND element_at(graft_vm, substring($w, p + 1, j)) IS NOT NULL
+       |              AND element_at(graft_b, length($w) - p - j + 1) IS NOT NULL
+       |         THEN greatest(1L, CAST(round(1000000.0 * exp(-CAST(
+       |                element_at(graft_vm, substring($w, p + 1, j))
+       |                + element_at(graft_b, length($w) - p - j + 1)
+       |                - element_at(graft_b, length($w) - p + 1) AS DOUBLE) / 1000000.0)) AS BIGINT))
+       |         ELSE CAST(NULL AS BIGINT) END))""".stripMargin
+
+  /** The per-occurrence sampled walk for [[unigramEncodeSampled]]:
+    * from position 0, at step k draw u = 48-bit md5(seed:id:word_idx:
+    * k−1) mod 10⁶ and advance by the smallest piece length j whose
+    * cumulative branch weight (ascending j, NULLs skipped) strictly
+    * exceeds u·total/10⁶. Reads `graft_wt` plus outer columns
+    * id / word_idx.
+    */
+  private def sampledWalkExpr(w: String, maxPiece: Int, seed: String): String = {
+    val u = (k: String) =>
+      s"""(CAST(conv(substring(md5(concat_ws(':', '$seed', CAST(id AS STRING),
+         |  CAST(word_idx AS STRING), CAST($k AS STRING))), 1, 12), 16, 10) AS BIGINT)
+         |  % 1000000L)""".stripMargin
+    val cum = (hi: String) =>
+      s"""aggregate(slice(element_at(graft_wt, st.p + 1), 1, $hi), 0L,
+         |  (a, x) -> a + coalesce(x, 0L))""".stripMargin
+    val pick =
+      s"""element_at(filter(transform(sequence(1, $maxPiece), j ->
+         |  CASE WHEN element_at(element_at(graft_wt, st.p + 1), j) IS NOT NULL
+         |            AND ${cum("j")} * 1000000L > ${u("k - 1")} * ${cum(maxPiece.toString)}
+         |       THEN j ELSE CAST(NULL AS INT) END), x -> x IS NOT NULL), 1)""".stripMargin
+    s"""aggregate(sequence(1, length($w)),
+       |  struct(CAST(0 AS INT) AS p, CAST(array() AS ARRAY<STRING>) AS ps),
+       |  (st, k) -> CASE WHEN st.p >= length($w) THEN st
+       |    ELSE struct(
+       |      CAST(st.p + $pick AS INT) AS p,
+       |      concat(st.ps, array(substring($w, st.p + 1, $pick))) AS ps) END,
+       |  st -> st.ps)""".stripMargin
   }
 
   /** PII redaction — the compliance pass every published training

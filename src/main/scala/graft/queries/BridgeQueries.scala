@@ -300,6 +300,66 @@ object BridgeQueries {
              |  FROM documents WHERE doc_id % 13 = 0) t
              |ORDER BY source""".stripMargin)),
 
+    // ---- WARC crawl-archive ingest with quarantine: the documents
+    // table round-trips through a WET-style WARC drop (one conversion
+    // record per doc, the source riding as the target-URI host), every
+    // %19th record's Content-Length corrupted. The anchor-scan reader
+    // must parse every well-formed record (per-source counts + char
+    // mass intact), quarantine exactly the broken ones, and — the
+    // property that separates it from a sequential reader — RESYNC at
+    // the next record despite the unusable length field.
+    "q291_warc_ingest" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id", "text", "source")
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-warc-v1-$tag.warc")
+        if (!fixture.isFile) {
+          val rows = docs.select(col("doc_id"), col("source"), col("text"))
+            .orderBy("doc_id").collect()
+          val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp))
+          try rows.foreach { r =>
+            val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+            val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val clen = if (id % 19 == 0) "XX" else body.length.toString
+            out.write(ascii(
+              s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+              s"WARC-Target-URI: http://$src/doc/$id\r\n" +
+              s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+              s"Content-Length: $clen\r\n\r\n"))
+            out.write(body)
+            out.write(ascii("\r\n\r\n"))
+          } finally out.close()
+          java.nio.file.Files.move(tmp.toPath, fixture.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        // small chunks force records across chunk boundaries — the
+        // overlap-ownership and cross-chunk header/payload reads are
+        // exercised, not just declared
+        val parsed = graft.sources.WarcCorpus.read(s, fixture.toString,
+          chunkSize = 16 * 1024)
+        val cleanCounts = graft.sources.WarcCorpus.clean(parsed)
+          .select(regexp_extract(col("target_uri"), "^http://([^/]+)/", 1).as("source"),
+            length(col("payload")).cast("long").as("graft_len"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("graft_len")).as("sum_chars"))
+        val corrupt = graft.sources.WarcCorpus.quarantine(parsed)
+          .agg(count(lit(1)).as("graft_n"))
+          .select(lit("_corrupt").as("source"), col("graft_n").as("n_docs"),
+            lit(0L).as("sum_chars"))
+        cleanCounts.union(corrupt).orderBy("source")
+      },
+      Some("""SELECT source, n_docs, sum_chars FROM (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+             |  FROM documents WHERE doc_id % 19 <> 0 GROUP BY source
+             |  UNION ALL
+             |  SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+             |  FROM documents WHERE doc_id % 19 = 0) t
+             |ORDER BY source""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

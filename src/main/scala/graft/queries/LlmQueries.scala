@@ -558,6 +558,75 @@ object LlmQueries {
         |FROM dt JOIN pcen pc ON pc.w = dt.w
         |ORDER BY doc_id, word_idx, piece_idx""".stripMargin
 
+  /** q290's full oracle: the q282 training chain, costs α=1/2-annealed
+    * (HALF_UP), the all-segmentations suffix mass chain under the
+    * annealed vocab (the q288 lse2 contract), the position ×
+    * piece-length branch-weight table with ascending-j cumulative
+    * weights, then the occurrence-keyed sampled walk — 12 unrolled
+    * levels, each drawing u = 48-bit md5(seed:doc:word:step) mod 10⁶
+    * and advancing by the smallest j whose cumulative weight strictly
+    * exceeds u·total/10⁶ — graft.llm.TextAnalysis.unigramEncodeSampled
+    * replayed branch for branch.
+    */
+  private def unigramEncodeSampledSql: String = {
+    val sb = new StringBuilder
+    sb.append(unigramEmBaseSql(96))
+    sb.append(unigramEmRoundSql(1, 48, 24L))
+    sb.append(unigramEmRoundSql(2, 48, 0L))
+    sb.append(""",
+      |va AS MATERIALIZED (SELECT piece, (2 * cost_micro + 2) // 4 AS cost_micro
+      |     FROM v2)""".stripMargin)
+    sb.append(unigramSoftChainSql("sa", "va", prefix = false))
+    sb.append(""",
+      |sw AS MATERIALIZED (
+      |  SELECT w, p, j, wm,
+      |         CAST(sum(wm) OVER (PARTITION BY w, p ORDER BY j) AS BIGINT) AS cw,
+      |         CAST(sum(wm) OVER (PARTITION BY w, p) AS BIGINT) AS tot
+      |  FROM (
+      |    SELECT pos.w, pos.p, jj.j,
+      |           greatest(1, CAST(round(1000000.0 * exp(-CAST(
+      |             va.cost_micro + br.key - bc.key AS DOUBLE) / 1000000.0)) AS BIGINT)) AS wm
+      |    FROM (SELECT w, unnest(range(0, strlen(w))) AS p FROM wd) pos
+      |    JOIN (VALUES (1), (2), (3), (4)) jj(j) ON jj.j <= strlen(pos.w) - pos.p
+      |    JOIN va ON va.piece = substr(pos.w, CAST(pos.p + 1 AS INT), CAST(jj.j AS INT))
+      |    JOIN zusa br ON br.w = pos.w AND br.m = strlen(pos.w) - pos.p - jj.j
+      |    JOIN zusa bc ON bc.w = pos.w AND bc.m = strlen(pos.w) - pos.p
+      |    WHERE br.key IS NOT NULL AND bc.key IS NOT NULL) wt),
+      |dt AS MATERIALIZED (
+      |  SELECT dws.doc_id, generate_subscripts(dws.ws, 1) - 1 AS word_idx, unnest(dws.ws) AS w
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+      |        FROM docsf) dws),
+      |sk0 AS (SELECT dt.doc_id, dt.word_idx, dt.w, CAST(0 AS BIGINT) AS pos
+      |        FROM dt JOIN zusa zz ON zz.w = dt.w AND zz.m = strlen(dt.w)
+      |        WHERE zz.key IS NOT NULL)""".stripMargin)
+    for (k <- 1 to 12) {
+      sb.append(s""",
+        |sk$k AS MATERIALIZED (
+        |  SELECT doc_id, word_idx, w, pos + j AS pos,
+        |         substr(w, CAST(pos + 1 AS INT), CAST(j AS INT)) AS piece
+        |  FROM (
+        |    SELECT pr.doc_id, pr.word_idx, pr.w, pr.pos, sw.j,
+        |           row_number() OVER (PARTITION BY pr.doc_id, pr.word_idx
+        |             ORDER BY sw.j) AS rn
+        |    FROM sk${k - 1} pr
+        |    JOIN sw ON sw.w = pr.w AND sw.p = pr.pos
+        |    WHERE pr.pos < strlen(pr.w)
+        |      AND sw.cw * 1000000 >
+        |          (CAST('0x' || substr(md5('sr1:' || pr.doc_id || ':' ||
+        |             pr.word_idx || ':' || ${k - 1}), 1, 12) AS BIGINT)
+        |           % 1000000) * sw.tot
+        |  ) c$k WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx,
+      |       CAST(piece_idx AS BIGINT) AS piece_idx, piece
+      |FROM (${(1 to 12).map(k =>
+              s"SELECT doc_id, word_idx, CAST(${k - 1} AS BIGINT) AS piece_idx, piece FROM sk$k")
+            .mkString("\n      UNION ALL\n      ")}) u
+      |ORDER BY doc_id, word_idx, piece_idx""".stripMargin)
+    sb.toString
+  }
+
   /** q283's full oracle: the q282 chain, the plain seed-48 vocab, and
     * the corpus-total fertility of both — the EM payoff table.
     */
@@ -5850,6 +5919,28 @@ object LlmQueries {
           .orderBy("doc_id", "word_idx", "piece_idx")
       },
       Some(unigramEncodeSql)),
+
+    // ---- Subword-regularization sampling (Kudo 2018): every corpus
+    // token re-segmented by an α=1/2-annealed draw from the full
+    // segmentation posterior (forward-filtering backward-sampling over
+    // the lattice, deterministic md5 uniforms per occurrence+step) —
+    // the training-time augmentation q286's canonical Viterbi encode
+    // cannot express. The oracle replays mass chain, weight table, and
+    // the 12-step sampled walk branch for branch.
+    "q290_unigram_encode_sampled" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val filtered = docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            w => w =!= lit("") && length(w) <= 12), " ").as("text"))
+        val trained = TextAnalysis.unigramTrainVocab(filtered, "text",
+          vocabSize = 48, maxPiece = 4, iters = 2, seedMultiplier = 2)
+        TextAnalysis.unigramEncodeSampled(filtered, "doc_id", "text", trained,
+            maxPiece = 4, alphaNum = 1L, alphaDen = 2L, seed = "sr1")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "word_idx", "piece_idx")
+      },
+      Some(unigramEncodeSampledSql)),
 
     // ---- Byte-fallback fertility (the SentencePiece escape analog):
     // scoring a corpus with ALPHABET DRIFT (every 'a' uppercased —

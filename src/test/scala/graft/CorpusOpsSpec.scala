@@ -1093,6 +1093,124 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected fractional posterior mass somewhere in the vocabulary")
   }
 
+  test("unigramEncodeSampled matches an exact driver replica of the FFBS contract") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // nat-scale costs so the two segmentations of "ab" have genuinely
+    // different mass: [ab] at 1.5 nats vs [a,b] at 3.0 — p(ab) ≈ 0.82
+    // at α=1, so a 40-occurrence corpus must show BOTH
+    val vm = Map("a" -> 1000000L, "b" -> 2000000L, "ab" -> 1500000L)
+    val vocab = vm.toSeq.map { case (p, c) => (p, 1L, c) }
+      .toDF("piece", "cnt", "cost_micro")
+    val docs = (0L until 8L).map(i => (i, Seq.fill(5)("ab").mkString(" ") + " aab"))
+      .toDF("id", "text")
+    def run(aNum: Long, aDen: Long) =
+      TextAnalysis.unigramEncodeSampled(docs, "id", "text", vocab,
+          maxPiece = 4, alphaNum = aNum, alphaDen = aDen, seed = "t1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(x => (x._1, x._2, x._3)).toSeq
+    // ---- driver replica of the documented arithmetic, bit for bit:
+    // α-annealed costs (HALF_UP), the lse2 suffix mass chain in
+    // ascending-j order, branch weights max(1, round(10⁶·exp(−Δ))),
+    // 48-bit md5 uniforms, smallest-j cumulative pick
+    def lse2(a: Long, b: Long): Long = {
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      lo - math.round(1000000.0 *
+        math.log(1.0 + math.exp(-(hi - lo).toDouble / 1000000.0)))
+    }
+    def u48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    def replica(aNum: Long, aDen: Long): Seq[(Long, Long, Long, String)] = {
+      val va = vm.map { case (p, c) => p -> ((2L * aNum * c + aDen) / (2L * aDen)) }
+      def bArr(word: String): Array[Long] = {
+        val n = word.length
+        val arr = new Array[Long](n + 1)
+        for (m <- 1 to n) {
+          val cands = (1 to math.min(4, m)).flatMap { j =>
+            va.get(word.substring(n - m, n - m + j)).map(c => arr(m - j) + c)
+          }
+          arr(m) = cands.reduceLeft(lse2)
+        }
+        arr
+      }
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+      for (row <- docs.collect()) {
+        val (id, text) = (row.getLong(0), row.getString(1))
+        for ((word, wi) <- text.split(" ").filter(_.nonEmpty).zipWithIndex) {
+          val n = word.length
+          val b = bArr(word)
+          var p = 0
+          var k = 0
+          var pi = 0L
+          while (p < n) {
+            val cand = (1 to math.min(4, n - p)).flatMap { j =>
+              va.get(word.substring(p, p + j)).map { c =>
+                j -> math.max(1L, math.round(1000000.0 * math.exp(
+                  -(c + b(n - p - j) - b(n - p)).toDouble / 1000000.0)))
+              }
+            }
+            val tot = cand.map(_._2).sum
+            val u = u48(s"t1:$id:$wi:$k") % 1000000L
+            var cum = 0L
+            val j = cand.collectFirst {
+              case (jj, wm) if { cum += wm; cum * 1000000L > u * tot } => jj
+            }.get
+            out += ((id, wi.toLong, pi, word.substring(p, p + j)))
+            p += j; k += 1; pi += 1L
+          }
+        }
+      }
+      out.sortBy(x => (x._1, x._2, x._3)).toSeq
+    }
+    val got1 = run(1L, 1L)
+    assert(got1 === replica(1L, 1L),
+      "sampled encode must replay the FFBS contract exactly at α=1")
+    // determinism: the draw is a pure function of (seed, id, word_idx, step)
+    assert(run(1L, 1L) === got1)
+    // the regularizer does real work: BOTH segmentations of "ab" appear
+    val abSegs = got1.filter(_._4 != "aab").groupBy(x => (x._1, x._2))
+      .values.map(_.sortBy(_._3).map(_._4).mkString("|")).toSeq
+    assert(abSegs.count(_ == "ab") > 0 && abSegs.count(_ == "a|b") > 0,
+      s"expected both segmentations across occurrences, got ${abSegs.distinct}")
+    // α sharpens: annealing at α=4 matches its own replica and draws
+    // the canonical [ab] split strictly more often than α=1
+    val got4 = run(4L, 1L)
+    assert(got4 === replica(4L, 1L),
+      "sampled encode must replay the FFBS contract exactly at α=4")
+    def canonShare(rows: Seq[(Long, Long, Long, String)]): Int =
+      rows.count(_._4 == "ab")
+    assert(canonShare(got4) > canonShare(got1),
+      s"α=4 must concentrate on the canonical split: ${canonShare(got4)} vs ${canonShare(got1)}")
+  }
+
+  test("unigramEncodeSampled: pieces concatenate to words; uncoverable words drop") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val vocab = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("c", 1L, 15L),
+      ("ab", 1L, 25L), ("bc", 1L, 18L))
+      .toDF("piece", "cnt", "cost_micro")
+    val docs = Seq((1L, "abc cab xz abcabc"), (2L, "b")).toDF("id", "text")
+    val got = TextAnalysis.unigramEncodeSampled(docs, "id", "text", vocab,
+        maxPiece = 4, seed = "t2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // word_idx 2 ("xz": unseen chars) emits NO rows — the strict
+    // unigramEncode semantics
+    assert(!got.exists(x => x._1 == 1L && x._2 == 2L))
+    // every emitted word's pieces concatenate back to the word
+    val byWord = got.groupBy(x => (x._1, x._2))
+      .map { case (k, rows) => k -> rows.sortBy(_._3).map(_._4).mkString }
+    assert(byWord((1L, 0L)) == "abc" && byWord((1L, 1L)) == "cab" &&
+      byWord((1L, 3L)) == "abcabc" && byWord((2L, 0L)) == "b")
+    // guard: the seed string rides into SQL — reject injection shapes
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramEncodeSampled(docs, "id", "text", vocab, seed = "x':1")
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("unigramTrainVocabSoft meets or beats hard-EM fertility (the soft payoff)") {
     import spark.implicits._
     import graft.llm.TextAnalysis
