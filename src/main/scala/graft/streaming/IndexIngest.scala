@@ -223,6 +223,83 @@ object IndexIngest {
       finally src.close()
     }
 
+  /** Process one ARCHIVE-MANIFEST micro-batch — the shape a real crawl
+    * pipeline delivers: rows name WARC archive paths, not documents.
+    * Every listed archive is parsed with
+    * [[graft.sources.WarcCorpus.read]] (the chunk-parallel anchor
+    * scan, so one huge archive still fans out across the cluster),
+    * clean records map to (id, text) through caller-supplied SQL
+    * expressions over the parsed columns (`idExpr` must produce a
+    * BIGINT — a mis-wired URI scheme surfaces as the dedup index's
+    * in-plan NULL-id contract error, not silent key collapse), and the
+    * union feeds [[processBatch]] — the full crawl→parse→dedup→index
+    * loop in one call. Quarantined records (with their archive path)
+    * land under `quarantineDir`/batch_id=N BEFORE the ledger commit,
+    * written with overwrite so a replayed batch refreshes its own
+    * audit rows instead of duplicating them.
+    *
+    * The manifest is operations metadata — bounded by nature; the
+    * limit+require turns a mis-wired document-stream into a clear
+    * error instead of a driver OOM (the takedown-guard pattern). The
+    * ARCHIVES stay distributed.
+    */
+  def processWarcBatch(manifest: DataFrame, batchId: Long, pathCol: String,
+                       idExpr: String, textExpr: String,
+                       dedupIndexDir: String, bm25IndexDir: Option[String],
+                       quarantineDir: Option[String] = None,
+                       dropNear: Boolean = true, compactEvery: Int = 0,
+                       warcChunkSize: Long = 64L * 1024 * 1024,
+                       maxPayloadBytes: Int = 4 * 1024 * 1024): Long = {
+    val spark = manifest.sparkSession
+    val maxArchives = 100000
+    val raw = manifest.select(col(pathCol).cast("string").as("graft_p"))
+      .distinct().limit(maxArchives + 1).collect()
+    require(raw.forall(!_.isNullAt(0)),
+      s"archive manifest contains NULL '$pathCol' values — fix the feed")
+    val paths = raw.map(_.getString(0)).sorted.toSeq
+    require(paths.length <= maxArchives,
+      s"manifest batch exceeds $maxArchives archives — this is an " +
+        "archive-path feed, not a document stream; check the wiring")
+    val docs =
+      if (paths.isEmpty)
+        spark.range(0).select(lit(null).cast("long").as("graft_wid"),
+          lit(null).cast("string").as("graft_wtext"))
+      else {
+        val parsed = paths.map { p =>
+          graft.sources.WarcCorpus.read(spark, p, chunkSize = warcChunkSize,
+              maxPayloadBytes = maxPayloadBytes)
+            .withColumn("archive", lit(p))
+        }.reduce(_.union(_))
+        quarantineDir.foreach { qd =>
+          graft.sources.WarcCorpus.quarantine(parsed)
+            .write.mode("overwrite").parquet(s"$qd/batch_id=$batchId")
+        }
+        graft.sources.WarcCorpus.clean(parsed)
+          .select(expr(idExpr).as("graft_wid"), expr(textExpr).as("graft_wtext"))
+      }
+    processBatch(docs, batchId, "graft_wid", "graft_wtext", dedupIndexDir,
+      bm25IndexDir, dropNear, compactEvery)
+  }
+
+  /** Start the streaming archive ingest: `manifest` is a streaming
+    * frame whose `pathCol` rows name WARC archives (a file-source over
+    * a manifest drop directory, or any stream of paths).
+    */
+  def startWarc(manifest: DataFrame, pathCol: String, idExpr: String,
+                textExpr: String, dedupIndexDir: String,
+                bm25IndexDir: Option[String], checkpoint: String,
+                quarantineDir: Option[String] = None,
+                dropNear: Boolean = true,
+                compactEvery: Int = 0): StreamingQuery =
+    manifest.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processWarcBatch(batch, batchId, pathCol, idExpr, textExpr,
+          dedupIndexDir, bm25IndexDir, quarantineDir, dropNear, compactEvery)
+        ()
+      }
+      .start()
+
   private val DeleteLedgerName = "_graft_takedown_ledger"
 
   /** Process one TAKEDOWN micro-batch — the delete-side twin of

@@ -106,6 +106,23 @@ class BarrierCanarySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("unigramEncodeSampled survives the AQE × codegen matrix with its barrier intact") {
+    import spark.implicits._
+    // the sampled walk stacks THREE barriered stages (suffix mass
+    // chain, weight table, per-occurrence walk) — same hazard class as
+    // unigramEncode, plus the md5-uniform walk must stay identical
+    // across configs (a re-planned walk that re-evaluates the draw
+    // would still be row-stable only if deterministic end to end)
+    val vocab = Seq(("a", 1L, 1000000L), ("b", 1L, 2000000L), ("ab", 1L, 1500000L))
+      .toDF("piece", "cnt", "cost_micro")
+    val docs = Seq((1L, "ab aab ab b a ab"), (2L, "ba abab a"))
+      .toDF("id", "text")
+    canary("unigramEncodeSampled", Seq("aggregate(sequence(1, length")) {
+      graft.llm.TextAnalysis.unigramEncodeSampled(docs, "id", "text", vocab,
+        maxPiece = 4, alphaNum = 1L, alphaDen = 2L, seed = "canary")
+    }
+  }
+
   test("jaccardJoin (dense regime) survives the AQE × codegen matrix") {
     import spark.implicits._
     // small vocab + tiny corpus → the dense bitmask regime (the

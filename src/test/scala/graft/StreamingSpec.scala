@@ -417,6 +417,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids("brand") === Set(22L))
   }
 
+  test("WARC archive-manifest ingest parses, quarantines, dedups, and indexes per batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-ingest").toFile
+    dir.deleteOnExit()
+    val (didx, bidx, qdir) = (s"$dir/didx", s"$dir/bidx", s"$dir/quarantine")
+    val seed = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.llm.Dedup.buildDedupIndex(seed, "doc_id", "text", didx,
+      numBuckets = 4, shingleN = 3, numHashes = 8, rowsPerBand = 2)
+    graft.llm.Retrieval.buildIndex(seed, "doc_id", "text", bidx, numBuckets = 4)
+    def record(id: Long, payload: String, clen: Option[String] = None) = {
+      val body = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: http://crawl/doc/$id\r\n" +
+        s"Content-Length: ${clen.getOrElse(body.length.toString)}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def archive(name: String, recs: Array[Byte]*): String = {
+      val f = new java.io.File(dir, name)
+      val out = new java.io.FileOutputStream(f)
+      try recs.foreach(out.write) finally out.close()
+      f.toString
+    }
+    // archive A: two clean docs + one corrupt record; archive B: one
+    // new doc + an exact copy of doc 11's text under a new id
+    val a = archive("a.warc",
+      record(10L, "seven eight nine ten eleven twelve"),
+      record(11L, "unique sentence appears here right now"),
+      record(12L, "broken record body", clen = Some("XX")))
+    val b = archive("b.warc",
+      record(13L, "thirteen fresh words never seen before"),
+      record(14L, "unique sentence appears here right now"))
+    val idExpr = "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)"
+    def ingest(paths: Seq[String], batchId: Long) =
+      graft.streaming.IndexIngest.processWarcBatch(
+        paths.toDF("path"), batchId, "path", idExpr, "payload",
+        didx, Some(bidx), quarantineDir = Some(qdir), warcChunkSize = 64)
+    // batch 0: archive A — 2 clean docs land, the corrupt record
+    // quarantines with its archive path
+    assert(ingest(Seq(a), 0L) === 2L)
+    val quarantined = spark.read.parquet(s"$qdir/batch_id=0")
+      .collect().map(r => (r.getAs[String]("archive"), r.getAs[String]("error")))
+    assert(quarantined.length === 1)
+    assert(quarantined.head._1 === a &&
+      quarantined.head._2.contains("Content-Length"))
+    // batch 1: archive B — 13 lands; 14 is an exact dup of the
+    // batch-0 ingest and the index probe drops it
+    assert(ingest(Seq(b), 1L) === 1L)
+    def ids(term: String) =
+      graft.llm.Retrieval.bm25TopKIndexed(spark, bidx, Seq(Seq(term)), k = 3)
+        .collect().map(_.getAs[Long]("id")).toSet
+    assert(ids("thirteen") === Set(13L))
+    assert(ids("unique") === Set(11L)) // the cross-archive dup never entered
+    assert(ids("alpha") === Set(0L))   // the seed untouched
+    // a replayed batch id is a ledger no-op and leaves its audit rows
+    assert(ingest(Seq(a), 0L) === -1L)
+    assert(spark.read.parquet(s"$qdir/batch_id=0").count() === 1L)
+    // an empty manifest batch still commits (replay semantics hold)
+    assert(ingest(Seq.empty, 5L) === 0L)
+    assert(ingest(Seq.empty, 5L) === -1L)
+  }
+
   test("index ingest replay after a post-postings crash does not double BM25 postings") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest-replay").toFile
