@@ -216,6 +216,75 @@ object Curation {
       .toDF(groupCol, idCol, "toks", "bin", "fill_after")
   }
 
+  /** Concat-and-chunk sequence layout — the GPT-style packing mode
+    * [[packGreedy]] does NOT express: documents are laid end to end in
+    * the deterministic training order (the [[shuffleKey]] md5 ordering,
+    * ties by id) and the concatenated token stream is sliced into
+    * fixed-length training sequences, SPLITTING a document that crosses
+    * a boundary (packGreedy bins whole docs and pads; this wastes zero
+    * slots and is what decoder-LM pipelines actually ship). Emits one
+    * row per (sequence, document-segment): `seq_id`, `id`, `seg_start`
+    * (the segment's first slot within its sequence), `doc_off` (the
+    * first document token the segment carries), `n_toks` — segments
+    * tile every sequence except the last's tail, and concatenating a
+    * doc's segments in seq order reconstructs it exactly.
+    *
+    * Scale shape: the global token offsets come from a TWO-PHASE prefix
+    * sum — range-partition by (shuffle_key, id), one pass for
+    * per-partition totals (a partition-count-bounded driver array), one
+    * pass adding the broadcast partition offsets to a running local
+    * sum — never a window over an unpartitioned frame (the q231
+    * discipline; a naive `sum() OVER (ORDER BY …)` single-partitions
+    * the corpus, the thing a 100 TB layout cannot do). The segment
+    * explode adds ≤ ⌈toks/seqLen⌉+1 rows per doc. Zero-token docs are
+    * skipped on both engines.
+    */
+  def concatChunk(df: DataFrame, idCol: String, tokCol: String,
+                  seqLen: Long, seed: String, numParts: Int = 0): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val spark = df.sparkSession
+    val base = shuffleKey(
+      df.select(col(idCol).cast("long").as("graft_id"),
+        col(tokCol).cast("long").as("graft_toks"))
+        .filter(col("graft_toks") > 0), "graft_id", seed)
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    // both passes read the SAME cached partitioning, so phase-1 totals
+    // index the exact partitions phase 2 walks. Cache lifecycle:
+    // [[CacheRegistry]] — release after materializing.
+    val sorted = CacheRegistry.persist(
+      base.repartitionByRange(parts, col("shuffle_key"), col("graft_id"))
+        .sortWithinPartitions(col("shuffle_key"), col("graft_id")))
+    val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator.single(i -> it.map(_.getAs[Long]("graft_toks")).sum)
+    }.collect().toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      (acc, i) => acc + totals.getOrElse(i, 0L)
+    }.toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add("graft_s",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val withOff = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = bc.value(i)
+      it.map { r =>
+        val s = run
+        run += r.getAs[Long]("graft_toks")
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(withOff, schema)
+      .withColumn("seq_id", explode(expr(
+        s"sequence(graft_s DIV ${seqLen}L, (graft_s + graft_toks - 1) DIV ${seqLen}L)")))
+      .select(col("seq_id"), col("graft_id").as("id"),
+        (greatest(col("graft_s"), col("seq_id") * seqLen) -
+          col("seq_id") * seqLen).as("seg_start"),
+        (greatest(col("graft_s"), col("seq_id") * seqLen) -
+          col("graft_s")).as("doc_off"),
+        (least(col("graft_s") + col("graft_toks"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("graft_s"), col("seq_id") * seqLen)).as("n_toks"))
+  }
+
   /** Stride-scheduled weighted interleave — the deterministic
     * data-loader ORDER for a multi-source mixture (lottery/stride
     * scheduling, Waldspurger 1995; what weighted interleaving in

@@ -5942,6 +5942,41 @@ object LlmQueries {
       },
       Some(unigramEncodeSampledSql)),
 
+    // ---- Concat-and-chunk sequence layout (the GPT-style packing mode
+    // q55's whole-doc binning cannot express): docs laid end to end in
+    // the deterministic md5 shuffle order, the token stream sliced into
+    // 512-slot training sequences, boundary-crossing docs SPLIT. The
+    // Spark side computes global token offsets with the two-phase
+    // prefix sum (no unpartitioned window); the oracle IS the
+    // unpartitioned window — tractable at sf, which is exactly why the
+    // operator must not be.
+    "q292_concat_chunk" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(filter(split(col("text"), " "), w => w =!= lit("")))
+              .cast("long").as("toks"))
+        Curation.concatChunk(docs, "doc_id", "toks", seqLen = 512L,
+            seed = "ep1")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("seq_id", "seg_start")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS toks,
+             |  CAST('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS sk
+             |  FROM documents),
+             |p AS (SELECT doc_id, toks,
+             |  CAST(COALESCE(sum(toks) OVER (ORDER BY sk, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+             |  FROM d WHERE toks > 0),
+             |seg AS (SELECT doc_id, toks, s,
+             |  unnest(range(s // 512, (s + toks - 1) // 512 + 1)) AS k FROM p)
+             |SELECT k AS seq_id, doc_id,
+             |  greatest(s, k * 512) - k * 512 AS seg_start,
+             |  greatest(s, k * 512) - s AS doc_off,
+             |  least(s + toks, (k + 1) * 512) - greatest(s, k * 512) AS n_toks
+             |FROM seg ORDER BY seq_id, seg_start""".stripMargin)),
+
     // ---- Byte-fallback fertility (the SentencePiece escape analog):
     // scoring a corpus with ALPHABET DRIFT (every 'a' uppercased —
     // 'A' is outside the training alphabet) stays total, each unseen

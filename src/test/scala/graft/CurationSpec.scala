@@ -160,6 +160,64 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1) == ((0.0, 0.0, "0,0,0")))
   }
 
+  test("concatChunk matches the unpartitioned-window replica and is partition-invariant") {
+    import spark.implicits._
+    // 30 docs, token counts 1..13 cycling — several seqLen=16 boundary
+    // crossings, one doc spanning >1 full sequence
+    val docs = (0L until 30L).map(i => (i, i % 13 + 1)).toDF("doc_id", "toks")
+    def run(parts: Int) =
+      Curation.concatChunk(docs, "doc_id", "toks", seqLen = 16L,
+          seed = "s1", numParts = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val got = run(4)
+    // ---- driver replica: md5 shuffle order, a plain running sum, the
+    // same segment arithmetic — what a single-box window would compute
+    def sk(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    val ordered = (0L until 30L).map(i => (i, i % 13 + 1)).sortBy(x => (sk(x._1), x._1))
+    var s = 0L
+    val want = ordered.flatMap { case (id, toks) =>
+      val segs = (s / 16 to (s + toks - 1) / 16).map { k =>
+        val lo = math.max(s, k * 16); val hi = math.min(s + toks, (k + 1) * 16)
+        (k, id, lo - k * 16, lo - s, hi - lo)
+      }
+      s += toks
+      segs
+    }.sortBy(x => (x._1, x._3)).toSeq
+    assert(got === want, "two-phase prefix sum must equal the window layout")
+    // partition-invariance: the offsets must not depend on the plan
+    assert(run(1) === got && run(7) === got)
+    // structural properties: segments tile each sequence end to end
+    // (full 16 slots except the global tail), and every doc's segments
+    // reassemble it exactly
+    val total = ordered.map(_._2).sum
+    got.groupBy(_._1).foreach { case (seqId, segs) =>
+      val sorted = segs.sortBy(_._3)
+      assert(sorted.head._3 === 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._5 === b._3); case _ =>
+      }
+      val filled = sorted.last._3 + sorted.last._5
+      if (seqId < (total - 1) / 16) assert(filled === 16L)
+      else assert(filled === total - seqId * 16)
+    }
+    got.groupBy(_._2).foreach { case (id, segs) =>
+      val inOrder = segs.sortBy(_._4)
+      assert(inOrder.head._4 === 0L)
+      assert(inOrder.map(_._5).sum === id % 13 + 1)
+    }
+    // zero-token docs are skipped, not zero-length segments
+    val withEmpty = docs.union(Seq((99L, 0L)).toDF("doc_id", "toks"))
+    val g2 = Curation.concatChunk(withEmpty, "doc_id", "toks", 16L, "s1")
+      .collect()
+    assert(!g2.exists(_.getLong(1) == 99L))
+  }
+
   test("packGreedy fills bins sequentially, oversized docs get their own bin") {
     import spark.implicits._
     val df = Seq(
