@@ -1771,6 +1771,67 @@ object TextAnalysis {
        |  st -> st.ps)""".stripMargin
   }
 
+  private val VocabManifestName = "_graft_vocab_manifest"
+  private val VocabVersion = 1
+
+  /** Persist a trained vocabulary as a SERVING ARTIFACT — the missing
+    * half of the train→serve chain (training jobs run once; every
+    * encode job after that must load exactly the pieces and costs the
+    * trainer emitted, or corpora tokenized on different days silently
+    * diverge). Layout: a parquet piece table (piece, cost_micro) under
+    * `dir`/pieces plus a properties manifest pinning (version,
+    * max_piece, trainer, n_pieces). The manifest is written AFTER the
+    * parquet commit, so a crash mid-save leaves no manifest and
+    * [[loadVocab]] refuses the directory — never a half-written vocab
+    * served as whole. maxPiece is validated against the longest piece
+    * at save time: an undersized maxPiece on the encode side would
+    * silently drop the long pieces from every segmentation.
+    */
+  def saveVocab(vocab: DataFrame, dir: String, maxPiece: Int,
+                trainer: String): Long = {
+    require(Set("hard", "soft", "seed").contains(trainer),
+      s"trainer must be hard|soft|seed, got '$trainer'")
+    val pieces = vocab.select(col("piece"), col("cost_micro").cast("long"))
+    val stats = pieces.agg(count(lit(1)), max(length(col("piece")))).head()
+    val (n, maxLen) = (stats.getLong(0), if (stats.isNullAt(1)) 0 else stats.getInt(1))
+    require(n > 0 && n <= 65536, s"vocab must be a bounded piece table, got $n")
+    require(maxLen <= maxPiece,
+      s"vocab holds a $maxLen-char piece but maxPiece=$maxPiece — encodes " +
+        "under this manifest would silently never use it")
+    pieces.write.mode("overwrite").parquet(s"$dir/pieces")
+    val props = new java.util.Properties()
+    props.setProperty("version", VocabVersion.toString)
+    props.setProperty("max_piece", maxPiece.toString)
+    props.setProperty("trainer", trainer)
+    props.setProperty("n_pieces", n.toString)
+    val out = new java.io.FileOutputStream(new java.io.File(dir, VocabManifestName))
+    try props.store(out, null) finally out.close()
+    n
+  }
+
+  /** Load a [[saveVocab]] artifact: returns (piece table, maxPiece).
+    * Refuses a missing/mismatched manifest and a piece count that
+    * disagrees with the manifest (a partially-replaced pieces dir).
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): (DataFrame, Int) = {
+    val mf = new java.io.File(dir, VocabManifestName)
+    require(mf.isFile,
+      s"no vocab manifest at $dir — train and saveVocab first " +
+        "(a crash mid-save also leaves no manifest: re-save)")
+    val props = new java.util.Properties()
+    val in = new java.io.FileInputStream(mf)
+    try props.load(in) finally in.close()
+    require(props.getProperty("version") == VocabVersion.toString,
+      s"vocab manifest version ${props.getProperty("version")} != $VocabVersion — rebuild the artifact")
+    val df = spark.read.parquet(s"$dir/pieces")
+    val n = df.count()
+    require(n == props.getProperty("n_pieces").toLong,
+      s"pieces table holds $n rows but the manifest pins ${props.getProperty("n_pieces")} — " +
+        "the artifact is torn; re-save")
+    (df, props.getProperty("max_piece").toInt)
+  }
+
   /** PII redaction — the compliance pass every published training
     * corpus runs (emails, IPv4 addresses, phone-shaped digit runs
     * replaced with typed placeholders, counts reported per doc for the

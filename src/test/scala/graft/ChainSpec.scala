@@ -89,6 +89,75 @@ class ChainSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("ImportWarc → Tokenize → loadVocab (crawl-archive train/serve chain)") {
+    import graft.llm.TextAnalysis
+    // 1. a WARC drop: two archives, one corrupt record
+    def record(id: Long, payload: String, clen: Option[String] = None) = {
+      val body = payload.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: http://crawl/doc/$id\r\n" +
+        s"Content-Length: ${clen.getOrElse(body.length.toString)}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val corpus = Seq(
+      "walker walked walking talker", "talked talking walk talk",
+      "walker talker walking", "walked talk walking walker",
+      "talking walker talked walk")
+    val drop = Files.createTempDirectory("graft-warc-chain").toFile
+    def archive(name: String, recs: Seq[Array[Byte]]): Unit = {
+      val out = new java.io.FileOutputStream(new java.io.File(drop, name))
+      try recs.foreach(out.write) finally out.close()
+    }
+    archive("a.warc", corpus.take(3).zipWithIndex.map { case (t, i) =>
+      record(i.toLong, t) } :+ record(90L, "broken", clen = Some("XX")))
+    archive("b.warc", corpus.drop(3).zipWithIndex.map { case (t, i) =>
+      record(i.toLong + 3L, t) })
+
+    // 2. import: clean records land typed, the corrupt one quarantines
+    val imp = Files.createTempDirectory("graft-warc-imp").toString
+    val (nClean, nBad) = ImportWarc.run(spark, drop.toString, imp)
+    assert(nClean === 5L && nBad === 1L)
+    val docs = spark.read.parquet(s"$imp/documents")
+      .selectExpr(
+        "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT) AS doc_id",
+        "payload AS text")
+    val corpusDir = Files.createTempDirectory("graft-warc-corpus").toString + "/d"
+    docs.write.parquet(corpusDir)
+
+    // 3. train + persist the tokenizer artifact
+    val vocabDir = Files.createTempDirectory("graft-warc-vocab").toString
+    val n = Tokenize.run(spark, corpusDir, vocabDir,
+      vocabSize = 16, trainer = "hard", maxPiece = 4, iters = 2)
+    assert(n === 16L)
+
+    // 4. serve: the LOADED artifact encodes exactly like the in-memory
+    // trained vocabulary (the artifact is the contract, not a copy)
+    val (loaded, maxPiece) = TextAnalysis.loadVocab(spark, vocabDir)
+    assert(maxPiece === 4)
+    val direct = TextAnalysis.unigramTrainVocab(docs, "text",
+      vocabSize = 16, maxPiece = 4, iters = 2)
+    def enc(v: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.unigramEncode(docs, "doc_id", "text", v, maxPiece = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(x => (x._1, x._2, x._3)).toSeq
+    assert(enc(loaded) === enc(direct),
+      "artifact round-trip must preserve the encode bit for bit")
+
+    // 5. the artifact contracts hold: an undersized maxPiece is
+    // refused at SAVE time, a torn artifact at LOAD time
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.saveVocab(direct,
+        Files.createTempDirectory("graft-warc-v2").toString, 2, "hard")
+    }
+    assert(e1.getMessage.contains("maxPiece"))
+    assert(new java.io.File(vocabDir, "_graft_vocab_manifest").delete())
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.loadVocab(spark, vocabDir)
+    }
+    assert(e2.getMessage.contains("manifest"))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("ImportJsonl → Quality gate → SnapshotMaintainer → Diff (write-audit-publish)") {
     import spark.implicits._
     // 1. a JSONL drop with one malformed line
