@@ -257,6 +257,48 @@ object Bench {
       (sweepSec, provSec)
     } else (0.0, 0.0)
 
+    // WARC parse throughput: a 512 MiB synthetic archive (8,192 records
+    // of 64 KiB payload — the WET-conversion shape), parsed by the
+    // chunk-parallel anchor scan at 32 MiB chunks; the timed region is
+    // parse + (count, Σcontent_length), best of 3 after one warm-up.
+    // The archive is a content-independent fixture cached in /tmp (the
+    // plantedImage discipline) so repeated bench runs pay the write
+    // once. Measures the reader the crawl front door runs on.
+    val (warcSec, warcMibps) = if (!only.exists(_.nonEmpty)) {
+      import org.apache.spark.sql.functions._
+      val nRecs = 8192
+      val payload = ("lorem ipsum dolor sit amet " * 2520).substring(0, 65536)
+      val body = payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val fixture = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-bench-warc-v1-$nRecs.warc")
+      def recordBytes(id: Int): Array[Byte] =
+        (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+          s"WARC-Target-URI: http://bench/doc/$id\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val expectLen = (0 until nRecs).map(i =>
+        recordBytes(i).length.toLong + body.length + 4L).sum
+      if (!(fixture.isFile && fixture.length() == expectLen)) {
+        val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+        try (0 until nRecs).foreach { i =>
+          out.write(recordBytes(i)); out.write(body); out.write("\r\n\r\n".getBytes)
+        } finally out.close()
+        java.nio.file.Files.move(tmp.toPath, fixture.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val parsed = graft.sources.WarcCorpus.read(spark, fixture.toString,
+          chunkSize = 32L * 1024 * 1024)
+        parsed.agg(count(lit(1)), sum(col("content_length"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      val sec = Seq(once(), once(), once()).min
+      (sec, fixture.length() / (1024.0 * 1024.0) / sec)
+    } else (0.0, 0.0)
+
     // Re-rank payoff pair at the PRODUCTION PQ shape (m=16 subspaces,
     // 256-entry codebook — q285 sizes recall over kCand; this measures
     // what the refine stage costs): plain ADC top-5 vs ADC+exact
@@ -347,6 +389,7 @@ object Bench {
       s""""bm25_appended_sec":$cmpAppendedSec,"bm25_compacted_sec":$cmpCompactedSec,""" +
       s""""rerank_adc_sec":$rrAdcSec,"rerank_refined_sec":$rrRerankSec,""" +
       s""""skew_sweep_sec":$skewSweepSec,"skew_provenance_sec":$skewProvSec,""" +
+      s""""warc_parse_sec":$warcSec,"warc_parse_mibps":$warcMibps,""" +
       s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
     spark.stop()
   }

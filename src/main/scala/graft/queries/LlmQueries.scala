@@ -5977,6 +5977,44 @@ object LlmQueries {
              |  least(s + toks, (k + 1) * 512) - greatest(s, k * 512) AS n_toks
              |FROM seg ORDER BY seq_id, seg_start""".stripMargin)),
 
+    // ---- Encode round-trip audit: every corpus token reassembled from
+    // its emitted pieces must equal itself — the invariant a serving
+    // tokenizer checks after loading an artifact (a torn vocab or a
+    // train/serve maxPiece mismatch shows up as n_mismatch > 0 here
+    // before it silently degrades a training corpus).
+    "q293_encode_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val filtered = docs.select(col("doc_id"),
+          array_join(filter(split(col("text"), " "),
+            w => w =!= lit("") && length(w) <= 12), " ").as("text"))
+        val trained = TextAnalysis.unigramTrainVocab(filtered, "text",
+          vocabSize = 48, maxPiece = 4, iters = 2, seedMultiplier = 2)
+        val enc = TextAnalysis.unigramEncode(filtered, "doc_id", "text",
+          trained, maxPiece = 4)
+        TextAnalysis.encodeRoundTripAudit(filtered, "doc_id", "text", enc)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(unigramEmBaseSql(96) +
+        unigramEmRoundSql(1, 48, 24L) +
+        unigramEmRoundSql(2, 48, 0L) +
+        unigramSuffixChainSql("rt", "v2") +
+        unigramWalkSql("rt", "v2") +
+        """,
+          |dt AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS word_idx, unnest(ws) AS w
+          |       FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+          |             FROM docsf) dws),
+          |rb AS (SELECT dt.doc_id, dt.word_idx, any_value(dt.w) AS w,
+          |       string_agg(pc.piece, '' ORDER BY pc.piece_idx) AS rebuilt
+          |       FROM dt LEFT JOIN pcrt pc ON pc.w = dt.w
+          |       GROUP BY dt.doc_id, dt.word_idx)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |       CAST(count(rebuilt) AS BIGINT) AS n_encoded,
+          |       CAST(COALESCE(sum(CASE WHEN rebuilt IS NOT NULL AND rebuilt <> w
+          |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatch
+          |FROM rb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- Byte-fallback fertility (the SentencePiece escape analog):
     // scoring a corpus with ALPHABET DRIFT (every 'a' uppercased —
     // 'A' is outside the training alphabet) stays total, each unseen

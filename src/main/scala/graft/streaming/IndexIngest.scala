@@ -249,7 +249,12 @@ object IndexIngest {
                        quarantineDir: Option[String] = None,
                        dropNear: Boolean = true, compactEvery: Int = 0,
                        warcChunkSize: Long = 64L * 1024 * 1024,
-                       maxPayloadBytes: Int = 4 * 1024 * 1024): Long = {
+                       maxPayloadBytes: Int = 4 * 1024 * 1024,
+                       annIndexDir: Option[String] = None,
+                       vecCol: Option[String] = None,
+                       embed: DataFrame => DataFrame = identity): Long = {
+    require(annIndexDir.isEmpty || vecCol.nonEmpty,
+      "annIndexDir requires vecCol — the column `embed` adds to the batch")
     val spark = manifest.sparkSession
     val maxArchives = 100000
     val raw = manifest.select(col(pathCol).cast("string").as("graft_p"))
@@ -262,8 +267,8 @@ object IndexIngest {
         "archive-path feed, not a document stream; check the wiring")
     val docs =
       if (paths.isEmpty)
-        spark.range(0).select(lit(null).cast("long").as("graft_wid"),
-          lit(null).cast("string").as("graft_wtext"))
+        embed(spark.range(0).select(lit(null).cast("long").as("graft_wid"),
+          lit(null).cast("string").as("graft_wtext")))
       else {
         val parsed = paths.map { p =>
           graft.sources.WarcCorpus.read(spark, p, chunkSize = warcChunkSize,
@@ -274,11 +279,15 @@ object IndexIngest {
           graft.sources.WarcCorpus.quarantine(parsed)
             .write.mode("overwrite").parquet(s"$qd/batch_id=$batchId")
         }
-        graft.sources.WarcCorpus.clean(parsed)
-          .select(expr(idExpr).as("graft_wid"), expr(textExpr).as("graft_wtext"))
+        // `embed` is the crawl→EMBED→index hook: it sees the typed
+        // (graft_wid, graft_wtext) batch and must add `vecCol` when the
+        // ANN leg is wired (a model-serving join, a precomputed-vector
+        // lookup table, or a test stub — the pipeline doesn't care)
+        embed(graft.sources.WarcCorpus.clean(parsed)
+          .select(expr(idExpr).as("graft_wid"), expr(textExpr).as("graft_wtext")))
       }
     processBatch(docs, batchId, "graft_wid", "graft_wtext", dedupIndexDir,
-      bm25IndexDir, dropNear, compactEvery)
+      bm25IndexDir, dropNear, compactEvery, annIndexDir, vecCol)
   }
 
   /** Start the streaming archive ingest: `manifest` is a streaming

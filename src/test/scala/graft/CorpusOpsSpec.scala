@@ -1211,6 +1211,29 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("seed"))
   }
 
+  test("encodeRoundTripAudit counts covered, uncovered, and doctored-mismatch words") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val vocab = Seq(("a", 1L, 10L), ("b", 1L, 20L), ("ab", 1L, 25L))
+      .toDF("piece", "cnt", "cost_micro")
+    // doc 1: two coverable words + one uncoverable ("zb"); doc 2: clean
+    val docs = Seq((1L, "ab aab zb"), (2L, "ba")).toDF("id", "text")
+    val enc = TextAnalysis.unigramEncode(docs, "id", "text", vocab, maxPiece = 4)
+    val clean = TextAnalysis.encodeRoundTripAudit(docs, "id", "text", enc)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(clean(1L) === ((3L, 2L, 0L)))
+    assert(clean(2L) === ((1L, 1L, 0L)))
+    // a doctored encode (wrong piece) must surface as a mismatch, not
+    // hide in the aggregate
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val doctored = enc.withColumn("piece",
+      when(col("id") === 2L, lit("xx")).otherwise(col("piece")))
+    val bad = TextAnalysis.encodeRoundTripAudit(docs, "id", "text", doctored)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bad(2L) === 1L && bad(1L) === 0L)
+  }
+
   test("unigramTrainVocabSoft meets or beats hard-EM fertility (the soft payoff)") {
     import spark.implicits._
     import graft.llm.TextAnalysis

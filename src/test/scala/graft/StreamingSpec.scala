@@ -969,6 +969,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ingest(16L -> text(16), 17L -> text(17)) === 2L)
     record(16L -> text(16), 17L -> text(17))
     assertDedup("b4"); assertBm25Rebuild("b4"); assertAnnRebuild("b4")
+    // b5: a WARC ARCHIVE batch through the same triangle — one record
+    // duplicates live content (dropped by the persisted probe), one is
+    // novel; the embed hook attaches the deterministic test vectors, so
+    // every invariant holds over the crawl front door too
+    def warcRec(id: Long, t: String) = {
+      val body = t.getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: http://soak/doc/$id\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val arc = new java.io.File(dir, "soak.warc")
+    val aout = new java.io.FileOutputStream(arc)
+    try { aout.write(warcRec(18L, text(16))); aout.write(warcRec(19L, text(19))) }
+    finally aout.close()
+    ingestBatch += 1
+    // testVec as a pure expression (a closure-based udf would drag the
+    // spec instance into the task closure — not serializable)
+    val vecExpr = org.apache.spark.sql.functions.expr(
+      "transform(sequence(0, 7), d -> CAST((graft_wid * 7 + d * 3) % 11 AS FLOAT))")
+    assert(graft.streaming.IndexIngest.processWarcBatch(
+      Seq(arc.toString).toDF("path"), ingestBatch, "path",
+      "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)",
+      "payload", didx, Some(bidx), dropNear = true, compactEvery = 2,
+      annIndexDir = Some(aidx), vecCol = Some("vec"),
+      embed = b => b.withColumn("vec", vecExpr)) === 1L)
+    record(19L -> text(19))
+    assertDedup("b5"); assertBm25Rebuild("b5"); assertAnnRebuild("b5")
   }
 
   test("streaming snapshot maintainer folds CDC batches into versioned parquet") {
