@@ -30,7 +30,7 @@ object Bench {
     // ratio to separate host drift (this machine is shared; scan_only
     // swung 16.5k→2.3k MiB/s across rounds on identical code) from
     // real regressions. Best-of-3 after one untimed JIT pass.
-    val calibrationSec = locally {
+    val (calibrationSec, calibrationParSec) = locally {
       val patterns = EngineConfig.defaultFileTypes
         .flatMap(ft => ft.headerPatterns.map(_.bytes) ++ ft.footerPatterns.map(_.bytes))
       val ac = graft.scan.AhoCorasick.build(patterns)
@@ -53,8 +53,33 @@ object Bench {
       }
       once() // JIT
       val best = Seq(once(), once(), once()).min
+      // PARALLEL calibration: the same kernel on all cores at once.
+      // Single-thread calibration alone cannot separate "the host got
+      // slower" from "the host lost parallel capacity" — this round
+      // measured single-thread 1.28× FASTER while the byte-identical
+      // 32-thread scan kernel ran 2.2× slower (a co-tenant stealing
+      // physical cores under the same vCPU count). The pair
+      // (calibration_sec, calibration_par_sec) lets bench_report-style
+      // comparisons normalize each query by the dimension it actually
+      // stresses.
+      val nThreads = Runtime.getRuntime.availableProcessors()
+      def oncePar(): Double = {
+        val t0 = System.nanoTime()
+        val ts = (0 until nThreads).map { _ =>
+          val t = new Thread(() => {
+            var s = 0L
+            ac.scan(buf)((_, _) => s += 1)
+            if (s == Long.MinValue) println(s)
+          })
+          t.start(); t
+        }
+        ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      oncePar() // JIT/warm
+      val bestPar = Seq(oncePar(), oncePar()).min
       if (sink == Long.MinValue) println(sink) // keep the loop unelidable
-      best
+      (best, bestPar)
     }
 
     // Untimed warm-up (criterion-style): JIT, codegen compiler, parquet
@@ -272,18 +297,13 @@ object Bench {
       val fixture = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft-bench-warc-v1-$nRecs.warc")
       def recordBytes(id: Int): Array[Byte] =
-        (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
-          s"WARC-Target-URI: http://bench/doc/$id\r\n" +
-          s"Content-Length: ${body.length}\r\n\r\n")
-          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      val expectLen = (0 until nRecs).map(i =>
-        recordBytes(i).length.toLong + body.length + 4L).sum
+        graft.fixtures.FixtureBytes.warcRecord(s"http://bench/doc/$id", body)
+      val expectLen = (0 until nRecs).map(recordBytes(_).length.toLong).sum
       if (!(fixture.isFile && fixture.length() == expectLen)) {
         val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
         val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
-        try (0 until nRecs).foreach { i =>
-          out.write(recordBytes(i)); out.write(body); out.write("\r\n\r\n".getBytes)
-        } finally out.close()
+        try (0 until nRecs).foreach(i => out.write(recordBytes(i)))
+        finally out.close()
         java.nio.file.Files.move(tmp.toPath, fixture.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
@@ -370,7 +390,7 @@ object Bench {
     if (only.exists(_.nonEmpty)) {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       emit(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,""" +
-        s""""calibration_sec":$calibrationSec,"sf":"$sfDir"}""")
+        s""""calibration_sec":$calibrationSec,"calibration_par_sec":$calibrationParSec,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -382,7 +402,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""calibration_sec":$calibrationSec,""" +
+      s""""calibration_sec":$calibrationSec,"calibration_par_sec":$calibrationParSec,""" +
       s""""scan_only_mibps":$scanMibps,"scan_only_sec":$scanSec,""" +
       s""""scan_only_samples":$samplesJson,""" +
       s""""zorder_plain_sec":$zPlainSec,"zorder_zorder_sec":$zOrderSec,""" +

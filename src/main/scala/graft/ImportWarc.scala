@@ -54,15 +54,19 @@ object ImportWarc {
           s"${fs.length} archives exceed the 100k manifest bound — shard the drop")
         fs
       } else Seq(inPath)
+    // one parse serves both writes and both counts — uncached, the
+    // clean write, quarantine write, and each count would re-run the
+    // full anchor-scan parse of every archive
     val parsed = archives.map { p =>
       WarcCorpus.read(spark, p)
         .withColumn("archive", org.apache.spark.sql.functions.lit(p))
-    }.reduce(_.union(_))
-    val clean = WarcCorpus.clean(parsed)
-    clean.write.mode("overwrite").parquet(s"$outDir/documents")
-    val bad = WarcCorpus.quarantine(parsed)
-    bad.write.mode("overwrite").parquet(s"$outDir/quarantine")
-    (spark.read.parquet(s"$outDir/documents").count(),
-      spark.read.parquet(s"$outDir/quarantine").count())
+    }.reduce(_.union(_)).persist()
+    try {
+      val clean = WarcCorpus.clean(parsed)
+      clean.write.mode("overwrite").parquet(s"$outDir/documents")
+      val bad = WarcCorpus.quarantine(parsed)
+      bad.write.mode("overwrite").parquet(s"$outDir/quarantine")
+      (clean.count(), bad.count())
+    } finally parsed.unpersist()
   }
 }

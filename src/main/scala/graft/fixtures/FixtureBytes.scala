@@ -18,6 +18,26 @@ object FixtureBytes {
   private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
   private def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
 
+  /** One serialized WARC record (version line, typed headers,
+    * Content-Length framing, trailing CRLFCRLF) — the single fixture
+    * serializer behind every WarcCorpus spec/bench/query (six hand-
+    * rolled copies drifted before this). Pass `contentLength` to plant
+    * a corrupt length field; `recordId` adds the optional
+    * WARC-Record-ID header.
+    */
+  def warcRecord(targetUri: String, payload: Array[Byte],
+                 contentLength: Option[String] = None,
+                 warcType: String = "conversion",
+                 recordId: Option[String] = None): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    sb.append(s"WARC-Target-URI: $targetUri\r\n")
+    recordId.foreach(r => sb.append(s"WARC-Record-ID: $r\r\n"))
+    sb.append(s"Content-Length: ${contentLength.getOrElse(payload.length.toString)}\r\n\r\n")
+    ascii(sb.toString) ++ payload ++ ascii("\r\n\r\n")
+  }
+
   def beU32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
   def leU32(v: Long): Array[Byte] =

@@ -1874,6 +1874,12 @@ object TextAnalysis {
     require(maxLen <= maxPiece,
       s"vocab holds a $maxLen-char piece but maxPiece=$maxPiece — encodes " +
         "under this manifest would silently never use it")
+    // RE-save ordering: invalidate the OLD manifest before touching the
+    // pieces dir — without this, a crash between the pieces overwrite
+    // and the manifest store leaves the old manifest over new pieces,
+    // and a matching piece COUNT would let loadVocab serve the mix
+    // (wrong max_piece/trainer) as whole
+    new java.io.File(dir, VocabManifestName).delete()
     pieces.write.mode("overwrite").parquet(s"$dir/pieces")
     val props = new java.util.Properties()
     props.setProperty("version", VocabVersion.toString)

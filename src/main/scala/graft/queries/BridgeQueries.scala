@@ -322,15 +322,11 @@ object BridgeQueries {
             new java.io.FileOutputStream(tmp))
           try rows.foreach { r =>
             val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
-            val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val clen = if (id % 19 == 0) "XX" else body.length.toString
-            out.write(ascii(
-              s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
-              s"WARC-Target-URI: http://$src/doc/$id\r\n" +
-              s"WARC-Record-ID: <urn:graft:$id>\r\n" +
-              s"Content-Length: $clen\r\n\r\n"))
-            out.write(body)
-            out.write(ascii("\r\n\r\n"))
+            out.write(graft.fixtures.FixtureBytes.warcRecord(
+              s"http://$src/doc/$id",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              contentLength = if (id % 19 == 0) Some("XX") else None,
+              recordId = Some(s"<urn:graft:$id>")))
           } finally out.close()
           java.nio.file.Files.move(tmp.toPath, fixture.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)

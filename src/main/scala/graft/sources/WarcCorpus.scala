@@ -66,6 +66,9 @@ object WarcCorpus {
            maxPayloadBytes: Int = 4 * 1024 * 1024): DataFrame = {
     require(chunkSize >= Anchor.length,
       s"chunkSize must cover the anchor, got $chunkSize")
+    // the chunk (plus anchor overlap) is read into one task-local array
+    require(chunkSize + Anchor.length - 1 <= Int.MaxValue,
+      s"chunkSize must fit a JVM array, got $chunkSize")
     require(maxHeaderBytes >= 64 && maxPayloadBytes >= 0,
       "header/payload caps must be sane")
     val totalLen = new java.io.File(path).length()
@@ -77,23 +80,19 @@ object WarcCorpus {
       if (!it.hasNext) Iterator.empty
       else {
         val reader = new RawFileEvidence(path)
-        val recs = it.flatMap { ch =>
+        // close when the TASK ends, not when the iterator drains — a
+        // limit/take or a failed task never exhausts the iterator, and
+        // a drain-detection close would leak one FileChannel per such
+        // task (the CarvePipeline.closeOnTaskEnd leak class)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+        it.flatMap { ch =>
           val buf = new Array[Byte](ch.length.toInt)
           val got = reader.readAt(ch.start, buf)
           anchorOffsets(buf, got)
             .filter(_ < ch.validLength)
             .map(local => parseRecord(reader, totalLen, ch.start + local,
               maxHeaderBytes, maxPayloadBytes))
-        }
-        // close the reader after the partition drains — flatMap is
-        // lazy, so hook completion instead of closing eagerly
-        new Iterator[Row] {
-          override def hasNext: Boolean = {
-            val h = recs.hasNext
-            if (!h) reader.close()
-            h
-          }
-          override def next(): Row = recs.next()
         }
       }
     }

@@ -265,29 +265,39 @@ object IndexIngest {
     require(paths.length <= maxArchives,
       s"manifest batch exceeds $maxArchives archives — this is an " +
         "archive-path feed, not a document stream; check the wiring")
-    val docs =
-      if (paths.isEmpty)
-        embed(spark.range(0).select(lit(null).cast("long").as("graft_wid"),
-          lit(null).cast("string").as("graft_wtext")))
-      else {
-        val parsed = paths.map { p =>
-          graft.sources.WarcCorpus.read(spark, p, chunkSize = warcChunkSize,
-              maxPayloadBytes = maxPayloadBytes)
-            .withColumn("archive", lit(p))
-        }.reduce(_.union(_))
-        quarantineDir.foreach { qd =>
-          graft.sources.WarcCorpus.quarantine(parsed)
-            .write.mode("overwrite").parquet(s"$qd/batch_id=$batchId")
-        }
-        // `embed` is the crawl→EMBED→index hook: it sees the typed
-        // (graft_wid, graft_wtext) batch and must add `vecCol` when the
-        // ANN leg is wired (a model-serving join, a precomputed-vector
-        // lookup table, or a test stub — the pipeline doesn't care)
-        embed(graft.sources.WarcCorpus.clean(parsed)
-          .select(expr(idExpr).as("graft_wid"), expr(textExpr).as("graft_wtext")))
+    // the parse feeds the quarantine write AND processBatch's several
+    // plan branches (dedup probe, within-batch collapse, appends) —
+    // uncached, every branch would re-run the full chunk-scan parse of
+    // every archive (PERF LESSON 1). Batch-local persist, released in
+    // the finally below whatever processBatch does.
+    val parsed =
+      if (paths.isEmpty) None
+      else Some(paths.map { p =>
+        graft.sources.WarcCorpus.read(spark, p, chunkSize = warcChunkSize,
+            maxPayloadBytes = maxPayloadBytes)
+          .withColumn("archive", lit(p))
+      }.reduce(_.union(_)).persist())
+    try {
+      val docs = parsed match {
+        case None =>
+          embed(spark.range(0).select(lit(null).cast("long").as("graft_wid"),
+            lit(null).cast("string").as("graft_wtext")))
+        case Some(pf) =>
+          quarantineDir.foreach { qd =>
+            graft.sources.WarcCorpus.quarantine(pf)
+              .write.mode("overwrite").parquet(s"$qd/batch_id=$batchId")
+          }
+          // `embed` is the crawl→EMBED→index hook: it sees the typed
+          // (graft_wid, graft_wtext) batch and must add `vecCol` when
+          // the ANN leg is wired (a model-serving join, a precomputed-
+          // vector lookup table, or a test stub — the pipeline doesn't
+          // care)
+          embed(graft.sources.WarcCorpus.clean(pf)
+            .select(expr(idExpr).as("graft_wid"), expr(textExpr).as("graft_wtext")))
       }
-    processBatch(docs, batchId, "graft_wid", "graft_wtext", dedupIndexDir,
-      bm25IndexDir, dropNear, compactEvery, annIndexDir, vecCol)
+      processBatch(docs, batchId, "graft_wid", "graft_wtext", dedupIndexDir,
+        bm25IndexDir, dropNear, compactEvery, annIndexDir, vecCol)
+    } finally parsed.foreach(_.unpersist())
   }
 
   /** Start the streaming archive ingest: `manifest` is a streaming

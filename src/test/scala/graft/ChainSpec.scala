@@ -92,13 +92,9 @@ class ChainSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ImportWarc → Tokenize → loadVocab (crawl-archive train/serve chain)") {
     import graft.llm.TextAnalysis
     // 1. a WARC drop: two archives, one corrupt record
-    def record(id: Long, payload: String, clen: Option[String] = None) = {
-      val body = payload.getBytes("UTF-8")
-      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
-        s"WARC-Target-URI: http://crawl/doc/$id\r\n" +
-        s"Content-Length: ${clen.getOrElse(body.length.toString)}\r\n\r\n")
-        .getBytes("ISO-8859-1") ++ body ++ "\r\n\r\n".getBytes("ISO-8859-1")
-    }
+    def record(id: Long, payload: String, clen: Option[String] = None) =
+      graft.fixtures.FixtureBytes.warcRecord(s"http://crawl/doc/$id",
+        payload.getBytes("UTF-8"), contentLength = clen)
     val corpus = Seq(
       "walker walked walking talker", "talked talking walk talk",
       "walker talker walking", "walked talk walking walker",

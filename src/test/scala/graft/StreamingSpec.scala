@@ -427,13 +427,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.Dedup.buildDedupIndex(seed, "doc_id", "text", didx,
       numBuckets = 4, shingleN = 3, numHashes = 8, rowsPerBand = 2)
     graft.llm.Retrieval.buildIndex(seed, "doc_id", "text", bidx, numBuckets = 4)
-    def record(id: Long, payload: String, clen: Option[String] = None) = {
-      val body = payload.getBytes("UTF-8")
-      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
-        s"WARC-Target-URI: http://crawl/doc/$id\r\n" +
-        s"Content-Length: ${clen.getOrElse(body.length.toString)}\r\n\r\n")
-        .getBytes("ISO-8859-1") ++ body ++ "\r\n\r\n".getBytes("ISO-8859-1")
-    }
+    def record(id: Long, payload: String, clen: Option[String] = None) =
+      graft.fixtures.FixtureBytes.warcRecord(s"http://crawl/doc/$id",
+        payload.getBytes("UTF-8"), contentLength = clen)
     def archive(name: String, recs: Array[Byte]*): String = {
       val f = new java.io.File(dir, name)
       val out = new java.io.FileOutputStream(f)
@@ -973,13 +969,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // duplicates live content (dropped by the persisted probe), one is
     // novel; the embed hook attaches the deterministic test vectors, so
     // every invariant holds over the crawl front door too
-    def warcRec(id: Long, t: String) = {
-      val body = t.getBytes("UTF-8")
-      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
-        s"WARC-Target-URI: http://soak/doc/$id\r\n" +
-        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
-        body ++ "\r\n\r\n".getBytes("ISO-8859-1")
-    }
+    def warcRec(id: Long, t: String) =
+      graft.fixtures.FixtureBytes.warcRecord(s"http://soak/doc/$id",
+        t.getBytes("UTF-8"))
     val arc = new java.io.File(dir, "soak.warc")
     val aout = new java.io.FileOutputStream(arc)
     try { aout.write(warcRec(18L, text(16))); aout.write(warcRec(19L, text(19))) }

@@ -25,15 +25,10 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   private def record(id: Long, payload: String, clen: Option[String] = None,
-                     warcType: String = "conversion"): Array[Byte] = {
-    val body = payload.getBytes(StandardCharsets.UTF_8)
-    val n = clen.getOrElse(body.length.toString)
-    (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
-      s"WARC-Target-URI: http://host$id/doc/$id\r\n" +
-      s"WARC-Record-ID: <urn:test:$id>\r\n" +
-      s"Content-Length: $n\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1) ++
-      body ++ "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
-  }
+                     warcType: String = "conversion"): Array[Byte] =
+    graft.fixtures.FixtureBytes.warcRecord(s"http://host$id/doc/$id",
+      payload.getBytes(StandardCharsets.UTF_8), contentLength = clen,
+      warcType = warcType, recordId = Some(s"<urn:test:$id>"))
 
   private def writeTemp(bytes: Array[Byte]): java.io.File = {
     val f = java.io.File.createTempFile("graft-warc-spec", ".warc")
