@@ -38,6 +38,24 @@ def main(old_path, new_path, threshold=1.5, min_sec=0.5):
     print()
     print(f"- calibration_sec: {cal_old} -> {cal_new} "
           f"(host factor {norm:.3f}; adjusted ratio = raw / host factor)")
+    # parallel calibration (same kernel on all cores at once), emitted
+    # since round 12: separates "host got slower" from "host lost
+    # parallel capacity" — a window can show single-thread FASTER while
+    # 32-thread throughput halves, and calibration_sec-adjusted ratios
+    # then overcorrect uniformly. When both rounds carry the pair,
+    # report the parallel host factor too; parallel-bound queries
+    # should be read against it.
+    cp_old, cp_new = old.get("calibration_par_sec"), new.get("calibration_par_sec")
+    if cp_new:
+        pen_new = cp_new / cal_new if cal_new else float("nan")
+        if cp_old and cal_old:
+            print(f"- calibration_par_sec: {cp_old} -> {cp_new} "
+                  f"(parallel host factor {cp_new / cp_old:.3f}; "
+                  f"concurrency penalty {cp_old / cal_old:.2f}x -> {pen_new:.2f}x)")
+        else:
+            print(f"- calibration_par_sec: (absent) -> {cp_new} "
+                  f"(concurrency penalty {pen_new:.2f}x; healthy ~1.1-1.3x — "
+                  f"older artifact lacks the field, parallel drift unmeasurable)")
     print(f"- shared queries: {len(rows)}; new-only: "
           f"{sorted(set(qn) - set(qo))[:8]}{'...' if len(set(qn) - set(qo)) > 8 else ''}")
     if rows:
