@@ -1496,15 +1496,26 @@ object TextAnalysis {
     * documented lse rounding contract). Shared by
     * [[withSoftPosteriors]] and [[unigramEncodeSampled]].
     */
-  private def suffixMassExpr(w: String, maxPiece: Int): String =
+  private def suffixMassExpr(w: String, maxPiece: Int,
+                             unkCostMicro: Option[Long] = None): String = {
+    // j = 1 leg, fallback-aware (the withViterbiPieces oneCost analog):
+    // with Some(c), an unseen character masses at the escape cost and
+    // the chain is total; with None it stays NULL (strict mode)
+    val oneCost = unkCostMicro match {
+      case Some(c) =>
+        s"coalesce(element_at(graft_vm, substring($w, length($w) - m + 1, 1)), ${c}L)"
+      case None => s"element_at(graft_vm, substring($w, length($w) - m + 1, 1))"
+    }
     s"""aggregate(sequence(1, length($w)),
        |  CAST(array(CAST(0 AS BIGINT)) AS ARRAY<BIGINT>),
        |  (acc, m) -> concat(acc, array(
        |    ${lseFoldSql(s"""filter(transform(sequence(1, $maxPiece), j ->
-       |      CASE WHEN j <= m AND element_at(graft_vm, substring($w, length($w) - m + 1, j)) IS NOT NULL
+       |      CASE WHEN j = 1 THEN element_at(acc, m) + $oneCost
+       |           WHEN j <= m AND element_at(graft_vm, substring($w, length($w) - m + 1, j)) IS NOT NULL
        |           THEN element_at(acc, m - j + 1)
        |                + element_at(graft_vm, substring($w, length($w) - m + 1, j))
        |           ELSE CAST(NULL AS BIGINT) END), x -> x IS NOT NULL)""")})))""".stripMargin
+  }
 
   private def withSoftPosteriors(df: DataFrame, w: String,
                                  maxPiece: Int): DataFrame = {
@@ -1681,14 +1692,19 @@ object TextAnalysis {
     * explode-array optimizer barrier — the [[withViterbiPieces]]
     * discipline); occurrences join back by word and pay only the
     * O(len·maxPiece) integer walk per token — narrow, zero extra
-    * shuffles. Words containing characters outside the vocabulary emit
-    * no rows (the [[unigramEncode]] no-fallback semantics). Output:
+    * shuffles. With `unkCostMicro = None`, words containing characters
+    * outside the vocabulary emit no rows (the [[unigramEncode]]
+    * strict-mode semantics); with `Some(c)` unseen characters become
+    * single-char escape branches at cost c (α-annealed like every
+    * other cost), making cross-corpus sampled encoding total — the
+    * [[unigramFertility]] byte-fallback analog. Output:
     * (id, word_idx, piece_idx, piece), indexes 0-based.
     */
   def unigramEncodeSampled(df: DataFrame, idCol: String, textCol: String,
                            vocab: DataFrame, maxPiece: Int = 4,
                            alphaNum: Long = 1L, alphaDen: Long = 1L,
-                           seed: String = "sr1"): DataFrame = {
+                           seed: String = "sr1",
+                           unkCostMicro: Option[Long] = None): DataFrame = {
     require(alphaNum >= 1L && alphaDen >= 1L,
       s"alpha must be a positive rational, got $alphaNum/$alphaDen")
     require(seed.matches("[A-Za-z0-9_.-]+"),
@@ -1698,9 +1714,12 @@ object TextAnalysis {
     require(vm0.nonEmpty && vm0.size <= 65536,
       s"vocab must be a bounded piece table, got ${vm0.size} entries")
     // α-anneal the costs BEFORE the chain (sampling from p^α ≡ masses
-    // under α·cost), one HALF_UP rounding per piece
-    val vm = vm0.map { case (p, c) =>
-      p -> ((2L * alphaNum * c + alphaDen) / (2L * alphaDen)) }
+    // under α·cost), one HALF_UP rounding per piece — the escape cost
+    // anneals with the same formula, so fallback branches compete on
+    // the same temperature as real pieces
+    def anneal(c: Long): Long = (2L * alphaNum * c + alphaDen) / (2L * alphaDen)
+    val vm = vm0.map { case (p, c) => p -> anneal(c) }
+    val unkA = unkCostMicro.map(anneal)
     val words = df.select(col(idCol).as("id"),
       posexplode(filter(split(col(textCol), " "), w => w =!= lit("")))
         .as(Seq("word_idx", "w")))
@@ -1711,9 +1730,9 @@ object TextAnalysis {
       // weight table ride through 1-element Generates so callers'
       // filters bind to the OUTPUT attribute instead of inlining the
       // interpreted aggregates below the distinct()
-      .withColumn("graft_b", explode(array(expr(suffixMassExpr("w", maxPiece)))))
+      .withColumn("graft_b", explode(array(expr(suffixMassExpr("w", maxPiece, unkA)))))
       .filter(expr("element_at(graft_b, length(w) + 1) IS NOT NULL"))
-      .withColumn("graft_wt", explode(array(expr(sampleWeightsExpr("w", maxPiece)))))
+      .withColumn("graft_wt", explode(array(expr(sampleWeightsExpr("w", maxPiece, unkA)))))
       .select(col("w"), col("graft_wt"))
     // the WALK is row-local imperative arithmetic (sequential state,
     // one md5 + ≤maxPiece compares per step, per OCCURRENCE) — the one
@@ -1793,15 +1812,26 @@ object TextAnalysis {
     * candidate per step and cost 7× the canonical encode at sf0.1).
     * Reads `graft_b` / `graft_vm`.
     */
-  private def sampleWeightsExpr(w: String, maxPiece: Int): String = {
+  private def sampleWeightsExpr(w: String, maxPiece: Int,
+                                unkCostMicro: Option[Long] = None): String = {
+    // branch cost for piece length jj at position p — with fallback,
+    // the single-char leg coalesces to the (α-scaled) escape cost so
+    // drifted corpora sample totally (the suffixMassExpr oneCost twin)
+    val cost = (jj: String) => unkCostMicro match {
+      case Some(c) =>
+        s"""CASE WHEN $jj = 1
+           |     THEN coalesce(element_at(graft_vm, substring($w, p + 1, 1)), ${c}L)
+           |     ELSE element_at(graft_vm, substring($w, p + 1, $jj)) END""".stripMargin
+      case None => s"element_at(graft_vm, substring($w, p + 1, $jj))"
+    }
     // wm for branch jj at position p, NULL when invalid — inlined into
     // both the per-j cumulative filter and the total
     val wm = (jj: String) =>
       s"""CASE WHEN $jj <= length($w) - p
-         |          AND element_at(graft_vm, substring($w, p + 1, $jj)) IS NOT NULL
+         |          AND (${cost(jj)}) IS NOT NULL
          |          AND element_at(graft_b, length($w) - p - $jj + 1) IS NOT NULL
          |     THEN greatest(1L, CAST(round(1000000.0 * exp(-CAST(
-         |            element_at(graft_vm, substring($w, p + 1, $jj))
+         |            (${cost(jj)})
          |            + element_at(graft_b, length($w) - p - $jj + 1)
          |            - element_at(graft_b, length($w) - p + 1) AS DOUBLE) / 1000000.0)) AS BIGINT))
          |     ELSE CAST(NULL AS BIGINT) END""".stripMargin

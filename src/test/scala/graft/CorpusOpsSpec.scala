@@ -1211,6 +1211,92 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("seed"))
   }
 
+  test("unigramEncodeSampled byte-fallback: drifted corpora sample totally, replica-exact") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // 'z' is outside the vocabulary; with the escape the word still
+    // samples (z as its own piece), and the escape cost competes on
+    // the same α temperature as the real pieces
+    val vm = Map("a" -> 1000000L, "b" -> 2000000L, "ab" -> 1500000L)
+    val vocab = vm.toSeq.map { case (p, c) => (p, 1L, c) }
+      .toDF("piece", "cnt", "cost_micro")
+    val docs = (0L until 4L).map(i => (i, "zab ab bz")).toDF("id", "text")
+    val unk = 3000000L
+    val got = TextAnalysis.unigramEncodeSampled(docs, "id", "text", vocab,
+        maxPiece = 4, alphaNum = 1L, alphaDen = 2L, seed = "t3",
+        unkCostMicro = Some(unk))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    // every word of every occurrence emits (total encoding)
+    assert(got.map(x => (x._1, x._2)).distinct.size === 12)
+    // pieces concatenate back; 'z' only ever appears as its own piece
+    val byWord = got.groupBy(x => (x._1, x._2))
+      .map { case (k, rows) => k -> rows.sortBy(_._3).map(_._4) }
+    byWord.foreach { case ((id, wi), ps) =>
+      val w = Seq("zab", "ab", "bz")(wi.toInt)
+      assert(ps.mkString("") === w)
+    }
+    assert(got.filter(_._4.contains("z")).forall(_._4 == "z"))
+    // replica with the fallback leg: α-annealed costs INCLUDING the
+    // escape, lse2 chain with the coalesced j=1 branch, same pick
+    def lse2(a: Long, b: Long): Long = {
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      lo - math.round(1000000.0 *
+        math.log(1.0 + math.exp(-(hi - lo).toDouble / 1000000.0)))
+    }
+    def u48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    def anneal(c: Long) = (2L * c + 2L) / 4L
+    val va = vm.map { case (p, c) => p -> anneal(c) }
+    val unkA = anneal(unk)
+    def costOf(piece: String): Option[Long] =
+      va.get(piece).orElse(if (piece.length == 1) Some(unkA) else None)
+    def bArr(word: String): Array[Long] = {
+      val n = word.length
+      val arr = new Array[Long](n + 1)
+      for (m <- 1 to n) {
+        val cands = (1 to math.min(4, m)).flatMap { j =>
+          costOf(word.substring(n - m, n - m + j))
+            .filter(_ => j == 1 || va.contains(word.substring(n - m, n - m + j)))
+            .map(c => arr(m - j) + c)
+        }
+        arr(m) = cands.reduceLeft(lse2)
+      }
+      arr
+    }
+    val want = (for {
+      row <- docs.collect()
+      (word, wi) <- row.getString(1).split(" ").filter(_.nonEmpty).zipWithIndex
+    } yield {
+      val (id, n) = (row.getLong(0), word.length)
+      val b = bArr(word)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+      var p = 0; var k = 0; var pi = 0L
+      while (p < n) {
+        val cand = (1 to math.min(4, n - p)).flatMap { j =>
+          val piece = word.substring(p, p + j)
+          costOf(piece).filter(_ => j == 1 || va.contains(piece)).map { c =>
+            j -> math.max(1L, math.round(1000000.0 * math.exp(
+              -(c + b(n - p - j) - b(n - p)).toDouble / 1000000.0)))
+          }
+        }
+        val tot = cand.map(_._2).sum
+        val u = u48(s"t3:$id:$wi:$k") % 1000000L
+        var cum = 0L
+        val j = cand.collectFirst {
+          case (jj, wm) if { cum += wm; cum * 1000000L > u * tot } => jj
+        }.get
+        out += ((id, wi.toLong, pi, word.substring(p, p + j)))
+        p += j; k += 1; pi += 1L
+      }
+      out
+    }).flatten.sortBy(x => (x._1, x._2, x._3)).toSeq
+    assert(got === want, "fallback sampling must replay the extended contract exactly")
+  }
+
   test("encodeRoundTripAudit counts covered, uncovered, and doctored-mismatch words") {
     import spark.implicits._
     import graft.llm.TextAnalysis
