@@ -298,7 +298,12 @@ object Bench {
         sys.props("java.io.tmpdir"), s"graft-bench-warc-v1-$nRecs.warc")
       def recordBytes(id: Int): Array[Byte] =
         graft.fixtures.FixtureBytes.warcRecord(s"http://bench/doc/$id", body)
-      val expectLen = (0 until nRecs).map(recordBytes(_).length.toLong).sum
+      // expected fixture size WITHOUT serializing 8k × 64 KiB records
+      // on every run (~540 MB of driver garbage before timed sections):
+      // record length = the id-0 template plus the id's extra digits
+      val baseLen = recordBytes(0).length.toLong
+      val expectLen = (0 until nRecs).map(i =>
+        baseLen + (i.toString.length - 1)).sum
       if (!(fixture.isFile && fixture.length() == expectLen)) {
         val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
         val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))

@@ -54,13 +54,12 @@ object ImportWarc {
           s"${fs.length} archives exceed the 100k manifest bound — shard the drop")
         fs
       } else Seq(inPath)
-    // one parse serves both writes and both counts — uncached, the
-    // clean write, quarantine write, and each count would re-run the
-    // full anchor-scan parse of every archive
-    val parsed = archives.map { p =>
-      WarcCorpus.read(spark, p)
-        .withColumn("archive", org.apache.spark.sql.functions.lit(p))
-    }.reduce(_.union(_)).persist()
+    // ONE relation over every archive (readMany's distributed chunk
+    // plan — never a per-archive union, whose left-nested plan
+    // overflows the analyzer far below the 100k bound), persisted so
+    // the clean write, quarantine write, and both counts pay the
+    // anchor-scan parse once
+    val parsed = WarcCorpus.readMany(spark, archives).persist()
     try {
       val clean = WarcCorpus.clean(parsed)
       clean.write.mode("overwrite").parquet(s"$outDir/documents")

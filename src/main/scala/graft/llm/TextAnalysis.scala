@@ -1853,9 +1853,14 @@ object TextAnalysis {
     * pieces), n_mismatch (reassembly ≠ word — MUST be 0; nonzero means
     * a torn vocab artifact or a train/serve maxPiece mismatch).
     * Uncovered words show as n_words − n_encoded (the strict-mode
-    * expectation). One corpus explode, one (id, word_idx)-keyed
-    * aggregation, one join — all map-side-combinable, no windows.
-    * `encoded` carries [[unigramEncode]]/[[unigramEncodeSampled]]'s
+    * expectation), and n_phantom counts encode groups with NO
+    * corresponding corpus word (an emission for a (doc, position) that
+    * doesn't exist — a left join from the corpus side would be blind
+    * to exactly the wrong-emission class the audit exists to catch, so
+    * the join is FULL outer). One corpus explode, one (id, word_idx)-
+    * keyed aggregation, one join — all map-side-combinable, no
+    * windows. `encoded` carries
+    * [[unigramEncode]]/[[unigramEncodeSampled]]'s
     * (id, word_idx, piece_idx, piece).
     */
   def encodeRoundTripAudit(df: DataFrame, idCol: String, textCol: String,
@@ -1869,12 +1874,14 @@ object TextAnalysis {
         """array_join(transform(array_sort(collect_list(
           |  struct(piece_idx, piece))), s -> s.piece), '')""".stripMargin)
         .as("graft_rb"))
-    words.join(rebuilt, Seq("id", "word_idx"), "left")
+    words.join(rebuilt, Seq("id", "word_idx"), "full")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_words"),
-        count(col("graft_rb")).as("n_encoded"),
-        sum(when(col("graft_rb").isNotNull && col("graft_rb") =!= col("w"), 1L)
-          .otherwise(0L)).as("n_mismatch"))
+      .agg(count(col("w")).as("n_words"),
+        count(when(col("w").isNotNull, col("graft_rb"))).as("n_encoded"),
+        sum(when(col("graft_rb").isNotNull && col("w").isNotNull &&
+            col("graft_rb") =!= col("w"), 1L)
+          .otherwise(0L)).as("n_mismatch"),
+        sum(when(col("w").isNull, 1L).otherwise(0L)).as("n_phantom"))
   }
 
   private val VocabManifestName = "_graft_vocab_manifest"
@@ -1904,19 +1911,26 @@ object TextAnalysis {
     require(maxLen <= maxPiece,
       s"vocab holds a $maxLen-char piece but maxPiece=$maxPiece — encodes " +
         "under this manifest would silently never use it")
+    // manifest I/O goes through the Hadoop FS of `dir` — the pieces
+    // table is written by Spark against the same FS, and a java.io
+    // manifest would break (or, worse, "succeed" against a local path
+    // of the same name) the moment the artifact dir is non-local
+    val spark = vocab.sparkSession
+    val mfPath = new org.apache.hadoop.fs.Path(dir, VocabManifestName)
+    val fs = mfPath.getFileSystem(spark.sessionState.newHadoopConf())
     // RE-save ordering: invalidate the OLD manifest before touching the
     // pieces dir — without this, a crash between the pieces overwrite
     // and the manifest store leaves the old manifest over new pieces,
     // and a matching piece COUNT would let loadVocab serve the mix
     // (wrong max_piece/trainer) as whole
-    new java.io.File(dir, VocabManifestName).delete()
+    fs.delete(mfPath, false)
     pieces.write.mode("overwrite").parquet(s"$dir/pieces")
     val props = new java.util.Properties()
     props.setProperty("version", VocabVersion.toString)
     props.setProperty("max_piece", maxPiece.toString)
     props.setProperty("trainer", trainer)
     props.setProperty("n_pieces", n.toString)
-    val out = new java.io.FileOutputStream(new java.io.File(dir, VocabManifestName))
+    val out = fs.create(mfPath, true)
     try props.store(out, null) finally out.close()
     n
   }
@@ -1927,12 +1941,13 @@ object TextAnalysis {
     */
   def loadVocab(spark: org.apache.spark.sql.SparkSession,
                 dir: String): (DataFrame, Int) = {
-    val mf = new java.io.File(dir, VocabManifestName)
-    require(mf.isFile,
+    val mfPath = new org.apache.hadoop.fs.Path(dir, VocabManifestName)
+    val fs = mfPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(mfPath),
       s"no vocab manifest at $dir — train and saveVocab first " +
         "(a crash mid-save also leaves no manifest: re-save)")
     val props = new java.util.Properties()
-    val in = new java.io.FileInputStream(mf)
+    val in = fs.open(mfPath)
     try props.load(in) finally in.close()
     require(props.getProperty("version") == VocabVersion.toString,
       s"vocab manifest version ${props.getProperty("version")} != $VocabVersion — rebuild the artifact")

@@ -6012,7 +6012,8 @@ object LlmQueries {
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
           |       CAST(count(rebuilt) AS BIGINT) AS n_encoded,
           |       CAST(COALESCE(sum(CASE WHEN rebuilt IS NOT NULL AND rebuilt <> w
-          |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatch
+          |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatch,
+          |       CAST(0 AS BIGINT) AS n_phantom
           |FROM rb GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- Byte-fallback fertility (the SentencePiece escape analog):

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import graft.core.ChunkPlanner
 import graft.evidence.RawFileEvidence
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, expr, least, lit}
 import org.apache.spark.sql.types._
 
 /** WARC (ISO 28500) corpus reader — the crawl-archive ingest every
@@ -63,7 +63,28 @@ object WarcCorpus {
   def read(spark: SparkSession, path: String,
            chunkSize: Long = 64L * 1024 * 1024,
            maxHeaderBytes: Int = 8192,
-           maxPayloadBytes: Int = 4 * 1024 * 1024): DataFrame = {
+           maxPayloadBytes: Int = 4 * 1024 * 1024): DataFrame =
+    readMany(spark, Seq(path), chunkSize, maxHeaderBytes, maxPayloadBytes)
+      .drop("archive")
+
+  /** Parse MANY archives as ONE relation — the multi-archive front
+    * door. One distributed chunk plan covers every archive (archive
+    * metadata joins the chunk explode in-plan), so a 100k-archive drop
+    * is a single scan stage — NOT a 100k-leaf union, whose
+    * left-nested plan overflows the analyzer stack orders of magnitude
+    * below that bound. A missing or empty archive is an ERROR, not an
+    * empty result: `File.length()` returns 0 for both, and a crawl
+    * batch that silently parses a typo'd path as zero records then
+    * ledger-commits is data loss. Adds an `archive` column (the source
+    * path) to [[schema]].
+    */
+  def readMany(spark: SparkSession, paths: Seq[String],
+               chunkSize: Long = 64L * 1024 * 1024,
+               maxHeaderBytes: Int = 8192,
+               maxPayloadBytes: Int = 4 * 1024 * 1024): DataFrame = {
+    require(paths.nonEmpty, "readMany needs at least one archive")
+    require(paths.size <= 100000,
+      s"${paths.size} archives exceed the 100k single-plan bound — shard the drop")
     require(chunkSize >= Anchor.length,
       s"chunkSize must cover the anchor, got $chunkSize")
     // the chunk (plus anchor overlap) is read into one task-local array
@@ -71,32 +92,54 @@ object WarcCorpus {
       s"chunkSize must fit a JVM array, got $chunkSize")
     require(maxHeaderBytes >= 64 && maxPayloadBytes >= 0,
       "header/payload caps must be sane")
-    val totalLen = new java.io.File(path).length()
-    // overlap = anchor length − 1: an anchor STARTING in a chunk's
-    // valid region is always fully readable by that chunk's scan
-    val chunks = ChunkPlanner.plan(spark, totalLen, chunkSize,
-      overlap = (Anchor.length - 1).toLong)
+    val lens = paths.map(p => p -> new java.io.File(p).length())
+    lens.foreach { case (p, l) =>
+      require(l > 0, s"archive missing or empty: $p") }
+    val overlap = (Anchor.length - 1).toLong
+    // archive metadata is a bounded driver list; the CHUNK fan-out is
+    // a distributed explode, so total chunk count never materializes
+    // on the driver (100 TB of archives at 64 MiB chunks = ~1.6M plan
+    // rows, all cluster-side)
+    import spark.implicits._
+    val meta = lens.toDF("archive", "graft_alen")
+      .repartition(math.min(paths.size, 200))
+    val chunks = meta.select(col("archive"), col("graft_alen"),
+      explode(expr(
+        s"sequence(0L, (graft_alen + ${chunkSize}L - 1) DIV ${chunkSize}L - 1L)"))
+        .as("graft_ci"))
+      .select(col("archive"),
+        (col("graft_ci") * chunkSize).as("graft_start"),
+        least(col("graft_alen") - col("graft_ci") * chunkSize,
+          lit(chunkSize + overlap)).as("graft_len"),
+        least(col("graft_alen") - col("graft_ci") * chunkSize,
+          lit(chunkSize)).as("graft_vlen"),
+        col("graft_alen"))
+      // one chunk per task-row: at cluster scale parallelism == chunk
+      // count, exactly the evidence-scan discipline
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val rows = chunks.rdd.mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val reader = new RawFileEvidence(path)
-        // close when the TASK ends, not when the iterator drains — a
-        // limit/take or a failed task never exhausts the iterator, and
-        // a drain-detection close would leak one FileChannel per such
-        // task (the CarvePipeline.closeOnTaskEnd leak class)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
-        it.flatMap { ch =>
-          val buf = new Array[Byte](ch.length.toInt)
-          val got = reader.readAt(ch.start, buf)
-          anchorOffsets(buf, got)
-            .filter(_ < ch.validLength)
-            .map(local => parseRecord(reader, totalLen, ch.start + local,
-              maxHeaderBytes, maxPayloadBytes))
-        }
+      // one open reader per archive per task, closed on task end (a
+      // limit/take or failed task never drains the iterator, and a
+      // drain-detection close would leak one FileChannel per such
+      // task — the CarvePipeline.closeOnTaskEnd leak class)
+      val readers = scala.collection.mutable.HashMap.empty[String, RawFileEvidence]
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ =>
+          readers.values.foreach(_.close())))
+      it.flatMap { r =>
+        val (p, start, len, vlen, alen) = (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))
+        val reader = readers.getOrElseUpdate(p, new RawFileEvidence(p))
+        val buf = new Array[Byte](len.toInt)
+        val got = reader.readAt(start, buf)
+        anchorOffsets(buf, got)
+          .filter(_ < vlen)
+          .map(local => parseRecord(reader, alen, start + local,
+            maxHeaderBytes, maxPayloadBytes, p))
       }
     }
-    spark.createDataFrame(rows, schema)
+    spark.createDataFrame(rows,
+      schema.add(StructField("archive", StringType, nullable = false)))
   }
 
   /** Parseable records only. */
@@ -121,10 +164,11 @@ object WarcCorpus {
 
   /** Parse one record whose version anchor sits at absolute `off`. */
   private def parseRecord(reader: RawFileEvidence, totalLen: Long, off: Long,
-                          maxHeaderBytes: Int, maxPayloadBytes: Int): Row = {
+                          maxHeaderBytes: Int, maxPayloadBytes: Int,
+                          archive: String): Row = {
     def err(msg: String, wType: String = null, uri: String = null,
             rid: String = null, clen: java.lang.Long = null): Row =
-      Row(off, wType, uri, rid, clen, null, msg)
+      Row(off, wType, uri, rid, clen, null, msg, archive)
     val headCap = math.min(maxHeaderBytes.toLong, totalLen - off).toInt
     val head = new Array[Byte](headCap)
     val got = reader.readAt(off, head)
@@ -157,7 +201,7 @@ object WarcCorpus {
           case None => err(s"payload truncated at EOF", wType, uri, rid, n)
           case Some(body) =>
             Row(off, wType, uri, rid, n,
-              new String(body, StandardCharsets.UTF_8), null)
+              new String(body, StandardCharsets.UTF_8), null, archive)
         }
     }
   }

@@ -256,6 +256,12 @@ object IndexIngest {
     require(annIndexDir.isEmpty || vecCol.nonEmpty,
       "annIndexDir requires vecCol — the column `embed` adds to the batch")
     val spark = manifest.sparkSession
+    // replayed batch ids are ledger no-ops in processBatch — but
+    // checking HERE skips re-parsing (and re-quarantining) every
+    // archive of a large batch on a crash-restart, minutes of wasted
+    // scan work per replay; the original run's quarantine rows stand
+    if (committedIds(new java.io.File(dedupIndexDir, LedgerName))
+        .contains(batchId)) return -1L
     val maxArchives = 100000
     val raw = manifest.select(col(pathCol).cast("string").as("graft_p"))
       .distinct().limit(maxArchives + 1).collect()
@@ -272,11 +278,8 @@ object IndexIngest {
     // the finally below whatever processBatch does.
     val parsed =
       if (paths.isEmpty) None
-      else Some(paths.map { p =>
-        graft.sources.WarcCorpus.read(spark, p, chunkSize = warcChunkSize,
-            maxPayloadBytes = maxPayloadBytes)
-          .withColumn("archive", lit(p))
-      }.reduce(_.union(_)).persist())
+      else Some(graft.sources.WarcCorpus.readMany(spark, paths,
+        chunkSize = warcChunkSize, maxPayloadBytes = maxPayloadBytes).persist())
     try {
       val docs = parsed match {
         case None =>

@@ -1306,10 +1306,11 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = Seq((1L, "ab aab zb"), (2L, "ba")).toDF("id", "text")
     val enc = TextAnalysis.unigramEncode(docs, "id", "text", vocab, maxPiece = 4)
     val clean = TextAnalysis.encodeRoundTripAudit(docs, "id", "text", enc)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    assert(clean(1L) === ((3L, 2L, 0L)))
-    assert(clean(2L) === ((1L, 1L, 0L)))
+    assert(clean(1L) === ((3L, 2L, 0L, 0L)))
+    assert(clean(2L) === ((1L, 1L, 0L, 0L)))
     // a doctored encode (wrong piece) must surface as a mismatch, not
     // hide in the aggregate
     import org.apache.spark.sql.functions.{col, lit, when}
@@ -1318,6 +1319,15 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = TextAnalysis.encodeRoundTripAudit(docs, "id", "text", doctored)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(bad(2L) === 1L && bad(1L) === 0L)
+    // a PHANTOM emission — a (doc, position) the corpus doesn't have —
+    // must be counted, not silently dropped by a corpus-sided join
+    import spark.implicits._
+    val phantom = enc.union(
+      Seq((1L, 99L, 0L, "xx")).toDF("id", "word_idx", "piece_idx", "piece"))
+    val ph = TextAnalysis.encodeRoundTripAudit(docs, "id", "text", phantom)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(ph(1L) === ((3L, 2L, 0L, 1L)))
   }
 
   test("unigramTrainVocabSoft meets or beats hard-EM fertility (the soft payoff)") {
