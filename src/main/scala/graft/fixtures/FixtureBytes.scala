@@ -28,14 +28,36 @@ object FixtureBytes {
   def warcRecord(targetUri: String, payload: Array[Byte],
                  contentLength: Option[String] = None,
                  warcType: String = "conversion",
-                 recordId: Option[String] = None): Array[Byte] = {
+                 recordId: Option[String] = None,
+                 version: String = "1.0"): Array[Byte] = {
     val sb = new StringBuilder
-    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC/$version\r\n")
     sb.append(s"WARC-Type: $warcType\r\n")
     sb.append(s"WARC-Target-URI: $targetUri\r\n")
     recordId.foreach(r => sb.append(s"WARC-Record-ID: $r\r\n"))
     sb.append(s"Content-Length: ${contentLength.getOrElse(payload.length.toString)}\r\n\r\n")
     ascii(sb.toString) ++ payload ++ ascii("\r\n\r\n")
+  }
+
+  /** One per-record-gzip member (the `.warc.gz` layout: each record its
+    * own gzip member, members concatenated): `record` deflated via the
+    * JDK's GZIPOutputStream (all-zero MTIME/XFL/OS header — byte-
+    * deterministic). `corrupt = true` flips one byte near the END of
+    * the deflate stream — by then the record's head has inflated, so
+    * the reader can SEE a record was there and must QUARANTINE (an
+    * early-stream flip is indistinguishable from a false-positive magic
+    * and is documented as silently skipped).
+    */
+  def gzMember(record: Array[Byte], corrupt: Boolean = false): Array[Byte] = {
+    val bos = new ByteArrayOutputStream
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record); gz.close()
+    val out = bos.toByteArray
+    if (corrupt) {
+      val at = out.length - 10 // 2 bytes before the 8-byte trailer
+      out(at) = (out(at) ^ 0x5a).toByte
+    }
+    out
   }
 
   def beU32(v: Long): Array[Byte] =

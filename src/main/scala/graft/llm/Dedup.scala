@@ -986,7 +986,12 @@ object Dedup extends PersistedIndex {
       outInter: String, outUnion: String, outBp: String): DataFrame = {
     val c = SameTextChunk
     val spark = membership.sparkSession
-    val cp = membership.join(perText, Seq("graft_tidl"))
+    // Cache lifecycle: [[CacheRegistry]]. The chunk-pair frame is
+    // consumed by BOTH union branches below; unpersisted, the whole
+    // membership⋈perText → groupBy → chunk-pair explode subtree
+    // executes twice (exchange reuse saves only the shuffle write, not
+    // the final aggregation). One row per class×chunk-pair — tiny.
+    val cp = CacheRegistry.persist(membership.join(perText, Seq("graft_tidl"))
       .groupBy(col("graft_tidl"))
       .agg(sort_array(collect_list(col("graft_did"))).as("ids"),
         first(col("graft_v")).as("graft_v"))
@@ -1000,7 +1005,7 @@ object Dedup extends PersistedIndex {
       .select(col("graft_v"), col("graft_nc"),
         expr(s"slice(ids, cp.ci * $c + 1, $c)").as("graft_l"),
         expr(s"slice(ids, cp.cj * $c + 1, $c)").as("graft_r"),
-        (col("cp.ci") === col("cp.cj")).as("graft_same"))
+        (col("cp.ci") === col("cp.cj")).as("graft_same")))
     // within a chunk: ordered pairs; across chunks: full cross product
     // (sorted ids + ci < cj ⇒ every left id < every right id); a
     // trailing 1-id chunk pairs only across (the ELSE arm drops it)

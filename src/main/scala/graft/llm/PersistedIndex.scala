@@ -141,7 +141,14 @@ private[graft] trait PersistedIndex {
         java.nio.file.Files.readAllBytes(pending.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim
       content == batchId.toString && {
-        val cleared = pending.delete()
+        // test-only filesystem-failure injection (the crashPoint
+        // family): the suite runs as a user who can delete anything,
+        // so an undeletable fence is simulated by naming its absolute
+        // path in this system property. Production never sets it.
+        val cleared =
+          !sys.props.get("graft.test.undeletableFence")
+            .contains(pending.getAbsolutePath) &&
+          pending.delete()
         if (!cleared && pending.exists())
           throw new IllegalStateException(
             s"cannot delete the stale append fence $pending of COMPLETED " +

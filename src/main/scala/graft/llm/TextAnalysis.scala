@@ -1789,6 +1789,13 @@ object TextAnalysis {
             if (c != null && c.longValue() * 1000000L > u * tot) jp = j
             j += 1
           }
+          // unreachable under the cum==total invariant above — but if
+          // the weight-table shape ever drifts, jp==0 would emit an
+          // empty piece without advancing p: an infinite executor loop.
+          // Turn the invariant violation into a clean task failure.
+          require(jp > 0,
+            s"sampled-walk invariant violated at word '$w' pos $p: " +
+              s"no branch satisfied the cumulative pick (total=$tot)")
           out += org.apache.spark.sql.Row(id, wi, pi, w.substring(p, p + jp))
           p += jp
           k += 1

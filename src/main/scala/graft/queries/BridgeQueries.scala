@@ -338,7 +338,9 @@ object BridgeQueries {
           chunkSize = 16 * 1024)
         val cleanCounts = graft.sources.WarcCorpus.clean(parsed)
           .select(regexp_extract(col("target_uri"), "^http://([^/]+)/", 1).as("source"),
-            length(col("payload")).cast("long").as("graft_len"))
+            // payload is BINARY — decode to chars before measuring (the
+            // oracle counts strlen over the source text)
+            length(graft.sources.WarcCorpus.payloadText).cast("long").as("graft_len"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("graft_len")).as("sum_chars"))
         val corrupt = graft.sources.WarcCorpus.quarantine(parsed)
@@ -355,6 +357,229 @@ object BridgeQueries {
              |  SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
              |  FROM documents WHERE doc_id % 19 = 0) t
              |ORDER BY source""".stripMargin)),
+
+    // ---- PER-RECORD-GZIP WARC ingest (.warc.gz — the layout Common
+    // Crawl actually ships): the documents table round-trips through a
+    // gz drop (one gzip MEMBER per record, members concatenated, half
+    // the records WARC/1.1), every %17th member's deflate stream
+    // byte-flipped near its end. The magic-scan reader must inflate
+    // every clean member across chunk boundaries (CRC32+ISIZE
+    // verified), QUARANTINE exactly the damaged ones, and resync at
+    // the next member's magic unaided.
+    "q294_warc_gz_ingest" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id", "text", "source")
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-warcgz-v1-$tag.warc.gz")
+        if (!fixture.isFile) {
+          val rows = docs.select(col("doc_id"), col("source"), col("text"))
+            .orderBy("doc_id").collect()
+          val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp))
+          try rows.foreach { r =>
+            val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+            out.write(graft.fixtures.FixtureBytes.gzMember(
+              graft.fixtures.FixtureBytes.warcRecord(
+                s"http://$src/doc/$id",
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                recordId = Some(s"<urn:graft:$id>"),
+                version = if (id % 2 == 0) "1.0" else "1.1"),
+              corrupt = id % 17 == 0))
+          } finally out.close()
+          java.nio.file.Files.move(tmp.toPath, fixture.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        // small chunks force members across chunk boundaries — the
+        // ownership predicate and cross-chunk member inflation are
+        // exercised, not just declared
+        val parsed = graft.sources.WarcCorpus.readGz(s, fixture.toString,
+          chunkSize = 16 * 1024)
+        val cleanCounts = graft.sources.WarcCorpus.clean(parsed)
+          .select(regexp_extract(col("target_uri"), "^http://([^/]+)/", 1).as("source"),
+            length(graft.sources.WarcCorpus.payloadText).cast("long").as("graft_len"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("graft_len")).as("sum_chars"))
+        val corrupt = graft.sources.WarcCorpus.quarantine(parsed)
+          .agg(count(lit(1)).as("graft_n"))
+          .select(lit("_corrupt").as("source"), col("graft_n").as("n_docs"),
+            lit(0L).as("sum_chars"))
+        cleanCounts.union(corrupt).orderBy("source")
+      },
+      Some("""SELECT source, n_docs, sum_chars FROM (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+             |  FROM documents WHERE doc_id % 17 <> 0 GROUP BY source
+             |  UNION ALL
+             |  SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+             |  FROM documents WHERE doc_id % 17 = 0) t
+             |ORDER BY source""".stripMargin)),
+
+    // ---- HTML→text extraction (graft.llm.Html.htmlToText): each doc
+    // wrapped in a synthetic page — title with an escaped entity, a
+    // style block, a script block with comparison operators, a
+    // multi-line comment, entity-bearing tail — all IN-PLAN (no
+    // fixture file). The extraction chain (script/style/comment drop,
+    // tag strip, core entity decode with &amp; last, whitespace
+    // collapse) is a pure codegen'd Column expression whose exact
+    // semantics the oracle replays step for step.
+    "q295_html_extract" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val html = concat(
+          lit("<html><head><title>Q&amp;A</title><style type=\"text/css\">p { color: red; }\n" +
+            "</style></head><body class=\"x\"><h1>"),
+          col("source"),
+          lit("</h1><script>\nvar s = 1 < 2 && 3 > 2;\n</script><!-- hidden\ncomment --><p>"),
+          col("text"),
+          lit("&nbsp;&lt;fin&gt;</p></body></html>"))
+        docs.select(col("doc_id"),
+            graft.llm.Html.htmlToText(html).as("text_out"))
+          .withColumn("n_chars", length(col("text_out")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+              |  '<html><head><title>Q&amp;A</title><style type="text/css">p { color: red; }'
+              |  || chr(10) || '</style></head><body class="x"><h1>' || source
+              |  || '</h1><script>' || chr(10) || 'var s = 1 < 2 && 3 > 2;' || chr(10)
+              |  || '</script><!-- hidden' || chr(10) || 'comment --><p>' || text
+              |  || '&nbsp;&lt;fin&gt;</p></body></html>' AS html
+              |  FROM documents),
+              |x AS (SELECT doc_id, ${graft.llm.Html.htmlToTextSql("html")} AS text_out FROM h)
+              |SELECT doc_id, text_out, CAST(strlen(text_out) AS BIGINT) AS n_chars
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // ---- Raw-crawl response chain (WARC response records → HTTP split
+    // → HTML extraction): each doc rides as an HTTP response message
+    // (status line — %23rd docs 404 —, two headers, HTML body) inside
+    // a plain WARC. The chain read→payloadText→httpStatus/httpHeader/
+    // httpBody→htmlToText must recover status, content type, and the
+    // extracted body length for every record — the operator the
+    // boilerplate battery (q111-q113) was missing upstream.
+    "q296_warc_response_chain" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id", "text", "source")
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-warcresp-v1-$tag.warc")
+        if (!fixture.isFile) {
+          val rows = docs.select(col("doc_id"), col("source"), col("text"))
+            .orderBy("doc_id").collect()
+          val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp))
+          try rows.foreach { r =>
+            val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+            val st = if (id % 23 == 0) 404 else 200
+            val msg = s"HTTP/1.1 $st OK\r\n" +
+              "Content-Type: text/html; charset=UTF-8\r\n" +
+              "X-Crawl: graft\r\n\r\n" +
+              s"<html><body><h1>$src</h1><p>$text &amp; more</p></body></html>"
+            out.write(graft.fixtures.FixtureBytes.warcRecord(
+              s"http://$src/doc/$id",
+              msg.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              warcType = "response"))
+          } finally out.close()
+          java.nio.file.Files.move(tmp.toPath, fixture.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val parsed = graft.sources.WarcCorpus.read(s, fixture.toString,
+          chunkSize = 16 * 1024)
+        val msg = graft.sources.WarcCorpus.payloadText
+        graft.sources.WarcCorpus.clean(parsed)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+              .cast("long").as("doc_id"),
+            graft.llm.Html.httpStatus(msg).as("status"),
+            graft.llm.Html.httpHeader(msg, "Content-Type").as("content_type"),
+            length(graft.llm.Html.htmlToText(graft.llm.Html.httpBody(msg)))
+              .cast("long").as("body_chars"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val crlf = "chr(13) || chr(10)"
+        s"""WITH p AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 23 = 0 THEN 404 ELSE 200 END AS st,
+           |  'HTTP/1.1 ' || CASE WHEN doc_id % 23 = 0 THEN 404 ELSE 200 END
+           |  || ' OK' || $crlf || 'Content-Type: text/html; charset=UTF-8' || $crlf
+           |  || 'X-Crawl: graft' || $crlf || $crlf
+           |  || '<html><body><h1>' || source || '</h1><p>' || text
+           |  || ' &amp; more</p></body></html>' AS msg
+           |  FROM documents),
+           |b AS (SELECT doc_id, st, msg, ${graft.llm.Html.httpBodySql("msg")} AS body
+           |  FROM p)
+           |SELECT doc_id, CAST(st AS INT) AS status,
+           |  nullif(regexp_extract(
+           |    CASE WHEN strpos(msg, $crlf || $crlf) > 0
+           |         THEN substr(msg, 1, strpos(msg, $crlf || $crlf) + 1) ELSE msg END,
+           |    '(?i)(?:^|\r\n)Content-Type:[ \t]*([^\r\n]*)', 1), '') AS content_type,
+           |  CAST(strlen(${graft.llm.Html.htmlToTextSql("body")}) AS BIGINT) AS body_chars
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- WARC → carve composition (binary payloads survive byte-
+    // exact): a plain WARC of `response` records each carrying the
+    // 32-byte jpeg sample as its BINARY payload. The reader's payload
+    // hash must equal the jpeg's, AND the carve pipeline run over the
+    // ARCHIVE FILE ITSELF must recover exactly one validated jpeg per
+    // record whose sha256 matches the payload's — the two halves of
+    // the engine (crawl reader, forensic carver) agreeing on the same
+    // bytes. Rank-aligned by offset (records and carves are both
+    // sequential in the archive); the unpartitioned row_number is
+    // fixture-verification shape, not a corpus operator.
+    "q297_warc_carve_chain" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id")
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-warcjpg-v1-$tag.warc")
+        val jpeg = graft.fixtures.FixtureBytes.jpeg()
+        if (!fixture.isFile) {
+          val ids = docs.select(col("doc_id")).orderBy("doc_id")
+            .collect().map(_.getLong(0))
+          val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp))
+          try ids.foreach { id =>
+            out.write(graft.fixtures.FixtureBytes.warcRecord(
+              s"http://img/doc/$id", jpeg, warcType = "response"))
+          } finally out.close()
+          java.nio.file.Files.move(tmp.toPath, fixture.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val recs = graft.sources.WarcCorpus.clean(
+            graft.sources.WarcCorpus.read(s, fixture.toString,
+              chunkSize = 16 * 1024))
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+              .cast("long").as("doc_id"),
+            sha2(col("payload"), 256).as("payload_sha256"),
+            col("record_offset"))
+          .withColumn("graft_rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy("record_offset")))
+        val (cfg0, _) = EngineConfig.filterFileTypes(
+          EngineConfig(chunkSize = 256 * 1024, overlap = 4096),
+          Some(Seq("jpeg")), disableZip = false)
+        val cfg = cfg0.copy(fileTypes = cfg0.fileTypes.map(_.copy(minSize = 0)))
+        val run = CarvePipeline.run(s, graft.evidence.RawFileRef(fixture.toString),
+          cfg, "warc-carve", enableStrings = false, enableEntropy = false)
+        val carved = run.carvedFiles.toDF()
+          .filter(col("fileType") === "jpeg" && col("validated"))
+          .select(col("sha256").as("carved_sha256"), col("globalStart"))
+          .withColumn("graft_rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy("globalStart")))
+        recs.join(carved, Seq("graft_rk"))
+          .select(col("doc_id"), col("payload_sha256"),
+            (col("payload_sha256") === col("carved_sha256")).as("carve_match"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |'${graft.fixtures.FixtureBytes.sha256Hex(graft.fixtures.FixtureBytes.jpeg())}' AS payload_sha256,
+              |true AS carve_match
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and

@@ -278,7 +278,7 @@ object IndexIngest {
     // the finally below whatever processBatch does.
     val parsed =
       if (paths.isEmpty) None
-      else Some(graft.sources.WarcCorpus.readMany(spark, paths,
+      else Some(graft.sources.WarcCorpus.readAuto(spark, paths,
         chunkSize = warcChunkSize, maxPayloadBytes = maxPayloadBytes).persist())
     try {
       val docs = parsed match {
@@ -305,19 +305,30 @@ object IndexIngest {
 
   /** Start the streaming archive ingest: `manifest` is a streaming
     * frame whose `pathCol` rows name WARC archives (a file-source over
-    * a manifest drop directory, or any stream of paths).
+    * a manifest drop directory, or any stream of paths). Every
+    * [[processWarcBatch]] knob passes through — the streaming entry
+    * point is NOT locked to the batch API's defaults (a crawl whose
+    * records exceed the default payload cap re-caps HERE, and the ANN
+    * leg wires through `annIndexDir`/`vecCol`/`embed` exactly as in
+    * batch).
     */
   def startWarc(manifest: DataFrame, pathCol: String, idExpr: String,
                 textExpr: String, dedupIndexDir: String,
                 bm25IndexDir: Option[String], checkpoint: String,
                 quarantineDir: Option[String] = None,
                 dropNear: Boolean = true,
-                compactEvery: Int = 0): StreamingQuery =
+                compactEvery: Int = 0,
+                warcChunkSize: Long = 64L * 1024 * 1024,
+                maxPayloadBytes: Int = 4 * 1024 * 1024,
+                annIndexDir: Option[String] = None,
+                vecCol: Option[String] = None,
+                embed: DataFrame => DataFrame = identity): StreamingQuery =
     manifest.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processWarcBatch(batch, batchId, pathCol, idExpr, textExpr,
-          dedupIndexDir, bm25IndexDir, quarantineDir, dropNear, compactEvery)
+          dedupIndexDir, bm25IndexDir, quarantineDir, dropNear, compactEvery,
+          warcChunkSize, maxPayloadBytes, annIndexDir, vecCol, embed)
         ()
       }
       .start()

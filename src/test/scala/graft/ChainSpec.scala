@@ -106,17 +106,23 @@ class ChainSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     archive("a.warc", corpus.take(3).zipWithIndex.map { case (t, i) =>
       record(i.toLong, t) } :+ record(90L, "broken", clen = Some("XX")))
-    archive("b.warc", corpus.drop(3).zipWithIndex.map { case (t, i) =>
-      record(i.toLong + 3L, t) })
+    // archive b ships PER-RECORD-GZIP (.warc.gz — the Common Crawl
+    // layout): the import must route it by magic to the gz plan
+    archive("b.warc.gz", corpus.drop(3).zipWithIndex.map { case (t, i) =>
+      graft.fixtures.FixtureBytes.gzMember(record(i.toLong + 3L, t)) })
+    // a stray non-archive file in the drop is SKIPPED VISIBLY, not
+    // silently imported or silently dropped
+    archive("README.txt", Seq("not an archive".getBytes("UTF-8")))
 
     // 2. import: clean records land typed, the corrupt one quarantines
     val imp = Files.createTempDirectory("graft-warc-imp").toString
-    val (nClean, nBad) = ImportWarc.run(spark, drop.toString, imp)
+    val (nClean, nBad, skipped) = ImportWarc.run(spark, drop.toString, imp)
     assert(nClean === 5L && nBad === 1L)
+    assert(skipped.map(new java.io.File(_).getName) === Seq("README.txt"))
     val docs = spark.read.parquet(s"$imp/documents")
       .selectExpr(
         "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT) AS doc_id",
-        "payload AS text")
+        "payload_text AS text")
     val corpusDir = Files.createTempDirectory("graft-warc-corpus").toString + "/d"
     docs.write.parquet(corpusDir)
 

@@ -973,16 +973,11 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 1L, "ab"), (2L, 0L, "z"), (2L, 1L, "b")))
   }
 
-  test("unigramEncode at the 65,536-piece vocab guard boundary") {
-    import spark.implicits._
-    import graft.llm.TextAnalysis
-    // the full guard-limit vocabulary: 26 single chars (coverage) plus
-    // 65,510 four-char pieces — the size the ≤65,536 contract admits
-    // but the shipped tests only exercised at ≤96. The hazard class is
-    // plan-size/codegen blowup from the map literal, so the assertion
-    // IS that the plan compiles and the encode returns exact rows in
-    // one run (the literal rides as ONE complex-typed Literal, not
-    // per-entry codegen)
+  // the full guard-limit vocabulary: 26 single chars (coverage) plus
+  // 65,510 four-char pieces — the size the ≤65,536 contract admits.
+  // Shared by the canonical AND the sampled encode boundary tests
+  // (both carry the vocab as one typedLit map literal).
+  private def boundaryVocabRows: Seq[(String, Long, Long)] = {
     val chars = ('a' to 'z').map(c => (c.toString, 1L, 4000L))
     val multis = (0 until (65536 - 26)).map { i =>
       val s = new StringBuilder
@@ -990,7 +985,18 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 4).foreach { _ => s.append(('a' + v % 26).toChar); v /= 26 }
       (s.toString, 1L, 500L)
     }
-    val vocab = (chars ++ multis).toDF("piece", "cnt", "cost_micro")
+    chars ++ multis
+  }
+
+  test("unigramEncode at the 65,536-piece vocab guard boundary") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // the size the ≤65,536 contract admits but the shipped tests only
+    // exercised at ≤96. The hazard class is plan-size/codegen blowup
+    // from the map literal, so the assertion IS that the plan compiles
+    // and the encode returns exact rows in one run (the literal rides
+    // as ONE complex-typed Literal, not per-entry codegen)
+    val vocab = boundaryVocabRows.toDF("piece", "cnt", "cost_micro")
     assert(vocab.count() === 65536L)
     // "aaaa" is multi piece i=0; "baaa" is i=1; "az" must fall back to
     // two singles (no 2-char pieces in this vocab)
@@ -1007,9 +1013,42 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pathology would show up as minutes, not seconds
     assert(sec < 120.0, s"boundary encode took $sec s — literal path degraded")
     // one entry past the boundary fails the contract loudly
-    val over = (chars ++ multis :+ (("zzzz9", 1L, 500L))).toDF("piece", "cnt", "cost_micro")
+    val over = (boundaryVocabRows :+ (("zzzz9", 1L, 500L)))
+      .toDF("piece", "cnt", "cost_micro")
     val e = intercept[IllegalArgumentException] {
       TextAnalysis.unigramEncode(docs, "id", "text", over, maxPiece = 4)
+    }
+    assert(e.getMessage.contains("bounded"), s"got $e")
+  }
+
+  test("unigramEncodeSampled at the 65,536-piece vocab guard boundary") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    // same guard, UNTESTED plan class until now: the sampled encoder
+    // carries the vocab through its own typedLit (TextAnalysis:1729)
+    // into the cumulative-weight table + FFBS walk. Assertions: the
+    // plan compiles and runs interactively at the full literal size,
+    // every emitted word reassembles exactly (pieces concat == word),
+    // and the draw is seed-deterministic (two runs, identical rows).
+    val vocab = boundaryVocabRows.toDF("piece", "cnt", "cost_micro")
+    val docs = Seq((1L, "aaaa baaa az")).toDF("id", "text")
+    def run() = TextAnalysis.unigramEncodeSampled(docs, "id", "text",
+        vocab, maxPiece = 4, seed = "bnd")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val t0 = System.nanoTime()
+    val got = run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rebuilt = got.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).mkString).toMap
+    assert(rebuilt === Map(0L -> "aaaa", 1L -> "baaa", 2L -> "az"))
+    assert(sec < 120.0, s"boundary sampled encode took $sec s — literal path degraded")
+    assert(run() === got, "sampled draw must be seed-deterministic")
+    // one entry past the boundary fails the sampled contract loudly too
+    val over = (boundaryVocabRows :+ (("zzzz9", 1L, 500L)))
+      .toDF("piece", "cnt", "cost_micro")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramEncodeSampled(docs, "id", "text", over, maxPiece = 4)
     }
     assert(e.getMessage.contains("bounded"), s"got $e")
   }

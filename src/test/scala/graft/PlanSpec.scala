@@ -994,4 +994,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
     spark.catalog.clearCache()
   }
+
+  test("same-text pair expansion reads ONE cached candidate frame per branch") {
+    // sameTextPairs ends in unionAll(expand(nc==1), expand(nc>1)) —
+    // both branches consume the chunk-pair frame `cp`. Unpersisted,
+    // the whole membership⋈perText → groupBy(collect_list) → chunk-
+    // pair explode subtree executed TWICE (the round-12 q139/q177
+    // 1.4-1.5× regression); the fix persists cp, so each branch must
+    // scan an InMemoryRelation and the collect_list aggregation must
+    // appear NOWHERE outside a cached plan.
+    val df = SparkEntry.queries("q139_jaccard_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.optimizedPlan
+    val cpRels = plan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+        if r.output.exists(_.name == "graft_same") => r
+    }
+    assert(cpRels.size >= 2,
+      s"both union branches must scan the cached chunk-pair frame; " +
+        s"found ${cpRels.size} InMemoryRelation(s) with graft_same")
+    val rogue = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(rogue.isEmpty,
+      "the candidate collect_list aggregation must live behind the cache, " +
+        s"not re-execute per union branch:\n${rogue.mkString("\n")}")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
 }

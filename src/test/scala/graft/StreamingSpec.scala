@@ -448,7 +448,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idExpr = "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)"
     def ingest(paths: Seq[String], batchId: Long) =
       graft.streaming.IndexIngest.processWarcBatch(
-        paths.toDF("path"), batchId, "path", idExpr, "payload",
+        paths.toDF("path"), batchId, "path", idExpr, "decode(payload, 'utf-8')",
         didx, Some(bidx), quarantineDir = Some(qdir), warcChunkSize = 64)
     // batch 0: archive A — 2 clean docs land, the corrupt record
     // quarantines with its archive path
@@ -636,6 +636,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(x => (x._1, x._3)).toSeq
     assert(probe(aidx) === probe(ctrl),
       "post-replay ANN index must equal a single-append build")
+  }
+
+  test("undeletable completed-append fence fails the ANN batch loudly, naming the fence") {
+    import spark.implicits._
+    val (_, didx, aidx, _, _, _) = annFixture("graft-ann-fencefail")
+    val batch = Seq((5L, "crashy vector document body", testVec(5)))
+      .toDF("doc_id", "text", "vec")
+    def run() = graft.streaming.IndexIngest.processBatch(batch, 3L,
+      "doc_id", "text", didx, None, annIndexDir = Some(aidx),
+      vecCol = Some("vec"))
+    // crash after the ANN sub-ledger line → fence up, append COMPLETED
+    spark.conf.set("graft.test.crashPoint", "ann_append_after_ledger")
+    intercept[RuntimeException] { run() }
+    spark.conf.set("graft.test.crashPoint", "")
+    val fence = new java.io.File(aidx, "_graft_compact_pending")
+    assert(fence.isFile, "fence must be up after the crash")
+    // replay against a fence the process cannot delete (filesystem
+    // fault injected — the suite runs with delete rights, so the
+    // failure is simulated by path): the batch must DIE with the
+    // fence-naming error, not swallow it into a silently skipped
+    // clear that leaves every later batch behind a torn-index message
+    sys.props("graft.test.undeletableFence") = fence.getAbsolutePath
+    try {
+      val e = intercept[IllegalStateException] { run() }
+      assert(e.getMessage.contains(fence.getName) &&
+        e.getMessage.contains("COMPLETED"), s"got $e")
+      assert(fence.isFile, "failed clear must leave the fence in place")
+    } finally sys.props -= "graft.test.undeletableFence"
+    // filesystem healthy again: the replay clears the fence and commits
+    val n = run()
+    assert(n === 0L || n === 1L, s"replay committed $n docs")
+    assert(graft.llm.VectorIndex.indexExists(aidx),
+      "healthy replay must clear the stale fence")
   }
 
   test("ANN append crash BEFORE the sub-ledger commit is a detectable stop") {
@@ -984,7 +1017,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.streaming.IndexIngest.processWarcBatch(
       Seq(arc.toString).toDF("path"), ingestBatch, "path",
       "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)",
-      "payload", didx, Some(bidx), dropNear = true, compactEvery = 2,
+      "decode(payload, 'utf-8')", didx, Some(bidx), dropNear = true, compactEvery = 2,
       annIndexDir = Some(aidx), vecCol = Some("vec"),
       embed = b => b.withColumn("vec", vecExpr)) === 1L)
     record(19L -> text(19))

@@ -38,15 +38,24 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     f
   }
 
-  private def rows(f: java.io.File, chunkSize: Long = 64,
-                   maxPayloadBytes: Int = 4 * 1024 * 1024) =
-    WarcCorpus.read(spark, f.toString, chunkSize = chunkSize,
-        maxPayloadBytes = maxPayloadBytes)
-      .orderBy("record_offset")
+  private def decodeRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("record_offset")
       .collect().map(r => (r.getLong(0),
         Option(r.getString(1)).orNull, Option(r.getString(2)).orNull,
         if (r.isNullAt(4)) -1L else r.getLong(4),
-        Option(r.getString(5)).orNull, Option(r.getString(6)).orNull))
+        if (r.isNullAt(5)) null
+        else new String(r.getAs[Array[Byte]](5), StandardCharsets.UTF_8),
+        Option(r.getString(6)).orNull))
+
+  private def rows(f: java.io.File, chunkSize: Long = 64,
+                   maxPayloadBytes: Int = 4 * 1024 * 1024) =
+    decodeRows(WarcCorpus.read(spark, f.toString, chunkSize = chunkSize,
+      maxPayloadBytes = maxPayloadBytes))
+
+  private def gzRows(f: java.io.File, chunkSize: Long = 64,
+                     maxPayloadBytes: Int = 4 * 1024 * 1024) =
+    decodeRows(WarcCorpus.readGz(spark, f.toString, chunkSize = chunkSize,
+      maxPayloadBytes = maxPayloadBytes))
 
   test("round-trips records exactly, across chunk boundaries, parsed once each") {
     val payloads = (0L until 8L).map(i => s"payload $i " + ("x" * i.toInt * 7))
@@ -127,5 +136,134 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length === 2)
     assert(got(0)._5 === tricky)
     assert(got(1)._5 === "after")
+  }
+
+  test("WARC/1.1 parses; other 1.x minors quarantine with an explicit error") {
+    def vrec(id: Long, payload: String, version: String) =
+      graft.fixtures.FixtureBytes.warcRecord(s"http://host$id/doc/$id",
+        payload.getBytes(StandardCharsets.UTF_8), version = version)
+    val bytes = vrec(0L, "one point one", "1.1") ++
+      vrec(1L, "one point two", "1.2") ++
+      vrec(2L, "one point zero", "1.0")
+    val got = rows(writeTemp(bytes))
+    assert(got.length === 3)
+    assert(got(0)._6 == null && got(0)._5 == "one point one")
+    assert(got(1)._6 != null && got(1)._6.contains("unsupported WARC version") &&
+      got(1)._5 == null)
+    // resync works across the unsupported record too
+    assert(got(2)._6 == null && got(2)._5 == "one point zero")
+  }
+
+  test("a non-WARC archive quarantines at offset 0 instead of parsing as zero records") {
+    val junk = writeTemp(("not a warc archive at all " * 8).getBytes("UTF-8"))
+    val g1 = rows(junk)
+    assert(g1.length === 1 && g1.head._1 === 0L &&
+      g1.head._6 != null && g1.head._6.contains("does not begin with a WARC/1.x"))
+    // legacy WARC/0.18 is an unsupported-version shape, not silence
+    val legacy = writeTemp(("WARC/0.18\r\nWARC-Type: response\r\n\r\n" +
+      "body").getBytes("UTF-8"))
+    val g2 = rows(legacy)
+    assert(g2.length === 1 && g2.head._6.contains("does not begin with a WARC/1.x"))
+    // a .warc.gz handed to the plain reader names the right front door
+    val gz = writeTemp(graft.fixtures.FixtureBytes.gzMember(record(0L, "zipped")))
+    val g3 = rows(gz)
+    assert(g3.length === 1 && g3.head._6.contains("use readGz"))
+    // and a plain archive handed to readGz does the same in reverse
+    val g4 = gzRows(writeTemp(record(0L, "plain")))
+    assert(g4.length === 1 && g4.head._6.contains("use read"))
+  }
+
+  test("per-record-gzip archive round-trips, across chunk boundaries") {
+    val payloads = (0L until 8L).map(i => s"payload $i " + ("y" * i.toInt * 11))
+    val members = payloads.zipWithIndex.map { case (p, i) =>
+      graft.fixtures.FixtureBytes.gzMember(record(i.toLong, p)) }
+    val offsets = members.scanLeft(0L)(_ + _.length).dropRight(1)
+    // 96-byte chunks: members straddle boundaries — the ownership
+    // predicate and the cross-chunk member inflate do the work
+    val got = gzRows(writeTemp(members.flatten.toArray), chunkSize = 96)
+    assert(got.length === 8)
+    assert(got.forall(_._6 == null), s"unexpected errors: ${got.toSeq}")
+    assert(got.map(_._5).toSeq === payloads)
+    // record_offset is the member's COMPRESSED start — the refetchable
+    // address in the archive
+    assert(got.map(_._1).toSeq === offsets)
+    // UTF-8 payloads byte-measured, char-decoded, through the inflate
+    val utf = "héllo wörld ✓"
+    val g2 = gzRows(writeTemp(
+      graft.fixtures.FixtureBytes.gzMember(record(0L, utf))), chunkSize = 64)
+    assert(g2.head._5 === utf)
+    assert(g2.head._4 === utf.getBytes(StandardCharsets.UTF_8).length.toLong)
+  }
+
+  test("corrupt gzip member quarantines; the NEXT member still parses") {
+    val members = Seq(
+      graft.fixtures.FixtureBytes.gzMember(record(0L, "good zero")),
+      graft.fixtures.FixtureBytes.gzMember(record(1L, "broken one"), corrupt = true),
+      graft.fixtures.FixtureBytes.gzMember(record(2L, "good two")))
+    val got = gzRows(writeTemp(members.flatten.toArray))
+    assert(got.length === 3, s"got: ${got.toSeq}")
+    assert(got(0)._6 == null && got(0)._5 == "good zero")
+    assert(got(1)._6 != null && got(1)._5 == null,
+      s"corrupt member should quarantine: ${got(1)}")
+    // members are found by magic scan, not length chaining — the
+    // archive resyncs unaided
+    assert(got(2)._6 == null && got(2)._5 == "good two")
+    // a record-level corruption INSIDE a valid member also quarantines
+    val m2 = Seq(
+      graft.fixtures.FixtureBytes.gzMember(record(0L, "fine")),
+      graft.fixtures.FixtureBytes.gzMember(record(1L, "bad len", clen = Some("XX"))))
+    val g2 = gzRows(writeTemp(m2.flatten.toArray))
+    assert(g2.length === 2)
+    assert(g2(0)._6 == null && g2(1)._6 != null &&
+      g2(1)._6.contains("Content-Length"))
+  }
+
+  test("false-positive gzip magic inside member bytes is skipped silently") {
+    // plant the magic inside a payload: after compression it may or may
+    // not survive literally, so plant it in a STORED-looking spot — use
+    // an incompressible payload so deflate emits stored blocks carrying
+    // the literal magic bytes
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill[Byte](600)((rnd.nextInt(256) - 128).toByte)
+    noise(300) = 0x1f.toByte; noise(301) = 0x8b.toByte
+    noise(302) = 0x08.toByte; noise(303) = 0x00.toByte
+    val member = graft.fixtures.FixtureBytes.gzMember(
+      graft.fixtures.FixtureBytes.warcRecord("http://h/doc/0", noise))
+    // the literal magic really is in the compressed stream (stored
+    // block) — otherwise this test exercises nothing
+    assert(member.toSeq.containsSlice(
+      Seq(0x1f, 0x8b, 0x08, 0x00).map(_.toByte)),
+      "fixture: magic not literal in compressed bytes; adjust noise")
+    val got = WarcCorpus.readGz(spark, writeTemp(member).toString, chunkSize = 256)
+      .collect()
+    assert(got.length === 1, s"false positive produced rows: ${got.toSeq}")
+    assert(got.head.isNullAt(6))
+    assert(got.head.getAs[Array[Byte]](5).toSeq === noise.toSeq)
+  }
+
+  test("binary payload bytes round-trip exactly (no UTF-8 mangling)") {
+    // every byte value 0..255 — a response record carrying an image
+    val bin = Array.tabulate[Byte](256)(_.toByte)
+    val rec = graft.fixtures.FixtureBytes.warcRecord(
+      "http://h/img/0", bin, warcType = "response")
+    val plain = WarcCorpus.read(spark, writeTemp(rec).toString).collect()
+    assert(plain.length === 1)
+    assert(plain.head.getAs[Array[Byte]]("payload").toSeq === bin.toSeq)
+    val gz = WarcCorpus.readGz(spark, writeTemp(
+      graft.fixtures.FixtureBytes.gzMember(rec)).toString).collect()
+    assert(gz.length === 1)
+    assert(gz.head.getAs[Array[Byte]]("payload").toSeq === bin.toSeq)
+  }
+
+  test("readAuto routes a mixed drop by magic, one relation") {
+    val plain = writeTemp(record(0L, "plain record") ++ record(1L, "second"))
+    val gz = writeTemp(graft.fixtures.FixtureBytes.gzMember(record(2L, "zipped")) ++
+      graft.fixtures.FixtureBytes.gzMember(record(3L, "zipped too")))
+    val got = WarcCorpus.readAuto(spark, Seq(plain.toString, gz.toString))
+    assert(got.filter("error IS NULL").count() === 4L)
+    assert(got.filter("error IS NOT NULL").count() === 0L)
+    val byArchive = got.groupBy("archive").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byArchive === Map(plain.toString -> 2L, gz.toString -> 2L))
   }
 }
