@@ -324,6 +324,77 @@ object Bench {
       (sec, fixture.length() / (1024.0 * 1024.0) / sec)
     } else (0.0, 0.0)
 
+    // Per-record-gzip WARC parse throughput: the SAME 8,192 records as
+    // warc_parse above but each deflated into its own gzip member (the
+    // Common Crawl layout); the timed region is magic-scan + member-
+    // wise inflate + CRC verify + parse. Reported both ways: MiB/s
+    // over the COMPRESSED archive (the crawl-ops unit) and over the
+    // inflated payload mass (comparable to warc_parse_mibps).
+    val (warcGzSec, warcGzMibps, warcGzInflMibps) = if (!only.exists(_.nonEmpty)) {
+      import org.apache.spark.sql.functions._
+      val nRecs = 8192
+      val payload = ("lorem ipsum dolor sit amet " * 2520).substring(0, 65536)
+      val body = payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val fixture = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-bench-warcgz-v1-$nRecs.warc.gz")
+      if (!fixture.isFile) {
+        val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+        try (0 until nRecs).foreach { i =>
+          out.write(graft.fixtures.FixtureBytes.gzMember(
+            graft.fixtures.FixtureBytes.warcRecord(s"http://bench/doc/$i", body)))
+        } finally out.close()
+        java.nio.file.Files.move(tmp.toPath, fixture.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      var inflated = 0L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val parsed = graft.sources.WarcCorpus.readGz(spark, fixture.toString,
+          chunkSize = 32L * 1024 * 1024)
+        val r = parsed.agg(count(lit(1)), sum(col("content_length"))).head()
+        inflated = r.getLong(1)
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      val sec = Seq(once(), once(), once()).min
+      (sec, fixture.length() / (1024.0 * 1024.0) / sec,
+        inflated / (1024.0 * 1024.0) / sec)
+    } else (0.0, 0.0, 0.0)
+
+    // Production-shape tokenizer cost curve: the oracle chain pins the
+    // unigram trainer/encoder exact at vocabSize=48 and the boundary
+    // spec proves 65,536 compiles — NEITHER measures the real cost
+    // shape. Train an 8k-piece vocab on the corpus, then encode the
+    // corpus with it. Single timed run each: these are multi-second
+    // cost-CURVE anchors (how train/encode scale with vocab), not
+    // noise-floor regression pins, and a best-of-3 would add minutes
+    // of wall clock for no added signal.
+    val (tok8kTrainSec, tok8kEncodeSec) = if (!only.exists(_.nonEmpty)) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val docs = graft.queries.Registry.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      // the collect IS part of the train cost: the artifact a serving
+      // path loads is the materialized piece table
+      val pieces = graft.llm.TextAnalysis.unigramTrainVocab(docs, "text",
+          vocabSize = 8192, maxPiece = 4, iters = 2)
+        .select(col("piece"), col("cnt"), col("cost_micro"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      graft.llm.CacheRegistry.releaseAll(spark)
+      spark.catalog.clearCache()
+      val vocabDf = pieces.toSeq.toDF("piece", "cnt", "cost_micro")
+      val t1 = System.nanoTime()
+      graft.llm.TextAnalysis.unigramEncode(docs, "doc_id", "text", vocabDf,
+        maxPiece = 4, unkCostMicro = Some(20000000L)).count()
+      val encSec = (System.nanoTime() - t1) / 1e9
+      graft.llm.CacheRegistry.releaseAll(spark)
+      spark.catalog.clearCache()
+      (trainSec, encSec)
+    } else (0.0, 0.0)
+
     // Re-rank payoff pair at the PRODUCTION PQ shape (m=16 subspaces,
     // 256-entry codebook — q285 sizes recall over kCand; this measures
     // what the refine stage costs): plain ADC top-5 vs ADC+exact
@@ -415,6 +486,9 @@ object Bench {
       s""""rerank_adc_sec":$rrAdcSec,"rerank_refined_sec":$rrRerankSec,""" +
       s""""skew_sweep_sec":$skewSweepSec,"skew_provenance_sec":$skewProvSec,""" +
       s""""warc_parse_sec":$warcSec,"warc_parse_mibps":$warcMibps,""" +
+      s""""warc_gz_parse_sec":$warcGzSec,"warc_gz_parse_mibps":$warcGzMibps,""" +
+      s""""warc_gz_inflated_mibps":$warcGzInflMibps,""" +
+      s""""tokenizer_8k_train_sec":$tok8kTrainSec,"tokenizer_8k_encode_sec":$tok8kEncodeSec,""" +
       s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Crawl-graph URL canonicalization — the keys a web-scale training
+  * pipeline groups, dedups, and quota-mixes by:
+  *
+  *   - [[host]]: the lowercase authority of an http(s)/ftp URL.
+  *   - [[registeredDomain]]: the "site" key (example.co.uk for
+  *     www.example.co.uk) under a DOCUMENTED public-suffix subset —
+  *     the last two labels, or the last three when the last two are a
+  *     well-known two-level suffix ([[TwoLevelSuffixes]]). The full
+  *     public-suffix list is a mutable external artifact; embedding a
+  *     pinned subset keeps the operator deterministic and
+  *     oracle-replayable, and callers with the full list can pass
+  *     their own suffix set.
+  *   - [[surtHost]]: the SURT-ordered host (org,example,www) — the
+  *     sort key web archives use so a range scan clusters a domain's
+  *     pages together (the same trick as the carve pipeline's
+  *     locality sorts, applied to crawl keys).
+  *
+  * Everything is a pure `Column` chain over codegen'd regex/string
+  * built-ins (ANSI-safe — no positional array access that could throw
+  * on a malformed host), exactly replayable in SQL. At 100 TB these
+  * are narrow per-row expressions inside whole-stage codegen; the
+  * groupings they feed shuffle ONCE on the canonical key instead of
+  * exploding raw URL variants.
+  */
+object UrlOps {
+
+  /** Lowercase host of a scheme://host... URL, NULL when `url` has no
+    * authority (relative links, mailto:, javascript:).
+    */
+  def host(url: Column): Column =
+    lower(nullif(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1), lit("")))
+
+  /** The pinned two-level public-suffix subset [[registeredDomain]]
+    * recognizes (ccTLD second-level registries in wide crawl use).
+    */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr",
+    "co.za", "org.za", "web.za",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "com.tr", "com.tw", "com.hk", "com.sg", "com.my",
+    "co.nz", "org.nz", "net.nz",
+    "co.th", "or.th", "ac.th",
+    "co.id", "or.id", "ac.id")
+
+  /** Registered domain ("site") of a lowercase host, under `suffixes`
+    * (default [[TwoLevelSuffixes]]). A dotless host (localhost, an IP
+    * fragment) is its own site; NULL host stays NULL.
+    */
+  def registeredDomain(host: Column,
+      suffixes: Seq[String] = TwoLevelSuffixes): Column = {
+    // pure regex tail-grabs — no positional array access, so a
+    // malformed host can never throw under ANSI mode
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(host.isNull, lit(null))
+      .when(last2 === "", host) // dotless
+      .when(last3 =!= "" && last2.isin(suffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** SURT-ordered host: labels reversed, comma-joined
+    * (www.example.org → org,example,www).
+    */
+  def surtHost(host: Column): Column =
+    array_join(reverse(split(host, "\\.")), ",")
+
+  /** All href targets of `<a>` tags in an HTML column, in document
+    * order double-quoted first then single-quoted (RE2-compatible
+    * two-pass harvest — backreference-free, so the same two patterns
+    * replay in any regex engine). Unquoted hrefs (rare, invalid
+    * HTML5 for URLs with delimiters anyway) are not harvested —
+    * documented extraction semantics, not a DOM walk.
+    */
+  def extractLinks(html: Column): Column = concat(
+    regexp_extract_all(html, lit("(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+    regexp_extract_all(html, lit("(?is)<a\\s[^>]*href\\s*=\\s*'([^']*)'"), lit(1)))
+
+  /** DuckDB replay of [[registeredDomain]] over SQL expression `host`
+    * — shares [[TwoLevelSuffixes]] with the Spark side so the two can
+    * never drift.
+    */
+  def registeredDomainSql(host: String,
+      suffixes: Seq[String] = TwoLevelSuffixes): String = {
+    val inList = suffixes.map(s => s"'$s'").mkString(", ")
+    s"""CASE
+       |  WHEN $host IS NULL THEN NULL
+       |  WHEN regexp_extract($host, '([^.]+\\.[^.]+)$$', 1) = '' THEN $host
+       |  WHEN regexp_extract($host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+       |       AND regexp_extract($host, '([^.]+\\.[^.]+)$$', 1) IN ($inList)
+       |    THEN regexp_extract($host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+       |  ELSE regexp_extract($host, '([^.]+\\.[^.]+)$$', 1)
+       |END""".stripMargin
+  }
+}

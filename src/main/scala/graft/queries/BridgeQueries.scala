@@ -581,6 +581,131 @@ object BridgeQueries {
               |true AS carve_match
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Outlink graph (crawl-frontier extraction): each doc rendered
+    // as a page with four <a> tags IN-PLAN — two absolute (a .com and
+    // a cdn.*.co.uk), one relative, one mailto — plus one
+    // single-quoted href. extractLinks harvests both quote forms,
+    // host() nulls the non-authority links, registeredDomain folds
+    // subdomains onto the site key (the public-suffix-aware "group by
+    // site" every crawl mix/quota step needs). The two-level-suffix
+    // branch is exercised by the cdn.*.co.uk link.
+    "q298_outlink_domains" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val html = concat(
+          lit("<html><body><p>intro</p><a href=\"https://www."),
+          col("source"), lit(".com/a/"), col("doc_id").cast("string"),
+          lit("\">one</a><a class=\"m\" href=\"http://cdn."),
+          col("source"), lit(".co.uk/img/"), col("doc_id").cast("string"),
+          lit("\">two</a><a href=\"mailto:x@y.example\">m</a><a href='/rel/"),
+          col("doc_id").cast("string"), lit("'>rel</a></body></html>"))
+        val links = docs.select(col("doc_id"),
+            explode(graft.llm.UrlOps.extractLinks(html)).as("link"))
+          .withColumn("graft_host", graft.llm.UrlOps.host(col("link")))
+          .filter(col("graft_host").isNotNull)
+        links.select(col("doc_id"),
+            graft.llm.UrlOps.registeredDomain(col("graft_host")).as("domain"))
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("domain")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source,
+              |  '<html><body><p>intro</p><a href="https://www.' || source
+              |  || '.com/a/' || CAST(doc_id AS VARCHAR)
+              |  || '">one</a><a class="m" href="http://cdn.' || source
+              |  || '.co.uk/img/' || CAST(doc_id AS VARCHAR)
+              |  || '">two</a><a href="mailto:x@y.example">m</a><a href=' || chr(39)
+              |  || '/rel/' || CAST(doc_id AS VARCHAR) || chr(39)
+              |  || '>rel</a></body></html>' AS html
+              |  FROM documents),
+              |l AS (SELECT doc_id, unnest(list_concat(
+              |  regexp_extract_all(html, '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"', 1),
+              |  regexp_extract_all(html, '(?is)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)))
+              |  AS link FROM h),
+              |ho AS (SELECT doc_id, lower(nullif(regexp_extract(link,
+              |  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1), '')) AS host FROM l),
+              |d AS (SELECT doc_id,
+              |  ${graft.llm.UrlOps.registeredDomainSql("host")} AS domain
+              |  FROM ho WHERE host IS NOT NULL)
+              |SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |FROM d GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // ---- URL canonical keys (SURT + registered domain): per-doc URLs
+    // with rotating subdomain depth and TLD family, canonicalized to
+    // the keys archives sort by (SURT host) and pipelines group by
+    // (registered domain). Pure codegen'd regex/string chains — the
+    // oracle replays label reversal and the pinned suffix subset
+    // verbatim.
+    "q299_surt_keys" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("www."))
+            .when(col("doc_id") % 3 === 1, lit("sub.news."))
+            .otherwise(lit("")),
+          col("source"),
+          when(col("doc_id") % 2 === 0, lit(".co.uk")).otherwise(lit(".org")),
+          lit("/p/"), col("doc_id").cast("string"))
+        val host = graft.llm.UrlOps.host(url)
+        docs.select(col("doc_id"),
+            host.as("host"),
+            graft.llm.UrlOps.registeredDomain(host).as("registered_domain"),
+            graft.llm.UrlOps.surtHost(host).as("surt_host"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+              |  'https://' || CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'www.'
+              |    WHEN 1 THEN 'sub.news.' ELSE '' END || source
+              |  || CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.org' END
+              |  || '/p/' || CAST(doc_id AS VARCHAR) AS url
+              |  FROM documents),
+              |ho AS (SELECT doc_id, lower(nullif(regexp_extract(url,
+              |  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1), '')) AS host FROM u)
+              |SELECT doc_id, host,
+              |  ${graft.llm.UrlOps.registeredDomainSql("host")} AS registered_domain,
+              |  array_to_string(list_reverse(string_split(host, '.')), ',') AS surt_host
+              |FROM ho ORDER BY doc_id""".stripMargin)),
+
+    // ---- WET export round-trip (the WRITE side of the crawl front
+    // door): the documents table exports as a per-record-gzip WET drop
+    // (WarcCorpus.write — one archive per partition, staged atomic
+    // renames, one reused deflater per task) and reads back through
+    // the chunked magic-scan reader byte-identical. Curate →
+    // interchange → re-ingest, the full loop.
+    "q300_wet_export_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id", "text")
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-wetexp-v1-$tag")
+        if (!fixture.isDirectory) {
+          // stage-then-rename: a killed earlier run can only leave a
+          // stage dir behind, never a partial fixture the reader
+          // would trust
+          val stage = new java.io.File(fixture.getParentFile,
+            fixture.getName + "." + java.util.UUID.randomUUID + ".stage")
+          graft.sources.WarcCorpus.write(
+            docs.select(concat(lit("http://corpus/doc/"),
+                col("doc_id").cast("string")).as("uri"), col("text")),
+            stage.toString, "uri", "text", idCol = None)
+          try java.nio.file.Files.move(stage.toPath, fixture.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+        val files = Option(fixture.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".warc.gz")).map(_.toString).toSeq.sorted
+        val back = graft.sources.WarcCorpus.text(
+          graft.sources.WarcCorpus.readGzMany(s, files))
+        graft.sources.WarcCorpus.clean(back)
+          .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+            col("payload_text").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

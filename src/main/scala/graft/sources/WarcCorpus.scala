@@ -238,6 +238,124 @@ object WarcCorpus {
     } finally in.close()
   }
 
+  /** Serialize one record under the ISO 28500 framing the readers
+    * parse: version line, typed headers, Content-Length, CRLFCRLF,
+    * payload, CRLFCRLF.
+    */
+  private[sources] def serializeRecord(uri: String, payload: Array[Byte],
+      warcType: String, recordId: Option[String]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    sb.append(s"WARC-Target-URI: $uri\r\n")
+    recordId.foreach(r => sb.append(s"WARC-Record-ID: $r\r\n"))
+    sb.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    val head = sb.toString.getBytes(StandardCharsets.UTF_8)
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Export a corpus AS a WARC drop — the write side of the crawl
+    * front door (WET-style interchange: curate here, hand the drop to
+    * any ISO 28500 consumer; [[readGzMany]]/[[readMany]] round-trip
+    * it). One archive file per non-empty partition
+    * (`part-NNNNN.warc[.gz]` under `outDir`), written task-side via
+    * stage-then-atomic-rename so a killed task never leaves a
+    * half-archive a reader would quarantine-spray over. With
+    * `gz = true` (default) each record is its own gzip MEMBER — the
+    * Common Crawl layout, so exports re-read with the same chunked
+    * magic scan at any scale. Returns the record count written.
+    *
+    * `uriCol` → WARC-Target-URI (cast to string); `payloadCol` →
+    * the record body (binary or string — strings serialize as UTF-8);
+    * `idCol` (optional) → WARC-Record-ID, angle-bracketed if the
+    * value isn't already.
+    */
+  def write(df: DataFrame, outDir: String, uriCol: String,
+            payloadCol: String, idCol: Option[String] = None,
+            warcType: String = "conversion", gz: Boolean = true): Long = {
+    val dir = new java.io.File(outDir)
+    dir.mkdirs()
+    require(dir.isDirectory, s"cannot create export dir $outDir")
+    val cols = Seq(col(uriCol).cast("string"), col(payloadCol).cast("binary")) ++
+      idCol.map(c => col(c).cast("string"))
+    val ext = if (gz) ".warc.gz" else ".warc"
+    val counts = df.select(cols: _*).rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val name = f"part-$pid%05d$ext"
+        // unique staging name: a speculative twin or a retried attempt
+        // stages separately and the LAST atomic move wins whole
+        val tmp = new java.io.File(dir,
+          s".$name.${java.util.UUID.randomUUID}.tmp")
+        val fileOut = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(tmp))
+        // ONE Deflater reused across members — a GZIPOutputStream per
+        // record would hold a native zlib stream until GC (a
+        // million-record task = a million un-ended deflaters)
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val dBuf = new Array[Byte](64 * 1024)
+        var n = 0L
+        try {
+          it.foreach { r =>
+            val uri = r.getString(0)
+            val payload = r.getAs[Array[Byte]](1)
+            require(uri != null && payload != null,
+              "WARC export rows need non-null uri and payload")
+            val rid = if (r.size > 2 && !r.isNullAt(2)) {
+              val v = r.getString(2)
+              Some(if (v.startsWith("<")) v else s"<$v>")
+            } else None
+            val rec = serializeRecord(uri, payload, warcType, rid)
+            if (gz) writeGzMember(fileOut, rec, deflater, dBuf)
+            else fileOut.write(rec)
+            n += 1L
+          }
+          fileOut.flush()
+        } finally {
+          deflater.end()
+          fileOut.close()
+        }
+        java.nio.file.Files.move(tmp.toPath,
+          new java.io.File(dir, name).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Iterator.single(n)
+      }
+    }
+    counts.fold(0L)(_ + _)
+  }
+
+  /** Write one gzip member (fixed 10-byte header with zero MTIME/XFL/
+    * OS — byte-deterministic — then the deflate stream, then the
+    * CRC32+ISIZE trailer the reader verifies). The deflater is
+    * caller-owned and reset per member.
+    */
+  private def writeGzMember(out: java.io.OutputStream, rec: Array[Byte],
+      d: java.util.zip.Deflater, buf: Array[Byte]): Unit = {
+    out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    d.reset()
+    d.setInput(rec)
+    d.finish()
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    val crc = new java.util.zip.CRC32
+    crc.update(rec)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue)
+    le32(rec.length.toLong & 0xffffffffL)
+  }
+
   /** Parseable records only. */
   def clean(parsed: DataFrame): DataFrame = parsed.filter(col("error").isNull)
 

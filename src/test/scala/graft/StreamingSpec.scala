@@ -436,15 +436,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       try recs.foreach(out.write) finally out.close()
       f.toString
     }
-    // archive A: two clean docs + one corrupt record; archive B: one
-    // new doc + an exact copy of doc 11's text under a new id
+    // archive A: two clean docs + one corrupt record; archive B
+    // (PER-RECORD-GZIP — processWarcBatch must route it by magic, not
+    // name): one new doc + an exact copy of doc 11's text under a new
+    // id
     val a = archive("a.warc",
       record(10L, "seven eight nine ten eleven twelve"),
       record(11L, "unique sentence appears here right now"),
       record(12L, "broken record body", clen = Some("XX")))
-    val b = archive("b.warc",
-      record(13L, "thirteen fresh words never seen before"),
-      record(14L, "unique sentence appears here right now"))
+    val b = archive("b.wgz", // deliberately NOT named .warc.gz
+      graft.fixtures.FixtureBytes.gzMember(
+        record(13L, "thirteen fresh words never seen before")),
+      graft.fixtures.FixtureBytes.gzMember(
+        record(14L, "unique sentence appears here right now")))
     val idExpr = "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)"
     def ingest(paths: Seq[String], batchId: Long) =
       graft.streaming.IndexIngest.processWarcBatch(

@@ -255,6 +255,49 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gz.head.getAs[Array[Byte]]("payload").toSeq === bin.toSeq)
   }
 
+  test("write exports .warc.gz and .warc drops that round-trip through the readers") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i =>
+      (i, s"http://h/doc/$i", s"text body $i " + ("w" * (i % 7).toInt)))
+      .toDF("id", "uri", "text")
+    val expect = docs.collect()
+      .map(r => (r.getString(1), r.getString(2), s"<${r.getLong(0)}>")).sortBy(_._1).toSeq
+    def readBack(dir: String, ext: String) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(ext)).map(_.toString).toSeq.sorted
+      assert(files.nonEmpty && files.size <= 3,
+        s"one archive per non-empty partition, got $files")
+      val parsed = WarcCorpus.text(
+        if (ext == ".warc.gz") WarcCorpus.readGzMany(spark, files)
+        else WarcCorpus.readMany(spark, files))
+      assert(parsed.filter("error IS NOT NULL").count() === 0L)
+      assert(parsed.select("warc_type").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("conversion"))
+      parsed.select("target_uri", "payload_text", "record_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    }
+    // gz form (the Common Crawl layout)
+    val outGz = java.nio.file.Files.createTempDirectory("graft-wexp-gz").toString
+    assert(WarcCorpus.write(docs.repartition(3), outGz, "uri", "text",
+      idCol = Some("id")) === 20L)
+    assert(readBack(outGz, ".warc.gz") === expect)
+    // plain form
+    val outPl = java.nio.file.Files.createTempDirectory("graft-wexp-pl").toString
+    assert(WarcCorpus.write(docs.repartition(3), outPl, "uri", "text",
+      idCol = Some("id"), gz = false) === 20L)
+    assert(readBack(outPl, ".warc") === expect)
+    // binary payloads export byte-exact (every byte value)
+    val bin = Array.tabulate[Byte](256)(_.toByte)
+    val bdf = Seq(("http://h/bin/0", bin)).toDF("uri", "payload")
+    val outB = java.nio.file.Files.createTempDirectory("graft-wexp-bin").toString
+    assert(WarcCorpus.write(bdf, outB, "uri", "payload",
+      warcType = "resource") === 1L)
+    val b = WarcCorpus.readGzMany(spark, new java.io.File(outB).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.toString).toSeq).collect()
+    assert(b.length === 1 && b.head.getAs[String]("warc_type") === "resource")
+    assert(b.head.getAs[Array[Byte]]("payload").toSeq === bin.toSeq)
+  }
+
   test("readAuto routes a mixed drop by magic, one relation") {
     val plain = writeTemp(record(0L, "plain record") ++ record(1L, "second"))
     val gz = writeTemp(graft.fixtures.FixtureBytes.gzMember(record(2L, "zipped")) ++
