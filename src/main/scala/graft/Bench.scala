@@ -333,10 +333,16 @@ object Bench {
     val (warcGzSec, warcGzMibps, warcGzInflMibps) = if (!only.exists(_.nonEmpty)) {
       import org.apache.spark.sql.functions._
       val nRecs = 8192
-      val payload = ("lorem ipsum dolor sit amet " * 2520).substring(0, 65536)
-      val body = payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      // half repeated text, half seeded-PRNG bytes → the member
+      // deflates ~2x, a realistic crawl ratio (pure lorem compresses
+      // 260x and turns the compressed-MiB/s anchor into noise)
+      val lorem = ("lorem ipsum dolor sit amet " * 1260).substring(0, 32768)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val noise = new Array[Byte](32768)
+      new java.util.Random(20260816L).nextBytes(noise)
+      val body = lorem ++ noise
       val fixture = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft-bench-warcgz-v1-$nRecs.warc.gz")
+        sys.props("java.io.tmpdir"), s"graft-bench-warcgz-v2-$nRecs.warc.gz")
       if (!fixture.isFile) {
         val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
         val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))

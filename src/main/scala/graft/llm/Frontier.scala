@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl frontier — the persisted SEEN-URL set that closes the crawl
+  * loop: fetch → parse ([[graft.sources.WarcCorpus]]) → extract
+  * outlinks ([[UrlOps.extractLinks]]) → probe here → the unseen URLs
+  * become the next fetch manifest, and the frontier grows by exactly
+  * those URLs. The fourth instantiation of the [[PersistedIndex]]
+  * lifecycle (manifest + fence + fsync'd ledger + crash points), so a
+  * crawling stream gets the same crash-window guarantees as the
+  * dedup/BM25/ANN ingest triangle.
+  *
+  * Keys are two 60-bit halves of the URL's md5 (`k1`,`k2` — the
+  * [[Dedup]] canonical-text key trick: BIGINT join keys, no 32-char
+  * string shuffles, collision odds ≈ 2⁻¹²⁰ · |pairs|). The key table
+  * is bucketed by `k1` so growth stays co-located (appends add one
+  * file per bucket; [[compactFrontier]] merges and dedups them).
+  *
+  * Scale shape: probes and appends are BATCH-bounded (one crawl
+  * round's outlinks), the frontier is CORPUS-sized. [[probeNew]]
+  * therefore scans the frontier ONCE with the probe keys broadcast
+  * (inner join → the seen subset, itself probe-bounded), then
+  * anti-joins the batch against that small seen set — the frontier is
+  * never shuffled, never collected, never rebuilt per batch.
+  */
+object Frontier extends PersistedIndex {
+  override protected def manifestName: String = "_graft_frontier_manifest"
+  override protected def indexVersion: Int = 1
+  override protected def pendingName: String = "_graft_frontier_pending"
+  override protected def indexKind: String = "crawl frontier"
+  override protected def buildHint: String = "run Frontier.buildFrontier first"
+
+  /** The (k1, k2) BIGINT key pair of a URL column. */
+  def urlKeys(url: Column): (Column, Column) = {
+    val h = md5(url)
+    (conv(substring(h, 1, 15), 16, 10).cast("long"),
+      conv(substring(h, 16, 15), 16, 10).cast("long"))
+  }
+
+  private def keyed(df: DataFrame, urlCol: String): DataFrame = {
+    val (k1, k2) = urlKeys(col(urlCol))
+    df.withColumn("graft_k1", k1).withColumn("graft_k2", k2)
+  }
+
+  private def keysName(dir: String): String =
+    s"graft_frontier_${tableTag(dir)}_keys"
+
+  /** Persist the frontier from the already-seen URL set (the crawl's
+    * seed list, or every URL a historical corpus holds).
+    */
+  def buildFrontier(df: DataFrame, urlCol: String, frontierDir: String,
+                    numBuckets: Int = 64): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    graft.sources.BucketedWarehouse.writeBucketedPath(
+      keyed(df, urlCol).select(col("graft_k1"), col("graft_k2")).distinct(),
+      keysName(frontierDir), s"$frontierDir/keys", Seq("graft_k1"), numBuckets)
+    writeManifest(frontierDir, Seq("numBuckets" -> numBuckets.toString))
+  }
+
+  /** Re-attach the bucketed key table in this session (a fresh session
+    * re-registers the same external bucket spec) and return its frame.
+    */
+  private def openKeys(spark: SparkSession, frontierDir: String): DataFrame = {
+    val nb = readManifestProps(frontierDir).getProperty("numBuckets").toInt
+    require(indexExists(frontierDir),
+      s"$indexKind at $frontierDir has an interrupted mutation — rebuild it")
+    graft.sources.BucketedWarehouse.registerExternal(spark,
+      keysName(frontierDir), s"$frontierDir/keys",
+      "`graft_k1` BIGINT, `graft_k2` BIGINT", Seq("graft_k1"), nb)
+    spark.read.parquet(s"$frontierDir/keys")
+  }
+
+  /** The rows of `df` whose `urlCol` the frontier has NOT seen.
+    * Batch-bounded both ways: the frontier scans once against the
+    * broadcast probe keys; the resulting seen subset (≤ probe size)
+    * broadcasts back against the batch.
+    */
+  def probeNew(df: DataFrame, urlCol: String, frontierDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val probed = keyed(df, urlCol)
+    val probeKeys = probed.select(col("graft_k1"), col("graft_k2")).distinct()
+    val seen = openKeys(spark, frontierDir)
+      .join(broadcast(probeKeys), Seq("graft_k1", "graft_k2"))
+      .select(col("graft_k1"), col("graft_k2")).distinct()
+    probed.join(broadcast(seen), Seq("graft_k1", "graft_k2"), "left_anti")
+      .drop("graft_k1", "graft_k2")
+  }
+
+  /** Mark a batch of URLs seen — fenced, and with
+    * `commitLedger = Some((ledgerFile, batchId))` committed under the
+    * data → fsync'd ledger line → fence clear ordering, so a replayed
+    * micro-batch never re-appends (the [[PersistedIndex]] streaming
+    * contract; `clearCompletedAppendFence` clears the stale fence a
+    * post-ledger crash leaves). Keys append one file per bucket;
+    * duplicate keys across appends are harmless to probes (membership
+    * is membership) and [[compactFrontier]] dedups them physically.
+    */
+  def appendToFrontier(df: DataFrame, urlCol: String, frontierDir: String,
+      commitLedger: Option[(java.io.File, Long)] = None): Unit = {
+    val spark = df.sparkSession
+    // register + fence-check BEFORE mutating (openKeys also refuses a
+    // torn frontier, so an append cannot stack on an interrupted one)
+    openKeys(spark, frontierDir)
+    val nb = readManifestProps(frontierDir).getProperty("numBuckets").toInt
+    requireNoFence(frontierDir, "append")
+    raiseFence(frontierDir, commitLedger.map(_._2.toString).getOrElse(""))
+    graft.sources.BucketedWarehouse.appendBucketedPath(
+      keyed(df, urlCol).select(col("graft_k1"), col("graft_k2")).distinct(),
+      keysName(frontierDir), s"$frontierDir/keys", Seq("graft_k1"), nb)
+    crashPoint(spark, "frontier_append_before_ledger")
+    commitLedger.foreach { case (ledger, batchId) =>
+      appendLineSync(ledger, batchId) }
+    crashPoint(spark, "frontier_append_after_ledger")
+    clearFence(frontierDir)
+  }
+
+  /** Physically merge + dedup the key buckets (one file per bucket
+    * after; probe answers identical — spec-pinned).
+    */
+  def compactFrontier(spark: SparkSession, frontierDir: String): Unit = {
+    openKeys(spark, frontierDir)
+    val nb = readManifestProps(frontierDir).getProperty("numBuckets").toInt
+    requireNoFence(frontierDir, "append/compact")
+    raiseFence(frontierDir, "")
+    graft.sources.BucketedWarehouse.rewriteBucketedPath(
+      spark.read.parquet(s"$frontierDir/keys").distinct(),
+      spark, keysName(frontierDir), s"$frontierDir/keys",
+      Seq("graft_k1"), nb)
+    clearFence(frontierDir)
+  }
+}

@@ -706,6 +706,53 @@ object BridgeQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // ---- Crawl-frontier membership (graft.llm.Frontier — the
+    // persisted seen-URL set that closes the crawl loop): phase 1
+    // probes the full URL corpus against a frontier seeded with the
+    // %3==0 urls (news = the other two thirds); phase 2 probes after a
+    // FENCED, bucketed append of the %3==1 urls (news = the last
+    // third). Fixture frontiers cache in /tmp keyed by corpus content;
+    // a torn cached index (interrupted append) reads as absent via the
+    // lifecycle manifest/fence rules and rebuilds.
+    "q301_frontier_discovery" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id", "source")
+        val urlOf = concat(lit("https://"), col("source"), lit("/d/"),
+          col("doc_id").cast("string"))
+        val urls = docs.select(col("doc_id"), urlOf.as("url"))
+        def ensure(fdir: java.io.File, appendPhase2: Boolean): String = {
+          if (!graft.llm.Frontier.indexExists(fdir.toString)) {
+            def rmr(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+              f.delete()
+            }
+            rmr(fdir)
+            graft.llm.Frontier.buildFrontier(
+              urls.filter(col("doc_id") % 3 === 0), "url", fdir.toString,
+              numBuckets = 4)
+            if (appendPhase2)
+              graft.llm.Frontier.appendToFrontier(
+                urls.filter(col("doc_id") % 3 === 1), "url", fdir.toString)
+          }
+          fdir.toString
+        }
+        val f1 = ensure(new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-frontier1-v1-$tag"), false)
+        val f2 = ensure(new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-frontier2-v1-$tag"), true)
+        val p1 = graft.llm.Frontier.probeNew(urls, "url", f1)
+          .select(lit("p1").as("phase"), col("doc_id"))
+        val p2 = graft.llm.Frontier.probeNew(urls, "url", f2)
+          .select(lit("p2").as("phase"), col("doc_id"))
+        p1.unionAll(p2).orderBy("phase", "doc_id")
+      },
+      Some("""SELECT phase, doc_id FROM (
+             |  SELECT 'p1' AS phase, doc_id FROM documents WHERE doc_id % 3 <> 0
+             |  UNION ALL
+             |  SELECT 'p2', doc_id FROM documents WHERE doc_id % 3 = 2) t
+             |ORDER BY phase, doc_id""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

@@ -179,8 +179,18 @@ object WarcCorpus {
     val rows = scanChunks(spark, paths, chunkSize, GzMagic.length.toLong) {
       (reader, archive, alen, start, vlen, buf, got) =>
         val members = gzMemberOffsets(buf, got).filter(_ < vlen)
-        val recs = members.iterator.flatMap(local => parseGzMember(
-          reader, alen, start + local, maxHeaderBytes, maxPayloadBytes, archive))
+        val recs = members.iterator.flatMap { local =>
+          val r = parseGzMember(reader, alen, start + local,
+            maxHeaderBytes, maxPayloadBytes, archive)
+          // a skipped FIRST member is not a false positive — byte 0 of
+          // a .warc.gz IS a member, so a header/stream too damaged to
+          // even look like a record still surfaces (the zero-records
+          // silence rule, gz edition)
+          if (r.isEmpty && start + local == 0L)
+            Some(Row(0L, null, null, null, null, null,
+              "gzip member at offset 0 is truncated or corrupt", archive))
+          else r
+        }
         if (start == 0L && !members.headOption.contains(0L))
           Iterator.single(Row(0L, null, null, null, null, null,
             if (got >= AnchorPrefix.length &&

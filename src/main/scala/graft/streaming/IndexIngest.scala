@@ -333,6 +333,76 @@ object IndexIngest {
       }
       .start()
 
+  private val FrontierLedgerName = "_graft_frontier_ledger"
+
+  /** Process one crawl-DISCOVERY micro-batch: `batch` carries fetched
+    * pages (`urlCol` = the page's own URL, `htmlCol` = its extracted
+    * or raw HTML text); outlinks harvest via
+    * [[graft.llm.UrlOps.extractLinks]], canonicalize to absolute
+    * http(s) URLs, probe the persisted [[graft.llm.Frontier]], and the
+    * UNSEEN ones (a) land as the next fetch manifest under
+    * `outManifestDir`/batch_id=N (overwritten on replay, the
+    * quarantine-write pattern) and (b) append to the frontier under
+    * the data → fsync'd ledger → fence-clear ordering — so a crashed
+    * and replayed batch neither loses nor double-emits frontier URLs.
+    * The page's own URL is marked seen too (a page that links to
+    * itself must not re-enter the fetch queue). Returns the count of
+    * newly discovered URLs, or -1 on a replayed batch.
+    *
+    * This closes the crawl loop: WARC parse → [[processWarcBatch]]
+    * (dedup + index the content) and THIS (grow the frontier + emit
+    * the next manifest) are the two consumers of the same parsed
+    * batch.
+    */
+  def processDiscoveryBatch(batch: DataFrame, batchId: Long, urlCol: String,
+                            htmlCol: String, frontierDir: String,
+                            outManifestDir: Option[String] = None): Long = {
+    val spark = batch.sparkSession
+    val ledger = new java.io.File(frontierDir, FrontierLedgerName)
+    if (committedIds(ledger).contains(batchId)) {
+      // replay of a batch that crashed AFTER its ledger line: the
+      // append provably completed — clear the stale fence so later
+      // batches can probe, then skip the work
+      graft.llm.Frontier.clearCompletedAppendFence(frontierDir, batchId)
+      return -1L
+    }
+    graft.llm.CacheRegistry.scoped(spark) {
+      val pages = batch.select(col(urlCol).cast("string").as("graft_u"),
+        col(htmlCol).cast("string").as("graft_h"))
+      val links = pages.select(explode(
+          graft.llm.UrlOps.extractLinks(col("graft_h"))).as("url"))
+        .filter(graft.llm.UrlOps.host(col("url")).isNotNull)
+        .unionByName(pages.select(col("graft_u").as("url")))
+        .distinct()
+      val fresh = graft.llm.CacheRegistry.persist(
+        graft.llm.Frontier.probeNew(links, "url", frontierDir))
+      // manifest BEFORE the ledger commit (replays refresh their own
+      // rows); only genuinely-new urls are worth fetching
+      outManifestDir.foreach { od =>
+        fresh.write.mode("overwrite").parquet(s"$od/batch_id=$batchId")
+      }
+      val n = fresh.count()
+      graft.llm.Frontier.appendToFrontier(fresh, "url", frontierDir,
+        commitLedger = Some((ledger, batchId)))
+      n
+    }
+  }
+
+  /** Start the streaming discovery loop over a stream of fetched
+    * pages.
+    */
+  def startDiscovery(pages: DataFrame, urlCol: String, htmlCol: String,
+                     frontierDir: String, checkpoint: String,
+                     outManifestDir: Option[String] = None): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDiscoveryBatch(batch, batchId, urlCol, htmlCol,
+          frontierDir, outManifestDir)
+        ()
+      }
+      .start()
+
   private val DeleteLedgerName = "_graft_takedown_ledger"
 
   /** Process one TAKEDOWN micro-batch — the delete-side twin of

@@ -160,6 +160,51 @@ class ChainSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("WARC responses → httpBody → htmlToText → gopherReport (raw-crawl quality chain)") {
+    import spark.implicits._
+    import graft.sources.WarcCorpus
+    // raw crawl captures: HTTP response messages wrapping HTML — the
+    // shape a real (non-WET) WARC delivers. Doc 4 is a 404 the chain
+    // must drop BEFORE the quality battery sees it.
+    val texts = Seq(
+      (1L, "srca", "the quick brown fox jumps over the lazy dog and keeps running onward"),
+      (2L, "srca", "!!! ### $$$"),
+      (3L, "srcb", "one two three four five six seven eight nine ten eleven twelve"))
+    val notFound = (4L, "srcb", "page gone")
+    val drop = Files.createTempDirectory("graft-respchain").toFile
+    val arc = new java.io.File(drop, "r.warc.gz")
+    val out = new java.io.FileOutputStream(arc)
+    try (texts :+ notFound).foreach { case (id, src, t) =>
+      val st = if (id == 4L) 404 else 200
+      val msg = s"HTTP/1.1 $st X\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><body><p>$t</p></body></html>"
+      out.write(graft.fixtures.FixtureBytes.gzMember(
+        graft.fixtures.FixtureBytes.warcRecord(s"http://$src/doc/$id",
+          msg.getBytes("UTF-8"), warcType = "response")))
+    } finally out.close()
+    val msg = WarcCorpus.payloadText
+    val extracted = WarcCorpus.clean(WarcCorpus.readGz(spark, arc.toString))
+      .filter(graft.llm.Html.httpStatus(msg) === 200)
+      .select(
+        expr("CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)")
+          .as("doc_id"),
+        expr("regexp_extract(target_uri, '^http://([^/]+)/', 1)").as("source"),
+        graft.llm.Html.htmlToText(graft.llm.Html.httpBody(msg)).as("text"))
+    // the extraction is EXACT here: the wrapper tags become whitespace
+    // and collapse away, so the chained corpus equals the original
+    val got = extracted.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === texts)
+    // the quality battery runs UNCHANGED on the extracted corpus and
+    // reports exactly what it reports on the in-memory original — the
+    // upstream q111-q113 machinery now has raw crawl data to eat
+    def report(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Curation.gopherReport(df, "doc_id", "source", "text",
+          minWords = 10L)
+        .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(report(extracted) === report(texts.toDF("doc_id", "source", "text")))
+  }
+
   test("ImportJsonl → Quality gate → SnapshotMaintainer → Diff (write-audit-publish)") {
     import spark.implicits._
     // 1. a JSONL drop with one malformed line

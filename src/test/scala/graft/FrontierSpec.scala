@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The crawl frontier (fourth PersistedIndex instantiation): build /
+  * probe / fenced+ledgered append / replay idempotence / crash windows
+  * on both sides of the ledger line / compaction equivalence, plus the
+  * streaming discovery batch that closes the crawl loop.
+  */
+class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-frontier-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import graft.llm.Frontier
+
+  private def urls(ids: Long*) = {
+    import spark.implicits._
+    ids.map(i => s"https://site$i.example/p/$i").toDF("url")
+  }
+
+  private def probeIds(dir: String, ids: Seq[Long]): Set[Long] =
+    Frontier.probeNew(urls(ids: _*), "url", dir)
+      .collect().map(_.getString(0)).map(u =>
+        u.split("/").last.toLong).toSet
+
+  test("build → probe → append → probe (membership grows by exactly the append)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-frontier").toString + "/f"
+    Frontier.buildFrontier(urls(1L, 2L, 3L), "url", dir, numBuckets = 4)
+    assert(Frontier.indexExists(dir))
+    assert(probeIds(dir, 1L to 6L) === Set(4L, 5L, 6L))
+    Frontier.appendToFrontier(urls(4L, 5L), "url", dir)
+    assert(probeIds(dir, 1L to 6L) === Set(6L))
+    // duplicate keys in an append are harmless to membership
+    Frontier.appendToFrontier(urls(5L, 6L), "url", dir)
+    assert(probeIds(dir, 1L to 8L) === Set(7L, 8L))
+    // a fresh session path: compaction dedups physically and answers
+    // stay identical
+    Frontier.compactFrontier(spark, dir)
+    assert(probeIds(dir, 1L to 8L) === Set(7L, 8L))
+    val files = new java.io.File(s"$dir/keys").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"compaction must leave one file per bucket, got $files")
+  }
+
+  test("ledgered append crash windows: before the line re-runs, after it skips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-frontier-cw").toString + "/f"
+    Frontier.buildFrontier(urls(1L), "url", dir, numBuckets = 2)
+    val ledger = new java.io.File(dir, "ledg")
+    // crash BEFORE the ledger line: fence up (detectable), nothing
+    // committed — the frontier refuses probes until rebuilt/cleared
+    spark.conf.set("graft.test.crashPoint", "frontier_append_before_ledger")
+    intercept[RuntimeException] {
+      Frontier.appendToFrontier(urls(2L), "url", dir, Some((ledger, 7L)))
+    }
+    spark.conf.set("graft.test.crashPoint", "")
+    assert(!Frontier.indexExists(dir), "fence must be up")
+    intercept[IllegalArgumentException] { probeIds(dir, Seq(1L)) }
+    // the fence carries the batch id but the ledger does NOT — this is
+    // a genuinely incomplete append; clearCompletedAppendFence must
+    // refuse (the ledger is the proof of completion, not the fence)
+    // ... the caller's contract is: only clear when the LEDGER holds
+    // the id. Simulate the correct recovery: re-run the append after
+    // clearing the incomplete fence manually (rebuild-or-retry).
+    new java.io.File(dir, "_graft_frontier_pending").delete()
+    Frontier.appendToFrontier(urls(2L), "url", dir, Some((ledger, 7L)))
+    assert(probeIds(dir, Seq(1L, 2L, 3L)) === Set(3L))
+    // crash AFTER the ledger line: the append completed; the replay
+    // proves it from the ledger and clears the stale fence
+    spark.conf.set("graft.test.crashPoint", "frontier_append_after_ledger")
+    intercept[RuntimeException] {
+      Frontier.appendToFrontier(urls(3L), "url", dir, Some((ledger, 8L)))
+    }
+    spark.conf.set("graft.test.crashPoint", "")
+    assert(!Frontier.indexExists(dir), "fence must be up after the crash")
+    assert(Frontier.clearCompletedAppendFence(dir, 8L))
+    assert(Frontier.indexExists(dir))
+    assert(probeIds(dir, Seq(1L, 2L, 3L, 4L)) === Set(4L))
+  }
+
+  test("discovery batches close the loop: extract → probe → manifest → append") {
+    import spark.implicits._
+    import graft.streaming.IndexIngest
+    val base = java.nio.file.Files.createTempDirectory("graft-disc").toString
+    val (fdir, mdir) = (s"$base/frontier", s"$base/manifests")
+    // seeds: the two URLs batch 0 fetched are already known
+    Frontier.buildFrontier(
+      Seq("https://a.example/p/0", "https://b.example/p/0").toDF("url"),
+      "url", fdir, numBuckets = 2)
+    def page(self: String, hrefs: String*) = (self,
+      "<html><body>" + hrefs.map(h => s"""<a href="$h">x</a>""").mkString +
+        "</body></html>")
+    // batch 0: pages link to two new urls, one seen url, one relative,
+    // one mailto — only the two new ones count (and the fetched pages'
+    // own urls are already seen)
+    val b0 = Seq(
+      page("https://a.example/p/0", "https://a.example/p/1",
+        "https://b.example/p/0", "/rel/x", "mailto:z@q.example"),
+      page("https://b.example/p/0", "https://c.example/p/2"))
+      .toDF("url", "html")
+    assert(IndexIngest.processDiscoveryBatch(b0, 0L, "url", "html",
+      fdir, Some(mdir)) === 2L)
+    val m0 = spark.read.parquet(s"$mdir/batch_id=0")
+      .collect().map(_.getString(0)).toSet
+    assert(m0 === Set("https://a.example/p/1", "https://c.example/p/2"))
+    // replay of batch 0 is a ledger no-op and leaves the manifest
+    assert(IndexIngest.processDiscoveryBatch(b0, 0L, "url", "html",
+      fdir, Some(mdir)) === -1L)
+    assert(spark.read.parquet(s"$mdir/batch_id=0").count() === 2L)
+    // batch 1 fetches the batch-0 manifest: its pages' own urls are
+    // new-at-fetch-time but the frontier learned them in batch 0 —
+    // only genuinely novel outlinks emit
+    val b1 = Seq(
+      page("https://a.example/p/1", "https://a.example/p/0",
+        "https://d.example/p/3"))
+      .toDF("url", "html")
+    assert(IndexIngest.processDiscoveryBatch(b1, 1L, "url", "html",
+      fdir, Some(mdir)) === 1L)
+    assert(spark.read.parquet(s"$mdir/batch_id=1")
+      .collect().map(_.getString(0)).toSet === Set("https://d.example/p/3"))
+    // convergence: a batch that discovers nothing emits nothing but
+    // still ledger-commits
+    assert(IndexIngest.processDiscoveryBatch(b1, 2L, "url", "html",
+      fdir, Some(mdir)) === 0L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+}

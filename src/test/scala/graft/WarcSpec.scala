@@ -241,6 +241,23 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head.getAs[Array[Byte]](5).toSeq === noise.toSeq)
   }
 
+  test("a truncated first gzip member surfaces instead of parsing as zero records") {
+    // 5 junk bytes that happen to start with the member magic: too
+    // short to even parse a gzip header — must quarantine, not vanish
+    val junk = Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08, 0x00, 0x42)
+    val got = WarcCorpus.readGz(spark, writeTemp(junk).toString).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(6).contains("offset 0"))
+    // a member whose FIRST deflate bytes are damaged (header fine,
+    // stream dead before any output) also surfaces when it is the
+    // archive's first member
+    val m = graft.fixtures.FixtureBytes.gzMember(record(0L, "body"))
+    java.util.Arrays.fill(m, 10, math.min(m.length - 8, 14), 0x07.toByte)
+    val g2 = WarcCorpus.readGz(spark, writeTemp(m).toString).collect()
+    assert(g2.length >= 1 && g2.forall(!_.isNullAt(6)),
+      s"damaged first member must quarantine, got ${g2.toSeq}")
+  }
+
   test("binary payload bytes round-trip exactly (no UTF-8 mangling)") {
     // every byte value 0..255 — a response record carrying an image
     val bin = Array.tabulate[Byte](256)(_.toByte)
