@@ -96,6 +96,29 @@ object Html {
   def responseText(payload: Column): Column =
     htmlToText(httpBody(decode(payload, "UTF-8")))
 
+  /** The page's robots meta directive (`<meta name="robots"
+    * content="…">`, attributes in either order, either quote style),
+    * lowercased; NULL when the page declares none.
+    */
+  def metaRobots(html: Column): Column = {
+    val nameFirst =
+      "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']"
+    val contentFirst =
+      "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*name\\s*=\\s*[\"']robots[\"']"
+    lower(coalesce(
+      nullif(regexp_extract(html, nameFirst, 1), lit("")),
+      nullif(regexp_extract(html, contentFirst, 1), lit(""))))
+  }
+
+  /** True when the page opts out of indexing (`noindex` anywhere in
+    * the robots directive) — the compliance filter a crawl-sourced
+    * training corpus applies before anything else reads the text.
+    * Pages with no directive are indexable (false), matching the
+    * robots exclusion default.
+    */
+  def noindex(html: Column): Column =
+    coalesce(instr(metaRobots(html), "noindex") > lit(0), lit(false))
+
   /** The equivalent DuckDB SQL chain for [[htmlToText]] applied to the
     * SQL expression `inner` — the single source the oracle queries
     * share, so the Spark semantics and the replay can never drift

@@ -753,6 +753,41 @@ object BridgeQueries {
              |  SELECT 'p2', doc_id FROM documents WHERE doc_id % 3 = 2) t
              |ORDER BY phase, doc_id""".stripMargin)),
 
+    // ---- Robots-directive compliance gate (graft.llm.Html.noindex):
+    // every %7th page declares <meta name="robots"
+    // content="noindex, nofollow"> (alternating attribute order to
+    // exercise both regex arms); the corpus filter must drop exactly
+    // those BEFORE any text operator reads them, and the directive
+    // itself surfaces for the audit trail. In-plan synthesis, no
+    // fixture.
+    "q302_noindex_gate" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val meta = when(col("doc_id") % 14 === 0,
+            lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .when(col("doc_id") % 7 === 0,
+            lit("<meta content='noindex' name='robots'>"))
+          .otherwise(when(col("doc_id") % 5 === 0,
+            lit("<meta name=\"robots\" content=\"index, follow\">"))
+            .otherwise(lit("")))
+        val html = concat(lit("<html><head>"), meta,
+          lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+        docs.select(col("doc_id"), col("source"),
+            graft.llm.Html.metaRobots(html).as("robots"),
+            graft.llm.Html.noindex(html).as("graft_ni"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_pages"),
+            sum(when(col("graft_ni"), 1L).otherwise(0L)).as("n_noindex"),
+            sum(when(col("robots").isNull, 1L).otherwise(0L)).as("n_undeclared"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_pages,
+             |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_noindex,
+             |  CAST(sum(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_undeclared
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and
