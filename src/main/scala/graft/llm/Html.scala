@@ -97,17 +97,23 @@ object Html {
     htmlToText(httpBody(decode(payload, "UTF-8")))
 
   /** The page's robots meta directive (`<meta name="robots"
-    * content="…">`, attributes in either order, either quote style),
-    * lowercased; NULL when the page declares none.
+    * content="…">`, attributes in either order, quoted OR unquoted —
+    * `<meta name=robots content=noindex>` is valid HTML5 and common
+    * in the wild; a quoted-only pattern would wave those pages
+    * through the compliance gate), lowercased; NULL when the page
+    * declares none. Four RE2-compatible arms (no lookarounds): each
+    * order × quoted/unquoted value; the name matches with an optional
+    * quote and a required terminator so `name=robotsx` cannot match.
     */
   def metaRobots(html: Column): Column = {
-    val nameFirst =
-      "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']"
-    val contentFirst =
-      "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*name\\s*=\\s*[\"']robots[\"']"
-    lower(coalesce(
-      nullif(regexp_extract(html, nameFirst, 1), lit("")),
-      nullif(regexp_extract(html, contentFirst, 1), lit(""))))
+    val name = "name\\s*=\\s*[\"']?robots[\"']?[\\s/>]"
+    val arms = Seq(
+      s"(?is)<meta\\s[^>]*$name[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']",
+      s"(?is)<meta\\s[^>]*${name}[^>]*content\\s*=\\s*([^\\s\"'>]+)",
+      s"(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*$name",
+      s"(?is)<meta\\s[^>]*content\\s*=\\s*([^\\s\"'>]+)[^>]*$name")
+    lower(coalesce(arms.map(a =>
+      nullif(regexp_extract(html, a, 1), lit(""))): _*))
   }
 
   /** True when the page opts out of indexing (`noindex` anywhere in

@@ -29,12 +29,30 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
+  /** The host-extraction regex (group 1 = host) — shared VERBATIM with
+    * the SQL oracles so the two engines cannot drift. Skips an
+    * optional `userinfo@` prefix (which may itself contain ':') and
+    * stops at port/path/query/fragment; without the skip,
+    * `http://trusted.com:x@evil.com/` would "extract"
+    * `trusted.com` — the classic URL-confusion spoof — and key
+    * evil.com's pages under the trusted site.
+    */
+  val hostRegex: String =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)"
+
   /** Lowercase host of a scheme://host... URL, NULL when `url` has no
     * authority (relative links, mailto:, javascript:).
     */
   def host(url: Column): Column =
+    lower(nullif(regexp_extract(url, hostRegex, 1), lit("")))
+
+  /** Lowercase scheme of an absolute URL with an authority, NULL
+    * otherwise — the fetchability filter (`scheme IN (http, https)`)
+    * a crawl frontier applies before queueing anything.
+    */
+  def scheme(url: Column): Column =
     lower(nullif(regexp_extract(url,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1), lit("")))
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1), lit("")))
 
   /** The pinned two-level public-suffix subset [[registeredDomain]]
     * recognizes (ccTLD second-level registries in wide crawl use).
@@ -76,6 +94,20 @@ object UrlOps {
   def surtHost(host: Column): Column =
     array_join(reverse(split(host, "\\.")), ",")
 
+  /** The two href-harvest patterns (double-quoted / single-quoted,
+    * group 1 = target) — shared with the SQL oracles. `href` must sit
+    * at an attribute boundary (tag start or after whitespace/quote):
+    * a bare `[^>]*href` also matches `data-href`/`ng-href` and
+    * harvests tracker URLs as outlinks. RE2-compatible (`\b` cannot
+    * express this boundary — '-' to 'h' IS a word boundary — and RE2
+    * has no lookbehind, so an optional separator-terminated prefix
+    * group does it).
+    */
+  val hrefDqRegex: String =
+    "(?is)<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*\"([^\"]*)\""
+  val hrefSqRegex: String =
+    "(?is)<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*'([^']*)'"
+
   /** All href targets of `<a>` tags in an HTML column, in document
     * order double-quoted first then single-quoted (RE2-compatible
     * two-pass harvest — backreference-free, so the same two patterns
@@ -84,8 +116,14 @@ object UrlOps {
     * documented extraction semantics, not a DOM walk.
     */
   def extractLinks(html: Column): Column = concat(
-    regexp_extract_all(html, lit("(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1)),
-    regexp_extract_all(html, lit("(?is)<a\\s[^>]*href\\s*=\\s*'([^']*)'"), lit(1)))
+    regexp_extract_all(html, lit(hrefDqRegex), lit(1)),
+    regexp_extract_all(html, lit(hrefSqRegex), lit(1)))
+
+  /** A regex constant as a SQL string literal (single quotes doubled)
+    * — how the oracles embed [[hostRegex]]/[[hrefDqRegex]]/
+    * [[hrefSqRegex]] verbatim.
+    */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** DuckDB replay of [[registeredDomain]] over SQL expression `host`
     * — shares [[TwoLevelSuffixes]] with the Spark side so the two can

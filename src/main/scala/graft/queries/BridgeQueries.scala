@@ -620,11 +620,11 @@ object BridgeQueries {
               |  || '>rel</a></body></html>' AS html
               |  FROM documents),
               |l AS (SELECT doc_id, unnest(list_concat(
-              |  regexp_extract_all(html, '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"', 1),
-              |  regexp_extract_all(html, '(?is)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)))
+              |  regexp_extract_all(html, ${graft.llm.UrlOps.sqlLit(graft.llm.UrlOps.hrefDqRegex)}, 1),
+              |  regexp_extract_all(html, ${graft.llm.UrlOps.sqlLit(graft.llm.UrlOps.hrefSqRegex)}, 1)))
               |  AS link FROM h),
               |ho AS (SELECT doc_id, lower(nullif(regexp_extract(link,
-              |  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1), '')) AS host FROM l),
+              |  ${graft.llm.UrlOps.sqlLit(graft.llm.UrlOps.hostRegex)}, 1), '')) AS host FROM l),
               |d AS (SELECT doc_id,
               |  ${graft.llm.UrlOps.registeredDomainSql("host")} AS domain
               |  FROM ho WHERE host IS NOT NULL)
@@ -662,7 +662,7 @@ object BridgeQueries {
               |  || '/p/' || CAST(doc_id AS VARCHAR) AS url
               |  FROM documents),
               |ho AS (SELECT doc_id, lower(nullif(regexp_extract(url,
-              |  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1), '')) AS host FROM u)
+              |  ${graft.llm.UrlOps.sqlLit(graft.llm.UrlOps.hostRegex)}, 1), '')) AS host FROM u)
               |SELECT doc_id, host,
               |  ${graft.llm.UrlOps.registeredDomainSql("host")} AS registered_domain,
               |  array_to_string(list_reverse(string_split(host, '.')), ',') AS surt_host
@@ -754,16 +754,19 @@ object BridgeQueries {
              |ORDER BY phase, doc_id""".stripMargin)),
 
     // ---- Robots-directive compliance gate (graft.llm.Html.noindex):
-    // every %7th page declares <meta name="robots"
-    // content="noindex, nofollow"> (alternating attribute order to
-    // exercise both regex arms); the corpus filter must drop exactly
+    // every %7th page declares a noindex robots meta — rotating
+    // through quoted name-first, single-quoted content-first, and
+    // UNQUOTED attributes (valid HTML5, common in the wild) so all
+    // regex arms are exercised; the corpus filter must drop exactly
     // those BEFORE any text operator reads them, and the directive
     // itself surfaces for the audit trail. In-plan synthesis, no
     // fixture.
     "q302_noindex_gate" -> QueryDef(
       (s, dir) => {
         val docs = Registry.table(s, dir, "documents")
-        val meta = when(col("doc_id") % 14 === 0,
+        val meta = when(col("doc_id") % 21 === 0,
+            lit("<meta name=robots content=noindex>"))
+          .when(col("doc_id") % 14 === 0,
             lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
           .when(col("doc_id") % 7 === 0,
             lit("<meta content='noindex' name='robots'>"))

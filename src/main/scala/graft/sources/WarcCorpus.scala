@@ -299,46 +299,57 @@ object WarcCorpus {
       else {
         val name = f"part-$pid%05d$ext"
         // unique staging name: a speculative twin or a retried attempt
-        // stages separately and the LAST atomic move wins whole
+        // stages separately and the LAST atomic move wins whole; a
+        // FAILED attempt deletes its stage (otherwise every retry
+        // leaks one orphaned multi-MB .tmp in the export dir)
         val tmp = new java.io.File(dir,
           s".$name.${java.util.UUID.randomUUID}.tmp")
-        val fileOut = new java.io.BufferedOutputStream(
-          new java.io.FileOutputStream(tmp))
-        // ONE Deflater reused across members — a GZIPOutputStream per
-        // record would hold a native zlib stream until GC (a
-        // million-record task = a million un-ended deflaters)
-        val deflater = new java.util.zip.Deflater(
-          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-        val dBuf = new Array[Byte](64 * 1024)
-        var n = 0L
-        try {
-          it.foreach { r =>
-            val uri = r.getString(0)
-            val payload = r.getAs[Array[Byte]](1)
-            require(uri != null && payload != null,
-              "WARC export rows need non-null uri and payload")
-            val rid = if (r.size > 2 && !r.isNullAt(2)) {
-              val v = r.getString(2)
-              Some(if (v.startsWith("<")) v else s"<$v>")
-            } else None
-            val rec = serializeRecord(uri, payload, warcType, rid)
-            if (gz) writeGzMember(fileOut, rec, deflater, dBuf)
-            else fileOut.write(rec)
-            n += 1L
-          }
-          fileOut.flush()
-        } finally {
-          deflater.end()
-          fileOut.close()
-        }
-        java.nio.file.Files.move(tmp.toPath,
-          new java.io.File(dir, name).toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Iterator.single(n)
+        try writePartition(tmp, new java.io.File(dir, name), it, warcType, gz)
+        catch { case t: Throwable => tmp.delete(); throw t }
       }
     }
     counts.fold(0L)(_ + _)
+  }
+
+  /** One export task's body: stage every record into `tmp`, then
+    * atomically publish as `target`. Returns the record count.
+    */
+  private def writePartition(tmp: java.io.File, target: java.io.File,
+      it: Iterator[org.apache.spark.sql.Row], warcType: String,
+      gz: Boolean): Iterator[Long] = {
+    val fileOut = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp))
+    // ONE Deflater reused across members — a GZIPOutputStream per
+    // record would hold a native zlib stream until GC (a
+    // million-record task = a million un-ended deflaters)
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val dBuf = new Array[Byte](64 * 1024)
+    var n = 0L
+    try {
+      it.foreach { r =>
+        val uri = r.getString(0)
+        val payload = r.getAs[Array[Byte]](1)
+        require(uri != null && payload != null,
+          "WARC export rows need non-null uri and payload")
+        val rid = if (r.size > 2 && !r.isNullAt(2)) {
+          val v = r.getString(2)
+          Some(if (v.startsWith("<")) v else s"<$v>")
+        } else None
+        val rec = serializeRecord(uri, payload, warcType, rid)
+        if (gz) writeGzMember(fileOut, rec, deflater, dBuf)
+        else fileOut.write(rec)
+        n += 1L
+      }
+      fileOut.flush()
+    } finally {
+      deflater.end()
+      fileOut.close()
+    }
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Iterator.single(n)
   }
 
   /** Write one gzip member (fixed 10-byte header with zero MTIME/XFL/
@@ -573,12 +584,17 @@ object WarcCorpus {
       cursor += 2 + ((xl(0) & 0xff) | ((xl(1) & 0xff) << 8))
     }
     def skipCString(start: Long): Option[Long] = {
-      val limit = math.min(totalLen, start + maxHeaderBytes.toLong)
-      var at = start
-      while (at < limit) {
-        val b = reader.readExactAt(at, 1).getOrElse(return None)
-        at += 1
-        if (b(0) == 0) return Some(at)
+      // one bounded block read + in-memory scan — per-byte positioned
+      // reads would cost up to maxHeaderBytes syscalls per FNAME-
+      // bearing member on the archive-scan hot path
+      val cap = math.min(totalLen - start, maxHeaderBytes.toLong).toInt
+      if (cap <= 0) return None
+      val block = new Array[Byte](cap)
+      val got = reader.readAt(start, block, 0, cap)
+      var i = 0
+      while (i < got) {
+        if (block(i) == 0) return Some(start + i + 1)
+        i += 1
       }
       None
     }

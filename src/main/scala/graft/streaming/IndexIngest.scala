@@ -369,20 +369,35 @@ object IndexIngest {
     graft.llm.CacheRegistry.scoped(spark) {
       val pages = batch.select(col(urlCol).cast("string").as("graft_u"),
         col(htmlCol).cast("string").as("graft_h"))
+      val own = pages.select(col("graft_u").as("url")).distinct()
+      // FETCHABLE outlinks only: http(s) with a real authority. The
+      // host filter alone admits ftp:// and javascript://x (any
+      // scheme with an authority shape) — unfetchable rows that would
+      // pollute the frontier and the fetch manifest forever
       val links = pages.select(explode(
           graft.llm.UrlOps.extractLinks(col("graft_h"))).as("url"))
-        .filter(graft.llm.UrlOps.host(col("url")).isNotNull)
-        .unionByName(pages.select(col("graft_u").as("url")))
+        .filter(graft.llm.UrlOps.scheme(col("url")).isin("http", "https") &&
+          graft.llm.UrlOps.host(col("url")).isNotNull)
         .distinct()
+        // a page's own URL must never re-enter the fetch queue — even
+        // when the frontier has not seen it (a redirect's final URL,
+        // an unseeded start page): it was JUST fetched
+        .join(own, Seq("url"), "left_anti")
+      // one frontier scan for both populations: links feed the
+      // manifest AND the frontier; own urls feed the frontier only
+      val tagged = links.withColumn("graft_own", lit(false))
+        .unionByName(own.withColumn("graft_own", lit(true)))
       val fresh = graft.llm.CacheRegistry.persist(
-        graft.llm.Frontier.probeNew(links, "url", frontierDir))
+        graft.llm.Frontier.probeNew(tagged, "url", frontierDir))
+      val freshLinks = fresh.filter(!col("graft_own")).select(col("url"))
       // manifest BEFORE the ledger commit (replays refresh their own
-      // rows); only genuinely-new urls are worth fetching
+      // rows); only genuinely-new fetchable outlinks are worth fetching
       outManifestDir.foreach { od =>
-        fresh.write.mode("overwrite").parquet(s"$od/batch_id=$batchId")
+        freshLinks.write.mode("overwrite").parquet(s"$od/batch_id=$batchId")
       }
-      val n = fresh.count()
-      graft.llm.Frontier.appendToFrontier(fresh, "url", frontierDir,
+      val n = freshLinks.count()
+      graft.llm.Frontier.appendToFrontier(fresh.select(col("url")),
+        frontierDir = frontierDir, urlCol = "url",
         commitLedger = Some((ledger, batchId)))
       n
     }

@@ -100,11 +100,13 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
       "<html><body>" + hrefs.map(h => s"""<a href="$h">x</a>""").mkString +
         "</body></html>")
     // batch 0: pages link to two new urls, one seen url, one relative,
-    // one mailto — only the two new ones count (and the fetched pages'
-    // own urls are already seen)
+    // one mailto, one ftp, one javascript-with-authority — only the
+    // two new FETCHABLE ones count (and the fetched pages' own urls
+    // are already seen)
     val b0 = Seq(
       page("https://a.example/p/0", "https://a.example/p/1",
-        "https://b.example/p/0", "/rel/x", "mailto:z@q.example"),
+        "https://b.example/p/0", "/rel/x", "mailto:z@q.example",
+        "ftp://files.example/pub", "javascript://c%0aalert(1)"),
       page("https://b.example/p/0", "https://c.example/p/2"))
       .toDF("url", "html")
     assert(IndexIngest.processDiscoveryBatch(b0, 0L, "url", "html",
@@ -130,6 +132,17 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     // convergence: a batch that discovers nothing emits nothing but
     // still ledger-commits
     assert(IndexIngest.processDiscoveryBatch(b1, 2L, "url", "html",
+      fdir, Some(mdir)) === 0L)
+    // a page whose OWN url the frontier never saw (a redirect's final
+    // url): it was just fetched, so it must NOT enter the manifest —
+    // but the frontier learns it, so later links to it stay quiet
+    val b3 = Seq(page("https://e.example/p/9")).toDF("url", "html")
+    assert(IndexIngest.processDiscoveryBatch(b3, 3L, "url", "html",
+      fdir, Some(mdir)) === 0L)
+    assert(spark.read.parquet(s"$mdir/batch_id=3").count() === 0L)
+    val b4 = Seq(page("https://a.example/p/0", "https://e.example/p/9"))
+      .toDF("url", "html")
+    assert(IndexIngest.processDiscoveryBatch(b4, 4L, "url", "html",
       fdir, Some(mdir)) === 0L)
     graft.llm.CacheRegistry.releaseAll(spark)
   }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL canonicalization + HTML/HTTP extraction edge cases — the
+  * adversarial shapes a crawl actually serves (userinfo host spoofs,
+  * tracker data-href attributes, unquoted meta attributes, malformed
+  * messages). Pure-expression operators, so the spec is a value table.
+  */
+class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-urlops-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import graft.llm.{Html, UrlOps}
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Any = {
+    import spark.implicits._
+    Seq(input).toDF("x").select(c.as("y")).head().get(0)
+  }
+
+  test("host: authority extraction resists userinfo spoofs") {
+    import org.apache.spark.sql.functions.col
+    def h(u: String) = one(UrlOps.host(col("x")), u)
+    assert(h("https://www.Example.ORG/p?q#f") === "www.example.org")
+    assert(h("http://example.org:8080/p") === "example.org")
+    // the classic confusion shape: userinfo that LOOKS like a trusted
+    // host must not be extracted as the host
+    assert(h("http://trusted.com:x@evil.com/p") === "evil.com")
+    assert(h("http://alice@evil.com/") === "evil.com")
+    assert(h("ftp://files.example/pub") === "files.example")
+    assert(h("/relative/x") === null)
+    assert(h("mailto:a@b.c") === null)
+    def s(u: String) = one(UrlOps.scheme(col("x")), u)
+    assert(s("HTTPS://a.b/") === "https")
+    assert(s("javascript://c%0aalert(1)") === "javascript")
+    assert(s("mailto:a@b.c") === null)
+  }
+
+  test("registeredDomain folds subdomains onto the pinned suffix subset") {
+    import org.apache.spark.sql.functions.col
+    def d(h: String) = one(UrlOps.registeredDomain(col("x")), h)
+    assert(d("www.example.org") === "example.org")
+    assert(d("a.b.c.example.org") === "example.org")
+    assert(d("cdn.shop.co.uk") === "shop.co.uk")
+    assert(d("deep.cdn.shop.co.uk") === "shop.co.uk")
+    assert(d("co.uk") === "co.uk") // the bare suffix is its own site
+    assert(d("localhost") === "localhost")
+    def surt(h: String) = one(UrlOps.surtHost(col("x")), h)
+    assert(surt("www.example.org") === "org,example,www")
+  }
+
+  test("extractLinks: attribute-boundary harvest, both quote styles") {
+    import org.apache.spark.sql.functions.col
+    def links(h: String) =
+      one(UrlOps.extractLinks(col("x")), h)
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(links("""<a href="https://a/1">x</a><a class="m" href='https://a/2'>y</a>""")
+      === Seq("https://a/1", "https://a/2"))
+    // data-href / ng-href are NOT links — a bare [^>]*href match
+    // harvests tracker URLs
+    assert(links("""<a data-href='https://tracker/x' href="https://real/y">z</a>""")
+      === Seq("https://real/y"))
+    assert(links("""<a data-href='https://tracker/only'>z</a>""") === Seq.empty)
+    // multi-line tags ((?s) + \s)
+    assert(links("<a\nhref=\"https://a/3\">x</a>") === Seq("https://a/3"))
+  }
+
+  test("metaRobots/noindex: either order, quoted or UNQUOTED attributes") {
+    import org.apache.spark.sql.functions.col
+    def robots(h: String) = one(Html.metaRobots(col("x")), h)
+    def ni(h: String) = one(Html.noindex(col("x")), h)
+    assert(robots("""<html><meta name="robots" content="NOINDEX, nofollow"></html>""")
+      === "noindex, nofollow")
+    assert(robots("""<meta content='noindex' name='robots'>""") === "noindex")
+    // unquoted attributes are valid HTML5 and common — a quoted-only
+    // pattern waves these pages through the compliance gate
+    assert(robots("<meta name=robots content=noindex>") === "noindex")
+    assert(ni("<meta name=robots content=noindex>") === true)
+    assert(ni("""<meta name="robots" content="index, follow">""") === false)
+    assert(ni("<p>no meta at all</p>") === false)
+    // name=robotsx is NOT the robots directive
+    assert(robots("""<meta name=robotsx content=noindex>""") === null)
+  }
+
+  test("httpBody/httpStatus/httpHeader on well-formed and malformed messages") {
+    import org.apache.spark.sql.functions.col
+    val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+      "X-Other: v\r\n\r\n<html>body</html>"
+    assert(one(Html.httpBody(col("x")), msg) === "<html>body</html>")
+    assert(one(Html.httpStatus(col("x")), msg) === 200)
+    assert(one(Html.httpHeader(col("x"), "content-type"), msg)
+      === "text/html; charset=UTF-8")
+    assert(one(Html.httpHeader(col("x"), "Absent"), msg) === null)
+    // no header terminator: body is NULL (malformed capture), not ""
+    assert(one(Html.httpBody(col("x")), "HTTP/1.1 200 OK\r\nX: y") === null)
+    assert(one(Html.httpStatus(col("x")), "<html>") === null)
+  }
+}
