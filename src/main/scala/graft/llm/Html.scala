@@ -71,12 +71,18 @@ object Html {
         ":[ \t]*([^\r\n]*)", 1), lit(""))
   }
 
-  /** HTML → text under the exact semantics documented on [[Html]]. */
-  def htmlToText(html: Column): Column = {
+  /** Steps 1–3: drop script/style blocks and comments whole. */
+  private def stripped(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** Steps 4–6: strip remaining tags, decode the core entities
+    * (`&amp;` LAST), collapse whitespace, trim.
+    */
+  private def inlineClean(c: Column): Column = {
+    val noTags = regexp_replace(c, "(?s)<[^>]*>", " ")
     // literal (non-regex) replaces; &amp; LAST — the standard ordering
     val decoded = replace(replace(replace(replace(replace(replace(
       noTags,
@@ -88,6 +94,41 @@ object Html {
       lit("&nbsp;"), lit(" "))
     val amp = replace(decoded, lit("&amp;"), lit("&"))
     trim(regexp_replace(amp, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** HTML → text under the exact semantics documented on [[Html]]. */
+  def htmlToText(html: Column): Column = inlineClean(stripped(html))
+
+  /** The block-level tag boundary [[mainBlockText]] splits on —
+    * open or close, attributes allowed, RE2-compatible (the name must
+    * be followed by whitespace, '/', or the closing '>' so `<party>`
+    * does not split as `<p…>`).
+    */
+  val blockTagRegex: String =
+    "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "section|article|main|header|footer|nav|aside|blockquote|pre|form|" +
+      "fieldset|figure|figcaption|hr|body|html|head|title)(?:[\\s/][^>]*)?>"
+
+  /** The page's MAIN text block: script/style/comments drop, the page
+    * splits at block-level tag boundaries ([[blockTagRegex]]), each
+    * segment cleans under the [[htmlToText]] steps 4–6, and the
+    * LONGEST cleaned segment wins (ties break to the
+    * lexicographically-largest text — a total, engine-independent
+    * order). The trafilatura-style boilerplate heuristic reduced to
+    * exact, replayable semantics: nav/header/footer/sidebar segments
+    * are short, body prose is long — on pages where boilerplate
+    * dominates TOTAL length but no single boilerplate block beats the
+    * prose block, this recovers the prose where whole-page
+    * [[htmlToText]] buries it. One codegen'd expression; no shuffle,
+    * no UDF.
+    */
+  def mainBlockText(html: Column): Column = {
+    val segs = split(stripped(html), blockTagRegex)
+    val ranked = transform(segs, x => {
+      val t = inlineClean(x)
+      struct(length(t).as("l"), t.as("t"))
+    })
+    array_max(ranked).getField("t")
   }
 
   /** The full response-record bridge: UTF-8 decode of the binary WARC
@@ -125,6 +166,64 @@ object Html {
   def noindex(html: Column): Column =
     coalesce(instr(metaRobots(html), "noindex") > lit(0), lit(false))
 
+  /** The charset a response message declares, lowercased: the
+    * `Content-Type` header's `charset=` parameter first, then an HTML
+    * `<meta charset=…>` / http-equiv tag in the body; NULL when
+    * neither declares one (callers default to UTF-8, the web norm).
+    */
+  def declaredCharset(msg: Column): Column = lower(coalesce(
+    nullif(regexp_extract(coalesce(httpHeader(msg, "Content-Type"), lit("")),
+      "(?i)charset=[\"']?([A-Za-z0-9_.:-]+)", 1), lit("")),
+    nullif(regexp_extract(msg,
+      "(?is)<meta\\s[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1),
+      lit(""))))
+
+  /** Charset-aware response text: real crawls are NOT all UTF-8, and
+    * decoding a latin-1 page as UTF-8 mangles every non-ASCII byte
+    * into U+FFFD irreversibly. The trick that keeps this a pure
+    * column chain: the message splits on its ISO-8859-1 view — a
+    * BYTE-LOSSLESS decode (every byte maps to one char and back), and
+    * HTTP headers are ASCII so the split offsets are exact — then the
+    * body re-encodes to its original bytes and decodes under the
+    * DECLARED charset from the pinned set the engine supports
+    * natively: utf-8 (default), iso-8859-1/latin1/us-ascii, and
+    * windows-1252/cp1252 approximated AS iso-8859-1 (the 0x80–0x9F
+    * punctuation block decodes as C1 controls — documented loss;
+    * everything else is identical). Returns the HTML→text extraction
+    * of the correctly-decoded body.
+    */
+  def responseTextCharset(payload: Column): Column = {
+    val msg = decode(payload, "ISO-8859-1")
+    val cs = declaredCharset(msg)
+    val bodyBytes = encode(httpBody(msg), "ISO-8859-1")
+    val text = when(cs.isin("iso-8859-1", "iso8859-1", "latin1", "latin-1",
+        "us-ascii", "ascii", "windows-1252", "cp1252"),
+        decode(bodyBytes, "ISO-8859-1"))
+      .otherwise(decode(bodyBytes, "UTF-8"))
+    htmlToText(text)
+  }
+
+  private def rrSql(x: String, pat: String, flags: String): String =
+    s"regexp_replace($x, '$pat', ' ', '$flags')"
+
+  /** DuckDB replay of [[stripped]] (steps 1–3). */
+  def strippedSql(inner: String): String = {
+    val noScript = rrSql(inner, "(?is)<script\\b[^>]*>.*?</script>", "gis")
+    val noStyle = rrSql(noScript, "(?is)<style\\b[^>]*>.*?</style>", "gis")
+    rrSql(noStyle, "(?s)<!--.*?-->", "gs")
+  }
+
+  /** DuckDB replay of [[inlineClean]] (steps 4–6). */
+  def inlineCleanSql(inner: String): String = {
+    val noTags = rrSql(inner, "(?s)<[^>]*>", "gs")
+    val decoded =
+      s"""replace(replace(replace(replace(replace(replace($noTags,
+         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |  '&apos;', chr(39)), '&nbsp;', ' ')""".stripMargin
+    val amp = s"replace($decoded, '&amp;', '&')"
+    s"trim(regexp_replace($amp, '[ \\t\\r\\n]+', ' ', 'g'))"
+  }
+
   /** The equivalent DuckDB SQL chain for [[htmlToText]] applied to the
     * SQL expression `inner` — the single source the oracle queries
     * share, so the Spark semantics and the replay can never drift
@@ -132,19 +231,19 @@ object Html {
     * is global by default); the patterns are RE2-and-Java-compatible
     * (no backreferences, inline (?is) flags only).
     */
-  def htmlToTextSql(inner: String): String = {
-    def rr(x: String, pat: String, flags: String): String =
-      s"regexp_replace($x, '$pat', ' ', '$flags')"
-    val noScript = rr(inner, "(?is)<script\\b[^>]*>.*?</script>", "gis")
-    val noStyle = rr(noScript, "(?is)<style\\b[^>]*>.*?</style>", "gis")
-    val noComment = rr(noStyle, "(?s)<!--.*?-->", "gs")
-    val noTags = rr(noComment, "(?s)<[^>]*>", "gs")
-    val decoded =
-      s"""replace(replace(replace(replace(replace(replace($noTags,
-         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-         |  '&apos;', chr(39)), '&nbsp;', ' ')""".stripMargin
-    val amp = s"replace($decoded, '&amp;', '&')"
-    s"trim(regexp_replace($amp, '[ \\t\\r\\n]+', ' ', 'g'))"
+  def htmlToTextSql(inner: String): String = inlineCleanSql(strippedSql(inner))
+
+  /** DuckDB replay of [[mainBlockText]]: the same split (the
+    * [[blockTagRegex]] constant rides in verbatim), the same per-
+    * segment clean, struct (length, text) max — DuckDB's struct
+    * ordering matches Spark's field-by-field comparison, so the
+    * argmax and its tiebreak agree exactly.
+    */
+  def mainBlockTextSql(inner: String): String = {
+    val clean = inlineCleanSql("x")
+    s"""(list_max(list_transform(
+       |  regexp_split_to_array(${strippedSql(inner)}, '$blockTagRegex'),
+       |  x -> struct_pack(l := strlen($clean), t := $clean)))).t""".stripMargin
   }
 
   /** DuckDB SQL for [[httpBody]] over expression `inner`. */

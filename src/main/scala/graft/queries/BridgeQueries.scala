@@ -791,6 +791,104 @@ object BridgeQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_undeclared
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- Charset-aware response decode (Html.responseTextCharset):
+    // half the crawl's pages ship as ISO-8859-1 BYTES (declared in the
+    // Content-Type header), a third of the rest declare utf-8 only via
+    // a <meta charset> tag — every page carries the same non-ASCII
+    // text (" café à né"), so a reader that decodes everything as
+    // UTF-8 mangles the latin-1 half into U+FFFD and hash-fails here.
+    // The oracle reconstructs the expected extraction from the source
+    // text — charset handling must be LOSSLESS end to end.
+    "q303_charset_decode" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id", "text")
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-warccs-v1-$tag.warc")
+        if (!fixture.isFile) {
+          val rows = docs.select(col("doc_id"), col("text"))
+            .orderBy("doc_id").collect()
+          val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp))
+          try rows.foreach { r =>
+            val (id, text) = (r.getLong(0), r.getString(1))
+            val latin = id % 2 == 0
+            val metaOnly = !latin && id % 3 == 0
+            val head = if (metaOnly) "<head><meta charset=\"utf-8\"></head>" else ""
+            val body = s"<html>$head<body><p>$text café à né</p></body></html>"
+            val ctype = if (latin) "text/html; charset=ISO-8859-1"
+              else if (metaOnly) "text/html"
+              else "text/html; charset=UTF-8"
+            val msg = s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n$body"
+            val bytes = msg.getBytes(
+              if (latin) java.nio.charset.StandardCharsets.ISO_8859_1
+              else java.nio.charset.StandardCharsets.UTF_8)
+            out.write(graft.fixtures.FixtureBytes.warcRecord(
+              s"http://cs/doc/$id", bytes, warcType = "response"))
+          } finally out.close()
+          java.nio.file.Files.move(tmp.toPath, fixture.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val parsed = graft.sources.WarcCorpus.read(s, fixture.toString,
+          chunkSize = 16 * 1024)
+        graft.sources.WarcCorpus.clean(parsed)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+              .cast("long").as("doc_id"),
+            graft.llm.Html.responseTextCharset(col("payload")).as("text_out"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              |  '<html><body><p>' || text || ' café à né</p></body></html>' AS body
+              |  FROM documents)
+              |SELECT doc_id, ${graft.llm.Html.htmlToTextSql("body")} AS text_out
+              |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // ---- Main-block extraction (Html.mainBlockText — the
+    // trafilatura-style boilerplate heuristic as exact semantics):
+    // each doc rendered as a page whose nav, sidebar, and footer are
+    // separate block segments around the body prose; the split-clean-
+    // argmax chain must pick the longest cleaned segment, and the
+    // oracle replays the identical split pattern, per-segment clean,
+    // and struct (length, text) max. Whole-page htmlToText rides
+    // along for the contrast audit (boilerplate chars included vs
+    // excluded).
+    "q304_main_block" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val html = concat(
+          lit("<html><head><title>Example page</title></head><body>" +
+            "<nav><a href=\"/h\">Home</a> <a href=\"/a\">About</a> " +
+            "<a href=\"/c\">Contact</a></nav>" +
+            "<div class=\"side\">subscribe to the weekly newsletter</div><p>"),
+          col("text"),
+          lit("</p><footer>copyright 2026 example corp all rights reserved" +
+            "</footer></body></html>"))
+        docs.select(col("doc_id"),
+            graft.llm.Html.mainBlockText(html).as("main_out"),
+            length(graft.llm.Html.htmlToText(html)).cast("long").as("full_chars"))
+          .withColumn("main_chars", length(col("main_out")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+              |  '<html><head><title>Example page</title></head><body>'
+              |  || '<nav><a href="/h">Home</a> <a href="/a">About</a> '
+              |  || '<a href="/c">Contact</a></nav>'
+              |  || '<div class="side">subscribe to the weekly newsletter</div><p>'
+              |  || text
+              |  || '</p><footer>copyright 2026 example corp all rights reserved'
+              |  || '</footer></body></html>' AS html
+              |  FROM documents),
+              |x AS (SELECT doc_id,
+              |  ${graft.llm.Html.mainBlockTextSql("html")} AS main_out,
+              |  CAST(strlen(${graft.llm.Html.htmlToTextSql("html")}) AS BIGINT)
+              |    AS full_chars
+              |  FROM h)
+              |SELECT doc_id, main_out, full_chars,
+              |  CAST(strlen(main_out) AS BIGINT) AS main_chars
+              |FROM x ORDER BY doc_id""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

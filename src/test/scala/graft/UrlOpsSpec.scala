@@ -92,6 +92,53 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(robots("""<meta name=robotsx content=noindex>""") === null)
   }
 
+  test("mainBlockText picks the longest cleaned block segment") {
+    import org.apache.spark.sql.functions.col
+    def main(h: String) = one(Html.mainBlockText(col("x")), h)
+    val page = "<html><body><nav><a href=\"/h\">Home</a> About</nav>" +
+      "<p>the actual article prose which is clearly the longest block here</p>" +
+      "<footer>copyright</footer></body></html>"
+    assert(main(page) ===
+      "the actual article prose which is clearly the longest block here")
+    // inline tags inside the winning block strip; entities decode
+    assert(main("<p>a <b>bold</b> &amp; long enough winner</p><div>x</div>")
+      === "a bold & long enough winner")
+    // script/style content can never win — it drops before the split
+    assert(main("<script>var xxxxxxxxxxxxxxxxxxxxxxxxxxxxxx = 1;</script><p>win</p>")
+      === "win")
+    // <party> is not a <p…> block boundary
+    assert(main("<party>aaaa bbbb cccc</party><p>x</p>") === "aaaa bbbb cccc")
+    // an all-empty page yields the empty string, not NULL
+    assert(main("<p></p><div></div>") === "")
+  }
+
+  test("declaredCharset + responseTextCharset recover latin-1 bytes losslessly") {
+    import org.apache.spark.sql.functions.col
+    def cs(m: String) = one(Html.declaredCharset(col("x")), m)
+    val hdr = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n<p>x</p>"
+    assert(cs(hdr) === "iso-8859-1")
+    val meta = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><head><meta charset=\"utf-8\"></head><body>x</body></html>"
+    assert(cs(meta) === "utf-8")
+    assert(cs("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>") === null)
+    // latin-1 payload bytes with the header declaring it: the é (0xE9)
+    // must survive; a UTF-8 decode would mangle it to U+FFFD
+    import spark.implicits._
+    val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n" +
+      "<html><body><p>café né</p></body></html>"
+    val bytes = msg.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val got = Seq(Tuple1(bytes)).toDF("payload")
+      .select(Html.responseTextCharset(org.apache.spark.sql.functions.col("payload")))
+      .head().getString(0)
+    assert(got === "café né")
+    // and utf-8 bytes under a utf-8 declaration also round-trip
+    val msg8 = msg.replace("ISO-8859-1", "UTF-8")
+    val got8 = Seq(Tuple1(msg8.getBytes("UTF-8"))).toDF("payload")
+      .select(Html.responseTextCharset(org.apache.spark.sql.functions.col("payload")))
+      .head().getString(0)
+    assert(got8 === "café né")
+  }
+
   test("httpBody/httpStatus/httpHeader on well-formed and malformed messages") {
     import org.apache.spark.sql.functions.col
     val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
