@@ -49,6 +49,15 @@ object Html {
       .otherwise(lit(null))
   }
 
+  /** The BODY BYTES of a binary HTTP message payload — byte-exact
+    * through the lossless ISO-8859-1 round trip (headers are ASCII,
+    * every byte maps to one char and back), so an image/pdf response
+    * body feeds the carve/multimodal operators unmangled. NULL when
+    * the message has no header terminator.
+    */
+  def httpBodyBytes(payload: Column): Column =
+    encode(httpBody(decode(payload, "ISO-8859-1")), "ISO-8859-1")
+
   /** The HTTP status code of a response message (the leading
     * `HTTP/x.y NNN` line), NULL when absent — filter crawl captures to
     * 200s before extraction.

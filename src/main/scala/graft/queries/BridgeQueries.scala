@@ -889,6 +889,82 @@ object BridgeQueries {
               |  CAST(strlen(main_out) AS BIGINT) AS main_chars
               |FROM x ORDER BY doc_id""".stripMargin)),
 
+    // ---- Content-type routing (the mime dispatch a raw crawl batch
+    // needs before anything reads payloads): a mixed WARC — every
+    // %3rd response carries image/jpeg BYTES, the rest text/html —
+    // routes on the Content-Type header; html rows extract
+    // charset-aware text, image rows surface their body BYTES
+    // byte-exact (length + sha256 pinned against the planted jpeg),
+    // each path blind to the other's columns.
+    "q305_mime_routing" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id", "text")
+        val jpeg = graft.fixtures.FixtureBytes.jpeg()
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-warcmime-v1-$tag.warc")
+        if (!fixture.isFile) {
+          val rows = docs.select(col("doc_id"), col("text"))
+            .orderBy("doc_id").collect()
+          val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp))
+          try rows.foreach { r =>
+            val (id, text) = (r.getLong(0), r.getString(1))
+            val payload: Array[Byte] =
+              if (id % 3 == 0)
+                ("HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n\r\n")
+                  .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ jpeg
+              else
+                (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n" +
+                  s"<html><body><p>$text</p></body></html>")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out.write(graft.fixtures.FixtureBytes.warcRecord(
+              s"http://mime/doc/$id", payload, warcType = "response"))
+          } finally out.close()
+          java.nio.file.Files.move(tmp.toPath, fixture.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val parsed = graft.sources.WarcCorpus.read(s, fixture.toString,
+          chunkSize = 16 * 1024)
+        val msg = decode(col("payload"), "ISO-8859-1")
+        val ctype = lower(coalesce(
+          graft.llm.Html.httpHeader(msg, "Content-Type"), lit("")))
+        val kind = when(ctype.startsWith("image/"), lit("image"))
+          .when(ctype.startsWith("text/html"), lit("html"))
+          .otherwise(lit("other"))
+        graft.sources.WarcCorpus.clean(parsed)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+              .cast("long").as("doc_id"),
+            kind.as("kind"),
+            when(kind === "html",
+              length(graft.llm.Html.responseTextCharset(col("payload"))))
+              .cast("long").as("n_chars"),
+            when(kind === "image",
+              length(graft.llm.Html.httpBodyBytes(col("payload"))))
+              .cast("long").as("n_bytes"),
+            when(kind === "image",
+              sha2(graft.llm.Html.httpBodyBytes(col("payload")), 256))
+              .as("sha256"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              |  '<html><body><p>' || text || '</p></body></html>' AS body
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'html' END AS kind,
+              |  CASE WHEN doc_id % 3 = 0 THEN NULL
+              |    ELSE CAST(strlen(${graft.llm.Html.htmlToTextSql("body")}) AS BIGINT)
+              |  END AS n_chars,
+              |  CASE WHEN doc_id % 3 = 0
+              |    THEN CAST(${graft.fixtures.FixtureBytes.jpeg().length} AS BIGINT)
+              |    ELSE NULL END AS n_bytes,
+              |  CASE WHEN doc_id % 3 = 0
+              |    THEN '${graft.fixtures.FixtureBytes.sha256Hex(graft.fixtures.FixtureBytes.jpeg())}'
+              |    ELSE NULL END AS sha256
+              |FROM b ORDER BY doc_id""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

@@ -995,6 +995,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("frontier probe broadcasts batch keys; the frontier side never sort-merges") {
+    // probeNew's contract at scale: the corpus-sized frontier scans
+    // ONCE against the BROADCAST batch keys (inner), and the batch
+    // anti-joins the (batch-bounded) seen subset — also broadcast. A
+    // SortMergeJoin anywhere in the probe means the frontier got
+    // shuffled, the exact cost the operator exists to avoid.
+    val df = SparkEntry.queries("q301_frontier_discovery")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"frontier probe plan contains a sort-merge join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier probe plan lost its broadcast joins:\n$p")
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      s"the unseen-filter must be a broadcast anti-join:\n$p")
+    graft.llm.CacheRegistry.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("same-text pair expansion reads ONE cached candidate frame per branch") {
     // sameTextPairs ends in unionAll(expand(nc==1), expand(nc>1)) —
     // both branches consume the chunk-pair frame `cp`. Unpersisted,
