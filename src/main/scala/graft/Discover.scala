@@ -1,0 +1,55 @@
+package graft
+
+import graft.llm.{CacheRegistry, Frontier}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Crawl-discovery CLI: one batch of fetched pages (parquet with a URL
+  * column and an HTML column) → outlink harvest → frontier probe → the
+  * UNSEEN fetchable URLs written as the next fetch manifest, and the
+  * frontier grown under the fenced/ledgered append. First run against
+  * an empty frontier dir SEEDS it from the batch's own page URLs
+  * before discovering. Re-running a committed batch id is a ledger
+  * no-op — safe to retry blindly.
+  *
+  * Usage: runMain graft.Discover <pagesParquet> <urlCol> <htmlCol>
+  *          <frontierDir> <outManifestDir> [batchId=0]
+  * Env:   SPARK_GRAFT_CPUS (default 4)
+  */
+object Discover {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 5,
+      "usage: Discover <pagesParquet> <urlCol> <htmlCol> <frontierDir> <outManifestDir> [batchId]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val n = run(spark, args(0), args(1), args(2), args(3), args(4),
+        if (args.length > 5) args(5).toLong else 0L)
+      println(s"[discover] new_urls=$n -> ${args(4)}")
+    } finally {
+      CacheRegistry.releaseAll(spark)
+      spark.stop()
+    }
+  }
+
+  /** Runs one discovery batch; package-visible for the spec. Returns
+    * the newly discovered URL count (-1 on a ledger-replayed batch).
+    */
+  def run(spark: SparkSession, pagesPath: String, urlCol: String,
+          htmlCol: String, frontierDir: String, outManifestDir: String,
+          batchId: Long): Long = {
+    val pages = spark.read.parquet(pagesPath)
+    if (!new java.io.File(frontierDir).exists())
+      Frontier.buildFrontier(
+        pages.select(col(urlCol).cast("string").as("url")),
+        "url", frontierDir)
+    graft.streaming.IndexIngest.processDiscoveryBatch(pages, batchId,
+      urlCol, htmlCol, frontierDir, Some(outManifestDir))
+  }
+}

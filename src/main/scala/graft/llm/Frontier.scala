@@ -56,7 +56,46 @@ object Frontier extends PersistedIndex {
     graft.sources.BucketedWarehouse.writeBucketedPath(
       keyed(df, urlCol).select(col("graft_k1"), col("graft_k2")).distinct(),
       keysName(frontierDir), s"$frontierDir/keys", Seq("graft_k1"), numBuckets)
+    // a rebuild over an old incarnation's dir must not inherit its
+    // pending forgets
+    deleteRecursively(new java.io.File(frontierDir, forgottenDirName))
     writeManifest(frontierDir, Seq("numBuckets" -> numBuckets.toString))
+  }
+
+  /** The pending-forget sidecar: (graft_k1, graft_k2) key pairs whose
+    * URLs should probe as UNSEEN again — the trait's tombstone idea
+    * with the frontier's two-long key (the single-`id` helpers don't
+    * fit a 120-bit key). Bounded by nature (re-crawl/compliance
+    * lists), so probes broadcast it.
+    */
+  private val forgottenDirName = "forgotten"
+
+  private def forgottenKeys(spark: SparkSession,
+      frontierDir: String): Option[DataFrame] = {
+    val dir = new java.io.File(frontierDir, forgottenDirName)
+    if (dir.isDirectory &&
+        Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+      Some(spark.read.parquet(dir.toString)
+        .select(col("graft_k1"), col("graft_k2")).distinct())
+    else None
+  }
+
+  /** FORGET URLs — the re-crawl path: a forgotten URL probes as NEW
+    * again immediately (the seen set anti-joins the forget sidecar),
+    * so the next discovery batch re-emits it to the fetch manifest;
+    * [[compactFrontier]] applies forgets physically and
+    * [[appendToFrontier]] cancels a forget when its URL is re-learned
+    * (otherwise a re-discovered URL would re-emit on EVERY later
+    * batch — forgotten-yet-present must flip back to seen on append).
+    * Returns the forget-key count appended.
+    */
+  def forgetUrls(df: DataFrame, urlCol: String, frontierDir: String): Long = {
+    val spark = df.sparkSession
+    openKeys(spark, frontierDir)
+    val ks = keyed(df, urlCol)
+      .select(col("graft_k1"), col("graft_k2")).distinct()
+    ks.write.mode("append").parquet(s"$frontierDir/$forgottenDirName")
+    ks.count()
   }
 
   /** Re-attach the bucketed key table in this session (a fresh session
@@ -81,9 +120,16 @@ object Frontier extends PersistedIndex {
     val spark = df.sparkSession
     val probed = keyed(df, urlCol)
     val probeKeys = probed.select(col("graft_k1"), col("graft_k2")).distinct()
-    val seen = openKeys(spark, frontierDir)
+    val seen0 = openKeys(spark, frontierDir)
       .join(broadcast(probeKeys), Seq("graft_k1", "graft_k2"))
       .select(col("graft_k1"), col("graft_k2")).distinct()
+    // pending forgets flip membership off immediately (re-crawl);
+    // bounded list → broadcast anti-join
+    val seen = forgottenKeys(spark, frontierDir) match {
+      case Some(fk) =>
+        seen0.join(broadcast(fk), Seq("graft_k1", "graft_k2"), "left_anti")
+      case None => seen0
+    }
     probed.join(broadcast(seen), Seq("graft_k1", "graft_k2"), "left_anti")
       .drop("graft_k1", "graft_k2")
   }
@@ -106,9 +152,28 @@ object Frontier extends PersistedIndex {
     val nb = readManifestProps(frontierDir).getProperty("numBuckets").toInt
     requireNoFence(frontierDir, "append")
     raiseFence(frontierDir, commitLedger.map(_._2.toString).getOrElse(""))
+    val batchKeys = keyed(df, urlCol)
+      .select(col("graft_k1"), col("graft_k2")).distinct()
     graft.sources.BucketedWarehouse.appendBucketedPath(
-      keyed(df, urlCol).select(col("graft_k1"), col("graft_k2")).distinct(),
-      keysName(frontierDir), s"$frontierDir/keys", Seq("graft_k1"), nb)
+      batchKeys, keysName(frontierDir), s"$frontierDir/keys",
+      Seq("graft_k1"), nb)
+    // a re-learned URL cancels its pending forget (inside the fence:
+    // a crash between the keys append and this rewrite is detectably
+    // torn, never a URL that re-emits on every later batch). The
+    // sidecar is bounded by nature, so collecting the surviving
+    // forgets driver-side stays metadata-scale — and is REQUIRED: a
+    // parquet dir cannot be overwritten from a plan that reads it.
+    forgottenKeys(spark, frontierDir).foreach { fk =>
+      val survivors = fk.join(batchKeys, Seq("graft_k1", "graft_k2"),
+        "left_anti").collect()
+      deleteRecursively(new java.io.File(frontierDir, forgottenDirName))
+      if (survivors.nonEmpty) {
+        import spark.implicits._
+        survivors.map(r => (r.getLong(0), r.getLong(1))).toSeq
+          .toDF("graft_k1", "graft_k2")
+          .write.mode("overwrite").parquet(s"$frontierDir/$forgottenDirName")
+      }
+    }
     crashPoint(spark, "frontier_append_before_ledger")
     commitLedger.foreach { case (ledger, batchId) =>
       appendLineSync(ledger, batchId) }
@@ -124,10 +189,18 @@ object Frontier extends PersistedIndex {
     val nb = readManifestProps(frontierDir).getProperty("numBuckets").toInt
     requireNoFence(frontierDir, "append/compact")
     raiseFence(frontierDir, "")
+    val live = forgottenKeys(spark, frontierDir) match {
+      case Some(fk) =>
+        // forgets go physical here (the delete-then-merge pattern the
+        // other three indexes share)
+        spark.read.parquet(s"$frontierDir/keys").distinct()
+          .join(broadcast(fk), Seq("graft_k1", "graft_k2"), "left_anti")
+      case None => spark.read.parquet(s"$frontierDir/keys").distinct()
+    }
     graft.sources.BucketedWarehouse.rewriteBucketedPath(
-      spark.read.parquet(s"$frontierDir/keys").distinct(),
-      spark, keysName(frontierDir), s"$frontierDir/keys",
+      live, spark, keysName(frontierDir), s"$frontierDir/keys",
       Seq("graft_k1"), nb)
+    deleteRecursively(new java.io.File(frontierDir, forgottenDirName))
     clearFence(frontierDir)
   }
 }

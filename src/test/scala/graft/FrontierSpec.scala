@@ -146,4 +146,47 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
       fdir, Some(mdir)) === 0L)
     graft.llm.CacheRegistry.releaseAll(spark)
   }
+
+  test("forgetUrls: re-crawl membership flips off, re-learn cancels, compact applies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-frontier-fg").toString + "/f"
+    Frontier.buildFrontier(urls(1L, 2L, 3L), "url", dir, numBuckets = 2)
+    // forget url 2: it probes as NEW again immediately
+    assert(Frontier.forgetUrls(urls(2L), "url", dir) === 1L)
+    assert(probeIds(dir, 1L to 3L) === Set(2L))
+    // re-learning url 2 cancels the pending forget — otherwise it
+    // would re-emit on EVERY later batch despite being present
+    Frontier.appendToFrontier(urls(2L), "url", dir)
+    assert(probeIds(dir, 1L to 3L) === Set.empty)
+    // forget again, compact: the delete goes physical and answers
+    // stay identical
+    assert(Frontier.forgetUrls(urls(3L), "url", dir) === 1L)
+    assert(probeIds(dir, 1L to 3L) === Set(3L))
+    Frontier.compactFrontier(spark, dir)
+    assert(probeIds(dir, 1L to 3L) === Set(3L))
+    assert(!new java.io.File(s"$dir/forgotten").exists(),
+      "compaction must clear the applied forget sidecar")
+    // and a physically-forgotten url re-learns normally
+    Frontier.appendToFrontier(urls(3L), "url", dir)
+    assert(probeIds(dir, 1L to 3L) === Set.empty)
+  }
+
+  test("Discover CLI seeds an empty frontier, discovers, and replays as a no-op") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-disc-cli").toString
+    val (pdir, fdir, mdir) = (s"$base/pages", s"$base/frontier", s"$base/out")
+    Seq(
+      ("https://s.example/p/0",
+        """<html><body><a href="https://s.example/p/1">n</a></body></html>"""),
+      ("https://t.example/p/0",
+        """<html><body><a href="https://s.example/p/0">seen</a></body></html>"""))
+      .toDF("url", "html").write.parquet(pdir)
+    // first run: seeds the frontier from the pages' own urls, then
+    // discovers exactly the one genuinely-new outlink
+    assert(Discover.run(spark, pdir, "url", "html", fdir, mdir, 0L) === 1L)
+    assert(spark.read.parquet(s"$mdir/batch_id=0")
+      .collect().map(_.getString(0)).toSeq === Seq("https://s.example/p/1"))
+    // a blind retry of the same batch id is a ledger no-op
+    assert(Discover.run(spark, pdir, "url", "html", fdir, mdir, 0L) === -1L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
 }
