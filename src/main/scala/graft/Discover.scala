@@ -45,7 +45,14 @@ object Discover {
           htmlCol: String, frontierDir: String, outManifestDir: String,
           batchId: Long): Long = {
     val pages = spark.read.parquet(pagesPath)
-    if (!new java.io.File(frontierDir).exists())
+    // gate on the MANIFEST, not bare directory existence: a
+    // pre-created dir (mkdir before the first run) or a first run
+    // killed between the keys write and the manifest write leaves the
+    // directory present but the frontier ABSENT — seeding must re-run
+    // or every later probe dies on the missing manifest, breaking the
+    // blind-retry contract (buildFrontier's overwrite makes the
+    // re-seed safe)
+    if (!Frontier.indexExists(frontierDir))
       Frontier.buildFrontier(
         pages.select(col(urlCol).cast("string").as("url")),
         "url", frontierDir)

@@ -57,8 +57,12 @@ object Frontier extends PersistedIndex {
       keyed(df, urlCol).select(col("graft_k1"), col("graft_k2")).distinct(),
       keysName(frontierDir), s"$frontierDir/keys", Seq("graft_k1"), numBuckets)
     // a rebuild over an old incarnation's dir must not inherit its
-    // pending forgets
+    // pending forgets OR its tripped fence — a rebuild IS the
+    // documented recovery for a torn frontier, so it supersedes
+    // whatever mutation the fence guarded (the fresh keys table just
+    // replaced the mutated one whole)
     deleteRecursively(new java.io.File(frontierDir, forgottenDirName))
+    pendingFile(frontierDir).delete()
     writeManifest(frontierDir, Seq("numBuckets" -> numBuckets.toString))
   }
 
@@ -92,10 +96,16 @@ object Frontier extends PersistedIndex {
   def forgetUrls(df: DataFrame, urlCol: String, frontierDir: String): Long = {
     val spark = df.sparkSession
     openKeys(spark, frontierDir)
+    // persisted around write+count: unpersisted, the count would
+    // recompute the whole keyed/distinct plan (a second input scan),
+    // and a non-deterministic input frame could return a count that
+    // doesn't match the sidecar contents just written
     val ks = keyed(df, urlCol)
-      .select(col("graft_k1"), col("graft_k2")).distinct()
-    ks.write.mode("append").parquet(s"$frontierDir/$forgottenDirName")
-    ks.count()
+      .select(col("graft_k1"), col("graft_k2")).distinct().persist()
+    try {
+      ks.write.mode("append").parquet(s"$frontierDir/$forgottenDirName")
+      ks.count()
+    } finally ks.unpersist()
   }
 
   /** Re-attach the bucketed key table in this session (a fresh session

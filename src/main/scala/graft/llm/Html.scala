@@ -156,12 +156,20 @@ object Html {
     * quote and a required terminator so `name=robotsx` cannot match.
     */
   def metaRobots(html: Column): Column = {
-    val name = "name\\s*=\\s*[\"']?robots[\"']?[\\s/>]"
+    // name-first arms: the terminator after `robots` must NOT be able
+    // to consume the tag's closing '>' — a [\s/>] class there let the
+    // match LEAK into the next tag and return an unrelated content
+    // attribute as the directive (content always follows name in
+    // these arms, so whitespace/'/' is the only legal separator).
+    // Content-first arms end at the name, where eating the final '>'
+    // is harmless.
+    val nameMid = "name\\s*=\\s*[\"']?robots[\"']?[\\s/]"
+    val nameEnd = "name\\s*=\\s*[\"']?robots[\"']?[\\s/>]"
     val arms = Seq(
-      s"(?is)<meta\\s[^>]*$name[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']",
-      s"(?is)<meta\\s[^>]*${name}[^>]*content\\s*=\\s*([^\\s\"'>]+)",
-      s"(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*$name",
-      s"(?is)<meta\\s[^>]*content\\s*=\\s*([^\\s\"'>]+)[^>]*$name")
+      s"(?is)<meta\\s[^>]*$nameMid[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"']",
+      s"(?is)<meta\\s[^>]*${nameMid}[^>]*content\\s*=\\s*([^\\s\"'>]+)",
+      s"(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*$nameEnd",
+      s"(?is)<meta\\s[^>]*content\\s*=\\s*([^\\s\"'>]+)[^>]*$nameEnd")
     lower(coalesce(arms.map(a =>
       nullif(regexp_extract(html, a, 1), lit(""))): _*))
   }
@@ -252,7 +260,7 @@ object Html {
     val clean = inlineCleanSql("x")
     s"""(list_max(list_transform(
        |  regexp_split_to_array(${strippedSql(inner)}, '$blockTagRegex'),
-       |  x -> struct_pack(l := strlen($clean), t := $clean)))).t""".stripMargin
+       |  x -> struct_pack(l := length($clean), t := $clean)))).t""".stripMargin
   }
 
   /** DuckDB SQL for [[httpBody]] over expression `inner`. */

@@ -31,14 +31,15 @@ object UrlOps {
 
   /** The host-extraction regex (group 1 = host) — shared VERBATIM with
     * the SQL oracles so the two engines cannot drift. Skips an
-    * optional `userinfo@` prefix (which may itself contain ':') and
-    * stops at port/path/query/fragment; without the skip,
-    * `http://trusted.com:x@evil.com/` would "extract"
-    * `trusted.com` — the classic URL-confusion spoof — and key
-    * evil.com's pages under the trusted site.
+    * optional `userinfo@` prefix to the LAST '@' before the path —
+    * the WHATWG rule fetchers follow, and the greedy class must
+    * therefore admit '@' itself: a first-'@' skip still spoofs on
+    * `http://evil.com@trusted.com@victim.com/` (a fetcher retrieves
+    * victim.com; keying it under trusted.com is the URL-confusion
+    * attack). Stops at port/path/query/fragment.
     */
   val hostRegex: String =
-    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)"
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]+)"
 
   /** Lowercase host of a scheme://host... URL, NULL when `url` has no
     * authority (relative links, mailto:, javascript:).

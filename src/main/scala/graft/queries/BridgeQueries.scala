@@ -249,7 +249,7 @@ object BridgeQueries {
       },
       Some("""SELECT source, n_docs, sum_chars FROM (
              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             |         CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+             |         CAST(sum(length(text)) AS BIGINT) AS sum_chars
              |  FROM documents WHERE doc_id % 17 <> 0 GROUP BY source
              |  UNION ALL
              |  SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
@@ -339,7 +339,7 @@ object BridgeQueries {
         val cleanCounts = graft.sources.WarcCorpus.clean(parsed)
           .select(regexp_extract(col("target_uri"), "^http://([^/]+)/", 1).as("source"),
             // payload is BINARY — decode to chars before measuring (the
-            // oracle counts strlen over the source text)
+            // oracle counts characters over the source text)
             length(graft.sources.WarcCorpus.payloadText).cast("long").as("graft_len"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("graft_len")).as("sum_chars"))
@@ -351,7 +351,7 @@ object BridgeQueries {
       },
       Some("""SELECT source, n_docs, sum_chars FROM (
              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             |         CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+             |         CAST(sum(length(text)) AS BIGINT) AS sum_chars
              |  FROM documents WHERE doc_id % 19 <> 0 GROUP BY source
              |  UNION ALL
              |  SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
@@ -409,7 +409,7 @@ object BridgeQueries {
       },
       Some("""SELECT source, n_docs, sum_chars FROM (
              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             |         CAST(sum(strlen(text)) AS BIGINT) AS sum_chars
+             |         CAST(sum(length(text)) AS BIGINT) AS sum_chars
              |  FROM documents WHERE doc_id % 17 <> 0 GROUP BY source
              |  UNION ALL
              |  SELECT '_corrupt', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
@@ -447,7 +447,7 @@ object BridgeQueries {
               |  || '&nbsp;&lt;fin&gt;</p></body></html>' AS html
               |  FROM documents),
               |x AS (SELECT doc_id, ${graft.llm.Html.htmlToTextSql("html")} AS text_out FROM h)
-              |SELECT doc_id, text_out, CAST(strlen(text_out) AS BIGINT) AS n_chars
+              |SELECT doc_id, text_out, CAST(length(text_out) AS BIGINT) AS n_chars
               |FROM x ORDER BY doc_id""".stripMargin)),
 
     // ---- Raw-crawl response chain (WARC response records → HTTP split
@@ -514,7 +514,7 @@ object BridgeQueries {
            |    CASE WHEN strpos(msg, $crlf || $crlf) > 0
            |         THEN substr(msg, 1, strpos(msg, $crlf || $crlf) + 1) ELSE msg END,
            |    '(?i)(?:^|\r\n)Content-Type:[ \t]*([^\r\n]*)', 1), '') AS content_type,
-           |  CAST(strlen(${graft.llm.Html.htmlToTextSql("body")}) AS BIGINT) AS body_chars
+           |  CAST(length(${graft.llm.Html.htmlToTextSql("body")}) AS BIGINT) AS body_chars
            |FROM b ORDER BY doc_id""".stripMargin
       }),
 
@@ -882,11 +882,11 @@ object BridgeQueries {
               |  FROM documents),
               |x AS (SELECT doc_id,
               |  ${graft.llm.Html.mainBlockTextSql("html")} AS main_out,
-              |  CAST(strlen(${graft.llm.Html.htmlToTextSql("html")}) AS BIGINT)
+              |  CAST(length(${graft.llm.Html.htmlToTextSql("html")}) AS BIGINT)
               |    AS full_chars
               |  FROM h)
               |SELECT doc_id, main_out, full_chars,
-              |  CAST(strlen(main_out) AS BIGINT) AS main_chars
+              |  CAST(length(main_out) AS BIGINT) AS main_chars
               |FROM x ORDER BY doc_id""".stripMargin)),
 
     // ---- Content-type routing (the mime dispatch a raw crawl batch
@@ -955,7 +955,7 @@ object BridgeQueries {
               |SELECT doc_id,
               |  CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'html' END AS kind,
               |  CASE WHEN doc_id % 3 = 0 THEN NULL
-              |    ELSE CAST(strlen(${graft.llm.Html.htmlToTextSql("body")}) AS BIGINT)
+              |    ELSE CAST(length(${graft.llm.Html.htmlToTextSql("body")}) AS BIGINT)
               |  END AS n_chars,
               |  CASE WHEN doc_id % 3 = 0
               |    THEN CAST(${graft.fixtures.FixtureBytes.jpeg().length} AS BIGINT)

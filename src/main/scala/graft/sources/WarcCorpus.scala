@@ -586,13 +586,16 @@ object WarcCorpus {
     def skipCString(start: Long): Option[Long] = {
       // one bounded block read + in-memory scan — per-byte positioned
       // reads would cost up to maxHeaderBytes syscalls per FNAME-
-      // bearing member on the archive-scan hot path
+      // bearing member on the archive-scan hot path. readExactAt loops
+      // internally, honoring the EvidenceReader short-read contract (a
+      // chunk-bounded reader like EwfEvidence may return fewer bytes
+      // per call; a single readAt would truncate the NUL scan and
+      // silently drop the record)
       val cap = math.min(totalLen - start, maxHeaderBytes.toLong).toInt
       if (cap <= 0) return None
-      val block = new Array[Byte](cap)
-      val got = reader.readAt(start, block, 0, cap)
+      val block = reader.readExactAt(start, cap).getOrElse(return None)
       var i = 0
-      while (i < got) {
+      while (i < cap) {
         if (block(i) == 0) return Some(start + i + 1)
         i += 1
       }

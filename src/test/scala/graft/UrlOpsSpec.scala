@@ -37,6 +37,11 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // host must not be extracted as the host
     assert(h("http://trusted.com:x@evil.com/p") === "evil.com")
     assert(h("http://alice@evil.com/") === "evil.com")
+    // DOUBLE-@ variant: fetchers split at the LAST '@' (WHATWG), so a
+    // first-'@' skip would still key victim.com under trusted.com
+    assert(h("http://evil.com@trusted.com@victim.com/x") === "victim.com")
+    // an '@' in the path is NOT userinfo
+    assert(h("https://a.example/path@with@ats") === "a.example")
     assert(h("ftp://files.example/pub") === "files.example")
     assert(h("/relative/x") === null)
     assert(h("mailto:a@b.c") === null)
@@ -90,6 +95,16 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ni("<p>no meta at all</p>") === false)
     // name=robotsx is NOT the robots directive
     assert(robots("""<meta name=robotsx content=noindex>""") === null)
+    // the name terminator must not leak the match into the NEXT tag: a
+    // robots meta with content BEFORE name, followed by an unrelated
+    // content-bearing tag, must return the robots value — not the
+    // description tag's
+    assert(robots("""<meta content="noarchive" name="robots"><meta name="description" content="buy cheap noindex guide">""")
+      === "noarchive")
+    // a content-less robots meta followed by another tag declares
+    // NOTHING — it must not fabricate a directive from the next tag
+    assert(robots("""<meta name="robots"><meta name="description" content="noindex appears here">""")
+      === null)
   }
 
   test("mainBlockText picks the longest cleaned block segment") {
