@@ -608,25 +608,69 @@ object WarcCorpus {
     // --- member-wise inflate with bounded sequential reads; output
     // capped at the record budget (header block + payload + framing)
     val cap = maxHeaderBytes.toLong + maxPayloadBytes.toLong + 64L
+    inflateMember(reader, totalLen, cursor, cap, 64 * 1024) match {
+      case Right(rec) =>
+        if (rec.length >= AnchorPrefix.length &&
+            java.util.Arrays.equals(
+              java.util.Arrays.copyOf(rec, AnchorPrefix.length), AnchorPrefix))
+          Some(parseRecordBytes(rec, off, maxHeaderBytes, maxPayloadBytes, archive))
+        else
+          // a VALID gzip member that does not hold a record: in a
+          // .warc.gz every member is a record, so this is visible, not
+          // silent — and a CRC-verified false positive is ~impossible
+          quarantineRow("gzip member does not contain a WARC record")
+      case Left((msg, true)) => quarantineRow(msg)
+      case Left((_, false)) =>
+        // the failing Inflater.inflate CALL discards its own output
+        // (JDK contract) — a small member processed in ONE call can
+        // fail with ZERO surviving bytes, leaving no record evidence
+        // even though its header inflated fine (observed at sf0.1: 6
+        // of 295 planted-corrupt members silently skipped). Retry with
+        // 64-byte input slices (crawl records compress to a few
+        // hundred bytes — a 512-byte slice would still cover a whole
+        // member in one call): output lands incrementally across
+        // calls, so the pre-corruption prefix survives and proves the
+        // member held a record. Only members that fail WITHOUT
+        // evidence pay the retry — true false positives (rare by the
+        // magic odds) and corrupt members; both bounded by cap.
+        inflateMember(reader, totalLen, cursor, cap, 64) match {
+          case Left((msg2, true)) => quarantineRow(msg2)
+          case Right(rec)
+            if rec.length >= AnchorPrefix.length &&
+              java.util.Arrays.equals(
+                java.util.Arrays.copyOf(rec, AnchorPrefix.length), AnchorPrefix) =>
+            Some(parseRecordBytes(rec, off, maxHeaderBytes, maxPayloadBytes, archive))
+          case _ => None
+        }
+    }
+  }
+
+  /** One member-wise inflation attempt from absolute `dataStart`:
+    * Right(memberBytes) on a CRC/ISIZE-verified member, Left((error,
+    * recordEvidence)) on failure — `recordEvidence` is true when the
+    * output produced BEFORE the failure starts with the record anchor
+    * prefix (the caller's quarantine-vs-skip rule). `inChunk` sizes
+    * the input feed; smaller chunks preserve more pre-failure output
+    * (the failing inflate call's own output is unrecoverable).
+    */
+  private def inflateMember(reader: EvidenceReader, totalLen: Long,
+      dataStart: Long, cap: Long,
+      inChunk: Int): Either[(String, Boolean), Array[Byte]] = {
     val inflater = new java.util.zip.Inflater(true)
     val out = new java.io.ByteArrayOutputStream(8192)
     val crc = new java.util.zip.CRC32
-    val inBuf = new Array[Byte](64 * 1024)
+    val inBuf = new Array[Byte](inChunk)
     val outBuf = new Array[Byte](64 * 1024)
-    var inAt = cursor
+    var inAt = dataStart
     var lastFed = 0
-    // a failure is only a QUARANTINE once the output proves a record
-    // was here; before that it is a skipped false positive
-    def looksLikeRecord: Boolean = {
+    def evidence: Boolean = {
       val b = out.toByteArray
       b.length >= AnchorPrefix.length &&
         java.util.Arrays.equals(
           java.util.Arrays.copyOf(b, AnchorPrefix.length), AnchorPrefix)
     }
-    def fail(msg: String): Option[Row] = {
-      inflater.end()
-      if (looksLikeRecord) quarantineRow(msg) else None
-    }
+    def fail(msg: String): Either[(String, Boolean), Array[Byte]] =
+      Left((msg, evidence))
     try {
       while (!inflater.finished()) {
         if (inflater.needsInput()) {
@@ -668,13 +712,7 @@ object WarcCorpus {
         return fail("gzip member CRC mismatch")
       if (leU32(4) != (out.size().toLong & 0xffffffffL))
         return fail("gzip member ISIZE mismatch")
-      val rec = out.toByteArray
-      if (!looksLikeRecord)
-        // a VALID gzip member that does not hold a record: in a
-        // .warc.gz every member is a record, so this is visible, not
-        // silent — and a CRC-verified false positive is ~impossible
-        return quarantineRow("gzip member does not contain a WARC record")
-      Some(parseRecordBytes(rec, off, maxHeaderBytes, maxPayloadBytes, archive))
+      Right(out.toByteArray)
     } finally inflater.end()
   }
 

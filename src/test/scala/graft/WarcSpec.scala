@@ -241,6 +241,23 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head.getAs[Array[Byte]](5).toSeq === noise.toSeq)
   }
 
+  test("every corrupt member quarantines — none silently skips (one-call inflate loss)") {
+    // Inflater.inflate discards the output of the CALL that throws, so
+    // a small member processed in one call can fail with zero
+    // surviving bytes — no record evidence, silent skip (observed at
+    // sf0.1 before the 64-byte-slice retry: 6/295 corrupt members
+    // vanished). 40 differently-sized corrupt members must ALL surface.
+    val members = (0 until 40).map(i => graft.fixtures.FixtureBytes.gzMember(
+      record(i.toLong, s"text $i " + ("lorem ipsum " * (i % 7))),
+      corrupt = true))
+    val got = WarcCorpus.readGz(spark, writeTemp(members.flatten.toArray).toString,
+      chunkSize = 1024).collect()
+    assert(got.length === 40, s"expected 40 rows, got ${got.length}")
+    assert(got.forall(!_.isNullAt(6)),
+      s"every planted corruption must quarantine; clean rows: " +
+        got.filter(_.isNullAt(6)).map(_.getLong(0)).mkString(","))
+  }
+
   test("a truncated first gzip member surfaces instead of parsing as zero records") {
     // 5 junk bytes that happen to start with the member magic: too
     // short to even parse a gzip header — must quarantine, not vanish
