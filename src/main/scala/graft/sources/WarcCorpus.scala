@@ -570,17 +570,17 @@ object WarcCorpus {
     */
   private[sources] def parseGzMember(reader: EvidenceReader, totalLen: Long,
       off: Long, maxHeaderBytes: Int, maxPayloadBytes: Int,
-      archive: String): Option[Row] = {
-    def quarantineRow(msg: String): Option[Row] =
-      Some(Row(off, null, null, null, null, null, msg, archive))
+      archive: String): Seq[Row] = {
+    def quarantineRow(msg: String): Seq[Row] =
+      Seq(Row(off, null, null, null, null, null, msg, archive))
     // --- gzip member header (FEXTRA/FNAME/FCOMMENT/FHCRC — the carve
     // heuristic's walk, GzipCarver.parseHeader) via bounded reads
-    val fixed = reader.readExactAt(off, 10).getOrElse(return None)
+    val fixed = reader.readExactAt(off, 10).getOrElse(return Seq.empty)
     val flags = fixed(3) & 0xff
-    if ((flags & 0xe0) != 0) return None // reserved bits: not a member
+    if ((flags & 0xe0) != 0) return Seq.empty // reserved bits: not a member
     var cursor = off + 10
     if ((flags & 0x04) != 0) { // FEXTRA
-      val xl = reader.readExactAt(cursor, 2).getOrElse(return None)
+      val xl = reader.readExactAt(cursor, 2).getOrElse(return Seq.empty)
       cursor += 2 + ((xl(0) & 0xff) | ((xl(1) & 0xff) << 8))
     }
     def skipCString(start: Long): Option[Long] = {
@@ -601,10 +601,10 @@ object WarcCorpus {
       }
       None
     }
-    if ((flags & 0x08) != 0) cursor = skipCString(cursor).getOrElse(return None)
-    if ((flags & 0x10) != 0) cursor = skipCString(cursor).getOrElse(return None)
+    if ((flags & 0x08) != 0) cursor = skipCString(cursor).getOrElse(return Seq.empty)
+    if ((flags & 0x10) != 0) cursor = skipCString(cursor).getOrElse(return Seq.empty)
     if ((flags & 0x02) != 0) cursor += 2 // FHCRC
-    if (cursor >= totalLen) return None
+    if (cursor >= totalLen) return Seq.empty
     // --- member-wise inflate with bounded sequential reads; output
     // capped at the record budget (header block + payload + framing)
     val cap = maxHeaderBytes.toLong + maxPayloadBytes.toLong + 64L
@@ -613,7 +613,8 @@ object WarcCorpus {
         if (rec.length >= AnchorPrefix.length &&
             java.util.Arrays.equals(
               java.util.Arrays.copyOf(rec, AnchorPrefix.length), AnchorPrefix))
-          Some(parseRecordBytes(rec, off, maxHeaderBytes, maxPayloadBytes, archive))
+          parseMemberRecords(rec, off, maxHeaderBytes, maxPayloadBytes,
+            archive)
         else
           // a VALID gzip member that does not hold a record: in a
           // .warc.gz every member is a record, so this is visible, not
@@ -639,9 +640,36 @@ object WarcCorpus {
             if rec.length >= AnchorPrefix.length &&
               java.util.Arrays.equals(
                 java.util.Arrays.copyOf(rec, AnchorPrefix.length), AnchorPrefix) =>
-            Some(parseRecordBytes(rec, off, maxHeaderBytes, maxPayloadBytes, archive))
-          case _ => None
+            parseMemberRecords(rec, off, maxHeaderBytes, maxPayloadBytes,
+              archive)
+          case _ => Seq.empty
         }
+    }
+  }
+
+  /** Every record inside ONE inflated member's bytes. Per-record-gzip
+    * crawls hold exactly one (the Common Crawl 1:1 layout), but ISO
+    * 28500 permits several per member — parsing only the first would
+    * lose the rest SILENTLY. Rows report the MEMBER's compressed
+    * offset (the re-fetchable archive address; inner records share
+    * it). A member whose byte 0 is not a well-formed version line
+    * leads with a quarantine row, so nothing at the member head can
+    * vanish without trace.
+    */
+  private def parseMemberRecords(rec: Array[Byte], off: Long,
+      maxHeaderBytes: Int, maxPayloadBytes: Int,
+      archive: String): Seq[Row] = {
+    val anchors = anchorOffsets(rec, rec.length)
+    val lead =
+      if (!anchors.headOption.contains(0L))
+        Seq(Row(off, null, null, null, null, null,
+          "gzip member does not begin with a well-formed record", archive))
+      else Seq.empty
+    lead ++ anchors.map { a =>
+      parseRecordBytes(
+        if (a == 0L) rec
+        else java.util.Arrays.copyOfRange(rec, a.toInt, rec.length),
+        off, maxHeaderBytes, maxPayloadBytes, archive)
     }
   }
 

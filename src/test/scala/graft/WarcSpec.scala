@@ -241,6 +241,25 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head.getAs[Array[Byte]](5).toSeq === noise.toSeq)
   }
 
+  test("a multi-record gzip member parses EVERY record (spec-legal, non-CC layout)") {
+    // ISO 28500 allows several records per member; parsing only the
+    // first would silently lose the rest. Both rows report the
+    // member's compressed offset — the re-fetchable address.
+    val member = graft.fixtures.FixtureBytes.gzMember(
+      record(0L, "first record body") ++ record(1L, "second record body"))
+    val single = graft.fixtures.FixtureBytes.gzMember(record(2L, "third"))
+    val got = gzRows(writeTemp(member ++ single))
+    assert(got.length === 3, s"got ${got.toSeq}")
+    // the two inner records share the member offset, so their sort
+    // order under orderBy(record_offset) is tie-unstable — compare
+    // order-insensitively
+    assert(got.map(_._5).sorted.toSeq ===
+      Seq("first record body", "second record body", "third"))
+    assert(got.groupBy(_._1).values.map(_.size).toSeq.sorted === Seq(1, 2),
+      "inner records must share the member offset")
+    assert(got.forall(_._6 == null))
+  }
+
   test("every corrupt member quarantines — none silently skips (one-call inflate loss)") {
     // Inflater.inflate discards the output of the CALL that throws, so
     // a small member processed in one call can fail with zero
