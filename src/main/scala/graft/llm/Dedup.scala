@@ -971,31 +971,54 @@ object Dedup extends PersistedIndex {
     * One shuffle (groupBy tid) + in-row pair expansion, not a self-join.
     * Output columns named (outInter, outUnion, outBp).
     *
-    * Skew shape (the mega-cluster rule): the OUTPUT is inherently
-    * n²/2 rows per n-copy class — that is the pair-join contract — but
-    * it must not materialize as ONE in-row array in one task (a 30%-
-    * duplication class at corpus scale is a task OOM, not a row set).
-    * Classes wider than [[SameTextChunk]] ids explode into (ci ≤ cj)
-    * CHUNK-pair rows first — each expanding at most C² pairs — and
-    * those rows round-robin across the cluster before expanding, so
-    * both memory and CPU spread. Ordinary classes (the overwhelming
-    * majority — one chunk) keep the zero-extra-shuffle direct path;
-    * the sorted ids + chunk ordering preserve id_a < id_b exactly.
+    * ADAPTIVE regime dispatch (the round-14 fix for the round-12
+    * q139/q177 regression). A bounded driver probe — max class size
+    * via a count-only aggregation over `membership` (already persisted
+    * by [[canonicalTexts]]; two-long rows, map-side partial counts) —
+    * picks the plan:
+    *
+    *   - ALL classes ≤ [[SameTextChunk]] (every natural corpus
+    *     measured): the pre-chunking plan verbatim — ONE groupBy +
+    *     in-row pair explode, no cache, no union, no repartition.
+    *     Round-12 ran the chunk-pair scaffolding (two slice copies +
+    *     CASE explode + a two-branch union over a persisted chunk
+    *     frame) on EVERY class; a same-window ABBA at sf0.1 measured
+    *     that scaffolding at +0.7 s on q139 / +0.5 s on q177 (~1.35×)
+    *     with the repartition isolated as free — so only corpora that
+    *     NEED the shield pay for it.
+    *
+    *   - any class > [[SameTextChunk]] (the mega-cluster rule): the
+    *     OUTPUT is inherently n²/2 rows per n-copy class, but it must
+    *     not materialize as ONE in-row array in one task (a 30%-
+    *     duplication class at corpus scale is a task OOM), nor expand
+    *     inside the single task the groupBy landed it on (a CPU
+    *     hotspot). Wide classes explode into (ci ≤ cj) CHUNK-pair rows
+    *     — each expanding ≤ C² pairs — and round-robin across the
+    *     cluster before expanding; small classes keep the in-row path.
+    *     The grouped frame feeds both union branches, so it persists
+    *     ([[CacheRegistry]]) to keep the collect_list aggregation
+    *     single-execution. Sorted ids + chunk ordering preserve
+    *     id_a < id_b exactly in both regimes.
     */
   private def sameTextPairs(membership: DataFrame, perText: DataFrame,
       outInter: String, outUnion: String, outBp: String): DataFrame = {
     val c = SameTextChunk
     val spark = membership.sparkSession
-    // Cache lifecycle: [[CacheRegistry]]. The chunk-pair frame is
-    // consumed by BOTH union branches below; unpersisted, the whole
-    // membership⋈perText → groupBy → chunk-pair explode subtree
-    // executes twice (exchange reuse saves only the shuffle write, not
-    // the final aggregation). One row per class×chunk-pair — tiny.
-    val cp = CacheRegistry.persist(membership.join(perText, Seq("graft_tidl"))
+    val grouped = membership.join(perText, Seq("graft_tidl"))
       .groupBy(col("graft_tidl"))
       .agg(sort_array(collect_list(col("graft_did"))).as("ids"),
         first(col("graft_v")).as("graft_v"))
       .filter(size(col("ids")) >= 2)
+    def finish(df: DataFrame): DataFrame = df
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("graft_v").as(outInter), col("graft_v").as(outUnion),
+        lit(10000L).as(outBp))
+    def inRow(rows: DataFrame): DataFrame = rows
+      .select(col("graft_v"), explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> struct(ids[i] AS id_a, ids[j] AS id_b))))""".stripMargin)).as("p"))
+    def chunkPairs(rows: DataFrame): DataFrame = rows
       .withColumn("graft_nc", expr(s"CAST(ceil(size(ids) / $c.0) AS INT)"))
       .select(col("graft_v"), col("graft_nc"), col("ids"),
         explode(expr(
@@ -1005,7 +1028,7 @@ object Dedup extends PersistedIndex {
       .select(col("graft_v"), col("graft_nc"),
         expr(s"slice(ids, cp.ci * $c + 1, $c)").as("graft_l"),
         expr(s"slice(ids, cp.cj * $c + 1, $c)").as("graft_r"),
-        (col("cp.ci") === col("cp.cj")).as("graft_same")))
+        (col("cp.ci") === col("cp.cj")).as("graft_same"))
     // within a chunk: ordered pairs; across chunks: full cross product
     // (sorted ids + ci < cj ⇒ every left id < every right id); a
     // trailing 1-id chunk pairs only across (the ELSE arm drops it)
@@ -1021,12 +1044,19 @@ object Dedup extends PersistedIndex {
            |      a -> transform(graft_r, b -> struct(a AS id_a, b AS id_b))))
            |  ELSE array()
            |END""".stripMargin)).as("p"))
-    expand(cp.filter(col("graft_nc") === 1))
-      .unionAll(expand(cp.filter(col("graft_nc") > 1)
-        .repartition(spark.sessionState.conf.numShufflePartitions)))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("graft_v").as(outInter), col("graft_v").as(outUnion),
-        lit(10000L).as(outBp))
+    val maxClass = membership.groupBy(col("graft_tidl"))
+      .agg(count(lit(1)).as("graft_n"))
+      .agg(max(col("graft_n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (maxClass <= c) finish(inRow(grouped))
+    else {
+      val g = CacheRegistry.persist(grouped)
+      finish(inRow(g.filter(size(col("ids")) <= c))
+        .unionAll(expand(chunkPairs(g.filter(size(col("ids")) > c))
+          .repartition(spark.sessionState.conf.numShufflePartitions))))
+    }
   }
 
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,

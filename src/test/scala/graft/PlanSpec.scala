@@ -965,6 +965,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("RoundRobinPartitioning"),
       s"wide-class expansion lost its redistribution branch:\n$p")
+    // the grouped (collect_list) frame feeds BOTH union branches in the
+    // mega regime — it must sit behind a cache (single execution), with
+    // the aggregation appearing nowhere outside it
+    val plan = df.queryExecution.optimizedPlan
+    val cached = plan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+        if r.output.exists(_.name == "ids") => r
+    }
+    assert(cached.size >= 2,
+      s"both mega-regime branches must scan the cached grouped frame; " +
+        s"found ${cached.size} InMemoryRelation(s) with ids")
+    val rogue = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
+    }
+    assert(rogue.isEmpty,
+      "the grouped collect_list aggregation must live behind the cache, " +
+        s"not re-execute per union branch:\n${rogue.mkString("\n")}")
     graft.llm.CacheRegistry.releaseAll(spark)
     spark.catalog.clearCache()
   }
@@ -1014,31 +1032,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
-  test("same-text pair expansion reads ONE cached candidate frame per branch") {
-    // sameTextPairs ends in unionAll(expand(nc==1), expand(nc>1)) —
-    // both branches consume the chunk-pair frame `cp`. Unpersisted,
-    // the whole membership⋈perText → groupBy(collect_list) → chunk-
-    // pair explode subtree executed TWICE (the round-12 q139/q177
-    // 1.4-1.5× regression); the fix persists cp, so each branch must
-    // scan an InMemoryRelation and the collect_list aggregation must
-    // appear NOWHERE outside a cached plan.
+  test("same-text pairs on a natural corpus take the pure in-row plan (no chunk tax)") {
+    // The round-14 adaptive gate: the bounded max-class-size probe sees
+    // no class wider than SameTextChunk on the driver corpus, so
+    // sameTextPairs must emit the single-chain plan — one
+    // collect_list aggregation, NO chunk-pair scaffolding (graft_same
+    // never constructed), NO round-robin redistribution branch. The
+    // round-12 shape ran the chunk scaffolding on every class and
+    // measured +0.7 s on q139 / +0.5 s on q177 at sf0.1 (same-window
+    // ABBA) — this pin keeps the common case from paying the shield.
     val df = SparkEntry.queries("q139_jaccard_join")(spark, dir)
     df.collect()
     val plan = df.queryExecution.optimizedPlan
-    val cpRels = plan.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
-        if r.output.exists(_.name == "graft_same") => r
-    }
-    assert(cpRels.size >= 2,
-      s"both union branches must scan the cached chunk-pair frame; " +
-        s"found ${cpRels.size} InMemoryRelation(s) with graft_same")
-    val rogue = plan.collect {
+    assert(!plan.toString.contains("graft_same"),
+      s"natural corpus must not build the chunk-pair scaffolding:\n$plan")
+    val aggs = plan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
         if a.aggregateExpressions.exists(_.toString.contains("collect_list")) => a
     }
-    assert(rogue.isEmpty,
-      "the candidate collect_list aggregation must live behind the cache, " +
-        s"not re-execute per union branch:\n${rogue.mkString("\n")}")
+    assert(aggs.size == 1,
+      s"the in-row plan carries exactly one collect_list aggregation, " +
+        s"found ${aggs.size}")
+    // (no RoundRobinPartitioning pin here: the dense-regime verify path
+    // legitimately round-robins its popcount loop input)
     graft.llm.CacheRegistry.releaseAll(spark)
     spark.catalog.clearCache()
   }
