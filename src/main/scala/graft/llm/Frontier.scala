@@ -108,6 +108,16 @@ object Frontier extends PersistedIndex {
     } finally ks.unpersist()
   }
 
+  /** Path read of the key table under its EXPLICIT schema: a frontier
+    * built from an empty seed frame (legal — a first discovery batch
+    * over an empty pages drop) writes a keys dir with zero part-files,
+    * and schema inference over it throws, wedging every later probe
+    * until a manual rebuild. The schema is two BIGINTs by construction.
+    */
+  private def readKeys(spark: SparkSession, frontierDir: String): DataFrame =
+    spark.read.schema("graft_k1 BIGINT, graft_k2 BIGINT")
+      .parquet(s"$frontierDir/keys")
+
   /** Re-attach the bucketed key table in this session (a fresh session
     * re-registers the same external bucket spec) and return its frame.
     */
@@ -118,7 +128,7 @@ object Frontier extends PersistedIndex {
     graft.sources.BucketedWarehouse.registerExternal(spark,
       keysName(frontierDir), s"$frontierDir/keys",
       "`graft_k1` BIGINT, `graft_k2` BIGINT", Seq("graft_k1"), nb)
-    spark.read.parquet(s"$frontierDir/keys")
+    readKeys(spark, frontierDir)
   }
 
   /** The rows of `df` whose `urlCol` the frontier has NOT seen.
@@ -169,20 +179,24 @@ object Frontier extends PersistedIndex {
       Seq("graft_k1"), nb)
     // a re-learned URL cancels its pending forget (inside the fence:
     // a crash between the keys append and this rewrite is detectably
-    // torn, never a URL that re-emits on every later batch). The
-    // sidecar is bounded by nature, so collecting the surviving
-    // forgets driver-side stays metadata-scale — and is REQUIRED: a
-    // parquet dir cannot be overwritten from a plan that reads it.
+    // torn, never a URL that re-emits on every later batch). A parquet
+    // dir cannot be overwritten from a plan that reads it, so the
+    // survivors STAGE to a sibling dir and atomically swap in —
+    // distributed end to end, no driver materialization, so a bulk
+    // re-crawl forget (tens of millions of keys) costs a task write,
+    // not a driver collect. The crash window between delete and move
+    // sits inside the raised fence: a crash there is a detectably torn
+    // frontier (rebuild recovers), never a silent forget-loss.
     forgottenKeys(spark, frontierDir).foreach { fk =>
-      val survivors = fk.join(batchKeys, Seq("graft_k1", "graft_k2"),
-        "left_anti").collect()
+      val staging = new java.io.File(frontierDir, forgottenDirName + "_staging")
+      deleteRecursively(staging)
+      fk.join(batchKeys, Seq("graft_k1", "graft_k2"), "left_anti")
+        .write.mode("overwrite").parquet(staging.toString)
       deleteRecursively(new java.io.File(frontierDir, forgottenDirName))
-      if (survivors.nonEmpty) {
-        import spark.implicits._
-        survivors.map(r => (r.getLong(0), r.getLong(1))).toSeq
-          .toDF("graft_k1", "graft_k2")
-          .write.mode("overwrite").parquet(s"$frontierDir/$forgottenDirName")
-      }
+      crashPoint(spark, "frontier_forget_swap")
+      java.nio.file.Files.move(staging.toPath,
+        new java.io.File(frontierDir, forgottenDirName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     crashPoint(spark, "frontier_append_before_ledger")
     commitLedger.foreach { case (ledger, batchId) =>
@@ -203,9 +217,9 @@ object Frontier extends PersistedIndex {
       case Some(fk) =>
         // forgets go physical here (the delete-then-merge pattern the
         // other three indexes share)
-        spark.read.parquet(s"$frontierDir/keys").distinct()
+        readKeys(spark, frontierDir).distinct()
           .join(broadcast(fk), Seq("graft_k1", "graft_k2"), "left_anti")
-      case None => spark.read.parquet(s"$frontierDir/keys").distinct()
+      case None => readKeys(spark, frontierDir).distinct()
     }
     graft.sources.BucketedWarehouse.rewriteBucketedPath(
       live, spark, keysName(frontierDir), s"$frontierDir/keys",

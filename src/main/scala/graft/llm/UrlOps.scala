@@ -36,10 +36,15 @@ object UrlOps {
     * therefore admit '@' itself: a first-'@' skip still spoofs on
     * `http://evil.com@trusted.com@victim.com/` (a fetcher retrieves
     * victim.com; keying it under trusted.com is the URL-confusion
-    * attack). Stops at port/path/query/fragment.
+    * attack). Stops at port/path/query/fragment. A bracketed IPv6
+    * literal (`http://[2001:db8::1]:8080/x`) matches as the whole
+    * `[...]` token — the WHATWG serialization, brackets kept — via the
+    * first alternation arm; without it the ':'-stopping class
+    * extracted the garbage key `[2001`. A '[' that never closes is NOT
+    * a host (the second arm refuses a leading '[') → NULL.
     */
   val hostRegex: String =
-    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]+)"
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#]+\\]|[^\\[/?#:@][^/?#:@]*)"
 
   /** Lowercase host of a scheme://host... URL, NULL when `url` has no
     * authority (relative links, mailto:, javascript:).

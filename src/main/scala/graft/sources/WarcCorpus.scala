@@ -69,10 +69,14 @@ object WarcCorpus {
   /** Version-line anchor prefix: accepts any `WARC/1.<digits>\r\n`
     * shape at scan time (1.0 and 1.1 are the published revisions and
     * parse; other 1.x minors quarantine with an explicit error — never
-    * silently zero records).
+    * silently zero records). The digit run is bounded at
+    * [[MaxVersionDigits]] = 9 so the chunk-overlap tail stays finite;
+    * a minor version wider than NINE digits is not a credible version
+    * line and is treated as not-an-anchor (invisible), not quarantined
+    * — the one documented exception to the quarantine contract.
     */
   private val AnchorPrefix: Array[Byte] = "WARC/1.".getBytes(StandardCharsets.US_ASCII)
-  private val MaxVersionDigits = 3
+  private val MaxVersionDigits = 9
   /** Longest version line the scan must see whole: prefix + digits + CRLF. */
   private val MaxAnchorSpan: Int = AnchorPrefix.length + MaxVersionDigits + 2
   /** Gzip member magic + deflate method byte; +FLG byte checked at scan. */
@@ -248,17 +252,38 @@ object WarcCorpus {
     } finally in.close()
   }
 
+  /** Percent-encode the bytes that would break WARC header framing if
+    * a crawl-harvested value carried them: CR and LF anywhere (a
+    * hostile page's href can capture across newlines — unencoded they
+    * inject forged header lines or an early CRLFCRLF, corrupting the
+    * record's framing on re-read), plus leading whitespace (a value
+    * starting with SP/TAB reads as header folding). Raw CR/LF are
+    * already ILLEGAL in a URI (RFC 3986 requires them percent-encoded),
+    * so this is canonicalization of invalid input, not data loss —
+    * legitimate values (including ordinary %-escapes) pass through
+    * byte-identical.
+    */
+  private[sources] def sanitizeHeaderValue(v: String): String = {
+    val pct = v.replace("\r", "%0D").replace("\n", "%0A")
+    if (pct.startsWith(" ")) "%20" + pct.substring(1)
+    else if (pct.startsWith("\t")) "%09" + pct.substring(1)
+    else pct
+  }
+
   /** Serialize one record under the ISO 28500 framing the readers
     * parse: version line, typed headers, Content-Length, CRLFCRLF,
-    * payload, CRLFCRLF.
+    * payload, CRLFCRLF. Header values pass through
+    * [[sanitizeHeaderValue]] — framing safety over byte fidelity for
+    * hostile URIs/ids.
     */
   private[sources] def serializeRecord(uri: String, payload: Array[Byte],
       warcType: String, recordId: Option[String]): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
-    sb.append(s"WARC-Type: $warcType\r\n")
-    sb.append(s"WARC-Target-URI: $uri\r\n")
-    recordId.foreach(r => sb.append(s"WARC-Record-ID: $r\r\n"))
+    sb.append(s"WARC-Type: ${sanitizeHeaderValue(warcType)}\r\n")
+    sb.append(s"WARC-Target-URI: ${sanitizeHeaderValue(uri)}\r\n")
+    recordId.foreach(r =>
+      sb.append(s"WARC-Record-ID: ${sanitizeHeaderValue(r)}\r\n"))
     sb.append(s"Content-Length: ${payload.length}\r\n\r\n")
     val head = sb.toString.getBytes(StandardCharsets.UTF_8)
     val out = new Array[Byte](head.length + payload.length + 4)

@@ -189,4 +189,66 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Discover.run(spark, pdir, "url", "html", fdir, mdir, 0L) === -1L)
     graft.llm.CacheRegistry.releaseAll(spark)
   }
+
+  test("empty seed frame builds a probeable frontier (zero-file keys dir)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-frontier-es").toString + "/f"
+    // legal first state: a streaming Discover over an empty pages drop
+    // seeds from zero URLs; the keys dir then holds no part-files and
+    // schema inference would throw — probes must read the explicit
+    // schema instead of wedging until a manual rebuild
+    Frontier.buildFrontier(Seq.empty[String].toDF("url"), "url", dir,
+      numBuckets = 2)
+    assert(Frontier.indexExists(dir))
+    assert(probeIds(dir, 1L to 3L) === Set(1L, 2L, 3L))
+    Frontier.appendToFrontier(urls(1L), "url", dir)
+    assert(probeIds(dir, 1L to 3L) === Set(2L, 3L))
+    Frontier.compactFrontier(spark, dir)
+    assert(probeIds(dir, 1L to 3L) === Set(2L, 3L))
+  }
+
+  test("bulk forget: a 1M-key sidecar rewrite stays distributed and swaps atomically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-frontier-bf").toString + "/f"
+    def bulk(n: Long) = spark.range(n)
+      .select(concat(lit("https://bulk.example/p/"), col("id")).as("url"))
+    Frontier.buildFrontier(bulk(1000000L), "url", dir, numBuckets = 4)
+    // forget ALL 1M — the compliance-scale shape the old driver-side
+    // collect could not hold
+    assert(Frontier.forgetUrls(bulk(1000000L), "url", dir) === 1000000L)
+    // re-learn the first half: the survivor rewrite runs as a staged
+    // task-side parquet write + atomic dir swap, never a collect
+    Frontier.appendToFrontier(bulk(500000L), "url", dir)
+    assert(!new java.io.File(dir, "forgotten_staging").exists(),
+      "staging dir must be swapped away")
+    val sidecar = new java.io.File(dir, "forgotten")
+    assert(sidecar.isDirectory &&
+      sidecar.listFiles().exists(_.getName.endsWith(".parquet")),
+      "surviving forgets must land in the swapped sidecar")
+    // membership: re-learned urls are seen; still-forgotten ones are new
+    val probe = Frontier.probeNew(
+      Seq("https://bulk.example/p/1", "https://bulk.example/p/999999")
+        .toDF("url"), "url", dir).collect().map(_.getString(0)).toSet
+    assert(probe === Set("https://bulk.example/p/999999"))
+  }
+
+  test("forget-swap crash window is torn-but-detectable; rebuild recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-frontier-fs").toString + "/f"
+    Frontier.buildFrontier(urls(1L, 2L), "url", dir, numBuckets = 2)
+    assert(Frontier.forgetUrls(urls(2L), "url", dir) === 1L)
+    // crash between the sidecar delete and the staging swap: the fence
+    // is up, so the frontier refuses probes instead of silently losing
+    // the forget
+    spark.conf.set("graft.test.crashPoint", "frontier_forget_swap")
+    intercept[RuntimeException] {
+      Frontier.appendToFrontier(urls(2L), "url", dir)
+    }
+    spark.conf.set("graft.test.crashPoint", "")
+    assert(!Frontier.indexExists(dir), "fence must be up after the crash")
+    intercept[IllegalArgumentException] { probeIds(dir, Seq(1L)) }
+    // the documented recovery: rebuild supersedes the torn mutation
+    Frontier.buildFrontier(urls(1L, 2L), "url", dir, numBuckets = 2)
+    assert(probeIds(dir, 1L to 3L) === Set(3L))
+  }
 }

@@ -51,6 +51,24 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s("mailto:a@b.c") === null)
   }
 
+  test("host: bracketed IPv6 literals extract whole; unclosed brackets are NULL") {
+    import org.apache.spark.sql.functions.col
+    def h(u: String) = one(UrlOps.host(col("x")), u)
+    // the WHATWG serialization keeps the brackets — without the
+    // alternation arm the ':'-stopping class extracted the garbage
+    // frontier/SURT key "[2001"
+    assert(h("http://[2001:db8::1]/x") === "[2001:db8::1]")
+    assert(h("http://[2001:DB8::1]:8080/x") === "[2001:db8::1]")
+    assert(h("https://user@[::1]/p") === "[::1]")
+    // a '[' that never closes is not a host
+    assert(h("http://[2001:db8/x") === null)
+    // bracketed literals are dotless → their own site key, SURT stable
+    assert(one(UrlOps.registeredDomain(UrlOps.host(col("x"))),
+      "http://[::1]/") === "[::1]")
+    assert(one(UrlOps.surtHost(UrlOps.host(col("x"))),
+      "http://[2001:db8::1]/") === "[2001:db8::1]")
+  }
+
   test("registeredDomain folds subdomains onto the pinned suffix subset") {
     import org.apache.spark.sql.functions.col
     def d(h: String) = one(UrlOps.registeredDomain(col("x")), h)

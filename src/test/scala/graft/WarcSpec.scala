@@ -154,6 +154,51 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2)._6 == null && got(2)._5 == "one point zero")
   }
 
+  test("a 4-9 digit minor version quarantines mid-file instead of vanishing") {
+    def vrec(id: Long, payload: String, version: String) =
+      graft.fixtures.FixtureBytes.warcRecord(s"http://host$id/doc/$id",
+        payload.getBytes(StandardCharsets.UTF_8), version = version)
+    // WARC/1.0000 is a well-shaped-but-unsupported version line: it
+    // must anchor at scan and quarantine at parse (the documented
+    // contract), not slip past the digit bound invisibly
+    val bytes = vrec(0L, "first", "1.0") ++
+      vrec(1L, "four digit minor", "1.0000") ++
+      vrec(2L, "last", "1.0")
+    val got = rows(writeTemp(bytes))
+    assert(got.length === 3)
+    assert(got(0)._6 == null && got(0)._5 == "first")
+    assert(got(1)._6 != null && got(1)._6.contains("unsupported WARC version"))
+    assert(got(2)._6 == null && got(2)._5 == "last")
+    // the one documented exception: a minor wider than NINE digits is
+    // not a credible version line and stays invisible (bounded overlap)
+    val bytes2 = vrec(0L, "first", "1.0") ++
+      vrec(1L, "ten digit minor", "1.0123456789") ++
+      vrec(2L, "last", "1.0")
+    assert(rows(writeTemp(bytes2)).length === 2)
+  }
+
+  test("hostile CRLF in exported URI/id percent-encodes; framing survives round-trip") {
+    import spark.implicits._
+    // a crawl-harvested href can capture across newlines — unencoded,
+    // this value injects a forged WARC-Target-URI line and an early
+    // header terminator into the export
+    val evil = "http://evil.example/a\r\nWARC-Target-URI: http://trusted.example/\r\n"
+    val df = Seq((evil, "body bytes", "<urn:x:\r\n1>")).toDF("uri", "text", "rid")
+    val out = java.nio.file.Files.createTempDirectory("graft-wexp-crlf").toString
+    assert(WarcCorpus.write(df, out, "uri", "text", idCol = Some("rid")) === 1L)
+    val parsed = WarcCorpus.readGzMany(spark, new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.toString).toSeq).collect()
+    assert(parsed.length === 1, "forged framing must not split the record")
+    assert(parsed.head.getAs[String]("error") == null)
+    val uri = parsed.head.getAs[String]("target_uri")
+    assert(uri === "http://evil.example/a%0D%0A" +
+      "WARC-Target-URI: http://trusted.example/%0D%0A")
+    val rid = parsed.head.getAs[String]("record_id")
+    assert(rid.contains("%0D%0A") && !rid.contains("\r") && !rid.contains("\n"))
+    assert(new String(parsed.head.getAs[Array[Byte]]("payload"),
+      StandardCharsets.UTF_8) === "body bytes")
+  }
+
   test("a non-WARC archive quarantines at offset 0 instead of parsing as zero records") {
     val junk = writeTemp(("not a warc archive at all " * 8).getBytes("UTF-8"))
     val g1 = rows(junk)
