@@ -97,5 +97,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("scan_signatures"),
       new ExpressionInfo(classOf[ScanSignatures].getName, "scan_signatures"),
       (exprs: Seq[Expression]) => ScanSignatures(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_decode_charset"),
+      new ExpressionInfo(classOf[TextCodecs.type].getName, "graft_decode_charset"),
+      (exprs: Seq[Expression]) => DecodeCharsetExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_decode_nrefs"),
+      new ExpressionInfo(classOf[TextCodecs.type].getName, "graft_decode_nrefs"),
+      (exprs: Seq[Expression]) => DecodeNumericRefsExpr(exprs.head)))
   }
 }

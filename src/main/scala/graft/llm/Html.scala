@@ -22,12 +22,18 @@ import org.apache.spark.sql.functions._
   *      containing a literal `>` end the tag early — documented
   *      regex-extraction semantics, identical on both engines).
   *   4. the core named entities decode: `&lt; &gt; &quot; &#39;
-  *      &apos; &nbsp;` then `&amp;` LAST (so `&amp;lt;` yields the
-  *      literal text `&lt;`, not `<`). The long tail of named/numeric
-  *      entities passes through verbatim — decoding it needs a
-  *      compute-from-capture the replace chain (and a SQL replay)
-  *      cannot express; for quality scoring and dedup the rare
-  *      residue is noise-level.
+  *      &apos; &nbsp;`; then NUMERIC character references (`&#NNN;` /
+  *      `&#xHH;`, semicolon required) decode via the codegen'd
+  *      [[graft.functions.DecodeNumericRefsExpr]] under the HTML5
+  *      value rules (0x80–0x9F remaps through the windows-1252 table;
+  *      NUL/surrogates/out-of-range → U+FFFD); then `&amp;` LAST (so
+  *      `&amp;lt;` yields the literal text `&lt;`, not `<`, and
+  *      `&amp;#65;` yields `&#65;`, not `A`). The long tail of NAMED
+  *      entities passes through verbatim — for quality scoring and
+  *      dedup the rare residue is noise-level. The SQL replay
+  *      ([[inlineCleanSql]]) does not re-express the numeric decode;
+  *      oracles over numeric-ref-bearing fixtures carry expected
+  *      literals instead (the q297 fixture pattern).
   *   5. whitespace runs (space/tab/CR/LF) collapse to one space; trim.
   *
   * At 100 TB this is the right shape: a narrow per-row expression
@@ -101,7 +107,10 @@ object Html {
       lit("&#39;"), lit("'")),
       lit("&apos;"), lit("'")),
       lit("&nbsp;"), lit(" "))
-    val amp = replace(decoded, lit("&amp;"), lit("&"))
+    // numeric refs BETWEEN the named replaces and &amp; — "&amp;#65;"
+    // contains no literal "&#", so double-decoding cannot happen
+    val numeric = call_function("graft_decode_nrefs", decoded)
+    val amp = replace(numeric, lit("&amp;"), lit("&"))
     trim(regexp_replace(amp, "[ \\t\\r\\n]+", " "))
   }
 
@@ -195,28 +204,58 @@ object Html {
       "(?is)<meta\\s[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1),
       lit(""))))
 
+  /** The pinned charset-label dispatch [[responseTextCharset]] applies:
+    * each entry maps the DECLARED labels (lowercased, WHATWG alias
+    * families) to the JVM charset that decodes them. The split between
+    * builtin and codec arms is an implementation detail: utf-8 and the
+    * latin1 family ride Spark's builtin `decode`; everything else goes
+    * through the codegen'd [[graft.functions.DecodeCharsetExpr]]
+    * because Spark 4 pins builtin decode's charset whitelist.
+    * windows-1252 decodes under the REAL cp1252 table (curly quotes,
+    * em-dashes, € in 0x80–0x9F — no longer approximated as latin1);
+    * gb2312 labels decode as GBK (the WHATWG mapping — real "gb2312"
+    * pages routinely carry GBK extensions); big5-hkscs decodes as
+    * plain Big5 (HKSCS extension chars → U+FFFD, documented); the
+    * euc-kr family decodes as JVM EUC-KR (KS X 1001 — the rare
+    * windows-949 extended syllables → U+FFFD, documented).
+    */
+  val CharsetDispatch: Seq[(Seq[String], String)] = Seq(
+    Seq("windows-1252", "cp1252", "x-cp1252") -> "windows-1252",
+    Seq("shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji") -> "Shift_JIS",
+    Seq("euc-jp", "x-euc-jp", "eucjp") -> "EUC-JP",
+    Seq("gb2312", "gbk", "x-gbk", "gb_2312", "gb_2312-80", "csgb2312",
+      "chinese") -> "GBK",
+    Seq("gb18030") -> "GB18030",
+    Seq("big5", "big5-hkscs", "cn-big5", "x-x-big5", "csbig5") -> "Big5",
+    Seq("euc-kr", "ks_c_5601-1987", "ksc_5601", "ksc5601", "korean",
+      "csksc56011987") -> "EUC-KR")
+
   /** Charset-aware response text: real crawls are NOT all UTF-8, and
-    * decoding a latin-1 page as UTF-8 mangles every non-ASCII byte
-    * into U+FFFD irreversibly. The trick that keeps this a pure
-    * column chain: the message splits on its ISO-8859-1 view — a
-    * BYTE-LOSSLESS decode (every byte maps to one char and back), and
-    * HTTP headers are ASCII so the split offsets are exact — then the
-    * body re-encodes to its original bytes and decodes under the
-    * DECLARED charset from the pinned set the engine supports
-    * natively: utf-8 (default), iso-8859-1/latin1/us-ascii, and
-    * windows-1252/cp1252 approximated AS iso-8859-1 (the 0x80–0x9F
-    * punctuation block decodes as C1 controls — documented loss;
-    * everything else is identical). Returns the HTML→text extraction
-    * of the correctly-decoded body.
+    * decoding a latin-1 or shift_jis page as UTF-8 mangles every
+    * non-ASCII byte into U+FFFD irreversibly. The trick that keeps
+    * this a pure column chain: the message splits on its ISO-8859-1
+    * view — a BYTE-LOSSLESS decode (every byte maps to one char and
+    * back), and HTTP headers are ASCII so the split offsets are exact
+    * — then the body re-encodes to its original bytes and decodes
+    * under the DECLARED charset: utf-8 (default) and the latin1
+    * family on builtin `decode`, plus the [[CharsetDispatch]] CJK/
+    * cp1252 arms on the codegen'd codec expression. The CRLFCRLF
+    * header split is byte-safe for every dispatched charset — 0x0D/
+    * 0x0A are never trail bytes in Shift_JIS/EUC/GBK/Big5 multibyte
+    * sequences. Returns the HTML→text extraction of the correctly-
+    * decoded body.
     */
   def responseTextCharset(payload: Column): Column = {
     val msg = decode(payload, "ISO-8859-1")
     val cs = declaredCharset(msg)
     val bodyBytes = encode(httpBody(msg), "ISO-8859-1")
-    val text = when(cs.isin("iso-8859-1", "iso8859-1", "latin1", "latin-1",
-        "us-ascii", "ascii", "windows-1252", "cp1252"),
+    val base = when(cs.isin("iso-8859-1", "iso8859-1", "latin1", "latin-1",
+        "us-ascii", "ascii"),
         decode(bodyBytes, "ISO-8859-1"))
-      .otherwise(decode(bodyBytes, "UTF-8"))
+    val text = CharsetDispatch.foldLeft(base) { case (acc, (labels, jvm)) =>
+      acc.when(cs.isin(labels: _*),
+        call_function("graft_decode_charset", bodyBytes, lit(jvm)))
+    }.otherwise(decode(bodyBytes, "UTF-8"))
     htmlToText(text)
   }
 

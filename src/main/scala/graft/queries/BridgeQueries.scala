@@ -21,6 +21,21 @@ object BridgeQueries {
 
   private val Stride = 4096L
 
+  /** The q306 charset arms: (JVM charset that encodes the fixture,
+    * declared label the page carries, marker text whose encoded bytes
+    * differ from latin1 AND utf-8). Shared between the fixture builder
+    * and the oracle so the two cannot drift.
+    */
+  private val CjkArms: Seq[(String, String, String)] = Seq(
+    ("Shift_JIS", "Shift_JIS", "日本語テスト"),
+    ("EUC-JP", "euc-jp", "テスト終了"),
+    ("GBK", "gb2312", "中文测试"),
+    ("GB18030", "gb18030", "汉字处理"),
+    ("Big5", "big5", "中文測試"),
+    ("EUC-KR", "euc-kr", "한국어시험"),
+    ("windows-1252", "windows-1252", "“quoted” — €9"),
+    ("UTF-8", "utf-8", "ütf marker"))
+
   /** Deterministic cached jpeg/png-slotted raw image for the DSv2
     * pushdown queries (q150/q185): one sample per doc_id slot, even
     * slots jpeg, odd slots png, zero-padded to `stride`. Written once
@@ -964,6 +979,78 @@ object BridgeQueries {
               |    THEN '${graft.fixtures.FixtureBytes.sha256Hex(graft.fixtures.FixtureBytes.jpeg())}'
               |    ELSE NULL END AS sha256
               |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // ---- CJK/multibyte charset decode (Html.responseTextCharset, the
+    // round-14 dispatch): every doc becomes a page ENCODED in one of
+    // eight charsets (shift_jis, euc-jp, gbk-as-gb2312, gb18030, big5,
+    // euc-kr, REAL windows-1252, utf-8 control) with a per-charset
+    // marker whose bytes differ from both latin1 and utf-8 — a wrong
+    // decode arm cannot hash-match. DuckDB cannot decode these
+    // charsets, so the oracle predicts the post-decode text as
+    // literals (the q297 fixture pattern: corpus text is pure ASCII —
+    // gate-checked — so only the marker exercises the multibyte path,
+    // and the expected text is text || marker verbatim).
+    "q306_charset_cjk" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val tag = Registry.contentTag(docs, "doc_id", "text")
+        val fixture = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft-warccjk-v1-$tag.warc")
+        if (!fixture.isFile) {
+          val rows = docs.select(col("doc_id"), col("text"))
+            .orderBy("doc_id").collect()
+          val tmp = new java.io.File(fixture.getParentFile, fixture.getName + ".tmp")
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp))
+          try rows.foreach { r =>
+            val (id, text) = (r.getLong(0), r.getString(1))
+            val (jvm, label, marker) = CjkArms((id % 8).toInt)
+            val body = s"<html><body><p>$text $marker</p></body></html>"
+            val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+              s"charset=$label\r\n\r\n$body"
+            out.write(graft.fixtures.FixtureBytes.warcRecord(
+              s"http://cjk/doc/$id",
+              msg.getBytes(java.nio.charset.Charset.forName(jvm)),
+              warcType = "response"))
+          } finally out.close()
+          java.nio.file.Files.move(tmp.toPath, fixture.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        val parsed = graft.sources.WarcCorpus.read(s, fixture.toString,
+          chunkSize = 16 * 1024)
+        graft.sources.WarcCorpus.clean(parsed)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+              .cast("long").as("doc_id"),
+            graft.llm.Html.responseTextCharset(col("payload")).as("text_out"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, text || CASE CAST(doc_id % 8 AS INT)
+              |${CjkArms.zipWithIndex.map { case ((_, _, m), i) =>
+                  s"  WHEN $i THEN ' $m'" }.mkString("\n")}
+              |END AS text_out
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Numeric character references (the codegen'd
+    // graft_decode_nrefs step inside Html.inlineClean): an entity-heavy
+    // page per doc — decimal, hex, the HTML5 C1 remap (cp1252 curly
+    // quotes for &#147;), the &amp;#65; ordering trap, and an invalid
+    // NUL ref. In-plan synthesis (no fixture file); the oracle carries
+    // the expected decoded literals, because the SQL replay
+    // deliberately does not re-express the decode.
+    "q307_numeric_refs" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val html = concat(lit("<html><body><p>"), col("text"),
+          lit(" caf&#233; caf&#xE9; &#147;q&#148; &#x20AC;5 &amp;#65; &#0;" +
+            "</p></body></html>"))
+        docs.select(col("doc_id"),
+            graft.llm.Html.htmlToText(html).as("text_out"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  text || ' café café “q” €5 &#65; ' || chr(65533) AS text_out
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and

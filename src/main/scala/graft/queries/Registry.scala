@@ -21,6 +21,10 @@ object Registry {
     * value-preserving and matches what DuckDB sees.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // the pure-Column Html chains carry graft_decode_* calls that must
+    // resolve in whatever session analyzes them; every query path
+    // starts here, so this is the natural registration point
+    graft.functions.TextFunctions.register(spark)
     val df =
       if (name == "events") {
         import org.apache.spark.sql.functions.{col, expr}

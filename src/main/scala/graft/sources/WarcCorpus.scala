@@ -133,6 +133,9 @@ object WarcCorpus {
                maxPayloadBytes: Int = 4 * 1024 * 1024): DataFrame = {
     require(maxHeaderBytes >= 64 && maxPayloadBytes >= 0,
       "header/payload caps must be sane")
+    // downstream Html chains (charset decode, entity decode) resolve
+    // their codec functions in this session
+    graft.functions.TextFunctions.register(spark)
     val rows = scanChunks(spark, paths, chunkSize, (MaxAnchorSpan - 1).toLong) {
       (reader, archive, alen, start, vlen, buf, got) =>
         val anchors = anchorOffsets(buf, got).filter(_ < vlen)
@@ -180,6 +183,7 @@ object WarcCorpus {
                  maxPayloadBytes: Int = 4 * 1024 * 1024): DataFrame = {
     require(maxHeaderBytes >= 64 && maxPayloadBytes >= 0,
       "header/payload caps must be sane")
+    graft.functions.TextFunctions.register(spark)
     val rows = scanChunks(spark, paths, chunkSize, GzMagic.length.toLong) {
       (reader, archive, alen, start, vlen, buf, got) =>
         val members = gzMemberOffsets(buf, got).filter(_ < vlen)

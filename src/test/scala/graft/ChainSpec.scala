@@ -26,6 +26,10 @@ class ChainSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
+  // the Html chains carry graft_decode_* codec calls that resolve in
+  // the analyzing session
+  locally { graft.functions.TextFunctions.register(spark); () }
+
   override def afterAll(): Unit = spark.stop()
 
   test("Carve → carved-text bridge → Curate → Search, end to end") {

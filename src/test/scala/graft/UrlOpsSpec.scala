@@ -19,6 +19,10 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
+  // the Html chains carry graft_decode_* codec calls that resolve in
+  // the analyzing session
+  locally { graft.functions.TextFunctions.register(spark); () }
+
   override def afterAll(): Unit = spark.stop()
 
   import graft.llm.{Html, UrlOps}
@@ -143,6 +147,60 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(main("<party>aaaa bbbb cccc</party><p>x</p>") === "aaaa bbbb cccc")
     // an all-empty page yields the empty string, not NULL
     assert(main("<p></p><div></div>") === "")
+  }
+
+  test("responseTextCharset: CJK and cp1252 pages decode under their declared charset") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def page(jvmCharset: String, label: String, marker: String): Array[Byte] = {
+      val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=" +
+        label + "\r\n\r\n<p>marker " + marker + "</p>"
+      msg.getBytes(java.nio.charset.Charset.forName(jvmCharset))
+    }
+    def txt(b: Array[Byte]): String =
+      Seq(Tuple1(b)).toDF("payload")
+        .select(Html.responseTextCharset(col("payload")).as("t"))
+        .head().getString(0)
+    // every marker contains bytes that DIFFER between the charset and
+    // both latin1 and utf-8 — a wrong decode cannot pass
+    assert(txt(page("Shift_JIS", "Shift_JIS", "日本語テスト")) === "marker 日本語テスト")
+    assert(txt(page("Shift_JIS", "sjis", "日本語")) === "marker 日本語")
+    assert(txt(page("EUC-JP", "euc-jp", "テスト終了")) === "marker テスト終了")
+    assert(txt(page("GBK", "gb2312", "中文测试")) === "marker 中文测试")
+    assert(txt(page("GBK", "GBK", "中文测试")) === "marker 中文测试")
+    assert(txt(page("GB18030", "gb18030", "中文测试")) === "marker 中文测试")
+    assert(txt(page("Big5", "big5", "中文測試")) === "marker 中文測試")
+    assert(txt(page("EUC-KR", "EUC-KR", "한국어시험")) === "marker 한국어시험")
+    // REAL cp1252: the 0x80–0x9F block is curly punctuation and €,
+    // not C1 controls (the pre-round-14 latin1 approximation)
+    assert(txt(page("windows-1252", "windows-1252", "“quoted” — €9"))
+      === "marker “quoted” — €9")
+    // latin1 labels still decode as latin1; undeclared falls to UTF-8
+    assert(txt(page("ISO-8859-1", "iso-8859-1", "café")) === "marker café")
+    assert(txt(("HTTP/1.1 200 OK\r\n\r\n<p>marker ütf</p>")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)) === "marker ütf")
+  }
+
+  test("htmlToText decodes numeric character references under HTML5 rules") {
+    import org.apache.spark.sql.functions.col
+    def t(h: String) = one(Html.htmlToText(col("x")), h)
+    assert(t("<p>&#65;&#x42;c</p>") === "ABc")
+    assert(t("<p>caf&#233;, caf&#xE9;</p>") === "café, café")
+    assert(t("<p>&#x20AC;5</p>") === "€5")
+    // the HTML5 C1 remap: &#147;/&#148; render as cp1252 curly quotes
+    // in every browser, not as C1 controls
+    assert(t("<p>&#147;q&#148; &#151; yes</p>") === "“q” — yes")
+    // &amp;#65; is the LITERAL text &#65;, not A (decode ordering)
+    assert(t("<p>&amp;#65;</p>") === "&#65;")
+    // NUL, surrogates, and out-of-range values → U+FFFD
+    assert(t("<p>&#0;&#xD800;&#1114112;&#99999999999999999;</p>")
+      === "����")
+    // unterminated or digit-less refs pass through verbatim
+    assert(t("<p>&#65 x</p>") === "&#65 x")
+    assert(t("<p>AT&#T</p>") === "AT&#T")
+    assert(t("<p>&#x;</p>") === "&#x;")
+    // astral-plane refs decode to the surrogate PAIR
+    assert(t("<p>&#x1F600;</p>") === new String(Character.toChars(0x1F600)))
   }
 
   test("declaredCharset + responseTextCharset recover latin-1 bytes losslessly") {
