@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt protocol compliance (RFC 9309 reduced to EXACT,
+  * replayable semantics) + per-host politeness for the crawl loop —
+  * the two gates a fetch manifest needs before it is actionable.
+  *
+  * Pinned parsing/matching semantics (every choice documented so the
+  * DuckDB oracle replays them verbatim):
+  *
+  *   - Lines split on '\n' (a trailing '\r' trims with the value);
+  *     `#` comments strip; only `user-agent` / `allow` / `disallow`
+  *     lines (case-insensitive names) participate — unknown lines
+  *     (sitemap, crawl-delay, …) neither start nor break a group, per
+  *     the RFC. Politeness here is [[perDomainCap]], not crawl-delay.
+  *   - GROUPS: a run of consecutive user-agent lines opens a group;
+  *     the rules that follow (until the next user-agent run) belong to
+  *     every agent named in the run.
+  *   - GROUP SELECTION for agent A: if any group names A (full token,
+  *     case-insensitive), exactly those groups apply; otherwise the
+  *     `*` groups apply; otherwise everything is allowed.
+  *   - MATCHING: the match target is the URL's path+query (fragment
+  *     excluded, "/" when empty), compared case-sensitively,
+  *     percent-encoding NOT normalized. Among matching rules (target
+  *     startsWith rule path) the LONGEST path wins; a length tie goes
+  *     to allow. No rule matches → allowed.
+  *   - WILDCARDS (the conservative reduction — prefix semantics is
+  *     the pinned contract): a disallow containing `*` truncates at
+  *     the first `*` (and a lone/leading `*` becomes "/", blocking the
+  *     host) — over-blocking, never under-blocking; a trailing `$`
+  *     strips (again over-blocking). An ALLOW carrying `*` or `$` is
+  *     DROPPED — an allow we cannot express exactly must not widen
+  *     what a disallow blocks. Empty disallow ("allow all") drops.
+  *
+  * Scale shape: parsing windows partition by HOST (robots bodies are
+  * ≤ 500 KiB by RFC, so a host's line set is one small group);
+  * verdicts join distinct (host, target) pairs against the per-host
+  * rule table — batch-bounded both sides — then broadcast back. The
+  * politeness cap is a rank filter directly on a row_number window,
+  * so WindowGroupLimit prunes every input partition to cap rows per
+  * domain BEFORE the shuffle (the clusterProvenance mega-class rule).
+  */
+object Robots {
+
+  /** Match-target regex (group 1 = path+query) — shared verbatim with
+    * the SQL oracles. The authority class mirrors [[UrlOps.hostRegex]]
+    * in what it skips; fragments stay out.
+    */
+  val targetRegex: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
+
+  /** Path+query match target of an absolute URL ("/" when empty). */
+  def matchTarget(url: Column): Column =
+    coalesce(nullif(regexp_extract(url, targetRegex, 1), lit("")), lit("/"))
+
+  /** Parse robots.txt bodies into grouped directive lines:
+    * (hostCol, graft_grp, graft_nm ∈ {user-agent, allow, disallow},
+    * graft_v). The building block [[disallowed]] consumes; exposed for
+    * audits over a robots corpus.
+    */
+  def robotsRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val lines = robots
+      .select(col(hostCol), posexplode(split(col(txtCol), "\n")))
+      .withColumnRenamed("pos", "graft_ln")
+      .withColumnRenamed("col", "graft_raw")
+    val parsed = lines
+      .withColumn("graft_line", regexp_replace(col("graft_raw"), "#.*$", ""))
+      .withColumn("graft_nm",
+        lower(trim(regexp_extract(col("graft_line"), "^([^:]+):", 1))))
+      .withColumn("graft_v", trim(regexp_extract(col("graft_line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("graft_nm").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col(hostCol)).orderBy(col("graft_ln"))
+    parsed
+      .withColumn("graft_isua", col("graft_nm") === "user-agent")
+      .withColumn("graft_grp", sum(
+        when(col("graft_isua") &&
+          !coalesce(lag(col("graft_isua"), 1).over(w), lit(false)), 1)
+          .otherwise(0)).over(w))
+      .select(col(hostCol), col("graft_grp"), col("graft_nm"), col("graft_v"))
+  }
+
+  /** The agent-selected, wildcard-reduced rule table:
+    * (graft_rh = host, graft_nm ∈ {allow, disallow}, graft_path).
+    */
+  private def agentRules(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    val ag = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = robotsRules(robots, hostCol, txtCol)
+      .withColumnRenamed(hostCol, "graft_rh")
+    val uas = lines.filter(col("graft_nm") === "user-agent")
+      .select(col("graft_rh"), col("graft_grp"),
+        lower(col("graft_v")).as("graft_ua"))
+      .distinct()
+    val specificHosts = uas.filter(col("graft_ua") === ag)
+      .select(col("graft_rh")).distinct()
+    val chosen = uas.filter(col("graft_ua") === ag)
+      .select(col("graft_rh"), col("graft_grp"))
+      .unionByName(uas.filter(col("graft_ua") === "*")
+        .join(specificHosts, Seq("graft_rh"), "left_anti")
+        .select(col("graft_rh"), col("graft_grp")))
+      .distinct()
+    val trunc = regexp_extract(
+      regexp_replace(col("graft_v"), "\\$$", ""), "^([^*]*)", 1)
+    lines.filter(col("graft_nm").isin("allow", "disallow"))
+      .join(chosen, Seq("graft_rh", "graft_grp"))
+      .withColumn("graft_path",
+        when(col("graft_nm") === "disallow" && col("graft_v") =!= "",
+          when(trunc === "", lit("/")).otherwise(trunc))
+          .when(col("graft_nm") === "allow" &&
+            !col("graft_v").contains("*") && !col("graft_v").contains("$"),
+            col("graft_v")))
+      .filter(col("graft_path").isNotNull && col("graft_path") =!= "")
+      .select(col("graft_rh"), col("graft_nm"), col("graft_path"))
+  }
+
+  /** Adds BOOLEAN `disallowed` to `urls`: true exactly when the host's
+    * robots rules (group-selected for `agent`) disallow the URL under
+    * the pinned longest-match semantics. Hosts with no robots body (or
+    * none that matches) are allowed — the fetch-the-robots step is the
+    * caller's (a crawl keeps its robots corpus as ordinary fetched
+    * pages).
+    */
+  def disallowed(urls: DataFrame, urlCol: String,
+      robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String = "*"): DataFrame = {
+    val rules = agentRules(robots, hostCol, txtCol, agent)
+    val keyed = urls
+      .withColumn("graft_uh", UrlOps.host(col(urlCol)))
+      .withColumn("graft_t", matchTarget(col(urlCol)))
+    val targets = keyed.select(col("graft_uh"), col("graft_t")).distinct()
+    // winner encoding (the single-integer lexicographic trick): rank =
+    // 2·len(path) + (allow ? 1 : 0); the max rank carries both the
+    // longest-match winner AND the allow-beats-disallow tiebreak, and
+    // its parity IS the verdict
+    val verdicts = targets
+      .join(rules, col("graft_uh") === col("graft_rh") &&
+        col("graft_t").startsWith(col("graft_path")))
+      .groupBy(col("graft_uh"), col("graft_t"))
+      .agg(max(length(col("graft_path")).cast("long") * 2 +
+        when(col("graft_nm") === "allow", 1L).otherwise(0L)).as("graft_rank"))
+      .select(col("graft_uh"), col("graft_t"),
+        (col("graft_rank") % 2 === 0).as("graft_dis"))
+    keyed.join(verdicts, Seq("graft_uh", "graft_t"), "left")
+      .withColumn("disallowed", coalesce(col("graft_dis"), lit(false)))
+      .drop("graft_uh", "graft_t", "graft_dis")
+  }
+
+  /** At most `cap` rows per registered domain (the per-host politeness
+    * quota a batch manifest honors), deterministic by `urlCol` order.
+    * The rank filter sits directly on the row_number window →
+    * WindowGroupLimit prunes every input partition to cap rows per
+    * domain before the shuffle, so a mega-domain batch never buffers
+    * whole.
+    */
+  def perDomainCap(urls: DataFrame, urlCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val dom = UrlOps.registeredDomain(UrlOps.host(col(urlCol)))
+    val w = Window.partitionBy(dom).orderBy(col(urlCol))
+    urls.withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= cap)
+      .drop("graft_rn")
+  }
+}

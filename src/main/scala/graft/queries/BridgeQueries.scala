@@ -1052,6 +1052,155 @@ object BridgeQueries {
              |  text || ' café café “q” €5 &#65; ' || chr(65533) AS text_out
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- robots.txt compliance (graft.llm.Robots): 20 synthetic hosts
+    // whose robots bodies exercise every pinned arm — agent-specific
+    // groups (selected INSTEAD of *), comment lines, the conservative
+    // wildcard reductions (Disallow truncation, dropped $-Allow),
+    // longest-match with the allow tiebreak — against five URL path
+    // shapes per host. The oracle REPLAYS the full semantics in SQL
+    // (line split → group windows → agent selection → longest-match
+    // parity rank), sharing the host/target regex constants verbatim.
+    "q308_robots_rules" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Registry.table(s, dir, "documents")
+        val robots = (0 until 20).map { h =>
+          val txt = "# graft test\n" +
+            (if (h % 3 == 0)
+              "User-agent: graftbot\nDisallow: /private/\nAllow: /private/ok\n"
+             else "") +
+            "User-agent: *\nDisallow: /tmp/\nDisallow: /cgi*bin/\n" +
+            "Allow: /tmp/pub$\n" +
+            (if (h % 4 == 0) "Disallow: /blocked\n" else "")
+          (s"site$h.example", txt)
+        }.toDF("host", "robots_txt")
+        val urls = docs.select(col("doc_id"),
+          concat(lit("http://site"), col("doc_id") % 20, lit(".example"),
+            expr("""CASE CAST(doc_id % 5 AS INT)
+                   |  WHEN 0 THEN '/private/ok/p' || doc_id
+                   |  WHEN 1 THEN '/private/x' || doc_id
+                   |  WHEN 2 THEN '/tmp/y' || doc_id
+                   |  WHEN 3 THEN '/cgiXbin/z' || doc_id
+                   |  ELSE '/blocked/w' || doc_id END""".stripMargin)).as("url"))
+        graft.llm.Robots.disallowed(urls, "url", robots, "host", "robots_txt",
+            agent = "graftbot")
+          .select(col("doc_id"), col("url"), col("disallowed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hosts AS MATERIALIZED (
+              |  SELECT h, 'site' || h || '.example' AS host,
+              |    '# graft test' || chr(10) ||
+              |    CASE WHEN h % 3 = 0 THEN 'User-agent: graftbot' || chr(10)
+              |      || 'Disallow: /private/' || chr(10)
+              |      || 'Allow: /private/ok' || chr(10) ELSE '' END ||
+              |    'User-agent: *' || chr(10) || 'Disallow: /tmp/' || chr(10)
+              |    || 'Disallow: /cgi*bin/' || chr(10) || 'Allow: /tmp/pub$$' || chr(10)
+              |    || CASE WHEN h % 4 = 0 THEN 'Disallow: /blocked' || chr(10)
+              |       ELSE '' END AS txt
+              |  FROM (SELECT unnest(range(0, 20)) AS h)),
+              |lns AS MATERIALIZED (
+              |  SELECT host, i AS ln, arr[CAST(i AS INT)] AS l
+              |  FROM (SELECT host, regexp_split_to_array(txt, chr(10)) AS arr
+              |        FROM hosts), LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i)),
+              |parsed AS MATERIALIZED (
+              |  SELECT host, ln,
+              |    lower(trim(regexp_extract(nc, '^([^:]+):', 1))) AS nm,
+              |    trim(regexp_extract(nc, '^[^:]+:(.*)$$', 1)) AS v
+              |  FROM (SELECT host, ln, regexp_replace(l, '#.*$$', '') AS nc FROM lns)
+              |  WHERE lower(trim(regexp_extract(nc, '^([^:]+):', 1)))
+              |    IN ('user-agent', 'allow', 'disallow')),
+              |g AS MATERIALIZED (
+              |  SELECT host, nm, v,
+              |    CAST(SUM(CASE WHEN isua AND NOT prev THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY host ORDER BY ln
+              |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+              |  FROM (SELECT *, nm = 'user-agent' AS isua,
+              |          coalesce(lag(nm = 'user-agent')
+              |            OVER (PARTITION BY host ORDER BY ln), false) AS prev
+              |        FROM parsed)),
+              |uas AS MATERIALIZED (
+              |  SELECT DISTINCT host, grp, lower(v) AS ua FROM g
+              |  WHERE nm = 'user-agent'),
+              |spec AS (SELECT DISTINCT host FROM uas WHERE ua = 'graftbot'),
+              |chosen AS MATERIALIZED (
+              |  SELECT DISTINCT host, grp FROM uas WHERE ua = 'graftbot'
+              |  UNION
+              |  SELECT DISTINCT host, grp FROM uas
+              |  WHERE ua = '*' AND host NOT IN (SELECT host FROM spec)),
+              |rules AS MATERIALIZED (
+              |  SELECT host, nm, path FROM (
+              |    SELECT g2.host, g2.nm,
+              |      CASE WHEN g2.nm = 'disallow' AND g2.v <> '' THEN
+              |             CASE WHEN tr = '' THEN '/' ELSE tr END
+              |           WHEN g2.nm = 'allow' AND g2.v NOT LIKE '%*%'
+              |                AND g2.v NOT LIKE '%$$%' THEN g2.v END AS path
+              |    FROM (SELECT *, regexp_extract(
+              |            regexp_replace(v, '\\$$$$', ''), '^([^*]*)', 1) AS tr
+              |          FROM g WHERE nm IN ('allow', 'disallow')) g2
+              |    JOIN chosen c ON c.host = g2.host AND c.grp = g2.grp)
+              |  WHERE path IS NOT NULL AND path <> ''),
+              |u AS MATERIALIZED (
+              |  SELECT doc_id, 'http://site' || (doc_id % 20) || '.example' ||
+              |    CASE CAST(doc_id % 5 AS INT)
+              |      WHEN 0 THEN '/private/ok/p' || doc_id
+              |      WHEN 1 THEN '/private/x' || doc_id
+              |      WHEN 2 THEN '/tmp/y' || doc_id
+              |      WHEN 3 THEN '/cgiXbin/z' || doc_id
+              |      ELSE '/blocked/w' || doc_id END AS url
+              |  FROM documents),
+              |k AS MATERIALIZED (
+              |  SELECT doc_id, url,
+              |    lower(nullif(regexp_extract(url,
+              |      ${graft.llm.UrlOps.sqlLit(graft.llm.UrlOps.hostRegex)}, 1), '')) AS uh,
+              |    coalesce(nullif(regexp_extract(url,
+              |      ${graft.llm.UrlOps.sqlLit(graft.llm.Robots.targetRegex)}, 1), ''), '/') AS t
+              |  FROM u),
+              |vd AS (
+              |  SELECT k.doc_id, k.url,
+              |    CAST(max(2 * length(r.path) +
+              |      CASE WHEN r.nm = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+              |  FROM k JOIN rules r ON r.host = k.uh
+              |    AND substr(k.t, 1, length(r.path)) = r.path
+              |  GROUP BY k.doc_id, k.url)
+              |SELECT k.doc_id, k.url,
+              |  coalesce(vd.rnk % 2 = 0, false) AS disallowed
+              |FROM k LEFT JOIN vd ON vd.doc_id = k.doc_id
+              |ORDER BY k.doc_id""".stripMargin)),
+
+    // ---- Per-domain politeness cap (Robots.perDomainCap): subdomain
+    // variants fold onto one registered domain, at most 3 URLs per
+    // domain survive, deterministic by URL order — the WindowGroupLimit
+    // rank filter replayed as a plain row_number window.
+    "q309_domain_cap" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val urls = docs.select(col("doc_id"),
+          concat(
+            expr("""CASE CAST(doc_id % 3 AS INT)
+                   |  WHEN 0 THEN 'http://a.' WHEN 1 THEN 'http://b.'
+                   |  ELSE 'http://' END""".stripMargin),
+            lit("site"), col("doc_id") % 10, lit(".example/p/"),
+            col("doc_id")).as("url"))
+        graft.llm.Robots.perDomainCap(urls, "url", cap = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT doc_id,
+              |    CASE CAST(doc_id % 3 AS INT)
+              |      WHEN 0 THEN 'http://a.' WHEN 1 THEN 'http://b.'
+              |      ELSE 'http://' END
+              |    || 'site' || (doc_id % 10) || '.example/p/' || doc_id AS url
+              |  FROM documents),
+              |h AS (SELECT doc_id, url,
+              |    lower(nullif(regexp_extract(url,
+              |      ${graft.llm.UrlOps.sqlLit(graft.llm.UrlOps.hostRegex)}, 1), '')) AS host
+              |  FROM u),
+              |r AS (SELECT doc_id, url, row_number() OVER (
+              |    PARTITION BY ${graft.llm.UrlOps.registeredDomainSql("host")}
+              |    ORDER BY url) AS rn
+              |  FROM h)
+              |SELECT doc_id, url FROM r WHERE rn <= 3 ORDER BY doc_id""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

@@ -353,10 +353,26 @@ object IndexIngest {
     * (dedup + index the content) and THIS (grow the frontier + emit
     * the next manifest) are the two consumers of the same parsed
     * batch.
+    *
+    * COMPLIANCE + POLITENESS (round 14): `robots` (a (hostCol, txtCol)
+    * corpus of fetched robots.txt bodies) gates the manifest through
+    * [[graft.llm.Robots.disallowed]] — a disallowed URL NEVER reaches
+    * the manifest, but it DOES append to the frontier (seen-but-not-
+    * fetched is sticky; a robots policy change re-admits it via
+    * [[graft.llm.Frontier.forgetUrls]]). `perDomainCap` bounds the
+    * manifest to N URLs per registered domain per batch; cap-overflow
+    * URLs are NOT appended to the frontier — they stay unseen, so a
+    * later batch that re-discovers them re-considers them (the
+    * documented bound: a URL linked exactly once and cap-dropped waits
+    * for a re-link; an unbounded pending queue is the alternative this
+    * design deliberately avoids).
     */
   def processDiscoveryBatch(batch: DataFrame, batchId: Long, urlCol: String,
                             htmlCol: String, frontierDir: String,
-                            outManifestDir: Option[String] = None): Long = {
+                            outManifestDir: Option[String] = None,
+                            robots: Option[(DataFrame, String, String)] = None,
+                            agent: String = "*",
+                            perDomainCap: Option[Int] = None): Long = {
     val spark = batch.sparkSession
     val ledger = new java.io.File(frontierDir, FrontierLedgerName)
     if (committedIds(ledger).contains(batchId)) {
@@ -390,13 +406,34 @@ object IndexIngest {
       val fresh = graft.llm.CacheRegistry.persist(
         graft.llm.Frontier.probeNew(tagged, "url", frontierDir))
       val freshLinks = fresh.filter(!col("graft_own")).select(col("url"))
+      // robots gate: verdicts persist because BOTH the manifest (the
+      // allowed side) and the frontier append (allowed ∪ disallowed)
+      // consume them
+      val verdicts = graft.llm.CacheRegistry.persist(robots match {
+        case Some((r, hostCol, txtCol)) =>
+          graft.llm.Robots.disallowed(freshLinks, "url", r, hostCol, txtCol, agent)
+        case None => freshLinks.withColumn("disallowed", lit(false))
+      })
+      val allowedLinks = verdicts.filter(!col("disallowed")).select(col("url"))
+      // politeness cap LAST (after the robots gate — a disallowed URL
+      // must not consume a domain's quota)
+      val manifested = graft.llm.CacheRegistry.persist(perDomainCap match {
+        case Some(cap) => graft.llm.Robots.perDomainCap(allowedLinks, "url", cap)
+        case None => allowedLinks
+      })
       // manifest BEFORE the ledger commit (replays refresh their own
-      // rows); only genuinely-new fetchable outlinks are worth fetching
+      // rows); only genuinely-new fetchable ALLOWED outlinks are worth
+      // fetching
       outManifestDir.foreach { od =>
-        freshLinks.write.mode("overwrite").parquet(s"$od/batch_id=$batchId")
+        manifested.write.mode("overwrite").parquet(s"$od/batch_id=$batchId")
       }
-      val n = freshLinks.count()
-      graft.llm.Frontier.appendToFrontier(fresh.select(col("url")),
+      val n = manifested.count()
+      // frontier: own urls + manifested links + disallowed links
+      // (sticky policy drops); cap-overflow links stay UNSEEN
+      val toAppend = fresh.filter(col("graft_own")).select(col("url"))
+        .unionByName(manifested)
+        .unionByName(verdicts.filter(col("disallowed")).select(col("url")))
+      graft.llm.Frontier.appendToFrontier(toAppend,
         frontierDir = frontierDir, urlCol = "url",
         commitLedger = Some((ledger, batchId)))
       n
@@ -408,12 +445,15 @@ object IndexIngest {
     */
   def startDiscovery(pages: DataFrame, urlCol: String, htmlCol: String,
                      frontierDir: String, checkpoint: String,
-                     outManifestDir: Option[String] = None): StreamingQuery =
+                     outManifestDir: Option[String] = None,
+                     robots: Option[(DataFrame, String, String)] = None,
+                     agent: String = "*",
+                     perDomainCap: Option[Int] = None): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDiscoveryBatch(batch, batchId, urlCol, htmlCol,
-          frontierDir, outManifestDir)
+          frontierDir, outManifestDir, robots, agent, perDomainCap)
         ()
       }
       .start()

@@ -190,6 +190,63 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("discovery batch honors robots and the per-domain cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-frontier-rb").toString
+    val (dir, mdir) = (s"$base/f", s"$base/m")
+    Frontier.buildFrontier(urls(0L), "url", dir, numBuckets = 2)
+    // one fetched page linking: a disallowed URL, 4 same-domain URLs
+    // (cap = 2), and one URL on an uncapped domain
+    val links = Seq(
+      "https://gated.example/private/secret",
+      "https://bulk.example/p/1", "https://bulk.example/p/2",
+      "https://bulk.example/p/3", "https://bulk.example/p/4",
+      "https://open.example/p/1")
+      .map(u => s"""<a href="$u">x</a>""").mkString
+    val batch = Seq(("https://seed.example/start", s"<html>$links</html>"))
+      .toDF("url", "html")
+    val robots = Seq(("gated.example",
+      "User-agent: *\nDisallow: /private/\n")).toDF("host", "robots_txt")
+    val n = graft.streaming.IndexIngest.processDiscoveryBatch(
+      batch, 0L, "url", "html", dir, Some(mdir),
+      robots = Some((robots, "host", "robots_txt")),
+      perDomainCap = Some(2))
+    val manifest = spark.read.parquet(s"$mdir/batch_id=0")
+      .collect().map(_.getString(0)).toSet
+    // the disallowed-but-unseen URL NEVER reaches the manifest
+    assert(!manifest.exists(_.contains("gated.example")),
+      s"robots-disallowed URL leaked into the manifest: $manifest")
+    // the per-domain cap holds: exactly 2 bulk URLs + the open one
+    assert(manifest.count(_.contains("bulk.example")) === 2)
+    assert(manifest.contains("https://open.example/p/1"))
+    assert(n === manifest.size.toLong)
+    // the disallowed URL is STICKY-seen (policy drop, re-admitted only
+    // via forgetUrls); the cap-overflow URLs stay UNSEEN so a later
+    // batch re-considers them
+    val reprobe = Frontier.probeNew(Seq(
+        "https://gated.example/private/secret",
+        "https://bulk.example/p/1", "https://bulk.example/p/2",
+        "https://bulk.example/p/3", "https://bulk.example/p/4")
+        .toDF("url"), "url", dir)
+      .collect().map(_.getString(0)).toSet
+    assert(!reprobe.exists(_.contains("gated.example")),
+      "disallowed URL must be frontier-seen (sticky policy drop)")
+    assert(reprobe.count(_.contains("bulk.example")) === 2,
+      s"exactly the 2 cap-overflow bulk URLs must stay unseen: $reprobe")
+    // a second batch re-linking the overflow now manifests it
+    val batch2 = Seq(("https://seed.example/next",
+      """<a href="https://bulk.example/p/3">x</a>""")).toDF("url", "html")
+    graft.streaming.IndexIngest.processDiscoveryBatch(
+      batch2, 1L, "url", "html", dir, Some(mdir),
+      robots = Some((robots, "host", "robots_txt")),
+      perDomainCap = Some(2))
+    val manifest2 = spark.read.parquet(s"$mdir/batch_id=1")
+      .collect().map(_.getString(0)).toSet
+    assert(manifest2.exists(_.contains("bulk.example/p/3")))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("empty seed frame builds a probeable frontier (zero-file keys dir)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-frontier-es").toString + "/f"
