@@ -175,7 +175,7 @@ object Bench {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
       f.delete()
     }
-    val (zPlainSec, zOrderSec) = if (!only.exists(_.nonEmpty)) {
+    val (zPlainSec, zOrderSec, zPlainSamples, zOrderSamples) = if (!only.exists(_.nonEmpty)) {
       import org.apache.spark.sql.functions._
       val zDir = java.nio.file.Files.createTempDirectory("graft-bench-zorder").toString
       // 50x-replicated events (~5M rows): at sf0.1 the raw table is 2 MB
@@ -191,7 +191,10 @@ object Bench {
       ev.repartition(64).write.mode("overwrite").parquet(s"$zDir/plain")
       graft.sources.ZOrderLayout.writeZOrdered(ev, s"$zDir/zorder", "x", "y",
         bits = 15, numFiles = 64)
-      def timeWindow(path: String): Double = {
+      // per-sample capture (the scan_only_samples rule, extended to
+      // every pair anchor this round): a shipped window outlier must be
+      // diagnosable from the artifact alone
+      def timeWindow(path: String): Seq[Double] = {
         def once(): Double = {
           val t0 = System.nanoTime()
           spark.read.parquet(path)
@@ -200,11 +203,13 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm-up (codegen + footer cache)
-        Seq(once(), once(), once()).min
+        Seq(once(), once(), once())
       }
-      try (timeWindow(s"$zDir/plain"), timeWindow(s"$zDir/zorder"))
-      finally deleteRecursively(new java.io.File(zDir))
-    } else (0.0, 0.0)
+      try {
+        val (p, z) = (timeWindow(s"$zDir/plain"), timeWindow(s"$zDir/zorder"))
+        (p.min, z.min, p, z)
+      } finally deleteRecursively(new java.io.File(zDir))
+    } else (0.0, 0.0, Seq.empty[Double], Seq.empty[Double])
 
     // Compaction payoff pair: the SAME indexed BM25 probe against a
     // BM25 index grown by 8 appends (9 files per bucket) and after
@@ -212,7 +217,7 @@ object Bench {
     // read-side latency an appended index bleeds and compaction
     // restores. Build/append/compact are untimed; results are
     // row-identical by the OpsSpec pin, so only layout is measured.
-    val (cmpAppendedSec, cmpCompactedSec) = if (!only.exists(_.nonEmpty)) {
+    val (cmpAppendedSec, cmpCompactedSec, cmpAppendedSamples, cmpCompactedSamples) = if (!only.exists(_.nonEmpty)) {
       import org.apache.spark.sql.functions._
       val cmpRoot = java.nio.file.Files.createTempDirectory("graft-bench-compact")
         .toString
@@ -225,7 +230,7 @@ object Bench {
         graft.llm.Retrieval.appendToIndex(docs.filter(col("doc_id") % 9 === k),
           "doc_id", "text", idxDir)
       }
-      def timeProbe(): Double = {
+      def timeProbe(): Seq[Double] = {
         def once(): Double = {
           val t0 = System.nanoTime()
           graft.llm.Retrieval.bm25TopKIndexed(spark, idxDir,
@@ -233,14 +238,15 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         once() // warm-up
-        Seq(once(), once(), once()).min
+        Seq(once(), once(), once())
       }
       try {
         val before = timeProbe()
         graft.llm.Retrieval.compactIndex(spark, idxDir)
-        (before, timeProbe())
+        val after = timeProbe()
+        (before.min, after.min, before, after)
       } finally deleteRecursively(new java.io.File(cmpRoot))
-    } else (0.0, 0.0)
+    } else (0.0, 0.0, Seq.empty[Double], Seq.empty[Double])
 
     // Mega-cluster skew pair: thresholdSweep and clusterProvenance on a
     // synthetic where ONE boilerplate text covers 30% of the documents
@@ -250,7 +256,7 @@ object Bench {
     // degrades gracefully instead of paying n²/2 same-text edges; the
     // provenance pass exercises the maxPerGroup output cap on the same
     // skew. Best of 3 after one warm-up, caches released per run.
-    val (skewSweepSec, skewProvSec) = if (!only.exists(_.nonEmpty)) {
+    val (skewSweepSec, skewProvSec, skewSweepSamples, skewProvSamples) = if (!only.exists(_.nonEmpty)) {
       import org.apache.spark.sql.functions._
       val mega = "the mega cluster boilerplate text that floods a " +
         "crawl heavy corpus with identical copies"
@@ -258,7 +264,7 @@ object Bench {
         .select(col("doc_id"),
           when(col("doc_id") % 10 < 3, lit(mega))
             .otherwise(col("text")).as("text"))
-      def time(f: () => Unit): Double = {
+      def time(f: () => Unit): Seq[Double] = {
         def once(): Double = {
           val t0 = System.nanoTime()
           f()
@@ -268,19 +274,19 @@ object Bench {
           sec
         }
         once() // warm-up
-        Seq(once(), once(), once()).min
+        Seq(once(), once(), once())
       }
-      val sweepSec = time { () =>
+      val sweep = time { () =>
         graft.llm.Dedup.thresholdSweep(skewed, "doc_id", "text",
           Seq(8000L, 9600L)).count(); ()
       }
-      val provSec = time { () =>
+      val prov = time { () =>
         graft.llm.Dedup.clusterProvenance(
           skewed.select(col("doc_id").as("id"), md5(col("text")).as("comp")),
           "id", "comp", maxPerGroup = 5).count(); ()
       }
-      (sweepSec, provSec)
-    } else (0.0, 0.0)
+      (sweep.min, prov.min, sweep, prov)
+    } else (0.0, 0.0, Seq.empty[Double], Seq.empty[Double])
 
     // WARC parse throughput: a 512 MiB synthetic archive (8,192 records
     // of 64 KiB payload — the WET-conversion shape), parsed by the
@@ -289,7 +295,7 @@ object Bench {
     // The archive is a content-independent fixture cached in /tmp (the
     // plantedImage discipline) so repeated bench runs pay the write
     // once. Measures the reader the crawl front door runs on.
-    val (warcSec, warcMibps) = if (!only.exists(_.nonEmpty)) {
+    val (warcSec, warcMibps, warcSamples) = if (!only.exists(_.nonEmpty)) {
       import org.apache.spark.sql.functions._
       val nRecs = 8192
       val payload = ("lorem ipsum dolor sit amet " * 2520).substring(0, 65536)
@@ -320,9 +326,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up
-      val sec = Seq(once(), once(), once()).min
-      (sec, fixture.length() / (1024.0 * 1024.0) / sec)
-    } else (0.0, 0.0)
+      val xs = Seq(once(), once(), once())
+      val sec = xs.min
+      (sec, fixture.length() / (1024.0 * 1024.0) / sec, xs)
+    } else (0.0, 0.0, Seq.empty[Double])
 
     // Per-record-gzip WARC parse throughput: the SAME 8,192 records as
     // warc_parse above but each deflated into its own gzip member (the
@@ -330,7 +337,7 @@ object Bench {
     // wise inflate + CRC verify + parse. Reported both ways: MiB/s
     // over the COMPRESSED archive (the crawl-ops unit) and over the
     // inflated payload mass (comparable to warc_parse_mibps).
-    val (warcGzSec, warcGzMibps, warcGzInflMibps) = if (!only.exists(_.nonEmpty)) {
+    val (warcGzSec, warcGzMibps, warcGzInflMibps, warcGzSamples) = if (!only.exists(_.nonEmpty)) {
       import org.apache.spark.sql.functions._
       val nRecs = 8192
       // half repeated text, half seeded-PRNG bytes → the member
@@ -363,10 +370,11 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up
-      val sec = Seq(once(), once(), once()).min
+      val xs = Seq(once(), once(), once())
+      val sec = xs.min
       (sec, fixture.length() / (1024.0 * 1024.0) / sec,
-        inflated / (1024.0 * 1024.0) / sec)
-    } else (0.0, 0.0, 0.0)
+        inflated / (1024.0 * 1024.0) / sec, xs)
+    } else (0.0, 0.0, 0.0, Seq.empty[Double])
 
     // Production-shape tokenizer cost curve: the oracle chain pins the
     // unigram trainer/encoder exact at vocabSize=48 and the boundary
@@ -406,24 +414,24 @@ object Bench {
     // what the refine stage costs): plain ADC top-5 vs ADC+exact
     // re-rank at the kCand=25 recall-saturation point from the q285
     // table, 10 queries, best of 3.
-    val (rrAdcSec, rrRerankSec) = if (!only.exists(_.nonEmpty)) {
+    val (rrAdcSec, rrRerankSec, rrAdcSamples, rrRerankSamples) = if (!only.exists(_.nonEmpty)) {
       import org.apache.spark.sql.functions._
       val emb = graft.queries.Registry.table(spark, sfDir, "embeddings")
       val cb = emb.filter(col("vec_id") < 256)
       val qs = emb.filter(col("vec_id").between(300, 309))
-      def time(f: () => Long): Double = {
+      def time(f: () => Long): Seq[Double] = {
         def once(): Double = {
           val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
         }
         once() // warm-up
-        Seq(once(), once(), once()).min
+        Seq(once(), once(), once())
       }
-      val adcSec = time(() => graft.llm.Pq.adcTopK(
+      val adc = time(() => graft.llm.Pq.adcTopK(
         emb, "vec_id", "embedding", cb, qs, k = 5, m = 16).count())
-      val rrSec = time(() => graft.llm.Pq.adcTopKReranked(
+      val rr = time(() => graft.llm.Pq.adcTopKReranked(
         emb, "vec_id", "embedding", cb, qs, k = 5, kCand = 25, m = 16).count())
-      (adcSec, rrSec)
-    } else (0.0, 0.0)
+      (adc.min, rr.min, adc, rr)
+    } else (0.0, 0.0, Seq.empty[Double], Seq.empty[Double])
     // Each query runs N times and reports the min (criterion-style
     // steady state): run 1 absorbs first-touch costs the sf0.001 warm-up
     // cannot — page-cache-cold sf0.1 parquet reads and AQE-replanned
@@ -477,6 +485,7 @@ object Bench {
       return
     }
 
+    def sj(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     val scanBytes = 8L * 1024 * 1024 * 1024
     val scanSec = scanSamples.min
     val scanMibps = scanBytes / (1024.0 * 1024.0) / scanSec
@@ -488,10 +497,15 @@ object Bench {
       s""""scan_only_mibps":$scanMibps,"scan_only_sec":$scanSec,""" +
       s""""scan_only_samples":$samplesJson,""" +
       s""""zorder_plain_sec":$zPlainSec,"zorder_zorder_sec":$zOrderSec,""" +
+      s""""zorder_plain_samples":${sj(zPlainSamples)},"zorder_zorder_samples":${sj(zOrderSamples)},""" +
       s""""bm25_appended_sec":$cmpAppendedSec,"bm25_compacted_sec":$cmpCompactedSec,""" +
+      s""""bm25_appended_samples":${sj(cmpAppendedSamples)},"bm25_compacted_samples":${sj(cmpCompactedSamples)},""" +
       s""""rerank_adc_sec":$rrAdcSec,"rerank_refined_sec":$rrRerankSec,""" +
+      s""""rerank_adc_samples":${sj(rrAdcSamples)},"rerank_refined_samples":${sj(rrRerankSamples)},""" +
       s""""skew_sweep_sec":$skewSweepSec,"skew_provenance_sec":$skewProvSec,""" +
+      s""""skew_sweep_samples":${sj(skewSweepSamples)},"skew_provenance_samples":${sj(skewProvSamples)},""" +
       s""""warc_parse_sec":$warcSec,"warc_parse_mibps":$warcMibps,""" +
+      s""""warc_parse_samples":${sj(warcSamples)},"warc_gz_parse_samples":${sj(warcGzSamples)},""" +
       s""""warc_gz_parse_sec":$warcGzSec,"warc_gz_parse_mibps":$warcGzMibps,""" +
       s""""warc_gz_inflated_mibps":$warcGzInflMibps,""" +
       s""""tokenizer_8k_train_sec":$tok8kTrainSec,"tokenizer_8k_encode_sec":$tok8kEncodeSec,""" +

@@ -109,6 +109,29 @@ def main(old_path, new_path, threshold=1.5, min_sec=0.5):
     print()
     table(sorted(rows, key=lambda r: -r[5])[:5])
 
+    # Anchor sample spreads: a *_samples triple whose max/min ratio is
+    # large marks a window outlier DIAGNOSABLE from the artifact alone
+    # (the round-13 10x bm25 driver reading would have shown here).
+    spread_keys = sorted(k for k in set(old) | set(new)
+                         if k.endswith("_samples"))
+    if spread_keys:
+        print("## Anchor sample spreads (max/min per run; > 2.0 marks a noisy window)")
+        print()
+        print("| anchor | old samples | spread | new samples | spread |")
+        print("|---|---|---|---|---|")
+        for k in spread_keys:
+            def fmt(d):
+                xs = d.get(k)
+                if not xs:
+                    return "-", ""
+                sp = max(xs) / min(xs) if min(xs) > 0 else float("inf")
+                flag = " ⚠" if sp > 2.0 else ""
+                return ("[" + ", ".join(f"{x:.2f}" for x in xs) + "]",
+                        f"{sp:.2f}x{flag}")
+            so, spo = fmt(old)
+            sn, spn = fmt(new)
+            print(f"| {k[:-8]} | {so} | {spo} | {sn} | {spn} |")
+
 
 if __name__ == "__main__":
     if len(sys.argv) < 3:
