@@ -417,14 +417,28 @@ object IndexIngest {
       val allowedLinks = verdicts.filter(!col("disallowed")).select(col("url"))
       // politeness cap LAST (after the robots gate — a disallowed URL
       // must not consume a domain's quota)
-      val manifested = graft.llm.CacheRegistry.persist(perDomainCap match {
+      val computed = perDomainCap match {
         case Some(cap) => graft.llm.Robots.perDomainCap(allowedLinks, "url", cap)
         case None => allowedLinks
+      }
+      // CRASH-WINDOW RULE (found by the ChainSpec soak): a retry after
+      // a crash INSIDE the frontier append must not recompute the
+      // manifest — the crashed append already marked this batch's URLs
+      // seen, so a fresh probe returns nothing and the retry would
+      // overwrite the manifest EMPTY: every discovered URL silently
+      // lost (seen-but-never-fetched). The manifest is durable (its
+      // _SUCCESS lands before any frontier mutation), so a retry that
+      // finds it REUSES it and only redoes the mutation.
+      val priorManifest = outManifestDir.filter(od =>
+        new java.io.File(s"$od/batch_id=$batchId/_SUCCESS").isFile)
+      val manifested = graft.llm.CacheRegistry.persist(priorManifest match {
+        // explicit schema: an empty manifest dir has no part-files to
+        // infer from (the Frontier.readKeys rule)
+        case Some(od) => spark.read.schema("url STRING")
+          .parquet(s"$od/batch_id=$batchId").select(col("url"))
+        case None => computed
       })
-      // manifest BEFORE the ledger commit (replays refresh their own
-      // rows); only genuinely-new fetchable ALLOWED outlinks are worth
-      // fetching
-      outManifestDir.foreach { od =>
+      if (priorManifest.isEmpty) outManifestDir.foreach { od =>
         manifested.write.mode("overwrite").parquet(s"$od/batch_id=$batchId")
       }
       val n = manifested.count()

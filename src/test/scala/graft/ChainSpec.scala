@@ -255,4 +255,129 @@ class ChainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$store/v0").count() === 30L)
     graft.llm.CacheRegistry.releaseAll(spark)
   }
+
+  test("crawl-loop soak: export → parse-index + discover → next manifest → repeat, replayed at every ledger") {
+    // The production composition: each batch's fetch set exports as a
+    // .warc.gz drop, the SAME parsed batch feeds processWarcBatch
+    // (dedup + BM25 index) AND processDiscoveryBatch (frontier + next
+    // fetch manifest), and the next batch fetches exactly the emitted
+    // manifest. Crash injections land on three of the loop's ledger
+    // lines (bm25, dedup, frontier after-ledger) plus one BEFORE-ledger
+    // frontier crash with its documented recovery — across the whole
+    // matrix no URL is lost, none is double-fetched, and no doc is
+    // double-indexed. Synthetic web: page i links to 10+2i and 11+2i
+    // within [10, 40), seeds {0, 1, 2} → batch fetch sets {0,1,2},
+    // {10..15}, {30..39}, then the manifest runs dry.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-soak").toString
+    val (didx, bidx) = (s"$base/didx", s"$base/bidx")
+    val (fdir, mdir) = (s"$base/frontier", s"$base/manifests")
+    def u(i: Long) = s"https://web.example/p/$i"
+    def html(i: Long): String = {
+      val links = Seq(10 + 2 * i, 11 + 2 * i).filter(j => j >= 10 && j < 40)
+        .map(j => s"""<a href="${u(j)}">n</a>""").mkString
+      s"<html><body><p>soak page body w$i marker${i * 7}</p>$links</body></html>"
+    }
+    graft.llm.Dedup.buildDedupIndex(
+      Seq((9000L, "seed doc alpha"), (9001L, "seed doc beta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", didx, numBuckets = 2, shingleN = 3, numHashes = 8,
+      rowsPerBand = 2)
+    graft.llm.Retrieval.buildIndex(
+      Seq((9000L, "seed doc alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", bidx, numBuckets = 2)
+    // the frontier starts EMPTY (the zero-file keys shape): batch 0's
+    // seeds are its first members
+    graft.llm.Frontier.buildFrontier(Seq.empty[String].toDF("url"), "url",
+      fdir, numBuckets = 2)
+    val idExpr = "CAST(regexp_extract(target_uri, '/p/([0-9]+)$', 1) AS BIGINT)"
+
+    // a crash at an INDEX sub-ledger point lands before the batch's
+    // MAIN ledger line: the replay re-runs end to end and must land the
+    // same docs exactly once (`expect` — the final no-double-index
+    // invariant is the cross-batch proof). A crash at the FRONTIER's
+    // after-ledger point is past its only ledger: the replay must be a
+    // ledger no-op (-1).
+    def replayAfterCrash(point: String, expect: Long)(f: => Long): Unit = {
+      spark.conf.set("graft.test.crashPoint", point)
+      intercept[RuntimeException] { f }
+      spark.conf.set("graft.test.crashPoint", "")
+      assert(f === expect, s"replay after $point must return $expect")
+    }
+    def index(b: Long, paths: Seq[String]): Long =
+      graft.streaming.IndexIngest.processWarcBatch(
+        paths.toDF("path"), b, "path", idExpr, "decode(payload, 'utf-8')",
+        didx, Some(bidx), dropNear = false, warcChunkSize = 256)
+    def discover(b: Long, pages: org.apache.spark.sql.DataFrame): Long =
+      graft.streaming.IndexIngest.processDiscoveryBatch(
+        pages, b, "url", "html", fdir, Some(mdir))
+
+    var fetched = Vector.empty[Long]
+    def runBatch(b: Long, ids: Seq[Long]): Long = {
+      assert(ids.intersect(fetched).isEmpty,
+        s"batch $b would double-fetch ${ids.intersect(fetched)}")
+      fetched ++= ids
+      val pages = ids.map(i => (u(i), html(i))).toDF("url", "html")
+      val drop = s"$base/drop$b"
+      assert(graft.sources.WarcCorpus.write(pages, drop, "url", "html")
+        === ids.size.toLong)
+      val paths = new java.io.File(drop).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).map(_.toString).toSeq
+      b match {
+        case 0L =>
+          replayAfterCrash("bm25_append_after_ledger", expect = ids.size.toLong) {
+            index(b, paths) }
+          // frontier BEFORE-ledger crash: keys landed but the commit
+          // record didn't — documented recovery is fence-clear + rerun
+          // (duplicate key files are harmless to membership); the
+          // manifest overwrite makes the retry emission identical
+          spark.conf.set("graft.test.crashPoint", "frontier_append_before_ledger")
+          intercept[RuntimeException] { discover(b, pages) }
+          spark.conf.set("graft.test.crashPoint", "")
+          assert(new java.io.File(fdir, "_graft_frontier_pending").delete())
+          discover(b, pages)
+        case 1L =>
+          // the crashed run's dedup append COMMITTED (its sub-ledger
+          // line precedes the crash), so the replay's probe sees the
+          // batch as already-ingested duplicates: 0 docs — and the
+          // final exactly-once invariant proves nothing doubled
+          replayAfterCrash("dedup_append_after_ledger", expect = 0L) {
+            index(b, paths) }
+          replayAfterCrash("frontier_append_after_ledger", expect = -1L) {
+            discover(b, pages) }
+          0L
+        case _ =>
+          index(b, paths)
+          discover(b, pages)
+      }
+    }
+    def manifestIds(b: Long): Seq[Long] =
+      spark.read.parquet(s"$mdir/batch_id=$b").collect()
+        .map(r => r.getString(0).split("/").last.toLong).toSeq.sorted
+
+    runBatch(0L, Seq(0L, 1L, 2L))
+    assert(manifestIds(0L) === (10L to 15L))
+    runBatch(1L, manifestIds(0L))
+    assert(manifestIds(1L) === (30L to 39L))
+    val n2 = runBatch(2L, manifestIds(1L))
+    assert(n2 === 0L, "the synthetic web must run dry at batch 2")
+    assert(fetched.distinct.size === 19 && fetched.size === 19)
+
+    // no URL lost: everything fetched or manifested is frontier-seen
+    val known = fetched.map(u).toDF("url")
+    assert(graft.llm.Frontier.probeNew(known, "url", fdir).count() === 0L,
+      "every fetched URL must be frontier-seen after the soak")
+    // no doc double-indexed: the common token returns exactly the 19
+    // crawl pages (plus no seed — the seed text lacks it), once each.
+    // "page" is whitespace-delimited in every body ("<p>soak page
+    // body…" — the tag-glued "soak" is not a standalone token under
+    // the index's whitespace tokenization)
+    val hits = graft.llm.Retrieval.bm25TopKIndexed(spark, bidx,
+        Seq(Seq("page")), k = 25)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(hits.sorted === fetched.sorted,
+      s"index must hold each fetched page exactly once: $hits")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
 }
