@@ -41,9 +41,17 @@ object TextCodecs {
     */
   def decodeCharset(bytes: Array[Byte], name: UTF8String): Array[Byte] = {
     if (bytes == null || name == null) return null
-    val cs = charsets.computeIfAbsent(name.toString, n =>
+    // bounded cache: the SQL-exposed function accepts a data-derived
+    // charset column, and an unbounded map keyed by hostile labels is
+    // an executor-lifetime leak — past the cap, resolve without caching
+    // (forName is cheap; the cap only exists for the pathological feed)
+    def resolve(n: String) =
       try java.nio.charset.Charset.forName(n)
-      catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 })
+      catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    val key = name.toString.toLowerCase(java.util.Locale.ROOT)
+    val cs =
+      if (charsets.size >= 1024) Option(charsets.get(key)).getOrElse(resolve(key))
+      else charsets.computeIfAbsent(key, resolve)
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
@@ -61,14 +69,28 @@ object TextCodecs {
     0x90, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
     0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x9D, 0x017E, 0x0178)
 
-  /** Decode semicolon-terminated `&#NNN;`/`&#xHH;` references in `s`;
-    * everything else (named entities, unterminated refs, bare `&#`)
-    * passes through byte-identical.
+  /** The core named entities [[decodeNumericRefs]] also decodes —
+    * the [[graft.llm.Html]] step-4 set. Decoding them in the SAME
+    * single left-to-right pass as the numeric refs is what makes the
+    * ordering hazards structurally impossible: output is never
+    * re-scanned, so `&amp;#65;` yields the literal `&#65;` and
+    * `&#38;amp;` yields the literal `&amp;` — both exactly HTML5's
+    * single-decode behavior, where any replace CHAIN gets one of the
+    * two wrong.
+    */
+  private val Named: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Decode the pinned named set and semicolon-terminated
+    * `&#NNN;`/`&#xHH;` references in `s`, one left-to-right pass;
+    * everything else (the long named tail, unterminated refs, bare
+    * `&#`) passes through byte-identical.
     */
   def decodeNumericRefs(s: UTF8String): UTF8String = {
     if (s == null) return null
     val in = s.toString
-    if (!in.contains("&#")) return s
+    if (!in.contains("&")) return s
     val sb = new java.lang.StringBuilder(in.length)
     var i = 0
     val n = in.length
@@ -104,6 +126,12 @@ object TextCodecs {
           sb.appendCodePoint(cp)
           i = j + 1
         } else { sb.append(c); i += 1 }
+      } else if (c == '&') {
+        val hit = Named.find { case (e, _) => in.startsWith(e, i) }
+        hit match {
+          case Some((e, out)) => sb.append(out); i += e.length
+          case None => sb.append(c); i += 1
+        }
       } else { sb.append(c); i += 1 }
     }
     UTF8String.fromString(sb.toString)

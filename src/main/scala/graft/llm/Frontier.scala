@@ -62,6 +62,9 @@ object Frontier extends PersistedIndex {
     // whatever mutation the fence guarded (the fresh keys table just
     // replaced the mutated one whole)
     deleteRecursively(new java.io.File(frontierDir, forgottenDirName))
+    // a crash in the forget-swap window leaves a populated staging dir
+    // the rebuild must also supersede
+    deleteRecursively(new java.io.File(frontierDir, forgottenDirName + "_staging"))
     pendingFile(frontierDir).delete()
     writeManifest(frontierDir, Seq("numBuckets" -> numBuckets.toString))
   }
@@ -192,9 +195,16 @@ object Frontier extends PersistedIndex {
       deleteRecursively(staging)
       fk.join(batchKeys, Seq("graft_k1", "graft_k2"), "left_anti")
         .write.mode("overwrite").parquet(staging.toString)
+      // all forgets cancelled → REMOVE the sidecar instead of swapping
+      // in an empty one: an empty-but-present dir would make every
+      // later append pay this whole stage/swap cycle and every probe
+      // an extra anti-join, forever
+      val empty = spark.read.schema("graft_k1 BIGINT, graft_k2 BIGINT")
+        .parquet(staging.toString).isEmpty
       deleteRecursively(new java.io.File(frontierDir, forgottenDirName))
       crashPoint(spark, "frontier_forget_swap")
-      java.nio.file.Files.move(staging.toPath,
+      if (empty) deleteRecursively(staging)
+      else java.nio.file.Files.move(staging.toPath,
         new java.io.File(frontierDir, forgottenDirName).toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }

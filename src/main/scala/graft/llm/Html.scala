@@ -21,19 +21,21 @@ import org.apache.spark.sql.functions._
   *   3. every remaining `<…>` tag becomes one space (attribute values
   *      containing a literal `>` end the tag early — documented
   *      regex-extraction semantics, identical on both engines).
-  *   4. the core named entities decode: `&lt; &gt; &quot; &#39;
-  *      &apos; &nbsp;`; then NUMERIC character references (`&#NNN;` /
-  *      `&#xHH;`, semicolon required) decode via the codegen'd
-  *      [[graft.functions.DecodeNumericRefsExpr]] under the HTML5
-  *      value rules (0x80–0x9F remaps through the windows-1252 table;
-  *      NUL/surrogates/out-of-range → U+FFFD); then `&amp;` LAST (so
-  *      `&amp;lt;` yields the literal text `&lt;`, not `<`, and
-  *      `&amp;#65;` yields `&#65;`, not `A`). The long tail of NAMED
-  *      entities passes through verbatim — for quality scoring and
-  *      dedup the rare residue is noise-level. The SQL replay
-  *      ([[inlineCleanSql]]) does not re-express the numeric decode;
-  *      oracles over numeric-ref-bearing fixtures carry expected
-  *      literals instead (the q297 fixture pattern).
+  *   4. entities decode in ONE left-to-right pass (the codegen'd
+  *      [[graft.functions.DecodeNumericRefsExpr]]): the core named set
+  *      `&lt; &gt; &quot; &apos; &nbsp; &amp;` plus NUMERIC character
+  *      references (`&#NNN;` / `&#xHH;`, semicolon required) under the
+  *      HTML5 value rules (0x80–0x9F remaps through the windows-1252
+  *      table; NUL/surrogates/out-of-range → U+FFFD). Single-pass =
+  *      output never re-scanned, exactly HTML5's single decode:
+  *      `&amp;#65;` yields the literal `&#65;` and `&#38;amp;` the
+  *      literal `&amp;`. The long tail of NAMED entities passes
+  *      through verbatim — for quality scoring and dedup the rare
+  *      residue is noise-level. The SQL replay ([[inlineCleanSql]])
+  *      expresses the named set as an `&amp;`-last replace chain —
+  *      equivalent to the single pass on any input free of numeric
+  *      refs (gate-checked for the oracle corpora); numeric-ref
+  *      fixtures carry expected literals instead (the q297 pattern).
   *   5. whitespace runs (space/tab/CR/LF) collapse to one space; trim.
   *
   * At 100 TB this is the right shape: a narrow per-row expression
@@ -98,20 +100,13 @@ object Html {
     */
   private def inlineClean(c: Column): Column = {
     val noTags = regexp_replace(c, "(?s)<[^>]*>", " ")
-    // literal (non-regex) replaces; &amp; LAST — the standard ordering
-    val decoded = replace(replace(replace(replace(replace(replace(
-      noTags,
-      lit("&lt;"), lit("<")),
-      lit("&gt;"), lit(">")),
-      lit("&quot;"), lit("\"")),
-      lit("&#39;"), lit("'")),
-      lit("&apos;"), lit("'")),
-      lit("&nbsp;"), lit(" "))
-    // numeric refs BETWEEN the named replaces and &amp; — "&amp;#65;"
-    // contains no literal "&#", so double-decoding cannot happen
-    val numeric = call_function("graft_decode_nrefs", decoded)
-    val amp = replace(numeric, lit("&amp;"), lit("&"))
-    trim(regexp_replace(amp, "[ \\t\\r\\n]+", " "))
+    // ONE left-to-right entity pass (named set + numeric refs) in the
+    // codegen'd kernel: output is never re-scanned, so `&amp;#65;`
+    // stays the literal `&#65;` AND `&#38;amp;` stays the literal
+    // `&amp;` — a replace chain gets one of the two wrong whichever
+    // way it orders the &amp; step (HTML5 decodes each exactly once)
+    val decoded = call_function("graft_decode_nrefs", noTags)
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
 
   /** HTML → text under the exact semantics documented on [[Html]]. */

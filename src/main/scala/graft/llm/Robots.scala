@@ -51,9 +51,19 @@ object Robots {
     */
   val targetRegex: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)"
 
-  /** Path+query match target of an absolute URL ("/" when empty). */
-  def matchTarget(url: Column): Column =
-    coalesce(nullif(regexp_extract(url, targetRegex, 1), lit("")), lit("/"))
+  /** Path+query match target of an absolute URL ("/" when empty). A
+    * captured target with no leading '/' — `http://h?page=2`, an
+    * empty-path query URL real pages link constantly — gets one
+    * prepended (RFC 9309 matches `/?page=2`); without it no
+    * '/'-prefixed rule could ever match, so even `Disallow: /` was
+    * bypassed, violating the over-block-never-under-block contract.
+    */
+  def matchTarget(url: Column): Column = {
+    val c = regexp_extract(url, targetRegex, 1)
+    when(c === "", lit("/"))
+      .when(c.startsWith("/"), c)
+      .otherwise(concat(lit("/"), c))
+  }
 
   /** Parse robots.txt bodies into grouped directive lines:
     * (hostCol, graft_grp, graft_nm ∈ {user-agent, allow, disallow},
@@ -61,7 +71,14 @@ object Robots {
     * audits over a robots corpus.
     */
   def robotsRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
-    val lines = robots
+    // ONE body per host: a corpus holding several fetches of the same
+    // robots.txt would interleave both bodies' line numbers in the
+    // per-host group window — silently wrong groups. Duplicates
+    // resolve deterministically to the lexicographically-largest body
+    // (callers wanting freshest-wins should pre-select it).
+    val one = robots.groupBy(col(hostCol))
+      .agg(max(col(txtCol)).as(txtCol))
+    val lines = one
       .select(col(hostCol), posexplode(split(col(txtCol), "\n")))
       .withColumnRenamed("pos", "graft_ln")
       .withColumnRenamed("col", "graft_raw")

@@ -1152,8 +1152,15 @@ object BridgeQueries {
               |  SELECT doc_id, url,
               |    lower(nullif(regexp_extract(url,
               |      ${graft.llm.UrlOps.sqlLit(graft.llm.UrlOps.hostRegex)}, 1), '')) AS uh,
-              |    coalesce(nullif(regexp_extract(url,
-              |      ${graft.llm.UrlOps.sqlLit(graft.llm.Robots.targetRegex)}, 1), ''), '/') AS t
+              |    CASE WHEN regexp_extract(url,
+              |           ${graft.llm.UrlOps.sqlLit(graft.llm.Robots.targetRegex)}, 1) = '' THEN '/'
+              |         WHEN substr(regexp_extract(url,
+              |           ${graft.llm.UrlOps.sqlLit(graft.llm.Robots.targetRegex)}, 1), 1, 1) = '/'
+              |           THEN regexp_extract(url,
+              |             ${graft.llm.UrlOps.sqlLit(graft.llm.Robots.targetRegex)}, 1)
+              |         ELSE '/' || regexp_extract(url,
+              |           ${graft.llm.UrlOps.sqlLit(graft.llm.Robots.targetRegex)}, 1)
+              |    END AS t
               |  FROM u),
               |vd AS (
               |  SELECT k.doc_id, k.url,

@@ -474,9 +474,9 @@ object WarcCorpus {
   }
 
   /** All start offsets of a well-shaped version anchor
-    * (`WARC/1.<1-3 digits>\r\n`) within buf[0, len). Shape-validating
-    * at scan time keeps payload text that merely MENTIONS `WARC/1.`
-    * from producing spurious parse attempts.
+    * (`WARC/1.<1-[[MaxVersionDigits]] digits>\r\n`) within buf[0, len).
+    * Shape-validating at scan time keeps payload text that merely
+    * MENTIONS `WARC/1.` from producing spurious parse attempts.
     */
   private[sources] def anchorOffsets(buf: Array[Byte], len: Int): Seq[Long] = {
     val out = scala.collection.mutable.ArrayBuffer[Long]()

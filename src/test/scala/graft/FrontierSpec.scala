@@ -157,6 +157,11 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     // would re-emit on EVERY later batch despite being present
     Frontier.appendToFrontier(urls(2L), "url", dir)
     assert(probeIds(dir, 1L to 3L) === Set.empty)
+    // ALL forgets cancelled → the sidecar dir is REMOVED, not swapped
+    // for an empty one (an empty-but-present sidecar would tax every
+    // later append and probe forever)
+    assert(!new java.io.File(s"$dir/forgotten").exists(),
+      "fully-cancelled forget sidecar must be removed")
     // forget again, compact: the delete goes physical and answers
     // stay identical
     assert(Frontier.forgetUrls(urls(3L), "url", dir) === 1L)

@@ -201,6 +201,38 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t("<p>&#x;</p>") === "&#x;")
     // astral-plane refs decode to the surrogate PAIR
     assert(t("<p>&#x1F600;</p>") === new String(Character.toChars(0x1F600)))
+    // the single-pass rule in BOTH directions (HTML5 decodes exactly
+    // once): a numeric ref that SYNTHESIZES '&amp;' is literal text,
+    // and so is a named ref that synthesizes '&lt;'
+    assert(t("<p>&#38;amp;</p>") === "&amp;")
+    assert(t("<p>&amp;lt;</p>") === "&lt;")
+    assert(t("<p>&#38;#65;</p>") === "&#65;")
+  }
+
+  test("robots: query-only URLs match under a '/'-prefixed target (no under-block)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val robots = Seq(("h.example", "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "robots_txt")
+    val urls = Seq("http://h.example?page=2", "http://h.example",
+      "http://h.example/x").toDF("url")
+    val got = graft.llm.Robots.disallowed(urls, "url", robots,
+        "host", "robots_txt")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    // an empty-path query URL matches Disallow: / as target '/?page=2'
+    assert(got === Map("http://h.example?page=2" -> true,
+      "http://h.example" -> true, "http://h.example/x" -> true))
+    // duplicate robots rows for one host resolve to ONE body, not an
+    // interleaved group table
+    val dup = Seq(("h.example", "User-agent: *\nDisallow: /a\n"),
+      ("h.example", "User-agent: *\nDisallow: /b\n")).toDF("host", "robots_txt")
+    val v2 = graft.llm.Robots.disallowed(
+        Seq("http://h.example/a", "http://h.example/b").toDF("url"),
+        "url", dup, "host", "robots_txt")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    // lexicographically-largest body wins: only /b is disallowed
+    assert(v2 === Map("http://h.example/a" -> false,
+      "http://h.example/b" -> true))
   }
 
   test("declaredCharset + responseTextCharset recover latin-1 bytes losslessly") {
