@@ -43,15 +43,17 @@ object TextCodecs {
     if (bytes == null || name == null) return null
     // bounded cache: the SQL-exposed function accepts a data-derived
     // charset column, and an unbounded map keyed by hostile labels is
-    // an executor-lifetime leak — past the cap, resolve without caching
-    // (forName is cheap; the cap only exists for the pathological feed)
+    // an executor-lifetime leak. Clear-on-overflow (not bypass): a
+    // pathological feed costs one occasional re-resolve sweep, while a
+    // bypass would pay Charset.forName (exception-throwing for unknown
+    // labels) per ROW once the cap filled — the hot loop stays a map
+    // hit either way
     def resolve(n: String) =
       try java.nio.charset.Charset.forName(n)
       catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
     val key = name.toString.toLowerCase(java.util.Locale.ROOT)
-    val cs =
-      if (charsets.size >= 1024) Option(charsets.get(key)).getOrElse(resolve(key))
-      else charsets.computeIfAbsent(key, resolve)
+    if (charsets.size >= 4096) charsets.clear()
+    val cs = charsets.computeIfAbsent(key, resolve)
     val dec = cs.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)

@@ -98,6 +98,18 @@ object Html {
   /** Steps 4–6: strip remaining tags, decode the core entities
     * (`&amp;` LAST), collapse whitespace, trim.
     */
+  /** The codec functions resolve by NAME at analysis time; register
+    * them in the active session at Column-construction time so the
+    * pure-column builders keep working in any session (the entry-point
+    * registrations in Registry/WarcCorpus remain for plans built off
+    * the driver thread, and GraftExtensions covers cluster deploys).
+    */
+  private def codecFn(name: String, args: Column*): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.TextFunctions.register)
+    call_function(name, args: _*)
+  }
+
   private def inlineClean(c: Column): Column = {
     val noTags = regexp_replace(c, "(?s)<[^>]*>", " ")
     // ONE left-to-right entity pass (named set + numeric refs) in the
@@ -105,7 +117,7 @@ object Html {
     // stays the literal `&#65;` AND `&#38;amp;` stays the literal
     // `&amp;` — a replace chain gets one of the two wrong whichever
     // way it orders the &amp; step (HTML5 decodes each exactly once)
-    val decoded = call_function("graft_decode_nrefs", noTags)
+    val decoded = codecFn("graft_decode_nrefs", noTags)
     trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
 
@@ -249,7 +261,7 @@ object Html {
         decode(bodyBytes, "ISO-8859-1"))
     val text = CharsetDispatch.foldLeft(base) { case (acc, (labels, jvm)) =>
       acc.when(cs.isin(labels: _*),
-        call_function("graft_decode_charset", bodyBytes, lit(jvm)))
+        codecFn("graft_decode_charset", bodyBytes, lit(jvm)))
     }.otherwise(decode(bodyBytes, "UTF-8"))
     htmlToText(text)
   }

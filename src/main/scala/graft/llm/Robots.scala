@@ -104,8 +104,11 @@ object Robots {
   private def agentRules(robots: DataFrame, hostCol: String, txtCol: String,
       agent: String): DataFrame = {
     val ag = agent.toLowerCase(java.util.Locale.ROOT)
+    // hosts fold to lowercase — URL hosts arrive lowercased from
+    // UrlOps.host, and a verbatim mixed-case robots key would silently
+    // never match (under-blocking, the one direction the contract bans)
     val lines = robotsRules(robots, hostCol, txtCol)
-      .withColumnRenamed(hostCol, "graft_rh")
+      .withColumn("graft_rh", lower(col(hostCol))).drop(hostCol)
     val uas = lines.filter(col("graft_nm") === "user-agent")
       .select(col("graft_rh"), col("graft_grp"),
         lower(col("graft_v")).as("graft_ua"))
@@ -142,10 +145,17 @@ object Robots {
   def disallowed(urls: DataFrame, urlCol: String,
       robots: DataFrame, hostCol: String, txtCol: String,
       agent: String = "*"): DataFrame = {
-    val rules = agentRules(robots, hostCol, txtCol, agent)
     val keyed = urls
       .withColumn("graft_uh", UrlOps.host(col(urlCol)))
       .withColumn("graft_t", matchTarget(col(urlCol)))
+    // bound the parse to the hosts this batch actually probes: the
+    // robots corpus is CRAWL-sized (every fetched robots.txt) while a
+    // discovery batch is batch-sized — without the semi-join every
+    // micro-batch would re-parse and re-window the whole corpus
+    val batchHosts = keyed.select(col("graft_uh")).distinct()
+    val relevant = robots.join(broadcast(batchHosts),
+      lower(col(hostCol)) === col("graft_uh"), "left_semi")
+    val rules = agentRules(relevant, hostCol, txtCol, agent)
     val targets = keyed.select(col("graft_uh"), col("graft_t")).distinct()
     // winner encoding (the single-integer lexicographic trick): rank =
     // 2·len(path) + (allow ? 1 : 0); the max rank carries both the

@@ -1128,7 +1128,7 @@ object BridgeQueries {
               |  SELECT DISTINCT host, grp FROM uas
               |  WHERE ua = '*' AND host NOT IN (SELECT host FROM spec)),
               |rules AS MATERIALIZED (
-              |  SELECT host, nm, path FROM (
+              |  SELECT lower(host) AS host, nm, path FROM (
               |    SELECT g2.host, g2.nm,
               |      CASE WHEN g2.nm = 'disallow' AND g2.v <> '' THEN
               |             CASE WHEN tr = '' THEN '/' ELSE tr END

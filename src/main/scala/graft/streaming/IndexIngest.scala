@@ -428,17 +428,21 @@ object IndexIngest {
       // overwrite the manifest EMPTY: every discovered URL silently
       // lost (seen-but-never-fetched). The manifest is durable (its
       // _SUCCESS lands before any frontier mutation), so a retry that
-      // finds it REUSES it and only redoes the mutation.
-      val priorManifest = outManifestDir.filter(od =>
-        new java.io.File(s"$od/batch_id=$batchId/_SUCCESS").isFile)
-      val manifested = graft.llm.CacheRegistry.persist(priorManifest match {
-        // explicit schema: an empty manifest dir has no part-files to
-        // infer from (the Frontier.readKeys rule)
-        case Some(od) => spark.read.schema("url STRING")
-          .parquet(s"$od/batch_id=$batchId").select(col("url"))
-        case None => computed
-      })
-      if (priorManifest.isEmpty) outManifestDir.foreach { od =>
+      // finds it REUSES it and only redoes the mutation. Reuse demands
+      // PROOF the manifest came from this frontier's own crashed
+      // attempt — every manifested URL must already probe as seen
+      // (exactly the poisoned-probe signature); a stale manifest left
+      // by a previous crawl incarnation in a reused outManifestDir
+      // fails that check (its URLs are unknown to this frontier) and
+      // the batch recomputes instead of resurrecting old discoveries.
+      val prior = outManifestDir
+        .filter(od => new java.io.File(s"$od/batch_id=$batchId/_SUCCESS").isFile)
+        .map(od => spark.read.schema("url STRING")
+          .parquet(s"$od/batch_id=$batchId").select(col("url")))
+        .filter(m => !m.isEmpty &&
+          graft.llm.Frontier.probeNew(m, "url", frontierDir).isEmpty)
+      val manifested = graft.llm.CacheRegistry.persist(prior.getOrElse(computed))
+      if (prior.isEmpty) outManifestDir.foreach { od =>
         manifested.write.mode("overwrite").parquet(s"$od/batch_id=$batchId")
       }
       val n = manifested.count()
