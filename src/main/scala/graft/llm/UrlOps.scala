@@ -100,6 +100,86 @@ object UrlOps {
   def surtHost(host: Column): Column =
     array_join(reverse(split(host, "\\.")), ",")
 
+  /** Origin regex (group 1 = `scheme://authority`) — shared VERBATIM
+    * with the SQL oracles, like [[hostRegex]].
+    */
+  val originRegex: String = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+  /** Base-path regex (group 1 = the path component, query/fragment
+    * excluded, possibly empty) — shared with the SQL oracles.
+    */
+  val basePathRegex: String = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Resolve reference `ref` against absolute base URL `base` — the
+    * step that turns the relative hrefs real pages carry (the large
+    * majority of outlinks on the live web) into frontier-keyable
+    * absolute URLs. Pinned REDUCED RFC 3986 §5 semantics, every arm
+    * replayable in SQL via the shared regex constants:
+    *
+    *   - `ref` carrying a scheme (`^[a-zA-Z][a-zA-Z0-9+.-]*:`) is
+    *     already absolute → returned verbatim (this also parks
+    *     `mailto:`/`javascript:` refs for the fetchability filter to
+    *     drop downstream).
+    *   - `//host/x` (protocol-relative) → base's scheme + `:` + ref.
+    *   - `/x` (root-relative) → base origin + ref.
+    *   - `?q` → base origin + base path + ref (query replaced).
+    *   - `#f` → base minus its fragment + ref.
+    *   - empty ref → base minus its fragment.
+    *   - anything else (a relative path) → base origin + base
+    *     directory (path truncated after its last '/', or "/" when
+    *     the path has none) + ref.
+    *
+    * DOCUMENTED REDUCTION: dot-segments are NOT normalized —
+    * `../a` resolves to `.../dir/../a` literally. The frontier keys
+    * the un-normalized form, so a page reachable both ways costs one
+    * extra fetch (over-fetch, never a wrong fetch). A `base` that is
+    * NULL or has no authority resolves every non-absolute ref to
+    * NULL.
+    */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val origin = nullif(regexp_extract(base, originRegex, 1), lit(""))
+    val baseScheme = nullif(regexp_extract(base,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1), lit(""))
+    val path = regexp_extract(base, basePathRegex, 1)
+    val dir = when(path.contains("/"),
+      regexp_extract(path, "^(.*/)", 1)).otherwise(lit("/"))
+    val noFrag = regexp_extract(base, "^([^#]*)", 1)
+    when(ref.isNull, lit(null))
+      .when(regexp_extract(ref, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1) =!= "", ref)
+      .when(origin.isNull, lit(null))
+      .when(ref.startsWith("//"), concat(baseScheme, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(origin, ref))
+      .when(ref.startsWith("?"), concat(origin, path, ref))
+      .when(ref.startsWith("#"), concat(noFrag, ref))
+      .when(ref === "", noFrag)
+      .otherwise(concat(origin, dir, ref))
+  }
+
+  /** DuckDB replay of [[resolveUrl]] over SQL expressions `base` /
+    * `ref` — shares [[originRegex]]/[[basePathRegex]] verbatim so the
+    * engines cannot drift. `substr` prefix tests (not LIKE — refs
+    * carry '%' from percent-encoding).
+    */
+  def resolveUrlSql(base: String, ref: String): String = {
+    val origin = s"nullif(regexp_extract($base, ${sqlLit(originRegex)}, 1), '')"
+    val scheme = s"nullif(regexp_extract($base, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')"
+    val path = s"regexp_extract($base, ${sqlLit(basePathRegex)}, 1)"
+    val dir = s"CASE WHEN contains($path, '/') " +
+      s"THEN regexp_extract($path, '^(.*/)', 1) ELSE '/' END"
+    val noFrag = s"regexp_extract($base, '^([^#]*)', 1)"
+    s"""CASE
+       |  WHEN $ref IS NULL THEN NULL
+       |  WHEN regexp_extract($ref, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) <> '' THEN $ref
+       |  WHEN $origin IS NULL THEN NULL
+       |  WHEN substr($ref, 1, 2) = '//' THEN $scheme || ':' || $ref
+       |  WHEN substr($ref, 1, 1) = '/' THEN $origin || $ref
+       |  WHEN substr($ref, 1, 1) = '?' THEN $origin || $path || $ref
+       |  WHEN substr($ref, 1, 1) = '#' THEN $noFrag || $ref
+       |  WHEN $ref = '' THEN $noFrag
+       |  ELSE $origin || $dir || $ref
+       |END""".stripMargin
+  }
+
   /** The two href-harvest patterns (double-quoted / single-quoted,
     * group 1 = target) — shared with the SQL oracles. `href` must sit
     * at an attribute boundary (tag start or after whitespace/quote):

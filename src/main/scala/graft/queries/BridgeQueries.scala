@@ -1208,6 +1208,59 @@ object BridgeQueries {
               |  FROM h)
               |SELECT doc_id, url FROM r WHERE rn <= 3 ORDER BY doc_id""".stripMargin)),
 
+    // ---- Relative-reference resolution (UrlOps.resolveUrl): every
+    // pinned arm — absolute ref, protocol-relative, root-relative,
+    // query-only, fragment-only, empty, relative path, non-http scheme
+    // — against bases with directories/query/fragment, no path,
+    // userinfo+port, and an invalid base (NULL arms). The oracle
+    // replays resolveUrlSql over the same synthesized pairs.
+    "q310_url_resolve" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val base = expr("""CASE CAST(doc_id % 4 AS INT)
+                         |  WHEN 0 THEN 'https://www.ex' || (doc_id % 7)
+                         |    || '.example/a/b/c.html?q=1#top'
+                         |  WHEN 1 THEN 'http://site' || (doc_id % 7) || '.example'
+                         |  WHEN 2 THEN 'https://u:p@h' || (doc_id % 7)
+                         |    || '.example:8443/d/'
+                         |  ELSE 'not a url' END""".stripMargin)
+        val ref = expr("""CASE CAST(doc_id % 8 AS INT)
+                        |  WHEN 0 THEN 'https://abs.example/x'
+                        |  WHEN 1 THEN '//cdn.example/lib.js'
+                        |  WHEN 2 THEN '/root/p' || doc_id
+                        |  WHEN 3 THEN '?page=' || doc_id
+                        |  WHEN 4 THEN '#sec'
+                        |  WHEN 5 THEN ''
+                        |  WHEN 6 THEN 'img/' || doc_id || '.png'
+                        |  ELSE 'mailto:a@b.example' END""".stripMargin)
+        docs.select(col("doc_id"), base.as("base"), ref.as("ref"))
+          .withColumn("resolved",
+            graft.llm.UrlOps.resolveUrl(col("base"), col("ref")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT doc_id,
+              |    CASE CAST(doc_id % 4 AS INT)
+              |      WHEN 0 THEN 'https://www.ex' || (doc_id % 7)
+              |        || '.example/a/b/c.html?q=1#top'
+              |      WHEN 1 THEN 'http://site' || (doc_id % 7) || '.example'
+              |      WHEN 2 THEN 'https://u:p@h' || (doc_id % 7)
+              |        || '.example:8443/d/'
+              |      ELSE 'not a url' END AS base,
+              |    CASE CAST(doc_id % 8 AS INT)
+              |      WHEN 0 THEN 'https://abs.example/x'
+              |      WHEN 1 THEN '//cdn.example/lib.js'
+              |      WHEN 2 THEN '/root/p' || doc_id
+              |      WHEN 3 THEN '?page=' || doc_id
+              |      WHEN 4 THEN '#sec'
+              |      WHEN 5 THEN ''
+              |      WHEN 6 THEN 'img/' || doc_id || '.png'
+              |      ELSE 'mailto:a@b.example' END AS ref
+              |  FROM documents)
+              |SELECT doc_id, base, ref,
+              |  ${graft.llm.UrlOps.resolveUrlSql("base", "ref")} AS resolved
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
     // ---- Generic-string bridge over a NON-text carve type: one pdf per
     // slot whose body mixes printable lines, binary junk, and
     // under-minLen fragments; the carve runs end-to-end and

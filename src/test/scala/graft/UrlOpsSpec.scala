@@ -275,4 +275,50 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(Html.httpBody(col("x")), "HTTP/1.1 200 OK\r\nX: y") === null)
     assert(one(Html.httpStatus(col("x")), "<html>") === null)
   }
+
+  test("resolveUrl: every pinned arm, incl. IPv6/userinfo bases and NULL shapes") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    def r(base: String, ref: String): Any =
+      Seq((base, ref)).toDF("b", "r")
+        .select(UrlOps.resolveUrl(col("b"), col("r")).as("y")).head().get(0)
+    val base = "https://www.ex.example/a/b/c.html?q=1#top"
+    // absolute ref (any scheme) returns verbatim
+    assert(r(base, "http://other.example/z") === "http://other.example/z")
+    assert(r(base, "mailto:a@b.example") === "mailto:a@b.example")
+    // protocol-relative takes the base scheme
+    assert(r(base, "//cdn.example/lib.js") === "https://cdn.example/lib.js")
+    // root-relative takes the origin
+    assert(r(base, "/root/p") === "https://www.ex.example/root/p")
+    // query-only replaces the query, keeps the path
+    assert(r(base, "?page=2") === "https://www.ex.example/a/b/c.html?page=2")
+    // fragment-only appends to the defragmented base
+    assert(r(base, "#sec") === "https://www.ex.example/a/b/c.html?q=1#sec")
+    // empty ref is the defragmented base
+    assert(r(base, "") === "https://www.ex.example/a/b/c.html?q=1")
+    // relative path joins the base DIRECTORY (no dot normalization)
+    assert(r(base, "img/x.png") === "https://www.ex.example/a/b/img/x.png")
+    assert(r(base, "../up") === "https://www.ex.example/a/b/../up")
+    // pathless base: directory is "/"
+    assert(r("http://h.example", "img/x.png") === "http://h.example/img/x.png")
+    assert(r("http://h.example", "?q=2") === "http://h.example?q=2")
+    // userinfo + port and IPv6 authorities survive in the origin
+    assert(r("https://u:p@h.example:8443/d/", "x") ===
+      "https://u:p@h.example:8443/d/x")
+    assert(r("http://[2001:db8::1]:8080/d/e", "/z") ===
+      "http://[2001:db8::1]:8080/z")
+    // invalid base: only absolute refs resolve
+    assert(r("not a url", "/x") === null)
+    assert(r("not a url", "http://ok.example/") === "http://ok.example/")
+    // NULL ref → NULL; NULL base → absolute refs still verbatim
+    val nulls = Seq(("x", "y")).toDF("b", "r")
+      .select(
+        UrlOps.resolveUrl(col("b"), lit(null).cast("string")).as("n1"),
+        UrlOps.resolveUrl(lit(null).cast("string"), lit("rel/p")).as("n2"),
+        UrlOps.resolveUrl(lit(null).cast("string"),
+          lit("https://a.example/")).as("n3"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    assert(nulls.getString(2) === "https://a.example/")
+  }
 }
