@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle replays them verbatim):
   *
   *   - Lines split on '\n' (a trailing '\r' trims with the value);
-  *     `#` comments strip; only `user-agent` / `allow` / `disallow`
-  *     lines (case-insensitive names) participate — unknown lines
-  *     (sitemap, crawl-delay, …) neither start nor break a group, per
-  *     the RFC. Politeness here is [[perDomainCap]], not crawl-delay.
+  *     `#` comments strip; `user-agent` / `allow` / `disallow` /
+  *     `crawl-delay` lines (case-insensitive names) participate —
+  *     crawl-delay is a RULE line of its group (it ends a user-agent
+  *     run and belongs to every agent of the run, the Bing/Yandex
+  *     convention; RFC 9309 leaves it undefined). Other unknown lines
+  *     (sitemap, …) neither start nor break a group, per the RFC —
+  *     sitemap directives are group-independent and harvest via
+  *     [[sitemapUrls]]. Politeness is [[perDomainCap]] +
+  *     [[crawlDelays]]/[[scheduleManifest]].
   *   - GROUPS: a run of consecutive user-agent lines opens a group;
   *     the rules that follow (until the next user-agent run) belong to
   *     every agent named in the run.
@@ -66,9 +71,9 @@ object Robots {
   }
 
   /** Parse robots.txt bodies into grouped directive lines:
-    * (hostCol, graft_grp, graft_nm ∈ {user-agent, allow, disallow},
-    * graft_v). The building block [[disallowed]] consumes; exposed for
-    * audits over a robots corpus.
+    * (hostCol, graft_grp, graft_nm ∈ {user-agent, allow, disallow,
+    * crawl-delay}, graft_v). The building blocks [[disallowed]] and
+    * [[crawlDelays]] consume; exposed for audits over a robots corpus.
     */
   def robotsRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
     // ONE body per host: a corpus holding several fetches of the same
@@ -87,7 +92,8 @@ object Robots {
       .withColumn("graft_nm",
         lower(trim(regexp_extract(col("graft_line"), "^([^:]+):", 1))))
       .withColumn("graft_v", trim(regexp_extract(col("graft_line"), "^[^:]+:(.*)$", 1)))
-      .filter(col("graft_nm").isin("user-agent", "allow", "disallow"))
+      .filter(col("graft_nm").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
     val w = Window.partitionBy(col(hostCol)).orderBy(col("graft_ln"))
     parsed
       .withColumn("graft_isua", col("graft_nm") === "user-agent")
@@ -98,11 +104,11 @@ object Robots {
       .select(col(hostCol), col("graft_grp"), col("graft_nm"), col("graft_v"))
   }
 
-  /** The agent-selected, wildcard-reduced rule table:
-    * (graft_rh = host, graft_nm ∈ {allow, disallow}, graft_path).
+  /** The directive lines of the groups GROUP SELECTION picks for
+    * `agent`: (graft_rh = lowercase host, graft_nm, graft_v).
     */
-  private def agentRules(robots: DataFrame, hostCol: String, txtCol: String,
-      agent: String): DataFrame = {
+  private def selectedLines(robots: DataFrame, hostCol: String,
+      txtCol: String, agent: String): DataFrame = {
     val ag = agent.toLowerCase(java.util.Locale.ROOT)
     // hosts fold to lowercase — URL hosts arrive lowercased from
     // UrlOps.host, and a verbatim mixed-case robots key would silently
@@ -121,10 +127,19 @@ object Robots {
         .join(specificHosts, Seq("graft_rh"), "left_anti")
         .select(col("graft_rh"), col("graft_grp")))
       .distinct()
+    lines.join(chosen, Seq("graft_rh", "graft_grp"))
+      .select(col("graft_rh"), col("graft_nm"), col("graft_v"))
+  }
+
+  /** The agent-selected, wildcard-reduced rule table:
+    * (graft_rh = host, graft_nm ∈ {allow, disallow}, graft_path).
+    */
+  private def agentRules(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String): DataFrame = {
     val trunc = regexp_extract(
       regexp_replace(col("graft_v"), "\\$$", ""), "^([^*]*)", 1)
-    lines.filter(col("graft_nm").isin("allow", "disallow"))
-      .join(chosen, Seq("graft_rh", "graft_grp"))
+    selectedLines(robots, hostCol, txtCol, agent)
+      .filter(col("graft_nm").isin("allow", "disallow"))
       .withColumn("graft_path",
         when(col("graft_nm") === "disallow" && col("graft_v") =!= "",
           when(trunc === "", lit("/")).otherwise(trunc))
@@ -188,5 +203,88 @@ object Robots {
     urls.withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") <= cap)
       .drop("graft_rn")
+  }
+
+  /** The crawl-delay value grammar (non-negative, optionally
+    * fractional — "0.5" is served in the wild) — shared with the SQL
+    * oracles. Anything else ("1s", negative, empty) is ignored.
+    */
+  val delayRegex: String = "^[0-9]+(\\.[0-9]+)?$"
+
+  /** Per-host crawl delay for `agent`: (graft_rh = lowercase host,
+    * crawl_delay_sec DOUBLE). Among the selected groups' crawl-delay
+    * lines the MAX valid value wins (several applicable groups → the
+    * most conservative delay); hosts with no valid directive are
+    * absent. Same batch-bounded scale shape as [[disallowed]] —
+    * callers semi-join the robots corpus to the batch's hosts first.
+    */
+  def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String = "*"): DataFrame =
+    selectedLines(robots, hostCol, txtCol, agent)
+      .filter(col("graft_nm") === "crawl-delay" &&
+        col("graft_v").rlike(delayRegex))
+      .groupBy(col("graft_rh"))
+      .agg(max(col("graft_v").cast("double")).as("crawl_delay_sec"))
+
+  /** Turn a URL batch into a SCHEDULED fetch manifest: adds
+    * `crawl_delay_sec` (the host's directive for `agent`, or
+    * `defaultDelaySec`), `fetch_slot` (0-based position within the
+    * host, deterministic by `urlCol` order) and `fetch_after_sec`
+    * (= slot × delay) — the per-host politeness schedule a fetcher
+    * honors by sleeping each URL until batch-start + fetch_after_sec.
+    * Slots key by HOST (not registered domain): crawl-delay is a
+    * per-server directive, and sibling subdomains are distinct
+    * servers.
+    *
+    * Scale shape: one row_number window per host plus the
+    * [[crawlDelays]] join on the batch's hosts — batch-bounded; the
+    * robots corpus is semi-joined to the batch's hosts before any
+    * parse, the [[disallowed]] discipline.
+    */
+  def scheduleManifest(urls: DataFrame, urlCol: String,
+      robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String = "*", defaultDelaySec: Double = 1.0): DataFrame = {
+    require(defaultDelaySec >= 0.0,
+      s"defaultDelaySec must be non-negative, got $defaultDelaySec")
+    val keyed = urls.withColumn("graft_uh", UrlOps.host(col(urlCol)))
+    val batchHosts = keyed.select(col("graft_uh")).distinct()
+    val relevant = robots.join(broadcast(batchHosts),
+      lower(col(hostCol)) === col("graft_uh"), "left_semi")
+    val delays = crawlDelays(relevant, hostCol, txtCol, agent)
+    val w = Window.partitionBy(col("graft_uh")).orderBy(col(urlCol))
+    keyed
+      .join(delays, col("graft_uh") === col("graft_rh"), "left")
+      .withColumn("crawl_delay_sec",
+        coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)))
+      .withColumn("fetch_slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_after_sec",
+        col("fetch_slot") * col("crawl_delay_sec"))
+      .drop("graft_uh", "graft_rh")
+  }
+
+  /** Sitemap directives of a robots corpus: (hostCol, sitemap_url).
+    * Group-INDEPENDENT per RFC 9309 §2.3 (no agent selection, no
+    * group membership) — a plain line harvest over the
+    * one-body-per-host fold, relative values resolved against the
+    * host's https root via [[UrlOps.resolveUrl]] (the directive is
+    * specified absolute; resolving instead of dropping is the
+    * over-harvest direction, and a fetchability filter downstream
+    * still gates). Duplicate directives fold.
+    */
+  def sitemapUrls(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val one = robots.groupBy(col(hostCol))
+      .agg(max(col(txtCol)).as(txtCol))
+    one
+      .select(col(hostCol), explode(split(col(txtCol), "\n")).as("graft_raw"))
+      .withColumn("graft_line", regexp_replace(col("graft_raw"), "#.*$", ""))
+      .withColumn("graft_nm",
+        lower(trim(regexp_extract(col("graft_line"), "^([^:]+):", 1))))
+      .withColumn("graft_v",
+        trim(regexp_extract(col("graft_line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("graft_nm") === "sitemap" && col("graft_v") =!= "")
+      .select(col(hostCol), UrlOps.resolveUrl(
+        concat(lit("https://"), lower(col(hostCol)), lit("/")),
+        col("graft_v")).as("sitemap_url"))
+      .distinct()
   }
 }

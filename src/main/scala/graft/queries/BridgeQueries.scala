@@ -1108,7 +1108,7 @@ object BridgeQueries {
               |    trim(regexp_extract(nc, '^[^:]+:(.*)$$', 1)) AS v
               |  FROM (SELECT host, ln, regexp_replace(l, '#.*$$', '') AS nc FROM lns)
               |  WHERE lower(trim(regexp_extract(nc, '^([^:]+):', 1)))
-              |    IN ('user-agent', 'allow', 'disallow')),
+              |    IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
               |g AS MATERIALIZED (
               |  SELECT host, nm, v,
               |    CAST(SUM(CASE WHEN isua AND NOT prev THEN 1 ELSE 0 END)
@@ -1207,6 +1207,109 @@ object BridgeQueries {
               |    ORDER BY url) AS rn
               |  FROM h)
               |SELECT doc_id, url FROM r WHERE rn <= 3 ORDER BY doc_id""".stripMargin)),
+
+    // ---- Crawl-delay politeness schedule (Robots.crawlDelays +
+    // scheduleManifest): specific-agent groups shadow the '*' group's
+    // delay, invalid values ("bogus") are ignored, an unselected
+    // group's delay never applies, fractional delays parse, hosts
+    // without a directive take the default, and each host's URLs get
+    // 0-based fetch slots × delay. The oracle replays group selection
+    // (q308's skeleton with crawl-delay participating) + the schedule
+    // window.
+    "q311_crawl_delay" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Registry.table(s, dir, "documents")
+        val robots = (0 until 20).map { h =>
+          val txt = "# graft test\n" +
+            (if (h % 3 == 0)
+              "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /x\n"
+             else "") +
+            "User-agent: *\n" +
+            (if (h % 4 == 0) "Crawl-delay: 0.5\n" else "") +
+            "Disallow: /tmp/\n" +
+            (if (h % 5 == 0) "Crawl-delay: bogus\n" else "") +
+            (if (h % 6 == 0) "User-agent: other\nCrawl-delay: 9\n" else "")
+          (s"site$h.example", txt)
+        }.toDF("host", "robots_txt")
+        val urls = docs.select(col("doc_id"),
+          concat(lit("http://site"), col("doc_id") % 20, lit(".example/p/"),
+            col("doc_id")).as("url"))
+        graft.llm.Robots.scheduleManifest(urls, "url",
+            robots, "host", "robots_txt",
+            agent = "graftbot", defaultDelaySec = 1.0)
+          .select(col("doc_id"), col("url"), col("crawl_delay_sec"),
+            col("fetch_slot"), col("fetch_after_sec"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hosts AS MATERIALIZED (
+              |  SELECT h, 'site' || h || '.example' AS host,
+              |    '# graft test' || chr(10) ||
+              |    CASE WHEN h % 3 = 0 THEN 'User-agent: graftbot' || chr(10)
+              |      || 'Crawl-delay: 2' || chr(10)
+              |      || 'Disallow: /x' || chr(10) ELSE '' END ||
+              |    'User-agent: *' || chr(10) ||
+              |    CASE WHEN h % 4 = 0 THEN 'Crawl-delay: 0.5' || chr(10)
+              |      ELSE '' END ||
+              |    'Disallow: /tmp/' || chr(10) ||
+              |    CASE WHEN h % 5 = 0 THEN 'Crawl-delay: bogus' || chr(10)
+              |      ELSE '' END ||
+              |    CASE WHEN h % 6 = 0 THEN 'User-agent: other' || chr(10)
+              |      || 'Crawl-delay: 9' || chr(10) ELSE '' END AS txt
+              |  FROM (SELECT unnest(range(0, 20)) AS h)),
+              |lns AS MATERIALIZED (
+              |  SELECT host, i AS ln, arr[CAST(i AS INT)] AS l
+              |  FROM (SELECT host, regexp_split_to_array(txt, chr(10)) AS arr
+              |        FROM hosts), LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i)),
+              |parsed AS MATERIALIZED (
+              |  SELECT host, ln,
+              |    lower(trim(regexp_extract(nc, '^([^:]+):', 1))) AS nm,
+              |    trim(regexp_extract(nc, '^[^:]+:(.*)$$', 1)) AS v
+              |  FROM (SELECT host, ln, regexp_replace(l, '#.*$$', '') AS nc FROM lns)
+              |  WHERE lower(trim(regexp_extract(nc, '^([^:]+):', 1)))
+              |    IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+              |g AS MATERIALIZED (
+              |  SELECT host, nm, v,
+              |    CAST(SUM(CASE WHEN isua AND NOT prev THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY host ORDER BY ln
+              |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+              |  FROM (SELECT *, nm = 'user-agent' AS isua,
+              |          coalesce(lag(nm = 'user-agent')
+              |            OVER (PARTITION BY host ORDER BY ln), false) AS prev
+              |        FROM parsed)),
+              |uas AS MATERIALIZED (
+              |  SELECT DISTINCT host, grp, lower(v) AS ua FROM g
+              |  WHERE nm = 'user-agent'),
+              |spec AS (SELECT DISTINCT host FROM uas WHERE ua = 'graftbot'),
+              |chosen AS MATERIALIZED (
+              |  SELECT DISTINCT host, grp FROM uas WHERE ua = 'graftbot'
+              |  UNION
+              |  SELECT DISTINCT host, grp FROM uas
+              |  WHERE ua = '*' AND host NOT IN (SELECT host FROM spec)),
+              |delays AS MATERIALIZED (
+              |  SELECT lower(g.host) AS dh,
+              |    max(CAST(g.v AS DOUBLE)) AS crawl_delay_sec
+              |  FROM g JOIN chosen c ON c.host = g.host AND c.grp = g.grp
+              |  WHERE g.nm = 'crawl-delay'
+              |    AND regexp_matches(g.v, '^[0-9]+(\\.[0-9]+)?$$')
+              |  GROUP BY 1),
+              |u AS MATERIALIZED (
+              |  SELECT doc_id,
+              |    'http://site' || (doc_id % 20) || '.example/p/' || doc_id AS url
+              |  FROM documents),
+              |k AS MATERIALIZED (
+              |  SELECT doc_id, url,
+              |    lower(nullif(regexp_extract(url,
+              |      ${graft.llm.UrlOps.sqlLit(graft.llm.UrlOps.hostRegex)}, 1), '')) AS uh
+              |  FROM u)
+              |SELECT k.doc_id, k.url,
+              |  coalesce(d.crawl_delay_sec, CAST(1.0 AS DOUBLE)) AS crawl_delay_sec,
+              |  CAST(row_number() OVER (PARTITION BY k.uh ORDER BY k.url) - 1
+              |    AS BIGINT) AS fetch_slot,
+              |  (row_number() OVER (PARTITION BY k.uh ORDER BY k.url) - 1)
+              |    * coalesce(d.crawl_delay_sec, CAST(1.0 AS DOUBLE)) AS fetch_after_sec
+              |FROM k LEFT JOIN delays d ON d.dh = k.uh
+              |ORDER BY k.doc_id""".stripMargin)),
 
     // ---- Relative-reference resolution (UrlOps.resolveUrl): every
     // pinned arm — absolute ref, protocol-relative, root-relative,

@@ -276,6 +276,54 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(Html.httpStatus(col("x")), "<html>") === null)
   }
 
+  test("crawlDelays: group selection, invalid values, max-wins, case-fold") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val robots = Seq(
+      // specific group shadows *; two applicable delays → max
+      ("A.example", "User-agent: bot\nCrawl-delay: 2\n" +
+        "User-agent: bot\nCrawl-delay: 0.5\nUser-agent: *\nCrawl-delay: 7\n"),
+      // only * applies; bogus value ignored
+      ("b.example", "User-agent: *\nCrawl-delay: bogus\nCrawl-delay: 1.5\n"),
+      // no valid directive at all → absent
+      ("c.example", "User-agent: *\nDisallow: /x\n"),
+      // unselected group's delay never applies
+      ("d.example", "User-agent: other\nCrawl-delay: 9\n"))
+      .toDF("host", "robots_txt")
+    val got = graft.llm.Robots.crawlDelays(robots, "host", "robots_txt", "bot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === Map("a.example" -> 2.0, "b.example" -> 1.5))
+
+    val urls = Seq("http://a.example/1", "http://a.example/2",
+      "http://a.example/3", "http://c.example/1").toDF("url")
+    val sched = graft.llm.Robots.scheduleManifest(urls, "url",
+        robots, "host", "robots_txt", agent = "bot", defaultDelaySec = 3.0)
+      .select(col("url"), col("crawl_delay_sec"), col("fetch_slot"),
+        col("fetch_after_sec"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(sched === Set(
+      ("http://a.example/1", 2.0, 0L, 0.0),
+      ("http://a.example/2", 2.0, 1L, 2.0),
+      ("http://a.example/3", 2.0, 2L, 4.0),
+      ("http://c.example/1", 3.0, 0L, 0.0)))
+  }
+
+  test("sitemapUrls: group-independent harvest, relative values resolve") {
+    import spark.implicits._
+    val robots = Seq(
+      ("A.example", "User-agent: *\nDisallow: /x\n" +
+        "Sitemap: https://a.example/sm.xml\nSitemap: /relative/sm.xml\n" +
+        "sitemap: https://a.example/sm.xml\n"), // dup + lowercase name fold
+      ("b.example", "# none\nUser-agent: *\n"))
+      .toDF("host", "robots_txt")
+    val got = graft.llm.Robots.sitemapUrls(robots, "host", "robots_txt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("A.example", "https://a.example/sm.xml"),
+      ("A.example", "https://a.example/relative/sm.xml")))
+  }
+
   test("resolveUrl: every pinned arm, incl. IPv6/userinfo bases and NULL shapes") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
