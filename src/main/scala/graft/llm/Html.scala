@@ -162,6 +162,22 @@ object Html {
   def responseText(payload: Column): Column =
     htmlToText(httpBody(decode(payload, "UTF-8")))
 
+  /** The `<loc>` harvest pattern (group 1 = the trimmed value) —
+    * pinned regex extraction, not a full XML parse.
+    */
+  val locRegex: String = "(?is)<loc>\\s*(.*?)\\s*</loc>"
+
+  /** All `<loc>` values of a sitemap or sitemapindex XML body, in
+    * document order, entity-decoded by the same one-pass kernel
+    * [[htmlToText]] uses (a URL with query parameters legally carries
+    * `&amp;` in XML). A sitemapindex's nested-sitemap locs harvest
+    * identically — the caller routes each fetched body by its own
+    * content, so one operator serves both levels of the sitemap tree.
+    */
+  def sitemapLocs(xml: Column): Column = transform(
+    regexp_extract_all(xml, lit(locRegex), lit(1)),
+    v => codecFn("graft_decode_nrefs", v))
+
   /** The page's robots meta directive (`<meta name="robots"
     * content="…">`, attributes in either order, quoted OR unquoted —
     * `<meta name=robots content=noindex>` is valid HTML5 and common

@@ -1311,6 +1311,71 @@ object BridgeQueries {
               |FROM k LEFT JOIN delays d ON d.dh = k.uh
               |ORDER BY k.doc_id""".stripMargin)),
 
+    // ---- Sitemap discovery (Robots.sitemapUrls + Html.sitemapLocs):
+    // phase 'directive' harvests Sitemap lines from a robots corpus
+    // (group-independent; relative values resolve against the https
+    // root), phase 'loc' harvests <loc> values from fetched sitemap
+    // XML bodies (whitespace-padded, entity-bearing — &amp; decodes
+    // exactly once). The fixtures synthesize arithmetically, so the
+    // oracle predicts every decoded URL as a literal (the q297
+    // pattern — DuckDB never needs the decode kernel).
+    "q312_sitemap_harvest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Registry.table(s, dir, "documents")
+        val nHosts = 20
+        val robots = (0 until nHosts).map { h =>
+          val txt = "User-agent: *\nDisallow: /x\n" +
+            (if (h % 3 == 0) s"Sitemap: https://site$h.example/sm.xml\n" else "") +
+            (if (h % 4 == 0) "Sitemap: /sm2.xml\n" else "")
+          (s"site$h.example", txt)
+        }.toDF("host", "robots_txt")
+        val sitemaps = (0 until nHosts).map { h =>
+          val xml = "<?xml version=\"1.0\"?><urlset>" +
+            s"<url><loc> https://site$h.example/d/${h}00 </loc></url>" +
+            (if (h % 2 == 0)
+              s"<url><loc>https://site$h.example/s?a=1&amp;b=$h</loc></url>"
+             else "") +
+            "</urlset>"
+          (s"site$h.example", xml)
+        }.toDF("host", "xml")
+        val directives = graft.llm.Robots
+          .sitemapUrls(robots, "host", "robots_txt")
+          .select(lit("directive").as("phase"), col("host"),
+            col("sitemap_url").as("url"))
+        val locs = sitemaps
+          .select(col("host"), posexplode(
+            graft.llm.Html.sitemapLocs(col("xml"))))
+          .select(lit("loc").as("phase"), col("host"), col("col").as("url"))
+        // anchor the fixture to the table so the driver's rows>0 smoke
+        // and the oracle share a corpus-derived guard
+        val guard = docs.agg(count(lit(1)).as("n"))
+        directives.unionByName(locs)
+          .join(guard.filter(col("n") > 0).select(lit(1).as("graft_one")))
+          .drop("graft_one")
+          .orderBy("phase", "host", "url")
+      },
+      Some("""WITH h AS (SELECT unnest(range(0, 20)) AS h),
+             |guard AS (SELECT count(*) AS n FROM documents),
+             |rows_ AS (
+             |  SELECT 'directive' AS phase, 'site' || h || '.example' AS host,
+             |    'https://site' || h || '.example/sm.xml' AS url
+             |  FROM h WHERE h % 3 = 0
+             |  UNION ALL
+             |  SELECT 'directive', 'site' || h || '.example',
+             |    'https://site' || h || '.example/sm2.xml'
+             |  FROM h WHERE h % 4 = 0
+             |  UNION ALL
+             |  SELECT 'loc', 'site' || h || '.example',
+             |    'https://site' || h || '.example/d/' || h || '00'
+             |  FROM h
+             |  UNION ALL
+             |  SELECT 'loc', 'site' || h || '.example',
+             |    'https://site' || h || '.example/s?a=1&b=' || h
+             |  FROM h WHERE h % 2 = 0)
+             |SELECT phase, host, url FROM rows_, guard WHERE guard.n > 0
+             |ORDER BY phase, host, url""".stripMargin)),
+
     // ---- Relative-reference resolution (UrlOps.resolveUrl): every
     // pinned arm — absolute ref, protocol-relative, root-relative,
     // query-only, fragment-only, empty, relative path, non-http scheme

@@ -324,6 +324,24 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("A.example", "https://a.example/relative/sm.xml")))
   }
 
+  test("sitemapLocs: padded values trim, entities decode once, index locs harvest") {
+    import org.apache.spark.sql.functions.col
+    def locs(xml: String): Seq[String] =
+      one(Html.sitemapLocs(col("x")), xml)
+        .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(locs("<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc> https://a.example/p </loc></url>" +
+      "<url><loc>https://a.example/s?x=1&amp;y=2</loc></url></urlset>") ===
+      Seq("https://a.example/p", "https://a.example/s?x=1&y=2"))
+    // a sitemapindex's nested-sitemap locs harvest identically
+    assert(locs("<sitemapindex><sitemap><loc>https://a.example/sm1.xml" +
+      "</loc></sitemap></sitemapindex>") === Seq("https://a.example/sm1.xml"))
+    // no <loc> → empty array, and &amp;#65; double-decode stays banned
+    assert(locs("<urlset></urlset>") === Seq.empty)
+    assert(locs("<loc>https://a.example/?q=&amp;#65;</loc>") ===
+      Seq("https://a.example/?q=&#65;"))
+  }
+
   test("resolveUrl: every pinned arm, incl. IPv6/userinfo bases and NULL shapes") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
