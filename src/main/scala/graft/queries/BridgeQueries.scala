@@ -1376,6 +1376,89 @@ object BridgeQueries {
              |SELECT phase, host, url FROM rows_, guard WHERE guard.n > 0
              |ORDER BY phase, host, url""".stripMargin)),
 
+    // ---- Redirect-chain walk (Html.redirectTarget ∘ UrlOps.resolveUrl
+    // + a 3-lookup bounded follow): messages synthesize with real
+    // header blocks (Spark EXTRACTS status + Location and RESOLVES
+    // root-relative and bare-relative values; the oracle PREDICTS both
+    // arithmetically — the q297 pattern). Chains r/0→r/1→r/2→… end at
+    // every %4==3 record (terminal), jump cross-host at %8==2
+    // (dangling — no record serves d.example), or exhaust the pinned
+    // 3-lookup budget (capped). The walk is two broadcast-shaped self
+    // joins over batch-bounded edges — no iteration, no driver loop.
+    "q313_redirect_hops" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val url = concat(lit("http://c.example/r/"), col("doc_id"))
+        val loc = when(col("doc_id") % 8 === 2,
+            concat(lit("https://d.example/final/"), col("doc_id")))
+          .when(col("doc_id") % 4 === 1, (col("doc_id") + 1).cast("string"))
+          .otherwise(concat(lit("/r/"), col("doc_id") + 1))
+        val msg = when(col("doc_id") % 4 === 3,
+            lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>done</html>"))
+          .otherwise(concat(
+            lit("HTTP/1.1 301 Moved Permanently\r\nLocation: "), loc,
+            lit("\r\nContent-Type: text/html\r\n\r\n<html>moved</html>")))
+        val msgs = docs.select(col("doc_id"), url.as("url"), msg.as("msg"))
+        val edges = msgs.select(col("url"),
+          graft.llm.Html.httpStatus(col("msg")).as("status"),
+          graft.llm.UrlOps.resolveUrl(col("url"),
+            graft.llm.Html.redirectTarget(col("msg"))).as("tgt"))
+        val e1 = edges.select(col("url").as("u1k"), col("tgt").as("t1"))
+        val e2 = edges.select(col("url").as("u2k"), col("tgt").as("t2"))
+        msgs.select(col("doc_id"), col("url"))
+          .join(edges, Seq("url"))
+          .join(e1, col("tgt") === col("u1k"), "left")
+          .join(e2, col("t1") === col("u2k"), "left")
+          .select(col("doc_id"), col("url"), col("status"),
+            when(col("tgt").isNull, col("url"))
+              .when(col("u1k").isNull, col("tgt"))
+              .when(col("t1").isNull, col("tgt"))
+              .when(col("u2k").isNull, col("t1"))
+              .when(col("t2").isNull, col("t1"))
+              .otherwise(col("t2")).as("final_url"),
+            when(col("tgt").isNull, lit(0L))
+              .when(col("u1k").isNull || col("t1").isNull, lit(1L))
+              .when(col("u2k").isNull || col("t2").isNull, lit(2L))
+              .otherwise(lit(3L)).as("hops"),
+            when(col("tgt").isNull, lit("terminal"))
+              .when(col("u1k").isNull, lit("dangling"))
+              .when(col("t1").isNull, lit("terminal"))
+              .when(col("u2k").isNull, lit("dangling"))
+              .when(col("t2").isNull, lit("terminal"))
+              .otherwise(lit("capped")).as("state"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH edges AS MATERIALIZED (
+             |  SELECT doc_id, 'http://c.example/r/' || doc_id AS url,
+             |    CASE WHEN doc_id % 4 = 3 THEN 200 ELSE 301 END AS status,
+             |    CASE WHEN doc_id % 4 = 3 THEN NULL
+             |         WHEN doc_id % 8 = 2 THEN 'https://d.example/final/' || doc_id
+             |         ELSE 'http://c.example/r/' || (doc_id + 1) END AS tgt
+             |  FROM documents)
+             |SELECT e.doc_id, e.url, e.status,
+             |  CASE WHEN e.tgt IS NULL THEN e.url
+             |       WHEN e1.u1k IS NULL THEN e.tgt
+             |       WHEN e1.t1 IS NULL THEN e.tgt
+             |       WHEN e2.u2k IS NULL THEN e1.t1
+             |       WHEN e2.t2 IS NULL THEN e1.t1
+             |       ELSE e2.t2 END AS final_url,
+             |  CAST(CASE WHEN e.tgt IS NULL THEN 0
+             |       WHEN e1.u1k IS NULL OR e1.t1 IS NULL THEN 1
+             |       WHEN e2.u2k IS NULL OR e2.t2 IS NULL THEN 2
+             |       ELSE 3 END AS BIGINT) AS hops,
+             |  CASE WHEN e.tgt IS NULL THEN 'terminal'
+             |       WHEN e1.u1k IS NULL THEN 'dangling'
+             |       WHEN e1.t1 IS NULL THEN 'terminal'
+             |       WHEN e2.u2k IS NULL THEN 'dangling'
+             |       WHEN e2.t2 IS NULL THEN 'terminal'
+             |       ELSE 'capped' END AS state
+             |FROM edges e
+             |LEFT JOIN (SELECT url AS u1k, tgt AS t1 FROM edges) e1
+             |  ON e.tgt = e1.u1k
+             |LEFT JOIN (SELECT url AS u2k, tgt AS t2 FROM edges) e2
+             |  ON e1.t1 = e2.u2k
+             |ORDER BY e.doc_id""".stripMargin)),
+
     // ---- Relative-reference resolution (UrlOps.resolveUrl): every
     // pinned arm — absolute ref, protocol-relative, root-relative,
     // query-only, fragment-only, empty, relative path, non-http scheme

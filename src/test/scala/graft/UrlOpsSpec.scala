@@ -342,6 +342,20 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("https://a.example/?q=&#65;"))
   }
 
+  test("redirectTarget: 3xx-redirect statuses only, relative values pass through") {
+    import org.apache.spark.sql.functions.col
+    def t(msg: String): Any = one(Html.redirectTarget(col("x")), msg)
+    assert(t("HTTP/1.1 301 Moved Permanently\r\nLocation: /new\r\n\r\nx")
+      === "/new")
+    assert(t("HTTP/1.1 308 Permanent Redirect\r\n" +
+      "location: https://a.example/p\r\n\r\n") === "https://a.example/p")
+    // 200 and 304 carry no redirect even with a Location-shaped header
+    assert(t("HTTP/1.1 200 OK\r\nLocation: /x\r\n\r\nbody") === null)
+    assert(t("HTTP/1.1 304 Not Modified\r\nLocation: /x\r\n\r\n") === null)
+    // redirect status without a Location header → NULL
+    assert(t("HTTP/1.1 302 Found\r\nContent-Type: text/html\r\n\r\n") === null)
+  }
+
   test("resolveUrl: every pinned arm, incl. IPv6/userinfo bases and NULL shapes") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
