@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions.col
   * Usage: runMain graft.Discover <pagesParquet> <urlCol> <htmlCol>
   *          <frontierDir> <outManifestDir> [batchId=0]
   * Env:   SPARK_GRAFT_CPUS (default 4)
+  *        SPARK_GRAFT_RESOLVE_RELATIVE=1 resolves relative hrefs
+  *        against each page's own URL before the fetchability filter
+  *        (off by default — it changes which URLs a batch discovers,
+  *        so an existing frontier should keep the setting it started
+  *        with).
   */
 object Discover {
   def main(args: Array[String]): Unit = {
@@ -57,6 +62,8 @@ object Discover {
         pages.select(col(urlCol).cast("string").as("url")),
         "url", frontierDir)
     graft.streaming.IndexIngest.processDiscoveryBatch(pages, batchId,
-      urlCol, htmlCol, frontierDir, Some(outManifestDir))
+      urlCol, htmlCol, frontierDir, Some(outManifestDir),
+      resolveRelative =
+        sys.env.get("SPARK_GRAFT_RESOLVE_RELATIVE").contains("1"))
   }
 }

@@ -372,7 +372,8 @@ object IndexIngest {
                             outManifestDir: Option[String] = None,
                             robots: Option[(DataFrame, String, String)] = None,
                             agent: String = "*",
-                            perDomainCap: Option[Int] = None): Long = {
+                            perDomainCap: Option[Int] = None,
+                            resolveRelative: Boolean = false): Long = {
     val spark = batch.sparkSession
     val ledger = new java.io.File(frontierDir, FrontierLedgerName)
     if (committedIds(ledger).contains(batchId)) {
@@ -389,9 +390,24 @@ object IndexIngest {
       // FETCHABLE outlinks only: http(s) with a real authority. The
       // host filter alone admits ftp:// and javascript://x (any
       // scheme with an authority shape) — unfetchable rows that would
-      // pollute the frontier and the fetch manifest forever
-      val links = pages.select(explode(
-          graft.llm.UrlOps.extractLinks(col("graft_h"))).as("url"))
+      // pollute the frontier and the fetch manifest forever.
+      // resolveRelative=true first resolves each harvested href
+      // against the page's own URL (UrlOps.resolveUrl — the large
+      // majority of outlinks on real pages are relative and are
+      // otherwise dropped here) and then DEFRAGMENTS the result (a
+      // fragment names a position inside a resource, not a resource;
+      // without the strip every `#section` link re-keys its page into
+      // the frontier as a new URL). Absolute fragment-free hrefs pass
+      // through verbatim, so the flag only ADDS discoveries. Default
+      // false keeps the absolute-only, verbatim-href contract
+      // existing frontiers were built under.
+      val harvested = pages.select(col("graft_u"), explode(
+          graft.llm.UrlOps.extractLinks(col("graft_h"))).as("graft_href"))
+      val links = harvested
+        .select((if (resolveRelative)
+            regexp_extract(graft.llm.UrlOps.resolveUrl(
+              col("graft_u"), col("graft_href")), "^([^#]*)", 1)
+          else col("graft_href")).as("url"))
         .filter(graft.llm.UrlOps.scheme(col("url")).isin("http", "https") &&
           graft.llm.UrlOps.host(col("url")).isNotNull)
         .distinct()
@@ -466,12 +482,14 @@ object IndexIngest {
                      outManifestDir: Option[String] = None,
                      robots: Option[(DataFrame, String, String)] = None,
                      agent: String = "*",
-                     perDomainCap: Option[Int] = None): StreamingQuery =
+                     perDomainCap: Option[Int] = None,
+                     resolveRelative: Boolean = false): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDiscoveryBatch(batch, batchId, urlCol, htmlCol,
-          frontierDir, outManifestDir, robots, agent, perDomainCap)
+          frontierDir, outManifestDir, robots, agent, perDomainCap,
+          resolveRelative)
         ()
       }
       .start()

@@ -252,6 +252,48 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("resolveRelative discovery turns relative hrefs into frontier URLs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-frontier-rr").toString
+    val (dir, mdir) = (s"$base/f", s"$base/m")
+    Frontier.buildFrontier(
+      Seq("https://a.example/d/p0").toDF("url"), "url", dir, numBuckets = 2)
+    // path-relative, root-relative, protocol-relative, absolute, and
+    // the still-unfetchable shapes
+    val page = ("https://a.example/d/p0",
+      """<a href="next1">n</a><a href="/top/p2">t</a>""" +
+        """<a href="//cdn.example/p3">c</a>""" +
+        """<a href="https://b.example/p4">a</a>""" +
+        """<a href="mailto:x@y.example">m</a>""" +
+        """<a href="#frag">f</a>""")
+    val n = graft.streaming.IndexIngest.processDiscoveryBatch(
+      Seq(page).toDF("url", "html"), 0L, "url", "html", dir, Some(mdir),
+      resolveRelative = true)
+    val manifest = spark.read.parquet(s"$mdir/batch_id=0")
+      .collect().map(_.getString(0)).toSet
+    // '#frag' resolves to base#frag, defragments back to the page's
+    // own URL, and the own-url anti-join eats it; mailto stays
+    // unfetchable — so exactly 4 discoveries
+    assert(manifest === Set(
+      "https://a.example/d/next1", "https://a.example/top/p2",
+      "https://cdn.example/p3", "https://b.example/p4"),
+      s"unexpected manifest: $manifest")
+    assert(n === 4L)
+    // default (resolveRelative = false) on the same page discovers
+    // only the absolute link — pin the contract difference
+    val base2 = java.nio.file.Files.createTempDirectory("graft-frontier-rr2").toString
+    Frontier.buildFrontier(
+      Seq("https://a.example/d/p0").toDF("url"), "url", s"$base2/f",
+      numBuckets = 2)
+    graft.streaming.IndexIngest.processDiscoveryBatch(
+      Seq(page).toDF("url", "html"), 0L, "url", "html", s"$base2/f",
+      Some(s"$base2/m"))
+    val manifest2 = spark.read.parquet(s"$base2/m/batch_id=0")
+      .collect().map(_.getString(0)).toSet
+    assert(manifest2 === Set("https://b.example/p4"))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("empty seed frame builds a probeable frontier (zero-file keys dir)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-frontier-es").toString + "/f"
