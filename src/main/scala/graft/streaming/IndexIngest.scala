@@ -373,7 +373,8 @@ object IndexIngest {
                             robots: Option[(DataFrame, String, String)] = None,
                             agent: String = "*",
                             perDomainCap: Option[Int] = None,
-                            resolveRelative: Boolean = false): Long = {
+                            resolveRelative: Boolean = false,
+                            scheduleDelays: Option[Double] = None): Long = {
     val spark = batch.sparkSession
     val ledger = new java.io.File(frontierDir, FrontierLedgerName)
     if (committedIds(ledger).contains(batchId)) {
@@ -451,13 +452,29 @@ object IndexIngest {
       // by a previous crawl incarnation in a reused outManifestDir
       // fails that check (its URLs are unknown to this frontier) and
       // the batch recomputes instead of resurrecting old discoveries.
+      // scheduleDelays=Some(default): the manifest rows carry the
+      // per-host politeness schedule (crawl_delay_sec / fetch_slot /
+      // fetch_after_sec via Robots.scheduleManifest — the host's
+      // Crawl-delay directive for `agent`, or the default) so a
+      // fetcher can honor it without re-parsing robots. Schedule
+      // columns are manifest-only; the frontier keys stay plain URLs.
+      val scheduled = scheduleDelays match {
+        case Some(d) =>
+          val (r, hc, tc) = robots.getOrElse {
+            import spark.implicits._
+            (Seq.empty[(String, String)].toDF("host", "txt"), "host", "txt")
+          }
+          graft.llm.Robots.scheduleManifest(computed, "url", r, hc, tc,
+            agent, d)
+        case None => computed
+      }
       val prior = outManifestDir
         .filter(od => new java.io.File(s"$od/batch_id=$batchId/_SUCCESS").isFile)
         .map(od => spark.read.schema("url STRING")
           .parquet(s"$od/batch_id=$batchId").select(col("url")))
         .filter(m => !m.isEmpty &&
           graft.llm.Frontier.probeNew(m, "url", frontierDir).isEmpty)
-      val manifested = graft.llm.CacheRegistry.persist(prior.getOrElse(computed))
+      val manifested = graft.llm.CacheRegistry.persist(prior.getOrElse(scheduled))
       if (prior.isEmpty) outManifestDir.foreach { od =>
         manifested.write.mode("overwrite").parquet(s"$od/batch_id=$batchId")
       }
@@ -465,7 +482,7 @@ object IndexIngest {
       // frontier: own urls + manifested links + disallowed links
       // (sticky policy drops); cap-overflow links stay UNSEEN
       val toAppend = fresh.filter(col("graft_own")).select(col("url"))
-        .unionByName(manifested)
+        .unionByName(manifested.select(col("url")))
         .unionByName(verdicts.filter(col("disallowed")).select(col("url")))
       graft.llm.Frontier.appendToFrontier(toAppend,
         frontierDir = frontierDir, urlCol = "url",
@@ -483,13 +500,14 @@ object IndexIngest {
                      robots: Option[(DataFrame, String, String)] = None,
                      agent: String = "*",
                      perDomainCap: Option[Int] = None,
-                     resolveRelative: Boolean = false): StreamingQuery =
+                     resolveRelative: Boolean = false,
+                     scheduleDelays: Option[Double] = None): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDiscoveryBatch(batch, batchId, urlCol, htmlCol,
           frontierDir, outManifestDir, robots, agent, perDomainCap,
-          resolveRelative)
+          resolveRelative, scheduleDelays)
         ()
       }
       .start()

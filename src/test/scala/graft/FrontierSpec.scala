@@ -294,6 +294,45 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("scheduled discovery manifest carries the per-host politeness plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-frontier-sd").toString
+    val (dir, mdir) = (s"$base/f", s"$base/m")
+    Frontier.buildFrontier(
+      Seq("https://seed.example/start").toDF("url"), "url", dir,
+      numBuckets = 2)
+    val links = Seq(
+      "https://slow.example/p/1", "https://slow.example/p/2",
+      "https://fast.example/p/1")
+      .map(u => s"""<a href="$u">x</a>""").mkString
+    val batch = Seq(("https://seed.example/start", s"<html>$links</html>"))
+      .toDF("url", "html")
+    val robots = Seq(("slow.example",
+      "User-agent: *\nCrawl-delay: 4\n")).toDF("host", "robots_txt")
+    val n = graft.streaming.IndexIngest.processDiscoveryBatch(
+      batch, 0L, "url", "html", dir, Some(mdir),
+      robots = Some((robots, "host", "robots_txt")),
+      scheduleDelays = Some(0.5))
+    assert(n === 3L)
+    val m = spark.read.parquet(s"$mdir/batch_id=0")
+      .select(col("url"), col("crawl_delay_sec"), col("fetch_slot"),
+        col("fetch_after_sec"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(m === Set(
+      ("https://slow.example/p/1", 4.0, 0L, 0.0),
+      ("https://slow.example/p/2", 4.0, 1L, 4.0),
+      ("https://fast.example/p/1", 0.5, 0L, 0.0)))
+    // the frontier learned plain URL keys despite the widened manifest
+    val reprobe = Frontier.probeNew(
+      Seq("https://slow.example/p/2", "https://new.example/x")
+        .toDF("url"), "url", dir)
+      .collect().map(_.getString(0)).toSet
+    assert(reprobe === Set("https://new.example/x"))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("empty seed frame builds a probeable frontier (zero-file keys dir)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-frontier-es").toString + "/f"
