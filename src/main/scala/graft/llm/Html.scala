@@ -174,6 +174,17 @@ object Html {
     when(httpStatus(message).isin(301, 302, 303, 307, 308),
       httpHeader(message, "Location"))
 
+  /** The response's cache validators for a RECRAWL manifest:
+    * `etag` and `last_modified` STRUCT fields (NULL when the header is
+    * absent). A fetcher turns them into `If-None-Match` /
+    * `If-Modified-Since` conditional GETs so an unchanged page costs a
+    * 304 instead of a re-download — at crawl scale the difference
+    * between refreshing a corpus and re-fetching it.
+    */
+  def validators(message: Column): Column = struct(
+    httpHeader(message, "ETag").as("etag"),
+    httpHeader(message, "Last-Modified").as("last_modified"))
+
   /** The `<loc>` harvest pattern (group 1 = the trimmed value) —
     * pinned regex extraction, not a full XML parse.
     */

@@ -1459,6 +1459,52 @@ object BridgeQueries {
              |  ON e1.t1 = e2.u2k
              |ORDER BY e.doc_id""".stripMargin)),
 
+    // ---- Revalidation manifest (Html.validators): cache validators
+    // extract from real header blocks and route each previously
+    // fetched URL to a conditional GET (any validator present) or a
+    // full refetch (none, or Cache-Control: no-store) — the recrawl
+    // plan that refreshes a corpus at 304-cost instead of
+    // re-downloading it. Spark EXTRACTS from synthesized messages; the
+    // oracle PREDICTS arithmetically (the q297 pattern).
+    "q314_revalidation_manifest" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val etagH = when(col("doc_id") % 2 === 0,
+          concat(lit("ETag: W/\"v"), col("doc_id"), lit("\"\r\n")))
+          .otherwise(lit(""))
+        val lmH = when(col("doc_id") % 3 === 0,
+          concat(lit("Last-Modified: Mon, 0"), col("doc_id") % 9 + 1,
+            lit(" Jan 2024 00:00:00 GMT\r\n")))
+          .otherwise(lit(""))
+        val ccH = when(col("doc_id") % 7 === 0,
+          lit("Cache-Control: private, no-store\r\n")).otherwise(lit(""))
+        val msg = concat(lit("HTTP/1.1 200 OK\r\n"), etagH, lmH, ccH,
+          lit("Content-Type: text/html\r\n\r\n<html>x</html>"))
+        val recs = docs.select(col("doc_id"),
+          concat(lit("https://r.example/p/"), col("doc_id")).as("url"),
+          msg.as("msg"))
+        val v = graft.llm.Html.validators(col("msg"))
+        val cc = graft.llm.Html.httpHeader(col("msg"), "Cache-Control")
+        recs
+          .withColumn("etag", v.getField("etag"))
+          .withColumn("last_modified", v.getField("last_modified"))
+          .withColumn("mode",
+            when(lower(coalesce(cc, lit(""))).contains("no-store"), "full")
+              .when(col("etag").isNull && col("last_modified").isNull, "full")
+              .otherwise("conditional"))
+          .select(col("doc_id"), col("url"), col("etag"),
+            col("last_modified"), col("mode"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'https://r.example/p/' || doc_id AS url,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'W/"v' || doc_id || '"' END AS etag,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'Mon, 0' || ((doc_id % 9) + 1)
+             |    || ' Jan 2024 00:00:00 GMT' END AS last_modified,
+             |  CASE WHEN doc_id % 7 = 0 THEN 'full'
+             |       WHEN doc_id % 2 <> 0 AND doc_id % 3 <> 0 THEN 'full'
+             |       ELSE 'conditional' END AS mode
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- Relative-reference resolution (UrlOps.resolveUrl): every
     // pinned arm — absolute ref, protocol-relative, root-relative,
     // query-only, fragment-only, empty, relative path, non-http scheme
