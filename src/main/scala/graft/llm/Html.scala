@@ -170,9 +170,18 @@ object Html {
     * own URI via [[UrlOps.resolveUrl]] at the call site before keying
     * a frontier with it.
     */
+  /** Header values that become KEYS (frontier URLs, If-None-Match
+    * tokens) shed trailing whitespace — httpHeader's capture runs to
+    * the CR, and a server emitting `Location: /new ` would otherwise
+    * mint a key with a trailing space that never joins the real
+    * record. All-whitespace values fold to NULL like absent headers.
+    */
+  private def headerKey(v: Column): Column =
+    nullif(regexp_replace(v, "[ \t]+$", ""), lit(""))
+
   def redirectTarget(message: Column): Column =
     when(httpStatus(message).isin(301, 302, 303, 307, 308),
-      httpHeader(message, "Location"))
+      headerKey(httpHeader(message, "Location")))
 
   /** The response's cache validators for a RECRAWL manifest:
     * `etag` and `last_modified` STRUCT fields (NULL when the header is
@@ -182,8 +191,8 @@ object Html {
     * between refreshing a corpus and re-fetching it.
     */
   def validators(message: Column): Column = struct(
-    httpHeader(message, "ETag").as("etag"),
-    httpHeader(message, "Last-Modified").as("last_modified"))
+    headerKey(httpHeader(message, "ETag")).as("etag"),
+    headerKey(httpHeader(message, "Last-Modified")).as("last_modified"))
 
   /** The `<loc>` harvest pattern (group 1 = the trimmed value) —
     * pinned regex extraction, not a full XML parse.
@@ -193,12 +202,23 @@ object Html {
   /** All `<loc>` values of a sitemap or sitemapindex XML body, in
     * document order, entity-decoded by the same one-pass kernel
     * [[htmlToText]] uses (a URL with query parameters legally carries
-    * `&amp;` in XML). A sitemapindex's nested-sitemap locs harvest
-    * identically — the caller routes each fetched body by its own
-    * content, so one operator serves both levels of the sitemap tree.
+    * `&amp;` in XML). CDATA wrappers unwrap first — several CMS
+    * sitemap generators emit `<loc><![CDATA[…]]></loc>`, and without
+    * the unwrap every such URL harvests as `<![CDATA[…]]>` garbage
+    * the downstream fetchability filter silently drops. Pinned
+    * reduction: the unwrapped body then flows through the SAME entity
+    * decode as plain values (an XML parser would skip decoding inside
+    * CDATA; a CDATA loc carrying a literal `&amp;` therefore decodes
+    * once here — the harmless direction for URLs, and it keeps the
+    * operator one pure column chain). A sitemapindex's nested-sitemap
+    * locs harvest identically — the caller routes each fetched body
+    * by its own content, so one operator serves both sitemap-tree
+    * levels.
     */
   def sitemapLocs(xml: Column): Column = transform(
-    regexp_extract_all(xml, lit(locRegex), lit(1)),
+    regexp_extract_all(
+      regexp_replace(xml, "(?s)<!\\[CDATA\\[(.*?)\\]\\]>", "$1"),
+      lit(locRegex), lit(1)),
     v => codecFn("graft_decode_nrefs", v))
 
   /** The page's robots meta directive (`<meta name="robots"

@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   *
   *   - Lines split on '\n' (a trailing '\r' trims with the value);
   *     `#` comments strip; `user-agent` / `allow` / `disallow` /
-  *     `crawl-delay` lines (case-insensitive names) participate —
-  *     crawl-delay is a RULE line of its group (it ends a user-agent
-  *     run and belongs to every agent of the run, the Bing/Yandex
-  *     convention; RFC 9309 leaves it undefined). Other unknown lines
+  *     `crawl-delay` lines (case-insensitive names) participate.
+  *     crawl-delay MEMBERSHIP follows its surrounding group (it
+  *     belongs to every agent the group names) but — exactly like
+  *     unknown lines — it neither starts nor BREAKS a user-agent run:
+  *     `User-agent: a ⏎ Crawl-delay: 5 ⏎ User-agent: b ⏎ Disallow: /x`
+  *     keeps {a, b} one group sharing both directives, so every
+  *     allow/disallow verdict is IDENTICAL to the parse that ignored
+  *     crawl-delay entirely (the over-block-never-under-block contract
+  *     survives the directive's addition). Other unknown lines
   *     (sitemap, …) neither start nor break a group, per the RFC —
   *     sitemap directives are group-independent and harvest via
   *     [[sitemapUrls]]. Politeness is [[perDomainCap]] +
@@ -75,31 +80,48 @@ object Robots {
     * crawl-delay}, graft_v). The building blocks [[disallowed]] and
     * [[crawlDelays]] consume; exposed for audits over a robots corpus.
     */
-  def robotsRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
-    // ONE body per host: a corpus holding several fetches of the same
-    // robots.txt would interleave both bodies' line numbers in the
-    // per-host group window — silently wrong groups. Duplicates
-    // resolve deterministically to the lexicographically-largest body
-    // (callers wanting freshest-wins should pre-select it).
+  /** The shared line grammar: ONE body per host (a corpus holding
+    * several fetches of the same robots.txt would interleave both
+    * bodies' line numbers in the per-host group window — silently
+    * wrong groups; duplicates resolve deterministically to the
+    * lexicographically-largest body, callers wanting freshest-wins
+    * pre-select it), then split / comment-strip / name-value parse.
+    * [[robotsRules]] and [[sitemapUrls]] both consume, so a grammar
+    * fix can never drift between the rule parse and the sitemap
+    * harvest.
+    */
+  private def parsedLines(robots: DataFrame, hostCol: String,
+      txtCol: String): DataFrame = {
     val one = robots.groupBy(col(hostCol))
       .agg(max(col(txtCol)).as(txtCol))
-    val lines = one
+    one
       .select(col(hostCol), posexplode(split(col(txtCol), "\n")))
       .withColumnRenamed("pos", "graft_ln")
       .withColumnRenamed("col", "graft_raw")
-    val parsed = lines
       .withColumn("graft_line", regexp_replace(col("graft_raw"), "#.*$", ""))
       .withColumn("graft_nm",
         lower(trim(regexp_extract(col("graft_line"), "^([^:]+):", 1))))
-      .withColumn("graft_v", trim(regexp_extract(col("graft_line"), "^[^:]+:(.*)$", 1)))
+      .withColumn("graft_v",
+        trim(regexp_extract(col("graft_line"), "^[^:]+:(.*)$", 1)))
+  }
+
+  def robotsRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val parsed = parsedLines(robots, hostCol, txtCol)
       .filter(col("graft_nm").isin("user-agent", "allow", "disallow",
         "crawl-delay"))
     val w = Window.partitionBy(col(hostCol)).orderBy(col("graft_ln"))
+    // run-start detection looks at the previous line EXCLUDING
+    // crawl-delay lines (last non-crawl-delay isua before this row):
+    // a crawl-delay between two user-agent lines must not split the
+    // run, or existing allow/disallow verdicts would silently flip to
+    // allowed on such bodies — the banned under-block direction
+    val prevIsua = last(
+      when(col("graft_nm") =!= "crawl-delay", col("graft_isua")), true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
     parsed
       .withColumn("graft_isua", col("graft_nm") === "user-agent")
       .withColumn("graft_grp", sum(
-        when(col("graft_isua") &&
-          !coalesce(lag(col("graft_isua"), 1).over(w), lit(false)), 1)
+        when(col("graft_isua") && !coalesce(prevIsua, lit(false)), 1)
           .otherwise(0)).over(w))
       .select(col(hostCol), col("graft_grp"), col("graft_nm"), col("graft_v"))
   }
@@ -272,15 +294,7 @@ object Robots {
     * still gates). Duplicate directives fold.
     */
   def sitemapUrls(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
-    val one = robots.groupBy(col(hostCol))
-      .agg(max(col(txtCol)).as(txtCol))
-    one
-      .select(col(hostCol), explode(split(col(txtCol), "\n")).as("graft_raw"))
-      .withColumn("graft_line", regexp_replace(col("graft_raw"), "#.*$", ""))
-      .withColumn("graft_nm",
-        lower(trim(regexp_extract(col("graft_line"), "^([^:]+):", 1))))
-      .withColumn("graft_v",
-        trim(regexp_extract(col("graft_line"), "^[^:]+:(.*)$", 1)))
+    parsedLines(robots, hostCol, txtCol)
       .filter(col("graft_nm") === "sitemap" && col("graft_v") =!= "")
       .select(col(hostCol), UrlOps.resolveUrl(
         concat(lit("https://"), lower(col(hostCol)), lit("/")),

@@ -1115,8 +1115,11 @@ object BridgeQueries {
               |      OVER (PARTITION BY host ORDER BY ln
               |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
               |  FROM (SELECT *, nm = 'user-agent' AS isua,
-              |          coalesce(lag(nm = 'user-agent')
-              |            OVER (PARTITION BY host ORDER BY ln), false) AS prev
+              |          coalesce(last_value(CASE WHEN nm <> 'crawl-delay'
+              |              THEN nm = 'user-agent' END IGNORE NULLS)
+              |            OVER (PARTITION BY host ORDER BY ln
+              |                  ROWS BETWEEN UNBOUNDED PRECEDING
+              |                  AND 1 PRECEDING), false) AS prev
               |        FROM parsed)),
               |uas AS MATERIALIZED (
               |  SELECT DISTINCT host, grp, lower(v) AS ua FROM g
@@ -1274,8 +1277,11 @@ object BridgeQueries {
               |      OVER (PARTITION BY host ORDER BY ln
               |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
               |  FROM (SELECT *, nm = 'user-agent' AS isua,
-              |          coalesce(lag(nm = 'user-agent')
-              |            OVER (PARTITION BY host ORDER BY ln), false) AS prev
+              |          coalesce(last_value(CASE WHEN nm <> 'crawl-delay'
+              |              THEN nm = 'user-agent' END IGNORE NULLS)
+              |            OVER (PARTITION BY host ORDER BY ln
+              |                  ROWS BETWEEN UNBOUNDED PRECEDING
+              |                  AND 1 PRECEDING), false) AS prev
               |        FROM parsed)),
               |uas AS MATERIALIZED (
               |  SELECT DISTINCT host, grp, lower(v) AS ua FROM g
@@ -1331,8 +1337,14 @@ object BridgeQueries {
           (s"site$h.example", txt)
         }.toDF("host", "robots_txt")
         val sitemaps = (0 until nHosts).map { h =>
+          // every 5th host CDATA-wraps its first loc — the unwrap
+          // yields the SAME URL, so the oracle is shared verbatim
+          val loc0 =
+            if (h % 5 == 0)
+              s"<loc><![CDATA[https://site$h.example/d/${h}00]]></loc>"
+            else s"<loc> https://site$h.example/d/${h}00 </loc>"
           val xml = "<?xml version=\"1.0\"?><urlset>" +
-            s"<url><loc> https://site$h.example/d/${h}00 </loc></url>" +
+            s"<url>$loc0</url>" +
             (if (h % 2 == 0)
               s"<url><loc>https://site$h.example/s?a=1&amp;b=$h</loc></url>"
              else "") +

@@ -404,10 +404,16 @@ object IndexIngest {
       // existing frontiers were built under.
       val harvested = pages.select(col("graft_u"), explode(
           graft.llm.UrlOps.extractLinks(col("graft_h"))).as("graft_href"))
+      // the href TRIMS before resolving (browsers strip ASCII
+      // whitespace from href values; untrimmed, ` https://x/y` fails
+      // the scheme test, falls to the path-relative arm, and mints a
+      // space-bearing junk key that PASSES the fetchability filter)
       val links = harvested
         .select((if (resolveRelative)
             regexp_extract(graft.llm.UrlOps.resolveUrl(
-              col("graft_u"), col("graft_href")), "^([^#]*)", 1)
+              col("graft_u"),
+              regexp_replace(col("graft_href"), "^[\\s]+|[\\s]+$", "")),
+              "^([^#]*)", 1)
           else col("graft_href")).as("url"))
         .filter(graft.llm.UrlOps.scheme(col("url")).isin("http", "https") &&
           graft.llm.UrlOps.host(col("url")).isNotNull)
@@ -423,10 +429,22 @@ object IndexIngest {
       val fresh = graft.llm.CacheRegistry.persist(
         graft.llm.Frontier.probeNew(tagged, "url", frontierDir))
       val freshLinks = fresh.filter(!col("graft_own")).select(col("url"))
+      // the robots corpus reduces to THIS batch's hosts once, up
+      // front — the disallow gate and the delay schedule below both
+      // parse it, and without the shared reduction each would
+      // semi-join and re-parse the crawl-sized corpus independently
+      val reducedRobots = robots.map { case (r, hostCol, txtCol) =>
+        val batchHosts = freshLinks
+          .select(graft.llm.UrlOps.host(col("url")).as("graft_bh"))
+          .distinct()
+        (r.join(broadcast(batchHosts),
+          lower(col(hostCol)) === col("graft_bh"), "left_semi"),
+          hostCol, txtCol)
+      }
       // robots gate: verdicts persist because BOTH the manifest (the
       // allowed side) and the frontier append (allowed ∪ disallowed)
       // consume them
-      val verdicts = graft.llm.CacheRegistry.persist(robots match {
+      val verdicts = graft.llm.CacheRegistry.persist(reducedRobots match {
         case Some((r, hostCol, txtCol)) =>
           graft.llm.Robots.disallowed(freshLinks, "url", r, hostCol, txtCol, agent)
         case None => freshLinks.withColumn("disallowed", lit(false))
@@ -460,7 +478,7 @@ object IndexIngest {
       // columns are manifest-only; the frontier keys stay plain URLs.
       val scheduled = scheduleDelays match {
         case Some(d) =>
-          val (r, hc, tc) = robots.getOrElse {
+          val (r, hc, tc) = reducedRobots.getOrElse {
             import spark.implicits._
             (Seq.empty[(String, String)].toDF("host", "txt"), "host", "txt")
           }

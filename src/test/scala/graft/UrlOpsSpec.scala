@@ -280,9 +280,10 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val robots = Seq(
-      // specific group shadows *; two applicable delays → max
-      ("A.example", "User-agent: bot\nCrawl-delay: 2\n" +
-        "User-agent: bot\nCrawl-delay: 0.5\nUser-agent: *\nCrawl-delay: 7\n"),
+      // specific groups shadow *; bot's two groups → max(2, 3) = 3
+      ("A.example", "User-agent: bot\nCrawl-delay: 2\nDisallow: /a\n" +
+        "User-agent: *\nCrawl-delay: 7\nDisallow: /b\n" +
+        "User-agent: bot\nCrawl-delay: 3\n"),
       // only * applies; bogus value ignored
       ("b.example", "User-agent: *\nCrawl-delay: bogus\nCrawl-delay: 1.5\n"),
       // no valid directive at all → absent
@@ -292,21 +293,42 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("host", "robots_txt")
     val got = graft.llm.Robots.crawlDelays(robots, "host", "robots_txt", "bot")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(got === Map("a.example" -> 2.0, "b.example" -> 1.5))
+    assert(got === Map("a.example" -> 3.0, "b.example" -> 1.5))
 
     val urls = Seq("http://a.example/1", "http://a.example/2",
       "http://a.example/3", "http://c.example/1").toDF("url")
     val sched = graft.llm.Robots.scheduleManifest(urls, "url",
-        robots, "host", "robots_txt", agent = "bot", defaultDelaySec = 3.0)
+        robots, "host", "robots_txt", agent = "bot", defaultDelaySec = 9.0)
       .select(col("url"), col("crawl_delay_sec"), col("fetch_slot"),
         col("fetch_after_sec"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
         r.getDouble(3))).toSet
     assert(sched === Set(
-      ("http://a.example/1", 2.0, 0L, 0.0),
-      ("http://a.example/2", 2.0, 1L, 2.0),
-      ("http://a.example/3", 2.0, 2L, 4.0),
-      ("http://c.example/1", 3.0, 0L, 0.0)))
+      ("http://a.example/1", 3.0, 0L, 0.0),
+      ("http://a.example/2", 3.0, 1L, 3.0),
+      ("http://a.example/3", 3.0, 2L, 6.0),
+      ("http://c.example/1", 9.0, 0L, 0.0)))
+  }
+
+  test("crawl-delay between user-agent lines neither splits the run nor flips verdicts") {
+    import spark.implicits._
+    // pre-crawl-delay parse: ua-a and ua-b were one consecutive run
+    // sharing the disallow; the directive's addition must keep that
+    // grouping (the over-block-never-under-block contract) AND attach
+    // the delay to both agents
+    val robots = Seq(("e.example",
+      "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    val urls = Seq("http://e.example/x/1").toDF("url")
+    for (agent <- Seq("a", "b")) {
+      val dis = graft.llm.Robots.disallowed(urls, "url",
+          robots, "host", "robots_txt", agent)
+        .collect().map(_.getAs[Boolean]("disallowed")).toSeq
+      assert(dis === Seq(true), s"agent $agent must stay disallowed on /x")
+      val d = graft.llm.Robots.crawlDelays(robots, "host", "robots_txt", agent)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(d === Map("e.example" -> 5.0), s"agent $agent must see the delay")
+    }
   }
 
   test("sitemapUrls: group-independent harvest, relative values resolve") {
@@ -340,6 +362,10 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(locs("<urlset></urlset>") === Seq.empty)
     assert(locs("<loc>https://a.example/?q=&amp;#65;</loc>") ===
       Seq("https://a.example/?q=&#65;"))
+    // CDATA-wrapped locs (several CMS generators) unwrap instead of
+    // harvesting the wrapper as garbage
+    assert(locs("<urlset><url><loc><![CDATA[https://a.example/cd?x=1]]>" +
+      "</loc></url></urlset>") === Seq("https://a.example/cd?x=1"))
   }
 
   test("redirectTarget: 3xx-redirect statuses only, relative values pass through") {
@@ -354,6 +380,17 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t("HTTP/1.1 304 Not Modified\r\nLocation: /x\r\n\r\n") === null)
     // redirect status without a Location header → NULL
     assert(t("HTTP/1.1 302 Found\r\nContent-Type: text/html\r\n\r\n") === null)
+    // trailing whitespace sheds (a space-bearing value would mint a
+    // frontier key that never joins the real record); all-whitespace
+    // folds to NULL like an absent header
+    assert(t("HTTP/1.1 301 Moved\r\nLocation: /new \r\n\r\n") === "/new")
+    assert(t("HTTP/1.1 301 Moved\r\nLocation: \t \r\n\r\n") === null)
+    // validators shed trailing whitespace the same way
+    import org.apache.spark.sql.functions.col
+    val v = one(Html.validators(col("x")),
+      "HTTP/1.1 200 OK\r\nETag: \"abc\" \r\nLast-Modified: x \r\n\r\n")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(v.getString(0) === "\"abc\"" && v.getString(1) === "x")
   }
 
   test("resolveUrl: every pinned arm, incl. IPv6/userinfo bases and NULL shapes") {
