@@ -162,14 +162,6 @@ object Html {
   def responseText(payload: Column): Column =
     htmlToText(httpBody(decode(payload, "UTF-8")))
 
-  /** The redirect target of a response message: its Location header
-    * when the status is a redirect (301/302/303/307/308 — the codes a
-    * fetcher follows; 300/304 deliberately excluded), NULL otherwise.
-    * Location has been allowed RELATIVE since RFC 7231 §7.1.2 and real
-    * servers use that freely — resolve the value against the record's
-    * own URI via [[UrlOps.resolveUrl]] at the call site before keying
-    * a frontier with it.
-    */
   /** Header values that become KEYS (frontier URLs, If-None-Match
     * tokens) shed trailing whitespace — httpHeader's capture runs to
     * the CR, and a server emitting `Location: /new ` would otherwise
@@ -179,6 +171,14 @@ object Html {
   private def headerKey(v: Column): Column =
     nullif(regexp_replace(v, "[ \t]+$", ""), lit(""))
 
+  /** The redirect target of a response message: its Location header
+    * when the status is a redirect (301/302/303/307/308 — the codes a
+    * fetcher follows; 300/304 deliberately excluded), NULL otherwise.
+    * Location has been allowed RELATIVE since RFC 7231 §7.1.2 and real
+    * servers use that freely — resolve the value against the record's
+    * own URI via [[UrlOps.resolveUrl]] at the call site before keying
+    * a frontier with it.
+    */
   def redirectTarget(message: Column): Column =
     when(httpStatus(message).isin(301, 302, 303, 307, 308),
       headerKey(httpHeader(message, "Location")))

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * Pinned parsing/matching semantics (every choice documented so the
   * DuckDB oracle replays them verbatim):
   *
-  *   - Lines split on '\n' (a trailing '\r' trims with the value);
+  *   - Lines split on `\r?\n` (CRLF bodies parse clean — no value
+  *     ever carries a trailing '\r');
   *     `#` comments strip; `user-agent` / `allow` / `disallow` /
   *     `crawl-delay` lines (case-insensitive names) participate.
   *     crawl-delay MEMBERSHIP follows its surrounding group (it
@@ -94,8 +95,12 @@ object Robots {
       txtCol: String): DataFrame = {
     val one = robots.groupBy(col(hostCol))
       .agg(max(col(txtCol)).as(txtCol))
+    // `\r?\n`, NOT '\n': RFC 9309 allows CRLF bodies (Windows/IIS
+    // serves them) and a '\n'-only split would leave a trailing \r on
+    // every value — junk sitemap keys, and Disallow paths like "/x\r"
+    // that match no URL (a silent under-block)
     one
-      .select(col(hostCol), posexplode(split(col(txtCol), "\n")))
+      .select(col(hostCol), posexplode(split(col(txtCol), "\r?\n")))
       .withColumnRenamed("pos", "graft_ln")
       .withColumnRenamed("col", "graft_raw")
       .withColumn("graft_line", regexp_replace(col("graft_raw"), "#.*$", ""))

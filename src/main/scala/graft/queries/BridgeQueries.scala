@@ -1100,7 +1100,8 @@ object BridgeQueries {
               |  FROM (SELECT unnest(range(0, 20)) AS h)),
               |lns AS MATERIALIZED (
               |  SELECT host, i AS ln, arr[CAST(i AS INT)] AS l
-              |  FROM (SELECT host, regexp_split_to_array(txt, chr(10)) AS arr
+              |  FROM (SELECT host,
+              |          regexp_split_to_array(txt, chr(13) || '?' || chr(10)) AS arr
               |        FROM hosts), LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i)),
               |parsed AS MATERIALIZED (
               |  SELECT host, ln,
@@ -1262,7 +1263,8 @@ object BridgeQueries {
               |  FROM (SELECT unnest(range(0, 20)) AS h)),
               |lns AS MATERIALIZED (
               |  SELECT host, i AS ln, arr[CAST(i AS INT)] AS l
-              |  FROM (SELECT host, regexp_split_to_array(txt, chr(10)) AS arr
+              |  FROM (SELECT host,
+              |          regexp_split_to_array(txt, chr(13) || '?' || chr(10)) AS arr
               |        FROM hosts), LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i)),
               |parsed AS MATERIALIZED (
               |  SELECT host, ln,

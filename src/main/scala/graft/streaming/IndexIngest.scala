@@ -433,12 +433,14 @@ object IndexIngest {
       // front — the disallow gate and the delay schedule below both
       // parse it, and without the shared reduction each would
       // semi-join and re-parse the crawl-sized corpus independently
+      // PERSISTED: both consumers' actions would otherwise re-scan
+      // and re-semi-join the crawl-sized corpus lazily
       val reducedRobots = robots.map { case (r, hostCol, txtCol) =>
         val batchHosts = freshLinks
           .select(graft.llm.UrlOps.host(col("url")).as("graft_bh"))
           .distinct()
-        (r.join(broadcast(batchHosts),
-          lower(col(hostCol)) === col("graft_bh"), "left_semi"),
+        (graft.llm.CacheRegistry.persist(r.join(broadcast(batchHosts),
+          lower(col(hostCol)) === col("graft_bh"), "left_semi")),
           hostCol, txtCol)
       }
       // robots gate: verdicts persist because BOTH the manifest (the

@@ -310,6 +310,26 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("http://c.example/1", 9.0, 0L, 0.0)))
   }
 
+  test("CRLF robots bodies parse clean: no value carries a trailing \\r") {
+    import spark.implicits._
+    val robots = Seq(("w.example",
+      "User-agent: *\r\nDisallow: /x\r\nCrawl-delay: 5\r\n" +
+        "Sitemap: https://w.example/sm.xml\r\n"))
+      .toDF("host", "robots_txt")
+    // a \r-bearing Disallow path '/x\r' would match no URL (silent
+    // under-block); a \r-bearing sitemap value would mint a junk key
+    val dis = graft.llm.Robots.disallowed(
+        Seq("http://w.example/x/1").toDF("url"), "url",
+        robots, "host", "robots_txt")
+      .collect().map(_.getAs[Boolean]("disallowed")).toSeq
+    assert(dis === Seq(true))
+    assert(graft.llm.Robots.crawlDelays(robots, "host", "robots_txt")
+      .collect().map(_.getDouble(1)).toSeq === Seq(5.0))
+    assert(graft.llm.Robots.sitemapUrls(robots, "host", "robots_txt")
+      .collect().map(_.getString(1)).toSeq ===
+      Seq("https://w.example/sm.xml"))
+  }
+
   test("crawl-delay between user-agent lines neither splits the run nor flips verdicts") {
     import spark.implicits._
     // pre-crawl-delay parse: ua-a and ua-b were one consecutive run
