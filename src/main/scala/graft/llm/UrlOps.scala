@@ -180,6 +180,72 @@ object UrlOps {
        |END""".stripMargin
   }
 
+  /** The tracking-parameter grammar [[urlNormalize]] strips (pinned,
+    * oracle-shared): the utm_ family plus the big click-id params.
+    * Matched against the full `name=value` pair (or a bare name).
+    */
+  val trackingParamRegex: String =
+    "^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$"
+
+  /** Canonicalize an absolute URL into a DEDUP/FRONTIER KEY — the
+    * variants real links mint for one resource collapse onto one
+    * string. Pinned steps, each replayable in SQL:
+    *
+    *   1. fragment drops (client-side only);
+    *   2. `scheme://authority` lowercases WHOLE (documented reduction:
+    *      userinfo is case-sensitive per RFC 3986, but crawl keys
+    *      rarely carry userinfo and a split-brain key is worse);
+    *   3. a default port strips (`http://h:80/` = `http://h/`,
+    *      `https://h:443/` = `https://h/`);
+    *   4. tracking query params drop ([[trackingParamRegex]]) with
+    *      their separators fixed up; a query left empty drops its '?';
+    *   5. an empty path becomes "/" (`http://h` = `http://h/`).
+    *
+    * NO percent-decoding and NO dot-segment normalization (both can
+    * change which resource a server serves — the over-key direction,
+    * never the wrong-key one). NULL for inputs without an authority.
+    */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_extract(url, "^([^#]*)", 1)
+    val origin0 = lower(nullif(regexp_extract(noFrag, originRegex, 1), lit("")))
+    val origin = regexp_replace(
+      regexp_replace(origin0, "^(http://[^/?#]*):80$", "$1"),
+      "^(https://[^/?#]*):443$", "$1")
+    val rest = regexp_replace(noFrag, originRegex, "")
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => !p.rlike(trackingParamRegex))
+    val newq = array_join(kept, "&")
+    when(origin.isNull, lit(null))
+      .otherwise(concat(origin, path,
+        when(newq === "", lit("")).otherwise(concat(lit("?"), newq))))
+  }
+
+  /** DuckDB replay of [[urlNormalize]] over SQL expression `url` —
+    * shares [[originRegex]]/[[trackingParamRegex]] verbatim.
+    */
+  def urlNormalizeSql(url: String): String = {
+    val noFrag = s"regexp_extract($url, '^([^#]*)', 1)"
+    val origin0 = s"lower(nullif(regexp_extract($noFrag, ${sqlLit(originRegex)}, 1), ''))"
+    val origin = s"regexp_replace(regexp_replace($origin0, " +
+      s"'^(http://[^/?#]*):80$$', '\\1'), '^(https://[^/?#]*):443$$', '\\1')"
+    val rest = s"regexp_replace($noFrag, ${sqlLit(originRegex)}, '')"
+    val path0 = s"regexp_extract($rest, '^([^?]*)', 1)"
+    val path = s"CASE WHEN $path0 = '' THEN '/' ELSE $path0 END"
+    val query = s"regexp_extract($rest, '^[^?]*\\?(.*)$$', 1)"
+    // coalesce: DuckDB's array_to_string over an EMPTY list (every
+    // param stripped) is NULL where Spark's array_join is '' — bare,
+    // it would null the whole concatenation
+    val newq = s"coalesce(array_to_string(list_filter(string_split($query, '&'), " +
+      s"p -> NOT regexp_matches(p, ${sqlLit(trackingParamRegex)})), '&'), '')"
+    s"""CASE WHEN $origin IS NULL THEN NULL
+       |  ELSE $origin || $path ||
+       |    CASE WHEN $newq = '' THEN '' ELSE '?' || $newq END
+       |END""".stripMargin
+  }
+
   /** The two href-harvest patterns (double-quoted / single-quoted,
     * group 1 = target) — shared with the SQL oracles. `href` must sit
     * at an attribute boundary (tag start or after whitespace/quote):

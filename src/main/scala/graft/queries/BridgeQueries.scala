@@ -1519,6 +1519,48 @@ object BridgeQueries {
              |       ELSE 'conditional' END AS mode
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- URL canonicalization into dedup/frontier keys
+    // (UrlOps.urlNormalize): fragment + tracking params drop, default
+    // ports strip, scheme/authority case-fold, empty path becomes '/',
+    // non-default ports and path case survive, authority-less inputs
+    // are NULL. The oracle replays urlNormalizeSql over the same pairs.
+    "q315_url_normalize" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val u = expr("""CASE CAST(doc_id % 5 AS INT)
+                      |  WHEN 0 THEN 'HTTP://WWW.Ex' || (doc_id % 7)
+                      |    || '.EXAMPLE:80/Path/P' || doc_id
+                      |    || '?utm_source=x&a=' || doc_id || '&fbclid=zz#frag'
+                      |  WHEN 1 THEN 'https://Site' || (doc_id % 7)
+                      |    || '.example:443'
+                      |  WHEN 2 THEN 'https://h' || (doc_id % 7)
+                      |    || '.example:8443/p?utm_campaign=c'
+                      |  WHEN 3 THEN 'not a url'
+                      |  ELSE 'http://h' || (doc_id % 7)
+                      |    || '.example/p?gclid=1&utm_x' END""".stripMargin)
+        docs.select(col("doc_id"), u.as("url"))
+          .withColumn("canonical",
+            graft.llm.UrlOps.urlNormalize(col("url")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT doc_id,
+              |    CASE CAST(doc_id % 5 AS INT)
+              |      WHEN 0 THEN 'HTTP://WWW.Ex' || (doc_id % 7)
+              |        || '.EXAMPLE:80/Path/P' || doc_id
+              |        || '?utm_source=x&a=' || doc_id || '&fbclid=zz#frag'
+              |      WHEN 1 THEN 'https://Site' || (doc_id % 7)
+              |        || '.example:443'
+              |      WHEN 2 THEN 'https://h' || (doc_id % 7)
+              |        || '.example:8443/p?utm_campaign=c'
+              |      WHEN 3 THEN 'not a url'
+              |      ELSE 'http://h' || (doc_id % 7)
+              |        || '.example/p?gclid=1&utm_x' END AS url
+              |  FROM documents)
+              |SELECT doc_id, url,
+              |  ${graft.llm.UrlOps.urlNormalizeSql("url")} AS canonical
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
     // ---- Relative-reference resolution (UrlOps.resolveUrl): every
     // pinned arm — absolute ref, protocol-relative, root-relative,
     // query-only, fragment-only, empty, relative path, non-http scheme

@@ -413,6 +413,28 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.getString(0) === "\"abc\"" && v.getString(1) === "x")
   }
 
+  test("urlNormalize: dedup-key canonicalization arms") {
+    import org.apache.spark.sql.functions.col
+    def n(u: String): Any = one(UrlOps.urlNormalize(col("x")), u)
+    // case-fold + default port + fragment + tracking params
+    assert(n("HTTP://WWW.Ex.EXAMPLE:80/Path/P?utm_source=x&a=1&fbclid=z#f")
+      === "http://www.ex.example/Path/P?a=1")
+    // empty path → '/'; https default port
+    assert(n("https://Site.example:443") === "https://site.example/")
+    // non-default ports survive; :8443 must not backtrack-strip as :443
+    assert(n("https://h.example:8443/p?utm_campaign=c")
+      === "https://h.example:8443/p")
+    assert(n("http://h.example:8080/") === "http://h.example:8080/")
+    // all params stripped → the '?' drops too; bare tracking names strip
+    assert(n("http://h.example/p?gclid=1&utm_x") === "http://h.example/p")
+    // percent-encoding and dot-segments stay (pinned: never re-key a
+    // resource the server might serve differently)
+    assert(n("http://h.example/a%2Fb/../c") === "http://h.example/a%2Fb/../c")
+    // no authority → NULL
+    assert(n("not a url") === null)
+    assert(n("mailto:x@y.example") === null)
+  }
+
   test("resolveUrl: every pinned arm, incl. IPv6/userinfo bases and NULL shapes") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
