@@ -194,6 +194,38 @@ object Html {
     headerKey(httpHeader(message, "ETag")).as("etag"),
     headerKey(httpHeader(message, "Last-Modified")).as("last_modified"))
 
+  /** Whole-anchor harvest patterns (match = the full `<a …>…</a>`
+    * element; double-/single-quoted href) — the SAME attribute
+    * boundary as [[UrlOps.hrefDqRegex]] so `data-href` trackers never
+    * harvest, lazy inner match so the first `</a>` closes.
+    */
+  val anchorDqRegex: String =
+    "(?is)<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"
+  val anchorSqRegex: String =
+    "(?is)<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*'[^']*'[^>]*>.*?</a>"
+  private val anchorInnerRegex = "(?is)^<a[^>]*>(.*)</a>$"
+
+  /** (href, text) pairs of the page's `<a>` elements — anchor text is
+    * a first-class training/ranking signal (how the web DESCRIBES a
+    * link target, the complement of [[UrlOps.extractLinks]]'s
+    * href-only harvest). Text cleans under the [[htmlToText]]
+    * pipeline (inner tags out, one-pass entity decode, whitespace
+    * collapse). Document order within each quote style, double-quoted
+    * first — the [[UrlOps.extractLinks]] contract. Pinned reduction:
+    * the opening tag ends at its first '>' (an unencoded '>' inside
+    * an attribute value shifts that anchor's text, never a
+    * neighbor's).
+    */
+  def anchorTexts(html: Column): Column = {
+    def harvest(anchorRegex: String, hrefRegex: String) =
+      transform(regexp_extract_all(html, lit(anchorRegex), lit(0)),
+        m => struct(
+          regexp_extract(m, hrefRegex, 1).as("href"),
+          inlineClean(regexp_extract(m, anchorInnerRegex, 1)).as("text")))
+    concat(harvest(anchorDqRegex, UrlOps.hrefDqRegex),
+      harvest(anchorSqRegex, UrlOps.hrefSqRegex))
+  }
+
   /** The `<loc>` harvest pattern (group 1 = the trimmed value) —
     * pinned regex extraction, not a full XML parse.
     */

@@ -1561,6 +1561,38 @@ object BridgeQueries {
               |  ${graft.llm.UrlOps.urlNormalizeSql("url")} AS canonical
               |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // ---- Anchor-text harvest (Html.anchorTexts): (href, text) pairs
+    // with inner tags stripped, entities decoded once, whitespace
+    // collapsed; dq anchors before sq (the extractLinks order
+    // contract); a data-href tracker never harvests. Spark EXTRACTS
+    // from synthesized markup; the oracle PREDICTS the cleaned pairs
+    // arithmetically (the q297 pattern).
+    "q316_anchor_text" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val html = concat(
+          lit("<html><body><p>pre</p><a class=\"x\" href=\"https://a.example/d/"),
+          col("doc_id"),
+          lit("\">Read <b>More</b> &amp; info</a>"),
+          lit("<a data-href=\"https://tracker.example/t\">skip</a>"),
+          lit("<a href='/rel/"), col("doc_id"),
+          lit("'>  go\n here </a></body></html>"))
+        docs.select(col("doc_id"),
+            posexplode(graft.llm.Html.anchorTexts(html)))
+          .select(col("doc_id"), col("pos").cast("long").as("idx"),
+            col("col.href").as("href"), col("col.text").as("text"))
+          .orderBy("doc_id", "idx")
+      },
+      Some("""SELECT doc_id, idx, href, text FROM (
+             |  SELECT doc_id, CAST(0 AS BIGINT) AS idx,
+             |    'https://a.example/d/' || doc_id AS href,
+             |    'Read More & info' AS text
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CAST(1 AS BIGINT), '/rel/' || doc_id, 'go here'
+             |  FROM documents) t
+             |ORDER BY doc_id, idx""".stripMargin)),
+
     // ---- Relative-reference resolution (UrlOps.resolveUrl): every
     // pinned arm — absolute ref, protocol-relative, root-relative,
     // query-only, fragment-only, empty, relative path, non-http scheme

@@ -435,6 +435,23 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n("mailto:x@y.example") === null)
   }
 
+  test("anchorTexts: (href, text) pairs, tags stripped, trackers skipped") {
+    import org.apache.spark.sql.functions.col
+    def a(html: String): Seq[(String, String)] =
+      one(Html.anchorTexts(col("x")), html)
+        .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(a("""<a href="https://a.example/p">Read <b>More</b> &amp; x</a>""" +
+      """<a data-href="https://t.example/t">skip</a>""" +
+      """<a href='/rel'>  go
+ here </a>""") === Seq(
+      ("https://a.example/p", "Read More & x"),
+      ("/rel", "go here")))
+    // empty text (image link) survives as ''; no anchors → empty
+    assert(a("""<a href="/x"><img src="i.png"/></a>""") === Seq(("/x", "")))
+    assert(a("<p>nothing</p>") === Seq.empty)
+  }
+
   test("resolveUrl: every pinned arm, incl. IPv6/userinfo bases and NULL shapes") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
