@@ -195,15 +195,22 @@ object Html {
     headerKey(httpHeader(message, "Last-Modified")).as("last_modified"))
 
   /** Whole-anchor harvest patterns (match = the full `<a …>…</a>`
-    * element; double-/single-quoted href) — the SAME attribute
-    * boundary as [[UrlOps.hrefDqRegex]] so `data-href` trackers never
-    * harvest, lazy inner match so the first `</a>` closes.
+    * element; double-/single-quoted href) — built on
+    * [[UrlOps.hrefAttrPrefix]], the SAME attribute boundary as the
+    * href harvest, so `data-href` trackers never harvest. The inner
+    * match is TEMPERED (`(?:(?!<a[\s>]).)*?`): an UNCLOSED anchor
+    * cannot lazily swallow the next one — it simply yields no pair
+    * (its href still harvests via extractLinks) instead of stealing
+    * its neighbor's text. `</a\s*>` admits the valid spaced end tag.
+    * Spark-side-only patterns (the oracle predicts literals), so the
+    * lookahead is fine — these are NOT RE2-compatible, unlike the
+    * shared href patterns.
     */
-  val anchorDqRegex: String =
-    "(?is)<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"
-  val anchorSqRegex: String =
-    "(?is)<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*'[^']*'[^>]*>.*?</a>"
-  private val anchorInnerRegex = "(?is)^<a[^>]*>(.*)</a>$"
+  val anchorDqRegex: String = "(?is)" + graft.llm.UrlOps.hrefAttrPrefix +
+    "\"[^\"]*\"[^>]*>(?:(?!<a[\\s>]).)*?</a\\s*>"
+  val anchorSqRegex: String = "(?is)" + graft.llm.UrlOps.hrefAttrPrefix +
+    "'[^']*'[^>]*>(?:(?!<a[\\s>]).)*?</a\\s*>"
+  private val anchorInnerRegex = "(?is)^<a[^>]*>(.*)</a\\s*>\\z"
 
   /** (href, text) pairs of the page's `<a>` elements — anchor text is
     * a first-class training/ranking signal (how the web DESCRIBES a

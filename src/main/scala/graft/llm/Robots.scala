@@ -235,8 +235,10 @@ object Robots {
   /** The crawl-delay value grammar (non-negative, optionally
     * fractional — "0.5" is served in the wild) — shared with the SQL
     * oracles. Anything else ("1s", negative, empty) is ignored.
+    * `\z` not `$`: engine-equal end-of-text (Java's `$` would accept
+    * a `"5\n"` value that RE2 rejects).
     */
-  val delayRegex: String = "^[0-9]+(\\.[0-9]+)?$"
+  val delayRegex: String = "^[0-9]+(\\.[0-9]+)?\\z"
 
   /** Per-host crawl delay for `agent`: (graft_rh = lowercase host,
     * crawl_delay_sec DOUBLE). Among the selected groups' crawl-delay

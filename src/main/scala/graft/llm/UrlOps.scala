@@ -85,9 +85,12 @@ object UrlOps {
   def registeredDomain(host: Column,
       suffixes: Seq[String] = TwoLevelSuffixes): Column = {
     // pure regex tail-grabs — no positional array access, so a
-    // malformed host can never throw under ANSI mode
-    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    // malformed host can never throw under ANSI mode. \z end anchors:
+    // Java's `$` would tail-grab past a trailing \n (hostRegex's
+    // classes admit one) where RE2's would not — engine drift on
+    // exactly the garbage keys that need consistent folding
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)\\z", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)\\z", 1)
     when(host.isNull, lit(null))
       .when(last2 === "", host) // dotless
       .when(last3 =!= "" && last2.isin(suffixes: _*), last3)
@@ -183,9 +186,13 @@ object UrlOps {
   /** The tracking-parameter grammar [[urlNormalize]] strips (pinned,
     * oracle-shared): the utm_ family plus the big click-id params.
     * Matched against the full `name=value` pair (or a bare name).
+    * `\z`, not `$`: Java's `$` also matches before a trailing line
+    * terminator where RE2's matches only end-of-text — a harvested
+    * value ending in `\n` would strip in Spark but survive the DuckDB
+    * replay. `\z` means end-of-text in BOTH engines.
     */
   val trackingParamRegex: String =
-    "^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid)(=.*)?$"
+    "^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid)(=.*)?\\z"
 
   /** Canonicalize an absolute URL into a DEDUP/FRONTIER KEY — the
     * variants real links mint for one resource collapse onto one
@@ -208,17 +215,21 @@ object UrlOps {
   def urlNormalize(url: Column): Column = {
     val noFrag = regexp_extract(url, "^([^#]*)", 1)
     val origin0 = lower(nullif(regexp_extract(noFrag, originRegex, 1), lit("")))
+    // \z end anchors throughout (see trackingParamRegex): engine-equal
+    // end-of-text, where `$` would strip `:80\n` in Spark only
     val origin = regexp_replace(
-      regexp_replace(origin0, "^(http://[^/?#]*):80$", "$1"),
-      "^(https://[^/?#]*):443$", "$1")
+      regexp_replace(origin0, "^(http://[^/?#]*):80\\z", "$1"),
+      "^(https://[^/?#]*):443\\z", "$1")
     val rest = regexp_replace(noFrag, originRegex, "")
     val path0 = regexp_extract(rest, "^([^?]*)", 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)\\z", 1)
     val kept = filter(split(query, "&"),
       p => !p.rlike(trackingParamRegex))
     val newq = array_join(kept, "&")
-    when(origin.isNull, lit(null))
+    // `http://` (empty authority) has a non-NULL origin but no host —
+    // gate on host() too or the garbage key `http:///` mints
+    when(origin.isNull || host(url).isNull, lit(null))
       .otherwise(concat(origin, path,
         when(newq === "", lit("")).otherwise(concat(lit("?"), newq))))
   }
@@ -229,18 +240,19 @@ object UrlOps {
   def urlNormalizeSql(url: String): String = {
     val noFrag = s"regexp_extract($url, '^([^#]*)', 1)"
     val origin0 = s"lower(nullif(regexp_extract($noFrag, ${sqlLit(originRegex)}, 1), ''))"
+    val host0 = s"nullif(regexp_extract($url, ${sqlLit(hostRegex)}, 1), '')"
     val origin = s"regexp_replace(regexp_replace($origin0, " +
-      s"'^(http://[^/?#]*):80$$', '\\1'), '^(https://[^/?#]*):443$$', '\\1')"
+      raw"'^(http://[^/?#]*):80\z', '\1'), '^(https://[^/?#]*):443\z', '\1')"
     val rest = s"regexp_replace($noFrag, ${sqlLit(originRegex)}, '')"
     val path0 = s"regexp_extract($rest, '^([^?]*)', 1)"
     val path = s"CASE WHEN $path0 = '' THEN '/' ELSE $path0 END"
-    val query = s"regexp_extract($rest, '^[^?]*\\?(.*)$$', 1)"
+    val query = raw"regexp_extract($rest, '^[^?]*\?(.*)\z', 1)"
     // coalesce: DuckDB's array_to_string over an EMPTY list (every
     // param stripped) is NULL where Spark's array_join is '' — bare,
     // it would null the whole concatenation
     val newq = s"coalesce(array_to_string(list_filter(string_split($query, '&'), " +
       s"p -> NOT regexp_matches(p, ${sqlLit(trackingParamRegex)})), '&'), '')"
-    s"""CASE WHEN $origin IS NULL THEN NULL
+    s"""CASE WHEN $origin IS NULL OR $host0 IS NULL THEN NULL
        |  ELSE $origin || $path ||
        |    CASE WHEN $newq = '' THEN '' ELSE '?' || $newq END
        |END""".stripMargin
@@ -255,10 +267,16 @@ object UrlOps {
     * has no lookbehind, so an optional separator-terminated prefix
     * group does it).
     */
-  val hrefDqRegex: String =
-    "(?is)<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*\"([^\"]*)\""
-  val hrefSqRegex: String =
-    "(?is)<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*'([^']*)'"
+  /** The attribute-boundary prefix ALL href-bearing harvest patterns
+    * share ([[hrefDqRegex]]/[[hrefSqRegex]] here,
+    * [[Html.anchorDqRegex]]/[[Html.anchorSqRegex]] for anchor text) —
+    * one constant, so a boundary fix can never desynchronize the link
+    * graph from the anchor-text signal.
+    */
+  val hrefAttrPrefix: String = "<a\\s(?:[^>]*[\\s\"'])?href\\s*=\\s*"
+
+  val hrefDqRegex: String = "(?is)" + hrefAttrPrefix + "\"([^\"]*)\""
+  val hrefSqRegex: String = "(?is)" + hrefAttrPrefix + "'([^']*)'"
 
   /** All href targets of `<a>` tags in an HTML column, in document
     * order double-quoted first then single-quoted (RE2-compatible
@@ -286,11 +304,11 @@ object UrlOps {
     val inList = suffixes.map(s => s"'$s'").mkString(", ")
     s"""CASE
        |  WHEN $host IS NULL THEN NULL
-       |  WHEN regexp_extract($host, '([^.]+\\.[^.]+)$$', 1) = '' THEN $host
-       |  WHEN regexp_extract($host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
-       |       AND regexp_extract($host, '([^.]+\\.[^.]+)$$', 1) IN ($inList)
-       |    THEN regexp_extract($host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
-       |  ELSE regexp_extract($host, '([^.]+\\.[^.]+)$$', 1)
+       |  WHEN regexp_extract($host, '([^.]+\\.[^.]+)\\z', 1) = '' THEN $host
+       |  WHEN regexp_extract($host, '([^.]+\\.[^.]+\\.[^.]+)\\z', 1) <> ''
+       |       AND regexp_extract($host, '([^.]+\\.[^.]+)\\z', 1) IN ($inList)
+       |    THEN regexp_extract($host, '([^.]+\\.[^.]+\\.[^.]+)\\z', 1)
+       |  ELSE regexp_extract($host, '([^.]+\\.[^.]+)\\z', 1)
        |END""".stripMargin
   }
 }

@@ -1299,7 +1299,7 @@ object BridgeQueries {
               |    max(CAST(g.v AS DOUBLE)) AS crawl_delay_sec
               |  FROM g JOIN chosen c ON c.host = g.host AND c.grp = g.grp
               |  WHERE g.nm = 'crawl-delay'
-              |    AND regexp_matches(g.v, '^[0-9]+(\\.[0-9]+)?$$')
+              |    AND regexp_matches(g.v, '^[0-9]+(\\.[0-9]+)?\\z')
               |  GROUP BY 1),
               |u AS MATERIALIZED (
               |  SELECT doc_id,

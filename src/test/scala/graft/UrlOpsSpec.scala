@@ -433,6 +433,13 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no authority → NULL
     assert(n("not a url") === null)
     assert(n("mailto:x@y.example") === null)
+    // EMPTY authority is not a key either ('http:///' must not mint)
+    assert(n("http://") === null)
+    assert(n("http://#f") === null)
+    // a trailing newline kills the query on BOTH engines (\z anchors:
+    // Java's $ would strip the param here while RE2 kept it — the
+    // engine-drift class this pin guards)
+    assert(n("http://h.example/p?utm_source=x\n") === "http://h.example/p")
   }
 
   test("anchorTexts: (href, text) pairs, tags stripped, trackers skipped") {
@@ -450,6 +457,12 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty text (image link) survives as ''; no anchors → empty
     assert(a("""<a href="/x"><img src="i.png"/></a>""") === Seq(("/x", "")))
     assert(a("<p>nothing</p>") === Seq.empty)
+    // an UNCLOSED anchor yields no pair instead of swallowing its
+    // neighbor (the neighbor's text must not misattribute)
+    assert(a("""<a href="/1">one <a href="/2">two</a>""") ===
+      Seq(("/2", "two")))
+    // the valid spaced end tag closes
+    assert(a("""<a href="/s">spaced</a >""") === Seq(("/s", "spaced")))
   }
 
   test("resolveUrl: every pinned arm, incl. IPv6/userinfo bases and NULL shapes") {
