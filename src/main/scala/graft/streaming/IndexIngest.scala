@@ -374,7 +374,9 @@ object IndexIngest {
                             agent: String = "*",
                             perDomainCap: Option[Int] = None,
                             resolveRelative: Boolean = false,
-                            scheduleDelays: Option[Double] = None): Long = {
+                            scheduleDelays: Option[Double] = None,
+                            harvestSitemaps: Boolean = false,
+                            normalizeKeys: Boolean = false): Long = {
     val spark = batch.sparkSession
     val ledger = new java.io.File(frontierDir, FrontierLedgerName)
     if (committedIds(ledger).contains(batchId)) {
@@ -387,7 +389,18 @@ object IndexIngest {
     graft.llm.CacheRegistry.scoped(spark) {
       val pages = batch.select(col(urlCol).cast("string").as("graft_u"),
         col(htmlCol).cast("string").as("graft_h"))
-      val own = pages.select(col("graft_u").as("url")).distinct()
+      // normalizeKeys=true: EVERY frontier/manifest key flows through
+      // UrlOps.urlNormalize, so link variants of one resource
+      // (tracking params, default ports, case, fragments) collapse
+      // onto one key — one fetch, one frontier row. Own URLs coalesce
+      // back to raw when un-normalizable. Like resolveRelative, the
+      // flag is an opt-in CONTRACT: an existing frontier keyed on raw
+      // URLs must keep the setting it was built with.
+      def keyed(c: org.apache.spark.sql.Column) =
+        if (normalizeKeys)
+          coalesce(graft.llm.UrlOps.urlNormalize(c), c)
+        else c
+      val own = pages.select(keyed(col("graft_u")).as("url")).distinct()
       // FETCHABLE outlinks only: http(s) with a real authority. The
       // host filter alone admits ftp:// and javascript://x (any
       // scheme with an authority shape) — unfetchable rows that would
@@ -402,14 +415,27 @@ object IndexIngest {
       // through verbatim, so the flag only ADDS discoveries. Default
       // false keeps the absolute-only, verbatim-href contract
       // existing frontiers were built under.
-      val harvested = pages.select(col("graft_u"), explode(
+      // harvestSitemaps=true: a fetched body that IS a sitemap
+      // (urlset/sitemapindex root — robots Sitemap directives and
+      // sitemapindex locs both land such pages in the fetch loop)
+      // contributes its <loc> URLs alongside the href harvest, so the
+      // sitemap tree walks itself through the ordinary discovery
+      // batches with no separate code path
+      val hrefHarvest = pages.select(col("graft_u"), explode(
           graft.llm.UrlOps.extractLinks(col("graft_h"))).as("graft_href"))
+      val harvested =
+        if (harvestSitemaps)
+          hrefHarvest.unionByName(pages
+            .filter(col("graft_h").rlike("(?is)<(urlset|sitemapindex)[\\s>]"))
+            .select(col("graft_u"), explode(
+              graft.llm.Html.sitemapLocs(col("graft_h"))).as("graft_href")))
+        else hrefHarvest
       // the href TRIMS before resolving (browsers strip ASCII
       // whitespace from href values; untrimmed, ` https://x/y` fails
       // the scheme test, falls to the path-relative arm, and mints a
       // space-bearing junk key that PASSES the fetchability filter)
       val links = harvested
-        .select((if (resolveRelative)
+        .select(keyed(if (resolveRelative)
             regexp_extract(graft.llm.UrlOps.resolveUrl(
               col("graft_u"),
               regexp_replace(col("graft_href"), "^[\\s]+|[\\s]+$", "")),
@@ -521,13 +547,15 @@ object IndexIngest {
                      agent: String = "*",
                      perDomainCap: Option[Int] = None,
                      resolveRelative: Boolean = false,
-                     scheduleDelays: Option[Double] = None): StreamingQuery =
+                     scheduleDelays: Option[Double] = None,
+                     harvestSitemaps: Boolean = false,
+                     normalizeKeys: Boolean = false): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDiscoveryBatch(batch, batchId, urlCol, htmlCol,
           frontierDir, outManifestDir, robots, agent, perDomainCap,
-          resolveRelative, scheduleDelays)
+          resolveRelative, scheduleDelays, harvestSitemaps, normalizeKeys)
         ()
       }
       .start()

@@ -338,6 +338,70 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("sitemap-aware discovery walks the sitemap tree through ordinary batches") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-frontier-sm").toString
+    val (dir, mdir) = (s"$base/f", s"$base/m")
+    Frontier.buildFrontier(
+      Seq("https://s.example/sitemap.xml").toDF("url"), "url", dir,
+      numBuckets = 2)
+    // batch 0 fetched a sitemapindex: its <loc>s (nested sitemaps)
+    // discover; an HTML page in the same batch harvests hrefs as usual
+    val b0 = Seq(
+      ("https://s.example/sitemap.xml",
+        "<?xml version=\"1.0\"?><sitemapindex><sitemap>" +
+          "<loc>https://s.example/sm-a.xml</loc></sitemap>" +
+          "<sitemap><loc><![CDATA[https://s.example/sm-b.xml]]></loc>" +
+          "</sitemap></sitemapindex>"))
+      .toDF("url", "html")
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      b0, 0L, "url", "html", dir, Some(mdir), harvestSitemaps = true) === 2L)
+    val m0 = spark.read.parquet(s"$mdir/batch_id=0")
+      .collect().map(_.getString(0)).toSet
+    assert(m0 === Set("https://s.example/sm-a.xml",
+      "https://s.example/sm-b.xml"))
+    // batch 1 fetched a leaf sitemap: page locs discover; without the
+    // flag the same body discovers NOTHING (locs are not hrefs)
+    val b1 = Seq(
+      ("https://s.example/sm-a.xml",
+        "<?xml version=\"1.0\"?><urlset><url>" +
+          "<loc>https://s.example/page/1</loc></url></urlset>"))
+      .toDF("url", "html")
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      b1, 1L, "url", "html", dir, Some(mdir), harvestSitemaps = true) === 1L)
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      b1, 2L, "url", "html", dir, Some(mdir)) === 0L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("normalized frontier keys collapse URL variants onto one fetch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-frontier-nk").toString
+    val (dir, mdir) = (s"$base/f", s"$base/m")
+    Frontier.buildFrontier(
+      Seq("https://n.example/start").toDF("url"), "url", dir, numBuckets = 2)
+    // three variants of ONE resource + its own page: one key, one fetch
+    val b0 = Seq(
+      ("https://n.example/start",
+        """<a href="https://n.example/p?utm_source=x">1</a>""" +
+          """<a href="HTTPS://N.EXAMPLE:443/p">2</a>""" +
+          """<a href="https://n.example/p#frag">3</a>"""))
+      .toDF("url", "html")
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      b0, 0L, "url", "html", dir, Some(mdir), normalizeKeys = true) === 1L)
+    val m0 = spark.read.parquet(s"$mdir/batch_id=0")
+      .collect().map(_.getString(0)).toSet
+    assert(m0 === Set("https://n.example/p"))
+    // a later variant-bearing batch discovers nothing new
+    val b1 = Seq(
+      ("https://n.example/p",
+        """<a href="https://n.example/p?utm_campaign=y">self</a>"""))
+      .toDF("url", "html")
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      b1, 1L, "url", "html", dir, Some(mdir), normalizeKeys = true) === 0L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("empty seed frame builds a probeable frontier (zero-file keys dir)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-frontier-es").toString + "/f"
