@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions.col
   *          <frontierDir> <outManifestDir> [batchId=0]
   * Env:   SPARK_GRAFT_CPUS (default 4)
   *        SPARK_GRAFT_RESOLVE_RELATIVE=1 resolves relative hrefs
-  *        against each page's own URL before the fetchability filter
-  *        (off by default — it changes which URLs a batch discovers,
-  *        so an existing frontier should keep the setting it started
-  *        with).
+  *        against each page's own URL before the fetchability filter.
+  *        SPARK_GRAFT_HARVEST_SITEMAPS=1 lets urlset/sitemapindex
+  *        bodies contribute their <loc> URLs alongside hrefs.
+  *        SPARK_GRAFT_NORMALIZE_KEYS=1 keys the frontier/manifest on
+  *        UrlOps.urlNormalize canonical forms.
+  *        All three default OFF: each changes which KEYS a batch
+  *        mints, so an existing frontier must keep the settings it
+  *        was built with.
   */
 object Discover {
   def main(args: Array[String]): Unit = {
@@ -64,6 +68,10 @@ object Discover {
     graft.streaming.IndexIngest.processDiscoveryBatch(pages, batchId,
       urlCol, htmlCol, frontierDir, Some(outManifestDir),
       resolveRelative =
-        sys.env.get("SPARK_GRAFT_RESOLVE_RELATIVE").contains("1"))
+        sys.env.get("SPARK_GRAFT_RESOLVE_RELATIVE").contains("1"),
+      harvestSitemaps =
+        sys.env.get("SPARK_GRAFT_HARVEST_SITEMAPS").contains("1"),
+      normalizeKeys =
+        sys.env.get("SPARK_GRAFT_NORMALIZE_KEYS").contains("1"))
   }
 }
