@@ -39,7 +39,13 @@ object Discover {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val n = run(spark, args(0), args(1), args(2), args(3), args(4),
-        if (args.length > 5) args(5).toLong else 0L)
+        if (args.length > 5) args(5).toLong else 0L,
+        resolveRelative =
+          sys.env.get("SPARK_GRAFT_RESOLVE_RELATIVE").contains("1"),
+        harvestSitemaps =
+          sys.env.get("SPARK_GRAFT_HARVEST_SITEMAPS").contains("1"),
+        normalizeKeys =
+          sys.env.get("SPARK_GRAFT_NORMALIZE_KEYS").contains("1"))
       println(s"[discover] new_urls=$n -> ${args(4)}")
     } finally {
       CacheRegistry.releaseAll(spark)
@@ -49,10 +55,13 @@ object Discover {
 
   /** Runs one discovery batch; package-visible for the spec. Returns
     * the newly discovered URL count (-1 on a ledger-replayed batch).
+    * The flags default off and mirror the env switches `main` reads.
     */
   def run(spark: SparkSession, pagesPath: String, urlCol: String,
           htmlCol: String, frontierDir: String, outManifestDir: String,
-          batchId: Long): Long = {
+          batchId: Long, resolveRelative: Boolean = false,
+          harvestSitemaps: Boolean = false,
+          normalizeKeys: Boolean = false): Long = {
     val pages = spark.read.parquet(pagesPath)
     // gate on the MANIFEST, not bare directory existence: a
     // pre-created dir (mkdir before the first run) or a first run
@@ -61,17 +70,24 @@ object Discover {
     // or every later probe dies on the missing manifest, breaking the
     // blind-retry contract (buildFrontier's overwrite makes the
     // re-seed safe)
-    if (!Frontier.indexExists(frontierDir))
+    if (!Frontier.indexExists(frontierDir)) {
+      // seeds obey the SAME key contract as discovery: under
+      // normalizeKeys the frontier must be born with canonical keys,
+      // or a raw-variant seed (mixed case, tracking params) never
+      // matches its canonical twin and that resource fetches twice
+      val raw = col(urlCol).cast("string")
+      val seed =
+        if (normalizeKeys)
+          org.apache.spark.sql.functions.coalesce(
+            graft.llm.UrlOps.urlNormalize(raw), raw)
+        else raw
       Frontier.buildFrontier(
-        pages.select(col(urlCol).cast("string").as("url")),
-        "url", frontierDir)
+        pages.select(seed.as("url")), "url", frontierDir)
+    }
     graft.streaming.IndexIngest.processDiscoveryBatch(pages, batchId,
       urlCol, htmlCol, frontierDir, Some(outManifestDir),
-      resolveRelative =
-        sys.env.get("SPARK_GRAFT_RESOLVE_RELATIVE").contains("1"),
-      harvestSitemaps =
-        sys.env.get("SPARK_GRAFT_HARVEST_SITEMAPS").contains("1"),
-      normalizeKeys =
-        sys.env.get("SPARK_GRAFT_NORMALIZE_KEYS").contains("1"))
+      resolveRelative = resolveRelative,
+      harvestSitemaps = harvestSitemaps,
+      normalizeKeys = normalizeKeys)
   }
 }

@@ -238,6 +238,20 @@ object Html {
     */
   val locRegex: String = "(?is)<loc>\\s*(.*?)\\s*</loc>"
 
+  /** Matches a body whose document ROOT is `<urlset>`/`<sitemapindex>`
+    * — an optional BOM, whitespace, one XML prolog, and any number of
+    * comments may precede it, nothing else. Root-anchored on purpose:
+    * an anywhere-substring test would let an HTML page that EMBEDS
+    * sitemap markup (a docs page quoting an example) harvest that
+    * example's `<loc>` URLs as crawl keys. RE2-compatible (no
+    * lookarounds: the comment body is the classic `[^-]|-[^-]|--[^>]`
+    * alternation).
+    */
+  val sitemapRootRegex: String =
+    "(?is)\\A\uFEFF?\\s*(?:<\\?xml[^>]*\\?>\\s*)?" +
+      "(?:<!--(?:[^-]|-[^-]|--[^>])*-->\\s*)*" +
+      "<(?:urlset|sitemapindex)[\\s>]"
+
   /** All `<loc>` values of a sitemap or sitemapindex XML body, in
     * document order, entity-decoded by the same one-pass kernel
     * [[htmlToText]] uses (a URL with query parameters legally carries

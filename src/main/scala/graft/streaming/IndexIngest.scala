@@ -416,20 +416,26 @@ object IndexIngest {
       // false keeps the absolute-only, verbatim-href contract
       // existing frontiers were built under.
       // harvestSitemaps=true: a fetched body that IS a sitemap
-      // (urlset/sitemapindex root — robots Sitemap directives and
-      // sitemapindex locs both land such pages in the fetch loop)
-      // contributes its <loc> URLs alongside the href harvest, so the
-      // sitemap tree walks itself through the ordinary discovery
-      // batches with no separate code path
-      val hrefHarvest = pages.select(col("graft_u"), explode(
-          graft.llm.UrlOps.extractLinks(col("graft_h"))).as("graft_href"))
-      val harvested =
+      // (urlset/sitemapindex document ROOT — Html.sitemapRootRegex;
+      // an HTML page merely EMBEDDING sitemap markup must not donate
+      // its example <loc>s as crawl keys. Robots Sitemap directives
+      // and sitemapindex locs both land real sitemap pages in the
+      // fetch loop) contributes its <loc> URLs alongside the href
+      // harvest, so the sitemap tree walks itself through the
+      // ordinary discovery batches with no separate code path. One
+      // projection + one explode harvests BOTH populations — a union
+      // of two selects would scan the uncached micro-batch source
+      // twice more per trigger.
+      val hrefArr = graft.llm.UrlOps.extractLinks(col("graft_h"))
+      val harvestArr =
         if (harvestSitemaps)
-          hrefHarvest.unionByName(pages
-            .filter(col("graft_h").rlike("(?is)<(urlset|sitemapindex)[\\s>]"))
-            .select(col("graft_u"), explode(
-              graft.llm.Html.sitemapLocs(col("graft_h"))).as("graft_href")))
-        else hrefHarvest
+          concat(hrefArr,
+            when(col("graft_h").rlike(graft.llm.Html.sitemapRootRegex),
+              graft.llm.Html.sitemapLocs(col("graft_h")))
+              .otherwise(typedlit(Seq.empty[String])))
+        else hrefArr
+      val harvested = pages.select(col("graft_u"),
+        explode(harvestArr).as("graft_href"))
       // the href TRIMS before resolving (browsers strip ASCII
       // whitespace from href values; untrimmed, ` https://x/y` fails
       // the scheme test, falls to the path-relative arm, and mints a

@@ -192,6 +192,27 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSeq === Seq("https://s.example/p/1"))
     // a blind retry of the same batch id is a ledger no-op
     assert(Discover.run(spark, pdir, "url", "html", fdir, mdir, 0L) === -1L)
+    // normalizeKeys seeds CANONICAL keys: a resource seeded in a
+    // VARIANT form (mixed case, default port, tracking param) and
+    // linked canonically from a LATER batch must not re-enter the
+    // fetch queue — a raw-keyed seed would never match its canonical
+    // twin, so the own-URL suppression of batch 0 cannot mask a
+    // seeding gap here
+    val (pdir2, fdir2, mdir2) = (s"$base/pages2", s"$base/frontier2", s"$base/out2")
+    Seq(("HTTPS://V.EXAMPLE:443/a?utm_source=x", "<html>no links</html>"))
+      .toDF("url", "html").write.parquet(pdir2)
+    assert(Discover.run(spark, pdir2, "url", "html", fdir2, mdir2, 0L,
+      normalizeKeys = true) === 0L)
+    val pdir3 = s"$base/pages3"
+    Seq(
+      ("https://w.example/c",
+        """<html><a href="https://v.example/a">seeded-variant</a>""" +
+          """<a href="https://v.example/b">new</a></html>"""))
+      .toDF("url", "html").write.parquet(pdir3)
+    assert(Discover.run(spark, pdir3, "url", "html", fdir2, mdir2, 1L,
+      normalizeKeys = true) === 1L)
+    assert(spark.read.parquet(s"$mdir2/batch_id=1")
+      .collect().map(_.getString(0)).toSeq === Seq("https://v.example/b"))
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
@@ -369,8 +390,36 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("url", "html")
     assert(graft.streaming.IndexIngest.processDiscoveryBatch(
       b1, 1L, "url", "html", dir, Some(mdir), harvestSitemaps = true) === 1L)
+    // the flag-off contrast needs a FRESH frontier: replaying b1
+    // against `dir` would return 0 even if the flag leaked (batch 1
+    // already marked the loc URL seen there)
+    val dir2 = s"$base/f2"
+    Frontier.buildFrontier(
+      Seq("https://s.example/sitemap.xml").toDF("url"), "url", dir2,
+      numBuckets = 2)
     assert(graft.streaming.IndexIngest.processDiscoveryBatch(
-      b1, 2L, "url", "html", dir, Some(mdir)) === 0L)
+      b1, 0L, "url", "html", dir2, Some(s"$base/m2")) === 0L)
+    // a page that merely EMBEDS sitemap markup mid-body is NOT a
+    // sitemap: its example <loc>s must not mint crawl keys even with
+    // the flag on (root-anchored detection)
+    val embed = Seq(
+      ("https://s.example/sm-a.xml",
+        "<html><body><p>example:</p><pre>&lt;x&gt;</pre>" +
+          "<urlset><url><loc>https://evil.example/j</loc></url></urlset>" +
+          "</body></html>"))
+      .toDF("url", "html")
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      embed, 1L, "url", "html", dir2, Some(s"$base/m2"),
+      harvestSitemaps = true) === 0L)
+    // while a BOM + prolog + leading comment still count as the root
+    val commented = Seq(
+      ("https://s.example/sm-a.xml",
+        "\uFEFF  <?xml version=\"1.0\"?>\n<!-- generator: x -->\n" +
+          "<urlset><url><loc>https://s.example/page/2</loc></url></urlset>"))
+      .toDF("url", "html")
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      commented, 2L, "url", "html", dir2, Some(s"$base/m2"),
+      harvestSitemaps = true) === 1L)
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
