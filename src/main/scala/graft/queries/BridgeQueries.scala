@@ -1593,6 +1593,121 @@ object BridgeQueries {
              |  FROM documents) t
              |ORDER BY doc_id, idx""".stripMargin)),
 
+    // ---- Crawl → web graph → rank: the harvested outlinks become a
+    // HOST-level edge list (weight = link count, intra-host links
+    // dropped) and GraphOps.pageRank ranks the hosts — the CommonCrawl
+    // webgraph product, composed end-to-end from the same operators
+    // the discovery loop runs (extractLinks → host → groupBy). At
+    // 100 TB the edge build is one map-side explode + one shuffle to
+    // (src,dst); the host graph itself is tiny relative to the page
+    // corpus (|hosts|² bound), which is exactly why ranking at host
+    // grain is the scalable first cut. The oracle rebuilds the edges
+    // arithmetically and unrolls 6 integer-exact iterations
+    // (OracleGen.pageRankChain — the q160 precedent).
+    "q317_host_rank" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val h = col("doc_id") % 8
+        val pageUrl = concat(lit("https://h"), h.cast("string"),
+          lit(".example/p/"), col("doc_id").cast("string"))
+        val html = concat(
+          lit("<html><body><a href=\"https://h"),
+          ((h + 1) % 8).cast("string"), lit(".example/\">next</a>"),
+          lit("<a href=\"https://h0.example/\">hub</a>"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<a href='https://h"), ((h + 5) % 8).cast("string"),
+              lit(".example/x'>far</a>"))).otherwise(lit("")),
+          lit("</body></html>"))
+        val edges = docs.select(pageUrl.as("page_url"),
+            explode(graft.llm.UrlOps.extractLinks(html)).as("link"))
+          .select(graft.llm.UrlOps.host(col("page_url")).as("src"),
+            graft.llm.UrlOps.host(col("link")).as("dst"))
+          .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphOps.pageRank(edges, "src", "dst", "w", iters = 6)
+          .withColumnRenamed("node", "host")
+          .orderBy("host")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, doc_id % 8 AS h FROM documents),
+              |raw AS (
+              |  SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS u,
+              |    'h' || CAST((h + 1) % 8 AS VARCHAR) || '.example' AS v FROM d
+              |  UNION ALL
+              |  SELECT 'h' || CAST(h AS VARCHAR) || '.example', 'h0.example' FROM d
+              |  UNION ALL
+              |  SELECT 'h' || CAST(h AS VARCHAR) || '.example',
+              |    'h' || CAST((h + 5) % 8 AS VARCHAR) || '.example' FROM d
+              |  WHERE doc_id % 3 = 0),
+              |e0 AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM raw
+              |       WHERE u <> v GROUP BY u, v),
+              |outd AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM e0 GROUP BY u),
+              |e AS (SELECT e0.u, e0.v, e0.w, outd.outw FROM e0 JOIN outd USING (u)),
+              |nodes AS (SELECT u AS n FROM e0 UNION SELECT v FROM e0),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+              |r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes)${OracleGen.pageRankChain(6)}
+              |SELECT n AS host, r AS rank_micro FROM r6 ORDER BY host""".stripMargin)),
+
+    // ---- Anchor-text index (the classic search-relevance signal):
+    // every harvested (href, anchor text) pair resolves against its
+    // page URL, defragments, and canonicalizes (urlNormalize — case,
+    // default ports, tracking params), then aggregates ACROSS pages
+    // per canonical target: how many anchors, from how many documents,
+    // call the target by this text. Variant hrefs of one resource
+    // (mixed-case host, :443, utm params) and whitespace/markup
+    // variants of one text (inner tags, entity refs, space runs)
+    // collapse onto single (target, text) rows — the collapse IS the
+    // signal. Pure codegen'd chain + one aggregation shuffle keyed by
+    // (target, text); the oracle PREDICTS the canonical rows
+    // arithmetically (the q297 pattern).
+    "q318_anchor_index" -> QueryDef(
+      (s, dir) => {
+        val docs = Registry.table(s, dir, "documents")
+        val pageUrl = concat(lit("https://s"),
+          (col("doc_id") % 5).cast("string"), lit(".example/d/"),
+          col("doc_id").cast("string"))
+        val html = concat(
+          lit("<html><body><a href=\"https://T"),
+          (col("doc_id") % 3).cast("string"),
+          lit(".EXAMPLE:443/page?utm_source=f#sec\">Read <b>this</b></a>"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("<a href=\"https://t"),
+              (col("doc_id") % 3).cast("string"),
+              lit(".example/page\">Read   this</a>"))).otherwise(lit("")),
+          lit("<a href=' /local/"), (col("doc_id") % 4).cast("string"),
+          lit(" '>see &amp; go</a></body></html>"))
+        val pairs = docs.select(col("doc_id"), pageUrl.as("graft_pu"),
+            posexplode(graft.llm.Html.anchorTexts(html)))
+          .select(col("doc_id"), col("graft_pu"),
+            col("col.href").as("href"), col("col.text").as("text"))
+        pairs
+          .withColumn("graft_res", regexp_extract(
+            graft.llm.UrlOps.resolveUrl(col("graft_pu"),
+              regexp_replace(col("href"), "^[\\s]+|[\\s]+$", "")),
+            "^([^#]*)", 1))
+          .withColumn("target", coalesce(
+            graft.llm.UrlOps.urlNormalize(col("graft_res")), col("graft_res")))
+          .filter(col("text") =!= "")
+          .groupBy("target", "text")
+          .agg(count(lit(1)).as("n_anchors"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("target", "text")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 5 AS k5, doc_id % 4 AS k4,
+             |            doc_id % 3 AS k3 FROM documents),
+             |a AS (
+             |  SELECT 'https://t' || CAST(k3 AS VARCHAR) || '.example/page' AS target,
+             |    'Read this' AS text, doc_id FROM d
+             |  UNION ALL
+             |  SELECT 'https://t' || CAST(k3 AS VARCHAR) || '.example/page',
+             |    'Read this', doc_id FROM d WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT 'https://s' || CAST(k5 AS VARCHAR) || '.example/local/'
+             |    || CAST(k4 AS VARCHAR), 'see & go', doc_id FROM d)
+             |SELECT target, text, CAST(count(*) AS BIGINT) AS n_anchors,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM a GROUP BY target, text
+             |ORDER BY target, text""".stripMargin)),
+
     // ---- Relative-reference resolution (UrlOps.resolveUrl): every
     // pinned arm — absolute ref, protocol-relative, root-relative,
     // query-only, fragment-only, empty, relative path, non-http scheme
