@@ -217,19 +217,53 @@ object Robots {
   }
 
   /** At most `cap` rows per registered domain (the per-host politeness
-    * quota a batch manifest honors), deterministic by `urlCol` order.
-    * The rank filter sits directly on the row_number window →
-    * WindowGroupLimit prunes every input partition to cap rows per
-    * domain before the shuffle, so a mega-domain batch never buffers
-    * whole.
+    * quota a batch manifest honors), deterministic by `urlCol` order —
+    * or, when `priorityCol` names a numeric column on `urls`, by
+    * (priority DESC NULLS LAST, url): the quota keeps the
+    * HIGHEST-priority URLs per domain instead of the
+    * lexicographically-first, which is what turns a politeness cap
+    * into a crawl SCHEDULER once [[withHostPriority]] has attached a
+    * host-rank signal. The rank filter sits directly on the
+    * row_number window → WindowGroupLimit prunes every input
+    * partition to cap rows per domain before the shuffle, so a
+    * mega-domain batch never buffers whole.
     */
-  def perDomainCap(urls: DataFrame, urlCol: String, cap: Int): DataFrame = {
+  def perDomainCap(urls: DataFrame, urlCol: String, cap: Int,
+      priorityCol: Option[String] = None): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     val dom = UrlOps.registeredDomain(UrlOps.host(col(urlCol)))
-    val w = Window.partitionBy(dom).orderBy(col(urlCol))
+    val order = priorityCol match {
+      case Some(pc) => Seq(desc_nulls_last(pc), col(urlCol))
+      case None => Seq(col(urlCol))
+    }
+    val w = Window.partitionBy(dom).orderBy(order: _*)
     urls.withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") <= cap)
       .drop("graft_rn")
+  }
+
+  /** Attach a per-HOST priority signal (a host-rank sidecar — e.g.
+    * [[graft.operators.GraphOps.pageRank]] micro-unit ranks over the
+    * harvested host graph, or plain indegree counts) to a URL batch as
+    * a LONG `priority` column; hosts absent from the sidecar get NULL
+    * (they sort LAST under [[perDomainCap]]'s priority order — unknown
+    * beats nothing, known rank beats unknown). Duplicate sidecar rows
+    * for one host fold to their MAX. Scale shape: the sidecar is
+    * semi-joined to the batch's hosts FIRST (the [[disallowed]] /
+    * [[scheduleManifest]] discipline), so the join is batch-bounded no
+    * matter how many hosts the sidecar ranks.
+    */
+  def withHostPriority(urls: DataFrame, urlCol: String,
+      priority: DataFrame, hostCol: String, prioCol: String): DataFrame = {
+    val keyed = urls.withColumn("graft_uh", UrlOps.host(col(urlCol)))
+    val batchHosts = keyed.select(col("graft_uh")).distinct()
+    val relevant = priority
+      .join(broadcast(batchHosts),
+        lower(col(hostCol)) === col("graft_uh"), "left_semi")
+      .groupBy(lower(col(hostCol)).as("graft_ph"))
+      .agg(max(col(prioCol).cast("long")).as("priority"))
+    keyed.join(relevant, col("graft_uh") === col("graft_ph"), "left")
+      .drop("graft_uh", "graft_ph")
   }
 
   /** The crawl-delay value grammar (non-negative, optionally

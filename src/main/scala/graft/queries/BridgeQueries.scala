@@ -1708,6 +1708,59 @@ object BridgeQueries {
              |FROM a GROUP BY target, text
              |ORDER BY target, text""".stripMargin)),
 
+    // ---- Priority-aware politeness cap (Robots.withHostPriority +
+    // perDomainCap(priorityCol)): a host-rank sidecar (mixed-case host
+    // keys fold via lower(), duplicate rows fold via max, unranked
+    // hosts get NULL) attaches as the batch's `priority`, and the
+    // per-registered-domain quota keeps the HIGHEST-priority URLs
+    // instead of the lexicographically-first — the crawl-scheduler
+    // composition the discovery loop runs when hostPriority is set.
+    // The oracle replays the priority CASE and the window verbatim.
+    "q319_priority_cap" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Registry.table(s, dir, "documents")
+        val urls = docs.select(col("doc_id"),
+          concat(
+            expr("""CASE CAST(doc_id % 3 AS INT)
+                   |  WHEN 0 THEN 'http://a.' WHEN 1 THEN 'http://b.'
+                   |  ELSE 'http://' END""".stripMargin),
+            lit("site"), col("doc_id") % 10, lit(".example/p/"),
+            col("doc_id")).as("url"))
+        val sidecar = (0 until 10).flatMap { k => Seq(
+          (s"B.SITE$k.EXAMPLE", 100L + k),
+          (s"b.site$k.example", 1L),
+          (s"site$k.example", 50L + k))
+        }.toDF("host", "rank")
+        val prioritized = graft.llm.Robots.withHostPriority(
+          urls, "url", sidecar, "host", "rank")
+        graft.llm.Robots.perDomainCap(prioritized, "url", cap = 2,
+            priorityCol = Some("priority"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (
+              |  SELECT doc_id,
+              |    CASE CAST(doc_id % 3 AS INT)
+              |      WHEN 0 THEN 'http://a.' WHEN 1 THEN 'http://b.'
+              |      ELSE 'http://' END
+              |    || 'site' || (doc_id % 10) || '.example/p/' || doc_id AS url
+              |  FROM documents),
+              |h AS (SELECT doc_id, url,
+              |    lower(nullif(regexp_extract(url,
+              |      ${graft.llm.UrlOps.sqlLit(graft.llm.UrlOps.hostRegex)}, 1), '')) AS host
+              |  FROM u),
+              |p AS (SELECT doc_id, url, host,
+              |    CASE WHEN host LIKE 'b.%' THEN CAST(100 + (doc_id % 10) AS BIGINT)
+              |         WHEN host LIKE 'a.%' THEN NULL
+              |         ELSE CAST(50 + (doc_id % 10) AS BIGINT) END AS priority
+              |  FROM h),
+              |r AS (SELECT doc_id, url, priority, row_number() OVER (
+              |    PARTITION BY ${graft.llm.UrlOps.registeredDomainSql("host")}
+              |    ORDER BY priority DESC NULLS LAST, url) AS rn
+              |  FROM p)
+              |SELECT doc_id, url, priority FROM r WHERE rn <= 2
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- Relative-reference resolution (UrlOps.resolveUrl): every
     // pinned arm — absolute ref, protocol-relative, root-relative,
     // query-only, fragment-only, empty, relative path, non-http scheme

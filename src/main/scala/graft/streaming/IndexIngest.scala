@@ -376,7 +376,8 @@ object IndexIngest {
                             resolveRelative: Boolean = false,
                             scheduleDelays: Option[Double] = None,
                             harvestSitemaps: Boolean = false,
-                            normalizeKeys: Boolean = false): Long = {
+                            normalizeKeys: Boolean = false,
+                            hostPriority: Option[(DataFrame, String, String)] = None): Long = {
     val spark = batch.sparkSession
     val ledger = new java.io.File(frontierDir, FrontierLedgerName)
     if (committedIds(ledger).contains(batchId)) {
@@ -484,11 +485,22 @@ object IndexIngest {
         case None => freshLinks.withColumn("disallowed", lit(false))
       })
       val allowedLinks = verdicts.filter(!col("disallowed")).select(col("url"))
+      // hostPriority: a host-rank sidecar (pageRank/indegree over the
+      // harvested host graph) attaches as the manifest's `priority`
+      // column, and the politeness cap keeps the HIGHEST-priority URLs
+      // per domain instead of the lexicographically-first — the
+      // frontier keys stay plain URLs, priority is manifest-only
+      val prioritized = hostPriority match {
+        case Some((p, hc, pc)) =>
+          graft.llm.Robots.withHostPriority(allowedLinks, "url", p, hc, pc)
+        case None => allowedLinks
+      }
       // politeness cap LAST (after the robots gate — a disallowed URL
       // must not consume a domain's quota)
       val computed = perDomainCap match {
-        case Some(cap) => graft.llm.Robots.perDomainCap(allowedLinks, "url", cap)
-        case None => allowedLinks
+        case Some(cap) => graft.llm.Robots.perDomainCap(prioritized, "url", cap,
+          priorityCol = hostPriority.map(_ => "priority"))
+        case None => prioritized
       }
       // CRASH-WINDOW RULE (found by the ChainSpec soak): a retry after
       // a crash INSIDE the frontier append must not recompute the
@@ -555,13 +567,15 @@ object IndexIngest {
                      resolveRelative: Boolean = false,
                      scheduleDelays: Option[Double] = None,
                      harvestSitemaps: Boolean = false,
-                     normalizeKeys: Boolean = false): StreamingQuery =
+                     normalizeKeys: Boolean = false,
+                     hostPriority: Option[(DataFrame, String, String)] = None): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDiscoveryBatch(batch, batchId, urlCol, htmlCol,
           frontierDir, outManifestDir, robots, agent, perDomainCap,
-          resolveRelative, scheduleDelays, harvestSitemaps, normalizeKeys)
+          resolveRelative, scheduleDelays, harvestSitemaps, normalizeKeys,
+          hostPriority)
         ()
       }
       .start()

@@ -273,6 +273,43 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("hostPriority steers the per-domain cap and rides the manifest") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-frontier-hp").toString
+    val (dir, mdir) = (s"$base/f", s"$base/m")
+    Frontier.buildFrontier(urls(0L), "url", dir, numBuckets = 2)
+    // 3 subdomain URLs of ONE registered domain (cap = 1): the ranked
+    // 'hi' host must win over the lexicographically-first 'aa' host;
+    // an unranked host sorts last
+    val links = Seq(
+      "https://aa.dom.example/p/1",   // unranked → NULL priority
+      "https://hi.dom.example/p/1",   // rank 900
+      "https://lo.dom.example/p/1",   // rank 5
+      "https://other.example/p/1")    // uncapped domain, rank 7
+      .map(u => s"""<a href="$u">x</a>""").mkString
+    val batch = Seq(("https://seed.example/start", s"<html>$links</html>"))
+      .toDF("url", "html")
+    val sidecar = Seq(
+      ("HI.DOM.EXAMPLE", 1L),         // mixed case + dup: max-folds to 900
+      ("hi.dom.example", 900L),
+      ("lo.dom.example", 5L),
+      ("other.example", 7L)).toDF("h", "r")
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      batch, 0L, "url", "html", dir, Some(mdir),
+      perDomainCap = Some(1),
+      hostPriority = Some((sidecar, "h", "r"))) === 2L)
+    val m = spark.read.parquet(s"$mdir/batch_id=0")
+      .select("url", "priority")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(m.keySet === Set("https://hi.dom.example/p/1",
+      "https://other.example/p/1"),
+      s"the HIGHEST-priority URL must win the domain quota: $m")
+    assert(m("https://hi.dom.example/p/1") === 900L)
+    assert(m("https://other.example/p/1") === 7L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("resolveRelative discovery turns relative hrefs into frontier URLs") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-frontier-rr").toString
