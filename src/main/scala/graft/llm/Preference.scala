@@ -1,0 +1,175 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-pair aggregation for reward-model / RLHF data prep:
+  * pairwise "A beat B" judgments (human rater picks, LLM-judge
+  * verdicts, A/B outcomes) reduce to one per-item strength score.
+  *
+  * [[bradleyTerry]] is the Bradley–Terry model fitted by Hunter's MM
+  * iteration (Hunter 2004, "MM algorithms for generalized
+  * Bradley-Terry models"), re-expressed in pinned INTEGER micro-unit
+  * arithmetic so the result is engine-exact and a DuckDB oracle
+  * replays it verbatim (the [[graft.operators.GraphOps.pageRank]]
+  * discipline — no float damping, floor division at pinned points,
+  * every operand positive so Spark's `DIV` (truncate) and the
+  * oracle's `//` (floor) agree).
+  *
+  * Order independence is the point at scale: Elo is
+  * sequence-dependent (a shuffle changes every score — useless for a
+  * distributed, re-runnable pipeline); Bradley–Terry is a function of
+  * the comparison COUNTS alone, so the estimate is invariant under
+  * partitioning, retries, and ingestion order.
+  */
+object Preference {
+
+  /** The per-term multiplier: comparison counts scale by 1e9 before
+    * the floor division by a rank sum, keeping ~1e-3 relative
+    * precision at rank sums near 2·scale while `wins × Mult` stays
+    * inside BIGINT for up to ~9.2e9 total wins per item (documented
+    * input bound — beyond that, pre-divide the counts).
+    */
+  private val Mult = 1000000000L
+
+  /** Hard saturation on the un-normalized update: strength ratios
+    * beyond ~1e6 : 1 clamp, bounding `u × scale` inside BIGINT.
+    */
+  private val UCap = 1000000000000L
+
+  /** Bradley–Terry strengths from pairwise win counts. `pairs` rows
+    * mean: `winCol` beat `loseCol`, `nCol` times (duplicate rows sum;
+    * `nCol` must be positive and a self-comparison is rejected — both
+    * loudly in-plan, the pageRank weight convention).
+    *
+    * The pinned MM update, per iteration (S = `scale`, M = 1e9,
+    * all-integer, every operand positive):
+    *
+    *   den_i = max(1, Σ_j (n_ij · M) DIV (r_i + r_j))   n_ij = games
+    *   u_i   = min(max((W_i · M) DIV den_i, 1), 1e12)   W_i = wins
+    *   mean  = max(1, (Σ u) DIV |items|)
+    *   r'_i  = max(1, (u_i · S) DIV mean)
+    *
+    * The mean-normalization pins the scale the true model leaves free
+    * (BT strengths are only defined up to a constant factor); the
+    * floor-1 clamps keep never-winners and saturated floors inside
+    * the next iteration's divisions. Items appearing only as losers
+    * get W = 0 → strength floors at 1.
+    *
+    * Scale shape: comparisons aggregate ONCE to the |items|²-bounded
+    * symmetric game matrix (the only corpus-sized pass); each
+    * iteration is a join of that matrix against the rank table plus
+    * two aggregations, ranks localCheckpoint-ed on the every-3rd
+    * cadence with deterministic release of superseded checkpoints.
+    * Matrices at or under `smallPairsThreshold` directed rows (< 0 →
+    * the `graft.bt.smallPairs` session conf, default 100k) run the
+    * identical update on the driver — a judged-model or rater
+    * leaderboard is |items|²-bounded no matter how many comparisons
+    * stream in.
+    *
+    * Output: (item, strength_micro) — `item` keeps the win/lose
+    * column type; initial strength = `scale` per item.
+    */
+  def bradleyTerry(pairs: DataFrame, winCol: String, loseCol: String,
+      nCol: String, iters: Int, scale: Long = 1000000L,
+      smallPairsThreshold: Long = -1L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(scale >= 100L, s"scale must be >= 100, got $scale")
+    val spark = pairs.sparkSession
+    val smallCutoff =
+      if (smallPairsThreshold >= 0L) smallPairsThreshold
+      else spark.conf.get("graft.bt.smallPairs", "100000").toLong
+    val pr = pairs.select(col(winCol).as("graft_w"), col(loseCol).as("graft_l"),
+        col(nCol).cast("long").as("graft_n"))
+      .withColumn("graft_n", expr(
+        """CASE WHEN graft_n <= 0 THEN
+          |  CAST(raise_error(concat('bradleyTerry: comparison count must be positive, got ',
+          |    CAST(graft_n AS STRING))) AS BIGINT)
+          |WHEN graft_w <=> graft_l THEN
+          |  CAST(raise_error('bradleyTerry: self-comparison (winner = loser)') AS BIGINT)
+          |ELSE graft_n END""".stripMargin))
+    val dir = pr.groupBy(col("graft_w"), col("graft_l"))
+      .agg(sum(col("graft_n")).as("graft_n"))
+    // the symmetric game matrix, kept DIRECTED both ways for the
+    // per-iteration join: n_ij rides on (i, j) AND (j, i)
+    val games = CacheRegistry.persist(
+      dir.select(col("graft_w").as("graft_i"), col("graft_l").as("graft_j"),
+          col("graft_n"))
+        .unionByName(dir.select(col("graft_l").as("graft_i"),
+          col("graft_w").as("graft_j"), col("graft_n")))
+        .groupBy(col("graft_i"), col("graft_j"))
+        .agg(sum(col("graft_n")).as("graft_gn")))
+    val probeN = math.min(smallCutoff + 1L, Int.MaxValue.toLong).toInt
+    val gCount = games.limit(probeN).count()
+    val nodes = games.select(col("graft_i")).distinct()
+    val winsAll = CacheRegistry.persist(
+      nodes.join(dir.groupBy(col("graft_w").as("graft_i"))
+          .agg(sum(col("graft_n")).as("graft_wi0")), Seq("graft_i"), "left")
+        .select(col("graft_i"),
+          coalesce(col("graft_wi0"), lit(0L)).as("graft_wi")))
+    if (gCount <= smallCutoff)
+      return bradleyTerryDriver(spark, games, winsAll, iters, scale)
+    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    var ranks = nodes.select(col("graft_i").as("graft_n2"),
+      lit(scale).as("graft_r")).localCheckpoint()
+    var prevCkpt = ranks
+    for (i <- 1 to iters) {
+      val ri = ranks.select(col("graft_n2").as("graft_i"), col("graft_r").as("graft_ri"))
+      val rj = ranks.select(col("graft_n2").as("graft_j"), col("graft_r").as("graft_rj"))
+      val den = games.join(ri, Seq("graft_i")).join(rj, Seq("graft_j"))
+        .select(col("graft_i"),
+          expr(s"(graft_gn * ${Mult}L) DIV (graft_ri + graft_rj)").as("graft_t"))
+        .groupBy(col("graft_i"))
+        .agg(greatest(sum(col("graft_t")), lit(1L)).as("graft_den"))
+      val upd = winsAll.join(den, Seq("graft_i"))
+        .select(col("graft_i"),
+          least(greatest(expr(s"(graft_wi * ${Mult}L) DIV graft_den"), lit(1L)),
+            lit(UCap)).as("graft_u"))
+      val mean = upd.agg(
+        greatest(expr("CAST(sum(graft_u) AS BIGINT) DIV count(1)"), lit(1L))
+          .as("graft_mean"))
+      ranks = upd.crossJoin(mean)
+        .select(col("graft_i").as("graft_n2"),
+          greatest(expr(s"(graft_u * ${scale}L) DIV graft_mean"), lit(1L))
+            .as("graft_r"))
+      if (i % 3 == 0 || i == iters) {
+        ranks = ranks.localCheckpoint()
+        dropCheckpoint(prevCkpt)
+        prevCkpt = ranks
+      }
+    }
+    ranks.select(col("graft_n2").as("item"), col("graft_r").as("strength_micro"))
+  }
+
+  private def bradleyTerryDriver(spark: org.apache.spark.sql.SparkSession,
+      games: DataFrame, winsAll: DataFrame, iters: Int,
+      scale: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val g = games.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val wins = winsAll.collect().map(r => (r.get(0): Any) -> r.getLong(1)).toMap
+    val nodes = wins.keys.toArray
+    val c = nodes.length.toLong
+    var rank: Map[Any, Long] = nodes.iterator.map(nd => nd -> scale).toMap
+    for (_ <- 1 to iters) {
+      val den = scala.collection.mutable.HashMap.empty[Any, Long]
+      g.foreach { case (i, j, n) =>
+        den(i) = den.getOrElse(i, 0L) + n * Mult / (rank(i) + rank(j))
+      }
+      val u = nodes.iterator.map { nd =>
+        nd -> math.min(math.max(wins(nd) * Mult / math.max(den.getOrElse(nd, 0L), 1L), 1L), UCap)
+      }.toMap
+      val mean = math.max(u.valuesIterator.sum / c, 1L)
+      rank = nodes.iterator.map(nd => nd -> math.max(u(nd) * scale / mean, 1L)).toMap
+    }
+    val schema = StructType(Seq(
+      StructField("item", games.schema("graft_i").dataType),
+      StructField("strength_micro", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(nodes.map(nd => Row(nd, rank(nd))).toSeq, 1),
+      schema)
+  }
+}

@@ -6160,7 +6160,52 @@ object LlmQueries {
              |                    ORDER BY dot DESC, doc_id) AS BIGINT) AS prf_rnk
              |      FROM d) r
              |JOIN cv ON cv.qid = r.qid AND cv.doc_id = r.doc_id
-             |WHERE r.prf_rnk <= 10 ORDER BY cv.qid, r.prf_rnk""".stripMargin)))
+             |WHERE r.prf_rnk <= 10 ORDER BY cv.qid, r.prf_rnk""".stripMargin)),
+
+    // ---- Bradley–Terry preference aggregation (Preference
+    // .bradleyTerry): pairwise "winner beat loser" judgments — the
+    // reward-model data-prep primitive — reduce to per-item strengths
+    // via 6 integer-exact MM iterations. The fixture synthesizes a
+    // 12-item tournament from doc_id arithmetic where the higher
+    // index wins 70% of meetings; the oracle rebuilds the SAME win
+    // counts and unrolls the pinned update as MATERIALIZED CTE levels
+    // (OracleGen.bradleyTerryChain — the q160/q171 precedent).
+    "q320_bradley_terry" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val i = col("doc_id") % 12
+        val j = (col("doc_id") % 12 + 1 + col("doc_id") % 5) % 12
+        val hi = col("doc_id") % 10 < 7
+        val pairs = docs.select(
+            when(hi, greatest(i, j)).otherwise(least(i, j)).as("winner"),
+            when(hi, least(i, j)).otherwise(greatest(i, j)).as("loser"))
+          .groupBy("winner", "loser")
+          .agg(count(lit(1)).as("n"))
+        graft.llm.Preference.bradleyTerry(pairs, "winner", "loser", "n",
+            iters = 6)
+          .orderBy("item")
+      },
+      Some(s"""WITH p AS (SELECT doc_id, doc_id % 12 AS i,
+              |    (doc_id % 12 + 1 + doc_id % 5) % 12 AS j FROM documents),
+              |pr AS (SELECT
+              |    CASE WHEN doc_id % 10 < 7 THEN greatest(i, j)
+              |         ELSE least(i, j) END AS w,
+              |    CASE WHEN doc_id % 10 < 7 THEN least(i, j)
+              |         ELSE greatest(i, j) END AS l
+              |  FROM p),
+              |dir AS (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM pr
+              |        GROUP BY w, l),
+              |g AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+              |    SELECT w AS i, l AS j, n FROM dir
+              |    UNION ALL SELECT l, w, n FROM dir) t GROUP BY i, j),
+              |wn AS MATERIALIZED (SELECT nodes.i,
+              |    CAST(coalesce(ws.n, 0) AS BIGINT) AS wi
+              |  FROM (SELECT DISTINCT i FROM g) nodes
+              |  LEFT JOIN (SELECT w AS i, CAST(sum(n) AS BIGINT) AS n FROM dir
+              |             GROUP BY w) ws USING (i)),
+              |r0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS r FROM wn)${OracleGen.bradleyTerryChain(6)}
+              |SELECT i AS item, r AS strength_micro FROM r6
+              |ORDER BY item""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

@@ -18,6 +18,45 @@ object OracleGen {
     * Returns the ",d1 AS ..., c1 AS ..., r1 AS ..." chain; the caller
     * appends its own final SELECT over r`iters`.
     */
+  /** The Bradley–Terry MM iteration chain for
+    * [[graft.llm.Preference.bradleyTerry]] at scale 1e6: `iters`
+    * levels of the pinned integer update
+    * den = max(1, Σ (n·1e9) // (r_i + r_j)),
+    * u = min(max((W·1e9) // den, 1), 1e12),
+    * r' = max(1, (u·1e6) // max(1, Σu // |items|)).
+    *
+    * Assumes the caller's WITH-clause already defines:
+    *   g  (i, j, n)  — the symmetric game matrix, directed both ways
+    *   wn (i, wi)    — per-item win totals (0 for never-winners)
+    *   r0 (i, r = 1000000)
+    *
+    * Every level is MATERIALIZED: r(k−1) feeds two joins in level k,
+    * and DuckDB's default CTE inlining would re-execute the chain
+    * exponentially (the q171 unroll lesson). Returns the ",d1 AS …"
+    * chain; the caller appends its final SELECT over r`iters`.
+    */
+  def bradleyTerryChain(iters: Int): String = {
+    val sb = new StringBuilder
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+        |d$i AS MATERIALIZED (SELECT g.i AS i,
+        |  GREATEST(CAST(sum((g.n * 1000000000) // (ri.r + rj.r)) AS BIGINT), 1) AS den
+        |  FROM g JOIN r$p ri ON ri.i = g.i JOIN r$p rj ON rj.i = g.j
+        |  GROUP BY g.i),
+        |u$i AS MATERIALIZED (SELECT wn.i,
+        |  LEAST(GREATEST(CAST((wn.wi * 1000000000) // d$i.den AS BIGINT), 1),
+        |    1000000000000) AS u
+        |  FROM wn JOIN d$i USING (i)),
+        |t$i AS MATERIALIZED (SELECT GREATEST(CAST(sum(u) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT), 1) AS mean FROM u$i),
+        |r$i AS MATERIALIZED (SELECT i,
+        |  GREATEST(CAST((u * 1000000) // mean AS BIGINT), 1) AS r
+        |  FROM u$i CROSS JOIN t$i)""".stripMargin)
+    }
+    sb.toString
+  }
+
   def pageRankChain(iters: Int): String = {
     val sb = new StringBuilder
     for (i <- 1 to iters) {

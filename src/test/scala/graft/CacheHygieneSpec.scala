@@ -40,6 +40,32 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bradleyTerry driver path leaves no persisted RDDs after releaseAll") {
+    import spark.implicits._
+    val pairs = (1L to 30L).map(i =>
+      (i % 5, (i % 5 + 1 + i % 3) % 5, 1L + i % 2)).toDF("w", "l", "n")
+    assertNoLeak("bradleyTerry(driver)") {
+      graft.llm.Preference.bradleyTerry(pairs, "w", "l", "n", iters = 3)
+    }
+  }
+
+  test("bradleyTerry distributed path retains ONLY its result checkpoint") {
+    import spark.implicits._
+    // same contract as pageRank: superseded per-level checkpoints are
+    // unpersisted inside the loop; the final checkpoint IS the
+    // result's storage and must survive releaseAll
+    val pairs = (1L to 30L).map(i =>
+      (i % 5, (i % 5 + 1 + i % 3) % 5, 1L + i % 2)).toDF("w", "l", "n")
+    val out = graft.llm.Preference.bradleyTerry(pairs, "w", "l", "n",
+      iters = 4, smallPairsThreshold = 0L)
+    out.count()
+    CacheRegistry.releaseAll(spark)
+    val remaining = spark.sparkContext.getPersistentRDDs
+    assert(remaining.size <= 1,
+      s"bradleyTerry left ${remaining.size} persisted RDDs; only the result checkpoint may remain")
+    remaining.values.foreach(_.unpersist(true))
+  }
+
   test("ngramJaccardPairs leaves no persisted RDDs after releaseAll") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, s"a b c d${i % 3} e f")).toDF("doc_id", "text")

@@ -506,6 +506,69 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("bradleyTerry: an even head-to-head record is a fixed point at scale") {
+    import spark.implicits._
+    // a beat b 3 times, b beat a 3 times: n_ab = 6 both ways;
+    // den = (6e9) DIV 2e6 = 3000, u = (3e9) DIV 3000 = 1e6 = mean,
+    // r' = 1e6 — exactly the initial strength, every iteration
+    val pairs = Seq(("a", "b", 3L), ("b", "a", 3L)).toDF("w", "l", "n")
+    val got = graft.llm.Preference.bradleyTerry(pairs, "w", "l", "n", iters = 5)
+      .orderBy("item").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 1000000L), ("b", 1000000L)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("bradleyTerry orders strengths by dominance; never-winners floor at 1") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("a", "b", 9L), ("b", "a", 1L),
+      ("a", "c", 8L), ("c", "a", 2L),
+      ("b", "c", 6L), ("c", "b", 4L),
+      ("a", "z", 5L)).toDF("w", "l", "n") // z never wins
+    val got = graft.llm.Preference.bradleyTerry(pairs, "w", "l", "n", iters = 8)
+      .orderBy("item").as[(String, Long)].collect().toMap
+    assert(got("a") > got("b") && got("b") > got("c"),
+      s"dominance order must hold: $got")
+    assert(got("z") === 1L, s"a never-winner floors at 1: $got")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("bradleyTerry rejects non-positive counts and self-comparisons loudly") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val zero = Seq(("a", "b", 1L), ("b", "a", 0L)).toDF("w", "l", "n")
+    val e1 = intercept[Exception] {
+      graft.llm.Preference.bradleyTerry(zero, "w", "l", "n", iters = 2).collect()
+    }
+    assert(msgs(e1).exists(_.contains("comparison count must be positive")),
+      s"expected the loud count check, got: $e1")
+    val self = Seq(("a", "a", 2L)).toDF("w", "l", "n")
+    val e2 = intercept[Exception] {
+      graft.llm.Preference.bradleyTerry(self, "w", "l", "n", iters = 2).collect()
+    }
+    assert(msgs(e2).exists(_.contains("self-comparison")),
+      s"expected the loud self-comparison check, got: $e2")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("bradleyTerry driver and distributed paths agree value-for-value") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("a", "b", 9L), ("b", "a", 1L),
+      ("a", "c", 8L), ("c", "a", 2L),
+      ("b", "c", 6L), ("c", "b", 4L),
+      ("d", "a", 3L), ("a", "z", 5L)).toDF("w", "l", "n")
+    val driver = graft.llm.Preference.bradleyTerry(pairs, "w", "l", "n", iters = 6)
+      .orderBy("item").as[(String, Long)].collect().toSeq
+    graft.llm.CacheRegistry.releaseAll(spark)
+    val dist = graft.llm.Preference.bradleyTerry(pairs, "w", "l", "n", iters = 6,
+        smallPairsThreshold = 0L)
+      .orderBy("item").as[(String, Long)].collect().toSeq
+    assert(driver.nonEmpty && driver == dist)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("jsonPropStats extracts by path, counts missing/malformed, HALF_UP centi-mean") {
     import spark.implicits._
     val events = Seq(
