@@ -144,6 +144,90 @@ object Preference {
     ranks.select(col("graft_n2").as("item"), col("graft_r").as("strength_micro"))
   }
 
+  /** Fleiss' kappa over a categorical rating table — the standard
+    * inter-rater agreement gate for human annotation batches
+    * (preference labels, quality tiers): how much better than chance
+    * do the raters agree. One row out:
+    * (n_items, raters_per_item, p_bar_micro, p_e_micro, kappa_micro).
+    *
+    * Pinned integer semantics at S = `scale` (default 1e6), N items,
+    * n = `ratersPerItem`, n_ik = votes item i got for label k,
+    * q_k = Σ_i n_ik:
+    *
+    *   P_i  = ((Σ_k n_ik² − n) · S) DIV (n·(n−1))      per-item agreement
+    *   P̄    = (Σ_i P_i) DIV N
+    *   p_k  = (q_k · S) DIV (N·n)
+    *   P_e  = (Σ_k p_k²) DIV S                          chance agreement
+    *   κ    = sign(P̄−P_e) · ((|P̄−P_e| · S) DIV (S−P_e))
+    *
+    * Every division except the last has a non-negative numerator, so
+    * Spark's DIV (truncate) and DuckDB's // (floor) agree; the signed
+    * κ uses the sign-split form for the same reason. κ is NULL when
+    * P_e = S (every vote one label — chance agreement is total and
+    * kappa is undefined).
+    *
+    * Input discipline (loud, in-plan): each (item, rater) pair must
+    * rate ONCE, and every item must carry EXACTLY `ratersPerItem`
+    * ratings — Fleiss' statistic assumes a constant panel, and
+    * silently averaging a ragged table misstates agreement.
+    *
+    * Scale shape: two key-partitioned aggregations (item×label
+    * counts → per-item P_i) plus label-grain and single-row folds —
+    * no iteration, no driver action, nothing beyond |items|+|labels|
+    * intermediate rows.
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String, ratersPerItem: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(ratersPerItem >= 2,
+      s"ratersPerItem must be >= 2, got $ratersPerItem")
+    require(scale >= 100L, s"scale must be >= 100, got $scale")
+    val n = ratersPerItem.toLong
+    // the panel guard: exactly n ratings from exactly n DISTINCT
+    // raters per item — together these force one-rating-per-rater (a
+    // duplicate plus an absentee could not keep both counts at n).
+    // The checked value IS the join key the counts pass consumes, so
+    // column pruning cannot optimize the check away.
+    val guard = ratings.groupBy(col(itemCol).as("graft_gi0"))
+      .agg(count(lit(1)).as("graft_tot"),
+        countDistinct(col(raterCol)).as("graft_nr"))
+      .select(expr(
+        s"""CASE WHEN graft_tot <> ${n}L OR graft_nr <> ${n}L THEN
+           |  raise_error(concat('fleissKappa: item with ',
+           |    CAST(graft_tot AS STRING), ' ratings from ',
+           |    CAST(graft_nr AS STRING), ' distinct raters, expected $n'))
+           |ELSE graft_gi0 END""".stripMargin).as("graft_gi"))
+    val counts = ratings.join(guard, col(itemCol) === col("graft_gi"))
+      .groupBy(col(itemCol).as("graft_i"), col(labelCol).as("graft_k"))
+      .agg(count(lit(1)).as("graft_nik"))
+    val perItem = counts.groupBy(col("graft_i"))
+      .agg(sum(expr("graft_nik * graft_nik")).as("graft_sq"))
+      .select(col("graft_i"),
+        expr(s"((graft_sq - ${n}L) * ${scale}L) DIV (${n}L * ${n - 1}L)")
+          .as("graft_pi"))
+    val pbar = perItem.agg(
+      expr("CAST(sum(graft_pi) AS BIGINT)").as("graft_psum"),
+      count(lit(1)).as("graft_n_items"))
+      .select(col("graft_n_items"),
+        expr("graft_psum DIV graft_n_items").as("graft_pbar"))
+    val pe = counts.groupBy(col("graft_k"))
+      .agg(sum(col("graft_nik")).as("graft_qk"))
+      .crossJoin(pbar.select(col("graft_n_items").as("graft_ni2")))
+      .select(expr(s"(graft_qk * ${scale}L) DIV (graft_ni2 * ${n}L)").as("graft_pk"))
+      .agg(expr(s"CAST(sum(graft_pk * graft_pk) AS BIGINT) DIV ${scale}L")
+        .as("graft_pe"))
+    pbar.crossJoin(pe).select(
+      col("graft_n_items").as("n_items"),
+      lit(n).as("raters_per_item"),
+      col("graft_pbar").as("p_bar_micro"),
+      col("graft_pe").as("p_e_micro"),
+      expr(
+        s"""CASE WHEN graft_pe >= ${scale}L THEN CAST(NULL AS BIGINT)
+           |ELSE CAST(sign(graft_pbar - graft_pe) AS BIGINT) *
+           |  ((abs(graft_pbar - graft_pe) * ${scale}L) DIV (${scale}L - graft_pe))
+           |END""".stripMargin).as("kappa_micro"))
+  }
+
   private def bradleyTerryDriver(spark: org.apache.spark.sql.SparkSession,
       games: DataFrame, winsAll: DataFrame, iters: Int,
       scale: Long): DataFrame = {

@@ -6205,7 +6205,51 @@ object LlmQueries {
               |             GROUP BY w) ws USING (i)),
               |r0 AS MATERIALIZED (SELECT i, CAST(1000000 AS BIGINT) AS r FROM wn)${OracleGen.bradleyTerryChain(6)}
               |SELECT i AS item, r AS strength_micro FROM r6
-              |ORDER BY item""".stripMargin)))
+              |ORDER BY item""".stripMargin)),
+
+    // ---- Inter-rater agreement (Preference.fleissKappa): a 5-rater
+    // panel labels every document into 4 classes with a deterministic
+    // rater-dependent rule, and Fleiss' kappa reports
+    // how much better than chance the panel agrees — the data-quality
+    // gate run on annotation batches before their labels train
+    // anything. Pinned micro-unit divisions; the oracle replays every
+    // step (the only signed division uses the sign-split both engines
+    // compute identically).
+    "q321_rater_agreement" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val ratings = docs.select(col("doc_id").as("item"),
+            explode(sequence(lit(0), lit(4))).as("rater"))
+          .withColumn("label",
+            (col("item") * (col("rater") + 3) + col("rater")) % 4)
+        graft.llm.Preference.fleissKappa(ratings, "item", "rater", "label",
+            ratersPerItem = 5)
+          .orderBy("n_items")
+      },
+      Some("""WITH r AS (SELECT doc_id AS item, unnest(range(0, 5)) AS rater
+             |          FROM documents),
+             |l AS (SELECT item, rater,
+             |        (item * (rater + 3) + rater) % 4 AS label FROM r),
+             |cnt AS (SELECT item, label, CAST(count(*) AS BIGINT) AS nik
+             |        FROM l GROUP BY item, label),
+             |pi AS (SELECT item,
+             |         CAST(((sum(nik * nik) - 5) * 1000000) // 20 AS BIGINT) AS p_i
+             |       FROM cnt GROUP BY item),
+             |pb AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+             |         CAST(sum(p_i) AS BIGINT) // CAST(count(*) AS BIGINT) AS p_bar
+             |       FROM pi),
+             |qk AS (SELECT label, CAST(sum(nik) AS BIGINT) AS q FROM cnt
+             |       GROUP BY label),
+             |pk AS (SELECT (q * 1000000) // ((SELECT n_items FROM pb) * 5) AS p
+             |       FROM qk),
+             |pe AS (SELECT CAST(sum(p * p) AS BIGINT) // 1000000 AS p_e FROM pk)
+             |SELECT pb.n_items, CAST(5 AS BIGINT) AS raters_per_item,
+             |  pb.p_bar AS p_bar_micro, pe.p_e AS p_e_micro,
+             |  CASE WHEN pe.p_e >= 1000000 THEN CAST(NULL AS BIGINT)
+             |       ELSE CAST(sign(pb.p_bar - pe.p_e) AS BIGINT) *
+             |         ((abs(pb.p_bar - pe.p_e) * 1000000) // (1000000 - pe.p_e))
+             |  END AS kappa_micro
+             |FROM pb, pe ORDER BY n_items""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and

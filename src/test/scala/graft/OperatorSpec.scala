@@ -533,6 +533,57 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("fleissKappa matches the hand-computed two-rater example") {
+    import spark.implicits._
+    // item1: AA (P=1e6), item2: AB (P=0), item3: BB (P=1e6)
+    // P̄ = 2e6 DIV 3 = 666666; q_A=q_B=3, p_k=500000, P_e=500000
+    // κ = (166666·1e6) DIV 500000 = 333332
+    val ratings = Seq(
+      (1L, "r1", "A"), (1L, "r2", "A"),
+      (2L, "r1", "A"), (2L, "r2", "B"),
+      (3L, "r1", "B"), (3L, "r2", "B")).toDF("item", "rater", "label")
+    val got = graft.llm.Preference.fleissKappa(ratings, "item", "rater",
+        "label", ratersPerItem = 2)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((3L, 2L, 666666L, 500000L, Some(333332L))))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("fleissKappa is NULL when chance agreement is total (one label)") {
+    import spark.implicits._
+    val ratings = Seq(
+      (1L, "r1", "A"), (1L, "r2", "A"),
+      (2L, "r1", "A"), (2L, "r2", "A")).toDF("item", "rater", "label")
+    val got = graft.llm.Preference.fleissKappa(ratings, "item", "rater",
+        "label", ratersPerItem = 2)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((2L, 2L, 1000000L, 1000000L, None)))
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
+  test("fleissKappa rejects ragged panels and duplicate ratings loudly") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // item 2 has one rating (ragged)
+    val ragged = Seq(
+      (1L, "r1", "A"), (1L, "r2", "A"), (2L, "r1", "B"))
+      .toDF("item", "rater", "label")
+    val e1 = intercept[Exception] {
+      graft.llm.Preference.fleissKappa(ragged, "item", "rater", "label", 2).collect()
+    }
+    assert(msgs(e1).exists(_.contains("expected 2")), s"loud ragged check: $e1")
+    // item 1 has 2 ratings but from ONE rater (duplicate + absentee)
+    val dup = Seq(
+      (1L, "r1", "A"), (1L, "r1", "B"), (2L, "r1", "A"), (2L, "r2", "A"))
+      .toDF("item", "rater", "label")
+    val e2 = intercept[Exception] {
+      graft.llm.Preference.fleissKappa(dup, "item", "rater", "label", 2).collect()
+    }
+    assert(msgs(e2).exists(_.contains("distinct raters")), s"loud dup check: $e2")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("bradleyTerry rejects non-positive counts and self-comparisons loudly") {
     import spark.implicits._
     def msgs(t: Throwable): Seq[String] =
