@@ -6249,7 +6249,58 @@ object LlmQueries {
              |       ELSE CAST(sign(pb.p_bar - pe.p_e) AS BIGINT) *
              |         ((abs(pb.p_bar - pe.p_e) * 1000000) // (1000000 - pe.p_e))
              |  END AS kappa_micro
-             |FROM pb, pe ORDER BY n_items""".stripMargin)))
+             |FROM pb, pe ORDER BY n_items""".stripMargin)),
+
+    // ---- Preference length-bias audit: pair adjacent documents as
+    // (chosen-candidate, rejected-candidate), decide winners by a
+    // deterministic rule, and report the LONGER response's win rate
+    // per length-delta bucket (HALF_UP basis points) — the standard
+    // diagnostic run on preference data before reward-model training,
+    // where a longer-wins skew flags verbosity bias in raters or
+    // judges. Ties on length are excluded (no "longer" exists). One
+    // self-join on the pair id + one aggregation; lengths come from
+    // the corpus's own n_chars.
+    "q322_preference_length_bias" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val a = docs.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id DIV 2").as("pid"), col("n_chars").as("len_a"))
+        val b = docs.filter(col("doc_id") % 2 === 1)
+          .select(expr("doc_id DIV 2").as("pid"), col("n_chars").as("len_b"))
+        a.join(b, "pid")
+          .filter(col("len_a") =!= col("len_b"))
+          .withColumn("delta", abs(col("len_a") - col("len_b")))
+          .withColumn("longer_wins",
+            (col("pid") * 7 + col("delta")) % 10 < 6)
+          .withColumn("bucket", expr(
+            """CASE WHEN delta < 10 THEN '0-9'
+              |     WHEN delta < 100 THEN '10-99'
+              |     WHEN delta < 1000 THEN '100-999'
+              |     ELSE '1000+' END""".stripMargin))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("longer_wins"), 1L).otherwise(0L)).as("graft_w"))
+          .select(col("bucket"), col("n_pairs"),
+            expr("(2 * 10000 * graft_w + n_pairs) DIV (2 * n_pairs)")
+              .as("longer_win_bp"))
+          .orderBy("bucket")
+      },
+      Some("""WITH a AS (SELECT doc_id // 2 AS pid, n_chars AS len_a
+             |          FROM documents WHERE doc_id % 2 = 0),
+             |b AS (SELECT doc_id // 2 AS pid, n_chars AS len_b
+             |      FROM documents WHERE doc_id % 2 = 1),
+             |p AS (SELECT a.pid, len_a, len_b, abs(len_a - len_b) AS delta
+             |      FROM a JOIN b USING (pid) WHERE len_a <> len_b),
+             |t AS (SELECT CASE WHEN delta < 10 THEN '0-9'
+             |               WHEN delta < 100 THEN '10-99'
+             |               WHEN delta < 1000 THEN '100-999'
+             |               ELSE '1000+' END AS bucket,
+             |        CASE WHEN (pid * 7 + delta) % 10 < 6 THEN 1 ELSE 0 END AS w
+             |      FROM p)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST((2 * 10000 * sum(w) + count(*)) // (2 * count(*)) AS BIGINT)
+             |    AS longer_win_bp
+             |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and
