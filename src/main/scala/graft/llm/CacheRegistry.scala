@@ -45,6 +45,20 @@ object CacheRegistry {
     df
   }
 
+  /** Release the persisted RDD under a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only talks to the CacheManager, which knows
+    * nothing of checkpoint storage — the persisted RDD beneath the
+    * checkpoint's LogicalRDD is what must be unpersisted. The shared
+    * helper for every iterative operator's checkpoint cadence
+    * (pageRank, labelPropagation, kCore, bradleyTerry): superseded
+    * per-level checkpoints release deterministically instead of
+    * waiting on GC + ContextCleaner.
+    */
+  def dropLocalCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    case _ => ()
+  }
+
   /** Unpersist every handle registered for the session. */
   def releaseAll(spark: SparkSession): Unit = {
     val q = reg.remove(spark)

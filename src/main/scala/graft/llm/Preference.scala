@@ -74,7 +74,12 @@ object Preference {
       nCol: String, iters: Int, scale: Long = 1000000L,
       smallPairsThreshold: Long = -1L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    require(scale >= 100L, s"scale must be >= 100, got $scale")
+    // upper bound: the normalization computes u·scale with u clamped
+    // at UCap = 1e12, so scale beyond ~9.2e6 would wrap the update
+    // negative (where DIV-truncate and the oracle's floor diverge)
+    // instead of erroring
+    require(scale >= 100L && scale <= 9000000L,
+      s"scale must be in [100, 9000000], got $scale")
     val spark = pairs.sparkSession
     val smallCutoff =
       if (smallPairsThreshold >= 0L) smallPairsThreshold
@@ -109,10 +114,6 @@ object Preference {
           coalesce(col("graft_wi0"), lit(0L)).as("graft_wi")))
     if (gCount <= smallCutoff)
       return bradleyTerryDriver(spark, games, winsAll, iters, scale)
-    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
     var ranks = nodes.select(col("graft_i").as("graft_n2"),
       lit(scale).as("graft_r")).localCheckpoint()
     var prevCkpt = ranks
@@ -137,7 +138,7 @@ object Preference {
             .as("graft_r"))
       if (i % 3 == 0 || i == iters) {
         ranks = ranks.localCheckpoint()
-        dropCheckpoint(prevCkpt)
+        CacheRegistry.dropLocalCheckpoint(prevCkpt)
         prevCkpt = ranks
       }
     }
@@ -174,7 +175,8 @@ object Preference {
     * Scale shape: two key-partitioned aggregations (item×label
     * counts → per-item P_i) plus label-grain and single-row folds —
     * no iteration, no driver action, nothing beyond |items|+|labels|
-    * intermediate rows.
+    * intermediate rows; the twice-consumed counts and P̄ subtrees
+    * persist once via CacheRegistry (callers release).
     */
   def fleissKappa(ratings: DataFrame, itemCol: String, raterCol: String,
       labelCol: String, ratersPerItem: Int,
@@ -197,19 +199,24 @@ object Preference {
            |    CAST(graft_tot AS STRING), ' ratings from ',
            |    CAST(graft_nr AS STRING), ' distinct raters, expected $n'))
            |ELSE graft_gi0 END""".stripMargin).as("graft_gi"))
-    val counts = ratings.join(guard, col(itemCol) === col("graft_gi"))
-      .groupBy(col(itemCol).as("graft_i"), col(labelCol).as("graft_k"))
-      .agg(count(lit(1)).as("graft_nik"))
+    // PERSISTED: counts feeds the per-item fold AND the label-grain
+    // fold, pbar feeds p_e AND the final row — unpersisted, each
+    // reference would re-run the ratings scan plus the guard shuffle
+    // (AQE does not guarantee identical-subplan exchange reuse)
+    val counts = CacheRegistry.persist(
+      ratings.join(guard, col(itemCol) === col("graft_gi"))
+        .groupBy(col(itemCol).as("graft_i"), col(labelCol).as("graft_k"))
+        .agg(count(lit(1)).as("graft_nik")))
     val perItem = counts.groupBy(col("graft_i"))
       .agg(sum(expr("graft_nik * graft_nik")).as("graft_sq"))
       .select(col("graft_i"),
         expr(s"((graft_sq - ${n}L) * ${scale}L) DIV (${n}L * ${n - 1}L)")
           .as("graft_pi"))
-    val pbar = perItem.agg(
+    val pbar = CacheRegistry.persist(perItem.agg(
       expr("CAST(sum(graft_pi) AS BIGINT)").as("graft_psum"),
       count(lit(1)).as("graft_n_items"))
       .select(col("graft_n_items"),
-        expr("graft_psum DIV graft_n_items").as("graft_pbar"))
+        expr("graft_psum DIV graft_n_items").as("graft_pbar")))
     val pe = counts.groupBy(col("graft_k"))
       .agg(sum(col("graft_nik")).as("graft_qk"))
       .crossJoin(pbar.select(col("graft_n_items").as("graft_ni2")))
@@ -238,7 +245,9 @@ object Preference {
     val nodes = wins.keys.toArray
     val c = nodes.length.toLong
     var rank: Map[Any, Long] = nodes.iterator.map(nd => nd -> scale).toMap
-    for (_ <- 1 to iters) {
+    // empty comparisons → empty result (pageRankDriver's grace on an
+    // empty edge list); without the guard the mean's Σu/c is 0/0
+    for (_ <- 1 to iters if c > 0L) {
       val den = scala.collection.mutable.HashMap.empty[Any, Long]
       g.foreach { case (i, j, n) =>
         den(i) = den.getOrElse(i, 0L) + n * Mult / (rank(i) + rank(j))

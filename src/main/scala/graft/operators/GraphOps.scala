@@ -108,10 +108,6 @@ object GraphOps {
     // Dataset.unpersist only talks to the CacheManager, which knows
     // nothing of checkpoint storage — the persisted RDD under the
     // checkpoint's LogicalRDD is what must be released.
-    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
     var prevCkpt = ranks
     for (i <- 1 to iters) {
       val contrib = e2.join(ranks, e2("graft_u") === ranks("graft_n"))
@@ -133,7 +129,7 @@ object GraphOps {
       // fixed overhead on small graphs — to a third
       if (i % 3 == 0 || i == iters) {
         ranks = ranks.localCheckpoint()
-        dropCheckpoint(prevCkpt)
+        CacheRegistry.dropLocalCheckpoint(prevCkpt)
         prevCkpt = ranks
       }
     }
@@ -186,10 +182,6 @@ object GraphOps {
     if (sym.limit(probeN).count() <= smallCutoff)
       return lpaDriver(spark, sym, iters)
     val nodes = CacheRegistry.persist(sym.select(col("graft_u").as("graft_n")).distinct())
-    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
     def round(cur: DataFrame): DataFrame = {
       val scores = sym.join(cur, sym("graft_u") === cur("graft_n"))
         .groupBy(col("graft_v"), col("graft_l"))
@@ -210,7 +202,7 @@ object GraphOps {
       var cur = labels
       for (_ <- 1 to block) cur = round(cur)
       val ckpt = cur.localCheckpoint()
-      dropCheckpoint(labels)
+      CacheRegistry.dropLocalCheckpoint(labels)
       done += block
       if (done < iters) {
         // Convergence probe between CONSECUTIVE MATERIALIZED states:
@@ -224,7 +216,7 @@ object GraphOps {
           .join(ckpt.withColumnRenamed("graft_l", "graft_prev"), Seq("graft_n"))
           .filter(col("graft_l") =!= col("graft_prev"))
           .limit(1).count() == 0L
-        dropCheckpoint(ckpt)
+        CacheRegistry.dropLocalCheckpoint(ckpt)
         labels = nxt
         done += 1
       } else labels = ckpt
@@ -352,10 +344,6 @@ object GraphOps {
             iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
-    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
     var alive = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -373,7 +361,7 @@ object GraphOps {
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
       if (round % 3 == 0 || round == iters) {
         alive = alive.localCheckpoint()
-        dropCheckpoint(prevCkpt)
+        CacheRegistry.dropLocalCheckpoint(prevCkpt)
         prevCkpt = alive
       }
     }

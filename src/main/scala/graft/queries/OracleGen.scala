@@ -18,6 +18,24 @@ object OracleGen {
     * Returns the ",d1 AS ..., c1 AS ..., r1 AS ..." chain; the caller
     * appends its own final SELECT over r`iters`.
     */
+  def pageRankChain(iters: Int): String = {
+    val sb = new StringBuilder
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s""",
+        |d$i AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang FROM r$p
+        |        WHERE n NOT IN (SELECT u FROM outd)),
+        |c$i AS (SELECT e.v AS n, CAST(sum((r.r * e.w) // e.outw) AS BIGINT) AS ct
+        |        FROM e JOIN r$p r ON r.n = e.u GROUP BY e.v),
+        |r$i AS (SELECT nodes.n,
+        |          CAST(150000 + (85 * coalesce(c$i.ct, 0)) // 100
+        |               + (85 * d$i.dang) // (100 * nn.nn) AS BIGINT) AS r
+        |        FROM nodes LEFT JOIN c$i ON c$i.n = nodes.n
+        |        CROSS JOIN d$i CROSS JOIN nn)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** The Bradley–Terry MM iteration chain for
     * [[graft.llm.Preference.bradleyTerry]] at scale 1e6: `iters`
     * levels of the pinned integer update
@@ -53,24 +71,6 @@ object OracleGen {
         |r$i AS MATERIALIZED (SELECT i,
         |  GREATEST(CAST((u * 1000000) // mean AS BIGINT), 1) AS r
         |  FROM u$i CROSS JOIN t$i)""".stripMargin)
-    }
-    sb.toString
-  }
-
-  def pageRankChain(iters: Int): String = {
-    val sb = new StringBuilder
-    for (i <- 1 to iters) {
-      val p = i - 1
-      sb.append(s""",
-        |d$i AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang FROM r$p
-        |        WHERE n NOT IN (SELECT u FROM outd)),
-        |c$i AS (SELECT e.v AS n, CAST(sum((r.r * e.w) // e.outw) AS BIGINT) AS ct
-        |        FROM e JOIN r$p r ON r.n = e.u GROUP BY e.v),
-        |r$i AS (SELECT nodes.n,
-        |          CAST(150000 + (85 * coalesce(c$i.ct, 0)) // 100
-        |               + (85 * d$i.dang) // (100 * nn.nn) AS BIGINT) AS r
-        |        FROM nodes LEFT JOIN c$i ON c$i.n = nodes.n
-        |        CROSS JOIN d$i CROSS JOIN nn)""".stripMargin)
     }
     sb.toString
   }
