@@ -6300,7 +6300,50 @@ object LlmQueries {
              |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
              |  CAST((2 * 10000 * sum(w) + count(*)) // (2 * count(*)) AS BIGINT)
              |    AS longer_win_bp
-             |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)))
+             |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ---- Position-bias audit for judged pairs: every pair is judged
+    // TWICE with the candidates' presentation order swapped, and the
+    // audit reports the per-source rate of verdict FLIPS (HALF_UP bp)
+    // — the standard consistency check on LLM-judge preference data,
+    // where order-sensitive verdicts flag position bias. The verdict
+    // rule plants flips on every 4th pair; the oracle replays the
+    // two-trial synthesis and the distinct-verdict fold verbatim.
+    "q323_position_flip_rate" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val judged = docs.filter(col("doc_id") % 2 === 0)
+          .select(expr("doc_id DIV 2").as("pid"), col("source"),
+            explode(sequence(lit(0), lit(1))).as("trial"))
+          .withColumn("verdict", expr(
+            """CASE WHEN (pid + trial * (CASE WHEN pid % 4 = 0 THEN 1 ELSE 0 END))
+              |          % 2 = 0
+              |     THEN 'chose_a' ELSE 'chose_b' END""".stripMargin))
+        judged.groupBy(col("pid"), col("source"))
+          .agg(countDistinct(col("verdict")).as("graft_nv"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("graft_nv") === 2, 1L).otherwise(0L)).as("n_flipped"))
+          .select(col("source"), col("n_pairs"), col("n_flipped"),
+            expr("(2 * 10000 * n_flipped + n_pairs) DIV (2 * n_pairs)")
+              .as("flip_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH j AS (
+             |  SELECT doc_id // 2 AS pid, source, unnest(range(0, 2)) AS trial
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |v AS (SELECT pid, source,
+             |    CASE WHEN (pid + trial * (CASE WHEN pid % 4 = 0 THEN 1 ELSE 0 END))
+             |              % 2 = 0
+             |         THEN 'chose_a' ELSE 'chose_b' END AS verdict
+             |  FROM j),
+             |f AS (SELECT pid, source, count(DISTINCT verdict) AS nv
+             |      FROM v GROUP BY pid, source)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(CASE WHEN nv = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+             |  CAST((2 * 10000 * sum(CASE WHEN nv = 2 THEN 1 ELSE 0 END)
+             |        + count(*)) // (2 * count(*)) AS BIGINT) AS flip_bp
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)))
 
   /** Deterministic audio column with PLANTED dead air for the silence
     * trim query: 160-sample PCM16 mono WAVs whose first (doc_id%5) and
