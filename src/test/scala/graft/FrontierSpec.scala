@@ -310,6 +310,51 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("the harvested web graph's pageRank steers the next batch's quota") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, count, lit}
+    val base = java.nio.file.Files.createTempDirectory("graft-frontier-wg").toString
+    val (dir, mdir) = (s"$base/f", s"$base/m")
+    Frontier.buildFrontier(urls(0L), "url", dir, numBuckets = 2)
+    // batch 0: three seed pages vote with their links — x2 earns 3
+    // inlinks, x1 earns 1
+    def page(self: String, hrefs: String*) = (self,
+      "<html>" + hrefs.map(h => s"""<a href="$h">x</a>""").mkString + "</html>")
+    val b0 = Seq(
+      page("https://s1.example/p", "https://x2.site.example/a"),
+      page("https://s2.example/p", "https://x2.site.example/a",
+        "https://x1.site.example/a"),
+      page("https://s3.example/p", "https://x2.site.example/a"))
+      .toDF("url", "html")
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      b0, 0L, "url", "html", dir, Some(mdir)) === 2L)
+    // the SAME harvest builds the host graph; pageRank ranks x2's
+    // host above x1's (3 votes vs 1)
+    val edges = b0.select(graft.llm.UrlOps.host(col("url")).as("src"),
+        explode(graft.llm.UrlOps.extractLinks(col("html"))).as("href"))
+      .select(col("src"), graft.llm.UrlOps.host(col("href")).as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val pr = graft.operators.GraphOps.pageRank(edges, "src", "dst", "w",
+      iters = 4)
+    // batch 1 links one NEW url per host, same registered domain,
+    // cap = 1: the rank must keep x2's url even though x1's sorts
+    // first lexicographically
+    val b1 = Seq(
+      page("https://s1.example/q", "https://x1.site.example/new",
+        "https://x2.site.example/new"))
+      .toDF("url", "html")
+    assert(graft.streaming.IndexIngest.processDiscoveryBatch(
+      b1, 1L, "url", "html", dir, Some(mdir),
+      perDomainCap = Some(1),
+      hostPriority = Some((pr, "node", "rank_micro"))) === 1L)
+    val m1 = spark.read.parquet(s"$mdir/batch_id=1")
+      .collect().map(_.getString(0)).toSet
+    assert(m1 === Set("https://x2.site.example/new"),
+      s"the higher-ranked host must win the quota: $m1")
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("resolveRelative discovery turns relative hrefs into frontier URLs") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-frontier-rr").toString
