@@ -1,7 +1,7 @@
 package graft
 
 import graft.llm.{CacheRegistry, Frontier}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Crawl-discovery CLI: one batch of fetched pages (parquet with a URL
@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions.col
   *        All three default OFF: each changes which KEYS a batch
   *        mints, so an existing frontier must keep the settings it
   *        was built with.
+  *
+  *        Compliance + scheduling (all optional, manifest-only — the
+  *        frontier keys stay plain URLs either way):
+  *        SPARK_GRAFT_ROBOTS=<parquet> robots corpus with `host` and
+  *        `robots_txt` columns — disallowed URLs never reach the
+  *        manifest (sticky frontier drop).
+  *        SPARK_GRAFT_AGENT=<name> the user-agent robots groups are
+  *        selected for (default '*').
+  *        SPARK_GRAFT_DOMAIN_CAP=<n> at most n manifest URLs per
+  *        registered domain per batch.
+  *        SPARK_GRAFT_SCHEDULE_DELAYS=<sec> emit the per-host
+  *        politeness schedule columns (crawl_delay_sec / fetch_slot /
+  *        fetch_after_sec) with <sec> as the default delay.
+  *        SPARK_GRAFT_HOST_PRIORITY=<parquet> host-rank sidecar with
+  *        `host` and `priority` columns (e.g. a pageRank of the
+  *        harvested host graph) — rides the manifest as `priority`
+  *        and steers the domain cap toward the highest-ranked hosts.
   */
 object Discover {
   def main(args: Array[String]): Unit = {
@@ -45,7 +62,16 @@ object Discover {
         harvestSitemaps =
           sys.env.get("SPARK_GRAFT_HARVEST_SITEMAPS").contains("1"),
         normalizeKeys =
-          sys.env.get("SPARK_GRAFT_NORMALIZE_KEYS").contains("1"))
+          sys.env.get("SPARK_GRAFT_NORMALIZE_KEYS").contains("1"),
+        robots = sys.env.get("SPARK_GRAFT_ROBOTS")
+          .map(p => (spark.read.parquet(p), "host", "robots_txt")),
+        agent = sys.env.getOrElse("SPARK_GRAFT_AGENT", "*"),
+        perDomainCap =
+          sys.env.get("SPARK_GRAFT_DOMAIN_CAP").map(_.trim.toInt),
+        scheduleDelays =
+          sys.env.get("SPARK_GRAFT_SCHEDULE_DELAYS").map(_.trim.toDouble),
+        hostPriority = sys.env.get("SPARK_GRAFT_HOST_PRIORITY")
+          .map(p => (spark.read.parquet(p), "host", "priority")))
       println(s"[discover] new_urls=$n -> ${args(4)}")
     } finally {
       CacheRegistry.releaseAll(spark)
@@ -55,13 +81,18 @@ object Discover {
 
   /** Runs one discovery batch; package-visible for the spec. Returns
     * the newly discovered URL count (-1 on a ledger-replayed batch).
-    * The flags default off and mirror the env switches `main` reads.
+    * The options default off and mirror the env switches `main` reads.
     */
   def run(spark: SparkSession, pagesPath: String, urlCol: String,
           htmlCol: String, frontierDir: String, outManifestDir: String,
           batchId: Long, resolveRelative: Boolean = false,
           harvestSitemaps: Boolean = false,
-          normalizeKeys: Boolean = false): Long = {
+          normalizeKeys: Boolean = false,
+          robots: Option[(DataFrame, String, String)] = None,
+          agent: String = "*",
+          perDomainCap: Option[Int] = None,
+          scheduleDelays: Option[Double] = None,
+          hostPriority: Option[(DataFrame, String, String)] = None): Long = {
     val pages = spark.read.parquet(pagesPath)
     // gate on the MANIFEST, not bare directory existence: a
     // pre-created dir (mkdir before the first run) or a first run
@@ -86,8 +117,11 @@ object Discover {
     }
     graft.streaming.IndexIngest.processDiscoveryBatch(pages, batchId,
       urlCol, htmlCol, frontierDir, Some(outManifestDir),
+      robots = robots, agent = agent, perDomainCap = perDomainCap,
       resolveRelative = resolveRelative,
+      scheduleDelays = scheduleDelays,
       harvestSitemaps = harvestSitemaps,
-      normalizeKeys = normalizeKeys)
+      normalizeKeys = normalizeKeys,
+      hostPriority = hostPriority)
   }
 }

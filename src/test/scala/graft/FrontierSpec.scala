@@ -213,6 +213,30 @@ class FrontierSpec extends AnyFunSuite with BeforeAndAfterAll {
       normalizeKeys = true) === 1L)
     assert(spark.read.parquet(s"$mdir2/batch_id=1")
       .collect().map(_.getString(0)).toSeq === Seq("https://v.example/b"))
+    // the full scheduler reaches the CLI path: robots drop + domain
+    // cap + host priority + schedule columns in one run
+    val (pdir4, fdir4, mdir4) = (s"$base/pages4", s"$base/frontier4", s"$base/out4")
+    Seq(("https://seed.example/p",
+      """<a href="https://gated.example/private/x">g</a>""" +
+        """<a href="https://aa.dom.example/1">a</a>""" +
+        """<a href="https://hi.dom.example/1">h</a>"""))
+      .toDF("url", "html").write.parquet(pdir4)
+    val robots = Seq(("gated.example",
+      "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"))
+      .toDF("host", "robots_txt")
+    val prio = Seq(("hi.dom.example", 50L)).toDF("host", "priority")
+    assert(Discover.run(spark, pdir4, "url", "html", fdir4, mdir4, 0L,
+      robots = Some((robots, "host", "robots_txt")),
+      perDomainCap = Some(1), scheduleDelays = Some(1.0),
+      hostPriority = Some((prio, "host", "priority"))) === 1L)
+    val m4 = spark.read.parquet(s"$mdir4/batch_id=0")
+    assert(m4.columns.toSet === Set("url", "priority", "crawl_delay_sec",
+      "fetch_slot", "fetch_after_sec"),
+      s"manifest must carry priority + schedule columns: ${m4.columns.toSeq}")
+    val rows4 = m4.select("url", "priority").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows4 === Seq(("https://hi.dom.example/1", 50L)),
+      s"robots must drop, the cap must keep the ranked host: $rows4")
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
