@@ -93,8 +93,12 @@ object Preference {
           |WHEN graft_w <=> graft_l THEN
           |  CAST(raise_error('bradleyTerry: self-comparison (winner = loser)') AS BIGINT)
           |ELSE graft_n END""".stripMargin))
-    val dir = pr.groupBy(col("graft_w"), col("graft_l"))
-      .agg(sum(col("graft_n")).as("graft_n"))
+    // PERSISTED: dir feeds both union arms of the game matrix AND the
+    // wins fold — unpersisted, the corpus-sized pairs groupBy would
+    // re-run per reference (ReuseExchange is not guaranteed)
+    val dir = CacheRegistry.persist(
+      pr.groupBy(col("graft_w"), col("graft_l"))
+        .agg(sum(col("graft_n")).as("graft_n")))
     // the symmetric game matrix, kept DIRECTED both ways for the
     // per-iteration join: n_ij rides on (i, j) AND (j, i)
     val games = CacheRegistry.persist(

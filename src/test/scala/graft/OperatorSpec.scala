@@ -584,6 +584,15 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.llm.CacheRegistry.releaseAll(spark)
   }
 
+  test("bradleyTerry returns an empty frame on an empty comparison table") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, Long)].toDF("w", "l", "n")
+    val got = graft.llm.Preference.bradleyTerry(empty, "w", "l", "n", iters = 3)
+    assert(got.columns.toSeq === Seq("item", "strength_micro"))
+    assert(got.count() === 0L)
+    graft.llm.CacheRegistry.releaseAll(spark)
+  }
+
   test("bradleyTerry rejects non-positive counts and self-comparisons loudly") {
     import spark.implicits._
     def msgs(t: Throwable): Seq[String] =
