@@ -40,6 +40,15 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fleissKappa leaves no persisted RDDs after releaseAll") {
+    import spark.implicits._
+    val ratings = (0L until 60L).map(i =>
+      (i % 20, i / 20, (i % 3).toString)).toDF("item", "rater", "label")
+    assertNoLeak("fleissKappa") {
+      graft.llm.Preference.fleissKappa(ratings, "item", "rater", "label", 3)
+    }
+  }
+
   test("bradleyTerry driver path leaves no persisted RDDs after releaseAll") {
     import spark.implicits._
     val pairs = (1L to 30L).map(i =>
