@@ -308,6 +308,27 @@ case class MaskIntersectExpr(a: Expression, b: Expression) extends VecExpression
     copy(a = nc(0), b = nc(1))
 }
 
+/** graft_wmask_inter(a array<long>, b array<long>, w array<long> lit) →
+  * bigint: Σ w(bit) over set bits of a & b — weighted dense-vocabulary
+  * intersection with the weight table embedded as a vocab-bounded
+  * literal.
+  */
+case class WMaskIntersectExpr(a: Expression, b: Expression, wE: Expression)
+    extends VecExpression {
+  override protected def streamingArity: Int = 2
+  override def children: Seq[Expression] = Seq(a, b, wE)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_wmask_inter"
+  @transient private lazy val w = evalLongArray(wE)
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    VecKernels.wMaskIntersect(v(0), v(1), w)
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.wMaskIntersect(${vals(0)}, ${vals(1)}, " +
+      s"${ctx.addReferenceObj("w", w, "long[]")})"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): WMaskIntersectExpr =
+    copy(a = nc(0), b = nc(1), wE = nc(2))
+}
+
 /** graft_cos_rank(v array<float>, cents array<float> lit, cids
   * array<long> lit) → array<long>: centroid ids by cosine desc, ties →
   * lowest id.
@@ -346,6 +367,7 @@ object VecFunctions {
     "graft_simhash" -> (e => SimHashExpr(e(0))),
     "graft_bits_mask" -> (e => BitsToMaskExpr(e(0), e(1))),
     "graft_mask_inter" -> (e => MaskIntersectExpr(e(0), e(1))),
+    "graft_wmask_inter" -> (e => WMaskIntersectExpr(e(0), e(1), e(2))),
     "graft_cos_rank" -> (e => CosRankExpr(e(0), e(1), e(2))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>

@@ -379,4 +379,31 @@ object VecKernels {
     }
     s
   }
+
+  /** Weighted |A ∩ B| of two same-width bitmasks: Σ w(bit) over the set
+    * bits of a & b, with `w` the vocabulary-bit weight table (vocab-
+    * bounded literal — the codebook pattern). The weighted analogue of
+    * [[maskIntersect]]: long addition is order-free, so the sum equals
+    * the token-sorted merge walk ([[wisect]]) exactly — bit order IS
+    * vocabulary sort order. Replaces carrying two token-string arrays
+    * plus a weight array per candidate pair through the dense all-pairs
+    * join with one mask word-walk per pair.
+    */
+  def wMaskIntersect(a: ArrayData, b: ArrayData, w: Array[Long]): Long = {
+    val na = a.numElements()
+    require(na == b.numElements(),
+      s"graft_wmask_inter: mask widths differ ($na vs ${b.numElements()})")
+    var s = 0L
+    var i = 0
+    while (i < na) {
+      var bits = a.getLong(i) & b.getLong(i)
+      val base = i << 6
+      while (bits != 0L) {
+        s += w(base + java.lang.Long.numberOfTrailingZeros(bits))
+        bits &= bits - 1L
+      }
+      i += 1
+    }
+    s
+  }
 }

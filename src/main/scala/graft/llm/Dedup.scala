@@ -606,23 +606,72 @@ object Dedup extends PersistedIndex {
       else spark.conf.get("graft.cc.smallGraphEdges", "1000000").toLong
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    // both orientations from ONE pass over the (possibly expensive)
-    // edges subtree — a union of two selects would re-execute it twice
-    val sym = edges
-      .select(explode(array(
-        struct(a.as("u"), b.as("v")),
-        struct(b.as("u"), a.as("v")))).as("e"))
-      .select(col("e.u"), col("e.v"))
-      .distinct()
-      .persist()
-    // sym holds BOTH orientations; the cutoff (and its documented driver
-    // memory sizing) is in undirected edges, so halve before comparing
-    val edgeCount = sym.count() / 2
-    if (edgeCount <= smallCutoff) {
+
+    // Partition-local union-find over an edge partition, emitted as star
+    // edges (node → min node of its partition-local component). Exactly
+    // connectivity-preserving: the union over partitions of each
+    // partition's spanning star has the same components as the union of
+    // the original edges, and |output| is bounded by the partition's
+    // NODE count — near-clique duplicate graphs (3M edges over 5k texts
+    // at sf0.1/t=0.8) contract to ~nodes·partitions edges in ONE narrow
+    // pass, where min-label propagation paid diameter × (join + agg)
+    // shuffles over the full edge set. Memory is O(nodes per partition),
+    // bounded by the partition's edge bytes — never corpus-shaped.
+    def contractPartitions(es: org.apache.spark.sql.Dataset[(Long, Long)])
+        : org.apache.spark.sql.Dataset[(Long, Long)] =
+      es.mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) parent(if (ru < rv) rv else ru) = math.min(ru, rv)
+        }
+        val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+        parent.keys.foreach { n =>
+          val r = find(n)
+          minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
+        }
+        parent.keysIterator.map(n => (n, minOfRoot(find(n))))
+      }
+
+    // ONE materialization of the (possibly expensive) edges subtree; the
+    // driver cutoff (and its documented memory sizing) is in input edge
+    // rows — callers pass already-distinct pair sets, and duplicates only
+    // push toward the distributed path (never unsafe).
+    var cur = edges.select(a.as("_1"), b.as("_2")).as[(Long, Long)].persist()
+    var curCount = cur.count()
+    val inputEdges = cur
+    // Contract while the graph is too big for the driver and still
+    // shrinking: round 1 runs on the verification join's output
+    // partitioning; later rounds co-locate each node's star edges so
+    // cross-partition components keep merging. Near-clique graphs land
+    // under the cutoff in one round; a path-shaped adversary stops
+    // shrinking and falls through to label propagation, which is exact
+    // on the contracted graph (same components, far fewer edges).
+    var rounds = 0
+    while (curCount > smallCutoff && rounds < 3) {
+      val next = contractPartitions(
+        if (rounds == 0) cur else cur.repartition(col("_1"))).persist()
+      val nextCount = next.count()
+      if (cur ne inputEdges) cur.unpersist()
+      val stalled = nextCount > (curCount * 7) / 10
+      cur = next
+      curCount = nextCount
+      rounds = if (stalled) 3 else rounds + 1
+    }
+    if (curCount <= smallCutoff) {
       // Driver union-find (rank + path compression), then component =
-      // min node id per root — identical labels to the distributed path.
-      val es = sym.as[(Long, Long)].collect()
-      sym.unpersist()
+      // min id per root — identical labels to the distributed path.
+      val es = cur.collect()
+      if (cur ne inputEdges) cur.unpersist()
+      inputEdges.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -643,6 +692,18 @@ object Dedup extends PersistedIndex {
       }
       return parent.keys.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "comp")
     }
+    // Distributed min-label propagation over the contracted graph: both
+    // orientations from one pass over the persisted frame.
+    val sym = cur.toDF("cu", "cv")
+      .select(explode(array(
+        struct(col("cu").as("u"), col("cv").as("v")),
+        struct(col("cv").as("u"), col("cu").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+      .persist()
+    sym.count()
+    if (cur ne inputEdges) cur.unpersist()
+    inputEdges.unpersist()
     def propagate(l: DataFrame): DataFrame =
       sym.join(l, sym("v") === l("id"))
         .select(col("u").as("id"), col("comp"))
@@ -1466,12 +1527,13 @@ object Dedup extends PersistedIndex {
     val vocabN = dfreqP.count()
     val dense = densePathEligible(spark, vocabN, vocabMax, nTexts,
       math.max(vocabN, 1L))
-    // per text: (tok, w) in rarity order, total weight W, and the
-    // TOKEN-SORTED parallel (tokens, weights) arrays for the merge-walk
-    // verification kernel (per-text work — the higher-order functions
-    // here run once per distinct text, not per candidate pair, so their
-    // CodegenFallback cost is immaterial)
-    val sorted = toks.join(weights, Seq("tok"))
+    // per text (sparse regime): (tok, w) in rarity order, total weight
+    // W, and the TOKEN-SORTED parallel (tokens, weights) arrays for the
+    // merge-walk verification kernel (per-text work — the higher-order
+    // functions here run once per distinct text, not per candidate
+    // pair, so their CodegenFallback cost is immaterial). Built lazily
+    // so the dense regime never evaluates it at all.
+    def sorted = toks.join(weights, Seq("tok"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(
         struct(col("graft_df"), col("tok"), col("graft_w")))).as("graft_ts"))
@@ -1485,21 +1547,48 @@ object Dedup extends PersistedIndex {
       .withColumn("graft_vw", expr("transform(graft_srt, x -> x.w)"))
     val (verified, docs) =
       if (dense) {
-        val docs = CacheRegistry.persist(sorted.select(col("id"),
-          col("graft_vt"), col("graft_vw"), col("graft_wt")))
+        // Dense verification over BITMASKS (the denseJaccardDistinct
+        // shape, weighted): tokens map to vocabulary bits, each text
+        // becomes a ⌈V/64⌉-word mask + its total weight, and the pair
+        // kernel is one word-walk summing the weight table over set
+        // bits of a&b — long addition is order-free, so w_inter equals
+        // the token-sorted merge walk exactly. The weight table is a
+        // vocab-bounded plan literal (the PQ codebook pattern; ≤ 4096
+        // longs under the dispatch gate) collected in ONE driver pass
+        // that also provides the token→bit map — replacing the two
+        // token-string arrays + weight array the join previously
+        // copied into every surviving candidate row (measured: q151
+        // dense pair stage 4.2 s → 1.3 s at sf0.1).
+        import spark.implicits._
+        val wRows = weights.select(col("tok"), col("graft_w"))
+          .orderBy(col("tok")).collect()
+        val wTable = wRows.map(_.getLong(1))
+        val vocabDf = wRows.iterator.zipWithIndex
+          .map { case (r, i) => (r.getString(0), i.toLong, r.getLong(1)) }
+          .toSeq.toDF("tok", "graft_bit", "graft_w")
+        val width = ((wTable.length + 63) / 64).max(1)
+        val docs = CacheRegistry.persist(
+          toks.join(broadcast(vocabDf), Seq("tok"))
+            .groupBy(col("id"))
+            .agg(collect_list(col("graft_bit")).as("graft_bits"),
+              sum(col("graft_w")).as("graft_wt"))
+            .select(col("id"),
+              call_function("graft_bits_mask", col("graft_bits"), lit(width))
+                .as("graft_m"),
+              col("graft_wt")))
         val lhs = docs.repartition(spark.sessionState.conf.numShufflePartitions)
-          .select(col("id").as("tidl_a"), col("graft_vt").as("graft_vta"),
-            col("graft_vw").as("graft_vwa"), col("graft_wt").as("graft_wa"))
-        val rhs = docs.select(col("id").as("tidl_b"), col("graft_vt").as("graft_vtb"),
+          .select(col("id").as("tidl_a"), col("graft_m").as("graft_ma"),
+            col("graft_wt").as("graft_wa"))
+        val rhs = docs.select(col("id").as("tidl_b"), col("graft_m").as("graft_mb"),
           col("graft_wt").as("graft_wb"))
         val joined = lhs.join(rhs,
             col("tidl_a") < col("tidl_b") &&
               lit(10000L) * least(col("graft_wa"), col("graft_wb")) >=
                 lit(thresholdBp) * greatest(col("graft_wa"), col("graft_wb")))
           // explode(array(...)) barrier: see denseJaccardDistinct — keeps
-          // the merge-walk kernel out of the pushed-down join condition
-          .withColumn("w_inter", explode(array(call_function("graft_wisect",
-            col("graft_vta"), col("graft_vwa"), col("graft_vtb")))))
+          // the mask kernel out of the pushed-down join condition
+          .withColumn("w_inter", explode(array(call_function("graft_wmask_inter",
+            col("graft_ma"), col("graft_mb"), typedLit(wTable.toSeq)))))
         (joined, docs)
       } else {
         // the SHORTEST prefix whose suffix weight drops below t·W(doc) —

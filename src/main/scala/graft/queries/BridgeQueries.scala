@@ -1413,16 +1413,21 @@ object BridgeQueries {
             lit("HTTP/1.1 301 Moved Permanently\r\nLocation: "), loc,
             lit("\r\nContent-Type: text/html\r\n\r\n<html>moved</html>")))
         val msgs = docs.select(col("doc_id"), url.as("url"), msg.as("msg"))
-        val edges = msgs.select(col("url"),
-          graft.llm.Html.httpStatus(col("msg")).as("status"),
-          graft.llm.UrlOps.resolveUrl(col("url"),
-            graft.llm.Html.redirectTarget(col("msg"))).as("tgt"))
+        // the regex chain (status + Location + resolve) feeds THREE join
+        // branches — persist or it executes once per branch (PERF
+        // LESSON 1); the hop lookups are url-keyed projections of the
+        // same cached frame, broadcast so the walk stays shuffle-free
+        val edges = graft.llm.CacheRegistry.persist(
+          msgs.select(col("url"),
+            graft.llm.Html.httpStatus(col("msg")).as("status"),
+            graft.llm.UrlOps.resolveUrl(col("url"),
+              graft.llm.Html.redirectTarget(col("msg"))).as("tgt")))
         val e1 = edges.select(col("url").as("u1k"), col("tgt").as("t1"))
         val e2 = edges.select(col("url").as("u2k"), col("tgt").as("t2"))
         msgs.select(col("doc_id"), col("url"))
           .join(edges, Seq("url"))
-          .join(e1, col("tgt") === col("u1k"), "left")
-          .join(e2, col("t1") === col("u2k"), "left")
+          .join(broadcast(e1), col("tgt") === col("u1k"), "left")
+          .join(broadcast(e2), col("t1") === col("u2k"), "left")
           .select(col("doc_id"), col("url"), col("status"),
             when(col("tgt").isNull, col("url"))
               .when(col("u1k").isNull, col("tgt"))

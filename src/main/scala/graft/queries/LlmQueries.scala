@@ -1015,6 +1015,22 @@ object LlmQueries {
     idx.toString
   }
 
+  /** Ids feeding the fixture-synthesis tables below, spread across the
+    * session's shuffle partitions first: synthesis runs REAL encoders
+    * (ImageIO PNG/BMP, AVI/WAV framers) per row inside mapPartitions,
+    * and a small corpus parquet arrives as ONE scan partition — without
+    * the spread every encode AND the downstream decode ran single-task
+    * (measured: the whole multimodal family serialized on one core at
+    * sf0.1). The repartition moves 8 bytes/row — negligible at any
+    * scale — and keeps the encode stage parallel at the driver's
+    * lower-core bench points too.
+    */
+  private def synthIds(s: SparkSession, dir: String) = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions).as[Long]
+  }
+
   /** Deterministic media column: one complete solid-color bitmap per
     * document — PNG for even ids, BMP for odd — with dimensions and RGB
     * planted by arithmetic on doc_id, encoded by ImageIO on the
@@ -1023,7 +1039,7 @@ object LlmQueries {
     */
   private def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long]
+    synthIds(s, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val fmt = if (id % 2 == 0) "png" else "bmp"
@@ -1047,7 +1063,7 @@ object LlmQueries {
     */
   private def gradientMediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long]
+    synthIds(s, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val fmt = if (id % 2 == 0) "png" else "bmp"
@@ -1066,7 +1082,7 @@ object LlmQueries {
     */
   private def videoTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long]
+    synthIds(s, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val nf = (id % 5).toInt + 1
@@ -1094,7 +1110,7 @@ object LlmQueries {
     */
   private def gradientAviTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long]
+    synthIds(s, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val nf = (id % 5).toInt + 1
@@ -1117,7 +1133,7 @@ object LlmQueries {
     */
   private def audioTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long]
+    synthIds(s, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val ch = (id % 2).toInt + 1
@@ -6353,7 +6369,7 @@ object LlmQueries {
     */
   private def audioTrimTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long]
+    synthIds(s, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val z1 = (id % 5).toInt * 16
@@ -6376,7 +6392,7 @@ object LlmQueries {
     */
   private def audioFpTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long]
+    synthIds(s, dir)
       .mapPartitions { ids =>
         ids.map { id =>
           val n = 198 + (id % 3).toInt * 16

@@ -869,6 +869,93 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((1L, 2L)) === -1000L)
   }
 
+  test("graft_cov_cells matches a BigInt reference incl. >2^63 products and ragged rows") {
+    import spark.implicits._
+    graft.functions.TriCellFunctions.register(spark)
+    // values whose pairwise products exceed Long.MaxValue (5e9² = 2.5e19)
+    // — the regime the decimal(38,0) explode form was exact in — plus a
+    // ragged short row and a NULL row (contributes nothing)
+    val rows: Seq[Option[Seq[Long]]] = Seq(
+      Some(Seq(5000000000L, -3L, 7L)),
+      Some(Seq(-4000000000L, 11L, 2L)),
+      Some(Seq(9L, -6000000000L)), // ragged: length 2
+      None)
+    val df = rows.toDF("sv")
+    val got = df.agg(call_function("graft_cov_cells", col("sv")).as("c"))
+      .select(explode(col("c")).as("p"))
+      .select(col("p.di"), col("p.dj"), col("p.n"),
+        col("p.graft_si").cast("string"), col("p.graft_sj").cast("string"),
+        col("p.graft_sij").cast("string"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), BigInt(r.getString(3)), BigInt(r.getString(4)), BigInt(r.getString(5)))))
+      .toMap
+    val data = rows.flatten
+    for (j <- 0 until 3; i <- 0 to j) {
+      val contributing = data.filter(_.length > j)
+      val expN = contributing.length.toLong
+      val expSi = contributing.map(v => BigInt(v(i))).sum
+      val expSj = contributing.map(v => BigInt(v(j))).sum
+      val expSij = contributing.map(v => BigInt(v(i)) * BigInt(v(j))).sum
+      assert(got((i.toLong, j.toLong)) === ((expN, expSi, expSj, expSij)),
+        s"cell ($i,$j)")
+    }
+    assert(got.size === 6)
+  }
+
+  test("graft_d2_cells matches a BigInt reference on rank-like vectors") {
+    import spark.implicits._
+    graft.functions.TriCellFunctions.register(spark)
+    val data = Seq(Seq(1L, 4L, 9L), Seq(2L, 2L, 1L), Seq(3L, 3000000000L, 5L))
+    val got = data.toDF("rv")
+      .agg(call_function("graft_d2_cells", col("rv")).as("c"))
+      .select(explode(col("c")).as("p"))
+      .select(col("p.di"), col("p.dj"), col("p.n"), col("p.graft_s").cast("string"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), BigInt(r.getString(3)))))
+      .toMap
+    for (j <- 0 until 3; i <- 0 until j) {
+      val exp = data.map { v =>
+        val d = BigInt(v(i) - v(j)); d * d
+      }.sum
+      assert(got((i.toLong, j.toLong)) === ((3L, exp)), s"cell ($i,$j)")
+    }
+    assert(got.size === 3)
+  }
+
+  test("embedCovariance fused aggregate equals the explode-form reference") {
+    import spark.implicits._
+    val vecs = (1 to 40).map(k =>
+      (k.toLong, Seq(k * 0.01f, -k * 0.03f, (k % 7) * 0.11f, 0.5f - k * 0.002f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedCovariance(vecs, "embedding")
+      .orderBy("di", "dj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the pre-fusion plan shape, inlined as the reference
+    graft.functions.VecFunctions.register(spark)
+    val ref = vecs
+      .select(call_function("graft_scale_q", col("embedding"), lit(10000.0)).as("graft_sv"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(graft_sv)), i ->
+          |  transform(sequence(i, size(graft_sv)), j -> struct(
+          |    CAST(i - 1 AS BIGINT) AS di, CAST(j - 1 AS BIGINT) AS dj,
+          |    element_at(graft_sv, i) AS xi, element_at(graft_sv, j) AS xj))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.di").as("di"), col("p.dj").as("dj"), col("p.xi").as("xi"),
+        col("p.xj").as("xj"))
+      .groupBy(col("di"), col("dj"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_si"),
+        sum(col("xj").cast("decimal(38,0)")).cast("decimal(38,0)").as("graft_sj"),
+        sum(col("xi").cast("decimal(38,0)") * col("xj").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("graft_sij"))
+      .select(col("di"), col("dj"), col("n"),
+        expr(Similarity.covUExpr).as("cov_u"))
+      .orderBy("di", "dj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("hillTailIndex replays the once-rounded log formula; short groups omitted") {
     import spark.implicits._
     val a = (1 to 21).map(i => ("a", (1000 / i).toLong, i.toLong)) // Pareto-ish

@@ -121,6 +121,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dist == want)
   }
 
+  test("connectedComponents contraction: near-clique and path graphs, all cutoff regimes") {
+    import spark.implicits._
+    // near-clique blowup (the dedup mega-cluster shape: 50 nodes, all
+    // pairs = 1225 edges) + a 60-node path (the contraction-adversarial
+    // shape: partition-local union-find barely shrinks it) + a far loner
+    // pair; labels must agree across the driver path, the
+    // contraction→driver path, and the contraction→propagation path
+    val clique = for (i <- 1 to 50; j <- (i + 1) to 50) yield (i.toLong, j.toLong)
+    val path = (100 until 159).map(i => (i.toLong, i.toLong + 1))
+    val edges = (clique ++ path ++ Seq((1000L, 1001L))).toDF("a", "b")
+    def run(cutoff: Long) =
+      graft.llm.Dedup.connectedComponents(edges, "a", "b", smallGraphThreshold = cutoff)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+    val driver = run(10000L) // pure driver union-find, no contraction
+    assert(driver.filter(_._1 <= 50L).forall(_._2 == 1L))
+    assert(driver.filter(p => p._1 >= 100L && p._1 <= 159L).forall(_._2 == 100L))
+    assert(driver.filter(_._1 >= 1000L).forall(_._2 == 1000L))
+    // cutoff below the edge count but above the contracted size:
+    // contraction rounds land it on the driver
+    assert(run(600L) == driver)
+    // cutoff 0: contraction can never reach the driver; the label
+    // propagation fallback runs on the contracted graph
+    assert(run(0L) == driver)
+  }
+
   test("lshCandidatePairs hot-band cap bounds a degenerate bucket's candidates") {
     import spark.implicits._
     // adversarial corpus: 30 docs share one boilerplate text (one band
