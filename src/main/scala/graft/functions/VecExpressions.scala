@@ -308,6 +308,39 @@ case class MaskIntersectExpr(a: Expression, b: Expression) extends VecExpression
     copy(a = nc(0), b = nc(1))
 }
 
+/** graft_tok_mask(text string, vocab array<string> lit) → array<long>:
+  * the text's single-space token set as a ⌈|vocab|/64⌉-word bitmask,
+  * bit index = the token's position in the (sorted) vocabulary literal.
+  */
+case class TokMaskExpr(text: Expression, vocabE: Expression)
+    extends VecExpression {
+  override protected def streamingArity: Int = 1
+  override def children: Seq[Expression] = Seq(text, vocabE)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_tok_mask"
+  @transient private lazy val bits: java.util.HashMap[String, Integer] = {
+    val toks = vocabE.eval(null).asInstanceOf[ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+    val m = new java.util.HashMap[String, Integer](toks.length * 2)
+    toks.zipWithIndex.foreach { case (t, i) => m.put(t.toString, i) }
+    m
+  }
+  @transient private lazy val width: Int = math.max((bits.size() + 63) / 64, 1)
+  override def eval(input: InternalRow): Any = {
+    val v = text.eval(input)
+    if (v == null) null
+    else VecKernels.tokMask(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits, width)
+  }
+  override protected def kernelEval(v: Seq[ArrayData]): Any =
+    throw new UnsupportedOperationException("string child — eval overridden")
+  override protected def kernelCall(ctx: CodegenContext, vals: Seq[String]): String =
+    s"graft.functions.VecKernels.tokMask(${vals.head}, " +
+      s"${ctx.addReferenceObj("bits", bits, "java.util.HashMap")}, $width)"
+  override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]): TokMaskExpr =
+    copy(text = nc(0), vocabE = nc(1))
+}
+
 /** graft_wmask_inter(a array<long>, b array<long>, w array<long> lit) →
   * bigint: Σ w(bit) over set bits of a & b — weighted dense-vocabulary
   * intersection with the weight table embedded as a vocab-bounded
@@ -368,6 +401,7 @@ object VecFunctions {
     "graft_bits_mask" -> (e => BitsToMaskExpr(e(0), e(1))),
     "graft_mask_inter" -> (e => MaskIntersectExpr(e(0), e(1))),
     "graft_wmask_inter" -> (e => WMaskIntersectExpr(e(0), e(1), e(2))),
+    "graft_tok_mask" -> (e => TokMaskExpr(e(0), e(1))),
     "graft_cos_rank" -> (e => CosRankExpr(e(0), e(1), e(2))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>

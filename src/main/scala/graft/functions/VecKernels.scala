@@ -380,6 +380,31 @@ object VecKernels {
     s
   }
 
+  /** Text → vocabulary bitmask in ONE in-row call: split on single
+    * spaces (java regex split, limit −1 — identical piece list to
+    * Spark's `split(text, " ")`) and set each token's vocabulary bit.
+    * Replaces the explode(array_distinct(split)) → vocab join →
+    * groupBy(collect_list) → bits_mask assembly of the dense-regime doc
+    * masks with a narrow scan — the distinct is free (set bits are
+    * idempotent) and the per-text shuffle disappears. The vocabulary is
+    * complete by construction (built from these texts' tokens), so a
+    * miss is a caller bug and throws.
+    */
+  def tokMask(text: org.apache.spark.unsafe.types.UTF8String,
+      bits: java.util.HashMap[String, Integer], width: Int): ArrayData = {
+    val out = new Array[Long](width)
+    val parts = text.toString.split(" ", -1)
+    var i = 0
+    while (i < parts.length) {
+      val b = bits.get(parts(i))
+      if (b == null) throw new IllegalArgumentException(
+        s"graft_tok_mask: token '${parts(i)}' missing from the vocabulary literal")
+      out(b.intValue() >> 6) |= 1L << (b.intValue() & 63)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Weighted |A ∩ B| of two same-width bitmasks: Σ w(bit) over the set
     * bits of a & b, with `w` the vocabulary-bit weight table (vocab-
     * bounded literal — the codebook pattern). The weighted analogue of

@@ -1216,20 +1216,31 @@ object Dedup extends PersistedIndex {
     * repartitioned so the quadratic loop spreads across every core
     * instead of riding the agg's (possibly single) output partition.
     */
+  /** Dense-regime doc masks in ONE narrow scan: the vocabulary (vocab-
+    * bounded by the dispatch gate, ≤ denseVocabMax) collects to a sorted
+    * token-array literal — bit = position, exactly the row_number-over-
+    * token-order assignment it replaces — and `graft_tok_mask` sets each
+    * text's bits in-row. graft_sz = popcount(m ∩ m) = the distinct token
+    * count. Replaces the explode → vocab join → groupBy(collect_list)
+    * per-text shuffle the three dense verifiers each paid (measured
+    * ~0.7 s of the q139 pipeline at sf0.1).
+    */
+  private def denseMaskDocs(texts: DataFrame, dfreq: DataFrame): DataFrame = {
+    val vocabToks = dfreq.select(col("tok")).orderBy(col("tok"))
+      .collect().map(_.getString(0))
+    CacheRegistry.persist(
+      texts.select(col("graft_tidl").as("id"),
+        call_function("graft_tok_mask", col("graft_t"),
+          typedLit(vocabToks.toSeq)).as("graft_m"))
+        .withColumn("graft_sz",
+          call_function("graft_mask_inter", col("graft_m"), col("graft_m"))))
+  }
+
   private def denseJaccardDistinct(texts: DataFrame, toks: DataFrame,
       dfreq: DataFrame, vocabN: Int, thresholdBp: Long): DataFrame = {
     val spark = texts.sparkSession
     graft.functions.VecFunctions.register(spark)
-    val width = math.max((vocabN + 63) / 64, 1)
-    val vocab = dfreq.select(col("tok")).withColumn("graft_bit",
-      (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
-    val docs = CacheRegistry.persist(
-      toks.join(vocab, Seq("tok"))
-        .groupBy(col("id"))
-        .agg(collect_list(col("graft_bit")).as("graft_bits"))
-        .select(col("id"),
-          call_function("graft_bits_mask", col("graft_bits"), lit(width)).as("graft_m"),
-          size(col("graft_bits")).cast("long").as("graft_sz")))
+    val docs = denseMaskDocs(texts, dfreq)
     val lhs = docs.repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("id").as("tidl_a"), col("graft_m").as("graft_ma"),
         col("graft_sz").as("graft_na"))
@@ -1385,16 +1396,7 @@ object Dedup extends PersistedIndex {
       dfreq: DataFrame, vocabN: Int, thresholdBp: Long): DataFrame = {
     val spark = texts.sparkSession
     graft.functions.VecFunctions.register(spark)
-    val width = math.max((vocabN + 63) / 64, 1)
-    val vocab = dfreq.select(col("tok")).withColumn("graft_bit",
-      (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
-    val docs = CacheRegistry.persist(
-      toks.join(vocab, Seq("tok"))
-        .groupBy(col("id"))
-        .agg(collect_list(col("graft_bit")).as("graft_bits"))
-        .select(col("id"),
-          call_function("graft_bits_mask", col("graft_bits"), lit(width)).as("graft_m"),
-          size(col("graft_bits")).cast("long").as("graft_sz")))
+    val docs = denseMaskDocs(texts, dfreq)
     val lhs = docs.repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("id").as("tidl_a"), col("graft_m").as("graft_ma"),
         col("graft_sz").as("graft_na"))
@@ -1559,23 +1561,19 @@ object Dedup extends PersistedIndex {
         // token-string arrays + weight array the join previously
         // copied into every surviving candidate row (measured: q151
         // dense pair stage 4.2 s → 1.3 s at sf0.1).
-        import spark.implicits._
         val wRows = weights.select(col("tok"), col("graft_w"))
           .orderBy(col("tok")).collect()
         val wTable = wRows.map(_.getLong(1))
-        val vocabDf = wRows.iterator.zipWithIndex
-          .map { case (r, i) => (r.getString(0), i.toLong, r.getLong(1)) }
-          .toSeq.toDF("tok", "graft_bit", "graft_w")
-        val width = ((wTable.length + 63) / 64).max(1)
+        val wLit = typedLit(wTable.toSeq)
+        // masks + totals in ONE narrow scan (the denseMaskDocs shape):
+        // graft_wt = Σ w over the text's distinct tokens = the weighted
+        // self-intersection of its own mask
         val docs = CacheRegistry.persist(
-          toks.join(broadcast(vocabDf), Seq("tok"))
-            .groupBy(col("id"))
-            .agg(collect_list(col("graft_bit")).as("graft_bits"),
-              sum(col("graft_w")).as("graft_wt"))
-            .select(col("id"),
-              call_function("graft_bits_mask", col("graft_bits"), lit(width))
-                .as("graft_m"),
-              col("graft_wt")))
+          texts.select(col("graft_tidl").as("id"),
+            call_function("graft_tok_mask", col("graft_t"),
+              typedLit(wRows.map(_.getString(0)).toSeq)).as("graft_m"))
+            .withColumn("graft_wt", call_function("graft_wmask_inter",
+              col("graft_m"), col("graft_m"), wLit)))
         val lhs = docs.repartition(spark.sessionState.conf.numShufflePartitions)
           .select(col("id").as("tidl_a"), col("graft_m").as("graft_ma"),
             col("graft_wt").as("graft_wa"))

@@ -486,7 +486,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // verification) anywhere in the plan.
     val p = planOf("q139_jaccard_join")
     assert(p.contains("graft_mask_inter"), s"dense path not taken:\n$p")
-    assert(p.contains("graft_bits_mask"), s"mask build missing:\n$p")
+    // r14: masks build IN-ROW from the vocab literal (graft_tok_mask) —
+    // the explode→join→collect_list→graft_bits_mask assembly is gone
+    assert(p.contains("graft_tok_mask"), s"in-row mask build missing:\n$p")
+    assert(!p.contains("graft_bits_mask"),
+      s"shuffled mask assembly resurfaced in the dense plan:\n$p")
     assert(!p.contains("slice(graft_toks") && !p.contains("array_intersect"),
       s"prefix-path candidate machinery leaked into the dense plan:\n$p")
     graft.llm.CacheRegistry.releaseAll(spark)

@@ -690,11 +690,18 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       val want = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
         .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
-      // 16 rounds ≥ any peel chain at these sizes
+      // 16 rounds ≥ any peel chain at these sizes; both the driver
+      // fast path (default cutoff) and the distributed peel (cutoff 0)
+      // must match the sequential reference
       val got = graft.operators.GraphOps
         .kCore(edges.toDF("s", "d"), "s", "d", k, iters = 16)
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(got == want, s"trial $trial (k=$k): got $got want $want")
+      val dist = graft.operators.GraphOps
+        .kCore(edges.toDF("s", "d"), "s", "d", k, iters = 16,
+          smallGraphThreshold = 0L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(dist == want, s"trial $trial (k=$k) distributed: got $dist want $want")
       spark.catalog.clearCache()
     }
   }
