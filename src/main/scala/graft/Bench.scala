@@ -106,6 +106,17 @@ object Bench {
     // match) and skips the carving benches; SPARK_GRAFT_ONLY= (empty)
     // skips all queries and runs just the carving benches. The driver
     // never sets either.
+    // The contract's "sf" field is the SCALE FACTOR — a number. Through
+    // round 14 the bench emitted the sf DIRECTORY PATH there, and the
+    // driver's bench capture recorded `parsed: null` every round (a
+    // numeric-"sf" validation would fail on the string): a measurement
+    // bug, fixed this round per the OPTIMIZATION_r15.md note. The raw
+    // directory still ships, under "sf_dir".
+    val sfNum: String = {
+      val m = java.util.regex.Pattern.compile("sf([0-9]*\\.?[0-9]+)")
+        .matcher(new java.io.File(sfDir).getName)
+      if (m.find()) m.group(1) else "0"
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").filter(_.nonEmpty).toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
@@ -480,7 +491,8 @@ object Bench {
     if (only.exists(_.nonEmpty)) {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       emit(s"""{"metric":"total","value":${results.values.sum},"unit":"sec","queries":$qs,""" +
-        s""""calibration_sec":$calibrationSec,"calibration_par_sec":$calibrationParSec,"sf":"$sfDir"}""")
+        s""""calibration_sec":$calibrationSec,"calibration_par_sec":$calibrationParSec,""" +
+        s""""sf":$sfNum,"sf_dir":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -509,7 +521,8 @@ object Bench {
       s""""warc_gz_parse_sec":$warcGzSec,"warc_gz_parse_mibps":$warcGzMibps,""" +
       s""""warc_gz_inflated_mibps":$warcGzInflMibps,""" +
       s""""tokenizer_8k_train_sec":$tok8kTrainSec,"tokenizer_8k_encode_sec":$tok8kEncodeSec,""" +
-      s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,"sf":"$sfDir"}""")
+      s""""jpeg_dense_sec":$denseSec,"jpeg_dense_files":$denseCarved,""" +
+      s""""sf":$sfNum,"sf_dir":"$sfDir"}""")
     spark.stop()
   }
 

@@ -268,20 +268,37 @@ object Retrieval extends PersistedIndex {
       .distinct()
       .join(termDf, Seq("tok"))
 
-  /** The shared corpus passes: the (id, tok, tf) table (persisted — it
-    * feeds doc lengths, term dfs, and the scoring join), doc lengths,
+  /** The shared corpus passes: the (id, tok, tf, dl) postings table
+    * (persisted — it feeds term dfs and the scoring join), doc lengths,
     * the 1-row corpus stats (avdl in HALF_UP milli-tokens, embedded in
     * the plan — no eager count()), and per-term document frequencies.
+    *
+    * tf and dl are computed IN-ROW: a document's tokens all live in its
+    * own text cell, so the per-(doc, term) counts are one array_sort
+    * plus a run-boundary walk per row — the explode → groupBy(id, tok)
+    * exchange the old shape paid (a full corpus-token shuffle at any
+    * scale) is gone, and dl rides DENORMALIZED on every posting so
+    * scoring needs no corpus-sized dl join either (guide §2.3/§2.4:
+    * aggregate before you shuffle / remove shuffles outright). Counts,
+    * lengths, dfs and avdl are identical to the exploded formulation by
+    * construction. Intermediates (sorted array, run starts) ride
+    * through 1-element explode(array(…)) Generates — the
+    * withViterbiPieces optimizer barrier — so ProjectCollapse cannot
+    * inline the O(n·log n) sort into every element_at reference.
     */
   private def tokenIndex(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tf = CacheRegistry.persist(df
+    val tf = CacheRegistry.persist(TokenRuns.explodeCounts(
+        df.select(col(idCol).as("id"),
+            filter(split(col(textCol), " "), t => t =!= lit("")).as("graft_ws"))
+          .withColumn("dl", size(col("graft_ws")).cast("long")),
+        col("graft_ws"), "tok", "tf")
+      .select(col("id"), col("tok"), col("tf"), col("dl")))
+    val dl = df
       .select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy(col("id"), col("tok"))
-      .agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+        size(filter(split(col(textCol), " "), t => t =!= lit("")))
+          .cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(
         count(lit(1)).as("n_docs"), sum(col("dl")).as("l_tot"))
       .select(col("n_docs"),
@@ -334,11 +351,13 @@ object Retrieval extends PersistedIndex {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("id"), col("n_terms"), col("score_bp"))
 
-  /** The unranked (qid, id, n_terms, score_bp) scoring core. */
+  /** The unranked (qid, id, n_terms, score_bp) scoring core. dl rides
+    * on the postings frame ([[tokenIndex]] denormalizes it in-row), so
+    * the only corpus-sized move is the matched-postings groupBy.
+    */
   private def scoreAll(tf: DataFrame, dl: DataFrame, stats: DataFrame,
                        queries: DataFrame): DataFrame =
-    scorePostings(
-      tf.join(broadcast(queries), Seq("tok")).join(dl, Seq("id")), stats)
+    scorePostings(tf.join(broadcast(queries), Seq("tok")), stats)
 
   /** BM25 arithmetic over an already-joined postings frame carrying
     * (qid, id, tf, dl, df_t) per matched (query-term, doc) pair. The
@@ -407,7 +426,7 @@ object Retrieval extends PersistedIndex {
         idCol, textCol)
     val (pName, tName) = tableNames(indexDir)
     graft.sources.BucketedWarehouse.writeBucketedPath(
-      tf.join(dl, Seq("id")).select(col("tok"), col("id"), col("tf"), col("dl")),
+      tf.select(col("tok"), col("id"), col("tf"), col("dl")),
       pName, s"$indexDir/postings", Seq("tok"), numBuckets)
     graft.sources.BucketedWarehouse.writeBucketedPath(
       termDf.select(col("tok"), col("df_t")),
@@ -471,7 +490,7 @@ object Retrieval extends PersistedIndex {
       tokenIndex(docs.select(col(idCol).cast("long").as(idCol), col(textCol)),
         idCol, textCol)
     graft.sources.BucketedWarehouse.appendBucketedPath(
-      tf.join(dl, Seq("id")).select(col("tok"), col("id"), col("tf"), col("dl")),
+      tf.select(col("tok"), col("id"), col("tf"), col("dl")),
       pName, s"$indexDir/postings", Seq("tok"), nb)
     // terms: merge old + batch into a staging table, then swap dirs —
     // writing over the table being read is the classic self-overwrite

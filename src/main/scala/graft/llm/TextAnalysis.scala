@@ -114,11 +114,16 @@ object TextAnalysis {
     // nDocs rides in the plan as a broadcast 1-row agg (no eager action
     // on the driver — same shape as boilerplateMass's graft_nd).
     val nDocs = df.select(count(lit(1)).cast("double").as("graft_nd"))
-    val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("term"))
-    // tf feeds both the df aggregation and the scoring join. Cache
-    // lifecycle: [[CacheRegistry]] — release after materializing.
-    val tf = CacheRegistry.persist(
-      toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")))
+    // tf is computed IN-ROW ([[TokenRuns]] — a doc's tokens live in its
+    // own text cell, so the explode → groupBy(id, term) exchange was a
+    // shuffle of partition-local groups; note NO empty-token filter:
+    // the grouped form counted them and the oracle does too). It feeds
+    // both the df aggregation and the scoring join. Cache lifecycle:
+    // [[CacheRegistry]] — release after materializing.
+    val tf = CacheRegistry.persist(TokenRuns.explodeCounts(
+        df.select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws")),
+        col("graft_ws"), "term", "tf")
+      .select(col("id"), col("term"), col("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
@@ -1200,12 +1205,22 @@ object TextAnalysis {
     * distributed TakeOrdered. Output: (piece, cnt, cost_micro).
     */
   def unigramSeedVocab(df: DataFrame, textCol: String, vocabSize: Int = 48,
-                       maxPiece: Int = 4): DataFrame = {
-    require(vocabSize >= 1 && maxPiece >= 1, "vocabSize and maxPiece must be >= 1")
-    val words = df
+                       maxPiece: Int = 4): DataFrame =
+    seedVocabFromWords(df
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f")),
+      vocabSize, maxPiece)
+
+  /** [[unigramSeedVocab]] over an already-aggregated (w, f) word-count
+    * frame — the EM trainers hand in their persisted word frame so the
+    * seed's substring expansion reads the cache instead of re-running
+    * the corpus tokenize+aggregate a second time (one fewer full-corpus
+    * pass per training call; outputs are identical by construction).
+    */
+  private def seedVocabFromWords(words: DataFrame, vocabSize: Int,
+                                 maxPiece: Int): DataFrame = {
+    require(vocabSize >= 1 && maxPiece >= 1, "vocabSize and maxPiece must be >= 1")
     val subs = CacheRegistry.persist(words
       .select(col("f"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)), i ->
@@ -1342,7 +1357,7 @@ object TextAnalysis {
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("f")))
-    val seed = unigramSeedVocab(df, textCol, vocabSize * seedMultiplier, maxPiece)
+    val seed = seedVocabFromWords(words, vocabSize * seedMultiplier, maxPiece)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     require(seed.nonEmpty && seed.length <= 65536,
       s"vocab must stay bounded, got ${seed.length} seed pieces")
@@ -1427,7 +1442,7 @@ object TextAnalysis {
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("f")))
-    val seed = unigramSeedVocab(df, textCol, vocabSize * seedMultiplier, maxPiece)
+    val seed = seedVocabFromWords(words, vocabSize * seedMultiplier, maxPiece)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     require(seed.nonEmpty && seed.length <= 65536,
       s"vocab must stay bounded, got ${seed.length} seed pieces")
