@@ -743,23 +743,21 @@ object TextAnalysis {
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 256): DataFrame = {
     require(nBuckets > 0 && nBuckets <= 65536, s"nBuckets $nBuckets out of range")
+    val bucketExpr =
+      s"""CAST(conv(substring(md5(concat(graft_ws[i], ' ', graft_ws[i + 1])), 1, 12), 16, 10) AS BIGINT) % $nBuckets"""
     def bucketed(df: DataFrame) = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
       .filter(size(col("graft_ws")) >= 2)
       .select(col("id"), explode(expr(
-        s"""transform(sequence(0, size(graft_ws) - 2),
-           |  i -> CAST(conv(substring(md5(concat(graft_ws[i], ' ', graft_ws[i + 1])), 1, 12), 16, 10) AS BIGINT) % $nBuckets)"""
-          .stripMargin)).as("bucket"))
-    // per-corpus bucket counts — bounded tables (<= nBuckets rows)
+        s"transform(sequence(0, size(graft_ws) - 2), i -> $bucketExpr)")).as("bucket"))
+    // per-corpus bucket counts — bounded tables (<= nBuckets rows); the
+    // bounded model tables each feed the totals agg and the weight
+    // join. Cache lifecycle: [[CacheRegistry]] — release after
+    // materializing.
     def model(b: DataFrame, cName: String) =
       b.groupBy(col("bucket")).agg(count(lit(1)).as(cName))
-    // the raw bigram stream feeds its model AND the final per-doc join —
-    // persist or the corpus explodes twice; the bounded model tables
-    // each feed the totals agg and the weight join. Cache lifecycle:
-    // [[CacheRegistry]] — release after materializing.
-    val rawB = CacheRegistry.persist(bucketed(raw))
     val tgt = CacheRegistry.persist(model(bucketed(target), "c_t"))
-    val rawM = CacheRegistry.persist(model(rawB, "c_r"))
+    val rawM = CacheRegistry.persist(model(bucketed(raw), "c_r"))
     val totals = tgt.agg(sum(col("c_t")).as("n_t")).crossJoin(rawM.agg(sum(col("c_r")).as("n_r")))
     // add-one smoothed log-ratio per bucket in micro-nats, rounded once
     val weights = rawM.join(tgt, Seq("bucket"), "full")
@@ -770,9 +768,25 @@ object TextAnalysis {
         s"""CAST(round(ln(CAST((c_t + 1) * (n_r + $nBuckets) AS DOUBLE) /
            |              CAST((c_r + 1) * (n_t + $nBuckets) AS DOUBLE)) * 1000000.0) AS BIGINT)"""
           .stripMargin).as("graft_w"))
-    rawB.join(broadcast(weights), Seq("bucket"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("graft_w")).as("dsir_micro"))
+    // the weight table is nBuckets-BOUNDED (a parameter, <= 65536) — it
+    // collects to a map literal (the denseMaskDocs vocab-literal
+    // pattern) and the per-doc scoring pass runs IN-ROW: one narrow
+    // scan of `raw`, zero shuffles, where the old shape persisted a
+    // corpus-POSITIONS-sized exploded bigram frame (the documented
+    // 100-TB anti-pattern) and shuffled it by doc id. Every raw bucket
+    // is present in the map (the full join keeps the c_r side), so the
+    // lookup is total; integer sums are order-free, so dsir_micro is
+    // identical.
+    val wmap = typedLit(weights.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    raw.select(col(idCol).as("id"), split(col(textCol), " ").as("graft_ws"))
+      .filter(size(col("graft_ws")) >= 2)
+      .withColumn("graft_wm", wmap)
+      .select(col("id"),
+        (size(col("graft_ws")) - 1).cast("long").as("n_bigrams"),
+        expr(s"""aggregate(sequence(0, size(graft_ws) - 2), 0L,
+                |  (acc, i) -> acc + element_at(graft_wm, $bucketExpr))"""
+          .stripMargin).as("dsir_micro"))
   }
 
   /** Pairwise source divergence — count-weighted log-likelihood-ratio
